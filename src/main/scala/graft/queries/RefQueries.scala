@@ -1,0 +1,361 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.agg.Binning
+import graft.engine.GridAggregation
+import graft.engine.GridAggregation.PixelCols
+import graft.expr.GridExprs
+import graft.model._
+
+/** The SURVEY §2 operator inventory, exercised over the driver's TPC-H-ish
+  * parquet tables so every operator has a DuckDB-checkable oracle.
+  *
+  * MODIS analog mapping (lineitem as the pixel table):
+  *   lat := l_quantity (1..50), lon := l_discount*100 (0..10),
+  *   granule_id := l_orderkey, cloud-mask byte := l_linenumber,
+  *   measured variable := l_quantity / l_extendedprice.
+  *   Grid: region (0,50)x(0,10), gaps 5x1 -> 10x10 = 100 cells.
+  *
+  * Every query is a plain DataFrame plan (no UDFs except the histogram
+  * TypedImperativeAggregates), so filters/projections push into the parquet
+  * scan and aggregation runs partial+final.
+  */
+object RefQueries {
+
+  /** The lineitem-as-pixels grid. */
+  val grid: GridSpec = GridSpec(Region(0, 50, 0, 10), 5.0, 1.0)
+
+  val histEdgesQty: Seq[Double] = Seq(1, 10, 20, 25, 30, 40, 50)
+  val histEdgesDisc: Seq[Double] = Seq(0, 2, 4, 6, 8, 10)
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet stores TIMESTAMP(NANOS), which Spark only reads as a
+    * nanosecond LONG (`spark.sql.legacy.parquet.nanosAsLong=true`, set in
+    * Verify/Bench sessions). Normalize to a real TimestampType column;
+    * integer `div` keeps the ns->us truncation exact (a double division
+    * would lose precision at 1.7e18 ns).
+    */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+
+  /** Pixel-frame analog: lineitem + lat/lon/granule/cm_flag derivations
+    * (reference scan S3 output shape, FIXTURES §1).
+    */
+  def pixels(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .withColumn("lat", col("l_quantity"))
+      .withColumn("lon", col("l_discount") * 100)
+      .withColumn("granule_id", col("l_orderkey"))
+      .withColumn("cm_flag", GridExprs.cloudMaskFlag(col("l_linenumber")))
+
+  /** Matching DuckDB base subquery (the oracle's version of [[pixels]] after
+    * region filter + cell derivation).
+    */
+  val baseSql: String =
+    """(SELECT l.*, l_quantity AS lat, l_discount*100 AS lon,
+      |  CAST(floor(l_quantity/5) AS BIGINT)*10 + CAST(floor(l_discount*100) AS BIGINT) AS cell,
+      |  l_orderkey AS granule_id,
+      |  CASE WHEN (l_linenumber & 1) = 0 THEN -1 ELSE (l_linenumber & 6) >> 1 END AS cm_flag
+      | FROM lineitem l
+      | WHERE l_quantity > 0 AND l_quantity < 50
+      |   AND l_discount*100 > 0 AND l_discount*100 < 10) base""".stripMargin
+
+  private def cfg(stats: StatSwitches, vars: VarSpec*): JobConfig =
+    JobConfig(grid = grid, stats = stats, vars = vars)
+
+  // ---------------------------------------------------------------- queries
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1-A5: the flagship per-cell multi-statistic aggregation.
+    "q_grid_stats" -> ((s, dir) =>
+      GridAggregation.aggregate(
+        pixels(s, dir),
+        cfg(StatSwitches(), VarSpec("l_quantity")))),
+
+    // Same stats over a non-integral variable. Floating sums are
+    // merge-order-dependent (non-deterministic across partitionings, and
+    // engine-vs-oracle), so accumulate in exact fixed point: prices as
+    // integer cents -> long sums are exact, finalize derives mean/std from
+    // identical integers on both sides. This is also the scalable answer to
+    // SURVEY §7.4's float-reproducibility risk at 1000-executor merges.
+    "q_grid_stats_price" -> ((s, dir) => {
+      val base = GridAggregation.withCell(pixels(s, dir), cfg(StatSwitches()))
+        .withColumn("cents", round(col("l_extendedprice") * 100).cast("long"))
+      val sc = sum(col("cents")).cast("double")
+      val cnt = count(col("cents"))
+      val meanC = sc / cnt
+      base.groupBy(col("cell")).agg(
+        min(col("l_extendedprice")).as("price_Minimum"),
+        max(col("l_extendedprice")).as("price_Maximum"),
+        (meanC / 100).as("price_Mean"),
+        cnt.as("price_Pixel_Counts"),
+        (sqrt(sum(col("cents") * col("cents")).cast("double") / cnt - meanC * meanC) / 100)
+          .as("price_Standard_Deviation"))
+    }),
+
+    // P2: cloud-mask bitfield decode (status bit + 2-bit flag).
+    "q_p2_bitfield" -> ((s, dir) =>
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        GridExprs.bitsStripping(1, 2, col("l_linenumber")).as("mask_bits"),
+        GridExprs.cloudMaskFlag(col("l_linenumber")).as("cm_flag"))),
+
+    // P3: strict bounding-box region filter.
+    "q_p3_region" -> ((s, dir) =>
+      pixels(s, dir)
+        .filter(GridExprs.inRegion(col("lat"), col("lon"), grid.region))
+        .select(col("l_orderkey"), col("l_linenumber"), col("lat"), col("lon"))),
+
+    // P5: grid-cell key derivation + in-grid guard.
+    "q_p5_cellid" -> ((s, dir) =>
+      GridAggregation.withCell(pixels(s, dir), cfg(StatSwitches()))
+        .select(col("l_orderkey"), col("l_linenumber"), col("cell"))),
+
+    // P6: systematic (deterministic) decimation, row%n==2 && col%n==3.
+    "q_p6_sampling" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(GridExprs.systematicSample(col("l_orderkey"), col("l_linenumber"), 4))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))),
+
+    // P7: granule filename metadata extraction (day-of-year + hour).
+    "q_p7_metadata" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val gname = format_string(
+        "MYD06_L2.A%04d%03d.%02d%02d",
+        year(col("o_orderdate")), dayofyear(col("o_orderdate")),
+        col("o_orderkey") % 24, (col("o_orderkey") * 7) % 60)
+      o.select(
+        col("o_orderkey"),
+        gname.as("granule"),
+        GridExprs.granuleDayOfYear(gname).as("doy"),
+        GridExprs.granuleHour(gname).as("hour"))
+    }),
+
+    // P4: "definition of day" null-out on the events stream analog
+    // (day D = Jan 1, day D+1 = Jan 2; lon analog spans [-245, 245]).
+    "q_p4_day_definition" -> ((s, dir) => {
+      val e = events(s, dir)
+        .withColumn("doy", dayofyear(col("ts")))
+        .withColumn("hr", hour(col("ts")))
+        .withColumn("lon", col("value") - 245)
+        .filter(col("doy") <= 2)
+      e.select(
+        col("event_id"), col("doy"), col("hr"), col("lon"),
+        GridExprs.dayDefinitionNullOut(
+          col("value"), col("doy"), col("hr"), col("lon"), d0 = 1, d1 = 2)
+          .as("value_corrected"))
+    }),
+
+    // A6: 1-D fixed-bin histogram — scalable plan: codegen'd bin-index
+    // expression + groupBy(cell, bin).count() (map-side partial agg).
+    "q_a6_histogram" -> ((s, dir) =>
+      GridAggregation.withCell(pixels(s, dir), cfg(StatSwitches()))
+        .withColumn("bin", Binning.binIndex(col("l_quantity"), histEdgesQty))
+        .filter(col("bin").isNotNull)
+        .groupBy(col("cell"), col("bin"))
+        .agg(count(lit(1)).as("bin_count"))),
+
+    // A7: 2-D joint histogram, same exploded shape.
+    "q_a7_jhist" -> ((s, dir) =>
+      GridAggregation.withCell(pixels(s, dir), cfg(StatSwitches()))
+        .withColumn("xbin", Binning.binIndex(col("l_quantity"), histEdgesQty))
+        .withColumn("ybin", Binning.binIndex(col("lon"), histEdgesDisc))
+        .filter(col("xbin").isNotNull && col("ybin").isNotNull)
+        .groupBy(col("cell"), col("xbin"), col("ybin"))
+        .agg(count(lit(1)).as("bin_count"))),
+
+    // A8: GRID_Counts — granules contributing >=1 non-null pixel per cell.
+    "q_a8_grid_counts" -> ((s, dir) =>
+      GridAggregation.gridCounts(
+        pixels(s, dir), cfg(StatSwitches()), "l_extendedprice")),
+
+    // A9: cloud-fraction two-level aggregation.
+    "q_a9_cloud_fraction" -> ((s, dir) =>
+      GridAggregation.cloudFraction(pixels(s, dir), cfg(StatSwitches()))),
+
+    // A11: legacy fixed-grid cloud-fraction pipeline (cfa.py analog):
+    // cloudy = decoded 2-bit flag == 0.
+    "q_a11_legacy_cf" -> ((s, dir) =>
+      GridAggregation.withCell(pixels(s, dir), cfg(StatSwitches()))
+        .groupBy(col("cell"))
+        .agg(
+          count(lit(1)).as("total_pix"),
+          count(when(GridExprs.bitsStripping(1, 2, col("l_linenumber")) === 0, 1))
+            .as("cloud_pix"))
+        .withColumn("cf", col("cloud_pix") / col("total_pix"))),
+
+    // S1: date-range partition discovery (files-per-day analog).
+    "q_s1_catalog" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1997-01-01"))
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_files"))),
+
+    // J1: catalog pairing equi-join (small side broadcast).
+    "q_j1_pairing" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "inner")
+        .select(col("o_orderkey"), col("c_custkey"), col("c_mktsegment"))
+    }),
+
+    // S4: L3 grid finalize — flat cell id -> (lat_idx, lon_idx, centers).
+    "q_s4_l3_grid" -> ((s, dir) => {
+      val a = GridAggregation.aggregate(
+        pixels(s, dir),
+        cfg(StatSwitches(std = false), VarSpec("l_quantity")))
+      GridAggregation.withGridIndexes(a, cfg(StatSwitches()))
+        .select(col("cell"), col("lat_idx"), col("lon_idx"),
+          col("lat_center"), col("lon_center"), col("l_quantity_Mean"))
+    })
+  )
+
+  // ------------------------------------------------------------- oracle SQL
+
+  private val statsSqlQty: String =
+    s"""SELECT cell,
+       | min(l_quantity) AS l_quantity_Minimum,
+       | max(l_quantity) AS l_quantity_Maximum,
+       | sum(l_quantity)/count(l_quantity) AS l_quantity_Mean,
+       | CAST(count(l_quantity) AS BIGINT) AS l_quantity_Pixel_Counts,
+       | sqrt(sum(l_quantity*l_quantity)/count(l_quantity)
+       |   - (sum(l_quantity)/count(l_quantity))*(sum(l_quantity)/count(l_quantity)))
+       |   AS l_quantity_Standard_Deviation
+       |FROM $baseSql GROUP BY cell""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q_grid_stats" -> statsSqlQty,
+
+    "q_grid_stats_price" ->
+      s"""SELECT cell,
+         | min(l_extendedprice) AS price_Minimum,
+         | max(l_extendedprice) AS price_Maximum,
+         | CAST(sum(cents) AS DOUBLE)/count(cents)/100 AS price_Mean,
+         | CAST(count(cents) AS BIGINT) AS price_Pixel_Counts,
+         | sqrt(CAST(sum(cents*cents) AS DOUBLE)/count(cents)
+         |   - (CAST(sum(cents) AS DOUBLE)/count(cents))*(CAST(sum(cents) AS DOUBLE)/count(cents)))/100
+         |   AS price_Standard_Deviation
+         |FROM (SELECT *, CAST(round(l_extendedprice*100) AS BIGINT) AS cents FROM $baseSql)
+         |GROUP BY cell""".stripMargin,
+
+    "q_p2_bitfield" ->
+      """SELECT l_orderkey, l_linenumber,
+        | (l_linenumber & 6) >> 1 AS mask_bits,
+        | CASE WHEN (l_linenumber & 1) = 0 THEN -1 ELSE (l_linenumber & 6) >> 1 END AS cm_flag
+        |FROM lineitem""".stripMargin,
+
+    "q_p3_region" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity AS lat, l_discount*100 AS lon
+        |FROM lineitem
+        |WHERE l_quantity > 0 AND l_quantity < 50
+        |  AND l_discount*100 > 0 AND l_discount*100 < 10""".stripMargin,
+
+    "q_p5_cellid" ->
+      s"SELECT l_orderkey, l_linenumber, cell FROM $baseSql",
+
+    "q_p6_sampling" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_orderkey % 4 = 2 AND l_linenumber % 4 = 3""".stripMargin,
+
+    "q_p7_metadata" ->
+      """SELECT o_orderkey,
+        | printf('MYD06_L2.A%04d%03d.%02d%02d',
+        |   CAST(year(o_orderdate) AS BIGINT), CAST(dayofyear(o_orderdate) AS BIGINT),
+        |   o_orderkey % 24, (o_orderkey * 7) % 60) AS granule,
+        | CAST(regexp_extract(printf('MYD06_L2.A%04d%03d.%02d%02d',
+        |   CAST(year(o_orderdate) AS BIGINT), CAST(dayofyear(o_orderdate) AS BIGINT),
+        |   o_orderkey % 24, (o_orderkey * 7) % 60), '\.A\d{4}(\d{3})\.', 1) AS INTEGER) AS doy,
+        | CAST(regexp_extract(printf('MYD06_L2.A%04d%03d.%02d%02d',
+        |   CAST(year(o_orderdate) AS BIGINT), CAST(dayofyear(o_orderdate) AS BIGINT),
+        |   o_orderkey % 24, (o_orderkey * 7) % 60), '\.A\d{7}\.(\d{2})\d{2}', 1) AS INTEGER) AS hour
+        |FROM orders""".stripMargin,
+
+    "q_p4_day_definition" ->
+      """SELECT event_id,
+        | CAST(dayofyear(ts) AS INTEGER) AS doy,
+        | CAST(hour(ts) AS INTEGER) AS hr,
+        | value - 245 AS lon,
+        | CASE WHEN hour(ts) < 3 AND (
+        |        (dayofyear(ts) = 1 AND ((value-245 >= -180 AND value-245 <= -90)
+        |                             OR (value-245 >= 0 AND value-245 <= 90)))
+        |     OR (dayofyear(ts) = 2 AND ((value-245 >= 90 AND value-245 <= 180)
+        |                             OR (value-245 >= -90 AND value-245 <= 0))))
+        |      THEN NULL ELSE value END AS value_corrected
+        |FROM events WHERE dayofyear(ts) <= 2""".stripMargin,
+
+    "q_a6_histogram" ->
+      s"""SELECT cell, bin, CAST(count(*) AS BIGINT) AS bin_count
+         |FROM (SELECT cell, ${Binning.binIndexSql("l_quantity", histEdgesQty)} AS bin
+         |      FROM $baseSql)
+         |WHERE bin IS NOT NULL GROUP BY cell, bin""".stripMargin,
+
+    "q_a7_jhist" ->
+      s"""SELECT cell, xbin, ybin, CAST(count(*) AS BIGINT) AS bin_count
+         |FROM (SELECT cell,
+         |        ${Binning.binIndexSql("l_quantity", histEdgesQty)} AS xbin,
+         |        ${Binning.binIndexSql("lon", histEdgesDisc)} AS ybin
+         |      FROM $baseSql)
+         |WHERE xbin IS NOT NULL AND ybin IS NOT NULL GROUP BY cell, xbin, ybin""".stripMargin,
+
+    "q_a8_grid_counts" ->
+      s"""SELECT cell, CAST(count(*) AS BIGINT) AS GRID_Counts
+         |FROM (SELECT cell, granule_id FROM $baseSql
+         |      WHERE l_extendedprice IS NOT NULL GROUP BY cell, granule_id)
+         |GROUP BY cell""".stripMargin,
+
+    "q_a9_cloud_fraction" ->
+      s"""SELECT cell,
+         | min(fraction) AS cloud_fraction_Minimum,
+         | max(fraction) AS cloud_fraction_Maximum,
+         | CAST(sum(cld_pix) AS DOUBLE)/CAST(nullif(sum(tot_pix), 0) AS DOUBLE) AS cloud_fraction_Mean,
+         | CAST(sum(tot_pix) AS BIGINT) AS cloud_fraction_Pixel_Counts,
+         | CAST(count(CASE WHEN tot_pix > 0 THEN 1 END) AS BIGINT) AS GRID_Counts
+         |FROM (
+         |  SELECT cell, granule_id,
+         |    CAST(sum(CASE WHEN cm_flag >= 0 AND cm_flag <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS tot_pix,
+         |    CAST(sum(CASE WHEN cm_flag >= 0 AND cm_flag <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS cld_pix,
+         |    CAST(sum(CASE WHEN cm_flag >= 0 AND cm_flag <= 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |      / CAST(nullif(sum(CASE WHEN cm_flag >= 0 AND cm_flag <= 3 THEN 1 ELSE 0 END), 0) AS DOUBLE) AS fraction
+         |  FROM $baseSql GROUP BY cell, granule_id)
+         |GROUP BY cell""".stripMargin,
+
+    "q_a11_legacy_cf" ->
+      s"""SELECT cell,
+         | CAST(count(*) AS BIGINT) AS total_pix,
+         | CAST(count(CASE WHEN (l_linenumber & 6) >> 1 = 0 THEN 1 END) AS BIGINT) AS cloud_pix,
+         | CAST(count(CASE WHEN (l_linenumber & 6) >> 1 = 0 THEN 1 END) AS DOUBLE)
+         |   / CAST(count(*) AS DOUBLE) AS cf
+         |FROM $baseSql GROUP BY cell""".stripMargin,
+
+    "q_s1_catalog" ->
+      """SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, CAST(count(*) AS BIGINT) AS n_files
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1""".stripMargin,
+
+    "q_j1_pairing" ->
+      """SELECT o_orderkey, c_custkey, c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    "q_s4_l3_grid" ->
+      s"""SELECT cell,
+         | CAST(cell // 10 AS INTEGER) AS lat_idx,
+         | CAST(cell % 10 AS INTEGER) AS lon_idx,
+         | (cell // 10) * 5.0 + 2.5 AS lat_center,
+         | (cell % 10) * 1.0 + 0.5 AS lon_center,
+         | sum(l_quantity)/count(l_quantity) AS l_quantity_Mean
+         |FROM $baseSql GROUP BY cell""".stripMargin
+  )
+}

@@ -1,0 +1,24 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal bridge into Spark's `private[sql]` Column/Expression seam.
+  *
+  * Spark 4 made `Column` a Connect-compatible wrapper over a `ColumnNode`;
+  * building a `Column` from a raw Catalyst `Expression` (needed to expose
+  * custom expressions / `TypedImperativeAggregate`s as user-facing columns)
+  * goes through `org.apache.spark.sql.classic.ExpressionUtils`, which is
+  * `private[sql]`. This object lives under `org.apache.spark.sql` purely to
+  * re-export that one constructor; all graft code calls through here.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  def aggColumn(f: AggregateFunction): Column =
+    ExpressionUtils.column(f.toAggregateExpression(isDistinct = false))
+
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
