@@ -1,0 +1,161 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, n-gram
+  * Jaccard, MinHash+LSH, and SimHash. Scale design (100 TB):
+  *
+  *   - exact dedup is one shuffle keyed by the text (or its fingerprint);
+  *   - near-dup candidate generation NEVER does an O(n^2) cross join — it
+  *     builds an inverted index (explode shingles / LSH-band buckets) and
+  *     self-joins on the index key, so cost is bounded by bucket sizes;
+  *   - ultra-frequent shingles (stop-shingles) are droppable via
+  *     `maxShingleDf` to cap join skew — the standard guard when one shingle
+  *     would otherwise pair millions of documents;
+  *   - verification (exact Jaccard on candidates) is a second bounded join.
+  */
+object DedupOps {
+
+  /** Word k-shingles (k-grams of whitespace tokens) as an array column;
+    * empty when the document has fewer than k tokens.
+    */
+  def wordShingles(text: Column, k: Int): Column = {
+    val toks = TextOps.tokens(text)
+    when(size(toks) >= k,
+      transform(
+        sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact dedup: keep the lowest-id row per identical key (default: the
+    * raw text). One hash-partition shuffle on the key; `row_number` over
+    * (key, id) is deterministic under any partitioning.
+    */
+  def exactDedup(df: DataFrame, idCol: String, keyCol: Column): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** (id, shingle) inverted index, distinct per document; optionally drops
+    * shingles appearing in more than `maxShingleDf` documents (skew guard).
+    */
+  def shingleIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      maxShingleDf: Option[Int] = None): DataFrame = {
+    val idx = docs
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(wordShingles(col(textCol), k))).as("sh"))
+    maxShingleDf match {
+      case None => idx
+      case Some(cap) =>
+        val hot = idx.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select(col("sh"))
+        idx.join(hot, Seq("sh"), "left_anti")
+    }
+  }
+
+  /** Near-duplicate pairs by exact Jaccard similarity over word k-shingles.
+    * Inverted-index self-join for candidates (pairs sharing >= 1 shingle),
+    * then `J = |A ∩ B| / (|A| + |B| - |A ∩ B|)` from exact integer counts —
+    * fully deterministic, no floats until the final ratio.
+    * Output: (id_a, id_b, intersection, n_a, n_b, jaccard), id_a < id_b.
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      threshold: Double,
+      maxShingleDf: Option[Int] = None): DataFrame = {
+    val idx = shingleIndex(docs, idCol, textCol, k, maxShingleDf).cache()
+    val sizes = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = idx.as("a")
+      .join(idx.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("intersection"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+      .withColumn("jaccard",
+        col("intersection").cast("double") /
+          (col("n_a") + col("n_b") - col("intersection")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("intersection"),
+        col("n_a"), col("n_b"), col("jaccard"))
+  }
+
+  /** MinHash signature: `numHashes` columns, hash i = min over shingles of
+    * `xxhash64(i, shingle)`. One aggregation over the inverted index — the
+    * signature frame is tiny (numHashes longs per doc) regardless of corpus
+    * size. NULL signature entries (docs with no shingles) never match.
+    */
+  def minhashSignatures(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      numHashes: Int): DataFrame = {
+    val idx = shingleIndex(docs, idCol, textCol, k)
+    val aggs = (0 until numHashes)
+      .map(i => min(xxhash64(lit(i), col("sh"))).as(s"mh_$i"))
+    idx.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs from MinHash signatures: split the signature into
+    * `bands` bands of `rowsPerBand`, bucket-join on (band, band-hash).
+    * A pair collides iff some band matches entirely — the classic
+    * (J^rows)-per-band S-curve. Candidates only; feed to
+    * [[ngramJaccardPairs]]-style verification for the final decision.
+    */
+  def minhashLshCandidates(
+      signatures: DataFrame,
+      bands: Int,
+      rowsPerBand: Int): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
+    }
+    val buckets = signatures
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bucket"))
+      .select(col("doc_id"), col("bucket.band").as("band"), col("bucket.bh").as("bh"))
+    buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+  }
+
+  /** 64-bit SimHash over whitespace tokens: bit j of the output is set iff
+    * `sum over tokens of (bit j of xxhash64(token) ? +1 : -1) >= 0`.
+    * Computed as one explode + one aggregation (64 long sums per doc);
+    * near-dup detection is then Hamming distance on the long.
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(TextOps.tokens(col(textCol))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val sums = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"s_$j")
+    }
+    val agged = tok.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+    val sig = (0 until 64).foldLeft(lit(0L)) { (acc, j) =>
+      acc.bitwiseOR(
+        when(col(s"s_$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+    }
+    agged.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

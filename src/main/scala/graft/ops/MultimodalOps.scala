@@ -1,0 +1,87 @@
+package graft.ops
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque
+  * `BINARY` columns with typed metadata, and a partition-batched
+  * decode/feature-extract stage.
+  *
+  * The Spark-side machinery is real and tested — schema, partitioning,
+  * batch iteration via `mapPartitions` on a typed `Dataset` (the Scala
+  * analog of `mapInPandas`: one JVM-side batch loop per partition, no
+  * per-row closure dispatch into Python). Only the codec itself is a STUB:
+  * this container has no image/audio libraries, so [[decodeStub]] derives
+  * deterministic pseudo-features from a SHA-256 of the payload. Swapping in
+  * a real decoder changes one function; every schema/partition/batch
+  * decision stays.
+  */
+object MultimodalOps {
+
+  /** One media row: opaque payload + source metadata. */
+  final case class MediaRow(media_id: Long, modality: String, payload: Array[Byte])
+
+  /** Extracted features: what a real image decoder would emit (dims,
+    * channel stats), here hash-derived. `sha_hex` doubles as a content
+    * address for exact dedup of media payloads.
+    */
+  final case class MediaFeatures(
+      media_id: Long,
+      modality: String,
+      n_bytes: Long,
+      sha_hex: String,
+      width: Int,
+      height: Int,
+      mean_lum: Double)
+
+  /** STUB CODEC — deterministic fake decode. A real deployment replaces
+    * the body with (e.g.) javax.imageio / ffmpeg bindings; the signature
+    * (bytes in, features out) is the stable contract.
+    */
+  def decodeStub(payload: Array[Byte]): (String, Int, Int, Double) = {
+    val md = MessageDigest.getInstance("SHA-256")
+    val digest = md.digest(payload)
+    val hex = digest.map(b => f"${b & 0xff}%02x").mkString
+    // pseudo-dimensions/luminance from the first hash bytes
+    val width = 64 + ((digest(0) & 0xff) << 4 | (digest(1) & 0xff) >> 4)
+    val height = 64 + ((digest(1) & 0x0f) << 8 | (digest(2) & 0xff))
+    val meanLum = (digest(3) & 0xff).toDouble / 255.0
+    (hex, width, height, meanLum)
+  }
+
+  /** Partition-batched feature extraction. `mapPartitions` keeps one codec
+    * instance per partition (decoders are expensive to init) and streams
+    * rows through it — the batch shape a 1000-executor run needs. Input
+    * partitioning is preserved; no shuffle.
+    */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    implicit val enc = Encoders.product[MediaFeatures]
+    media.mapPartitions { rows =>
+      // per-partition codec init would go here
+      rows.map { r =>
+        val (hex, w, h, lum) = decodeStub(r.payload)
+        MediaFeatures(r.media_id, r.modality, r.payload.length.toLong, hex, w, h, lum)
+      }
+    }
+  }
+
+  /** Build a media table from the documents table (payload = UTF-8 bytes of
+    * the text — a stand-in for real image bytes with identical plumbing).
+    */
+  def mediaFromDocuments(docs: DataFrame): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    docs.select(
+      col("doc_id").as("media_id"),
+      // modality assignment round-robins deterministically
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("modality"),
+      encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRow]
+  }
+
+  /** End-to-end: documents -> media rows -> batched decode -> features. */
+  def documentFeatures(spark: SparkSession, docs: DataFrame): DataFrame =
+    extractFeatures(mediaFromDocuments(docs)).toDF()
+}

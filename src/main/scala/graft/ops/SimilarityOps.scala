@@ -1,0 +1,160 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`ARRAY<FLOAT>`).
+  *
+  * Determinism discipline: every dot product is computed as a sequential
+  * fold in index order over double-cast elements, so the result is
+  * bit-identical on any engine and any partitioning (float reduction order
+  * is the classic source of cross-run drift — SURVEY §7.4).
+  *
+  * Scale design: brute-force top-k is the correctness baseline (broadcast
+  * the small query set, never the corpus; one pass over the corpus, no
+  * shuffle until the per-query top-k). The LSH variant buckets vectors by
+  * signed random-hyperplane projections so candidate generation touches only
+  * same-bucket pairs — the 100 TB path.
+  */
+object SimilarityOps {
+
+  /** Sequential-order dot product of two float-array columns (cast to
+    * double element-wise before multiply/add).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  def norm2(a: Column): Column = dot(a, a)
+
+  /** Cosine similarity; NULL when either norm is zero. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / nullif(sqrt(norm2(a)) * sqrt(norm2(b)), lit(0.0))
+
+  /** Brute-force cosine top-k: for each row of `queries`, the `k` nearest
+    * corpus rows (ties broken by corpus id ascending — fully deterministic).
+    * `queries` is broadcast (it must be the small side); the corpus is
+    * scanned once and only (queries x corpus) score rows reach the top-k
+    * window, which partitions by query id.
+    */
+  def bruteForceTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      queryId: String = "vec_id",
+      corpusId: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(queryId).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(corpusId).as("corpus_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .filter(col("cosine").isNotNull)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("cosine"))
+  }
+
+  /** Deterministic pseudo-random hyperplane weight for (plane j, dim d):
+    * integer `((j*31 + d*17) mod 7) - 3` in [-3, 3]. Integer weights make
+    * the projection exactly reproducible in any engine (including the SQL
+    * oracle) — no RNG state to ship.
+    */
+  def planeWeight(j: Int, d: Int): Int = ((j * 31 + d * 17) % 7) - 3
+
+  /** Sign bit of the projection of `vec` onto plane `j` (dims = vector
+    * length). Sequential fold in index order, like [[dot]].
+    */
+  private def planeBit(vec: Column, j: Int, dims: Int): Column = {
+    val weights = array((0 until dims).map(d => lit(planeWeight(j, d).toDouble)): _*)
+    val proj = aggregate(
+      zip_with(vec, weights, (x, w) => x.cast("double") * w),
+      lit(0.0),
+      (acc, v) => acc + v)
+    when(proj >= 0, lit(1L)).otherwise(lit(0L))
+  }
+
+  /** LSH bucket id in [0, 2^planes): bit j = sign of projection j. Vectors
+    * in the same bucket are ANN candidates; union over a few independent
+    * bucket tables raises recall.
+    */
+  def lshBucket(vec: Column, planes: Int, dims: Int): Column =
+    (0 until planes).foldLeft(lit(0L)) { (acc, j) =>
+      acc.bitwiseOR(shiftleft(planeBit(vec, j, dims), j))
+    }
+
+  /** Bucketed ANN: exact cosine top-k but only within each query's LSH
+    * bucket. Same output shape as [[bruteForceTopK]] (rank gaps possible
+    * when a bucket has < k members).
+    */
+  def lshTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      planes: Int,
+      dims: Int,
+      queryId: String = "vec_id",
+      corpusId: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(queryId).as("query_id"), col(vecCol).as("qv"),
+      lshBucket(col(vecCol), planes, dims).as("bucket"))
+    val c = corpus.select(col(corpusId).as("corpus_id"), col(vecCol).as("cv"),
+      lshBucket(col(vecCol), planes, dims).as("bucket"))
+    val scored = c.join(broadcast(q), "bucket")
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .filter(col("cosine").isNotNull)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("cosine"))
+  }
+
+  /** Embedding near-duplicate pairs: all (a < b) pairs with cosine >=
+    * `threshold`. Brute-force all-pairs — correctness baseline for small
+    * corpora; route through [[lshBucket]] buckets at scale.
+    */
+  def cosineNearDupPairs(
+      vecs: DataFrame,
+      threshold: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val a = vecs.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = vecs.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  object Sql {
+    /** DuckDB dot product with the same sequential fold order. */
+    def dot(a: String, b: String): String =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(" +
+        s"range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), " +
+        s"(acc, v) -> acc + v)"
+
+    def cosine(a: String, b: String): String =
+      s"${dot(a, b)} / nullif(sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}), 0.0)"
+
+    /** DuckDB LSH bucket for a `planes`-bit signature over `dims` dims. */
+    def lshBucket(vec: String, planes: Int, dims: Int): String = {
+      val bits = (0 until planes).map { j =>
+        val ws = (0 until dims).map(d => s"${SimilarityOps.planeWeight(j, d).toDouble}")
+          .mkString("[", ", ", "]")
+        val proj = s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(" +
+          s"range(1, len($vec) + 1), i -> CAST($vec[i] AS DOUBLE) * ($ws)[i])), " +
+          s"(acc, v) -> acc + v)"
+        s"(CASE WHEN $proj >= 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)"
+      }
+      bits.mkString("(", " + ", ")")
+    }
+  }
+}

@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, token counting, quality scoring, language identification
+  * (stopword-hit heuristic) and document fingerprinting (rolling hash).
+  *
+  * All pure `Column` compositions (codegen'd, no UDFs) — they run inside
+  * whole-stage codegen and scale to any partition count with zero shuffles;
+  * each is row-local.
+  */
+object TextOps {
+
+  /** Whitespace tokens, empty tokens dropped (so leading/trailing/double
+    * whitespace never yields phantom tokens).
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def charCount(text: Column): Column = length(text)
+
+  /** Characters that are neither alphanumeric nor whitespace. */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[^a-zA-Z0-9\\s]", ""))
+
+  /** BPE-ish subword count estimate: alphanumeric runs contribute
+    * ceil(len/4) pieces (≈ 4 chars/token), every other non-space char is one
+    * piece. A cheap, deterministic stand-in for a real tokenizer's count.
+    */
+  def tokenEstimate(text: Column): Column = {
+    val words = tokens(text)
+    aggregate(
+      words,
+      lit(0L),
+      (acc, w) => acc + ceil(length(w).cast("double") / 4).cast("long"))
+  }
+
+  /** Stopword-hit count: how many tokens (lowercased) are in `words`. */
+  def stopwordHits(text: Column, words: Seq[String]): Column = {
+    val set = array(words.map(lit): _*)
+    size(filter(tokens(lower(text)), t => array_contains(set, t)))
+  }
+
+  /** Tiny per-language stopword lists for the language-ID heuristic. */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es" -> Seq("el", "la", "de", "y", "en", "es", "un", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "un", "ne", "pas"))
+
+  /** N-gram-free language ID: argmax of stopword hits, ties broken by list
+    * order, "und" (undetermined) when no list scores a hit — mirroring the
+    * reference's undetermined cloud-mask convention (flag -1 for status 0,
+    * `aggregate_functions.py:156-158`).
+    */
+  def langId(text: Column): Column = {
+    val scores = langStopwords.map { case (lang, ws) => lang -> stopwordHits(text, ws) }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((lang, score), els) =>
+      when(best > 0 && score === best, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** Heuristic quality score in [0,1]:
+    * mean of (length score, word-shape score, 1 - punctuation ratio).
+    * Deterministic double arithmetic — identical on any engine.
+    */
+  def qualityScore(text: Column): Column = {
+    val nChars = charCount(text).cast("double")
+    val nTok = tokenCount(text).cast("double")
+    val lenScore = least(nChars / 200.0, lit(1.0))
+    val meanWordLen = when(nTok > 0, nChars / nTok).otherwise(lit(0.0))
+    val shapeScore = when(meanWordLen >= 3 && meanWordLen <= 10, 1.0).otherwise(0.5)
+    val punctRatio = when(nChars > 0, punctCount(text).cast("double") / nChars).otherwise(lit(1.0))
+    (lenScore + shapeScore + (lit(1.0) - punctRatio)) / 3
+  }
+
+  /** Rolling polynomial fingerprint of the normalized text (lowercase,
+    * whitespace collapsed to single spaces):
+    * `h = fold(codepoints, 0, (acc, c) => (acc*31 + c) mod 1e9+7)`.
+    * Stable across engines: the fold order is the character order and the
+    * modulus keeps every intermediate exactly representable.
+    */
+  def fingerprint(text: Column): Column = {
+    val norm = concat_ws(" ", tokens(lower(text)))
+    val codes = transform(filter(split(norm, ""), c => length(c) > 0), c => ascii(c).cast("long"))
+    aggregate(codes, lit(0L), (acc, c) => (acc * 31 + c) % 1000000007L)
+  }
+
+  object Sql {
+    /** DuckDB equivalents (same semantics, same evaluation order). */
+    def tokens(c: String): String =
+      s"list_filter(regexp_split_to_array($c, '\\s+'), t -> len(t) > 0)"
+    def tokenCount(c: String): String = s"len(${tokens(c)})"
+    def punctCount(c: String): String =
+      s"length($c) - length(regexp_replace($c, '[^a-zA-Z0-9\\s]', '', 'g'))"
+    def tokenEstimate(c: String): String =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(${tokens(c)}, " +
+        s"w -> CAST(ceil(CAST(length(w) AS DOUBLE)/4) AS BIGINT))), (a, b) -> a + b)"
+    def stopwordHits(c: String, words: Seq[String]): String = {
+      val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(${tokens(s"lower($c)")}, t -> list_contains($arr, t)))"
+    }
+    def langId(c: String): String = {
+      val scores = langStopwords.map { case (l, ws) => l -> stopwordHits(c, ws) }
+      val best = scores.map(_._2).mkString("greatest(", ", ", ")")
+      scores.reverse.foldLeft("'und'") { case (els, (lang, score)) =>
+        s"CASE WHEN $best > 0 AND $score = $best THEN '$lang' ELSE $els END"
+      }
+    }
+    def qualityScore(c: String): String = {
+      val nChars = s"CAST(length($c) AS DOUBLE)"
+      val nTok = s"CAST(${tokenCount(c)} AS DOUBLE)"
+      val lenScore = s"least($nChars / 200.0, 1.0)"
+      val meanWordLen = s"CASE WHEN $nTok > 0 THEN $nChars / $nTok ELSE 0.0 END"
+      val shapeScore = s"CASE WHEN $meanWordLen >= 3 AND $meanWordLen <= 10 THEN 1.0 ELSE 0.5 END"
+      val punctRatio = s"CASE WHEN $nChars > 0 THEN CAST(${punctCount(c)} AS DOUBLE) / $nChars ELSE 1.0 END"
+      s"($lenScore + $shapeScore + (1.0 - $punctRatio)) / 3"
+    }
+    def fingerprint(c: String): String = {
+      val norm = s"array_to_string(${tokens(s"lower($c)")}, ' ')"
+      val codes = s"list_transform(list_filter(string_split($norm, ''), ch -> len(ch) > 0), ch -> CAST(ord(ch) AS BIGINT))"
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), $codes), (acc, x) -> (acc * 31 + x) % 1000000007)"
+    }
+  }
+}

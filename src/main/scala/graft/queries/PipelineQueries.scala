@@ -1,0 +1,239 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+import graft.streaming.EventOps
+
+/** Training-data pipeline operators (dedup, similarity search, multimodal,
+  * text analysis, event streams) as driver-checkable queries over the
+  * documents / embeddings / events / orders tables.
+  *
+  * Queries whose operators rely on `xxhash64` (MinHash, SimHash, LSH band
+  * hashes) have no DuckDB twin -> no oracle entry (rows-only check);
+  * their semantics are covered by ScalaTest property tests instead.
+  */
+object PipelineQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ------------------------------------------------------ text analysis
+    "q_text_stats" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.charCount(col("text")).as("n_chars_actual"),
+        TextOps.punctCount(col("text")).as("n_punct"),
+        TextOps.tokenEstimate(col("text")).as("n_subword_est"),
+        TextOps.qualityScore(col("text")).as("quality"))),
+
+    "q_text_langid" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.langId(col("text")).as("lang_pred"))),
+
+    "q_text_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fp"))),
+
+    // ------------------------------------------------------------- dedup
+    "q_dedup_exact" -> ((s, dir) =>
+      DedupOps.exactDedup(
+        t(s, dir, "documents"), "doc_id",
+        concat_ws(" ", TextOps.tokens(lower(col("text")))))
+        .select(col("doc_id"), col("source"))),
+
+    "q_dedup_ngram" -> ((s, dir) =>
+      DedupOps.ngramJaccardPairs(
+        t(s, dir, "documents"), "doc_id", "text", k = 3, threshold = 0.2)),
+
+    // xxhash64-based: no SQL oracle (rows-only check + ScalaTest).
+    "q_dedup_minhash" -> ((s, dir) => {
+      val sigs = DedupOps.minhashSignatures(
+        t(s, dir, "documents"), "doc_id", "text", k = 3, numHashes = 32)
+      DedupOps.minhashLshCandidates(sigs, bands = 8, rowsPerBand = 4)
+    }),
+
+    "q_dedup_simhash" -> ((s, dir) =>
+      DedupOps.simhash(t(s, dir, "documents"), "doc_id", "text")),
+
+    // -------------------------------------------------------- similarity
+    "q_sim_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimilarityOps.bruteForceTopK(e.filter(col("vec_id") < 10), e, k = 10)
+    }),
+
+    "q_sim_lsh_buckets" -> ((s, dir) =>
+      t(s, dir, "embeddings").select(
+        col("vec_id"),
+        SimilarityOps.lshBucket(col("embedding"), planes = 8, dims = 64)
+          .as("bucket"))),
+
+    // xxhash64-free but heavy SQL; LSH top-k recall is ScalaTest-verified.
+    "q_sim_lsh_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimilarityOps.lshTopK(
+        e.filter(col("vec_id") < 10), e, k = 10, planes = 8, dims = 64)
+    }),
+
+    "q_embed_neardup" -> ((s, dir) =>
+      SimilarityOps.cosineNearDupPairs(t(s, dir, "embeddings"), 0.35)),
+
+    // -------------------------------------------------------- multimodal
+    "q_multimodal_features" -> ((s, dir) =>
+      MultimodalOps.documentFeatures(s, t(s, dir, "documents"))),
+
+    // ------------------------------------------------------ event stream
+    "q_events_hourly" -> ((s, dir) =>
+      EventOps.hourlyStats(RefQueries.events(s, dir))),
+
+    "q_sessionize" -> ((s, dir) =>
+      EventOps.sessionStats(RefQueries.events(s, dir), gapMinutes = 30)),
+
+    // ------------------------------------- sort / top-k / window (engine
+    // completeness; the reference needs none of these, SURVEY §2.5)
+    "q_topk_orders" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+        .select(col("o_orderkey"), col("o_totalprice"))),
+
+    "q_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        // exact fixed-point running sum: merge-order-proof
+        (sum(round(col("o_totalprice") * 100).cast("long")).over(w).cast("double") / 100)
+          .as("running_total"))
+    })
+  )
+
+  // ------------------------------------------------------------ oracle SQL
+
+  private val S = TextOps.Sql
+
+  val oracleSql: Map[String, String] = Map(
+    "q_text_stats" ->
+      s"""SELECT doc_id,
+         | CAST(${S.tokenCount("text")} AS INTEGER) AS n_tokens,
+         | CAST(length(text) AS INTEGER) AS n_chars_actual,
+         | CAST(${S.punctCount("text")} AS INTEGER) AS n_punct,
+         | ${S.tokenEstimate("text")} AS n_subword_est,
+         | ${S.qualityScore("text")} AS quality
+         |FROM documents""".stripMargin,
+
+    "q_text_langid" ->
+      s"SELECT doc_id, ${S.langId("text")} AS lang_pred FROM documents",
+
+    "q_text_fingerprint" ->
+      s"SELECT doc_id, ${S.fingerprint("text")} AS fp FROM documents",
+
+    "q_dedup_exact" ->
+      s"""SELECT doc_id, source FROM (
+         |  SELECT doc_id, source, row_number() OVER (
+         |    PARTITION BY array_to_string(${S.tokens("lower(text)")}, ' ')
+         |    ORDER BY doc_id) AS rn
+         |  FROM documents) WHERE rn = 1""".stripMargin,
+
+    "q_dedup_ngram" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${S.tokens("text")} AS w FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')))) AS s
+         |  FROM toks WHERE len(w) >= 3),
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS intersection
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT id_a, id_b, intersection, sa.n AS n_a, sb.n AS n_b,
+         |  CAST(intersection AS DOUBLE)/(sa.n + sb.n - intersection) AS jaccard
+         |FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+         |WHERE CAST(intersection AS DOUBLE)/(sa.n + sb.n - intersection) >= 0.2""".stripMargin,
+
+    "q_sim_topk" -> {
+      val cos = SimilarityOps.Sql.cosine("q.embedding", "c.embedding")
+      s"""SELECT query_id, rank, corpus_id, cosine FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, $cos AS cosine,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY $cos DESC, c.vec_id) AS rank
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10
+         |  WHERE $cos IS NOT NULL)
+         |WHERE rank <= 10""".stripMargin
+    },
+
+    "q_sim_lsh_buckets" ->
+      s"""SELECT vec_id,
+         | ${SimilarityOps.Sql.lshBucket("embedding", 8, 64)} AS bucket
+         |FROM embeddings""".stripMargin,
+
+    "q_embed_neardup" -> {
+      val cos = SimilarityOps.Sql.cosine("a.embedding", "b.embedding")
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, $cos AS cosine
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE $cos >= 0.35""".stripMargin
+    },
+
+    "q_multimodal_features" -> {
+      // hex nibble -> int, evaluation-order-stable in both engines
+      def byteAt(i: Int): String = {
+        def nib(p: Int) = s"(strpos('0123456789abcdef', substring(h, $p, 1)) - 1)"
+        s"(${nib(2 * i + 1)} * 16 + ${nib(2 * i + 2)})"
+      }
+      s"""SELECT media_id, modality, n_bytes, sha_hex,
+         | CAST(64 + ${byteAt(0)} * 16 + ${byteAt(1)} // 16 AS INTEGER) AS width,
+         | CAST(64 + (${byteAt(1)} % 16) * 256 + ${byteAt(2)} AS INTEGER) AS height,
+         | CAST(${byteAt(3)} AS DOUBLE) / 255.0 AS mean_lum
+         |FROM (
+         |  SELECT doc_id AS media_id,
+         |    (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INTEGER) + 1] AS modality,
+         |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |    sha256(text) AS h, sha256(text) AS sha_hex
+         |  FROM documents)""".stripMargin
+    },
+
+    "q_events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        | event_type,
+        | CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS value_sum
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts, event_id,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM marked)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+        |FROM sess GROUP BY 1, 2""".stripMargin,
+
+    "q_topk_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT o_orderkey, o_custkey,
+        | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100
+        |   AS running_total
+        |FROM orders""".stripMargin
+  )
+}

@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the sleepy dog"), // near dup
+    (4L, "completely different content about spark engines"),
+    (5L, "  the  quick   brown fox jumps over the lazy dog ") // ws-normalized dup
+  ).toDF("doc_id", "text")
+
+  test("exactDedup keeps the lowest id per normalized key") {
+    val kept = DedupOps.exactDedup(
+      docs, "doc_id", concat_ws(" ", TextOps.tokens(lower($"text"))))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L))
+  }
+
+  test("wordShingles produces k-grams; short docs produce none") {
+    val sh = Seq((1L, "a b c d"), (2L, "a b"))
+      .toDF("id", "t")
+      .select($"id", DedupOps.wordShingles($"t", 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sh(1L) == Seq("a b c", "b c d"))
+    assert(sh(2L).isEmpty)
+  }
+
+  test("ngramJaccardPairs computes exact jaccard and respects the threshold") {
+    val pairs = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    // identical docs (1,2), (1,5), (2,5): jaccard 1.0
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs((1L, 5L)) == 1.0)
+    assert(pairs((2L, 5L)) == 1.0)
+    // 7 shingles each, 5 shared (positions before/after lazy->sleepy):
+    // J = 5 / (7 + 7 - 5) = 5/9
+    assert(math.abs(pairs((1L, 3L)) - 5.0 / 9) < 1e-15)
+    assert(!pairs.contains((1L, 4L)))
+  }
+
+  test("minhash LSH finds the exact and near dups with high probability") {
+    val sigs = DedupOps.minhashSignatures(docs, "doc_id", "text", 3, 32)
+    val cand = DedupOps.minhashLshCandidates(sigs, bands = 8, rowsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical shingle sets -> identical signatures -> always candidates
+    assert(cand.contains((1L, 2L)) && cand.contains((1L, 5L)) && cand.contains((2L, 5L)))
+    // J=5/9 dup: P[detect] = 1-(1-(5/9)^4)^8 ~ 0.56; deterministic given
+    // fixed hash seeds — assert the actual deterministic outcome
+    assert(!cand.contains((1L, 4L)) && !cand.contains((3L, 4L)))
+  }
+
+  test("minhash signature of identical sets is identical; similar sets collide more") {
+    val sigs = DedupOps.minhashSignatures(docs, "doc_id", "text", 3, 32)
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1).toVector).toMap
+    assert(sigs(1L) == sigs(2L) && sigs(1L) == sigs(5L))
+    val agree13 = sigs(1L).zip(sigs(3L)).count { case (a, b) => a == b }
+    val agree14 = sigs(1L).zip(sigs(4L)).count { case (a, b) => a == b }
+    assert(agree13 > agree14) // minhash agreement tracks jaccard
+  }
+
+  test("simhash: identical docs equal; near dups closer than unrelated") {
+    val sh = DedupOps.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L) && sh(1L) == sh(5L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(3L)) < ham(sh(1L), sh(4L)))
+  }
+
+  test("hamming column function") {
+    val out = Seq((0xffL, 0x0fL)).toDF("a", "b")
+      .select(DedupOps.hamming($"a", $"b")).as[Int].collect().head
+    assert(out == 4)
+  }
+
+  test("stop-shingle cap drops ultra-frequent shingles") {
+    val idx = DedupOps.shingleIndex(docs, "doc_id", "text", 3, maxShingleDf = Some(2))
+      .select($"sh").as[String].collect()
+    // "the quick brown" appears in docs 1,2,5 (df=3 > 2) -> dropped
+    assert(!idx.contains("the quick brown"))
+  }
+}

@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SimilarityOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs(rows: (Long, Seq[Float])*) =
+    rows.toDF("vec_id", "embedding")
+
+  test("cosine matches hand computation; zero vector yields NULL") {
+    val df = Seq(
+      (Seq(1f, 0f), Seq(1f, 0f)), //   identical -> 1
+      (Seq(1f, 0f), Seq(0f, 1f)), //   orthogonal -> 0
+      (Seq(1f, 0f), Seq(-1f, 0f)), //  opposite -> -1
+      (Seq(1f, 2f), Seq(0f, 0f)) //    zero norm -> NULL
+    ).toDF("a", "b")
+    val out = df.select(SimilarityOps.cosine($"a", $"b")).collect()
+    assert(out(0).getDouble(0) == 1.0)
+    assert(out(1).getDouble(0) == 0.0)
+    assert(out(2).getDouble(0) == -1.0)
+    assert(out(3).isNullAt(0))
+  }
+
+  test("bruteForceTopK ranks by cosine desc with id tie-break") {
+    val corpus = vecs(
+      0L -> Seq(1f, 0f), 1L -> Seq(0.9f, 0.1f), 2L -> Seq(0f, 1f),
+      3L -> Seq(1f, 0f)) // exact tie with 0 -> id order
+    val q = vecs(100L -> Seq(1f, 0f))
+    val out = SimilarityOps.bruteForceTopK(q, corpus, 3, "vec_id", "vec_id")
+      .orderBy($"rank").collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(0L, 3L, 1L))
+    assert(out.map(_.getInt(1)).toSeq == Seq(1, 2, 3))
+    assert(out(0).getDouble(3) == 1.0)
+  }
+
+  test("lshTopK returns a subset of brute-force results within buckets") {
+    val rnd = new scala.util.Random(13)
+    val corpus = vecs((0L until 200L).map(i =>
+      i -> Seq.fill(16)(rnd.nextFloat() * 2 - 1)): _*)
+    val queries = corpus.filter($"vec_id" < 5)
+    val brute = SimilarityOps.bruteForceTopK(queries, corpus, 200)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val lsh = SimilarityOps.lshTopK(queries, corpus, 10, planes = 4, dims = 16)
+      .collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      // every LSH hit carries the exact same cosine as brute force
+      assert(brute(key) == r.getDouble(3))
+    }
+    // query always lands in its own bucket -> self-hit at rank 1
+    assert(lsh.count(r => r.getLong(0) == r.getLong(2) && r.getInt(1) == 1) == 5)
+  }
+
+  test("lshBucket is deterministic and spreads vectors") {
+    val rnd = new scala.util.Random(29)
+    val df = vecs((0L until 256L).map(i =>
+      i -> Seq.fill(16)(rnd.nextFloat() * 2 - 1)): _*)
+    val b1 = df.select($"vec_id",
+      SimilarityOps.lshBucket($"embedding", 6, 16).as("b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b2 = df.repartition(7).select($"vec_id",
+      SimilarityOps.lshBucket($"embedding", 6, 16).as("b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b1 == b2) // partitioning-independent
+    assert(b1.values.toSet.size > 16) // not collapsing to a few buckets
+    assert(b1.values.forall(b => b >= 0 && b < 64))
+  }
+
+  test("cosineNearDupPairs finds planted duplicates only") {
+    val rnd = new scala.util.Random(31)
+    val base = Seq.fill(32)(rnd.nextFloat() * 2 - 1)
+    val nearDup = base.updated(0, base.head + 0.01f)
+    val others = (2L until 40L).map(i => i -> Seq.fill(32)(rnd.nextFloat() * 2 - 1))
+    val df = vecs((Seq(0L -> base, 1L -> nearDup) ++ others): _*)
+    val pairs = SimilarityOps.cosineNearDupPairs(df, 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+}
