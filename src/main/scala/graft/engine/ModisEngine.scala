@@ -1,0 +1,88 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.engine.GridAggregation.PixelCols
+import graft.expr.GridExprs
+import graft.model.JobConfig
+
+/** Full reference-pipeline orchestration (SURVEY §3): one call from pixel
+  * frame to the complete L3 grid frame, combining
+  *
+  *   - the day-definition correction (P4) on every measured variable and
+  *     the cloud mask,
+  *   - per-variable statistics (A1-A7) via [[GridAggregation.aggregate]],
+  *   - the cloud-fraction two-level aggregation (A8/A9) when the config
+  *     lists the reference's pseudo-variable `cloud_fraction_CM`,
+  *
+  * joined on the grid cell. The join is cell-keyed over <= grid-cell-count
+  * rows — broadcast-size by construction, so combining the aggregates never
+  * re-shuffles pixel-scale data.
+  */
+object ModisEngine {
+
+  val CloudFractionVar = "cloud_fraction_CM"
+
+  /** Apply the day-definition null-out to all measured variables and the
+    * cloud-mask flag (reference applies it to every `data[key]` and CM,
+    * `aggregate_functions.py:317-350`). Requires `day_of_year` and `hour`
+    * columns (from the granule catalog / filename metadata).
+    */
+  def withDayDefinition(
+      pixels: DataFrame,
+      cfg: JobConfig,
+      d0: Int,
+      d1: Int,
+      cols: PixelCols = PixelCols()): DataFrame = {
+    val varNames = cfg.vars.map(_.name).filterNot(_ == CloudFractionVar) :+ cols.cmFlag
+    varNames.foldLeft(pixels) { (df, v) =>
+      df.withColumn(v, GridExprs.dayDefinitionNullOut(
+        col(v), col("day_of_year"), col("hour"), col(cols.lon),
+        d0, d1, cfg.shiftHour))
+    }
+  }
+
+  /** Pixel frame -> complete L3 grid frame (cell + every configured
+    * statistic). Pass `dayWindow = Some((d0, d1))` to apply the
+    * day-definition correction first.
+    */
+  def dailyL3(
+      pixels: DataFrame,
+      cfg: JobConfig,
+      dayWindow: Option[(Int, Int)] = None,
+      cols: PixelCols = PixelCols()): DataFrame = {
+    val corrected = dayWindow.fold(pixels) { case (d0, d1) =>
+      withDayDefinition(pixels, cfg, d0, d1, cols)
+    }
+    val sampled =
+      if (cfg.sampling > 1)
+        corrected.filter(GridExprs.systematicSample(col("row"), col("col"), cfg.sampling))
+      else corrected
+
+    // A joint-histogram partner must be a real data column; the reference
+    // would KeyError on a jhist spec pointing at the cloud_fraction_CM
+    // pseudo-variable (its `data` dict never holds that key), so the engine
+    // rejects the same configs by dropping the unusable joint spec.
+    val dataVars = cfg.vars.filterNot(_.name == CloudFractionVar).map { v =>
+      if (v.joint.exists(_.jointVar == CloudFractionVar)) v.copy(joint = None) else v
+    }
+    val wantCf = cfg.vars.exists(_.name == CloudFractionVar)
+
+    val statsOpt =
+      if (dataVars.nonEmpty)
+        Some(GridAggregation.aggregate(sampled, cfg.copy(vars = dataVars), cols))
+      else None
+    val cfOpt =
+      if (wantCf) Some(GridAggregation.cloudFraction(sampled, cfg, cols))
+      else None
+
+    (statsOpt, cfOpt) match {
+      case (Some(s), Some(c)) => s.join(c, Seq("cell"), "full_outer")
+      case (Some(s), None) => s
+      case (None, Some(c)) => c
+      case (None, None) =>
+        throw new IllegalArgumentException("JobConfig.vars is empty")
+    }
+  }
+}
