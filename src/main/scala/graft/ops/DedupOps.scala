@@ -75,7 +75,11 @@ object DedupOps {
       k: Int,
       threshold: Double,
       maxShingleDf: Option[Int] = None): DataFrame = {
-    val idx = shingleIndex(docs, idCol, textCol, k, maxShingleDf).cache()
+    // join/shuffle on the 64-bit shingle hash, not the string: same pair
+    // semantics (collision odds ~ |index|^2 / 2^64), ~2x smaller shuffle
+    val idx = shingleIndex(docs, idCol, textCol, k, maxShingleDf)
+      .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
+      .cache()
     val sizes = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = idx.as("a")
       .join(idx.as("b"),
@@ -104,9 +108,12 @@ object DedupOps {
       textCol: String,
       k: Int,
       numHashes: Int): DataFrame = {
+    // pre-hash each shingle once; the i-th hash family then re-hashes the
+    // 8-byte value instead of the string (numHashes x cheaper inner loop)
     val idx = shingleIndex(docs, idCol, textCol, k)
+      .select(col("doc_id"), xxhash64(col("sh")).as("shh"))
     val aggs = (0 until numHashes)
-      .map(i => min(xxhash64(lit(i), col("sh"))).as(s"mh_$i"))
+      .map(i => min(xxhash64(lit(i), col("shh"))).as(s"mh_$i"))
     idx.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.expr.VectorExprs.vecDot
+
 /** Similarity search over an embedding column (`ARRAY<FLOAT>`).
   *
   * Determinism discipline: every dot product is computed as a sequential
@@ -19,10 +21,17 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
-  /** Sequential-order dot product of two float-array columns (cast to
-    * double element-wise before multiply/add).
+  /** Sequential-order dot product. Implemented as the codegen'd
+    * [[graft.expr.VecDot]] expression; [[dotFold]] is the higher-order-
+    * function formulation with identical (bit-for-bit) semantics, kept as
+    * the executable specification the tests cross-check against.
     */
-  def dot(a: Column, b: Column): Column =
+  def dot(a: Column, b: Column): Column = vecDot(a, b)
+
+  /** Reference formulation of [[dot]] via zip_with + aggregate (interpreted
+    * lambda dispatch per element — ~20x slower; spec/test use only).
+    */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
@@ -47,10 +56,14 @@ object SimilarityOps {
       queryId: String = "vec_id",
       corpusId: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(queryId).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(corpusId).as("corpus_id"), col(vecCol).as("cv"))
+    // norms are computed ONCE per row on each side before the join (the
+    // naive per-pair cosine recomputes both norms for every pair)
+    val q = queries.select(col(queryId).as("query_id"), col(vecCol).as("qv"),
+      sqrt(norm2(col(vecCol))).as("qn"))
+    val c = corpus.select(col(corpusId).as("corpus_id"), col(vecCol).as("cv"),
+      sqrt(norm2(col(vecCol))).as("cn"))
     val scored = c.crossJoin(broadcast(q))
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("cosine", dot(col("qv"), col("cv")) / nullif(col("qn") * col("cn"), lit(0.0)))
       .filter(col("cosine").isNotNull)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id"))
@@ -72,10 +85,7 @@ object SimilarityOps {
     */
   private def planeBit(vec: Column, j: Int, dims: Int): Column = {
     val weights = array((0 until dims).map(d => lit(planeWeight(j, d).toDouble)): _*)
-    val proj = aggregate(
-      zip_with(vec, weights, (x, w) => x.cast("double") * w),
-      lit(0.0),
-      (acc, v) => acc + v)
+    val proj = dot(vec, weights)
     when(proj >= 0, lit(1L)).otherwise(lit(0L))
   }
 
@@ -102,11 +112,13 @@ object SimilarityOps {
       corpusId: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(queryId).as("query_id"), col(vecCol).as("qv"),
+      sqrt(norm2(col(vecCol))).as("qn"),
       lshBucket(col(vecCol), planes, dims).as("bucket"))
     val c = corpus.select(col(corpusId).as("corpus_id"), col(vecCol).as("cv"),
+      sqrt(norm2(col(vecCol))).as("cn"),
       lshBucket(col(vecCol), planes, dims).as("bucket"))
     val scored = c.join(broadcast(q), "bucket")
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("cosine", dot(col("qv"), col("cv")) / nullif(col("qn") * col("cn"), lit(0.0)))
       .filter(col("cosine").isNotNull)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id"))
@@ -125,11 +137,13 @@ object SimilarityOps {
       threshold: Double,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val a = vecs.select(col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = vecs.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    val a = vecs.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+      sqrt(norm2(col(vecCol))).as("na"))
+    val b = vecs.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+      sqrt(norm2(col(vecCol))).as("nb"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .withColumn("cosine", dot(col("va"), col("vb")) / nullif(col("na") * col("nb"), lit(0.0)))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }

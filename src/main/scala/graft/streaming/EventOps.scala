@@ -41,7 +41,16 @@ object EventOps {
     * `groupByKey(user).flatMapGroupsWithState` with the same gap rule.
     * Output: one row per event with its session ordinal per user.
     */
-  def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
+  def sessionize(events: DataFrame, gapMinutes: Int): DataFrame =
+    sessionized(events, gapMinutes)
+      .select(col("event_id"), col("user_id"), col("session_id"))
+
+  /** [[sessionize]] with the source columns retained, so downstream
+    * aggregation needs no join back to the events (both window passes and
+    * the session aggregation share ONE hash partitioning by user_id — a
+    * single shuffle end to end).
+    */
+  private def sessionized(events: DataFrame, gapMinutes: Int): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val gapSec = gapMinutes * 60L
     events
@@ -52,13 +61,12 @@ object EventOps {
           .otherwise(0L))
       .withColumn("session_id", sum(col("new_session")).over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .select(col("event_id"), col("user_id"), col("session_id"))
+      .drop("prev_ts", "new_session")
   }
 
-  /** Per-session summary built on [[sessionize]]: bounds + event count. */
+  /** Per-session summary: bounds + event count. */
   def sessionStats(events: DataFrame, gapMinutes: Int): DataFrame =
-    sessionize(events, gapMinutes)
-      .join(events, Seq("event_id", "user_id"))
+    sessionized(events, gapMinutes)
       .groupBy(col("user_id"), col("session_id"))
       .agg(
         count(lit(1)).as("n_events"),

@@ -10,6 +10,29 @@ class SimilarityOpsSpec extends SparkSpec {
   private def vecs(rows: (Long, Seq[Float])*) =
     rows.toDF("vec_id", "embedding")
 
+  test("codegen VecDot is bit-identical to the zip_with/aggregate fold spec") {
+    val rnd = new scala.util.Random(17)
+    val df = (0 until 500).map { _ =>
+      (Seq.fill(64)(rnd.nextFloat() * 2 - 1), Seq.fill(64)(rnd.nextFloat() * 2 - 1))
+    }.toDF("a", "b")
+    val out = df.select(
+      SimilarityOps.dot($"a", $"b").as("fast"),
+      SimilarityOps.dotFold($"a", $"b").as("spec")).collect()
+    out.foreach { r =>
+      // exact bit equality, not tolerance — same sequential accumulation
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+    }
+    // null propagation parity: null element and length mismatch
+    val weird = Seq(
+      (Seq[java.lang.Float](1f, null), Seq[java.lang.Float](1f, 2f)),
+      (Seq[java.lang.Float](1f), Seq[java.lang.Float](1f, 2f))
+    ).toDF("a", "b")
+    val w = weird.select(
+      SimilarityOps.dot($"a", $"b"), SimilarityOps.dotFold($"a", $"b")).collect()
+    w.foreach { r => assert(r.isNullAt(0) && r.isNullAt(1)) }
+  }
+
   test("cosine matches hand computation; zero vector yields NULL") {
     val df = Seq(
       (Seq(1f, 0f), Seq(1f, 0f)), //   identical -> 1
