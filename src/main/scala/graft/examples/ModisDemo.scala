@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.engine.ModisEngine
-import graft.io.{ConfigScans, GranuleCatalog, L3Writer}
+import graft.io.{ConfigScans, GranuleCatalog, L3Writer, PixelSource}
 import graft.model._
 
 /** End-to-end example of the reference workflow on synthetic data: config
@@ -83,14 +83,20 @@ object ModisDemo {
         (pmod(hash($"granule_id", $"pix"), lit(17000)) / 100.0 - 85.0).as("lat"),
         (pmod(hash($"pix", $"granule_id"), lit(35000)) / 100.0 - 175.0).as("lon"),
         pmod(hash($"pix") + $"hour", lit(8)).cast("int").as("cm_byte"),
-        (pmod(hash($"granule_id", $"pix", lit(1)), lit(90000)) / 100.0 + 200.0)
+        // packed-int variables, HDF style: decoded below (fill -> NULL,
+        // (raw - add_offset) * scale_factor), attrs carried as Metadata
+        when(pmod(hash($"pix", lit(9)), lit(50)) === 0, lit(-32768.0))
+          .otherwise(pmod(hash($"granule_id", $"pix", lit(1)), lit(9000)).cast("double"))
           .as("Cloud_Top_Pressure"),
         (pmod(hash($"granule_id", $"pix", lit(2)), lit(13000)) / 100.0 + 180.0)
           .as("Cloud_Top_Temperature"))
       .withColumn("cm_flag", graft.expr.GridExprs.cloudMaskFlag($"cm_byte"))
+    val decoded = PixelSource.withDecodedVar(pixels, "Cloud_Top_Pressure",
+      PixelSource.VarAttrs(units = "hPa", longName = "Cloud Top Pressure",
+        fillValue = -32768.0, scaleFactor = 0.1, addOffset = -2000.0))
 
     // --- 4. aggregate + pack + sink (A1-A9, S4, S5) ---------------------
-    val l3 = ModisEngine.dailyL3(pixels, cfg, dayWindow = Some((1, 2)))
+    val l3 = ModisEngine.dailyL3(decoded, cfg, dayWindow = Some((1, 2)))
     L3Writer.write(l3, cfg, outPath,
       packings = Map("Cloud_Top_Pressure_Mean" -> L3Writer.Packing(0.1, 0.0, -9999)))
 

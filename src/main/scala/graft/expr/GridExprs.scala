@@ -63,12 +63,16 @@ object GridExprs {
     lonIdx(cell, g) * g.lonGap + lit(g.region.lonMin + g.lonGap / 2)
 
   /** Systematic (deterministic) decimation: keep every n-th pixel starting
-    * at row 2 / col 3 (reference data sampling `[2::n, 3::n]`,
-    * `aggregate_functions.py:120`). NOT random sampling — `df.sample()` would
-    * not reproduce the reference.
+    * at (rowOff, colOff). Defaults reproduce the reference's DATA sampling
+    * `[2::n, 3::n]` (`aggregate_functions.py:120`); its GEOLOCATION arrays
+    * sample `[2::n, 2::n]` (`:146,197-198` — a quirk worth knowing: data
+    * and geo come from different pixel columns when n > 1), so a
+    * geolocation-aligned scan passes `colOff = 2`. NOT random sampling —
+    * `df.sample()` would not reproduce the reference.
     */
-  def systematicSample(row: Column, col: Column, n: Int): Column =
-    if (n <= 1) lit(true) else row % n === 2 && col % n === 3
+  def systematicSample(row: Column, col: Column, n: Int,
+      rowOff: Int = 2, colOff: Int = 3): Column =
+    if (n <= 1) lit(true) else row % n === rowOff && col % n === colOff
 
   /** "Definition of day" correction (reference
     * `aggregate_functions.py:317-350`; rationale `examples/README.md:8`).

@@ -127,6 +127,18 @@ class IoSpec extends SparkSpec {
     L3Writer.write(grid, cfg, out, mode = SaveMode.Overwrite) // explicit opt-in
   }
 
+  test("decodePacked applies fill->NULL then (raw-offset)*scale, attrs round-trip") {
+    val attrs = PixelSource.VarAttrs(
+      units = "hPa", longName = "Cloud Top Pressure",
+      fillValue = -32768, scaleFactor = 0.1, addOffset = -15000.0)
+    val df = PixelSource.withDecodedVar(
+      Seq(-32768.0, 0.0, 5000.0).toDF("ctp"), "ctp", attrs)
+    val out = df.collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(out.toSeq == Seq(None, Some(1500.0), Some(2000.0)))
+    // metadata survives and parses back
+    assert(PixelSource.readAttrs(df, "ctp").contains(attrs))
+  }
+
   test("axis bounds are cell centers") {
     val cfg = JobConfig(grid = GridSpec(Region(-90, 90, -180, 180), 1.0, 1.0))
     val lats = L3Writer.latBounds(cfg)
