@@ -110,6 +110,41 @@ object GridAggregation {
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("GRID_Counts"))
 
+  /** 1-D histogram with REFERENCE QUIRK PARITY (`aggregate_functions.py:
+    * 259-260`): the reference accumulates a granule's pixels into a cell's
+    * histogram ONLY when that granule contributed MORE THAN ONE pixel
+    * (`all_val.size == 1` falls into a branch that adds nothing — counting
+    * NaN pixels in the size check). The engine's default histograms count
+    * every pixel (the sane semantic, SURVEY §7.4); this variant reproduces
+    * the quirk for golden-matching against reference output.
+    *
+    * Plan shape: two-level — per (cell, granule) bin counts + pixel count,
+    * drop single-pixel granule-cells, merge per cell. Both aggregations are
+    * partial/final hash aggregates; the second input is granule-level
+    * partials (tiny).
+    */
+  def histogramQuirk(
+      pixels: DataFrame,
+      cfg: JobConfig,
+      varName: String,
+      edges: Seq[Double],
+      cols: PixelCols = PixelCols()): DataFrame = {
+    val base = withCell(pixels, cfg, cols)
+      .withColumn("bin", graft.agg.Binning.binIndex(col(varName), edges))
+    val perGranule = base
+      .groupBy(col("cell"), col(cols.granule), col("bin"))
+      .agg(count(lit(1)).as("n"))
+      // total pixels of this granule in this cell INCLUDING out-of-range
+      // and null values (numpy's .size counts NaNs)
+      .withColumn("granule_pix",
+        sum(col("n")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cell"), col(cols.granule))))
+    perGranule
+      .filter(col("granule_pix") > 1 && col("bin").isNotNull)
+      .groupBy(col("cell"), col("bin"))
+      .agg(sum(col("n")).as("bin_count"))
+  }
+
   /** Expand the flat cell id into grid indices and cell-center coordinates
     * for the L3 sink (reference reshape + meshgrid,
     * `aggregate_functions.py:532-536`, `:701-716`).

@@ -103,6 +103,44 @@ object PipelineQueries {
         .limit(100)
         .select(col("o_orderkey"), col("o_totalprice"))),
 
+    // Classic analytics shapes (pricing summary + join-heavy top-k),
+    // money math in exact fixed point (cents x basis-point units) so sums
+    // are reproducible under any merge order.
+    "q_tpch_q1" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").filter(col("l_shipdate") < lit("1999-01-01"))
+        .withColumn("price_c", round(col("l_extendedprice") * 100).cast("long"))
+        .withColumn("disc_pc", round(col("l_discount") * 100).cast("long"))
+        .withColumn("tax_pc", round(col("l_tax") * 100).cast("long"))
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          (sum(col("price_c")).cast("double") / 100).as("sum_base_price"),
+          (sum(col("price_c") * (lit(100L) - col("disc_pc"))).cast("double") / 10000)
+            .as("sum_disc_price"),
+          (sum(col("price_c") * (lit(100L) - col("disc_pc")) * (lit(100L) + col("tax_pc")))
+            .cast("double") / 1000000).as("sum_charge"),
+          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          (sum(col("price_c")).cast("double") / count(lit(1)) / 100).as("avg_price"),
+          (sum(col("disc_pc")).cast("double") / count(lit(1)) / 100).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    "q_tpch_q3" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01"))
+      val li = t(s, dir, "lineitem").filter(col("l_shipdate") >= lit("1996-01-01"))
+        .withColumn("rev_u",
+          round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long")))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+        .agg((sum(col("rev_u")).cast("double") / 10000).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
     "q_window_running" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -227,6 +265,37 @@ object PipelineQueries {
     "q_topk_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        | sum(l_quantity) AS sum_qty,
+        | CAST(sum(price_c) AS DOUBLE)/100 AS sum_base_price,
+        | CAST(sum(price_c * (100 - disc_pc)) AS DOUBLE)/10000 AS sum_disc_price,
+        | CAST(sum(price_c * (100 - disc_pc) * (100 + tax_pc)) AS DOUBLE)/1000000 AS sum_charge,
+        | sum(l_quantity)/count(*) AS avg_qty,
+        | CAST(sum(price_c) AS DOUBLE)/count(*)/100 AS avg_price,
+        | CAST(sum(disc_pc) AS DOUBLE)/count(*)/100 AS avg_disc,
+        | CAST(count(*) AS BIGINT) AS count_order
+        |FROM (
+        |  SELECT *,
+        |    CAST(round(l_extendedprice*100) AS BIGINT) AS price_c,
+        |    CAST(round(l_discount*100) AS BIGINT) AS disc_pc,
+        |    CAST(round(l_tax*100) AS BIGINT) AS tax_pc
+        |  FROM lineitem WHERE l_shipdate < TIMESTAMP '1999-01-01')
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_tpch_q3" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+        |   * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |GROUP BY 1, 2
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
 
     "q_window_running" ->
       """SELECT o_orderkey, o_custkey,

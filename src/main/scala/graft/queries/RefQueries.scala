@@ -175,6 +175,12 @@ object RefQueries {
         .groupBy(col("cell"), col("xbin"), col("ybin"))
         .agg(count(lit(1)).as("bin_count"))),
 
+    // A6 quirk-parity variant: reference skips histogram accumulation for
+    // granule-cells with exactly one pixel (aggregate_functions.py:259-260).
+    "q_a6_hist_quirk" -> ((s, dir) =>
+      GridAggregation.histogramQuirk(
+        pixels(s, dir), cfg(StatSwitches()), "l_quantity", histEdgesQty)),
+
     // A8: GRID_Counts — granules contributing >=1 non-null pixel per cell.
     "q_a8_grid_counts" -> ((s, dir) =>
       GridAggregation.gridCounts(
@@ -308,6 +314,18 @@ object RefQueries {
          |        ${Binning.binIndexSql("lon", histEdgesDisc)} AS ybin
          |      FROM $baseSql)
          |WHERE xbin IS NOT NULL AND ybin IS NOT NULL GROUP BY cell, xbin, ybin""".stripMargin,
+
+    "q_a6_hist_quirk" ->
+      s"""WITH binned AS (
+         |  SELECT cell, granule_id, ${Binning.binIndexSql("l_quantity", histEdgesQty)} AS bin
+         |  FROM $baseSql),
+         |pg AS (
+         |  SELECT cell, granule_id, bin, count(*) AS n,
+         |    sum(count(*)) OVER (PARTITION BY cell, granule_id) AS granule_pix
+         |  FROM binned GROUP BY cell, granule_id, bin)
+         |SELECT cell, bin, CAST(sum(n) AS BIGINT) AS bin_count
+         |FROM pg WHERE granule_pix > 1 AND bin IS NOT NULL
+         |GROUP BY cell, bin""".stripMargin,
 
     "q_a8_grid_counts" ->
       s"""SELECT cell, CAST(count(*) AS BIGINT) AS GRID_Counts
