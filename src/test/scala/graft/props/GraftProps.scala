@@ -1,0 +1,109 @@
+package graft.props
+
+import java.time.LocalDate
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.agg.{Binning, Histogram1DAgg}
+import graft.io.GranuleCatalog
+import graft.ops.SimilarityOps
+
+/** Spark-free property tests of the algorithmic kernels: np.histogram bin
+  * semantics, histogram-buffer monoid laws (the distributed-merge
+  * correctness the reference never tested, SURVEY §5), catalog key parsing
+  * and LSH weight properties.
+  */
+object GraftProps extends Properties("graft") {
+
+  private val edgesGen: Gen[Array[Double]] =
+    Gen.chooseNum(2, 12).flatMap { n =>
+      Gen.listOfN(n, Gen.chooseNum(-100.0, 100.0))
+        .map(_.distinct.sorted.toArray)
+        .suchThat(_.length >= 2)
+    }
+
+  property("binIndex range and edge containment") =
+    forAll(edgesGen, Gen.chooseNum(-150.0, 150.0)) { (edges, v) =>
+      val b = Binning.binIndexScala(v, edges)
+      val n = edges.length - 1
+      if (v < edges(0) || v > edges(n)) b == -1
+      else {
+        // in support: some bin, and the bin brackets the value
+        b >= 0 && b < n && edges(b) <= v &&
+          (v < edges(b + 1) || (b == n - 1 && v <= edges(n)))
+      }
+    }
+
+  property("binIndex NaN is dropped") = Prop(
+    Binning.binIndexScala(Double.NaN, Array(0.0, 1.0, 2.0)) == -1)
+
+  private def hist(edges: Array[Double], vs: Seq[Double]): Array[Long] = {
+    val agg = Histogram1DAgg(null, edges.toSeq)
+    val buf = agg.createAggregationBuffer()
+    vs.foreach { v =>
+      val i = Binning.binIndexScala(v, edges)
+      if (i >= 0) buf(i) += 1
+    }
+    buf
+  }
+
+  private val valsGen = Gen.listOf(Gen.chooseNum(-120.0, 120.0))
+
+  property("histogram merge == histogram of concatenation (any split)") =
+    forAll(edgesGen, valsGen, Gen.chooseNum(0, 100)) { (edges, vs, cut) =>
+      val agg = Histogram1DAgg(null, edges.toSeq)
+      val k = if (vs.isEmpty) 0 else cut % (vs.length + 1)
+      val (a, b) = vs.splitAt(k)
+      val merged = agg.merge(hist(edges, a), hist(edges, b))
+      merged.sameElements(hist(edges, vs))
+    }
+
+  property("histogram counts total == #in-range values; permutation-invariant") =
+    forAll(edgesGen, valsGen) { (edges, vs) =>
+      val h = hist(edges, vs)
+      val inRange = vs.count(v => Binning.binIndexScala(v, edges) >= 0)
+      h.sum == inRange && hist(edges, vs.reverse).sameElements(h)
+    }
+
+  property("histogram serialize/deserialize round-trips") =
+    forAll(edgesGen, valsGen) { (edges, vs) =>
+      val agg = Histogram1DAgg(null, edges.toSeq)
+      agg.deserialize(agg.serialize(hist(edges, vs))).sameElements(hist(edges, vs))
+    }
+
+  property("acquisitionKey parses exactly the reference filename shape") = {
+    val nameGen = for {
+      prefix <- Gen.oneOf("MYD06_L2", "MYD03")
+      y <- Gen.chooseNum(2000, 2020)
+      doy <- Gen.chooseNum(1, 366)
+      h <- Gen.chooseNum(0, 23)
+      m <- Gen.oneOf(0, 5, 10, 55)
+    } yield (f"$prefix.A$y%04d$doy%03d.$h%02d$m%02d.061.x.hdf", f"$y%04d$doy%03d", f"$h%02d$m%02d")
+    forAll(nameGen) { case (name, adoy, hhmm) =>
+      GranuleCatalog.acquisitionKey(name).contains((adoy, hhmm))
+    }
+  }
+
+  property("acquisitionKey rejects non-granule names") = Prop(
+    GranuleCatalog.acquisitionKey("random_file.parquet").isEmpty &&
+      GranuleCatalog.acquisitionKey("MYD06_L2.A20080.0005.hdf").isEmpty)
+
+  property("hourPrefixes covers days x 24 + shift spill, correct rollover") =
+    forAll(Gen.chooseNum(0, 400), Gen.chooseNum(0, 5), Gen.chooseNum(0, 6)) {
+      (dayOfs, lenDays, shift) =>
+        val start = LocalDate.of(2008, 1, 1).plusDays(dayOfs)
+        val end = start.plusDays(lenDays)
+        val ps = GranuleCatalog.hourPrefixes(start, end, shift)
+        val expectSpillDay = end.plusDays(1)
+        ps.length == (lenDays + 1) * 24 + shift &&
+          ps.takeRight(shift).forall(p =>
+            p._1 == expectSpillDay.getYear && p._2 == expectSpillDay.getDayOfYear)
+    }
+
+  property("planeWeight is in [-3,3] and varies across dims") =
+    forAll(Gen.chooseNum(0, 63), Gen.chooseNum(0, 1023)) { (j, d) =>
+      val w = SimilarityOps.planeWeight(j, d)
+      w >= -3 && w <= 3
+    }
+}
