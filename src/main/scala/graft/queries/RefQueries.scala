@@ -201,6 +201,20 @@ object RefQueries {
             .as("cloud_pix"))
         .withColumn("cf", col("cloud_pix") / col("total_pix"))),
 
+    // S2/S3 as a native DataSource V2: granule -> pixel-rows scan with
+    // partition-per-granule planning and column pruning (rows-only check;
+    // DuckDB cannot read a custom Spark source — content determinism is
+    // covered by GranuleSourceSpec).
+    "q_granule_source" -> ((s, _) =>
+      GridAggregation.aggregate(
+        s.read.format("graft.sources.GranuleSource")
+          .option("granules", "A2008001.0005,A2008001.0100,A2008001.1200")
+          .option("rows", "64").option("cols", "64").load(),
+        JobConfig(
+          grid = GridSpec(Region(-90, 90, -180, 180), 30.0, 30.0),
+          stats = StatSwitches(),
+          vars = Seq(VarSpec("Cloud_Top_Pressure"))))),
+
     // S1: date-range partition discovery (files-per-day analog).
     "q_s1_catalog" -> ((s, dir) =>
       t(s, dir, "orders")
