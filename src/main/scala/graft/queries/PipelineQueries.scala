@@ -103,6 +103,18 @@ object PipelineQueries {
         .limit(100)
         .select(col("o_orderkey"), col("o_totalprice"))),
 
+    // Semi-structured: JSON property extraction + aggregation over the
+    // extracted key (reference has no JSON; engine completeness).
+    "q_events_json" -> ((s, dir) =>
+      RefQueries.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(col("k")).as("n"),
+          sum(col("k")).as("k_sum"),
+          min(col("k")).as("k_min"),
+          max(col("k")).as("k_max"))),
+
     // Classic analytics shapes (pricing summary + join-heavy top-k),
     // money math in exact fixed point (cents x basis-point units) so sums
     // are reproducible under any merge order.
@@ -265,6 +277,16 @@ object PipelineQueries {
     "q_topk_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q_events_json" ->
+      """SELECT event_type,
+        | CAST(count(k) AS BIGINT) AS n,
+        | CAST(sum(k) AS BIGINT) AS k_sum,
+        | CAST(min(k) AS INTEGER) AS k_min,
+        | CAST(max(k) AS INTEGER) AS k_max
+        |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |      FROM events)
+        |GROUP BY event_type""".stripMargin,
 
     "q_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
