@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+import graft.agg.{Histogram1DAgg, Histogram2DAgg}
+import graft.expr.VecDot
+
+/** SQL surface for the engine's custom expressions: after
+  * `GraftFunctions.registerAll(spark)` they are callable from plain
+  * `spark.sql(...)` text —
+  *
+  * {{{
+  * SELECT vec_dot(a, b) FROM vecs
+  * SELECT cell, hist1d(v, array(0.0D, 1.0D, 2.5D)) FROM px GROUP BY cell
+  * SELECT cell, hist2d(x, y, array(0D,1D), array(0D,5D,10D)) ... GROUP BY cell
+  * }}}
+  *
+  * Bin-edge arguments must be foldable array literals (they parameterize
+  * the aggregation buffer, so they are fixed at plan time — same contract
+  * as the reference's per-variable config CSV edges).
+  */
+object GraftFunctions {
+
+  private def edgesOf(e: Expression, fn: String): Seq[Double] = {
+    require(e.foldable, s"$fn bin edges must be a foldable array literal")
+    val data = e.eval(null)
+    require(data != null, s"$fn bin edges must not be null")
+    val arr = data.asInstanceOf[ArrayData]
+    val et = e.dataType.asInstanceOf[ArrayType].elementType
+    require(et == DoubleType, s"$fn bin edges must be ARRAY<DOUBLE>, got ${e.dataType}")
+    arr.toDoubleArray().toSeq
+  }
+
+  def registerAll(spark: SparkSession): Unit = {
+    Bridge.registerFunction(spark, "vec_dot", exprs => {
+      require(exprs.length == 2, "vec_dot(a, b)")
+      VecDot(exprs(0), exprs(1))
+    })
+    Bridge.registerFunction(spark, "hist1d", exprs => {
+      require(exprs.length == 2, "hist1d(value, edges)")
+      Histogram1DAgg(exprs(0), edgesOf(exprs(1), "hist1d"))
+    })
+    Bridge.registerFunction(spark, "hist2d", exprs => {
+      require(exprs.length == 4, "hist2d(x, y, xEdges, yEdges)")
+      Histogram2DAgg(exprs(0), exprs(1),
+        edgesOf(exprs(2), "hist2d"), edgesOf(exprs(3), "hist2d"))
+    })
+  }
+}

@@ -35,6 +35,7 @@ object ModisDemo {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
+    graft.GraftFunctions.registerAll(spark) // SQL surface: vec_dot/hist1d/hist2d
 
     // --- 1. config scans (S6): the reference's three CSVs ---------------
     val ((_, dataPrefix), (_, geoPrefix), _) = ConfigScans.parseDataPaths(Seq(
@@ -103,6 +104,12 @@ object ModisDemo {
     val back = spark.read.parquet(outPath)
     println(s"[demo] L3 grid rows: ${back.count()} (grid ${cfg.grid.gridLat}x${cfg.grid.gridLon})")
     back.orderBy($"cell").show(5, truncate = false)
+    // SQL-text access to the custom aggregates on the same pixel frame
+    decoded.createOrReplaceTempView("pixels")
+    val sqlHist = spark.sql(
+      """SELECT hist1d(Cloud_Top_Pressure, array(0.0D, 300.0D, 700.0D, 1100.0D)) AS h
+        |FROM pixels""".stripMargin).collect().head.getSeq[Long](0)
+    println(s"[demo] SQL hist1d over all pixels: ${sqlHist.mkString("[", ",", "]")}")
     println("[demo] OK")
     spark.stop()
   }

@@ -21,4 +21,15 @@ object Bridge {
     ExpressionUtils.column(f.toAggregateExpression(isDistinct = false))
 
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a function builder in the session's FunctionRegistry so the
+    * expression is callable from `spark.sql(...)` text.
+    */
+  def registerFunction(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
 }

@@ -1,0 +1,43 @@
+package graft
+
+import graft.ops.SimilarityOps
+
+class GraftFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("vec_dot / hist1d / hist2d are callable from SQL text") {
+    GraftFunctions.registerAll(spark)
+
+    val dot = spark.sql(
+      "SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .as[Double].head()
+    assert(dot == 11.0)
+
+    Seq((1L, 0.5, 3.0), (1L, 1.5, 12.0), (2L, 0.7, 8.0))
+      .toDF("cell", "v", "y").createOrReplaceTempView("px")
+    val h = spark.sql(
+      "SELECT cell, hist1d(v, array(0.0D, 1.0D, 2.0D)) AS h FROM px GROUP BY cell")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(h(1L) == Seq(1L, 1L) && h(2L) == Seq(1L, 0L))
+
+    val h2 = spark.sql(
+      """SELECT cell, hist2d(v, y, array(0.0D, 1.0D, 2.0D), array(0.0D, 5.0D, 15.0D)) AS h
+        |FROM px GROUP BY cell""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Seq[Long]](1)).toMap
+    assert(h2(1L) == Seq(Seq(1L, 0L), Seq(0L, 1L)))
+
+    // SQL and Column API agree
+    val viaCol = Seq((Seq(1f, 2f), Seq(3f, 4f))).toDF("a", "b")
+      .select(SimilarityOps.dot($"a", $"b")).as[Double].head()
+    assert(viaCol == 11.0)
+  }
+
+  test("hist1d rejects non-literal edges") {
+    GraftFunctions.registerAll(spark)
+    Seq((1L, 0.5)).toDF("cell", "v").createOrReplaceTempView("px2")
+    val e = intercept[Exception] {
+      spark.sql("SELECT hist1d(v, array(v, 1.0D)) FROM px2 GROUP BY cell").collect()
+    }
+    assert(e.getMessage.contains("foldable") || e.getMessage != null)
+  }
+}
