@@ -152,10 +152,22 @@ private class GranulePixelReader(p: GranulePartition, required: StructType)
       if (unit(i * 4L + 3) < 0.02) null else unit(i * 4L + 3) * 130.0 + 180.0
   }
 
+  // pre-resolve the pruned fields once; reuse one row buffer per reader
+  // (Spark copies rows it retains — standard PartitionReader contract)
+  private val fieldNames: Array[String] = required.fields.map(_.name)
+  private val rowBuf =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(fieldNames.length)
+
   override def next(): Boolean = { i += 1; i < n }
 
-  override def get(): InternalRow =
-    InternalRow.fromSeq(required.fields.toSeq.map(f => valueAt(f.name)))
+  override def get(): InternalRow = {
+    var j = 0
+    while (j < fieldNames.length) {
+      rowBuf.update(j, valueAt(fieldNames(j)))
+      j += 1
+    }
+    rowBuf
+  }
 
   override def close(): Unit = ()
 }
