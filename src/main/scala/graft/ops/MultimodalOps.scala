@@ -67,6 +67,57 @@ object MultimodalOps {
     }
   }
 
+  /** One sampled frame of a (video) payload. */
+  final case class MediaFrame(
+      media_id: Long,
+      frame_idx: Int,
+      frame_bytes: Array[Byte],
+      frame_sha: String)
+
+  /** STUB RESIZE — deterministic byte-level downsample standing in for an
+    * image resize: keeps every `factor`-th byte (a real codec resamples
+    * pixels; the partitioning/schema contract is identical).
+    */
+  def resizeStub(payload: Array[Byte], factor: Int): Array[Byte] =
+    payload.indices.collect { case i if i % factor == 0 => payload(i) }.toArray
+
+  /** Partition-batched resize: same no-shuffle `mapPartitions` shape as
+    * [[extractFeatures]].
+    */
+  def resize(media: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    media.mapPartitions(_.map(r =>
+      r.copy(payload = resizeStub(r.payload, factor))))
+  }
+
+  /** Frame sampling: one media row expands to ceil(len / frameSize / every)
+    * frame rows — the UDTF-shaped 1 -> N expansion (SURVEY §2.8) as a
+    * typed `flatMap` over partition batches. A real implementation walks
+    * container keyframes; the stub slices fixed-size byte windows, taking
+    * every `every`-th frame.
+    */
+  def sampleFrames(
+      media: Dataset[MediaRow],
+      frameSize: Int,
+      every: Int): Dataset[MediaFrame] = {
+    implicit val enc = Encoders.product[MediaFrame]
+    media.mapPartitions { rows =>
+      val md = MessageDigest.getInstance("SHA-256")
+      rows.flatMap { r =>
+        val nFrames = (r.payload.length + frameSize - 1) / frameSize
+        (0 until nFrames).collect {
+          case f if f % every == 0 =>
+            val from = f * frameSize
+            val until = math.min(from + frameSize, r.payload.length)
+            val bytes = java.util.Arrays.copyOfRange(r.payload, from, until)
+            md.reset()
+            val sha = md.digest(bytes).map(b => f"${b & 0xff}%02x").mkString
+            MediaFrame(r.media_id, f, bytes, sha)
+        }
+      }
+    }
+  }
+
   /** Build a media table from the documents table (payload = UTF-8 bytes of
     * the text — a stand-in for real image bytes with identical plumbing).
     */

@@ -65,6 +65,40 @@ object TextOps {
     }
   }
 
+  /** Characteristic character trigrams per language (top distinguishing
+    * trigrams, spaces shown as '_').
+    */
+  val langTrigrams: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "he_", "ing", "_th", "and", "ion"),
+    "es" -> Seq("_de", "os_", "_la", "ión", "es_", "que"),
+    "de" -> Seq("der", "ein", "sch", "ich", "und", "en_"),
+    "fr" -> Seq("es_", "_de", "le_", "ent", "ion", "que"))
+
+  /** Count of characteristic-trigram occurrences of one language in the
+    * normalized text (lowercased, whitespace -> '_').
+    */
+  def trigramHits(text: Column, trigrams: Seq[String]): Column = {
+    val norm = concat(lit("_"),
+      regexp_replace(lower(text), "\\s+", "_"), lit("_"))
+    trigrams.map { t =>
+      // occurrence count = (len - len(text without t)) / 3
+      ((length(norm) - length(regexp_replace(norm, java.util.regex.Pattern.quote(t), ""))) / 3)
+        .cast("long")
+    }.reduce(_ + _)
+  }
+
+  /** n-gram language ID: argmax of characteristic-trigram hit counts (the
+    * spec'd n-gram heuristic; [[langId]] is the cheaper stopword variant).
+    * Same tie-break and "und" conventions as [[langId]].
+    */
+  def langIdNgram(text: Column): Column = {
+    val scores = langTrigrams.map { case (lang, ts) => lang -> trigramHits(text, ts) }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((lang, score), els) =>
+      when(best > 0 && score === best, lit(lang)).otherwise(els)
+    }
+  }
+
   /** Heuristic quality score in [0,1]:
     * mean of (length score, word-shape score, 1 - punctuation ratio).
     * Deterministic double arithmetic — identical on any engine.

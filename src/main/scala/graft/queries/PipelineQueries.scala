@@ -88,6 +88,16 @@ object PipelineQueries {
     "q_multimodal_features" -> ((s, dir) =>
       MultimodalOps.documentFeatures(s, t(s, dir, "documents"))),
 
+    // frame sampling: 1 media row -> N frame rows (UDTF-shaped expansion)
+    "q_multimodal_frames" -> ((s, dir) =>
+      MultimodalOps.sampleFrames(
+        MultimodalOps.mediaFromDocuments(t(s, dir, "documents")),
+        frameSize = 32, every = 2)
+        .toDF()
+        .select(col("media_id"), col("frame_idx"),
+          length(col("frame_bytes")).cast("long").as("n_bytes"),
+          col("frame_sha"))),
+
     // ------------------------------------------------------ event stream
     "q_events_hourly" -> ((s, dir) =>
       EventOps.hourlyStats(RefQueries.events(s, dir))),
@@ -248,6 +258,16 @@ object PipelineQueries {
          |    sha256(text) AS h, sha256(text) AS sha_hex
          |  FROM documents)""".stripMargin
     },
+
+    "q_multimodal_frames" ->
+      """SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        | CAST(octet_length(encode(substring(text, CAST(frame_idx*32+1 AS INTEGER), 32))) AS BIGINT) AS n_bytes,
+        | sha256(substring(text, CAST(frame_idx*32+1 AS INTEGER), 32)) AS frame_sha
+        |FROM (
+        |  SELECT doc_id AS media_id, text,
+        |    unnest(range(0, CAST(ceil(length(text)/32.0) AS BIGINT))) AS frame_idx
+        |  FROM documents)
+        |WHERE frame_idx % 2 = 0""".stripMargin,
 
     "q_events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,

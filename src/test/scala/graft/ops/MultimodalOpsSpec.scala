@@ -40,6 +40,29 @@ class MultimodalOpsSpec extends SparkSpec {
     }
   }
 
+  test("sampleFrames slices byte windows and keeps every n-th frame") {
+    val media = MultimodalOps.mediaFromDocuments(
+      Seq((0L, "0123456789" * 7)).toDF("doc_id", "text")) // 70 bytes
+    val frames = MultimodalOps.sampleFrames(media, frameSize = 32, every = 2)
+      .collect().sortBy(_.frame_idx)
+    // ceil(70/32) = 3 frames -> keep idx 0 and 2
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 2))
+    assert(frames(0).frame_bytes.length == 32)
+    assert(frames(1).frame_bytes.length == 70 - 64)
+    assert(new String(frames(1).frame_bytes, "UTF-8") == "456789")
+    // content-addressed: sha matches an independent digest
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val expect = md.digest(frames(0).frame_bytes).map(b => f"${b & 0xff}%02x").mkString
+    assert(frames(0).frame_sha == expect)
+  }
+
+  test("resize keeps every n-th byte deterministically") {
+    val media = MultimodalOps.mediaFromDocuments(
+      Seq((0L, "abcdefgh")).toDF("doc_id", "text"))
+    val out = MultimodalOps.resize(media, 3).collect().head
+    assert(new String(out.payload, "UTF-8") == "adg")
+  }
+
   test("extraction preserves partitioning (no shuffle)") {
     val media = MultimodalOps.mediaFromDocuments(docs).repartition(3)
     val out = MultimodalOps.extractFeatures(media)

@@ -33,6 +33,14 @@ class TextOpsSpec extends SparkSpec {
     assert(one[String](TextOps.langId($"t"), "xyzzy plugh") == "und")
   }
 
+  test("langIdNgram scores characteristic trigrams") {
+    assert(one[String](TextOps.langIdNgram($"t"),
+      "the thing and the other thing") == "en")
+    assert(one[String](TextOps.langIdNgram($"t"),
+      "der schwarze hund und ich") == "de")
+    assert(one[String](TextOps.langIdNgram($"t"), "zzz qqq") == "und")
+  }
+
   test("fingerprint is whitespace/case-normalized and order-sensitive") {
     val a = one[Long](TextOps.fingerprint($"t"), "Hello   World")
     val b = one[Long](TextOps.fingerprint($"t"), "hello world")
