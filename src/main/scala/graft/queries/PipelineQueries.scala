@@ -113,6 +113,34 @@ object PipelineQueries {
         .limit(100)
         .select(col("o_orderkey"), col("o_totalprice"))),
 
+    // Multi-level aggregation: ROLLUP with grouping ids.
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping_id().as("gid"))),
+
+    // Set operations over key sets.
+    "q_set_ops" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val buyers = t(s, dir, "orders").select(col("o_custkey").as("key")).distinct()
+      val building = c.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("key"))
+      val nonBuyers = c.select(col("c_custkey").as("key")).except(buyers)
+      building.intersect(buyers).withColumn("src", lit("building_buyer"))
+        .union(nonBuyers.withColumn("src", lit("never_ordered")))
+    }),
+
+    // Distinct aggregation (exact).
+    "q_count_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))),
+
     // Semi-structured: JSON property extraction + aggregation over the
     // extracted key (reference has no JSON; engine completeness).
     "q_events_json" -> ((s, dir) =>
@@ -297,6 +325,31 @@ object PipelineQueries {
     "q_topk_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        | sum(l_quantity) AS sum_qty,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(grouping(l_returnflag)*2 + grouping(l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_set_ops" ->
+      """SELECT key, 'building_buyer' AS src FROM (
+        |  SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  INTERSECT
+        |  SELECT DISTINCT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT key, 'never_ordered' AS src FROM (
+        |  SELECT c_custkey AS key FROM customer
+        |  EXCEPT
+        |  SELECT DISTINCT o_custkey FROM orders)""".stripMargin,
+
+    "q_count_distinct" ->
+      """SELECT l_returnflag,
+        | CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        | CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+        | CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q_events_json" ->
       """SELECT event_type,
