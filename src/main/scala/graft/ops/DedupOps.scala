@@ -41,18 +41,7 @@ object DedupOps {
       .drop("__rn")
   }
 
-  /** (id, shingle) inverted index, distinct per document; optionally drops
-    * shingles appearing in more than `maxShingleDf` documents (skew guard).
-    */
-  def shingleIndex(
-      docs: DataFrame,
-      idCol: String,
-      textCol: String,
-      k: Int,
-      maxShingleDf: Option[Int] = None): DataFrame = {
-    val idx = docs
-      .select(col(idCol).as("doc_id"),
-        explode(array_distinct(wordShingles(col(textCol), k))).as("sh"))
+  private def applyCap(idx: DataFrame, maxShingleDf: Option[Int]): DataFrame =
     maxShingleDf match {
       case None => idx
       case Some(cap) =>
@@ -60,6 +49,50 @@ object DedupOps {
           .filter(col("df") > cap).select(col("sh"))
         idx.join(hot, Seq("sh"), "left_anti")
     }
+
+  /** (id, shingle-string) inverted index, distinct per document; optionally
+    * drops shingles appearing in more than `maxShingleDf` documents (skew
+    * guard). String form — for inspection/debugging; the dedup pipelines
+    * use [[shingleIndexHashed]].
+    */
+  def shingleIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      maxShingleDf: Option[Int] = None): DataFrame =
+    applyCap(
+      docs.select(col(idCol).as("doc_id"),
+        explode(array_distinct(wordShingles(col(textCol), k))).as("sh")),
+      maxShingleDf)
+
+  /** (id, shingle-hash) inverted index — the hot-path form. Shingle hashes
+    * are built WITHOUT materializing shingle strings and WITHOUT
+    * higher-order functions (both measured hot spots: interpreted
+    * per-element lambda dispatch): posexplode the tokens, `lead()` the next
+    * k-1 tokens over a (doc, pos) window, then one codegen'd `xxhash64`
+    * over the k token columns (which chains per column, so token boundaries
+    * are preserved — "ab","c" and "a","bc" hash differently). Join
+    * semantics equal the string index modulo 2^-64 collisions.
+    */
+  def shingleIndexHashed(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      maxShingleDf: Option[Int] = None): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val withNext = (1 until k).foldLeft(toks) { (df, j) =>
+      df.withColumn(s"tok_$j", lead(col("tok"), j).over(w))
+    }
+    val hashed = withNext
+      .filter(col(s"tok_${k - 1}").isNotNull)
+      .select(col("doc_id"),
+        xxhash64(col("tok") +: (1 until k).map(j => col(s"tok_$j")): _*).as("sh"))
+      .distinct()
+    applyCap(hashed, maxShingleDf)
   }
 
   /** Near-duplicate pairs by exact Jaccard similarity over word k-shingles.
@@ -75,11 +108,10 @@ object DedupOps {
       k: Int,
       threshold: Double,
       maxShingleDf: Option[Int] = None): DataFrame = {
-    // join/shuffle on the 64-bit shingle hash, not the string: same pair
-    // semantics (collision odds ~ |index|^2 / 2^64), ~2x smaller shuffle
-    val idx = shingleIndex(docs, idCol, textCol, k, maxShingleDf)
-      .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
-      .cache()
+    // join/shuffle on the 64-bit shingle hash, never the string: same pair
+    // semantics (collision odds ~ |index|^2 / 2^64), no string
+    // materialization, 8-byte shuffle keys
+    val idx = shingleIndexHashed(docs, idCol, textCol, k, maxShingleDf).cache()
     val sizes = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = idx.as("a")
       .join(idx.as("b"),
@@ -108,10 +140,10 @@ object DedupOps {
       textCol: String,
       k: Int,
       numHashes: Int): DataFrame = {
-    // pre-hash each shingle once; the i-th hash family then re-hashes the
-    // 8-byte value instead of the string (numHashes x cheaper inner loop)
-    val idx = shingleIndex(docs, idCol, textCol, k)
-      .select(col("doc_id"), xxhash64(col("sh")).as("shh"))
+    // the i-th hash family re-hashes the 8-byte shingle hash — no shingle
+    // strings anywhere in the pipeline
+    val idx = shingleIndexHashed(docs, idCol, textCol, k)
+      .withColumnRenamed("sh", "shh")
     val aggs = (0 until numHashes)
       .map(i => min(xxhash64(lit(i), col("shh"))).as(s"mh_$i"))
     idx.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
