@@ -215,6 +215,15 @@ object RefQueries {
           stats = StatSwitches(),
           vars = Seq(VarSpec("Cloud_Top_Pressure"))))),
 
+    // A11/P8 exact legacy semantics: fixed 180x360 grid, truncation
+    // indexing with clamp at 0, dense output with the 0/1 guard.
+    "q_a11_dense" -> ((s, dir) =>
+      graft.engine.LegacyCfa.aggregate(s,
+        t(s, dir, "lineitem").select(
+          (col("l_quantity") - 25).as("lat"),
+          (col("l_discount") * 1000 - 50).as("lon"),
+          col("l_linenumber").as("cm_byte")))),
+
     // S1: date-range partition discovery (files-per-day analog).
     "q_s1_catalog" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -370,6 +379,23 @@ object RefQueries {
          | CAST(count(CASE WHEN (l_linenumber & 6) >> 1 = 0 THEN 1 END) AS DOUBLE)
          |   / CAST(count(*) AS DOUBLE) AS cf
          |FROM $baseSql GROUP BY cell""".stripMargin,
+
+    // floor+clamp(0) below == the engine's truncate+clamp(0): they differ
+    // only on arguments in (-1, 0), where both clamp to 0.
+    "q_a11_dense" ->
+      """WITH agged AS (
+        |  SELECT CAST(greatest(floor(l_quantity - 25 + 89.5), 0) AS INTEGER) AS lat_idx,
+        |         CAST(greatest(floor(l_discount*1000 - 50 + 179.5), 0) AS INTEGER) AS lon_idx,
+        |         CAST(count(*) AS BIGINT) AS total_pix,
+        |         CAST(count(CASE WHEN (l_linenumber & 6) >> 1 = 0 THEN 1 END) AS BIGINT) AS cloud_pix
+        |  FROM lineitem GROUP BY 1, 2),
+        |g AS (SELECT CAST(i // 360 AS INTEGER) AS lat_idx, CAST(i % 360 AS INTEGER) AS lon_idx
+        |      FROM range(0, 64800) t(i))
+        |SELECT g.lat_idx, g.lon_idx,
+        |  coalesce(total_pix, 0) AS total_pix,
+        |  coalesce(cloud_pix, 0) AS cloud_pix,
+        |  CAST(coalesce(cloud_pix, 0) AS DOUBLE) / greatest(coalesce(total_pix, 0), 1) AS cloud_fraction
+        |FROM g LEFT JOIN agged ON g.lat_idx = agged.lat_idx AND g.lon_idx = agged.lon_idx""".stripMargin,
 
     "q_s1_catalog" ->
       """SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, CAST(count(*) AS BIGINT) AS n_files
