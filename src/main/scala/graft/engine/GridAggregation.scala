@@ -129,18 +129,19 @@ object GridAggregation {
       varName: String,
       edges: Seq[Double],
       cols: PixelCols = PixelCols()): DataFrame = {
-    val base = withCell(pixels, cfg, cols)
-      .withColumn("bin", graft.agg.Binning.binIndex(col(varName), edges))
-    val perGranule = base
-      .groupBy(col("cell"), col(cols.granule), col("bin"))
-      .agg(count(lit(1)).as("n"))
-      // total pixels of this granule in this cell INCLUDING out-of-range
-      // and null values (numpy's .size counts NaNs)
-      .withColumn("granule_pix",
-        sum(col("n")).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("cell"), col(cols.granule))))
-    perGranule
-      .filter(col("granule_pix") > 1 && col("bin").isNotNull)
+    // two-phase: per (cell, granule) the histogram buffer + the TOTAL pixel
+    // count (including out-of-range and null — numpy's .size counts NaNs),
+    // drop single-pixel granule-cells, explode bins, merge per cell.
+    // Two hash-partition shuffles, no window sort; the second input is
+    // granule-level partials (tiny).
+    withCell(pixels, cfg, cols)
+      .groupBy(col("cell"), col(cols.granule))
+      .agg(
+        count(lit(1)).as("granule_pix"),
+        graft.agg.HistogramFunctions.histogram1d(col(varName), edges).as("h"))
+      .filter(col("granule_pix") > 1)
+      .select(col("cell"), posexplode(col("h")).as(Seq("bin", "n")))
+      .filter(col("n") > 0)
       .groupBy(col("cell"), col("bin"))
       .agg(sum(col("n")).as("bin_count"))
   }
