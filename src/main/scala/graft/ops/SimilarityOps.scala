@@ -128,6 +128,55 @@ object SimilarityOps {
       .select(col("query_id"), col("rank"), col("corpus_id"), col("cosine"))
   }
 
+  /** Multi-table LSH top-k (OR-amplification): `tables` independent bucket
+    * assignments (plane family t uses planes `t*planes .. t*planes+planes-1`
+    * of the same deterministic weight schedule); a corpus vector is a
+    * candidate if it shares ANY table's bucket with the query. Recall grows
+    * roughly as `1 - (1 - p^planes)^tables` while cost stays
+    * candidates-bound — the standard ANN recall/cost dial at scale.
+    */
+  def lshTopKMulti(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      planes: Int,
+      dims: Int,
+      tables: Int,
+      queryId: String = "vec_id",
+      corpusId: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    def bucketT(t: Int, vec: Column): Column =
+      (0 until planes).foldLeft(lit(0L)) { (acc, j) =>
+        acc.bitwiseOR(shiftleft(planeBit(vec, t * planes + j, dims), j))
+      }
+    def withBuckets(df: DataFrame, id: String, v: String, side: String) =
+      df.select(
+        col(id).as(side),
+        col(v).as(s"${side}_v"),
+        sqrt(norm2(col(v))).as(s"${side}_n"),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("t"), bucketT(t, col(v)).as("b"))): _*)).as("bucket"))
+        .select(col(side), col(s"${side}_v"), col(s"${side}_n"),
+          col("bucket.t").as("t"), col("bucket.b").as("b"))
+    val q = withBuckets(queries, queryId, vecCol, "query_id")
+    val c = withBuckets(corpus, corpusId, vecCol, "corpus_id")
+    val cand = c.join(broadcast(q), Seq("t", "b"))
+      .select(col("query_id"), col("corpus_id"),
+        col("query_id_v"), col("corpus_id_v"),
+        col("query_id_n"), col("corpus_id_n"))
+      .dropDuplicates("query_id", "corpus_id") // OR across tables
+      .withColumn("cosine",
+        dot(col("query_id_v"), col("corpus_id_v")) /
+          nullif(col("query_id_n") * col("corpus_id_n"), lit(0.0)))
+      .filter(col("cosine").isNotNull)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    cand
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("cosine"))
+  }
+
   /** Embedding near-duplicate pairs: all (a < b) pairs with cosine >=
     * `threshold`. Brute-force all-pairs — correctness baseline for small
     * corpora; route through [[lshBucket]] buckets at scale.

@@ -78,6 +78,28 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(lsh.count(r => r.getLong(0) == r.getLong(2) && r.getInt(1) == 1) == 5)
   }
 
+  test("multi-table LSH recall dominates single-table recall") {
+    val rnd = new scala.util.Random(43)
+    val corpus = vecs((0L until 300L).map(i =>
+      i -> Seq.fill(16)(rnd.nextFloat() * 2 - 1)): _*)
+    val queries = corpus.filter($"vec_id" < 20)
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val truth = hits(SimilarityOps.bruteForceTopK(queries, corpus, 5))
+    val single = hits(SimilarityOps.lshTopK(queries, corpus, 5, planes = 4, dims = 16))
+    val multi = hits(SimilarityOps.lshTopKMulti(
+      queries, corpus, 5, planes = 4, dims = 16, tables = 8))
+    val rSingle = (single & truth).size.toDouble / truth.size
+    val rMulti = (multi & truth).size.toDouble / truth.size
+    assert(rMulti >= rSingle)
+    assert(rMulti > 0.5, s"multi-table recall $rMulti unexpectedly low")
+    // candidates are real: every reported cosine matches brute force
+    val bruteAll = SimilarityOps.bruteForceTopK(queries, corpus, 300)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    SimilarityOps.lshTopKMulti(queries, corpus, 5, 4, 16, 8).collect()
+      .foreach(r => assert(bruteAll((r.getLong(0), r.getLong(2))) == r.getDouble(3)))
+  }
+
   test("lshBucket is deterministic and spreads vectors") {
     val rnd = new scala.util.Random(29)
     val df = vecs((0L until 256L).map(i =>
