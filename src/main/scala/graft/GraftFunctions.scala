@@ -40,13 +40,18 @@ object GraftFunctions {
       require(exprs.length == 2, "vec_dot(a, b)")
       VecDot(exprs(0), exprs(1))
     })
+    // Cast value children to double exactly like HistogramFunctions does —
+    // the aggregates' update() reads a Double, and an INT column through
+    // the SQL path would otherwise ClassCastException at runtime.
+    def dbl(e: Expression): Expression =
+      org.apache.spark.sql.catalyst.expressions.Cast(e, org.apache.spark.sql.types.DoubleType)
     Bridge.registerFunction(spark, "hist1d", exprs => {
       require(exprs.length == 2, "hist1d(value, edges)")
-      Histogram1DAgg(exprs(0), edgesOf(exprs(1), "hist1d"))
+      Histogram1DAgg(dbl(exprs(0)), edgesOf(exprs(1), "hist1d"))
     })
     Bridge.registerFunction(spark, "hist2d", exprs => {
       require(exprs.length == 4, "hist2d(x, y, xEdges, yEdges)")
-      Histogram2DAgg(exprs(0), exprs(1),
+      Histogram2DAgg(dbl(exprs(0)), dbl(exprs(1)),
         edgesOf(exprs(2), "hist2d"), edgesOf(exprs(3), "hist2d"))
     })
   }

@@ -36,6 +36,8 @@ case class Histogram1DAgg(
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Array[Long]] {
 
+  require(edges.length >= 2, s"hist1d needs >= 2 bin edges, got $edges")
+
   private val edgeArr: Array[Double] = edges.toArray
   private val numBins: Int = edgeArr.length - 1
 
@@ -109,6 +111,9 @@ case class Histogram2DAgg(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Array[Long]] {
+
+  require(xEdges.length >= 2 && yEdges.length >= 2,
+    s"hist2d needs >= 2 edges per axis, got x=$xEdges y=$yEdges")
 
   private val xArr: Array[Double] = xEdges.toArray
   private val yArr: Array[Double] = yEdges.toArray

@@ -34,6 +34,11 @@ object LegacyCfa {
       cmByteCol: String = "cm_byte"): DataFrame = {
     import spark.implicits._
     val agged = pixels
+      // NULL/NaN coordinates (fill-decoded pixels) must not silently bin:
+      // greatest() skips NULLs and cast(NaN as int) = 0, which would pile
+      // bad pixels into cell (0,0); the reference would crash on them.
+      .filter(col(latCol).isNotNull && !isnan(col(latCol)) &&
+        col(lonCol).isNotNull && !isnan(col(lonCol)))
       .withColumn("lat_idx",
         greatest((col(latCol) + 89.5).cast("int"), lit(0)))
       .withColumn("lon_idx",

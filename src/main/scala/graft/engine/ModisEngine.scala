@@ -35,7 +35,10 @@ object ModisEngine {
       d0: Int,
       d1: Int,
       cols: PixelCols = PixelCols()): DataFrame = {
-    val varNames = cfg.vars.map(_.name).filterNot(_ == CloudFractionVar) :+ cols.cmFlag
+    // correct the cloud-mask flag only when present — a frame without it is
+    // legal when no cloud-fraction statistic is configured
+    val varNames = cfg.vars.map(_.name).filterNot(_ == CloudFractionVar) ++
+      (if (pixels.columns.contains(cols.cmFlag)) Seq(cols.cmFlag) else Nil)
     varNames.foldLeft(pixels) { (df, v) =>
       df.withColumn(v, GridExprs.dayDefinitionNullOut(
         col(v), col("day_of_year"), col("hour"), col(cols.lon),

@@ -75,8 +75,9 @@ object GranuleCatalog {
   }
 
   /** Paired catalog: inner equi-join of the data-product and geolocation
-    * listings on the acquisition key. `strict=true` reproduces the
-    * reference's hard error on any unpaired granule.
+    * listings on the acquisition key. `strict=true` errors on ANY unpaired
+    * granule on either side (stronger than the reference's count-equality
+    * check, which a symmetric mismatch slips past).
     */
   def pairedCatalog(
       spark: SparkSession,
@@ -91,11 +92,15 @@ object GranuleCatalog {
     val geo = globProduct(spark, geoDir, geoPrefix, start, end, shiftHour)
       .toDF("geo_path", "adoy", "hhmm")
     if (strict) {
-      val nData = data.count()
-      val nGeo = geo.count()
-      require(nData == nGeo,
-        s"unpaired granules: $nData data files vs $nGeo geolocation files " +
-          "(reference aborts on count mismatch)")
+      // pair-wise validation, not just count equality — a data granule
+      // missing its geo twin AND a geo granule missing its data twin would
+      // cancel out in a count compare and then silently vanish in the join
+      val keys = Seq("adoy", "hhmm")
+      val dataOrphans = data.join(geo, keys, "left_anti").count()
+      val geoOrphans = geo.join(data, keys, "left_anti").count()
+      require(dataOrphans == 0 && geoOrphans == 0,
+        s"unpaired granules: $dataOrphans data-only, $geoOrphans geo-only " +
+          "(reference aborts on unpaired files)")
     }
     data.join(geo, Seq("adoy", "hhmm"), "inner")
       .select(

@@ -87,8 +87,10 @@ object DedupOps {
     val withNext = (1 until k).foldLeft(toks) { (df, j) =>
       df.withColumn(s"tok_$j", lead(col("tok"), j).over(w))
     }
-    val hashed = withNext
-      .filter(col(s"tok_${k - 1}").isNotNull)
+    // k == 1 (unigram shingles): no lead columns exist and no filter needed
+    val complete =
+      if (k > 1) withNext.filter(col(s"tok_${k - 1}").isNotNull) else withNext
+    val hashed = complete
       .select(col("doc_id"),
         xxhash64(col("tok") +: (1 until k).map(j => col(s"tok_$j")): _*).as("sh"))
       .distinct()
@@ -107,11 +109,16 @@ object DedupOps {
       textCol: String,
       k: Int,
       threshold: Double,
-      maxShingleDf: Option[Int] = None): DataFrame = {
+      maxShingleDf: Option[Int] = None,
+      cacheIndex: Boolean = true): DataFrame = {
     // join/shuffle on the 64-bit shingle hash, never the string: same pair
     // semantics (collision odds ~ |index|^2 / 2^64), no string
-    // materialization, 8-byte shuffle keys
-    val idx = shingleIndexHashed(docs, idCol, textCol, k, maxShingleDf).cache()
+    // materialization, 8-byte shuffle keys. The index is consumed three
+    // times (sizes + both join sides) so it is cached by default; pass
+    // cacheIndex=false in long-lived sessions that manage storage memory
+    // themselves (cached blocks persist until the session drops them).
+    val idx0 = shingleIndexHashed(docs, idCol, textCol, k, maxShingleDf)
+    val idx = if (cacheIndex) idx0.cache() else idx0
     val sizes = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = idx.as("a")
       .join(idx.as("b"),

@@ -73,12 +73,22 @@ object SimilarityOps {
       .select(col("query_id"), col("rank"), col("corpus_id"), col("cosine"))
   }
 
-  /** Deterministic pseudo-random hyperplane weight for (plane j, dim d):
-    * integer `((j*31 + d*17) mod 7) - 3` in [-3, 3]. Integer weights make
-    * the projection exactly reproducible in any engine (including the SQL
-    * oracle) — no RNG state to ship.
+  /** Deterministic pseudo-random hyperplane weight for (plane j, dim d),
+    * integer in [-3, 3]. Derived from an avalanche-mixed hash of (j, d) so
+    * planes are effectively independent — a plain linear form like
+    * `(j*a + d*b) mod m` collapses when a ≡ b (mod m), making plane j+m a
+    * copy of plane j and voiding multi-table amplification. The weights are
+    * evaluated in Scala at plan-build time and inlined as literals on both
+    * the Spark and the SQL-oracle side, so any integer function is exactly
+    * reproducible.
     */
-  def planeWeight(j: Int, d: Int): Int = ((j * 31 + d * 17) % 7) - 3
+  def planeWeight(j: Int, d: Int): Int = {
+    var x = j * 0x9e3779b9 + d * 0x85ebca6b + 0x27d4eb2f
+    x ^= x >>> 15; x *= 0x2c1b3c6d
+    x ^= x >>> 12; x *= 0x297a2d39
+    x ^= x >>> 15
+    math.floorMod(x, 7) - 3
+  }
 
   /** Sign bit of the projection of `vec` onto plane `j` (dims = vector
     * length). Sequential fold in index order, like [[dot]].

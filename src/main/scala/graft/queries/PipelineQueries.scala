@@ -287,6 +287,10 @@ object PipelineQueries {
          |  FROM documents)""".stripMargin
     },
 
+    // NOTE: the oracle slices by CHARACTER while the engine slices the
+    // UTF-8 payload by BYTE — equivalent only for ASCII corpora (these
+    // fixtures are; DuckDB's sha256 cannot digest BLOBs, so a byte-exact
+    // oracle is not expressible).
     "q_multimodal_frames" ->
       """SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
         | CAST(octet_length(encode(substring(text, CAST(frame_idx*32+1 AS INTEGER), 32))) AS BIGINT) AS n_bytes,
