@@ -88,4 +88,31 @@ object ModisEngine {
         throw new IllegalArgumentException("JobConfig.vars is empty")
     }
   }
+
+  /** Multi-day (e.g. monthly) L3 aggregation in ONE distributed pass —
+    * reference Example 2 (`examples/local_execution/
+    * MODIS_Aggregation_Local_Commands.sh:31`). The reference's date loop
+    * (`aggregate_functions.py:573-604`) expands every day of
+    * `[dStart, dEnd]` at all 24 hours and, for the END day only, appends the
+    * first `shiftHour` hours of day `dEnd + 1` (the orbit-gap spill); the
+    * day-definition null-out then runs with `day_in_year = [dEnd, dEnd+1]`
+    * — the LAST loop iteration's pair is what reaches `run_modis_aggre`
+    * (`:595`, `:682`), so interior days are never nulled.
+    *
+    * One `filter` + one aggregation over the whole range: no per-day
+    * driver loop, no repeated scans — at 100 TB the month is a single
+    * scan-bound job whose only shuffle is the cell-keyed merge.
+    */
+  def rangeL3(
+      pixels: DataFrame,
+      cfg: JobConfig,
+      dStart: Int,
+      dEnd: Int,
+      cols: PixelCols = PixelCols()): DataFrame = {
+    val doy = col("day_of_year")
+    val inRange =
+      (doy >= dStart && doy <= dEnd) ||
+        (doy === dEnd + 1 && col("hour") < cfg.shiftHour)
+    dailyL3(pixels.filter(inRange), cfg, Some((dEnd, dEnd + 1)), cols)
+  }
 }

@@ -31,14 +31,32 @@ object DedupOps {
   }
 
   /** Exact dedup: keep the lowest-id row per identical key (default: the
-    * raw text). One hash-partition shuffle on the key; `row_number` over
-    * (key, id) is deterministic under any partitioning.
+    * raw text).
+    *
+    * Scale shape: the shuffle is keyed by a HASH of the key, never the key
+    * itself — partitioning a 100 TB corpus by full document text is the
+    * classic dedup scale-killer (the shuffle would carry the whole corpus
+    * as its keys). `groupBy(hash).agg(min_by(row, id))` gives map-side
+    * partial aggregation (each task forwards at most one candidate row per
+    * key) and no per-partition sort, unlike a `row_number` window.
+    *
+    * With the default 64-bit `xxhash64`, two DIFFERENT texts colliding
+    * would wrongly merge; expected collisions ~ n^2 / 2^65 (negligible
+    * below ~1e8 docs). Set `strongKeys = true` to key by SHA-256 instead
+    * (64-byte shuffle keys, collision-free for any realistic corpus) — the
+    * trillion-row setting.
     */
-  def exactDedup(df: DataFrame, idCol: String, keyCol: Column): DataFrame = {
-    val w = Window.partitionBy(keyCol).orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+  def exactDedup(
+      df: DataFrame,
+      idCol: String,
+      keyCol: Column,
+      strongKeys: Boolean = false): DataFrame = {
+    val cols = df.columns.toSeq
+    val key = if (strongKeys) sha2(keyCol.cast("string"), 256) else xxhash64(keyCol)
+    df.withColumn("__dedup_key", key)
+      .groupBy(col("__dedup_key"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__winner"))
+      .select(cols.map(c => col(s"__winner.`$c`").as(c)): _*)
   }
 
   private def applyCap(idx: DataFrame, maxShingleDf: Option[Int]): DataFrame =

@@ -4,9 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.agg.Binning
-import graft.engine.GridAggregation
+import graft.engine.{GridAggregation, ModisEngine}
 import graft.engine.GridAggregation.PixelCols
 import graft.expr.GridExprs
+import graft.io.PixelSource
 import graft.model._
 
 /** The SURVEY §2 operator inventory, exercised over the driver's TPC-H-ish
@@ -224,6 +225,36 @@ object RefQueries {
           (col("l_discount") * 1000 - 50).as("lon"),
           col("l_linenumber").as("cm_byte")))),
 
+    // S2: packed-variable decode, HDF4 convention — fill -> NULL, then
+    // `(raw - add_offset) * scale_factor` (reference
+    // `aggregate_functions.py:113-114,137-138`). Two variables: one whose
+    // fill value occurs in the data (fill -> NULL path), one that never
+    // fills (pure transform path).
+    "q_s2_decode" -> ((s, dir) => {
+      val a = PixelSource.VarAttrs(units = "hPa", longName = "pressure analog",
+        fillValue = 4.0, scaleFactor = 0.1, addOffset = 2.0)
+      val b = PixelSource.VarAttrs(units = "K", longName = "temperature analog",
+        fillValue = -9999.0, scaleFactor = 0.01, addOffset = -15000.0)
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        PixelSource.decodePacked(col("l_linenumber").cast("double"), a)
+          .as("decoded_a"),
+        PixelSource.decodePacked((col("l_partkey") % 1000).cast("double"), b)
+          .as("decoded_b"))
+    }),
+
+    // End-to-end multi-day (monthly) pipeline: catalog day-range filter ->
+    // day-definition null-out -> full per-cell statistics in ONE pass
+    // (reference Example 2). Day-of-year from the shipdate, granule hour
+    // from the order key; window = doy [32, 59] + 3h spill of doy 60.
+    "q_monthly_e2e" -> ((s, dir) => {
+      val px = pixels(s, dir)
+        .withColumn("day_of_year", dayofyear(col("l_shipdate")))
+        .withColumn("hour", col("l_orderkey") % 24)
+      ModisEngine.rangeL3(
+        px, cfg(StatSwitches(), VarSpec("l_quantity")), dStart = 32, dEnd = 59)
+    }),
+
     // S1: date-range partition discovery (files-per-day analog).
     "q_s1_catalog" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -396,6 +427,37 @@ object RefQueries {
         |  coalesce(cloud_pix, 0) AS cloud_pix,
         |  CAST(coalesce(cloud_pix, 0) AS DOUBLE) / greatest(coalesce(total_pix, 0), 1) AS cloud_fraction
         |FROM g LEFT JOIN agged ON g.lat_idx = agged.lat_idx AND g.lon_idx = agged.lon_idx""".stripMargin,
+
+    "q_s2_decode" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CASE WHEN CAST(l_linenumber AS DOUBLE) = 4.0 THEN NULL
+        |      ELSE (CAST(l_linenumber AS DOUBLE) - 2.0) * 0.1 END AS decoded_a,
+        | (CAST(l_partkey % 1000 AS DOUBLE) - (-15000.0)) * 0.01 AS decoded_b
+        |FROM lineitem""".stripMargin,
+
+    "q_monthly_e2e" ->
+      s"""WITH rng AS (
+         |  SELECT l_quantity, lon, cell,
+         |    CAST(dayofyear(l_shipdate) AS INTEGER) AS doy,
+         |    l_orderkey % 24 AS hr
+         |  FROM $baseSql
+         |  WHERE (dayofyear(l_shipdate) >= 32 AND dayofyear(l_shipdate) <= 59)
+         |     OR (dayofyear(l_shipdate) = 60 AND l_orderkey % 24 < 3)),
+         |corr AS (
+         |  SELECT cell,
+         |    CASE WHEN hr < 3 AND (
+         |           (doy = 59 AND ((lon >= -180 AND lon <= -90) OR (lon >= 0 AND lon <= 90)))
+         |        OR (doy = 60 AND ((lon >= 90 AND lon <= 180) OR (lon >= -90 AND lon <= 0))))
+         |      THEN NULL ELSE l_quantity END AS v
+         |  FROM rng)
+         |SELECT cell,
+         | min(v) AS l_quantity_Minimum,
+         | max(v) AS l_quantity_Maximum,
+         | sum(v)/count(v) AS l_quantity_Mean,
+         | CAST(count(v) AS BIGINT) AS l_quantity_Pixel_Counts,
+         | sqrt(sum(v*v)/count(v) - (sum(v)/count(v))*(sum(v)/count(v)))
+         |   AS l_quantity_Standard_Deviation
+         |FROM corr GROUP BY cell""".stripMargin,
 
     "q_s1_catalog" ->
       """SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, CAST(count(*) AS BIGINT) AS n_files
