@@ -84,6 +84,15 @@ object PipelineQueries {
     "q_embed_neardup" -> ((s, dir) =>
       SimilarityOps.cosineNearDupPairs(t(s, dir, "embeddings"), 0.35)),
 
+    // Same output contract via the LSH scale path: candidates only from
+    // shared (table, bucket) cells, exact-cosine verified. planes=4 x
+    // tables=16 tuned to this corpus' weak-similarity profile (recall
+    // 0.92-0.95 vs brute force, SimilarityOpsSpec).
+    "q_embed_neardup_lsh" -> ((s, dir) =>
+      SimilarityOps.lshNearDupPairs(
+        t(s, dir, "embeddings"), threshold = 0.35,
+        planes = 4, dims = 64, tables = 16)),
+
     // -------------------------------------------------------- multimodal
     "q_multimodal_features" -> ((s, dir) =>
       MultimodalOps.documentFeatures(s, t(s, dir, "documents"))),
@@ -266,6 +275,23 @@ object PipelineQueries {
       val cos = SimilarityOps.Sql.cosine("a.embedding", "b.embedding")
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, $cos AS cosine
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE $cos >= 0.35""".stripMargin
+    },
+
+    "q_embed_neardup_lsh" -> {
+      val cos = SimilarityOps.Sql.cosine("a.embedding", "b.embedding")
+      val tables = 16
+      val planes = 4
+      val bucketCols = (0 until tables)
+        .map(tt => s"${SimilarityOps.Sql.lshBucket("embedding", planes, 64, tt * planes)} AS b$tt")
+        .mkString(",\n ")
+      val anyShared = (0 until tables).map(tt => s"a.b$tt = b.b$tt").mkString(" OR ")
+      s"""WITH bk AS (
+         |  SELECT vec_id, embedding,
+         | $bucketCols
+         |  FROM embeddings)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b, $cos AS cosine
+         |FROM bk a JOIN bk b ON a.vec_id < b.vec_id AND ($anyShared)
          |WHERE $cos >= 0.35""".stripMargin
     },
 

@@ -115,6 +115,50 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(b1.values.forall(b => b >= 0 && b < 64))
   }
 
+  test("lshNearDupPairs: subset of brute force with exact cosines; finds planted dup") {
+    val rnd = new scala.util.Random(31)
+    val base = Seq.fill(32)(rnd.nextFloat() * 2 - 1)
+    val nearDup = base.updated(0, base.head + 0.01f)
+    val others = (2L until 60L).map(i => i -> Seq.fill(32)(rnd.nextFloat() * 2 - 1))
+    val df = vecs((Seq(0L -> base, 1L -> nearDup) ++ others): _*)
+    val brute = SimilarityOps.cosineNearDupPairs(df, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = SimilarityOps.lshNearDupPairs(
+      df, 0.5, planes = 4, dims = 32, tables = 8).collect()
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(brute.contains(key), s"LSH produced non-brute pair $key")
+      assert(brute(key) == r.getDouble(2)) // exact-cosine verify, bit-equal
+    }
+    // a true near-duplicate (cosine ~1) collides in essentially every table
+    assert(lsh.exists(r => (r.getLong(0), r.getLong(1)) == (0L, 1L)))
+  }
+
+  test("lshNearDupPairs recall >= 0.9 vs brute force on the sf0.001 corpus") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairSet(SimilarityOps.cosineNearDupPairs(emb, 0.35))
+    val got = pairSet(SimilarityOps.lshNearDupPairs(
+      emb, 0.35, planes = 4, dims = 64, tables = 16))
+    assert(got.subsetOf(truth))
+    val recall = (got & truth).size.toDouble / truth.size
+    assert(recall >= 0.9, s"recall $recall below 0.9 (${got.size}/${truth.size})")
+  }
+
+  test("lshNearDupPairs maxBucketSize drops oversized buckets but keeps exactness") {
+    val rnd = new scala.util.Random(47)
+    val df = vecs((0L until 80L).map(i =>
+      i -> Seq.fill(16)(rnd.nextFloat() * 2 - 1)): _*)
+    val brute = SimilarityOps.cosineNearDupPairs(df, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val capped = SimilarityOps.lshNearDupPairs(
+      df, 0.4, planes = 2, dims = 16, tables = 4, maxBucketSize = Some(10)).collect()
+    capped.foreach { r =>
+      assert(brute((r.getLong(0), r.getLong(1))) == r.getDouble(2))
+    }
+  }
+
   test("cosineNearDupPairs finds planted duplicates only") {
     val rnd = new scala.util.Random(31)
     val base = Seq.fill(32)(rnd.nextFloat() * 2 - 1)
