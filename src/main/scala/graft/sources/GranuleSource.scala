@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -48,6 +49,67 @@ class GranuleSource extends TableProvider {
 }
 
 object GranuleSource {
+
+  /** Columns decidable PER GRANULE from the filename alone — predicates
+    * over these prune whole input partitions at planning time (the
+    * reference's date/time file-list selection, `read_filelist`,
+    * `aggregate_functions.py:55-97`, done at the scan instead of a shell
+    * glob).
+    */
+  val granuleCols: Set[String] = Set("granule_id", "day_of_year", "hour")
+
+  /** Evaluate a pushed filter against `get`, SQL three-valued semantics
+    * collapsed to "is the row kept": a comparison against NULL is
+    * not-true, so the row is skipped — exactly what Spark's own residual
+    * filter would do. Only called for filters [[accepts]] returned true
+    * for.
+    */
+  private[sources] def holds(f: Filter, get: String => Any): Boolean = f match {
+    case EqualTo(a, v) => cmp(get(a), v).exists(_ == 0)
+    case GreaterThan(a, v) => cmp(get(a), v).exists(_ > 0)
+    case GreaterThanOrEqual(a, v) => cmp(get(a), v).exists(_ >= 0)
+    case LessThan(a, v) => cmp(get(a), v).exists(_ < 0)
+    case LessThanOrEqual(a, v) => cmp(get(a), v).exists(_ <= 0)
+    case In(a, vs) => vs.exists(v => cmp(get(a), v).exists(_ == 0))
+    case IsNotNull(a) => get(a) != null
+    case IsNull(a) => get(a) == null
+    case And(l, r) => holds(l, get) && holds(r, get)
+    case Or(l, r) => holds(l, get) || holds(r, get)
+    case Not(c) => !holds(c, get)
+    case StringStartsWith(a, p) =>
+      get(a) != null && get(a).toString.startsWith(p)
+    case _ => true
+  }
+
+  private def cmp(actual: Any, lit: Any): Option[Int] = (actual, lit) match {
+    case (null, _) => None // NULL comparison is not-true
+    case (a: String, b: String) => Some(a.compareTo(b))
+    case (a: UTF8String, b: String) => Some(a.toString.compareTo(b))
+    case (a: Number, b: Number) =>
+      Some(java.lang.Double.compare(a.doubleValue(), b.doubleValue()))
+    case _ => // incomparable: force "holds" (never wrongly skip a row)
+      Some(0)
+  }
+
+  /** Can [[holds]] evaluate this filter exactly? (Known node types with
+    * all references inside `allowed`.)
+    */
+  private[sources] def accepts(f: Filter, allowed: Set[String]): Boolean = f match {
+    case EqualTo(a, _) => allowed(a)
+    case GreaterThan(a, _) => allowed(a)
+    case GreaterThanOrEqual(a, _) => allowed(a)
+    case LessThan(a, _) => allowed(a)
+    case LessThanOrEqual(a, _) => allowed(a)
+    case In(a, _) => allowed(a)
+    case IsNotNull(a) => allowed(a)
+    case IsNull(a) => allowed(a)
+    case And(l, r) => accepts(l, allowed) && accepts(r, allowed)
+    case Or(l, r) => accepts(l, allowed) && accepts(r, allowed)
+    case Not(c) => accepts(c, allowed)
+    case StringStartsWith(a, _) => allowed(a)
+    case _ => false
+  }
+
   val schema: StructType = StructType(Seq(
     StructField("granule_id", StringType, nullable = false),
     StructField("day_of_year", IntegerType, nullable = false),
@@ -75,15 +137,36 @@ private class GranuleTable(options: CaseInsensitiveStringMap)
   }
 }
 
-private class GranuleScanBuilder(options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+private[sources] class GranuleScanBuilder(options: CaseInsensitiveStringMap)
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = GranuleSource.schema
+  private var pushed: Array[Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new GranuleScan(options, required)
+
+  /** Accept every filter [[GranuleSource.holds]] can evaluate exactly
+    * (any schema column). All filters are ALSO returned as residual —
+    * Spark re-applies them post-scan, the same safety contract the
+    * built-in parquet source uses — so the source-side skip is purely an
+    * IO/decode saving, never a correctness dependency.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val allCols = GranuleSource.schema.fieldNames.toSet
+    pushed = filters.filter(GranuleSource.accepts(_, allCols))
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new GranuleScan(options, required, pushed)
 }
 
-private class GranuleScan(options: CaseInsensitiveStringMap, required: StructType)
+private[sources] class GranuleScan(
+    options: CaseInsensitiveStringMap,
+    required: StructType,
+    pushed: Array[Filter])
     extends Scan with Batch {
   private val granules: Array[String] =
     options.getOrDefault("granules", "").split(",").map(_.trim).filter(_.nonEmpty)
@@ -94,33 +177,69 @@ private class GranuleScan(options: CaseInsensitiveStringMap, required: StructTyp
   override def toBatch: Batch = this
   override def description(): String =
     s"GranuleScan[${granules.length} granules, ${rows}x$cols, " +
-      s"pruned=${required.fieldNames.mkString(",")}]"
+      s"pruned=${required.fieldNames.mkString(",")}, " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
 
-  override def planInputPartitions(): Array[InputPartition] =
-    granules.map(g => GranulePartition(g, rows, cols): InputPartition)
+  /** Granule-grade pushed filters (references only filename-derived
+    * columns) prune WHOLE partitions here — the 100 TB lever: a
+    * day/hour-bounded query never schedules tasks for out-of-window
+    * granules, mirroring the reference's file-list date selection.
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val granuleGrade =
+      pushed.filter(GranuleSource.accepts(_, GranuleSource.granuleCols))
+    granules
+      .filter { g =>
+        val meta = GranuleMeta(g)
+        granuleGrade.forall(GranuleSource.holds(_, meta.get))
+      }
+      .map(g => GranulePartition(g, rows, cols): InputPartition)
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GranuleReaderFactory(required)
+    new GranuleReaderFactory(required, pushed)
+}
+
+/** Filename-derived granule metadata (reference `aggregate_functions.py:
+  * 289-291`): `A2008001.0005` -> day_of_year 1, hour 0.
+  */
+private[sources] case class GranuleMeta(granuleId: String) {
+  val dayOfYear: Int = granuleId.slice(5, 8).toIntOption.getOrElse(0)
+  val hour: Int = granuleId.slice(9, 11).toIntOption.getOrElse(0)
+  def get(field: String): Any = field match {
+    case "granule_id" => granuleId
+    case "day_of_year" => dayOfYear
+    case "hour" => hour
+  }
 }
 
 /** One granule = one partition = one task (whole-file granularity). */
-private case class GranulePartition(granuleId: String, rows: Int, cols: Int)
+private[sources] case class GranulePartition(granuleId: String, rows: Int, cols: Int)
     extends InputPartition
 
-private class GranuleReaderFactory(required: StructType)
+private[sources] class GranuleReaderFactory(required: StructType, pushed: Array[Filter])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new GranulePixelReader(partition.asInstanceOf[GranulePartition], required)
+    new GranulePixelReader(partition.asInstanceOf[GranulePartition], required, pushed)
 }
 
 /** Streams one granule's pixels as InternalRows, building ONLY the pruned
   * columns. Deterministic synthesis keyed by (granule_id, pixel index).
   */
-private class GranulePixelReader(p: GranulePartition, required: StructType)
+private[sources] class GranulePixelReader(
+    p: GranulePartition,
+    required: StructType,
+    pushed: Array[Filter] = Array.empty)
     extends PartitionReader[InternalRow] {
 
   private val n = p.rows * p.cols
   private var i = -1
+
+  // row-grade pushed filters: skip non-matching pixels before building
+  // rows (stand-in for the real reader's region-mask-before-decode,
+  // reference `aggregate_functions.py:297-306`)
+  private val rowFilters: Array[Filter] =
+    pushed.filter(GranuleSource.accepts(_, GranuleSource.schema.fieldNames.toSet))
 
   private val doy = p.granuleId.slice(5, 8).toIntOption.getOrElse(0)
   private val hour = p.granuleId.slice(9, 11).toIntOption.getOrElse(0)
@@ -158,7 +277,13 @@ private class GranulePixelReader(p: GranulePartition, required: StructType)
   private val rowBuf =
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(fieldNames.length)
 
-  override def next(): Boolean = { i += 1; i < n }
+  override def next(): Boolean = {
+    i += 1
+    if (rowFilters.nonEmpty)
+      while (i < n && !rowFilters.forall(GranuleSource.holds(_, valueAt)))
+        i += 1
+    i < n
+  }
 
   override def get(): InternalRow = {
     var j = 0

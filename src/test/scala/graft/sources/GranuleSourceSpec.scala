@@ -38,6 +38,57 @@ class GranuleSourceSpec extends SparkSpec {
     assert(scan.contains("pruned=lat,lon"), s"scan was: $scan")
   }
 
+  test("granule-grade filters prune whole partitions at planning") {
+    // day_of_year/hour/granule_id predicates are filename-decidable:
+    // out-of-window granules never become tasks
+    val df = read("A2008001.0005,A2008001.0100,A2008002.0200,A2008003.1200")
+      .filter($"day_of_year" === 1)
+    assert(df.rdd.getNumPartitions == 2, "expected 2 surviving granules")
+    assert(df.count() == 2 * 64)
+    val hr = read("A2008001.0005,A2008001.0100,A2008002.0200")
+      .filter($"hour" < 2)
+    assert(hr.rdd.getNumPartitions == 2) // 0005 (h0) and 0100 (h1)
+  }
+
+  test("row-grade filters skip pixels inside the reader") {
+    val part = GranulePartition("A2008001.0005", 8, 8)
+    def rowCount(filters: Array[org.apache.spark.sql.sources.Filter]): Int = {
+      val r = new GranulePixelReader(part, GranuleSource.schema, filters)
+      var n = 0
+      while (r.next()) n += 1
+      n
+    }
+    val all = rowCount(Array.empty)
+    val bbox = rowCount(Array(
+      org.apache.spark.sql.sources.GreaterThan("lat", 0.0),
+      org.apache.spark.sql.sources.LessThan("lon", 0.0)))
+    assert(all == 64)
+    assert(bbox > 0 && bbox < all, s"bbox skipped nothing ($bbox of $all)")
+    // reader-level skip equals the engine-level filter result
+    val engine = read("A2008001.0005").filter($"lat" > 0 && $"lon" < 0).count()
+    assert(bbox.toLong == engine)
+  }
+
+  test("pushed filters appear in the scan description; results unchanged") {
+    val df = read("A2008001.0005,A2008002.0200")
+      .filter($"lat" > 0.0 && $"day_of_year" === 1)
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters") && scan.contains("lat"), s"scan was: $scan")
+    val unpushed = read("A2008001.0005,A2008002.0200").collect()
+      .filter(r => r.getDouble(5) > 0.0 && r.getInt(1) == 1)
+    assert(df.count() == unpushed.length)
+  }
+
+  test("nullable-column predicates never wrongly skip at the reader") {
+    val base = read("A2008001.0100")
+    val viaSource = base.filter($"Cloud_Top_Pressure".isNull).count()
+    val viaSpark = base.collect().count(_.isNullAt(8))
+    assert(viaSource == viaSpark)
+    val gt = base.filter($"Cloud_Top_Pressure" > 500.0).count()
+    val gtSpark = base.collect().count(r => !r.isNullAt(8) && r.getDouble(8) > 500.0)
+    assert(gt == gtSpark)
+  }
+
   test("deterministic content: same granule -> identical pixels") {
     val a = read("A2008001.0005").collect().map(_.toSeq.toVector).toSet
     val b = read("A2008001.0005").collect().map(_.toSeq.toVector).toSet
