@@ -60,6 +60,34 @@ class ModisEngineSpec extends SparkSpec {
     assert(c0.getDouble(c0.fieldIndex("cloud_fraction_Mean")) == 1.0)
   }
 
+  test("rangeL3: all days in range + 3h spill of dEnd+1, null-out keyed to last day") {
+    val vcfg = cfg.copy(vars = Seq(VarSpec("Cloud_Top_Pressure")))
+    // all at (10, 45) -> cell 6; lon 45 is in the d0 cutoff quadrant [0,90]
+    val px = Seq(
+      ("A2008001.0100", 1, 1, 2, 3, 10.0, 45.0, 1, 100.0), // FIRST day hr<3: NOT nulled (d0 = last day, not first)
+      ("A2008002.1200", 2, 12, 2, 3, 10.0, 45.0, 1, 200.0), // interior day: kept
+      ("A2008003.0100", 3, 1, 2, 3, 10.0, 45.0, 1, 300.0), // dEnd hr<3, lon in [0,90]: nulled
+      ("A2008003.2300", 3, 23, 2, 3, 10.0, 45.0, 1, 400.0), // dEnd late hour: kept
+      ("A2008004.0100", 4, 1, 2, 3, 10.0, -120.0, 1, 500.0), // spill day hr<3, lon in [-90,0]? no, -120 not in cutD1 -> kept
+      ("A2008004.0100", 4, 1, 2, 3, 10.0, -45.0, 1, 600.0), // spill day hr<3, lon in [-90,0]: nulled
+      ("A2008004.1200", 4, 12, 2, 3, 10.0, 45.0, 1, 700.0), // spill day hour >= 3: OUT of range entirely
+      ("A2008005.1200", 5, 12, 2, 3, 10.0, 45.0, 1, 800.0) //  beyond spill: out
+    ).toDF("granule_id", "day_of_year", "hour", "row", "col",
+      "lat", "lon", "cm_flag", "Cloud_Top_Pressure")
+    val l3 = ModisEngine.rangeL3(px, vcfg, dStart = 1, dEnd = 3).collect()
+    // cell 6 (lon 45) gets {100, 200, 400}; cell 5 (lon -120) gets {500};
+    // cell for lon -45 exists but its value is nulled
+    val byCell = l3.map(r => r.getLong(r.fieldIndex("cell")) -> r).toMap
+    val c6 = byCell(6L)
+    assert(c6.getLong(c6.fieldIndex("Cloud_Top_Pressure_Pixel_Counts")) == 3L)
+    assert(c6.getDouble(c6.fieldIndex("Cloud_Top_Pressure_Minimum")) == 100.0)
+    assert(c6.getDouble(c6.fieldIndex("Cloud_Top_Pressure_Maximum")) == 400.0)
+    val c4 = byCell(4L) // floor((-120+180)/90) = 0 -> 1*4+0
+    assert(c4.getDouble(c4.fieldIndex("Cloud_Top_Pressure_Minimum")) == 500.0)
+    val c5 = byCell(5L) // lon -45 -> idx 1 -> cell 5: nulled value, zero count
+    assert(c5.getLong(c5.fieldIndex("Cloud_Top_Pressure_Pixel_Counts")) == 0L)
+  }
+
   test("sampling keeps only row%n==2 && col%n==3 pixels") {
     val df = Seq(
       ("g", 1, 12, 2, 3, 10.0, 45.0, 1, 100.0), // kept (2%4==2, 3%4==3)
