@@ -35,24 +35,35 @@ object GraftFunctions {
     arr.toDoubleArray().toSeq
   }
 
-  def registerAll(spark: SparkSession): Unit = {
-    Bridge.registerFunction(spark, "vec_dot", exprs => {
-      require(exprs.length == 2, "vec_dot(a, b)")
-      VecDot(exprs(0), exprs(1))
-    })
-    // Cast value children to double exactly like HistogramFunctions does —
-    // the aggregates' update() reads a Double, and an INT column through
-    // the SQL path would otherwise ClassCastException at runtime.
-    def dbl(e: Expression): Expression =
-      org.apache.spark.sql.catalyst.expressions.Cast(e, org.apache.spark.sql.types.DoubleType)
-    Bridge.registerFunction(spark, "hist1d", exprs => {
-      require(exprs.length == 2, "hist1d(value, edges)")
-      Histogram1DAgg(dbl(exprs(0)), edgesOf(exprs(1), "hist1d"))
-    })
-    Bridge.registerFunction(spark, "hist2d", exprs => {
-      require(exprs.length == 4, "hist2d(x, y, xEdges, yEdges)")
-      Histogram2DAgg(dbl(exprs(0)), dbl(exprs(1)),
-        edgesOf(exprs(2), "hist2d"), edgesOf(exprs(3), "hist2d"))
-    })
-  }
+  // Cast value children to double exactly like HistogramFunctions does —
+  // the aggregates' update() reads a Double, and an INT column through
+  // the SQL path would otherwise ClassCastException at runtime.
+  private def dbl(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.expressions.Cast(e, org.apache.spark.sql.types.DoubleType)
+
+  /** name -> (usage doc, expression builder); shared by the programmatic
+    * registration below and [[GraftExtensions]].
+    */
+  val builders: Map[String, (String, Seq[Expression] => Expression)] = Map(
+    "vec_dot" -> ("vec_dot(a, b) - sequential-order float-array dot product",
+      exprs => {
+        require(exprs.length == 2, "vec_dot(a, b)")
+        VecDot(exprs(0), exprs(1))
+      }),
+    "hist1d" -> ("hist1d(value, edges) - np.histogram-semantics bin counts",
+      exprs => {
+        require(exprs.length == 2, "hist1d(value, edges)")
+        Histogram1DAgg(dbl(exprs(0)), edgesOf(exprs(1), "hist1d"))
+      }),
+    "hist2d" -> ("hist2d(x, y, xEdges, yEdges) - joint histogram counts",
+      exprs => {
+        require(exprs.length == 4, "hist2d(x, y, xEdges, yEdges)")
+        Histogram2DAgg(dbl(exprs(0)), dbl(exprs(1)),
+          edgesOf(exprs(2), "hist2d"), edgesOf(exprs(3), "hist2d"))
+      }))
+
+  def registerAll(spark: SparkSession): Unit =
+    builders.foreach { case (name, (_, builder)) =>
+      Bridge.registerFunction(spark, name, builder)
+    }
 }

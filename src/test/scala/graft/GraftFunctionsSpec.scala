@@ -32,6 +32,30 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(viaCol == 11.0)
   }
 
+  test("GraftExtensions wires the SQL surface via spark.sql.extensions") {
+    // build a sibling session over the same SparkContext with the
+    // extensions config — the zero-code-changes integration path
+    val prev = org.apache.spark.sql.SparkSession.getDefaultSession
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.extensions", "graft.GraftExtensions")
+        .getOrCreate()
+      val dot = s2.sql("SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+        .collect().head.getDouble(0)
+      assert(dot == 11.0)
+      import s2.implicits._
+      Seq((1L, 0.5), (1L, 1.5)).toDF("cell", "v").createOrReplaceTempView("px_ext")
+      val h = s2.sql(
+        "SELECT hist1d(v, array(0.0D, 1.0D, 2.0D)) AS h FROM px_ext GROUP BY cell")
+        .collect().head.getSeq[Long](0)
+      assert(h == Seq(1L, 1L))
+    } finally {
+      prev.foreach(org.apache.spark.sql.SparkSession.setDefaultSession)
+    }
+  }
+
   test("hist1d rejects non-literal edges") {
     GraftFunctions.registerAll(spark)
     Seq((1L, 0.5)).toDF("cell", "v").createOrReplaceTempView("px2")
