@@ -54,7 +54,7 @@ object SimilarityOps {
     * of every scored row. Non-integral ids fall back to the window form
     * (same semantics, full-score shuffle).
     */
-  private def rankTopK(scored: DataFrame, k: Int, corpusIdType: DataType): DataFrame =
+  private[ops] def rankTopK(scored: DataFrame, k: Int, corpusIdType: DataType): DataFrame =
     corpusIdType match {
       case ByteType | ShortType | IntegerType | LongType =>
         scored
@@ -237,14 +237,18 @@ object SimilarityOps {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       maxBucketSize: Option[Int] = None): DataFrame = {
+    // Phase 1 — SLIM candidate generation: the bucket index carries only
+    // (id, table, bucket) = ~20 bytes/row, so the self-join and the
+    // OR-across-tables `distinct` shuffle narrow rows even when one pair
+    // collides in many tables. (Carrying the vectors through this join
+    // multiplies the shuffled payload by tables x vector width — measured
+    // 20x slower at 2k vectors.)
     val b0 = vecs.select(
-      col(idCol).as("id"), col(vecCol).as("v"),
-      sqrt(norm2(col(vecCol))).as("nrm"),
+      col(idCol).as("id"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"), lshBucketTable(col(vecCol), t, planes, dims).as("b"))): _*))
         .as("bucket"))
-      .select(col("id"), col("v"), col("nrm"),
-        col("bucket.t").as("t"), col("bucket.b").as("b"))
+      .select(col("id"), col("bucket.t").as("t"), col("bucket.b").as("b"))
     val b = maxBucketSize match {
       case None => b0
       case Some(cap) =>
@@ -253,14 +257,20 @@ object SimilarityOps {
           .select(col("t"), col("b"))
         b0.join(hot, Seq("t", "b"), "left_anti")
     }
-    b.as("x")
+    val pairs = b.as("x")
       .join(b.as("y"),
         col("x.t") === col("y.t") && col("x.b") === col("y.b") &&
           col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        col("x.v").as("va"), col("y.v").as("vb"),
-        col("x.nrm").as("na"), col("y.nrm").as("nb"))
-      .dropDuplicates("id_a", "id_b") // OR across tables
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct() // OR across tables
+    // Phase 2 — exact verify: fetch each side's vector once per DISTINCT
+    // candidate pair (two equi-joins; AQE broadcasts the vector side when
+    // it is small enough, plain shuffle joins otherwise).
+    val va = vecs.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+      sqrt(norm2(col(vecCol))).as("na"))
+    val vb = vecs.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+      sqrt(norm2(col(vecCol))).as("nb"))
+    pairs.join(va, "id_a").join(vb, "id_b")
       .withColumn("cosine",
         dot(col("va"), col("vb")) / nullif(col("na") * col("nb"), lit(0.0)))
       .filter(col("cosine") >= threshold)

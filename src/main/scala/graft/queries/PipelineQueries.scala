@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+import graft.ops.{DedupOps, IvfOps, MultimodalOps, SimilarityOps, TextOps}
 import graft.streaming.EventOps
 
 /** Training-data pipeline operators (dedup, similarity search, multimodal,
@@ -79,6 +79,16 @@ object PipelineQueries {
       val e = t(s, dir, "embeddings")
       SimilarityOps.lshTopK(
         e.filter(col("vec_id") < 10), e, k = 10, planes = 8, dims = 64)
+    }),
+
+    // IVF coarse-quantizer ANN (spherical k-means lists + nprobe search).
+    // No SQL oracle: Lloyd updates use float sums whose last ulp is
+    // partitioning-dependent (inherent to distributed k-means) -> rows-only
+    // check; recall/exactness are IvfOpsSpec-verified.
+    "q_sim_ivf_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = IvfOps.trainCentroids(e, k = 8, iters = 2)
+      IvfOps.ivfTopK(e.filter(col("vec_id") < 10), e, k = 10, cents, nprobe = 4)
     }),
 
     "q_embed_neardup" -> ((s, dir) =>
