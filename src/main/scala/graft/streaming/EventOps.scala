@@ -64,6 +64,35 @@ object EventOps {
       .drop("prev_ts", "new_session")
   }
 
+  /** Streaming exact dedup — the ingestion-time twin of
+    * [[graft.ops.DedupOps.exactDedup]]: keep the FIRST arrival per key,
+    * drop the rest. The state store is keyed by `xxhash64(key)` (8 bytes
+    * per live key — the same never-carry-the-payload rule as the batch
+    * operator; a state store keyed by document text would grow with the
+    * corpus' byte size, not its cardinality).
+    *
+    * With `watermark` (requires an event-time `ts` column) state expires
+    * once the key's event time falls behind the horizon —
+    * `dropDuplicatesWithinWatermark` — so state is bounded by the horizon's
+    * key cardinality: the correct shape for an unbounded 100 TB/day feed.
+    * Without a watermark, state grows with distinct keys (use only for
+    * bounded streams). Batch runs of the same plan dedup identically
+    * (minus arrival-order determinism, which batch callers get from
+    * `exactDedup`'s min_by instead).
+    */
+  def streamingDedup(
+      df: DataFrame,
+      key: Column,
+      watermark: Option[String] = None): DataFrame = {
+    val keyed = df.withColumn("__dedup_key", xxhash64(key))
+    val out = watermark match {
+      case Some(w) => keyed.withWatermark("ts", w)
+        .dropDuplicatesWithinWatermark("__dedup_key")
+      case None => keyed.dropDuplicates("__dedup_key")
+    }
+    out.drop("__dedup_key")
+  }
+
   /** Per-session summary: bounds + event count. */
   def sessionStats(events: DataFrame, gapMinutes: Int): DataFrame =
     sessionized(events, gapMinutes)

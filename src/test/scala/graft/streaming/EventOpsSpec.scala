@@ -75,4 +75,39 @@ class EventOpsSpec extends SparkSpec {
       .toMap
     assert(out((10L, 2L)) == (2L, "2024-01-01 00:55:00", "2024-01-01 01:10:00"))
   }
+
+  test("streamingDedup keeps first arrival per key across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val stream = mem.toDF().toDF("event_id", "ts", "payload")
+    val q = EventOps.streamingDedup(stream, col("payload"), watermark = Some("1 hour"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, ts("2024-01-01 00:05:00"), "doc-a"),
+        (2L, ts("2024-01-01 00:06:00"), "doc-b"),
+        (3L, ts("2024-01-01 00:07:00"), "doc-a")) // duplicate in-batch
+      q.processAllAvailable()
+      mem.addData(
+        (4L, ts("2024-01-01 00:30:00"), "doc-b"), // duplicate across batches
+        (5L, ts("2024-01-01 00:31:00"), "doc-c"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT event_id, payload FROM dedup_out").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toSet
+      // first arrival of each payload survives, id 3 and 4 dropped
+      assert(got == Set(1L -> "doc-a", 2L -> "doc-b", 5L -> "doc-c"))
+
+      // batch twin dedups to the same key set
+      val batch = EventOps.streamingDedup(
+        Seq(
+          (1L, ts("2024-01-01 00:05:00"), "doc-a"),
+          (2L, ts("2024-01-01 00:06:00"), "doc-b"),
+          (3L, ts("2024-01-01 00:07:00"), "doc-a"),
+          (4L, ts("2024-01-01 00:30:00"), "doc-b"),
+          (5L, ts("2024-01-01 00:31:00"), "doc-c")).toDF("event_id", "ts", "payload"),
+        col("payload"))
+      assert(batch.select($"payload").distinct().count() == 3 && batch.count() == 3)
+    } finally q.stop()
+  }
 }
