@@ -1,0 +1,173 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components — the clustering step that turns
+  * near-duplicate PAIRS (from [[DedupOps.ngramJaccardPairs]],
+  * [[SimilarityOps]] LSH candidates, MinHash bands, ...) into canonical
+  * duplicate CLUSTERS, so a pipeline can keep exactly one representative
+  * per transitive group.
+  *
+  * Algorithm: alternating large-star / small-star contraction (Kiveris et
+  * al., "Connected Components in MapReduce and Beyond", SoCC'14 — public
+  * algorithm). Each half-round is ONE window aggregation over the edge
+  * list keyed by an 8-byte node id; the edge set contracts toward one star
+  * per component in O(log^2 n) rounds regardless of graph diameter. That
+  * bound is the scale property: a transitive chain of near-duplicates
+  * (doc1~doc2~...~docK, common in boilerplate-heavy corpora) converges
+  * logarithmically, where naive min-label propagation needs K rounds of
+  * full-edge shuffles.
+  *
+  * Determinism: the component id is the minimum node id in the component —
+  * independent of partitioning, iteration count, or merge order.
+  */
+object GraphOps {
+
+  /** Driver-side union-find (weighted by rank of the id ordering: the
+    * smaller root always wins, so labels are the component minima —
+    * identical contract to the distributed path). Iterative find, so a
+    * degenerate million-node chain cannot overflow the stack.
+    */
+  private[ops] def unionFindLocal(edges: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x0: Long): Long = {
+      var root = x0
+      while (parent.getOrElseUpdate(root, root) != root) root = parent(root)
+      var x = x0 // path compression
+      while (parent(x) != root) { val nxt = parent(x); parent(x) = root; x = nxt }
+      root
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val keys = parent.keys.toArray
+    keys.iterator.map(k => k -> find(k)).toMap
+  }
+
+  /** Large-star: every node connects its LARGER neighbors to the minimum
+    * of its neighborhood (including itself). Operates on the symmetric
+    * neighbor list; one shuffle (window by node). No dedup here — each
+    * input edge yields at most one output row (multiplicity cannot grow),
+    * and the following small-star pass dedups, so a distinct would only
+    * add a shuffle.
+    */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val nbrs = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+    val w = Window.partitionBy(col("u"))
+    nbrs
+      .withColumn("m", least(min(col("v")).over(w), col("u")))
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v"))
+  }
+
+  /** Small-star: with edges pointed big->small, every node connects its
+    * smaller neighbors (and itself) to the neighborhood minimum.
+    */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val dir = edges.select(
+      greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+    val w = Window.partitionBy(col("u"))
+    val withM = dir.withColumn("m", min(col("v")).over(w))
+    withM.select(col("v").as("u"), col("m").as("v"))
+      .union(withM.select(col("u"), col("m").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Connected components of the undirected graph given by `(srcCol,
+    * dstCol)` pairs. Returns `(node, component)` for every node incident
+    * to at least one edge, `component` = min node id reachable. Self-loops
+    * ignored; direction ignored.
+    *
+    * Adaptive physical strategy, chosen from the OBSERVED edge count (the
+    * same runtime-size adaptivity as a broadcast-join threshold):
+    *
+    *   - `<= smallGraphEdges` (default 4M ~ 64 MB of longs): collect the
+    *     deduped edge list and run union-find on the driver. After
+    *     near-dup filtering the candidate pair graph is almost always
+    *     microscopic relative to the corpus, and a dozen distributed
+    *     shuffle rounds for a few thousand edges is pure scheduler
+    *     overhead. Bounded driver memory by the threshold, like a
+    *     broadcast build side.
+    *   - above the threshold: alternating large-star/small-star rounds
+    *     (3 shuffles/round) to a fixpoint detected by an exact edge-set
+    *     checksum (count + order-independent hash sum — one tiny action
+    *     per round, never a collect). O(log^2 n) rounds suffice (Kiveris
+    *     et al. Thm 2); `maxRounds` is a safety valve only.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxRounds: Int = 40,
+      smallGraphEdges: Long = 4L << 20): DataFrame = {
+    var edges = pairs
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
+      .distinct()
+      .cache()
+
+    def checksum(e: DataFrame): (Long, String) = {
+      val r = e.agg(
+        count(lit(1)).as("n"),
+        // order-independent exact fingerprint of the edge SET: sum of
+        // 64-bit hashes in decimal(38,0) (never overflows below ~1e19
+        // edges; plain long sums trip ANSI overflow checks)
+        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).as("h")).head()
+      (r.getLong(0), r.getDecimal(1).toPlainString)
+    }
+
+    var prev = checksum(edges)
+    if (prev._1 <= smallGraphEdges) {
+      val local = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      edges.unpersist(false)
+      val labels = unionFindLocal(local)
+      val session = pairs.sparkSession
+      import session.implicits._
+      return labels.toSeq.toDF("node", "component")
+    }
+
+    var round = 0
+    var done = prev._1 == 0L
+    while (!done && round < maxRounds) {
+      val next = smallStar(largeStar(edges)).cache()
+      // every ~4 rounds cut the lineage so plan size stays O(1) per round
+      val materialized =
+        if (round % 4 == 3) next.localCheckpoint(true) else next
+      val cur = checksum(materialized)
+      edges.unpersist(false)
+      edges = materialized
+      done = cur == prev
+      prev = cur
+      round += 1
+    }
+
+    // at the fixpoint every non-minimum node has an edge to its component
+    // minimum: label = min over incident edges (seen from both ends)
+    val nbrs = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+    nbrs.groupBy(col("u"))
+      .agg(min(col("v")).as("mn"))
+      .select(col("u").as("node"), least(col("mn"), col("u")).as("component"))
+  }
+
+  /** [[connectedComponents]] extended to a full node table: nodes with no
+    * edges become singleton components labeled by their own id.
+    */
+  def componentsOf(
+      nodes: DataFrame,
+      nodeCol: String,
+      pairs: DataFrame,
+      srcCol: String,
+      dstCol: String): DataFrame = {
+    val comp = connectedComponents(pairs, srcCol, dstCol)
+    nodes.select(col(nodeCol).cast("long").as("node"))
+      .join(comp, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("component"), col("node")).as("component"))
+  }
+}

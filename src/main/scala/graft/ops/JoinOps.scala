@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Join utilities for skewed keys at scale.
@@ -44,5 +45,72 @@ object JoinOps {
     val o = other.withColumn("__salt",
       explode(array((0 until saltBuckets).map(lit): _*)))
     s.join(o, keys :+ "__salt", joinType).drop("__salt")
+  }
+
+  /** Point-in-time (as-of) join: for every left row, attach the LATEST
+    * right row with `right.tsRight <= left.tsLeft` and equal `keys` — the
+    * feature-store / training-snapshot join (no label leakage from the
+    * future). Left rows with no earlier right row keep NULLs.
+    *
+    * Scale shape: a range-condition join in Spark degenerates to a
+    * broadcast-nested-loop or a per-key cross product; instead both sides
+    * are UNIONED with a side tag and resolved by ONE window pass — a single
+    * hash partitioning by `keys`, each row carried exactly once, cost
+    * O((|L|+|R|) log per-key-run) with no pair blow-up at any key
+    * cardinality or time density.
+    *
+    * Determinism: window order is (`ts`, side-tag, right payload), so at
+    * equal timestamps the right row sorts before the left row it matches
+    * (as-of is inclusive) and duplicate right timestamps resolve to the
+    * greatest payload tuple — reproducible under any partitioning.
+    *
+    * Output: all left columns, then `tsRight` and `payloadCols` from the
+    * matched right row (names must not collide with left's).
+    * `tolerance` (e.g. "3 hours") drops matches older than
+    * `left.ts - tolerance`, keeping the left row with NULLs.
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      tsLeft: String,
+      tsRight: String,
+      payloadCols: Seq[String],
+      tolerance: Option[String] = None): DataFrame = {
+    val outNames = tsRight +: payloadCols
+    val clash = left.columns.toSet.intersect(outNames.toSet)
+    require(clash.isEmpty, s"right output columns collide with left: $clash")
+
+    val payload = struct(outNames.map(col): _*)
+    val payloadType = right.select(payload.as("p")).schema("p").dataType
+    val leftRest = left.columns.filterNot(keys.contains).toSeq
+    val leftTypes = left.schema.map(f => f.name -> f.dataType).toMap
+
+    val lSide = left.select(
+      keys.map(col) ++ Seq(
+        col(tsLeft).as("__ts"),
+        lit(1).as("__tag"),
+        lit(null).cast(payloadType).as("__rp")) ++
+        leftRest.map(col): _*)
+    val rSide = right.select(
+      keys.map(col) ++ Seq(
+        col(tsRight).as("__ts"),
+        lit(0).as("__tag"),
+        payload.as("__rp")) ++
+        leftRest.map(c => lit(null).cast(leftTypes(c)).as(c)): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__tag"), col("__rp"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = lSide.unionByName(rSide)
+      .withColumn("__m", last(col("__rp"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+    val bounded = tolerance.fold(matched) { t =>
+      matched.withColumn("__m",
+        when(col(s"__m.`$tsRight`") >= col("__ts") - expr(s"INTERVAL $t"), col("__m")))
+    }
+    bounded.select(
+      left.columns.toSeq.map(col) ++
+        outNames.map(n => col(s"__m.`$n`").as(n)): _*)
   }
 }

@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines. Every operator here
+  * is a pure row-local predicate or a bounded top-k — no RNG state, no
+  * `rand()` (whose per-partition seeding makes results depend on the
+  * partition layout, i.e. NOT reproducible across cluster sizes). At
+  * 100 TB, "reproducible sample" means: re-running the job on different
+  * hardware, executor counts, or input splits selects the SAME rows.
+  */
+object SamplingOps {
+
+  /** Keep-predicate selecting `numerator/denominator` of rows keyed by a
+    * content hash: `pmod(xxhash64(key), denom) < num`. Row-local (no
+    * shuffle), reproducible under any partitioning, and consistent across
+    * datasets — the same key always lands on the same side, so a document
+    * and its derived rows (chunks, embeddings) are sampled together when
+    * keyed identically.
+    */
+  def hashKeep(key: Column, numerator: Int, denominator: Int): Column = {
+    require(denominator > 0 && numerator >= 0 && numerator <= denominator,
+      s"bad sample rate $numerator/$denominator")
+    pmod(xxhash64(key), lit(denominator.toLong)) < numerator.toLong
+  }
+
+  /** Uniform deterministic sample of ~`numerator/denominator` keyed by
+    * `key` (see [[hashKeep]]).
+    */
+  def hashSample(df: DataFrame, key: Column, numerator: Int, denominator: Int): DataFrame =
+    df.filter(hashKeep(key, numerator, denominator))
+
+  /** Stratified deterministic sample: per-stratum keep rates in
+    * `percentByStratum` (0-100, applied as `id % 100 < pct`), `defaultPercent`
+    * for unlisted strata. Uses the row id rather than a hash so the exact
+    * same predicate is expressible in any ANSI engine (the oracle story);
+    * for content-keyed reproducibility across datasets prefer [[hashKeep]]
+    * on a stable key. Row-local — no shuffle, no per-stratum pass: one
+    * predicate evaluates all strata (vs `df.stat.sampleBy`, which is
+    * rand()-seeded per partition and not layout-stable).
+    */
+  def stratifiedExact(
+      df: DataFrame,
+      idCol: Column,
+      stratumCol: Column,
+      percentByStratum: Map[String, Int],
+      defaultPercent: Int): DataFrame = {
+    val pct = percentByStratum.toSeq.sortBy(_._1)
+      .foldRight(lit(defaultPercent)) { case ((s, p), els) =>
+        when(stratumCol === s, lit(p)).otherwise(els)
+      }
+    df.filter(pmod(idCol.cast("long"), lit(100L)) < pct.cast("long"))
+  }
+
+  /** Exactly-k uniform sample without a global sort: order by a content
+    * hash and take k. Physically a `TakeOrderedAndProject` — each task
+    * keeps a k-row heap, the driver merges #tasks * k rows; nothing close
+    * to a full-data sort/shuffle at any scale. Deterministic for a fixed
+    * dataset (ties on the 64-bit hash broken by the hash of the full
+    * struct are astronomically unlikely; the k-th boundary is stable).
+    */
+  def hashTopK(df: DataFrame, key: Column, k: Int): DataFrame =
+    df.withColumn("__hk", xxhash64(key))
+      .orderBy(col("__hk"))
+      .limit(k)
+      .drop("__hk")
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{DedupOps, IvfOps, MultimodalOps, SimilarityOps, TextOps}
+import graft.ops.{DedupOps, GraphOps, IvfOps, JoinOps, MultimodalOps, SamplingOps, SimilarityOps, TextOps}
 import graft.streaming.EventOps
 
 /** Training-data pipeline operators (dedup, similarity search, multimodal,
@@ -61,6 +61,41 @@ object PipelineQueries {
 
     "q_dedup_simhash" -> ((s, dir) =>
       DedupOps.simhash(t(s, dir, "documents"), "doc_id", "text")),
+
+    // Near-dup pairs -> canonical duplicate CLUSTERS: connected components
+    // (alternating star contraction, O(log n) rounds) over the Jaccard
+    // pair graph; singleton docs keep their own id as the component.
+    "q_dedup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = DedupOps.ngramJaccardPairs(
+        docs, "doc_id", "text", k = 3, threshold = 0.2)
+      GraphOps.componentsOf(docs, "doc_id", pairs, "id_a", "id_b")
+        .select(col("node").as("doc_id"), col("component"))
+    }),
+
+    // ---------------------------------------------------------- sampling
+    "q_sample_stratified" -> ((s, dir) =>
+      SamplingOps.stratifiedExact(
+        t(s, dir, "documents"), col("doc_id"), col("source"),
+        Map("src0" -> 13, "src1" -> 37), defaultPercent = 61)
+        .select(col("doc_id"), col("source"))),
+
+    // xxhash64-keyed -> no DuckDB twin (rows-only; determinism + rate in
+    // SamplingOpsSpec).
+    "q_sample_hash" -> ((s, dir) =>
+      SamplingOps.hashSample(
+        t(s, dir, "documents"), col("doc_id"), 25, 100)
+        .select(col("doc_id"), col("source"))),
+
+    // ------------------------------------------------------- vocabulary
+    "q_vocab_topk" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextOps.tokens(lower(col("text")))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("tf").desc, col("token"))
+        .limit(100)),
 
     // -------------------------------------------------------- similarity
     "q_sim_topk" -> ((s, dir) => {
@@ -124,6 +159,25 @@ object PipelineQueries {
     "q_sessionize" -> ((s, dir) =>
       EventOps.sessionStats(RefQueries.events(s, dir), gapMinutes = 30)),
 
+    // Point-in-time join: latest click at-or-before each error, per user.
+    // One union + one window shuffle — never a range cross product.
+    "q_asof_join" -> ((s, dir) => {
+      val ev = RefQueries.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_id"))
+        .select(col("user_id"), col("ts").as("click_ts"), col("click_id"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id"), col("ts"))
+      JoinOps.asofJoin(errors, clicks,
+        keys = Seq("user_id"), tsLeft = "ts", tsRight = "click_ts",
+        payloadCols = Seq("click_id"))
+        .select(col("error_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("err_ts"),
+          col("click_id"),
+          date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("clicked_at"))
+    }),
+
     // ------------------------------------- sort / top-k / window (engine
     // completeness; the reference needs none of these, SURVEY §2.5)
     "q_topk_orders" -> ((s, dir) =>
@@ -158,6 +212,32 @@ object PipelineQueries {
         .agg(
           countDistinct(col("l_partkey")).as("n_parts"),
           countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))),
+
+    // Exact distributed percentiles over fixed-point cents (integer
+    // endpoints keep the interpolation arithmetic engine-exact); the
+    // sketch-based scale path is percentile_approx (error-bounded in
+    // SamplingOpsSpec — exact percentile sorts per group, approx merges
+    // constant-size sketches).
+    "q_quantiles" -> ((s, dir) => {
+      val cents = round(col("l_extendedprice") * 100).cast("long")
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          (percentile(cents, lit(0.5)) / 100).as("p50"),
+          (percentile(cents, lit(0.9)) / 100).as("p90"),
+          (percentile(cents, lit(0.99)) / 100).as("p99"))
+    }),
+
+    // HLL++ sketch distinct (the 100 TB path where exact per-group
+    // count-distinct would shuffle every distinct value): deterministic
+    // for fixed data but sketch-specific -> rows-only; relative-error
+    // bound vs exact is SamplingOpsSpec-verified.
+    "q_approx_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("nd_parts_approx"),
           count(lit(1)).as("n_rows"))),
 
     // Semi-structured: JSON property extraction + aggregation over the
@@ -264,6 +344,70 @@ object PipelineQueries {
          |  CAST(intersection AS DOUBLE)/(sa.n + sb.n - intersection) AS jaccard
          |FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
          |WHERE CAST(intersection AS DOUBLE)/(sa.n + sb.n - intersection) >= 0.2""".stripMargin,
+
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id, ${S.tokens("text")} AS w FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')))) AS s
+         |  FROM toks WHERE len(w) >= 3),
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS i
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |good AS (
+         |  SELECT id_a, id_b FROM inter
+         |  JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+         |  WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.2),
+         |edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM good
+         |  UNION SELECT id_b, id_a FROM good),
+         |reach(n, r) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+         |  UNION
+         |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.n),
+         |comp AS (SELECT n, min(r) AS component FROM reach GROUP BY n)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS component
+         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.n""".stripMargin,
+
+    "q_sample_stratified" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE doc_id % 100 < (CASE WHEN source = 'src0' THEN 13
+        |                           WHEN source = 'src1' THEN 37
+        |                           ELSE 61 END)""".stripMargin,
+
+    "q_vocab_topk" ->
+      s"""SELECT token, CAST(count(*) AS BIGINT) AS tf,
+         | CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |FROM (SELECT doc_id, unnest(${S.tokens("lower(text)")}) AS token
+         |      FROM documents)
+         |GROUP BY token ORDER BY tf DESC, token LIMIT 100""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts AS click_ts, max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |errors AS (
+        |  SELECT event_id AS error_id, user_id, ts
+        |  FROM events WHERE event_type = 'error')
+        |SELECT error_id, e.user_id,
+        |  strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS err_ts,
+        |  c.click_id,
+        |  strftime(c.click_ts, '%Y-%m-%d %H:%M:%S') AS clicked_at
+        |FROM errors e ASOF LEFT JOIN clicks c
+        |  ON e.user_id = c.user_id AND e.ts >= c.click_ts""".stripMargin,
+
+    "q_quantiles" ->
+      """SELECT l_returnflag,
+        | quantile_cont(cents, 0.5) / 100 AS p50,
+        | quantile_cont(cents, 0.9) / 100 AS p90,
+        | quantile_cont(cents, 0.99) / 100 AS p99
+        |FROM (SELECT l_returnflag,
+        |        CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |      FROM lineitem)
+        |GROUP BY l_returnflag""".stripMargin,
 
     "q_sim_topk" -> {
       val cos = SimilarityOps.Sql.cosine("q.embedding", "c.embedding")

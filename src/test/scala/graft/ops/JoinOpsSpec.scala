@@ -40,4 +40,67 @@ class JoinOpsSpec extends SparkSpec {
         if (r.isNullAt(2)) null else r.getString(2))).sorted.toSeq
     assert(out == Seq((1L, 10, "a"), (2L, 20, "b"), (99L, 30, null)))
   }
+
+  // ------------------------------------------------------------- asofJoin
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private val quotes = Seq(
+    (1L, ts("2024-01-01 09:00:00"), 100.0),
+    (1L, ts("2024-01-01 10:00:00"), 101.0),
+    (1L, ts("2024-01-01 12:00:00"), 103.0),
+    (2L, ts("2024-01-01 11:00:00"), 200.0)
+  ).toDF("k", "qts", "px")
+
+  private val trades = Seq(
+    (10L, 1L, ts("2024-01-01 09:30:00")), // -> 09:00 quote
+    (11L, 1L, ts("2024-01-01 10:00:00")), // tie: as-of is INCLUSIVE -> 10:00
+    (12L, 1L, ts("2024-01-01 23:00:00")), // -> latest (12:00)
+    (13L, 2L, ts("2024-01-01 10:59:00")), // before any quote -> null
+    (14L, 3L, ts("2024-01-01 12:00:00")) // key with no quotes -> null
+  ).toDF("id", "k", "tts")
+
+  test("asofJoin attaches the latest right row at-or-before, per key") {
+    val out = JoinOps.asofJoin(trades, quotes,
+      keys = Seq("k"), tsLeft = "tts", tsRight = "qts", payloadCols = Seq("px"))
+      .select($"id", $"px").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(out == Map(
+      10L -> Some(100.0), 11L -> Some(101.0), 12L -> Some(103.0),
+      13L -> None, 14L -> None))
+  }
+
+  test("asofJoin tolerance nulls out matches older than the horizon") {
+    val out = JoinOps.asofJoin(trades, quotes,
+      Seq("k"), "tts", "qts", Seq("px"), tolerance = Some("1 HOUR"))
+      .select($"id", $"px").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    // trade 10: 09:30 vs 09:00 quote = 30 min -> kept; trade 12: 11h -> dropped
+    assert(out(10L) == Some(100.0) && out(11L) == Some(101.0))
+    assert(out(12L) == None && out(13L) == None && out(14L) == None)
+  }
+
+  test("asofJoin keeps every left row and all left columns") {
+    val out = JoinOps.asofJoin(trades, quotes,
+      Seq("k"), "tts", "qts", Seq("px"))
+    assert(out.count() == trades.count())
+    assert(out.columns.toSeq == Seq("id", "k", "tts", "qts", "px"))
+  }
+
+  test("asofJoin duplicate right timestamps resolve deterministically (greatest payload)") {
+    val dupQuotes = quotes.union(Seq((1L, ts("2024-01-01 10:00:00"), 999.0)).toDF("k", "qts", "px"))
+    val out = JoinOps.asofJoin(trades, dupQuotes,
+      Seq("k"), "tts", "qts", Seq("px"))
+      .filter($"id" === 11L).select($"px").as[Double].head()
+    assert(out == 999.0)
+  }
+
+  test("asofJoin plan is one partitioning by key — no nested-loop join") {
+    val plan = JoinOps.asofJoin(trades, quotes,
+      Seq("k"), "tts", "qts", Seq("px")).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"as-of degenerated to a pair join:\n$plan")
+  }
 }

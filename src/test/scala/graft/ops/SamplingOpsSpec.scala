@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SamplingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rows = (1L to 10000L).map(i => (i, s"doc $i", if (i % 3 == 0) "a" else "b"))
+    .toDF("id", "text", "stratum")
+
+  test("hashSample is deterministic and layout-invariant") {
+    val a = SamplingOps.hashSample(rows, $"id", 25, 100).select($"id").as[Long].collect().toSet
+    val b = SamplingOps.hashSample(rows.repartition(7), $"id", 25, 100)
+      .select($"id").as[Long].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("hashSample rate is close to nominal and nested rates are subsets") {
+    val q = SamplingOps.hashSample(rows, $"id", 25, 100).count().toDouble / 10000
+    assert(math.abs(q - 0.25) < 0.02, s"rate $q")
+    val small = SamplingOps.hashSample(rows, $"id", 10, 100).select($"id").as[Long].collect().toSet
+    val big = SamplingOps.hashSample(rows, $"id", 40, 100).select($"id").as[Long].collect().toSet
+    assert(small.subsetOf(big), "nested keep-rates must nest (same hash, larger cut)")
+  }
+
+  test("stratifiedExact applies per-stratum rates on the id modulus") {
+    val out = SamplingOps.stratifiedExact(rows, $"id", $"stratum", Map("a" -> 10), 50)
+      .select($"id", $"stratum").collect()
+    assert(out.forall { r =>
+      val keep = if (r.getString(1) == "a") 10 else 50
+      r.getLong(0) % 100 < keep
+    })
+    // and nothing outside the predicate was dropped
+    val expected = (1L to 10000L).count { i =>
+      val s = if (i % 3 == 0) "a" else "b"
+      i % 100 < (if (s == "a") 10 else 50)
+    }
+    assert(out.length == expected)
+  }
+
+  test("hashTopK returns exactly k, deterministically, without a global sort") {
+    val a = SamplingOps.hashTopK(rows, $"id", 50)
+    val ids = a.select($"id").as[Long].collect().toSet
+    val again = SamplingOps.hashTopK(rows.repartition(9), $"id", 50)
+      .select($"id").as[Long].collect().toSet
+    assert(ids.size == 50 && ids == again)
+    val plan = a.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected per-partition top-k heaps, got:\n$plan")
+  }
+
+  test("approx_count_distinct is within 5% of exact") {
+    val df = (1L to 20000L).map(i => (i % 4, i % 3000)).toDF("g", "v")
+    val got = df.groupBy($"g")
+      .agg(approx_count_distinct($"v", 0.01).as("ad"), countDistinct($"v").as("ed"))
+      .collect()
+    got.foreach { r =>
+      val (ad, ed) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      assert(math.abs(ad - ed) / ed < 0.05, s"group ${r.get(0)}: approx $ad vs exact $ed")
+    }
+  }
+
+  test("percentile_approx (sketch scale path) tracks exact percentile") {
+    val df = (1L to 20000L).map(i => (i % 4, (i * 7919 % 100000).toDouble)).toDF("g", "v")
+    val got = df.groupBy($"g")
+      .agg(
+        percentile_approx($"v", lit(0.9), lit(5000)).as("ap"),
+        percentile($"v", lit(0.9)).as("ex"))
+      .collect()
+    got.foreach { r =>
+      val (ap, ex) = (r.getDouble(1), r.getDouble(2))
+      // rank-based error: value at 90th +/- ~1% rank in a ~100k range
+      assert(math.abs(ap - ex) < 2500, s"group ${r.get(0)}: approx $ap vs exact $ex")
+    }
+  }
+}
