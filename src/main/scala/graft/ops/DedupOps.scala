@@ -87,11 +87,18 @@ object DedupOps {
   /** (id, shingle-hash) inverted index — the hot-path form. Shingle hashes
     * are built WITHOUT materializing shingle strings and WITHOUT
     * higher-order functions (both measured hot spots: interpreted
-    * per-element lambda dispatch): posexplode the tokens, `lead()` the next
-    * k-1 tokens over a (doc, pos) window, then one codegen'd `xxhash64`
-    * over the k token columns (which chains per column, so token boundaries
-    * are preserved — "ab","c" and "a","bc" hash differently). Join
-    * semantics equal the string index modulo 2^-64 collisions.
+    * per-element lambda dispatch), and WITHOUT any shuffle before the
+    * final distinct: `arrays_zip` of the k shifted `slice`s of the token
+    * array pairs each token with its k-1 successors ROW-LOCALLY (slice and
+    * arrays_zip are codegen'd native expressions), one explode emits the
+    * shingle structs, and one codegen'd `xxhash64` over the k struct
+    * fields hashes them (chaining per column, so token boundaries are
+    * preserved — "ab","c" and "a","bc" hash differently). Join semantics
+    * equal the string index modulo 2^-64 collisions.
+    *
+    * (An earlier form posexploded tokens and `lead()`-ed over a (doc, pos)
+    * window — same hashes, but it shuffled the ENTIRE token stream by
+    * doc_id first; this one's only shuffle is the distinct.)
     */
   def shingleIndexHashed(
       docs: DataFrame,
@@ -99,19 +106,20 @@ object DedupOps {
       textCol: String,
       k: Int,
       maxShingleDf: Option[Int] = None): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
-      posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "tok")))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val withNext = (1 until k).foldLeft(toks) { (df, j) =>
-      df.withColumn(s"tok_$j", lead(col("tok"), j).over(w))
-    }
-    // k == 1 (unigram shingles): no lead columns exist and no filter needed
-    val complete =
-      if (k > 1) withNext.filter(col(s"tok_${k - 1}").isNotNull) else withNext
-    val hashed = complete
-      .select(col("doc_id"),
-        xxhash64(col("tok") +: (1 until k).map(j => col(s"tok_$j")): _*).as("sh"))
-      .distinct()
+    val toks = TextOps.tokens(col(textCol))
+    val hashed =
+      if (k == 1)
+        docs.select(col(idCol).as("doc_id"), explode(toks).as("t"))
+          .select(col("doc_id"), xxhash64(col("t")).as("sh"))
+          .distinct()
+      else {
+        val n = greatest(size(toks) - (k - 1), lit(0)) // shingle count
+        val zipped = arrays_zip((0 until k).map(j => slice(toks, lit(j + 1), n)): _*)
+        docs.select(col(idCol).as("doc_id"), explode(zipped).as("s"))
+          .select(col("doc_id"),
+            xxhash64((0 until k).map(j => col("s").getField(j.toString)): _*).as("sh"))
+          .distinct()
+      }
     applyCap(hashed, maxShingleDf)
   }
 

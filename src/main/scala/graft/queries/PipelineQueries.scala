@@ -223,10 +223,13 @@ object PipelineQueries {
       val cents = round(col("l_extendedprice") * 100).cast("long")
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(
-          (percentile(cents, lit(0.5)) / 100).as("p50"),
-          (percentile(cents, lit(0.9)) / 100).as("p90"),
-          (percentile(cents, lit(0.99)) / 100).as("p99"))
+        // ONE percentile buffer per group evaluating all three points
+        // (three separate calls would hold three copies of every value)
+        .agg(percentile(cents, array(lit(0.5), lit(0.9), lit(0.99))).as("ps"))
+        .select(col("l_returnflag"),
+          (element_at(col("ps"), 1) / 100).as("p50"),
+          (element_at(col("ps"), 2) / 100).as("p90"),
+          (element_at(col("ps"), 3) / 100).as("p99"))
     }),
 
     // HLL++ sketch distinct (the 100 TB path where exact per-group
