@@ -1,8 +1,26 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Input row for [[EventOps.sessionizeStream]]. */
+private[streaming] case class SessionEvent(
+    event_id: Long, ts: java.sql.Timestamp, user_id: Long)
+
+/** Open-session state: one row per user in the state store — ordinal,
+  * bounds (epoch millis) and event count. Constant size per key.
+  */
+private[streaming] case class OpenSession(
+    ordinal: Long, startMs: Long, endMs: Long, n: Long)
+
+/** Closed session emitted by [[EventOps.sessionizeStream]] — same shape as
+  * [[EventOps.sessionStats]].
+  */
+case class ClosedSession(
+    user_id: Long, session_id: Long, n_events: Long,
+    session_start: String, session_end: String)
 
 /** Event-stream operators, written so the SAME plan runs batch or
   * streaming (`spark.readStream` + `writeStream`): tumbling-window
@@ -91,6 +109,84 @@ object EventOps {
       case None => keyed.dropDuplicates("__dedup_key")
     }
     out.drop("__dedup_key")
+  }
+
+  /** Streaming sessionization with CUSTOM state — the
+    * `flatMapGroupsWithState` twin of [[sessionStats]]: state is one
+    * [[OpenSession]] per live user (four longs — constant per key,
+    * independent of session length), sessions close either by an in-data
+    * gap or by event-time timeout when the watermark passes
+    * `session_end + gap`, so the state store is bounded by the number of
+    * users active inside the watermark horizon — the correct shape for an
+    * unbounded feed.
+    *
+    * Emits each session EXACTLY once, on close (append mode). Late events
+    * inside the watermark that extend the open session are merged (events
+    * are sorted per micro-batch; the gap rule is applied in event-time
+    * order). Requires `withWatermark` upstream — enforced by Spark for
+    * event-time timeouts.
+    *
+    * Session ordinals count closed sessions per user 1,2,3... exactly like
+    * the batch window formulation, PROVIDED events arrive within the
+    * watermark (a session split only visible under reordering beyond the
+    * horizon is a data-loss condition in any engine).
+    */
+  def sessionizeStream(
+      events: Dataset[SessionEvent],
+      gapMinutes: Int): Dataset[ClosedSession] = {
+    val gapMs = gapMinutes * 60000L
+    val session = events.sparkSession
+    import session.implicits._
+
+    def close(user: Long, s: OpenSession): ClosedSession = {
+      def fmt(ms: Long) = java.time.Instant.ofEpochMilli(ms)
+        .atZone(java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+      ClosedSession(user, s.ordinal, s.n, fmt(s.startMs), fmt(s.endMs))
+    }
+
+    def onGroup(
+        user: Long,
+        batch: Iterator[SessionEvent],
+        state: GroupState[OpenSession]): Iterator[ClosedSession] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator(close(user, s))
+      } else {
+        val evs = batch.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+        val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+        var acc = state.getOption
+        evs.foreach { e =>
+          val t = e.ts.getTime
+          acc = acc match {
+            case None => Some(OpenSession(1L, t, t, 1L))
+            case Some(a) if t - a.endMs > gapMs =>
+              closed += close(user, a)
+              Some(OpenSession(a.ordinal + 1, t, t, 1L))
+            case Some(a) =>
+              Some(a.copy(startMs = math.min(a.startMs, t),
+                endMs = math.max(a.endMs, t), n = a.n + 1))
+          }
+        }
+        acc.foreach { a =>
+          val closeAt = a.endMs + gapMs
+          if (state.getCurrentWatermarkMs() >= closeAt) {
+            // watermark already passed the would-be timeout: close now
+            closed += close(user, a)
+            state.remove()
+          } else {
+            state.update(a)
+            state.setTimeoutTimestamp(closeAt)
+          }
+        }
+        closed.iterator
+      }
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(onGroup)
   }
 
   /** Per-session summary: bounds + event count. */

@@ -76,6 +76,45 @@ class EventOpsSpec extends SparkSpec {
     assert(out((10L, 2L)) == (2L, "2024-01-01 00:55:00", "2024-01-01 01:10:00"))
   }
 
+  test("sessionizeStream (flatMapGroupsWithState) matches batch sessionStats after flush") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long)]
+    val stream = mem.toDF().toDF("event_id", "ts", "user_id")
+      .withWatermark("ts", "10 minutes")
+      .as[SessionEvent]
+    val q = EventOps.sessionizeStream(stream, gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // fixture events arrive out of order WITHIN a batch, in order across
+      mem.addData((2L, ts("2024-01-01 00:55:00"), 10L),
+        (1L, ts("2024-01-01 00:05:00"), 10L))
+      q.processAllAvailable()
+      mem.addData((3L, ts("2024-01-01 01:10:00"), 10L),
+        (4L, ts("2024-01-01 01:20:00"), 11L))
+      q.processAllAvailable()
+      mem.addData((5L, ts("2024-01-01 03:00:00"), 10L))
+      q.processAllAvailable()
+      // two flush ticks on a sentinel user: first advances the watermark
+      // past every open session's end+gap, second lets timeouts fire
+      mem.addData((90L, ts("2024-01-02 00:00:00"), 999L))
+      q.processAllAvailable()
+      mem.addData((91L, ts("2024-01-03 00:00:00"), 999L))
+      q.processAllAvailable()
+
+      val streamed = spark.sql(
+        "SELECT * FROM sess_out WHERE user_id <> 999").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getString(3), r.getString(4))).toMap
+      val batch = EventOps.sessionStats(
+        fixture.select($"event_id", $"ts", $"user_id"), gapMinutes = 30)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getString(3), r.getString(4))).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("streamingDedup keeps first arrival per key across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String)]
