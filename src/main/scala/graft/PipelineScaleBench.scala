@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops.{DedupOps, GraphOps, SamplingOps, TextOps}
+
+/** Scale demonstration for the training-data pipeline operators: exact
+  * dedup, MinHash/LSH candidate generation, near-dup clustering, text
+  * stats and PII scrub over a synthetic corpus generated ON WORKERS
+  * (`spark.range` -> deterministic word soup; no driver materialization,
+  * no test-fixture reuse) — `SPARK_GRAFT_DOCS` (default 200k) documents of
+  * 20-99 tokens, ~10% exact duplicates and ~10% near duplicates planted.
+  *
+  * Prints docs/sec per stage; the shapes under test are the ones that
+  * carry to 100 TB: hash-keyed dedup shuffle (8-byte keys), row-local
+  * shingle hashing, banded LSH self-join bounded by bucket sizes,
+  * adaptive connected components.
+  *
+  * Run: `SPARK_GRAFT_DOCS=200000 sbt "runMain graft.PipelineScaleBench"`
+  */
+object PipelineScaleBench {
+  def main(args: Array[String]): Unit = {
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_DOCS", "200000").toLong
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val words = Seq("data", "spark", "table", "query", "join", "scan",
+      "batch", "stream", "merge", "sort", "group", "filter", "column",
+      "row", "hash", "shuffle", "cache", "plan", "agg", "window", "key",
+      "value", "index", "range", "part", "order", "line", "fast", "slow",
+      "big")
+    val wordArr = array(words.map(lit): _*)
+
+    // ~10% exact dups (doc 10k+1 duplicates doc 10k), ~10% near dups
+    // (doc 10k+2 = doc 10k with a one-token perturbation via seed shift).
+    // Tokens are word_suffix pairs -> effective vocabulary ~1500, so the
+    // shingle space is sparse like a real corpus (a uniform 30-word soup
+    // would make EVERY trigram a stop-shingle — the known degenerate case
+    // for inverted-index joins).
+    val id = col("id")
+    val base = when(pmod(id, lit(10)) === 1, id - 1).otherwise(id)
+    val perturb = when(pmod(id, lit(10)) === 2, 1L).otherwise(0L)
+    val src = when(pmod(id, lit(10)) === 2, id - 2).otherwise(base)
+    val nTok = (pmod(xxhash64(src), lit(80)) + 20).cast("int")
+    val docs = spark.range(nDocs)
+      .select(id.as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(1), nTok), j => {
+          val h = xxhash64(src, j + when(j === 3, perturb).otherwise(0))
+          concat(
+            element_at(wordArr, (pmod(h, lit(words.size)) + 1).cast("int")),
+            // independent re-hash for the suffix (mod of the SAME hash
+            // would collapse the combined vocabulary to lcm(30,50)=150)
+            lit("_"), pmod(xxhash64(lit(7), h), lit(50)).cast("string"))
+        })).as("text"))
+      .cache()
+    docs.count() // materialize: stage timings below exclude generation
+
+    def stage(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[pipeline-scale] $name%-22s -> $n%10d rows in $secs%6.1f s " +
+        f"= ${nDocs / secs / 1000}%8.1f kdocs/s")
+    }
+
+    stage("text_stats") {
+      docs.select(TextOps.tokenCount(col("text")), TextOps.qualityScore(col("text")),
+        TextOps.langId(col("text")), TextOps.redactPii(col("text"))).count()
+    }
+    stage("exact_dedup") {
+      DedupOps.exactDedup(docs, "doc_id", col("text")).count()
+    }
+    stage("minhash_lsh_pairs") {
+      val sigs = DedupOps.minhashSignatures(docs, "doc_id", "text", k = 3, numHashes = 32)
+      DedupOps.minhashLshCandidates(sigs, bands = 8, rowsPerBand = 4).count()
+    }
+    stage("simhash") {
+      DedupOps.simhash(docs, "doc_id", "text").count()
+    }
+    stage("ngram_jaccard_pairs") {
+      DedupOps.ngramJaccardPairs(docs, "doc_id", "text",
+        k = 3, threshold = 0.6, maxShingleDf = Some(1000)).count()
+    }
+    stage("cluster_components") {
+      val pairs = DedupOps.ngramJaccardPairs(docs, "doc_id", "text",
+        k = 3, threshold = 0.6, maxShingleDf = Some(1000))
+      GraphOps.connectedComponents(pairs, "id_a", "id_b").count()
+    }
+    stage("hash_sample_10pct") {
+      SamplingOps.hashSample(docs, col("doc_id"), 10, 100).count()
+    }
+    spark.stop()
+  }
+}

@@ -99,6 +99,26 @@ object TextOps {
     }
   }
 
+  /** PII surface forms scrubbed by [[redactPii]]. Kept to patterns whose
+    * semantics agree across regex dialects (no lookarounds/backrefs).
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "https?://[^\\s]+" -> "<URL>",
+    "\\d[\\d\\- ]{6,}\\d" -> "<NUM>") // phone-ish digit runs (7+ with -/space)
+
+  /** Scrub common PII surface forms (emails, URLs, long digit runs) —
+    * chained codegen'd `regexp_replace`, row-local, zero shuffles: the
+    * shape of a 100 TB scrub pass is a pure map over the scan.
+    */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (re, tag)) => regexp_replace(c, re, tag) }
+
+  /** How many PII matches [[redactPii]] would replace (audit metric). */
+  def piiCount(text: Column): Column =
+    piiPatterns.map { case (re, _) => regexp_count(text, lit(re)) }
+      .reduce(_ + _)
+
   /** Heuristic quality score in [0,1]:
     * mean of (length score, word-shape score, 1 - punctuation ratio).
     * Deterministic double arithmetic — identical on any engine.

@@ -59,4 +59,16 @@ class TextOpsSpec extends SparkSpec {
     assert(good > bad)
     assert(good >= 0 && good <= 1 && bad >= 0 && bad <= 1)
   }
+
+  test("redactPii scrubs emails, urls and long digit runs; counts match") {
+    val dirty = "write jane.doe+x@corp.example.org or see " +
+      "https://example.com/a?b=1 call 555-123-4567 ok"
+    val clean = one[String](TextOps.redactPii($"t"), dirty)
+    assert(clean == "write <EMAIL> or see <URL> call <NUM> ok")
+    assert(one[Int](TextOps.piiCount($"t"), dirty) == 3)
+    // clean text passes through untouched, zero count
+    val plain = "no personal information in this sentence at all"
+    assert(one[String](TextOps.redactPii($"t"), plain) == plain)
+    assert(one[Int](TextOps.piiCount($"t"), plain) == 0)
+  }
 }
