@@ -81,6 +81,10 @@ object PipelineScaleBench {
       val sigs = DedupOps.minhashSignatures(docs, "doc_id", "text", k = 3, numHashes = 32)
       DedupOps.minhashLshCandidates(sigs, bands = 8, rowsPerBand = 4).count()
     }
+    stage("minhash_verified_pairs") {
+      DedupOps.minhashVerifiedPairs(docs, "doc_id", "text",
+        k = 3, threshold = 0.6).count()
+    }
     stage("simhash") {
       DedupOps.simhash(docs, "doc_id", "text").count()
     }

@@ -163,9 +163,13 @@ object DedupOps {
   }
 
   /** MinHash signature: `numHashes` columns, hash i = min over shingles of
-    * `xxhash64(i, shingle)`. One aggregation over the inverted index — the
-    * signature frame is tiny (numHashes longs per doc) regardless of corpus
-    * size. NULL signature entries (docs with no shingles) never match.
+    * `xxhash64(i, shingle-hash)`. Computed ROW-LOCALLY by the codegen'd
+    * [[graft.expr.ShingleMinHash]] expression — zero shuffles (the earlier
+    * exploded-index form shuffled the shingle index twice: distinct +
+    * groupBy; min over a multiset needs neither). Values are bit-identical
+    * to `min(xxhash64(lit(i), sh))` over [[shingleIndexHashed]] (asserted
+    * in DedupOpsSpec). Docs with fewer than k tokens have no shingles and
+    * are absent, exactly like the exploded form.
     */
   def minhashSignatures(
       docs: DataFrame,
@@ -173,13 +177,12 @@ object DedupOps {
       textCol: String,
       k: Int,
       numHashes: Int): DataFrame = {
-    // the i-th hash family re-hashes the 8-byte shingle hash — no shingle
-    // strings anywhere in the pipeline
-    val idx = shingleIndexHashed(docs, idCol, textCol, k)
-      .withColumnRenamed("sh", "shh")
-    val aggs = (0 until numHashes)
-      .map(i => min(xxhash64(lit(i), col("shh"))).as(s"mh_$i"))
-    idx.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val sig = graft.expr.TextExprs.shingleMinHash(
+      TextOps.tokens(col(textCol)), k, numHashes)
+    docs.select(col(idCol).as("doc_id"), sig.as("__sig"))
+      .filter(col("__sig").isNotNull)
+      .select(col("doc_id") +:
+        (0 until numHashes).map(i => element_at(col("__sig"), i + 1).as(s"mh_$i")): _*)
   }
 
   /** LSH candidate pairs from MinHash signatures: split the signature into
@@ -205,6 +208,49 @@ object DedupOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
+  }
+
+  /** The composed SCALE PATH for near-dup pairs — what a 100 TB run
+    * actually executes: MinHash+LSH candidate generation (bounded by band
+    * buckets) followed by EXACT Jaccard verification on the candidates
+    * only. Verification is two hash joins of the candidate list against
+    * row-local sorted shingle-hash sets ([[graft.expr.ShingleHashes]]) and
+    * a codegen'd merge-walk intersection — no inverted-index self-join
+    * anywhere, so total cost is signatures (pure map) + banded join
+    * (bucket-bounded) + candidate-sized verification.
+    *
+    * Same output contract as [[ngramJaccardPairs]] (which remains the
+    * exact ground truth: LSH misses pairs at S-curve rates — recall vs
+    * exact is asserted in DedupOpsSpec and measured in PipelineScaleBench).
+    */
+  def minhashVerifiedPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      threshold: Double,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      rowsPerBand: Int = 4): DataFrame = {
+    require(bands * rowsPerBand <= numHashes,
+      s"bands*rowsPerBand must be <= numHashes ($bands*$rowsPerBand > $numHashes)")
+    val sigs = minhashSignatures(docs, idCol, textCol, k, numHashes)
+    val cands = minhashLshCandidates(sigs, bands, rowsPerBand)
+    val sets = docs.select(col(idCol).as("id"),
+      graft.expr.TextExprs.shingleHashes(TextOps.tokens(col(textCol)), k).as("shs"))
+      .filter(col("shs").isNotNull)
+    cands
+      .join(sets.select(col("id").as("id_a"), col("shs").as("sh_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("shs").as("sh_b")), "id_b")
+      .withColumn("intersection",
+        graft.expr.TextExprs.sortedIntersectCount(col("sh_a"), col("sh_b")))
+      .withColumn("n_a", size(col("sh_a")).cast("long"))
+      .withColumn("n_b", size(col("sh_b")).cast("long"))
+      .withColumn("jaccard", col("intersection").cast("double") /
+        (col("n_a") + col("n_b") - col("intersection")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("intersection"),
+        col("n_a"), col("n_b"), col("jaccard"))
   }
 
   /** 64-bit SimHash over whitespace tokens: bit j of the output is set iff

@@ -62,6 +62,13 @@ object PipelineQueries {
     "q_dedup_simhash" -> ((s, dir) =>
       DedupOps.simhash(t(s, dir, "documents"), "doc_id", "text")),
 
+    // The composed scale path: LSH candidates -> exact Jaccard verify on
+    // candidates only (xxhash64-based -> rows-only; recall vs the exact
+    // ngram ground truth asserted in DedupOpsSpec).
+    "q_dedup_minhash_verified" -> ((s, dir) =>
+      DedupOps.minhashVerifiedPairs(
+        t(s, dir, "documents"), "doc_id", "text", k = 3, threshold = 0.2)),
+
     // Near-dup pairs -> canonical duplicate CLUSTERS: connected components
     // (alternating star contraction, O(log n) rounds) over the Jaccard
     // pair graph; singleton docs keep their own id as the component.

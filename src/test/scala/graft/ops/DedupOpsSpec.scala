@@ -56,6 +56,63 @@ class DedupOpsSpec extends SparkSpec {
     assert(!cand.contains((1L, 4L)) && !cand.contains((3L, 4L)))
   }
 
+  test("ShingleMinHash matches the exploded-index min(xxhash64(i, sh)) bit for bit") {
+    val docsBig = (1L to 40L).map(i =>
+      (i, (1 to (i % 7 + 3).toInt).map(j => s"tok${(i * 31 + j * 17) % 23}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val numHashes = 8
+    val fast = DedupOps.minhashSignatures(docsBig, "doc_id", "text", k = 3, numHashes)
+    // reference formulation: explode shingles, aggregate min per family
+    val idx = DedupOps.shingleIndexHashed(docsBig, "doc_id", "text", k = 3)
+    val aggs = (0 until numHashes).map(i => min(xxhash64(lit(i), $"sh")).as(s"mh_$i"))
+    val slow = idx.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (1 to numHashes).map(r.getLong).toSeq).toMap
+    val (f, s) = (toMap(fast), toMap(slow))
+    assert(f.nonEmpty && f == s)
+    // interpreted eval path (no codegen) agrees
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val row = docsBig.filter($"doc_id" === 10L).select($"text").head().getString(0)
+    val lit10 = Literal(
+      new GenericArrayData(row.split(" ").map(UTF8String.fromString)),
+      ArrayType(StringType))
+    val viaEval = graft.expr.ShingleMinHash(lit10, 3, numHashes)
+      .eval(null).asInstanceOf[GenericArrayData].toLongArray().toSeq
+    assert(viaEval == f(10L))
+  }
+
+  test("minhashVerifiedPairs: exact jaccard on LSH candidates, high recall vs ngram truth") {
+    val corpus = (1L to 60L).map { i =>
+      val base = (1 to 12).map(j => s"w${(i * 13 + j * 7) % 40}").mkString(" ")
+      // every third doc is a near-dup of its predecessor (one token changed)
+      if (i % 3 == 0) (i, base.replaceFirst("w\\d+", "zzz"))
+      else (i, base)
+    }.toDF("doc_id", "text")
+    // make ids 3k near-dup pairs with 3k-... build explicit dups instead:
+    val docs = corpus.union(
+      (101L to 120L).map(i => (i, corpus.filter($"doc_id" === (i - 100)).head().getString(1)))
+        .toDF("doc_id", "text"))
+    val truth = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select($"id_a", $"id_b", $"jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val got = DedupOps.minhashVerifiedPairs(docs, "doc_id", "text", 3, 0.5)
+      .select($"id_a", $"id_b", $"jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every reported pair is EXACT (jaccard matches ground truth bitwise)
+    got.foreach { case (pair, jac) => assert(truth(pair) == jac, s"pair $pair") }
+    // LSH recall follows the S-curve 1-(1-J^rows)^bands: ~0.4 at J=0.5,
+    // >0.999 at J>=0.9 — assert where the algorithm makes promises
+    val high = truth.filter(_._2 >= 0.9).keySet
+    assert(high.nonEmpty && high.subsetOf(got.keySet),
+      s"missed high-similarity pairs: ${high -- got.keySet}")
+    val mid = truth.filter(_._2 >= 0.7).keySet
+    val midRecall = (mid & got.keySet).size.toDouble / math.max(mid.size, 1)
+    assert(midRecall >= 0.9, s"J>=0.7 recall $midRecall")
+  }
+
   test("minhash signature of identical sets is identical; similar sets collide more") {
     val sigs = DedupOps.minhashSignatures(docs, "doc_id", "text", 3, 32)
       .collect().map(r => r.getLong(0) -> r.toSeq.drop(1).toVector).toMap
