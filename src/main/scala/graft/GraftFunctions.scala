@@ -7,7 +7,7 @@ import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
 import graft.agg.{Histogram1DAgg, Histogram2DAgg}
-import graft.expr.VecDot
+import graft.expr.{ShingleHashes, ShingleMinHash, SortedIntersectCount, VecDot}
 
 /** SQL surface for the engine's custom expressions: after
   * `GraftFunctions.registerAll(spark)` they are callable from plain
@@ -60,7 +60,28 @@ object GraftFunctions {
         require(exprs.length == 4, "hist2d(x, y, xEdges, yEdges)")
         Histogram2DAgg(dbl(exprs(0)), dbl(exprs(1)),
           edgesOf(exprs(2), "hist2d"), edgesOf(exprs(3), "hist2d"))
+      }),
+    "shingle_minhash" -> ("shingle_minhash(tokens, k, numHashes) - row-local MinHash signature",
+      exprs => {
+        require(exprs.length == 3, "shingle_minhash(tokens, k, numHashes)")
+        ShingleMinHash(exprs(0), intLit(exprs(1), "k"), intLit(exprs(2), "numHashes"))
+      }),
+    "shingle_hashes" -> ("shingle_hashes(tokens, k) - sorted distinct shingle-hash set",
+      exprs => {
+        require(exprs.length == 2, "shingle_hashes(tokens, k)")
+        ShingleHashes(exprs(0), intLit(exprs(1), "k"))
+      }),
+    "sorted_intersect_count" -> ("sorted_intersect_count(a, b) - |a ∩ b| of sorted long arrays",
+      exprs => {
+        require(exprs.length == 2, "sorted_intersect_count(a, b)")
+        SortedIntersectCount(exprs(0), exprs(1))
       }))
+
+  private def intLit(e: Expression, name: String): Int = {
+    require(e.foldable && e.dataType == org.apache.spark.sql.types.IntegerType,
+      s"$name must be an integer literal")
+    e.eval(null).asInstanceOf[Int]
+  }
 
   def registerAll(spark: SparkSession): Unit =
     builders.foreach { case (name, (_, builder)) =>

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-sample preparation operators: token-window chunking, bucketed
+  * sequence packing, and int8 embedding quantization. All row-local or
+  * single-bounded-shuffle shapes — the last mile between a cleaned corpus
+  * and model-ready samples.
+  */
+object PrepOps {
+
+  /** Split each document into overlapping token windows of `chunkSize`
+    * tokens with stride `chunkSize - overlap` (the RAG/pretraining chunk
+    * convention; the final chunk may be shorter). One row per chunk:
+    * `(doc_id, chunk_idx, chunk_text, n_tokens)`.
+    *
+    * Row-local UDTF shape: chunk starts computed per row with `sequence`,
+    * one `explode` emits the windows — no shuffle at any corpus size.
+    */
+  def chunkTokens(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkSize: Int,
+      overlap: Int): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap")
+    val stride = chunkSize - overlap
+    val toks = TextOps.tokens(col(textCol))
+    val n = size(toks)
+    // chunk i starts at i*stride (0-based); i ranges over [0, (n-1)/stride]
+    val lastIdx = floor((n - 1).cast("double") / stride).cast("int")
+    docs
+      .filter(n > 0)
+      .select(col(idCol).as("doc_id"), toks.as("__toks"),
+        explode(sequence(lit(0), lastIdx)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        array_join(slice(col("__toks"), col("chunk_idx") * stride + 1, lit(chunkSize)), " ")
+          .as("chunk_text"),
+        least(lit(chunkSize), size(col("__toks")) - col("chunk_idx") * stride)
+          .cast("long").as("n_tokens"))
+  }
+
+  /** Greedy sequence packing: assign documents to fixed-token-budget packs
+    * by running token count, independently within `buckets` hash-style
+    * buckets. Output: `(doc_id, bucket, pack_id, n_tokens)` where
+    * `pack_id = floor(tokens_before_this_doc_in_bucket / budget)`.
+    *
+    * True bin packing is NP-hard and inherently sequential; greedy-by-order
+    * within a bucket is the standard streaming approximation, and the
+    * BUCKETING is what makes it scale: each bucket's running sum is an
+    * independent window over its own partition (one shuffle by bucket,
+    * `buckets`-way parallel — a single global cumulative sum would
+    * serialize the corpus through one partition).
+    */
+  def packGreedy(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      budgetTokens: Int,
+      buckets: Int): DataFrame = {
+    require(budgetTokens > 0 && buckets > 0)
+    val nTok = TextOps.tokenCount(col(textCol)).cast("long")
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col(idCol).as("doc_id"),
+        pmod(col(idCol), lit(buckets.toLong)).as("bucket"),
+        nTok.as("n_tokens"))
+      .withColumn("pack_id",
+        (coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budgetTokens).cast("long"))
+      .select(col("doc_id"), col("bucket"), col("pack_id"), col("n_tokens"))
+  }
+
+  /** Symmetric int8 quantization of an embedding column: per-vector scale
+    * `127 / max|x|` (1.0 for all-zero vectors), elements
+    * `round(x * scale)` in [-127, 127]. Cuts embedding storage 4x for
+    * ANN/near-dup work at recall cost bounded by the per-element error
+    * `<= max|x|/254` (dequantization spec-tested). Row-local, no shuffle.
+    */
+  def quantizeInt8(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String): DataFrame = {
+    val vd = col(vecCol).cast("array<double>")
+    val m = array_max(transform(vd, x => abs(x)))
+    val s = when(m > 0, lit(127.0) / m).otherwise(lit(1.0))
+    vecs
+      .select(col(idCol).as("vec_id"), vd.as("__v"), s.as("scale"))
+      .select(col("vec_id"), col("scale"),
+        transform(col("__v"), x => round(x * col("scale")).cast("int")).as("qvec"))
+  }
+}

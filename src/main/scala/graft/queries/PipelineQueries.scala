@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{DedupOps, GraphOps, IvfOps, JoinOps, MultimodalOps, SamplingOps, SimilarityOps, TextOps}
+import graft.ops.{DedupOps, GraphOps, IvfOps, JoinOps, MultimodalOps, PrepOps, SamplingOps, SimilarityOps, TextOps}
 import graft.streaming.EventOps
 
 /** Training-data pipeline operators (dedup, similarity search, multimodal,
@@ -93,6 +93,18 @@ object PipelineQueries {
       SamplingOps.hashSample(
         t(s, dir, "documents"), col("doc_id"), 25, 100)
         .select(col("doc_id"), col("source"))),
+
+    // ------------------------------------------- sample preparation
+    "q_chunk_tokens" -> ((s, dir) =>
+      PrepOps.chunkTokens(t(s, dir, "documents"), "doc_id", "text",
+        chunkSize = 32, overlap = 8)),
+
+    "q_pack_sequences" -> ((s, dir) =>
+      PrepOps.packGreedy(t(s, dir, "documents"), "doc_id", "text",
+        budgetTokens = 512, buckets = 8)),
+
+    "q_embed_quantize" -> ((s, dir) =>
+      PrepOps.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")),
 
     // ------------------------------------------------------- vocabulary
     "q_vocab_topk" -> ((s, dir) =>
@@ -381,6 +393,39 @@ object PipelineQueries {
          |SELECT d.doc_id,
          |  CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS component
          |FROM documents d LEFT JOIN comp c ON d.doc_id = c.n""".stripMargin,
+
+    "q_chunk_tokens" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${S.tokens("text")} AS w FROM documents),
+         |c AS (
+         |  SELECT doc_id, w,
+         |    unnest(range(0, CAST(floor((len(w) - 1) / 24.0) AS BIGINT) + 1)) AS chunk_idx
+         |  FROM toks WHERE len(w) > 0)
+         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |  array_to_string(w[chunk_idx*24 + 1 : chunk_idx*24 + 32], ' ') AS chunk_text,
+         |  CAST(least(32, len(w) - chunk_idx*24) AS BIGINT) AS n_tokens
+         |FROM c""".stripMargin,
+
+    "q_pack_sequences" ->
+      s"""SELECT doc_id, doc_id % 8 AS bucket,
+         |  CAST(floor(coalesce(sum(n_tokens) OVER (
+         |    PARTITION BY doc_id % 8 ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0) AS BIGINT)
+         |    AS pack_id,
+         |  n_tokens
+         |FROM (SELECT doc_id, CAST(${S.tokenCount("text")} AS BIGINT) AS n_tokens
+         |      FROM documents)""".stripMargin,
+
+    "q_embed_quantize" ->
+      """SELECT vec_id, s AS scale,
+        |  list_transform(v, x -> CAST(round(x * s) AS INTEGER)) AS qvec
+        |FROM (
+        |  SELECT vec_id, v, CASE WHEN m > 0 THEN 127.0 / m ELSE 1.0 END AS s
+        |  FROM (
+        |    SELECT vec_id,
+        |      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |      list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+        |    FROM embeddings))""".stripMargin,
 
     "q_sample_stratified" ->
       """SELECT doc_id, source FROM documents

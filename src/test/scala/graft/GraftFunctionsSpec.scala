@@ -32,6 +32,31 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(viaCol == 11.0)
   }
 
+  test("shingle_minhash / shingle_hashes / sorted_intersect_count from SQL text") {
+    GraftFunctions.registerAll(spark)
+    val sig = spark.sql(
+      "SELECT shingle_minhash(array('a','b','c','d'), 2, 4) AS s")
+      .collect().head.getSeq[Long](0)
+    assert(sig.length == 4)
+    // set semantics: shingle multiplicity does not change the signature
+    val sig2 = spark.sql(
+      "SELECT shingle_minhash(array('a','b','a','b'), 2, 4) AS s")
+      .collect().head.getSeq[Long](0)
+    val sig3 = spark.sql(
+      "SELECT shingle_minhash(array('a','b'), 2, 4) AS s")
+      .collect().head.getSeq[Long](0)
+    // {ab, ba, ab} vs {ab}: different sets -> allowed to differ; but
+    // {ab} minima are all present in the superset run's candidates
+    assert(sig3.zip(sig2).forall { case (a, b) => b <= a })
+
+    val n = spark.sql(
+      """SELECT sorted_intersect_count(
+        |  shingle_hashes(array('x','y','z'), 2),
+        |  shingle_hashes(array('x','y','q'), 2)) AS n""".stripMargin)
+      .collect().head.getLong(0)
+    assert(n == 1L) // shared shingle: "x y"
+  }
+
   test("GraftExtensions wires the SQL surface via spark.sql.extensions") {
     // build a sibling session over the same SparkContext with the
     // extensions config — the zero-code-changes integration path

@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PrepOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunkTokens: overlapping windows cover every token, order preserved") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b c"), // shorter than one chunk
+      (3L, "") // no tokens -> no chunks
+    ).toDF("doc_id", "text")
+    val out = PrepOps.chunkTokens(docs, "doc_id", "text", chunkSize = 4, overlap = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getLong(3)))
+      .toMap
+    // stride 3: starts 0,3,6,9 -> 4 chunks for doc 1
+    assert(out((1L, 0L)) == ("t1 t2 t3 t4", 4L))
+    assert(out((1L, 1L)) == ("t4 t5 t6 t7", 4L))
+    assert(out((1L, 2L)) == ("t7 t8 t9 t10", 4L))
+    assert(out((1L, 3L)) == ("t10", 1L)) // tail chunk, shorter
+    assert(out((2L, 0L)) == ("a b c", 3L))
+    assert(!out.keySet.exists(_._1 == 3L))
+    // consecutive chunks overlap by exactly `overlap` tokens
+    assert(out((1L, 0L))._1.split(" ").last == out((1L, 1L))._1.split(" ").head)
+  }
+
+  test("packGreedy: packs respect the budget boundary per bucket") {
+    val docs = (1L to 100L)
+      .map(i => (i, (1 to (i % 30 + 5).toInt).map(_ => "w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = PrepOps.packGreedy(docs, "doc_id", "text", budgetTokens = 50, buckets = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // reconstruct: within a bucket, pack_id = floor(prefix_sum / 50)
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_._1).foreach { case (_, _, packId, n) =>
+        assert(packId == cum / 50)
+        cum += n
+      }
+    }
+    // every doc appears exactly once
+    assert(out.map(_._1).distinct.length == 100)
+  }
+
+  test("quantizeInt8: values in [-127,127], dequantization error bounded") {
+    val vecs = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f)), // zero vector
+      (3L, Seq(3.0f))
+    ).toDF("vec_id", "embedding")
+    val out = PrepOps.quantizeInt8(vecs, "vec_id", "embedding")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getSeq[Int](2))).toMap
+    assert(out(1L)._2.forall(q => q >= -127 && q <= 127))
+    assert(out(1L)._2(1) == -127) // the max-magnitude element hits the rail
+    assert(out(2L) == (1.0, Seq(0, 0)))
+    assert(out(3L)._2 == Seq(127))
+    // dequantized values within max|x|/254 of the original
+    val (scale, q) = out(1L)
+    val orig = Seq(0.5, -1.0, 0.25, 0.0)
+    q.zip(orig).foreach { case (qi, xi) =>
+      assert(math.abs(qi / scale - xi) <= 1.0 / 254 + 1e-12)
+    }
+  }
+}
