@@ -47,6 +47,46 @@ object JoinOps {
     s.join(o, keys :+ "__salt", joinType).drop("__salt")
   }
 
+  /** Range (interval) join: pair every left POINT with every right range
+    * `[start, end)` containing it. A raw `p >= s && p < e` condition gives
+    * Spark a BroadcastNestedLoopJoin — O(|L| x |R|) at any scale. This
+    * implementation BUCKETS the domain: each range explodes into the
+    * `ceil(span / bucketWidth)` buckets it overlaps, points map to one
+    * bucket, and a hash equi-join on the bucket id + the exact residual
+    * predicate does the rest. Join cost is |L| + |R| x avg-span/width,
+    * tunable via `bucketWidth` (pick ~ the typical range span so ranges
+    * explode to O(1) buckets).
+    *
+    * `pointCol`/`startCol`/`endCol` are numeric (cast timestamps to epoch
+    * seconds at the call site). Output: all left columns + all right
+    * columns, one row per (point, containing range).
+    */
+  def rangeJoin(
+      left: DataFrame,
+      right: DataFrame,
+      pointCol: String,
+      startCol: String,
+      endCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val clash = left.columns.toSet.intersect(right.columns.toSet)
+    require(clash.isEmpty, s"left/right column names collide: $clash")
+    val p = left.withColumn("__bk", floor(col(pointCol) / bucketWidth))
+    val r = right
+      // empty ranges match nothing (and sequence(a, b) with b < a would
+      // infer a NEGATIVE step and emit reversed buckets)
+      .filter(col(endCol) > col(startCol))
+      .withColumn("__bk",
+        explode(sequence(
+          floor(col(startCol) / bucketWidth),
+          // end is exclusive: a range ending exactly on a boundary does
+          // not reach the next bucket
+          floor((col(endCol) - 1) / bucketWidth))))
+    p.join(r, Seq("__bk"))
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+      .drop("__bk")
+  }
+
   /** Point-in-time (as-of) join: for every left row, attach the LATEST
     * right row with `right.tsRight <= left.tsLeft` and equal `keys` — the
     * feature-store / training-snapshot join (no label leakage from the

@@ -197,6 +197,24 @@ object PipelineQueries {
           date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("clicked_at"))
     }),
 
+    // Range (interval) join: clicks inside the first 5 minutes of any hour
+    // that saw an error. Bucketed equi-join on the hour id + residual
+    // predicate — a raw range condition is a nested-loop join in Spark.
+    "q_range_join" -> ((s, dir) => {
+      val ev = RefQueries.events(s, dir)
+      val ranges = ev.filter(col("event_type") === "error")
+        .select((floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("long").as("r_start"))
+        .distinct()
+        .withColumn("r_end", col("r_start") + 300)
+      val points = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          unix_timestamp(col("ts")).as("p_ts"))
+      JoinOps.rangeJoin(points, ranges, "p_ts", "r_start", "r_end",
+        bucketWidth = 3600)
+        .groupBy(col("r_start"))
+        .agg(count(lit(1)).as("n_clicks"), min(col("click_id")).as("first_click"))
+    }),
+
     // ------------------------------------- sort / top-k / window (engine
     // completeness; the reference needs none of these, SURVEY §2.5)
     "q_topk_orders" -> ((s, dir) =>
@@ -453,6 +471,23 @@ object PipelineQueries {
         |  strftime(c.click_ts, '%Y-%m-%d %H:%M:%S') AS clicked_at
         |FROM errors e ASOF LEFT JOIN clicks c
         |  ON e.user_id = c.user_id AND e.ts >= c.click_ts""".stripMargin,
+
+    "q_range_join" ->
+      """WITH ranges AS (
+        |  SELECT DISTINCT
+        |    CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS r_start
+        |  FROM events WHERE event_type = 'error'),
+        |points AS (
+        |  -- floor, not cast: epoch() is fractional and CAST rounds while
+        |  -- Spark's unix_timestamp truncates
+        |  SELECT event_id AS click_id, CAST(floor(epoch(ts)) AS BIGINT) AS p_ts
+        |  FROM events WHERE event_type = 'click')
+        |SELECT r_start,
+        |  CAST(count(*) AS BIGINT) AS n_clicks,
+        |  min(click_id) AS first_click
+        |FROM points JOIN ranges
+        |  ON p_ts >= r_start AND p_ts < r_start + 300
+        |GROUP BY r_start""".stripMargin,
 
     "q_quantiles" ->
       """SELECT l_returnflag,

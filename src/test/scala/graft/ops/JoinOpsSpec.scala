@@ -103,4 +103,35 @@ class JoinOpsSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"as-of degenerated to a pair join:\n$plan")
   }
+
+  // ------------------------------------------------------------ rangeJoin
+
+  test("rangeJoin matches the naive range predicate, across bucket widths") {
+    val points = (0L until 200L).map(i => (i, i * 7 % 143)).toDF("pid", "p")
+    val ranges = Seq(
+      (1L, 0L, 10L), (2L, 5L, 50L), (3L, 49L, 50L), (4L, 100L, 300L),
+      (5L, 60L, 60L), // empty range matches nothing
+      (6L, 139L, 140L)
+    ).toDF("rid", "s", "e")
+    val naive = points.crossJoin(ranges)
+      .filter($"p" >= $"s" && $"p" < $"e")
+      .select($"pid", $"rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq
+    for (w <- Seq(1L, 7L, 64L, 1000L)) {
+      val got = JoinOps.rangeJoin(points, ranges, "p", "s", "e", bucketWidth = w)
+        .select($"pid", $"rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sorted.toSeq
+      assert(got == naive, s"bucketWidth=$w")
+    }
+  }
+
+  test("rangeJoin plan is a hash join on the bucket id, not a nested loop") {
+    val points = Seq((1L, 5L)).toDF("pid", "p")
+    val ranges = Seq((1L, 0L, 10L)).toDF("rid", "s", "e")
+    val plan = JoinOps.rangeJoin(points, ranges, "p", "s", "e", 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join degenerated:\n$plan")
+    assert(plan.contains("__bk"), s"bucket key missing from plan:\n$plan")
+  }
 }
