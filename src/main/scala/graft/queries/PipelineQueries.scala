@@ -197,6 +197,12 @@ object PipelineQueries {
           date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("clicked_at"))
     }),
 
+    // Keyed interval join (the stream-stream join's batch semantics —
+    // streamed==batch is EventOpsSpec-verified): each error paired with
+    // the same user's clicks in the preceding 30 minutes.
+    "q_clicks_before_errors" -> ((s, dir) =>
+      EventOps.clicksBeforeErrors(RefQueries.events(s, dir), withinMinutes = 30)),
+
     // Range (interval) join: clicks inside the first 5 minutes of any hour
     // that saw an error. Bucketed equi-join on the hour id + residual
     // predicate — a raw range condition is a nested-loop join in Spark.
@@ -471,6 +477,15 @@ object PipelineQueries {
         |  strftime(c.click_ts, '%Y-%m-%d %H:%M:%S') AS clicked_at
         |FROM errors e ASOF LEFT JOIN clicks c
         |  ON e.user_id = c.user_id AND e.ts >= c.click_ts""".stripMargin,
+
+    "q_clicks_before_errors" ->
+      """SELECT e.event_id AS error_id, e.user_id, c.event_id AS click_id,
+        |  strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS err_ts,
+        |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+        |FROM events e JOIN events c
+        |  ON e.user_id = c.user_id
+        |  AND e.event_type = 'error' AND c.event_type = 'click'
+        |  AND c.ts >= e.ts - INTERVAL 30 MINUTE AND c.ts <= e.ts""".stripMargin,
 
     "q_range_join" ->
       """WITH ranges AS (

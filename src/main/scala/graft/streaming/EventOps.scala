@@ -189,6 +189,38 @@ object EventOps {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(onGroup)
   }
 
+  /** Stream-stream interval join: every error paired with the same user's
+    * clicks in the preceding `withinMinutes` (inclusive on both ends).
+    * The SAME plan runs batch (hash equi-join on user + residual time
+    * predicate) or streaming: with `watermark` set on both sides, the
+    * event-time bound lets Spark expire buffered rows once the watermark
+    * passes `err_ts - within` / `click_ts + within`, so join state is
+    * bounded by the horizon — the canonical watermarked stream-stream
+    * join. Batch results are identical (watermark is a no-op).
+    */
+  def clicksBeforeErrors(
+      events: DataFrame,
+      withinMinutes: Int,
+      watermark: Option[String] = None): DataFrame = {
+    val errs0 = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"), col("ts").as("err_ts"))
+    val clicks0 = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+    val (errs, clicks) = watermark match {
+      case Some(w) =>
+        (errs0.withWatermark("err_ts", w), clicks0.withWatermark("click_ts", w))
+      case None => (errs0, clicks0)
+    }
+    errs.join(clicks,
+      col("user_id") === col("click_user") &&
+        col("click_ts") >= col("err_ts") - expr(s"INTERVAL $withinMinutes MINUTES") &&
+        col("click_ts") <= col("err_ts"))
+      .select(col("error_id"), col("user_id"), col("click_id"),
+        date_format(col("err_ts"), "yyyy-MM-dd HH:mm:ss").as("err_ts"),
+        date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"))
+  }
+
   /** Per-session summary: bounds + event count. */
   def sessionStats(events: DataFrame, gapMinutes: Int): DataFrame =
     sessionized(events, gapMinutes)

@@ -64,4 +64,51 @@ class RobustnessSpec extends SparkSpec {
       .collect().head.getSeq[Long](1)
     assert(h == Seq(0L, 0L))
   }
+
+  test("asofJoin with an empty right side keeps every left row with nulls") {
+    import graft.ops.JoinOps
+    val l = Seq((1L, 7L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("id", "k", "lts")
+    val r = Seq.empty[(Long, java.sql.Timestamp, Double)].toDF("k", "rts", "v")
+    val out = JoinOps.asofJoin(l, r, Seq("k"), "lts", "rts", Seq("v")).collect()
+    assert(out.length == 1 && out.head.isNullAt(3) && out.head.isNullAt(4))
+  }
+
+  test("rangeJoin handles negative domains (floor semantics below zero)") {
+    import graft.ops.JoinOps
+    val points = Seq((1L, -5L), (2L, -1L), (3L, 0L), (4L, 3L)).toDF("pid", "p")
+    val ranges = Seq((10L, -6L, 0L), (11L, -1L, 4L)).toDF("rid", "s", "e")
+    val got = JoinOps.rangeJoin(points, ranges, "p", "s", "e", bucketWidth = 4)
+      .select($"pid", $"rid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // naive truth: -5,-1 in [-6,0); -1,0,3 in [-1,4)
+    assert(got == Seq((1L, 10L), (2L, 10L), (2L, 11L), (3L, 11L), (4L, 11L)))
+  }
+
+  test("chunkTokens with zero overlap partitions tokens exactly") {
+    import graft.ops.PrepOps
+    val docs = Seq((1L, (1 to 7).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val out = PrepOps.chunkTokens(docs, "doc_id", "text", chunkSize = 3, overlap = 0)
+      .orderBy($"chunk_idx").collect().map(r => (r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq(("t1 t2 t3", 3L), ("t4 t5 t6", 3L), ("t7", 1L)))
+  }
+
+  test("packGreedy: a doc longer than the budget still lands in exactly one pack") {
+    import graft.ops.PrepOps
+    val docs = Seq(
+      (1L, (1 to 100).map(_ => "w").mkString(" ")), // 100 tokens >> budget 10
+      (9L, "w w w")).toDF("doc_id", "text")
+    val out = PrepOps.packGreedy(docs, "doc_id", "text", budgetTokens = 10, buckets = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(1L) == 0L && out(9L) == 10L) // 100/10 = pack 10 for the next doc
+  }
+
+  test("connectedComponents handles a long chain through the distributed path") {
+    import graft.ops.GraphOps
+    // 400-node chain: worst case for min-label propagation (400 rounds);
+    // star contraction converges in O(log n) — this also guards maxRounds
+    val chain = (1L until 400L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = GraphOps.connectedComponents(chain, "a", "b", smallGraphEdges = -1)
+      .agg(countDistinct($"component"), count(lit(1))).collect().head
+    assert(got.getLong(0) == 1L && got.getLong(1) == 400L)
+  }
 }

@@ -115,6 +115,42 @@ class EventOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("clicksBeforeErrors stream-stream join matches batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq(
+      (1L, ts("2024-01-01 00:05:00"), 10L, "click", 0.0),
+      (2L, ts("2024-01-01 00:20:00"), 10L, "error", 0.0), // joins click 1
+      (3L, ts("2024-01-01 01:30:00"), 10L, "click", 0.0),
+      (4L, ts("2024-01-01 01:35:00"), 10L, "error", 0.0), // joins click 3 only
+      (5L, ts("2024-01-01 01:34:00"), 11L, "click", 0.0), // other user
+      (6L, ts("2024-01-01 02:00:00"), 11L, "error", 0.0) // 26 min gap > 25 -> no join
+    )
+    val batchDf = data.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val batch = EventOps.clicksBeforeErrors(batchDf, withinMinutes = 25)
+      .select($"error_id", $"click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch == Set((2L, 1L), (4L, 3L)))
+
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val stream = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventOps.clicksBeforeErrors(stream, withinMinutes = 25,
+      watermark = Some("10 minutes"))
+      .writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(data.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(data.drop(3): _*)
+      q.processAllAvailable()
+      // flush: advance the watermark far past every event
+      mem.addData((99L, ts("2024-01-02 00:00:00"), 999L, "view", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT error_id, click_id FROM ssj_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("streamingDedup keeps first arrival per key across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String)]
