@@ -175,6 +175,13 @@ object TextOps {
       val punctRatio = s"CASE WHEN $nChars > 0 THEN CAST(${punctCount(c)} AS DOUBLE) / $nChars ELSE 1.0 END"
       s"($lenScore + $shapeScore + (1.0 - $punctRatio)) / 3"
     }
+    /** Matches Spark's regexp_count sum: both engines count non-overlapping
+      * leftmost matches; [[piiPatterns]] avoid dialect-divergent constructs.
+      */
+    def piiCount(c: String): String =
+      piiPatterns.map { case (re, _) =>
+        s"len(regexp_extract_all($c, '${re.replace("'", "''")}'))"
+      }.mkString("(", " + ", ")")
     def fingerprint(c: String): String = {
       val norm = s"array_to_string(${tokens(s"lower($c)")}, ' ')"
       val codes = s"list_transform(list_filter(string_split($norm, ''), ch -> len(ch) > 0), ch -> CAST(ord(ch) AS BIGINT))"

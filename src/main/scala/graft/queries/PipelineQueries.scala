@@ -80,6 +80,52 @@ object PipelineQueries {
         .select(col("node").as("doc_id"), col("component"))
     }),
 
+    // Dedup APPLIED: keep one representative (the minimum id) per
+    // near-dup cluster — the end-to-end "give me the cleaned corpus" op.
+    "q_dedup_apply" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = DedupOps.ngramJaccardPairs(
+        docs, "doc_id", "text", k = 3, threshold = 0.2)
+      val reps = GraphOps.componentsOf(docs, "doc_id", pairs, "id_a", "id_b")
+        .filter(col("node") === col("component"))
+        .select(col("node").as("doc_id"))
+      docs.join(reps, "doc_id").select(col("doc_id"), col("source"))
+    }),
+
+    // Dataset-card statistics per (source, lang): doc/token counts + PII
+    // audit + quality bounds. Sums are integers and bounds are
+    // order-independent — reproducible under any merge order (a double
+    // quality SUM would not be).
+    "q_corpus_stats" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("source"), col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"),
+          sum(TextOps.piiCount(col("text")).cast("long")).as("n_pii"),
+          min(TextOps.qualityScore(col("text"))).as("min_quality"),
+          max(TextOps.qualityScore(col("text"))).as("max_quality"))),
+
+    // Top-3 characteristic terms per document by tf * (1/df) weighting
+    // (df from the whole corpus; ratio instead of ln-idf keeps the score
+    // an exact IEEE division — ln differs in last ulps across libm
+    // implementations). Broadcast-sized vocab joins the exploded tokens.
+    "q_top_terms" -> ((s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(lower(col("text")))).as("token"))
+      val df_ = tok.groupBy(col("token"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("token"))
+      tf.join(broadcast(df_), "token")
+        .withColumn("score", col("tf").cast("double") / col("df"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank").cast("long").as("rank"),
+          col("token"), col("tf"), col("df"), col("score"))
+    }),
+
     // ---------------------------------------------------------- sampling
     "q_sample_stratified" -> ((s, dir) =>
       SamplingOps.stratifiedExact(
@@ -450,6 +496,61 @@ object PipelineQueries {
         |      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
         |      list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
         |    FROM embeddings))""".stripMargin,
+
+    "q_dedup_apply" ->
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id, ${S.tokens("text")} AS w FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')))) AS s
+         |  FROM toks WHERE len(w) >= 3),
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS i
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |good AS (
+         |  SELECT id_a, id_b FROM inter
+         |  JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+         |  WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.2),
+         |edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM good
+         |  UNION SELECT id_b, id_a FROM good),
+         |reach(n, r) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+         |  UNION
+         |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.n),
+         |comp AS (SELECT n, min(r) AS component FROM reach GROUP BY n)
+         |SELECT d.doc_id, d.source
+         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.n
+         |WHERE coalesce(c.component, d.doc_id) = d.doc_id""".stripMargin,
+
+    "q_corpus_stats" ->
+      s"""SELECT source, lang,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(${S.tokenCount("text")}) AS BIGINT) AS n_tokens,
+         |  CAST(sum(${S.piiCount("text")}) AS BIGINT) AS n_pii,
+         |  min(${S.qualityScore("text")}) AS min_quality,
+         |  max(${S.qualityScore("text")}) AS max_quality
+         |FROM documents GROUP BY source, lang""".stripMargin,
+
+    "q_top_terms" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(${S.tokens("lower(text)")}) AS token
+         |  FROM documents),
+         |dfreq AS (
+         |  SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |  FROM tok GROUP BY token),
+         |tfreq AS (
+         |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+         |  FROM tok GROUP BY doc_id, token),
+         |scored AS (
+         |  SELECT doc_id, token, tf, df,
+         |    CAST(tf AS DOUBLE) / df AS score,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY CAST(tf AS DOUBLE) / df DESC, token) AS rank
+         |  FROM tfreq JOIN dfreq USING (token))
+         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, tf, df, score
+         |FROM scored WHERE rank <= 3""".stripMargin,
 
     "q_sample_stratified" ->
       """SELECT doc_id, source FROM documents
