@@ -106,4 +106,58 @@ object GraftProps extends Properties("graft") {
       val w = SimilarityOps.planeWeight(j, d)
       w >= -3 && w <= 3
     }
+
+  // ---- custom text expressions, interpreted eval vs a direct reference
+  // (Spark-free: Literal children + .eval(null))
+
+  import org.apache.spark.sql.catalyst.expressions.{Literal, XXH64}
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val tokensGen: Gen[List[String]] =
+    Gen.chooseNum(0, 25).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "cd", "efg", "h i", "", "ab")))
+
+  private def tokLit(ts: List[String]) = Literal(
+    new GenericArrayData(ts.map(UTF8String.fromString).toArray),
+    ArrayType(StringType))
+
+  /** Reference shingle-hash fold (mirrors xxhash64 chaining from seed 42). */
+  private def refShingles(ts: List[String], k: Int): Seq[Long] =
+    ts.sliding(k).filter(_.length == k).map { win =>
+      win.foldLeft(42L)((h, t) => XXH64.hashUTF8String(UTF8String.fromString(t), h))
+    }.toSeq
+
+  property("ShingleHashes == sorted distinct reference fold") =
+    forAll(tokensGen, Gen.chooseNum(1, 4)) { (ts, k) =>
+      val got = graft.expr.ShingleHashes(tokLit(ts), k).eval(null)
+      val want = refShingles(ts, k).distinct.sorted
+      if (want.isEmpty) got == null
+      else got.asInstanceOf[ArrayData].toLongArray().toSeq == want
+    }
+
+  property("ShingleMinHash == per-family min over the shingle set") =
+    forAll(tokensGen, Gen.chooseNum(1, 4), Gen.chooseNum(1, 8)) { (ts, k, nh) =>
+      val got = graft.expr.ShingleMinHash(tokLit(ts), k, nh).eval(null)
+      val sh = refShingles(ts, k)
+      if (sh.isEmpty) got == null
+      else {
+        val want = (0 until nh).map { i =>
+          val seed = XXH64.hashInt(i, 42L)
+          sh.map(s => XXH64.hashLong(s, seed)).min
+        }
+        got.asInstanceOf[ArrayData].toLongArray().toSeq == want
+      }
+    }
+
+  property("SortedIntersectCount == set intersection size") =
+    forAll(Gen.listOf(Gen.chooseNum(-50L, 50L)), Gen.listOf(Gen.chooseNum(-50L, 50L))) {
+      (a, b) =>
+        def lit(xs: List[Long]) = Literal(
+          new GenericArrayData(xs.distinct.sorted.toArray),
+          ArrayType(LongType, containsNull = false))
+        val got = graft.expr.SortedIntersectCount(lit(a), lit(b)).eval(null)
+        got == (a.toSet & b.toSet).size.toLong
+    }
 }
