@@ -123,8 +123,7 @@ case class ShingleMinHash(child: Expression, k: Int, numHashes: Int)
           }
           if ($any) {
             ${ev.isNull} = false;
-            ${ev.value} = org.apache.spark.sql.catalyst.util.UnsafeArrayData
-              .fromPrimitiveArray($mins);
+            ${ev.value} = UnsafeArrayData.fromPrimitiveArray($mins);
           }
         }
       }
@@ -231,8 +230,7 @@ case class ShingleHashes(child: Expression, k: Int)
               if (${w}u == 0 || $buf[$r] != $buf[${w}u - 1]) { $buf[${w}u++] = $buf[$r]; }
             }
             ${ev.isNull} = false;
-            ${ev.value} = org.apache.spark.sql.catalyst.util.UnsafeArrayData
-              .fromPrimitiveArray(java.util.Arrays.copyOf($buf, ${w}u));
+            ${ev.value} = UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf($buf, ${w}u));
           }
         }
       }

@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.expr.BloomExprs
+
 /** Join utilities for skewed keys at scale.
   *
   * Spark's AQE rewrites skewed SORT-MERGE joins at runtime
@@ -152,5 +154,56 @@ object JoinOps {
     bounded.select(
       left.columns.toSeq.map(col) ++
         outNames.map(n => col(s"__m.`$n`").as(n)): _*)
+  }
+
+  /** Anti join (`left` minus rows whose `leftKey` appears in
+    * `right.rightKey`) pruned by a Bloom sketch of the removal keys — the
+    * removal-list shape of a 100 TB dedup-apply pass.
+    *
+    * A plain `left_anti` join hash-partitions BOTH sides: the entire corpus
+    * crosses the wire to meet a removal list that filters out a few
+    * percent. Here the removal keys are aggregated once into a Bloom sketch
+    * (distributed aggregation — the driver holds only the merged bitmap,
+    * sized `expectedItems`/`fpp`), the sketch rides into a row-local
+    * codegen'd probe, and:
+    *
+    *   - rows whose key the sketch DEFINITELY excludes (the vast majority
+    *     when the removal fraction is small) are emitted straight from the
+    *     scan — zero shuffle;
+    *   - only "maybe present" rows (true removals + the `fpp` sliver of
+    *     false positives) take the exact anti join, so the shuffle carries
+    *     ~`|removals| + fpp × |left|` rows instead of `|left|`.
+    *
+    * The result is IDENTICAL to the plain anti join for any sketch
+    * contents — false positives only route extra rows through the exact
+    * check, never change the outcome. NULL keys never equi-match, so they
+    * are always kept (the `coalesce` below). Cost note: `left` is scanned
+    * twice (columnar scans are cheap; shuffles are not) — at small removal
+    * fractions this trades a full-corpus shuffle for a second scan.
+    * Spark's own runtime bloom filters (`spark.sql.optimizer.runtime.
+    * bloomFilter.enabled`) target selective *inner* join probe sides and do
+    * not rewrite anti joins this way.
+    *
+    * `keys must be BIGINT`-castable; `expectedItems` sizes the sketch (use
+    * an upper bound on distinct removal keys; 1M keys at fpp 0.01 ≈ 1.2 MB).
+    */
+  def bloomAntiJoin(
+      left: DataFrame,
+      leftKey: String,
+      right: DataFrame,
+      rightKey: String,
+      expectedItems: Long,
+      fpp: Double = 0.01): DataFrame = {
+    require(expectedItems > 0, s"expectedItems must be positive, got $expectedItems")
+    // build the sketch over an explicit BIGINT view so insertions are
+    // `putLong` — the exact probe `mightContainLong` answers
+    val bloom = right.select(col(rightKey).cast("long").as(rightKey))
+      .stat.bloomFilter(rightKey, expectedItems, fpp)
+    val might = coalesce(
+      BloomExprs.mightContainLong(col(leftKey).cast("long"), bloom), lit(false))
+    val definiteKeep = left.filter(!might)
+    val survivors = left.filter(might)
+      .join(right.select(col(rightKey)), col(leftKey) === col(rightKey), "left_anti")
+    definiteKeep.unionByName(survivors)
   }
 }

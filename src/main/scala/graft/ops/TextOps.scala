@@ -133,6 +133,54 @@ object TextOps {
     (lenScore + shapeScore + (lit(1.0) - punctRatio)) / 3
   }
 
+  /** Space-joined n-grams of an ALREADY-TOKENIZED array, empty when it has
+    * fewer than `n` tokens. Take this form (and the other `*OfTokens`
+    * variants) when computing several signals over one document: tokenize
+    * once into a named column, then derive — `when`-guarded trees defeat
+    * Spark's subexpression elimination, so the text-based conveniences
+    * below re-tokenize per signal (measured 8x slower for the 3-signal
+    * repetition query).
+    */
+  def ngramsOfTokens(w: Column, n: Int): Column = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", slice(w, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Type-token ratio of a token array (1.0 for empty — an empty doc has
+    * no repetition). Low values flag keyword-stuffed or looping text (the
+    * Gopher "fraction of unique words" rule).
+    */
+  def distinctFracOfTokens(w: Column): Column =
+    when(size(w) > 0,
+      size(array_distinct(w)).cast("double") / size(w).cast("double"))
+      .otherwise(lit(1.0))
+
+  /** Fraction of n-grams that repeat an earlier n-gram (1 − distinct/total;
+    * 0.0 for an empty n-gram array) — the Gopher/C4-style duplicate-n-gram
+    * repetition signal used to drop boilerplate and degenerate generations
+    * from pretraining corpora. Pure integer counts + one IEEE division:
+    * bit-identical on any engine.
+    */
+  def dupFracOfNgrams(g: Column): Column =
+    when(size(g) > 0,
+      lit(1.0) - size(array_distinct(g)).cast("double") / size(g).cast("double"))
+      .otherwise(lit(0.0))
+
+  /** [[ngramsOfTokens]] over freshly tokenized text. */
+  def tokenNgrams(text: Column, n: Int): Column =
+    ngramsOfTokens(tokens(text), n)
+
+  /** [[distinctFracOfTokens]] over freshly tokenized text. */
+  def distinctTokenFrac(text: Column): Column =
+    distinctFracOfTokens(tokens(text))
+
+  /** [[dupFracOfNgrams]] over freshly tokenized text. */
+  def dupNgramFrac(text: Column, n: Int): Column =
+    dupFracOfNgrams(tokenNgrams(text, n))
+
   /** Rolling polynomial fingerprint of the normalized text (lowercase,
     * whitespace collapsed to single spaces):
     * `h = fold(codepoints, 0, (acc, c) => (acc*31 + c) mod 1e9+7)`.
@@ -182,6 +230,20 @@ object TextOps {
       piiPatterns.map { case (re, _) =>
         s"len(regexp_extract_all($c, '${re.replace("'", "''")}'))"
       }.mkString("(", " + ", ")")
+    /** `range(1, len-n+2)` is empty whenever len < n, so the guard matches
+      * the Spark side's `size >= n` without an explicit CASE on length.
+      */
+    def tokenNgrams(c: String, n: Int): String =
+      s"list_transform(range(1, len(${tokens(c)}) - ${n - 2}), " +
+        s"i -> array_to_string((${tokens(c)})[i:i+${n - 1}], ' '))"
+    def distinctTokenFrac(c: String): String = {
+      val w = tokens(c)
+      s"CASE WHEN len($w) > 0 THEN CAST(len(list_distinct($w)) AS DOUBLE) / CAST(len($w) AS DOUBLE) ELSE 1.0 END"
+    }
+    def dupNgramFrac(c: String, n: Int): String = {
+      val g = tokenNgrams(c, n)
+      s"CASE WHEN len($g) > 0 THEN 1.0 - CAST(len(list_distinct($g)) AS DOUBLE) / CAST(len($g) AS DOUBLE) ELSE 0.0 END"
+    }
     def fingerprint(c: String): String = {
       val norm = s"array_to_string(${tokens(s"lower($c)")}, ' ')"
       val codes = s"list_transform(list_filter(string_split($norm, ''), ch -> len(ch) > 0), ch -> CAST(ord(ch) AS BIGINT))"

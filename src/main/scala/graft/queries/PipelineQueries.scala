@@ -41,6 +41,23 @@ object PipelineQueries {
         col("doc_id"),
         TextOps.fingerprint(col("text")).as("fp"))),
 
+    // Gopher/C4-style repetition filter signals: all row-local codegen'd
+    // expressions (integer counts + one IEEE division each) — a 100 TB
+    // repetition pass is a pure map over the scan, zero shuffles. Staged
+    // selects tokenize ONCE and build each n-gram array ONCE: the arrays
+    // are non-cheap and multiply-referenced, so CollapseProject keeps the
+    // stages and nothing is recomputed under the `when` guards.
+    "q_repetition" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("__w"))
+        .select(col("doc_id"), col("__w"),
+          TextOps.ngramsOfTokens(col("__w"), 2).as("__g2"),
+          TextOps.ngramsOfTokens(col("__w"), 3).as("__g3"))
+        .select(col("doc_id"),
+          TextOps.distinctFracOfTokens(col("__w")).as("distinct_token_frac"),
+          TextOps.dupFracOfNgrams(col("__g2")).as("dup_bigram_frac"),
+          TextOps.dupFracOfNgrams(col("__g3")).as("dup_trigram_frac"))),
+
     // ------------------------------------------------------------- dedup
     "q_dedup_exact" -> ((s, dir) =>
       DedupOps.exactDedup(
@@ -267,6 +284,18 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_clicks"), min(col("click_id")).as("first_click"))
     }),
 
+    // Removal-list anti join, Bloom-pruned: definite keeps stream from the
+    // scan with zero shuffle; only sketch "maybes" take the exact anti
+    // join. Bit-identical to a plain left_anti for any fpp.
+    "q_bloom_anti" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val removals = docs.filter(col("n_chars") < 150)
+        .select(col("doc_id").as("rm_id"))
+      JoinOps.bloomAntiJoin(
+        docs.select(col("doc_id"), col("source")), "doc_id",
+        removals, "rm_id", expectedItems = 1 << 16)
+    }),
+
     // ------------------------------------- sort / top-k / window (engine
     // completeness; the reference needs none of these, SURVEY §2.5)
     "q_topk_orders" -> ((s, dir) =>
@@ -413,6 +442,13 @@ object PipelineQueries {
 
     "q_text_fingerprint" ->
       s"SELECT doc_id, ${S.fingerprint("text")} AS fp FROM documents",
+
+    "q_repetition" ->
+      s"""SELECT doc_id,
+         | ${S.distinctTokenFrac("text")} AS distinct_token_frac,
+         | ${S.dupNgramFrac("text", 2)} AS dup_bigram_frac,
+         | ${S.dupNgramFrac("text", 3)} AS dup_trigram_frac
+         |FROM documents""".stripMargin,
 
     "q_dedup_exact" ->
       s"""SELECT doc_id, source FROM (
@@ -604,6 +640,11 @@ object PipelineQueries {
         |FROM points JOIN ranges
         |  ON p_ts >= r_start AND p_ts < r_start + 300
         |GROUP BY r_start""".stripMargin,
+
+    "q_bloom_anti" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE doc_id NOT IN (
+        |  SELECT doc_id FROM documents WHERE n_chars < 150)""".stripMargin,
 
     "q_quantiles" ->
       """SELECT l_returnflag,

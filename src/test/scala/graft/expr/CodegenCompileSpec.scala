@@ -1,0 +1,70 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.BoundReference
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateMutableProjection
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Forces actual Janino compilation of every custom expression's
+  * `doGenCode` — no interpreted fallback. Production code paths log a
+  * CodeGenerator ERROR and silently fall back to `nullSafeEval` when the
+  * generated Java is invalid (which is how a wrong class reference in a
+  * codegen string shipped unnoticed: scalac never sees inside the string).
+  * `GenerateMutableProjection.generate` throws instead, and evaluating the
+  * compiled projection pins generated-vs-interpreted result equality.
+  */
+class CodegenCompileSpec extends AnyFunSuite {
+
+  private val toks: ArrayData = new GenericArrayData(
+    Array[Any](UTF8String.fromString("a"), UTF8String.fromString("b"),
+      UTF8String.fromString("a"), UTF8String.fromString("c")))
+  private val strArr = ArrayType(StringType)
+
+  test("ShingleMinHash generated code compiles and matches eval") {
+    val e = ShingleMinHash(BoundReference(0, strArr, nullable = true), k = 2, numHashes = 8)
+    val proj = GenerateMutableProjection.generate(Seq(e)) // throws on bad codegen
+    val row = InternalRow(toks)
+    val got = proj(row).getArray(0).toLongArray().toSeq
+    val want = e.eval(row).asInstanceOf[ArrayData].toLongArray().toSeq
+    assert(got == want)
+  }
+
+  test("ShingleHashes generated code compiles and matches eval") {
+    val e = ShingleHashes(BoundReference(0, strArr, nullable = true), k = 2)
+    val proj = GenerateMutableProjection.generate(Seq(e))
+    val row = InternalRow(toks)
+    val got = proj(row).getArray(0).toLongArray().toSeq
+    val want = e.eval(row).asInstanceOf[ArrayData].toLongArray().toSeq
+    assert(got == want)
+    assert(got == got.sorted && got.distinct == got, "contract: sorted distinct")
+  }
+
+  test("SortedIntersectCount generated code compiles and matches eval") {
+    val longArr = ArrayType(LongType)
+    val e = SortedIntersectCount(
+      BoundReference(0, longArr, nullable = true),
+      BoundReference(1, longArr, nullable = true))
+    val proj = GenerateMutableProjection.generate(Seq(e))
+    val row = InternalRow(
+      new GenericArrayData(Array[Any](1L, 3L, 7L, 9L)),
+      new GenericArrayData(Array[Any](3L, 4L, 9L)))
+    assert(proj(row).getLong(0) == 2L)
+    assert(e.eval(row) == 2L)
+  }
+
+  test("VecDot generated code compiles and matches eval") {
+    val dblArr = ArrayType(DoubleType)
+    val e = VecDot(
+      BoundReference(0, dblArr, nullable = true),
+      BoundReference(1, dblArr, nullable = true))
+    val proj = GenerateMutableProjection.generate(Seq(e))
+    val row = InternalRow(
+      new GenericArrayData(Array[Any](1.0, 2.0, 3.0)),
+      new GenericArrayData(Array[Any](4.0, 0.5, 2.0)))
+    assert(proj(row).getDouble(0) == 11.0)
+    assert(e.eval(row) == 11.0)
+  }
+}

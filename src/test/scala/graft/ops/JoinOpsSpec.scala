@@ -134,4 +134,37 @@ class JoinOpsSpec extends SparkSpec {
       s"range join degenerated:\n$plan")
     assert(plan.contains("__bk"), s"bucket key missing from plan:\n$plan")
   }
+
+  test("bloomAntiJoin equals the plain anti join, null keys kept") {
+    val left = ((1 to 2000).map(i => (Option(i.toLong), s"d$i")) :+
+      ((None: Option[Long]), "dnull")).toDF("id", "payload")
+    // remove every 13th id, plus keys absent from left (harmless)
+    val removals = ((13 to 2000 by 13).map(_.toLong) ++ Seq(99991L, 99992L))
+      .toDF("rid")
+    val plain = left.join(removals, $"id" === $"rid", "left_anti")
+      .collect().map(r => (Option(r.get(0)).map(_.toString), r.getString(1))).sorted.toSeq
+    for (fpp <- Seq(0.5, 0.01)) { // high fpp stresses the exact-verify branch
+      val got = JoinOps.bloomAntiJoin(left, "id", removals, "rid",
+        expectedItems = 1000, fpp = fpp)
+        .collect().map(r => (Option(r.get(0)).map(_.toString), r.getString(1))).sorted.toSeq
+      assert(got == plain, s"fpp=$fpp")
+    }
+    assert(plain.exists(_._2 == "dnull"), "null-key row must survive")
+  }
+
+  test("bloomAntiJoin: definite-keep branch bypasses the join") {
+    // spark.range (not a local Seq): LocalTableScans get probe-folded at
+    // optimization time and the filter would vanish from the plan
+    val left = spark.range(5000).select($"id", ($"id" * 2).as("v"))
+    val removals = Seq(17L, 4242L).toDF("rid")
+    val df = JoinOps.bloomAntiJoin(left.toDF(), "id", removals, "rid", expectedItems = 100)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"), s"probe missing from plan:\n$plan")
+    // with 2 removal keys at fpp 1%, almost everything keeps without joining
+    val bloom = removals.select($"rid").stat.bloomFilter("rid", 100, 0.01)
+    val routed = left.filter(
+      graft.expr.BloomExprs.mightContainLong($"id", bloom)).count()
+    assert(routed < 500, s"too many rows routed to the exact join: $routed")
+    assert(df.count() == 4998)
+  }
 }

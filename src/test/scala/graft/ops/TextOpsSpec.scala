@@ -71,4 +71,25 @@ class TextOpsSpec extends SparkSpec {
     assert(one[String](TextOps.redactPii($"t"), plain) == plain)
     assert(one[Int](TextOps.piiCount($"t"), plain) == 0)
   }
+
+  test("tokenNgrams windows tokens; short docs yield empty") {
+    val g = one[collection.Seq[String]](TextOps.tokenNgrams($"t", 2), "a b a b")
+    assert(g.toSeq == Seq("a b", "b a", "a b"))
+    assert(one[collection.Seq[String]](TextOps.tokenNgrams($"t", 3), "x y").toSeq.isEmpty)
+    assert(one[collection.Seq[String]](TextOps.tokenNgrams($"t", 1), "p q").toSeq == Seq("p", "q"))
+  }
+
+  test("repetition signals: distinct-token and duplicate-n-gram fractions") {
+    // "a b a b": 4 tokens / 2 distinct; bigrams (a b, b a, a b) -> 1/3 dup;
+    // trigrams (a b a, b a b) all distinct -> 0
+    assert(one[Double](TextOps.distinctTokenFrac($"t"), "a b a b") == 0.5)
+    assert(one[Double](TextOps.dupNgramFrac($"t", 2), "a b a b") == 1.0 - 2.0 / 3.0)
+    assert(one[Double](TextOps.dupNgramFrac($"t", 3), "a b a b") == 0.0)
+    // degenerate loop is maximally repetitive; varied text is not
+    assert(one[Double](TextOps.dupNgramFrac($"t", 2), "spam spam spam spam spam") == 0.75)
+    assert(one[Double](TextOps.dupNgramFrac($"t", 2), "all words fresh here today") == 0.0)
+    // empty / too-short docs: no repetition by definition
+    assert(one[Double](TextOps.distinctTokenFrac($"t"), "") == 1.0)
+    assert(one[Double](TextOps.dupNgramFrac($"t", 2), "solo") == 0.0)
+  }
 }
