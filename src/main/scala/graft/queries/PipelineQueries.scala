@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{DedupOps, GraphOps, IvfOps, JoinOps, MultimodalOps, PrepOps, SamplingOps, SimilarityOps, TextOps}
+import graft.ops.{ContaminationOps, DedupOps, GraphOps, IvfOps, JoinOps, MultimodalOps, PrepOps, SamplingOps, SimilarityOps, TextOps}
 import graft.streaming.EventOps
 
 /** Training-data pipeline operators (dedup, similarity search, multimodal,
@@ -57,6 +57,21 @@ object PipelineQueries {
           TextOps.distinctFracOfTokens(col("__w")).as("distinct_token_frac"),
           TextOps.dupFracOfNgrams(col("__g2")).as("dup_bigram_frac"),
           TextOps.dupFracOfNgrams(col("__g3")).as("dup_trigram_frac"))),
+
+    // Eval-set decontamination: per-doc fraction of distinct 3-shingles
+    // found in the benchmark slice. Benchmark collapses to one broadcast
+    // row of sorted shingle hashes; the corpus side is a pure map (zero
+    // corpus shuffles). Oracle joins shingle STRINGS — an independent
+    // formulation of the same set semantics (hash collisions at 2^-64).
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs
+        .filter(col("source") === "src18" && col("lang") === "en")
+        .select(col("text"))
+      ContaminationOps.contaminationScores(
+        docs.select(col("doc_id"), col("text")), "text", bench, "text", k = 3)
+        .select(col("doc_id"), col("contamination"))
+    }),
 
     // ------------------------------------------------------------- dedup
     "q_dedup_exact" -> ((s, dir) =>
@@ -449,6 +464,22 @@ object PipelineQueries {
          | ${S.dupNgramFrac("text", 2)} AS dup_bigram_frac,
          | ${S.dupNgramFrac("text", 3)} AS dup_trigram_frac
          |FROM documents""".stripMargin,
+
+    "q_decontaminate" ->
+      s"""WITH bs AS (
+         |  SELECT DISTINCT unnest(${S.tokenNgrams("text", 3)}) AS s
+         |  FROM documents WHERE source = 'src18' AND lang = 'en'),
+         |ds AS (
+         |  SELECT doc_id, unnest(list_distinct(${S.tokenNgrams("text", 3)})) AS s
+         |  FROM documents),
+         |cnt AS (
+         |  SELECT ds.doc_id,
+         |    CAST(count(*) AS BIGINT) AS total,
+         |    CAST(count(bs.s) AS BIGINT) AS hit
+         |  FROM ds LEFT JOIN bs USING (s) GROUP BY ds.doc_id)
+         |SELECT d.doc_id,
+         |  CAST(hit AS DOUBLE) / CAST(total AS DOUBLE) AS contamination
+         |FROM documents d LEFT JOIN cnt USING (doc_id)""".stripMargin,
 
     "q_dedup_exact" ->
       s"""SELECT doc_id, source FROM (
