@@ -253,6 +253,71 @@ object DedupOps {
         col("n_a"), col("n_b"), col("jaccard"))
   }
 
+  /** Exact-substring span dedup (the Lee et al. 2021 "Deduplicating
+    * Training Data Makes Language Models Better" semantic, at k-token
+    * granularity): every k-token span that occurs more than once in the
+    * WHOLE corpus is cut from every document except its first occurrence
+    * (first = minimal (doc_id, position)); overlapping cut spans merge into
+    * one removed region. Returns one row per input document:
+    * (doc_id, text_clean, n_kept, n_dropped) — text_clean is the surviving
+    * tokens space-joined ("" when nothing survives).
+    *
+    * Scale shape (the paper's suffix-array pass re-expressed as joins):
+    *   - span hashing is row-local (slice + arrays_zip + one codegen'd
+    *     xxhash64 over the k tokens — no span strings materialized);
+    *   - corpus-sized shuffles are keyed by the 8-byte span hash only
+    *     (occurrence-count/winner groupBy + the join marking doomed
+    *     occurrences — both partial-aggregated / AQE-skew-splittable),
+    *     then by doc_id to collect covered positions;
+    *   - per-document masking is `array_except` over integer positions —
+    *     linear in document length, row-local.
+    * Grouping by hash instead of the span string diverges only on xxhash64
+    * collisions (~m²/2⁻⁶⁴ for m distinct spans) — the same documented
+    * trade as [[exactDedup]].
+    */
+  def spanDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"span length must be >= 1 token, got $k")
+    val withToks = docs.select(
+      col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("__w"))
+    val nSpans = greatest(size(col("__w")) - (k - 1), lit(0))
+    val zipped = arrays_zip(
+      (0 until k).map(j => slice(col("__w"), lit(j + 1), nSpans)): _*)
+    val grams = withToks
+      .select(col("doc_id"), posexplode(zipped).as(Seq("pos", "s")))
+      .select(col("doc_id"), col("pos"),
+        xxhash64((0 until k).map(j => col("s").getField(j.toString)): _*).as("h"))
+    // only spans with >1 occurrence matter downstream — filtered before the
+    // join back, so the join's build side is the duplicated spans only
+    val dupWinners = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("c"),
+        min(struct(col("doc_id"), col("pos"))).as("win"))
+      .filter(col("c") > 1)
+      .select(col("h"), col("win"))
+    val doomed = grams.join(dupWinners, "h")
+      .filter(!(col("doc_id") === col("win.doc_id") && col("pos") === col("win.pos")))
+    // covered token positions per doc; collect_set dedups overlapping spans
+    val covered = doomed
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("tpos"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("tpos")).as("__cov"))
+    val emptyIdx = array().cast("array<int>")
+    val idxAll = when(size(col("__w")) > 0,
+      sequence(lit(0), size(col("__w")) - 1)).otherwise(emptyIdx)
+    val keptIdx = array_except(idxAll, coalesce(col("__cov"), emptyIdx))
+    withToks.join(covered, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        concat_ws(" ", transform(keptIdx, i => element_at(col("__w"), i + 1)))
+          .as("text_clean"),
+        size(keptIdx).cast("long").as("n_kept"),
+        (size(col("__w")) - size(keptIdx)).cast("long").as("n_dropped"))
+  }
+
   /** 64-bit SimHash over whitespace tokens: bit j of the output is set iff
     * `sum over tokens of (bit j of xxhash64(token) ? +1 : -1) >= 0`.
     * Computed as one explode + one aggregation (64 long sums per doc);

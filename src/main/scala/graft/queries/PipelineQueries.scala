@@ -84,6 +84,12 @@ object PipelineQueries {
       DedupOps.ngramJaccardPairs(
         t(s, dir, "documents"), "doc_id", "text", k = 3, threshold = 0.2)),
 
+    // Exact-substring span dedup (Lee et al. 2021 semantics at 5-token
+    // granularity): duplicated spans cut everywhere but their first
+    // occurrence, overlaps merged, documents reassembled.
+    "q_dedup_spans" -> ((s, dir) =>
+      DedupOps.spanDedup(t(s, dir, "documents"), "doc_id", "text", k = 5)),
+
     // xxhash64-based: no SQL oracle (rows-only check + ScalaTest).
     "q_dedup_minhash" -> ((s, dir) => {
       val sigs = DedupOps.minhashSignatures(
@@ -487,6 +493,42 @@ object PipelineQueries {
          |    PARTITION BY array_to_string(${S.tokens("lower(text)")}, ' ')
          |    ORDER BY doc_id) AS rn
          |  FROM documents) WHERE rn = 1""".stripMargin,
+
+    // Independent formulation: spans as STRINGS + windows (the Spark side
+    // groups 8-byte span hashes and joins — same winners modulo 2^-64
+    // collisions, the documented exact-dedup trade).
+    "q_dedup_spans" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${S.tokens("text")} AS w FROM documents),
+         |grams AS (
+         |  SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+4], ' ') AS g
+         |  FROM toks, LATERAL unnest(range(1, len(w) - 3)) r(i)),
+         |marked AS (
+         |  SELECT doc_id, pos,
+         |    count(*) OVER (PARTITION BY g) AS c,
+         |    row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+         |  FROM grams),
+         |cov AS (
+         |  SELECT doc_id, pos + j AS tpos
+         |  FROM (SELECT doc_id, pos FROM marked WHERE c > 1 AND rn > 1),
+         |       LATERAL unnest(range(0, 5)) rr(j)),
+         |tok_pos AS (
+         |  SELECT doc_id, unnest(w) AS tok, unnest(range(0, len(w))) AS pos
+         |  FROM toks),
+         |kept AS (
+         |  SELECT t.doc_id, t.tok, t.pos
+         |  FROM tok_pos t LEFT JOIN cov c
+         |    ON c.doc_id = t.doc_id AND c.tpos = t.pos
+         |  WHERE c.doc_id IS NULL),
+         |agg AS (
+         |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean,
+         |    CAST(count(*) AS BIGINT) AS n_kept
+         |  FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id,
+         |  coalesce(a.text_clean, '') AS text_clean,
+         |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+         |  CAST(len(t.w) - coalesce(a.n_kept, 0) AS BIGINT) AS n_dropped
+         |FROM toks t LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     "q_dedup_ngram" ->
       s"""WITH toks AS (

@@ -142,4 +142,52 @@ class DedupOpsSpec extends SparkSpec {
     // "the quick brown" appears in docs 1,2,5 (df=3 > 2) -> dropped
     assert(!idx.contains("the quick brown"))
   }
+
+  private def spanRows(df: org.apache.spark.sql.DataFrame) =
+    DedupOps.spanDedup(df, "doc_id", "text", 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+
+  test("spanDedup cuts duplicated spans everywhere but the first occurrence") {
+    val corpus = Seq(
+      (1L, "a b c d e"), // owns first occurrence of every one of its spans
+      (2L, "x y a b c z"), // "a b c" duplicated -> cut positions 2..4
+      (3L, "p q r s t") // all spans unique -> untouched
+    ).toDF("doc_id", "text")
+    val out = spanRows(corpus)
+    assert(out(1L) == (("a b c d e", 5L, 0L)))
+    assert(out(2L) == (("x y z", 3L, 3L)))
+    assert(out(3L) == (("p q r s t", 5L, 0L)))
+  }
+
+  test("spanDedup merges overlapping cut spans into one region") {
+    val corpus = Seq(
+      (1L, "a b c d"), // first occurrences of "a b c" and "b c d"
+      (2L, "z a b c d z") // both dup spans overlap -> positions 1..4 cut once
+    ).toDF("doc_id", "text")
+    val out = spanRows(corpus)
+    assert(out(2L) == (("z z", 2L, 4L)))
+  }
+
+  test("spanDedup: full removal yields empty text; short docs untouched") {
+    val corpus = Seq(
+      (1L, "a b c"),
+      (2L, "a b c"), // exactly one dup span covering the whole doc
+      (3L, "a b") // shorter than k=3: no spans, never cut
+    ).toDF("doc_id", "text")
+    val out = spanRows(corpus)
+    assert(out(1L) == (("a b c", 3L, 0L)))
+    assert(out(2L) == (("", 0L, 3L)))
+    assert(out(3L) == (("a b", 2L, 0L)))
+  }
+
+  test("spanDedup is partitioning-invariant") {
+    val base = docs
+    val one = DedupOps.spanDedup(base.repartition(1), "doc_id", "text", 3)
+      .collect().map(_.toSeq).toSet
+    val eight = DedupOps.spanDedup(base.repartition(8), "doc_id", "text", 3)
+      .collect().map(_.toSeq).toSet
+    assert(one == eight)
+  }
 }
