@@ -190,6 +190,29 @@ object PipelineQueries {
     "q_embed_quantize" -> ((s, dir) =>
       PrepOps.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")),
 
+    // Two-pass heavy hitters: a Misra-Gries sketch (bounded buffers — the
+    // shuffle is partitions x capacity counters no matter how many distinct
+    // keys exist) yields a GUARANTEED candidate superset of every key with
+    // count > N/1025; an exact count restricted to the broadcast candidates
+    // then makes the output exact — so the gated result is deterministic
+    // and fully oracled even though any MG summary's surviving-counter set
+    // is split-order-dependent. At a billion distinct keys this replaces a
+    // full groupBy-every-key shuffle with kilobytes.
+    "q_heavy_hitters" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val sk = orders.agg(
+        graft.agg.FrequentItems.freqSketch(col("o_custkey"), 1024).as("mg"),
+        count(lit(1)).as("total"))
+      val cands = sk
+        .select(explode(col("mg")).as("e"), col("total"))
+        .select(col("e.key").as("o_custkey"), col("total"))
+      orders.join(broadcast(cands), "o_custkey")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), max(col("total")).as("total"))
+        .filter(col("n_orders") * 1024 > col("total"))
+        .select(col("o_custkey"), col("n_orders"))
+    }),
+
     // ------------------------------------------------------- vocabulary
     "q_vocab_topk" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -666,6 +689,13 @@ object PipelineQueries {
         |WHERE doc_id % 100 < (CASE WHEN source = 'src0' THEN 13
         |                           WHEN source = 'src1' THEN 37
         |                           ELSE 61 END)""".stripMargin,
+
+    // The sketch is an implementation detail on the Spark side (candidate
+    // generation only); the exact-verify pass makes the contract pure SQL.
+    "q_heavy_hitters" ->
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders GROUP BY o_custkey
+        |HAVING count(*) * 1024 > (SELECT count(*) FROM orders)""".stripMargin,
 
     "q_vocab_topk" ->
       s"""SELECT token, CAST(count(*) AS BIGINT) AS tf,
