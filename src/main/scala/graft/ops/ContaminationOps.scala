@@ -55,4 +55,41 @@ object ContaminationOps {
           size(col("__dh")).cast("double"))
       .drop("__dh", "__bench_sh")
   }
+
+  /** Pairwise shingle-overlap matrix between corpus slices (sources,
+    * domains, dumps): for every slice pair a < b, the number of distinct
+    * word k-shingles they share, each side's distinct-shingle count, and
+    * the Jaccard overlap — the corpus-level leakage/redundancy audit that
+    * decides which slices to down-weight or re-deduplicate.
+    *
+    * Scale shape: one distinct over (slice, 8-byte shingle hash) — the
+    * shuffle carries the DISTINCT slice-shingle pairs, never occurrences —
+    * then a self-equi-join on the hash whose fan-out per shingle is
+    * bounded by slices-per-shingle² ≤ |slices|² (slices are dozens to
+    * thousands, not corpus-sized), and a groupBy on slice pairs whose
+    * result is ≤ |slices|². Per-slice sizes are a tiny aggregate,
+    * broadcast back. No strings shuffle anywhere.
+    */
+  def overlapMatrix(
+      docs: DataFrame,
+      sliceCol: String,
+      textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"shingle size must be >= 1, got $k")
+    val idx = docs
+      .select(col(sliceCol).as("slice"),
+        explode(TextExprs.shingleHashes(TextOps.tokens(col(textCol)), k)).as("h"))
+      .distinct()
+    val sizes = idx.groupBy(col("slice")).agg(count(lit(1)).as("n"))
+    idx.as("a")
+      .join(idx.as("b"), col("a.h") === col("b.h") && col("a.slice") < col("b.slice"))
+      .groupBy(col("a.slice").as("src_a"), col("b.slice").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(sizes.select(col("slice").as("src_a"), col("n").as("n_a"))), "src_a")
+      .join(broadcast(sizes.select(col("slice").as("src_b"), col("n").as("n_b"))), "src_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+      .select(col("src_a"), col("src_b"), col("n_common"),
+        col("n_a"), col("n_b"), col("jaccard"))
+  }
 }

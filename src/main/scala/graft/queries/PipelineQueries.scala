@@ -73,6 +73,12 @@ object PipelineQueries {
         .select(col("doc_id"), col("contamination"))
     }),
 
+    // Corpus-slice leakage audit: pairwise distinct-shingle overlap matrix
+    // between sources (hash-keyed; fan-out bounded by slices-per-shingle²).
+    "q_source_overlap" -> ((s, dir) =>
+      ContaminationOps.overlapMatrix(
+        t(s, dir, "documents"), "source", "text", k = 3)),
+
     // ------------------------------------------------------------- dedup
     "q_dedup_exact" -> ((s, dir) =>
       DedupOps.exactDedup(
@@ -147,13 +153,17 @@ object PipelineQueries {
     // Top-3 characteristic terms per document by tf * (1/df) weighting
     // (df from the whole corpus; ratio instead of ln-idf keeps the score
     // an exact IEEE division — ln differs in last ulps across libm
-    // implementations). Broadcast-sized vocab joins the exploded tokens.
+    // implementations). The exploded token stream shuffles ONCE (map-side
+    // partial tf counts); df = per-token row count OVER the tf aggregate
+    // (== countDistinct(doc_id), since tf has one row per (doc, token)),
+    // so no second corpus-sized shuffle and no distinct-expand. The window
+    // sorts only the tf rows — bounded by docs x per-doc vocabulary, not
+    // token occurrences.
     "q_top_terms" -> ((s, dir) => {
       val tok = t(s, dir, "documents")
         .select(col("doc_id"), explode(TextOps.tokens(lower(col("text")))).as("token"))
-      val df_ = tok.groupBy(col("token"))
-        .agg(countDistinct(col("doc_id")).as("df"))
       val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("token"))
       tf.join(broadcast(df_), "token")
@@ -509,6 +519,26 @@ object PipelineQueries {
          |SELECT d.doc_id,
          |  CAST(hit AS DOUBLE) / CAST(total AS DOUBLE) AS contamination
          |FROM documents d LEFT JOIN cnt USING (doc_id)""".stripMargin,
+
+    // Independent formulation with shingle STRINGS (Spark joins 8-byte
+    // hashes; same pairs modulo 2^-64 collisions).
+    "q_source_overlap" ->
+      s"""WITH toks AS (
+         |  SELECT source, ${S.tokens("text")} AS w FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT source, unnest(list_distinct(list_transform(
+         |    range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')))) AS s
+         |  FROM toks WHERE len(w) >= 3),
+         |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY source),
+         |pairs AS (
+         |  SELECT a.source AS src_a, b.source AS src_b,
+         |    CAST(count(*) AS BIGINT) AS n_common
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT src_a, src_b, n_common, sa.n AS n_a, sb.n AS n_b,
+         |  CAST(n_common AS DOUBLE)/(sa.n + sb.n - n_common) AS jaccard
+         |FROM pairs JOIN sizes sa ON src_a = sa.source
+         |JOIN sizes sb ON src_b = sb.source""".stripMargin,
 
     "q_dedup_exact" ->
       s"""SELECT doc_id, source FROM (

@@ -50,4 +50,22 @@ class ContaminationOpsSpec extends SparkSpec {
     assert(row == row.sorted && row.distinct == row)
     assert(row.size == 3) // {a b c, b c d, c d e}
   }
+
+  test("overlapMatrix: exact pairwise jaccard over distinct slice shingles") {
+    // sliceA: {a b c, b c d}; sliceB: {b c d, c d e} (via two docs, one a
+    // duplicate — distinct must collapse it); sliceC: {x y z}
+    val docs = Seq(
+      ("A", "a b c d"),
+      ("B", "b c d e"),
+      ("B", "b c d"), // duplicate shingle within B
+      ("C", "x y z")
+    ).toDF("source", "text")
+    val got = ContaminationOps.overlapMatrix(docs, "source", "text", k = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    assert(got.keySet == Set(("A", "B"))) // C shares nothing -> absent
+    assert(got(("A", "B")) == ((1L, 2L, 2L, 1.0 / 3.0)))
+  }
 }
