@@ -188,6 +188,32 @@ object PipelineQueries {
         t(s, dir, "documents"), col("doc_id"), 25, 100)
         .select(col("doc_id"), col("source"))),
 
+    // The end-to-end cleaning pipeline a pretraining run actually executes,
+    // composed from gated pieces: Gopher-style signal filters (row-local,
+    // evaluated at the scan) -> exact-substring span dedup on the survivors
+    // -> exact dedup of the reassembled text. Every stage keeps the
+    // corpus-sized shuffles hash-keyed (span hash, text fingerprint).
+    "q_corpus_clean" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val filtered = docs.filter(
+        TextOps.tokenCount(col("text")) >= 20 &&
+          TextOps.distinctTokenFrac(col("text")) >= 0.45)
+      val spanned = DedupOps.spanDedup(filtered, "doc_id", "text", 5)
+        .filter(col("n_kept") > 0)
+      DedupOps.exactDedup(spanned, "doc_id", col("text_clean"))
+    }),
+
+    // Deterministic leakage-safe train/val/test split: bucket by the
+    // CONTENT fingerprint (not the id), so byte-identical duplicates can
+    // never straddle splits; row-local, zero shuffles, reproducible on any
+    // engine (the rolling-hash fingerprint has an exact SQL twin).
+    "q_split_train_val" -> ((s, dir) => {
+      val b = TextOps.fingerprint(col("text")) % 100
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        when(b < 90, "train").when(b < 95, "val").otherwise("test").as("split"))
+    }),
+
     // ------------------------------------------- sample preparation
     "q_chunk_tokens" -> ((s, dir) =>
       PrepOps.chunkTokens(t(s, dir, "documents"), "doc_id", "text",
@@ -713,6 +739,56 @@ object PipelineQueries {
          |  FROM tfreq JOIN dfreq USING (token))
          |SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, tf, df, score
          |FROM scored WHERE rank <= 3""".stripMargin,
+
+    "q_corpus_clean" ->
+      s"""WITH filtered AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE ${S.tokenCount("text")} >= 20
+         |    AND ${S.distinctTokenFrac("text")} >= 0.45),
+         |toks AS (
+         |  SELECT doc_id, ${S.tokens("text")} AS w FROM filtered),
+         |grams AS (
+         |  SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+4], ' ') AS g
+         |  FROM toks, LATERAL unnest(range(1, len(w) - 3)) r(i)),
+         |marked AS (
+         |  SELECT doc_id, pos,
+         |    count(*) OVER (PARTITION BY g) AS c,
+         |    row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+         |  FROM grams),
+         |cov AS (
+         |  SELECT doc_id, pos + j AS tpos
+         |  FROM (SELECT doc_id, pos FROM marked WHERE c > 1 AND rn > 1),
+         |       LATERAL unnest(range(0, 5)) rr(j)),
+         |tok_pos AS (
+         |  SELECT doc_id, unnest(w) AS tok, unnest(range(0, len(w))) AS pos
+         |  FROM toks),
+         |kept AS (
+         |  SELECT t.doc_id, t.tok, t.pos
+         |  FROM tok_pos t LEFT JOIN cov c
+         |    ON c.doc_id = t.doc_id AND c.tpos = t.pos
+         |  WHERE c.doc_id IS NULL),
+         |agg AS (
+         |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean,
+         |    CAST(count(*) AS BIGINT) AS n_kept
+         |  FROM kept GROUP BY doc_id),
+         |spanned AS (
+         |  SELECT t.doc_id,
+         |    coalesce(a.text_clean, '') AS text_clean,
+         |    CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+         |    CAST(len(t.w) - coalesce(a.n_kept, 0) AS BIGINT) AS n_dropped
+         |  FROM toks t LEFT JOIN agg a USING (doc_id)
+         |  WHERE coalesce(a.n_kept, 0) > 0)
+         |SELECT doc_id, text_clean, n_kept, n_dropped FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY text_clean ORDER BY doc_id) AS rn
+         |  FROM spanned) WHERE rn = 1""".stripMargin,
+
+    "q_split_train_val" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN ${S.fingerprint("text")} % 100 < 90 THEN 'train'
+         |       WHEN ${S.fingerprint("text")} % 100 < 95 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents""".stripMargin,
 
     "q_sample_stratified" ->
       """SELECT doc_id, source FROM documents
