@@ -290,15 +290,27 @@ object DedupOps {
       .select(col("doc_id"), posexplode(zipped).as(Seq("pos", "s")))
       .select(col("doc_id"), col("pos"),
         xxhash64((0 until k).map(j => col("s").getField(j.toString)): _*).as("h"))
-    // only spans with >1 occurrence matter downstream — filtered before the
-    // join back, so the join's build side is the duplicated spans only
-    val dupWinners = grams.groupBy(col("h"))
-      .agg(count(lit(1)).as("c"),
-        min(struct(col("doc_id"), col("pos"))).as("win"))
+    // Winner = lex-min (doc_id, pos), packed into ONE long so the
+    // aggregate is a codegen'd primitive HashAggregate min — min(struct)
+    // would fall back to SortAggregate and sort the entire gram stream per
+    // partition. Packing needs pos < 2^20 (a >1M-token document should
+    // have been chunked upstream; raise loudly rather than mis-rank) and a
+    // non-negative doc_id < 2^43 (ANSI mode turns overflow into an error,
+    // not a wrong winner). Only spans with >1 occurrence survive the filter, so the
+    // join back touches duplicated spans only.
+    val posCap = 1L << 20
+    val packed = when(col("pos") >= posCap,
+      raise_error(concat(lit(s"spanDedup: token position >= $posCap in doc "),
+        col("doc_id").cast("string"))))
+      .otherwise(col("doc_id") * posCap + col("pos"))
+    val dupWinners = grams
+      .select(col("h"), packed.as("pk"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("c"), min(col("pk")).as("win"))
       .filter(col("c") > 1)
       .select(col("h"), col("win"))
     val doomed = grams.join(dupWinners, "h")
-      .filter(!(col("doc_id") === col("win.doc_id") && col("pos") === col("win.pos")))
+      .filter(col("doc_id") * posCap + col("pos") =!= col("win"))
     // covered token positions per doc; collect_set dedups overlapping spans
     val covered = doomed
       .select(col("doc_id"),
