@@ -1,7 +1,7 @@
 package graft.expr
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -99,8 +99,132 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
   override def prettyName: String = "vec_dot"
 }
 
+/** All `planes` random-hyperplane sign bits of one vector, packed into a
+  * long, in ONE pass over the vector.
+  *
+  * Semantically identical to OR-ing `planes` separate
+  * `VecDot(vec, literal weights_j) >= 0` bits (each plane's projection
+  * accumulates in index order, so every per-plane sum is bit-identical to
+  * its VecDot), but generated as a single tight two-level loop with the
+  * weight matrix attached as ONE reference object. The unfused form emitted
+  * `planes × tables` independent VecDot loops each dragging a 64-literal
+  * array expression — at 16 OR-amplification tables that is 128 generated
+  * loops whose Janino compile time dominated small benches and whose 128
+  * passes re-read the vector from row storage every time.
+  *
+  * Decision parity with the unfused form: a NULL vector, a length
+  * mismatch, or any NULL element makes every projection NULL, and
+  * `NULL >= 0` is false — all bits 0. Output is therefore never NULL.
+  */
+case class LshPlanesBucket(
+    child: Expression,
+    planeOffset: Int,
+    planes: Int,
+    dims: Int) extends UnaryExpression {
+
+  require(planes >= 1 && planes <= 64, s"planes must be in [1,64], got $planes")
+  require(dims >= 1, s"dims must be >= 1, got $dims")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"lsh_planes_bucket needs ARRAY<FLOAT|DOUBLE>, got $t")
+    }
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  @transient private lazy val weights: Array[Array[Double]] =
+    Array.tabulate(planes, dims)((j, d) =>
+      VectorExprs.planeWeight(planeOffset + j, d).toDouble)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = child.eval(input)
+    if (a == null) return 0L
+    val arr = a.asInstanceOf[ArrayData]
+    if (arr.numElements() != dims) return 0L
+    val isFloat = elemIsFloat
+    val acc = new Array[Double](planes)
+    var d = 0
+    while (d < dims) {
+      if (arr.isNullAt(d)) return 0L
+      val v = if (isFloat) arr.getFloat(d).toDouble else arr.getDouble(d)
+      var j = 0
+      while (j < planes) { acc(j) += v * weights(j)(d); j += 1 }
+      d += 1
+    }
+    var bits = 0L
+    var j = 0
+    while (j < planes) { if (acc(j) >= 0) bits |= 1L << j; j += 1 }
+    bits
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val w = ctx.addReferenceObj("lshWeights", weights, "double[][]")
+    val get = if (elemIsFloat) "getFloat" else "getDouble"
+    val acc = ctx.freshName("acc")
+    val ok = ctx.freshName("ok")
+    val d = ctx.freshName("d")
+    val v = ctx.freshName("v")
+    val j = ctx.freshName("j")
+    val j2 = ctx.freshName("j2")
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = false;
+      long ${ev.value} = 0L;
+      if (!${childGen.isNull} && ${childGen.value}.numElements() == $dims) {
+        double[] $acc = new double[$planes];
+        boolean $ok = true;
+        for (int $d = 0; $d < $dims; $d++) {
+          if (${childGen.value}.isNullAt($d)) { $ok = false; break; }
+          double $v = (double) ${childGen.value}.$get($d);
+          for (int $j = 0; $j < $planes; $j++) {
+            $acc[$j] += $v * $w[$j][$d];
+          }
+        }
+        if ($ok) {
+          for (int $j2 = 0; $j2 < $planes; $j2++) {
+            if ($acc[$j2] >= 0) ${ev.value} |= (1L << $j2);
+          }
+        }
+      }
+    """)
+  }
+
+  override protected def withNewChildInternal(c: Expression): LshPlanesBucket =
+    copy(child = c)
+  override def prettyName: String = "lsh_planes_bucket"
+}
+
 object VectorExprs {
   /** Sequential-order dot product (codegen'd). */
   def vecDot(a: Column, b: Column): Column =
     Bridge.column(VecDot(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Deterministic hyperplane weight schedule shared by every LSH caller
+    * (and the DuckDB oracle builder): an avalanche mix of (plane, dim) into
+    * a small integer weight in [-3, 3]. Mixing BOTH coordinates keeps
+    * planes mutually independent — a per-plane-only seed made OR-amplified
+    * tables correlated (fixed in e342056).
+    */
+  def planeWeight(j: Int, d: Int): Int = {
+    var x = j * 0x9e3779b9 + d * 0x85ebca6b + 0x27d4eb2f
+    x ^= x >>> 15; x *= 0x2c1b3c6d
+    x ^= x >>> 12; x *= 0x297a2d39
+    x ^= x >>> 15
+    math.floorMod(x, 7) - 3
+  }
+
+  /** Packed sign bits of planes `planeOffset .. planeOffset+planes-1`
+    * (single fused pass — see [[LshPlanesBucket]]).
+    */
+  def lshPlanesBucket(vec: Column, planeOffset: Int, planes: Int, dims: Int): Column =
+    Bridge.column(LshPlanesBucket(Bridge.expression(vec), planeOffset, planes, dims))
 }

@@ -109,22 +109,7 @@ object SimilarityOps {
     * the Spark and the SQL-oracle side, so any integer function is exactly
     * reproducible.
     */
-  def planeWeight(j: Int, d: Int): Int = {
-    var x = j * 0x9e3779b9 + d * 0x85ebca6b + 0x27d4eb2f
-    x ^= x >>> 15; x *= 0x2c1b3c6d
-    x ^= x >>> 12; x *= 0x297a2d39
-    x ^= x >>> 15
-    math.floorMod(x, 7) - 3
-  }
-
-  /** Sign bit of the projection of `vec` onto plane `j` (dims = vector
-    * length). Sequential fold in index order, like [[dot]].
-    */
-  private def planeBit(vec: Column, j: Int, dims: Int): Column = {
-    val weights = array((0 until dims).map(d => lit(planeWeight(j, d).toDouble)): _*)
-    val proj = dot(vec, weights)
-    when(proj >= 0, lit(1L)).otherwise(lit(0L))
-  }
+  def planeWeight(j: Int, d: Int): Int = graft.expr.VectorExprs.planeWeight(j, d)
 
   /** LSH bucket id in [0, 2^planes): bit j = sign of projection j. Vectors
     * in the same bucket are ANN candidates; union over a few independent
@@ -135,12 +120,15 @@ object SimilarityOps {
 
   /** Bucket id for hash table `table`: plane family `table` uses planes
     * `table*planes .. table*planes+planes-1` of the shared deterministic
-    * weight schedule, so tables are mutually independent.
+    * weight schedule, so tables are mutually independent. One fused pass
+    * over the vector ([[graft.expr.LshPlanesBucket]]): per-plane
+    * projections accumulate in index order, so every bit equals the
+    * unfused `VecDot(vec, weights_j) >= 0` form bit for bit (pinned in
+    * SimilarityOpsSpec; the q_sim_lsh_buckets DuckDB oracle re-proves it
+    * against literal-weight SQL every round).
     */
   def lshBucketTable(vec: Column, table: Int, planes: Int, dims: Int): Column =
-    (0 until planes).foldLeft(lit(0L)) { (acc, j) =>
-      acc.bitwiseOR(shiftleft(planeBit(vec, table * planes + j, dims), j))
-    }
+    graft.expr.VectorExprs.lshPlanesBucket(vec, table * planes, planes, dims)
 
   /** Bucketed ANN: exact cosine top-k but only within each query's LSH
     * bucket. Same output shape as [[bruteForceTopK]] (rank gaps possible

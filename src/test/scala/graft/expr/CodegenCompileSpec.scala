@@ -67,4 +67,21 @@ class CodegenCompileSpec extends AnyFunSuite {
     assert(proj(row).getDouble(0) == 11.0)
     assert(e.eval(row) == 11.0)
   }
+
+  test("LshPlanesBucket generated code compiles and matches eval") {
+    val fltArr = ArrayType(FloatType)
+    val e = LshPlanesBucket(
+      BoundReference(0, fltArr, nullable = true),
+      planeOffset = 8, planes = 8, dims = 4)
+    val proj = GenerateMutableProjection.generate(Seq(e))
+    val vec = new GenericArrayData(Array[Any](1.0f, -2.0f, 0.5f, 3.0f))
+    val row = InternalRow(vec)
+    assert(proj(row).getLong(0) == e.eval(row).asInstanceOf[Long])
+    // null vector / wrong length / null element -> all bits 0 (never NULL)
+    assert(e.eval(InternalRow(null)) == 0L)
+    assert(e.eval(InternalRow(new GenericArrayData(Array[Any](1.0f)))) == 0L)
+    val withNull = new GenericArrayData(Array[Any](1.0f, null, 0.5f, 3.0f))
+    assert(e.eval(InternalRow(withNull)) == 0L)
+    assert(proj(InternalRow(withNull)).getLong(0) == 0L)
+  }
 }

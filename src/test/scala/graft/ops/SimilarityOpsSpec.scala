@@ -100,6 +100,24 @@ class SimilarityOpsSpec extends SparkSpec {
       .foreach(r => assert(bruteAll((r.getLong(0), r.getLong(2))) == r.getDouble(3)))
   }
 
+  test("fused LshPlanesBucket equals the unfused per-plane VecDot form bit for bit") {
+    val rnd = new scala.util.Random(23)
+    val df = (0 until 300).map(i => (i.toLong, Seq.fill(64)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    for (table <- Seq(0, 3)) {
+      val unfused = (0 until 8).foldLeft(lit(0L)) { (acc, j) =>
+        val w = array((0 until 64).map(d =>
+          lit(SimilarityOps.planeWeight(table * 8 + j, d).toDouble)): _*)
+        acc.bitwiseOR(shiftleft(
+          when(SimilarityOps.dot($"embedding", w) >= 0, lit(1L)).otherwise(lit(0L)), j))
+      }
+      val out = df.select(
+        SimilarityOps.lshBucketTable($"embedding", table, planes = 8, dims = 64).as("fused"),
+        unfused.as("spec")).collect()
+      out.foreach(r => assert(r.getLong(0) == r.getLong(1), s"table=$table"))
+    }
+  }
+
   test("lshBucket is deterministic and spreads vectors") {
     val rnd = new scala.util.Random(29)
     val df = vecs((0L until 256L).map(i =>
