@@ -7,7 +7,7 @@ import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
 import graft.agg.{Histogram1DAgg, Histogram2DAgg}
-import graft.expr.{ShingleHashes, ShingleMinHash, SortedIntersectCount, VecDot}
+import graft.expr.{LshPlanesBucket, ShingleHashes, ShingleMinHash, SortedIntersectCount, VecDot}
 
 /** SQL surface for the engine's custom expressions: after
   * `GraftFunctions.registerAll(spark)` they are callable from plain
@@ -75,6 +75,18 @@ object GraftFunctions {
       exprs => {
         require(exprs.length == 2, "sorted_intersect_count(a, b)")
         SortedIntersectCount(exprs(0), exprs(1))
+      }),
+    "lsh_planes_bucket" -> ("lsh_planes_bucket(vec, planeOffset, planes, dims) - packed hyperplane sign bits (one fused pass)",
+      exprs => {
+        require(exprs.length == 4, "lsh_planes_bucket(vec, planeOffset, planes, dims)")
+        LshPlanesBucket(exprs(0), intLit(exprs(1), "planeOffset"),
+          intLit(exprs(2), "planes"), intLit(exprs(3), "dims"))
+      }),
+    "freq_sketch" -> ("freq_sketch(key, capacity) - Misra-Gries frequent-items summary (aggregate)",
+      exprs => {
+        require(exprs.length == 2, "freq_sketch(key, capacity)")
+        graft.agg.MisraGriesAgg(exprs(0), intLit(exprs(1), "capacity"))
+          .toAggregateExpression(isDistinct = false)
       }))
 
   private def intLit(e: Expression, name: String): Int = {

@@ -57,6 +57,29 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(n == 1L) // shared shingle: "x y"
   }
 
+  test("lsh_planes_bucket / freq_sketch from SQL text") {
+    GraftFunctions.registerAll(spark)
+    import org.apache.spark.sql.functions.col
+    // fused bucket from SQL equals the Column-API form
+    val df = Seq((1L, Seq(0.5f, -1.0f, 2.0f, 0.25f))).toDF("id", "v")
+    df.createOrReplaceTempView("lshv")
+    val sqlBucket = spark.sql(
+      "SELECT lsh_planes_bucket(v, 0, 8, 4) AS b FROM lshv")
+      .collect().head.getLong(0)
+    val apiBucket = df.select(
+      graft.expr.VectorExprs.lshPlanesBucket(col("v"), 0, 8, 4).as("b"))
+      .collect().head.getLong(0)
+    assert(sqlBucket == apiBucket)
+
+    // freq_sketch aggregates from SQL; below capacity it is exact
+    spark.range(100).selectExpr("id % 5 AS k").createOrReplaceTempView("fsk")
+    val est = spark.sql(
+      "SELECT freq_sketch(k, 16) AS s FROM fsk")
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(est == (0L until 5L).map(_ -> 20L).toMap)
+  }
+
   test("GraftExtensions wires the SQL surface via spark.sql.extensions") {
     // build a sibling session over the same SparkContext with the
     // extensions config — the zero-code-changes integration path

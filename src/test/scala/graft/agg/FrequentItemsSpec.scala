@@ -50,6 +50,33 @@ class FrequentItemsSpec extends SparkSpec {
     assert(got.size <= 64)
   }
 
+  test("freq_sketch runs in a streaming aggregation; guarantee holds at every micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[Long]
+    val cap = 8
+    val q = mem.toDF().toDF("k")
+      .agg(FrequentItems.freqSketch($"k", cap).as("mg"))
+      .writeStream.format("memory").queryName("freq_out")
+      .outputMode("complete").start()
+    try {
+      val batch1 = Seq.fill(40)(1L) ++ (100L to 119L)
+      val batch2 = Seq.fill(25)(2L) ++ Seq.fill(10)(1L) ++ (200L to 214L)
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      val all = batch1 ++ batch2
+      val truth = all.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val mustSurvive = truth.filter { case (_, c) => c * (cap + 1) > all.size }.keySet
+      assert(mustSurvive.nonEmpty)
+      val got = spark.sql("SELECT explode(mg) AS e FROM freq_out")
+        .select($"e.key", $"e.est").as[(Long, Long)].collect().toMap
+      assert(mustSurvive.subsetOf(got.keySet))
+      got.foreach { case (k, est) => assert(est <= truth.getOrElse(k, 0L)) }
+    } finally q.stop()
+  }
+
   test("q_heavy_hitters composition: sketch candidates + exact verify equals plain groupBy") {
     // replicate the gated query's shape on a skewed synthetic table
     val rnd = new scala.util.Random(11)
