@@ -65,4 +65,30 @@ object SamplingOps {
       .orderBy(col("__hk"))
       .limit(k)
       .drop("__hk")
+
+  /** Exactly-k-per-group deterministic sample: the k rows of each group
+    * with the HIGHEST (scoreCol, lowest id tie-break) — rank them by a
+    * content hash/fingerprint for an unbiased-but-reproducible draw.
+    * Returns (group, id, rank), rank 1..k (gaps only when a group has
+    * fewer than k rows).
+    *
+    * Rides [[graft.agg.TopKByScoreAgg]] two-phase aggregation: each map
+    * task forwards at most k pairs per group, so the shuffle carries
+    * groups x k x partitions rows — a `row_number` window would shuffle
+    * and per-partition-sort EVERY row. The per-group selection question at
+    * corpus scale (billions of rows, thousands of groups) is exactly where
+    * the bounded-buffer aggregate beats the window.
+    */
+  def topKPerGroup(
+      df: DataFrame,
+      groupCol: Column,
+      scoreCol: Column,
+      idCol: Column,
+      k: Int): DataFrame =
+    df.groupBy(groupCol.as("group"))
+      .agg(graft.agg.TopKFunctions.topKByScore(
+        scoreCol.cast("double"), idCol.cast("long"), k).as("__top"))
+      .select(col("group"), posexplode(col("__top")).as(Seq("__p", "__e")))
+      .select(col("group"), col("__e.id").as("id"),
+        (col("__p") + 1).cast("long").as("rank"))
 }

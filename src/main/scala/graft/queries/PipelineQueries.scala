@@ -188,6 +188,15 @@ object PipelineQueries {
         t(s, dir, "documents"), col("doc_id"), 25, 100)
         .select(col("doc_id"), col("source"))),
 
+    // Exactly-k-per-source deterministic draw ranked by the content
+    // fingerprint: bounded-buffer top-k aggregation (groups x k x
+    // partitions shuffle rows), not a row_number window over every row.
+    "q_sample_per_source" -> ((s, dir) =>
+      SamplingOps.topKPerGroup(
+        t(s, dir, "documents"),
+        col("source"), TextOps.fingerprint(col("text")), col("doc_id"), k = 5)
+        .select(col("group").as("source"), col("id").as("doc_id"), col("rank"))),
+
     // The end-to-end cleaning pipeline a pretraining run actually executes,
     // composed from gated pieces: Gopher-style signal filters (row-local,
     // evaluated at the scan) -> exact-substring span dedup on the survivors
@@ -789,6 +798,15 @@ object PipelineQueries {
          |       WHEN ${S.fingerprint("text")} % 100 < 95 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM documents""".stripMargin,
+
+    // Fingerprint collisions would make DESC rank ambiguous — the id
+    // tie-break (doc_id ASC on both sides) pins a total order.
+    "q_sample_per_source" ->
+      s"""SELECT source, doc_id, CAST(rank AS BIGINT) AS rank FROM (
+         |  SELECT source, doc_id, row_number() OVER (
+         |    PARTITION BY source
+         |    ORDER BY ${S.fingerprint("text")} DESC, doc_id) AS rank
+         |  FROM documents) WHERE rank <= 5""".stripMargin,
 
     "q_sample_stratified" ->
       """SELECT doc_id, source FROM documents

@@ -51,6 +51,36 @@ class SamplingOpsSpec extends SparkSpec {
       s"expected per-partition top-k heaps, got:\n$plan")
   }
 
+  test("topKPerGroup matches a per-group sort and is layout-invariant") {
+    val scored = rows.withColumn("score", ($"id" * 37 % 101).cast("double"))
+    val got = SamplingOps.topKPerGroup(scored, $"stratum", $"score", $"id", k = 7)
+      .as[(String, Long, Long)].collect().toSet
+    // oracle: full sort per group, (score DESC, id ASC), rank 1..7
+    val expected = (1L to 10000L)
+      .map(i => (if (i % 3 == 0) "a" else "b", (i * 37 % 101).toDouble, i))
+      .groupBy(_._1)
+      .flatMap { case (g, rs) =>
+        rs.sortBy { case (_, s, i) => (-s, i) }.take(7).zipWithIndex
+          .map { case ((_, _, i), r) => (g, i, (r + 1).toLong) }
+      }.toSet
+    assert(got == expected)
+    val again = SamplingOps.topKPerGroup(scored.repartition(9), $"stratum", $"score", $"id", 7)
+      .as[(String, Long, Long)].collect().toSet
+    assert(again == expected, "result must not depend on input layout")
+    // the plan must be two-phase aggregation, not a window over every row
+    val plan = SamplingOps.topKPerGroup(scored, $"stratum", $"score", $"id", 7)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"expected bounded-buffer agg, got:\n$plan")
+  }
+
+  test("topKPerGroup keeps short groups whole with gap-free ranks") {
+    val tiny = Seq((1L, "g1", 5.0), (2L, "g1", 9.0), (3L, "g2", 1.0))
+      .toDF("id", "g", "score")
+    val got = SamplingOps.topKPerGroup(tiny, $"g", $"score", $"id", k = 10)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("g1", 2L, 1L), ("g1", 1L, 2L), ("g2", 3L, 1L)))
+  }
+
   test("approx_count_distinct is within 5% of exact") {
     val df = (1L to 20000L).map(i => (i % 4, i % 3000)).toDF("g", "v")
     val got = df.groupBy($"g")
