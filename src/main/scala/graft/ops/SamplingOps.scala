@@ -91,4 +91,44 @@ object SamplingOps {
       .select(col("group"), posexplode(col("__top")).as(Seq("__p", "__e")))
       .select(col("group"), col("__e.id").as("id"),
         (col("__p") + 1).cast("long").as("rank"))
+
+  /** Data mixing: resample each source to a target weight. Weight w means
+    * every row appears `floor(w)` times plus one extra copy for a
+    * deterministic `w - floor(w)` fraction of rows — so w = 2.5 duplicates
+    * every row twice and a reproducible half of them a third time, and
+    * w = 0.25 keeps a quarter. Appends a `copy` column (0-based replica
+    * index) so downstream shuffling/packing can distinguish replicas.
+    *
+    * This is the pretraining mixture step (upweight curated sources,
+    * downweight crawl): at 100 TB it is a pure row-local map — a chained
+    * `when` resolves the weight (no join), `sequence` + `explode` emits
+    * the copies, and the fractional keep is the same id-modulus predicate
+    * as [[stratifiedExact]] (layout-invariant, ANSI-expressible for the
+    * oracle; key by a content hash upstream if ids are not stable).
+    * Weights should be exact binary fractions (x.0/.25/.5/.75…) so
+    * `floor`/`round` are exact in IEEE arithmetic on every engine.
+    */
+  def mixtureResample(
+      df: DataFrame,
+      sourceCol: Column,
+      idCol: Column,
+      weightBySource: Map[String, Double],
+      defaultWeight: Double = 1.0,
+      modulus: Int = 1000): DataFrame = {
+    require(weightBySource.values.forall(_ >= 0) && defaultWeight >= 0,
+      "mixture weights must be >= 0")
+    val w = weightBySource.toSeq.sortBy(_._1)
+      .foldRight(lit(defaultWeight)) { case ((s, x), els) =>
+        when(sourceCol === s, lit(x)).otherwise(els)
+      }
+    val whole = floor(w).cast("long")
+    val fracPermille = round((w - floor(w)) * modulus).cast("long")
+    val keepExtra = when(
+      pmod(idCol.cast("long") * 7919L + 13L, lit(modulus.toLong)) < fracPermille, 1L)
+      .otherwise(0L)
+    val copies = whole + keepExtra
+    df.withColumn("copy",
+      explode(when(copies > 0L, sequence(lit(0L), copies - 1L))
+        .otherwise(array().cast("array<bigint>"))))
+  }
 }

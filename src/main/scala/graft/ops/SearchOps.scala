@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Keyword relevance search over a document corpus: BM25-shaped scoring
+  * with a RATIONAL idf (`(N - df + 0.5) / (df + 0.5)`, no logarithm).
+  *
+  * Why no `ln`: the ranking behavior (rare terms weigh more, tf saturates
+  * at k1, long docs are penalized via b) is preserved, and every operation
+  * is IEEE-exactly-rounded (+,-,*,/ only) — so the score is bit-identical
+  * across engines and libm versions. `ln`-based idf differs in the last
+  * ulp between libms, which silently flips near-tie ranks between a
+  * cluster and a laptop; at 100 TB reproducibility wins over textbook
+  * constants. Defaults k1 = 1.25, b = 0.75 are exact binary fractions so
+  * `k1 + 1` and `1 - b` are themselves exact on every engine.
+  *
+  * Scale shape (two passes over the corpus, zero wide shuffles):
+  *  1. one ReduceAggregate → a SINGLE stats row (N, Σdl, per-term df) —
+  *     partial aggregation means the "shuffle" is one row per task;
+  *  2. broadcast that row back (1-row cross join), score each doc
+  *     row-locally inside whole-stage codegen, and take the global top-k
+  *     via TakeOrderedAndProject (per-task k-row heaps, never a full sort).
+  * In production the stats row is computed once per corpus snapshot and
+  * reused across queries.
+  */
+object SearchOps {
+
+  /** Occurrences of the literal `term` in a token array. Row-local. */
+  def termTf(toks: Column, term: String): Column =
+    size(filter(toks, t => t === term))
+
+  /** Top-k documents for `terms` by rational-idf BM25.
+    * Output: (doc_id, score), score descending, doc_id ascending on ties.
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      terms: Seq[String],
+      k: Int,
+      k1: Double = 1.25,
+      b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one term")
+    val tfCols = terms.indices.map(i => s"__tf$i")
+    val base = docs
+      .select(idCol.as("doc_id"), TextOps.tokens(lower(textCol)).as("__toks"))
+      .select(
+        col("doc_id") +: size(col("__toks")).cast("double").as("__dl") +:
+          terms.zipWithIndex.map { case (t, i) =>
+            termTf(col("__toks"), t).cast("double").as(tfCols(i))
+          }: _*)
+    val statCols =
+      count(lit(1)).cast("double").as("__n") +:
+        sum(col("__dl")).as("__sumdl") +: // integral doubles: exact, order-proof
+        terms.indices.map(i =>
+          sum((col(tfCols(i)) > 0).cast("long")).cast("double").as(s"__df$i"))
+    val stats = base.agg(statCols.head, statCols.tail: _*)
+    val avgdl = col("__sumdl") / col("__n")
+    val score = terms.indices.map { i =>
+      val tf = col(tfCols(i))
+      val df = col(s"__df$i")
+      val idf = (col("__n") - df + lit(0.5)) / (df + lit(0.5))
+      idf * (tf * lit(k1 + 1)) / (tf + lit(k1) * (lit(1 - b) + lit(b) * col("__dl") / avgdl))
+    }.reduce(_ + _) // fixed left-assoc order: same sum on every engine
+    base.crossJoin(broadcast(stats))
+      .select(col("doc_id"), score.as("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{ContaminationOps, DedupOps, GraphOps, IvfOps, JoinOps, MultimodalOps, PrepOps, SamplingOps, SimilarityOps, TextOps}
+import graft.ops.{ContaminationOps, DedupOps, GraphOps, IvfOps, JoinOps, MultimodalOps, PrepOps, SamplingOps, SearchOps, SimilarityOps, TextOps}
 import graft.streaming.EventOps
 
 /** Training-data pipeline operators (dedup, similarity search, multimodal,
@@ -197,6 +197,25 @@ object PipelineQueries {
         col("source"), TextOps.fingerprint(col("text")), col("doc_id"), k = 5)
         .select(col("group").as("source"), col("id").as("doc_id"), col("rank"))),
 
+    // Keyword relevance search: rational-idf BM25 (no ln — bit-identical
+    // scores on every engine/libm), one stats row broadcast back, row-local
+    // scoring, TakeOrderedAndProject top-k. Two corpus passes, zero wide
+    // shuffles.
+    "q_bm25_search" -> ((s, dir) =>
+      SearchOps.bm25TopK(
+        t(s, dir, "documents"), col("doc_id"), col("text"),
+        Seq("vector", "customer", "stream"), k = 20)),
+
+    // Pretraining data mixing: upweight two curated sources (2.5x / 2x),
+    // downweight one (0.25x), keep the rest at 1x — row-local replication
+    // (chained-when weight + sequence/explode), no join, no shuffle.
+    "q_mixture_resample" -> ((s, dir) =>
+      SamplingOps.mixtureResample(
+        t(s, dir, "documents"),
+        col("source"), col("doc_id"),
+        Map("src0" -> 2.5, "src1" -> 2.0, "src2" -> 0.25))
+        .select(col("doc_id"), col("source"), col("copy"))),
+
     // The end-to-end cleaning pipeline a pretraining run actually executes,
     // composed from gated pieces: Gopher-style signal filters (row-local,
     // evaluated at the scan) -> exact-substring span dedup on the survivors
@@ -234,6 +253,23 @@ object PipelineQueries {
 
     "q_embed_quantize" -> ((s, dir) =>
       PrepOps.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")),
+
+    // Per-label centroids via the mergeable fixed-point vector-sum
+    // aggregate: each map task forwards ONE dims x 8 B buffer per label
+    // (the posexplode + groupBy(label, dim) alternative — which the oracle
+    // uses as an independent formulation — shuffles rows x dims). Long
+    // sums are merge-order-proof; truncation toward zero is bit-portable.
+    "q_embed_centroids" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .groupBy(col("label"))
+        .agg(
+          graft.agg.VecSumFunctions.vecSumFixed(col("embedding"), 1000000.0).as("__s"),
+          count(lit(1)).as("n_vecs"))
+        .select(col("label"), col("n_vecs"),
+          posexplode(col("__s")).as(Seq("__p", "__v")))
+        .select(col("label"), (col("__p") + 1).cast("long").as("dim"),
+          col("__v").as("sum_fp"), col("n_vecs"),
+          (col("__v").cast("double") / col("n_vecs") / lit(1000000.0)).as("centroid"))),
 
     // Two-pass heavy hitters: a Misra-Gries sketch (bounded buffers — the
     // shuffle is partitions x capacity counters no matter how many distinct
@@ -694,6 +730,21 @@ object PipelineQueries {
         |      list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
         |    FROM embeddings))""".stripMargin,
 
+    // Independent formulation: explode to (label, dim, fixed-point value)
+    // and group — same exact integer sums, so the double centroid division
+    // matches bit-for-bit.
+    "q_embed_centroids" ->
+      """WITH e AS (
+        |  SELECT label,
+        |         unnest(range(1, len(embedding) + 1)) AS dim,
+        |         unnest(list_transform(embedding,
+        |           x -> CAST(trunc(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))) AS v
+        |  FROM embeddings)
+        |SELECT label, dim, CAST(sum(v) AS BIGINT) AS sum_fp,
+        |       count(*) AS n_vecs,
+        |       CAST(sum(v) AS DOUBLE) / count(*) / 1000000.0 AS centroid
+        |FROM e GROUP BY label, dim""".stripMargin,
+
     "q_dedup_apply" ->
       s"""WITH RECURSIVE toks AS (
          |  SELECT doc_id, ${S.tokens("text")} AS w FROM documents),
@@ -807,6 +858,53 @@ object PipelineQueries {
          |    PARTITION BY source
          |    ORDER BY ${S.fingerprint("text")} DESC, doc_id) AS rank
          |  FROM documents) WHERE rank <= 5""".stripMargin,
+
+    // Same rational arithmetic and the same left-assoc evaluation order as
+    // the Spark side — every op is IEEE-exactly-rounded, so the double
+    // scores hash-match bit-for-bit.
+    "q_bm25_search" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |         CAST(len(toks) AS DOUBLE) AS dl,
+         |         CAST(len(list_filter(toks, t -> t = 'vector')) AS DOUBLE) AS tf0,
+         |         CAST(len(list_filter(toks, t -> t = 'customer')) AS DOUBLE) AS tf1,
+         |         CAST(len(list_filter(toks, t -> t = 'stream')) AS DOUBLE) AS tf2
+         |  FROM (SELECT doc_id, ${S.tokens("lower(text)")} AS toks FROM documents)),
+         |s AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) AS sumdl,
+         |         CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+         |         CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+         |         CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+         |  FROM d)
+         |SELECT doc_id, score FROM (
+         |  SELECT doc_id,
+         |         ((n - df0 + 0.5) / (df0 + 0.5)) * (tf0 * 2.25) / (tf0 + 1.25 * (0.25 + 0.75 * dl / (sumdl / n)))
+         |       + ((n - df1 + 0.5) / (df1 + 0.5)) * (tf1 * 2.25) / (tf1 + 1.25 * (0.25 + 0.75 * dl / (sumdl / n)))
+         |       + ((n - df2 + 0.5) / (df2 + 0.5)) * (tf2 * 2.25) / (tf2 + 1.25 * (0.25 + 0.75 * dl / (sumdl / n)))
+         |         AS score
+         |  FROM d, s)
+         |WHERE score > 0
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // Same arithmetic as the Spark side: exact binary-fraction weights, so
+    // floor/round are exact; the fractional keep is an integer modulus.
+    "q_mixture_resample" ->
+      """WITH wt AS (
+        |  SELECT doc_id, source,
+        |         CASE WHEN source = 'src0' THEN 2.5
+        |              WHEN source = 'src1' THEN 2.0
+        |              WHEN source = 'src2' THEN 0.25
+        |              ELSE 1.0 END AS w
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, source,
+        |         CAST(floor(w) AS BIGINT) +
+        |         CASE WHEN (doc_id * 7919 + 13) % 1000 <
+        |                   CAST(round((w - floor(w)) * 1000) AS BIGINT)
+        |              THEN 1 ELSE 0 END AS n_copies
+        |  FROM wt)
+        |SELECT doc_id, source, unnest(range(n_copies)) AS copy
+        |FROM n WHERE n_copies > 0""".stripMargin,
 
     "q_sample_stratified" ->
       """SELECT doc_id, source FROM documents

@@ -81,6 +81,39 @@ class SamplingOpsSpec extends SparkSpec {
     assert(got == Set(("g1", 2L, 1L), ("g1", 1L, 2L), ("g2", 3L, 1L)))
   }
 
+  test("mixtureResample replicates by whole weight and keeps the exact fraction") {
+    val out = SamplingOps.mixtureResample(
+      rows, $"stratum", $"id", Map("a" -> 2.5, "b" -> 0.25))
+      .select($"id", $"stratum", $"copy").as[(Long, String, Long)].collect()
+    val byId = out.groupBy(_._1)
+    // stratum a (id % 3 == 0): 2 or 3 copies; stratum b: 0 or 1
+    out.foreach { case (id, s, copy) =>
+      assert(s == (if (id % 3 == 0) "a" else "b"))
+    }
+    (1L to 10000L).foreach { id =>
+      val copies = byId.get(id).map(_.map(_._3).sorted.toSeq).getOrElse(Seq())
+      val extra = (id * 7919 + 13) % 1000
+      if (id % 3 == 0) // w = 2.5
+        assert(copies == (if (extra < 500) Seq(0L, 1L, 2L) else Seq(0L, 1L)), s"id $id")
+      else // w = 0.25
+        assert(copies == (if (extra < 250) Seq(0L) else Seq()), s"id $id")
+    }
+    // realized mixture tracks the target weights
+    val nA = out.count(_._2 == "a").toDouble / 3333 // ~#a rows
+    val nB = out.count(_._2 == "b").toDouble / 6667
+    assert(math.abs(nA - 2.5) < 0.1, s"a rate $nA")
+    assert(math.abs(nB - 0.25) < 0.05, s"b rate $nB")
+  }
+
+  test("mixtureResample is layout-invariant and shuffle-free") {
+    val a = SamplingOps.mixtureResample(rows, $"stratum", $"id", Map("a" -> 1.5))
+    val b = SamplingOps.mixtureResample(rows.repartition(11), $"stratum", $"id", Map("a" -> 1.5))
+    assert(a.select($"id", $"copy").as[(Long, Long)].collect().toSet ==
+      b.select($"id", $"copy").as[(Long, Long)].collect().toSet)
+    assert(!a.queryExecution.executedPlan.toString.contains("Exchange"),
+      "mixture resampling must be a pure row-local map")
+  }
+
   test("approx_count_distinct is within 5% of exact") {
     val df = (1L to 20000L).map(i => (i % 4, i % 3000)).toDF("g", "v")
     val got = df.groupBy($"g")

@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SearchOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "apple banana cherry"),
+    (2L, "apple apple apple banana"),
+    (3L, "banana banana banana banana"),
+    (4L, "cherry plum"),
+    (5L, "kiwi kiwi kiwi kiwi kiwi kiwi kiwi kiwi kiwi kiwi kiwi kiwi"),
+    (6L, "apple cherry")
+  ).toDF("doc_id", "text")
+
+  private def scores(terms: Seq[String]): Map[Long, Double] =
+    SearchOps.bm25TopK(docs, $"doc_id", $"text", terms, k = 10)
+      .as[(Long, Double)].collect().toMap
+
+  test("bm25TopK matches a scalar reimplementation exactly") {
+    val corpus = Map(
+      1L -> Seq("apple", "banana", "cherry"),
+      2L -> Seq("apple", "apple", "apple", "banana"),
+      3L -> Seq("banana", "banana", "banana", "banana"),
+      4L -> Seq("cherry", "plum"),
+      5L -> Seq.fill(12)("kiwi"),
+      6L -> Seq("apple", "cherry"))
+    val terms = Seq("apple", "cherry")
+    val n = corpus.size.toDouble
+    val avgdl = corpus.values.map(_.size).sum.toDouble / n
+    def expected(toks: Seq[String]): Double = {
+      val dl = toks.size.toDouble
+      terms.map { t =>
+        val tf = toks.count(_ == t).toDouble
+        val df = corpus.values.count(_.contains(t)).toDouble
+        val idf = (n - df + 0.5) / (df + 0.5)
+        idf * (tf * 2.25) / (tf + 1.25 * (0.25 + 0.75 * dl / avgdl))
+      }.reduce(_ + _)
+    }
+    val got = scores(terms)
+    corpus.foreach { case (id, toks) =>
+      val e = expected(toks)
+      if (e > 0) assert(got(id) == e, s"doc $id: got ${got.get(id)}, want $e")
+      else assert(!got.contains(id), s"doc $id should be filtered (score 0)")
+    }
+  }
+
+  test("rarer terms rank higher and tf saturates") {
+    val s = scores(Seq("plum", "banana"))
+    // doc 4 has the rare term once; doc 3 has the common term four times
+    assert(s(4L) > s(3L), s"rare-term doc must outrank common-term doc: $s")
+    // doc 3 (4x banana) still beats doc 1 (1x banana, longer-irrelevant)
+    assert(s(3L) > s(1L))
+  }
+
+  test("top-k plan uses per-task heaps, not a global sort") {
+    val plan = SearchOps.bm25TopK(docs, $"doc_id", $"text", Seq("apple"), 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"stats row must be broadcast:\n$plan")
+  }
+}
