@@ -87,7 +87,30 @@ object GraftFunctions {
         require(exprs.length == 2, "freq_sketch(key, capacity)")
         graft.agg.MisraGriesAgg(exprs(0), intLit(exprs(1), "capacity"))
           .toAggregateExpression(isDistinct = false)
+      }),
+    "topk_by_score" -> ("topk_by_score(score, id, k) - bounded top-k (score DESC, id ASC) pairs (aggregate)",
+      exprs => {
+        require(exprs.length == 3, "topk_by_score(score, id, k)")
+        graft.agg.TopKByScoreAgg(dbl(exprs(0)), exprs(1), intLit(exprs(2), "k"))
+          .toAggregateExpression(isDistinct = false)
+      }),
+    "vec_sum_fixed" -> ("vec_sum_fixed(vec, scale) - elementwise fixed-point vector sum (aggregate)",
+      exprs => {
+        require(exprs.length == 2, "vec_sum_fixed(vec, scale)")
+        graft.agg.FixedPointVecSumAgg(exprs(0), dblLit(exprs(1), "scale"))
+          .toAggregateExpression(isDistinct = false)
       }))
+
+  private def dblLit(e: Expression, name: String): Double = {
+    require(e.foldable, s"$name must be a numeric literal")
+    e.eval(null) match {
+      case d: java.lang.Double => d
+      case i: java.lang.Integer => i.toDouble
+      case l: java.lang.Long => l.toDouble
+      case other => throw new IllegalArgumentException(
+        s"$name must be a numeric literal, got $other")
+    }
+  }
 
   private def intLit(e: Expression, name: String): Int = {
     require(e.foldable && e.dataType == org.apache.spark.sql.types.IntegerType,

@@ -28,11 +28,13 @@ import graft.ops.SimilarityOps.{dot, norm2}
   * candidate cost drops toward nprobe/K; on an unclustered corpus IVF
   * degrades gracefully toward brute force — measured both in IvfOpsSpec.
   *
-  * Determinism: seeding is by `xxhash64(id)` order (reproducible); Lloyd
-  * updates use float sums whose last-ulp depends on partitioning, so two
-  * runs may differ in boundary assignments — inherent to distributed
-  * k-means and irrelevant to the ANN contract (results are always
-  * exact-cosine-verified top-k of the probed candidates).
+  * Determinism: seeding is by `xxhash64(id)` order (reproducible), and
+  * Lloyd updates accumulate in fixed point ([[graft.agg.FixedPointVecSumAgg]],
+  * scale 1e9 on unit-norm vectors) — integer sums are associative-exact, so
+  * the trained centroids are IDENTICAL under any partitioning, executor
+  * count, or merge order. Distributed k-means is usually layout-dependent
+  * through float-sum reduction order; here a re-run on different hardware
+  * reproduces the index bit-for-bit.
   */
 object IvfOps {
 
@@ -85,22 +87,26 @@ object IvfOps {
       .map(r => normalized(r.getSeq[Double](0).toArray))
     var cents = seeds
     for (_ <- 1 to iters) {
-      // sum of v/||v|| per (cid, dim): one narrow shuffle of K x dims cells
+      // sum of v/||v|| per cluster via the mergeable fixed-point vector
+      // sum: each map task forwards ONE dims x 8 B buffer per cluster
+      // (the earlier posexplode + groupBy(cid, dim) form shuffled
+      // rows x dims cells), and integer accumulation makes the round
+      // layout-invariant. Scale 1e9 on unit vectors: |elem| <= 2^30, so
+      // a cluster overflows only past ~2^33 rows.
       val sums = vecs
         .select(
           assignmentCol(col(vecCol), cents).as("cid"),
           sqrt(norm2(col(vecCol))).as("nrm"),
-          posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
+          col(vecCol).cast("array<double>").as("v"))
         .filter(col("nrm") > 0)
-        .groupBy(col("cid"), col("pos"))
-        .agg(sum(col("x") / col("nrm")).as("s"))
+        .select(col("cid"), transform(col("v"), x => x / col("nrm")).as("u"))
+        .groupBy(col("cid"))
+        .agg(graft.agg.VecSumFunctions.vecSumFixed(col("u"), 1e9).as("s"))
         .collect()
       val next = cents.map(_.clone())
-      val touched = Array.fill(cents.length)(false)
       sums.foreach { r =>
         val cid = r.getInt(0)
-        if (!touched(cid)) { java.util.Arrays.fill(next(cid), 0.0); touched(cid) = true }
-        next(cid)(r.getInt(1)) = r.getDouble(2)
+        next(cid) = r.getSeq[Long](1).toArray.map(_.toDouble / 1e9)
       }
       cents = next.map(normalized)
     }

@@ -80,6 +80,27 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(est == (0L until 5L).map(_ -> 20L).toMap)
   }
 
+  test("topk_by_score / vec_sum_fixed from SQL text") {
+    GraftFunctions.registerAll(spark)
+    spark.range(100).selectExpr("id % 4 AS g", "CAST(id * 37 % 101 AS DOUBLE) AS s", "id")
+      .createOrReplaceTempView("tks")
+    val top = spark.sql(
+      "SELECT g, topk_by_score(s, id, 3) AS t FROM tks GROUP BY g")
+      .collect().map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(x => (x.getDouble(0), x.getLong(1)))).toMap
+    // oracle for group 0: ids 0,4,...,96 scored id*37%101, best 3
+    val expect0 = (0L until 100L by 4).map(i => (i * 37 % 101).toDouble -> i)
+      .sortBy { case (s, i) => (-s, i) }.take(3)
+    assert(top(0L) == expect0)
+
+    Seq((1L, Seq(1.5f, -0.25f)), (1L, Seq(0.5f, 1.0f))).toDF("g", "v")
+      .createOrReplaceTempView("vsf")
+    val vs = spark.sql(
+      "SELECT vec_sum_fixed(v, 1000000) AS s FROM vsf")
+      .collect().head.getSeq[Long](0)
+    assert(vs == Seq(2000000L, 750000L))
+  }
+
   test("GraftExtensions wires the SQL surface via spark.sql.extensions") {
     // build a sibling session over the same SparkContext with the
     // extensions config — the zero-code-changes integration path

@@ -60,6 +60,14 @@ class IvfOpsSpec extends SparkSpec {
     assert(candFrac < 0.8, s"probed fraction $candFrac not bounded")
   }
 
+  test("trained centroids are bit-identical under any input layout") {
+    val a = IvfOps.trainCentroids(clustered.coalesce(1), k = 8, iters = 3)
+    val b = IvfOps.trainCentroids(clustered.repartition(13), k = 8, iters = 3)
+    a.zip(b).zipWithIndex.foreach { case ((ca, cb), i) =>
+      assert(ca.toSeq == cb.toSeq, s"centroid $i differs across layouts")
+    }
+  }
+
   test("every IVF hit carries the exact brute-force cosine (verify step is exact)") {
     val cents = IvfOps.trainCentroids(clustered, k = 8, iters = 2)
     val queries = clustered.filter($"vec_id" < 3)
