@@ -162,6 +162,72 @@ object DedupOps {
         col("n_a"), col("n_b"), col("jaccard"))
   }
 
+  /** Cross-corpus near-duplicate pairs: every (left, right) pair with
+    * shingle-Jaccard >= threshold. Same inverted-index shape as
+    * [[ngramJaccardPairs]] but joining TWO indexes — the left corpus is
+    * never paired with itself, which is what makes incremental ingest
+    * cheap: candidates are bounded by shared-shingle fan-out between the
+    * batch and the corpus, not by the corpus squared.
+    * Output: (left_id, right_id, intersection, n_l, n_r, jaccard).
+    */
+  def ngramJaccardAgainst(
+      left: DataFrame,
+      right: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      threshold: Double,
+      maxShingleDf: Option[Int] = None): DataFrame = {
+    val li = shingleIndexHashed(left, idCol, textCol, k, maxShingleDf).cache()
+    val ri = shingleIndexHashed(right, idCol, textCol, k, maxShingleDf).cache()
+    val sizesL = li.groupBy(col("doc_id")).agg(count(lit(1)).as("n_l"))
+    val sizesR = ri.groupBy(col("doc_id")).agg(count(lit(1)).as("n_r"))
+    li.as("a").join(ri.as("b"), col("a.sh") === col("b.sh"))
+      .groupBy(col("a.doc_id").as("left_id"), col("b.doc_id").as("right_id"))
+      .agg(count(lit(1)).as("intersection"))
+      .join(sizesL.withColumnRenamed("doc_id", "left_id"), "left_id")
+      .join(sizesR.withColumnRenamed("doc_id", "right_id"), "right_id")
+      .withColumn("jaccard",
+        col("intersection").cast("double") /
+          (col("n_l") + col("n_r") - col("intersection")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("left_id"), col("right_id"), col("intersection"),
+        col("n_l"), col("n_r"), col("jaccard"))
+  }
+
+  /** Incremental ingest dedup: the rows of `incoming` that are neither
+    * exact duplicates (by `keyCol`) nor k-shingle near-duplicates (>=
+    * `threshold` Jaccard) of ANY `existing` row. The daily-batch workflow
+    * at 100 TB: the existing corpus is only read as 8-byte key/shingle
+    * hashes (in practice a precomputed index side table), the batch is
+    * anti-joined on those hashes, and nothing ever re-pairs the corpus
+    * with itself.
+    *
+    * Note duplicates WITHIN the batch are deliberately kept — run
+    * [[exactDedup]]/[[ngramJaccardPairs]] on the batch itself first if
+    * intra-batch dedup is also wanted (the composed pipeline keeps each
+    * concern a separate, testable pass).
+    */
+  def incrementalDedup(
+      incoming: DataFrame,
+      existing: DataFrame,
+      idCol: String,
+      textCol: String,
+      keyCol: Column,
+      k: Int,
+      threshold: Double,
+      maxShingleDf: Option[Int] = None): DataFrame = {
+    val exKeys = existing.select(xxhash64(keyCol).as("__k")).distinct()
+    val exactSurvivors = incoming
+      .withColumn("__k", xxhash64(keyCol))
+      .join(exKeys, Seq("__k"), "left_anti")
+      .drop("__k")
+    val nearIds = ngramJaccardAgainst(
+      exactSurvivors, existing, idCol, textCol, k, threshold, maxShingleDf)
+      .select(col("left_id").as(idCol)).distinct()
+    exactSurvivors.join(nearIds, Seq(idCol), "left_anti")
+  }
+
   /** MinHash signature: `numHashes` columns, hash i = min over shingles of
     * `xxhash64(i, shingle-hash)`. Computed ROW-LOCALLY by the codegen'd
     * [[graft.expr.ShingleMinHash]] expression — zero shuffles (the earlier

@@ -90,6 +90,21 @@ object PipelineQueries {
       DedupOps.ngramJaccardPairs(
         t(s, dir, "documents"), "doc_id", "text", k = 3, threshold = 0.2)),
 
+    // Incremental ingest: the daily batch (doc_id % 5 == 0 stands in for
+    // "today") deduped against the existing corpus only — exact dupes out
+    // via an 8-byte-hash anti join, near-dupes out via the cross-corpus
+    // inverted index; the existing corpus is never re-paired with itself.
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      DedupOps.incrementalDedup(
+        incoming = docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+        existing = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+        idCol = "doc_id", textCol = "text",
+        keyCol = concat_ws(" ", TextOps.tokens(lower(col("text")))),
+        k = 3, threshold = 0.2)
+        .select(col("doc_id"), col("source"))
+    }),
+
     // Exact-substring span dedup (Lee et al. 2021 semantics at 5-token
     // granularity): duplicated spans cut everywhere but their first
     // occurrence, overlaps merged, documents reassembled.
@@ -617,6 +632,38 @@ object PipelineQueries {
          |    PARTITION BY array_to_string(${S.tokens("lower(text)")}, ' ')
          |    ORDER BY doc_id) AS rn
          |  FROM documents) WHERE rn = 1""".stripMargin,
+
+    // Strings where the Spark side uses 8-byte hashes (the documented
+    // dedup trade); same batch/corpus split, same k=3 shingles, same
+    // integer-count Jaccard.
+    "q_dedup_incremental" ->
+      s"""WITH inc AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 5 = 0),
+         |ex AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 5 <> 0),
+         |exk AS (SELECT DISTINCT array_to_string(${S.tokens("lower(text)")}, ' ') AS nk FROM ex),
+         |surv AS (
+         |  SELECT doc_id, source, text FROM inc
+         |  WHERE array_to_string(${S.tokens("lower(text)")}, ' ') NOT IN (SELECT nk FROM exk)),
+         |wi AS (SELECT doc_id, ${S.tokens("text")} AS w FROM surv),
+         |we AS (SELECT doc_id, ${S.tokens("text")} AS w FROM ex),
+         |shi AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')))) AS s
+         |  FROM wi WHERE len(w) >= 3),
+         |she AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')))) AS s
+         |  FROM we WHERE len(w) >= 3),
+         |szi AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shi GROUP BY doc_id),
+         |sze AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM she GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS ia, b.doc_id AS ib, CAST(count(*) AS BIGINT) AS i
+         |  FROM shi a JOIN she b ON a.s = b.s GROUP BY 1, 2),
+         |near AS (
+         |  SELECT DISTINCT ia FROM inter
+         |  JOIN szi ON ia = szi.doc_id JOIN sze ON ib = sze.doc_id
+         |  WHERE CAST(i AS DOUBLE) / (szi.n + sze.n - i) >= 0.2)
+         |SELECT doc_id, source FROM surv
+         |WHERE doc_id NOT IN (SELECT ia FROM near)""".stripMargin,
 
     // Independent formulation: spans as STRINGS + windows (the Spark side
     // groups 8-byte span hashes and joins — same winners modulo 2^-64

@@ -49,4 +49,29 @@ class TopKAggSpec extends SparkSpec {
     val got = viaAgg(df, 10)
     assert(got == Set((1L, 1, 0.9, 11L), (1L, 2, 0.5, 10L)))
   }
+
+  test("topk_by_score runs in a streaming aggregation (per-group trending)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(Long, Long, Double)] // (group, id, score)
+    val q = mem.toDF().toDF("g", "id", "s")
+      .groupBy($"g")
+      .agg(TopKFunctions.topKByScore($"s", $"id", 2).as("t"))
+      .writeStream.format("memory").queryName("topk_out")
+      .outputMode("complete").start()
+    try {
+      mem.addData((1L, 10L, 5.0), (1L, 11L, 9.0), (2L, 20L, 1.0))
+      q.processAllAvailable()
+      // batch 2 displaces group 1's weaker entry and extends group 2 —
+      // the serialized buffer round-trips through the state store
+      mem.addData((1L, 12L, 7.0), (2L, 21L, 3.0))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT g, t FROM topk_out")
+        .collect().map(r => r.getLong(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getDouble(0), x.getLong(1))))
+        .toMap
+      assert(got(1L) == Seq((9.0, 11L), (7.0, 12L)))
+      assert(got(2L) == Seq((3.0, 21L), (1.0, 20L)))
+    } finally q.stop()
+  }
 }

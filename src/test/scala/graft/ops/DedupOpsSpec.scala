@@ -45,6 +45,35 @@ class DedupOpsSpec extends SparkSpec {
     assert(!pairs.contains((1L, 4L)))
   }
 
+  test("ngramJaccardAgainst pairs only across corpora, never within one") {
+    val left = Seq((10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val right = Seq((1L, "the quick brown fox jumps over the sleepy dog"),
+      (2L, "unrelated material entirely")).toDF("doc_id", "text")
+    val pairs = DedupOps.ngramJaccardAgainst(left, right, "doc_id", "text",
+      k = 3, threshold = 0.3)
+      .select($"left_id", $"right_id").as[(Long, Long)].collect().toSet
+    // both (identical) left docs match right doc 1; 10-11 is NOT emitted
+    assert(pairs == Set((10L, 1L), (11L, 1L)))
+  }
+
+  test("incrementalDedup drops exact and near matches of the corpus, keeps fresh docs") {
+    val existing = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different content about spark engines")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "  THE quick   brown fox jumps over the lazy dog"), // exact (normalized)
+      (11L, "the quick brown fox jumps over the sleepy dog"), // near dup of 1
+      (12L, "genuinely novel material with no overlap at all"), // fresh
+      (13L, "xy zw") // too short to shingle, not an exact dup -> fresh
+    ).toDF("doc_id", "text")
+    val kept = DedupOps.incrementalDedup(
+      incoming, existing, "doc_id", "text",
+      concat_ws(" ", TextOps.tokens(lower($"text"))), k = 3, threshold = 0.3)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(12L, 13L))
+  }
+
   test("minhash LSH finds the exact and near dups with high probability") {
     val sigs = DedupOps.minhashSignatures(docs, "doc_id", "text", 3, 32)
     val cand = DedupOps.minhashLshCandidates(sigs, bands = 8, rowsPerBand = 4)
