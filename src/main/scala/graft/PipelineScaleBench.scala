@@ -68,6 +68,11 @@ object PipelineScaleBench {
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"[pipeline-scale] $name%-22s -> $n%10d rows in $secs%6.1f s " +
         f"= ${nDocs / secs / 1000}%8.1f kdocs/s")
+      // drop per-op cached indexes (shingle indexes etc.) so stages are
+      // isolated — accumulated storage blocks otherwise evict/recompute
+      // across stages and later stages pay earlier stages' memory bills
+      spark.sharedState.cacheManager.clearCache()
+      docs.cache().count()
     }
 
     stage("text_stats") {
@@ -99,6 +104,25 @@ object PipelineScaleBench {
     }
     stage("hash_sample_10pct") {
       SamplingOps.hashSample(docs, col("doc_id"), 10, 100).count()
+    }
+    stage("mixture_resample") {
+      SamplingOps.mixtureResample(
+        docs.withColumn("src", pmod(col("doc_id"), lit(4)).cast("string")),
+        col("src"), col("doc_id"),
+        Map("0" -> 2.5, "1" -> 0.5), defaultWeight = 1.0).count()
+    }
+    stage("bm25_top20") {
+      graft.ops.SearchOps.bm25TopK(docs, col("doc_id"), col("text"),
+        Seq("data_7", "spark_13", "merge_31"), k = 20).count()
+    }
+    stage("incremental_dedup") {
+      // batch = 10% of the corpus vs the other 90% as "existing"
+      DedupOps.incrementalDedup(
+        incoming = docs.filter(pmod(col("doc_id"), lit(10)) === 1),
+        existing = docs.filter(pmod(col("doc_id"), lit(10)) =!= 1),
+        idCol = "doc_id", textCol = "text",
+        keyCol = col("text"), k = 3, threshold = 0.6,
+        maxShingleDf = Some(1000)).count()
     }
     spark.stop()
   }

@@ -26,9 +26,14 @@ import org.apache.spark.sql.functions._
   */
 object SearchOps {
 
-  /** Occurrences of the literal `term` in a token array. Row-local. */
+  /** Occurrences of the literal `term` in a token array. Row-local, and
+    * deliberately NOT `size(filter(toks, _ === term))`: higher-order
+    * lambdas run interpreted per element, while `array_remove` is a
+    * codegen'd expression — the whole tf computation stays inside
+    * whole-stage codegen on the corpus scan.
+    */
   def termTf(toks: Column, term: String): Column =
-    size(filter(toks, t => t === term))
+    size(toks) - size(array_remove(toks, term))
 
   /** Top-k documents for `terms` by rational-idf BM25.
     * Output: (doc_id, score), score descending, doc_id ascending on ties.
