@@ -105,6 +105,15 @@ class SamplingOpsSpec extends SparkSpec {
     assert(math.abs(nB - 0.25) < 0.05, s"b rate $nB")
   }
 
+  test("mixtureResample: weight 0 drops a source, integer weights replicate exactly") {
+    val out = SamplingOps.mixtureResample(
+      rows, $"stratum", $"id", Map("a" -> 0.0, "b" -> 3.0))
+      .select($"id", $"stratum", $"copy").as[(Long, String, Long)].collect()
+    assert(!out.exists(_._2 == "a"), "weight 0 must drop the source entirely")
+    val perB = out.filter(_._2 == "b").groupBy(_._1).view.mapValues(_.length)
+    assert(perB.values.forall(_ == 3) && perB.size == 6667)
+  }
+
   test("mixtureResample is layout-invariant and shuffle-free") {
     val a = SamplingOps.mixtureResample(rows, $"stratum", $"id", Map("a" -> 1.5))
     val b = SamplingOps.mixtureResample(rows.repartition(11), $"stratum", $"id", Map("a" -> 1.5))
