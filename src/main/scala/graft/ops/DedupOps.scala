@@ -251,6 +251,21 @@ object DedupOps {
         (0 until numHashes).map(i => element_at(col("__sig"), i + 1).as(s"mh_$i")): _*)
   }
 
+  /** (doc_id, band, bh) band-bucket rows from `mh_*` signature columns:
+    * band b's bucket hash is `xxhash64` over its `rowsPerBand` signature
+    * slots. Row-local (one explode, no shuffle); shared by the batch
+    * candidate join and the streaming candidate-link operator.
+    */
+  def bandBuckets(signatures: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
+    }
+    signatures
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bucket"))
+      .select(col("doc_id"), col("bucket.band").as("band"), col("bucket.bh").as("bh"))
+  }
+
   /** LSH candidate pairs from MinHash signatures: split the signature into
     * `bands` bands of `rowsPerBand`, bucket-join on (band, band-hash).
     * A pair collides iff some band matches entirely — the classic
@@ -261,13 +276,7 @@ object DedupOps {
       signatures: DataFrame,
       bands: Int,
       rowsPerBand: Int): DataFrame = {
-    val bandCols = (0 until bands).map { b =>
-      val cols = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
-    }
-    val buckets = signatures
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bucket"))
-      .select(col("doc_id"), col("bucket.band").as("band"), col("bucket.bh").as("bh"))
+    val buckets = bandBuckets(signatures, bands, rowsPerBand)
     buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
