@@ -597,6 +597,24 @@ object PipelineQueries {
         .limit(100)
     }),
 
+    // TPC-H Q14 shape (promo revenue): fact-to-dimension join on partkey
+    // plus a conditional-sum ratio. part scales with SF so it is NOT
+    // force-broadcast (AQE promotes it at small SF); the percentage is a
+    // ratio of two exact fixed-point sums — IEEE division of integral
+    // doubles, so the float result is engine-exact.
+    "q_tpch_q14" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1996-04-01"))
+        .withColumn("rev_u",
+          round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long")))
+      li.join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .agg((lit(100.0) *
+          sum(when(col("p_type") === "PROMO", col("rev_u")).otherwise(0L)).cast("double") /
+          sum(col("rev_u")).cast("double")).as("promo_revenue_pct"))
+    }),
+
     "q_window_running" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -1255,6 +1273,18 @@ object PipelineQueries {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY n_name""".stripMargin,
+
+    "q_tpch_q14" ->
+      """SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_u ELSE 0 END) AS DOUBLE)
+        |     / CAST(sum(rev_u) AS DOUBLE) AS promo_revenue_pct
+        |FROM (
+        |  SELECT l_partkey,
+        |    CAST(round(l_extendedprice*100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount*100) AS BIGINT)) AS rev_u
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01') li
+        |JOIN part ON l_partkey = p_partkey""".stripMargin,
 
     "q_tpch_q18" ->
       """SELECT c_name, c_custkey, o_orderkey,
