@@ -10,6 +10,12 @@ import org.apache.spark.sql.SparkSession
   * computed (a bare `count()` lets Catalyst prune projections and
   * undercounts real work). One cheap warm-up query absorbs session/codegen
   * startup so per-query numbers reflect steady-state throughput.
+  *
+  * Each query runs `SPARK_GRAFT_BENCH_REPS` times (default 2) and reports
+  * the MIN: this host shows heavy CPU steal under sustained load (the same
+  * plan has measured 1.9 s and 65.7 s in back-to-back runs), so a single
+  * pass times the hypervisor, not the plan. Min-of-reps is the standard
+  * steal-resistant estimator; the total is the sum of per-query mins.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -29,7 +35,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def exec(name: String): Double = {
+    def execOnce(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
@@ -41,8 +47,14 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    def exec(name: String): Double = {
+      val times = (1 to reps).map(_ => execOnce(name))
+      if (times.exists(_ < 0)) -1.0 else times.min
+    }
+
     // warm-up: JVM/codegen/parquet-footer caches
-    exec("q_grid_stats")
+    execOnce("q_grid_stats")
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> exec(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
