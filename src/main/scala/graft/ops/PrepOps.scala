@@ -92,4 +92,33 @@ object PrepOps {
       .select(col("vec_id"), col("scale"),
         transform(col("__v"), x => round(x * col("scale")).cast("int")).as("qvec"))
   }
+
+  /** Deterministic training-order shuffle: assign each row to one of
+    * `shards` by an affine id map salted per epoch, then rank within the
+    * shard by (`orderCol`, id). Returns (id, shard, rank).
+    *
+    * This is how you "globally shuffle" 100 TB for training without a
+    * global sort: shards are the parallel unit (scale `shards` with the
+    * corpus so one shard = one training file), the only shuffle is the
+    * shard partitioning, and each shard sorts locally — a global
+    * `orderBy(rand())` would be a full-corpus range sort AND
+    * layout-dependent. Pass a content key (e.g. [[TextOps.fingerprint]])
+    * as `orderCol` for a reproducible pseudo-random order, and a new
+    * `salt` per epoch for a different permutation each epoch.
+    */
+  def trainingOrder(
+      df: DataFrame,
+      idCol: Column,
+      orderCol: Column,
+      shards: Int,
+      salt: Long): DataFrame = {
+    require(shards >= 1, s"need shards >= 1, got $shards")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__ord"), col("id"))
+    df.select(idCol.cast("long").as("id"), orderCol.as("__ord"))
+      .withColumn("shard",
+        pmod(col("id") * 104729L + lit(salt), lit(shards.toLong)))
+      .select(col("id"), col("shard"),
+        row_number().over(w).cast("long").as("rank"))
+  }
 }

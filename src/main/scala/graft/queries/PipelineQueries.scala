@@ -231,6 +231,16 @@ object PipelineQueries {
         Map("src0" -> 2.5, "src1" -> 2.0, "src2" -> 0.25))
         .select(col("doc_id"), col("source"), col("copy"))),
 
+    // Epoch-1 training order: salted shard assignment + shard-local
+    // content-keyed rank. The only shuffle is the shard partitioning;
+    // each shard sorts locally (shards scale with the corpus — never a
+    // global sort).
+    "q_train_order" -> ((s, dir) =>
+      PrepOps.trainingOrder(
+        t(s, dir, "documents"), col("doc_id"),
+        TextOps.fingerprint(col("text")), shards = 8, salt = 7L)
+        .select(col("id").as("doc_id"), col("shard"), col("rank"))),
+
     // The end-to-end cleaning pipeline a pretraining run actually executes,
     // composed from gated pieces: Gopher-style signal filters (row-local,
     // evaluated at the scan) -> exact-substring span dedup on the survivors
@@ -960,6 +970,14 @@ object PipelineQueries {
          |       WHEN ${S.fingerprint("text")} % 100 < 95 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM documents""".stripMargin,
+
+    "q_train_order" ->
+      s"""SELECT doc_id, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY fp, doc_id) AS BIGINT) AS rank
+         |FROM (
+         |  SELECT doc_id, (doc_id * 104729 + 7) % 8 AS shard,
+         |         ${S.fingerprint("text")} AS fp
+         |  FROM documents)""".stripMargin,
 
     // Fingerprint collisions would make DESC rank ambiguous — the id
     // tie-break (doc_id ASC on both sides) pins a total order.

@@ -66,4 +66,33 @@ class PrepOpsSpec extends SparkSpec {
       assert(math.abs(qi / scale - xi) <= 1.0 / 254 + 1e-12)
     }
   }
+
+  test("trainingOrder: per-shard ranks are gap-free permutations, layout-invariant") {
+    val docs = (1L to 5000L).map(i => (i, s"doc ${i * 31 % 997} content")).toDF("doc_id", "text")
+    val ord = org.apache.spark.sql.functions.xxhash64($"text")
+    val a = PrepOps.trainingOrder(docs, $"doc_id", ord, shards = 8, salt = 7L)
+      .as[(Long, Long, Long)].collect()
+    // every doc exactly once; shard matches the affine map
+    assert(a.length == 5000 && a.map(_._1).toSet.size == 5000)
+    a.foreach { case (id, shard, _) =>
+      assert(shard == (id * 104729L + 7) % 8)
+    }
+    // ranks 1..n_shard with no gaps inside each shard
+    a.groupBy(_._2).foreach { case (s, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq, s"shard $s")
+    }
+    val b = PrepOps.trainingOrder(docs.repartition(13), $"doc_id", ord, 8, 7L)
+      .as[(Long, Long, Long)].collect()
+    assert(a.toSet == b.toSet, "training order must not depend on input layout")
+  }
+
+  test("trainingOrder: a different salt permutes shard membership") {
+    val docs = (1L to 1000L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    def shardsOf(salt: Long) = PrepOps.trainingOrder(
+      docs, $"doc_id", org.apache.spark.sql.functions.lit(0), 8, salt)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    val s1 = shardsOf(7L)
+    val s2 = shardsOf(8L)
+    assert(s1 != s2, "epoch salt must change the permutation")
+  }
 }
