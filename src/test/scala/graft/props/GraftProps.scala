@@ -160,4 +160,48 @@ object GraftProps extends Properties("graft") {
         val got = graft.expr.SortedIntersectCount(lit(a), lit(b)).eval(null)
         got == (a.toSet & b.toSet).size.toLong
     }
+
+  private val scoredGen: Gen[List[(Double, Long)]] =
+    Gen.listOf(Gen.zip(
+      Gen.chooseNum(0, 40).map(_ / 4.0), // coarse scores force ties
+      Gen.chooseNum(0L, 60L)))
+
+  property("TopKBuffer merge == take-k of concatenation (any split)") =
+    forAll(scoredGen, Gen.chooseNum(1, 6), Gen.chooseNum(0, 1000)) { (xs, k, cut) =>
+      def fill(rows: Seq[(Double, Long)]): graft.agg.TopKBuffer = {
+        val b = new graft.agg.TopKBuffer(k)
+        rows.foreach { case (s, i) => b.add(s, i) }
+        b
+      }
+      def drain(b: graft.agg.TopKBuffer): List[(Double, Long)] = {
+        val it = b.set.descendingIterator()
+        Iterator.continually(it).takeWhile(_.hasNext).map(_.next()).toList
+      }
+      val at = if (xs.isEmpty) 0 else cut % (xs.length + 1)
+      val (l, r) = xs.splitAt(at)
+      val merged = fill(l)
+      val other = fill(r)
+      val it = other.set.iterator()
+      while (it.hasNext) { val (s, i) = it.next(); merged.add(s, i) }
+      // expected: distinct pairs (the buffer is a set), best k by (score DESC, id ASC)
+      val expected = xs.distinct.sortBy { case (s, i) => (-s, i) }.take(k)
+      drain(merged) == expected && drain(fill(xs)) == expected
+    }
+
+  property("VecSumBuffer fixed-point update is split-invariant and exact") =
+    forAll(
+      Gen.chooseNum(1, 8).flatMap(d =>
+        Gen.listOf(Gen.listOfN(d, Gen.chooseNum(-4.0, 4.0))).map(d -> _)),
+      Gen.chooseNum(0, 1000)) { case ((d, rows), cut) =>
+      def fixed(x: Double): Long = (x * 1e6).toLong
+      def fill(rs: Seq[List[Double]]): Array[Long] = {
+        val sums = new Array[Long](d)
+        rs.foreach(r => r.indices.foreach(i => sums(i) += fixed(r(i))))
+        sums
+      }
+      val at = if (rows.isEmpty) 0 else cut % (rows.length + 1)
+      val (l, r) = rows.splitAt(at)
+      val merged = fill(l).zip(fill(r)).map { case (a, b) => a + b }
+      merged.toSeq == fill(rows).toSeq
+    }
 }
