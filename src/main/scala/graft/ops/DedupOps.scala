@@ -218,10 +218,14 @@ object DedupOps {
       threshold: Double,
       maxShingleDf: Option[Int] = None): DataFrame = {
     val exKeys = existing.select(xxhash64(keyCol).as("__k")).distinct()
+    // consumed twice (left shingle index + final anti join) — cache so the
+    // exact-pass anti join runs once, same trade as ngramJaccardPairs'
+    // cached index
     val exactSurvivors = incoming
       .withColumn("__k", xxhash64(keyCol))
       .join(exKeys, Seq("__k"), "left_anti")
       .drop("__k")
+      .cache()
     val nearIds = ngramJaccardAgainst(
       exactSurvivors, existing, idCol, textCol, k, threshold, maxShingleDf)
       .select(col("left_id").as(idCol)).distinct()
