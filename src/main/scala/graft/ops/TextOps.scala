@@ -185,13 +185,13 @@ object TextOps {
     * whitespace collapsed to single spaces):
     * `h = fold(codepoints, 0, (acc, c) => (acc*31 + c) mod 1e9+7)`.
     * Stable across engines: the fold order is the character order and the
-    * modulus keeps every intermediate exactly representable.
+    * modulus keeps every intermediate exactly representable. The fold is
+    * the codegen'd [[graft.expr.RollingFingerprint]] loop — the earlier
+    * split+aggregate HOF form ran its lambda interpreted per character.
     */
-  def fingerprint(text: Column): Column = {
-    val norm = concat_ws(" ", tokens(lower(text)))
-    val codes = transform(filter(split(norm, ""), c => length(c) > 0), c => ascii(c).cast("long"))
-    aggregate(codes, lit(0L), (acc, c) => (acc * 31 + c) % 1000000007L)
-  }
+  def fingerprint(text: Column): Column =
+    graft.expr.TextFingerprintExprs.rollingFingerprint(
+      concat_ws(" ", tokens(lower(text))))
 
   object Sql {
     /** DuckDB equivalents (same semantics, same evaluation order). */

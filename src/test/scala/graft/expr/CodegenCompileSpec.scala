@@ -68,6 +68,21 @@ class CodegenCompileSpec extends AnyFunSuite {
     assert(e.eval(row) == 11.0)
   }
 
+  test("RollingFingerprint generated code compiles and matches eval") {
+    val e = RollingFingerprint(BoundReference(0, StringType, nullable = true))
+    val proj = GenerateMutableProjection.generate(Seq(e))
+    val s = "the quick brown fox"
+    val row = InternalRow(UTF8String.fromString(s))
+    // reference fold: the spec the HOF formulation implemented
+    val want = s.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % 1000000007L)
+    assert(proj(row).getLong(0) == want)
+    assert(e.eval(row) == want)
+    // empty string -> 0; code-point walk survives astral chars
+    assert(e.eval(InternalRow(UTF8String.fromString(""))) == 0L)
+    val astral = InternalRow(UTF8String.fromString("a😀b"))
+    assert(proj(astral).getLong(0) == e.eval(astral))
+  }
+
   test("LshPlanesBucket generated code compiles and matches eval") {
     val fltArr = ArrayType(FloatType)
     val e = LshPlanesBucket(
