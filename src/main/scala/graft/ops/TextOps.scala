@@ -31,19 +31,16 @@ object TextOps {
     * ceil(len/4) pieces (≈ 4 chars/token), every other non-space char is one
     * piece. A cheap, deterministic stand-in for a real tokenizer's count.
     */
-  def tokenEstimate(text: Column): Column = {
-    val words = tokens(text)
-    aggregate(
-      words,
-      lit(0L),
-      (acc, w) => acc + ceil(length(w).cast("double") / 4).cast("long"))
-  }
+  def tokenEstimate(text: Column): Column =
+    graft.expr.TokenExprs.subwordEstimate(tokens(text))
 
-  /** Stopword-hit count: how many tokens (lowercased) are in `words`. */
-  def stopwordHits(text: Column, words: Seq[String]): Column = {
-    val set = array(words.map(lit): _*)
-    size(filter(tokens(lower(text)), t => array_contains(set, t)))
-  }
+  /** Stopword-hit count: how many tokens (lowercased) are in `words`.
+    * Codegen'd hash-set loop ([[graft.expr.TokenSetHits]]) — the
+    * `filter` + `array_contains` HOF form evaluated interpreted per token
+    * per language list.
+    */
+  def stopwordHits(text: Column, words: Seq[String]): Column =
+    graft.expr.TokenExprs.tokenSetHits(tokens(lower(text)), words)
 
   /** Tiny per-language stopword lists for the language-ID heuristic. */
   val langStopwords: Seq[(String, Seq[String])] = Seq(

@@ -83,6 +83,26 @@ class CodegenCompileSpec extends AnyFunSuite {
     assert(proj(astral).getLong(0) == e.eval(astral))
   }
 
+  test("TokenSetHits generated code compiles and matches eval") {
+    val e = TokenSetHits(BoundReference(0, strArr, nullable = true), Seq("a", "c", "z"))
+    val proj = GenerateMutableProjection.generate(Seq(e))
+    val row = InternalRow(toks) // [a, b, a, c] -> a, a, c hit
+    assert(proj(row).getInt(0) == 3)
+    assert(e.eval(row) == 3)
+    assert(e.eval(InternalRow(new GenericArrayData(Array[Any]()))) == 0)
+  }
+
+  test("SubwordEstimate generated code compiles and matches eval") {
+    val words = new GenericArrayData(Array[Any](
+      UTF8String.fromString("a"), UTF8String.fromString("abcd"),
+      UTF8String.fromString("abcde"), UTF8String.fromString("abcdefgh")))
+    val e = SubwordEstimate(BoundReference(0, strArr, nullable = true))
+    val proj = GenerateMutableProjection.generate(Seq(e))
+    val row = InternalRow(words) // ceil: 1 + 1 + 2 + 2 = 6
+    assert(proj(row).getLong(0) == 6L)
+    assert(e.eval(row) == 6L)
+  }
+
   test("LshPlanesBucket generated code compiles and matches eval") {
     val fltArr = ArrayType(FloatType)
     val e = LshPlanesBucket(
