@@ -7,7 +7,7 @@ import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
 import graft.agg.{Histogram1DAgg, Histogram2DAgg}
-import graft.expr.{LshPlanesBucket, ShingleHashes, ShingleMinHash, SortedIntersectCount, VecDot}
+import graft.expr.{LshPlanesBucket, ShingleHashes, ShingleMinHash, SortedIntersectCount, SubwordEstimate, TokenSetHits, VecDot}
 
 /** SQL surface for the engine's custom expressions: after
   * `GraftFunctions.registerAll(spark)` they are callable from plain
@@ -88,6 +88,21 @@ object GraftFunctions {
         graft.agg.MisraGriesAgg(exprs(0), intLit(exprs(1), "capacity"))
           .toAggregateExpression(isDistinct = false)
       }),
+    "rolling_fingerprint" -> ("rolling_fingerprint(s) - code-point rolling hash mod 1e9+7",
+      exprs => {
+        require(exprs.length == 1, "rolling_fingerprint(s)")
+        graft.expr.RollingFingerprint(exprs(0))
+      }),
+    "token_set_hits" -> ("token_set_hits(tokens, words) - count of tokens in the literal word set",
+      exprs => {
+        require(exprs.length == 2, "token_set_hits(tokens, words)")
+        TokenSetHits(exprs(0), stringSeq(exprs(1), "words"))
+      }),
+    "subword_estimate" -> ("subword_estimate(tokens) - BPE-ish subword count estimate",
+      exprs => {
+        require(exprs.length == 1, "subword_estimate(tokens)")
+        SubwordEstimate(exprs(0))
+      }),
     "topk_by_score" -> ("topk_by_score(score, id, k) - bounded top-k (score DESC, id ASC) pairs (aggregate)",
       exprs => {
         require(exprs.length == 3, "topk_by_score(score, id, k)")
@@ -100,6 +115,18 @@ object GraftFunctions {
         graft.agg.FixedPointVecSumAgg(exprs(0), dblLit(exprs(1), "scale"))
           .toAggregateExpression(isDistinct = false)
       }))
+
+  private def stringSeq(e: Expression, name: String): Seq[String] = {
+    val isStrArr = e.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) => true
+      case _ => false
+    }
+    require(e.foldable && isStrArr, s"$name must be a literal ARRAY<STRING>")
+    val data = e.eval(null)
+    require(data != null, s"$name must not be null")
+    val arr = data.asInstanceOf[ArrayData]
+    (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
+  }
 
   private def dblLit(e: Expression, name: String): Double = {
     require(e.foldable, s"$name must be a numeric literal")

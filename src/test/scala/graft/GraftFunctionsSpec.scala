@@ -101,6 +101,19 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(vs == Seq(2000000L, 750000L))
   }
 
+  test("rolling_fingerprint / token_set_hits / subword_estimate from SQL text") {
+    GraftFunctions.registerAll(spark)
+    val fp = spark.sql("SELECT rolling_fingerprint('ab') AS f").as[Long].head()
+    assert(fp == (97L * 31 + 98) % 1000000007L)
+    val hits = spark.sql(
+      "SELECT token_set_hits(array('a','b','a','c'), array('a','c')) AS h")
+      .collect().head.getInt(0)
+    assert(hits == 3)
+    val est = spark.sql(
+      "SELECT subword_estimate(array('a','abcde')) AS e").as[Long].head()
+    assert(est == 3L) // 1 + 2
+  }
+
   test("GraftExtensions wires the SQL surface via spark.sql.extensions") {
     // build a sibling session over the same SparkContext with the
     // extensions config — the zero-code-changes integration path
