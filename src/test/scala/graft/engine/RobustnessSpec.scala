@@ -111,4 +111,48 @@ class RobustnessSpec extends SparkSpec {
       .agg(countDistinct($"component"), count(lit(1))).collect().head
     assert(got.getLong(0) == 1L && got.getLong(1) == 400L)
   }
+
+  test("text ops survive empty, whitespace-only and multibyte text") {
+    import graft.ops.TextOps
+    val weird = Seq(
+      (1L, ""), (2L, "   \t  \n "), (3L, "héllo wörld ünïcode"),
+      (4L, "a"), (5L, "日本語 テキスト です")).toDF("doc_id", "text")
+    val out = weird.select($"doc_id",
+      TextOps.tokenCount($"text").as("n"),
+      TextOps.tokenEstimate($"text").as("est"),
+      TextOps.fingerprint($"text").as("fp"),
+      TextOps.langId($"text").as("lang"),
+      TextOps.qualityScore($"text").as("q"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(1) == 0 && out(2L).getInt(1) == 0)
+    assert(out(1L).getLong(3) == 0L, "empty text fingerprints to 0")
+    assert(out(3L).getInt(1) == 3 && out(5L).getInt(1) == 3)
+    assert(out.values.forall(r => r.getDouble(5) >= 0 && r.getDouble(5) <= 1))
+    // multibyte fingerprints differ (code-point walk, not byte walk)
+    assert(out(3L).getLong(3) != out(5L).getLong(3))
+  }
+
+  test("mixtureResample and trainingOrder on an empty frame return empty") {
+    import graft.ops.{PrepOps, SamplingOps}
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(SamplingOps.mixtureResample(
+      empty, $"text", $"doc_id", Map("x" -> 2.0)).count() == 0)
+    assert(PrepOps.trainingOrder(empty, $"doc_id", lit(0), 4, 1L).count() == 0)
+  }
+
+  test("bm25TopK: absent terms yield zero matches; k > corpus returns all matches") {
+    import graft.ops.SearchOps
+    val docs = Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
+    assert(SearchOps.bm25TopK(docs, $"doc_id", $"text", Seq("zzz"), 5).count() == 0)
+    val all = SearchOps.bm25TopK(docs, $"doc_id", $"text", Seq("beta"), 99)
+    assert(all.count() == 2)
+  }
+
+  test("incrementalDedup with an empty corpus keeps the whole batch") {
+    val batch = Seq((1L, "a b c d"), (2L, "e f g h")).toDF("doc_id", "text")
+    val emptyCorpus = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val kept = DedupOps.incrementalDedup(
+      batch, emptyCorpus, "doc_id", "text", $"text", k = 3, threshold = 0.5)
+    assert(kept.count() == 2)
+  }
 }
