@@ -41,6 +41,11 @@ object GraftFunctions {
   private def dbl(e: Expression): Expression =
     org.apache.spark.sql.catalyst.expressions.Cast(e, org.apache.spark.sql.types.DoubleType)
 
+  // same pitfall for id children: update() reads a Long, and an INT id
+  // through the SQL path would ClassCastException at runtime
+  private def lng(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.expressions.Cast(e, org.apache.spark.sql.types.LongType)
+
   /** name -> (usage doc, expression builder); shared by the programmatic
     * registration below and [[GraftExtensions]].
     */
@@ -106,7 +111,7 @@ object GraftFunctions {
     "topk_by_score" -> ("topk_by_score(score, id, k) - bounded top-k (score DESC, id ASC) pairs (aggregate)",
       exprs => {
         require(exprs.length == 3, "topk_by_score(score, id, k)")
-        graft.agg.TopKByScoreAgg(dbl(exprs(0)), exprs(1), intLit(exprs(2), "k"))
+        graft.agg.TopKByScoreAgg(dbl(exprs(0)), lng(exprs(1)), intLit(exprs(2), "k"))
           .toAggregateExpression(isDistinct = false)
       }),
     "vec_sum_fixed" -> ("vec_sum_fixed(vec, scale) - elementwise fixed-point vector sum (aggregate)",
@@ -125,15 +130,22 @@ object GraftFunctions {
     val data = e.eval(null)
     require(data != null, s"$name must not be null")
     val arr = data.asInstanceOf[ArrayData]
-    (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
+    (0 until arr.numElements()).map { i =>
+      val s = arr.getUTF8String(i)
+      require(s != null, s"$name must not contain NULL elements")
+      s.toString
+    }
   }
 
   private def dblLit(e: Expression, name: String): Double = {
     require(e.foldable, s"$name must be a numeric literal")
     e.eval(null) match {
       case d: java.lang.Double => d
+      case f: java.lang.Float => f.toDouble
       case i: java.lang.Integer => i.toDouble
       case l: java.lang.Long => l.toDouble
+      // SQL parses exact numeric literals like 1000000.0 as DecimalType
+      case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
       case other => throw new IllegalArgumentException(
         s"$name must be a numeric literal, got $other")
     }

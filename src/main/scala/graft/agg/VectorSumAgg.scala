@@ -9,8 +9,9 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
 
-/** Growable elementwise fixed-point sum buffer. `dims == -1` until the
-  * first vector fixes the dimensionality.
+/** Elementwise fixed-point sum buffer. `sums` stays null until the first
+  * vector fixes the dimensionality (merge/serialize treat null as "no
+  * input seen yet").
   */
 final class VecSumBuffer {
   var sums: Array[Long] = null

@@ -177,9 +177,13 @@ object DedupOps {
       textCol: String,
       k: Int,
       threshold: Double,
-      maxShingleDf: Option[Int] = None): DataFrame = {
-    val li = shingleIndexHashed(left, idCol, textCol, k, maxShingleDf).cache()
-    val ri = shingleIndexHashed(right, idCol, textCol, k, maxShingleDf).cache()
+      maxShingleDf: Option[Int] = None,
+      cacheIndex: Boolean = true): DataFrame = {
+    // same trade as ngramJaccardPairs' cacheIndex: pass false in
+    // long-lived sessions that manage storage memory themselves
+    def maybeCache(df: DataFrame) = if (cacheIndex) df.cache() else df
+    val li = maybeCache(shingleIndexHashed(left, idCol, textCol, k, maxShingleDf))
+    val ri = maybeCache(shingleIndexHashed(right, idCol, textCol, k, maxShingleDf))
     val sizesL = li.groupBy(col("doc_id")).agg(count(lit(1)).as("n_l"))
     val sizesR = ri.groupBy(col("doc_id")).agg(count(lit(1)).as("n_r"))
     li.as("a").join(ri.as("b"), col("a.sh") === col("b.sh"))
@@ -216,18 +220,20 @@ object DedupOps {
       keyCol: Column,
       k: Int,
       threshold: Double,
-      maxShingleDf: Option[Int] = None): DataFrame = {
+      maxShingleDf: Option[Int] = None,
+      cacheIndex: Boolean = true): DataFrame = {
     val exKeys = existing.select(xxhash64(keyCol).as("__k")).distinct()
     // consumed twice (left shingle index + final anti join) — cache so the
-    // exact-pass anti join runs once, same trade as ngramJaccardPairs'
-    // cached index
-    val exactSurvivors = incoming
+    // exact-pass anti join runs once; cacheIndex=false hands storage
+    // management back to the caller (long-lived daily-ingest sessions)
+    val survivors0 = incoming
       .withColumn("__k", xxhash64(keyCol))
       .join(exKeys, Seq("__k"), "left_anti")
       .drop("__k")
-      .cache()
+    val exactSurvivors = if (cacheIndex) survivors0.cache() else survivors0
     val nearIds = ngramJaccardAgainst(
-      exactSurvivors, existing, idCol, textCol, k, threshold, maxShingleDf)
+      exactSurvivors, existing, idCol, textCol, k, threshold, maxShingleDf,
+      cacheIndex)
       .select(col("left_id").as(idCol)).distinct()
     exactSurvivors.join(nearIds, Seq(idCol), "left_anti")
   }

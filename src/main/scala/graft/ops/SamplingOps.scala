@@ -117,6 +117,15 @@ object SamplingOps {
       modulus: Int = 1000): DataFrame = {
     require(weightBySource.values.forall(_ >= 0) && defaultWeight >= 0,
       "mixture weights must be >= 0")
+    // the fractional keep is an integer 1/modulus grid — reject weights it
+    // cannot represent exactly (w = 1.0625 at modulus 1000 would silently
+    // keep 6.3% instead of 6.25%)
+    (weightBySource.values.toSeq :+ defaultWeight).foreach { w =>
+      val permille = (w - math.floor(w)) * modulus
+      require(math.abs(permille - math.rint(permille)) < 1e-9,
+        s"weight $w is not representable on the 1/$modulus grid; " +
+          s"use multiples of 1/$modulus or raise modulus")
+    }
     val w = weightBySource.toSeq.sortBy(_._1)
       .foldRight(lit(defaultWeight)) { case ((s, x), els) =>
         when(sourceCol === s, lit(x)).otherwise(els)

@@ -289,7 +289,10 @@ object PipelineQueries {
         .groupBy(col("label"))
         .agg(
           graft.agg.VecSumFunctions.vecSumFixed(col("embedding"), 1000000.0).as("__s"),
-          count(lit(1)).as("n_vecs"))
+          // count NON-NULL embeddings: the sum skips null vectors and the
+          // oracle's per-dim count(*) only sees unnested (non-null) rows —
+          // count(lit(1)) would divide by a larger n on null-bearing data
+          count(col("embedding")).as("n_vecs"))
         .select(col("label"), col("n_vecs"),
           posexplode(col("__s")).as(Seq("__p", "__v")))
         .select(col("label"), (col("__p") + 1).cast("long").as("dim"),

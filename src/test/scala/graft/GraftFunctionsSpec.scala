@@ -99,6 +99,16 @@ class GraftFunctionsSpec extends SparkSpec {
       "SELECT vec_sum_fixed(v, 1000000) AS s FROM vsf")
       .collect().head.getSeq[Long](0)
     assert(vs == Seq(2000000L, 750000L))
+    // decimal-literal scale (how SQL users naturally write it) and an
+    // INT id through topk_by_score must both work
+    val vsDec = spark.sql(
+      "SELECT vec_sum_fixed(v, 1000000.0) AS s FROM vsf")
+      .collect().head.getSeq[Long](0)
+    assert(vsDec == Seq(2000000L, 750000L))
+    val topInt = spark.sql(
+      "SELECT topk_by_score(CAST(1.0 AS DOUBLE), CAST(5 AS INT), 1) AS t FROM vsf")
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+    assert(topInt.map(r => (r.getDouble(0), r.getLong(1))) == Seq((1.0, 5L)))
   }
 
   test("rolling_fingerprint / token_set_hits / subword_estimate from SQL text") {

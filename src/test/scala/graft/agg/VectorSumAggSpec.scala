@@ -43,6 +43,18 @@ class VectorSumAggSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("centroid shape: divide by the NON-NULL vector count (null rows excluded)") {
+    val df = Seq(
+      (0, Some(Array(2.0f, 4.0f))), (0, None), (0, Some(Array(4.0f, 8.0f))))
+      .toDF("label", "embedding")
+    val r = df.groupBy($"label")
+      .agg(VecSumFunctions.vecSumFixed($"embedding", 1000000.0).as("s"),
+        count($"embedding").as("n")) // count(lit(1)) would see the null row
+      .select($"s", $"n").as[(Array[Long], Long)].collect().head
+    assert(r._2 == 2L)
+    assert(r._1.map(_.toDouble / r._2 / 1e6).toSeq == Seq(3.0, 6.0))
+  }
+
   test("vec_sum_fixed skips null vectors and handles empty groups") {
     val withNull = Seq(
       (1L, Some(Array(1.0f, 1.0f))), (1L, None), (1L, Some(Array(2.0f, 3.0f))))

@@ -114,6 +114,13 @@ class SamplingOpsSpec extends SparkSpec {
     assert(perB.values.forall(_ == 3) && perB.size == 6667)
   }
 
+  test("mixtureResample rejects weights finer than the keep grid") {
+    val e = intercept[IllegalArgumentException] {
+      SamplingOps.mixtureResample(rows, $"stratum", $"id", Map("a" -> 1.0625))
+    }
+    assert(e.getMessage.contains("not representable"))
+  }
+
   test("mixtureResample is layout-invariant and shuffle-free") {
     val a = SamplingOps.mixtureResample(rows, $"stratum", $"id", Map("a" -> 1.5))
     val b = SamplingOps.mixtureResample(rows.repartition(11), $"stratum", $"id", Map("a" -> 1.5))
