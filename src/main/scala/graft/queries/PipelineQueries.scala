@@ -610,6 +610,21 @@ object PipelineQueries {
         .limit(100)
     }),
 
+    // Skew-resistant join as a gated component: the salted plan spreads
+    // each hot o_custkey over 8 salt buckets (customer side replicated
+    // 8x) — the RESULT is identical to the plain equi-join, which is what
+    // the oracle checks; the spread is visible in the shuffle key, not
+    // the rows. Aggregated to per-customer order value in exact cents.
+    "q_salted_join" -> ((s, dir) =>
+      JoinOps.saltedJoin(
+        t(s, dir, "orders")
+          .withColumn("price_c", round(col("o_totalprice") * 100).cast("long")),
+        t(s, dir, "customer").select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+        keys = Seq("o_custkey"), saltBuckets = 8)
+        .groupBy(col("o_custkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(col("price_c")).cast("double") / 100).as("total_value"))),
+
     // TPC-H Q14 shape (promo revenue): fact-to-dimension join on partkey
     // plus a conditional-sum ratio. part scales with SF so it is NOT
     // force-broadcast (AQE promotes it at small SF); the percentage is a
@@ -1294,6 +1309,15 @@ object PipelineQueries {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY n_name""".stripMargin,
+
+    // the salt only changes the physical shuffle; the logical join result
+    // is the plain equi-join
+    "q_salted_join" ->
+      """SELECT o_custkey, c_mktsegment,
+        | CAST(count(*) AS BIGINT) AS n_orders,
+        | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_value
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_tpch_q14" ->
       """SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_u ELSE 0 END) AS DOUBLE)
