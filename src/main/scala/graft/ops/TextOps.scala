@@ -227,6 +227,13 @@ object TextOps {
       piiPatterns.map { case (re, _) =>
         s"len(regexp_extract_all($c, '${re.replace("'", "''")}'))"
       }.mkString("(", " + ", ")")
+    /** Same chained replacement as [[TextOps.redactPii]]; DuckDB needs the
+      * explicit 'g' flag for replace-all (Spark's regexp_replace default).
+      */
+    def redactPii(c: String): String =
+      piiPatterns.foldLeft(c) { case (acc, (re, tag)) =>
+        s"regexp_replace($acc, '${re.replace("'", "''")}', '$tag', 'g')"
+      }
     /** `range(1, len-n+2)` is empty whenever len < n, so the guard matches
       * the Spark side's `size >= n` without an explicit CASE on length.
       */

@@ -41,6 +41,15 @@ object PipelineQueries {
         col("doc_id"),
         TextOps.fingerprint(col("text")).as("fp"))),
 
+    // PII scrub as a gated transform: chained codegen'd regexp_replace
+    // (patterns avoid dialect-divergent constructs, so the DuckDB twin is
+    // the same chain with the 'g' flag). Row-local, zero shuffles.
+    "q_pii_redact" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.redactPii(col("text")).as("clean_text"),
+        TextOps.piiCount(col("text")).as("n_pii"))),
+
     // Gopher/C4-style repetition filter signals: all row-local codegen'd
     // expressions (integer counts + one IEEE division each) — a 100 TB
     // repetition pass is a pure map over the scan, zero shuffles. Staged
@@ -987,6 +996,11 @@ object PipelineQueries {
          |  CASE WHEN ${S.fingerprint("text")} % 100 < 90 THEN 'train'
          |       WHEN ${S.fingerprint("text")} % 100 < 95 THEN 'val'
          |       ELSE 'test' END AS split
+         |FROM documents""".stripMargin,
+
+    "q_pii_redact" ->
+      s"""SELECT doc_id, ${S.redactPii("text")} AS clean_text,
+         | CAST(${S.piiCount("text")} AS INTEGER) AS n_pii
          |FROM documents""".stripMargin,
 
     "q_train_order" ->
