@@ -288,6 +288,27 @@ object PipelineQueries {
     "q_embed_quantize" -> ((s, dir) =>
       PrepOps.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")),
 
+    // Embedding outlier scoring for curation: cosine of every vector to
+    // its label centroid. The centroid comes from the EXACT fixed-point
+    // sums (merge-order-proof), so the tiny centroid table is bit-stable;
+    // it broadcasts, and the per-row cosine is the sequential-order VecDot
+    // fold — deterministic doubles, hash-matched against DuckDB's
+    // identical-order list_reduce.
+    "q_embed_outliers" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.groupBy(col("label"))
+        .agg(
+          graft.agg.VecSumFunctions.vecSumFixed(col("embedding"), 1000000.0).as("__s"),
+          count(col("embedding")).as("__n"))
+        .select(col("label"),
+          transform(col("__s"),
+            x => x.cast("double") / col("__n") / lit(1000000.0)).as("__c"))
+      emb.join(broadcast(cents), "label")
+        .select(col("vec_id"), col("label"),
+          SimilarityOps.cosine(
+            col("embedding").cast("array<double>"), col("__c")).as("cos_centroid"))
+    }),
+
     // Per-label centroids via the mergeable fixed-point vector-sum
     // aggregate: each map task forwards ONE dims x 8 B buffer per label
     // (the posexplode + groupBy(label, dim) alternative — which the oracle
@@ -877,6 +898,23 @@ object PipelineQueries {
         |      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
         |      list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
         |    FROM embeddings))""".stripMargin,
+
+    "q_embed_outliers" ->
+      s"""WITH e AS (
+         |  SELECT label,
+         |         unnest(range(1, len(embedding) + 1)) AS dim,
+         |         unnest(list_transform(embedding,
+         |           x -> CAST(trunc(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))) AS v
+         |  FROM embeddings),
+         |c AS (
+         |  SELECT label, array_agg(CAST(s AS DOUBLE) / n / 1000000.0 ORDER BY dim) AS centroid
+         |  FROM (SELECT label, dim, sum(v) AS s, count(*) AS n FROM e GROUP BY label, dim)
+         |  GROUP BY label)
+         |SELECT vec_id, emb.label, ${SimilarityOps.Sql.cosine("emb2", "centroid")} AS cos_centroid
+         |FROM (SELECT vec_id, label,
+         |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb2
+         |      FROM embeddings) emb
+         |JOIN c ON emb.label = c.label""".stripMargin,
 
     // Independent formulation: explode to (label, dim, fixed-point value)
     // and group — same exact integer sums, so the double centroid division
