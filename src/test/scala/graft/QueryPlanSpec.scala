@@ -31,6 +31,12 @@ class QueryPlanSpec extends SparkSpec {
       s"aggregate-before-join missing:\n$plan")
   }
 
+  test("q_embed_outliers: centroid table broadcasts; corpus side stays map-shaped") {
+    val plan = finalPlan("q_embed_outliers")
+    assert(plan.contains("BroadcastHashJoin"), s"centroids must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no corpus-wide shuffle join:\n$plan")
+  }
+
   test("q_dedup_incremental: anti joins key on hashes, not text") {
     val plan = finalPlan("q_dedup_incremental")
     assert(plan.contains("LeftAnti"), s"anti-join pass missing:\n$plan")

@@ -53,6 +53,27 @@ class NearDupStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateless sampling/mixture ops run unchanged on a stream (streamed == batch)") {
+    import graft.ops.SamplingOps
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (1L to 500L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+    val mem = MemoryStream[(Long, String)]
+    val mixed = SamplingOps.mixtureResample(
+      mem.toDF().toDF("id", "src"), $"src", $"id", Map("a" -> 1.5, "b" -> 0.25))
+    val q = mixed.writeStream.format("memory").queryName("mix_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT id, copy FROM mix_stream")
+        .as[(Long, Long)].collect().toSet
+      val batch = SamplingOps.mixtureResample(
+        rows.toDF("id", "src"), $"src", $"id", Map("a" -> 1.5, "b" -> 0.25))
+        .select($"id", $"copy").as[(Long, Long)].collect().toSet
+      assert(streamed == batch, "row-local resampling must be stream-agnostic")
+    } finally q.stop()
+  }
+
   test("a doc with no shared bucket emits no links (novel doc contract)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
