@@ -93,6 +93,75 @@ object PrepOps {
         transform(col("__v"), x => round(x * col("scale")).cast("int")).as("qvec"))
   }
 
+  /** Adjacent-symbol pair counts over the corpus' words with characters as
+    * the initial symbols — round one of BPE vocabulary induction. Pure
+    * explode + groupBy: counting occurrences directly equals the classic
+    * distinct-word-times-frequency formulation.
+    */
+  def bpePairCounts(docs: DataFrame, textCol: Column): DataFrame =
+    docs
+      .select(explode(TextOps.tokens(lower(textCol))).as("w"))
+      .select(explode(TextOps.ngramsOfTokens(
+        filter(split(col("w"), ""), c => length(c) > 0), 2)).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n"))
+
+  /** BPE merge training: `merges` rounds of "count adjacent symbol pairs,
+    * merge the most frequent" (ties broken lexicographically — fully
+    * deterministic) over the corpus vocabulary. Returns the learned merge
+    * rules in order.
+    *
+    * Scale shape: the corpus is read ONCE to build the distinct-word
+    * frequency table (the classic BPE trainer input); each round is one
+    * small groupBy over that table — `vocab x avg-word-length` pair rows,
+    * independent of corpus size — plus a row-local regex merge. Like
+    * [[graft.ops.IvfOps.trainCentroids]], the driver holds only the
+    * argmax per round, never data.
+    */
+  def bpeTrain(
+      docs: DataFrame,
+      textCol: Column,
+      merges: Int): Seq[(String, String)] = {
+    require(merges >= 1, s"need merges >= 1, got $merges")
+    var words = docs
+      .select(explode(TextOps.tokens(lower(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(concat_ws(" ",
+        filter(split(col("w"), ""), c => length(c) > 0)).as("sym"), col("freq"))
+      .cache()
+    val out = List.newBuilder[(String, String)]
+    var done = false
+    var round = 0
+    while (round < merges && !done) {
+      val top = words
+        .select(explode(TextOps.ngramsOfTokens(split(col("sym"), " "), 2)).as("p"),
+          col("freq"))
+        .groupBy(col("p")).agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("p"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) done = true
+      else {
+        val Array(a, b) = top(0).getString(0).split(" ", 2)
+        out += ((a, b))
+        // merge every full-symbol occurrence of "a b" left-to-right
+        // (lookarounds keep symbol boundaries; non-overlapping regex
+        // replacement IS the BPE merge convention)
+        val target = java.util.regex.Pattern.quote(s"$a $b")
+        val repl = java.util.regex.Matcher.quoteReplacement(a + b)
+        val next = words.withColumn("sym",
+          regexp_replace(col("sym"), s"(?<=^|\\s)$target(?=\\s|$$)", repl))
+          .cache()
+        next.count() // materialize before dropping the previous round
+        words.unpersist()
+        words = next
+      }
+      round += 1
+    }
+    words.unpersist()
+    out.result()
+  }
+
   /** Deterministic training-order shuffle: assign each row to one of
     * `shards` by an affine id map salted per epoch, then rank within the
     * shard by (`orderCol`, id). Returns (id, shard, rank).

@@ -240,6 +240,14 @@ object PipelineQueries {
         Map("src0" -> 2.5, "src1" -> 2.0, "src2" -> 0.25))
         .select(col("doc_id"), col("source"), col("copy"))),
 
+    // BPE vocabulary induction, round one: adjacent character-pair counts
+    // over corpus words (explode + groupBy; further rounds iterate on the
+    // small distinct-word table — PrepOps.bpeTrain, spec-tested).
+    "q_bpe_pairs" -> ((s, dir) =>
+      PrepOps.bpePairCounts(t(s, dir, "documents"), col("text"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(50)),
+
     // Epoch-1 training order: salted shard assignment + shard-local
     // content-keyed rank. The only shuffle is the shard partitioning;
     // each shard sorts locally (shards scale with the corpus — never a
@@ -1040,6 +1048,15 @@ object PipelineQueries {
       s"""SELECT doc_id, ${S.redactPii("text")} AS clean_text,
          | CAST(${S.piiCount("text")} AS INTEGER) AS n_pii
          |FROM documents""".stripMargin,
+
+    "q_bpe_pairs" ->
+      s"""WITH w AS (SELECT unnest(${S.tokens("lower(text)")}) AS w FROM documents),
+         |chs AS (SELECT list_filter(string_split(w, ''), c -> len(c) > 0) AS ch FROM w),
+         |p AS (
+         |  SELECT unnest(list_transform(range(1, len(ch)), i -> ch[i] || ' ' || ch[i + 1])) AS pair
+         |  FROM chs WHERE len(ch) >= 2)
+         |SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY pair
+         |ORDER BY n DESC, pair LIMIT 50""".stripMargin,
 
     "q_train_order" ->
       s"""SELECT doc_id, shard,

@@ -67,6 +67,28 @@ class PrepOpsSpec extends SparkSpec {
     }
   }
 
+  test("bpeTrain learns the hand-computed merges in order, layout-invariant") {
+    // word freqs: "aaab" x2, "ab" x1
+    // round 1: (a,a)=4 beats (a,b)=3 -> merge; round 2: (a,b)=3; round 3: (aa,ab)=2
+    val docs = Seq((1L, "aaab aaab"), (2L, "ab")).toDF("doc_id", "text")
+    val merges = PrepOps.bpeTrain(docs, $"text", merges = 3)
+    assert(merges == Seq(("a", "a"), ("a", "b"), ("aa", "ab")))
+    val again = PrepOps.bpeTrain(docs.repartition(5), $"text", merges = 3)
+    assert(again == merges, "training must not depend on input layout")
+  }
+
+  test("bpeTrain stops early when no pairs remain") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    assert(PrepOps.bpeTrain(docs, $"text", merges = 5) == Seq())
+  }
+
+  test("bpePairCounts counts every adjacent occurrence, not distinct words") {
+    val docs = Seq((1L, "ab ab ba")).toDF("doc_id", "text")
+    val got = PrepOps.bpePairCounts(docs, $"text")
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a b" -> 2L, "b a" -> 1L))
+  }
+
   test("trainingOrder: per-shard ranks are gap-free permutations, layout-invariant") {
     val docs = (1L to 5000L).map(i => (i, s"doc ${i * 31 % 997} content")).toDF("doc_id", "text")
     val ord = org.apache.spark.sql.functions.xxhash64($"text")
