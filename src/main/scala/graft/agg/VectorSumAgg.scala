@@ -15,7 +15,6 @@ import org.apache.spark.sql.types._
   */
 final class VecSumBuffer {
   var sums: Array[Long] = null
-  def addFixed(v: Long, i: Int): Unit = sums(i) += v
 }
 
 /** `vec_sum_fixed(vec, scale)`: elementwise sum of a numeric-array column
@@ -72,7 +71,7 @@ case class FixedPointVecSumAgg(
       var i = 0
       while (i < n) {
         val x = if (elemIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
-        buf.addFixed((x * scale).toLong, i)
+        buf.sums(i) += (x * scale).toLong
         i += 1
       }
     }

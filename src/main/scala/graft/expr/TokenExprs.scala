@@ -42,9 +42,10 @@ case class TokenSetHits(child: Expression, words: Seq[String])
 
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
+    val len = a.numElements()
     var n = 0
     var i = 0
-    while (i < a.numElements()) {
+    while (i < len) {
       if (!a.isNullAt(i) && set.contains(a.getUTF8String(i))) n += 1
       i += 1
     }
@@ -56,9 +57,11 @@ case class TokenSetHits(child: Expression, words: Seq[String])
     nullSafeCodeGen(ctx, ev, c => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
+      val len = ctx.freshName("len")
       s"""
          |int $n = 0;
-         |for (int $i = 0; $i < $c.numElements(); $i++) {
+         |int $len = $c.numElements();
+         |for (int $i = 0; $i < $len; $i++) {
          |  if (!$c.isNullAt($i) && $ref.contains($c.getUTF8String($i))) $n++;
          |}
          |${ev.value} = $n;
@@ -88,9 +91,10 @@ case class SubwordEstimate(child: Expression) extends UnaryExpression {
 
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
+    val len = a.numElements()
     var sum = 0L
     var i = 0
-    while (i < a.numElements()) {
+    while (i < len) {
       if (!a.isNullAt(i)) sum += (a.getUTF8String(i).numChars() + 3) / 4
       i += 1
     }
@@ -101,9 +105,11 @@ case class SubwordEstimate(child: Expression) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, c => {
       val i = ctx.freshName("i")
       val sum = ctx.freshName("sum")
+      val len = ctx.freshName("len")
       s"""
          |long $sum = 0L;
-         |for (int $i = 0; $i < $c.numElements(); $i++) {
+         |int $len = $c.numElements();
+         |for (int $i = 0; $i < $len; $i++) {
          |  if (!$c.isNullAt($i)) $sum += ($c.getUTF8String($i).numChars() + 3) / 4;
          |}
          |${ev.value} = $sum;

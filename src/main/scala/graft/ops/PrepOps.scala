@@ -101,8 +101,7 @@ object PrepOps {
   def bpePairCounts(docs: DataFrame, textCol: Column): DataFrame =
     docs
       .select(explode(TextOps.tokens(lower(textCol))).as("w"))
-      .select(explode(TextOps.ngramsOfTokens(
-        filter(split(col("w"), ""), c => length(c) > 0), 2)).as("pair"))
+      .select(explode(TextOps.ngramsOfTokens(TextOps.chars(col("w")), 2)).as("pair"))
       .groupBy(col("pair"))
       .agg(count(lit(1)).as("n"))
 
@@ -126,8 +125,7 @@ object PrepOps {
     var words = docs
       .select(explode(TextOps.tokens(lower(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .select(concat_ws(" ",
-        filter(split(col("w"), ""), c => length(c) > 0)).as("sym"), col("freq"))
+      .select(concat_ws(" ", TextOps.chars(col("w"))).as("sym"), col("freq"))
       .cache()
     val out = List.newBuilder[(String, String)]
     var done = false
@@ -182,8 +180,7 @@ object PrepOps {
       shards: Int,
       salt: Long): DataFrame = {
     require(shards >= 1, s"need shards >= 1, got $shards")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("shard")).orderBy(col("__ord"), col("id"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__ord"), col("id"))
     df.select(idCol.cast("long").as("id"), orderCol.as("__ord"))
       .withColumn("shard",
         pmod(col("id") * 104729L + lit(salt), lit(shards.toLong)))

@@ -130,8 +130,9 @@ object SamplingOps {
       .foldRight(lit(defaultWeight)) { case ((s, x), els) =>
         when(sourceCol === s, lit(x)).otherwise(els)
       }
-    val whole = floor(w).cast("long")
-    val fracPermille = round((w - floor(w)) * modulus).cast("long")
+    val fw = floor(w)
+    val whole = fw.cast("long")
+    val fracPermille = round((w - fw) * modulus).cast("long")
     val keepExtra = when(
       pmod(idCol.cast("long") * 7919L + 13L, lit(modulus.toLong)) < fracPermille, 1L)
       .otherwise(0L)

@@ -19,6 +19,12 @@ object TextOps {
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => length(t) > 0)
 
+  /** Character array of a string (empty-string artifacts of `split("")`
+    * dropped). Shared by the BPE symbol initialization paths.
+    */
+  def chars(text: Column): Column =
+    filter(split(text, ""), c => length(c) > 0)
+
   def tokenCount(text: Column): Column = size(tokens(text))
 
   def charCount(text: Column): Column = length(text)
