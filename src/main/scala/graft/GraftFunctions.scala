@@ -108,6 +108,18 @@ object GraftFunctions {
         require(exprs.length == 1, "subword_estimate(tokens)")
         SubwordEstimate(exprs(0))
       }),
+    "token_weight_sum" -> ("token_weight_sum(tokens, keys, weights) - Σ weight over tokens in the literal table",
+      exprs => {
+        require(exprs.length == 3, "token_weight_sum(tokens, keys, weights)")
+        graft.expr.TokenWeightSum(exprs(0),
+          stringSeq(exprs(1), "keys"), longSeq(exprs(2), "weights"))
+      }),
+    "char_bigram_weight_sum" -> ("char_bigram_weight_sum(s, keys, weights) - Σ weight over char bigrams of s",
+      exprs => {
+        require(exprs.length == 3, "char_bigram_weight_sum(s, keys, weights)")
+        graft.expr.CharBigramWeightSum(exprs(0),
+          stringSeq(exprs(1), "keys"), longSeq(exprs(2), "weights"))
+      }),
     "topk_by_score" -> ("topk_by_score(score, id, k) - bounded top-k (score DESC, id ASC) pairs (aggregate)",
       exprs => {
         require(exprs.length == 3, "topk_by_score(score, id, k)")
@@ -135,6 +147,17 @@ object GraftFunctions {
       require(s != null, s"$name must not contain NULL elements")
       s.toString
     }
+  }
+
+  private def longSeq(e: Expression, name: String): Seq[Long] = {
+    val ok = e.dataType match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    }
+    require(e.foldable && ok, s"$name must be a literal ARRAY<BIGINT>")
+    val data = e.eval(null)
+    require(data != null, s"$name must not be null")
+    data.asInstanceOf[ArrayData].toLongArray().toSeq
   }
 
   private def dblLit(e: Expression, name: String): Double = {

@@ -206,4 +206,51 @@ object JoinOps {
       .join(right.select(col(rightKey)), col(leftKey) === col(rightKey), "left_anti")
     definiteKeep.unionByName(survivors)
   }
+
+  /** Fuzzy entity-matching self-join: all pairs (id1 < id2) whose `strCol`
+    * values are within Levenshtein distance 1, via the SymSpell
+    * deletion-neighborhood blocking scheme (Garbe's symmetric delete):
+    * each string emits the 8-byte hash of itself and of every
+    * single-character-deletion variant (≤ len+1 keys). Any two strings
+    * within distance 1 share a variant — equal: the string itself; one
+    * substitution at i: both delete i; one insert/delete: the longer
+    * string deletes the extra char — so candidate generation is COMPLETE
+    * and the exact `levenshtein` verify on candidates makes the result
+    * identical to the all-pairs predicate join the oracle runs.
+    *
+    * Scale shape: the candidate join keys on 8-byte hashes (document text
+    * never shuffles with the fan-out; strings re-attach by id only for
+    * the verify), per-variant fan-in bounds each join bucket, and hash
+    * collisions only ADD candidates that the verify then drops. The
+    * all-pairs formulation is O(n²) levenshtein evals; this is
+    * O(n·len + candidates). Distance k>1 needs C(len,k) variants — k=1 is
+    * the scheme's sweet spot; band wider distances with [[rangeJoin]]-style
+    * length buckets instead.
+    */
+  def fuzzySelfPairs(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    val s = col("__s")
+    val base = df.select(col(idCol).cast("long").as("__id"), col(strCol).as("__s"))
+    // itself + every single-deletion variant, hashed; distinct (id, key):
+    // duplicate chars yield identical variants
+    val keyed = base.select(col("__id"),
+      explode(array_union(
+        array(xxhash64(s)),
+        when(length(s) > 0,
+          transform(sequence(lit(1), length(s)),
+            i => xxhash64(concat(
+              s.substr(lit(1), i - 1),
+              s.substr(i + 1, length(s) - i)))))
+          .otherwise(array().cast("array<bigint>")))).as("__vh"))
+      .distinct()
+    val cand = keyed.as("a").join(keyed.as("b"),
+        col("a.__vh") === col("b.__vh") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id1"), col("b.__id").as("id2"))
+      .distinct()
+    cand
+      .join(base.select(col("__id").as("id1"), col("__s").as("__s1")), "id1")
+      .join(base.select(col("__id").as("id2"), col("__s").as("__s2")), "id2")
+      .withColumn("dist", levenshtein(col("__s1"), col("__s2")))
+      .filter(col("dist") <= 1)
+      .select(col("id1"), col("id2"), col("dist"))
+  }
 }

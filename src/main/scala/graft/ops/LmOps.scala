@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Character-n-gram language-model quality scoring — the CCNet-style
+  * "perplexity filter" shape used to rank web text for pretraining
+  * corpora, in two phases that mirror how it deploys at 100 TB:
+  *
+  *  1. '''train''' (once per corpus snapshot): one scan that counts char
+  *     bigrams. The key space is charset²-bounded, so the groupBy shuffle
+  *     carries ≤ tasks × distinct-bigrams rows after map-side partial
+  *     aggregation — independent of corpus size.
+  *  2. '''score''' (the 100 TB pass): the model is a bounded literal table
+  *     shipped in the plan (the IVF-centroid pattern) and probed by a
+  *     codegen'd string walk ([[graft.expr.CharBigramWeightSum]]) — a pure
+  *     map over the scan, zero joins, zero shuffles.
+  *
+  * Probabilities are fixed-point parts-per-million (floor(count·10⁶ /
+  * total)) and scores are integer sums of them, so training and scoring
+  * are bit-portable across engines and merge orders (no ln/exp — libm
+  * last-ulp divergence is the reason scores are rational, not log-space;
+  * ranking by Σp is monotone enough for a quality filter).
+  */
+object LmOps {
+
+  val PpmScale = 1000000L
+
+  /** Normalization shared by train and score: lowercase, whitespace runs
+    * to '_', '_' sentinels on both ends (so word-boundary bigrams exist
+    * even for single-char texts).
+    */
+  def normText(text: Column): Column =
+    concat(lit("_"), regexp_replace(lower(text), "\\s+", "_"), lit("_"))
+
+  /** Training pass: normalized-char-bigram counts over the corpus. The
+    * bigram array is the codegen'd [[graft.expr.CharBigrams]] loop — the
+    * `transform(sequence(...), i -> substr(...))` formulation evaluates
+    * its lambda interpreted per character, and feeding it `normText(text)`
+    * un-staged would additionally re-run the regexp normalization per
+    * element (O(len²) regexps/doc; measured 4x on this pass even staged).
+    */
+  def trainCharBigrams(docs: DataFrame, text: Column): DataFrame =
+    docs.select(explode(graft.expr.WeightExprs.charBigrams(normText(text))).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("cnt"))
+
+  /** Fixed-point model: bigram -> floor(count · 10⁶ / total). The table is
+    * charset²-bounded (a few hundred entries on real text), so collecting
+    * it to the driver is the broadcast-small-model pattern, not a
+    * scalability leak.
+    */
+  def ppmModel(counts: DataFrame): Map[String, Long] = {
+    val rows = counts.collect()
+    val total = rows.iterator.map(_.getLong(1)).sum
+    require(total > 0, "cannot train an LM on an empty corpus")
+    rows.iterator.map(r => r.getString(0) -> r.getLong(1) * PpmScale / total).toMap
+  }
+
+  /** Score every document: n_bigrams, Σ ppm(bigram), and the integer mean.
+    * Row-local; unseen bigrams contribute 0 (the out-of-vocabulary floor).
+    */
+  def scoreDocs(docs: DataFrame, id: Column, text: Column, model: Map[String, Long]): DataFrame =
+    docs.select(id.as("doc_id"), normText(text).as("__t"))
+      .select(
+        col("doc_id"),
+        (length(col("__t")) - 1).cast("long").as("n_bigrams"),
+        graft.expr.WeightExprs.charBigramWeightSum(col("__t"), model).as("lm_sum_ppm"))
+      .withColumn("lm_avg_ppm", expr("lm_sum_ppm div n_bigrams"))
+}

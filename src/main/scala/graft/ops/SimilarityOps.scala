@@ -285,6 +285,47 @@ object SimilarityOps {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by clustering embeddings (spherical k-means — reuse
+    * [[IvfOps.trainCentroids]]) and near-dup-ing ONLY within each
+    * cluster: pair cost drops from O(n²) to Σ|cluster|², the paper's
+    * central trick, while k-means assignment stays a row-local
+    * literal-centroid argmax (zero joins/shuffles — the IVF property).
+    * Duplicate groups are closed transitively (connected components) and
+    * each keeps its min-id representative.
+    *
+    * Returns (vec_id, rep_id, keep): `keep = 1` iff the row is its
+    * group's representative; singletons keep themselves. Cross-cluster
+    * duplicate pairs are invisible by construction — the documented
+    * recall trade the paper makes; raise k for cheaper pairs, lower k
+    * for higher recall.
+    */
+  def semDedup(
+      vecs: DataFrame,
+      cents: Array[Array[Double]],
+      threshold: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val assigned = vecs.select(
+      col(idCol).cast("long").as("id"),
+      col(vecCol).as("v"),
+      sqrt(norm2(col(vecCol))).as("n"),
+      IvfOps.assignmentCol(col(vecCol), cents).as("cid"))
+    val a = assigned.select(col("cid"), col("id").as("id_a"),
+      col("v").as("va"), col("n").as("na"))
+    val b = assigned.select(col("cid"), col("id").as("id_b"),
+      col("v").as("vb"), col("n").as("nb"))
+    val pairs = a.join(b, Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        dot(col("va"), col("vb")) / nullif(col("na") * col("nb"), lit(0.0)))
+      .filter(col("cosine").isNotNull && col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"))
+    GraphOps.componentsOf(vecs, idCol, pairs, "id_a", "id_b")
+      .select(col("node").as("vec_id"), col("component").as("rep_id"),
+        (col("node") === col("component")).cast("int").as("keep"))
+  }
+
   object Sql {
     /** DuckDB dot product with the same sequential fold order. */
     def dot(a: String, b: String): String =

@@ -184,6 +184,16 @@ object TextOps {
   def dupNgramFrac(text: Column, n: Int): Column =
     dupFracOfNgrams(tokenNgrams(text, n))
 
+  /** Linear text-classifier margin: Σ weight(token) over lowercased
+    * tokens (with multiplicity; out-of-vocabulary tokens score 0) — the
+    * apply step of a fastText-style quality classifier whose weights were
+    * trained offline. The lexicon ships as a plan-time literal probed by
+    * the codegen'd [[graft.expr.TokenWeightSum]] hash table, so scoring
+    * 100 TB is a pure map: zero joins, zero shuffles, integer-exact.
+    */
+  def classifierMargin(text: Column, weights: Map[String, Long]): Column =
+    graft.expr.WeightExprs.tokenWeightSum(tokens(lower(text)), weights)
+
   /** Rolling polynomial fingerprint of the normalized text (lowercase,
     * whitespace collapsed to single spaces):
     * `h = fold(codepoints, 0, (acc, c) => (acc*31 + c) mod 1e9+7)`.

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{ContaminationOps, DedupOps, GraphOps, IvfOps, JoinOps, MultimodalOps, PrepOps, SamplingOps, SearchOps, SimilarityOps, TextOps}
+import graft.ops.{ContaminationOps, DedupOps, GraphOps, IvfOps, JoinOps, LmOps, MultimodalOps, PrepOps, SamplingOps, SearchOps, SimilarityOps, TextOps}
 import graft.streaming.EventOps
 
 /** Training-data pipeline operators (dedup, similarity search, multimodal,
@@ -19,6 +19,17 @@ object PipelineQueries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+
+  /** Demo lexicon for `q_quality_classifier` — stands in for an
+    * offline-trained linear model's weight vector (content terms positive,
+    * filler/degenerate markers negative). Fixed integers so the margin is
+    * exact on any engine; the oracle rebuilds the same table as VALUES.
+    */
+  val qualityLexicon: Map[String, Long] = Map(
+    "data" -> 3L, "query" -> 2L, "table" -> 2L, "join" -> 2L,
+    "spark" -> 3L, "stream" -> 2L, "column" -> 1L, "group" -> 1L,
+    "the" -> 1L, "a" -> -1L, "slow" -> -5L, "small" -> -2L,
+    "big" -> -2L, "value" -> -1L, "row" -> -1L)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ------------------------------------------------------ text analysis
@@ -66,6 +77,27 @@ object PipelineQueries {
           TextOps.distinctFracOfTokens(col("__w")).as("distinct_token_frac"),
           TextOps.dupFracOfNgrams(col("__g2")).as("dup_bigram_frac"),
           TextOps.dupFracOfNgrams(col("__g3")).as("dup_trigram_frac"))),
+
+    // CCNet-style LM quality scoring: train a char-bigram model on the
+    // corpus (one bounded-key groupBy pass), then score every doc with a
+    // codegen'd string walk over the literal model — the scoring pass is
+    // a pure map (zero joins/shuffles at 100 TB). Fixed-point ppm
+    // probabilities keep train AND score integer-exact across engines.
+    "q_lm_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = LmOps.ppmModel(LmOps.trainCharBigrams(docs, col("text")))
+      LmOps.scoreDocs(docs, col("doc_id"), col("text"), model)
+    }),
+
+    // Model-based quality filtering (the GPT-3/fastText linear-classifier
+    // shape): weights trained offline, applied at scale as a row-local
+    // codegen'd hash-table fold. Margin is an exact integer.
+    "q_quality_classifier" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.classifierMargin(col("text"), qualityLexicon).as("margin"))
+        .withColumn("keep", (col("margin") >= 0L).cast("int"))),
 
     // Eval-set decontamination: per-doc fraction of distinct 3-shingles
     // found in the benchmark slice. Benchmark collapses to one broadcast
@@ -399,6 +431,17 @@ object PipelineQueries {
       IvfOps.ivfTopK(e.filter(col("vec_id") < 10), e, k = 10, cents, nprobe = 4)
     }),
 
+    // SemDeDup (Abbas et al. 2023): k-means clusters (layout-invariant
+    // training), within-cluster cosine pairs (Σ|cluster|² — never
+    // all-pairs), transitive closure, min-id representative per group.
+    // Float k-means has no DuckDB twin -> rows-only; semantics pinned in
+    // SimilarityOpsSpec (planted groups == global brute-force components).
+    "q_semdedup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = IvfOps.trainCentroids(e, k = 8, iters = 2)
+      SimilarityOps.semDedup(e, cents, threshold = 0.35)
+    }),
+
     "q_embed_neardup" -> ((s, dir) =>
       SimilarityOps.cosineNearDupPairs(t(s, dir, "embeddings"), 0.35)),
 
@@ -486,6 +529,15 @@ object PipelineQueries {
         docs.select(col("doc_id"), col("source")), "doc_id",
         removals, "rm_id", expectedItems = 1 << 16)
     }),
+
+    // Fuzzy entity matching (SymSpell deletion-neighborhood blocking +
+    // exact levenshtein verify): candidates join on 8-byte variant
+    // hashes, never all-pairs — the oracle IS the all-pairs predicate
+    // join, so the gate proves blocking completeness, not just parity.
+    "q_fuzzy_join" -> ((s, dir) =>
+      JoinOps.fuzzySelfPairs(
+        t(s, dir, "customer").select(col("c_custkey"), col("c_name")),
+        "c_custkey", "c_name")),
 
     // ------------------------------------- sort / top-k / window (engine
     // completeness; the reference needs none of these, SURVEY §2.5)
@@ -663,6 +715,35 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_orders"),
           (sum(col("price_c")).cast("double") / 100).as("total_value"))),
 
+    // TPC-H Q4 shape (order-priority checking): date-filtered orders
+    // EXISTS-semi-joined to a filtered fact table, then a tiny groupBy.
+    // The semi join never duplicates orders (no distinct needed) and
+    // carries only the join key from lineitem. (The synthetic lineitem
+    // has no commit/receipt dates; the returned-lines predicate keeps
+    // the identical plan shape.)
+    "q_tpch_q4" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-07-01") &&
+          col("o_orderdate") < lit("1995-10-01"))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R").select(col("l_orderkey"))
+      o.join(li, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
+    // Pivot (long -> wide): per-source doc counts by language through the
+    // native pivot operator — one partial-aggregated shuffle keyed by
+    // source, values fixed at plan time (never an extra pass to discover
+    // them, which is what `pivot(col)` without values costs).
+    "q_pivot" -> ((s, dir) => {
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      t(s, dir, "documents")
+        .groupBy(col("source")).pivot("lang", langs).count()
+        .select(col("source") +:
+          langs.map(l => coalesce(col(l), lit(0L)).as(l)): _*)
+    }),
+
     // TPC-H Q14 shape (promo revenue): fact-to-dimension join on partkey
     // plus a conditional-sum ratio. part scales with SF so it is NOT
     // force-broadcast (AQE promotes it at small SF); the percentage is a
@@ -719,6 +800,43 @@ object PipelineQueries {
          | ${S.dupNgramFrac("text", 2)} AS dup_bigram_frac,
          | ${S.dupNgramFrac("text", 3)} AS dup_trigram_frac
          |FROM documents""".stripMargin,
+
+    // Independent formulation: the model is a joined CTE here where the
+    // Spark side walks a literal hash table — same counts, same floor
+    // divisions, so the integer scores match exactly.
+    "q_lm_score" ->
+      s"""WITH norm AS (
+         |  SELECT doc_id,
+         |    '_' || regexp_replace(lower(text), '\\s+', '_', 'g') || '_' AS t
+         |  FROM documents),
+         |idx AS (SELECT doc_id, t, unnest(range(1, length(t))) AS i FROM norm),
+         |big AS (SELECT doc_id, substr(t, i, 2) AS b FROM idx),
+         |cnt AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM big GROUP BY b),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
+         |model AS (SELECT b, CAST(c * 1000000 // n AS BIGINT) AS ppm FROM cnt, tot),
+         |agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |    CAST(sum(ppm) AS BIGINT) AS lm_sum_ppm
+         |  FROM big JOIN model USING (b) GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams, lm_sum_ppm,
+         |  CAST(lm_sum_ppm // n_bigrams AS BIGINT) AS lm_avg_ppm
+         |FROM agg""".stripMargin,
+
+    "q_quality_classifier" -> {
+      val vals = qualityLexicon.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"('$k', CAST($v AS BIGINT))" }.mkString(", ")
+      s"""WITH w(tok, wt) AS (VALUES $vals),
+         |toks AS (
+         |  SELECT doc_id, unnest(${S.tokens("lower(text)")}) AS tok FROM documents),
+         |m AS (
+         |  SELECT doc_id, CAST(COALESCE(sum(wt), 0) AS BIGINT) AS margin
+         |  FROM toks LEFT JOIN w USING (tok) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(${S.tokenCount("d.text")} AS INTEGER) AS n_tokens,
+         |  COALESCE(m.margin, 0) AS margin,
+         |  CAST(CASE WHEN COALESCE(m.margin, 0) >= 0 THEN 1 ELSE 0 END AS INTEGER) AS keep
+         |FROM documents d LEFT JOIN m USING (doc_id)""".stripMargin
+    },
 
     "q_decontaminate" ->
       s"""WITH bs AS (
@@ -1186,6 +1304,31 @@ object PipelineQueries {
       """SELECT doc_id, source FROM documents
         |WHERE doc_id NOT IN (
         |  SELECT doc_id FROM documents WHERE n_chars < 150)""".stripMargin,
+
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= '1995-07-01' AND o_orderdate < '1995-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT source,
+        |  CAST(count(*) FILTER (WHERE lang = 'de') AS BIGINT) AS de,
+        |  CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS en,
+        |  CAST(count(*) FILTER (WHERE lang = 'es') AS BIGINT) AS es,
+        |  CAST(count(*) FILTER (WHERE lang = 'fr') AS BIGINT) AS fr,
+        |  CAST(count(*) FILTER (WHERE lang = 'zh') AS BIGINT) AS zh
+        |FROM documents GROUP BY source""".stripMargin,
+
+    // The all-pairs formulation the Spark side's blocking must equal.
+    "q_fuzzy_join" ->
+      """SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_custkey < b.c_custkey
+        | AND levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
 
     "q_quantiles" ->
       """SELECT l_returnflag,

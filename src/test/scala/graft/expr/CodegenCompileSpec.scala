@@ -103,6 +103,43 @@ class CodegenCompileSpec extends AnyFunSuite {
     assert(e.eval(row) == 6L)
   }
 
+  test("TokenWeightSum generated code compiles and matches eval") {
+    val e = TokenWeightSum(BoundReference(0, strArr, nullable = true),
+      Seq("a", "c"), Seq(5L, -2L))
+    val proj = GenerateMutableProjection.generate(Seq(e))
+    val row = InternalRow(toks) // [a, b, a, c] -> 5 + 0 + 5 - 2 = 8
+    assert(proj(row).getLong(0) == 8L)
+    assert(e.eval(row) == 8L)
+    assert(e.eval(InternalRow(new GenericArrayData(Array[Any]()))) == 0L)
+  }
+
+  test("CharBigramWeightSum generated code compiles and matches eval") {
+    val e = CharBigramWeightSum(BoundReference(0, StringType, nullable = true),
+      Seq("ab", "ba"), Seq(3L, 7L))
+    val proj = GenerateMutableProjection.generate(Seq(e))
+    val row = InternalRow(UTF8String.fromString("abab")) // ab ba ab -> 3+7+3
+    assert(proj(row).getLong(0) == 13L)
+    assert(e.eval(row) == 13L)
+    // single char -> no bigrams; empty -> no bigrams
+    assert(e.eval(InternalRow(UTF8String.fromString("a"))) == 0L)
+    assert(e.eval(InternalRow(UTF8String.fromString(""))) == 0L)
+    // astral chars count as one char each (code-point walk)
+    val astral = InternalRow(UTF8String.fromString("a😀b"))
+    assert(proj(astral).getLong(0) == e.eval(astral))
+  }
+
+  test("CharBigrams generated code compiles and matches eval") {
+    val e = CharBigrams(BoundReference(0, StringType, nullable = true))
+    val proj = GenerateMutableProjection.generate(Seq(e))
+    def strs(a: ArrayData): Seq[String] =
+      (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+    val row = InternalRow(UTF8String.fromString("abc_"))
+    assert(strs(proj(row).getArray(0)) == Seq("ab", "bc", "c_"))
+    assert(strs(e.eval(row).asInstanceOf[ArrayData]) == Seq("ab", "bc", "c_"))
+    assert(strs(e.eval(InternalRow(UTF8String.fromString("a"))).asInstanceOf[ArrayData]).isEmpty)
+    assert(strs(e.eval(InternalRow(UTF8String.fromString(""))).asInstanceOf[ArrayData]).isEmpty)
+  }
+
   test("LshPlanesBucket generated code compiles and matches eval") {
     val fltArr = ArrayType(FloatType)
     val e = LshPlanesBucket(

@@ -167,4 +167,28 @@ class JoinOpsSpec extends SparkSpec {
     assert(routed < 500, s"too many rows routed to the exact join: $routed")
     assert(df.count() == 4998)
   }
+
+  test("fuzzySelfPairs equals the all-pairs levenshtein predicate") {
+    // substitutions, insert/delete at every position, equal strings,
+    // empty vs one char, shared-variant false candidates (dist 2)
+    val names = Seq(
+      (1L, "kitten"), (2L, "sitten"), (3L, "kitte"), (4L, "kittens"),
+      (5L, "mitten"), (6L, "kitten"), (7L, "abc"), (8L, "axc"),
+      (9L, ""), (10L, "a"), (11L, "b"), (12L, "ab"), (13L, "ba"),
+      (14L, "aab"), (15L, "abb"))
+    val df = names.toDF("id", "s")
+    val got = JoinOps.fuzzySelfPairs(df, "id", "s")
+      .as[(Long, Long, Int)].collect().toSet
+    val brute = df.as("a").crossJoin(df.as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"), levenshtein(col("a.s"), col("b.s")))
+      .as[(Long, Long, Int)].collect().filter(_._3 <= 1).toSet
+    assert(got == brute)
+    // sanity: the planted families actually produced pairs
+    assert(brute.contains((1L, 2L, 1)) && brute.contains((1L, 6L, 0)) &&
+      brute.contains((9L, 10L, 1)) && brute.contains((12L, 14L, 1)))
+    // "ab" vs "ba" is distance 2 (plain Levenshtein has no transposition):
+    // a shared-deletion-variant candidate the verify must reject
+    assert(!got.exists(p => p._1 == 12L && p._2 == 13L))
+  }
 }

@@ -187,4 +187,36 @@ class SimilarityOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((0L, 1L)))
   }
+
+  test("semDedup collapses planted duplicate groups to their min-id representative") {
+    val rnd = new scala.util.Random(7)
+    // 3 well-separated orthogonal base directions, 4 jittered copies each,
+    // plus one unrelated singleton
+    val bases = Seq(
+      Array.tabulate(15)(i => if (i < 5) 1.0 else 0.0),
+      Array.tabulate(15)(i => if (i >= 5 && i < 10) 1.0 else 0.0),
+      Array.tabulate(15)(i => if (i >= 10) 1.0 else 0.0))
+    val rows = bases.zipWithIndex.flatMap { case (b, g) =>
+      (0 until 4).map(j =>
+        (g * 10L + j, b.map(x => (x + 0.01 * rnd.nextGaussian()).toFloat).toSeq))
+    } :+ (99L, Array.tabulate(15)(i => if (i % 2 == 0) 1.0f else -1.0f).toSeq)
+    val df = vecs(rows: _*)
+    // k = number of base directions: with k above it, k-means can SPLIT a
+    // tight duplicate group across two centroids and the within-cluster
+    // pass loses those pairs — the paper's recall trade, surfaced here
+    val cents = IvfOps.trainCentroids(df, k = 3, iters = 3)
+    val got = SimilarityOps.semDedup(df, cents, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = bases.indices.flatMap { g =>
+      (0 until 4).map(j => (g * 10L + j, g * 10L, if (j == 0) 1 else 0))
+    }.toSet + ((99L, 99L, 1))
+    assert(got == want)
+    // within-cluster dedup equals the global brute-force components here:
+    // duplicate groups are tight (cos ~ 1) and the bases are orthogonal
+    val bruteComp = GraphOps.componentsOf(
+      df, "vec_id",
+      SimilarityOps.cosineNearDupPairs(df, 0.95), "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.map(t => (t._1, t._2)) == bruteComp)
+  }
 }
