@@ -108,6 +108,12 @@ object GraftFunctions {
         require(exprs.length == 1, "subword_estimate(tokens)")
         SubwordEstimate(exprs(0))
       }),
+    "bpe_encode" -> ("bpe_encode(tokens, mergesA, mergesB) - BPE pieces via ranked literal merges",
+      exprs => {
+        require(exprs.length == 3, "bpe_encode(tokens, mergesA, mergesB)")
+        graft.expr.BpeEncode(exprs(0),
+          stringSeq(exprs(1), "mergesA"), stringSeq(exprs(2), "mergesB"))
+      }),
     "token_weight_sum" -> ("token_weight_sum(tokens, keys, weights) - Σ weight over tokens in the literal table",
       exprs => {
         require(exprs.length == 3, "token_weight_sum(tokens, keys, weights)")

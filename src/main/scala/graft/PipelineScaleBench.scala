@@ -75,9 +75,48 @@ object PipelineScaleBench {
       docs.cache().count()
     }
 
+    // Pure-map stages MUST sink through noop: under `.count()` Catalyst
+    // prunes the unreferenced projection and the map never runs (the
+    // "measured" stage is then just counting cached rows — text_stats
+    // read 0.5 s that way; it is 2.6 s of real work).
+    def noop(df: org.apache.spark.sql.DataFrame): Long = {
+      df.write.format("noop").mode("overwrite").save(); nDocs.toLong
+    }
+
+    if (sys.env.contains("SPARK_GRAFT_TEXT_BREAKDOWN")) {
+      stage("t_tokens_only") {
+        noop(docs.select(TextOps.tokens(col("text"))))
+      }
+      stage("t_tokencount") {
+        noop(docs.select(TextOps.tokenCount(col("text"))))
+      }
+      stage("t_quality") {
+        noop(docs.select(TextOps.qualityScore(col("text"))))
+      }
+      stage("t_langid") {
+        noop(docs.select(TextOps.langId(col("text"))))
+      }
+      stage("t_redact") {
+        noop(docs.select(TextOps.redactPii(col("text"))))
+      }
+      stage("t_punct") {
+        noop(docs.select(TextOps.punctCount(col("text"))))
+      }
+    }
+
     stage("text_stats") {
-      docs.select(TextOps.tokenCount(col("text")), TextOps.qualityScore(col("text")),
-        TextOps.langId(col("text")), TextOps.redactPii(col("text"))).count()
+      // tokenize ONCE into named columns — the langId/quality when-chains
+      // reference their inputs repeatedly and when-guarded subtrees skip
+      // subexpression elimination (inline forms re-tokenized per
+      // reference: 42.6 s; staged: see PERF.md)
+      noop(docs
+        .select(col("text"),
+          TextOps.tokens(col("text")).as("__w"),
+          TextOps.tokens(lower(col("text"))).as("__wl"))
+        .select(size(col("__w")),
+          TextOps.qualityScoreOf(col("text"), col("__w")),
+          TextOps.langIdOfTokens(col("__wl")),
+          TextOps.redactPii(col("text"))))
     }
     stage("exact_dedup") {
       DedupOps.exactDedup(docs, "doc_id", col("text")).count()
@@ -91,7 +130,7 @@ object PipelineScaleBench {
         k = 3, threshold = 0.6).count()
     }
     stage("simhash") {
-      DedupOps.simhash(docs, "doc_id", "text").count()
+      noop(DedupOps.simhash(docs, "doc_id", "text"))
     }
     stage("ngram_jaccard_pairs") {
       DedupOps.ngramJaccardPairs(docs, "doc_id", "text",
@@ -106,14 +145,29 @@ object PipelineScaleBench {
       SamplingOps.hashSample(docs, col("doc_id"), 10, 100).count()
     }
     stage("mixture_resample") {
-      SamplingOps.mixtureResample(
+      noop(SamplingOps.mixtureResample(
         docs.withColumn("src", pmod(col("doc_id"), lit(4)).cast("string")),
         col("src"), col("doc_id"),
-        Map("0" -> 2.5, "1" -> 0.5), defaultWeight = 1.0).count()
+        Map("0" -> 2.5, "1" -> 0.5), defaultWeight = 1.0))
     }
     stage("bm25_top20") {
       graft.ops.SearchOps.bm25TopK(docs, col("doc_id"), col("text"),
         Seq("data_7", "spark_13", "merge_31"), k = 20).count()
+    }
+    stage("lm_train_and_score") {
+      val model = graft.ops.LmOps.trainModelPpm(docs, col("text"))
+      noop(graft.ops.LmOps.scoreDocs(docs, col("doc_id"), col("text"), model))
+    }
+    stage("classifier_margin") {
+      noop(docs.select(TextOps.classifierMargin(col("text"),
+        Map("data_7" -> 3L, "spark_13" -> 2L, "merge_31" -> -4L))))
+    }
+    stage("bpe_encode_500merge") {
+      // a realistic offline-trained merge table (synthetic ranked pairs
+      // over the corpus alphabet) applied corpus-wide — the apply cost,
+      // not the trainer, is the 100 TB-relevant number
+      val merges = for (a <- 'a' to 'z'; b <- 'a' to 's') yield (a.toString, b.toString)
+      noop(docs.select(graft.ops.PrepOps.bpeEncode(col("text"), merges).as("p")))
     }
     stage("incremental_dedup") {
       // batch = 10% of the corpus vs the other 90% as "existing"

@@ -160,6 +160,103 @@ object PrepOps {
     out.result()
   }
 
+  /** [[bpeTrain]] with the merge loop run DRIVER-LOCAL on the collected
+    * word-frequency table: the corpus contributes exactly ONE
+    * `tokens -> groupBy(word)` pass (the same shuffle shape as
+    * [[bpeTrain]]'s first step — bounded by vocabulary, not corpus,
+    * size), and every merge round is then a few ms over the in-memory
+    * vocab instead of a full Spark job round trip (8 rounds cost ~3 s of
+    * pure scheduling at any data size). This is how production BPE
+    * trainers work (count distributed, merge locally): the word-freq
+    * table for even a 100 TB corpus is vocabulary-bounded.
+    * `maxVocab` guards the collect. Identical output to [[bpeTrain]]
+    * (same counts, same (count desc, pair asc) tie-break, same
+    * left-to-right non-overlapping replacement) — differential-tested.
+    */
+  def bpeTrainLocal(
+      docs: DataFrame,
+      textCol: Column,
+      merges: Int,
+      maxVocab: Int = 1 << 20): Seq[(String, String)] = {
+    require(merges >= 1, s"need merges >= 1, got $merges")
+    val rows = docs
+      .select(explode(TextOps.tokens(lower(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .collect()
+    require(rows.length <= maxVocab,
+      s"vocabulary ${rows.length} exceeds maxVocab=$maxVocab")
+    // word -> (symbol sequence, freq); symbols start as code points
+    val words = rows.map { r =>
+      val w = r.getString(0)
+      val syms = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < w.length) {
+        val cc = Character.charCount(w.codePointAt(i))
+        syms += w.substring(i, i + cc)
+        i += cc
+      }
+      (syms, r.getLong(1))
+    }
+    val out = List.newBuilder[(String, String)]
+    var round = 0
+    var done = false
+    while (round < merges && !done) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      words.foreach { case (syms, freq) =>
+        var j = 0
+        while (j < syms.length - 1) {
+          counts.merge((syms(j), syms(j + 1)), freq, (a, b) => a + b)
+          j += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        // argmax count; ties by the space-joined pair string ascending —
+        // bpeTrain's orderBy(n DESC, p ASC)
+        var best: (String, String) = null
+        var bestN = -1L
+        val it = counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val p = e.getKey
+          if (e.getValue > bestN ||
+            (e.getValue == bestN && s"${p._1} ${p._2}" < s"${best._1} ${best._2}")) {
+            best = p; bestN = e.getValue
+          }
+        }
+        out += best
+        var wi = 0
+        while (wi < words.length) {
+          val syms = words(wi)._1
+          var j = 0
+          var w = 0
+          // in-place left-to-right non-overlapping merge
+          while (j < syms.length) {
+            if (j < syms.length - 1 && syms(j) == best._1 && syms(j + 1) == best._2) {
+              syms(w) = best._1 + best._2; j += 2
+            } else {
+              syms(w) = syms(j); j += 1
+            }
+            w += 1
+          }
+          syms.remove(w, syms.length - w)
+          wi += 1
+        }
+      }
+      round += 1
+    }
+    out.result()
+  }
+
+  /** Apply a trained BPE merge list to every document: lowercased
+    * whitespace tokens -> subword pieces (token order preserved). The
+    * row-local encode is [[graft.expr.BpeEncode]] — merges ship as a
+    * plan literal (tokenizers train once, apply at corpus scale), so a
+    * 100 TB tokenization pass is a pure map with zero shuffles.
+    */
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =
+    graft.expr.BpeExprs.bpeEncode(TextOps.tokens(lower(text)), merges)
+
   /** Deterministic training-order shuffle: assign each row to one of
     * `shards` by an affine id map salted per epoch, then rank within the
     * shard by (`orderCol`, id). Returns (id, shard, rank).

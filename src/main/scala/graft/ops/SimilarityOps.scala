@@ -285,6 +285,22 @@ object SimilarityOps {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** Deterministic sparse signed random projection (the
+    * Johnson–Lindenstrauss / Achlioptas database-friendly variant):
+    * component j of the reduced vector is `dot(v, w_j) / sqrt(outDims)`
+    * with the shared integer plane-weight schedule ([[planeWeight]] —
+    * the same deterministic planes LSH uses, so the projection is
+    * reproducible across runs/engines with no stored matrix). Row-local
+    * literal planes, zero shuffles: the dimensionality-reduction front
+    * of ANN / clustering at 100 TB is a pure map over the scan. With
+    * power-of-4 `outDims` the scale is a power of two, so projected
+    * values are bit-exact across engines.
+    */
+  def projectCol(vec: Column, j: Int, dims: Int, outDims: Int): Column = {
+    val plane = array((0 until dims).map(d => lit(planeWeight(j, d).toDouble)): _*)
+    dot(vec, plane) / math.sqrt(outDims.toDouble)
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     * deduplication by clustering embeddings (spherical k-means — reuse
     * [[IvfOps.trainCentroids]]) and near-dup-ing ONLY within each

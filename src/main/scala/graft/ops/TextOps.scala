@@ -29,9 +29,14 @@ object TextOps {
 
   def charCount(text: Column): Column = length(text)
 
-  /** Characters that are neither alphanumeric nor whitespace. */
+  /** Characters (code points) that are neither ASCII-alphanumeric nor
+    * whitespace. Codegen'd byte walk ([[graft.expr.PunctCount]]) — the
+    * `length - length(regexp_replace(...))` spec form materializes a
+    * replaced copy of every document (46x slower measured; it remains the
+    * DuckDB oracle formulation and the parity pin in TextOpsSpec).
+    */
   def punctCount(text: Column): Column =
-    length(text) - length(regexp_replace(text, "[^a-zA-Z0-9\\s]", ""))
+    graft.expr.TextExprs.punctCount(text)
 
   /** BPE-ish subword count estimate: alphanumeric runs contribute
     * ceil(len/4) pieces (≈ 4 chars/token), every other non-space char is one
@@ -55,18 +60,29 @@ object TextOps {
     "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht"),
     "fr" -> Seq("le", "la", "de", "et", "est", "un", "ne", "pas"))
 
-  /** N-gram-free language ID: argmax of stopword hits, ties broken by list
-    * order, "und" (undetermined) when no list scores a hit — mirroring the
-    * reference's undetermined cloud-mask convention (flag -1 for status 0,
-    * `aggregate_functions.py:156-158`).
+  /** [[langId]] over an ALREADY-LOWERCASED token array. Stage the tokens
+    * through a named column when computing several signals per document:
+    * the argmax when-chain references each score in its guard AND in
+    * `greatest`, and `when`-guarded subtrees are excluded from
+    * subexpression elimination — with inline `tokens(lower(text))` the
+    * full tokenization re-runs per reference (~9x per doc here).
     */
-  def langId(text: Column): Column = {
-    val scores = langStopwords.map { case (lang, ws) => lang -> stopwordHits(text, ws) }
+  def langIdOfTokens(wl: Column): Column = {
+    val scores = langStopwords.map { case (lang, ws) =>
+      lang -> graft.expr.TokenExprs.tokenSetHits(wl, ws)
+    }
     val best = greatest(scores.map(_._2): _*)
     scores.foldRight(lit("und")) { case ((lang, score), els) =>
       when(best > 0 && score === best, lit(lang)).otherwise(els)
     }
   }
+
+  /** N-gram-free language ID: argmax of stopword hits, ties broken by list
+    * order, "und" (undetermined) when no list scores a hit — mirroring the
+    * reference's undetermined cloud-mask convention (flag -1 for status 0,
+    * `aggregate_functions.py:156-158`).
+    */
+  def langId(text: Column): Column = langIdOfTokens(tokens(lower(text)))
 
   /** Characteristic character trigrams per language (top distinguishing
     * trigrams, spaces shown as '_').
@@ -122,19 +138,25 @@ object TextOps {
     piiPatterns.map { case (re, _) => regexp_count(text, lit(re)) }
       .reduce(_ + _)
 
-  /** Heuristic quality score in [0,1]:
-    * mean of (length score, word-shape score, 1 - punctuation ratio).
-    * Deterministic double arithmetic — identical on any engine.
+  /** [[qualityScore]] over a pre-tokenized array (see [[langIdOfTokens]]
+    * for why staging matters: `nTok` sits inside `when` guards, so an
+    * inline tokenization re-runs per reference).
     */
-  def qualityScore(text: Column): Column = {
+  def qualityScoreOf(text: Column, w: Column): Column = {
     val nChars = charCount(text).cast("double")
-    val nTok = tokenCount(text).cast("double")
+    val nTok = size(w).cast("double")
     val lenScore = least(nChars / 200.0, lit(1.0))
     val meanWordLen = when(nTok > 0, nChars / nTok).otherwise(lit(0.0))
     val shapeScore = when(meanWordLen >= 3 && meanWordLen <= 10, 1.0).otherwise(0.5)
     val punctRatio = when(nChars > 0, punctCount(text).cast("double") / nChars).otherwise(lit(1.0))
     (lenScore + shapeScore + (lit(1.0) - punctRatio)) / 3
   }
+
+  /** Heuristic quality score in [0,1]:
+    * mean of (length score, word-shape score, 1 - punctuation ratio).
+    * Deterministic double arithmetic — identical on any engine.
+    */
+  def qualityScore(text: Column): Column = qualityScoreOf(text, tokens(text))
 
   /** Space-joined n-grams of an ALREADY-TOKENIZED array, empty when it has
     * fewer than `n` tokens. Take this form (and the other `*OfTokens`

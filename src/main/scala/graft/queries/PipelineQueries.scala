@@ -85,7 +85,7 @@ object PipelineQueries {
     // probabilities keep train AND score integer-exact across engines.
     "q_lm_score" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val model = LmOps.ppmModel(LmOps.trainCharBigrams(docs, col("text")))
+      val model = LmOps.trainModelPpm(docs, col("text"))
       LmOps.scoreDocs(docs, col("doc_id"), col("text"), model)
     }),
 
@@ -284,6 +284,21 @@ object PipelineQueries {
     // content-keyed rank. The only shuffle is the shard partitioning;
     // each shard sorts locally (shards scale with the corpus — never a
     // global sort).
+    // BPE train -> encode end to end: the corpus contributes one
+    // word-count pass, the merge rounds run driver-local on the bounded
+    // vocab table (bpeTrainLocal == bpeTrain, differential-tested), then
+    // every doc is segmented by the codegen'd row-local encoder.
+    // Iterative per-word merging has no SQL formulation -> rows-only; the
+    // trainer/encoder pair is pinned against hand-computed merges and
+    // segmentations in PrepOpsSpec.
+    "q_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = PrepOps.bpeTrainLocal(docs, col("text"), merges = 32)
+      docs.select(col("doc_id"),
+        PrepOps.bpeEncode(col("text"), merges).as("pieces"))
+        .select(col("doc_id"), size(col("pieces")).as("n_pieces"), col("pieces"))
+    }),
+
     "q_train_order" -> ((s, dir) =>
       PrepOps.trainingOrder(
         t(s, dir, "documents"), col("doc_id"),
@@ -430,6 +445,15 @@ object PipelineQueries {
       val cents = IvfOps.trainCentroids(e, k = 8, iters = 2)
       IvfOps.ivfTopK(e.filter(col("vec_id") < 10), e, k = 10, cents, nprobe = 4)
     }),
+
+    // JL random projection 64 -> 16 dims: deterministic literal planes,
+    // pure map (the cheap front of ANN/clustering pipelines). Bit-exact
+    // vs the oracle: integer weights, sequential fold, power-of-two scale.
+    "q_embed_project" -> ((s, dir) =>
+      t(s, dir, "embeddings").select(
+        col("vec_id") +: (0 until 16).map(j =>
+          SimilarityOps.projectCol(col("embedding"), j, dims = 64, outDims = 16)
+            .as(s"p$j")): _*)),
 
     // SemDeDup (Abbas et al. 2023): k-means clusters (layout-invariant
     // training), within-cluster cosine pairs (Σ|cluster|² — never
@@ -1339,6 +1363,18 @@ object PipelineQueries {
         |        CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
         |      FROM lineitem)
         |GROUP BY l_returnflag""".stripMargin,
+
+    "q_embed_project" -> {
+      val terms = (0 until 16).map { j =>
+        val ws = (0 until 64).map(d => s"${SimilarityOps.planeWeight(j, d).toDouble}")
+          .mkString("[", ", ", "]")
+        val proj = s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+          s"list_transform(range(1, len(embedding) + 1), " +
+          s"i -> CAST(embedding[i] AS DOUBLE) * ($ws)[i])), (acc, v) -> acc + v)"
+        s"$proj / 4.0 AS p$j"
+      }
+      s"SELECT vec_id,\n ${terms.mkString(",\n ")}\nFROM embeddings"
+    },
 
     "q_sim_topk" -> {
       val cos = SimilarityOps.Sql.cosine("q.embedding", "c.embedding")

@@ -140,6 +140,29 @@ class CodegenCompileSpec extends AnyFunSuite {
     assert(strs(e.eval(InternalRow(UTF8String.fromString(""))).asInstanceOf[ArrayData]).isEmpty)
   }
 
+  test("PunctCount generated code compiles and matches eval") {
+    val e = PunctCount(BoundReference(0, StringType, nullable = true))
+    val proj = GenerateMutableProjection.generate(Seq(e))
+    val row = InternalRow(UTF8String.fromString("a, b! ç 😀\t1"))
+    // ',' '!' 'ç' '😀' -> 4 (tab+space+alnum excluded)
+    assert(proj(row).getInt(0) == 4)
+    assert(e.eval(row) == 4)
+    assert(e.eval(InternalRow(UTF8String.fromString(""))) == 0)
+  }
+
+  test("BpeEncode generated code compiles and matches eval") {
+    val e = BpeEncode(BoundReference(0, strArr, nullable = true),
+      Seq("a", "a"), Seq("a", "b"))
+    val proj = GenerateMutableProjection.generate(Seq(e))
+    def strs(a: ArrayData): Seq[String] =
+      (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+    val row = InternalRow(new GenericArrayData(Array[Any](
+      UTF8String.fromString("aaab"), UTF8String.fromString("ba"))))
+    val want = Seq("aa", "ab", "b", "a") // aaab -> aa|ab ; ba -> b|a
+    assert(strs(proj(row).getArray(0)) == want)
+    assert(strs(e.eval(row).asInstanceOf[ArrayData]) == want)
+  }
+
   test("LshPlanesBucket generated code compiles and matches eval") {
     val fltArr = ArrayType(FloatType)
     val e = LshPlanesBucket(

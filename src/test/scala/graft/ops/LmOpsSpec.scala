@@ -37,6 +37,16 @@ class LmOpsSpec extends SparkSpec {
     assert(one == many)
   }
 
+  test("aggregate train path equals the explode+groupBy path, layout-invariant") {
+    val docs = (1L to 300L).map(i => (i, s"Doc number $i; shared phrase & text!"))
+      .toDF("doc_id", "text")
+    val viaExplode = LmOps.ppmModel(LmOps.trainCharBigrams(docs, col("text")))
+    val viaAgg1 = LmOps.trainModelPpm(docs.coalesce(1), col("text"))
+    val viaAggN = LmOps.trainModelPpm(docs.repartition(7), col("text"))
+    assert(viaAgg1 == viaExplode)
+    assert(viaAggN == viaExplode)
+  }
+
   test("out-of-vocabulary bigrams score 0 and empty text still has the sentinel bigram") {
     val model = Map("_a" -> 10L, "a_" -> 5L)
     val docs = Seq((1L, "a"), (2L, "zz"), (3L, "")).toDF("doc_id", "text")

@@ -82,6 +82,53 @@ class PrepOpsSpec extends SparkSpec {
     assert(PrepOps.bpeTrain(docs, $"text", merges = 5) == Seq())
   }
 
+  test("bpeTrainLocal equals the distributed trainer on corpora with ties") {
+    val corpora = Seq(
+      Seq((1L, "aaab aaab"), (2L, "ab")),
+      Seq((1L, "xy xy yz"), (2L, "zzz xy"), (3L, "yz yz zx")),
+      Seq((1L, "the cat sat on the mat"), (2L, "the bat"), (3L, "a cat")))
+    corpora.foreach { rows =>
+      val docs = rows.toDF("doc_id", "text")
+      val dist = PrepOps.bpeTrain(docs, $"text", merges = 6)
+      val local = PrepOps.bpeTrainLocal(docs.repartition(3), $"text", merges = 6)
+      assert(local == dist, s"corpus $rows")
+    }
+  }
+
+  test("bpeEncode segments with trained merges; trainer-seen words collapse") {
+    val docs = Seq((1L, "aaab aaab"), (2L, "ab")).toDF("doc_id", "text")
+    val merges = PrepOps.bpeTrain(docs, $"text", merges = 3)
+    // merges: (a,a), (a,b), (aa,ab)
+    val enc = Seq(
+      (1L, "aaab"),    // aa ab -> aaab (rank-2 merge)
+      (2L, "ab"),      // ab (rank-1)
+      (3L, "aaab ab"), // across tokens: aaab + ab
+      (4L, "aaa"),     // aa a (left-to-right rank-0, no (aa,a) merge)
+      (5L, "xyz"),     // fully OOV -> chars
+      (6L, "axb"))     // (a,b) not adjacent -> a x b
+      .toDF("doc_id", "text")
+      .select($"doc_id", PrepOps.bpeEncode($"text", merges).as("p"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(enc(1L) == Seq("aaab"))
+    assert(enc(2L) == Seq("ab"))
+    assert(enc(3L) == Seq("aaab", "ab"))
+    assert(enc(4L) == Seq("aa", "a"))
+    assert(enc(5L) == Seq("x", "y", "z"))
+    assert(enc(6L) == Seq("a", "x", "b"))
+    // lossless: concatenated pieces rebuild the normalized text
+    val rebuilt = Seq((7L, "Aaab  AB xyzaaa")).toDF("doc_id", "text")
+      .select(concat_ws("", PrepOps.bpeEncode($"text", merges)).as("r"))
+      .as[String].head()
+    assert(rebuilt == "aaababxyzaaa")
+  }
+
+  test("bpeEncode with no merges yields code points; empty tokens impossible") {
+    val out = Seq((1L, "hi ét")).toDF("doc_id", "text")
+      .select(PrepOps.bpeEncode($"text", Seq.empty).as("p"))
+      .as[Seq[String]].head()
+    assert(out == Seq("h", "i", "é", "t"))
+  }
+
   test("bpePairCounts counts every adjacent occurrence, not distinct words") {
     val docs = Seq((1L, "ab ab ba")).toDF("doc_id", "text")
     val got = PrepOps.bpePairCounts(docs, $"text")

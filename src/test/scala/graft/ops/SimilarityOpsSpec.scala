@@ -188,6 +188,23 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("projectCol matches the sequential-fold hand computation exactly") {
+    val v = Seq.tabulate(8)(i => (i * 0.25f - 1f))
+    val df = vecs(0L -> v)
+    val got = df.select(
+      (0 until 4).map(j => SimilarityOps.projectCol($"embedding", j, 8, 4).as(s"p$j")): _*)
+      .head()
+    (0 until 4).foreach { j =>
+      var acc = 0.0
+      (0 until 8).foreach { d =>
+        acc += v(d).toDouble * SimilarityOps.planeWeight(j, d).toDouble
+      }
+      val want = acc / 2.0 // sqrt(4)
+      assert(java.lang.Double.doubleToRawLongBits(got.getDouble(j)) ==
+        java.lang.Double.doubleToRawLongBits(want), s"component $j")
+    }
+  }
+
   test("semDedup collapses planted duplicate groups to their min-id representative") {
     val rnd = new scala.util.Random(7)
     // 3 well-separated orthogonal base directions, 4 jittered copies each,

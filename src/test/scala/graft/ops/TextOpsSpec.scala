@@ -21,6 +21,20 @@ class TextOpsSpec extends SparkSpec {
     assert(one[Int](TextOps.punctCount($"t"), "clean text") == 0)
   }
 
+  test("codegen punctCount equals the regex spec form it replaced") {
+    val spec = length($"t") - length(regexp_replace($"t", "[^a-zA-Z0-9\\s]", ""))
+    val texts = Seq("", "a, b! c? 12", "tabs\tand\nnewlines\f\r ok",
+      "éàü non-ascii counts", "mixed: 😀 emoji & dots...", "___---===")
+    texts.foreach { s =>
+      val both = Seq(s).toDF("t")
+        .select(TextOps.punctCount($"t").as("fast"), spec.as("spec"))
+        .head()
+      // NOTE length() counts code points, so the regex diff counts code
+      // points too — the byte walk must agree even on astral chars
+      assert(both.getInt(0) == both.getInt(1), s"mismatch on '$s'")
+    }
+  }
+
   test("tokenEstimate: ceil(len/4) per word") {
     // "spark"(2) + "is"(1) + "fantastic"(3)
     assert(one[Long](TextOps.tokenEstimate($"t"), "spark is fantastic") == 6L)
