@@ -786,6 +786,24 @@ object PipelineQueries {
           sum(col("rev_u")).cast("double")).as("promo_revenue_pct"))
     }),
 
+    // Window-function breadth beyond the running frame: lag/lead (value
+    // carry, no arithmetic -> float-exact), rank with a deterministic
+    // tie-break, ntile. ONE Exchange by o_custkey serves all four
+    // functions (both windows share the partition key, so Spark plans a
+    // single shuffle + two sorts).
+    "q_window_funcs" -> ((s, dir) => {
+      val byDate = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val byPrice = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        lag(col("o_totalprice"), 1).over(byDate).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(byDate).as("next_price"),
+        rank().over(byPrice).as("price_rank"),
+        ntile(4).over(byDate).as("date_quartile"))
+    }),
+
     "q_window_running" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -1595,6 +1613,19 @@ object PipelineQueries {
         |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100
         |   AS running_total
-        |FROM orders""".stripMargin
+        |FROM orders""".stripMargin,
+
+    // lag/lead carry values unchanged (no float arithmetic); rank and
+    // ntile are integer — all four engine-exact under the deterministic
+    // orderings.
+    "q_window_funcs" ->
+      """SELECT o_orderkey, o_custkey,
+        | lag(o_totalprice, 1) OVER w_date AS prev_price,
+        | lead(o_totalprice, 1) OVER w_date AS next_price,
+        | CAST(rank() OVER (PARTITION BY o_custkey
+        |   ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS price_rank,
+        | CAST(ntile(4) OVER w_date AS INTEGER) AS date_quartile
+        |FROM orders
+        |WINDOW w_date AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
   )
 }

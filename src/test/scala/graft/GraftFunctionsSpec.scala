@@ -148,6 +148,24 @@ class GraftFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("weight-table and BPE functions work from SQL text") {
+    GraftFunctions.registerAll(spark)
+    val m = spark.sql(
+      "SELECT token_weight_sum(array('a', 'b', 'a'), array('a', 'x'), " +
+        "array(CAST(5 AS BIGINT), CAST(9 AS BIGINT))) AS m")
+      .collect().head.getLong(0)
+    assert(m == 10L) // a + a, b unknown
+    val s = spark.sql(
+      "SELECT char_bigram_weight_sum('abab', array('ab', 'ba'), " +
+        "array(CAST(3 AS BIGINT), CAST(7 AS BIGINT))) AS s")
+      .collect().head.getLong(0)
+    assert(s == 13L) // ab ba ab
+    val p = spark.sql(
+      "SELECT bpe_encode(array('aaab'), array('a', 'a'), array('a', 'b')) AS p")
+      .collect().head.getSeq[String](0)
+    assert(p == Seq("aa", "ab"))
+  }
+
   test("hist1d rejects non-literal edges") {
     GraftFunctions.registerAll(spark)
     Seq((1L, 0.5)).toDF("cell", "v").createOrReplaceTempView("px2")

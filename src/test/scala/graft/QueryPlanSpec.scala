@@ -42,4 +42,27 @@ class QueryPlanSpec extends SparkSpec {
     assert(plan.contains("LeftAnti"), s"anti-join pass missing:\n$plan")
     assert(plan.contains("xxhash64"), s"exact pass must key on the 8-byte hash:\n$plan")
   }
+
+  test("q_quality_classifier / q_embed_project: scoring is a pure map — zero exchanges") {
+    Seq("q_quality_classifier", "q_embed_project").foreach { q =>
+      val plan = finalPlan(q)
+      assert(!plan.contains("Exchange"), s"$q must not shuffle:\n$plan")
+      assert(!plan.contains("Join"), s"$q must not join:\n$plan")
+    }
+  }
+
+  test("q_lm_score: train is one bounded aggregation; scoring stage has no join") {
+    val plan = finalPlan("q_lm_score")
+    // the scoring query itself (train ran eagerly inside the builder):
+    // scan -> project with the literal model, nothing else
+    assert(!plan.contains("Join"), s"model must ship as a literal, not a join:\n$plan")
+    assert(!plan.contains("Exchange"), s"scoring must not shuffle:\n$plan")
+  }
+
+  test("q_fuzzy_join: candidate join keys on variant hashes, text joins back by id") {
+    val plan = finalPlan("q_fuzzy_join")
+    assert(plan.contains("xxhash64"), s"variant keys must be 8-byte hashes:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"never all-pairs:\n$plan")
+    assert(plan.contains("levenshtein"), s"exact verify must remain:\n$plan")
+  }
 }
