@@ -18,11 +18,15 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * share the same builders.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, (usage, builder)) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, ""),
         (exprs: Seq[Expression]) => builder(exprs)))
     }
+    // plain-SQL inequality range joins -> bucketed equi-joins (opt-in via
+    // spark.graft.rangeJoin.bucketWidth; see RangeJoinBucketRule)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinBucketRule)
+  }
 }

@@ -126,14 +126,25 @@ class GraftFunctionsSpec extends SparkSpec {
 
   test("GraftExtensions wires the SQL surface via spark.sql.extensions") {
     // build a sibling session over the same SparkContext with the
-    // extensions config — the zero-code-changes integration path
+    // extensions config — the zero-code-changes integration path.
+    // Clear BOTH active and default sessions: getOrCreate checks the
+    // thread-active one first and would silently reuse the shared
+    // extension-less session (making this test vacuous whenever an
+    // earlier test registered the functions programmatically).
     val prev = org.apache.spark.sql.SparkSession.getDefaultSession
+    val prevActive = org.apache.spark.sql.SparkSession.getActiveSession
+    org.apache.spark.sql.SparkSession.clearActiveSession()
     org.apache.spark.sql.SparkSession.clearDefaultSession()
     try {
+      // withExtensions, NOT the "spark.sql.extensions" config string: the
+      // string is read from the SparkContext conf, so over the suite's
+      // pre-existing context it silently never applies (the config-string
+      // route works when the session creates the context — production).
       val s2 = org.apache.spark.sql.SparkSession.builder()
         .master("local[4]")
-        .config("spark.sql.extensions", "graft.GraftExtensions")
+        .withExtensions(new GraftExtensions().apply(_))
         .getOrCreate()
+      assert(s2 ne spark, "must be a fresh session, not the shared one")
       val dot = s2.sql("SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
         .collect().head.getDouble(0)
       assert(dot == 11.0)
@@ -144,7 +155,10 @@ class GraftFunctionsSpec extends SparkSpec {
         .collect().head.getSeq[Long](0)
       assert(h == Seq(1L, 1L))
     } finally {
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
       prev.foreach(org.apache.spark.sql.SparkSession.setDefaultSession)
+      prevActive.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
     }
   }
 
