@@ -804,6 +804,133 @@ object PipelineQueries {
         ntile(4).over(byDate).as("date_quartile"))
     }),
 
+    // TPC-H Q7 shape (volume shipping between two nations): the
+    // cross-table nation-pair disjunction CANNOT be pushed below the join
+    // by Catalyst (it references both sides), so the scalable plan
+    // pre-filters BOTH dimension paths to the two nations via inner joins
+    // against the broadcast filtered nation table — the big fact shuffles
+    // carry only rows that can possibly match — and keeps just the
+    // mixed-pair residual after the join.
+    "q_tpch_q7" -> ((s, dir) => {
+      val picked = t(s, dir, "nation")
+        .filter(col("n_name").isin("NATION_3", "NATION_7"))
+      val n1 = picked.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = picked.select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1998-01-01"))
+        .withColumn("rev_u",
+          round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long")))
+      li.join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg((sum(col("rev_u")).cast("double") / 10000).as("revenue"))
+    }),
+
+    // TPC-H Q10 shape (returned-item reporting): quarter of orders joined
+    // to returned lines, revenue per customer, top 20. Revenue is exact
+    // fixed point so DESC ordering (and therefore the LIMIT cut) is
+    // engine-identical; nation is the only force-broadcast dimension —
+    // customer grows with SF and stays a shuffle join.
+    "q_tpch_q10" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .withColumn("rev_u",
+          round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long")))
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-10-01") &&
+          col("o_orderdate") < lit("1996-01-01"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg((sum(col("rev_u")).cast("double") / 10000).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q19 shape (discounted revenue, disjunctive predicates): three
+    // brand/size/quantity conjunct groups OR'd together. Catalyst factors
+    // the part-only disjunction below the join (plan-audited in PERF.md),
+    // so the part scan prunes before the shuffle even though the full
+    // predicate needs both sides.
+    "q_tpch_q19" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("rev_u",
+          round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long")))
+      val joined = li.join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      val picked =
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30))
+      joined.filter(picked)
+        .agg((sum(col("rev_u")).cast("double") / 10000).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // TPC-H Q21 shape (suppliers who kept orders waiting), adapted to the
+    // synthetic schema (no receipt/commit dates): a supplier's returned
+    // lines in finished multi-supplier orders where NO other supplier
+    // returned — the same semi-join + anti-join pair on the fact table.
+    // Scale plan: the semi/anti probes carry only (orderkey, suppkey);
+    // the count aggregates by suppkey BEFORE the supplier name join, so
+    // the name join's left side is at most |supplier| rows.
+    "q_tpch_q21" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val l1 = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val fOrders = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"))
+      val l2 = li.select(col("l_orderkey").as("lo2"), col("l_suppkey").as("ls2"))
+      val l3 = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("lo3"), col("l_suppkey").as("ls3"))
+      l1.join(fOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .join(l2, col("l_orderkey") === col("lo2") && col("l_suppkey") =!= col("ls2"),
+          "left_semi")
+        .join(l3, col("l_orderkey") === col("lo3") && col("l_suppkey") =!= col("ls3"),
+          "left_anti")
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("numwait"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_name"), col("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    }),
+
+    // TPC-H Q22 shape (global sales opportunity): customers in a fixed
+    // nation set with above-average positive balance and no RECENT orders
+    // (every synthetic customer has some order, so the recency filter
+    // keeps the anti-join non-vacuous). The scalar average is a 1-row
+    // aggregate broadcast, the no-orders test is a left_anti carrying only
+    // the 8-byte custkey (the date filter pushes to the orders scan), and
+    // balances compare in exact cents so the cut is engine-identical.
+    "q_tpch_q22" -> ((s, dir) => {
+      val sel = t(s, dir, "customer")
+        .filter(col("c_nationkey").isin(3, 7, 13, 17, 23))
+        .withColumn("bal_c", round(col("c_acctbal") * 100).cast("long"))
+      val avgBal = sel.filter(col("bal_c") > 0)
+        .agg((sum(col("bal_c")).cast("double") / count(lit(1))).as("avg_c"))
+      sel.join(broadcast(avgBal))
+        .filter(col("bal_c").cast("double") > col("avg_c"))
+        .join(t(s, dir, "orders")
+            .filter(col("o_orderdate") >= lit("2000-01-01"))
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").as("cntrycode"))
+        .agg(count(lit(1)).as("numcust"),
+          (sum(col("bal_c")).cast("double") / 100).as("totacctbal"))
+    }),
+
     "q_window_running" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -1626,6 +1753,85 @@ object PipelineQueries {
         |   ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS price_rank,
         | CAST(ntile(4) OVER w_date AS INTEGER) AS date_quartile
         |FROM orders
-        |WINDOW w_date AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
+        |WINDOW w_date AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+
+    "q_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        | CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+        |   * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000 AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+        |   * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1995-10-01'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q_tpch_q19" ->
+      """SELECT
+        | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+        |   * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000 AS revenue,
+        | CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 5
+        |        AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10
+        |        AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 15
+        |        AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q_tpch_q21" ->
+      """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM lineitem l1
+        |JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM orders
+        |              WHERE o_orderkey = l1.l_orderkey AND o_orderstatus = 'F')
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+
+    "q_tpch_q22" ->
+      """WITH sel AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+        |  FROM customer WHERE c_nationkey IN (3, 7, 13, 17, 23)),
+        |avg_bal AS (
+        |  SELECT CAST(sum(bal_c) AS DOUBLE) / count(*) AS avg_c
+        |  FROM sel WHERE bal_c > 0)
+        |SELECT c_nationkey AS cntrycode,
+        |  CAST(count(*) AS BIGINT) AS numcust,
+        |  CAST(sum(bal_c) AS DOUBLE) / 100 AS totacctbal
+        |FROM sel, avg_bal
+        |WHERE CAST(bal_c AS DOUBLE) > avg_c
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY 1""".stripMargin
   )
 }
