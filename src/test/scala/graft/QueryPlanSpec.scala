@@ -65,4 +65,42 @@ class QueryPlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"never all-pairs:\n$plan")
     assert(plan.contains("levenshtein"), s"exact verify must remain:\n$plan")
   }
+
+  test("q_tpch_q19: both per-side projections of the disjunction reach the scans") {
+    // formatted explain (not the truncated toString) exposes PushedFilters
+    val df = PipelineQueries.queries("q_tpch_q19")(spark, sf)
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // part scan: the brand+size arm disjunction is pushed
+    assert(formatted.contains("EqualTo(p_brand,Brand#12)"),
+      s"part-side disjunction must push to the part scan:\n$formatted")
+    // lineitem scan: the quantity-envelope disjunction is pushed
+    assert(formatted.contains("GreaterThanOrEqual(l_quantity,1.0)"),
+      s"quantity bounds must push to the lineitem scan:\n$formatted")
+    assert(!formatted.contains("CartesianProduct"))
+  }
+
+  test("q_tpch_q21: semi + anti probes on the fact; top-k via per-task heaps") {
+    val plan = finalPlan("q_tpch_q21")
+    assert(plan.contains("LeftSemi"), s"multi-supplier probe must be a semi join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"no-other-returner must be an anti join:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"LIMIT must plan as per-task heaps, not a global sort:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q_tpch_q7: nation pre-filters broadcast; mixed-pair residual stays above") {
+    val plan = finalPlan("q_tpch_q7")
+    assert(plan.contains("BroadcastHashJoin"), s"2-row nation subset must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"the cross-side disjunction must not force a nested loop:\n$plan")
+  }
+
+  test("q_tpch_q22: scalar average is the only nested-loop; anti join probes by key") {
+    val plan = finalPlan("q_tpch_q22")
+    // 1-row scalar broadcast: BNLJ here is the right plan — and the only one
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"scalar average should attach via a 1-row broadcast:\n$plan")
+    assert(plan.contains("LeftAnti"), s"no-recent-orders must be an anti join:\n$plan")
+  }
 }
