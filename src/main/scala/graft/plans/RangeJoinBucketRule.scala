@@ -27,8 +27,10 @@ import org.apache.spark.sql.types._
   *
   * Fires only when `spark.graft.rangeJoin.bucketWidth` is set to a
   * positive long (bucket width is a domain decision — tune it to the
-  * typical range span). Guards: inner joins; both bound conjuncts on the
-  * same integral point expression from one side, bounds from the other;
+  * typical range span; it is in the point column's native unit: micros
+  * for timestamps). Guards: inner joins; both bound conjuncts on the
+  * same integral-or-timestamp point expression from one side, bounds
+  * from the other;
   * no existing cross-side equi-conjunct (then the join is already
   * hash-plannable — and the conjunct this rule ADDS is precisely that,
   * which is also the rewrite's fixpoint guard).
@@ -48,6 +50,7 @@ object RangeJoinBucketRule extends Rule[LogicalPlan] {
 
   private def integral(e: Expression): Boolean = e.dataType match {
     case LongType | IntegerType | ShortType | ByteType => true
+    case TimestampType => true // exact micros via UnixMicros (no Cast loss)
     case _ => false
   }
 
@@ -103,8 +106,16 @@ object RangeJoinBucketRule extends Rule[LogicalPlan] {
 
     candidates.headOption.map { case (p, s, ub, incl, pointOnLeft) =>
       val w = Literal(width)
-      def asLong(x: Expression) =
-        if (x.dataType == LongType) x else Cast(x, LongType)
+      // timestamps convert via UnixMicros — EXACT micros, unlike
+      // Cast(ts, long) which truncates to seconds and would make the
+      // exclusive-upper bucket arithmetic drop sub-second matches; the
+      // width config is therefore in the point column's native unit
+      // (micros for timestamps)
+      def asLong(x: Expression) = x.dataType match {
+        case LongType => x
+        case TimestampType => UnixMicros(x)
+        case _ => Cast(x, LongType)
+      }
       // exact floor division for any sign and positive w:
       // (a - pmod(a, w)) is divisible by w, and pmod takes the divisor's
       // sign, so the quotient IS floor(a / w)

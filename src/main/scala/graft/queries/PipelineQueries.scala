@@ -542,6 +542,37 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_clicks"), min(col("click_id")).as("first_click"))
     }),
 
+    // The SAME query as q_range_join written as the NAIVE inequality join
+    // — no JoinOps.rangeJoin, no manual bucketing — executed with
+    // plans/RangeJoinBucketRule active, which rewrites it to the bucketed
+    // equi-join at the logical level. Gates the optimizer rule end to end:
+    // the oracle is the plain predicate join, so a green row proves the
+    // rewrite is result-identical. Runs on an isolated newSession() (own
+    // SQLConf, shared context) so the width conf and rule never leak into
+    // other catalog queries' plans.
+    "q_range_join_sql" -> ((s, dir) => {
+      val s2 = s.newSession()
+      s2.experimental.extraOptimizations = Seq(graft.plans.RangeJoinBucketRule)
+      s2.conf.set(graft.plans.RangeJoinBucketRule.WidthKey, "3600")
+      // session-scoped confs do not all survive newSession(): re-pin the
+      // ones this query needs from the parent
+      s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s2.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("spark.sql.shuffle.partitions"))
+      val ev = RefQueries.events(s2, dir)
+      val ranges = ev.filter(col("event_type") === "error")
+        .select((floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("long").as("r_start"))
+        .distinct()
+        .withColumn("r_end", col("r_start") + 300)
+      val points = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          unix_timestamp(col("ts")).as("p_ts"))
+      points.join(ranges,
+          col("p_ts") >= col("r_start") && col("p_ts") < col("r_end"))
+        .groupBy(col("r_start"))
+        .agg(count(lit(1)).as("n_clicks"), min(col("click_id")).as("first_click"))
+    }),
+
     // Removal-list anti join, Bloom-pruned: definite keeps stream from the
     // scan with zero shuffle; only sketch "maybes" take the exact anti
     // join. Bit-identical to a plain left_anti for any fpp.
@@ -1460,6 +1491,23 @@ object PipelineQueries {
         |points AS (
         |  -- floor, not cast: epoch() is fractional and CAST rounds while
         |  -- Spark's unix_timestamp truncates
+        |  SELECT event_id AS click_id, CAST(floor(epoch(ts)) AS BIGINT) AS p_ts
+        |  FROM events WHERE event_type = 'click')
+        |SELECT r_start,
+        |  CAST(count(*) AS BIGINT) AS n_clicks,
+        |  min(click_id) AS first_click
+        |FROM points JOIN ranges
+        |  ON p_ts >= r_start AND p_ts < r_start + 300
+        |GROUP BY r_start""".stripMargin,
+
+    // identical semantics to q_range_join — the Spark side differs only in
+    // HOW the plan gets its bucketed shape (optimizer rule vs explicit op)
+    "q_range_join_sql" ->
+      """WITH ranges AS (
+        |  SELECT DISTINCT
+        |    CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS r_start
+        |  FROM events WHERE event_type = 'error'),
+        |points AS (
         |  SELECT event_id AS click_id, CAST(floor(epoch(ts)) AS BIGINT) AS p_ts
         |  FROM events WHERE event_type = 'click')
         |SELECT r_start,

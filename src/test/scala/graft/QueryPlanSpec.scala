@@ -96,6 +96,13 @@ class QueryPlanSpec extends SparkSpec {
       s"the cross-side disjunction must not force a nested loop:\n$plan")
   }
 
+  test("q_range_join_sql: the optimizer rule kills the nested loop end to end") {
+    val plan = finalPlan("q_range_join_sql")
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"RangeJoinBucketRule must rewrite the naive inequality join:\n$plan")
+    assert(plan.contains("__graft_bk"), s"bucket equi-key missing:\n$plan")
+  }
+
   test("q_tpch_q22: scalar average is the only nested-loop; anti join probes by key") {
     val plan = finalPlan("q_tpch_q22")
     // 1-row scalar broadcast: BNLJ here is the right plan — and the only one

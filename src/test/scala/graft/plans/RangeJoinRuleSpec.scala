@@ -96,6 +96,36 @@ class RangeJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("timestamp points bucket by exact micros — sub-second matches survive") {
+    withExtSession { s =>
+      // sub-second offsets: a seconds-truncating Cast would misplace the
+      // bucket of points whose match hinges on the fractional part
+      val points = s.range(0, 3000).select(
+        col("id").as("p_id"),
+        timestamp_micros(lit(1700000000000000L) + col("id") * 777777L).as("ts"))
+      val ranges = s.range(0, 40).select(
+        col("id").as("r_id"),
+        timestamp_micros(lit(1700000000000000L) + col("id") * 60123456L).as("s"),
+        timestamp_micros(lit(1700000000000000L) + col("id") * 60123456L
+          + (col("id") % 5) * 20500001L).as("e"))
+      def run(): (Set[(Long, Long)], String) = {
+        val df = points.join(ranges, col("ts") >= col("s") && col("ts") < col("e"))
+          .select(col("p_id"), col("r_id"))
+        (df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+          df.queryExecution.executedPlan.toString)
+      }
+      s.conf.unset(RangeJoinBucketRule.WidthKey)
+      val (naive, _) = run()
+      assert(naive.nonEmpty)
+      // width = 37s in micros: deliberately non-round vs the range spans
+      s.conf.set(RangeJoinBucketRule.WidthKey, "37000000")
+      val (bucketed, plan) = run()
+      assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+        s"timestamp range join must rewrite:\n$plan")
+      assert(bucketed == naive)
+    }
+  }
+
   test("joins with an existing cross-side equi key are left alone") {
     withExtSession { s =>
       val (points, ranges) = data(s)
