@@ -610,6 +610,46 @@ object PipelineQueries {
           count(lit(1)).as("n"),
           grouping_id().as("gid"))),
 
+    // Non-hierarchical GROUPING SETS through the SQL surface (rollup's
+    // DataFrame twin is q_rollup): per-status and per-priority subtotals
+    // in ONE pass — Spark expands to a single Expand + hash aggregate,
+    // never two scans.
+    "q_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_gs")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100
+            AS total_value,
+          CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INT)
+            AS gid
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""")
+    }),
+
+    // Complex-type surface: array higher-order functions (transform /
+    // filter / aggregate / zip_with / array_sort / slice / element_at)
+    // with exact integer math so every engine agrees bit-for-bit. These
+    // HOF lambdas run interpreted per element — fine for a breadth
+    // demonstration; the engine's HOT text paths use codegen'd
+    // expressions instead (TextOps + expr/*, see PERF.md).
+    "q_complex_types" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      val lens = transform(toks, t => length(t))
+      val head5 = slice(lens, 1, 5)
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(filter(toks, t => length(t) >= 5)).as("n_long"),
+        aggregate(lens, lit(0L), (acc, x) => acc + x).as("total_tok_chars"),
+        array_max(lens).as("max_tok_len"),
+        element_at(toks, 1).as("first_tok"),
+        element_at(toks, -1).as("last_tok"),
+        element_at(array_sort(toks), 1).as("min_tok"),
+        head5.as("head_lens"),
+        zip_with(head5, reverse(head5), (a, b) => a + b).as("sym_lens"))
+    }),
+
     // Set operations over key sets.
     "q_set_ops" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -1676,6 +1716,39 @@ object PipelineQueries {
         | CAST(count(*) AS BIGINT) AS n,
         | CAST(grouping(l_returnflag)*2 + grouping(l_linestatus) AS BIGINT) AS gid
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100
+        |   AS total_value,
+        | CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INTEGER)
+        |   AS gid
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin,
+
+    "q_complex_types" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, ${S.tokens("text")} AS toks FROM documents),
+         |l AS (
+         |  SELECT doc_id, toks,
+         |    list_transform(toks, t -> CAST(len(t) AS INTEGER)) AS lens,
+         |    list_transform(toks, t -> CAST(len(t) AS INTEGER))[1:5] AS head5
+         |  FROM tk)
+         |SELECT doc_id,
+         |  CAST(len(toks) AS INTEGER) AS n_tokens,
+         |  CAST(len(list_filter(toks, t -> len(t) >= 5)) AS INTEGER) AS n_long,
+         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(toks, t -> CAST(len(t) AS BIGINT))),
+         |    (a, b) -> a + b) AS BIGINT) AS total_tok_chars,
+         |  CAST(list_max(lens) AS INTEGER) AS max_tok_len,
+         |  toks[1] AS first_tok,
+         |  toks[-1] AS last_tok,
+         |  list_sort(toks)[1] AS min_tok,
+         |  head5 AS head_lens,
+         |  list_transform(range(1, len(head5) + 1),
+         |    i -> CAST(head5[i] + head5[len(head5) - i + 1] AS INTEGER)) AS sym_lens
+         |FROM l""".stripMargin,
 
     "q_set_ops" ->
       """SELECT key, 'building_buyer' AS src FROM (
