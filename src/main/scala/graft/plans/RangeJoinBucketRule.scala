@@ -66,11 +66,17 @@ object RangeJoinBucketRule extends Rule[LogicalPlan] {
     val cond = j.condition.get
     val conj = conjuncts(cond)
 
-    def crossSideEqui(e: Expression): Boolean = e match {
-      case EqualTo(a, b) =>
+    def crossSideEqui(e: Expression): Boolean = {
+      // EqualNullSafe (<=>) also yields hash-join keys via
+      // ExtractEquiJoinKeys — such a join is already hash-plannable
+      def sides(a: Expression, b: Expression): Boolean =
         (a.references.subsetOf(j.left.outputSet) && b.references.subsetOf(j.right.outputSet)) ||
           (a.references.subsetOf(j.right.outputSet) && b.references.subsetOf(j.left.outputSet))
-      case _ => false
+      e match {
+        case EqualTo(a, b) => sides(a, b)
+        case EqualNullSafe(a, b) => sides(a, b)
+        case _ => false
+      }
     }
     // already hash-plannable (also: our own rewrites carry one) -> leave it
     if (conj.exists(crossSideEqui)) return None
@@ -116,12 +122,19 @@ object RangeJoinBucketRule extends Rule[LogicalPlan] {
         case TimestampType => UnixMicros(x)
         case _ => Cast(x, LongType)
       }
-      // exact floor division for any sign and positive w:
-      // (a - pmod(a, w)) is divisible by w, and pmod takes the divisor's
-      // sign, so the quotient IS floor(a / w)
+      // exact floor division for any sign and positive w, overflow-safe
+      // under ANSI: truncating divide, minus 1 when the remainder is
+      // negative. (The tempting `(a - pmod(a, w)) / w` underflows for a
+      // near Long.MinValue — pmod is positive there — and ANSI mode would
+      // turn a no-match row into a query-killing exception.) Remainder
+      // keeps the dividend's sign and |rem| < w, so neither branch can
+      // overflow for w >= 1: the -1 branch requires w >= 2, where
+      // |a / w| <= Long.MaxValue / 2.
       def bucketOf(x: Expression): Expression = {
         val a = asLong(x)
-        new IntegralDivide(new Subtract(a, new Pmod(a, w)), w)
+        val div = new IntegralDivide(a, w)
+        If(LessThan(Remainder(a, w), Literal(0L)),
+          Subtract(div, Literal(1L)), div)
       }
       val sL = asLong(s)
       val uL = asLong(ub)

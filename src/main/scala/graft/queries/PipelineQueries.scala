@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -19,6 +19,15 @@ object PipelineQueries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+
+  /** TPC-H revenue in exact fixed point: cents x (100 - discount
+    * basis-points). Integer products sum merge-order-proof; divide by
+    * 10000 AFTER the aggregate. One definition — the parity-critical
+    * formula must not drift between the queries that share it.
+    */
+  private def revU: Column =
+    round(col("l_extendedprice") * 100).cast("long") *
+      (lit(100L) - round(col("l_discount") * 100).cast("long"))
 
   /** Demo lexicon for `q_quality_classifier` — stands in for an
     * offline-trained linear model's weight vector (content terms positive,
@@ -615,8 +624,13 @@ object PipelineQueries {
     // in ONE pass — Spark expands to a single Expand + hash aggregate,
     // never two scans.
     "q_grouping_sets" -> ((s, dir) => {
-      t(s, dir, "orders").createOrReplaceTempView("orders_gs")
-      s.sql("""
+      // isolated newSession(): the temp view must not leak into (or
+      // clobber anything in) the caller's shared session catalog
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("spark.sql.shuffle.partitions"))
+      t(s2, dir, "orders").createOrReplaceTempView("orders_gs")
+      s2.sql("""
         SELECT o_orderstatus, o_orderpriority,
           CAST(count(*) AS BIGINT) AS n,
           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100
@@ -637,15 +651,20 @@ object PipelineQueries {
       val toks = TextOps.tokens(col("text"))
       val lens = transform(toks, t => length(t))
       val head5 = slice(lens, 1, 5)
+      // ANSI mode makes element_at THROW on an out-of-range index — an
+      // empty/whitespace-only text row would kill the query while the
+      // DuckDB twin's toks[1] quietly yields NULL; guard to match
+      def atOrNull(arr: Column, i: Int) =
+        when(size(arr) > 0, element_at(arr, i))
       t(s, dir, "documents").select(
         col("doc_id"),
         size(toks).as("n_tokens"),
         size(filter(toks, t => length(t) >= 5)).as("n_long"),
         aggregate(lens, lit(0L), (acc, x) => acc + x).as("total_tok_chars"),
         array_max(lens).as("max_tok_len"),
-        element_at(toks, 1).as("first_tok"),
-        element_at(toks, -1).as("last_tok"),
-        element_at(array_sort(toks), 1).as("min_tok"),
+        atOrNull(toks, 1).as("first_tok"),
+        atOrNull(toks, -1).as("last_tok"),
+        atOrNull(array_sort(toks), 1).as("min_tok"),
         head5.as("head_lens"),
         zip_with(head5, reverse(head5), (a, b) => a + b).as("sym_lens"))
     }),
@@ -737,9 +756,7 @@ object PipelineQueries {
       val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val o = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01"))
       val li = t(s, dir, "lineitem").filter(col("l_shipdate") >= lit("1996-01-01"))
-        .withColumn("rev_u",
-          round(col("l_extendedprice") * 100).cast("long") *
-            (lit(100L) - round(col("l_discount") * 100).cast("long")))
+        .withColumn("rev_u", revU)
       li.join(o, li("l_orderkey") === o("o_orderkey"))
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .groupBy(col("l_orderkey"),
@@ -761,9 +778,7 @@ object PipelineQueries {
         .filter(col("o_orderdate") >= lit("1996-01-01") &&
           col("o_orderdate") < lit("1998-01-01"))
       val li = t(s, dir, "lineitem")
-        .withColumn("rev_u",
-          round(col("l_extendedprice") * 100).cast("long") *
-            (lit(100L) - round(col("l_discount") * 100).cast("long")))
+        .withColumn("rev_u", revU)
       li.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .join(t(s, dir, "supplier"),
@@ -848,9 +863,7 @@ object PipelineQueries {
       val li = t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1996-01-01") &&
           col("l_shipdate") < lit("1996-04-01"))
-        .withColumn("rev_u",
-          round(col("l_extendedprice") * 100).cast("long") *
-            (lit(100L) - round(col("l_discount") * 100).cast("long")))
+        .withColumn("rev_u", revU)
       li.join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
         .agg((lit(100.0) *
           sum(when(col("p_type") === "PROMO", col("rev_u")).otherwise(0L)).cast("double") /
@@ -890,9 +903,7 @@ object PipelineQueries {
       val li = t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1996-01-01") &&
           col("l_shipdate") < lit("1998-01-01"))
-        .withColumn("rev_u",
-          round(col("l_extendedprice") * 100).cast("long") *
-            (lit(100L) - round(col("l_discount") * 100).cast("long")))
+        .withColumn("rev_u", revU)
       li.join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
@@ -911,9 +922,7 @@ object PipelineQueries {
     // customer grows with SF and stays a shuffle join.
     "q_tpch_q10" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
-        .withColumn("rev_u",
-          round(col("l_extendedprice") * 100).cast("long") *
-            (lit(100L) - round(col("l_discount") * 100).cast("long")))
+        .withColumn("rev_u", revU)
       val o = t(s, dir, "orders")
         .filter(col("o_orderdate") >= lit("1995-10-01") &&
           col("o_orderdate") < lit("1996-01-01"))
@@ -933,9 +942,7 @@ object PipelineQueries {
     // predicate needs both sides.
     "q_tpch_q19" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
-        .withColumn("rev_u",
-          round(col("l_extendedprice") * 100).cast("long") *
-            (lit(100L) - round(col("l_discount") * 100).cast("long")))
+        .withColumn("rev_u", revU)
       val joined = li.join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
       val picked =
         (col("p_brand") === "Brand#3" && col("p_size").between(1, 5) &&
@@ -971,9 +978,13 @@ object PipelineQueries {
         .join(l3, col("l_orderkey") === col("lo3") && col("l_suppkey") =!= col("ls3"),
           "left_anti")
         .groupBy(col("l_suppkey"))
-        .agg(count(lit(1)).as("numwait"))
+        .agg(count(lit(1)).as("nw"))
         .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
-        .select(col("s_name"), col("numwait"))
+        // re-group by NAME: the oracle groups by s_name, and nothing in
+        // the schema makes names unique — suppliers sharing a name must
+        // merge (the input to this agg is at most |supplier| rows)
+        .groupBy(col("s_name"))
+        .agg(sum(col("nw")).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
         .limit(100)
     }),

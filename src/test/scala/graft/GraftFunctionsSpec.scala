@@ -124,7 +124,16 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(est == 3L) // 1 + 2
   }
 
-  test("GraftExtensions wires the SQL surface via spark.sql.extensions") {
+  test("GraftExtensions wires the SQL surface (builder route + config-string loadability)") {
+    // the production `spark.sql.extensions=graft.GraftExtensions` route
+    // loads the class BY NAME through a zero-arg constructor — pin that
+    // contract (a rename or lost no-arg ctor would ship silently: the
+    // shared-context suite cannot exercise the string end to end, since
+    // the conf is only read when a session creates its own context)
+    val byName = Class.forName("graft.GraftExtensions")
+      .getDeclaredConstructor().newInstance()
+      .asInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit]
+    byName(new org.apache.spark.sql.SparkSessionExtensions) // must not throw
     // build a sibling session over the same SparkContext with the
     // extensions config — the zero-code-changes integration path.
     // Clear BOTH active and default sessions: getOrCreate checks the

@@ -41,10 +41,16 @@ class RangeJoinRuleSpec extends AnyFunSuite {
     }
   }
 
-  // negative values included: floor bucketing must not truncate toward 0
+  // negative values included: floor bucketing must not truncate toward 0.
+  // Long.MinValue/MaxValue sentinels: the bucket expression is evaluated
+  // for EVERY point row, so under ANSI mode an overflow-unsafe floor
+  // division would abort the whole query on a row that simply matches
+  // nothing (regression for the `(a - pmod(a, w)) / w` underflow).
   private def data(s: SparkSession) = {
     val points = s.range(0, 2000).select(
       col("id").as("p_id"), (col("id") * 37 % 10000 - 5000).as("ts"))
+      .union(s.range(0, 1).select(lit(99998L), lit(Long.MinValue)))
+      .union(s.range(0, 1).select(lit(99999L), lit(Long.MaxValue)))
     val ranges = s.range(0, 60).select(
       col("id").as("r_id"),
       (col("id") * 170 - 5100).as("s"),
@@ -134,13 +140,17 @@ class RangeJoinRuleSpec extends AnyFunSuite {
       s.conf.set(RangeJoinBucketRule.WidthKey, "256")
       val df = keyedP.join(keyedR,
         col("k") === col("rk") && col("ts") >= col("s") && col("ts") < col("e"))
+      // count NOW, while the conf is still set — df.count() builds a new
+      // QueryExecution under the conf at call time, so counting after the
+      // unset would compare naive to naive
+      val withRuleCount = df.count()
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("__graft_bk"), s"must not double-bucket:\n$plan")
       // sanity: still returns the right rows
       s.conf.unset(RangeJoinBucketRule.WidthKey)
       val naive = keyedP.join(keyedR,
         col("k") === col("rk") && col("ts") >= col("s") && col("ts") < col("e"))
-      assert(df.count() == naive.count())
+      assert(withRuleCount == naive.count())
     }
   }
 }
