@@ -155,6 +155,85 @@ object GraphOps {
       .select(col("u").as("node"), least(col("mn"), col("u")).as("component"))
   }
 
+  /** Fixed-iteration PageRank over a directed edge list, computed
+    * entirely in 64-bit fixed point (`scale` units of rank mass).
+    *
+    * Per iteration:
+    * {{{
+    *   rank_0(v)     = scale div n
+    *   contrib(u->v) = rank_i(u) div outdeg(u)
+    *   rank_{i+1}(v) = base + (dampNum * SUM contrib) div dampDen
+    *   base          = ((scale div n) * (dampDen - dampNum)) div dampDen
+    * }}}
+    * with `div` = truncating integer division throughout. Every
+    * cross-partition reduction is an integer SUM — commutative and
+    * associative with no rounding — so the result is bit-identical under
+    * any partitioning or merge order, and an SQL engine unrolling the same
+    * integer recurrence reproduces it exactly (a double-precision PageRank
+    * cannot make either guarantee: float sums depend on reduction order).
+    *
+    * Semantics notes: parallel edges are collapsed (simple graph);
+    * dangling-node mass (nodes with no out-edges) is dropped rather than
+    * redistributed — the common power-iteration simplification — so
+    * `sum(rank) <= scale` with equality iff no dangling nodes. Overflow
+    * headroom: total in-flight mass never exceeds `scale`, so
+    * `dampNum * sum` stays below `dampNum * scale` (~8.5e13 at defaults),
+    * far inside Long even under ANSI overflow checks.
+    *
+    * Scale shape: `outdeg` is computed once and joined into the edge list
+    * once; each iteration is ONE shuffle of the (node-sized) rank table by
+    * `src` to meet the pre-partitioned edges plus ONE map-side-combined
+    * `groupBy(dst)` sum — the edge list itself is hash-partitioned once
+    * and reused, never re-shuffled. Lineage is cut with a local checkpoint
+    * every 4 iterations so the plan stays O(1) per round (same discipline
+    * as [[connectedComponents]]).
+    *
+    * Returns `(node, rank_fp)` with `rank_fp` in `scale` units.
+    */
+  def pageRank(
+      pairs: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int,
+      dampNum: Long = 85L,
+      dampDen: Long = 100L,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 0 && dampNum >= 0 && dampNum <= dampDen)
+    val edges = pairs
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+      .cache()
+    val n = math.max(nodes.count(), 1L)
+    val init = scale / n
+    val base = init * (dampDen - dampNum) / dampDen
+
+    // outdeg joined in once; partitioned by src so each iteration's
+    // rank-join reuses this layout instead of re-shuffling the edges
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val edgesDeg = edges.join(outdeg, "src")
+      .repartition(col("src"))
+      .cache()
+
+    var ranks = nodes.select(col("node"), lit(init).as("rank"))
+    for (i <- 1 to iters) {
+      val sums = edgesDeg
+        .join(ranks, edgesDeg("src") === ranks("node"))
+        .select(col("dst"), expr("rank div outdeg").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("s"))
+      val next = nodes
+        .join(sums, nodes("node") === sums("dst"), "left")
+        .select(col("node"),
+          (lit(base) + expr(s"($dampNum * coalesce(s, 0L)) div $dampDen")).as("rank"))
+      ranks = if (i % 4 == 0 && i < iters) next.localCheckpoint(true) else next
+    }
+    ranks.select(col("node"), col("rank").as("rank_fp"))
+  }
+
   /** [[connectedComponents]] extended to a full node table: nodes with no
     * edges become singleton components labeled by their own id.
     */

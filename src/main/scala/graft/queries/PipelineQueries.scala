@@ -533,6 +533,91 @@ object PipelineQueries {
     "q_clicks_before_errors" -> ((s, dir) =>
       EventOps.clicksBeforeErrors(RefQueries.events(s, dir), withinMinutes = 30)),
 
+    // Stream-static enrichment (lookup-table decoration; streamed==batch
+    // is EventOpsSpec-verified): dimension side broadcast, fact side never
+    // shuffled — the per-event cost at 100 TB is a hash probe.
+    "q_events_enriched" -> ((s, dir) =>
+      EventOps.enrichEvents(RefQueries.events(s, dir), t(s, dir, "customer"))),
+
+    // Fixed-iteration PageRank over the customer<->supplier trade graph,
+    // in 64-bit fixed point: every reduction is an integer sum, so ranks
+    // are bit-identical under any partitioning AND exactly reproducible
+    // by the oracle's unrolled integer recurrence (a float PageRank could
+    // not be hash-compared across engines). Per iteration the edge list
+    // stays put (hash-partitioned once); only the node-sized rank table
+    // moves — the iterative-graph scale shape.
+    "q_pagerank" -> ((s, dir) => {
+      val e = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"),
+          (col("l_suppkey") + lit(1000000L)).as("supp"))
+      val edges = e.select(col("cust").as("src"), col("supp").as("dst"))
+        .union(e.select(col("supp").as("src"), col("cust").as("dst")))
+      GraphOps.pageRank(edges, "src", "dst", iters = 5)
+    }),
+
+    // First-touch funnel signup -> view -> click -> purchase: ONE shuffle
+    // (conditional min per user), then a global single-row reduction —
+    // sequence analytics with no self-joins (a per-stage join chain would
+    // shuffle the event table once per stage).
+    "q_funnel" -> ((s, dir) => {
+      val firsts = RefQueries.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "signup", col("ts"))).as("t1"),
+          min(when(col("event_type") === "view", col("ts"))).as("t2"),
+          min(when(col("event_type") === "click", col("ts"))).as("t3"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("t4"))
+      val s1 = col("t1").isNotNull
+      val s2 = s1 && col("t2") >= col("t1")
+      val s3 = s2 && col("t3") >= col("t2")
+      val s4 = s3 && col("t4") >= col("t3")
+      firsts.agg(
+        sum(when(s1, 1L).otherwise(0L)).as("n_signup"),
+        sum(when(s2, 1L).otherwise(0L)).as("n_view"),
+        sum(when(s3, 1L).otherwise(0L)).as("n_click"),
+        sum(when(s4, 1L).otherwise(0L)).as("n_purchase"))
+    }),
+
+    // Cohort retention: cohort = first active day per user; one row per
+    // (cohort day, day offset 0..6) with distinct active users. The
+    // (user, day) distinct is the only corpus-sized shuffle; the cohort
+    // table is user-sized.
+    "q_cohort_retention" -> ((s, dir) => {
+      val days = RefQueries.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val firsts = days.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+      days.join(firsts, "user_id")
+        .select(col("cohort"), datediff(col("day"), col("cohort")).as("day_offset"))
+        .filter(col("day_offset") <= 6)
+        .groupBy(col("cohort"), col("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+          col("day_offset"), col("n_users"))
+    }),
+
+    // Snapshot diff (dataset versioning): v2 = the corpus after a policy
+    // change (drop docs under 20 tokens, truncate to 40). The full-outer
+    // join carries only (id, sha256) — never the text — so diffing two
+    // 100 TB snapshots moves 40 bytes per doc; the oracle compares the
+    // texts directly, proving the hash comparison classifies identically.
+    "q_dataset_diff" -> ((s, dir) => {
+      val v1 = t(s, dir, "documents")
+      val v2 = v1
+        .filter(TextOps.tokenCount(col("text")) >= 20)
+        .select(col("doc_id"),
+          array_join(slice(TextOps.tokens(col("text")), 1, 40), " ").as("text"))
+      val h1 = v1.select(col("doc_id"), sha2(col("text"), 256).as("h1"))
+      val h2 = v2.select(col("doc_id"), sha2(col("text"), 256).as("h2"))
+      h1.join(h2, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("h1").isNull, "added")
+            .when(col("h2").isNull, "removed")
+            .when(col("h1") === col("h2"), "unchanged")
+            .otherwise("changed").as("status"))
+    }),
+
     // Range (interval) join: clicks inside the first 5 minutes of any hour
     // that saw an error. Bucketed equi-join on the hour id + residual
     // predicate — a raw range condition is a nested-loop join in Spark.
@@ -1028,6 +1113,40 @@ object PipelineQueries {
   // ------------------------------------------------------------ oracle SQL
 
   private val S = TextOps.Sql
+
+  /** Unrolled integer-PageRank recurrence over the cust<->supp trade
+    * graph — mirrors [[graft.ops.GraphOps.pageRank]]'s fixed-point
+    * arithmetic step for step. DuckDB `//` and Spark `div` are both
+    * truncating integer division for the nonnegative operands here, and
+    * all sums are integer sums, so the two engines agree bit for bit; the
+    * iteration count is a literal because SQL has no loop — each round is
+    * its own CTE reading the previous one.
+    */
+  private def pageRankOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (SELECT n.node,
+         |  (SELECT base FROM p) + (85 * coalesce(s.s, 0)) // 100 AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst, sum(r.rank // d.outdeg) AS s
+         |    FROM edges e JOIN deg d ON e.src = d.src
+         |    JOIN r${i - 1} r ON r.node = e.src
+         |    GROUP BY e.dst) s ON n.node = s.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH eraw AS (
+       |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS (SELECT src, dst FROM eraw UNION SELECT dst, src FROM eraw),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges
+       |          UNION SELECT DISTINCT dst FROM edges),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+       |        FROM edges GROUP BY src),
+       |p AS (SELECT CAST(1000000000000 AS BIGINT) // count(*) AS init,
+       |  (CAST(1000000000000 AS BIGINT) // count(*)) * 15 // 100 AS base
+       |  FROM nodes),
+       |r0 AS (SELECT node, (SELECT init FROM p) AS rank FROM nodes),
+       |$rounds
+       |SELECT node, CAST(rank AS BIGINT) AS rank_fp FROM r$iters""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
     "q_text_stats" ->
@@ -1533,6 +1652,58 @@ object PipelineQueries {
         |  ON e.user_id = c.user_id
         |  AND e.event_type = 'error' AND c.event_type = 'click'
         |  AND c.ts >= e.ts - INTERVAL 30 MINUTE AND c.ts <= e.ts""".stripMargin,
+
+    "q_events_enriched" ->
+      """SELECT e.event_id, e.user_id, e.event_type,
+        |  strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ev_ts,
+        |  c.c_name AS user_name, c.c_nationkey AS user_nation,
+        |  c.c_mktsegment AS user_segment
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
+
+    "q_pagerank" -> pageRankOracle(iters = 5),
+
+    "q_funnel" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN ts END) AS t1,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t2,
+        |    min(CASE WHEN event_type = 'click' THEN ts END) AS t3,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t4
+        |  FROM events GROUP BY user_id)
+        |SELECT
+        |  CAST(sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_signup,
+        |  CAST(sum(CASE WHEN t1 IS NOT NULL AND t2 >= t1
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |  CAST(sum(CASE WHEN t1 IS NOT NULL AND t2 >= t1 AND t3 >= t2
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(sum(CASE WHEN t1 IS NOT NULL AND t2 >= t1 AND t3 >= t2
+        |    AND t4 >= t3 THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
+        |FROM f""".stripMargin,
+
+    "q_cohort_retention" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |firsts AS (SELECT user_id, min(day) AS cohort FROM days GROUP BY user_id)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+        |  CAST(day - cohort AS INTEGER) AS day_offset,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM days JOIN firsts USING (user_id)
+        |WHERE day - cohort <= 6
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_dataset_diff" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, text, ${S.tokens("text")} AS w FROM documents),
+         |v2 AS (
+         |  SELECT doc_id, array_to_string(w[1:40], ' ') AS text2
+         |  FROM toks WHERE len(w) >= 20)
+         |SELECT coalesce(d.doc_id, v.doc_id) AS doc_id,
+         |  CASE WHEN d.doc_id IS NULL THEN 'added'
+         |       WHEN v.doc_id IS NULL THEN 'removed'
+         |       WHEN v.text2 = d.text THEN 'unchanged'
+         |       ELSE 'changed' END AS status
+         |FROM documents d FULL JOIN v2 v ON d.doc_id = v.doc_id""".stripMargin,
 
     "q_range_join" ->
       """WITH ranges AS (

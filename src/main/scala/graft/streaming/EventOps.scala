@@ -221,6 +221,25 @@ object EventOps {
         date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"))
   }
 
+  /** Stream-static enrichment join: each event decorated with its user's
+    * dimension row (the lookup-table pattern — user profile, geo, account
+    * tier). The dimension side is `broadcast` — in batch that's the plain
+    * broadcast hash join (no event shuffle); in streaming Spark re-plans
+    * the stream-static join every micro-batch, so the broadcast build is
+    * per-batch and the event stream itself is never shuffled or buffered
+    * in state (unlike a stream-stream join, no watermark is needed).
+    * Left join: events with no dimension row pass through with NULLs —
+    * an enrichment must not drop facts.
+    */
+  def enrichEvents(events: DataFrame, users: DataFrame): DataFrame =
+    events.join(broadcast(users),
+        events("user_id") === users("c_custkey"), "left")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ev_ts"),
+        col("c_name").as("user_name"),
+        col("c_nationkey").as("user_nation"),
+        col("c_mktsegment").as("user_segment"))
+
   /** Per-session summary: bounds + event count. */
   def sessionStats(events: DataFrame, gapMinutes: Int): DataFrame =
     sessionized(events, gapMinutes)

@@ -79,4 +79,70 @@ class GraphOpsSpec extends SparkSpec {
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(GraphOps.connectedComponents(empty, "a", "b").count() == 0)
   }
+
+  // ------------------------------------------------------------ PageRank
+
+  /** In-test oracle: the same integer recurrence evaluated sequentially.
+    * Integer sums are order-independent, so sequential == distributed is
+    * an exact equality, not a tolerance check.
+    */
+  private def pageRankLocal(
+      edges: Seq[(Long, Long)],
+      iters: Int,
+      scale: Long = 1000000000000L): Map[Long, Long] = {
+    val es = edges.distinct
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+    val n = nodes.size.toLong
+    val init = scale / n
+    val base = init * 15L / 100L
+    val outdeg = es.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    var rank = nodes.map(_ -> init).toMap
+    for (_ <- 1 to iters) {
+      val in = es.groupBy(_._2).map { case (dst, ins) =>
+        dst -> ins.map(e => rank(e._1) / outdeg(e._1)).sum
+      }
+      rank = nodes.map(v => v -> (base + 85L * in.getOrElse(v, 0L) / 100L)).toMap
+    }
+    rank
+  }
+
+  private def pageRankOf(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    GraphOps.pageRank(edges.toDF("s", "d"), "s", "d", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("pageRank matches the sequential integer recurrence on a pseudo-random graph") {
+    var seed = 98765L
+    def next(n: Int): Int = { seed = seed * 6364136223846793005L + 1442695040888963407L; (math.abs(seed) % n).toInt }
+    val edges = (1 to 400).map(_ => (next(60).toLong, next(60).toLong))
+      .filter(p => p._1 != p._2)
+    assert(pageRankOf(edges, 5) == pageRankLocal(edges, 5))
+  }
+
+  test("pageRank: a star hub outranks its spokes; total mass is bounded by scale") {
+    // 1..8 all point at 0, 0 points back at 1 (so 0 is not dangling)
+    val edges = (1L to 8L).map(i => (i, 0L)) :+ (0L, 1L)
+    val got = pageRankOf(edges, 10)
+    assert(got(0L) > got(2L) * 4, s"hub should dominate: $got")
+    assert(got.values.sum <= 1000000000000L)
+    assert(got == pageRankLocal(edges, 10))
+  }
+
+  test("pageRank drops dangling mass (documented simplification)") {
+    // 1 -> 2, 2 dangling: each round 2's rank leaks out of the system
+    val edges = Seq((1L, 2L))
+    val got = pageRankOf(edges, 3)
+    assert(got == pageRankLocal(edges, 3))
+    assert(got.values.sum < 1000000000000L)
+  }
+
+  test("pageRank is bit-identical under input partitioning") {
+    val edges = (1L to 100L).map(i => (i, i % 7))
+    val df1 = edges.toDF("s", "d").repartition(1)
+    val df8 = edges.toDF("s", "d").repartition(8)
+    val r1 = GraphOps.pageRank(df1, "s", "d", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val r8 = GraphOps.pageRank(df8, "s", "d", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(r1 == r8)
+  }
 }

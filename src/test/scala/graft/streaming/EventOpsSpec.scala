@@ -151,6 +151,38 @@ class EventOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrichEvents stream-static join matches batch; unmatched facts survive") {
+    implicit val sqlCtx = spark.sqlContext
+    val users = Seq(
+      (10L, "Alice", 3L, 100.0, "BUILDING"),
+      (11L, "Bob", 5L, 200.0, "MACHINERY")
+    ).toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val data = Seq(
+      (1L, ts("2024-01-01 00:05:00"), 10L, "click", 0.0),
+      (2L, ts("2024-01-01 00:06:00"), 11L, "view", 0.0),
+      (3L, ts("2024-01-01 00:07:00"), 99L, "click", 0.0) // no dimension row
+    )
+    val batchDf = data.toDF("event_id", "ts", "user_id", "event_type", "value")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), if (r.isNullAt(4)) null else r.getString(4))
+    val batch = EventOps.enrichEvents(batchDf, users).collect().map(key).toSet
+    assert(batch == Set((1L, "Alice"), (2L, "Bob"), (3L, null)))
+
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val stream = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventOps.enrichEvents(stream, users)
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(data.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(data.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM enrich_out").collect().map(key).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("streamingDedup keeps first arrival per key across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String)]
