@@ -352,6 +352,16 @@ object PipelineQueries {
     "q_embed_quantize" -> ((s, dir) =>
       PrepOps.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")),
 
+    // Z-order (Morton) clustering key over the 2-D (partkey, suppkey)
+    // access pattern — the lakehouse OPTIMIZE-ZORDER layout key. Pure
+    // codegen'd bit arithmetic, zero shuffles; file-skipping effect
+    // quantified in PrepOpsSpec (an aligned 2-D box touches 1 contiguous
+    // key bucket vs one stripe per x under lexicographic order).
+    "q_zorder" -> ((s, dir) =>
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        PrepOps.zorderKey(col("l_partkey"), col("l_suppkey")).as("zkey"))),
+
     // Embedding outlier scoring for curation: cosine of every vector to
     // its label centroid. The centroid comes from the EXACT fixed-point
     // sums (merge-order-proof), so the tiny centroid table is bit-stable;
@@ -1394,6 +1404,11 @@ object PipelineQueries {
         |      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
         |      list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
         |    FROM embeddings))""".stripMargin,
+
+    "q_zorder" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |  ${PrepOps.zorderKeySql("l_partkey", "l_suppkey")} AS zkey
+         |FROM lineitem""".stripMargin,
 
     "q_embed_outliers" ->
       s"""WITH e AS (

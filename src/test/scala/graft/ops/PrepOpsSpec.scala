@@ -164,4 +164,43 @@ class PrepOpsSpec extends SparkSpec {
     val s2 = shardsOf(8L)
     assert(s1 != s2, "epoch salt must change the permutation")
   }
+
+  /** Reference Morton interleave: per-bit loop, the definitionally-obvious
+    * form the 5-round mask-shift must equal.
+    */
+  private def mortonRef(x: Long, y: Long): Long = {
+    val (xm, ym) = (x & 0x7FFFFFFFL, y & 0x7FFFFFFFL)
+    (0 until 31).foldLeft(0L) { (z, i) =>
+      z | ((xm >> i) & 1L) << (2 * i) | ((ym >> i) & 1L) << (2 * i + 1)
+    }
+  }
+
+  test("zorderKey equals the per-bit Morton interleave (incl. 31-bit extremes)") {
+    val vals = Seq(0L, 1L, 2L, 3L, 15L, 16L, 255L, 1023L, 123456789L,
+      0x7FFFFFFFL, 0x40000000L)
+    val pairs = for (x <- vals; y <- vals) yield (x, y)
+    val got = pairs.toDF("x", "y")
+      .select(PrepOps.zorderKey($"x", $"y"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == pairs.map { case (x, y) => mortonRef(x, y) })
+    assert(got.forall(_ >= 0L), "keys must stay nonnegative (sortable)")
+  }
+
+  test("zorderKey clustering: an aligned 2-D box touches 1 bucket vs 4 under row-major") {
+    // 16x16 grid, 16 files of 16 rows each under either ordering.
+    // Aligned 4x4 box x in [4,7], y in [8,11]:
+    //   row-major (y*16+x): rows scattered across 4 stripes -> 4 files
+    //   z-order: the box IS one aligned Morton quadrant -> 1 file
+    val grid = for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y)
+    val keys = grid.toDF("x", "y")
+      .select($"x", $"y", PrepOps.zorderKey($"x", $"y").as("zkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def filesTouched(order: ((Long, Long)) => Long): Int = {
+      val ranked = grid.sortBy(order).zipWithIndex.toMap
+      grid.filter { case (x, y) => x >= 4 && x <= 7 && y >= 8 && y <= 11 }
+        .map(p => ranked(p) / 16).distinct.size
+    }
+    assert(filesTouched { case (x, y) => y * 16 + x } == 4)
+    assert(filesTouched(keys) == 1)
+  }
 }
