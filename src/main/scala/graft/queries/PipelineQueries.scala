@@ -1117,6 +1117,111 @@ object PipelineQueries {
         // exact fixed-point running sum: merge-order-proof
         (sum(round(col("o_totalprice") * 100).cast("long")).over(w).cast("double") / 100)
           .as("running_total"))
+    }),
+
+    // TPC-H Q6 (forecasting revenue): the pure scan-filter-scalar-agg
+    // shape — all three predicates push to the parquet scan, the agg is a
+    // 2-column map-side partial + 1-row final. At 100 TB this query IS
+    // its scan; cents x bps fixed point keeps the sum exact.
+    "q_tpch_q6" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01") &&
+          col("l_discount") >= 0.04 && col("l_discount") <= 0.06 &&
+          col("l_quantity") < 24)
+        .agg((sum(round(col("l_extendedprice") * 100).cast("long") *
+          round(col("l_discount") * 100).cast("long")).cast("double") / 10000)
+          .as("revenue"))),
+
+    // TPC-H Q8 (national market share): the widest join in the catalog —
+    // lineitem x orders x customer x supplier x part x nation x region.
+    // Dimension legs broadcast; the share ratio divides two exact
+    // fixed-point sums per year.
+    "q_tpch_q8" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").withColumn("rev_u", revU)
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1998-01-01"))
+      val asiaCust = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")
+            .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+              col("n_regionkey") === col("r_regionkey"))
+            .select(col("n_nationkey").as("cn_key"))),
+          col("c_nationkey") === col("cn_key"))
+        .select(col("c_custkey"))
+      val suppNation = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+            .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("sn_key"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      li.join(broadcast(t(s, dir, "part").filter(col("p_type") === "PROMO")
+            .select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(asiaCust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg((sum(when(col("supp_nation") === "NATION_2", col("rev_u")).otherwise(0L))
+          .cast("double") /
+          sum(col("rev_u")).cast("double")).as("mkt_share"))
+    }),
+
+    // TPC-H Q13 (customer order-count distribution): left OUTER join so
+    // zero-order customers count, then a second aggregation over the
+    // first — the histogram-of-group-sizes shape. Both shuffles are
+    // 8-byte keyed; the priority filter stands in for the comment filter
+    // (no o_comment in the synthetic schema).
+    "q_tpch_q13" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+        .select(col("o_custkey"), col("o_orderkey"))
+      t(s, dir, "customer")
+        .join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    }),
+
+    // TPC-H Q15 (top supplier): revenue view + equality with its max.
+    // The view is CACHED (it is supplier-sized — tiny at any SF) so the
+    // aggregate feeds BOTH the max (1-row broadcast) and the probe from
+    // one materialization; without it the two legs' subtly different
+    // pushed filters defeat exchange reuse and lineitem scans twice
+    // (verified in the static plan).
+    "q_tpch_q15" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1996-04-01"))
+        .withColumn("rev_u", revU)
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("rev_u")).as("total_u"))
+        .cache()
+      val mx = rev.agg(max(col("total_u")).as("max_u"))
+      rev.join(broadcast(mx), col("total_u") === col("max_u"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          (col("total_u").cast("double") / 10000).as("total_revenue"))
+    }),
+
+    // TPC-H Q17 (small-quantity revenue): per-part average-quantity
+    // threshold applied back to the same lines. The correlated scalar
+    // subquery becomes ONE aggregate joined back (broadcast — part-sized);
+    // the threshold test `5 * qty * cnt < sum` is integer-valued double
+    // arithmetic on both engines, so no division enters the predicate.
+    "q_tpch_q17" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+            .filter(col("p_brand") === "Brand#9" && col("p_size") === 5)
+            .select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      val stats = li.groupBy(col("l_partkey").as("ag_key"))
+        .agg(sum(col("l_quantity")).as("qty_sum"), count(lit(1)).as("qty_cnt"))
+      li.join(broadcast(stats), col("l_partkey") === col("ag_key"))
+        .filter(col("l_quantity") * 5 * col("qty_cnt") < col("qty_sum"))
+        .agg((sum(round(col("l_extendedprice") * 100).cast("long"))
+          .cast("double") / 700).as("avg_yearly"))
     })
   )
 
@@ -2150,6 +2255,71 @@ object PipelineQueries {
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+
+    "q_tpch_q6" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |  * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 10000 AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.04 AND l_discount <= 0.06
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q_tpch_q8" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(sum(CASE WHEN n2.n_name = 'NATION_2' THEN rev_u ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(rev_u) AS DOUBLE) AS mkt_share
+        |FROM (
+        |  SELECT l_orderkey, l_partkey, l_suppkey,
+        |    CAST(round(l_extendedprice*100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount*100) AS BIGINT)) AS rev_u
+        |  FROM lineitem) li
+        |JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1""".stripMargin,
+
+    "q_tpch_q13" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (
+        |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin,
+
+    "q_tpch_q15" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey, sum(
+        |    CAST(round(l_extendedprice*100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount*100) AS BIGINT))) AS total_u
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(total_u AS DOUBLE) / 10000 AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_u = (SELECT max(total_u) FROM rev)""".stripMargin,
+
+    "q_tpch_q17" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#9' AND p_size = 5),
+        |stats AS (
+        |  SELECT l_partkey AS ag_key, sum(l_quantity) AS qty_sum,
+        |    CAST(count(*) AS BIGINT) AS qty_cnt
+        |  FROM li GROUP BY l_partkey)
+        |SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+        |  / 700 AS avg_yearly
+        |FROM li JOIN stats ON l_partkey = ag_key
+        |WHERE l_quantity * 5 * qty_cnt < qty_sum""".stripMargin
   )
 }
