@@ -137,7 +137,26 @@ object GraftFunctions {
         require(exprs.length == 2, "vec_sum_fixed(vec, scale)")
         graft.agg.FixedPointVecSumAgg(exprs(0), dblLit(exprs(1), "scale"))
           .toAggregateExpression(isDistinct = false)
+      }),
+    "zorder_key" -> ("zorder_key(x, y) - 2-D Morton clustering key (low 31 bits interleaved)",
+      exprs => {
+        require(exprs.length == 2, "zorder_key(x, y)")
+        zorderExpr(exprs(0), exprs(1))
       }))
+
+  /** Catalyst twin of [[graft.ops.PrepOps.zorderKey]] for the SQL
+    * registry path (a function builder must return a resolvable
+    * expression tree, not a Column wrapper); same shared mask schedule.
+    */
+  private def zorderExpr(x: Expression, y: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{BitwiseAnd, BitwiseOr, Literal, ShiftLeft}
+    def spread(c: Expression): Expression =
+      graft.ops.PrepOps.spreadMasks.foldLeft[Expression](
+        BitwiseAnd(lng(c), Literal(0x7FFFFFFFL))) {
+        case (v, (s, m)) => BitwiseAnd(BitwiseOr(v, ShiftLeft(v, Literal(s))), Literal(m))
+      }
+    BitwiseOr(spread(x), ShiftLeft(spread(y), Literal(1)))
+  }
 
   private def stringSeq(e: Expression, name: String): Seq[String] = {
     val isStrArr = e.dataType match {

@@ -291,7 +291,7 @@ object PrepOps {
     * Column form and the SQL-oracle twin so the two engines compute the
     * identical arithmetic.
     */
-  private[ops] val spreadMasks: Seq[(Int, Long)] = Seq(
+  private[graft] val spreadMasks: Seq[(Int, Long)] = Seq(
     (16, 0x0000FFFF0000FFFFL),
     (8, 0x00FF00FF00FF00FFL),
     (4, 0x0F0F0F0F0F0F0F0FL),

@@ -628,6 +628,24 @@ object PipelineQueries {
             .otherwise("changed").as("status"))
     }),
 
+    // SCD2 dimension build (slowly-changing dimension, type 2): collapse
+    // each user's event-type history into validity intervals — a row per
+    // CHANGE, valid_from/valid_to half-open, NULL valid_to = current.
+    // Both windows share the user_id partitioning and (ts, event_id)
+    // order, so Spark plans ONE Exchange + one sort for the lag, and the
+    // post-filter lead reuses the layout.
+    "q_scd2" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val changes = RefQueries.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      changes.select(col("user_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        date_format(lead(col("ts"), 1).over(w), "yyyy-MM-dd HH:mm:ss")
+          .as("valid_to"))
+    }),
+
     // Range (interval) join: clicks inside the first 5 minutes of any hour
     // that saw an error. Bucketed equi-join on the hour id + residual
     // predicate — a raw range condition is a nested-loop join in Spark.
@@ -1781,6 +1799,22 @@ object PipelineQueries {
         |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
 
     "q_pagerank" -> pageRankOracle(iters = 5),
+
+    "q_scd2" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |ch AS (
+        |  SELECT user_id, ts, event_id, event_type FROM ev
+        |  WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |  strftime(lead(ts) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id),
+        |    '%Y-%m-%d %H:%M:%S') AS valid_to
+        |FROM ch""".stripMargin,
 
     "q_funnel" ->
       """WITH f AS (

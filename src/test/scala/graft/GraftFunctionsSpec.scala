@@ -189,6 +189,17 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(p == Seq("aa", "ab"))
   }
 
+  test("zorder_key from SQL text equals the Column form") {
+    GraftFunctions.registerAll(spark)
+    val got = spark.sql("SELECT zorder_key(5, 3) AS z").collect().head.getLong(0)
+    // x=101 on even bits -> 10001, y=011 on odd bits -> 001010 -> 27? compute:
+    // interleave(5=101, 3=011): bits (y2 x2 y1 x1 y0 x0) = 0 1 1 0 1 1 = 27
+    assert(got == 27L)
+    val viaColumn = Seq((5L, 3L)).toDF("x", "y")
+      .select(graft.ops.PrepOps.zorderKey($"x", $"y")).collect().head.getLong(0)
+    assert(got == viaColumn)
+  }
+
   test("hist1d rejects non-literal edges") {
     GraftFunctions.registerAll(spark)
     Seq((1L, 0.5)).toDF("cell", "v").createOrReplaceTempView("px2")
