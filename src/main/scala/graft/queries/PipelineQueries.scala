@@ -628,6 +628,30 @@ object PipelineQueries {
             .otherwise("changed").as("status"))
     }),
 
+    // Per-language median quality gate (CCNet-style percentile filter):
+    // keep docs at or above their language's lower-median quality. The
+    // median is RANK-based (k-th smallest, k = (n+1) div 2) — pure
+    // selection, no interpolation arithmetic, so it is bit-portable
+    // across engines where interpolated quantiles differ in last-ulp
+    // rounding. One window shuffle by lang for the medians (lang-sized
+    // result, broadcast back); the corpus itself is never re-shuffled.
+    "q_quality_filter" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextOps.qualityScore(col("text")).as("quality"))
+      val wr = Window.partitionBy(col("lang"))
+        .orderBy(col("quality"), col("doc_id"))
+      val wn = Window.partitionBy(col("lang"))
+      val medians = docs
+        .withColumn("rn", row_number().over(wr))
+        .withColumn("n", count(lit(1)).over(wn))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("lang"), col("quality").as("med"))
+      docs.join(broadcast(medians), "lang")
+        .filter(col("quality") >= col("med"))
+        .select(col("doc_id"), col("lang"), col("quality"))
+    }),
+
     // SCD2 dimension build (slowly-changing dimension, type 2): collapse
     // each user's event-type history into validity intervals — a row per
     // CHANGE, valid_from/valid_to half-open, NULL valid_to = current.
@@ -1799,6 +1823,21 @@ object PipelineQueries {
         |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
 
     "q_pagerank" -> pageRankOracle(iters = 5),
+
+    "q_quality_filter" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, lang, ${S.qualityScore("text")} AS quality
+         |  FROM documents),
+         |m AS (
+         |  SELECT lang, quality AS med FROM (
+         |    SELECT lang, quality,
+         |      row_number() OVER (PARTITION BY lang ORDER BY quality, doc_id) AS rn,
+         |      count(*) OVER (PARTITION BY lang) AS n
+         |    FROM q)
+         |  WHERE rn = (n + 1) // 2)
+         |SELECT doc_id, q.lang, quality
+         |FROM q JOIN m ON q.lang = m.lang
+         |WHERE quality >= med""".stripMargin,
 
     "q_scd2" ->
       """WITH ev AS (
