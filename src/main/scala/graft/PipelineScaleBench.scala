@@ -174,10 +174,13 @@ object PipelineScaleBench {
       // ~10 edges per node, destinations skewed toward low ids (hubs) —
       // the iterative-join shape whose per-round cost at 100 TB is one
       // node-sized rank shuffle against the once-partitioned edge list
+      // dst ~ uniform[0, d] with d itself uniform -> skewed toward low
+      // ids (hubs). Product-free: a pmod-of-products form overflows Long
+      // once nDocs exceeds ~3e9
       val edges = spark.range(nDocs * 10).select(
         pmod(xxhash64(col("id")), lit(nDocs)).as("src"),
-        pmod(pmod(xxhash64(col("id"), lit(1)), lit(nDocs)) *
-          pmod(xxhash64(col("id"), lit(2)), lit(nDocs)), lit(nDocs)).as("dst"))
+        pmod(xxhash64(col("id"), lit(1)),
+          pmod(xxhash64(col("id"), lit(2)), lit(nDocs)) + 1).as("dst"))
       GraphOps.pageRank(edges, "src", "dst", iters = 5).count()
     }
     stage("incremental_dedup") {

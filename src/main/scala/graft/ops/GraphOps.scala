@@ -202,7 +202,13 @@ object GraphOps {
       dampNum: Long = 85L,
       dampDen: Long = 100L,
       scale: Long = 1000000000000L): DataFrame = {
-    require(iters >= 0 && dampNum >= 0 && dampNum <= dampDen)
+    require(iters >= 0 && dampNum >= 0 && dampDen > 0 && dampNum <= dampDen)
+    // overflow guard for the docstring's safety claim: the two products
+    // in the recurrence are init*(dampDen-dampNum) and dampNum*sum, and
+    // both factors' rank-mass side is bounded by `scale`
+    require(scale > 0 &&
+      scale <= Long.MaxValue / math.max(math.max(dampNum, dampDen - dampNum), 1L),
+      s"scale * damping factors must stay within Long: scale=$scale")
     val edges = pairs
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)

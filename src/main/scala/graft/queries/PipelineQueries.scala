@@ -618,12 +618,19 @@ object PipelineQueries {
         .filter(TextOps.tokenCount(col("text")) >= 20)
         .select(col("doc_id"),
           array_join(slice(TextOps.tokens(col("text")), 1, 40), " ").as("text"))
-      val h1 = v1.select(col("doc_id"), sha2(col("text"), 256).as("h1"))
-      val h2 = v2.select(col("doc_id"), sha2(col("text"), 256).as("h2"))
+      // presence flags key added/removed on doc_id existence, NOT on hash
+      // NULLness — a NULL text must not masquerade as a missing row (the
+      // oracle keys on doc_id presence; sha2(NULL) is NULL). Two NULL
+      // texts compare NULL = NULL -> not-true -> 'changed' on BOTH
+      // engines, so the hash path stays oracle-consistent.
+      val h1 = v1.select(col("doc_id"), sha2(col("text"), 256).as("h1"),
+        lit(true).as("in_v1"))
+      val h2 = v2.select(col("doc_id"), sha2(col("text"), 256).as("h2"),
+        lit(true).as("in_v2"))
       h1.join(h2, Seq("doc_id"), "full_outer")
         .select(col("doc_id"),
-          when(col("h1").isNull, "added")
-            .when(col("h2").isNull, "removed")
+          when(col("in_v1").isNull, "added")
+            .when(col("in_v2").isNull, "removed")
             .when(col("h1") === col("h2"), "unchanged")
             .otherwise("changed").as("status"))
     }),
@@ -1252,12 +1259,16 @@ object PipelineQueries {
     // the threshold test `5 * qty * cnt < sum` is integer-valued double
     // arithmetic on both engines, so no division enters the predicate.
     "q_tpch_q17" -> ((s, dir) => {
+      // cached: the filtered leg feeds BOTH the per-part stats and the
+      // probe — without it lineitem scans twice (same double-scan q15's
+      // view cache fixes; the brand+size cut keeps the cache tiny)
       val li = t(s, dir, "lineitem")
         .join(broadcast(t(s, dir, "part")
             .filter(col("p_brand") === "Brand#9" && col("p_size") === 5)
             .select(col("p_partkey"))),
           col("l_partkey") === col("p_partkey"))
         .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+        .cache()
       val stats = li.groupBy(col("l_partkey").as("ag_key"))
         .agg(sum(col("l_quantity")).as("qty_sum"), count(lit(1)).as("qty_cnt"))
       li.join(broadcast(stats), col("l_partkey") === col("ag_key"))
