@@ -1157,6 +1157,22 @@ object PipelineQueries {
           (sum(col("bal_c")).cast("double") / 100).as("totacctbal"))
     }),
 
+    // Time-based sliding aggregate (RANGE frame): 7-day trailing order
+    // value per customer-day. RANGE BETWEEN 6 PRECEDING on the day
+    // ordinal — a value-based frame, unlike q_window_running's ROWS
+    // frame — so gaps in the calendar shrink the window instead of
+    // reaching further back. One Exchange by customer; exact cents.
+    "q_moving_avg" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(col("o_custkey"),
+          datediff(to_date(col("o_orderdate")), lit("1995-01-01")).as("day_ord"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("day_c"))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("day_ord"))
+        .rangeBetween(-6, 0)
+      daily.select(col("o_custkey"), col("day_ord"),
+        (sum(col("day_c")).over(w).cast("double") / 100).as("trailing_7d"))
+    }),
+
     "q_window_running" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -2240,6 +2256,19 @@ object PipelineQueries {
         |      HAVING sum(l_quantity) > 300) big ON o_orderkey = big.l_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY sum_qty DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q_moving_avg" ->
+      """WITH daily AS (
+        |  SELECT o_custkey,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS INTEGER)
+        |      AS day_ord,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS day_c
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_custkey, day_ord,
+        |  CAST(sum(day_c) OVER (PARTITION BY o_custkey ORDER BY day_ord
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100
+        |    AS trailing_7d
+        |FROM daily""".stripMargin,
 
     "q_window_running" ->
       """SELECT o_orderkey, o_custkey,

@@ -135,6 +135,14 @@ class GraphOpsSpec extends SparkSpec {
     assert(got.values.sum < 1000000000000L)
   }
 
+  test("pageRank: empty edge set yields an empty rank frame; self-loops feed themselves") {
+    assert(pageRankOf(Seq.empty, 3).isEmpty)
+    // 1 -> 1 self-loop plus 1 -> 2: self-loop mass recirculates; both
+    // nodes still match the sequential recurrence exactly
+    val edges = Seq((1L, 1L), (1L, 2L))
+    assert(pageRankOf(edges, 4) == pageRankLocal(edges, 4))
+  }
+
   test("pageRank is bit-identical under input partitioning") {
     val edges = (1L to 100L).map(i => (i, i % 7))
     val df1 = edges.toDF("s", "d").repartition(1)
