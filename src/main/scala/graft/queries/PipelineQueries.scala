@@ -1161,9 +1161,15 @@ object PipelineQueries {
     // value per customer-day. RANGE BETWEEN 6 PRECEDING on the day
     // ordinal — a value-based frame, unlike q_window_running's ROWS
     // frame — so gaps in the calendar shrink the window instead of
-    // reaching further back. One Exchange by customer; exact cents.
+    // reaching further back. ONE Exchange total: pre-partitioning by
+    // customer alone satisfies BOTH the (custkey, day) group-by
+    // clustering and the window's partitioning, where the naive plan
+    // shuffles twice (QueryPlanSpec pins the single-Exchange shape; the
+    // trade is shuffling raw order rows instead of per-day partials —
+    // ~1 row per customer-day here, negligible combine loss).
     "q_moving_avg" -> ((s, dir) => {
       val daily = t(s, dir, "orders")
+        .repartition(col("o_custkey"))
         .groupBy(col("o_custkey"),
           datediff(to_date(col("o_orderdate")), lit("1995-01-01")).as("day_ord"))
         .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("day_c"))

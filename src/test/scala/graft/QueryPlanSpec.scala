@@ -12,6 +12,9 @@ class QueryPlanSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
   private def finalPlan(name: String): String = {
+    // scan metadata (PushedFilters, ...) truncates at 100 chars by
+    // default — long predicate lists would vanish from the assertions
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
     val df = PipelineQueries.queries(name)(spark, sf)
     df.collect() // materialize so AQE settles on the final plan
     df.queryExecution.executedPlan.toString
@@ -109,5 +112,64 @@ class QueryPlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin"),
       s"scalar average should attach via a 1-row broadcast:\n$plan")
     assert(plan.contains("LeftAnti"), s"no-recent-orders must be an anti join:\n$plan")
+  }
+
+  /** AdaptiveSparkPlan.toString appends "== Initial Plan ==" after the
+    * final plan — count nodes in the FINAL section only, or every
+    * Exchange double-counts.
+    */
+  private def countOf(plan: String, token: String): Int =
+    token.r.findAllMatchIn(plan.split("== Initial Plan ==").head).size
+
+  test("q_events_enriched: dim broadcasts, the event stream never shuffles") {
+    val plan = finalPlan("q_events_enriched")
+    assert(plan.contains("BroadcastHashJoin"), s"dim must broadcast:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"fact side must not shuffle:\n$plan")
+  }
+
+  test("q_tpch_q6: every predicate reaches the parquet scan; no join") {
+    val plan = finalPlan("q_tpch_q6")
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate") &&
+      plan.contains("LessThan(l_quantity"),
+      s"predicates must push to the scan:\n$plan")
+    assert(!plan.contains("Join"), s"Q6 has no join:\n$plan")
+  }
+
+  test("q_tpch_q15 / q_tpch_q17: the shared leg materializes once (cache, no double scan)") {
+    // NOTE: InMemoryTableScan PRINTS its stored child plan (a FileScan
+    // line appears beneath each cache read) — those are descriptions of
+    // the one materialization, not executions. The pin is that BOTH legs
+    // read the cache; count over the full adaptive string because AQE's
+    // final section folds completed broadcast stages into stage refs.
+    Seq("q_tpch_q15", "q_tpch_q17").foreach { q =>
+      val plan = finalPlan(q)
+      assert("InMemoryTableScan".r.findAllMatchIn(plan).size >= 2,
+        s"$q: both legs must read the cached view:\n$plan")
+    }
+  }
+
+  test("q_funnel: one corpus shuffle + one scalar reduction, no joins") {
+    val plan = finalPlan("q_funnel")
+    assert(!plan.contains("Join"), s"funnel must not self-join per stage:\n$plan")
+    assert(countOf(plan, "Exchange") <= 2, s"one user shuffle + one scalar:\n$plan")
+  }
+
+  test("q_scd2: both windows ride ONE Exchange") {
+    val plan = finalPlan("q_scd2")
+    assert(countOf(plan, "Exchange") == 1, s"windows must share the shuffle:\n$plan")
+    assert(countOf(plan, "Window") == 2, s"lag + lead windows expected:\n$plan")
+  }
+
+  test("q_moving_avg: group-by and RANGE window share one customer Exchange") {
+    val plan = finalPlan("q_moving_avg")
+    assert(countOf(plan, "Exchange") == 1,
+      s"custkey pre-partitioning must serve both the agg and the window:\n$plan")
+  }
+
+  test("q_pagerank: no cartesian or nested-loop anywhere in the iteration") {
+    val plan = finalPlan("q_pagerank")
+    assert(!plan.contains("Cartesian") && !plan.contains("NestedLoop"),
+      s"iterative joins must stay hash-based:\n$plan")
   }
 }
