@@ -1237,6 +1237,24 @@ object PipelineQueries {
           sum(col("rev_u")).cast("double")).as("mkt_share"))
     }),
 
+    // TPC-H Q12 shape (shipping-delay audit; the synthetic schema has no
+    // commit/receipt dates or shipmode, so "late" = shipped > 30 days
+    // after ordering and the bucket is order priority): join + interval
+    // date arithmetic in the predicate + two-bucket conditional agg per
+    // year. The date filter cannot push below the join (it references
+    // both sides) — it runs as the join residual.
+    "q_tpch_q12" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))),
+
     // TPC-H Q13 (customer order-count distribution): left OUTER join so
     // zero-order customers count, then a second aggregation over the
     // first — the histogram-of-group-sizes shape. Both shuffles are
@@ -2403,6 +2421,16 @@ object PipelineQueries {
         |JOIN nation n2 ON s_nationkey = n2.n_nationkey
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1""".stripMargin,
+
+    "q_tpch_q12" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
         |GROUP BY 1""".stripMargin,
 
     "q_tpch_q13" ->
