@@ -299,13 +299,17 @@ object PipelineQueries {
     // every doc is segmented by the codegen'd row-local encoder.
     // Iterative per-word merging has no SQL formulation -> rows-only; the
     // trainer/encoder pair is pinned against hand-computed merges and
-    // segmentations in PrepOpsSpec.
+    // segmentations in PrepOpsSpec. The gated output joins the pieces to a
+    // single string: the driver's comparator sorts result frames with
+    // pandas, and array-typed cells are unhashable there — scalar outputs
+    // only in gated queries (the array-typed bpeEncode API is unchanged).
     "q_bpe_encode" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val merges = PrepOps.bpeTrainLocal(docs, col("text"), merges = 32)
       docs.select(col("doc_id"),
         PrepOps.bpeEncode(col("text"), merges).as("pieces"))
-        .select(col("doc_id"), size(col("pieces")).as("n_pieces"), col("pieces"))
+        .select(col("doc_id"), size(col("pieces")).as("n_pieces"),
+          array_join(col("pieces"), "|").as("pieces_str"))
     }),
 
     "q_train_order" -> ((s, dir) =>
@@ -349,8 +353,14 @@ object PipelineQueries {
       PrepOps.packGreedy(t(s, dir, "documents"), "doc_id", "text",
         budgetTokens = 512, buckets = 8)),
 
+    // Gated projection stringifies the int8 vector (comma-joined): the
+    // driver's pandas comparator cannot sort array cells. quantizeInt8
+    // itself still returns the real ARRAY<INT> column.
     "q_embed_quantize" -> ((s, dir) =>
-      PrepOps.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")),
+      PrepOps.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"), col("scale"),
+          array_join(transform(col("qvec"), x => x.cast("string")), ",")
+            .as("qvec_str"))),
 
     // Z-order (Morton) clustering key over the 2-D (partkey, suppkey)
     // access pattern — the lakehouse OPTIMIZE-ZORDER layout key. Pure
@@ -809,8 +819,13 @@ object PipelineQueries {
         atOrNull(toks, 1).as("first_tok"),
         atOrNull(toks, -1).as("last_tok"),
         atOrNull(array_sort(toks), 1).as("min_tok"),
-        head5.as("head_lens"),
-        zip_with(head5, reverse(head5), (a, b) => a + b).as("sym_lens"))
+        // comma-joined, not raw arrays: the driver's pandas comparator
+        // cannot sort array-typed cells (gated queries emit scalars only)
+        array_join(transform(head5, x => x.cast("string")), ",")
+          .as("head_lens"),
+        array_join(transform(
+          zip_with(head5, reverse(head5), (a, b) => a + b),
+          x => x.cast("string")), ",").as("sym_lens"))
     }),
 
     // Set operations over key sets.
@@ -1594,7 +1609,9 @@ object PipelineQueries {
 
     "q_embed_quantize" ->
       """SELECT vec_id, s AS scale,
-        |  list_transform(v, x -> CAST(round(x * s) AS INTEGER)) AS qvec
+        |  array_to_string(
+        |    list_transform(v, x -> CAST(CAST(round(x * s) AS INTEGER) AS VARCHAR)),
+        |    ',') AS qvec_str
         |FROM (
         |  SELECT vec_id, v, CASE WHEN m > 0 THEN 127.0 / m ELSE 1.0 END AS s
         |  FROM (
@@ -2171,9 +2188,11 @@ object PipelineQueries {
          |  toks[1] AS first_tok,
          |  toks[-1] AS last_tok,
          |  list_sort(toks)[1] AS min_tok,
-         |  head5 AS head_lens,
-         |  list_transform(range(1, len(head5) + 1),
-         |    i -> CAST(head5[i] + head5[len(head5) - i + 1] AS INTEGER)) AS sym_lens
+         |  array_to_string(
+         |    list_transform(head5, x -> CAST(x AS VARCHAR)), ',') AS head_lens,
+         |  array_to_string(list_transform(range(1, len(head5) + 1),
+         |    i -> CAST(CAST(head5[i] + head5[len(head5) - i + 1] AS INTEGER)
+         |              AS VARCHAR)), ',') AS sym_lens
          |FROM l""".stripMargin,
 
     "q_set_ops" ->

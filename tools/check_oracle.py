@@ -28,6 +28,15 @@ def canon(rows, cols):
     return [cols[i] for i in idx], out
 
 
+def array_typed_cols(con, rp):
+    """Driver fidelity: the driver's pandas comparator sorts raw values and
+    crashes on array-typed cells (TypeError: unhashable type). Flag any
+    list/struct/map column in a dumped result so the failure shows locally."""
+    desc = con.sql(f"DESCRIBE SELECT * FROM '{rp}/*.parquet'").fetchall()
+    return [c for c, typ, *_ in desc
+            if "[]" in typ or typ.startswith(("STRUCT", "MAP"))]
+
+
 def main():
     out_dir, sf_dir = Path(sys.argv[1]), Path(sys.argv[2])
     oracle = json.loads((out_dir / "oracle_sql.json").read_text())
@@ -38,6 +47,15 @@ def main():
         if p.exists():
             con.execute(f"CREATE VIEW {table} AS SELECT * FROM '{p}'")
     n_pass = n_fail = 0
+    # Every dumped output (oracled or rows-only) goes through the driver's
+    # pandas comparator; array/struct-typed columns crash it there.
+    for rp in sorted(p for p in out_dir.iterdir()
+                     if p.is_dir() and p.name.startswith("q_")):
+        bad = array_typed_cols(con, rp)
+        if bad:
+            print(f"FAIL {rp.name}: array-typed columns {bad} would crash "
+                  f"the driver's comparator")
+            n_fail += 1
     for name, sql in sorted(oracle.items()):
         rp = out_dir / name
         if not rp.exists():
