@@ -458,7 +458,9 @@ object PipelineQueries {
         SimilarityOps.lshBucket(col("embedding"), planes = 8, dims = 64)
           .as("bucket"))),
 
-    // xxhash64-free but heavy SQL; LSH top-k recall is ScalaTest-verified.
+    // Oracled by composing the two already-proven pieces: the
+    // literal-weight bucket SQL (q_sim_lsh_buckets) as the join key and
+    // the sequential-fold cosine + window top-k (q_sim_topk).
     "q_sim_lsh_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       SimilarityOps.lshTopK(
@@ -466,9 +468,11 @@ object PipelineQueries {
     }),
 
     // IVF coarse-quantizer ANN (spherical k-means lists + nprobe search).
-    // No SQL oracle: Lloyd updates use float sums whose last ulp is
-    // partitioning-dependent (inherent to distributed k-means) -> rows-only
-    // check; recall/exactness are IvfOpsSpec-verified.
+    // No SQL oracle: the centroids are TRAINED INSIDE the query, so they
+    // cannot appear as static literals in oracle SQL (training itself is
+    // layout-invariant — IvfOps accumulates in fixed point precisely so the
+    // result does not depend on partitioning); rows-only check here,
+    // recall/exactness are IvfOpsSpec-verified.
     "q_sim_ivf_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val cents = IvfOps.trainCentroids(e, k = 8, iters = 2)
@@ -2067,6 +2071,24 @@ object PipelineQueries {
       s"""SELECT vec_id,
          | ${SimilarityOps.Sql.lshBucket("embedding", 8, 64)} AS bucket
          |FROM embeddings""".stripMargin,
+
+    // q_sim_topk's cosine/rank formulation restricted to same-bucket pairs
+    // (the bucket expression is the literal-weight SQL q_sim_lsh_buckets
+    // proves against the fused Spark expression every round).
+    "q_sim_lsh_topk" -> {
+      val cos = SimilarityOps.Sql.cosine("q.embedding", "c.embedding")
+      s"""WITH bk AS (
+         |  SELECT vec_id, embedding,
+         |    ${SimilarityOps.Sql.lshBucket("embedding", 8, 64)} AS bucket
+         |  FROM embeddings)
+         |SELECT query_id, rank, corpus_id, cosine FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, $cos AS cosine,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY $cos DESC, c.vec_id) AS rank
+         |  FROM bk q JOIN bk c ON q.vec_id < 10 AND q.bucket = c.bucket
+         |  WHERE $cos IS NOT NULL)
+         |WHERE rank <= 10""".stripMargin
+    },
 
     "q_embed_neardup" -> {
       val cos = SimilarityOps.Sql.cosine("a.embedding", "b.embedding")
