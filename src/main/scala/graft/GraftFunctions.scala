@@ -126,10 +126,10 @@ object GraftFunctions {
         graft.expr.CharBigramWeightSum(exprs(0),
           stringSeq(exprs(1), "keys"), longSeq(exprs(2), "weights"))
       }),
-    "topk_by_score" -> ("topk_by_score(score, id, k) - bounded top-k (score DESC, id ASC) pairs (aggregate)",
+    "topk_by_score" -> ("topk_by_score(score, id, k) - bounded top-k (score DESC, id ASC) pairs (aggregate); id keeps its input type",
       exprs => {
         require(exprs.length == 3, "topk_by_score(score, id, k)")
-        graft.agg.TopKByScoreAgg(dbl(exprs(0)), lng(exprs(1)), intLit(exprs(2), "k"))
+        graft.agg.TopKByScoreAgg(dbl(exprs(0)), exprs(1), intLit(exprs(2), "k"))
           .toAggregateExpression(isDistinct = false)
       }),
     "vec_sum_fixed" -> ("vec_sum_fixed(vec, scale) - elementwise fixed-point vector sum (aggregate)",

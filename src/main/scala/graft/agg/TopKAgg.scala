@@ -5,33 +5,37 @@ import java.util.Comparator
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
 
 /** Bounded top-k buffer: keeps the k best (score, id) pairs under the
   * ordering (score DESC, id ASC). Backed by a TreeSet whose FIRST element
-  * is the current worst, so insert/evict is O(log k).
+  * is the current worst, so insert/evict is O(log k). Ids are Catalyst
+  * internal values of any orderable type; `idOrd` supplies their ordering.
   */
-final class TopKBuffer(val k: Int) {
+final class TopKBuffer(val k: Int, idOrd: Ordering[Any]) {
   // worst-first comparator: lower score first; on score ties the HIGHER id
   // is worse (rank tie-break is id ascending)
-  val set = new java.util.TreeSet[(Double, Long)](new Comparator[(Double, Long)] {
-    override def compare(a: (Double, Long), b: (Double, Long)): Int = {
+  val set = new java.util.TreeSet[(Double, Any)](new Comparator[(Double, Any)] {
+    override def compare(a: (Double, Any), b: (Double, Any)): Int = {
       val c = java.lang.Double.compare(a._1, b._1)
-      if (c != 0) c else java.lang.Long.compare(b._2, a._2)
+      if (c != 0) c else idOrd.compare(b._2, a._2)
     }
   })
-  def add(score: Double, id: Long): Unit = {
+  def add(score: Double, id: Any): Unit = {
     set.add((score, id))
     if (set.size > k) set.pollFirst()
   }
 }
 
 /** Partial top-k aggregation: per group, the k best (score, id) pairs by
-  * (score DESC, id ASC), as `ARRAY<STRUCT<score, id>>` in rank order.
+  * (score DESC, id ASC), as `ARRAY<STRUCT<score, id>>` in rank order. The
+  * id keeps its input type — any orderable atomic type works (long ids,
+  * string doc keys, dates, …), with ties broken by the type's own order.
   *
   * This replaces the global-window top-k pattern
   * (`row_number() OVER (PARTITION BY g ORDER BY score DESC)` + filter):
@@ -52,21 +56,34 @@ case class TopKByScoreAgg(
 
   require(k >= 1, s"topk needs k >= 1, got $k")
 
+  private def idType: DataType = idChild.dataType
+  @transient private lazy val idOrdering: Ordering[Any] =
+    TypeUtils.getInterpretedOrdering(idType)
+  // (score, id) rows serialize as UnsafeRow bytes — type-agnostic, no
+  // reflection, and the same layout Spark itself spills
+  @transient private lazy val serProj: UnsafeProjection =
+    UnsafeProjection.create(Array[DataType](DoubleType, idType))
+
   override def children: Seq[Expression] = Seq(scoreChild, idChild)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(
     StructType(Seq(
       StructField("score", DoubleType, nullable = false),
-      StructField("id", LongType, nullable = false))),
+      StructField("id", idType, nullable = false))),
     containsNull = false)
 
-  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeUtils.checkForOrderingExpr(idType, prettyName)
+
+  override def createAggregationBuffer(): TopKBuffer =
+    new TopKBuffer(k, idOrdering)
 
   override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
     val s = scoreChild.eval(input)
     val i = idChild.eval(input)
+    // copy: non-primitive values (UTF8String &c) may alias a reused row
     if (s != null && i != null)
-      buf.add(s.asInstanceOf[Double], i.asInstanceOf[Long])
+      buf.add(s.asInstanceOf[Double], InternalRow.copyValue(i))
     buf
   }
 
@@ -89,19 +106,40 @@ case class TopKByScoreAgg(
   }
 
   override def serialize(buf: TopKBuffer): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + 16 * buf.set.size)
-    bb.putInt(buf.set.size)
+    val rows = new Array[Array[Byte]](buf.set.size)
+    var total = 4
     val it = buf.set.iterator()
-    while (it.hasNext) { val (s, i) = it.next(); bb.putDouble(s); bb.putLong(i) }
+    var j = 0
+    while (it.hasNext) {
+      val (s, i) = it.next()
+      // UnsafeProjection reuses one result row; for exactly-sized buffers
+      // getBytes ALIASES it, so each projection would overwrite the last —
+      // copy() snapshots to a fresh exact-size array
+      rows(j) = serProj(new GenericInternalRow(Array[Any](s, i))).copy().getBytes
+      total += 4 + rows(j).length
+      j += 1
+    }
+    val bb = ByteBuffer.allocate(total)
+    bb.putInt(rows.length)
+    rows.foreach { b => bb.putInt(b.length); bb.put(b) }
     bb.array()
   }
 
   override def deserialize(bytes: Array[Byte]): TopKBuffer = {
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getInt
-    val buf = new TopKBuffer(k)
+    val buf = new TopKBuffer(k, idOrdering)
+    val row = new UnsafeRow(2)
     var j = 0
-    while (j < n) { buf.add(bb.getDouble, bb.getLong); j += 1 }
+    while (j < n) {
+      val len = bb.getInt
+      val off = bb.position()
+      row.pointTo(bytes,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + off.toLong, len)
+      buf.add(row.getDouble(0), InternalRow.copyValue(row.get(1, idType)))
+      bb.position(off + len)
+      j += 1
+    }
     buf
   }
 
@@ -116,7 +154,7 @@ case class TopKByScoreAgg(
 }
 
 object TopKFunctions {
-  /** `ARRAY<STRUCT<score DOUBLE, id BIGINT>>` of the group's k best pairs
+  /** `ARRAY<STRUCT<score DOUBLE, id <idType>>>` of the group's k best pairs
     * by (score DESC, id ASC), already in rank order.
     */
   def topKByScore(score: Column, id: Column, k: Int): Column =

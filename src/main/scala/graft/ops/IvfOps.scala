@@ -138,6 +138,6 @@ object IvfOps {
       .withColumn("cosine",
         dot(col("qv"), col("cv")) / nullif(col("qn") * col("cn"), lit(0.0)))
       .filter(col("cosine").isNotNull)
-    SimilarityOps.rankTopK(scored, k, corpus.schema(corpusId).dataType)
+    SimilarityOps.rankTopK(scored, k)
   }
 }

@@ -1,9 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
 
 import graft.agg.TopKFunctions
 import graft.expr.VectorExprs.vecDot
@@ -48,32 +46,23 @@ object SimilarityOps {
   /** Per-query top-k of a scored frame (`query_id, corpus_id, cosine`) by
     * (cosine DESC, corpus_id ASC), emitting `rank` 1..k.
     *
-    * Integral corpus ids take the scale path: a partial top-k aggregate
-    * ([[graft.agg.TopKByScoreAgg]]) rides two-phase hash aggregation, so
-    * the shuffle carries at most |queries| x k pairs per map task instead
-    * of every scored row. Non-integral ids fall back to the window form
-    * (same semantics, full-score shuffle).
+    * Single code path for every orderable id type: the partial top-k
+    * aggregate ([[graft.agg.TopKByScoreAgg]]) rides two-phase hash
+    * aggregation, so the shuffle carries at most |queries| x k pairs per
+    * map task instead of every scored row (a `row_number` window here
+    * would shuffle and sort the whole scored corpus — the one latent
+    * scale cliff this used to have for string-keyed corpora).
     */
-  private[ops] def rankTopK(scored: DataFrame, k: Int, corpusIdType: DataType): DataFrame =
-    corpusIdType match {
-      case ByteType | ShortType | IntegerType | LongType =>
-        scored
-          .groupBy(col("query_id"))
-          .agg(TopKFunctions.topKByScore(
-            col("cosine"), col("corpus_id").cast("long"), k).as("__topk"))
-          .select(col("query_id"), posexplode(col("__topk")).as(Seq("__pos", "__hit")))
-          .select(col("query_id"),
-            (col("__pos") + 1).cast("int").as("rank"),
-            col("__hit.id").cast(corpusIdType).as("corpus_id"),
-            col("__hit.score").as("cosine"))
-      case _ =>
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("cosine").desc, col("corpus_id"))
-        scored
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= k)
-          .select(col("query_id"), col("rank"), col("corpus_id"), col("cosine"))
-    }
+  private[ops] def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy(col("query_id"))
+      .agg(TopKFunctions.topKByScore(
+        col("cosine"), col("corpus_id"), k).as("__topk"))
+      .select(col("query_id"), posexplode(col("__topk")).as(Seq("__pos", "__hit")))
+      .select(col("query_id"),
+        (col("__pos") + 1).cast("int").as("rank"),
+        col("__hit.id").as("corpus_id"),
+        col("__hit.score").as("cosine"))
 
   /** Brute-force cosine top-k: for each row of `queries`, the `k` nearest
     * corpus rows (ties broken by corpus id ascending — fully deterministic).
@@ -97,7 +86,7 @@ object SimilarityOps {
     val scored = c.crossJoin(broadcast(q))
       .withColumn("cosine", dot(col("qv"), col("cv")) / nullif(col("qn") * col("cn"), lit(0.0)))
       .filter(col("cosine").isNotNull)
-    rankTopK(scored, k, corpus.schema(corpusId).dataType)
+    rankTopK(scored, k)
   }
 
   /** Deterministic pseudo-random hyperplane weight for (plane j, dim d),
@@ -152,7 +141,7 @@ object SimilarityOps {
     val scored = c.join(broadcast(q), "bucket")
       .withColumn("cosine", dot(col("qv"), col("cv")) / nullif(col("qn") * col("cn"), lit(0.0)))
       .filter(col("cosine").isNotNull)
-    rankTopK(scored, k, corpus.schema(corpusId).dataType)
+    rankTopK(scored, k)
   }
 
   /** Multi-table LSH top-k (OR-amplification): `tables` independent bucket
@@ -193,7 +182,7 @@ object SimilarityOps {
         dot(col("query_id_v"), col("corpus_id_v")) /
           nullif(col("query_id_n") * col("corpus_id_n"), lit(0.0)))
       .filter(col("cosine").isNotNull)
-    rankTopK(cand, k, corpus.schema(corpusId).dataType)
+    rankTopK(cand, k)
   }
 
   /** LSH-bucketed embedding near-duplicate pairs — the scale path for

@@ -221,22 +221,26 @@ object PipelineQueries {
     // implementations). The exploded token stream shuffles ONCE (map-side
     // partial tf counts); df = per-token row count OVER the tf aggregate
     // (== countDistinct(doc_id), since tf has one row per (doc, token)),
-    // so no second corpus-sized shuffle and no distinct-expand. The window
-    // sorts only the tf rows — bounded by docs x per-doc vocabulary, not
-    // token occurrences.
+    // so no second corpus-sized shuffle and no distinct-expand. The
+    // per-doc selection is the bounded top-k aggregate, not a row_number
+    // window: each map task forwards <= 3 rows per doc instead of
+    // shuffling and sorting the whole tf frame. The struct id carries
+    // (token, tf, df) through the buffer; struct ordering is field-by-
+    // field and tokens are unique per doc, so ties still break token ASC.
     "q_top_terms" -> ((s, dir) => {
       val tok = t(s, dir, "documents")
         .select(col("doc_id"), explode(TextOps.tokens(lower(col("text")))).as("token"))
       val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
       val df_ = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-      val w = Window.partitionBy(col("doc_id"))
-        .orderBy(col("score").desc, col("token"))
       tf.join(broadcast(df_), "token")
         .withColumn("score", col("tf").cast("double") / col("df"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select(col("doc_id"), col("rank").cast("long").as("rank"),
-          col("token"), col("tf"), col("df"), col("score"))
+        .groupBy(col("doc_id"))
+        .agg(graft.agg.TopKFunctions.topKByScore(
+          col("score"), struct(col("token"), col("tf"), col("df")), 3).as("__t"))
+        .select(col("doc_id"), posexplode(col("__t")).as(Seq("__p", "__h")))
+        .select(col("doc_id"), (col("__p") + 1).cast("long").as("rank"),
+          col("__h.id.token").as("token"), col("__h.id.tf").as("tf"),
+          col("__h.id.df").as("df"), col("__h.score").as("score"))
     }),
 
     // ---------------------------------------------------------- sampling

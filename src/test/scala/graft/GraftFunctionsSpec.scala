@@ -99,8 +99,9 @@ class GraftFunctionsSpec extends SparkSpec {
       "SELECT vec_sum_fixed(v, 1000000) AS s FROM vsf")
       .collect().head.getSeq[Long](0)
     assert(vs == Seq(2000000L, 750000L))
-    // decimal-literal scale (how SQL users naturally write it) and an
-    // INT id through topk_by_score must both work
+    // decimal-literal scale (how SQL users naturally write it) and
+    // non-BIGINT ids through topk_by_score must both work (the id keeps
+    // its input type — INT stays INT, STRING stays STRING)
     val vsDec = spark.sql(
       "SELECT vec_sum_fixed(v, 1000000.0) AS s FROM vsf")
       .collect().head.getSeq[Long](0)
@@ -108,7 +109,11 @@ class GraftFunctionsSpec extends SparkSpec {
     val topInt = spark.sql(
       "SELECT topk_by_score(CAST(1.0 AS DOUBLE), CAST(5 AS INT), 1) AS t FROM vsf")
       .collect().head.getSeq[org.apache.spark.sql.Row](0)
-    assert(topInt.map(r => (r.getDouble(0), r.getLong(1))) == Seq((1.0, 5L)))
+    assert(topInt.map(r => (r.getDouble(0), r.getInt(1))) == Seq((1.0, 5)))
+    val topStr = spark.sql(
+      "SELECT topk_by_score(CAST(g AS DOUBLE), concat('doc_', g), 2) AS t FROM vsf")
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+    assert(topStr.map(r => (r.getDouble(0), r.getString(1))) == Seq((1.0, "doc_1")))
   }
 
   test("rolling_fingerprint / token_set_hits / subword_estimate from SQL text") {

@@ -13,11 +13,18 @@ class QueryPlanSpec extends SparkSpec {
 
   private def finalPlan(name: String): String = {
     // scan metadata (PushedFilters, ...) truncates at 100 chars by
-    // default — long predicate lists would vanish from the assertions
+    // default — long predicate lists would vanish from the assertions.
+    // Restore afterwards: the SparkSession is shared across suites.
+    val prev = spark.conf.getOption("spark.sql.maxMetadataStringLength")
     spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
-    val df = PipelineQueries.queries(name)(spark, sf)
-    df.collect() // materialize so AQE settles on the final plan
-    df.queryExecution.executedPlan.toString
+    try {
+      val df = PipelineQueries.queries(name)(spark, sf)
+      df.collect() // materialize so AQE settles on the final plan
+      df.queryExecution.executedPlan.toString
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.maxMetadataStringLength", v)
+      case None => spark.conf.unset("spark.sql.maxMetadataStringLength")
+    }
   }
 
   test("q_tpch_q5: dimension joins broadcast; no cartesian anywhere") {
@@ -116,10 +123,14 @@ class QueryPlanSpec extends SparkSpec {
 
   /** AdaptiveSparkPlan.toString appends "== Initial Plan ==" after the
     * final plan — count nodes in the FINAL section only, or every
-    * Exchange double-counts.
+    * Exchange double-counts. "Exchange" counts only SHUFFLE exchanges:
+    * without the lookbehinds, a Broadcast/ReusedExchange introduced by
+    * AQE would trip (or mask a regression in) the exact `== 1` pins.
     */
-  private def countOf(plan: String, token: String): Int =
-    token.r.findAllMatchIn(plan.split("== Initial Plan ==").head).size
+  private def countOf(plan: String, token: String): Int = {
+    val pat = if (token == "Exchange") "(?<!Broadcast)(?<!Reused)Exchange" else token
+    pat.r.findAllMatchIn(plan.split("== Initial Plan ==").head).size
+  }
 
   test("q_events_enriched: dim broadcasts, the event stream never shuffles") {
     val plan = finalPlan("q_events_enriched")

@@ -59,6 +59,23 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(out(0).getDouble(3) == 1.0)
   }
 
+  test("bruteForceTopK with STRING ids: same path, aggregate plan, no window") {
+    val corpus = Seq(
+      ("doc_a", Seq(1f, 0f)), ("doc_b", Seq(0.9f, 0.1f)),
+      ("doc_c", Seq(0f, 1f)), ("doc_0", Seq(1f, 0f)) // tie -> "doc_0" first
+    ).toDF("vec_id", "embedding")
+    val q = Seq(("query", Seq(1f, 0f))).toDF("vec_id", "embedding")
+    val out = SimilarityOps.bruteForceTopK(q, corpus, 3, "vec_id", "vec_id")
+    val rows = out.orderBy($"rank").collect()
+    assert(rows.map(_.getString(2)).toSeq == Seq("doc_0", "doc_a", "doc_b"))
+    assert(rows.map(_.getInt(1)).toSeq == Seq(1, 2, 3))
+    // plan pin: the generalized TopKByScoreAgg handles non-integral ids —
+    // no row_number window (which would shuffle every scored row)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("topk_by_score"), s"partial top-k agg expected:\n$plan")
+    assert(!plan.contains("Window"), s"no full-score window for string ids:\n$plan")
+  }
+
   test("lshTopK returns a subset of brute-force results within buckets") {
     val rnd = new scala.util.Random(13)
     val corpus = vecs((0L until 200L).map(i =>

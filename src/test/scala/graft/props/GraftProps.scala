@@ -168,14 +168,17 @@ object GraftProps extends Properties("graft") {
 
   property("TopKBuffer merge == take-k of concatenation (any split)") =
     forAll(scoredGen, Gen.chooseNum(1, 6), Gen.chooseNum(0, 1000)) { (xs, k, cut) =>
+      val longOrd = org.apache.spark.sql.catalyst.util.TypeUtils
+        .getInterpretedOrdering(org.apache.spark.sql.types.LongType)
       def fill(rows: Seq[(Double, Long)]): graft.agg.TopKBuffer = {
-        val b = new graft.agg.TopKBuffer(k)
+        val b = new graft.agg.TopKBuffer(k, longOrd)
         rows.foreach { case (s, i) => b.add(s, i) }
         b
       }
       def drain(b: graft.agg.TopKBuffer): List[(Double, Long)] = {
         val it = b.set.descendingIterator()
-        Iterator.continually(it).takeWhile(_.hasNext).map(_.next()).toList
+        Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+          .map { case (s, i) => (s, i.asInstanceOf[Long]) }.toList
       }
       val at = if (xs.isEmpty) 0 else cut % (xs.length + 1)
       val (l, r) = xs.splitAt(at)
