@@ -172,13 +172,20 @@ object GraphOps {
     * integer recurrence reproduces it exactly (a double-precision PageRank
     * cannot make either guarantee: float sums depend on reduction order).
     *
-    * Semantics notes: parallel edges are collapsed (simple graph);
-    * dangling-node mass (nodes with no out-edges) is dropped rather than
-    * redistributed — the common power-iteration simplification — so
-    * `sum(rank) <= scale` with equality iff no dangling nodes. Overflow
-    * headroom: total in-flight mass never exceeds `scale`, so
-    * `dampNum * sum` stays below `dampNum * scale` (~8.5e13 at defaults),
-    * far inside Long even under ANSI overflow checks.
+    * Semantics notes: parallel edges are collapsed (simple graph).
+    * Dangling-node mass (nodes with no out-edges) is DROPPED by default —
+    * the common power-iteration simplification — so `sum(rank) <= scale`
+    * with equality iff no dangling nodes. Pass
+    * `redistributeDangling = true` for the canonical semantics: each
+    * iteration adds one scalar aggregate (the dangling nodes' total rank,
+    * still an exact integer sum) whose per-node share `D_i div n` joins
+    * the recurrence as
+    * `rank_{i+1}(v) = base + (dampNum * (SUM contrib + D_i div n)) div
+    * dampDen` — the 1-row share broadcasts, so the per-iteration shuffle
+    * shape is unchanged. Overflow headroom: total in-flight mass never
+    * exceeds `scale` in either mode, so `dampNum * (sum + share)` stays
+    * below `dampNum * scale` (~8.5e13 at defaults), far inside Long even
+    * under ANSI overflow checks.
     *
     * Scale shape: `outdeg` is computed once and joined into the edge list
     * once; each iteration is ONE shuffle of the (node-sized) rank table by
@@ -201,7 +208,8 @@ object GraphOps {
       iters: Int,
       dampNum: Long = 85L,
       dampDen: Long = 100L,
-      scale: Long = 1000000000000L): DataFrame = {
+      scale: Long = 1000000000000L,
+      redistributeDangling: Boolean = false): DataFrame = {
     require(iters >= 0 && dampNum >= 0 && dampDen > 0 && dampNum <= dampDen)
     // overflow guard for the docstring's safety claim: the two products
     // in the recurrence are init*(dampDen-dampNum) and dampNum*sum, and
@@ -233,6 +241,14 @@ object GraphOps {
       .repartition(col("src"))
       .cache()
 
+    // dangling node set computed ONCE (node-sized, cached); per iteration
+    // its rank mass is one integer scalar aggregate
+    val danglingNodes =
+      if (redistributeDangling)
+        nodes.join(outdeg, nodes("node") === outdeg("src"), "left_anti")
+          .select(col("node")).cache()
+      else null
+
     var ranks = nodes.select(col("node"), lit(init).as("rank"))
     for (i <- 1 to iters) {
       val sums = edgesDeg
@@ -240,10 +256,25 @@ object GraphOps {
         .select(col("dst"), expr("rank div outdeg").as("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("s"))
-      val next = nodes
-        .join(sums, nodes("node") === sums("dst"), "left")
-        .select(col("node"),
-          (lit(base) + expr(s"($dampNum * coalesce(s, 0L)) div $dampDen")).as("rank"))
+      val next =
+        if (redistributeDangling) {
+          val share = danglingNodes.join(ranks, "node")
+            .agg(coalesce(sum(col("rank")), lit(0L)).as("d"))
+            .select(expr(s"d div $n").as("share"))
+          nodes
+            .join(sums, nodes("node") === sums("dst"), "left")
+            .crossJoin(broadcast(share)) // 1 row: BNLJ attach, no shuffle
+            .select(col("node"),
+              (lit(base) +
+                expr(s"($dampNum * (coalesce(s, 0L) + share)) div $dampDen"))
+                .as("rank"))
+        } else {
+          nodes
+            .join(sums, nodes("node") === sums("dst"), "left")
+            .select(col("node"),
+              (lit(base) + expr(s"($dampNum * coalesce(s, 0L)) div $dampDen"))
+                .as("rank"))
+        }
       ranks = if (i % 4 == 0 && i < iters) next.localCheckpoint(true) else next
     }
     ranks.select(col("node"), col("rank").as("rank_fp"))

@@ -574,14 +574,31 @@ object PipelineQueries {
     // not be hash-compared across engines). Per iteration the edge list
     // stays put (hash-partitioned once); only the node-sized rank table
     // moves — the iterative-graph scale shape.
+    // Node encoding: customers are 2k, suppliers 2k+1 — provably disjoint
+    // at ANY scale (an additive offset like suppkey + 1e6 silently merges
+    // nodes once custkeys cross the offset, and the oracle, sharing the
+    // encoding, could never catch it).
     "q_pagerank" -> ((s, dir) => {
       val e = t(s, dir, "orders")
         .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("cust"),
-          (col("l_suppkey") + lit(1000000L)).as("supp"))
+        .select((col("o_custkey") * lit(2L)).as("cust"),
+          (col("l_suppkey") * lit(2L) + lit(1L)).as("supp"))
       val edges = e.select(col("cust").as("src"), col("supp").as("dst"))
         .union(e.select(col("supp").as("src"), col("cust").as("dst")))
       GraphOps.pageRank(edges, "src", "dst", iters = 5)
+    }),
+
+    // Canonical PageRank semantics on the DIRECTED customer->supplier
+    // graph: every supplier is dangling (no out-edges), so this exercises
+    // the redistribute-dangling-mass mode hard — its rank mass re-enters
+    // the recurrence as an exact integer share each iteration, and the
+    // oracle unrolls the same scalar term per round.
+    "q_pagerank_dangling" -> ((s, dir) => {
+      val e = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * lit(2L)).as("src"),
+          (col("l_suppkey") * lit(2L) + lit(1L)).as("dst"))
+      GraphOps.pageRank(e, "src", "dst", iters = 3, redistributeDangling = true)
     }),
 
     // First-touch funnel signup -> view -> click -> purchase: ONE shuffle
@@ -1353,26 +1370,48 @@ object PipelineQueries {
     * iteration count is a literal because SQL has no loop — each round is
     * its own CTE reading the previous one.
     */
-  private def pageRankOracle(iters: Int): String = {
+  private def pageRankOracle(iters: Int, dangling: Boolean = false): String = {
+    // per round: optional dangling share d$i (sum of the previous ranks
+    // over nodes with no out-edges, integer-divided by n), then the rank
+    // recurrence — mirrors GraphOps.pageRank(redistributeDangling = ...)
     val rounds = (1 to iters).map { i =>
-      s"""r$i AS (SELECT n.node,
-         |  (SELECT base FROM p) + (85 * coalesce(s.s, 0)) // 100 AS rank
+      val shareCte =
+        if (dangling)
+          s"""d$i AS (SELECT coalesce(sum(rank), 0) // (SELECT n FROM p) AS share
+             |  FROM r${i - 1} WHERE node NOT IN (SELECT src FROM deg)),
+             |""".stripMargin
+        else ""
+      val contrib =
+        if (dangling) s"(coalesce(s.s, 0) + (SELECT share FROM d$i))"
+        else "coalesce(s.s, 0)"
+      s"""${shareCte}r$i AS (SELECT n.node,
+         |  (SELECT base FROM p) + (85 * $contrib) // 100 AS rank
          |  FROM nodes n LEFT JOIN (
          |    SELECT e.dst, sum(r.rank // d.outdeg) AS s
          |    FROM edges e JOIN deg d ON e.src = d.src
          |    JOIN r${i - 1} r ON r.node = e.src
          |    GROUP BY e.dst) s ON n.node = s.dst)""".stripMargin
     }.mkString(",\n")
-    s"""WITH eraw AS (
-       |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
-       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-       |edges AS (SELECT src, dst FROM eraw UNION SELECT dst, src FROM eraw),
+    // customers 2k, suppliers 2k+1: disjoint at any scale (an additive
+    // offset merges nodes once keys outgrow it — and the shared encoding
+    // would hide that from the hash compare)
+    val eraw =
+      """eraw AS (
+        |  SELECT DISTINCT CAST(2 * o_custkey AS BIGINT) AS src,
+        |    CAST(2 * l_suppkey + 1 AS BIGINT) AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey)""".stripMargin
+    val edges =
+      if (dangling) "edges AS (SELECT src, dst FROM eraw)"
+      else "edges AS (SELECT src, dst FROM eraw UNION SELECT dst, src FROM eraw)"
+    s"""WITH $eraw,
+       |$edges,
        |nodes AS (SELECT DISTINCT src AS node FROM edges
        |          UNION SELECT DISTINCT dst FROM edges),
        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
        |        FROM edges GROUP BY src),
        |p AS (SELECT CAST(1000000000000 AS BIGINT) // count(*) AS init,
-       |  (CAST(1000000000000 AS BIGINT) // count(*)) * 15 // 100 AS base
+       |  (CAST(1000000000000 AS BIGINT) // count(*)) * 15 // 100 AS base,
+       |  CAST(count(*) AS BIGINT) AS n
        |  FROM nodes),
        |r0 AS (SELECT node, (SELECT init FROM p) AS rank FROM nodes),
        |$rounds
@@ -1899,6 +1938,8 @@ object PipelineQueries {
         |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
 
     "q_pagerank" -> pageRankOracle(iters = 5),
+
+    "q_pagerank_dangling" -> pageRankOracle(iters = 3, dangling = true),
 
     "q_quality_filter" ->
       s"""WITH q AS (

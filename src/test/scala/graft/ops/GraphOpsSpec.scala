@@ -135,6 +135,52 @@ class GraphOpsSpec extends SparkSpec {
     assert(got.values.sum < 1000000000000L)
   }
 
+  /** Sequential twin of the redistribute-dangling recurrence. */
+  private def pageRankDanglingLocal(
+      edges: Seq[(Long, Long)],
+      iters: Int,
+      scale: Long = 1000000000000L): Map[Long, Long] = {
+    val es = edges.distinct
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+    val n = nodes.size.toLong
+    val init = scale / n
+    val base = init * 15L / 100L
+    val outdeg = es.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    var rank = nodes.map(_ -> init).toMap
+    for (_ <- 1 to iters) {
+      val share = nodes.filterNot(outdeg.contains).map(rank).sum / n
+      val in = es.groupBy(_._2).map { case (dst, ins) =>
+        dst -> ins.map(e => rank(e._1) / outdeg(e._1)).sum
+      }
+      rank = nodes.map(v =>
+        v -> (base + 85L * (in.getOrElse(v, 0L) + share) / 100L)).toMap
+    }
+    rank
+  }
+
+  test("pageRank redistributes dangling mass when asked (canonical semantics)") {
+    // 1 -> 2, 2 dangling; 3 -> 2 as well. In drop mode node 2's mass
+    // leaks; in redistribute mode every node receives its share back.
+    val edges = Seq((1L, 2L), (3L, 2L), (1L, 3L))
+    val got = GraphOps.pageRank(
+      edges.toDF("s", "d"), "s", "d", 4, redistributeDangling = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == pageRankDanglingLocal(edges, 4))
+    // retains strictly more mass than drop mode
+    assert(got.values.sum > pageRankOf(edges, 4).values.sum)
+    // hand computation, iteration 1, n=3, init=333333333333, base=49999999999:
+    // outdeg(1)=2, outdeg(3)=1; dangling={2}: share = init/3 = 111111111111
+    // in(2) = init/2 + init = 499999999999; in(3) = init/2 = 166666666666
+    val init = 1000000000000L / 3
+    val base = init * 15 / 100
+    val share = init / 3
+    val r1 = Map(
+      1L -> (base + 85 * share / 100),
+      2L -> (base + 85 * (init / 2 + init + share) / 100),
+      3L -> (base + 85 * (init / 2 + share) / 100))
+    assert(pageRankDanglingLocal(edges, 1) == r1)
+  }
+
   test("pageRank: empty edge set yields an empty rank frame; self-loops feed themselves") {
     assert(pageRankOf(Seq.empty, 3).isEmpty)
     // 1 -> 1 self-loop plus 1 -> 2: self-loop mass recirculates; both
