@@ -101,6 +101,12 @@ object ModisDemo {
     L3Writer.write(l3, cfg, outPath,
       packings = Map("Cloud_Top_Pressure_Mean" -> L3Writer.Packing(0.1, 0.0, -9999)))
 
+    // binary sink: the reference-shaped netCDF-3 classic file
+    L3Writer.writeNetcdf(l3, cfg, s"$outPath.nc",
+      packings = Map("Cloud_Top_Pressure_Mean" -> L3Writer.Packing(0.1, 0.0, -9999)))
+    val nc = graft.io.NetCDF3.read(s"$outPath.nc")
+    println(s"[demo] netCDF L3: ${nc.vars.map(_.name).mkString(", ")}")
+
     val back = spark.read.parquet(outPath)
     println(s"[demo] L3 grid rows: ${back.count()} (grid ${cfg.grid.gridLat}x${cfg.grid.gridLon})")
     back.orderBy($"cell").show(5, truncate = false)

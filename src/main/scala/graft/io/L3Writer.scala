@@ -178,4 +178,190 @@ object L3Writer {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(path, "cf_attrs.json"), json)
   }
+
+  private val IndexCols = Set("cell", "lat_idx", "lon_idx", "lat_center", "lon_center")
+
+  /** Full L3 export as a REAL netCDF-3 classic file — the binary,
+    * self-describing equivalent of the reference's HDF5 sink
+    * (`aggregate_functions.py:724-757`), openable by any netCDF consumer.
+    *
+    * Layout mirrors the reference file exactly:
+    *   - `lat_bnd`/`lon_bnd` axis variables (cell centers, `:727-733`),
+    *     which are also the DIMENSION names of every gridded variable —
+    *     netCDF's native form of the reference's `dims[i].label` calls;
+    *   - one dense `[lat_bnd, lon_bnd]` variable per statistic, int-packed
+    *     by [[packGrid]] with `_1km` stripped (`:745-748`), cloud-fraction
+    *     scaling forced (`:741-744`);
+    *   - 1-D/2-D histograms as `[lat_bnd, lon_bnd, <name>_bin(_x/_y)]`
+    *     variables (the reference's `reshape([lat, lon, bins...])`,
+    *     `:704-717`), zero-filled where no pixels fell;
+    *   - per-variable `units`, `long_name`, `_FillValue`, `scale_factor`,
+    *     `add_offset` attributes ([[cfAttrs]] = reference `:446-453`).
+    *
+    * Cells absent from the (possibly sparse) grid frame surface as
+    * `_FillValue` for packed statistics and 0 for counts/histograms —
+    * the reference's init values (`+inf -> fill` / zeros) after packing.
+    *
+    * The grid is collected to the driver: at most gridLat x gridLon cells
+    * (64,800 at 1 degree) — the same driver-small bound the reference's
+    * `h5py` writes rely on; the distributed output path is [[writeL3]].
+    * netCDF-3 classic has no 64-bit integer type, so packed/count values
+    * must fit Int32 (checked; the reference's own packing guarantees it
+    * for every canonical variable).
+    */
+  def writeNetcdf(
+      grid: DataFrame,
+      cfg: JobConfig,
+      path: String,
+      packings: Map[String, Packing] = Map.empty,
+      varAttrs: Map[String, PixelSource.VarAttrs] = Map.empty,
+      mode: SaveMode = SaveMode.ErrorIfExists): Unit = {
+    import NetCDF3._
+    val file = new java.io.File(path)
+    if (file.exists()) {
+      if (mode == SaveMode.ErrorIfExists)
+        throw new IllegalStateException(
+          s"output path $path already exists (reference output-exists guard)")
+      if (mode == SaveMode.Ignore) return
+    }
+    val nLat = cfg.grid.gridLat
+    val nLon = cfg.grid.gridLon
+    val indexed = GridAggregation.withGridIndexes(grid, cfg)
+    val packed = packGrid(indexed, packings)
+    val rows = packed.collect()
+    val schema = packed.schema
+    val attrs = cfAttrs(indexed.columns.toSeq, packings, varAttrs)
+
+    def attD(name: String, key: String, dflt: Double): Double =
+      attrs.get(name).flatMap(_.get(key)).map(_.toDouble).getOrElse(dflt)
+    def isCount(c: String) = c == "GRID_Counts" || c.contains("Pixel_Counts")
+    def checkedInt(c: String, v: Long): Int = {
+      require(v >= Int.MinValue && v <= Int.MaxValue,
+        s"$c: packed value $v exceeds netCDF-3 classic Int32 range")
+      v.toInt
+    }
+    def cellOf(r: org.apache.spark.sql.Row): Int = {
+      val lat = r.getAs[Number]("lat_idx").intValue()
+      val lon = r.getAs[Number]("lon_idx").intValue()
+      require(lat >= 0 && lat < nLat && lon >= 0 && lon < nLon,
+        s"grid index ($lat, $lon) outside ${nLat}x$nLon")
+      lat * nLon + lon
+    }
+    // bin counts for histogram columns, from the job spec (output names
+    // are _1km-stripped, so match on stripped var names too)
+    def varFor(c: String): Option[graft.model.VarSpec] =
+      cfg.vars.find(v => c.startsWith(outputName(v.name)))
+
+    val dims = scala.collection.mutable.ArrayBuffer(
+      Dim("lat_bnd", nLat), Dim("lon_bnd", nLon))
+    def dimId(d: Dim): Int = {
+      val i = dims.indexWhere(_.name == d.name)
+      if (i >= 0) { require(dims(i).length == d.length,
+        s"dim ${d.name} redefined with a different length"); i }
+      else { dims += d; dims.length - 1 }
+    }
+
+    def commonAtts(c: String, fillAsInt: Boolean): Seq[Att] = {
+      val m = attrs.getOrElse(c, Map.empty)
+      Seq(
+        m.get("units").map(u => Att("units", CharAtt(u))),
+        m.get("long_name").filter(_.nonEmpty).map(l => Att("long_name", CharAtt(l))),
+        m.get("_FillValue").map { f =>
+          if (fillAsInt) Att("_FillValue", IntAtt(Seq(f.toDouble.toInt)))
+          else Att("_FillValue", DoubleAtt(Seq(f.toDouble)))
+        },
+        m.get("scale_factor").map(s => Att("scale_factor", DoubleAtt(Seq(s.toDouble)))),
+        m.get("add_offset").map(o => Att("add_offset", DoubleAtt(Seq(o.toDouble))))
+      ).flatten
+    }
+
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType, LongType}
+    val dataVars: Seq[Var] = schema.fields.filterNot(f => IndexCols(f.name)).map { f =>
+      val c = f.name
+      f.dataType match {
+        case LongType | IntegerType =>
+          val init = if (isCount(c)) 0 else attD(c, "_FillValue", -9999.0).toInt
+          val dense = Array.fill(nLat * nLon)(init)
+          rows.foreach { r =>
+            if (!r.isNullAt(r.fieldIndex(c)))
+              dense(cellOf(r)) = checkedInt(c, r.getAs[Number](c).longValue())
+          }
+          Var(c, Seq(0, 1), NcInt, commonAtts(c, fillAsInt = true), dense)
+        case DoubleType | FloatType =>
+          val init = attD(c, "_FillValue", -9999.0)
+          val dense = Array.fill(nLat * nLon)(init)
+          rows.foreach { r =>
+            if (!r.isNullAt(r.fieldIndex(c)))
+              dense(cellOf(r)) = r.getAs[Number](c).doubleValue()
+          }
+          Var(c, Seq(0, 1), NcDouble, commonAtts(c, fillAsInt = false), dense)
+        case ArrayType(ArrayType(LongType | IntegerType, _), _) =>
+          val v = varFor(c)
+          val bx = v.map(_.binEdges.size - 1)
+          val by = v.flatMap(_.joint).map(_.jointEdges.size - 1)
+          val sample = rows.iterator.map(r => r.fieldIndex(c) -> r)
+            .collectFirst { case (i, r) if !r.isNullAt(i) =>
+              r.getSeq[scala.collection.Seq[Long]](i) }
+          val nx = bx.orElse(sample.map(_.size)).getOrElse(
+            throw new IllegalArgumentException(s"$c: cannot infer bin count"))
+          val ny = by.orElse(sample.map(_.head.size)).getOrElse(
+            throw new IllegalArgumentException(s"$c: cannot infer joint bin count"))
+          val dense = new Array[Int](nLat * nLon * nx * ny)
+          rows.foreach { r =>
+            val i = r.fieldIndex(c)
+            if (!r.isNullAt(i)) {
+              val base = cellOf(r) * nx * ny
+              val m = r.getSeq[scala.collection.Seq[Long]](i)
+              require(m.size == nx && m.forall(_.size == ny),
+                s"$c: ragged 2-D histogram (${m.size} x ?) != $nx x $ny")
+              var x = 0
+              while (x < nx) {
+                var y = 0
+                while (y < ny) {
+                  dense(base + x * ny + y) = checkedInt(c, m(x)(y)); y += 1
+                }
+                x += 1
+              }
+            }
+          }
+          val dx = dimId(Dim(s"${c}_bin_x", nx))
+          val dy = dimId(Dim(s"${c}_bin_y", ny))
+          Var(c, Seq(0, 1, dx, dy), NcInt, commonAtts(c, fillAsInt = true), dense)
+        case ArrayType(LongType | IntegerType, _) =>
+          val nb = varFor(c).map(_.binEdges.size - 1).orElse {
+            rows.iterator.map(r => r.fieldIndex(c) -> r)
+              .collectFirst { case (i, r) if !r.isNullAt(i) => r.getSeq[Long](i).size }
+          }.getOrElse(
+            throw new IllegalArgumentException(s"$c: cannot infer bin count"))
+          val dense = new Array[Int](nLat * nLon * nb)
+          rows.foreach { r =>
+            val i = r.fieldIndex(c)
+            if (!r.isNullAt(i)) {
+              val base = cellOf(r) * nb
+              val h = r.getSeq[Long](i)
+              require(h.size == nb, s"$c: histogram length ${h.size} != $nb")
+              var x = 0
+              while (x < nb) { dense(base + x) = checkedInt(c, h(x)); x += 1 }
+            }
+          }
+          val db = dimId(Dim(s"${c}_bin", nb))
+          Var(c, Seq(0, 1, db), NcInt, commonAtts(c, fillAsInt = true), dense)
+        case other =>
+          throw new IllegalArgumentException(
+            s"$c: unsupported grid column type $other for netCDF export")
+      }
+    }.toSeq
+
+    val axisVars = Seq(
+      Var("lat_bnd", Seq(0), NcDouble,
+        Seq(Att("units", CharAtt("degrees")),
+          Att("long_name", CharAtt("Latitude_boundaries"))),
+        latBounds(cfg).toArray),
+      Var("lon_bnd", Seq(1), NcDouble,
+        Seq(Att("units", CharAtt("degrees")),
+          Att("long_name", CharAtt("Longitude_boundaries"))),
+        lonBounds(cfg).toArray))
+
+    NetCDF3.write(NcFile(dims.toSeq, Seq.empty, axisVars ++ dataVars), path)
+  }
 }

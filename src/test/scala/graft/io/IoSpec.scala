@@ -191,4 +191,97 @@ class IoSpec extends SparkSpec {
     // output-exists guard applies to the whole container
     intercept[Exception] { L3Writer.writeL3(grid, cfg, out) }
   }
+
+  test("writeNetcdf emits the reference-shaped binary L3 file (netCDF-3 classic)") {
+    import graft.io.NetCDF3._
+    // 6 x 12 grid (30-degree cells) with a scalar stat, counts, a 3-bin
+    // histogram and a 2x3 joint histogram; cells 0=(0,0) and 13=(1,1)
+    val cfg = JobConfig(
+      grid = GridSpec(Region(-90, 90, -180, 180), 30.0, 30.0),
+      vars = Seq(VarSpec("Cloud_Top_Pressure_1km",
+        binEdges = Seq(0.0, 300.0, 700.0, 1100.0),
+        joint = Some(JointSpec("Cloud_Top_Temperature_1km", Seq(180.0, 240.0, 280.0, 310.0))))))
+    val grid = Seq(
+      (0L, 812.5, 10L, 0.25, Seq(1L, 2L, 7L),
+        Seq(Seq(1L, 0L, 2L), Seq(0L, 3L, 4L), Seq(5L, 0L, 0L))),
+      (13L, 401.0, 4L, 0.5, Seq(0L, 4L, 0L),
+        Seq(Seq(0L, 1L, 0L), Seq(2L, 0L, 1L), Seq(0L, 0L, 6L))))
+      .toDF("cell", "Cloud_Top_Pressure_1km_Mean",
+        "Cloud_Top_Pressure_1km_Pixel_Counts", "cloud_fraction_Mean",
+        "Cloud_Top_Pressure_1km_Histogram_Counts",
+        "Cloud_Top_Pressure_1km_Jhisto_vs_Cloud_Top_Temperature_1km")
+    val ctpAttrs = PixelSource.VarAttrs(
+      units = "hPa", longName = "Cloud Top Pressure",
+      fillValue = -32768, scaleFactor = 0.1, addOffset = -15000.0)
+    val out = Files.createTempDirectory("nc").resolve("l3.nc").toString
+    L3Writer.writeNetcdf(grid, cfg, out,
+      packings = Map("Cloud_Top_Pressure_1km_Mean" ->
+        L3Writer.Packing(0.1, -15000.0, -32768L)),
+      varAttrs = Map("Cloud_Top_Pressure_1km" -> ctpAttrs))
+
+    val nc = NetCDF3.read(out)
+    // dims: the two axes plus the histogram bin dims, _1km stripped
+    assert(nc.dims.take(2) == Seq(Dim("lat_bnd", 6), Dim("lon_bnd", 12)))
+    assert(nc.dims.contains(Dim("Cloud_Top_Pressure_Histogram_Counts_bin", 3)))
+    assert(nc.dims.contains(
+      Dim("Cloud_Top_Pressure_Jhisto_vs_Cloud_Top_Temperature_bin_x", 3)))
+    assert(nc.dims.contains(
+      Dim("Cloud_Top_Pressure_Jhisto_vs_Cloud_Top_Temperature_bin_y", 3)))
+
+    def v(name: String): Var = nc.vars.find(_.name == name).getOrElse(
+      fail(s"variable $name missing: ${nc.vars.map(_.name)}"))
+
+    // axis variables are the cell centers with the reference attrs
+    assert(v("lat_bnd").data.asInstanceOf[Array[Double]].toSeq ==
+      (0 until 6).map(i => -90.0 + 15.0 + i * 30.0))
+    assert(v("lon_bnd").data.asInstanceOf[Array[Double]].toSeq ==
+      (0 until 12).map(i => -180.0 + 15.0 + i * 30.0))
+    assert(v("lat_bnd").atts.contains(Att("long_name", CharAtt("Latitude_boundaries"))))
+
+    // packed mean: cell 0 -> dense [0], cell 13 -> dense [1*12 + 1];
+    // everything else the fill value
+    val mean = v("Cloud_Top_Pressure_Mean")
+    assert(mean.dimIds == Seq(0, 1) && mean.ncType == NcInt)
+    val md = mean.data.asInstanceOf[Array[Int]]
+    assert(md(0) == math.round(812.5 / 0.1 + -15000.0).toInt)
+    assert(md(13) == math.round(401.0 / 0.1 + -15000.0).toInt)
+    assert(md(1) == -32768 && md.count(_ != -32768) == 2)
+    assert(mean.atts.contains(Att("_FillValue", IntAtt(Seq(-32768)))))
+    assert(mean.atts.contains(Att("scale_factor", DoubleAtt(Seq(0.1)))))
+    assert(mean.atts.contains(Att("units", CharAtt("hPa"))))
+
+    // counts: absent cells are 0, not fill
+    val cnt = v("Cloud_Top_Pressure_Pixel_Counts").data.asInstanceOf[Array[Int]]
+    assert(cnt(0) == 10 && cnt(13) == 4 && cnt.sum == 14)
+
+    // forced cloud-fraction packing (reference :741-744)
+    val cf = v("cloud_fraction_Mean")
+    assert(cf.data.asInstanceOf[Array[Int]](0) == 2500)
+    assert(cf.atts.contains(Att("scale_factor", DoubleAtt(Seq(1e-4)))))
+    assert(cf.atts.contains(Att("_FillValue", IntAtt(Seq(-9999)))))
+
+    // histogram: [lat, lon, bin] dense layout, zero elsewhere
+    val h = v("Cloud_Top_Pressure_Histogram_Counts")
+    assert(h.dimIds.length == 3)
+    val hd = h.data.asInstanceOf[Array[Int]]
+    assert(hd.slice(0, 3).toSeq == Seq(1, 2, 7))
+    assert(hd.slice(13 * 3, 13 * 3 + 3).toSeq == Seq(0, 4, 0))
+    assert(hd.sum == 1 + 2 + 7 + 4)
+
+    // joint histogram: [lat, lon, bin_x, bin_y], row-major x then y
+    val j = v("Cloud_Top_Pressure_Jhisto_vs_Cloud_Top_Temperature")
+    assert(j.dimIds.length == 4)
+    val jd = j.data.asInstanceOf[Array[Int]]
+    assert(jd.slice(0, 9).toSeq == Seq(1, 0, 2, 0, 3, 4, 5, 0, 0))
+    assert(jd.slice(13 * 9, 13 * 9 + 9).toSeq == Seq(0, 1, 0, 2, 0, 1, 0, 0, 6))
+    assert(jd.sum == (1 + 2 + 3 + 4 + 5) + (1 + 2 + 1 + 6))
+
+    // the file really is netCDF-3 classic: magic bytes + re-write identity
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(out))
+    assert(bytes(0) == 'C' && bytes(1) == 'D' && bytes(2) == 'F' && bytes(3) == 1)
+    assert(NetCDF3.toBytes(nc).toSeq == bytes.toSeq)
+
+    // output-exists guard
+    intercept[Exception] { L3Writer.writeNetcdf(grid, cfg, out) }
+  }
 }
