@@ -6,12 +6,18 @@ object TimeOne {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val name = args(0)
-    val fn = graft.SparkEntry.queries(name)
-    for (i <- 1 to 3) {
-      val t0 = System.nanoTime()
-      fn(spark, "/root/testdata/sf0.1").write.mode("overwrite").format("noop").save()
-      println(f"[timeone] $name run$i ${(System.nanoTime()-t0)/1e9}%.2f s")
+    // comma-separated names share one warm JVM; min-of-3 is the number to
+    // trust on this host (2-5x CPU-steal variance)
+    args(0).split(',').foreach { name =>
+      val fn = graft.SparkEntry.queries(name)
+      val times = (1 to 3).map { i =>
+        val t0 = System.nanoTime()
+        fn(spark, "/root/testdata/sf0.1").write.mode("overwrite").format("noop").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[timeone] $name run$i $dt%.2f s")
+        dt
+      }
+      println(f"[timeone] $name min ${times.min}%.2f s")
     }
     spark.stop()
   }

@@ -18,7 +18,7 @@ class QueryPlanSpec extends SparkSpec {
     val prev = spark.conf.getOption("spark.sql.maxMetadataStringLength")
     spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
     try {
-      val df = PipelineQueries.queries(name)(spark, sf)
+      val df = SparkEntry.queries(name)(spark, sf)
       df.collect() // materialize so AQE settles on the final plan
       df.queryExecution.executedPlan.toString
     } finally prev match {
@@ -176,6 +176,28 @@ class QueryPlanSpec extends SparkSpec {
     val plan = finalPlan("q_moving_avg")
     assert(countOf(plan, "Exchange") == 1,
       s"custkey pre-partitioning must serve both the agg and the window:\n$plan")
+  }
+
+  test("steal-noise watchlist: the six round-2 'regressed' queries keep their shapes") {
+    // BENCH_r02 showed these 1.3-2.1x slower than round 1 with no plan
+    // change; warm min-of-3 re-measurement confirmed steal noise. These
+    // pins make a TRUE plan regression impossible to hide behind it.
+    val plan1 = finalPlan("q_s4_l3_grid") //   partial agg -> 1 cell shuffle
+    assert(countOf(plan1, "Exchange") == 1, s"q_s4_l3_grid one shuffle:\n$plan1")
+    val plan2 = finalPlan("q_count_distinct") // multi-distinct Expand rewrite
+    assert(countOf(plan2, "Exchange") == 2,
+      s"q_count_distinct exactly two shuffles:\n$plan2")
+    val plan3 = finalPlan("q_multimodal_features") // pure map, no shuffle
+    assert(countOf(plan3, "Exchange") == 0 && plan3.contains("MapPartitions"),
+      s"q_multimodal_features stays map-shaped:\n$plan3")
+    val plan4 = finalPlan("q_s1_catalog")
+    assert(countOf(plan4, "Exchange") == 1, s"q_s1_catalog one shuffle:\n$plan4")
+    val plan5 = finalPlan("q_p6_sampling") // row-local decimation at the scan
+    assert(countOf(plan5, "Exchange") == 0 && !plan5.contains("Join"),
+      s"q_p6_sampling must not shuffle:\n$plan5")
+    val plan6 = finalPlan("q_rollup") // one Expand pass, one shuffle
+    assert(countOf(plan6, "Exchange") == 1 && plan6.contains("Expand"),
+      s"q_rollup one expand + one shuffle:\n$plan6")
   }
 
   test("q_pagerank: no cartesian or nested-loop anywhere in the iteration") {
