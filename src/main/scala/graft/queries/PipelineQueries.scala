@@ -230,7 +230,11 @@ object PipelineQueries {
     "q_top_terms" -> ((s, dir) => {
       val tok = t(s, dir, "documents")
         .select(col("doc_id"), explode(TextOps.tokens(lower(col("text")))).as("token"))
+      // cache the shared tf leg: without it the df side RE-SCANS the
+      // corpus and repeats the (doc, token) shuffle (differing downstream
+      // projections defeat exchange reuse — same trap as TPC-H Q15/Q17)
       val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+        .cache()
       val df_ = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
       tf.join(broadcast(df_), "token")
         .withColumn("score", col("tf").cast("double") / col("df"))
