@@ -251,6 +251,10 @@ object GraphOps {
 
     var ranks = nodes.select(col("node"), lit(init).as("rank"))
     for (i <- 1 to iters) {
+      // dangling mode consumes the rank table TWICE per iteration (edge
+      // contributions + the dangling scalar); without a cache the second
+      // consumer re-computes the whole lineage — exponential in iters
+      if (redistributeDangling) ranks = ranks.cache()
       val sums = edgesDeg
         .join(ranks, edgesDeg("src") === ranks("node"))
         .select(col("dst"), expr("rank div outdeg").as("c"))
