@@ -62,6 +62,16 @@ object IvfOps {
       slice(reverse(array_sort(scoredCentroids(vec, cents))), 1, nprobe),
       x => (-x.getField("nc")).cast("int"))
 
+  /** Deterministic integer-valued centroids from the shared plane-weight
+    * schedule — for gating the SEARCH path against a SQL oracle with the
+    * centroids inlined as literals on both sides (training itself cannot
+    * be static SQL; see q_sim_ivf_topk). Integer-valued doubles embed
+    * exactly in SQL text, so assignment/probe argmax compares are
+    * bit-identical across engines.
+    */
+  def literalCentroids(k: Int, dims: Int): Array[Array[Double]] =
+    Array.tabulate(k, dims)((j, d) => SimilarityOps.planeWeight(j, d).toDouble)
+
   private def normalized(v: Array[Double]): Array[Double] = {
     val n = math.sqrt(v.map(x => x * x).sum)
     if (n == 0) v else v.map(_ / n)

@@ -487,6 +487,19 @@ object PipelineQueries {
       IvfOps.ivfTopK(e.filter(col("vec_id") < 10), e, k = 10, cents, nprobe = 4)
     }),
 
+    // The IVF SEARCH path gated end to end with a DuckDB oracle: the
+    // centroids are FIXED integer literals (training is the genuinely
+    // un-oracle-able half — see q_sim_ivf_topk), so the row-local corpus
+    // assignment argmax, the query's nprobe probe selection, and the
+    // candidates-only cosine top-k all hash-compare exactly. Composes the
+    // proven literal-weight dot (q_embed_project) + window top-k
+    // (q_sim_topk) pieces.
+    "q_sim_ivf_literal" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      IvfOps.ivfTopK(e.filter(col("vec_id") < 10), e, k = 10,
+        IvfOps.literalCentroids(4, 64), nprobe = 2)
+    }),
+
     // JL random projection 64 -> 16 dims: deterministic literal planes,
     // pure map (the cheap front of ANN/clustering pipelines). Bit-exact
     // vs the oracle: integer weights, sequential fold, power-of-two scale.
@@ -1422,7 +1435,52 @@ object PipelineQueries {
        |SELECT node, CAST(rank AS BIGINT) AS rank_fp FROM r$iters""".stripMargin
   }
 
+  /** DuckDB twin of the literal-centroid IVF search (q_sim_ivf_literal):
+    * per-vector dots against the K=4 inlined centroids, sequential-CASE
+    * argmax for the corpus assignment (ties -> lowest cid, matching the
+    * struct-max tie-break in [[IvfOps.assignmentCol]]), the query's
+    * second probe as the argmax over the complement, then the standard
+    * cosine + window top-k over candidates from the probed lists only.
+    */
+  private def ivfLiteralOracle: String = {
+    val cents = IvfOps.literalCentroids(4, 64)
+    def dotLit(c: Array[Double]): String = {
+      val ws = c.map(_.toString).mkString("[", ", ", "]")
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(" +
+        s"range(1, len(embedding) + 1), i -> CAST(embedding[i] AS DOUBLE) * ($ws)[i])), " +
+        s"(acc, v) -> acc + v)"
+    }
+    def argmax(ids: Seq[Int]): String =
+      ids.init.zipWithIndex.map { case (c, idx) =>
+        val rest = ids.drop(idx + 1)
+        s"WHEN ${rest.map(r => s"d$c >= d$r").mkString(" AND ")} THEN $c"
+      }.mkString("CASE ", " ", s" ELSE ${ids.last} END")
+    val all = 0 until 4
+    val p2 = all.map(p =>
+      s"WHEN $p THEN ${argmax(all.filterNot(_ == p))}")
+      .mkString("CASE p1 ", " ", " END")
+    val cos = SimilarityOps.Sql.cosine("q.embedding", "c.embedding")
+    s"""WITH a AS (
+       |  SELECT vec_id, embedding,
+       |${cents.zipWithIndex.map { case (c, i) => s"    ${dotLit(c)} AS d$i" }
+        .mkString(",\n")}
+       |  FROM embeddings),
+       |c AS (SELECT vec_id, embedding, ${argmax(all)} AS cid FROM a),
+       |qp AS (SELECT vec_id, embedding, d0, d1, d2, d3,
+       |         ${argmax(all)} AS p1
+       |       FROM a WHERE vec_id < 10),
+       |q AS (SELECT vec_id, embedding, p1, $p2 AS p2 FROM qp)
+       |SELECT query_id, rank, corpus_id, cosine FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, $cos AS cosine,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY $cos DESC, c.vec_id) AS rank
+       |  FROM q JOIN c ON c.cid IN (q.p1, q.p2)
+       |  WHERE $cos IS NOT NULL)
+       |WHERE rank <= 10""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_sim_ivf_literal" -> ivfLiteralOracle,
     "q_text_stats" ->
       s"""SELECT doc_id,
          | CAST(${S.tokenCount("text")} AS INTEGER) AS n_tokens,
