@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Lake-layout sinks: writing a processed corpus OUT is as much a part of
+  * the 100 TB pipeline as reading it in. The failure mode at scale is not
+  * correctness but layout: one file per task gives millions of small files
+  * (name-node pressure, slow listings, tiny row groups), while a blind
+  * `coalesce(1)` serializes the write. The fix is explicit file sizing:
+  * decide files-per-partition up front, spread the write with one
+  * hash-keyed shuffle, and let `maxRecordsPerFile` enforce the per-file
+  * cap exactly.
+  */
+object LakeOps {
+
+  /** Write `df` as a hive-partitioned parquet dataset with SIZED files:
+    * every output file holds at most `targetRowsPerFile` rows (enforced by
+    * the writer's `maxRecordsPerFile`, a hard cap), and each partition
+    * value is spread over `ceil(rows / targetRowsPerFile)` shards by a
+    * deterministic hash of `shardKey` (content-keyed, so the layout is
+    * reproducible and clustered input order cannot skew a writer task).
+    *
+    * Plan shape: one small count-by-partition aggregate (bounded by the
+    * number of distinct partition values — broadcast-small by the same
+    * argument as any dimension table; it becomes a row-local chained
+    * literal, never a join), then ONE shuffle of the corpus on
+    * (partitionCols, shard). No global sort, no driver-side row movement.
+    *
+    * Returns the layout plan (partition value -> shard count) so callers
+    * and tests can audit file sizing without listing the filesystem.
+    */
+  /** The file-sizing plan as a frame: one row per distinct partition
+    * value with its row count and `ceil(rows / targetRowsPerFile)` file
+    * count (exact integer arithmetic — SQL-oracle-able, q_lake_layout).
+    */
+  def layoutPlan(
+      df: DataFrame,
+      partitionCols: Seq[String],
+      targetRowsPerFile: Long): DataFrame = {
+    require(partitionCols.nonEmpty, "need at least one partition column")
+    require(targetRowsPerFile >= 1, "targetRowsPerFile must be >= 1")
+    df.groupBy(partitionCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("n_files",
+        expr(s"(n_rows + ${targetRowsPerFile - 1}) div $targetRowsPerFile"))
+  }
+
+  def writeSharded(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String],
+      shardKey: Column,
+      targetRowsPerFile: Long,
+      mode: SaveMode = SaveMode.ErrorIfExists): Map[Seq[String], Int] = {
+    val pcols = partitionCols.map(col)
+    // small: one row per distinct partition value
+    val counts = layoutPlan(df, partitionCols, targetRowsPerFile).collect()
+    val plan: Map[Seq[String], Int] = counts.map { r =>
+      val key = partitionCols.indices.map(i => String.valueOf(r.get(i)))
+      key -> r.getAs[Number]("n_files").intValue()
+    }.toMap
+    val nShards: Column = plan.foldLeft(lit(1)) { case (acc, (key, files)) =>
+      val matches = partitionCols.zip(key).map { case (c, v) =>
+        col(c).cast("string") <=> lit(v)
+      }.reduce(_ && _)
+      when(matches, lit(files)).otherwise(acc)
+    }
+    df.withColumn("__shard", pmod(xxhash64(shardKey), nShards))
+      .repartition((pcols :+ col("__shard")): _*)
+      .drop("__shard")
+      .write
+      .partitionBy(partitionCols: _*)
+      // the hard cap: hash imbalance or task-hash collisions can place
+      // more than targetRowsPerFile rows in one (task, dir) pair; the
+      // writer then rolls the file, so NO file ever exceeds the target
+      .option("maxRecordsPerFile", targetRowsPerFile)
+      .mode(mode)
+      .parquet(path)
+    plan
+  }
+}

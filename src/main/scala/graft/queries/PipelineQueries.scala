@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{ContaminationOps, DedupOps, GraphOps, IvfOps, JoinOps, LmOps, MultimodalOps, PrepOps, SamplingOps, SearchOps, SimilarityOps, TextOps}
+import graft.ops.{ContaminationOps, DedupOps, GraphOps, IvfOps, JoinOps, LakeOps, LmOps, MultimodalOps, PrepOps, SamplingOps, SearchOps, SimilarityOps, TextOps}
 import graft.streaming.EventOps
 
 /** Training-data pipeline operators (dedup, similarity search, multimodal,
@@ -246,6 +246,14 @@ object PipelineQueries {
           col("__h.id.token").as("token"), col("__h.id.tf").as("tf"),
           col("__h.id.df").as("df"), col("__h.score").as("score"))
     }),
+
+    // Output-layout sizing plan for the sharded corpus sink
+    // (LakeOps.writeSharded): files-per-partition by exact integer
+    // ceiling — the sizing half of the write is fully oracled; the
+    // filesystem effects (hive dirs, per-file row cap, losslessness,
+    // layout determinism) are pinned in LakeOpsSpec.
+    "q_lake_layout" -> ((s, dir) =>
+      LakeOps.layoutPlan(t(s, dir, "documents"), Seq("source"), 40L)),
 
     // ---------------------------------------------------------- sampling
     "q_sample_stratified" -> ((s, dir) =>
@@ -1481,6 +1489,11 @@ object PipelineQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_sim_ivf_literal" -> ivfLiteralOracle,
+
+    "q_lake_layout" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST((count(*) + 39) // 40 AS BIGINT) AS n_files
+        |FROM documents GROUP BY source""".stripMargin,
     "q_text_stats" ->
       s"""SELECT doc_id,
          | CAST(${S.tokenCount("text")} AS INTEGER) AS n_tokens,

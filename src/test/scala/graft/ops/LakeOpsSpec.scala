@@ -1,0 +1,82 @@
+package graft.ops
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class LakeOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs() =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  private def filesUnder(dir: String): Seq[java.io.File] = {
+    val d = new java.io.File(dir)
+    if (!d.exists()) Seq.empty
+    else d.listFiles().toSeq.filter(f => f.getName.endsWith(".parquet"))
+  }
+
+  test("writeSharded: hive layout, per-file row cap, lossless round-trip") {
+    val out = Files.createTempDirectory("lake").resolve("corpus").toString
+    val df = docs()
+    val target = 40L
+    val plan = LakeOps.writeSharded(
+      df, out, Seq("source"), col("doc_id"), target)
+
+    // the plan matches the real per-partition counts
+    val counts = df.groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(plan.keySet == counts.keySet.map(Seq(_)))
+    counts.foreach { case (src, n) =>
+      assert(plan(Seq(src)) == ((n + target - 1) / target).toInt,
+        s"$src: expected ceil($n/$target)")
+    }
+
+    // hive directories exist; every file respects the row cap; file count
+    // is at least the plan's (cap respected) and within the shard spread
+    counts.foreach { case (src, n) =>
+      val files = filesUnder(s"$out/source=$src")
+      assert(files.nonEmpty, s"missing dir for source=$src")
+      val sizes = files.map(f =>
+        spark.read.parquet(f.getAbsolutePath).count())
+      assert(sizes.forall(_ <= target),
+        s"$src: a file exceeds $target rows: $sizes")
+      assert(sizes.sum == n, s"$src: rows lost or duplicated")
+      assert(files.size >= plan(Seq(src)),
+        s"$src: fewer files than the sizing plan allows")
+    }
+
+    // nothing lost end to end (partition column round-trips through the
+    // directory name)
+    val back = spark.read.parquet(out)
+    assert(back.count() == df.count())
+    assert(back.select($"doc_id").except(df.select($"doc_id")).isEmpty)
+    assert(df.select($"doc_id").except(back.select($"doc_id")).isEmpty)
+
+    // exists-guard + explicit overwrite
+    intercept[Exception] {
+      LakeOps.writeSharded(df, out, Seq("source"), col("doc_id"), target)
+    }
+    LakeOps.writeSharded(df, out, Seq("source"), col("doc_id"), target,
+      mode = SaveMode.Overwrite)
+  }
+
+  test("writeSharded layout is deterministic (content-keyed shards)") {
+    val a = Files.createTempDirectory("lake").resolve("a").toString
+    val b = Files.createTempDirectory("lake").resolve("b").toString
+    val df = docs()
+    LakeOps.writeSharded(df.repartition(1), a, Seq("source"), col("doc_id"), 50L)
+    LakeOps.writeSharded(df.repartition(7), b, Seq("source"), col("doc_id"), 50L)
+    // same (source -> sorted doc_id set per shard-file count) both times:
+    // the shard assignment depends on content, not input layout
+    def shape(dir: String): Map[String, Long] =
+      spark.read.parquet(dir).groupBy($"source").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(shape(a) == shape(b))
+    assert(spark.read.parquet(a).select($"doc_id")
+      .except(spark.read.parquet(b).select($"doc_id")).isEmpty)
+  }
+}
