@@ -1063,6 +1063,24 @@ object PipelineQueries {
           langs.map(l => coalesce(col(l), lit(0L)).as(l)): _*)
     }),
 
+    // Unpivot/melt (wide -> long), the inverse shape: per-flag fixed-point
+    // measures fan out to (flag, metric, value) rows. Row-local Expand
+    // after one partial-aggregated shuffle — melting N columns never
+    // re-scans the fact table N times (the UNION-of-selects formulation
+    // the oracle uses would, without a shared CTE).
+    "q_unpivot" -> ((s, dir) => {
+      val wide = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_price_cents"),
+          count(lit(1)).as("n_rows"))
+      wide.unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price_cents"), col("n_rows")),
+        "metric", "value")
+    }),
+
     // TPC-H Q14 shape (promo revenue): fact-to-dimension join on partkey
     // plus a conditional-sum ratio. part scales with SF so it is NOT
     // force-broadcast (AQE promotes it at small SF); the percentage is a
@@ -2145,6 +2163,20 @@ object PipelineQueries {
         |  CAST(count(*) FILTER (WHERE lang = 'fr') AS BIGINT) AS fr,
         |  CAST(count(*) FILTER (WHERE lang = 'zh') AS BIGINT) AS zh
         |FROM documents GROUP BY source""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH w AS (
+        |  SELECT l_returnflag,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS sum_price_cents,
+        |    CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_price_cents', sum_price_cents FROM w
+        |UNION ALL
+        |SELECT l_returnflag, 'n_rows', n_rows FROM w""".stripMargin,
 
     // The all-pairs formulation the Spark side's blocking must equal.
     "q_fuzzy_join" ->
