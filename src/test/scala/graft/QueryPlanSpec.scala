@@ -200,6 +200,24 @@ class QueryPlanSpec extends SparkSpec {
       s"q_rollup one expand + one shuffle:\n$plan6")
   }
 
+  test("round-3 additions keep their scale shapes") {
+    // IVF literal search: probes broadcast, the only shuffle is the
+    // bounded per-query top-k aggregate (<= queries x k rows per task)
+    val ivf = finalPlan("q_sim_ivf_literal")
+    assert(ivf.contains("BroadcastHashJoin") && !ivf.contains("Cartesian"),
+      s"probe set must broadcast:\n$ivf")
+    assert(countOf(ivf, "Exchange") == 1 && ivf.contains("topk_by_score"),
+      s"only the bounded top-k shuffle:\n$ivf")
+    // unpivot: melt AFTER the aggregate — one fact shuffle, one Expand
+    val up = finalPlan("q_unpivot")
+    assert(countOf(up, "Exchange") == 1 && countOf(up, "Expand") == 1,
+      s"q_unpivot one shuffle + one expand:\n$up")
+    // layout plan: plain 2-phase aggregate
+    val lk = finalPlan("q_lake_layout")
+    assert(countOf(lk, "Exchange") == 1 && !lk.contains("Join"),
+      s"q_lake_layout one shuffle, no join:\n$lk")
+  }
+
   test("q_pagerank: no cartesian or nested-loop anywhere in the iteration") {
     val plan = finalPlan("q_pagerank")
     assert(!plan.contains("Cartesian") && !plan.contains("NestedLoop"),
