@@ -25,11 +25,35 @@ object SamplingOps {
     pmod(xxhash64(key), lit(denominator.toLong)) < numerator.toLong
   }
 
-  /** Uniform deterministic sample of ~`numerator/denominator` keyed by
-    * `key` (see [[hashKeep]]).
+  /** [[hashKeep]] with an ANSI-portable affine hash instead of xxhash64:
+    * `h = ((key mod p) * A + B) mod p` over the prime p = 999999937 with
+    * A = 2654435761 (Knuth's multiplicative constant), then
+    * `h mod denominator < numerator`. The inner `key mod p` keeps every
+    * intermediate below 2^61 for ANY long key (no overflow at
+    * trillion-row id ranges, ANSI-safe), and the whole predicate is
+    * expressible verbatim in any SQL engine — this is the oracle-able
+    * twin. Weaker avalanche than xxhash64 (an affine map, not a mixer):
+    * fine for rate sampling keyed by ids; prefer [[hashKeep]] when the
+    * key is adversarial or clustered content.
     */
-  def hashSample(df: DataFrame, key: Column, numerator: Int, denominator: Int): DataFrame =
-    df.filter(hashKeep(key, numerator, denominator))
+  def portableHashKeep(key: Column, numerator: Int, denominator: Int): Column = {
+    require(denominator > 0 && numerator >= 0 && numerator <= denominator,
+      s"bad sample rate $numerator/$denominator")
+    val p = 999999937L
+    pmod(
+      pmod(key.cast("long"), lit(p)) * lit(2654435761L) + lit(104729L),
+      lit(p)) % denominator < numerator
+  }
+
+  /** Uniform deterministic sample of ~`numerator/denominator` keyed by
+    * `key` (see [[hashKeep]]; `portable = true` swaps in
+    * [[portableHashKeep]]).
+    */
+  def hashSample(df: DataFrame, key: Column, numerator: Int, denominator: Int,
+      portable: Boolean = false): DataFrame =
+    df.filter(
+      if (portable) portableHashKeep(key, numerator, denominator)
+      else hashKeep(key, numerator, denominator))
 
   /** Stratified deterministic sample: per-stratum keep rates in
     * `percentByStratum` (0-100, applied as `id % 100 < pct`), `defaultPercent`

@@ -262,11 +262,12 @@ object PipelineQueries {
         Map("src0" -> 13, "src1" -> 37), defaultPercent = 61)
         .select(col("doc_id"), col("source"))),
 
-    // xxhash64-keyed -> no DuckDB twin (rows-only; determinism + rate in
-    // SamplingOpsSpec).
+    // Gated through the ANSI-portable affine hash so the keep predicate
+    // has an exact DuckDB twin (the xxhash64 default keeper stays the
+    // production path; its determinism + rate are SamplingOpsSpec-pinned).
     "q_sample_hash" -> ((s, dir) =>
       SamplingOps.hashSample(
-        t(s, dir, "documents"), col("doc_id"), 25, 100)
+        t(s, dir, "documents"), col("doc_id"), 25, 100, portable = true)
         .select(col("doc_id"), col("source"))),
 
     // Exactly-k-per-source deterministic draw ranked by the content
@@ -917,15 +918,23 @@ object PipelineQueries {
     }),
 
     // HLL++ sketch distinct (the 100 TB path where exact per-group
-    // count-distinct would shuffle every distinct value): deterministic
-    // for fixed data but sketch-specific -> rows-only; relative-error
-    // bound vs exact is SamplingOpsSpec-verified.
+    // count-distinct would shuffle every distinct value). The sketch
+    // value itself is engine-specific, but its ERROR BOUND is not: the
+    // gated output carries the exact distinct count plus a within-5%
+    // flag for the rsd=0.01 sketch, and the oracle asserts the flag is 1
+    // on every group — a hash-matched error-bound oracle. (The exact
+    // leg exists only to express that oracle; the production 100 TB call
+    // is the sketch alone.)
     "q_approx_distinct" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_partkey")).as("nd_parts_approx"),
-          count(lit(1)).as("n_rows"))),
+          approx_count_distinct(col("l_partkey"), rsd = 0.01).as("approx"),
+          countDistinct(col("l_partkey")).as("nd_parts"),
+          count(lit(1)).as("n_rows"))
+        .select(col("l_returnflag"), col("n_rows"), col("nd_parts"),
+          (abs(col("approx") - col("nd_parts")) <=
+            col("nd_parts") * 0.05).cast("int").as("within_5pct"))),
 
     // Semi-structured: JSON property extraction + aggregation over the
     // extracted key (reference has no JSON; engine completeness).
@@ -1985,6 +1994,23 @@ object PipelineQueries {
         |WHERE doc_id % 100 < (CASE WHEN source = 'src0' THEN 13
         |                           WHEN source = 'src1' THEN 37
         |                           ELSE 61 END)""".stripMargin,
+
+    // Verbatim twin of SamplingOps.portableHashKeep — same prime, same
+    // affine constants, pure integer arithmetic on both engines.
+    "q_sample_hash" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE ((((doc_id % 999999937) * 2654435761 + 104729) % 999999937)
+        |       % 100) < 25""".stripMargin,
+
+    // Error-bound oracle: DuckDB contributes the exact distinct counts
+    // and asserts within_5pct = 1; the hash compare fails iff Spark's
+    // rsd=0.01 HLL++ estimate strays past 5% on any group.
+    "q_approx_distinct" ->
+      """SELECT l_returnflag,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS nd_parts,
+        |       CAST(1 AS INT) AS within_5pct
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     // The sketch is an implementation detail on the Spark side (candidate
     // generation only); the exact-verify pass makes the contract pure SQL.

@@ -25,6 +25,22 @@ class SamplingOpsSpec extends SparkSpec {
     assert(small.subsetOf(big), "nested keep-rates must nest (same hash, larger cut)")
   }
 
+  test("portable hash sample: rate, nesting, and no overflow at extreme keys") {
+    val q = SamplingOps.hashSample(rows, $"id", 25, 100, portable = true)
+      .count().toDouble / 10000
+    assert(math.abs(q - 0.25) < 0.02, s"rate $q")
+    val small = SamplingOps.hashSample(rows, $"id", 10, 100, portable = true)
+      .select($"id").as[Long].collect().toSet
+    val big = SamplingOps.hashSample(rows, $"id", 40, 100, portable = true)
+      .select($"id").as[Long].collect().toSet
+    assert(small.subsetOf(big), "nested keep-rates must nest")
+    // ANSI-mode overflow guard: the inner mod-p reduction must keep
+    // Long.MaxValue / MinValue keys evaluable (no arithmetic exception).
+    val extremes = Seq(Long.MaxValue, Long.MinValue, -1L, 0L).toDF("id")
+    val kept = extremes.filter(SamplingOps.portableHashKeep($"id", 50, 100)).count()
+    assert(kept >= 0 && kept <= 4)
+  }
+
   test("stratifiedExact applies per-stratum rates on the id modulus") {
     val out = SamplingOps.stratifiedExact(rows, $"id", $"stratum", Map("a" -> 10), 50)
       .select($"id", $"stratum").collect()
