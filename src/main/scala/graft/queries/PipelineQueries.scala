@@ -529,6 +529,16 @@ object PipelineQueries {
       SimilarityOps.semDedup(e, cents, threshold = 0.35)
     }),
 
+    // The SemDeDup mechanics gated end to end with a DuckDB oracle (the
+    // q_sim_ivf_literal trick): centroids FIXED as integer literals, so
+    // the row-local assignment argmax, the within-cluster cosine pairs,
+    // and the transitive closure (min-id representatives — a recursive
+    // CTE on the oracle side) all hash-compare exactly. Training stays
+    // the documented un-oracle-able half (q_semdedup, rows-only).
+    "q_semdedup_literal" -> ((s, dir) =>
+      SimilarityOps.semDedup(t(s, dir, "embeddings"),
+        IvfOps.literalCentroids(4, 64), threshold = 0.35)),
+
     "q_embed_neardup" -> ((s, dir) =>
       SimilarityOps.cosineNearDupPairs(t(s, dir, "embeddings"), 0.35)),
 
@@ -1477,19 +1487,28 @@ object PipelineQueries {
     * second probe as the argmax over the complement, then the standard
     * cosine + window top-k over candidates from the probed lists only.
     */
+  /** Literal-centroid dot product in DuckDB: the K centroid weight lists
+    * are inlined, the fold order matches [[SimilarityOps.Sql.dot]].
+    */
+  private def dotLit(c: Array[Double]): String = {
+    val ws = c.map(_.toString).mkString("[", ", ", "]")
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(" +
+      s"range(1, len(embedding) + 1), i -> CAST(embedding[i] AS DOUBLE) * ($ws)[i])), " +
+      s"(acc, v) -> acc + v)"
+  }
+
+  /** Sequential-CASE argmax over `d<i>` columns; ties -> lowest cid,
+    * matching the struct-max tie-break in [[IvfOps.assignmentCol]].
+    */
+  private def argmaxSql(ids: Seq[Int]): String =
+    ids.init.zipWithIndex.map { case (c, idx) =>
+      val rest = ids.drop(idx + 1)
+      s"WHEN ${rest.map(r => s"d$c >= d$r").mkString(" AND ")} THEN $c"
+    }.mkString("CASE ", " ", s" ELSE ${ids.last} END")
+
   private def ivfLiteralOracle: String = {
     val cents = IvfOps.literalCentroids(4, 64)
-    def dotLit(c: Array[Double]): String = {
-      val ws = c.map(_.toString).mkString("[", ", ", "]")
-      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(" +
-        s"range(1, len(embedding) + 1), i -> CAST(embedding[i] AS DOUBLE) * ($ws)[i])), " +
-        s"(acc, v) -> acc + v)"
-    }
-    def argmax(ids: Seq[Int]): String =
-      ids.init.zipWithIndex.map { case (c, idx) =>
-        val rest = ids.drop(idx + 1)
-        s"WHEN ${rest.map(r => s"d$c >= d$r").mkString(" AND ")} THEN $c"
-      }.mkString("CASE ", " ", s" ELSE ${ids.last} END")
+    def argmax(ids: Seq[Int]): String = argmaxSql(ids)
     val all = 0 until 4
     val p2 = all.map(p =>
       s"WHEN $p THEN ${argmax(all.filterNot(_ == p))}")
@@ -1514,8 +1533,39 @@ object PipelineQueries {
        |WHERE rank <= 10""".stripMargin
   }
 
+  /** DuckDB twin of literal-centroid SemDeDup (q_semdedup_literal):
+    * inlined-centroid argmax assignment, within-cluster cosine pairs at
+    * the threshold, then min-label transitive closure via a recursive
+    * CTE (reach(node, r) holds "r reaches node"; min(r) per node is the
+    * component's min id — exactly [[graft.ops.GraphOps.componentsOf]]).
+    */
+  private def semDedupLiteralOracle: String = {
+    val cents = IvfOps.literalCentroids(4, 64)
+    val cos = SimilarityOps.Sql.cosine("x.embedding", "y.embedding")
+    s"""WITH RECURSIVE a AS (
+       |  SELECT vec_id, embedding,
+       |${cents.zipWithIndex.map { case (c, i) => s"    ${dotLit(c)} AS d$i" }
+        .mkString(",\n")}
+       |  FROM embeddings),
+       |c AS (SELECT vec_id, embedding, ${argmaxSql(0 until 4)} AS cid FROM a),
+       |p AS (
+       |  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+       |  FROM c x JOIN c y ON x.cid = y.cid AND x.vec_id < y.vec_id
+       |  WHERE $cos >= 0.35),
+       |e AS (SELECT id_a AS u, id_b AS v FROM p
+       |      UNION ALL SELECT id_b, id_a FROM p),
+       |reach(node, r) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT e.v, reach.r FROM reach JOIN e ON e.u = reach.node)
+       |SELECT node AS vec_id, CAST(min(r) AS BIGINT) AS rep_id,
+       |       CAST(CASE WHEN node = min(r) THEN 1 ELSE 0 END AS INT) AS keep
+       |FROM reach GROUP BY node""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q_sim_ivf_literal" -> ivfLiteralOracle,
+    "q_semdedup_literal" -> semDedupLiteralOracle,
 
     "q_lake_layout" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
