@@ -338,6 +338,95 @@ object DedupOps {
         col("n_a"), col("n_b"), col("jaccard"))
   }
 
+  /** The prime modulus for the portable (ANSI-expressible) hash family:
+    * large enough that min-hash collisions are negligible at corpus
+    * scale, small enough that `a * h` never overflows a signed 64-bit
+    * intermediate (1e9 * 1e9 < 2^63) — ANSI-mode-safe on every engine.
+    */
+  val PortableHashPrime: Long = 999999937L
+
+  /** Affine permutation constants for portable MinHash slot `j`:
+    * nonzero multiplier derived from Knuth's constant, both reduced mod
+    * [[PortableHashPrime]]. Deterministic — the oracle inlines the same
+    * numbers as SQL literals.
+    */
+  def portablePerm(j: Int): (Long, Long) = {
+    val p = PortableHashPrime
+    val a = ((j + 1).toLong * 2654435761L) % p
+    (if (a == 0) 1L else a, ((j + 1).toLong * 104729L) % p)
+  }
+
+  /** Portable 60-bit shingle hash: first 15 hex chars of md5, parsed to
+    * a long, reduced mod [[PortableHashPrime]]. md5 and hex-parse exist
+    * verbatim in every ANSI engine — this is what makes the MinHash
+    * pipeline below oracle-able, at the cost of a cryptographic hash per
+    * shingle (prefer the xxhash64 paths in production).
+    */
+  def portableShingleHash(shingle: Column): Column =
+    conv(substring(md5(shingle), 1, 15), 16, 10).cast("long") % PortableHashPrime
+
+  /** [[minhashVerifiedPairs]] re-expressed over the PORTABLE hash family
+    * (md5-derived shingle hashes, affine mod-prime permutations, string
+    * band keys) so every stage has an exact DuckDB twin. Identical
+    * pipeline shape — row-local signatures, banded bucket join bounded
+    * by bucket sizes, candidate-sized exact-Jaccard verification — and
+    * the same output contract as [[ngramJaccardPairs]]. The xxhash64
+    * variants stay the production path (cheaper per shingle, better
+    * avalanche); this one is the end-to-end correctness gate.
+    */
+  def portableMinhashVerifiedPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      threshold: Double,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      rowsPerBand: Int = 4): DataFrame = {
+    require(bands * rowsPerBand <= numHashes,
+      s"bands*rowsPerBand must be <= numHashes ($bands*$rowsPerBand > $numHashes)")
+    val p = PortableHashPrime
+    // row-local: distinct portable shingle hashes per doc
+    val sets = docs
+      .select(col(idCol).as("doc_id"),
+        array_distinct(transform(wordShingles(col(textCol), k),
+          s => portableShingleHash(s))).as("hs"))
+      .filter(size(col("hs")) > 0)
+    // row-local: numHashes min-hash slots, then band structs
+    val mh = (0 until numHashes).map { j =>
+      val (a, b) = portablePerm(j)
+      array_min(transform(col("hs"), x => (x * a + b) % p)).as(s"mh_$j")
+    }
+    val sigs = sets.select(col("doc_id") +: col("hs") +: mh: _*)
+    val bandCols = (0 until bands).map { b =>
+      val slots = (0 until rowsPerBand)
+        .map(r => col(s"mh_${b * rowsPerBand + r}").cast("string"))
+      struct(lit(b).as("band"), concat_ws(",", slots: _*).as("key"))
+    }
+    val buckets = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bucket"))
+      .select(col("doc_id"), col("bucket.band").as("band"), col("bucket.key").as("key"))
+    val cands = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    // verification: candidate-sized joins against the row-local hash sets
+    cands
+      .join(sets.select(col("doc_id").as("id_a"), col("hs").as("sh_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("hs").as("sh_b")), "id_b")
+      .withColumn("intersection",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("n_a", size(col("sh_a")).cast("long"))
+      .withColumn("n_b", size(col("sh_b")).cast("long"))
+      .withColumn("jaccard", col("intersection").cast("double") /
+        (col("n_a") + col("n_b") - col("intersection")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("intersection"),
+        col("n_a"), col("n_b"), col("jaccard"))
+  }
+
   /** Exact-substring span dedup (the Lee et al. 2021 "Deduplicating
     * Training Data Makes Language Models Better" semantic, at k-token
     * granularity): every k-token span that occurs more than once in the

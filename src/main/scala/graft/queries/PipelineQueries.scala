@@ -178,6 +178,14 @@ object PipelineQueries {
       DedupOps.minhashVerifiedPairs(
         t(s, dir, "documents"), "doc_id", "text", k = 3, threshold = 0.2)),
 
+    // The SAME MinHash->LSH->verify pipeline over the portable hash
+    // family (md5-derived shingle hashes, affine mod-prime permutations),
+    // which has an exact DuckDB twin — the end-to-end oracle for the
+    // MinHash mechanics that the xxhash64 production path can't have.
+    "q_dedup_minhash_portable" -> ((s, dir) =>
+      DedupOps.portableMinhashVerifiedPairs(
+        t(s, dir, "documents"), "doc_id", "text", k = 3, threshold = 0.2)),
+
     // Near-dup pairs -> canonical duplicate CLUSTERS: connected components
     // (alternating star contraction, O(log n) rounds) over the Jaccard
     // pair graph; singleton docs keep their own id as the component.
@@ -1563,9 +1571,53 @@ object PipelineQueries {
        |FROM reach GROUP BY node""".stripMargin
   }
 
+  /** DuckDB twin of the portable MinHash pipeline
+    * (q_dedup_minhash_portable): the shingle hashes, the affine
+    * permutation constants, the band keys, and the verify arithmetic are
+    * generated from the SAME Scala constants as the Spark side
+    * ([[graft.ops.DedupOps.portablePerm]]), so the whole
+    * MinHash -> banded LSH -> exact-Jaccard-verify path hash-compares.
+    */
+  private def minhashPortableOracle: String = {
+    val p = DedupOps.PortableHashPrime
+    val (k, numHashes, bands, rowsPerBand) = (3, 16, 4, 4)
+    require(bands * rowsPerBand <= numHashes)
+    val shingle = s"array_to_string(w[i:i+${k - 1}], ' ')"
+    val hash = s"CAST(('0x' || substring(md5($shingle), 1, 15)) AS BIGINT) % $p"
+    val bandSelects = (0 until bands).map { b =>
+      val key = (0 until rowsPerBand).map { r =>
+        val (a, bb) = DedupOps.portablePerm(b * rowsPerBand + r)
+        s"CAST(list_min(list_transform(hs, x -> (x * $a + $bb) % $p)) AS VARCHAR)"
+      }.mkString(" || ',' || ")
+      s"  SELECT doc_id, $b AS band,\n    $key AS bkey FROM sh"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${S.tokens("text")} AS w FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    range(1, len(w) - ${k - 2}), i -> $hash)) AS hs
+       |  FROM toks WHERE len(w) >= $k),
+       |bands AS (
+       |$bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |v AS (
+       |  SELECT id_a, id_b,
+       |    CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS intersection,
+       |    CAST(len(a.hs) AS BIGINT) AS n_a, CAST(len(b.hs) AS BIGINT) AS n_b
+       |  FROM cand JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b)
+       |SELECT id_a, id_b, intersection, n_a, n_b,
+       |  CAST(intersection AS DOUBLE)/(n_a + n_b - intersection) AS jaccard
+       |FROM v
+       |WHERE CAST(intersection AS DOUBLE)/(n_a + n_b - intersection) >= 0.2""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q_sim_ivf_literal" -> ivfLiteralOracle,
     "q_semdedup_literal" -> semDedupLiteralOracle,
+    "q_dedup_minhash_portable" -> minhashPortableOracle,
 
     "q_lake_layout" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_rows,

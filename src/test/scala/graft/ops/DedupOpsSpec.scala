@@ -142,6 +142,33 @@ class DedupOpsSpec extends SparkSpec {
     assert(midRecall >= 0.9, s"J>=0.7 recall $midRecall")
   }
 
+  test("portable minhash: exact pairs, high recall, layout-invariant") {
+    val docs = (1L to 60L).map { i =>
+      val base = (1 to 12).map(j => s"w${(i * 13 + j * 7) % 40}").mkString(" ")
+      if (i % 3 == 0) (i, base.replaceFirst("w\\d+", "zzz")) else (i, base)
+    }.toDF("doc_id", "text")
+      .union((101L to 115L).map(i =>
+        (i, (1 to 12).map(j => s"w${((i - 100) * 13 + j * 7) % 40}").mkString(" ")))
+        .toDF("doc_id", "text"))
+    val truth = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select($"id_a", $"id_b", $"jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val got = DedupOps.portableMinhashVerifiedPairs(docs, "doc_id", "text", 3, 0.5)
+      .select($"id_a", $"id_b", $"jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every reported pair is EXACT (md5-hash-set jaccard == string-set
+    // jaccard: distinct-set sizes survive the 60-bit hashing)
+    got.foreach { case (pair, jac) => assert(truth(pair) == jac, s"pair $pair") }
+    val high = truth.filter(_._2 >= 0.9).keySet
+    assert(high.nonEmpty && high.subsetOf(got.keySet),
+      s"missed high-similarity pairs: ${high -- got.keySet}")
+    // layout invariance: same pairs from a different partitioning
+    val rep = DedupOps.portableMinhashVerifiedPairs(
+      docs.repartition(7), "doc_id", "text", 3, 0.5)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rep == got.keySet)
+  }
+
   test("minhash signature of identical sets is identical; similar sets collide more") {
     val sigs = DedupOps.minhashSignatures(docs, "doc_id", "text", 3, 32)
       .collect().map(r => r.getLong(0) -> r.toSeq.drop(1).toVector).toMap
