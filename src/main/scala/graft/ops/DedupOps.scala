@@ -509,16 +509,34 @@ object DedupOps {
     * Computed as one explode + one aggregation (64 long sums per doc);
     * near-dup detection is then Hamming distance on the long.
     */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashOver(docs, idCol, textCol, xxhash64(_), bits = 64)
+
+  /** [[simhash]] over the portable 60-bit md5 token hash (see
+    * [[portableShingleHash]] — here WITHOUT the mod-p reduction, since no
+    * multiplication follows and the signature wants all 60 bits). Every
+    * step is ANSI SQL — the oracle-able twin of the xxhash64 production
+    * signature.
+    */
+  def portableSimhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashOver(docs, idCol, textCol,
+      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"), bits = 60)
+
+  private def simhashOver(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      hashOf: Column => Column,
+      bits: Int): DataFrame = {
     val tok = docs.select(col(idCol).as("doc_id"),
       explode(TextOps.tokens(col(textCol))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val sums = (0 until 64).map { j =>
+      .withColumn("h", hashOf(col("t")))
+    val sums = (0 until bits).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
         .as(s"s_$j")
     }
     val agged = tok.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
-    val sig = (0 until 64).foldLeft(lit(0L)) { (acc, j) =>
+    val sig = (0 until bits).foldLeft(lit(0L)) { (acc, j) =>
       acc.bitwiseOR(
         when(col(s"s_$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
     }

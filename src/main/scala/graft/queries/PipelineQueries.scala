@@ -171,6 +171,13 @@ object PipelineQueries {
     "q_dedup_simhash" -> ((s, dir) =>
       DedupOps.simhash(t(s, dir, "documents"), "doc_id", "text")),
 
+    // SimHash over the portable 60-bit md5 token hash: the per-bit sign
+    // sums and the bit assembly are plain SQL, so the signature itself
+    // hash-compares against DuckDB (the 64-bit xxhash64 signature above
+    // stays the production path, rows-only).
+    "q_dedup_simhash_portable" -> ((s, dir) =>
+      DedupOps.portableSimhash(t(s, dir, "documents"), "doc_id", "text")),
+
     // The composed scale path: LSH candidates -> exact Jaccard verify on
     // candidates only (xxhash64-based -> rows-only; recall vs the exact
     // ngram ground truth asserted in DedupOpsSpec).
@@ -1614,10 +1621,36 @@ object PipelineQueries {
        |WHERE CAST(intersection AS DOUBLE)/(n_a + n_b - intersection) >= 0.2""".stripMargin
   }
 
+  /** DuckDB twin of the portable SimHash signature
+    * (q_dedup_simhash_portable): 60 per-bit sign sums over the md5-60bit
+    * token hash, then the bit assembly — all generated with the same bit
+    * weights as the Spark fold.
+    */
+  private def simhashPortableOracle: String = {
+    val bits = 60
+    val sums = (0 until bits).map(j =>
+      s"    sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s_$j")
+      .mkString(",\n")
+    val sig = (0 until bits).map(j =>
+      s"(CASE WHEN s_$j >= 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(${S.tokens("text")}) AS t FROM documents),
+       |h AS (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) AS h FROM tok),
+       |s AS (
+       |  SELECT doc_id,
+       |$sums
+       |  FROM h GROUP BY doc_id)
+       |SELECT doc_id, $sig AS simhash FROM s""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q_sim_ivf_literal" -> ivfLiteralOracle,
     "q_semdedup_literal" -> semDedupLiteralOracle,
     "q_dedup_minhash_portable" -> minhashPortableOracle,
+    "q_dedup_simhash_portable" -> simhashPortableOracle,
 
     "q_lake_layout" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_rows,

@@ -178,6 +178,15 @@ class DedupOpsSpec extends SparkSpec {
     assert(agree13 > agree14) // minhash agreement tracks jaccard
   }
 
+  test("portable simhash: 60-bit signature, same invariants as production") {
+    val sh = DedupOps.portableSimhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh.values.forall(s => s >= 0 && s < (1L << 60)), "60-bit range")
+    assert(sh(1L) == sh(2L) && sh(1L) == sh(5L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(3L)) < ham(sh(1L), sh(4L)))
+  }
+
   test("simhash: identical docs equal; near dups closer than unrelated") {
     val sh = DedupOps.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
