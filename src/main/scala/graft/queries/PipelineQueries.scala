@@ -942,6 +942,28 @@ object PipelineQueries {
           (element_at(col("ps"), 3) / 100).as("p99"))
     }),
 
+    // The percentile SKETCH (KLL-style: constant-size mergeable buffers,
+    // the 100 TB path where exact percentile would sort every group)
+    // gated with an error-bound oracle, like q_approx_distinct: the
+    // approx p90 must land inside the exact [p85, p95] rank window —
+    // orders of magnitude looser than the sketch's n/accuracy rank
+    // guarantee at accuracy=10000, so the flag is 1 iff the sketch
+    // behaves. Exact legs ride the proven fixed-point-cents arithmetic
+    // (q_quantiles).
+    "q_approx_quantiles" -> ((s, dir) => {
+      val cents = round(col("l_extendedprice") * 100).cast("long")
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile_approx(cents, lit(0.9), lit(10000)).as("ap90"),
+          percentile(cents, array(lit(0.85), lit(0.9), lit(0.95))).as("ps"))
+        .select(col("l_returnflag"),
+          (element_at(col("ps"), 2) / 100).as("p90"),
+          (col("ap90") >= element_at(col("ps"), 1) &&
+            col("ap90") <= element_at(col("ps"), 3))
+            .cast("int").as("within_rank_window"))
+    }),
+
     // HLL++ sketch distinct (the 100 TB path where exact per-group
     // count-distinct would shuffle every distinct value). The sketch
     // value itself is engine-specific, but its ERROR BOUND is not: the
@@ -2136,6 +2158,17 @@ object PipelineQueries {
       """SELECT doc_id, source FROM documents
         |WHERE ((((doc_id % 999999937) * 2654435761 + 104729) % 999999937)
         |       % 100) < 25""".stripMargin,
+
+    // Error-bound oracle: the exact p90 leg must hash-match and the
+    // sketch must sit inside the exact [p85, p95] window on every group.
+    "q_approx_quantiles" ->
+      """SELECT l_returnflag,
+        | quantile_cont(cents, 0.9) / 100 AS p90,
+        | CAST(1 AS INT) AS within_rank_window
+        |FROM (SELECT l_returnflag,
+        |        CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |      FROM lineitem)
+        |GROUP BY l_returnflag""".stripMargin,
 
     // Error-bound oracle: DuckDB contributes the exact distinct counts
     // and asserts within_5pct = 1; the hash compare fails iff Spark's
