@@ -218,6 +218,28 @@ class QueryPlanSpec extends SparkSpec {
       s"q_lake_layout one shuffle, no join:\n$lk")
   }
 
+  test("portable-twin queries keep their scale shapes") {
+    // portable minhash: banded bucket equi-join, never a cartesian —
+    // candidate cost stays bounded by bucket sizes
+    val mh = finalPlan("q_dedup_minhash_portable")
+    assert(!mh.contains("Cartesian") && !mh.contains("NestedLoop"),
+      s"portable minhash must stay bucket-joined:\n$mh")
+    // portable simhash: the 60 sign sums ride ONE doc-keyed shuffle
+    val sh = finalPlan("q_dedup_simhash_portable")
+    assert(countOf(sh, "Exchange") == 1, s"simhash one shuffle:\n$sh")
+    // literal-centroid semdedup: cluster equi-join + components, no
+    // cartesian anywhere
+    val sd = finalPlan("q_semdedup_literal")
+    assert(!sd.contains("Cartesian") && !sd.contains("NestedLoop"),
+      s"semdedup literal must stay cluster-joined:\n$sd")
+    // sketch gates: plain two-phase aggregates, one shuffle
+    val aq = finalPlan("q_approx_quantiles")
+    assert(countOf(aq, "Exchange") == 1 && !aq.contains("Join"),
+      s"q_approx_quantiles one shuffle, no join:\n$aq")
+    val ad = finalPlan("q_approx_distinct")
+    assert(!ad.contains("Join"), s"q_approx_distinct no join:\n$ad")
+  }
+
   test("q_pagerank: no cartesian or nested-loop anywhere in the iteration") {
     val plan = finalPlan("q_pagerank")
     assert(!plan.contains("Cartesian") && !plan.contains("NestedLoop"),
