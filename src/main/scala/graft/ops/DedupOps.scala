@@ -382,16 +382,21 @@ object DedupOps {
       threshold: Double,
       numHashes: Int = 16,
       bands: Int = 4,
-      rowsPerBand: Int = 4): DataFrame = {
+      rowsPerBand: Int = 4,
+      cacheSets: Boolean = true): DataFrame = {
     require(bands * rowsPerBand <= numHashes,
       s"bands*rowsPerBand must be <= numHashes ($bands*$rowsPerBand > $numHashes)")
     val p = PortableHashPrime
-    // row-local: distinct portable shingle hashes per doc
-    val sets = docs
+    // row-local: distinct portable shingle hashes per doc. Consumed three
+    // times (signatures + both verify joins) and md5-per-shingle is the
+    // expensive part of the portable family — cache by default, exactly
+    // like the inverted index in [[ngramJaccardPairs]].
+    val sets0 = docs
       .select(col(idCol).as("doc_id"),
         array_distinct(transform(wordShingles(col(textCol), k),
           s => portableShingleHash(s))).as("hs"))
       .filter(size(col("hs")) > 0)
+    val sets = if (cacheSets) sets0.cache() else sets0
     // row-local: numHashes min-hash slots, then band structs
     val mh = (0 until numHashes).map { j =>
       val (a, b) = portablePerm(j)
