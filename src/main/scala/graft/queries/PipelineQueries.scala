@@ -968,7 +968,7 @@ object PipelineQueries {
     // count-distinct would shuffle every distinct value). The sketch
     // value itself is engine-specific, but its ERROR BOUND is not: the
     // gated output carries the exact distinct count plus a within-5%
-    // flag for the rsd=0.01 sketch, and the oracle asserts the flag is 1
+    // flag for the rsd=0.02 sketch (3-sigma margin at 4096 registers), and the oracle asserts the flag is 1
     // on every group — a hash-matched error-bound oracle. (The exact
     // leg exists only to express that oracle; the production 100 TB call
     // is the sketch alone.)
@@ -976,7 +976,7 @@ object PipelineQueries {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_partkey"), rsd = 0.01).as("approx"),
+          approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx"),
           countDistinct(col("l_partkey")).as("nd_parts"),
           count(lit(1)).as("n_rows"))
         .select(col("l_returnflag"), col("n_rows"), col("nd_parts"),
@@ -2172,7 +2172,7 @@ object PipelineQueries {
 
     // Error-bound oracle: DuckDB contributes the exact distinct counts
     // and asserts within_5pct = 1; the hash compare fails iff Spark's
-    // rsd=0.01 HLL++ estimate strays past 5% on any group.
+    // rsd=0.02 HLL++ estimate strays past 5% on any group.
     "q_approx_distinct" ->
       """SELECT l_returnflag,
         |       CAST(count(*) AS BIGINT) AS n_rows,
