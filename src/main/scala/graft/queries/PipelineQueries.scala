@@ -587,6 +587,21 @@ object PipelineQueries {
     "q_sessionize" -> ((s, dir) =>
       EventOps.sessionStats(RefQueries.events(s, dir), gapMinutes = 30)),
 
+    // Native session_window twin of q_sessionize: the built-in merging
+    // session aggregate (ONE user-keyed shuffle; also the streaming form
+    // with watermarked state expiry) vs the lag+cumsum island build.
+    // Microsecond-exact on both sides: Spark merges while the gap is
+    // < 30 min and stamps end = last_ts + gap; the oracle reproduces the
+    // exact >= rule and arithmetic in epoch microseconds.
+    "q_session_window" -> ((s, dir) =>
+      RefQueries.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start_us"),
+          unix_micros(col("session_window.end")).as("session_end_us"),
+          col("n_events"))),
+
     // Point-in-time join: latest click at-or-before each error, per user.
     // One union + one window shuffle — never a range cross product.
     "q_asof_join" -> ((s, dir) => {
@@ -2516,6 +2531,28 @@ object PipelineQueries {
         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
         |FROM sess GROUP BY 1, 2""".stripMargin,
+
+    // session_window semantics, microsecond-exact: a session extends
+    // while the inter-event gap is STRICTLY under 30 min (>= gap starts
+    // a new one), and the window end is last_ts + gap.
+    "q_session_window" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT user_id,
+        |  CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us,
+        |  CAST(epoch_us(max(ts)) + 1800000000 AS BIGINT) AS session_end_us,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM sess GROUP BY user_id, sid""".stripMargin,
 
     "q_topk_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders
