@@ -667,6 +667,23 @@ object PipelineQueries {
       GraphOps.pageRank(e, "src", "dst", iters = 3, redistributeDangling = true)
     }),
 
+    // Per-node triangle counts over the part co-occurrence graph (parts
+    // appearing in the same order). Degree-ordered orientation bounds the
+    // wedge join by O(sqrt(m)) out-degrees — hub-degree-proof — while
+    // the oracle counts the same triangles with the plain id-ordered
+    // three-way join (equivalent result, only viable at oracle scale).
+    "q_triangles" -> ((s, dir) => {
+      val items = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val edges = items.as("a")
+        .join(items.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+      GraphOps.triangleCounts(edges, "u", "v")
+    }),
+
     // First-touch funnel signup -> view -> click -> purchase: ONE shuffle
     // (conditional min per user), then a global single-row reduction —
     // sequence analytics with no self-joins (a per-stage join chain would
@@ -2240,6 +2257,23 @@ object PipelineQueries {
         |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
 
     "q_pagerank" -> pageRankOracle(iters = 5),
+
+    // Plain id-ordered triangle enumeration (u < v < w) — equivalent to
+    // the Spark side's degree-ordered orientation, which finds each
+    // triangle exactly once too.
+    "q_triangles" ->
+      """WITH n AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM n a JOIN n b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |       JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |nodes AS (SELECT unnest([a, b, c]) AS node FROM tri)
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM nodes GROUP BY node""".stripMargin,
 
     "q_pagerank_dangling" -> pageRankOracle(iters = 3, dangling = true),
 

@@ -110,6 +110,40 @@ class GraphOpsSpec extends SparkSpec {
     GraphOps.pageRank(edges.toDF("s", "d"), "s", "d", iters)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
+  test("triangleCounts: hand-computed graphs (K4, path, star+chord)") {
+    // K4: every node sits in C(3,2) = 3 triangles
+    val k4 = (for (u <- 1L to 4L; v <- (u + 1) to 4L) yield (u, v)).toDF("u", "v")
+    val got = GraphOps.triangleCounts(k4, "u", "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // path graph: no triangles -> empty result
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    assert(GraphOps.triangleCounts(path, "u", "v").count() == 0)
+    // star + one chord: exactly one triangle (hub, spoke1, spoke2)
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (2L, 3L)).toDF("u", "v")
+    val sc = GraphOps.triangleCounts(star, "u", "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangleCounts matches naive enumeration on a pseudo-random graph; layout-invariant") {
+    val edges = (1 to 400).map { i =>
+      val u = (i * 7919) % 30; val v = (i * 104729) % 30
+      (math.min(u, v).toLong, math.max(u, v).toLong)
+    }.filter { case (u, v) => u != v }.distinct.toDF("u", "v")
+    val es = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = (for {
+      (a, b) <- es; (c, d) <- es if a == c && b < d && es.contains((b, d))
+    } yield Seq(a, b, d)).toSeq.flatten
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    val got = GraphOps.triangleCounts(edges, "u", "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == naive, s"got $got\nexpected $naive")
+    val rep = GraphOps.triangleCounts(edges.repartition(7), "u", "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep == naive)
+  }
+
   test("pageRank matches the sequential integer recurrence on a pseudo-random graph") {
     var seed = 98765L
     def next(n: Int): Int = { seed = seed * 6364136223846793005L + 1442695040888963407L; (math.abs(seed) % n).toInt }
