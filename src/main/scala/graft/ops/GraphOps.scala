@@ -303,24 +303,31 @@ object GraphOps {
     val e = edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
     val deg = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
-    // orient by the (degree, id) total order; carry the target's key so
-    // wedge legs can be ordered in the SAME total order
     val withDeg = e
       .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
       .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
     val fwd = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
     val oriented = withDeg.select(
       when(fwd, col("u")).otherwise(col("v")).as("s"),
-      when(fwd, col("v")).otherwise(col("u")).as("t"),
-      when(fwd, col("dv")).otherwise(col("du")).as("dt"))
-    val lo = oriented.select(col("s"), col("t").as("b"), col("dt").as("db"))
-    val hi = oriented.select(col("s"), col("t").as("c"), col("dt").as("dc"))
-    val wedges = lo.join(hi, Seq("s"))
-      .filter(col("db") < col("dc") || (col("db") === col("dc") && col("b") < col("c")))
-      .select(col("s").as("a"), col("b"), col("c"))
-    val tri = wedges.join(
-      oriented.select(col("s").as("b"), col("t").as("c")), Seq("b", "c"))
-    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      when(fwd, col("v")).otherwise(col("u")).as("t"))
+    // Adjacency-intersection instead of wedge materialization: a wedge
+    // join would shuffle Σ C(outdeg, 2) rows (tens of millions even on a
+    // mid-sized graph); joining each oriented edge to the two out-
+    // neighbor lists it closes against moves only edge-count rows, and
+    // the per-edge intersection is a row-local array op. Out-lists are
+    // O(sqrt(m))-bounded by the orientation, so neither the lists nor
+    // the intersections blow up on hubs.
+    val adj = oriented.groupBy(col("s"))
+      .agg(sort_array(collect_list(col("t"))).as("nb"))
+    val closed = oriented
+      .join(adj.select(col("s"), col("nb").as("nb_s")), "s")
+      .join(adj.select(col("s").as("t"), col("nb").as("nb_t")), "t")
+      .select(col("s"), col("t"),
+        array_intersect(col("nb_s"), col("nb_t")).as("ws"))
+      .filter(size(col("ws")) > 0)
+    // one row per triangle (s, t, w), then per-node attribution
+    closed.select(col("s"), col("t"), explode(col("ws")).as("w"))
+      .select(explode(array(col("s"), col("t"), col("w"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
 
