@@ -240,6 +240,23 @@ class QueryPlanSpec extends SparkSpec {
     assert(!ad.contains("Join"), s"q_approx_distinct no join:\n$ad")
   }
 
+  test("q_session_window: the native session aggregate rides one user shuffle") {
+    val plan = finalPlan("q_session_window")
+    assert(plan.contains("SessionWindow") || plan.contains("session_window"),
+      s"native session windowing expected:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("Cartesian"),
+      s"sessionization must not join:\n$plan")
+  }
+
+  test("q_triangles: adjacency intersection — no wedge blowup, no cartesian") {
+    val plan = finalPlan("q_triangles")
+    assert(!plan.contains("Cartesian") && !plan.contains("NestedLoop"),
+      s"triangles must stay equi-joined:\n$plan")
+    // the per-edge closure is a row-local array_intersect, not a join of
+    // materialized wedges
+    assert(plan.contains("array_intersect"), s"adjacency-intersection shape:\n$plan")
+  }
+
   test("q_pagerank: no cartesian or nested-loop anywhere in the iteration") {
     val plan = finalPlan("q_pagerank")
     assert(!plan.contains("Cartesian") && !plan.contains("NestedLoop"),
