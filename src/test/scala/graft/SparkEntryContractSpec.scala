@@ -17,8 +17,7 @@ class SparkEntryContractSpec extends AnyFunSuite {
     */
   private val rowsOnly = Set(
     "q_dedup_minhash", "q_dedup_minhash_verified", "q_dedup_simhash",
-    "q_sim_ivf_topk", "q_semdedup", "q_granule_source",
-    "q_sample_hash", "q_approx_distinct", "q_bpe_encode")
+    "q_sim_ivf_topk", "q_semdedup", "q_granule_source", "q_bpe_encode")
 
   test("every query is oracled or documented rows-only; no orphan oracles") {
     val q = SparkEntry.queries.keySet
