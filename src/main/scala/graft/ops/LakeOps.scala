@@ -79,4 +79,39 @@ object LakeOps {
       .parquet(path)
     plan
   }
+
+  /** CDC merge ("MERGE INTO" / upsert-apply — the lakehouse write path's
+    * logical core): apply a changelog onto a snapshot. `changes` carries
+    * the snapshot's columns plus `opCol` ('U' upsert, 'D' delete) and a
+    * monotone `seqCol` (`>= 0`; (key, seq) unique, as in any CDC log). The
+    * per-key winner is the highest-seq row — snapshot rows participate
+    * with seq = Long.MinValue so any change beats them — and delete
+    * winners drop out.
+    *
+    * Plan shape: NO join. Snapshot and changelog union and ride ONE hash
+    * shuffle on the key with a map-side partial `max_by`. The textbook
+    * full-outer-join formulation shuffles both sides AND builds per-key
+    * join state; this is the same single Exchange with constant-size agg
+    * state per key, and it extends to multi-version changelogs for free.
+    */
+  def applyChanges(
+      snapshot: DataFrame,
+      changes: DataFrame,
+      keyCol: String,
+      seqCol: String,
+      opCol: String): DataFrame = {
+    val payload = snapshot.columns.filter(_ != keyCol).toSeq
+    val snap = snapshot.select(
+      col(keyCol) +: payload.map(col)
+        :+ lit(Long.MinValue).as(seqCol) :+ lit("U").as(opCol): _*)
+    val chg = changes.select(
+      col(keyCol) +: payload.map(col)
+        :+ col(seqCol).cast("long") :+ col(opCol): _*)
+    snap.unionByName(chg)
+      .groupBy(col(keyCol))
+      .agg(max_by(
+        struct(payload.map(col) :+ col(opCol): _*), col(seqCol)).as("__w"))
+      .filter(col(s"__w.$opCol") =!= "D")
+      .select(col(keyCol) +: payload.map(p => col(s"__w.$p").as(p)): _*)
+  }
 }

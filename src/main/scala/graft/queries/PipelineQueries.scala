@@ -270,6 +270,37 @@ object PipelineQueries {
     "q_lake_layout" -> ((s, dir) =>
       LakeOps.layoutPlan(t(s, dir, "documents"), Seq("source"), 40L)),
 
+    // MERGE INTO / CDC upsert-apply (lakehouse incremental write): a
+    // changelog of updates, deletes, re-inserts and multi-version rows
+    // lands on a snapshot; latest seq wins per key, delete winners drop.
+    // NO join — snapshot+changelog union rides ONE key shuffle with a
+    // map-side partial max_by (LakeOps.applyChanges scaladoc).
+    "q_merge_upsert" -> ((s, dir) => {
+      val base = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("total_cents"))
+      val snapshot = base.filter(col("o_orderkey") % 4 < 3)
+      val changes =
+        base.filter(col("o_orderkey") % 4 === 0).select(
+            col("o_orderkey"), col("o_custkey"),
+            lit("X").as("o_orderstatus"),
+            (col("total_cents") + 100).as("total_cents"),
+            lit(1L).as("seq"), lit("U").as("op"))
+          .unionByName(base.filter(col("o_orderkey") % 4 === 1).select(
+            col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("total_cents"), lit(1L).as("seq"), lit("D").as("op")))
+          .unionByName(base.filter(col("o_orderkey") % 4 === 3).select(
+            col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("total_cents"), lit(1L).as("seq"), lit("U").as("op")))
+          .unionByName(base.filter(col("o_orderkey") % 8 === 0).select(
+            col("o_orderkey"), col("o_custkey"),
+            lit("Y").as("o_orderstatus"),
+            (col("total_cents") + 200).as("total_cents"),
+            lit(2L).as("seq"), lit("U").as("op")))
+      LakeOps.applyChanges(snapshot, changes,
+        keyCol = "o_orderkey", seqCol = "seq", opCol = "op")
+    }),
+
     // ---------------------------------------------------------- sampling
     "q_sample_stratified" -> ((s, dir) =>
       SamplingOps.stratifiedExact(
@@ -1710,6 +1741,35 @@ object PipelineQueries {
       """SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST((count(*) + 39) // 40 AS BIGINT) AS n_files
         |FROM documents GROUP BY source""".stripMargin,
+
+    "q_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
+        |  FROM orders),
+        |snap AS (
+        |  SELECT *, CAST(-1 AS BIGINT) AS seq, 'U' AS op
+        |  FROM base WHERE o_orderkey % 4 < 3),
+        |chg AS (
+        |  SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+        |    total_cents + 100 AS total_cents, CAST(1 AS BIGINT) AS seq,
+        |    'U' AS op
+        |  FROM base WHERE o_orderkey % 4 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, total_cents, 1, 'D'
+        |  FROM base WHERE o_orderkey % 4 = 1
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, total_cents, 1, 'U'
+        |  FROM base WHERE o_orderkey % 4 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, 'Y', total_cents + 200, 2, 'U'
+        |  FROM base WHERE o_orderkey % 8 = 0),
+        |w AS (
+        |  SELECT *, row_number()
+        |    OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+        |  FROM (SELECT * FROM snap UNION ALL SELECT * FROM chg))
+        |SELECT o_orderkey, o_custkey, o_orderstatus, total_cents
+        |FROM w WHERE rn = 1 AND op <> 'D'""".stripMargin,
     "q_text_stats" ->
       s"""SELECT doc_id,
          | CAST(${S.tokenCount("text")} AS INTEGER) AS n_tokens,

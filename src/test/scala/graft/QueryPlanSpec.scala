@@ -262,4 +262,17 @@ class QueryPlanSpec extends SparkSpec {
     assert(!plan.contains("Cartesian") && !plan.contains("NestedLoop"),
       s"iterative joins must stay hash-based:\n$plan")
   }
+
+  test("q_merge_upsert: CDC apply is ONE key shuffle with partial max_by — no join") {
+    val plan = finalPlan("q_merge_upsert")
+    assert(!plan.contains("Join"),
+      s"snapshot+changelog must union, not join:\n$plan")
+    assert(countOf(plan, "Exchange") == 1,
+      s"exactly one hash Exchange on the key:\n$plan")
+    // struct-valued max_by plans as SortAggregate (buffer isn't mutable
+    // fixed-width) — the pin is the partial/final split, i.e. map-side
+    // combine before the Exchange, not the aggregate's physical flavor
+    assert(plan.contains("partial_max_by"),
+      s"map-side partial max_by expected before the shuffle:\n$plan")
+  }
 }

@@ -79,4 +79,53 @@ class LakeOpsSpec extends SparkSpec {
     assert(spark.read.parquet(a).select($"doc_id")
       .except(spark.read.parquet(b).select($"doc_id")).isEmpty)
   }
+
+  test("applyChanges: latest version wins, deletes drop, inserts and re-inserts land") {
+    val snap = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("id", "name", "v")
+    val chg = Seq(
+      (2L, "b2", 21L, 1L, "U"), // update ...
+      (2L, "b3", 22L, 2L, "U"), // ... beaten by the later version
+      (3L, "c", 30L, 1L, "D"),  // delete ...
+      (3L, "c2", 31L, 2L, "U"), // ... then re-insert
+      (4L, "d", 40L, 1L, "U"))  // plain insert (key absent from snapshot)
+      .toDF("id", "name", "v", "seq", "op")
+    val out = LakeOps.applyChanges(snap, chg, "id", "seq", "op")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, "a", 10L), (2L, "b3", 22L), (3L, "c2", 31L),
+      (4L, "d", 40L)))
+  }
+
+  test("applyChanges: delete-only winner removes a snapshot row") {
+    val snap = Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "name", "v")
+    val chg = Seq((1L, "a", 10L, 5L, "D")).toDF("id", "name", "v", "seq", "op")
+    val out = LakeOps.applyChanges(snap, chg, "id", "seq", "op")
+      .collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(2L))
+  }
+
+  test("applyChanges: partitioning-invariant (1 vs 8 input partitions)") {
+    val snap = (1L to 400L).map(i => (i, s"n$i", i * 10)).toDF("id", "name", "v")
+    val chg = (1L to 600L).flatMap { i =>
+      val op = if (i % 5 == 0) "D" else "U"
+      val first = (i, s"u$i", i * 100, 1L, op)
+      // every 3rd key gets a second, winning version
+      if (i % 3 == 0) Seq(first, (i, s"w$i", i * 1000, 2L, "U")) else Seq(first)
+    }.toDF("id", "name", "v", "seq", "op")
+    def run(sp: Int, cp: Int) =
+      LakeOps.applyChanges(snap.repartition(sp), chg.repartition(cp),
+        "id", "seq", "op")
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val a = run(1, 1)
+    val b = run(8, 3)
+    assert(a == b)
+    // spot-check semantics: key 5 deleted, key 3 at version 2, key 401
+    // inserted (absent from snapshot), key 1 updated
+    assert(!a.exists(_._1 == 5L))
+    assert(a.find(_._1 == 3L).contains((3L, "w3", 3000L)))
+    assert(a.find(_._1 == 401L).contains((401L, "u401", 40100L)))
+    assert(a.find(_._1 == 1L).contains((1L, "u1", 100L)))
+  }
 }
