@@ -270,6 +270,18 @@ object PipelineQueries {
     "q_lake_layout" -> ((s, dir) =>
       LakeOps.layoutPlan(t(s, dir, "documents"), Seq("source"), 40L)),
 
+    // Column-level data profiling (exact): per column, row/null/distinct
+    // counts + stringified min/max. Each UNION leg prunes its scan to ONE
+    // column (total bytes across legs == one full-width scan) and the
+    // distinct count shuffles DISTINCT VALUES only. The single-pass HLL
+    // variant (ProfileOps.profileApprox — one scan, zero row shuffle,
+    // the 100 TB path for all-distinct id columns) is pinned against this
+    // exact form in ProfileOpsSpec.
+    "q_profile" -> ((s, dir) =>
+      graft.ops.ProfileOps.profile(
+        t(s, dir, "documents"),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))),
+
     // MERGE INTO / CDC upsert-apply (lakehouse incremental write): a
     // changelog of updates, deletes, re-inserts and multi-version rows
     // lands on a snapshot; latest seq wins per key, delete winners drop.
@@ -1770,6 +1782,20 @@ object PipelineQueries {
         |  FROM (SELECT * FROM snap UNION ALL SELECT * FROM chg))
         |SELECT o_orderkey, o_custkey, o_orderstatus, total_cents
         |FROM w WHERE rn = 1 AND op <> 'D'""".stripMargin,
+
+    // Exact per-column profile: same UNION-of-single-column-aggregates
+    // shape as the Spark plan. count/count DISTINCT are exact integers on
+    // both engines; min/max stringify identically for BIGINT/VARCHAR
+    // columns (both engines compare strings bytewise).
+    "q_profile" -> Seq("doc_id", "text", "lang", "source", "n_chars")
+      .map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_null,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_val,
+           |  CAST(max($c) AS VARCHAR) AS max_val
+           |FROM documents""".stripMargin
+      }.mkString("\nUNION ALL\n"),
     "q_text_stats" ->
       s"""SELECT doc_id,
          | CAST(${S.tokenCount("text")} AS INTEGER) AS n_tokens,
