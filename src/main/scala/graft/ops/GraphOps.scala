@@ -300,16 +300,28 @@ object GraphOps {
     * triangle omitted.
     */
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val e = edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+    // The edge list is referenced by FIVE downstream legs (two degree
+    // legs, the degree-attach stream, and both adjacency derivations);
+    // without a lineage cut each leg would re-execute the caller's edge
+    // construction — for the gated co-occurrence graph that is a
+    // 600k-row self-join plus a 1.9M-row distinct, and the static plan
+    // repeats that subtree four times. Materialize the (u,v) pairs once
+    // (same discipline as pageRank's per-iteration checkpoint above).
+    val e = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .localCheckpoint(true)
     val deg = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
     val withDeg = e
       .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
       .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
     val fwd = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    // Oriented edges feed the closure join AND both adjacency legs; cut
+    // here too so the degree joins run once, not three times.
     val oriented = withDeg.select(
       when(fwd, col("u")).otherwise(col("v")).as("s"),
       when(fwd, col("v")).otherwise(col("u")).as("t"))
+      .localCheckpoint(true)
     // Adjacency-intersection instead of wedge materialization: a wedge
     // join would shuffle Σ C(outdeg, 2) rows (tens of millions even on a
     // mid-sized graph); joining each oriented edge to the two out-
@@ -319,9 +331,11 @@ object GraphOps {
     // the intersections blow up on hubs.
     val adj = oriented.groupBy(col("s"))
       .agg(sort_array(collect_list(col("t"))).as("nb"))
+    // shuffle_hash: the build side (adjacency lists, |V| rows) hashes
+    // per-partition; sorting the edge-sized stream twice buys nothing
     val closed = oriented
-      .join(adj.select(col("s"), col("nb").as("nb_s")), "s")
-      .join(adj.select(col("s").as("t"), col("nb").as("nb_t")), "t")
+      .join(adj.select(col("s"), col("nb").as("nb_s")).hint("shuffle_hash"), "s")
+      .join(adj.select(col("s").as("t"), col("nb").as("nb_t")).hint("shuffle_hash"), "t")
       .select(col("s"), col("t"),
         array_intersect(col("nb_s"), col("nb_t")).as("ws"))
       .filter(size(col("ws")) > 0)

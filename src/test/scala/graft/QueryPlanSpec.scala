@@ -255,6 +255,13 @@ class QueryPlanSpec extends SparkSpec {
     // the per-edge closure is a row-local array_intersect, not a join of
     // materialized wedges
     assert(plan.contains("array_intersect"), s"adjacency-intersection shape:\n$plan")
+    // the lineage cuts hold: the final plan reads the checkpointed edge
+    // RDDs — the co-occurrence construction must NOT re-enter it (a
+    // parquet scan here means a leg re-executes the edge build)
+    assert(!plan.contains("Scan parquet"),
+      s"edge construction leaked past the checkpoint:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"closure joins should hash, not sort, the edge stream:\n$plan")
   }
 
   test("q_pagerank: no cartesian or nested-loop anywhere in the iteration") {
