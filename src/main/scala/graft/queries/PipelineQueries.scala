@@ -161,6 +161,28 @@ object PipelineQueries {
     "q_dedup_spans" -> ((s, dir) =>
       DedupOps.spanDedup(t(s, dir, "documents"), "doc_id", "text", k = 5)),
 
+    // Line-level boilerplate removal (CCNet/RefinedWeb pass). The source
+    // docs are single-line, so the query deterministically wraps each in
+    // web chrome first: a per-source header (df ~ docs/source — always
+    // boilerplate), a per-(lang,source) tagline and a doc_id%97 promo
+    // line (df straddles the threshold differently at every SF — the
+    // boundary is exercised on BOTH sides at each scale), a global footer
+    // (always dropped), and the unique body (always kept). Production
+    // path dfs by 8-byte line hash; the oracle recomputes with exact
+    // line-equality semantics, so the hash-compare also proves the
+    // hash-keyed plan changes nothing.
+    "q_line_dedup" -> ((s, dir) => {
+      val built = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n",
+          concat(lit("== "), col("source"), lit(" news ==")),
+          concat(lit("lang "), col("lang"), lit(" @ "), col("source")),
+          concat(lit("promo "), (col("doc_id") % 97).cast("string")),
+          concat(lit("ref "), (col("doc_id") % 997).cast("string")),
+          col("text"),
+          lit("(c) all rights reserved")).as("text"))
+      DedupOps.lineDedup(built, "doc_id", "text", maxDocFreq = 8L)
+    }),
+
     // xxhash64-based: no SQL oracle (rows-only check + ScalaTest).
     "q_dedup_minhash" -> ((s, dir) => {
       val sigs = DedupOps.minhashSignatures(
@@ -1972,6 +1994,32 @@ object PipelineQueries {
          |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
          |  CAST(len(t.w) - coalesce(a.n_kept, 0) AS BIGINT) AS n_dropped
          |FROM toks t LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // Exact line-equality semantics (the Spark side dfs by 8-byte line
+    // hashes — same result modulo 2^-64 collisions, the documented trade).
+    "q_line_dedup" ->
+      """WITH built AS (
+        |  SELECT doc_id,
+        |    concat('== ', source, ' news ==', chr(10),
+        |           'lang ', lang, ' @ ', source, chr(10),
+        |           'promo ', CAST(doc_id % 97 AS VARCHAR), chr(10),
+        |           'ref ', CAST(doc_id % 997 AS VARCHAR), chr(10),
+        |           text, chr(10),
+        |           '(c) all rights reserved') AS text
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(text, chr(10))) AS line,
+        |    unnest(range(len(string_split(text, chr(10))))) AS pos
+        |  FROM built),
+        |df AS (SELECT line, count(DISTINCT doc_id) AS c
+        |       FROM lines GROUP BY line)
+        |SELECT l.doc_id,
+        |  string_agg(l.line, chr(10) ORDER BY l.pos) AS text_clean,
+        |  CAST(count(*) AS BIGINT) AS n_lines_kept
+        |FROM lines l JOIN df ON l.line = df.line
+        |WHERE df.c <= 8
+        |GROUP BY l.doc_id""".stripMargin,
 
     "q_dedup_ngram" ->
       s"""WITH toks AS (

@@ -264,6 +264,18 @@ class QueryPlanSpec extends SparkSpec {
       s"closure joins should hash, not sort, the edge stream:\n$plan")
   }
 
+  test("q_line_dedup: line df keyed by 8-byte hash — raw line text never " +
+    "partitions a shuffle") {
+    val plan = finalPlan("q_line_dedup")
+    assert(!plan.contains("Cartesian") && !plan.contains("NestedLoop"),
+      s"boilerplate pass must stay equi-joined:\n$plan")
+    assert(plan.contains("xxhash64"), s"hash-keyed df expected:\n$plan")
+    // the scale property: no Exchange partitions by the line string (a
+    // raw-line shuffle would carry the whole corpus as keys)
+    assert(!plan.contains("hashpartitioning(line"),
+      s"df shuffle must key on the hash, not the line text:\n$plan")
+  }
+
   test("q_pagerank: no cartesian or nested-loop anywhere in the iteration") {
     val plan = finalPlan("q_pagerank")
     assert(!plan.contains("Cartesian") && !plan.contains("NestedLoop"),

@@ -255,4 +255,45 @@ class DedupOpsSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(one == eight)
   }
+
+  test("lineDedup drops lines shared by more than maxDocFreq docs, " +
+    "keeps order, omits all-boilerplate docs") {
+    val web = Seq(
+      (1L, "HEADER\nalpha one\nmid\nFOOTER"),
+      (2L, "HEADER\nbeta two\nmid\nFOOTER"),
+      (3L, "HEADER\ngamma three\nFOOTER"),
+      (4L, "HEADER\nFOOTER") // nothing unique -> disappears
+    ).toDF("doc_id", "text")
+    // threshold 2: HEADER/FOOTER (df 4) drop; "mid" (df 2) stays
+    val out = DedupOps.lineDedup(web, "doc_id", "text", maxDocFreq = 2L)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(out == Map(
+      1L -> (("alpha one\nmid", 2L)),
+      2L -> (("beta two\nmid", 2L)),
+      3L -> (("gamma three", 1L))))
+  }
+
+  test("lineDedup: threshold 1 keeps only globally unique lines; " +
+    "empty lines count as one shared line") {
+    val web = Seq(
+      (1L, "same\nuniq a\n"),  // trailing \n -> empty last line
+      (2L, "same\nuniq b\n")
+    ).toDF("doc_id", "text")
+    val out = DedupOps.lineDedup(web, "doc_id", "text", maxDocFreq = 1L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // "same" (df 2) and the trailing empty line (df 2) both drop
+    assert(out == Map(1L -> "uniq a", 2L -> "uniq b"))
+  }
+
+  test("lineDedup is partitioning-invariant") {
+    val web = Seq(
+      (1L, "h\na\nf"), (2L, "h\nb\nf"), (3L, "h\nc\nf"), (4L, "h\nd\nf"))
+      .toDF("doc_id", "text")
+    val one = DedupOps.lineDedup(web.repartition(1), "doc_id", "text", 2L)
+      .collect().map(_.toSeq).toSet
+    val eight = DedupOps.lineDedup(web.repartition(8), "doc_id", "text", 2L)
+      .collect().map(_.toSeq).toSet
+    assert(one == eight)
+  }
 }
