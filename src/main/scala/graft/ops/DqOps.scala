@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality constraint checking (the Deequ/Great-Expectations gate a
+  * production ingest runs before accepting a batch): declarative row
+  * predicates plus key-uniqueness, evaluated in ONE pass, reported as one
+  * row per rule. The reference performs the same kind of admission checks
+  * when reading granules — fill-value screening and valid-range guards
+  * per variable (`aggregate_functions.py` attribute handling) — here
+  * generalized to arbitrary tables.
+  *
+  * Scale shape: every row predicate is a conditional partial sum riding a
+  * single scan + single global aggregate (zero row shuffles — the same
+  * plan as [[ProfileOps.profileApprox]]); key-uniqueness rides the same
+  * pass as `count - count_distinct` (the distinct-value shuffle moves
+  * VALUES of the key, never rows). The K-row report pivots row-locally.
+  */
+object DqOps {
+
+  /** One row per rule: `(rule, n_rows, n_violations, status)` with
+    * status 'pass' when the violation count is zero, else 'fail'.
+    *
+    * @param rules       (name, predicate-that-must-HOLD) pairs; a NULL
+    *                    predicate result counts as a violation (the
+    *                    Deequ convention: unknown is not compliant).
+    * @param uniqueKeys  column names that must be globally unique;
+    *                    each contributes a rule `unique_<col>` whose
+    *                    violation count is `n_rows - n_distinct` (0 when
+    *                    unique; NULL keys count toward violations since
+    *                    count_distinct ignores them).
+    */
+  def check(
+      df: DataFrame,
+      rules: Seq[(String, Column)],
+      uniqueKeys: Seq[String] = Nil): DataFrame = {
+    require(rules.nonEmpty || uniqueKeys.nonEmpty, "no constraints given")
+    val predAggs = rules.map { case (name, pred) =>
+      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L))
+        .as(s"__v_$name")
+    }
+    val uniqAggs = uniqueKeys.map { k =>
+      (count(lit(1)) - count_distinct(col(k))).as(s"__v_unique_$k")
+    }
+    val one = df.agg(count(lit(1)).as("__rows"),
+      (predAggs ++ uniqAggs): _*)
+    val names = rules.map(_._1) ++ uniqueKeys.map(k => s"unique_$k")
+    val legs = names.map { n =>
+      struct(lit(n).as("rule"), col("__rows").as("n_rows"),
+        coalesce(col(s"__v_$n"), lit(0L)).as("n_violations"),
+        when(coalesce(col(s"__v_$n"), lit(0L)) === 0L, "pass")
+          .otherwise("fail").as("status"))
+    }
+    one.select(explode(array(legs: _*)).as("r")).select(col("r.*"))
+  }
+}

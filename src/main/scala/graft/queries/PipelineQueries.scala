@@ -304,6 +304,22 @@ object PipelineQueries {
         t(s, dir, "documents"),
         Seq("doc_id", "text", "lang", "source", "n_chars"))),
 
+    // Data-quality admission gate (Deequ-style): declarative row
+    // constraints + key uniqueness, ONE scan, zero row shuffles (the
+    // distinct-count leg shuffles key VALUES only). The en_only rule is
+    // deliberately violated — both report branches (pass and fail with
+    // exact violation counts) are exercised.
+    "q_dq_checks" -> ((s, dir) =>
+      graft.ops.DqOps.check(
+        t(s, dir, "documents"),
+        rules = Seq(
+          "n_chars_nonneg" -> (col("n_chars") >= 0),
+          "lang_known" ->
+            col("lang").isin("en", "de", "fr", "es", "zh"),
+          "text_nonempty" -> (length(col("text")) > 0),
+          "en_only" -> (col("lang") === "en")),
+        uniqueKeys = Seq("doc_id"))),
+
     // MERGE INTO / CDC upsert-apply (lakehouse incremental write): a
     // changelog of updates, deletes, re-inserts and multi-version rows
     // lands on a snapshot; latest seq wins per key, delete winners drop.
@@ -1811,6 +1827,36 @@ object PipelineQueries {
         |  FROM (SELECT * FROM snap UNION ALL SELECT * FROM chg))
         |SELECT o_orderkey, o_custkey, o_orderstatus, total_cents
         |FROM w WHERE rn = 1 AND op <> 'D'""".stripMargin,
+
+    // One wide aggregate, pivoted to a row per rule — the same
+    // single-pass shape as the Spark side.
+    "q_dq_checks" ->
+      """WITH a AS (
+        |  SELECT count(*) AS n_rows,
+        |    sum(CASE WHEN coalesce(n_chars >= 0, FALSE)
+        |        THEN 0 ELSE 1 END) AS v_n_chars_nonneg,
+        |    sum(CASE WHEN coalesce(lang IN ('en','de','fr','es','zh'), FALSE)
+        |        THEN 0 ELSE 1 END) AS v_lang_known,
+        |    sum(CASE WHEN coalesce(length(text) > 0, FALSE)
+        |        THEN 0 ELSE 1 END) AS v_text_nonempty,
+        |    sum(CASE WHEN coalesce(lang = 'en', FALSE)
+        |        THEN 0 ELSE 1 END) AS v_en_only,
+        |    count(*) - count(DISTINCT doc_id) AS v_unique_doc_id
+        |  FROM documents),
+        |r AS (
+        |  SELECT 'n_chars_nonneg' AS rule, n_rows,
+        |    CAST(v_n_chars_nonneg AS BIGINT) AS n_violations FROM a
+        |  UNION ALL SELECT 'lang_known', n_rows,
+        |    CAST(v_lang_known AS BIGINT) FROM a
+        |  UNION ALL SELECT 'text_nonempty', n_rows,
+        |    CAST(v_text_nonempty AS BIGINT) FROM a
+        |  UNION ALL SELECT 'en_only', n_rows,
+        |    CAST(v_en_only AS BIGINT) FROM a
+        |  UNION ALL SELECT 'unique_doc_id', n_rows,
+        |    CAST(v_unique_doc_id AS BIGINT) FROM a)
+        |SELECT rule, n_rows, n_violations,
+        |  CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS status
+        |FROM r""".stripMargin,
 
     // Exact per-column profile: same UNION-of-single-column-aggregates
     // shape as the Spark plan. count/count DISTINCT are exact integers on

@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DqOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rows = Seq(
+    (1L, Some("a"), Some(10L)),
+    (2L, Some(""), Some(-5L)),   // empty text, negative value
+    (2L, Some("b"), None),       // duplicate key, NULL value
+    (3L, None, Some(7L))         // NULL text
+  ).toDF("id", "s", "v")
+
+  test("check: exact violation counts; NULL predicate counts as violation") {
+    val out = DqOps.check(rows,
+      rules = Seq(
+        "v_nonneg" -> ($"v" >= 0),       // row2 violates; row3's NULL violates
+        "s_nonempty" -> (length($"s") > 0)), // row2 empty, row4 NULL
+      uniqueKeys = Seq("id"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out("v_nonneg") == ((4L, 2L, "fail")))
+    assert(out("s_nonempty") == ((4L, 2L, "fail")))
+    assert(out("unique_id") == ((4L, 1L, "fail")))
+  }
+
+  test("check: all-holding rules report pass with zero violations") {
+    val out = DqOps.check(rows,
+      rules = Seq("id_pos" -> ($"id" > 0)), uniqueKeys = Nil)
+      .collect().head
+    assert(out.getString(0) == "id_pos" && out.getLong(2) == 0L &&
+      out.getString(3) == "pass")
+  }
+
+  test("check on an empty frame: zero rows, zero violations, pass") {
+    val out = DqOps.check(rows.filter($"id" > 100),
+      rules = Seq("any" -> ($"v" >= 0)), uniqueKeys = Seq("id"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out == Map(
+      "any" -> ((0L, 0L, "pass")), "unique_id" -> ((0L, 0L, "pass"))))
+  }
+
+  test("check plan: one scan, no row shuffle") {
+    val q = DqOps.check(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+      rules = Seq("nonneg" -> (col("n_chars") >= 0)),
+      uniqueKeys = Seq("doc_id"))
+    q.collect()
+    val plan = q.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p => p.toString
+    }
+    assert("FileScan|BatchScan".r.findAllIn(plan).size == 1,
+      s"expected one scan:\n$plan")
+    assert(plan.contains("SinglePartition"),
+      s"global partial/final aggregate expected:\n$plan")
+  }
+}
