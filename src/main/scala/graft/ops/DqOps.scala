@@ -54,4 +54,43 @@ object DqOps {
     }
     one.select(explode(array(legs: _*)).as("r")).select(col("r.*"))
   }
+
+  /** Continuous data-quality monitoring: [[check]] per event-time
+    * tumbling window — the ingest-time twin a streaming pipeline runs to
+    * catch a bad upstream deploy within one window instead of at the next
+    * batch audit. Same conditional-partial-sum shape, so the aggregate is
+    * incrementally mergeable and runs UNCHANGED as a Structured Streaming
+    * query (`watermark` bounds state; in batch it is a no-op and results
+    * are identical — pinned streamed==batch in DqOpsSpec). Key-uniqueness
+    * is deliberately absent here: exact `count_distinct` is not an
+    * incremental aggregate (streaming would need the dedup-then-count
+    * form [[graft.streaming.EventOps.streamingDedup]] provides).
+    *
+    * Output: `(win_start, rule, n_rows, n_violations, status)`.
+    */
+  def checkWindowed(
+      df: DataFrame,
+      tsCol: String,
+      windowDuration: String,
+      rules: Seq[(String, Column)],
+      watermark: Option[String] = None): DataFrame = {
+    require(rules.nonEmpty, "no constraints given")
+    val src = watermark.fold(df)(w => df.withWatermark(tsCol, w))
+    val aggs = rules.map { case (name, pred) =>
+      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L))
+        .as(s"__v_$name")
+    }
+    val one = src
+      .groupBy(window(col(tsCol), windowDuration).as("win"))
+      .agg(count(lit(1)).as("__rows"), aggs: _*)
+    val legs = rules.map(_._1).map { n =>
+      struct(lit(n).as("rule"), col("__rows").as("n_rows"),
+        col(s"__v_$n").as("n_violations"),
+        when(col(s"__v_$n") === 0L, "pass").otherwise("fail").as("status"))
+    }
+    one.select(
+      date_format(col("win.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+      explode(array(legs: _*)).as("r"))
+      .select(col("win_start"), col("r.*"))
+  }
 }

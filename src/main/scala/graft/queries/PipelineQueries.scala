@@ -320,6 +320,21 @@ object PipelineQueries {
           "en_only" -> (col("lang") === "en")),
         uniqueKeys = Seq("doc_id"))),
 
+    // Continuous DQ monitoring: the same constraint report per 1-hour
+    // event-time window (the incrementally-mergeable streaming form —
+    // runs unchanged under readStream with a watermark, pinned
+    // streamed==batch in DqOpsSpec). type_known fails exactly in the
+    // windows containing 'error' events — per-window pass/fail
+    // discrimination, not a global verdict.
+    "q_dq_monitor" -> ((s, dir) =>
+      graft.ops.DqOps.checkWindowed(
+        RefQueries.events(s, dir), "ts", "1 hour",
+        rules = Seq(
+          "value_pos" -> (col("value") > 0),
+          "type_known" ->
+            col("event_type").isin("signup", "view", "click", "purchase"),
+          "has_user" -> col("user_id").isNotNull))),
+
     // MERGE INTO / CDC upsert-apply (lakehouse incremental write): a
     // changelog of updates, deletes, re-inserts and multi-version rows
     // lands on a snapshot; latest seq wins per key, delete winners drop.
@@ -1855,6 +1870,29 @@ object PipelineQueries {
         |  UNION ALL SELECT 'unique_doc_id', n_rows,
         |    CAST(v_unique_doc_id AS BIGINT) FROM a)
         |SELECT rule, n_rows, n_violations,
+        |  CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS status
+        |FROM r""".stripMargin,
+
+    "q_dq_monitor" ->
+      """WITH a AS (
+        |  SELECT date_trunc('hour', ts) AS h, count(*) AS n_rows,
+        |    sum(CASE WHEN coalesce(value > 0, FALSE)
+        |        THEN 0 ELSE 1 END) AS v_value_pos,
+        |    sum(CASE WHEN coalesce(
+        |          event_type IN ('signup','view','click','purchase'), FALSE)
+        |        THEN 0 ELSE 1 END) AS v_type_known,
+        |    sum(CASE WHEN user_id IS NOT NULL
+        |        THEN 0 ELSE 1 END) AS v_has_user
+        |  FROM events GROUP BY 1),
+        |r AS (
+        |  SELECT h, 'value_pos' AS rule, n_rows,
+        |    CAST(v_value_pos AS BIGINT) AS n_violations FROM a
+        |  UNION ALL SELECT h, 'type_known', n_rows,
+        |    CAST(v_type_known AS BIGINT) FROM a
+        |  UNION ALL SELECT h, 'has_user', n_rows,
+        |    CAST(v_has_user AS BIGINT) FROM a)
+        |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS win_start, rule,
+        |  n_rows, n_violations,
         |  CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS status
         |FROM r""".stripMargin,
 

@@ -46,6 +46,47 @@ class DqOpsSpec extends SparkSpec {
       "any" -> ((0L, 0L, "pass")), "unique_id" -> ((0L, 0L, "pass"))))
   }
 
+  test("checkWindowed: per-window verdicts, streamed == batch") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(s: String) = Timestamp.valueOf(s)
+    val data = Seq(
+      (1L, ts("2024-01-01 00:05:00"), "click", 1.50),
+      (2L, ts("2024-01-01 00:55:00"), "bogus", 2.25),   // hour 0 fails
+      (3L, ts("2024-01-01 01:10:00"), "view", -4.00),   // hour 1 fails other rule
+      (4L, ts("2024-01-01 01:20:00"), "click", 8.00))
+    val rules = Seq(
+      "value_pos" -> ($"value" > 0),
+      "type_known" -> $"event_type".isin("click", "view"))
+    val batchDf = data.toDF("event_id", "ts", "event_type", "value")
+    val batch = DqOps.checkWindowed(batchDf, "ts", "1 hour", rules)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+
+    assert(batch(("2024-01-01 00:00:00", "type_known")) == ((2L, 1L, "fail")))
+    assert(batch(("2024-01-01 00:00:00", "value_pos")) == ((2L, 0L, "pass")))
+    assert(batch(("2024-01-01 01:00:00", "type_known")) == ((2L, 0L, "pass")))
+    assert(batch(("2024-01-01 01:00:00", "value_pos")) == ((2L, 1L, "fail")))
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val stream = mem.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = DqOps.checkWindowed(stream, "ts", "1 hour", rules,
+      watermark = Some("2 hours"))
+      .writeStream.format("memory").queryName("dq_out")
+      .outputMode("complete").start()
+    try {
+      mem.addData(data.take(2))
+      q.processAllAvailable()
+      mem.addData(data.drop(2))
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM dq_out").collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("check plan: one scan, no row shuffle") {
     val q = DqOps.check(
       spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
