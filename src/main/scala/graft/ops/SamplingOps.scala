@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling for training-data pipelines. Every operator here
@@ -164,5 +165,60 @@ object SamplingOps {
     df.withColumn("copy",
       explode(when(copies > 0L, sequence(lit(0L), copies - 1L))
         .otherwise(array().cast("array<bigint>"))))
+  }
+
+  /** Budget-constrained best-first selection — "take the highest-quality
+    * documents until the token budget is spent": exactly the rows whose
+    * running weight, in (score DESC, id ASC) order, stays within
+    * `budget`. Semantically identical to a global sort + running-sum
+    * window, but that plan funnels the WHOLE corpus through one sorted
+    * task chain — the classic 100 TB selection-killer. Instead:
+    *
+    *   1. ONE aggregation of per-score-class weight sums (score classes
+    *      move, not rows — the integral score's value domain bounds the
+    *      table, like a histogram);
+    *   2. the driver walks the descending class table (a
+    *      broadcast-threshold-sized collect): classes that fit entirely
+    *      are IN, the first that doesn't is the boundary;
+    *   3. one filtered pass emits better-than-boundary rows shuffle-free;
+    *      ONLY the boundary class (a single score value) pays an exact
+    *      id-ordered running sum for the remaining budget.
+    *
+    * Weights must be non-negative; score must be integral (exact class
+    * equality). Returns `(idCol, score, weight)`.
+    */
+  def selectByBudget(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: Column,
+      weightCol: Column,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val scored = df.select(col(idCol),
+      scoreCol.cast("long").as("score"), weightCol.cast("long").as("weight"))
+    val classes = scored.groupBy(col("score"))
+      .agg(sum(col("weight")).as("cw"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
+    var cum = 0L
+    var boundary: Option[(Long, Long)] = None // (score, remaining budget)
+    classes.takeWhile { case (s, cw) =>
+      if (cum + cw <= budget) { cum += cw; true }
+      else { boundary = Some((s, budget - cum)); false }
+    }
+    boundary match {
+      case None => scored // every class fits
+      case Some((bScore, remaining)) =>
+        val full = scored.filter(col("score") > bScore)
+        // the window spans ONE score class — bounded unless the score is
+        // degenerate (every doc identical), in which case no partitioning
+        // of this problem avoids ordering that class
+        val runWin = Window.orderBy(col(idCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val part = scored.filter(col("score") === bScore)
+          .withColumn("__cum", sum(col("weight")).over(runWin))
+          .filter(col("__cum") <= remaining)
+          .drop("__cum")
+        full.unionByName(part)
+    }
   }
 }

@@ -320,6 +320,20 @@ object PipelineQueries {
           "en_only" -> (col("lang") === "en")),
         uniqueKeys = Seq("doc_id"))),
 
+    // Budget-constrained best-first selection ("take the best 60k chars"):
+    // histogram/class-threshold plan — per-score-class weight sums, a
+    // driver walk of the ~90-class table, shuffle-free emission of the
+    // fully-in classes; ONLY the boundary score class pays an id-ordered
+    // running sum. The oracle is the global sort + running-sum window the
+    // plan deliberately avoids — hash-equality proves the two-phase
+    // selection is exactly the greedy prefix.
+    "q_budget_select" -> ((s, dir) =>
+      SamplingOps.selectByBudget(
+        t(s, dir, "documents"), "doc_id",
+        scoreCol = TextOps.tokenCount(col("text")),
+        weightCol = col("n_chars"),
+        budget = 60000L)),
+
     // Continuous DQ monitoring: the same constraint report per 1-hour
     // event-time window (the incrementally-mergeable streaming form —
     // runs unchanged under readStream with a watermark, pinned
@@ -1872,6 +1886,19 @@ object PipelineQueries {
         |SELECT rule, n_rows, n_violations,
         |  CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS status
         |FROM r""".stripMargin,
+
+    // The straightforward formulation the distributed plan must equal:
+    // one total order, one running sum, prefix under the budget.
+    "q_budget_select" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, CAST(${S.tokenCount("text")} AS BIGINT) AS score,
+         |    n_chars AS weight
+         |  FROM documents),
+         |runs AS (
+         |  SELECT *, sum(weight) OVER
+         |    (ORDER BY score DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM scored)
+         |SELECT doc_id, score, weight FROM runs WHERE cum <= 60000""".stripMargin,
 
     "q_dq_monitor" ->
       """WITH a AS (

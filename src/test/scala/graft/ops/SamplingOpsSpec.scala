@@ -170,4 +170,45 @@ class SamplingOpsSpec extends SparkSpec {
       assert(math.abs(ap - ex) < 2500, s"group ${r.get(0)}: approx $ap vs exact $ex")
     }
   }
+
+  private val budgetDocs = Seq(
+    // (id, score, weight) — classes: score 9 (w 10), 7 (w 5+5),
+    // 5 (w 4+4+4), 3 (w 100)
+    (1L, 9L, 10L), (2L, 7L, 5L), (3L, 7L, 5L),
+    (4L, 5L, 4L), (5L, 5L, 4L), (6L, 5L, 4L), (7L, 3L, 100L)
+  ).toDF("id", "sc", "w")
+
+  test("selectByBudget: splits the boundary class exactly like the " +
+    "greedy running-sum prefix") {
+    // budget 28: 9 and 7 fit fully (20); class 5 is the boundary with
+    // remaining 8 -> ids 4,5 fit (cum 4,8), id 6 overflows; class 3 out
+    val got = SamplingOps.selectByBudget(budgetDocs, "id", $"sc", $"w", 28L)
+      .select($"id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 3L, 4L, 5L))
+    // oracle formulation: global order + running sum
+    val oracle = budgetDocs
+      .withColumn("cum", sum($"w").over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy($"sc".desc, $"id")
+          .rowsBetween(Long.MinValue, 0)))
+      .filter($"cum" <= 28L).select($"id").as[Long].collect().toSet
+    assert(got == oracle)
+  }
+
+  test("selectByBudget: budget covers everything / nothing") {
+    val all = SamplingOps.selectByBudget(budgetDocs, "id", $"sc", $"w", 1000L)
+    assert(all.count() == 7L)
+    val none = SamplingOps.selectByBudget(budgetDocs, "id", $"sc", $"w", 0L)
+    assert(none.count() == 0L)
+  }
+
+  test("selectByBudget is partitioning-invariant") {
+    val one = SamplingOps.selectByBudget(
+      budgetDocs.repartition(1), "id", $"sc", $"w", 28L)
+      .collect().map(_.toSeq).toSet
+    val eight = SamplingOps.selectByBudget(
+      budgetDocs.repartition(8), "id", $"sc", $"w", 28L)
+      .collect().map(_.toSeq).toSet
+    assert(one == eight)
+  }
 }
