@@ -55,6 +55,38 @@ object DqOps {
     one.select(explode(array(legs: _*)).as("r")).select(col("r.*"))
   }
 
+  /** Referential-integrity check (Deequ's `hasReferentialIntegrity`):
+    * how many child rows reference a key absent from the parent. Same
+    * report row shape as [[check]] so results union into one gate table.
+    * A NULL foreign key counts as a violation (unknown is not compliant —
+    * the [[check]] convention; SQL's nullable-FK semantics would be a
+    * `fk IS NOT NULL` pre-filter by the caller).
+    *
+    * Scale shape: the parent contributes DISTINCT KEYS ONLY (dimension
+    * -sized after the dedup — AQE broadcasts it when it fits); the child
+    * side aggregates to one row with map-side partials, so nothing
+    * child-sized ever shuffles when the key set broadcasts. For a
+    * parent too big to broadcast, [[JoinOps.bloomAnti]] is the gated
+    * probabilistic-prefilter path (q_bloom_anti).
+    */
+  def checkReferential(
+      child: DataFrame,
+      fk: Column,
+      parent: DataFrame,
+      pk: Column,
+      name: String): DataFrame = {
+    val keys = parent.select(pk.as("__pk")).distinct()
+      .withColumn("__present", lit(1L))
+    child.select(fk.as("__fk"))
+      .join(keys, col("__fk") === col("__pk"), "left")
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__present").isNull, 1L).otherwise(0L)).as("__v"))
+      .select(lit(name).as("rule"), col("__n").as("n_rows"),
+        coalesce(col("__v"), lit(0L)).as("n_violations"),
+        when(coalesce(col("__v"), lit(0L)) === 0L, "pass")
+          .otherwise("fail").as("status"))
+  }
+
   /** Continuous data-quality monitoring: [[check]] per event-time
     * tumbling window — the ingest-time twin a streaming pipeline runs to
     * catch a bad upstream deploy within one window instead of at the next

@@ -320,6 +320,22 @@ object PipelineQueries {
           "en_only" -> (col("lang") === "en")),
         uniqueKeys = Seq("doc_id"))),
 
+    // Referential-integrity gate: orders→customer holds (pass branch);
+    // the second rule checks lineitem against the EVEN-keyed suppliers
+    // only — a deliberately broken parent so the fail branch carries a
+    // real violation count (the synthetic schema's natural FKs are all
+    // clean). Parent sides join as DISTINCT KEYS (dimension-sized).
+    "q_dq_referential" -> ((s, dir) =>
+      graft.ops.DqOps.checkReferential(
+        t(s, dir, "orders"), col("o_custkey"),
+        t(s, dir, "customer"), col("c_custkey"),
+        "orders_customer_fk")
+        .unionByName(graft.ops.DqOps.checkReferential(
+          t(s, dir, "lineitem"), col("l_suppkey"),
+          t(s, dir, "supplier").filter(col("s_suppkey") % 2 === 0),
+          col("s_suppkey"),
+          "lineitem_even_supplier_fk"))),
+
     // Budget-constrained best-first selection ("take the best 60k chars"):
     // histogram/class-threshold plan — per-score-class weight sums, a
     // driver walk of the ~90-class table, shuffle-free emission of the
@@ -1886,6 +1902,26 @@ object PipelineQueries {
         |SELECT rule, n_rows, n_violations,
         |  CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS status
         |FROM r""".stripMargin,
+
+    "q_dq_referential" ->
+      """WITH r1 AS (
+        |  SELECT 'orders_customer_fk' AS rule, count(*) AS n_rows,
+        |    CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_violations
+        |  FROM orders o
+        |  LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |    ON o.o_custkey = c.c_custkey),
+        |r2 AS (
+        |  SELECT 'lineitem_even_supplier_fk' AS rule, count(*) AS n_rows,
+        |    CAST(sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_violations
+        |  FROM lineitem l
+        |  LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier
+        |             WHERE s_suppkey % 2 = 0) s
+        |    ON l.l_suppkey = s.s_suppkey)
+        |SELECT rule, n_rows, n_violations,
+        |  CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS status
+        |FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)""".stripMargin,
 
     // The straightforward formulation the distributed plan must equal:
     // one total order, one running sum, prefix under the budget.

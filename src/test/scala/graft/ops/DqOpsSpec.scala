@@ -46,6 +46,19 @@ class DqOpsSpec extends SparkSpec {
       "any" -> ((0L, 0L, "pass")), "unique_id" -> ((0L, 0L, "pass"))))
   }
 
+  test("checkReferential: orphan and NULL foreign keys count; clean FK passes") {
+    val parent = Seq(10L, 20L, 30L).toDF("pk")
+    val child = Seq(Some(10L), Some(10L), Some(99L), None)
+      .toDF("fk") // one orphan, one NULL
+    val bad = DqOps.checkReferential(
+      child, $"fk", parent, $"pk", "child_parent_fk").collect().head
+    assert(bad.getString(0) == "child_parent_fk" && bad.getLong(1) == 4L &&
+      bad.getLong(2) == 2L && bad.getString(3) == "fail")
+    val clean = DqOps.checkReferential(
+      child.filter($"fk" < 50), $"fk", parent, $"pk", "ok").collect().head
+    assert(clean.getLong(2) == 0L && clean.getString(3) == "pass")
+  }
+
   test("checkWindowed: per-window verdicts, streamed == batch") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
