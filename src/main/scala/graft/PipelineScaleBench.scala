@@ -192,6 +192,35 @@ object PipelineScaleBench {
         keyCol = col("text"), k = 3, threshold = 0.6,
         maxShingleDf = Some(1000)).count()
     }
+    stage("line_dedup") {
+      // web chrome wrapped around every doc: a 100-variant header class
+      // (df ~ nDocs/100 — boilerplate) + the unique body
+      val chrome = docs.select(col("doc_id"),
+        concat_ws("\n",
+          concat(lit("site "), pmod(col("doc_id"), lit(100))),
+          col("text"),
+          lit("all rights reserved")).as("text"))
+      DedupOps.lineDedup(chrome, "doc_id", "text",
+        maxDocFreq = nDocs / 200).count()
+    }
+    stage("profile_approx_single_pass") {
+      graft.ops.ProfileOps.profileApprox(
+        docs, Seq("doc_id", "text")).count()
+    }
+    stage("dq_check_single_pass") {
+      graft.ops.DqOps.check(docs,
+        rules = Seq(
+          "nonempty" -> (length(col("text")) > 0),
+          "id_pos" -> (col("doc_id") >= 0)),
+        uniqueKeys = Seq("doc_id")).count()
+    }
+    stage("budget_select_top_half") {
+      // class-histogram threshold selection of ~half the corpus chars
+      SamplingOps.selectByBudget(
+        docs.withColumn("w", length(col("text")).cast("long")),
+        "doc_id", TextOps.tokenCount(col("text")), col("w"),
+        budget = nDocs * 150).count()
+    }
     spark.stop()
   }
 }
