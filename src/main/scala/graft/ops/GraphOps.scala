@@ -307,6 +307,11 @@ object GraphOps {
     // 600k-row self-join plus a 1.9M-row distinct, and the static plan
     // repeats that subtree four times. Materialize the (u,v) pairs once
     // (same discipline as pageRank's per-iteration checkpoint above).
+    // Trade-offs of the eager localCheckpoint, deliberately accepted:
+    // construction runs jobs immediately, and the truncated lineage is
+    // NOT recomputable after executor loss — a caller needing
+    // fault-tolerant lineage on a preemptible cluster should persist
+    // `edges` to reliable storage first and pass the re-read frame.
     val e = edges
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .localCheckpoint(true)

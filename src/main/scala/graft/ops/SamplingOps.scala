@@ -184,8 +184,12 @@ object SamplingOps {
     *      ONLY the boundary class (a single score value) pays an exact
     *      id-ordered running sum for the remaining budget.
     *
-    * Weights must be non-negative; score must be integral (exact class
-    * equality). Returns `(idCol, score, weight)`.
+    * Weights must be non-negative (validated from the same class
+    * aggregate — a negative weight makes the running sum non-monotone and
+    * the prefix semantics ill-defined); score must be integral (exact
+    * class equality); rows whose score or weight is NULL are excluded
+    * (an unscorable row cannot be ranked). Returns
+    * `(idCol, score, weight)`.
     */
   def selectByBudget(
       df: DataFrame,
@@ -196,14 +200,23 @@ object SamplingOps {
     require(budget >= 0, s"budget must be >= 0, got $budget")
     val scored = df.select(col(idCol),
       scoreCol.cast("long").as("score"), weightCol.cast("long").as("weight"))
+      .filter(col("score").isNotNull && col("weight").isNotNull)
     val classes = scored.groupBy(col("score"))
-      .agg(sum(col("weight")).as("cw"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
+      .agg(sum(col("weight")).as("cw"), min(col("weight")).as("mw"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)(Ordering[Long].reverse)
+    classes.find(_._3 < 0).foreach { case (s, _, mw) =>
+      throw new IllegalArgumentException(
+        s"negative weight $mw in score class $s — prefix semantics need non-negative weights")
+    }
     var cum = 0L
     var boundary: Option[(Long, Long)] = None // (score, remaining budget)
-    classes.takeWhile { case (s, cw) =>
-      if (cum + cw <= budget) { cum += cw; true }
-      else { boundary = Some((s, budget - cum)); false }
+    val it = classes.iterator
+    var walking = true
+    while (walking && it.hasNext) {
+      val (s, cw, _) = it.next()
+      if (cum + cw <= budget) cum += cw
+      else { boundary = Some((s, budget - cum)); walking = false }
     }
     boundary match {
       case None => scored // every class fits

@@ -172,13 +172,17 @@ object PipelineQueries {
     // line-equality semantics, so the hash-compare also proves the
     // hash-keyed plan changes nothing.
     "q_line_dedup" -> ((s, dir) => {
+      // coalesce matches DuckDB's concat NULL semantics (skip-as-empty);
+      // Spark's concat would NULL the whole line and concat_ws would then
+      // DROP it, shifting positions — divergent if a column is ever NULL
+      def nn(c: Column) = coalesce(c, lit(""))
       val built = t(s, dir, "documents").select(col("doc_id"),
         concat_ws("\n",
-          concat(lit("== "), col("source"), lit(" news ==")),
-          concat(lit("lang "), col("lang"), lit(" @ "), col("source")),
+          concat(lit("== "), nn(col("source")), lit(" news ==")),
+          concat(lit("lang "), nn(col("lang")), lit(" @ "), nn(col("source"))),
           concat(lit("promo "), (col("doc_id") % 97).cast("string")),
           concat(lit("ref "), (col("doc_id") % 997).cast("string")),
-          col("text"),
+          nn(col("text")),
           lit("(c) all rights reserved")).as("text"))
       DedupOps.lineDedup(built, "doc_id", "text", maxDocFreq = 8L)
     }),

@@ -46,6 +46,16 @@ class DqOpsSpec extends SparkSpec {
       "any" -> ((0L, 0L, "pass")), "unique_id" -> ((0L, 0L, "pass"))))
   }
 
+  test("check rejects colliding or unresolvable constraint names") {
+    intercept[IllegalArgumentException] {
+      DqOps.check(rows, rules = Seq("unique_id" -> ($"v" >= 0)),
+        uniqueKeys = Seq("id")) // collides with the generated unique_id
+    }
+    intercept[IllegalArgumentException] {
+      DqOps.check(rows, rules = Seq("a.b" -> ($"v" >= 0)))
+    }
+  }
+
   test("checkReferential: orphan and NULL foreign keys count; clean FK passes") {
     val parent = Seq(10L, 20L, 30L).toDF("pk")
     val child = Seq(Some(10L), Some(10L), Some(99L), None)

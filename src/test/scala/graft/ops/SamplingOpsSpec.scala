@@ -202,6 +202,29 @@ class SamplingOpsSpec extends SparkSpec {
     assert(none.count() == 0L)
   }
 
+  test("selectByBudget: NULL scores/weights are excluded, " +
+    "negative weights rejected, extreme scores ordered correctly") {
+    val withNulls = Seq(
+      (1L, Some(9L), Some(10L)), (2L, None, Some(5L)), (3L, Some(7L), None))
+      .toDF("id", "sc", "w")
+    val got = SamplingOps.selectByBudget(withNulls, "id", $"sc", $"w", 100L)
+      .select($"id").as[Long].collect().toSet
+    assert(got == Set(1L)) // unscorable rows can't be ranked
+
+    val neg = Seq((1L, 5L, -3L), (2L, 5L, 4L)).toDF("id", "sc", "w")
+    intercept[IllegalArgumentException] {
+      SamplingOps.selectByBudget(neg, "id", $"sc", $"w", 10L)
+    }
+
+    // -Long.MinValue == Long.MinValue: a naive sortBy(-_) would rank
+    // this class HIGHEST; the non-negating ordering keeps it last
+    val extreme = Seq((1L, Long.MinValue, 1L), (2L, 3L, 1L))
+      .toDF("id", "sc", "w")
+    val first = SamplingOps.selectByBudget(extreme, "id", $"sc", $"w", 1L)
+      .select($"id").as[Long].collect().toSet
+    assert(first == Set(2L))
+  }
+
   test("selectByBudget is partitioning-invariant") {
     val one = SamplingOps.selectByBudget(
       budgetDocs.repartition(1), "id", $"sc", $"w", 28L)
