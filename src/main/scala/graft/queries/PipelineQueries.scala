@@ -324,6 +324,31 @@ object PipelineQueries {
           "en_only" -> (col("lang") === "en")),
         uniqueKeys = Seq("doc_id"))),
 
+    // The curation pipeline end to end, composed entirely from gated
+    // stages: chrome construction -> line-level boilerplate strip
+    // (q_line_dedup's exact semantics) -> exact dedup of the CLEANED
+    // text (chrome-insensitive: bodies identical after stripping
+    // collapse) -> token-budget best-first selection. Every shuffle is
+    // hash-keyed (line hash, text hash, score class) — the composition
+    // adds no new scale risk beyond its audited pieces.
+    "q_corpus_curate" -> ((s, dir) => {
+      def nn(c: Column) = coalesce(c, lit(""))
+      val built = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n",
+          concat(lit("== "), nn(col("source")), lit(" news ==")),
+          concat(lit("promo "), (col("doc_id") % 97).cast("string")),
+          nn(col("text")),
+          lit("(c) all rights reserved")).as("text"))
+      val stripped = DedupOps.lineDedup(built, "doc_id", "text", 8L)
+      val deduped = DedupOps.exactDedup(
+        stripped, "doc_id", col("text_clean"))
+      SamplingOps.selectByBudget(
+        deduped, "doc_id",
+        scoreCol = TextOps.tokenCount(col("text_clean")),
+        weightCol = length(col("text_clean")),
+        budget = 30000L)
+    }),
+
     // Referential-integrity gate: orders→customer holds (pass branch);
     // the second rule checks lineitem against the EVEN-keyed suppliers
     // only — a deliberately broken parent so the fail branch carries a
@@ -1906,6 +1931,44 @@ object PipelineQueries {
         |SELECT rule, n_rows, n_violations,
         |  CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS status
         |FROM r""".stripMargin,
+
+    // Composed oracle mirroring each stage exactly (line-equality df,
+    // text-partition dedup, global running-sum selection); the Spark
+    // side's hash keys are the documented trade at every stage.
+    "q_corpus_curate" ->
+      s"""WITH built AS (
+         |  SELECT doc_id,
+         |    concat('== ', coalesce(source, ''), ' news ==', chr(10),
+         |           'promo ', CAST(doc_id % 97 AS VARCHAR), chr(10),
+         |           coalesce(text, ''), chr(10),
+         |           '(c) all rights reserved') AS text
+         |  FROM documents),
+         |lns AS (
+         |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+         |    unnest(range(len(string_split(text, chr(10))))) AS pos
+         |  FROM built),
+         |ldf AS (SELECT line, count(DISTINCT doc_id) AS c
+         |        FROM lns GROUP BY line),
+         |stripped AS (
+         |  SELECT l.doc_id,
+         |    string_agg(l.line, chr(10) ORDER BY l.pos) AS text_clean
+         |  FROM lns l JOIN ldf ON l.line = ldf.line
+         |  WHERE ldf.c <= 8 GROUP BY l.doc_id),
+         |deduped AS (
+         |  SELECT doc_id, text_clean FROM (
+         |    SELECT doc_id, text_clean, row_number() OVER (
+         |      PARTITION BY text_clean ORDER BY doc_id) AS rn
+         |    FROM stripped) WHERE rn = 1),
+         |scored AS (
+         |  SELECT doc_id,
+         |    CAST(${S.tokenCount("text_clean")} AS BIGINT) AS score,
+         |    CAST(length(text_clean) AS BIGINT) AS weight
+         |  FROM deduped),
+         |runs AS (
+         |  SELECT *, sum(weight) OVER
+         |    (ORDER BY score DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM scored)
+         |SELECT doc_id, score, weight FROM runs WHERE cum <= 30000""".stripMargin,
 
     "q_dq_referential" ->
       """WITH r1 AS (
