@@ -276,6 +276,26 @@ class QueryPlanSpec extends SparkSpec {
       s"df shuffle must key on the hash, not the line text:\n$plan")
   }
 
+  test("q_corpus_curate: composed pipeline keeps every shuffle hash-keyed") {
+    val plan = finalPlan("q_corpus_curate")
+    assert(!plan.contains("Cartesian") && !plan.contains("NestedLoop"),
+      s"composition must stay equi-joined:\n$plan")
+    // neither raw line text nor cleaned document text partitions a
+    // shuffle — both dedup stages key on 8-byte hashes
+    assert(!plan.contains("hashpartitioning(line"),
+      s"line df must key on the hash:\n$plan")
+    assert(!plan.contains("hashpartitioning(text_clean"),
+      s"exact dedup must key on the hash:\n$plan")
+  }
+
+  test("q_dq_referential: parent sides join as distinct keys; child aggregates map-side") {
+    val plan = finalPlan("q_dq_referential")
+    assert(!plan.contains("Cartesian") && !plan.contains("NestedLoop"),
+      s"FK checks must stay equi-joined:\n$plan")
+    // the one-row reports gather on SinglePartition after partial aggs
+    assert(plan.contains("SinglePartition"), s"global report gather:\n$plan")
+  }
+
   test("q_pagerank: no cartesian or nested-loop anywhere in the iteration") {
     val plan = finalPlan("q_pagerank")
     assert(!plan.contains("Cartesian") && !plan.contains("NestedLoop"),
