@@ -349,6 +349,38 @@ object PipelineQueries {
         budget = 30000L)
     }),
 
+    // The curation funnel report — per-stage survivor counts and byte
+    // volumes for q_corpus_curate's pipeline (the observability artifact
+    // every production curation job emits next to its output). Each
+    // stage's frame reduces to ONE (n, chars) row via map-side partial
+    // aggregation before the union — stage outputs never co-shuffle.
+    "q_curate_report" -> ((s, dir) => {
+      def nn(c: Column) = coalesce(c, lit(""))
+      val docs = t(s, dir, "documents")
+      val built = docs.select(col("doc_id"),
+        concat_ws("\n",
+          concat(lit("== "), nn(col("source")), lit(" news ==")),
+          concat(lit("promo "), (col("doc_id") % 97).cast("string")),
+          nn(col("text")),
+          lit("(c) all rights reserved")).as("text"))
+      val stripped = DedupOps.lineDedup(built, "doc_id", "text", 8L)
+      val deduped = DedupOps.exactDedup(stripped, "doc_id", col("text_clean"))
+      val selected = SamplingOps.selectByBudget(
+        deduped, "doc_id",
+        scoreCol = TextOps.tokenCount(col("text_clean")),
+        weightCol = length(col("text_clean")),
+        budget = 30000L)
+      def stageRow(name: String, df: DataFrame, chars: Column) =
+        df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(chars.cast("long")), lit(0L)).as("n_chars"))
+          .select(lit(name).as("stage"), col("n_docs"), col("n_chars"))
+      stageRow("0_input", docs, length(nn(col("text"))))
+        .unionByName(stageRow("1_built", built, length(col("text"))))
+        .unionByName(stageRow("2_stripped", stripped, length(col("text_clean"))))
+        .unionByName(stageRow("3_deduped", deduped, length(col("text_clean"))))
+        .unionByName(stageRow("4_selected", selected, col("weight")))
+    }),
+
     // Referential-integrity gate: orders→customer holds (pass branch);
     // the second rule checks lineitem against the EVEN-keyed suppliers
     // only — a deliberately broken parent so the fail branch carries a
@@ -1969,6 +2001,53 @@ object PipelineQueries {
          |    (ORDER BY score DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum
          |  FROM scored)
          |SELECT doc_id, score, weight FROM runs WHERE cum <= 30000""".stripMargin,
+
+    // Shares q_corpus_curate's stage CTEs; one (n, chars) row per stage.
+    "q_curate_report" ->
+      s"""WITH built AS (
+         |  SELECT doc_id,
+         |    concat('== ', coalesce(source, ''), ' news ==', chr(10),
+         |           'promo ', CAST(doc_id % 97 AS VARCHAR), chr(10),
+         |           coalesce(text, ''), chr(10),
+         |           '(c) all rights reserved') AS text
+         |  FROM documents),
+         |lns AS (
+         |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+         |    unnest(range(len(string_split(text, chr(10))))) AS pos
+         |  FROM built),
+         |ldf AS (SELECT line, count(DISTINCT doc_id) AS c
+         |        FROM lns GROUP BY line),
+         |stripped AS (
+         |  SELECT l.doc_id,
+         |    string_agg(l.line, chr(10) ORDER BY l.pos) AS text_clean
+         |  FROM lns l JOIN ldf ON l.line = ldf.line
+         |  WHERE ldf.c <= 8 GROUP BY l.doc_id),
+         |deduped AS (
+         |  SELECT doc_id, text_clean FROM (
+         |    SELECT doc_id, text_clean, row_number() OVER (
+         |      PARTITION BY text_clean ORDER BY doc_id) AS rn
+         |    FROM stripped) WHERE rn = 1),
+         |scored AS (
+         |  SELECT doc_id,
+         |    CAST(${S.tokenCount("text_clean")} AS BIGINT) AS score,
+         |    CAST(length(text_clean) AS BIGINT) AS weight
+         |  FROM deduped),
+         |runs AS (
+         |  SELECT *, sum(weight) OVER
+         |    (ORDER BY score DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM scored),
+         |selected AS (SELECT doc_id, weight FROM runs WHERE cum <= 30000)
+         |SELECT '0_input' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(coalesce(sum(length(coalesce(text, ''))), 0) AS BIGINT)
+         |    AS n_chars FROM documents
+         |UNION ALL SELECT '1_built', count(*),
+         |  CAST(coalesce(sum(length(text)), 0) AS BIGINT) FROM built
+         |UNION ALL SELECT '2_stripped', count(*),
+         |  CAST(coalesce(sum(length(text_clean)), 0) AS BIGINT) FROM stripped
+         |UNION ALL SELECT '3_deduped', count(*),
+         |  CAST(coalesce(sum(length(text_clean)), 0) AS BIGINT) FROM deduped
+         |UNION ALL SELECT '4_selected', count(*),
+         |  CAST(coalesce(sum(weight), 0) AS BIGINT) FROM selected""".stripMargin,
 
     "q_dq_referential" ->
       """WITH r1 AS (
