@@ -286,6 +286,32 @@ class DedupOpsSpec extends SparkSpec {
     assert(out == Map(1L -> "uniq a", 2L -> "uniq b"))
   }
 
+  test("lineDedup == in-memory reference on randomized multi-line docs") {
+    val rnd = new scala.util.Random(97L)
+    val vocabLines = (0 until 12).map(i => s"line $i")
+    (1 to 3).foreach { round =>
+      val docs = (1L to 40L).map { id =>
+        val n = 1 + rnd.nextInt(6)
+        (id, Seq.fill(n)(vocabLines(rnd.nextInt(vocabLines.size)))
+          .mkString("\n"))
+      }
+      val maxDf = 1L + rnd.nextInt(10)
+      // reference: exact line df over distinct docs, order-preserving
+      val df_ = docs.flatMap { case (id, t) => t.split("\n", -1).map(_ -> id) }
+        .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).distinct.size }
+      val expect = docs.flatMap { case (id, t) =>
+        val kept = t.split("\n", -1).filter(l => df_(l) <= maxDf)
+        if (kept.isEmpty) None
+        else Some(id -> ((kept.mkString("\n"), kept.length.toLong)))
+      }.toMap
+      val got = DedupOps.lineDedup(
+        docs.toDF("doc_id", "text"), "doc_id", "text", maxDf)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+        .toMap
+      assert(got == expect, s"round $round maxDf $maxDf")
+    }
+  }
+
   test("lineDedup is partitioning-invariant") {
     val web = Seq(
       (1L, "h\na\nf"), (2L, "h\nb\nf"), (3L, "h\nc\nf"), (4L, "h\nd\nf"))

@@ -225,6 +225,27 @@ class SamplingOpsSpec extends SparkSpec {
     assert(first == Set(2L))
   }
 
+  test("selectByBudget == window-prefix oracle on randomized inputs " +
+    "(ties, zero weights, degenerate classes)") {
+    val rnd = new scala.util.Random(20260813L)
+    (1 to 3).foreach { round =>
+      val n = 200
+      // few score classes -> many ties; some zero weights
+      val rows = (1L to n).map { i =>
+        (i, rnd.nextInt(6).toLong, rnd.nextInt(20).toLong)
+      }
+      val df = rows.toDF("id", "sc", "w")
+      val budget = rnd.nextInt(800).toLong + 50
+      val got = SamplingOps.selectByBudget(df, "id", $"sc", $"w", budget)
+        .select($"id").as[Long].collect().toSet
+      val oracle = df.withColumn("cum", sum($"w").over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy($"sc".desc, $"id").rowsBetween(Long.MinValue, 0)))
+        .filter($"cum" <= budget).select($"id").as[Long].collect().toSet
+      assert(got == oracle, s"round $round budget $budget")
+    }
+  }
+
   test("selectByBudget is partitioning-invariant") {
     val one = SamplingOps.selectByBudget(
       budgetDocs.repartition(1), "id", $"sc", $"w", 28L)
