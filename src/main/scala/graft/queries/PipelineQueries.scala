@@ -741,6 +741,19 @@ object PipelineQueries {
       SimilarityOps.semDedup(t(s, dir, "embeddings"),
         IvfOps.literalCentroids(4, 64), threshold = 0.35)),
 
+    // k-NN majority-vote classification (label propagation): the 20%
+    // labeled slice (vec_id % 5 == 0) is the broadcast support set, the
+    // other 80% gets classified by its 7 nearest labeled vectors.
+    // Deterministic end to end: sequential-fold cosines, (score DESC,
+    // neighbor ASC) top-k, (votes DESC, label ASC) vote — the oracle
+    // recomputes the vote with window rank + group count.
+    "q_knn_classify" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimilarityOps.knnClassify(
+        e.filter(col("vec_id") % 5 =!= 0),
+        e.filter(col("vec_id") % 5 === 0), k = 7)
+    }),
+
     "q_embed_neardup" -> ((s, dir) =>
       SimilarityOps.cosineNearDupPairs(t(s, dir, "embeddings"), 0.35)),
 
@@ -2894,6 +2907,35 @@ object PipelineQueries {
          |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10
          |  WHERE $cos IS NOT NULL)
          |WHERE rank <= 10""".stripMargin
+    },
+
+    // independent vote formulation: window rank for the top-7, group
+    // count per label, winner by (votes DESC, label ASC) — vs the Spark
+    // side's encoded-id partial aggregate + row-local array vote
+    "q_knn_classify" -> {
+      val cos = SimilarityOps.Sql.cosine("c.embedding", "l.embedding")
+      s"""WITH l AS (SELECT vec_id, embedding, label FROM embeddings
+         |           WHERE vec_id % 5 = 0),
+         |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0),
+         |scored AS (
+         |  SELECT c.vec_id AS vec_id, l.vec_id AS lid, l.label AS label,
+         |    $cos AS cosine,
+         |    row_number() OVER (PARTITION BY c.vec_id
+         |      ORDER BY $cos DESC, l.vec_id) AS rank
+         |  FROM c CROSS JOIN l
+         |  WHERE $cos IS NOT NULL),
+         |topk AS (SELECT * FROM scored WHERE rank <= 7),
+         |vote AS (SELECT vec_id, label, count(*) AS v
+         |         FROM topk GROUP BY vec_id, label),
+         |win AS (SELECT vec_id, label, v,
+         |          row_number() OVER (PARTITION BY vec_id
+         |            ORDER BY v DESC, label) AS r
+         |        FROM vote)
+         |SELECT w.vec_id, CAST(w.label AS INT) AS pred_label,
+         |  CAST(w.v AS INT) AS votes, t.cosine AS best_cosine,
+         |  CAST(t.lid AS BIGINT) AS nn_id
+         |FROM win w JOIN topk t ON w.vec_id = t.vec_id AND t.rank = 1
+         |WHERE w.r = 1""".stripMargin
     },
 
     "q_sim_lsh_buckets" ->

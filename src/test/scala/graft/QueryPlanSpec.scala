@@ -218,6 +218,16 @@ class QueryPlanSpec extends SparkSpec {
       s"q_lake_layout one shuffle, no join:\n$lk")
   }
 
+  test("q_knn_classify: support set broadcasts, one output-sized shuffle, no window") {
+    val plan = finalPlan("q_knn_classify")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"labeled support set must broadcast:\n$plan")
+    assert(countOf(plan, "Exchange") == 1 && plan.contains("topk_by_score"),
+      s"only the bounded per-row top-k shuffle:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("Sort"),
+      s"vote is a row-local fold — no window/sort:\n$plan")
+  }
+
   test("portable-twin queries keep their scale shapes") {
     // portable minhash: banded bucket equi-join, never a cartesian —
     // candidate cost stays bounded by bucket sizes

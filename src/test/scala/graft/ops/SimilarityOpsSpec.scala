@@ -253,4 +253,62 @@ class SimilarityOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got.map(t => (t._1, t._2)) == bruteComp)
   }
+
+  test("knnClassify: majority vote, all-distinct tie -> min label, zero norm drops") {
+    val labeled = Seq(
+      (0L, Seq(1f, 0f), 2),
+      (1L, Seq(0.9f, 0.1f), 3),
+      (2L, Seq(0f, 1f), 5),
+      (3L, Seq(0.1f, 0.9f), 5)).toDF("vec_id", "embedding", "label")
+    val corpus = vecs(
+      100L -> Seq(1f, 0.05f), //  neighbors 0,1,3 -> labels 2,3,5: tie -> 2
+      101L -> Seq(0f, 1f), //     neighbors 2,3 (label 5 x2), 3rd differs -> 5
+      102L -> Seq(0f, 0f)) //     zero norm -> classified against nothing
+    val out = SimilarityOps.knnClassify(corpus, labeled, k = 3)
+      .orderBy($"vec_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(4)))
+    assert(out.toSeq == Seq((100L, 2, 1, 0L), (101L, 5, 2, 2L)))
+    // best cosine of 101 is the exact hit on labeled 2
+    val best = SimilarityOps.knnClassify(corpus, labeled, k = 3)
+      .filter($"vec_id" === 101L).select($"best_cosine").head().getDouble(0)
+    assert(best == 1.0)
+  }
+
+  test("knnClassify is partitioning-invariant and matches a window-rank reference") {
+    val rnd = new scala.util.Random(23)
+    val all = (0L until 120L).map { i =>
+      (i, Seq.fill(8)(rnd.nextFloat() * 2 - 1), (i % 7).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val labeled = all.filter($"vec_id" % 3 === 0)
+    val corpus = all.filter($"vec_id" % 3 =!= 0).select($"vec_id", $"embedding")
+    val got = SimilarityOps.knnClassify(corpus, labeled, k = 5)
+    // independent formulation: window rank over all scored pairs + vote
+    val scored = corpus.as("c").crossJoin(labeled.as("l"))
+      .select($"c.vec_id".as("cid"), $"l.vec_id".as("lid"), $"l.label".as("lbl"),
+        SimilarityOps.cosine($"c.embedding", $"l.embedding").as("cos"))
+      .filter($"cos".isNotNull)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"cid")
+          .orderBy($"cos".desc, $"lid")))
+      .filter($"rank" <= 5)
+    val want = scored.groupBy($"cid", $"lbl").agg(count(lit(1)).as("v"))
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"cid")
+          .orderBy($"v".desc, $"lbl")))
+      .filter($"r" === 1)
+      .join(scored.filter($"rank" === 1)
+        .select($"cid", $"cos".as("best"), $"lid".as("nn")), Seq("cid"))
+      .select($"cid", $"lbl", $"v".cast("int"), $"best", $"nn")
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3), r.getLong(4))).toSet
+    val g1 = got.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3), r.getLong(4))).toSet
+    assert(g1 == want)
+    // layout invariance: 1 partition vs 13
+    val g2 = SimilarityOps.knnClassify(
+      corpus.repartition(13), labeled.coalesce(1), k = 5)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3), r.getLong(4))).toSet
+    assert(g2 == g1)
+  }
 }
