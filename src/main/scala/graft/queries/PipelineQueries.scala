@@ -932,6 +932,23 @@ object PipelineQueries {
           col("day_offset"), col("n_users"))
     }),
 
+    // EWMA drop/spike detection over the per-type daily volume series —
+    // the feed-health monitor a pipeline runs over its own meters.
+    // Integer fixed point (256-scaled, α = 1/4) via a keyed ordered fold
+    // (flatMapSortedGroups): the recurrence is sequential per key but
+    // the series is meter-sized (one row per key×day) — keys
+    // parallelize, state is O(1). The oracle unrolls the identical
+    // recurrence as a recursive CTE (the q_pagerank discipline).
+    "q_anomaly_ewma" -> ((s, dir) => {
+      val daily = RefQueries.events(s, dir)
+        .groupBy(col("event_type").as("key"), to_date(col("ts")).as("ord"))
+        .agg(count(lit(1)).as("x"))
+      EventOps.ewmaAnomalies(daily)
+        .select(col("key").as("event_type"),
+          date_format(col("ord"), "yyyy-MM-dd").as("day"),
+          col("x").as("n"), col("ewma"), col("anomaly"))
+    }),
+
     // Snapshot diff (dataset versioning): v2 = the corpus after a policy
     // change (drop docs under 20 tokens, truncate to 40). The full-outer
     // join carries only (id, sha256) — never the text — so diffing two
@@ -2784,6 +2801,30 @@ object PipelineQueries {
         |FROM days JOIN firsts USING (user_id)
         |WHERE day - cohort <= 6
         |GROUP BY 1, 2""".stripMargin,
+
+    // same 256-scaled integer recurrence, unrolled as a recursive CTE
+    // keyed by the per-type day index
+    "q_anomaly_ewma" ->
+      """WITH RECURSIVE d0 AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |d AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY day) AS i
+        |  FROM d0),
+        |r AS (
+        |  SELECT event_type, day, x, i, 256 * x AS ewma, 0 AS anomaly
+        |  FROM d WHERE i = 1
+        |  UNION ALL
+        |  SELECT d.event_type, d.day, d.x, d.i,
+        |    (3 * r.ewma + 256 * d.x) // 4,
+        |    CASE WHEN 256 * d.x * 4 > 5 * r.ewma
+        |           OR 256 * d.x * 5 < 4 * r.ewma THEN 1 ELSE 0 END
+        |  FROM r JOIN d ON d.event_type = r.event_type AND d.i = r.i + 1)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+        |  CAST(x AS BIGINT) AS n, CAST(ewma AS BIGINT) AS ewma,
+        |  CAST(anomaly AS INTEGER) AS anomaly
+        |FROM r""".stripMargin,
 
     "q_dataset_diff" ->
       s"""WITH toks AS (

@@ -248,4 +248,55 @@ object EventOps {
         count(lit(1)).as("n_events"),
         date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
         date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"))
+
+  /** EWMA anomaly flags over per-key ordered series (monitoring the
+    * volume of an ingest feed, an event type, a source partition — the
+    * drop/spike detector a 100 TB pipeline runs over its own meters).
+    *
+    * Input: `(key STRING, ord DATE, x LONG)` — one point per (key, ord).
+    * Recurrence in 256-scaled integer fixed point (bit-portable, no
+    * float accumulation): `e_0 = 256·x_0`,
+    * `e_i = (3·e_{i-1} + 256·x_i) div 4` (α = 1/4), and point i ≥ 1 is
+    * anomalous iff `x_i > (hiNum/hiDen)·ewma_prev` or
+    * `x_i < (loNum/loDen)·ewma_prev`, both evaluated as exact integer
+    * cross-products. The first point of a key is never anomalous.
+    *
+    * Scale shape: an EWMA is inherently sequential PER KEY, so the whole
+    * series of one key must meet in one place — but series points are
+    * pre-aggregated (one row per key×day), i.e. meter-sized, not
+    * corpus-sized. `groupByKey(key).flatMapSortedGroups(ord)` is exactly
+    * that contract: ONE hash Exchange on key + a partition-local sort,
+    * then a streaming O(1)-state fold over each group's iterator (never
+    * materializes a group in memory). Keys parallelize; a window with an
+    * unbounded frame could not express the recurrence (the weights decay
+    * geometrically), and a driver-side loop would serialize all keys.
+    *
+    * Returns `(key, ord, x, ewma, anomaly)`; `ewma` is the 256-scaled
+    * fixed-point state, `anomaly` ∈ {0, 1}.
+    */
+  def ewmaAnomalies(
+      series: DataFrame,
+      hiNum: Long = 5, hiDen: Long = 4,
+      loNum: Long = 4, loDen: Long = 5): DataFrame = {
+    val ss = series.sparkSession
+    import ss.implicits._
+    series
+      .select(col("key").cast("string"), col("ord").cast("date"),
+        col("x").cast("long"))
+      .as[(String, java.sql.Date, Long)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("ord")) { (key, it) =>
+        var e = -1L
+        it.map { case (_, ord, x) =>
+          val prev = e
+          val scaled = 256L * x
+          e = if (prev < 0) scaled else (3L * prev + scaled) / 4L
+          val flag =
+            prev >= 0 &&
+              (scaled * hiDen > hiNum * prev || scaled * loDen < loNum * prev)
+          (key, ord, x, e, if (flag) 1 else 0)
+        }
+      }
+      .toDF("key", "ord", "x", "ewma", "anomaly")
+  }
 }

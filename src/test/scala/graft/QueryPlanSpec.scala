@@ -228,6 +228,17 @@ class QueryPlanSpec extends SparkSpec {
       s"vote is a row-local fold — no window/sort:\n$plan")
   }
 
+  test("q_anomaly_ewma: meter-sized shuffles only, sort inside the keyed group") {
+    val plan = finalPlan("q_anomaly_ewma")
+    // first Exchange moves map-side-combined (key, day) partials, second
+    // re-keys the meter-sized series by key for the sequential fold
+    assert(countOf(plan, "Exchange") == 2 && plan.contains("MapGroups"),
+      s"two meter-sized shuffles + keyed fold:\n$plan")
+    assert(countOf(plan, "Sort") == 1, s"one group-local sort:\n$plan")
+    assert(plan.contains("struct<ts:bigint,event_type:string>"),
+      s"scan must prune to 2 columns:\n$plan")
+  }
+
   test("portable-twin queries keep their scale shapes") {
     // portable minhash: banded bucket equi-join, never a cartesian —
     // candidate cost stays bounded by bucket sizes

@@ -217,4 +217,31 @@ class EventOpsSpec extends SparkSpec {
       assert(batch.select($"payload").distinct().count() == 3 && batch.count() == 3)
     } finally q.stop()
   }
+
+  test("ewmaAnomalies: hand-computed fixed-point recurrence, strict thresholds") {
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val series = Seq(
+      ("a", d("2024-01-01"), 100L),
+      ("a", d("2024-01-02"), 100L),
+      ("a", d("2024-01-03"), 200L), // 200 > 1.25*100 -> spike
+      ("a", d("2024-01-04"), 100L), // 100*5 == 4*ewma(32000/256=125) exactly -> NOT flagged (strict)
+      ("a", d("2024-01-05"), 40L), //  40 < 0.8*118.75 -> drop
+      ("b", d("2024-01-01"), 7L)) //   first point never anomalous
+      .toDF("key", "ord", "x")
+    val got = EventOps.ewmaAnomalies(series)
+      .orderBy($"key", $"ord")
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getInt(4)))
+    assert(got.toSeq == Seq(
+      ("a", 100L, 25600L, 0),
+      ("a", 100L, 25600L, 0),
+      ("a", 200L, 32000L, 1),
+      ("a", 100L, 30400L, 0),
+      ("a", 40L, 25360L, 1),
+      ("b", 7L, 1792L, 0)))
+    // the sequential fold is layout-invariant: the sort lives INSIDE the
+    // keyed group, so input partitioning/order cannot change the result
+    val shuffled = EventOps.ewmaAnomalies(series.repartition(7).sortWithinPartitions($"x"))
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getInt(4))).toSet
+    assert(shuffled == got.toSet)
+  }
 }
