@@ -80,6 +80,45 @@ object LakeOps {
     plan
   }
 
+  /** Zone map (file/partition-level min-max statistics — the data-skipping
+    * index behind parquet row-group pruning, Delta/Iceberg file stats and
+    * OPTIMIZE ZORDER): one row per `zone` with its row count and the
+    * [min, max] envelope of each key column. One map-side-combined
+    * aggregate — the output is layout-sized (one row per zone), never
+    * corpus-sized, so a 100 TB table's zone map is a driver-small frame.
+    *
+    * Columns: `zone, n_rows, min_<k>, max_<k>` per key `(k, expr)`.
+    * Pair with [[PrepOps.zorderKey]]: a Z-ordered layout makes BOTH
+    * dimensions' envelopes tight, a range-clustered layout only its own.
+    */
+  def zoneMap(df: DataFrame, zone: Column, keys: (String, Column)*): DataFrame = {
+    require(keys.nonEmpty, "need at least one key column")
+    val aggs = count(lit(1)).as("n_rows") +: keys.flatMap { case (n, c) =>
+      Seq(min(c).as(s"min_$n"), max(c).as(s"max_$n"))
+    }
+    df.groupBy(zone.as("zone")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** 1 iff the zone's `[min_<key>, max_<key>]` envelope intersects
+    * `[lo, hi]` — the skip predicate: a zone scoring 0 provably holds no
+    * matching row and is never read.
+    */
+  def zoneTouched(keyName: String, lo: Column, hi: Column): Column =
+    (col(s"max_$keyName") >= lo && col(s"min_$keyName") <= hi).cast("int")
+
+  /** The zones a range predicate must read (driver-small, like any file
+    * listing). Callers skip the rest:
+    * `df.filter(zoneExpr.isin(touched: _*) && keyExpr.between(lo, hi))` —
+    * and when the zone column is the hive partition key of a
+    * [[writeSharded]] dataset, the `isin` becomes directory-level
+    * `PartitionFilters` (never opens a skipped file; pinned in
+    * LakeOpsSpec).
+    */
+  def touchedZones(
+      zm: DataFrame, keyName: String, lo: Column, hi: Column): Seq[Any] =
+    zm.filter(zoneTouched(keyName, lo, hi) === 1)
+      .select(col("zone")).collect().map(_.get(0)).toSeq
+
   /** CDC merge ("MERGE INTO" / upsert-apply — the lakehouse write path's
     * logical core): apply a changelog onto a snapshot. `changes` carries
     * the snapshot's columns plus `opCol` ('U' upsert, 'D' delete) and a

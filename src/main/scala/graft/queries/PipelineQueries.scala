@@ -296,6 +296,29 @@ object PipelineQueries {
     "q_lake_layout" -> ((s, dir) =>
       LakeOps.layoutPlan(t(s, dir, "documents"), Seq("source"), 40L)),
 
+    // Zone-map stats (the data-skipping index) over lineitem laid out by
+    // ship month, with the skip verdicts of two range predicates: the
+    // date range touches ~3 zones (layout-aligned key -> tight
+    // envelopes), while the same-selectivity price range touches nearly
+    // every zone (unclustered key -> useless envelopes) — the measured
+    // argument for Z-ordering. Pruned-scan == full-filter equivalence
+    // and directory-level PartitionFilters are pinned in LakeOpsSpec.
+    "q_zone_map" -> ((s, dir) => {
+      val zm = LakeOps.zoneMap(t(s, dir, "lineitem"),
+        date_format(col("l_shipdate"), "yyyy-MM"),
+        "ship" -> to_date(col("l_shipdate")),
+        "cents" -> round(col("l_extendedprice") * 100).cast("long"))
+      zm.select(col("zone"), col("n_rows"),
+        date_format(col("min_ship"), "yyyy-MM-dd").as("min_ship"),
+        date_format(col("max_ship"), "yyyy-MM-dd").as("max_ship"),
+        col("min_cents"), col("max_cents"),
+        LakeOps.zoneTouched("ship",
+          lit("1996-02-01").cast("date"), lit("1996-04-30").cast("date"))
+          .as("touch_ship"),
+        LakeOps.zoneTouched("cents", lit(9000000L), lit(9100000L))
+          .as("touch_cents"))
+    }),
+
     // Column-level data profiling (exact): per column, row/null/distinct
     // counts + stringified min/max. Each UNION leg prunes its scan to ONE
     // column (total bytes across legs == one full-width scan) and the
@@ -1934,6 +1957,23 @@ object PipelineQueries {
       """SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST((count(*) + 39) // 40 AS BIGINT) AS n_files
         |FROM documents GROUP BY source""".stripMargin,
+
+    "q_zone_map" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS zone,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  strftime(min(CAST(l_shipdate AS DATE)), '%Y-%m-%d') AS min_ship,
+        |  strftime(max(CAST(l_shipdate AS DATE)), '%Y-%m-%d') AS max_ship,
+        |  CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS min_cents,
+        |  CAST(max(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS max_cents,
+        |  CASE WHEN max(CAST(l_shipdate AS DATE)) >= DATE '1996-02-01'
+        |        AND min(CAST(l_shipdate AS DATE)) <= DATE '1996-04-30'
+        |    THEN 1 ELSE 0 END AS touch_ship,
+        |  CASE WHEN max(CAST(round(l_extendedprice * 100) AS BIGINT)) >= 9000000
+        |        AND min(CAST(round(l_extendedprice * 100) AS BIGINT)) <= 9100000
+        |    THEN 1 ELSE 0 END AS touch_cents
+        |FROM lineitem GROUP BY 1""".stripMargin,
 
     "q_merge_upsert" ->
       """WITH base AS (

@@ -128,4 +128,57 @@ class LakeOpsSpec extends SparkSpec {
     assert(a.find(_._1 == 401L).contains((401L, "u401", 40100L)))
     assert(a.find(_._1 == 1L).contains((1L, "u1", 100L)))
   }
+
+  test("zoneMap skip is sound on ANY layout: pruned scan == full filter") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val key = round($"l_extendedprice" * 100).cast("long")
+    def prunedEqualsFull(zone: org.apache.spark.sql.Column): Unit = {
+      val zm = LakeOps.zoneMap(li, zone, "cents" -> key)
+      val touched = LakeOps.touchedZones(zm, "cents", lit(2000000L), lit(2500000L))
+      val pruned = li.filter(zone.isin(touched: _*) && key.between(2000000L, 2500000L))
+      val full = li.filter(key.between(2000000L, 2500000L))
+      assert(pruned.count() == full.count() && full.count() > 0)
+      assert(pruned.except(full).isEmpty && full.except(pruned).isEmpty)
+    }
+    // a key-aligned layout AND an adversarial unrelated one both stay exact
+    prunedEqualsFull(expr("CAST(l_extendedprice AS BIGINT) DIV 10000"))
+    prunedEqualsFull(pmod(xxhash64($"l_orderkey"), lit(7)))
+  }
+
+  test("zoneMap on the hive partition key prunes DIRECTORIES (PartitionFilters)") {
+    val out = Files.createTempDirectory("lake").resolve("zoned").toString
+    LakeOps.writeSharded(docs(), out, Seq("lang"), col("doc_id"), 1000L)
+    val back = spark.read.parquet(out)
+    val zm = LakeOps.zoneMap(back, col("lang"), "len" -> col("n_chars"))
+    // pick a range only SOME languages' envelopes intersect; fall back to
+    // asserting soundness if the corpus makes every envelope overlap
+    val touched = LakeOps.touchedZones(zm, "len", lit(0L), lit(60L))
+    assert(touched.nonEmpty && touched.size < zm.count())
+    val pruned = back.filter(col("lang").isin(touched: _*) &&
+      col("n_chars").between(0L, 60L))
+    val full = back.filter(col("n_chars").between(0L, 60L))
+    assert(pruned.count() == full.count())
+    // the zone isin lands in the scan's PartitionFilters — skipped
+    // languages' directories are never opened
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      s"zone prune must be a partition filter:\n$plan")
+  }
+
+  test("zone envelopes: layout-aligned key skips, unclustered key cannot") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val zm = LakeOps.zoneMap(li, date_format($"l_shipdate", "yyyy-MM"),
+      "ship" -> to_date($"l_shipdate"),
+      "cents" -> round($"l_extendedprice" * 100).cast("long"))
+    val total = zm.count()
+    val shipTouched = LakeOps.touchedZones(zm, "ship",
+      lit("1996-02-01").cast("date"), lit("1996-04-30").cast("date")).size
+    val centsTouched = LakeOps.touchedZones(zm, "cents",
+      lit(9000000L), lit(9100000L)).size
+    // month zones bound the date key tightly (3 months + boundary zones)
+    assert(shipTouched >= 1 && shipTouched <= 4, s"ship range should touch ~3 of $total zones")
+    // the unclustered price key's envelopes span nearly everything
+    assert(centsTouched > total / 2,
+      s"price range touched $centsTouched of $total — expected no skipping")
+  }
 }
