@@ -111,6 +111,54 @@ object JoinOps {
     * `tolerance` (e.g. "3 hours") drops matches older than
     * `left.ts - tolerance`, keeping the left row with NULLs.
     */
+  /** Interval-overlap join: pairs of rows whose HALF-OPEN intervals
+    * `[start, end)` intersect (`aStart < bEnd && bStart < aEnd`) —
+    * concurrent sessions, colliding reservations, overlapping validity
+    * windows. A raw inequality-pair predicate plans as a nested-loop
+    * join; this buckets the domain like [[rangeJoin]], but with BOTH
+    * sides replicated to their covered buckets.
+    *
+    * The subtlety vs [[rangeJoin]] is duplicate pairs: two long
+    * intervals can share many buckets. Rather than a corpus-sized
+    * `distinct`, each qualifying pair is emitted ONLY in its canonical
+    * bucket — the bucket of `max(aStart, bStart)`, which both sides
+    * provably generated (it lies inside each interval) — so every
+    * overlapping pair appears exactly once with zero dedup shuffle.
+    *
+    * `keys` are additional equi-join columns (same name on both sides —
+    * e.g. the user whose sessions may overlap); they ride the same hash
+    * shuffle as the bucket. All other column names must be disjoint.
+    * Bounds are numeric (cast dates/timestamps at the call site); empty
+    * intervals (`end <= start`) match nothing. Choose `bucketWidth`
+    * near the typical interval length: replication is
+    * O(length/width + 1) buckets per row.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftStart: String,
+      leftEnd: String,
+      rightStart: String,
+      rightEnd: String,
+      bucketWidth: Long,
+      keys: Seq[String] = Nil): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val clash = left.columns.toSet.intersect(right.columns.toSet) -- keys
+    require(clash.isEmpty, s"non-key column names collide: $clash")
+    def buckets(df: DataFrame, s: String, e: String) = df
+      .filter(col(e) > col(s))
+      .withColumn("__bk", explode(sequence(
+        floor(col(s) / bucketWidth), floor((col(e) - 1) / bucketWidth))))
+    val l = buckets(left, leftStart, leftEnd)
+    val r = buckets(right, rightStart, rightEnd)
+    l.join(r, "__bk" +: keys)
+      .filter(col(leftStart) < col(rightEnd) && col(rightStart) < col(leftEnd))
+      // canonical-bucket guard: exactly one emission per overlapping pair
+      .filter(floor(greatest(col(leftStart), col(rightStart)) / bucketWidth)
+        === col("__bk"))
+      .drop("__bk")
+  }
+
   def asofJoin(
       left: DataFrame,
       right: DataFrame,

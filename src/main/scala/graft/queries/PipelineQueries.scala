@@ -1091,6 +1091,50 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_clicks"), min(col("click_id")).as("first_click"))
     }),
 
+    // Interval-overlap join (interval × interval, vs q_range_join's
+    // point-in-interval): same-customer orders whose 15-day service
+    // windows collide. Both sides bucket-replicated, true-overlap
+    // residual, and each pair emitted ONLY in the bucket of
+    // max(starts) — exactly-once with zero dedup shuffle. The oracle is
+    // the naive inequality self-join, so the gate proves the bucketed
+    // plan loses and invents nothing.
+    "q_interval_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        col("o_custkey").as("cust"), col("o_orderkey"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
+          .cast("long").as("s"))
+      val a = o.select(col("cust"), col("o_orderkey").as("a_id"),
+        col("s").as("a_start"), (col("s") + 15).as("a_end"))
+      val b = o.select(col("cust"), col("o_orderkey").as("b_id"),
+        col("s").as("b_start"), (col("s") + 15).as("b_end"))
+      JoinOps.intervalJoin(a, b, "a_start", "a_end", "b_start", "b_end",
+        bucketWidth = 15, keys = Seq("cust"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("cust"), col("a_id"), col("b_id"),
+          (least(col("a_end"), col("b_end")) -
+            greatest(col("a_start"), col("b_start"))).as("overlap_days"))
+    }),
+
+    // Last-touch attribution: each purchase credits the latest click/view
+    // of the same user within the preceding 2 hours (inclusive), NULLs
+    // when there is none — the marketing-analytics shape of the as-of
+    // join (one user-keyed window pass, never a range cross product).
+    "q_attribution" -> ((s, dir) => {
+      val ev = RefQueries.events(s, dir)
+      val touches = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("ts").as("touch_ts"),
+          col("event_id").as("touch_id"), col("event_type").as("channel"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      JoinOps.asofJoin(purchases, touches,
+        keys = Seq("user_id"), tsLeft = "ts", tsRight = "touch_ts",
+        payloadCols = Seq("touch_id", "channel"),
+        tolerance = Some("2 hours"))
+        .select(col("purchase_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+          col("touch_id"), col("channel"))
+    }),
+
     // Removal-list anti join, Bloom-pruned: definite keeps stream from the
     // scan with zero shuffle; only sketch "maybes" take the exact anti
     // join. Bit-identical to a plain left_anti for any fpp.
@@ -2895,6 +2939,39 @@ object PipelineQueries {
         |FROM points JOIN ranges
         |  ON p_ts >= r_start AND p_ts < r_start + 300
         |GROUP BY r_start""".stripMargin,
+
+    // the naive inequality self-join the bucketed plan must reproduce
+    "q_interval_join" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS cust, o_orderkey AS id,
+        |    CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS s
+        |  FROM orders)
+        |SELECT a.cust AS cust, a.id AS a_id, b.id AS b_id,
+        |  CAST(least(a.s + 15, b.s + 15) - greatest(a.s, b.s) AS BIGINT)
+        |    AS overlap_days
+        |FROM o a JOIN o b ON a.cust = b.cust AND a.id < b.id
+        |  AND a.s < b.s + 15 AND b.s < a.s + 15""".stripMargin,
+
+    // window formulation of the as-of-with-tolerance: rank touches per
+    // purchase by (ts DESC, payload DESC) inside the 2h window — the
+    // DESC payload matches asofJoin's greatest-tuple tie resolution
+    "q_attribution" ->
+      """WITH t AS (
+        |  SELECT user_id, ts, event_id AS touch_id, event_type AS channel
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |p AS (
+        |  SELECT event_id AS purchase_id, user_id, ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT p.purchase_id, t.touch_id, t.channel,
+        |    row_number() OVER (PARTITION BY p.purchase_id
+        |      ORDER BY t.ts DESC, t.touch_id DESC, t.channel DESC) AS rn
+        |  FROM p JOIN t ON p.user_id = t.user_id
+        |    AND t.ts <= p.ts AND t.ts >= p.ts - INTERVAL 2 HOUR)
+        |SELECT p.purchase_id, p.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |  j.touch_id, j.channel
+        |FROM p LEFT JOIN j ON j.purchase_id = p.purchase_id AND j.rn = 1""".stripMargin,
 
     // identical semantics to q_range_join — the Spark side differs only in
     // HOW the plan gets its bucketed shape (optimizer rule vs explicit op)

@@ -239,6 +239,17 @@ class QueryPlanSpec extends SparkSpec {
       s"scan must prune to 2 columns:\n$plan")
   }
 
+  test("q_interval_join / q_attribution keep their scale shapes") {
+    // interval overlap: bucket equi-join, never a nested loop/cartesian
+    val ij = finalPlan("q_interval_join")
+    assert(!ij.contains("NestedLoop") && !ij.contains("Cartesian"),
+      s"interval join must stay bucket-joined:\n$ij")
+    // attribution = as-of: one user-keyed window pass, no join node at all
+    val at = finalPlan("q_attribution")
+    assert(!at.contains("Join"), s"as-of rides a window, not a join:\n$at")
+    assert(countOf(at, "Window") == 1, s"one window pass:\n$at")
+  }
+
   test("portable-twin queries keep their scale shapes") {
     // portable minhash: banded bucket equi-join, never a cartesian —
     // candidate cost stays bounded by bucket sizes

@@ -135,6 +135,56 @@ class JoinOpsSpec extends SparkSpec {
     assert(plan.contains("__bk"), s"bucket key missing from plan:\n$plan")
   }
 
+  test("intervalJoin: hand-computed overlaps, half-open boundaries, empties drop") {
+    val a = Seq((1L, 0L, 10L), (2L, 20L, 30L), (3L, 40L, 40L)) // 3 is empty
+      .toDF("a_id", "a_s", "a_e")
+    val b = Seq(
+      (10L, 5L, 15L),  // overlaps 1 by [5,10)
+      (11L, 10L, 20L), // TOUCHES 1 (end==start): half-open -> no match
+      (12L, 25L, 26L), // contained in 2
+      (13L, 35L, 45L)) // would overlap 3 were it nonempty
+      .toDF("b_id", "b_s", "b_e")
+    val got = JoinOps.intervalJoin(a, b, "a_s", "a_e", "b_s", "b_e", 8L)
+      .select($"a_id", $"b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == Seq((1L, 10L), (2L, 12L)))
+  }
+
+  test("intervalJoin matches the naive overlap predicate EXACTLY ONCE, across widths") {
+    val rnd = new scala.util.Random(31)
+    def mk(n: Int, tag: String) = (0 until n).map { i =>
+      val s = rnd.nextInt(300).toLong
+      (i.toLong, s, s + 1 + rnd.nextInt(60)) // lengths 1..60 straddle widths
+    }.toDF(s"${tag}_id", s"${tag}_s", s"${tag}_e")
+    val a = mk(150, "a")
+    val b = mk(170, "b")
+    val naive = a.crossJoin(b)
+      .filter($"a_s" < $"b_e" && $"b_s" < $"a_e")
+      .select($"a_id", $"b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(naive.nonEmpty && naive.distinct == naive)
+    for (w <- Seq(1L, 16L, 64L, 1000L)) {
+      // NOT a set compare: duplicates from multi-bucket pairs would be
+      // invisible — the canonical-bucket guard is exactly what's on trial
+      val got = JoinOps.intervalJoin(a, b, "a_s", "a_e", "b_s", "b_e", w)
+        .select($"a_id", $"b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got == naive, s"bucketWidth=$w")
+    }
+  }
+
+  test("intervalJoin with keys joins per key and stays hash-shaped") {
+    val a = Seq((7L, 1L, 0L, 10L), (8L, 2L, 0L, 10L)).toDF("k", "a_id", "a_s", "a_e")
+    val b = Seq((7L, 20L, 5L, 8L), (8L, 21L, 50L, 60L)).toDF("k", "b_id", "b_s", "b_e")
+    val out = JoinOps.intervalJoin(a, b, "a_s", "a_e", "b_s", "b_e", 4L, keys = Seq("k"))
+    val got = out.select($"k", $"a_id", $"b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((7L, 1L, 20L))) // key 8's intervals don't overlap
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"interval join degenerated:\n$plan")
+  }
+
   test("bloomAntiJoin equals the plain anti join, null keys kept") {
     val left = ((1 to 2000).map(i => (Option(i.toLong), s"d$i")) :+
       ((None: Option[Long]), "dnull")).toDF("id", "payload")
