@@ -72,4 +72,54 @@ object ProfileOps {
     }
     one.select(explode(array(legs: _*)).as("p")).select(col("p.*"))
   }
+
+  /** Join/group-key skew report — the diagnostic you run BEFORE deciding
+    * whether a 100 TB join needs [[JoinOps.saltedJoin]]: one row with
+    * the key cardinality, total rows, max/median/p99 group sizes, the
+    * max/median skew ratio, and the top-`k` hottest keys (as a
+    * `"key:count"` CSV so the report row stays flat).
+    *
+    * Scale shape: the per-key count is the only corpus-sized shuffle
+    * (map-side combined). Everything after runs on the KEY-sized frame:
+    * the hot-key list is a bounded partial top-k aggregate and the
+    * rank-based percentiles pay one key-sized sort — rank selection, not
+    * interpolation, so the report is integer-exact and engine-portable.
+    */
+  def skewReport(df: DataFrame, keyCol: Column, topK: Int = 5): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt"), col("key"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    // NULL keys are dropped: they never match an inner join, and a null
+    // group would poison the hot-key strings
+    val ranked = df.filter(keyCol.isNotNull)
+      .groupBy(keyCol.cast("long").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+      // rank + total share ONE SinglePartition pass over the KEY-sized
+      // frame (row_number's global window) — the bound of this op: for
+      // billion-key frames trade the exact percentiles for
+      // approx_percentile and keep the rest
+      .withColumn("r", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+    // rank selection (k-th smallest): lower median and ceil(0.99 n) —
+    // integer-exact, no interpolation; hottest keys are ranks n, n-1, …
+    // (ties resolve to the greater key, mirrored by the oracle's
+    // ORDER BY cnt DESC, key DESC)
+    val hotLegs = (0 until topK).map(i =>
+      max(when(col("r") === col("n") - i,
+        concat(col("key"), lit(":"), col("cnt")))).as(s"__h$i"))
+    val aggs = Seq(
+      sum(col("cnt")).as("n_rows"),
+      max(col("cnt")).as("max_cnt"),
+      max(when(col("r") === expr("(n + 1) div 2"), col("cnt"))).as("p50_cnt"),
+      max(when(col("r") === expr("(99 * n + 99) div 100"), col("cnt")))
+        .as("p99_cnt")) ++ hotLegs
+    ranked
+      .agg(max(col("n")).as("n_keys"), aggs: _*)
+      .select(col("n_keys"), col("n_rows"), col("max_cnt"),
+        col("p50_cnt"), col("p99_cnt"),
+        expr("max_cnt div greatest(p50_cnt, 1L)").as("skew_ratio"),
+        concat_ws(",", (0 until topK).map(i => col(s"__h$i")): _*)
+          .as("hot_keys"))
+  }
 }

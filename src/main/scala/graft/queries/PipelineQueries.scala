@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{ContaminationOps, DedupOps, GraphOps, IvfOps, JoinOps, LakeOps, LmOps, MultimodalOps, PrepOps, SamplingOps, SearchOps, SimilarityOps, TextOps}
+import graft.ops.{ContaminationOps, DedupOps, GraphOps, IvfOps, JoinOps, LakeOps, LmOps, MultimodalOps, PrepOps, ProfileOps, SamplingOps, SearchOps, SimilarityOps, TextOps}
 import graft.streaming.EventOps
 
 /** Training-data pipeline operators (dedup, similarity search, multimodal,
@@ -295,6 +295,27 @@ object PipelineQueries {
     // layout determinism) are pinned in LakeOpsSpec.
     "q_lake_layout" -> ((s, dir) =>
       LakeOps.layoutPlan(t(s, dir, "documents"), Seq("source"), 40L)),
+
+    // Join-key skew diagnostic (run BEFORE choosing saltedJoin): key
+    // cardinality, max/median/p99 group sizes, skew ratio, hottest keys.
+    // One corpus-sized count shuffle; rank selection pays one KEY-sized
+    // SinglePartition window (the op's documented bound).
+    "q_skew_report" -> ((s, dir) =>
+      ProfileOps.skewReport(t(s, dir, "lineitem"), col("l_suppkey"))),
+
+    // Cross-lingual score calibration (the CCNet move): a raw quality
+    // score is not comparable across languages, its within-language
+    // percentile is. percent_rank = (rank-1)/(n-1) — a ratio of exact
+    // integers, so the doubles hash-match any engine. Ties share a rank
+    // (no arbitrary ordering leaks into the result).
+    "q_score_calibrate" -> ((s, dir) => {
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextOps.tokenCount(col("text")).as("score"))
+      scored.withColumn("cal",
+        percent_rank().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("score"))))
+    }),
 
     // Zone-map stats (the data-skipping index) over lineitem laid out by
     // ship month, with the skip verdicts of two range predicates: the
@@ -809,6 +830,14 @@ object PipelineQueries {
 
     "q_sessionize" -> ((s, dir) =>
       EventOps.sessionStats(RefQueries.events(s, dir), gapMinutes = 30)),
+
+    // Sliding (hopping) event-time windows — 1h length, 15min hop: each
+    // event lands in exactly 4 windows via the native `window()` Expand
+    // (row-local replication, ONE (type, window) shuffle; the same
+    // aggregate runs watermarked as a stream). The oracle replicates each
+    // event to its 4 aligned window starts with a range() cross join.
+    "q_events_sliding" -> ((s, dir) =>
+      EventOps.slidingStats(RefQueries.events(s, dir))),
 
     // Native session_window twin of q_sessionize: the built-in merging
     // session aggregate (ONE user-keyed shuffle; also the streaming form
@@ -2939,6 +2968,55 @@ object PipelineQueries {
         |FROM points JOIN ranges
         |  ON p_ts >= r_start AND p_ts < r_start + 300
         |GROUP BY r_start""".stripMargin,
+
+    // each event replicated to its 4 aligned hop starts — the unrolled
+    // form of the native sliding-window Expand
+    "q_events_sliding" ->
+      """WITH e AS (
+        |  SELECT event_type, value,
+        |    CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 AS f
+        |  FROM events),
+        |w AS (
+        |  SELECT event_type, value, f - 900 * i.i AS w_start
+        |  FROM e CROSS JOIN (SELECT unnest(range(4)) AS i) i)
+        |SELECT event_type, w_start,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS value_cents
+        |FROM w GROUP BY 1, 2""".stripMargin,
+
+    "q_skew_report" ->
+      """WITH c AS (
+        |  SELECT l_suppkey AS key, count(*) AS cnt
+        |  FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY 1),
+        |r AS (
+        |  SELECT key, cnt, row_number() OVER (ORDER BY cnt, key) AS r,
+        |    count(*) OVER () AS n
+        |  FROM c),
+        |h AS (
+        |  SELECT string_agg(key || ':' || cnt, ',' ORDER BY cnt DESC, key DESC)
+        |    AS hot_keys
+        |  FROM (SELECT key, cnt FROM c ORDER BY cnt DESC, key DESC LIMIT 5)),
+        |s AS (
+        |  SELECT CAST(max(n) AS BIGINT) AS n_keys,
+        |    CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |    CAST(max(cnt) AS BIGINT) AS max_cnt,
+        |    CAST(max(CASE WHEN r = (n + 1) // 2 THEN cnt END) AS BIGINT)
+        |      AS p50_cnt,
+        |    CAST(max(CASE WHEN r = (99 * n + 99) // 100 THEN cnt END) AS BIGINT)
+        |      AS p99_cnt
+        |  FROM r)
+        |SELECT n_keys, n_rows, max_cnt, p50_cnt, p99_cnt,
+        |  CAST(max_cnt // greatest(p50_cnt, 1) AS BIGINT) AS skew_ratio,
+        |  hot_keys
+        |FROM s CROSS JOIN h""".stripMargin,
+
+    "q_score_calibrate" ->
+      s"""SELECT doc_id, lang,
+         |  CAST(${S.tokenCount("text")} AS INTEGER) AS score,
+         |  percent_rank() OVER (PARTITION BY lang
+         |    ORDER BY ${S.tokenCount("text")}) AS cal
+         |FROM documents""".stripMargin,
 
     // the naive inequality self-join the bucketed plan must reproduce
     "q_interval_join" ->

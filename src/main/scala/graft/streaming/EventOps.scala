@@ -53,6 +53,27 @@ object EventOps {
         col("event_type"), col("n_events"), col("value_sum"))
   }
 
+  /** Sliding (hopping) windows — `length` covering each event
+    * `length/hop` times via the native window Expand (row-local
+    * replication, then ONE (window, type) shuffle). Identical batch or
+    * watermarked-streaming, like [[hourlyStats]]. Output window start as
+    * epoch seconds (`w_start`) with count + exact cents sum.
+    */
+  def slidingStats(
+      events: DataFrame,
+      length: String = "1 hour",
+      hop: String = "15 minutes",
+      watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(events)(w => events.withWatermark("ts", w))
+    src
+      .groupBy(col("event_type"), window(col("ts"), length, hop).as("win"))
+      .agg(count(lit(1)).as("n"),
+        sum(cents(col("value"))).as("value_cents"))
+      .select(col("event_type"),
+        unix_timestamp(col("win.start")).as("w_start"),
+        col("n"), col("value_cents"))
+  }
+
   /** Gap-based sessionization per user: a new session starts when the gap
     * to the previous event exceeds `gapMinutes`. Batch formulation with
     * lag + running sum (one shuffle on user_id); the streaming twin is

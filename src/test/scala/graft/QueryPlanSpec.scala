@@ -239,6 +239,21 @@ class QueryPlanSpec extends SparkSpec {
       s"scan must prune to 2 columns:\n$plan")
   }
 
+  test("q_events_sliding / q_skew_report / q_score_calibrate shapes") {
+    // sliding windows: row-local Expand replication + ONE shuffle
+    val sl = finalPlan("q_events_sliding")
+    assert(countOf(sl, "Exchange") == 1 && sl.contains("Expand"),
+      s"sliding windows = one Expand + one shuffle:\n$sl")
+    // skew report: corpus count shuffle + key-sized rank window, no joins
+    val sk = finalPlan("q_skew_report")
+    assert(!sk.contains("Join"), s"skew report joins nothing:\n$sk")
+    assert(sk.contains("Window"), s"rank selection window expected:\n$sk")
+    // calibration: ONE lang-partitioned window pass, no extra shuffle
+    val sc = finalPlan("q_score_calibrate")
+    assert(countOf(sc, "Exchange") == 1 && countOf(sc, "Window") == 1,
+      s"one lang shuffle + one window:\n$sc")
+  }
+
   test("q_interval_join / q_attribution keep their scale shapes") {
     // interval overlap: bucket equi-join, never a nested loop/cartesian
     val ij = finalPlan("q_interval_join")

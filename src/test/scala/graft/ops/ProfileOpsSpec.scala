@@ -76,4 +76,24 @@ class ProfileOpsSpec extends SparkSpec {
     val many = ProfileOps.profile(df, Seq("lang")).collect().head
     assert(one == many)
   }
+
+  test("skewReport: hand-computed percentiles, hot keys, nulls dropped") {
+    import spark.implicits._
+    // key 1: 60 rows (the hot key); keys 2..10: 4 rows each; one null key
+    val rows = (1 to 60).map(_ => Option(1L)) ++
+      (2L to 10L).flatMap(k => Seq.fill(4)(Option(k))) ++ Seq(None)
+    val df = rows.map(k => (k, "x")).toDF("k", "payload")
+    val got = ProfileOps.skewReport(df, col("k"), topK = 3).collect().head
+    // 10 keys, 96 rows (null dropped), max 60; ranked counts ascending =
+    // nine 4s then 60: p50 = rank 5 -> 4, p99 = rank ceil(9.9)=10 -> 60
+    assert(got.getLong(0) == 10L && got.getLong(1) == 96L)
+    assert(got.getLong(2) == 60L && got.getLong(3) == 4L && got.getLong(4) == 60L)
+    assert(got.getLong(5) == 15L) // skew ratio 60 div 4
+    // hottest first; count ties resolve to the greater key
+    assert(got.getString(6) == "1:60,10:4,9:4")
+    // layout invariance
+    val again = ProfileOps.skewReport(df.repartition(13), col("k"), topK = 3)
+      .collect().head
+    assert(again.toSeq == got.toSeq)
+  }
 }

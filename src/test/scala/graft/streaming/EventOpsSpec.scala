@@ -58,6 +58,36 @@ class EventOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("slidingStats: each event lands in length/hop windows; streamed == batch") {
+    // batch shape: 1h/15min -> exactly 4 windows per event
+    val one = EventOps.slidingStats(fixture.limit(1))
+    assert(one.count() == 4)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val stream = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventOps.slidingStats(stream, watermark = Some("2 hours"))
+      .writeStream.format("memory").queryName("sliding_out")
+      .outputMode("complete").start()
+    try {
+      mem.addData(
+        (1L, ts("2024-01-01 00:05:00"), 10L, "click", 1.50),
+        (2L, ts("2024-01-01 00:55:00"), 10L, "click", 2.25))
+      q.processAllAvailable()
+      mem.addData(
+        (3L, ts("2024-01-01 01:10:00"), 10L, "view", 4.00),
+        (4L, ts("2024-01-01 01:20:00"), 11L, "click", 8.00))
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM sliding_out").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      val batch = EventOps.slidingStats(fixture.filter($"event_id" <= 4)).collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      assert(streamed == batch && batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("sessionize splits on gaps > threshold per user") {
     val out = EventOps.sessionize(fixture, gapMinutes = 30)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
