@@ -365,7 +365,14 @@ object SimilarityOps {
     val c = corpus.select(col(corpusId).as(corpusId), col(vecCol).as("cv"),
       sqrt(norm2(col(vecCol))).as("cn"))
     val l = labeled.select(
-      (col(labeledId).cast("long") * 256 + col(labelCol).cast("long"))
+      // enforce the encoding's domain per row (codegen'd, costs nothing):
+      // a silent out-of-range label would decode as a different label
+      when(col(labelCol).cast("long").between(0, 255) &&
+          col(labeledId).cast("long") >= 0,
+        col(labeledId).cast("long") * 256 + col(labelCol).cast("long"))
+        .otherwise(raise_error(concat(
+          lit("knnClassify: need label in [0,255] and id >= 0, got id="),
+          col(labeledId), lit(" label="), col(labelCol))))
         .as("enc"),
       col(vecCol).as("lv"), sqrt(norm2(col(vecCol))).as("ln"))
     val scored = c.crossJoin(broadcast(l))

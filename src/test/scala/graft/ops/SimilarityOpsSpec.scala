@@ -274,6 +274,16 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(best == 1.0)
   }
 
+  test("knnClassify rejects labels outside the encoding domain at runtime") {
+    val labeled = Seq((0L, Seq(1f, 0f), 300)).toDF("vec_id", "embedding", "label")
+    val corpus = vecs(100L -> Seq(1f, 0f))
+    val e = intercept[Exception] {
+      SimilarityOps.knnClassify(corpus, labeled, k = 1).collect()
+    }
+    assert(e.getMessage.contains("label in [0,255]") ||
+      Option(e.getCause).exists(_.getMessage.contains("label in [0,255]")))
+  }
+
   test("knnClassify is partitioning-invariant and matches a window-rank reference") {
     val rnd = new scala.util.Random(23)
     val all = (0L until 120L).map { i =>
