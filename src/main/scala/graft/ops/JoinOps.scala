@@ -132,6 +132,14 @@ object JoinOps {
     * intervals (`end <= start`) match nothing. Choose `bucketWidth`
     * near the typical interval length: replication is
     * O(length/width + 1) buckets per row.
+    *
+    * Skew guard: ONE degenerate interval with `len >> bucketWidth` (a
+    * sentinel end like 9999-12-31, a corrupt bound) would fan out to
+    * millions of bucket rows at 100 TB — unbounded replication from a
+    * single bad record. Any row covering more than `maxBucketsPerRow`
+    * buckets fails the job with a `raise_error` naming the offending
+    * bounds (the spanDedup posCap discipline: loud refusal beats a
+    * silent 10^6× blow-up; widen `bucketWidth` or pre-clamp the data).
     */
   def intervalJoin(
       left: DataFrame,
@@ -141,14 +149,25 @@ object JoinOps {
       rightStart: String,
       rightEnd: String,
       bucketWidth: Long,
-      keys: Seq[String] = Nil): DataFrame = {
+      keys: Seq[String] = Nil,
+      maxBucketsPerRow: Long = 4096): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    require(maxBucketsPerRow > 0,
+      s"maxBucketsPerRow must be positive, got $maxBucketsPerRow")
     val clash = left.columns.toSet.intersect(right.columns.toSet) -- keys
     require(clash.isEmpty, s"non-key column names collide: $clash")
-    def buckets(df: DataFrame, s: String, e: String) = df
-      .filter(col(e) > col(s))
-      .withColumn("__bk", explode(sequence(
-        floor(col(s) / bucketWidth), floor((col(e) - 1) / bucketWidth))))
+    def buckets(df: DataFrame, s: String, e: String) = {
+      val first = floor(col(s) / bucketWidth)
+      val last = floor((col(e) - 1) / bucketWidth)
+      df.filter(col(e) > col(s))
+        .withColumn("__bk", explode(sequence(first,
+          when(last - first < maxBucketsPerRow, last).otherwise(raise_error(
+            format_string(
+              s"intervalJoin: interval [%s, %s) covers more than " +
+                s"$maxBucketsPerRow buckets of width $bucketWidth " +
+                "(skew guard; widen bucketWidth or clamp the bounds)",
+              col(s), col(e))).cast("long")))))
+    }
     val l = buckets(left, leftStart, leftEnd)
     val r = buckets(right, rightStart, rightEnd)
     l.join(r, "__bk" +: keys)

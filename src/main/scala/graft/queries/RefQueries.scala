@@ -34,17 +34,29 @@ object RefQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark only reads as a
-    * nanosecond LONG (`spark.sql.legacy.parquet.nanosAsLong=true`, set in
-    * Verify/Bench sessions). Normalize to a real TimestampType column;
-    * integer `div` keeps the ns->us truncation exact (a double division
-    * would lose precision at 1.7e18 ns).
+  /** The one place the events table's `ts` physical encoding is normalized
+    * (FIXTURES.md "events timestamp encoding"). The driver has shipped the
+    * column as each of:
+    *   - TIMESTAMP(NANOS), which Spark reads as a nanosecond LONG
+    *     (`spark.sql.legacy.parquet.nanosAsLong=true`, set in Verify/Bench
+    *     sessions) — integer `div` keeps the ns->us truncation exact (a
+    *     double division would lose precision at 1.7e18 ns);
+    *   - TIMESTAMP_NTZ — the session timezone is pinned UTC, so casting to
+    *     TimestampType preserves the instant while restoring the full
+    *     timestamp function surface (`session_window`, `unix_micros`, ...
+    *     reject NTZ inputs);
+    *   - plain TIMESTAMP, passed through.
+    * Every events-table query MUST read through here, never `t(_,_,
+    * "events")` directly, so a testdata re-encode can't strand queries
+    * (round-3 verdict, q_session_window).
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     val raw = t(s, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

@@ -235,8 +235,11 @@ class QueryPlanSpec extends SparkSpec {
     assert(countOf(plan, "Exchange") == 2 && plan.contains("MapGroups"),
       s"two meter-sized shuffles + keyed fold:\n$plan")
     assert(countOf(plan, "Sort") == 1, s"one group-local sort:\n$plan")
-    assert(plan.contains("struct<ts:bigint,event_type:string>"),
-      s"scan must prune to 2 columns:\n$plan")
+    // pin the pruned column SET, not the parquet physical type — the
+    // driver's ts encoding has shifted (int64-nanos -> timestamp_ntz)
+    // and the plan property we protect is 2-column pruning, not encoding
+    assert("struct<ts:[a-z_]+,event_type:string>".r.findFirstIn(plan).isDefined,
+      s"scan must prune to exactly (ts, event_type):\n$plan")
   }
 
   test("q_events_sliding / q_skew_report / q_score_calibrate shapes") {

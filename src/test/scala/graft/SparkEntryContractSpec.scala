@@ -9,6 +9,33 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class SparkEntryContractSpec extends AnyFunSuite {
 
+  /** Every registered query must ANALYZE AND EXECUTE against the real
+    * testdata. Round 3 shipped a query (`q_session_window`) that threw
+    * `DATATYPE_MISMATCH` at analysis time; the driver's correctness pass
+    * silently omitted it, so the board read "0 red" while a registered
+    * query could not run. This smoke loop makes that class of breakage
+    * fail the suite loudly: analysis errors surface at `queries(name)`/
+    * plan build, runtime errors at the noop-sink write. sf0.001 keeps the
+    * whole catalog's cost to seconds.
+    */
+  test("every registered query analyzes and executes on sf0.001") {
+    val spark = SparkSpec.spark
+    spark.sparkContext.setLogLevel("WARN")
+    val sf = "/root/testdata/sf0.001"
+    val broken = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try {
+          fn(spark, sf).write.mode("overwrite").format("noop").save()
+          None
+        } catch {
+          case e: Throwable => Some(s"$name: ${e.getClass.getSimpleName} " +
+            e.getMessage.linesIterator.take(2).mkString(" "))
+        }
+    }
+    assert(broken.isEmpty,
+      s"registered queries that cannot run:\n  ${broken.mkString("\n  ")}")
+  }
+
   /** The documented rows-only set — each inherently un-oracle-able
     * (xxhash64 / custom DSv2 source / float k-means training / HLL++
     * sketch / LSH tie-sets), each covered by a substantive ScalaTest.

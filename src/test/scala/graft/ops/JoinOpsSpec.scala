@@ -185,6 +185,26 @@ class JoinOpsSpec extends SparkSpec {
       s"interval join degenerated:\n$plan")
   }
 
+  test("intervalJoin skew guard: a degenerate interval fails loudly, sane data unaffected") {
+    // one sentinel-bounded interval that would fan out to ~10^9 buckets
+    val a = Seq((1L, 0L, 10L), (2L, 0L, 4102444800L)) // "year 9999" end
+      .toDF("a_id", "a_s", "a_e")
+    val b = Seq((10L, 5L, 15L)).toDF("b_id", "b_s", "b_e")
+    val e = intercept[Exception] {
+      JoinOps.intervalJoin(a, b, "a_s", "a_e", "b_s", "b_e", 8L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("skew guard")),
+      s"expected the raise_error guard, got: $e")
+    // same call with the bad row clamped upstream still works, and a sane
+    // dataset under a generous cap is untouched by the guard
+    val ok = JoinOps.intervalJoin(
+      a.filter($"a_e" < 100L), b, "a_s", "a_e", "b_s", "b_e", 8L)
+      .select($"a_id", $"b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(ok == Seq((1L, 10L)))
+  }
+
   test("bloomAntiJoin equals the plain anti join, null keys kept") {
     val left = ((1 to 2000).map(i => (Option(i.toLong), s"d$i")) :+
       ((None: Option[Long]), "dnull")).toDF("id", "payload")
