@@ -11,11 +11,19 @@ import org.apache.spark.sql.SparkSession
   * undercounts real work). One cheap warm-up query absorbs session/codegen
   * startup so per-query numbers reflect steady-state throughput.
   *
-  * Each query runs `SPARK_GRAFT_BENCH_REPS` times (default 2) and reports
-  * the MIN: this host shows heavy CPU steal under sustained load (the same
-  * plan has measured 1.9 s and 65.7 s in back-to-back runs), so a single
-  * pass times the hypervisor, not the plan. Min-of-reps is the standard
-  * steal-resistant estimator; the total is the sum of per-query mins.
+  * Each query runs `SPARK_GRAFT_BENCH_REPS` times (default 2); the FIRST
+  * rep is a discarded warm-up (shuffle-file/page-cache/codegen warm — the
+  * round-3 record shows a 60 s cold `q_corpus_clean` whose warm cost is
+  * 2.6 s poisoning round-over-round totals) and the report is the MIN of
+  * the remaining reps: this host shows heavy CPU steal under sustained
+  * load (the same plan has measured 1.9 s and 65.7 s in back-to-back
+  * runs), so a single pass times the hypervisor, not the plan. With
+  * reps=1 the single timed pass is reported as-is. The total is the sum
+  * of per-query mins.
+  *
+  * Besides `bench_out.json` (overwritten each run), every line is
+  * APPENDED to `bench_history.jsonl`, so each round's per-query numbers
+  * stay reproducible after later runs overwrite the snapshot.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -50,7 +58,10 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     def exec(name: String): Double = {
       val times = (1 to reps).map(_ => execOnce(name))
-      if (times.exists(_ < 0)) -1.0 else times.min
+      // rep 1 is warm-up (dropped when there are timed reps after it);
+      // a failure in ANY rep still reports the -1 sentinel
+      val timed = if (reps >= 2) times.drop(1) else times
+      if (times.exists(_ < 0)) -1.0 else timed.min
     }
 
     // warm-up: JVM/codegen/parquet-footer caches
@@ -67,6 +78,14 @@ object Bench {
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $out failed: ${e.getMessage}") }
+    // durable per-round record: BENCH_rNN.json keeps only a truncated tail
+    // of stdout, and bench_out.json is overwritten by the next run
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_history.jsonl"), line + "\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] append bench_history.jsonl failed: ${e.getMessage}") }
     spark.stop()
   }
 }

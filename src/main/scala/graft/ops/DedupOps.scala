@@ -238,38 +238,108 @@ object DedupOps {
     exactSurvivors.join(nearIds, Seq(idCol), "left_anti")
   }
 
-  /** MinHash signature: `numHashes` columns, hash i = min over shingles of
-    * `xxhash64(i, shingle-hash)`. Computed ROW-LOCALLY by the codegen'd
-    * [[graft.expr.ShingleMinHash]] expression — zero shuffles (the earlier
-    * exploded-index form shuffled the shingle index twice: distinct +
-    * groupBy; min over a multiset needs neither). Values are bit-identical
-    * to `min(xxhash64(lit(i), sh))` over [[shingleIndexHashed]] (asserted
-    * in DedupOpsSpec). Docs with fewer than k tokens have no shingles and
-    * are absent, exactly like the exploded form.
+  /** Pluggable hash family for the MinHash -> banded LSH -> verify
+    * pipeline. EVERY stage of the production pipeline is written against
+    * this interface — there is one pipeline, parameterized by family,
+    * not a production path plus an oracle twin:
+    *   - [[XxHash64Family]]: xxhash64 shingle hashes and band keys —
+    *     cheapest per shingle, best avalanche, but no ANSI-SQL
+    *     counterpart, so catalog rows using it are rows-only.
+    *   - [[PortableFamily]]: md5-derived 60-bit shingle hashes with
+    *     affine mod-prime permutations ([[portablePerm]]) — every stage
+    *     has an exact DuckDB twin, so the SAME production code path is
+    *     hash-gated end to end by the driver oracle.
+    */
+  sealed trait MinHashFamily {
+    /** Distinct shingle hashes per doc — row-local, no shuffle. */
+    def shingleHashSet(text: Column, k: Int): Column
+    /** Slot-`j` signature: min over the hash set under permutation j. */
+    def slotMin(hs: Column, j: Int): Column
+    /** Band bucket key over `slots` signature columns. */
+    def bandKey(slots: Seq[Column]): Column
+    /** |a ∩ b| (long) for exact-Jaccard verification. */
+    def intersectCount(a: Column, b: Column): Column
+  }
+
+  case object XxHash64Family extends MinHashFamily {
+    /** Sorted distinct shingle hashes ([[graft.expr.ShingleHashes]],
+      * codegen'd; NULL below k tokens) — sortedness feeds the codegen'd
+      * merge-walk intersection.
+      */
+    def shingleHashSet(text: Column, k: Int): Column =
+      graft.expr.TextExprs.shingleHashes(TextOps.tokens(text), k)
+    def slotMin(hs: Column, j: Int): Column =
+      array_min(transform(hs, x => xxhash64(lit(j), x)))
+    def bandKey(slots: Seq[Column]): Column = xxhash64(slots: _*)
+    def intersectCount(a: Column, b: Column): Column =
+      graft.expr.TextExprs.sortedIntersectCount(a, b)
+  }
+
+  case object PortableFamily extends MinHashFamily {
+    def shingleHashSet(text: Column, k: Int): Column =
+      array_distinct(transform(wordShingles(text, k),
+        s => portableShingleHash(s)))
+    def slotMin(hs: Column, j: Int): Column = {
+      val (a, b) = portablePerm(j)
+      array_min(transform(hs, x => (x * a + b) % PortableHashPrime))
+    }
+    /** String key (comma-joined slots): `,` cannot occur in a slot value,
+      * so the key is collision-free — and expressible as `concat_ws` in
+      * any SQL engine, unlike a binary hash of the slots.
+      */
+    def bandKey(slots: Seq[Column]): Column =
+      concat_ws(",", slots.map(_.cast("string")): _*)
+    def intersectCount(a: Column, b: Column): Column =
+      size(array_intersect(a, b)).cast("long")
+  }
+
+  /** MinHash signature: `numHashes` columns, hash j = min over shingles
+    * of the family's permuted shingle hash. For [[XxHash64Family]] this
+    * is computed ROW-LOCALLY by the codegen'd single-pass
+    * [[graft.expr.ShingleMinHash]] expression — zero shuffles, no
+    * materialized hash set (the earlier exploded-index form shuffled the
+    * shingle index twice: distinct + groupBy; min over a multiset needs
+    * neither), bit-identical to `min(xxhash64(lit(j), sh))` over
+    * [[shingleIndexHashed]] AND to the generic
+    * `slotMin(shingleHashSet(...))` form (both asserted in DedupOpsSpec).
+    * Docs with fewer than k tokens have no shingles and are absent.
     */
   def minhashSignatures(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       k: Int,
-      numHashes: Int): DataFrame = {
-    val sig = graft.expr.TextExprs.shingleMinHash(
-      TextOps.tokens(col(textCol)), k, numHashes)
-    docs.select(col(idCol).as("doc_id"), sig.as("__sig"))
-      .filter(col("__sig").isNotNull)
-      .select(col("doc_id") +:
-        (0 until numHashes).map(i => element_at(col("__sig"), i + 1).as(s"mh_$i")): _*)
+      numHashes: Int,
+      family: MinHashFamily = XxHash64Family): DataFrame = family match {
+    case XxHash64Family =>
+      val sig = graft.expr.TextExprs.shingleMinHash(
+        TextOps.tokens(col(textCol)), k, numHashes)
+      docs.select(col(idCol).as("doc_id"), sig.as("__sig"))
+        .filter(col("__sig").isNotNull)
+        .select(col("doc_id") +:
+          (0 until numHashes).map(i => element_at(col("__sig"), i + 1).as(s"mh_$i")): _*)
+    case f =>
+      docs.select(col(idCol).as("doc_id"),
+          f.shingleHashSet(col(textCol), k).as("__hs"))
+        .filter(col("__hs").isNotNull && size(col("__hs")) > 0)
+        .select(col("doc_id") +:
+          (0 until numHashes).map(j => f.slotMin(col("__hs"), j).as(s"mh_$j")): _*)
   }
 
   /** (doc_id, band, bh) band-bucket rows from `mh_*` signature columns:
-    * band b's bucket hash is `xxhash64` over its `rowsPerBand` signature
-    * slots. Row-local (one explode, no shuffle); shared by the batch
-    * candidate join and the streaming candidate-link operator.
+    * band b's bucket key is the family's [[MinHashFamily.bandKey]] over
+    * its `rowsPerBand` signature slots. Row-local (one explode, no
+    * shuffle); shared by the batch candidate join and the streaming
+    * candidate-link operator.
     */
-  def bandBuckets(signatures: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+  def bandBuckets(
+      signatures: DataFrame,
+      bands: Int,
+      rowsPerBand: Int,
+      family: MinHashFamily = XxHash64Family): DataFrame = {
     val bandCols = (0 until bands).map { b =>
-      val cols = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
+      val slots = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), family.bandKey(slots).as("bh"))
     }
     signatures
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bucket"))
@@ -277,7 +347,7 @@ object DedupOps {
   }
 
   /** LSH candidate pairs from MinHash signatures: split the signature into
-    * `bands` bands of `rowsPerBand`, bucket-join on (band, band-hash).
+    * `bands` bands of `rowsPerBand`, bucket-join on (band, band-key).
     * A pair collides iff some band matches entirely — the classic
     * (J^rows)-per-band S-curve. Candidates only; feed to
     * [[ngramJaccardPairs]]-style verification for the final decision.
@@ -285,8 +355,9 @@ object DedupOps {
   def minhashLshCandidates(
       signatures: DataFrame,
       bands: Int,
-      rowsPerBand: Int): DataFrame = {
-    val buckets = bandBuckets(signatures, bands, rowsPerBand)
+      rowsPerBand: Int,
+      family: MinHashFamily = XxHash64Family): DataFrame = {
+    val buckets = bandBuckets(signatures, bands, rowsPerBand, family)
     buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -316,19 +387,28 @@ object DedupOps {
       threshold: Double,
       numHashes: Int = 32,
       bands: Int = 8,
-      rowsPerBand: Int = 4): DataFrame = {
+      rowsPerBand: Int = 4,
+      family: MinHashFamily = XxHash64Family,
+      cacheSets: Boolean = true): DataFrame = {
     require(bands * rowsPerBand <= numHashes,
       s"bands*rowsPerBand must be <= numHashes ($bands*$rowsPerBand > $numHashes)")
-    val sigs = minhashSignatures(docs, idCol, textCol, k, numHashes)
-    val cands = minhashLshCandidates(sigs, bands, rowsPerBand)
-    val sets = docs.select(col(idCol).as("id"),
-      graft.expr.TextExprs.shingleHashes(TextOps.tokens(col(textCol)), k).as("shs"))
-      .filter(col("shs").isNotNull)
+    // row-local: distinct shingle hashes per doc. Consumed three times
+    // (signatures + both verify joins) and the shingle hash is the
+    // expensive per-token work — cache by default, exactly like the
+    // inverted index in [[ngramJaccardPairs]].
+    val sets0 = docs
+      .select(col(idCol).as("doc_id"),
+        family.shingleHashSet(col(textCol), k).as("hs"))
+      .filter(col("hs").isNotNull && size(col("hs")) > 0)
+    val sets = if (cacheSets) sets0.cache() else sets0
+    val mh = (0 until numHashes).map(j => family.slotMin(col("hs"), j).as(s"mh_$j"))
+    val sigs = sets.select(col("doc_id") +: mh: _*)
+    val cands = minhashLshCandidates(sigs, bands, rowsPerBand, family)
+    // verification: candidate-sized joins against the row-local hash sets
     cands
-      .join(sets.select(col("id").as("id_a"), col("shs").as("sh_a")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("shs").as("sh_b")), "id_b")
-      .withColumn("intersection",
-        graft.expr.TextExprs.sortedIntersectCount(col("sh_a"), col("sh_b")))
+      .join(sets.select(col("doc_id").as("id_a"), col("hs").as("sh_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("hs").as("sh_b")), "id_b")
+      .withColumn("intersection", family.intersectCount(col("sh_a"), col("sh_b")))
       .withColumn("n_a", size(col("sh_a")).cast("long"))
       .withColumn("n_b", size(col("sh_b")).cast("long"))
       .withColumn("jaccard", col("intersection").cast("double") /
@@ -365,14 +445,9 @@ object DedupOps {
   def portableShingleHash(shingle: Column): Column =
     conv(substring(md5(shingle), 1, 15), 16, 10).cast("long") % PortableHashPrime
 
-  /** [[minhashVerifiedPairs]] re-expressed over the PORTABLE hash family
-    * (md5-derived shingle hashes, affine mod-prime permutations, string
-    * band keys) so every stage has an exact DuckDB twin. Identical
-    * pipeline shape — row-local signatures, banded bucket join bounded
-    * by bucket sizes, candidate-sized exact-Jaccard verification — and
-    * the same output contract as [[ngramJaccardPairs]]. The xxhash64
-    * variants stay the production path (cheaper per shingle, better
-    * avalanche); this one is the end-to-end correctness gate.
+  /** [[minhashVerifiedPairs]] instantiated with [[PortableFamily]] —
+    * retained as a named entry point; it IS the production pipeline with
+    * the portable family parameter, not a separate implementation.
     */
   def portableMinhashVerifiedPairs(
       docs: DataFrame,
@@ -383,54 +458,9 @@ object DedupOps {
       numHashes: Int = 16,
       bands: Int = 4,
       rowsPerBand: Int = 4,
-      cacheSets: Boolean = true): DataFrame = {
-    require(bands * rowsPerBand <= numHashes,
-      s"bands*rowsPerBand must be <= numHashes ($bands*$rowsPerBand > $numHashes)")
-    val p = PortableHashPrime
-    // row-local: distinct portable shingle hashes per doc. Consumed three
-    // times (signatures + both verify joins) and md5-per-shingle is the
-    // expensive part of the portable family — cache by default, exactly
-    // like the inverted index in [[ngramJaccardPairs]].
-    val sets0 = docs
-      .select(col(idCol).as("doc_id"),
-        array_distinct(transform(wordShingles(col(textCol), k),
-          s => portableShingleHash(s))).as("hs"))
-      .filter(size(col("hs")) > 0)
-    val sets = if (cacheSets) sets0.cache() else sets0
-    // row-local: numHashes min-hash slots, then band structs
-    val mh = (0 until numHashes).map { j =>
-      val (a, b) = portablePerm(j)
-      array_min(transform(col("hs"), x => (x * a + b) % p)).as(s"mh_$j")
-    }
-    val sigs = sets.select(col("doc_id") +: col("hs") +: mh: _*)
-    val bandCols = (0 until bands).map { b =>
-      val slots = (0 until rowsPerBand)
-        .map(r => col(s"mh_${b * rowsPerBand + r}").cast("string"))
-      struct(lit(b).as("band"), concat_ws(",", slots: _*).as("key"))
-    }
-    val buckets = sigs
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bucket"))
-      .select(col("doc_id"), col("bucket.band").as("band"), col("bucket.key").as("key"))
-    val cands = buckets.as("a")
-      .join(buckets.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
-    // verification: candidate-sized joins against the row-local hash sets
-    cands
-      .join(sets.select(col("doc_id").as("id_a"), col("hs").as("sh_a")), "id_a")
-      .join(sets.select(col("doc_id").as("id_b"), col("hs").as("sh_b")), "id_b")
-      .withColumn("intersection",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
-      .withColumn("n_a", size(col("sh_a")).cast("long"))
-      .withColumn("n_b", size(col("sh_b")).cast("long"))
-      .withColumn("jaccard", col("intersection").cast("double") /
-        (col("n_a") + col("n_b") - col("intersection")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("intersection"),
-        col("n_a"), col("n_b"), col("jaccard"))
-  }
+      cacheSets: Boolean = true): DataFrame =
+    minhashVerifiedPairs(docs, idCol, textCol, k, threshold,
+      numHashes, bands, rowsPerBand, PortableFamily, cacheSets)
 
   /** Exact-substring span dedup (the Lee et al. 2021 "Deduplicating
     * Training Data Makes Language Models Better" semantic, at k-token

@@ -40,6 +40,23 @@ object PipelineQueries {
     "the" -> 1L, "a" -> -1L, "slow" -> -5L, "small" -> -2L,
     "big" -> -2L, "value" -> -1L, "row" -> -1L)
 
+  /** Frozen BPE merge table for `q_bpe_encode` — the output of
+    * [[graft.ops.PrepOps.bpeTrainLocal]](documents, text, 32) on the
+    * sf0.01 corpus, then FROZEN as literals. This mirrors production:
+    * tokenizers are trained once offline and shipped as a constant
+    * artifact; the corpus-scale operation is the apply. Freezing also
+    * gives the apply a DuckDB oracle ([[bpeEncodeOracle]]) — the trainer
+    * itself stays gated by `q_bpe_pairs` and PrepOpsSpec differentials.
+    */
+  val bpeFrozenMerges: Seq[(String, String)] = Seq(
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("j", "o"), ("jo", "in"), ("a", "s"), ("as", "h"), ("h", "ash"),
+    ("r", "ow"), ("at", "c"), ("atc", "h"), ("b", "atch"), ("a", "n"),
+    ("c", "an"), ("s", "can"), ("c", "o"), ("c", "u"), ("co", "lu"),
+    ("colu", "m"), ("colum", "n"), ("cu", "st"), ("cust", "o"),
+    ("custo", "mer"), ("f", "i"), ("fi", "l"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ------------------------------------------------------ text analysis
     "q_text_stats" -> ((s, dir) =>
@@ -187,11 +204,18 @@ object PipelineQueries {
       DedupOps.lineDedup(built, "doc_id", "text", maxDocFreq = 8L)
     }),
 
-    // xxhash64-based: no SQL oracle (rows-only check + ScalaTest).
+    // MinHash -> banded LSH candidate generation, run with the PORTABLE
+    // hash family so the registered query is oracle-gated end to end
+    // (signatures, band keys, bucket join — hash-compared vs DuckDB).
+    // Same production functions; pass family = XxHash64Family for the
+    // cheaper non-oracle-able hashes (that family's bit-identity and
+    // recall are pinned in DedupOpsSpec).
     "q_dedup_minhash" -> ((s, dir) => {
       val sigs = DedupOps.minhashSignatures(
-        t(s, dir, "documents"), "doc_id", "text", k = 3, numHashes = 32)
-      DedupOps.minhashLshCandidates(sigs, bands = 8, rowsPerBand = 4)
+        t(s, dir, "documents"), "doc_id", "text", k = 3, numHashes = 32,
+        family = DedupOps.PortableFamily)
+      DedupOps.minhashLshCandidates(sigs, bands = 8, rowsPerBand = 4,
+        family = DedupOps.PortableFamily)
     }),
 
     "q_dedup_simhash" -> ((s, dir) =>
@@ -205,16 +229,18 @@ object PipelineQueries {
       DedupOps.portableSimhash(t(s, dir, "documents"), "doc_id", "text")),
 
     // The composed scale path: LSH candidates -> exact Jaccard verify on
-    // candidates only (xxhash64-based -> rows-only; recall vs the exact
-    // ngram ground truth asserted in DedupOpsSpec).
+    // candidates only, at the production 32/8/4 geometry, with the
+    // portable family so the full pipeline is hash-gated by the driver
+    // oracle (recall vs the exact ngram ground truth stays asserted in
+    // DedupOpsSpec, for both families).
     "q_dedup_minhash_verified" -> ((s, dir) =>
       DedupOps.minhashVerifiedPairs(
-        t(s, dir, "documents"), "doc_id", "text", k = 3, threshold = 0.2)),
+        t(s, dir, "documents"), "doc_id", "text", k = 3, threshold = 0.2,
+        family = DedupOps.PortableFamily)),
 
-    // The SAME MinHash->LSH->verify pipeline over the portable hash
-    // family (md5-derived shingle hashes, affine mod-prime permutations),
-    // which has an exact DuckDB twin — the end-to-end oracle for the
-    // MinHash mechanics that the xxhash64 production path can't have.
+    // The same pipeline at a smaller 16/4/4 geometry (higher collision
+    // probability per band — a second point on the S-curve, also
+    // oracle-gated).
     "q_dedup_minhash_portable" -> ((s, dir) =>
       DedupOps.portableMinhashVerifiedPairs(
         t(s, dir, "documents"), "doc_id", "text", k = 3, threshold = 0.2)),
@@ -556,24 +582,22 @@ object PipelineQueries {
     // content-keyed rank. The only shuffle is the shard partitioning;
     // each shard sorts locally (shards scale with the corpus — never a
     // global sort).
-    // BPE train -> encode end to end: the corpus contributes one
-    // word-count pass, the merge rounds run driver-local on the bounded
-    // vocab table (bpeTrainLocal == bpeTrain, differential-tested), then
-    // every doc is segmented by the codegen'd row-local encoder.
-    // Iterative per-word merging has no SQL formulation -> rows-only; the
-    // trainer/encoder pair is pinned against hand-computed merges and
-    // segmentations in PrepOpsSpec. The gated output joins the pieces to a
-    // single string: the driver's comparator sorts result frames with
-    // pandas, and array-typed cells are unhashable there — scalar outputs
-    // only in gated queries (the array-typed bpeEncode API is unchanged).
-    "q_bpe_encode" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val merges = PrepOps.bpeTrainLocal(docs, col("text"), merges = 32)
-      docs.select(col("doc_id"),
-        PrepOps.bpeEncode(col("text"), merges).as("pieces"))
+    // BPE encode with a FROZEN merge list — how production tokenizers
+    // work (train once offline, apply at corpus scale as plan literals;
+    // the row-local codegen'd encoder makes a 100 TB tokenization pass a
+    // pure map with zero shuffles). Freezing the merges is also what
+    // makes this oracle-able: the same 32 literals feed a DuckDB
+    // recursive CTE that replays the encoder's exact priority loop
+    // (merge ALL occurrences of the lowest-ranked applicable pair,
+    // repeat), so the segmentation hash-compares end to end. The TRAINER
+    // stays differential-tested in PrepOpsSpec (bpeTrainLocal == bpeTrain)
+    // and corpus-gated via q_bpe_pairs; [[bpeFrozenMerges]] is its output
+    // on the sf0.01 corpus, frozen.
+    "q_bpe_encode" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        PrepOps.bpeEncode(col("text"), bpeFrozenMerges).as("pieces"))
         .select(col("doc_id"), size(col("pieces")).as("n_pieces"),
-          array_join(col("pieces"), "|").as("pieces_str"))
-    }),
+          array_join(col("pieces"), "|").as("pieces_str"))),
 
     "q_train_order" -> ((s, dir) =>
       PrepOps.trainingOrder(
@@ -1952,16 +1976,22 @@ object PipelineQueries {
        |FROM reach GROUP BY node""".stripMargin
   }
 
-  /** DuckDB twin of the portable MinHash pipeline
-    * (q_dedup_minhash_portable): the shingle hashes, the affine
-    * permutation constants, the band keys, and the verify arithmetic are
-    * generated from the SAME Scala constants as the Spark side
+  /** DuckDB twin of the portable-family MinHash pipeline at any
+    * geometry: the shingle hashes, the affine permutation constants, the
+    * band keys, and the verify arithmetic are generated from the SAME
+    * Scala constants as the Spark side
     * ([[graft.ops.DedupOps.portablePerm]]), so the whole
     * MinHash -> banded LSH -> exact-Jaccard-verify path hash-compares.
+    * `verified = false` stops at the DISTINCT candidate pairs
+    * (q_dedup_minhash); `true` adds the exact-Jaccard verification
+    * (q_dedup_minhash_verified at 32/8/4, q_dedup_minhash_portable at
+    * 16/4/4).
     */
-  private def minhashPortableOracle: String = {
+  private def minhashPortableOracle(
+      numHashes: Int, bands: Int, rowsPerBand: Int,
+      verified: Boolean): String = {
     val p = DedupOps.PortableHashPrime
-    val (k, numHashes, bands, rowsPerBand) = (3, 16, 4, 4)
+    val k = 3
     require(bands * rowsPerBand <= numHashes)
     val shingle = s"array_to_string(w[i:i+${k - 1}], ' ')"
     val hash = s"CAST(('0x' || substring(md5($shingle), 1, 15)) AS BIGINT) % $p"
@@ -1972,27 +2002,84 @@ object PipelineQueries {
       }.mkString(" || ',' || ")
       s"  SELECT doc_id, $b AS band,\n    $key AS bkey FROM sh"
     }.mkString("\n  UNION ALL\n")
-    s"""WITH toks AS (
-       |  SELECT doc_id, ${S.tokens("text")} AS w FROM documents),
-       |sh AS (
-       |  SELECT doc_id, list_distinct(list_transform(
-       |    range(1, len(w) - ${k - 2}), i -> $hash)) AS hs
-       |  FROM toks WHERE len(w) >= $k),
-       |bands AS (
-       |$bandSelects),
-       |cand AS (
-       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-       |  FROM bands x JOIN bands y
-       |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-       |v AS (
-       |  SELECT id_a, id_b,
-       |    CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS intersection,
-       |    CAST(len(a.hs) AS BIGINT) AS n_a, CAST(len(b.hs) AS BIGINT) AS n_b
-       |  FROM cand JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b)
-       |SELECT id_a, id_b, intersection, n_a, n_b,
-       |  CAST(intersection AS DOUBLE)/(n_a + n_b - intersection) AS jaccard
-       |FROM v
-       |WHERE CAST(intersection AS DOUBLE)/(n_a + n_b - intersection) >= 0.2""".stripMargin
+    val base =
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${S.tokens("text")} AS w FROM documents),
+         |sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    range(1, len(w) - ${k - 2}), i -> $hash)) AS hs
+         |  FROM toks WHERE len(w) >= $k),
+         |bands AS (
+         |$bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)""".stripMargin
+    if (!verified) s"$base\nSELECT id_a, id_b FROM cand"
+    else
+      s"""$base,
+         |v AS (
+         |  SELECT id_a, id_b,
+         |    CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS intersection,
+         |    CAST(len(a.hs) AS BIGINT) AS n_a, CAST(len(b.hs) AS BIGINT) AS n_b
+         |  FROM cand JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b)
+         |SELECT id_a, id_b, intersection, n_a, n_b,
+         |  CAST(intersection AS DOUBLE)/(n_a + n_b - intersection) AS jaccard
+         |FROM v
+         |WHERE CAST(intersection AS DOUBLE)/(n_a + n_b - intersection) >= 0.2""".stripMargin
+  }
+
+  /** DuckDB twin of the frozen-merge BPE apply (q_bpe_encode): a
+    * recursive CTE replaying [[graft.expr.BpeCodec]]'s exact priority
+    * loop per word — find the LOWEST-ranked merge pair present, replace
+    * ALL its left-to-right non-overlapping occurrences, repeat until no
+    * rule applies. Words are space-joined symbol strings; the
+    * double-space trick (`replace(sym,' ','  ')` then matching
+    * `' a  b '`) makes plain non-regex `replace` perform exactly the
+    * non-overlapping full-symbol merge (adjacent occurrences don't share
+    * boundary spaces). Merge literals come from the same Scala constant
+    * as the Spark side ([[bpeFrozenMerges]]).
+    */
+  private def bpeEncodeOracle: String = {
+    def esc(s: String) = s.replace("'", "''")
+    val vals = bpeFrozenMerges.zipWithIndex
+      .map { case ((a, b), i) => s"($i, '${esc(a)}', '${esc(b)}')" }
+      .mkString(", ")
+    val toks = S.tokens("lower(text)")
+    val padded = "' ' || replace(e.sym, ' ', '  ') || ' '"
+    s"""WITH RECURSIVE
+       |m(rank, a, b) AS (VALUES $vals),
+       |toks AS (
+       |  SELECT doc_id, unnest($toks) AS w,
+       |         generate_subscripts($toks, 1) AS ord
+       |  FROM documents),
+       |words AS (
+       |  SELECT doc_id, ord,
+       |    array_to_string(list_transform(range(1, len(w)+1), i -> w[i:i]), ' ') AS sym
+       |  FROM toks),
+       |enc(doc_id, ord, sym) AS (
+       |  SELECT doc_id, ord, sym FROM words
+       |  UNION ALL
+       |  SELECT e.doc_id, e.ord,
+       |    trim(replace(replace($padded,
+       |      ' ' || mm.a || '  ' || mm.b || ' ',
+       |      ' ' || mm.a || mm.b || ' '), '  ', ' '))
+       |  FROM enc e JOIN m mm ON mm.rank = (
+       |    SELECT min(m2.rank) FROM m m2
+       |    WHERE strpos($padded, ' ' || m2.a || '  ' || m2.b || ' ') > 0)),
+       |fin AS (
+       |  SELECT doc_id, ord, sym FROM enc e
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM m m2
+       |    WHERE strpos($padded, ' ' || m2.a || '  ' || m2.b || ' ') > 0)),
+       |agg AS (
+       |  SELECT doc_id,
+       |    CAST(sum(len(string_split(sym, ' '))) AS INTEGER) AS n_pieces,
+       |    string_agg(replace(sym, ' ', '|'), '|' ORDER BY ord) AS pieces_str
+       |  FROM fin GROUP BY doc_id)
+       |SELECT d.doc_id, COALESCE(a.n_pieces, 0) AS n_pieces,
+       |       COALESCE(a.pieces_str, '') AS pieces_str
+       |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
   }
 
   /** DuckDB twin of the portable SimHash signature
@@ -2023,8 +2110,14 @@ object PipelineQueries {
   val oracleSql: Map[String, String] = Map(
     "q_sim_ivf_literal" -> ivfLiteralOracle,
     "q_semdedup_literal" -> semDedupLiteralOracle,
-    "q_dedup_minhash_portable" -> minhashPortableOracle,
+    "q_dedup_minhash" ->
+      minhashPortableOracle(32, 8, 4, verified = false),
+    "q_dedup_minhash_verified" ->
+      minhashPortableOracle(32, 8, 4, verified = true),
+    "q_dedup_minhash_portable" ->
+      minhashPortableOracle(16, 4, 4, verified = true),
     "q_dedup_simhash_portable" -> simhashPortableOracle,
+    "q_bpe_encode" -> bpeEncodeOracle,
 
     "q_lake_layout" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_rows,

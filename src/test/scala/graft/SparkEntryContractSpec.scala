@@ -37,14 +37,15 @@ class SparkEntryContractSpec extends AnyFunSuite {
   }
 
   /** The documented rows-only set — each inherently un-oracle-able
-    * (xxhash64 / custom DSv2 source / float k-means training / HLL++
-    * sketch / LSH tie-sets), each covered by a substantive ScalaTest.
-    * Growing this set is a DELIBERATE act: add the justification to
-    * COVERAGE.md when you add a name here.
+    * (xxhash64 simhash seeds / custom DSv2 source / in-query float
+    * k-means training), each covered by a substantive ScalaTest AND by
+    * an oracle-green twin gating the same algebra
+    * (q_dedup_simhash_portable, q_sim_ivf_literal, q_semdedup_literal,
+    * GranuleSourceSpec content pins). Growing this set is a DELIBERATE
+    * act: add the justification to COVERAGE.md when you add a name here.
     */
   private val rowsOnly = Set(
-    "q_dedup_minhash", "q_dedup_minhash_verified", "q_dedup_simhash",
-    "q_sim_ivf_topk", "q_semdedup", "q_granule_source", "q_bpe_encode")
+    "q_dedup_simhash", "q_sim_ivf_topk", "q_semdedup", "q_granule_source")
 
   test("every query is oracled or documented rows-only; no orphan oracles") {
     val q = SparkEntry.queries.keySet

@@ -64,6 +64,45 @@ class LakeOpsSpec extends SparkSpec {
       mode = SaveMode.Overwrite)
   }
 
+  test("writeSharded: two-level (source, lang) hive layout sizes and round-trips") {
+    val out = Files.createTempDirectory("lake").resolve("corpus2").toString
+    val df = docs()
+    val target = 25L
+    val plan = LakeOps.writeSharded(
+      df, out, Seq("source", "lang"), col("doc_id"), target)
+
+    // sizing plan matches the real (source, lang) counts
+    val counts = df.groupBy($"source", $"lang").count().collect()
+      .map(r => Seq(r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(plan.keySet == counts.keySet)
+    counts.foreach { case (key, n) =>
+      assert(plan(key) == ((n + target - 1) / target).toInt,
+        s"$key: expected ceil($n/$target)")
+    }
+
+    // nested hive directories; per-file cap holds at the leaf level
+    counts.foreach { case (Seq(src, lang), n) =>
+      val files = filesUnder(s"$out/source=$src/lang=$lang")
+      assert(files.nonEmpty, s"missing dir source=$src/lang=$lang")
+      val sizes = files.map(f => spark.read.parquet(f.getAbsolutePath).count())
+      assert(sizes.forall(_ <= target), s"$src/$lang over cap: $sizes")
+      assert(sizes.sum == n, s"$src/$lang rows lost or duplicated")
+    }
+
+    // lossless: BOTH partition columns round-trip through directory names
+    val back = spark.read.parquet(out)
+    val orig = df.select($"doc_id", $"source", $"lang")
+    assert(back.select($"doc_id", $"source", $"lang").except(orig).isEmpty)
+    assert(orig.except(back.select($"doc_id", $"source", $"lang")).isEmpty)
+
+    // directory-level pruning composes across levels: filtering one
+    // (source, lang) pair reads only that leaf directory
+    val pruned = back.filter($"source" === counts.keySet.head.head &&
+      $"lang" === counts.keySet.head(1))
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), s"expected partition pruning:\n$scan")
+  }
+
   test("writeSharded layout is deterministic (content-keyed shards)") {
     val a = Files.createTempDirectory("lake").resolve("a").toString
     val b = Files.createTempDirectory("lake").resolve("b").toString
