@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.agg.TopKFunctions
+
+/** Product quantization (PQ) — the memory side of the canonical
+  * IVF-PQ index every production ANN system runs at 100 TB scale
+  * (Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+  * Search", TPAMI 2011): split the d-dim vector into `m` subspaces,
+  * quantize each to one of `ksub` per-subspace centroids, and store only
+  * the `m` small codes (here 4 x 1 B instead of 64 x 4 B — a 64x
+  * compression of the corpus). Search is ASYMMETRIC distance computation
+  * (ADC): the query stays full-precision, a per-query lookup table holds
+  * its distance to every (subspace, centroid), and each corpus vector's
+  * approximate distance is `m` table lookups + adds — no vector math per
+  * pair.
+  *
+  * Codebooks are supplied by the CALLER as constants — PQ codebooks, like
+  * BPE merges ([[graft.queries.PipelineQueries.bpeFrozenMerges]]) and
+  * tokenizer vocabularies, train once offline and ship frozen; the
+  * corpus-scale operations are encode (pure row-local map) and search
+  * (broadcast queries, partial top-k aggregate — one output-sized
+  * shuffle). [[literalCodebook]] provides the deterministic integer
+  * codebook the oracle re-generates from the same constants, so encode
+  * AND ADC search hash-compare against ANSI SQL bit for bit (the
+  * [[graft.ops.SimilarityOps.planeWeight]] discipline: integer
+  * constants, fixed left-to-right fold order, float->double widening).
+  *
+  * Scale shape of the full IVF-PQ composition: [[IvfOps.ivfTopK]]'s
+  * coarse lists bound the candidates, PQ codes bound the bytes per
+  * candidate; both stages are independently gated here
+  * (q_sim_ivf_literal, q_sim_pq_literal).
+  */
+object PqOps {
+
+  /** Deterministic integer codebook entry for (subspace, centroid, dim),
+    * in [-3, 3] — the shared avalanche-mixed weight schedule
+    * ([[graft.expr.VectorExprs.planeWeight]]) at an offset that cannot
+    * alias the LSH plane tables (which use rows < 4096).
+    */
+  def codebookWeight(sub: Int, cent: Int, d: Int): Int =
+    graft.expr.VectorExprs.planeWeight(4096 + (sub << 8) + cent, d)
+
+  /** `m x ksub x dsub` integer-valued codebook (as doubles) from
+    * [[codebookWeight]] — the frozen "trained" artifact for the gated
+    * catalog query; real deployments pass their k-means codebooks.
+    */
+  def literalCodebook(m: Int, ksub: Int, dsub: Int): Array[Array[Array[Double]]] =
+    Array.tabulate(m, ksub, dsub)((j, c, d) => codebookWeight(j, c, d).toDouble)
+
+  /** Squared L2 distance from the `sub`-th subspace slice of `vec` to the
+    * constant centroid `w` — literal-unrolled, left-to-right add order,
+    * element widened float->double before the subtraction (bit-exact twin
+    * of the SQL form).
+    */
+  private def subDist(vec: Column, sub: Int, w: Array[Double]): Column = {
+    val dsub = w.length
+    (0 until dsub).map { d =>
+      val x = element_at(vec, sub * dsub + d + 1).cast("double") - lit(w(d))
+      x * x
+    }.reduce(_ + _)
+  }
+
+  /** All `ksub` subspace distances of subspace `sub` as one array. */
+  private def subDists(vec: Column, sub: Int, cb: Array[Array[Double]]): Column =
+    array(cb.indices.map(c => subDist(vec, sub, cb(c))): _*)
+
+  /** PQ encode: `m` codes per vector, code j = argmin over subspace j's
+    * centroids of the squared L2 distance (first minimum on ties — the
+    * lowest centroid id, matching the oracle's CASE chain). Pure
+    * row-local expression: a 100 TB encode pass is a map with zero
+    * shuffles, emitting `m` small ints per vector.
+    */
+  def pqEncode(vec: Column, cb: Array[Array[Array[Double]]]): Column =
+    array(cb.indices.map { j =>
+      val ds = subDists(vec, j, cb(j))
+      (array_position(ds, array_min(ds)) - 1).cast("int")
+    }: _*)
+
+  /** ADC top-k: for each query row, the `k` corpus rows with the smallest
+    * PQ-approximated squared L2 distance (ties -> lowest corpus id).
+    *
+    * Plan: the corpus is ENCODED ONCE (row-local) and never carries the
+    * raw vector into the join; queries broadcast with their per-query
+    * `m x ksub` lookup tables; the per-pair distance is `m` array lookups
+    * folded left-to-right; the per-query top-k is the partial
+    * [[graft.agg.TopKByScoreAgg]] aggregate, so the only shuffle carries
+    * at most |queries| x k rows per map task. At 100 TB the dominant cost
+    * is the corpus scan of the 4-byte code arrays — the point of PQ.
+    */
+  def pqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      cb: Array[Array[Array[Double]]],
+      queryId: String = "vec_id",
+      corpusId: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val enc = corpus.select(col(corpusId).as("corpus_id"),
+      pqEncode(col(vecCol), cb).as("codes"))
+    val lut = array(cb.indices.map(j => subDists(col(vecCol), j, cb(j))): _*)
+    val q = queries.select(col(queryId).as("query_id"), lut.as("lut"))
+    val scored = enc.crossJoin(broadcast(q))
+      .withColumn("adc_dist",
+        aggregate(
+          zip_with(col("codes"), col("lut"), (cd, l) => element_at(l, cd + 1)),
+          lit(0.0), (acc, x) => acc + x))
+    scored
+      .groupBy(col("query_id"))
+      .agg(TopKFunctions.topKByScore(
+        -col("adc_dist"), col("corpus_id"), k).as("__topk"))
+      .select(col("query_id"), posexplode(col("__topk")).as(Seq("__pos", "__hit")))
+      .select(col("query_id"),
+        (col("__pos") + 1).cast("int").as("rank"),
+        col("__hit.id").as("corpus_id"),
+        (-col("__hit.score")).as("adc_dist"))
+  }
+}

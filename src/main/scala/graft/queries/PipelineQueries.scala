@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{ContaminationOps, DedupOps, GraphOps, IvfOps, JoinOps, LakeOps, LmOps, MultimodalOps, PrepOps, ProfileOps, SamplingOps, SearchOps, SimilarityOps, TextOps}
+import graft.ops.{ContaminationOps, DedupOps, GraphOps, IvfOps, JoinOps, LakeOps, LmOps, MultimodalOps, PqOps, PrepOps, ProfileOps, SamplingOps, SearchOps, SimilarityOps, TextOps}
 import graft.streaming.EventOps
 
 /** Training-data pipeline operators (dedup, similarity search, multimodal,
@@ -777,6 +777,41 @@ object PipelineQueries {
       val e = t(s, dir, "embeddings")
       IvfOps.ivfTopK(e.filter(col("vec_id") < 10), e, k = 10,
         IvfOps.literalCentroids(4, 64), nprobe = 2)
+    }),
+
+    // Product quantization (Jégou et al. 2011) — the memory side of the
+    // canonical IVF-PQ index: corpus encoded to 4 subspace codes
+    // (row-local argmin vs a FROZEN literal codebook — the 64x corpus
+    // compression), search by asymmetric distance (per-query LUT, m
+    // lookups + adds per pair, partial top-k aggregate). Every stage is
+    // integer-literal + fixed-fold-order arithmetic, so encode AND ADC
+    // search hash-compare against the DuckDB twin exactly.
+    "q_sim_pq_literal" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      PqOps.pqTopK(e.filter(col("vec_id") < 10), e, k = 10,
+        PqOps.literalCodebook(4, 8, 16))
+    }),
+
+    // ANN quality gate AS A QUERY: recall@10 of the PQ-ADC ranking vs the
+    // exact cosine ranking, per query — the metric every production ANN
+    // deployment monitors (both rankings are independently oracle-gated;
+    // this composes them, so the oracle re-derives BOTH lists and the
+    // recall arithmetic in one statement).
+    "q_ann_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+      val exact = SimilarityOps.bruteForceTopK(q, e, k = 10)
+        .select(col("query_id"), col("corpus_id"))
+      val approx = PqOps.pqTopK(q, e, k = 10, PqOps.literalCodebook(4, 8, 16))
+        .select(col("query_id"), col("corpus_id"))
+      val hits = exact.join(approx, Seq("query_id", "corpus_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      q.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)).cast("double") / 10)
+            .as("recall_at_10"))
     }),
 
     // JL random projection 64 -> 16 dims: deterministic literal planes,
@@ -2029,6 +2064,86 @@ object PipelineQueries {
          |WHERE CAST(intersection AS DOUBLE)/(n_a + n_b - intersection) >= 0.2""".stripMargin
   }
 
+  /** Shared CTE body for the PQ oracles: per-vector subspace distances
+    * to every literal-codebook centroid (`d` — the same expressions serve
+    * as the corpus argmin input AND the query lookup table), codes via a
+    * lowest-on-ties CASE argmin, and the ADC distance as an
+    * explicitly-left-associated sum of `m` CASE lookups — term for term
+    * the Spark plan's fold order, so doubles match bit for bit.
+    */
+  private def pqCtes(m: Int, ksub: Int, dsub: Int): String = {
+    val cb = PqOps.literalCodebook(m, ksub, dsub)
+    def subDist(j: Int, c: Int): String =
+      (0 until dsub).map { d =>
+        val t = s"(CAST(embedding[${j * dsub + d + 1}] AS DOUBLE) - (${cb(j)(c)(d)}))"
+        s"($t * $t)"
+      }.mkString(" + ")
+    val dcols = (for (j <- 0 until m; c <- 0 until ksub)
+      yield s"    ${subDist(j, c)} AS d_${j}_$c").mkString(",\n")
+    def argmin(j: Int): String = {
+      val ids = 0 until ksub
+      ids.init.zipWithIndex.map { case (c, idx) =>
+        val rest = ids.drop(idx + 1)
+        s"WHEN ${rest.map(r => s"d_${j}_$c <= d_${j}_$r").mkString(" AND ")} THEN $c"
+      }.mkString("CASE ", " ", s" ELSE ${ids.last} END")
+    }
+    val codes = (0 until m).map(j => s"${argmin(j)} AS c_$j").mkString(", ")
+    val luts = (for (j <- 0 until m; c <- 0 until ksub)
+      yield s"d_${j}_$c AS qd_${j}_$c").mkString(", ")
+    val adc = (0 until m).map { j =>
+      val arms = (0 until ksub).map(c => s"WHEN $c THEN q.qd_${j}_$c").mkString(" ")
+      s"(CASE e.c_$j $arms END)"
+    }.mkString(" + ")
+    s"""d AS (
+       |  SELECT vec_id, embedding,
+       |$dcols
+       |  FROM embeddings),
+       |enc AS (SELECT vec_id AS corpus_id, $codes FROM d),
+       |q AS (SELECT vec_id AS query_id, $luts FROM d WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q.query_id, e.corpus_id, $adc AS adc_dist
+       |  FROM enc e CROSS JOIN q),
+       |pqtop AS (
+       |  SELECT query_id, rank, corpus_id, adc_dist FROM (
+       |    SELECT query_id, corpus_id, adc_dist,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY adc_dist, corpus_id) AS rank
+       |    FROM scored)
+       |  WHERE rank <= 10)""".stripMargin
+  }
+
+  /** DuckDB twin of the PQ encode + ADC search (q_sim_pq_literal). */
+  private def pqLiteralOracle: String =
+    s"""WITH ${pqCtes(4, 8, 16)}
+       |SELECT query_id, rank, corpus_id, adc_dist FROM pqtop""".stripMargin
+
+  /** DuckDB twin of the ANN recall gate (q_ann_recall): re-derives the
+    * exact cosine top-10 (the q_sim_topk statement) and the PQ-ADC
+    * top-10 ([[pqCtes]]) and counts their per-query overlap.
+    */
+  private def annRecallOracle: String = {
+    val cos = SimilarityOps.Sql.cosine("q.embedding", "c.embedding")
+    s"""WITH ${pqCtes(4, 8, 16)},
+       |exact AS (
+       |  SELECT query_id, corpus_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY $cos DESC, c.vec_id) AS rank
+       |    FROM embeddings q JOIN embeddings c ON q.vec_id < 10
+       |    WHERE $cos IS NOT NULL)
+       |  WHERE rank <= 10),
+       |h AS (
+       |  SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM exact e JOIN pqtop p
+       |    ON e.query_id = p.query_id AND e.corpus_id = p.corpus_id
+       |  GROUP BY e.query_id)
+       |SELECT qq.vec_id AS query_id,
+       |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 10 AS recall_at_10
+       |FROM embeddings qq LEFT JOIN h ON h.query_id = qq.vec_id
+       |WHERE qq.vec_id < 10""".stripMargin
+  }
+
   /** DuckDB twin of the frozen-merge BPE apply (q_bpe_encode): a
     * recursive CTE replaying [[graft.expr.BpeCodec]]'s exact priority
     * loop per word — find the LOWEST-ranked merge pair present, replace
@@ -2118,6 +2233,8 @@ object PipelineQueries {
       minhashPortableOracle(16, 4, 4, verified = true),
     "q_dedup_simhash_portable" -> simhashPortableOracle,
     "q_bpe_encode" -> bpeEncodeOracle,
+    "q_sim_pq_literal" -> pqLiteralOracle,
+    "q_ann_recall" -> annRecallOracle,
 
     "q_lake_layout" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_rows,

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PqOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val (m, ksub, dsub) = (4, 8, 16)
+  private val cb = PqOps.literalCodebook(m, ksub, dsub)
+  private def embs() =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  /** Scala reference: encode one vector (float -> double widening, same
+    * arithmetic as the column expressions).
+    */
+  private def refEncode(v: Array[Float]): Seq[Int] =
+    (0 until m).map { j =>
+      val dists = (0 until ksub).map { c =>
+        (0 until dsub).map { d =>
+          val x = v(j * dsub + d).toDouble - cb(j)(c)(d)
+          x * x
+        }.sum
+      }
+      dists.indexOf(dists.min) // first minimum = lowest centroid id
+    }
+
+  test("pqEncode matches the per-subspace argmin reference on real vectors") {
+    val rows = embs().select($"vec_id", $"embedding",
+      PqOps.pqEncode($"embedding", cb).as("codes")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1).toArray
+      val got = r.getSeq[Int](2)
+      assert(got == refEncode(v), s"vec ${r.getLong(0)}")
+      assert(got.forall(c => c >= 0 && c < ksub))
+    }
+  }
+
+  test("pqTopK equals the exhaustive ADC ranking (ties by corpus id)") {
+    val e = embs()
+    val all = e.select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val codes = all.map { case (id, v) => id -> refEncode(v) }
+    def lut(q: Array[Float]): Array[Array[Double]] =
+      Array.tabulate(m, ksub)((j, c) =>
+        (0 until dsub).map { d =>
+          val x = q(j * dsub + d).toDouble - cb(j)(c)(d)
+          x * x
+        }.sum)
+    val qIds = all.keys.filter(_ < 10).toSeq.sorted
+    val expected = qIds.flatMap { qid =>
+      val l = lut(all(qid))
+      all.keys.toSeq
+        .map(cid => (cid, (0 until m).map(j => l(j)(codes(cid)(j))).sum))
+        .sortBy { case (cid, dist) => (dist, cid) }
+        .take(10).zipWithIndex
+        .map { case ((cid, dist), i) => (qid, i + 1, cid, dist) }
+    }.toSet
+    val got = PqOps.pqTopK(e.filter($"vec_id" < 10), e, k = 10, cb)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == expected)
+  }
+
+  test("pqTopK plan: queries broadcast, corpus never carries the raw vector, one output-sized shuffle") {
+    val e = embs()
+    val df = PqOps.pqTopK(e.filter($"vec_id" < 10), e, k = 10, cb)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"query side must broadcast:\n$plan")
+    assert(plan.contains("topk_by_score"),
+      s"per-query top-k must be the partial aggregate:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("Sort"),
+      s"no corpus-sized window/sort:\n$plan")
+  }
+
+  test("recall@10 of ADC vs exact cosine is a sane fraction on sf0.001") {
+    val e = embs()
+    val q = e.filter($"vec_id" < 10)
+    val exact = SimilarityOps.bruteForceTopK(q, e, k = 10)
+      .select($"query_id", $"corpus_id")
+    val approx = PqOps.pqTopK(q, e, k = 10, cb)
+      .select($"query_id", $"corpus_id")
+    val recalls = exact.join(approx, Seq("query_id", "corpus_id"))
+      .groupBy($"query_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(1)).toSeq
+    // a 4x8 integer codebook is a weak quantizer; the gate is structural:
+    // recall is defined, bounded, and nonzero somewhere
+    assert(recalls.forall(n => n >= 0 && n <= 10))
+    assert(recalls.sum > 0, "ADC ranking shares nothing with exact — broken")
+  }
+}
