@@ -55,7 +55,10 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    // default 3 = one warm-up + min-of-2 timed: with only one timed rep a
+    // single steal spike poisons that query's number (round-4 bench read
+    // q_triangles at 46 s vs 4.7 s warm-isolated)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     def exec(name: String): Double = {
       val times = (1 to reps).map(_ => execOnce(name))
       // rep 1 is warm-up (dropped when there are timed reps after it);

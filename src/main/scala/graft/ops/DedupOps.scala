@@ -319,9 +319,17 @@ object DedupOps {
         .select(col("doc_id") +:
           (0 until numHashes).map(i => element_at(col("__sig"), i + 1).as(s"mh_$i")): _*)
     case f =>
-      docs.select(col(idCol).as("doc_id"),
+      // Filter on the CHEAP precondition (token count), never on the hash
+      // set itself: a predicate on `__hs` is pushed below the projection
+      // with the whole hash-set expression INLINED into it, so the
+      // md5-per-shingle chain would run 3x per row (isNotNull + size +
+      // project — measured 44 s vs 1.5 s on q_dedup_minhash at sf0.1).
+      // Equivalent by the shingleHashSet contract: no shingles below k
+      // tokens.
+      docs
+        .filter(size(TextOps.tokens(col(textCol))) >= k)
+        .select(col(idCol).as("doc_id"),
           f.shingleHashSet(col(textCol), k).as("__hs"))
-        .filter(col("__hs").isNotNull && size(col("__hs")) > 0)
         .select(col("doc_id") +:
           (0 until numHashes).map(j => f.slotMin(col("__hs"), j).as(s"mh_$j")): _*)
   }
@@ -395,11 +403,14 @@ object DedupOps {
     // row-local: distinct shingle hashes per doc. Consumed three times
     // (signatures + both verify joins) and the shingle hash is the
     // expensive per-token work — cache by default, exactly like the
-    // inverted index in [[ngramJaccardPairs]].
+    // inverted index in [[ngramJaccardPairs]]. The eligibility filter is
+    // on token count, NOT on `hs` (see [[minhashSignatures]]: an hs
+    // predicate inlines the hash-set expression into the pushed filter
+    // and triples the per-row hashing).
     val sets0 = docs
+      .filter(size(TextOps.tokens(col(textCol))) >= k)
       .select(col(idCol).as("doc_id"),
         family.shingleHashSet(col(textCol), k).as("hs"))
-      .filter(col("hs").isNotNull && size(col("hs")) > 0)
     val sets = if (cacheSets) sets0.cache() else sets0
     val mh = (0 until numHashes).map(j => family.slotMin(col("hs"), j).as(s"mh_$j"))
     val sigs = sets.select(col("doc_id") +: mh: _*)

@@ -211,9 +211,12 @@ object PipelineQueries {
     // cheaper non-oracle-able hashes (that family's bit-identity and
     // recall are pinned in DedupOpsSpec).
     "q_dedup_minhash" -> ((s, dir) => {
+      // cache: the LSH bucket self-join reads the signatures from BOTH
+      // sides — uncached, each side would redo the md5-per-shingle pass
+      // (the same sets-cache decision minhashVerifiedPairs makes)
       val sigs = DedupOps.minhashSignatures(
         t(s, dir, "documents"), "doc_id", "text", k = 3, numHashes = 32,
-        family = DedupOps.PortableFamily)
+        family = DedupOps.PortableFamily).cache()
       DedupOps.minhashLshCandidates(sigs, bands = 8, rowsPerBand = 4,
         family = DedupOps.PortableFamily)
     }),
