@@ -221,6 +221,27 @@ object PipelineScaleBench {
         "doc_id", TextOps.tokenCount(col("text")), col("w"),
         budget = nDocs * 150).count()
     }
+
+    // ---- vector stages: synthetic 64-dim embeddings generated on workers
+    // (deterministic per id; values in [-1, 1) at 1/128 resolution). The
+    // numbers that matter at 100 TB: PQ encode is a pure map emitting
+    // 4 bytes/vector, and ADC search cost is per-pair LUT adds over the
+    // code scan — neither touches the raw vectors after encode.
+    val pqCb = graft.ops.PqOps.literalCodebook(4, 8, 16)
+    val vecs = spark.range(nDocs).select(col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(64)),
+        d => (pmod(xxhash64(col("id"), d), lit(256)) - 128)
+          .cast("double") / 128.0).as("embedding"))
+      .cache()
+    vecs.count()
+    stage("pq_encode") {
+      noop(vecs.select(graft.ops.PqOps.pqEncode(col("embedding"), pqCb)))
+    }
+    vecs.cache().count() // stage()'s cache cleanup dropped it
+    stage("pq_adc_top10") {
+      graft.ops.PqOps.pqTopK(
+        vecs.filter(col("vec_id") < 10), vecs, k = 10, pqCb).count()
+    }
     spark.stop()
   }
 }

@@ -314,8 +314,13 @@ object DedupOps {
     case XxHash64Family =>
       val sig = graft.expr.TextExprs.shingleMinHash(
         TextOps.tokens(col(textCol)), k, numHashes)
-      docs.select(col(idCol).as("doc_id"), sig.as("__sig"))
-        .filter(col("__sig").isNotNull)
+      // eligibility via the cheap token-count predicate, NOT
+      // `__sig.isNotNull`: the null check is pushed below the projection
+      // with shingle_minhash INLINED, running the whole signature pass
+      // twice per row (same inlining trap as the generic branch below;
+      // ShingleMinHash is null exactly when tokens < k)
+      docs.filter(size(TextOps.tokens(col(textCol))) >= k)
+        .select(col(idCol).as("doc_id"), sig.as("__sig"))
         .select(col("doc_id") +:
           (0 until numHashes).map(i => element_at(col("__sig"), i + 1).as(s"mh_$i")): _*)
     case f =>
@@ -412,8 +417,19 @@ object DedupOps {
       .select(col(idCol).as("doc_id"),
         family.shingleHashSet(col(textCol), k).as("hs"))
     val sets = if (cacheSets) sets0.cache() else sets0
-    val mh = (0 until numHashes).map(j => family.slotMin(col("hs"), j).as(s"mh_$j"))
-    val sigs = sets.select(col("doc_id") +: mh: _*)
+    // signatures take each family's FAST path: xxhash64 rides the
+    // single-pass codegen'd ShingleMinHash straight off the tokens
+    // (interpreted per-slot HOF mins over the set measured 10x slower at
+    // 200k docs — PipelineScaleBench minhash_verified_pairs 4.6 -> 45 s);
+    // the portable family derives slots from the CACHED hash sets so the
+    // md5 pass is paid once.
+    val sigs = family match {
+      case XxHash64Family =>
+        minhashSignatures(docs, idCol, textCol, k, numHashes)
+      case f =>
+        sets.select(col("doc_id") +:
+          (0 until numHashes).map(j => f.slotMin(col("hs"), j).as(s"mh_$j")): _*)
+    }
     val cands = minhashLshCandidates(sigs, bands, rowsPerBand, family)
     // verification: candidate-sized joins against the row-local hash sets
     cands
