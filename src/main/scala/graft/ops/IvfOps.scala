@@ -51,14 +51,21 @@ object IvfOps {
 
   /** Nearest-centroid id (by dot product; cosine argmax because centroids
     * are L2-normalized at the driver and the row norm is a constant
-    * factor). Row-local, codegen'd.
+    * factor). Row-local, codegen'd. ZERO centroids (a quantizer trained
+    * on an empty corpus — routine when an upstream filter matches
+    * nothing) degrades to a single implicit cluster 0 instead of
+    * building the untyped `array_max(array())` that fails analysis.
     */
   def assignmentCol(vec: Column, cents: Array[Array[Double]]): Column =
-    (-array_max(scoredCentroids(vec, cents)).getField("nc")).cast("int")
+    if (cents.isEmpty) lit(0).cast("int")
+    else (-array_max(scoredCentroids(vec, cents)).getField("nc")).cast("int")
 
-  /** The query's `nprobe` nearest centroid ids, best first. */
+  /** The query's `nprobe` nearest centroid ids, best first. Zero trained
+    * centroids probe the single implicit cluster (see [[assignmentCol]]).
+    */
   def probesCol(vec: Column, cents: Array[Array[Double]], nprobe: Int): Column =
-    transform(
+    if (cents.isEmpty) array(lit(0).cast("int"))
+    else transform(
       slice(reverse(array_sort(scoredCentroids(vec, cents))), 1, nprobe),
       x => (-x.getField("nc")).cast("int"))
 

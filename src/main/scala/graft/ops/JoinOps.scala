@@ -262,6 +262,11 @@ object JoinOps {
       expectedItems: Long,
       fpp: Double = 0.01): DataFrame = {
     require(expectedItems > 0, s"expectedItems must be positive, got $expectedItems")
+    // empty removal side -> identity (keep everything). Checked up front:
+    // `stat.bloomFilter` over zero rows yields a bloom with a null bit
+    // buffer whose probe NPEs at execution. The check reads at most one
+    // row of the removal side — negligible against the build it guards.
+    if (right.isEmpty) return left
     // build the sketch over an explicit BIGINT view so insertions are
     // `putLong` — the exact probe `mightContainLong` answers
     val bloom = right.select(col(rightKey).cast("long").as(rightKey))

@@ -54,8 +54,11 @@ object LmOps {
 
   private def toPpm(counts: Seq[(String, Long)]): Map[String, Long] = {
     val total = counts.iterator.map(_._2).sum
-    require(total > 0, "cannot train an LM on an empty corpus")
-    counts.iterator.map { case (b, c) => b -> c * PpmScale / total }.toMap
+    // empty corpus -> empty model (every bigram scores the 0 OOV floor):
+    // training must degrade, not throw, when an upstream filter matched
+    // nothing
+    if (total == 0) Map.empty
+    else counts.iterator.map { case (b, c) => b -> c * PpmScale / total }.toMap
   }
 
   /** The scale form of train: ONE [[graft.agg.CharBigramCountsAgg]]

@@ -274,6 +274,18 @@ class QueryPlanSpec extends SparkSpec {
     val mh = finalPlan("q_dedup_minhash_portable")
     assert(!mh.contains("Cartesian") && !mh.contains("NestedLoop"),
       s"portable minhash must stay bucket-joined:\n$mh")
+    // the production-geometry registrations (now portable-family, oracled)
+    // keep the same shape, and the expensive md5 hash-set expression must
+    // appear ONCE per side — a predicate on the hash-set column would
+    // inline it into the pushed filter (the round-4 3x-recompute trap)
+    for (name <- Seq("q_dedup_minhash", "q_dedup_minhash_verified")) {
+      val p = finalPlan(name)
+      assert(!p.contains("Cartesian") && !p.contains("NestedLoop"),
+        s"$name must stay bucket-joined:\n$p")
+      assert(!p.contains("isnotnull(array_distinct") &&
+        !p.contains("size(array_distinct"),
+        s"$name: hash-set expression inlined into a pushed filter:\n$p")
+    }
     // portable simhash: the 60 sign sums ride ONE doc-keyed shuffle
     val sh = finalPlan("q_dedup_simhash_portable")
     assert(countOf(sh, "Exchange") == 1, s"simhash one shuffle:\n$sh")
