@@ -79,6 +79,77 @@ object PqOps {
       (array_position(ds, array_min(ds)) - 1).cast("int")
     }: _*)
 
+  /** IVF-PQ top-k — the full canonical index (Jégou 2011 §IV): a coarse
+    * quantizer partitions the corpus into lists ([[IvfOps]] assignment),
+    * each vector stores only its list id + the PQ codes of its RESIDUAL
+    * (vector − list centroid), and a query probes its `nprobe` nearest
+    * lists, building one ADC lookup table per probed list from the
+    * query's residual against that centroid. This is the structure that
+    * serves billion-vector corpora: candidates bounded by the probed
+    * lists, bytes-per-candidate bounded by the code length, and the
+    * coarse assignment is the ONLY corpus-wide vector pass.
+    *
+    * Plan: corpus side is two row-local projections (assign, then
+    * residual+encode — the residual is projected to its own column first
+    * so the 512-term encode references an attribute, never re-derives
+    * it); queries explode to (query, probed list) rows and broadcast
+    * with per-list LUTs; the join is a hash equi-join on the list id;
+    * top-k is the partial aggregate. Ties: lowest list id at equal
+    * coarse scores, lowest corpus id at equal ADC distances.
+    *
+    * Exactness note for the oracle: centroid and codebook entries are
+    * small integers and vector elements are float-widened doubles, so
+    * `(v − cent) − code == v − (cent + code)` holds BIT-EXACTLY (every
+    * subtraction is exact in double at these magnitudes) — the SQL twin
+    * bakes the folded `cent + code` constants per list branch.
+    */
+  def ivfPqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      cents: Array[Array[Double]],
+      cb: Array[Array[Array[Double]]],
+      nprobe: Int,
+      queryId: String = "vec_id",
+      corpusId: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(cents.nonEmpty, "need at least one coarse centroid")
+    val dims = cents(0).length
+    val centsLit = array(cents.map(c => array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
+    def residual(vec: Column, cid: Column): Column =
+      transform(sequence(lit(1), lit(dims)), d =>
+        element_at(vec, d).cast("double") -
+          element_at(element_at(centsLit, cid + 1), d))
+    val enc = corpus
+      .select(col(corpusId).as("corpus_id"), col(vecCol).as("cv"),
+        IvfOps.assignmentCol(col(vecCol), cents).as("cid"))
+      .select(col("corpus_id"), col("cid"),
+        residual(col("cv"), col("cid")).as("__resid"))
+      .select(col("corpus_id"), col("cid"),
+        pqEncode(col("__resid"), cb).as("codes"))
+    val q = queries
+      .select(col(queryId).as("query_id"), col(vecCol).as("qv"),
+        explode(IvfOps.probesCol(col(vecCol), cents, nprobe)).as("cid"))
+      .select(col("query_id"), col("cid"),
+        residual(col("qv"), col("cid")).as("__qresid"))
+      .select(col("query_id"), col("cid"),
+        array(cb.indices.map(j => subDists(col("__qresid"), j, cb(j))): _*).as("lut"))
+    val scored = enc.join(broadcast(q), "cid")
+      .withColumn("adc_dist",
+        aggregate(
+          zip_with(col("codes"), col("lut"), (cd, l) => element_at(l, cd + 1)),
+          lit(0.0), (acc, x) => acc + x))
+    scored
+      .groupBy(col("query_id"))
+      .agg(TopKFunctions.topKByScore(
+        -col("adc_dist"), col("corpus_id"), k).as("__topk"))
+      .select(col("query_id"), posexplode(col("__topk")).as(Seq("__pos", "__hit")))
+      .select(col("query_id"),
+        (col("__pos") + 1).cast("int").as("rank"),
+        col("__hit.id").as("corpus_id"),
+        (-col("__hit.score")).as("adc_dist"))
+  }
+
   /** ADC top-k: for each query row, the `k` corpus rows with the smallest
     * PQ-approximated squared L2 distance (ties -> lowest corpus id).
     *

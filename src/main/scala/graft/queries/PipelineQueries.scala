@@ -795,6 +795,21 @@ object PipelineQueries {
         PqOps.literalCodebook(4, 8, 16))
     }),
 
+    // The FULL IVF-PQ index (coarse literal centroids partition the
+    // corpus into lists; each vector stores list id + PQ codes of its
+    // RESIDUAL; a query probes nprobe lists with one ADC table per
+    // list). Candidates bounded by the probed lists, bytes per candidate
+    // by the code length — the billion-vector production structure,
+    // hash-gated end to end: assignment, probe selection, residual
+    // encode and per-list ADC all compare bit-for-bit (the oracle folds
+    // centroid+code constants per list branch).
+    "q_sim_ivfpq_literal" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      PqOps.ivfPqTopK(e.filter(col("vec_id") < 10), e, k = 10,
+        IvfOps.literalCentroids(4, 64), PqOps.literalCodebook(4, 8, 16),
+        nprobe = 2)
+    }),
+
     // ANN quality gate AS A QUERY: recall@10 of the PQ-ADC ranking vs the
     // exact cosine ranking, per query — the metric every production ANN
     // deployment monitors (both rankings are independently oracle-gated;
@@ -2147,6 +2162,84 @@ object PipelineQueries {
        |WHERE qq.vec_id < 10""".stripMargin
   }
 
+  /** DuckDB twin of the full IVF-PQ index (q_sim_ivfpq_literal). The
+    * coarse assignment and nprobe selection reuse the
+    * [[ivfLiteralOracle]] argmax pattern; the residual PQ stages are
+    * generated PER LIST BRANCH (`UNION ALL` over cid) with the
+    * `centroid + codebook` constants FOLDED into each branch's distance
+    * literals — bit-exact vs the Spark side's two-step subtraction
+    * because every operand is a float-widened double minus small
+    * integers (each subtraction exact in double).
+    */
+  private def ivfPqLiteralOracle: String = {
+    val (m, ksub, dsub) = (4, 8, 16)
+    val nLists = 4
+    val cents = IvfOps.literalCentroids(nLists, 64)
+    val cb = PqOps.literalCodebook(m, ksub, dsub)
+    def distCols(prefix: String, listCent: Array[Double]): String =
+      (for (s <- 0 until m; c <- 0 until ksub) yield {
+        val sum = (0 until dsub).map { d =>
+          val w = listCent(s * dsub + d) + cb(s)(c)(d)
+          val t = s"(CAST(embedding[${s * dsub + d + 1}] AS DOUBLE) - ($w))"
+          s"($t * $t)"
+        }.mkString(" + ")
+        s"      $sum AS ${prefix}_${s}_$c"
+      }).mkString(",\n")
+    def argmin(prefix: String, s: Int): String = {
+      val ids = 0 until ksub
+      ids.init.zipWithIndex.map { case (c, idx) =>
+        val rest = ids.drop(idx + 1)
+        s"WHEN ${rest.map(r => s"${prefix}_${s}_$c <= ${prefix}_${s}_$r").mkString(" AND ")} THEN $c"
+      }.mkString("CASE ", " ", s" ELSE ${ids.last} END")
+    }
+    val all = 0 until nLists
+    val p2 = all.map(p => s"WHEN $p THEN ${argmaxSql(all.filterNot(_ == p))}")
+      .mkString("CASE p1 ", " ", " END")
+    val encBranches = all.map { j =>
+      val codes = (0 until m).map(s => s"${argmin("d", s)} AS c_$s").mkString(", ")
+      s"""  SELECT corpus_id, cid, $codes FROM (
+         |    SELECT vec_id AS corpus_id, cid,
+         |${distCols("d", cents(j))}
+         |    FROM c WHERE cid = $j)""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    val lutBranches = all.map { j =>
+      s"""  SELECT query_id, cid,
+         |${distCols("qd", cents(j))}
+         |  FROM probes WHERE cid = $j""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    val adc = (0 until m).map { s =>
+      val arms = (0 until ksub).map(c => s"WHEN $c THEN q.qd_${s}_$c").mkString(" ")
+      s"(CASE e.c_$s $arms END)"
+    }.mkString(" + ")
+    s"""WITH a AS (
+       |  SELECT vec_id, embedding,
+       |${cents.zipWithIndex.map { case (c, i) => s"    ${dotLit(c)} AS d$i" }
+          .mkString(",\n")}
+       |  FROM embeddings),
+       |c AS (SELECT vec_id, embedding, ${argmaxSql(all)} AS cid FROM a),
+       |enc AS (
+       |$encBranches),
+       |qp AS (SELECT vec_id, embedding, d0, d1, d2, d3,
+       |         ${argmaxSql(all)} AS p1
+       |       FROM a WHERE vec_id < 10),
+       |q2 AS (SELECT vec_id, embedding, p1, $p2 AS p2 FROM qp),
+       |probes AS (
+       |  SELECT vec_id AS query_id, embedding, p1 AS cid FROM q2
+       |  UNION ALL
+       |  SELECT vec_id AS query_id, embedding, p2 AS cid FROM q2),
+       |qlut AS (
+       |$lutBranches),
+       |scored AS (
+       |  SELECT q.query_id, e.corpus_id, $adc AS adc_dist
+       |  FROM enc e JOIN qlut q ON e.cid = q.cid)
+       |SELECT query_id, rank, corpus_id, adc_dist FROM (
+       |  SELECT query_id, corpus_id, adc_dist,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_dist, corpus_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= 10""".stripMargin
+  }
+
   /** DuckDB twin of the frozen-merge BPE apply (q_bpe_encode): a
     * recursive CTE replaying [[graft.expr.BpeCodec]]'s exact priority
     * loop per word — find the LOWEST-ranked merge pair present, replace
@@ -2237,6 +2330,7 @@ object PipelineQueries {
     "q_dedup_simhash_portable" -> simhashPortableOracle,
     "q_bpe_encode" -> bpeEncodeOracle,
     "q_sim_pq_literal" -> pqLiteralOracle,
+    "q_sim_ivfpq_literal" -> ivfPqLiteralOracle,
     "q_ann_recall" -> annRecallOracle,
 
     "q_lake_layout" ->

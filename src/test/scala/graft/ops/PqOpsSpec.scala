@@ -78,6 +78,53 @@ class PqOpsSpec extends SparkSpec {
       s"no corpus-sized window/sort:\n$plan")
   }
 
+  test("ivfPqTopK equals the scalar IVF-PQ reference (assign, probe, residual-encode, per-list ADC)") {
+    val nLists = 4
+    val cents = IvfOps.literalCentroids(nLists, 64)
+    val e = embs()
+    val all = e.select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+
+    def dot(v: Array[Float], c: Array[Double]): Double =
+      (0 until 64).foldLeft(0.0)((acc, i) => acc + v(i).toDouble * c(i))
+    // assignment: max dot, ties -> lowest cid (the struct-max nc trick)
+    def assign(v: Array[Float]): Int =
+      (0 until nLists).minBy(j => (-dot(v, cents(j)), j))
+    def probes(v: Array[Float], nprobe: Int): Seq[Int] =
+      (0 until nLists).sortBy(j => (-dot(v, cents(j)), j)).take(nprobe)
+    def resid(v: Array[Float], cid: Int): Array[Double] =
+      Array.tabulate(64)(i => v(i).toDouble - cents(cid)(i))
+    def encR(r: Array[Double]): Seq[Int] =
+      (0 until m).map { j =>
+        val dists = (0 until ksub).map(c => (0 until dsub).map { d =>
+          val x = r(j * dsub + d) - cb(j)(c)(d); x * x
+        }.sum)
+        dists.indexOf(dists.min)
+      }
+
+    val cids = all.map { case (id, v) => id -> assign(v) }
+    val codes = all.map { case (id, v) => id -> encR(resid(v, cids(id))) }
+    val expected = all.keys.filter(_ < 10).toSeq.sorted.flatMap { qid =>
+      val qv = all(qid)
+      val hits = probes(qv, 2).flatMap { p =>
+        val lut = Array.tabulate(m, ksub)((j, c) => (0 until dsub).map { d =>
+          val x = resid(qv, p)(j * dsub + d) - cb(j)(c)(d); x * x
+        }.sum)
+        all.keys.filter(cids(_) == p).map { cid =>
+          (cid, (0 until m).map(j => lut(j)(codes(cid)(j))).sum)
+        }
+      }
+      hits.sortBy { case (cid, d) => (d, cid) }.take(10).zipWithIndex
+        .map { case ((cid, d), i) => (qid, i + 1, cid, d) }
+    }.toSet
+    val got = PqOps.ivfPqTopK(e.filter($"vec_id" < 10), e, k = 10,
+        cents, cb, nprobe = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == expected)
+  }
+
   test("recall@10 of ADC vs exact cosine is a sane fraction on sf0.001") {
     val e = embs()
     val q = e.filter($"vec_id" < 10)
