@@ -59,8 +59,10 @@ object MultimodalOps {
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     implicit val enc = Encoders.product[MediaFeatures]
     media.mapPartitions { rows =>
-      // per-partition codec init would go here
-      rows.map { r =>
+      // per-partition codec init would go here. NULL payloads (a failed
+      // fetch / decode upstream) have no features — drop, don't crash;
+      // fetch-failure accounting belongs to the ingest ledger, not here.
+      rows.filter(_.payload != null).map { r =>
         val (hex, w, h, lum) = decodeStub(r.payload)
         MediaFeatures(r.media_id, r.modality, r.payload.length.toLong, hex, w, h, lum)
       }
@@ -86,7 +88,7 @@ object MultimodalOps {
     */
   def resize(media: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {
     implicit val enc = Encoders.product[MediaRow]
-    media.mapPartitions(_.map(r =>
+    media.mapPartitions(_.filter(_.payload != null).map(r =>
       r.copy(payload = resizeStub(r.payload, factor))))
   }
 
@@ -103,7 +105,7 @@ object MultimodalOps {
     implicit val enc = Encoders.product[MediaFrame]
     media.mapPartitions { rows =>
       val md = MessageDigest.getInstance("SHA-256")
-      rows.flatMap { r =>
+      rows.filter(_.payload != null).flatMap { r =>
         val nFrames = (r.payload.length + frameSize - 1) / frameSize
         (0 until nFrames).collect {
           case f if f % every == 0 =>
