@@ -325,6 +325,12 @@ object PipelineQueries {
     "q_lake_layout" -> ((s, dir) =>
       LakeOps.layoutPlan(t(s, dir, "documents"), Seq("source"), 40L)),
 
+    // Two-level hive layout sizing (the multi-column partitionBy case
+    // LakeOpsSpec round-trips on disk): one count aggregate over both
+    // partition columns.
+    "q_lake_layout2" -> ((s, dir) =>
+      LakeOps.layoutPlan(t(s, dir, "documents"), Seq("source", "lang"), 25L)),
+
     // Join-key skew diagnostic (run BEFORE choosing saltedJoin): key
     // cardinality, max/median/p99 group sizes, skew ratio, hottest keys.
     // One corpus-sized count shuffle; rank selection pays one KEY-sized
@@ -2337,6 +2343,11 @@ object PipelineQueries {
       """SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST((count(*) + 39) // 40 AS BIGINT) AS n_files
         |FROM documents GROUP BY source""".stripMargin,
+
+    "q_lake_layout2" ->
+      """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST((count(*) + 24) // 25 AS BIGINT) AS n_files
+        |FROM documents GROUP BY source, lang""".stripMargin,
 
     "q_zone_map" ->
       """SELECT strftime(l_shipdate, '%Y-%m') AS zone,
