@@ -103,35 +103,55 @@ object PqOps {
     * subtraction is exact in double at these magnitudes) — the SQL twin
     * bakes the folded `cent + code` constants per list branch.
     */
-  def ivfPqTopK(
-      queries: DataFrame,
+  /** Residual of `vec` against the `cid`-th literal centroid. */
+  private def residualCol(
+      vec: Column, cid: Column, cents: Array[Array[Double]]): Column = {
+    val centsLit = array(cents.map(c => array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
+    transform(sequence(lit(1), lit(cents(0).length)), d =>
+      element_at(vec, d).cast("double") -
+        element_at(element_at(centsLit, cid + 1), d))
+  }
+
+  /** The corpus half of the index: `(corpus_id, cid, codes)` — coarse
+    * assignment plus PQ codes of the residual, two row-local projections
+    * (the residual gets its OWN column so the 512-term encode references
+    * an attribute, never re-derives it). This frame IS the persisted
+    * index content ([[writeIndex]]).
+    */
+  def encodeCorpus(
       corpus: DataFrame,
+      cents: Array[Array[Double]],
+      cb: Array[Array[Array[Double]]],
+      corpusId: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(cents.nonEmpty, "need at least one coarse centroid")
+    corpus
+      .select(col(corpusId).as("corpus_id"), col(vecCol).as("cv"),
+        IvfOps.assignmentCol(col(vecCol), cents).as("cid"))
+      .select(col("corpus_id"), col("cid"),
+        residualCol(col("cv"), col("cid"), cents).as("__resid"))
+      .select(col("corpus_id"), col("cid"),
+        pqEncode(col("__resid"), cb).as("codes"))
+  }
+
+  /** ADC search over an already-encoded corpus frame (`(corpus_id, cid,
+    * codes)` — [[encodeCorpus]] output, in-flight or read back from a
+    * persisted index).
+    */
+  def searchEncoded(
+      enc: DataFrame,
+      queries: DataFrame,
       k: Int,
       cents: Array[Array[Double]],
       cb: Array[Array[Array[Double]]],
       nprobe: Int,
       queryId: String = "vec_id",
-      corpusId: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    require(cents.nonEmpty, "need at least one coarse centroid")
-    val dims = cents(0).length
-    val centsLit = array(cents.map(c => array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
-    def residual(vec: Column, cid: Column): Column =
-      transform(sequence(lit(1), lit(dims)), d =>
-        element_at(vec, d).cast("double") -
-          element_at(element_at(centsLit, cid + 1), d))
-    val enc = corpus
-      .select(col(corpusId).as("corpus_id"), col(vecCol).as("cv"),
-        IvfOps.assignmentCol(col(vecCol), cents).as("cid"))
-      .select(col("corpus_id"), col("cid"),
-        residual(col("cv"), col("cid")).as("__resid"))
-      .select(col("corpus_id"), col("cid"),
-        pqEncode(col("__resid"), cb).as("codes"))
     val q = queries
       .select(col(queryId).as("query_id"), col(vecCol).as("qv"),
         explode(IvfOps.probesCol(col(vecCol), cents, nprobe)).as("cid"))
       .select(col("query_id"), col("cid"),
-        residual(col("qv"), col("cid")).as("__qresid"))
+        residualCol(col("qv"), col("cid"), cents).as("__qresid"))
       .select(col("query_id"), col("cid"),
         array(cb.indices.map(j => subDists(col("__qresid"), j, cb(j))): _*).as("lut"))
     val scored = enc.join(broadcast(q), "cid")
@@ -148,6 +168,61 @@ object PqOps {
         (col("__pos") + 1).cast("int").as("rank"),
         col("__hit.id").as("corpus_id"),
         (-col("__hit.score")).as("adc_dist"))
+  }
+
+  def ivfPqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      cents: Array[Array[Double]],
+      cb: Array[Array[Array[Double]]],
+      nprobe: Int,
+      queryId: String = "vec_id",
+      corpusId: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    searchEncoded(encodeCorpus(corpus, cents, cb, corpusId, vecCol),
+      queries, k, cents, cb, nprobe, queryId, vecCol)
+
+  /** Persist the IVF-PQ index as a hive layout PARTITIONED BY LIST ID
+    * with sized files ([[LakeOps.writeSharded]]): the directory structure
+    * IS the inverted-list structure, so a search that probes 2 of N lists
+    * opens only those directories. Returns the sizing plan.
+    */
+  def writeIndex(
+      corpus: DataFrame,
+      path: String,
+      cents: Array[Array[Double]],
+      cb: Array[Array[Array[Double]]],
+      targetRowsPerFile: Long = 1L << 20,
+      corpusId: String = "vec_id",
+      vecCol: String = "embedding"): Map[Seq[String], Int] =
+    LakeOps.writeSharded(encodeCorpus(corpus, cents, cb, corpusId, vecCol),
+      path, Seq("cid"), col("corpus_id"), targetRowsPerFile)
+
+  /** Serve a query batch from a PERSISTED index ([[writeIndex]] layout):
+    * the probed list ids are computed up front from the (broadcast-small
+    * by contract) query batch and pushed as a STATIC partition filter, so
+    * the scan prunes to the probed directories — never reads the other
+    * lists' files (PartitionFilters, pinned in PqOpsSpec). This is the
+    * serving pattern: at 100 TB the index read cost is
+    * |probed lists| / |lists| of the code bytes, not a corpus scan.
+    */
+  def searchIndex(
+      indexPath: String,
+      queries: DataFrame,
+      k: Int,
+      cents: Array[Array[Double]],
+      cb: Array[Array[Array[Double]]],
+      nprobe: Int,
+      queryId: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    val probed = queries
+      .select(explode(IvfOps.probesCol(col(vecCol), cents, nprobe)).as("cid"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val enc = spark.read.parquet(indexPath)
+      .filter(col("cid").isin(probed.map(Integer.valueOf).toSeq: _*))
+    searchEncoded(enc, queries, k, cents, cb, nprobe, queryId, vecCol)
   }
 
   /** ADC top-k: for each query row, the `k` corpus rows with the smallest

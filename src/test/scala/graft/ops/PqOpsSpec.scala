@@ -125,6 +125,43 @@ class PqOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("persisted index serves identically and prunes to the probed list directories") {
+    val nLists = 4
+    val cents = IvfOps.literalCentroids(nLists, 64)
+    val e = embs()
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq")
+      .resolve("index").toString
+    val plan = PqOps.writeIndex(e, dir, cents, cb, targetRowsPerFile = 100L)
+    // one directory per non-empty list, sized per the plan
+    plan.keys.foreach { case Seq(cid) =>
+      assert(new java.io.File(s"$dir/cid=$cid").exists(), s"missing list dir $cid")
+    }
+
+    // serving a single query must read ONLY its nprobe=2 probed lists
+    val oneQ = e.filter($"vec_id" === 0)
+    val served = PqOps.searchIndex(dir, oneQ, k = 10, cents, cb, nprobe = 2)
+    val direct = PqOps.ivfPqTopK(oneQ, e, k = 10, cents, cb, nprobe = 2)
+    assert(served.collect().map(_.toString).sorted.toSeq ==
+      direct.collect().map(_.toString).sorted.toSeq)
+    val scan = served.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"),
+      s"index scan must prune by list directory:\n$scan")
+    // the static probe filter names exactly 2 of the 4 lists
+    val probed = oneQ
+      .select(explode(IvfOps.probesCol($"embedding", cents, 2)).as("cid"))
+      .collect().map(_.getInt(0)).toSet
+    assert(probed.size == 2)
+    probed.foreach(c => assert(scan.contains(s"cid#") && scan.contains(c.toString)))
+
+    // the full 10-query batch served from disk == the in-flight pipeline
+    val q10 = e.filter($"vec_id" < 10)
+    val servedAll = PqOps.searchIndex(dir, q10, k = 10, cents, cb, nprobe = 2)
+      .collect().map(_.toString).sorted.toSeq
+    val directAll = PqOps.ivfPqTopK(q10, e, k = 10, cents, cb, nprobe = 2)
+      .collect().map(_.toString).sorted.toSeq
+    assert(servedAll == directAll)
+  }
+
   test("recall@10 of ADC vs exact cosine is a sane fraction on sf0.001") {
     val e = embs()
     val q = e.filter($"vec_id" < 10)
