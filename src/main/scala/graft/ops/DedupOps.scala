@@ -364,13 +364,34 @@ object DedupOps {
     * A pair collides iff some band matches entirely — the classic
     * (J^rows)-per-band S-curve. Candidates only; feed to
     * [[ngramJaccardPairs]]-style verification for the final decision.
+    *
+    * `maxBucketSize` drops (band, key) cells larger than the cap — the
+    * skew guard for boilerplate-heavy corpora where one giant
+    * duplicate cluster's bucket would otherwise go quadratic in the
+    * self-join (a 1M-doc cluster is 5·10^11 candidate pairs from ONE
+    * bucket). Documented recall trade, same discipline as
+    * [[SimilarityOps.lshNearDupPairs]]' cap and [[ngramJaccardPairs]]'
+    * `maxShingleDf`: members of an over-cap cluster may still pair via
+    * their other bands; clusters that hot are better handled by
+    * [[exactDedup]] upstream.
     */
   def minhashLshCandidates(
       signatures: DataFrame,
       bands: Int,
       rowsPerBand: Int,
-      family: MinHashFamily = XxHash64Family): DataFrame = {
-    val buckets = bandBuckets(signatures, bands, rowsPerBand, family)
+      family: MinHashFamily = XxHash64Family,
+      maxBucketSize: Option[Long] = None): DataFrame = {
+    val buckets0 = bandBuckets(signatures, bands, rowsPerBand, family)
+    val buckets = maxBucketSize match {
+      case None => buckets0
+      case Some(cap) =>
+        // same (band, bh) shuffle key as the join below — the count and
+        // the anti-join ride one partitioning
+        val hot = buckets0.groupBy(col("band"), col("bh"))
+          .agg(count(lit(1)).as("__sz")).filter(col("__sz") > cap)
+          .select(col("band"), col("bh"))
+        buckets0.join(hot, Seq("band", "bh"), "left_anti")
+    }
     buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -402,7 +423,8 @@ object DedupOps {
       bands: Int = 8,
       rowsPerBand: Int = 4,
       family: MinHashFamily = XxHash64Family,
-      cacheSets: Boolean = true): DataFrame = {
+      cacheSets: Boolean = true,
+      maxBucketSize: Option[Long] = None): DataFrame = {
     require(bands * rowsPerBand <= numHashes,
       s"bands*rowsPerBand must be <= numHashes ($bands*$rowsPerBand > $numHashes)")
     // row-local: distinct shingle hashes per doc. Consumed three times
@@ -430,7 +452,7 @@ object DedupOps {
         sets.select(col("doc_id") +:
           (0 until numHashes).map(j => f.slotMin(col("hs"), j).as(s"mh_$j")): _*)
     }
-    val cands = minhashLshCandidates(sigs, bands, rowsPerBand, family)
+    val cands = minhashLshCandidates(sigs, bands, rowsPerBand, family, maxBucketSize)
     // verification: candidate-sized joins against the row-local hash sets
     cands
       .join(sets.select(col("doc_id").as("id_a"), col("hs").as("sh_a")), "id_a")

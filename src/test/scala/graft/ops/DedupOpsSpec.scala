@@ -85,6 +85,27 @@ class DedupOpsSpec extends SparkSpec {
     assert(!cand.contains((1L, 4L)) && !cand.contains((3L, 4L)))
   }
 
+  test("minhashLshCandidates hot-bucket cap bounds a planted duplicate cluster") {
+    // 40 identical docs (one hot bucket per band) + 20 distinct docs
+    val corpus = ((1L to 40L).map(i => (i, "alpha beta gamma delta epsilon zeta")) ++
+      (101L to 120L).map(i =>
+        (i, (1 to 10).map(j => s"w${(i * 17 + j * 31) % 97}").mkString(" "))))
+      .toDF("doc_id", "text")
+    val sigs = DedupOps.minhashSignatures(corpus, "doc_id", "text", 3, 32)
+    val uncapped = DedupOps.minhashLshCandidates(sigs, 8, 4).count()
+    val capped = DedupOps.minhashLshCandidates(sigs, 8, 4,
+      maxBucketSize = Some(10L)).count()
+    // uncapped: the 40-clone cluster alone contributes C(40,2) = 780 pairs
+    assert(uncapped >= 780L, s"uncapped=$uncapped")
+    // capped at 10: every clone bucket (size 40) drops; the distinct docs'
+    // small buckets are untouched, so candidates collapse to the tail
+    assert(capped < 780L / 2, s"capped=$capped should exclude the hot cluster")
+    // and a cap ABOVE the cluster size changes nothing
+    val loose = DedupOps.minhashLshCandidates(sigs, 8, 4,
+      maxBucketSize = Some(1000L)).count()
+    assert(loose == uncapped)
+  }
+
   test("ShingleMinHash matches the exploded-index min(xxhash64(i, sh)) bit for bit") {
     val docsBig = (1L to 40L).map(i =>
       (i, (1 to (i % 7 + 3).toInt).map(j => s"tok${(i * 31 + j * 17) % 23}").mkString(" ")))
