@@ -630,6 +630,51 @@ object DedupOps {
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** SimHash near-dup PAIRS within `maxHamming` bits (Manku, Jain &
+    * Sarma, WWW'07 — the web-scale simhash dedup): split the `bits`-wide
+    * signature into `maxHamming + 1` chunks; by pigeonhole, any pair
+    * within the radius matches at least one chunk EXACTLY, so candidate
+    * generation is a (chunk-index, chunk-value) bucket equi-join —
+    * COMPLETE (result == the all-pairs Hamming predicate, which is what
+    * the oracle runs) and never an all-pairs pass. Candidates verify
+    * with one row-local `bit_count(xor)`.
+    *
+    * Input: a signature frame `(doc_id, simhash)` ([[simhash]] /
+    * [[portableSimhash]]). `bits` must divide evenly by
+    * `maxHamming + 1`. Output: `(id_a, id_b, hamming)`, each
+    * qualifying pair once. Scale shape: the only corpus-sized shuffle is
+    * keyed by the 8-byte chunk value; a degenerate hot chunk (mass-equal
+    * signatures) means mass near-duplicates — cap upstream with
+    * [[exactDedup]], same guidance as [[minhashLshCandidates]]'
+    * `maxBucketSize`.
+    */
+  def simhashNearDupPairs(
+      sigs: DataFrame,
+      bits: Int,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    val chunks = maxHamming + 1
+    require(bits % chunks == 0,
+      s"bits ($bits) must divide by maxHamming+1 ($chunks) for equal chunks")
+    val width = bits / chunks
+    val mask = (1L << width) - 1
+    val b = sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until chunks).map(i => struct(
+        lit(i).as("ci"),
+        shiftright(col("simhash"), i * width).bitwiseAND(lit(mask)).as("cv"))): _*))
+        .as("c"))
+      .select(col("doc_id"), col("simhash"),
+        col("c.ci").as("ci"), col("c.cv").as("cv"))
+    b.as("x")
+      .join(b.as("y"),
+        col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        hamming(col("x.simhash"), col("y.simhash")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Line-level boilerplate removal (the CCNet / RefinedWeb pass): a line
     * occurring byte-identically in more than `maxDocFreq` DISTINCT
     * documents is chrome (headers, footers, nav, cookie banners) and is

@@ -231,6 +231,15 @@ object PipelineQueries {
     "q_dedup_simhash_portable" -> ((s, dir) =>
       DedupOps.portableSimhash(t(s, dir, "documents"), "doc_id", "text")),
 
+    // SimHash near-dup PAIRS (Manku WWW'07): pigeonhole chunk bucket
+    // join over the portable signatures, row-local Hamming verify. The
+    // oracle runs the naive all-pairs Hamming predicate — the
+    // hash-compare IS the completeness proof for the chunk join.
+    "q_simhash_neardup" -> ((s, dir) =>
+      DedupOps.simhashNearDupPairs(
+        DedupOps.portableSimhash(t(s, dir, "documents"), "doc_id", "text"),
+        bits = 60, maxHamming = 5)),
+
     // The composed scale path: LSH candidates -> exact Jaccard verify on
     // candidates only, at the production 32/8/4 geometry, with the
     // portable family so the full pipeline is hash-gated by the driver
@@ -2299,12 +2308,12 @@ object PipelineQueries {
        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
   }
 
-  /** DuckDB twin of the portable SimHash signature
-    * (q_dedup_simhash_portable): 60 per-bit sign sums over the md5-60bit
-    * token hash, then the bit assembly — all generated with the same bit
-    * weights as the Spark fold.
+  /** Shared CTE chain computing the portable 60-bit SimHash signature:
+    * 60 per-bit sign sums over the md5-60bit token hash, then the bit
+    * assembly — all generated with the same bit weights as the Spark
+    * fold. Ends with `sg(doc_id, simhash)`.
     */
-  private def simhashPortableOracle: String = {
+  private def simhashSigCtes: String = {
     val bits = 60
     val sums = (0 until bits).map(j =>
       s"    sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s_$j")
@@ -2312,7 +2321,7 @@ object PipelineQueries {
     val sig = (0 until bits).map(j =>
       s"(CASE WHEN s_$j >= 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
       .mkString(" + ")
-    s"""WITH tok AS (
+    s"""tok AS (
        |  SELECT doc_id, unnest(${S.tokens("text")}) AS t FROM documents),
        |h AS (
        |  SELECT doc_id,
@@ -2320,9 +2329,27 @@ object PipelineQueries {
        |s AS (
        |  SELECT doc_id,
        |$sums
-       |  FROM h GROUP BY doc_id)
-       |SELECT doc_id, $sig AS simhash FROM s""".stripMargin
+       |  FROM h GROUP BY doc_id),
+       |sg AS (SELECT doc_id, $sig AS simhash FROM s)""".stripMargin
   }
+
+  /** DuckDB twin of the portable SimHash signature
+    * (q_dedup_simhash_portable).
+    */
+  private def simhashPortableOracle: String =
+    s"""WITH $simhashSigCtes
+       |SELECT doc_id, simhash FROM sg""".stripMargin
+
+  /** DuckDB twin of the SimHash near-dup pairing (q_simhash_neardup):
+    * the NAIVE all-pairs Hamming predicate — the hash-compare against
+    * Spark's pigeonhole chunk join is the completeness proof.
+    */
+  private def simhashNearDupOracle: String =
+    s"""WITH $simhashSigCtes
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       |FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 5""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q_sim_ivf_literal" -> ivfLiteralOracle,
@@ -2334,6 +2361,7 @@ object PipelineQueries {
     "q_dedup_minhash_portable" ->
       minhashPortableOracle(16, 4, 4, verified = true),
     "q_dedup_simhash_portable" -> simhashPortableOracle,
+    "q_simhash_neardup" -> simhashNearDupOracle,
     "q_bpe_encode" -> bpeEncodeOracle,
     "q_sim_pq_literal" -> pqLiteralOracle,
     "q_sim_ivfpq_literal" -> ivfPqLiteralOracle,

@@ -216,6 +216,30 @@ class DedupOpsSpec extends SparkSpec {
     assert(ham(sh(1L), sh(3L)) < ham(sh(1L), sh(4L)))
   }
 
+  test("simhashNearDupPairs == naive all-pairs Hamming predicate; no cartesian") {
+    val corpus = (1L to 80L).map { i =>
+      // clusters of 4 near-identical docs (i/4 shares a base, position
+      // i%4 perturbs one token) + loose tails
+      val base = (1 to 14).map(j => s"t${(i / 4 * 11 + j * 5) % 60}")
+      val doc = base.updated(3, s"p${i % 4}").mkString(" ")
+      (i, doc)
+    }.toDF("doc_id", "text")
+    val sigs = DedupOps.portableSimhash(corpus, "doc_id", "text")
+    val r = 5
+    val naive = sigs.as("a").crossJoin(sigs.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        DedupOps.hamming(col("a.simhash"), col("b.simhash")).as("hamming"))
+      .filter(col("hamming") <= r)
+      .collect().map(_.toString).sorted.toSeq
+    assert(naive.nonEmpty, "planted clusters must produce near pairs")
+    val chunked = DedupOps.simhashNearDupPairs(sigs, bits = 60, maxHamming = r)
+    assert(chunked.collect().map(_.toString).sorted.toSeq == naive)
+    val plan = chunked.queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian") && !plan.contains("NestedLoop"),
+      s"chunk join must stay an equi-join:\n$plan")
+  }
+
   test("hamming column function") {
     val out = Seq((0xffL, 0x0fL)).toDF("a", "b")
       .select(DedupOps.hamming($"a", $"b")).as[Int].collect().head
