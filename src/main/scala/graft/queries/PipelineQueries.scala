@@ -1898,6 +1898,259 @@ object PipelineQueries {
         .filter(col("l_quantity") * 5 * col("qty_cnt") < col("qty_sum"))
         .agg((sum(round(col("l_extendedprice") * 100).cast("long"))
           .cast("double") / 700).as("avg_yearly"))
+    }),
+
+    // TPC-H Q2 shape (minimum-cost supplier in a region), adapted: the
+    // synthetic schema has no partsupp table, so the part-supplier cost
+    // relation is DERIVED from lineitem — the min observed unit price per
+    // (part, supplier) in exact cents (IEEE double division is
+    // engine-identical, and min is merge-order-proof). Scale plan: the
+    // derivation is ONE map-side-combined aggregate over the fact table;
+    // everything downstream is pair-sized. The per-part minimum joins
+    // back on (part, cost) — argmin-by-join, no fact-sized Window — and
+    // nation/region/part dimensions broadcast.
+    "q_tpch_q2" -> ((s, dir) => {
+      val ps = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(round(col("l_extendedprice") * 100 / col("l_quantity"))
+          .cast("long")).as("cost_c"))
+      // cached: the region-scoped relation feeds BOTH the per-part min
+      // and the argmin probe — one fact scan, not two (q15 discipline);
+      // it is pair-sized (distinct part-supplier pairs), far below fact
+      val rps = ps
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .cache()
+      val mn = rps.groupBy(col("l_partkey").as("mk"))
+        .agg(min(col("cost_c")).as("min_c"))
+      rps.join(mn, col("l_partkey") === col("mk") && col("cost_c") === col("min_c"))
+        .join(broadcast(t(s, dir, "part").filter(col("p_type") === "PROMO" &&
+            col("p_size").between(10, 20))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
+          col("p_brand"), (col("cost_c").cast("double") / 100).as("supply_cost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q9 shape (product profit by nation and year), adapted: cost
+    // comes from the part's retail price (no partsupp supplycost). Profit
+    // stays in ONE exact integer unit — revenue in cents x basis points,
+    // cost scaled by 100 into the same 1e-4-dollar grid — so grouped sums
+    // are merge-order-proof and the /10000 happens after the aggregate.
+    // The name filter prunes the fact at its FIRST join (broadcast part
+    // projection), so later joins carry only profitable-part lines.
+    "q_tpch_q9" -> ((s, dir) => {
+      val red = t(s, dir, "part").filter(col("p_name").like("red %"))
+        .select(col("p_partkey"),
+          round(col("p_retailprice") * 100).cast("long").as("cost_c"))
+      t(s, dir, "lineitem")
+        .withColumn("rev_u", revU)
+        .join(broadcast(red), col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).as("o_year"))
+        .agg((sum(col("rev_u") -
+            col("cost_c") * 100 * round(col("l_quantity")).cast("long"))
+          .cast("double") / 10000).as("sum_profit"))
+    }),
+
+    // TPC-H Q11 shape (important-stock identification), adapted: a
+    // part's "value" is the summed extended price shipped by ONE
+    // nation's suppliers (no partsupp availqty). The value table is
+    // CACHED (part-sized) so it feeds both the scalar total (1-row
+    // broadcast) and the threshold probe from one materialization — the
+    // q15 view-cache discipline; the fraction test is exact integer
+    // (value*1000 > total), no division in the predicate.
+    "q_tpch_q11" -> ((s, dir) => {
+      val natSupp = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+            .filter(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val value = t(s, dir, "lineitem")
+        .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"),
+          "left_semi")
+        .groupBy(col("l_partkey").as("p_key"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("value_c"))
+        .cache()
+      val tot = value.agg(sum(col("value_c")).as("total_c"))
+      value.join(broadcast(tot))
+        .filter(col("value_c") * 1000 > col("total_c"))
+        .select(col("p_key"), (col("value_c").cast("double") / 100).as("part_value"))
+        .orderBy(col("value_c").desc, col("p_key"))
+    }),
+
+    // TPC-H Q16 shape (supplier-relationship count by part attribute),
+    // adapted: the relation is the DISTINCT (part, supplier) pairs
+    // observed in lineitem; "complaint" suppliers are the
+    // negative-balance ones, removed by an anti-join carrying only the
+    // 8-byte suppkey. The distinct pair table is pair-sized before the
+    // part join, and the count-distinct re-shuffles only qualifying
+    // pairs keyed by the 3-attribute group.
+    "q_tpch_q16" -> ((s, dir) => {
+      val pairs = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val bad = t(s, dir, "supplier").filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))
+      pairs
+        .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(t(s, dir, "part").filter(col("p_brand") =!= "Brand#9" &&
+            col("p_type") =!= "PROMO" &&
+            col("p_size").isin(1, 4, 9, 16, 25, 36, 49))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+
+    // TPC-H Q20 shape (excess-stock suppliers), adapted: a supplier
+    // qualifies when their 1996 shipped quantity of some 'red' part
+    // exceeds HALF that part's total across suppliers (no partsupp
+    // availqty to compare against). The per-(part, supplier) aggregate is
+    // CACHED (pair-sized after the name+year cut) and re-aggregated for
+    // per-part totals — one fact scan feeds both sides of the >half
+    // test; suppliers attach by semi-join so the supplier table is never
+    // row-multiplied; quantities sum as exact integers.
+    "q_tpch_q20" -> ((s, dir) => {
+      val red = t(s, dir, "part").filter(col("p_name").like("red %"))
+        .select(col("p_partkey"))
+      val sq = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01"))
+        .join(broadcast(red), col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(round(col("l_quantity")).cast("long")).as("supp_qty"))
+        .cache()
+      val pq = sq.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(col("supp_qty")).as("part_qty"))
+      val qualifying = sq.join(broadcast(pq), col("l_partkey") === col("pk"))
+        .filter(col("supp_qty") * 2 > col("part_qty"))
+        .select(col("l_suppkey")).distinct()
+      t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation").filter(col("n_name")
+            .isin("NATION_1", "NATION_2", "NATION_3", "NATION_4", "NATION_5"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_name"), col("s_acctbal"))
+        .orderBy(col("s_name"))
+    }),
+
+    // Point-in-time (time-travel) enrichment against an SCD2 dimension —
+    // the feature-store join that prevents training-serving leakage: each
+    // purchase is labeled with the browsing state the user was in AT
+    // purchase time (the validity interval containing ts), never a later
+    // state. Because SCD2 segments tile each user's timeline, interval
+    // containment IS the as-of join on segment starts — ONE user-keyed
+    // shuffle via JoinOps.asofJoin, no interval replication. Ties: a
+    // state change at exactly purchase time counts (right-before-left at
+    // equal ts), and coincident changes resolve to the max (ts, state)
+    // struct — both pinned by the oracle's rank ordering.
+    "q_pit_join" -> ((s, dir) => {
+      val ev = RefQueries.events(s, dir)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val states = ev
+        .filter(col("event_type").isin("view", "click", "error"))
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .select(col("user_id"), col("ts").as("state_ts"),
+          col("event_type").as("state"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      JoinOps.asofJoin(purchases, states, Seq("user_id"), "ts", "state_ts",
+        Seq("state"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+          coalesce(col("state"), lit("none")).as("state_at_purchase"),
+          (unix_timestamp(col("ts")) - unix_timestamp(col("state_ts")))
+            .as("state_age_secs"))
+    }),
+
+    // MMR diversified re-ranking (maximal marginal relevance, Carbonell &
+    // Goldstein SIGIR'98) — the standard last stage of a retrieval
+    // pipeline: from the top-N candidates by relevance to a query vector,
+    // greedily pick k maximizing lambda*rel - (1-lambda)*max-sim-to-
+    // selected. Scale shape: candidate generation is the audited
+    // distributed top-k (corpus-sized); the greedy loop touches ONLY the
+    // N candidates and their NxN cosines, so the bounded collect (N=12
+    // rows) is the honest plan — production rerankers run on tens of
+    // rows per query, never on the corpus. All cosines are computed IN
+    // Spark by the proven sequential-fold expression; the driver does
+    // only the 0.7*rel - 0.3*maxSim compares, which the oracle's
+    // recursive CTE replays operation for operation.
+    "q_mmr_rerank" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+      val cands = e.filter(col("vec_id") > 0)
+        .join(broadcast(qv))
+        .select(col("vec_id"), col("embedding"),
+          SimilarityOps.cosine(col("embedding"), col("q_emb")).as("rel"))
+        .filter(col("rel").isNotNull)
+        .orderBy(col("rel").desc, col("vec_id"))
+        .limit(12)
+        .cache()
+      val a = cands.select(col("vec_id").as("ia"), col("embedding").as("ea"),
+        col("rel"))
+      val b = cands.select(col("vec_id").as("ib"), col("embedding").as("eb"))
+      val pairs = a.crossJoin(broadcast(b)).filter(col("ia") =!= col("ib"))
+        .select(col("ia"), col("ib"),
+          SimilarityOps.cosine(col("ea"), col("eb")).as("sim"))
+      val relM = cands.select(col("vec_id"), col("rel"))
+        .as[(Long, Double)].collect().toMap
+      val simM = pairs.as[(Long, Long, Double)].collect()
+        .map { case (x, y, v) => (x, y) -> v }.toMap
+      var selected = Vector.empty[(Long, Double, Double)]
+      var remaining = relM.keySet.toList.sorted
+      for (_ <- 1 to 5 if remaining.nonEmpty) {
+        val scored = remaining.map { id =>
+          val ms = if (selected.isEmpty) 0.0
+            else selected.map(sel => simM((id, sel._1))).max
+          (id, relM(id), 0.7 * relM(id) - 0.3 * ms)
+        }
+        val best = scored.minBy { case (id, _, m) => (-m, id) }
+        selected :+= best
+        remaining = remaining.filterNot(_ == best._1)
+      }
+      selected.zipWithIndex
+        .map { case ((id, rel, m), i) => (i + 1L, id, rel, m) }
+        .toDF("rank", "corpus_id", "relevance", "mmr_score")
+    }),
+
+    // k-anonymity audit (privacy gate for releasable training data):
+    // quasi-identifier groups smaller than k single out individuals —
+    // report every violating group. ONE map-side-combined aggregate over
+    // the table; the report is group-sized.
+    "q_k_anonymity" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("group_size"))
+        .filter(col("group_size") < 10)),
+
+    // Vocabulary-coverage report: per-source out-of-vocabulary token rate
+    // against a frozen lexicon (the tokenizer-drift health check run
+    // before training). Token ops are row-local (whitespace tokens,
+    // literal IN-list membership); ONE source-keyed aggregate; the rate
+    // divides two exact longs so the double is engine-identical.
+    "q_oov_rate" -> ((s, dir) => {
+      val vocab = qualityLexicon.keys.toSeq.sorted
+      val toks = TextOps.tokens(lower(col("text")))
+      val oov = filter(toks, tk => !tk.isInCollection(vocab))
+      t(s, dir, "documents")
+        .select(col("source"), size(toks).as("nt"), size(oov).as("no"))
+        .groupBy(col("source"))
+        .agg(sum(col("nt")).as("n_tokens"), sum(col("no")).as("n_oov"))
+        .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tokens"))
     })
   )
 
@@ -3983,6 +4236,157 @@ object PipelineQueries {
         |SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
         |  / 700 AS avg_yearly
         |FROM li JOIN stats ON l_partkey = ag_key
-        |WHERE l_quantity * 5 * qty_cnt < qty_sum""".stripMargin
+        |WHERE l_quantity * 5 * qty_cnt < qty_sum""".stripMargin,
+
+    "q_tpch_q2" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    min(CAST(round(l_extendedprice * 100 / l_quantity) AS BIGINT)) AS cost_c
+        |  FROM lineitem GROUP BY 1, 2),
+        |rps AS (
+        |  SELECT ps.*, s_name, s_acctbal, n_name
+        |  FROM ps JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'),
+        |mn AS (SELECT l_partkey AS mk, min(cost_c) AS min_c FROM rps GROUP BY 1)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+        |  CAST(cost_c AS DOUBLE) / 100 AS supply_cost
+        |FROM rps JOIN mn ON l_partkey = mk AND cost_c = min_c
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_type = 'PROMO' AND p_size BETWEEN 10 AND 20
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin,
+
+    "q_tpch_q9" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+        |       * (100 - CAST(round(l_discount*100) AS BIGINT))
+        |     - CAST(round(p_retailprice*100) AS BIGINT) * 100
+        |       * CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) / 10000 AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE 'red %'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_tpch_q11" ->
+      """WITH val AS (
+        |  SELECT l_partkey AS p_key,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS value_c
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3'
+        |  GROUP BY 1),
+        |tot AS (SELECT sum(value_c) AS total_c FROM val)
+        |SELECT p_key, CAST(value_c AS DOUBLE) / 100 AS part_value
+        |FROM val, tot WHERE value_c * 1000 > total_c
+        |ORDER BY value_c DESC, p_key""".stripMargin,
+
+    "q_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#9' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        |  AND NOT EXISTS (SELECT 1 FROM supplier
+        |                  WHERE s_suppkey = l_suppkey AND s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q_tpch_q20" ->
+      """WITH sq AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    sum(CAST(round(l_quantity) AS BIGINT)) AS supp_qty
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'
+        |    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red %')
+        |  GROUP BY 1, 2),
+        |pq AS (SELECT l_partkey AS pk, sum(supp_qty) AS part_qty FROM sq GROUP BY 1)
+        |SELECT s_name, s_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4', 'NATION_5')
+        |  AND EXISTS (SELECT 1 FROM sq JOIN pq ON l_partkey = pk
+        |              WHERE l_suppkey = s_suppkey AND supp_qty * 2 > part_qty)
+        |ORDER BY s_name""".stripMargin,
+
+    // Tie parity with asofJoin: right-before-left at equal ts (state_ts
+    // <= ts inclusive), coincident changes resolve to the max (state_ts,
+    // state) struct — hence the (state_ts DESC, state DESC) rank.
+    // state_age in whole seconds: epoch_us // 1e6 == Spark's
+    // unix_timestamp floor on these post-epoch instants.
+    "q_pit_join" ->
+      """WITH st0 AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev
+        |  FROM events WHERE event_type IN ('view', 'click', 'error')),
+        |states AS (SELECT user_id, ts AS state_ts, event_type AS state
+        |           FROM st0 WHERE prev IS NULL OR prev <> event_type),
+        |p AS (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase'),
+        |m AS (
+        |  SELECT p.event_id, p.user_id, p.ts, s.state_ts, s.state,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY s.state_ts DESC NULLS LAST, s.state DESC) AS rn
+        |  FROM p LEFT JOIN states s
+        |    ON p.user_id = s.user_id AND s.state_ts <= p.ts)
+        |SELECT event_id, user_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |  coalesce(state, 'none') AS state_at_purchase,
+        |  epoch_us(ts) // 1000000 - epoch_us(state_ts) // 1000000
+        |    AS state_age_secs
+        |FROM m WHERE rn = 1""".stripMargin,
+
+    // Recursive-CTE replay of the greedy MMR loop: one selected row per
+    // iteration, argmax by (0.7*rel - 0.3*max-sim-to-picked DESC, id) —
+    // identical float ops to the driver-side fold; cosines are the
+    // proven sequential-fold formulation (q_sim_topk).
+    "q_mmr_rerank" -> {
+      val c = SimilarityOps.Sql.cosine("e.embedding", "q.q_emb")
+      val pc = SimilarityOps.Sql.cosine("a.embedding", "b.embedding")
+      s"""WITH RECURSIVE
+         |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+         |cand0 AS (
+         |  SELECT e.vec_id, e.embedding, $c AS rel,
+         |    row_number() OVER (ORDER BY $c DESC, e.vec_id) AS rn
+         |  FROM embeddings e, q WHERE e.vec_id > 0 AND $c IS NOT NULL),
+         |cand AS (SELECT vec_id, embedding, rel FROM cand0 WHERE rn <= 12),
+         |pair AS (SELECT a.vec_id AS ia, b.vec_id AS ib, $pc AS sim
+         |         FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+         |sel(rank, corpus_id, relevance, mmr_score, picked) AS (
+         |  (SELECT CAST(1 AS BIGINT), vec_id, rel, 0.7*rel - 0.3*0.0, [vec_id]
+         |   FROM cand ORDER BY 0.7*rel - 0.3*0.0 DESC, vec_id LIMIT 1)
+         |  UNION ALL
+         |  (SELECT * FROM (
+         |     SELECT s.rank + 1 AS rank, c.vec_id AS corpus_id,
+         |       c.rel AS relevance,
+         |       0.7*c.rel - 0.3*coalesce((SELECT max(p.sim) FROM pair p
+         |         WHERE p.ia = c.vec_id AND list_contains(s.picked, p.ib)), 0.0)
+         |         AS mmr_score,
+         |       list_append(s.picked, c.vec_id) AS picked
+         |     FROM sel s JOIN cand c ON NOT list_contains(s.picked, c.vec_id)
+         |     WHERE s.rank < 5)
+         |   ORDER BY mmr_score DESC, corpus_id LIMIT 1))
+         |SELECT rank, corpus_id, relevance, mmr_score FROM sel""".stripMargin
+    },
+
+    "q_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS group_size
+        |FROM customer GROUP BY 1, 2 HAVING count(*) < 10""".stripMargin,
+
+    "q_oov_rate" -> {
+      val vocab = qualityLexicon.keys.toSeq.sorted
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""SELECT source, CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |  CAST(sum(no) AS BIGINT) AS n_oov,
+         |  CAST(sum(no) AS DOUBLE) / CAST(sum(nt) AS DOUBLE) AS oov_rate
+         |FROM (SELECT source, len(${S.tokens("lower(text)")}) AS nt,
+         |        len(list_filter(${S.tokens("lower(text)")},
+         |          tk -> NOT list_contains($vocab, tk))) AS no
+         |      FROM documents)
+         |GROUP BY source""".stripMargin
+    }
   )
 }
