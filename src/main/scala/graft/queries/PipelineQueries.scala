@@ -2137,6 +2137,41 @@ object PipelineQueries {
         .agg(count(lit(1)).as("group_size"))
         .filter(col("group_size") < 10)),
 
+    // Hybrid retrieval with reciprocal-rank fusion (RRF, Cormack et al.
+    // SIGIR'09) — the standard way to combine a lexical (BM25) and a
+    // dense (cosine) ranking without score calibration: each leg
+    // contributes 1/(60+rank). Scale shape: both legs end in k-row
+    // TakeOrderedAndProject heaps (never a corpus sort), so the fusion
+    // join, the rank windows, and the final cut all run on 2k metric
+    // rows — the single-partition windows are deliberate and safe at any
+    // corpus size because the inputs are k-bounded.
+    "q_hybrid_rrf" -> ((s, dir) => {
+      val wt = Window.orderBy(col("score").desc, col("doc_id"))
+      val bm = SearchOps.bm25TopK(t(s, dir, "documents"), col("doc_id"),
+          col("text"), Seq("vector", "customer", "stream"), k = 20)
+        .withColumn("r_text", row_number().over(wt))
+      val e = t(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"))
+      val wv = Window.orderBy(col("cosine").desc, col("vec_id"))
+      val vec = e.filter(col("vec_id") > 0)
+        .join(broadcast(qv))
+        .select(col("vec_id"),
+          SimilarityOps.cosine(col("embedding"), col("q_emb")).as("cosine"))
+        .filter(col("cosine").isNotNull)
+        .orderBy(col("cosine").desc, col("vec_id")).limit(20)
+        .withColumn("r_vec", row_number().over(wv))
+      bm.select(col("doc_id"), col("r_text"))
+        .join(vec.select(col("vec_id").as("doc_id"), col("r_vec")),
+          Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          (coalesce(lit(1.0) / (lit(60) + col("r_text")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0))).as("rrf"),
+          col("r_text"), col("r_vec"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(10)
+    }),
+
     // Vocabulary-coverage report: per-source out-of-vocabulary token rate
     // against a frozen lexicon (the tokenizer-drift health check run
     // before training). Token ops are row-local (whitespace tokens,
@@ -4375,6 +4410,52 @@ object PipelineQueries {
       """SELECT c_nationkey, c_mktsegment,
         |  CAST(count(*) AS BIGINT) AS group_size
         |FROM customer GROUP BY 1, 2 HAVING count(*) < 10""".stripMargin,
+
+    // Both legs reuse proven formulations (the BM25 rational arithmetic
+    // of q_bm25_search; the sequential-fold cosine of q_sim_topk); the
+    // fused score 1.0/(60+r) + 1.0/(60+r) is the same two IEEE divisions
+    // and one add on both engines.
+    "q_hybrid_rrf" -> {
+      val c = SimilarityOps.Sql.cosine("e.embedding", "q.q_emb")
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |         CAST(len(toks) AS DOUBLE) AS dl,
+         |         CAST(len(list_filter(toks, t -> t = 'vector')) AS DOUBLE) AS tf0,
+         |         CAST(len(list_filter(toks, t -> t = 'customer')) AS DOUBLE) AS tf1,
+         |         CAST(len(list_filter(toks, t -> t = 'stream')) AS DOUBLE) AS tf2
+         |  FROM (SELECT doc_id, ${S.tokens("lower(text)")} AS toks FROM documents)),
+         |st AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) AS sumdl,
+         |         CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+         |         CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+         |         CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+         |  FROM d),
+         |bm0 AS (
+         |  SELECT doc_id, score FROM (
+         |    SELECT doc_id,
+         |      ((n - df0 + 0.5) / (df0 + 0.5)) * (tf0 * 2.25) / (tf0 + 1.25 * (0.25 + 0.75 * dl / (sumdl / n)))
+         |    + ((n - df1 + 0.5) / (df1 + 0.5)) * (tf1 * 2.25) / (tf1 + 1.25 * (0.25 + 0.75 * dl / (sumdl / n)))
+         |    + ((n - df2 + 0.5) / (df2 + 0.5)) * (tf2 * 2.25) / (tf2 + 1.25 * (0.25 + 0.75 * dl / (sumdl / n)))
+         |        AS score
+         |    FROM d, st)
+         |  WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 20),
+         |bm AS (SELECT doc_id, CAST(row_number() OVER (
+         |         ORDER BY score DESC, doc_id) AS INTEGER) AS r_text FROM bm0),
+         |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+         |v0 AS (
+         |  SELECT e.vec_id AS doc_id, $c AS cosine
+         |  FROM embeddings e, q WHERE e.vec_id > 0 AND $c IS NOT NULL
+         |  ORDER BY $c DESC, e.vec_id LIMIT 20),
+         |v AS (SELECT doc_id, CAST(row_number() OVER (
+         |        ORDER BY cosine DESC, doc_id) AS INTEGER) AS r_vec FROM v0)
+         |SELECT coalesce(bm.doc_id, v.doc_id) AS doc_id,
+         |  coalesce(CAST(1.0 AS DOUBLE) / (60 + r_text), CAST(0.0 AS DOUBLE))
+         |    + coalesce(CAST(1.0 AS DOUBLE) / (60 + r_vec), CAST(0.0 AS DOUBLE))
+         |    AS rrf,
+         |  r_text, r_vec
+         |FROM bm FULL OUTER JOIN v ON bm.doc_id = v.doc_id
+         |ORDER BY rrf DESC, coalesce(bm.doc_id, v.doc_id) LIMIT 10""".stripMargin
+    },
 
     "q_oov_rate" -> {
       val vocab = qualityLexicon.keys.toSeq.sorted
