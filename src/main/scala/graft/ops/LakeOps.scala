@@ -119,6 +119,41 @@ object LakeOps {
     zm.filter(zoneTouched(keyName, lo, hi) === 1)
       .select(col("zone")).collect().map(_.get(0)).toSeq
 
+  /** Small-file compaction plan (the lakehouse OPTIMIZE bin-pack):
+    * assign existing files to merge bins of ~`targetBytes` within each
+    * partition. Input is a file listing `(partCol, pathCol, bytesCol)` —
+    * metadata-sized, like any lake file index, never the corpus itself.
+    *
+    * Deterministic sorted cumulative packing: files order by
+    * (bytes DESC, path) within the partition and `bin = floor(cumulative
+    * bytes before this file / targetBytes)` — each bin holds at least
+    * `targetBytes` of input except the last (so no bin is needlessly
+    * small), a bin overshoots by at most one file, and a file already
+    * >= targetBytes lands alone. The same plan on the same listing is
+    * byte-identical on any cluster layout (exact long arithmetic, total
+    * order), so a planner and an executor can run on different days.
+    *
+    * Scale shape: ONE partition-keyed window over the metadata frame —
+    * partitions parallelize; per-partition file counts are listing-sized.
+    * [[writeSharded]] is the rewrite executor for the planned bins.
+    */
+  def planCompaction(
+      files: DataFrame,
+      partCol: String,
+      pathCol: String,
+      bytesCol: String,
+      targetBytes: Long): DataFrame = {
+    require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(partCol))
+      .orderBy(col(bytesCol).desc, col(pathCol))
+    files
+      .withColumn("__cum", sum(col(bytesCol)).over(w))
+      .withColumn("bin",
+        expr(s"(__cum - $bytesCol) div $targetBytes").cast("long"))
+      .drop("__cum")
+  }
+
   /** CDC merge ("MERGE INTO" / upsert-apply — the lakehouse write path's
     * logical core): apply a changelog onto a snapshot. `changes` carries
     * the snapshot's columns plus `opCol` ('U' upsert, 'D' delete) and a

@@ -2127,6 +2127,45 @@ object PipelineQueries {
         .toDF("rank", "corpus_id", "relevance", "mmr_score")
     }),
 
+    // Small-file compaction plan (lakehouse OPTIMIZE): bin-pack a file
+    // listing into ~30 KB merge groups per source. The listing here is
+    // DERIVED from the corpus (16 content-keyed shards per source with
+    // their byte volumes) standing in for a lake's file index; the plan
+    // itself is LakeOps.planCompaction — deterministic sorted cumulative
+    // packing over a metadata-sized frame (ONE partition-keyed window;
+    // partitions parallelize). writeSharded executes the planned bins.
+    "q_compaction_plan" -> ((s, dir) => {
+      val listing = t(s, dir, "documents")
+        .groupBy(col("source"), pmod(col("doc_id"), lit(16)).as("shard"))
+        .agg(sum(col("n_chars")).as("bytes"))
+      LakeOps.planCompaction(listing, "source", "shard", "bytes",
+          targetBytes = 30000)
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bin_bytes"))
+    }),
+
+    // Winsorization (percentile clipping) — the outlier-robust feature
+    // clamp run before score normalization: values outside the
+    // per-group [p01, p99] envelope are clipped to it. The envelope is
+    // ONE grouped percentile aggregate (group-sized, broadcast back);
+    // the clamp is row-local. Exact interpolated percentiles over
+    // integer inputs hash-match quantile_cont (the q_quantiles parity);
+    // greatest/least skip NULLs identically on both engines.
+    "q_winsorize" -> ((s, dir) => {
+      val env = t(s, dir, "documents")
+        .groupBy(col("source").as("src"))
+        .agg(percentile(col("n_chars"), array(lit(0.01), lit(0.99))).as("ps"))
+        .select(col("src"), element_at(col("ps"), 1).as("lo"),
+          element_at(col("ps"), 2).as("hi"))
+      t(s, dir, "documents")
+        .join(broadcast(env), col("source") === col("src"))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          greatest(col("lo"), least(col("hi"), col("n_chars").cast("double")))
+            .as("clipped"),
+          (col("n_chars") < col("lo") || col("n_chars") > col("hi"))
+            .cast("int").as("was_clipped"))
+    }),
+
     // k-anonymity audit (privacy gate for releasable training data):
     // quasi-identifier groups smaller than k single out individuals —
     // report every violating group. ONE map-side-combined aggregate over
@@ -4405,6 +4444,30 @@ object PipelineQueries {
          |   ORDER BY mmr_score DESC, corpus_id LIMIT 1))
          |SELECT rank, corpus_id, relevance, mmr_score FROM sel""".stripMargin
     },
+
+    "q_compaction_plan" ->
+      """WITH listing AS (
+        |  SELECT source, doc_id % 16 AS shard,
+        |    CAST(sum(n_chars) AS BIGINT) AS bytes
+        |  FROM documents GROUP BY 1, 2),
+        |binned AS (
+        |  SELECT source, shard, bytes,
+        |    CAST((sum(bytes) OVER (PARTITION BY source
+        |      ORDER BY bytes DESC, shard) - bytes) // 30000 AS BIGINT) AS bin
+        |  FROM listing)
+        |SELECT source, bin, CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(bytes) AS BIGINT) AS bin_bytes
+        |FROM binned GROUP BY 1, 2""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH env AS (
+        |  SELECT source AS src, quantile_cont(n_chars, 0.01) AS lo,
+        |         quantile_cont(n_chars, 0.99) AS hi
+        |  FROM documents GROUP BY 1)
+        |SELECT doc_id, source, n_chars,
+        |  greatest(lo, least(hi, CAST(n_chars AS DOUBLE))) AS clipped,
+        |  CAST(n_chars < lo OR n_chars > hi AS INTEGER) AS was_clipped
+        |FROM documents JOIN env ON source = src""".stripMargin,
 
     "q_k_anonymity" ->
       """SELECT c_nationkey, c_mktsegment,

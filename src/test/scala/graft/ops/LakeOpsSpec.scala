@@ -220,4 +220,41 @@ class LakeOpsSpec extends SparkSpec {
     assert(centsTouched > total / 2,
       s"price range touched $centsTouched of $total — expected no skipping")
   }
+
+  test("planCompaction: bin bounds, oversized isolation, layout invariance") {
+    val target = 30L
+    val files = Seq(
+      ("p1", "f1", 10L), ("p1", "f2", 25L), ("p1", "f3", 7L),
+      ("p1", "f4", 3L), ("p1", "big", 120L),
+      ("p2", "a", 50L), ("p2", "b", 1L))
+      .toDF("part", "path", "bytes")
+    def planOf(df: org.apache.spark.sql.DataFrame) =
+      LakeOps.planCompaction(df, "part", "path", "bytes", target)
+        .select($"part", $"path", $"bytes", $"bin")
+        .as[(String, String, Long, Long)].collect().toSet
+    val plan = planOf(files)
+
+    val bins = plan.groupBy(p => (p._1, p._4))
+    bins.foreach { case ((part, bin), fs) =>
+      val total = fs.toSeq.map(_._3).sum
+      val maxF = fs.toSeq.map(_._3).max
+      // cumulative packing: a bin never overshoots target by more than
+      // one file
+      assert(total < target + maxF || fs.size == 1,
+        s"($part, bin $bin): $total exceeds $target + $maxF")
+    }
+    // at most one undersized bin per partition (the tail remainder)
+    bins.keys.map(_._1).toSeq.distinct.foreach { part =>
+      val small = bins.collect {
+        case ((p, _), fs) if p == part && fs.toSeq.map(_._3).sum < target => fs
+      }
+      assert(small.size <= 1, s"$part has ${small.size} undersized bins")
+    }
+    // a file already >= target shares its bin with nobody
+    plan.filter(_._3 >= target).foreach { case (part, path, _, bin) =>
+      assert(bins((part, bin)).size == 1, s"$path should sit alone in $bin")
+    }
+    // deterministic under input layout: same plan from a 7-way shuffle
+    assert(planOf(files.repartition(7)) == plan)
+  }
 }
