@@ -2127,6 +2127,20 @@ object PipelineQueries {
         .toDF("rank", "corpus_id", "relevance", "mmr_score")
     }),
 
+    // Stream-stream interval join (conversion-path assembly): purchases
+    // matched to the same user's clicks within the 2 hours before the
+    // purchase. Registered in batch semantics; the SAME EventOps function
+    // runs watermarked as a Structured Streaming stream-stream join whose
+    // per-side state retention Spark derives from the time bound
+    // (streamed==batch in EventOpsSpec). Batch scale shape: ONE
+    // user-keyed shuffle with the interval as join residual.
+    "q_stream_join" -> ((s, dir) => {
+      val ev = RefQueries.events(s, dir)
+      EventOps.clickPurchaseJoin(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "click"))
+    }),
+
     // Small-file compaction plan (lakehouse OPTIMIZE): bin-pack a file
     // listing into ~30 KB merge groups per source. The listing here is
     // DERIVED from the corpus (16 content-keyed shards per source with
@@ -4444,6 +4458,15 @@ object PipelineQueries {
          |   ORDER BY mmr_score DESC, corpus_id LIMIT 1))
          |SELECT rank, corpus_id, relevance, mmr_score FROM sel""".stripMargin
     },
+
+    "q_stream_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |  p.user_id,
+        |  epoch_us(p.ts) // 1000000 - epoch_us(c.ts) // 1000000 AS gap_secs
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.ts >= p.ts - INTERVAL 2 HOUR AND c.ts <= p.ts""".stripMargin,
 
     "q_compaction_plan" ->
       """WITH listing AS (

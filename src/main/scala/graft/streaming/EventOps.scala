@@ -261,6 +261,41 @@ object EventOps {
         col("c_nationkey").as("user_nation"),
         col("c_mktsegment").as("user_segment"))
 
+  /** Stream-stream interval join: purchases matched to the same user's
+    * clicks in the `windowHours` before (and including) the purchase —
+    * conversion-path assembly as a continuous query.
+    *
+    * In batch this is an equi-join on user with an interval residual
+    * (the fact shuffles once, user-keyed). As a STREAMING query the SAME
+    * plan runs with both sides watermarked: Spark derives each side's
+    * state retention from the time-bound condition (clicks held
+    * ~windowHours past the watermark, purchases to the bound), so join
+    * state is evicted continuously — the unbounded-state hazard of
+    * stream-stream joins is governed by construction, not by an external
+    * TTL. streamed==batch pinned in EventOpsSpec.
+    *
+    * Output: (purchase_id, click_id, user_id, gap_secs).
+    */
+  def clickPurchaseJoin(
+      purchases: DataFrame,
+      clicks: DataFrame,
+      windowHours: Int = 2,
+      wmPurchases: Option[String] = None,
+      wmClicks: Option[String] = None): DataFrame = {
+    val p0 = purchases.select(col("event_id").as("purchase_id"),
+      col("user_id"), col("ts").as("p_ts"))
+    val c0 = clicks.select(col("event_id").as("click_id"),
+      col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val p = wmPurchases.fold(p0)(w => p0.withWatermark("p_ts", w))
+    val c = wmClicks.fold(c0)(w => c0.withWatermark("c_ts", w))
+    p.join(c, col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowHours HOURS") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        (unix_timestamp(col("p_ts")) - unix_timestamp(col("c_ts")))
+          .as("gap_secs"))
+  }
+
   /** Per-session summary: bounds + event count. */
   def sessionStats(events: DataFrame, gapMinutes: Int): DataFrame =
     sessionized(events, gapMinutes)

@@ -274,4 +274,56 @@ class EventOpsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getInt(4))).toSet
     assert(shuffled == got.toSet)
   }
+
+  test("clickPurchaseJoin: interval semantics; stream-stream == batch") {
+    // purchases: user 10 at 01:00 (clicks 00:05/00:55 in window, the
+    // 03:30 click after it is not), user 11 at 04:00 (click 01:20 is
+    // outside the 2h window), user 12 at 02:00 (no clicks at all)
+    val purchases = Seq(
+      (100L, ts("2024-01-01 01:00:00"), 10L),
+      (101L, ts("2024-01-01 04:00:00"), 11L),
+      (102L, ts("2024-01-01 02:00:00"), 12L)
+    ).toDF("event_id", "ts", "user_id")
+    val clicks = Seq(
+      (1L, ts("2024-01-01 00:05:00"), 10L),
+      (2L, ts("2024-01-01 00:55:00"), 10L),
+      (3L, ts("2024-01-01 03:30:00"), 10L),
+      (4L, ts("2024-01-01 01:20:00"), 11L)
+    ).toDF("event_id", "ts", "user_id")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val batch = EventOps.clickPurchaseJoin(purchases, clicks)
+      .collect().map(key).toSet
+    assert(batch == Set(
+      (100L, 1L, 10L, 3300L),
+      (100L, 2L, 10L, 300L)))
+
+    // the SAME function as a watermarked stream-stream join
+    implicit val sqlCtx = spark.sqlContext
+    val memP = MemoryStream[(Long, Timestamp, Long)]
+    val memC = MemoryStream[(Long, Timestamp, Long)]
+    val q = EventOps.clickPurchaseJoin(
+        memP.toDF().toDF("event_id", "ts", "user_id"),
+        memC.toDF().toDF("event_id", "ts", "user_id"),
+        wmPurchases = Some("1 hour"), wmClicks = Some("1 hour"))
+      .writeStream.format("memory").queryName("ss_join_out")
+      .outputMode("append").start()
+    try {
+      // clicks arrive first, purchases in a later batch — the join state
+      // must hold the clicks until the purchase side catches up
+      memC.addData((1L, ts("2024-01-01 00:05:00"), 10L),
+        (2L, ts("2024-01-01 00:55:00"), 10L))
+      q.processAllAvailable()
+      memP.addData((100L, ts("2024-01-01 01:00:00"), 10L),
+        (102L, ts("2024-01-01 02:00:00"), 12L))
+      memC.addData((3L, ts("2024-01-01 03:30:00"), 10L),
+        (4L, ts("2024-01-01 01:20:00"), 11L))
+      q.processAllAvailable()
+      memP.addData((101L, ts("2024-01-01 04:00:00"), 11L))
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM ss_join_out").collect()
+        .map(key).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
 }
