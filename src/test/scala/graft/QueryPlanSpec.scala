@@ -376,4 +376,46 @@ class QueryPlanSpec extends SparkSpec {
     assert(plan.contains("partial_max_by"),
       s"map-side partial max_by expected before the shuffle:\n$plan")
   }
+
+  test("round-4 session additions keep their scale shapes") {
+    // q_tpch_q2: argmin-by-join — the pair relation materializes ONCE
+    // (cache feeds both the per-part min and the probe), the cut is a
+    // per-task heap, and there is NO fact-sized Window anywhere
+    val q2 = finalPlan("q_tpch_q2")
+    assert(q2.contains("InMemoryTableScan"),
+      s"pair relation must come from the cache:\n$q2")
+    assert(!q2.contains("Window"), s"no Window in the argmin plan:\n$q2")
+    assert(q2.contains("TakeOrderedAndProject"),
+      s"top-100 must be per-task heaps:\n$q2")
+
+    // q_tpch_q11: the cached value table feeds both the scalar total and
+    // the threshold probe — lineitem scans once
+    val q11 = finalPlan("q_tpch_q11")
+    assert(q11.contains("InMemoryTableScan"),
+      s"value table must come from the cache:\n$q11")
+
+    // q_tpch_q16: complaint suppliers leave via an anti join; no
+    // cartesian from the three broadcast dimensions
+    val q16 = finalPlan("q_tpch_q16")
+    assert(q16.contains("LeftAnti"), s"complaint removal must anti-join:\n$q16")
+    assert(!q16.contains("CartesianProduct"), s"no cartesian:\n$q16")
+
+    // q_hybrid_rrf: both legs end in per-task top-k heaps — the corpus
+    // is never globally sorted (the rank Windows run on k-bounded rows)
+    val rrf = finalPlan("q_hybrid_rrf")
+    assert(rrf.contains("TakeOrderedAndProject"),
+      s"legs must cut via per-task heaps:\n$rrf")
+
+    // q_winsorize: the group-sized envelope broadcasts; the corpus side
+    // never shuffles for the join
+    val wz = finalPlan("q_winsorize")
+    assert(wz.contains("BroadcastHashJoin"), s"envelope must broadcast:\n$wz")
+    assert(!wz.contains("SortMergeJoin"), s"corpus must not shuffle-join:\n$wz")
+
+    // q_stream_join: user-keyed equi-join with the interval as residual —
+    // never a cartesian or nested-loop expansion
+    val sj = finalPlan("q_stream_join")
+    assert(!sj.contains("CartesianProduct") && !sj.contains("BroadcastNestedLoop"),
+      s"interval must ride the user equi-join as a residual:\n$sj")
+  }
 }
