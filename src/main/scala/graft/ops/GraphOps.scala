@@ -350,6 +350,54 @@ object GraphOps {
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Bounded-hop BFS (multi-source shortest hop counts) — Pregel-style
+    * frontier expansion: round h joins the frontier (nodes first reached
+    * at hop h-1) against the once-partitioned edge list, dedups, and
+    * anti-joins the visited set; survivors are exactly the nodes whose
+    * BFS distance is h. Hop counts are exact integers, so the result is
+    * bit-portable and layout-invariant by construction.
+    *
+    * Scale shape: the edge list hash-partitions by src ONCE and is
+    * cached (the pageRank discipline); every round moves only
+    * frontier-sized and visited-sized rows — never the full graph again.
+    * Each frontier materializes via `.cache()` + `count()` so round h+1
+    * does not recompute rounds 1..h through the growing lineage; the
+    * count is a 1-long driver action, not a collect.
+    *
+    * Returns `(node, hops)` for every node within `maxHops` of a source.
+    */
+  def bfsHops(
+      pairs: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      sources: Seq[Long],
+      maxHops: Int): DataFrame = {
+    require(sources.nonEmpty, "bfsHops needs at least one source node")
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val spark0 = pairs.sparkSession
+    import spark0.implicits._
+    val e = pairs
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .repartition(col("src")).cache()
+    var visited = sources.distinct.map(n => (n, 0)).toDF("node", "hops").cache()
+    var frontier = visited.select(col("node"))
+    var h = 1
+    var exhausted = false
+    while (h <= maxHops && !exhausted) {
+      val next = frontier.join(e, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select(col("node").as("vn")),
+          col("node") === col("vn"), "left_anti")
+        .withColumn("hops", lit(h))
+        .cache()
+      exhausted = next.count() == 0
+      visited = visited.union(next).cache()
+      frontier = next.select(col("node"))
+      h += 1
+    }
+    visited
+  }
+
   /** [[connectedComponents]] extended to a full node table: nodes with no
     * edges become singleton components labeled by their own id.
     */

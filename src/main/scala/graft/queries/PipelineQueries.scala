@@ -2127,6 +2127,23 @@ object PipelineQueries {
         .toDF("rank", "corpus_id", "relevance", "mmr_score")
     }),
 
+    // Bounded-hop BFS over the customer<->supplier trade graph (shortest
+    // hop counts from customer 1) — Pregel-style frontier expansion:
+    // the edge list partitions by src ONCE and is cached; each round
+    // moves only frontier-sized rows (join, distinct, anti-join against
+    // visited), so round cost tracks the frontier, not the graph.
+    // Nodes use the q_pagerank disjoint encoding (cust*2, supp*2+1).
+    "q_shortest_hops" -> ((s, dir) => {
+      val pairsDf = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * lit(2L)).as("cust"),
+          (col("l_suppkey") * lit(2L) + lit(1L)).as("supp"))
+        .distinct()
+      val edges = pairsDf.select(col("cust").as("src"), col("supp").as("dst"))
+        .union(pairsDf.select(col("supp").as("src"), col("cust").as("dst")))
+      GraphOps.bfsHops(edges, "src", "dst", Seq(2L), maxHops = 3)
+    }),
+
     // Stream-stream interval join (conversion-path assembly): purchases
     // matched to the same user's clicks within the 2 hours before the
     // purchase. Registered in batch semantics; the SAME EventOps function
@@ -4458,6 +4475,23 @@ object PipelineQueries {
          |   ORDER BY mmr_score DESC, corpus_id LIMIT 1))
          |SELECT rank, corpus_id, relevance, mmr_score FROM sel""".stripMargin
     },
+
+    // Recursive walk with per-level dedup (UNION, not UNION ALL — path
+    // counts would explode combinatorially); min(hops) per node IS the
+    // BFS distance.
+    "q_shortest_hops" ->
+      """WITH RECURSIVE
+        |pairs AS (SELECT DISTINCT o_custkey * 2 AS cust,
+        |            l_suppkey * 2 + 1 AS supp
+        |          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT cust AS src, supp AS dst FROM pairs
+        |      UNION ALL SELECT supp, cust FROM pairs),
+        |walk(node, hops) AS (
+        |  SELECT CAST(2 AS BIGINT) AS node, 0 AS hops
+        |  UNION
+        |  SELECT e.dst, w.hops + 1 FROM walk w JOIN e ON e.src = w.node
+        |  WHERE w.hops < 3)
+        |SELECT node, min(hops) AS hops FROM walk GROUP BY node""".stripMargin,
 
     "q_stream_join" ->
       """SELECT p.event_id AS purchase_id, c.event_id AS click_id,

@@ -233,4 +233,26 @@ class GraphOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
     assert(r1 == r8)
   }
+
+  test("bfsHops: hand-computed hop levels, hop cap, layout invariance") {
+    // 1-2-3-4-5 path plus a 2-6 branch and an unreachable 8-9 island;
+    // directed edges given one-way — BFS follows direction
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (2L, 6L),
+      (8L, 9L)).toDF("s", "d")
+    def run(df: org.apache.spark.sql.DataFrame, hops: Int) =
+      GraphOps.bfsHops(df, "s", "d", Seq(1L), hops)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = run(edges, 3)
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2, 6L -> 2, 4L -> 3),
+      s"got $got")
+    // cap respected: node 5 (hop 4) absent above, present at maxHops 4
+    assert(run(edges, 4).get(5L).contains(4))
+    // early exhaustion: a huge cap terminates once the frontier drains
+    assert(run(edges, 100) == run(edges, 4))
+    // multi-source takes the min distance; layout-invariant
+    val multi = GraphOps.bfsHops(edges.repartition(7), "s", "d",
+        Seq(1L, 4L), 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(multi == Map(1L -> 0, 4L -> 0, 2L -> 1, 5L -> 1, 3L -> 2, 6L -> 2))
+  }
 }
