@@ -2127,6 +2127,38 @@ object PipelineQueries {
         .toDF("rank", "corpus_id", "relevance", "mmr_score")
     }),
 
+    // CUBE completes the grouping-analytics family (rollup, grouping
+    // sets, pivot/unpivot): all 4 aggregation levels of (returnflag,
+    // linestatus) in ONE Expand pass over the fact — never one scan per
+    // level.
+    "q_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_quantity")).cast("long")).as("sum_qty"))),
+
+    // Incremental aggregation maintenance (materialized-view delta
+    // merge): the base partials and the delta batch's partials merge
+    // WITHOUT rescanning the base — counts and sums are monoids, so
+    // maintenance is groupBy-sum over the union of partials (the same
+    // merge Spark's partial/final aggregation does inside one query,
+    // lifted across snapshots). The oracle recomputes from scratch over
+    // the full table: hash equality IS the maintenance-correctness
+    // proof.
+    "q_incr_agg" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      def partials(df: DataFrame) = df
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val base = partials(o.filter(col("o_orderdate") < lit("2000-01-01")))
+      val delta = partials(o.filter(col("o_orderdate") >= lit("2000-01-01")))
+      base.unionByName(delta)
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("n_orders")).as("n_orders"),
+          (sum(col("cents")).cast("double") / 100).as("total_spend"))
+    }),
+
     // Bounded-hop BFS over the customer<->supplier trade graph (shortest
     // hop counts from customer 1) — Pregel-style frontier expansion:
     // the edge list partitions by src ONCE and is cached; each round
@@ -4475,6 +4507,17 @@ object PipelineQueries {
          |   ORDER BY mmr_score DESC, corpus_id LIMIT 1))
          |SELECT rank, corpus_id, relevance, mmr_score FROM sel""".stripMargin
     },
+
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_incr_agg" ->
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100
+        |    AS total_spend
+        |FROM orders GROUP BY 1""".stripMargin,
 
     // Recursive walk with per-level dedup (UNION, not UNION ALL — path
     // counts would explode combinatorially); min(hops) per node IS the
