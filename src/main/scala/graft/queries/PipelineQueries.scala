@@ -2127,6 +2127,35 @@ object PipelineQueries {
         .toDF("rank", "corpus_id", "relevance", "mmr_score")
     }),
 
+    // Gopher-style document-quality rules (Rae et al. 2021, Appendix A)
+    // — the published pretraining filter bundle, evaluated in EXACT
+    // integer arithmetic (every ratio threshold as a cross-product, no
+    // float compare): word-count bounds; mean word length <= 4.5
+    // (10*sum-of-token-lengths <= 45*words); symbol-to-char ratio <= 10%
+    // (10*punct <= chars); at least one stopword. The word-count and
+    // word-length cuts are calibrated so BOTH branches fire on the
+    // synthetic corpus at every SF (the q_anomaly_ewma discipline); the
+    // symbol rule is kept at the published threshold even though this
+    // corpus has no punctuation. Row-local, zero shuffles — a 100 TB
+    // quality pass is a pure map.
+    "q_gopher_rules" -> ((s, dir) => {
+      val toks = TextOps.tokens(lower(col("text")))
+      val nW = size(toks).cast("long")
+      val sumLen = aggregate(toks, lit(0L), (a, x) => a + length(x))
+      val nC = TextOps.charCount(col("text")).cast("long")
+      val nP = TextOps.punctCount(col("text")).cast("long")
+      val stops = TextOps.stopwordHits(col("text"),
+        Seq("the", "a", "of", "and", "to", "in", "is", "it"))
+      val rWords = (nW >= 3 && nW <= 50).cast("int")
+      val rLen = (nW > 0 && sumLen >= nW && sumLen * 10 <= nW * 45).cast("int")
+      val rSym = (nP * 10 <= nC).cast("int")
+      val rStop = (stops >= 1).cast("int")
+      t(s, dir, "documents").select(col("doc_id"),
+        rWords.as("r_words"), rLen.as("r_word_len"),
+        rSym.as("r_symbol"), rStop.as("r_stopword"),
+        (rWords * rLen * rSym * rStop).as("passes"))
+    }),
+
     // CUBE completes the grouping-analytics family (rollup, grouping
     // sets, pivot/unpivot): all 4 aggregation levels of (returnflag,
     // linestatus) in ONE Expand pass over the fact — never one scan per
@@ -4506,6 +4535,31 @@ object PipelineQueries {
          |     WHERE s.rank < 5)
          |   ORDER BY mmr_score DESC, corpus_id LIMIT 1))
          |SELECT rank, corpus_id, relevance, mmr_score FROM sel""".stripMargin
+    },
+
+    "q_gopher_rules" -> {
+      val toks = S.tokens("lower(text)")
+      val sumLen = s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform($toks, t -> CAST(len(t) AS BIGINT))), (a, b) -> a + b)"
+      val stops = TextOps.Sql.stopwordHits("text",
+        Seq("the", "a", "of", "and", "to", "in", "is", "it"))
+      s"""SELECT doc_id,
+         |  CAST(nw >= 3 AND nw <= 50 AS INTEGER) AS r_words,
+         |  CAST(nw > 0 AND suml >= nw AND suml * 10 <= nw * 45 AS INTEGER)
+         |    AS r_word_len,
+         |  CAST(np * 10 <= nc AS INTEGER) AS r_symbol,
+         |  CAST(stops >= 1 AS INTEGER) AS r_stopword,
+         |  CAST(nw >= 3 AND nw <= 50 AS INTEGER)
+         |    * CAST(nw > 0 AND suml >= nw AND suml * 10 <= nw * 45 AS INTEGER)
+         |    * CAST(np * 10 <= nc AS INTEGER)
+         |    * CAST(stops >= 1 AS INTEGER) AS passes
+         |FROM (SELECT doc_id,
+         |        CAST(len($toks) AS BIGINT) AS nw,
+         |        $sumLen AS suml,
+         |        CAST(length(text) AS BIGINT) AS nc,
+         |        CAST(${S.punctCount("text")} AS BIGINT) AS np,
+         |        $stops AS stops
+         |      FROM documents)""".stripMargin
     },
 
     "q_cube" ->
