@@ -121,6 +121,53 @@ case class SubwordEstimate(child: Expression) extends UnaryExpression {
   override def prettyName: String = "subword_estimate"
 }
 
+/** Total character count across tokens: `Σ numChars(token)` — identical
+  * to the `aggregate(toks, 0L, (a, t) -> a + length(t))` spec form whose
+  * lambda would run interpreted per token.
+  */
+case class TokenLengthSum(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"token_length_sum needs ARRAY<STRING>, got $t")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val len = a.numElements()
+    var sum = 0L
+    var i = 0
+    while (i < len) {
+      if (!a.isNullAt(i)) sum += a.getUTF8String(i).numChars()
+      i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val i = ctx.freshName("i")
+      val sum = ctx.freshName("sum")
+      val len = ctx.freshName("len")
+      s"""
+         |long $sum = 0L;
+         |int $len = $c.numElements();
+         |for (int $i = 0; $i < $len; $i++) {
+         |  if (!$c.isNullAt($i)) $sum += $c.getUTF8String($i).numChars();
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): TokenLengthSum =
+    copy(child = newChild)
+  override def prettyName: String = "token_length_sum"
+}
+
 object TokenExprs {
   /** Codegen'd stopword-hit count over a token array. */
   def tokenSetHits(toks: Column, words: Seq[String]): Column =
@@ -129,4 +176,8 @@ object TokenExprs {
   /** Codegen'd subword-count estimate over a token array. */
   def subwordEstimate(toks: Column): Column =
     Bridge.column(SubwordEstimate(Bridge.expression(toks)))
+
+  /** Codegen'd total token-character count over a token array. */
+  def tokenLengthSum(toks: Column): Column =
+    Bridge.column(TokenLengthSum(Bridge.expression(toks)))
 }

@@ -2141,7 +2141,9 @@ object PipelineQueries {
     "q_gopher_rules" -> ((s, dir) => {
       val toks = TextOps.tokens(lower(col("text")))
       val nW = size(toks).cast("long")
-      val sumLen = aggregate(toks, lit(0L), (a, x) => a + length(x))
+      // codegen'd fold — the aggregate() HOF form runs its lambda
+      // interpreted per token (see expr/TokenExprs)
+      val sumLen = graft.expr.TokenExprs.tokenLengthSum(toks)
       val nC = TextOps.charCount(col("text")).cast("long")
       val nP = TextOps.punctCount(col("text")).cast("long")
       val stops = TextOps.stopwordHits(col("text"),
@@ -2311,9 +2313,12 @@ object PipelineQueries {
     "q_oov_rate" -> ((s, dir) => {
       val vocab = qualityLexicon.keys.toSeq.sorted
       val toks = TextOps.tokens(lower(col("text")))
-      val oov = filter(toks, tk => !tk.isInCollection(vocab))
+      // oov = total - in-vocab hits, with the hit count a codegen'd
+      // set-probe loop — the filter() HOF form runs interpreted per token
+      val hits = graft.expr.TokenExprs.tokenSetHits(toks, vocab)
       t(s, dir, "documents")
-        .select(col("source"), size(toks).as("nt"), size(oov).as("no"))
+        .select(col("source"), size(toks).as("nt"),
+          (size(toks) - hits).as("no"))
         .groupBy(col("source"))
         .agg(sum(col("nt")).as("n_tokens"), sum(col("no")).as("n_oov"))
         .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tokens"))

@@ -103,6 +103,18 @@ class CodegenCompileSpec extends AnyFunSuite {
     assert(e.eval(row) == 6L)
   }
 
+  test("TokenLengthSum generated code compiles and matches eval") {
+    val words = new GenericArrayData(Array[Any](
+      UTF8String.fromString("a"), UTF8String.fromString("abcd"),
+      UTF8String.fromString("a😀b")))
+    val e = TokenLengthSum(BoundReference(0, strArr, nullable = true))
+    val proj = GenerateMutableProjection.generate(Seq(e))
+    val row = InternalRow(words) // numChars (code points): 1 + 4 + 3 = 8
+    assert(proj(row).getLong(0) == 8L)
+    assert(e.eval(row) == 8L)
+    assert(e.eval(InternalRow(new GenericArrayData(Array[Any]()))) == 0L)
+  }
+
   test("TokenWeightSum generated code compiles and matches eval") {
     val e = TokenWeightSum(BoundReference(0, strArr, nullable = true),
       Seq("a", "c"), Seq(5L, -2L))
