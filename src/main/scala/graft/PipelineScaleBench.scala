@@ -183,6 +183,17 @@ object PipelineScaleBench {
           pmod(xxhash64(col("id"), lit(2)), lit(nDocs)) + 1).as("dst"))
       GraphOps.pageRank(edges, "src", "dst", iters = 5).count()
     }
+    stage("bfs_3hop_10x") {
+      // same power-law graph: frontier expansion from one hub — round
+      // cost tracks the frontier, and on a hub-skewed graph the frontier
+      // saturates by hop 2-3, so this measures the worst (node-sized)
+      // rounds of the iterative-join shape
+      val edges = spark.range(nDocs * 10).select(
+        pmod(xxhash64(col("id")), lit(nDocs)).as("src"),
+        pmod(xxhash64(col("id"), lit(1)),
+          pmod(xxhash64(col("id"), lit(2)), lit(nDocs)) + 1).as("dst"))
+      GraphOps.bfsHops(edges, "src", "dst", Seq(0L), maxHops = 3).count()
+    }
     stage("incremental_dedup") {
       // batch = 10% of the corpus vs the other 90% as "existing"
       DedupOps.incrementalDedup(
