@@ -1,6 +1,7 @@
 package graft.examples
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.{IvfOps, PqOps, SearchOps}
