@@ -123,6 +123,68 @@ object DedupOps {
     applyCap(hashed, maxShingleDf)
   }
 
+  /** Near-duplicate pairs by exact Jaccard with PPJoin-style PREFIX
+    * FILTERING (Chaudhuri et al. ICDE'06; Xiao et al. WWW'08): instead of
+    * indexing EVERY shingle (candidate volume ~ Σ df²) or capping df
+    * (which trades completeness for skew safety), each doc indexes only
+    * its `|d| - ceil(t·|d|) + 1` RAREST shingles under one global
+    * (df, hash) order. The prefix-filtering lemma guarantees
+    * completeness: any pair with J >= t shares at least one shingle that
+    * lies in BOTH prefixes, so the prefix-index self-join finds every
+    * qualifying pair while the index shrinks by ~t — and the hottest
+    * (highest-df) shingles sort to the suffixes, so the skew guard is
+    * INHERENT rather than an approximation knob. Candidates verify with
+    * the exact intersection via the row-local codegen'd sorted-array
+    * walk — never the per-shared-shingle group-by of the full-index
+    * formulation.
+    *
+    * Scale shape: df is one map-side-combined aggregate; the rarity sort
+    * is row-local per doc (arrays bounded by doc length); the only
+    * pair-generating join keys on the 8-byte hash of PREFIX entries; the
+    * verify joins carry candidate-sized rows. Differential-tested ==
+    * [[ngramJaccardPairs]] (uncapped) in DedupOpsSpec.
+    */
+  def prefixJaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    val idx = shingleIndexHashed(docs, idCol, textCol, k).cache()
+    val dfTab = idx.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    // rarity-ordered shingle array per doc: structs sort by (df, sh)
+    val docSets = idx.join(dfTab, "sh")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ord"))
+      .select(col("doc_id"),
+        transform(col("ord"), x => x("sh")).as("rare"),
+        size(col("ord")).cast("long").as("n"))
+      .cache()
+    val pi = docSets.select(col("doc_id"),
+      explode(slice(col("rare"), lit(1),
+        (col("n") - ceil(col("n") * threshold) + 1).cast("int"))).as("sh"))
+    val cands = pi.as("a").join(pi.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val sets = docSets.select(col("doc_id"),
+      sort_array(col("rare")).as("set"), col("n"))
+    cands
+      .join(sets.select(col("doc_id").as("id_a"), col("set").as("set_a"),
+        col("n").as("n_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("set").as("set_b"),
+        col("n").as("n_b")), "id_b")
+      .withColumn("intersection", graft.expr.TextExprs
+        .sortedIntersectCount(col("set_a"), col("set_b")))
+      .withColumn("jaccard", col("intersection").cast("double") /
+        (col("n_a") + col("n_b") - col("intersection")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("intersection"),
+        col("n_a"), col("n_b"), col("jaccard"))
+  }
+
   /** Near-duplicate pairs by exact Jaccard similarity over word k-shingles.
     * Inverted-index self-join for candidates (pairs sharing >= 1 shingle),
     * then `J = |A ∩ B| / (|A| + |B| - |A ∩ B|)` from exact integer counts —

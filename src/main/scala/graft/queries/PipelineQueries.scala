@@ -157,6 +157,16 @@ object PipelineQueries {
       DedupOps.ngramJaccardPairs(
         t(s, dir, "documents"), "doc_id", "text", k = 3, threshold = 0.2)),
 
+    // PPJoin-style prefix-filtered Jaccard join: each doc indexes only
+    // its rarest |d|-ceil(t|d|)+1 shingles under a global (df, hash)
+    // order — provably complete for J >= t (prefix-filtering lemma)
+    // while the hottest shingles sort themselves OUT of the index (the
+    // skew guard is inherent, not a df cap). Candidates verify via the
+    // codegen'd sorted-array intersection walk.
+    "q_dedup_prefix" -> ((s, dir) =>
+      DedupOps.prefixJaccardPairs(
+        t(s, dir, "documents"), "doc_id", "text", k = 3, threshold = 0.5)),
+
     // Incremental ingest: the daily batch (doc_id % 5 == 0 stands in for
     // "today") deduped against the existing corpus only — exact dupes out
     // via an 8-byte-hash anti join, near-dupes out via the cross-corpus
@@ -3226,6 +3236,25 @@ object PipelineQueries {
         |FROM lines l JOIN df ON l.line = df.line
         |WHERE df.c <= 8
         |GROUP BY l.doc_id""".stripMargin,
+
+    // Same all-pairs string-shingle formulation as q_dedup_ngram at the
+    // prefix query's threshold: the oracle knows nothing about prefixes,
+    // so a green row proves the prefix filter dropped NO qualifying pair.
+    "q_dedup_prefix" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${S.tokens("text")} AS w FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')))) AS s
+         |  FROM toks WHERE len(w) >= 3),
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS intersection
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT id_a, id_b, intersection, sa.n AS n_a, sb.n AS n_b,
+         |  CAST(intersection AS DOUBLE)/(sa.n + sb.n - intersection) AS jaccard
+         |FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+         |WHERE CAST(intersection AS DOUBLE)/(sa.n + sb.n - intersection) >= 0.5""".stripMargin,
 
     "q_dedup_ngram" ->
       s"""WITH toks AS (

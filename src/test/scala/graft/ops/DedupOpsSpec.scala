@@ -367,4 +367,26 @@ class DedupOpsSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(one == eight)
   }
+
+  test("prefixJaccardPairs == uncapped full-index pairs (prefix filter " +
+    "is complete); prefix index is strictly smaller") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    for (t <- Seq(0.3, 0.6)) {
+      val full = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", 3, t)
+        .collect().map(key).toSet
+      val pref = DedupOps.prefixJaccardPairs(docs, "doc_id", "text", 3, t)
+        .collect().map(key).toSet
+      assert(pref == full, s"t=$t: prefix filter must drop no qualifying pair")
+    }
+    // the index actually shrinks: prefix entries < full entries
+    val idx = DedupOps.shingleIndexHashed(docs, "doc_id", "text", 3)
+    val fullEntries = idx.count()
+    val prefixLen = idx.groupBy($"doc_id").count()
+      .select(sum(($"count" - ceil($"count" * 0.6) + 1).cast("long")))
+      .collect()(0).getLong(0)
+    assert(prefixLen < fullEntries / 2,
+      s"prefix index $prefixLen should be well under full $fullEntries")
+  }
 }
