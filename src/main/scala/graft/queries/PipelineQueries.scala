@@ -2137,6 +2137,72 @@ object PipelineQueries {
         .toDF("rank", "corpus_id", "relevance", "mmr_score")
     }),
 
+    // Linear multi-touch attribution: every touch in the 2h window
+    // before a purchase splits the purchase value evenly (1/n credit) —
+    // the complement of q_attribution's last-touch rule. The interval
+    // rides the user equi-join as residual; the per-purchase count is a
+    // window over MATCH-sized rows (bounded by touches-per-purchase);
+    // credit divides exact cents, so the doubles are engine-identical.
+    "q_attribution_multi" -> ((s, dir) => {
+      val ev = RefQueries.events(s, dir)
+      val touches = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id").as("t_user"), col("ts").as("touch_ts"),
+          col("event_id").as("touch_id"), col("event_type").as("channel"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val joined = purchases.join(touches,
+        col("user_id") === col("t_user") &&
+          col("touch_ts") <= col("ts") &&
+          col("touch_ts") >= col("ts") - expr("INTERVAL 2 HOURS"))
+      val w = Window.partitionBy(col("purchase_id"))
+      joined
+        .withColumn("n_touches", count(lit(1)).over(w))
+        .select(col("purchase_id"), col("touch_id"), col("channel"),
+          col("n_touches"),
+          (col("cents").cast("double") / 100 / col("n_touches")).as("credit"))
+    }),
+
+    // Missing-value imputation by last-observation-carried-forward
+    // (LOCF): a deterministic 30% of readings masked out, refilled from
+    // the latest PRECEDING non-null — ONE user-keyed window with an
+    // ignore-nulls last(), the canonical gap-fill of sensor/feature
+    // pipelines. Gaps before the first observation stay NULL: no
+    // look-ahead, the leakage discipline.
+    "q_impute_locf" -> ((s, dir) => {
+      val ev = RefQueries.events(s, dir)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.select(col("user_id"), col("event_id"), col("ts"),
+          when(pmod(col("event_id"), lit(10)) < 3,
+            lit(null).cast("double")).otherwise(col("value")).as("masked"))
+        .select(col("user_id"), col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ev_ts"),
+          col("masked"),
+          last(col("masked"), ignoreNulls = true).over(w).as("filled"),
+          (col("masked").isNull).cast("int").as("was_masked"))
+    }),
+
+    // Leave-one-out target encoding (the classic categorical feature at
+    // corpus scale, leakage-safe): each order's priority encoded as the
+    // mean price of the OTHER orders in its category — (sum − own)/(n−1)
+    // from ONE group-sized aggregate broadcast back; arithmetic in exact
+    // cents, row-local. Singleton categories get NULL: no signal beats a
+    // self-leak.
+    "q_target_encode" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val agg = o.groupBy(col("o_orderpriority").as("prio"))
+        .agg(sum(col("cents")).as("cat_sum"), count(lit(1)).as("cat_n"))
+      o.join(broadcast(agg), col("o_orderpriority") === col("prio"))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          when(col("cat_n") > 1,
+            (col("cat_sum") - col("cents")).cast("double") /
+              (col("cat_n") - 1) / 100).as("loo_mean"))
+    }),
+
     // Gopher-style document-quality rules (Rae et al. 2021, Appendix A)
     // — the published pretraining filter bundle, evaluated in EXACT
     // integer arithmetic (every ratio threshold as a cross-product, no
@@ -4570,6 +4636,51 @@ object PipelineQueries {
          |   ORDER BY mmr_score DESC, corpus_id LIMIT 1))
          |SELECT rank, corpus_id, relevance, mmr_score FROM sel""".stripMargin
     },
+
+    "q_attribution_multi" ->
+      """WITH t AS (
+        |  SELECT user_id, ts, event_id AS touch_id, event_type AS channel
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |p AS (
+        |  SELECT event_id AS purchase_id, user_id, ts,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT p.purchase_id, t.touch_id, t.channel, p.cents,
+        |    count(*) OVER (PARTITION BY p.purchase_id) AS n_touches
+        |  FROM p JOIN t ON p.user_id = t.user_id
+        |    AND t.ts <= p.ts AND t.ts >= p.ts - INTERVAL 2 HOUR)
+        |SELECT purchase_id, touch_id, channel, n_touches,
+        |  CAST(cents AS DOUBLE) / 100 / n_touches AS credit
+        |FROM j""".stripMargin,
+
+    "q_impute_locf" ->
+      """SELECT user_id, event_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ev_ts,
+        |  masked,
+        |  last_value(masked IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+        |  CAST(masked IS NULL AS INTEGER) AS was_masked
+        |FROM (SELECT user_id, event_id, ts,
+        |        CASE WHEN event_id % 10 < 3 THEN NULL ELSE value END AS masked
+        |      FROM events)""".stripMargin,
+
+    "q_target_encode" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |agg AS (
+        |  SELECT o_orderpriority AS prio,
+        |    CAST(sum(cents) AS BIGINT) AS cat_sum,
+        |    CAST(count(*) AS BIGINT) AS cat_n
+        |  FROM o GROUP BY 1)
+        |SELECT o_orderkey, o_orderpriority,
+        |  CASE WHEN cat_n > 1
+        |    THEN CAST(cat_sum - cents AS DOUBLE) / (cat_n - 1) / 100
+        |  END AS loo_mean
+        |FROM o JOIN agg ON o_orderpriority = prio""".stripMargin,
 
     "q_gopher_rules" -> {
       val toks = S.tokens("lower(text)")
