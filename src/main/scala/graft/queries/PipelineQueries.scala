@@ -2137,6 +2137,30 @@ object PipelineQueries {
         .toDF("rank", "corpus_id", "relevance", "mmr_score")
     }),
 
+    // Equi-depth (quantile-boundary) histogram: the reference's A6
+    // histograms bin over KNOWN fixed edges; feature pipelines bucket by
+    // QUANTILES so every bucket carries equal mass. The three boundaries
+    // are ONE percentile aggregate (driver-collected — bounded at 3
+    // doubles, the IvfOps centroid precedent) re-entering the plan as
+    // literals, so bucket assignment is a row-local codegen'd comparison
+    // chain and the counts are one map-side-combined aggregate. Exact
+    // interpolated percentiles parity with quantile_cont (q_quantiles).
+    "q_equidepth" -> ((s, dir) => {
+      val src = t(s, dir, "orders")
+        .select(round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val e = src.agg(percentile(col("cents"),
+          array(lit(0.25), lit(0.5), lit(0.75))).as("e"))
+        .collect()(0).getSeq[Double](0)
+      src
+        .withColumn("bucket",
+          when(col("cents") < e(0), 0)
+            .when(col("cents") < e(1), 1)
+            .when(col("cents") < e(2), 2).otherwise(3))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("cents")).as("lo"),
+          max(col("cents")).as("hi"))
+    }),
+
     // Linear multi-touch attribution: every touch in the 2h window
     // before a purchase splits the purchase value evenly (1/n credit) —
     // the complement of q_attribution's last-touch rule. The interval
@@ -4636,6 +4660,19 @@ object PipelineQueries {
          |   ORDER BY mmr_score DESC, corpus_id LIMIT 1))
          |SELECT rank, corpus_id, relevance, mmr_score FROM sel""".stripMargin
     },
+
+    "q_equidepth" ->
+      """WITH src AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |ed AS (SELECT quantile_cont(cents, [0.25, 0.5, 0.75]) AS e FROM src),
+        |b AS (SELECT cents,
+        |        CASE WHEN cents < e[1] THEN 0 WHEN cents < e[2] THEN 1
+        |             WHEN cents < e[3] THEN 2 ELSE 3 END AS bucket
+        |      FROM src, ed)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+        |  min(cents) AS lo, max(cents) AS hi
+        |FROM b GROUP BY 1""".stripMargin,
 
     "q_attribution_multi" ->
       """WITH t AS (
