@@ -2148,9 +2148,13 @@ object PipelineQueries {
     "q_equidepth" -> ((s, dir) => {
       val src = t(s, dir, "orders")
         .select(round(col("o_totalprice") * 100).cast("long").as("cents"))
-      val e = src.agg(percentile(col("cents"),
+      val eRow = src.agg(percentile(col("cents"),
           array(lit(0.25), lit(0.5), lit(0.75))).as("e"))
-        .collect()(0).getSeq[Double](0)
+        .collect()(0)
+      // empty input -> NULL percentile array; the edges are then unused
+      // (the aggregate below emits zero rows) but must still be literals
+      val e = if (eRow.isNullAt(0)) Seq(0.0, 0.0, 0.0)
+        else eRow.getSeq[Double](0)
       src
         .withColumn("bucket",
           when(col("cents") < e(0), 0)
