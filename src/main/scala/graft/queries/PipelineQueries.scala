@@ -2137,6 +2137,19 @@ object PipelineQueries {
         .toDF("rank", "corpus_id", "relevance", "mmr_score")
     }),
 
+    // Exact distinct users per event type via the fixed-bitmap aggregate
+    // — the exact complement of q_approx_distinct's HLL: for a BOUNDED
+    // id domain the shuffle moves partitions x groups x maxId/8 bytes of
+    // bitmap (merge = word-wise OR, layout-invariant by construction)
+    // instead of re-shuffling every distinct id the way count(DISTINCT)
+    // does. The oracle IS count(DISTINCT): hash equality proves the
+    // bitmap path exact.
+    "q_bitmap_distinct" -> ((s, dir) =>
+      RefQueries.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(graft.agg.BitmapDistinct
+          .bitmapDistinct(col("user_id"), 1L << 20).as("n_users"))),
+
     // Equi-depth (quantile-boundary) histogram: the reference's A6
     // histograms bin over KNOWN fixed edges; feature pipelines bucket by
     // QUANTILES so every bucket carries equal mass. The three boundaries
@@ -4664,6 +4677,11 @@ object PipelineQueries {
          |   ORDER BY mmr_score DESC, corpus_id LIMIT 1))
          |SELECT rank, corpus_id, relevance, mmr_score FROM sel""".stripMargin
     },
+
+    "q_bitmap_distinct" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q_equidepth" ->
       """WITH src AS (
