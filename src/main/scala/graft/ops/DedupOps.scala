@@ -224,6 +224,84 @@ object DedupOps {
         col("n_a"), col("n_b"), col("jaccard"))
   }
 
+  /** Subset/quote-inclusion pairs by the OVERLAP COEFFICIENT
+    * `|A ∩ B| / min(|A|, |B|)` over word k-shingles: Jaccard misses a
+    * short document wholly quoted inside a long one (the union term
+    * drowns the intersection), while containment >= t catches exactly
+    * that excerpt/expansion relationship — the dedup rule news/forum
+    * corpora need alongside near-identity.
+    *
+    * Same inverted-index shape as [[ngramJaccardPairs]] (8-byte hash
+    * join keys, exact integer intersection counts, one final IEEE
+    * division), same `maxShingleDf` skew cap for web-scale stopword
+    * shingles. Output: (id_a, id_b, intersection, n_a, n_b, containment),
+    * id_a < id_b.
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      threshold: Double,
+      maxShingleDf: Option[Int] = None,
+      cacheIndex: Boolean = true): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    val idx0 = shingleIndexHashed(docs, idCol, textCol, k, maxShingleDf)
+    val idx = if (cacheIndex) idx0.cache() else idx0
+    val sizes = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    idx.as("a")
+      .join(idx.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("intersection"))
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+      .withColumn("containment",
+        col("intersection").cast("double") / least(col("n_a"), col("n_b")))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("intersection"),
+        col("n_a"), col("n_b"), col("containment"))
+  }
+
+  /** Per-document NOVELTY: the fraction of a doc's distinct word
+    * k-shingles that no earlier document (smaller id = earlier in crawl
+    * order) contains. Duplication-aware curation wants this as a salvage
+    * score — a doc that is 95% previously-seen shingles adds little to a
+    * training mix even when no single pair crosses a near-dup threshold,
+    * which is exactly the tail that pairwise Jaccard/containment misses
+    * (mosaic-style aggregation from MANY earlier docs).
+    *
+    * Shape: the same 8-byte hashed inverted index as
+    * [[ngramJaccardPairs]], reduced to `shingle -> min(doc_id)` by ONE
+    * map-side-combined aggregate (index-sized, never pairs-sized — there
+    * is no candidate join here at all, so no df cap is needed and none
+    * is taken: a cap would undercount seen-shingles), joined back to the
+    * index on the hash key, and folded per doc. All counts are exact
+    * integers; the single final division is one correctly-rounded IEEE
+    * op, so scores are engine-portable.
+    *
+    * Output: (doc_id, n_shingles, n_seen_before, novelty), docs with
+    * >= 1 shingle only.
+    */
+  def noveltyScores(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): DataFrame = {
+    val idx = shingleIndexHashed(docs, idCol, textCol, k, None).cache()
+    val firstSeen = idx.groupBy(col("sh")).agg(min(col("doc_id")).as("first_id"))
+    idx.join(firstSeen, "sh")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("first_id") < col("doc_id"), 1L).otherwise(0L))
+          .as("n_seen_before"))
+      .withColumn("novelty",
+        lit(1.0) - col("n_seen_before").cast("double") /
+          col("n_shingles").cast("double"))
+  }
+
   /** Cross-corpus near-duplicate pairs: every (left, right) pair with
     * shingle-Jaccard >= threshold. Same inverted-index shape as
     * [[ngramJaccardPairs]] but joining TWO indexes — the left corpus is

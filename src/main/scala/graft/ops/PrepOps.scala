@@ -93,6 +93,46 @@ object PrepOps {
         transform(col("__v"), x => round(x * col("scale")).cast("int")).as("qvec"))
   }
 
+  /** Per-group z-score standardization of an integer fixed-point column —
+    * the tabular-feature scaling step (fit on the corpus, apply row-local).
+    * Population std via `E[x²] − E[x]²` from exact int64 sums: the three
+    * group aggregates (n, Σx, Σx²) are reduction-order-proof integers, and
+    * the float tail (two divisions, one multiply-subtract, one sqrt, one
+    * normalize) is a fixed chain of correctly-rounded IEEE ops — so scores
+    * are bit-portable across engines and partitionings. Groups with zero
+    * variance (or one row) emit z = 0. Σx² headroom: |cents| ≤ 3·10⁶ holds
+    * to ~10⁹ rows per group in int64; beyond that, sum DECIMAL(38,0).
+    *
+    * Scale shape: one map-side-combined group aggregate produces the
+    * GROUP-sized stats frame, broadcast-joined back; the apply side is a
+    * pure row-local map — the fit/apply split every feature pipeline
+    * wants at 100 TB.
+    * Output: (id, group, cents, z).
+    */
+  def standardizeByGroup(
+      df: DataFrame,
+      idCol: Column,
+      groupCol: Column,
+      centsCol: Column): DataFrame = {
+    val base = df.select(idCol.as("id"), groupCol.as("group"),
+      centsCol.as("cents"))
+    val stats = base.groupBy(col("group"))
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(col("cents")).as("__s"),
+        sum(col("cents") * col("cents")).as("__sq"))
+      .select(col("group"),
+        (col("__s").cast("double") / col("__n")).as("__mean"),
+        sqrt(col("__sq").cast("double") / col("__n") -
+          (col("__s").cast("double") / col("__n")) *
+          (col("__s").cast("double") / col("__n"))).as("__std"))
+    base.join(broadcast(stats), "group")
+      .select(col("id"), col("group"), col("cents"),
+        when(col("__std") > 0,
+          (col("cents").cast("double") - col("__mean")) / col("__std"))
+          .otherwise(lit(0.0)).as("z"))
+  }
+
   /** Adjacent-symbol pair counts over the corpus' words with characters as
     * the initial symbols — round one of BPE vocabulary induction. Pure
     * explode + groupBy: counting occurrences directly equals the classic

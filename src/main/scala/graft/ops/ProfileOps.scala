@@ -73,6 +73,52 @@ object ProfileOps {
     one.select(explode(array(legs: _*)).as("p")).select(col("p.*"))
   }
 
+  /** Robust outlier report per group: median + MAD (median absolute
+    * deviation) of an integer fixed-point column, and the count of points
+    * with `|x - med| > scaleNumer/10000 · MAD` (pass 44780 for the
+    * conventional 3·1.4826·σ-consistent rule; the factor arrives as an
+    * exact integer ratio so both engines multiply the same literals).
+    * MAD-based flags survive the heavy tails that wreck mean/std rules —
+    * one wild sensor value moves a mean arbitrarily but the median not
+    * at all.
+    *
+    * Exactness: `cents` is int64; the group median interpolates to the
+    * half grid and deviations to the quarter grid — all exact binary
+    * fractions, so both medians, every deviation, and the single
+    * comparison multiply are bit-portable.
+    *
+    * Scale shape: three group-keyed passes (median → MAD over
+    * deviations → outlier count), the group-sized median/MAD frames
+    * hash-joined back — Spark broadcasts them when small. Exact medians
+    * sort each group once per pass; at billion-row groups swap
+    * `percentile` for `approx_percentile` (the q_quantiles trade).
+    * Output: (group, n, med, mad, n_outliers).
+    */
+  def madOutliers(
+      df: DataFrame,
+      groupCol: Column,
+      centsCol: Column,
+      scaleNumer: Long = 44780L): DataFrame = {
+    val base = df.select(groupCol.as("group"), centsCol.as("__c"))
+    val meds = base.groupBy(col("group"))
+      .agg(percentile(col("__c"), lit(0.5)).as("med"))
+    val dev = base.join(meds, "group")
+      .withColumn("__dev", abs(col("__c").cast("double") - col("med")))
+    val mads = dev.groupBy(col("group"))
+      .agg(percentile(col("__dev"), lit(0.5)).as("mad"))
+    // threshold as an exact integer ratio: dev·10000 > numer·mad is one
+    // correctly-rounded multiply per side — engine-portable, no 1.4826
+    // rounding drift
+    dev.join(mads, "group")
+      .groupBy(col("group"))
+      .agg(
+        count(lit(1)).as("n"),
+        first(col("med")).as("med"),
+        first(col("mad")).as("mad"),
+        sum(when(col("__dev") * 10000.0 > col("mad") * scaleNumer.toDouble, 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+
   /** Join/group-key skew report — the diagnostic you run BEFORE deciding
     * whether a 100 TB join needs [[JoinOps.saltedJoin]]: one row with
     * the key cardinality, total rows, max/median/p99 group sizes, the

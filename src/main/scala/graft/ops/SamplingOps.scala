@@ -117,6 +117,51 @@ object SamplingOps {
       .select(col("group"), col("__e.id").as("id"),
         (col("__p") + 1).cast("long").as("rank"))
 
+  /** The portable affine hash as a VALUE in [0, p): the building block of
+    * [[portableHashKeep]], exposed so weighted sampling can use the same
+    * ANSI-expressible pseudo-uniform draw.
+    */
+  def portableAffine(key: Column): Column = {
+    val p = 999999937L
+    pmod(pmod(key.cast("long"), lit(p)) * lit(2654435761L) + lit(104729L), lit(p))
+  }
+
+  /** Weighted sampling without replacement, exactly k per group
+    * (Efraimidis & Spirtakis 2006, "A-ES"): each row draws a deterministic
+    * pseudo-uniform u in (0,1) from [[portableAffine]] of its id and gets
+    * priority `ln(u) / w`; the k highest priorities per group are the
+    * sample. Selection probabilities are proportional to `w` without
+    * replacement — the standard one-pass weighted reservoir, made
+    * layout-reproducible by replacing the RNG with the content hash.
+    *
+    * Scale shape: the draw and priority are row-local; the per-group top-k
+    * rides [[graft.agg.TopKByScoreAgg]] (each map task forwards at most k
+    * rows per group — no window, no full sort). Rows with w <= 0 are
+    * excluded (A-ES is undefined there).
+    *
+    * Determinism note: `ln` is not guaranteed correctly-rounded, so two
+    * priorities within ~1 ulp could order differently across engines; with
+    * continuous hash-driven priorities the collision probability is
+    * ~n²·2⁻⁵⁰ per group. The priority itself is NOT emitted (only ranks),
+    * so outputs stay engine-comparable.
+    * Output: (group, id, rank), rank 1..k.
+    */
+  def weightedSamplePerGroup(
+      df: DataFrame,
+      groupCol: Column,
+      weightCol: Column,
+      idCol: Column,
+      k: Int): DataFrame = {
+    val p = 999999937L
+    val u = (portableAffine(idCol) + 1).cast("double") / (p + 1).toDouble
+    topKPerGroup(
+      df.filter(weightCol > 0),
+      groupCol,
+      log(u) / weightCol.cast("double"),
+      idCol,
+      k)
+  }
+
   /** Data mixing: resample each source to a target weight. Weight w means
     * every row appears `floor(w)` times plus one extra copy for a
     * deterministic `w - floor(w)` fraction of rows — so w = 2.5 duplicates

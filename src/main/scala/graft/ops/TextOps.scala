@@ -29,6 +29,18 @@ object TextOps {
 
   def charCount(text: Column): Column = length(text)
 
+  /** Canonical text normalization (the pre-dedup/pre-tokenize cleanup
+    * pass): lowercase, strip every character outside [a-z0-9] and
+    * whitespace, collapse whitespace runs to single spaces, trim. Pure
+    * row-local regexp chain (codegen'd, zero shuffles at any scale); the
+    * two character classes avoid dialect-divergent regex constructs so
+    * the DuckDB oracle is the same chain with the 'g' flag.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", ""),
+      "\\s+", " "))
+
   /** Characters (code points) that are neither ASCII-alphanumeric nor
     * whitespace. Codegen'd byte walk ([[graft.expr.PunctCount]]) — the
     * `length - length(regexp_replace(...))` spec form materializes a

@@ -78,6 +78,14 @@ object PipelineQueries {
         col("doc_id"),
         TextOps.fingerprint(col("text")).as("fp"))),
 
+    // Canonical normalization pass (pre-dedup cleanup): row-local regexp
+    // chain, zero shuffles — at 100 TB this query IS its scan + write.
+    "q_text_normalize" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.normalizeText(col("text")).as("text_norm"))
+        .withColumn("n_chars_norm", length(col("text_norm")).cast("long"))),
+
     // PII scrub as a gated transform: chained codegen'd regexp_replace
     // (patterns avoid dialect-divergent constructs, so the DuckDB twin is
     // the same chain with the 'g' flag). Row-local, zero shuffles.
@@ -156,6 +164,14 @@ object PipelineQueries {
     "q_dedup_ngram" -> ((s, dir) =>
       DedupOps.ngramJaccardPairs(
         t(s, dir, "documents"), "doc_id", "text", k = 3, threshold = 0.2)),
+
+    // Overlap-coefficient (containment) dedup: |A∩B|/min(|A|,|B|) >= 0.8
+    // catches a short doc quoted wholly inside a long one — the pair
+    // Jaccard's union term drowns. Same 8-byte inverted-index shape as
+    // q_dedup_ngram; one extra IEEE division at the end.
+    "q_dedup_containment" -> ((s, dir) =>
+      DedupOps.containmentPairs(
+        t(s, dir, "documents"), "doc_id", "text", k = 3, threshold = 0.8)),
 
     // PPJoin-style prefix-filtered Jaccard join: each doc indexes only
     // its rarest |d|-ceil(t|d|)+1 shingles under a global (df, hash)
@@ -579,6 +595,18 @@ object PipelineQueries {
         col("source"), TextOps.fingerprint(col("text")), col("doc_id"), k = 5)
         .select(col("group").as("source"), col("id").as("doc_id"), col("rank"))),
 
+    // Weighted sampling without replacement (Efraimidis-Spirtakis A-ES),
+    // k per source with probability ∝ n_chars: the hash-driven uniform
+    // replaces the RNG so the draw is layout-reproducible, and the
+    // per-group top-k rides the bounded-buffer aggregate (no window over
+    // the corpus). Priorities are never emitted — ranks only — so the
+    // ln() draw stays engine-comparable.
+    "q_sample_weighted" -> ((s, dir) =>
+      SamplingOps.weightedSamplePerGroup(
+        t(s, dir, "documents"),
+        col("source"), col("n_chars"), col("doc_id"), k = 10)
+        .select(col("group").as("source"), col("id").as("doc_id"), col("rank"))),
+
     // Keyword relevance search: rational-idf BM25 (no ln — bit-identical
     // scores on every engine/libm), one stats row broadcast back, row-local
     // scoring, TakeOrderedAndProject top-k. Two corpus passes, zero wide
@@ -955,6 +983,13 @@ object PipelineQueries {
           unix_micros(col("session_window.start")).as("session_start_us"),
           unix_micros(col("session_window.end")).as("session_end_us"),
           col("n_events"))),
+
+    // Time-weighted mean per user (piecewise-constant hold between
+    // events): integer cents x integer microsecond durations keep the
+    // accumulator reduction-order-proof; one user-keyed Exchange shared
+    // by the lead window and the aggregate.
+    "q_time_weighted_avg" -> ((s, dir) =>
+      EventOps.timeWeightedAvg(RefQueries.events(s, dir))),
 
     // Point-in-time join: latest click at-or-before each error, per user.
     // One union + one window shuffle — never a range cross product.
@@ -2377,6 +2412,32 @@ object PipelineQueries {
             .cast("int").as("was_clipped"))
     }),
 
+    // Robust per-type outlier report: median + MAD beat mean/std rules
+    // under heavy tails (one wild value cannot move a median). Exact
+    // half/quarter-grid medians; the 3·1.4826 consistency factor enters
+    // as the integer ratio 44780/10000 so both engines compare the same
+    // doubles. Three type-keyed passes with group-sized frames broadcast
+    // back (see ProfileOps.madOutliers' scale note).
+    "q_mad_outliers" -> ((s, dir) =>
+      ProfileOps.madOutliers(
+        RefQueries.events(s, dir)
+          .withColumn("__cents", round(col("value") * 100).cast("long")),
+        col("event_type"), col("__cents"))
+        .select(col("group").as("event_type"), col("n"), col("med"),
+          col("mad"), col("n_outliers"))),
+
+    // Tabular feature scaling: fit per-segment (n, Σx, Σx²) in one
+    // map-side-combined aggregate, broadcast the 5-row stats frame back,
+    // apply z row-locally — exact integer sums, then a fixed chain of
+    // correctly-rounded IEEE ops (bit-portable scores).
+    "q_standardize" -> ((s, dir) =>
+      PrepOps.standardizeByGroup(
+        t(s, dir, "customer"),
+        col("c_custkey"), col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("long"))
+        .select(col("id").as("c_custkey"), col("group").as("c_mktsegment"),
+          col("cents"), col("z"))),
+
     // k-anonymity audit (privacy gate for releasable training data):
     // quasi-identifier groups smaller than k single out individuals —
     // report every violating group. ONE map-side-combined aggregate over
@@ -3163,6 +3224,17 @@ object PipelineQueries {
     "q_text_fingerprint" ->
       s"SELECT doc_id, ${S.fingerprint("text")} AS fp FROM documents",
 
+    // Same two-regexp chain with the 'g' flag; both engines' [^a-z0-9\s]
+    // and \s classes agree on ASCII input.
+    "q_text_normalize" ->
+      s"""SELECT doc_id, text_norm,
+         |  CAST(length(text_norm) AS BIGINT) AS n_chars_norm
+         |FROM (
+         |  SELECT doc_id,
+         |    trim(regexp_replace(regexp_replace(lower(text),
+         |      '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')) AS text_norm
+         |  FROM documents)""".stripMargin,
+
     "q_repetition" ->
       s"""SELECT doc_id,
          | ${S.distinctTokenFrac("text")} AS distinct_token_frac,
@@ -3346,6 +3418,24 @@ object PipelineQueries {
 
     // Same all-pairs string-shingle formulation as q_dedup_ngram at the
     // prefix query's threshold: the oracle knows nothing about prefixes,
+    // Overlap coefficient over the same string-shingle formulation; the
+    // only change vs q_dedup_ngram is the min-side denominator.
+    "q_dedup_containment" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${S.tokens("text")} AS w FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')))) AS s
+         |  FROM toks WHERE len(w) >= 3),
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS intersection
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT id_a, id_b, intersection, sa.n AS n_a, sb.n AS n_b,
+         |  CAST(intersection AS DOUBLE)/least(sa.n, sb.n) AS containment
+         |FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+         |WHERE CAST(intersection AS DOUBLE)/least(sa.n, sb.n) >= 0.8""".stripMargin,
+
     // so a green row proves the prefix filter dropped NO qualifying pair.
     "q_dedup_prefix" ->
       s"""WITH toks AS (
@@ -3666,6 +3756,21 @@ object PipelineQueries {
         |WHERE doc_id % 100 < (CASE WHEN source = 'src0' THEN 13
         |                           WHEN source = 'src1' THEN 37
         |                           ELSE 61 END)""".stripMargin,
+
+    // A-ES twin: same affine draw, same ln(u)/w priority (both engines
+    // evaluate one correctly-rounded division inside ln, see
+    // SamplingOps.weightedSamplePerGroup's determinism note); priorities
+    // are compared, never emitted.
+    "q_sample_weighted" ->
+      """WITH pr AS (
+        |  SELECT source, doc_id,
+        |    ln((((doc_id % 999999937) * 2654435761 + 104729) % 999999937
+        |        + 1) / 999999938.0) / n_chars AS priority
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT source, doc_id, CAST(rank AS BIGINT) AS rank FROM (
+        |  SELECT source, doc_id, row_number() OVER (
+        |    PARTITION BY source ORDER BY priority DESC, doc_id) AS rank
+        |  FROM pr) WHERE rank <= 10""".stripMargin,
 
     // Verbatim twin of SamplingOps.portableHashKeep — same prime, same
     // affine constants, pure integer arithmetic on both engines.
@@ -4205,6 +4310,21 @@ object PipelineQueries {
         |  CAST(epoch_us(max(ts)) + 1800000000 AS BIGINT) AS session_end_us,
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM sess GROUP BY user_id, sid""".stripMargin,
+
+    // Integer cents x integer microsecond durations — both sums are exact
+    // int64 reductions, then the same two-division chain as the Spark
+    // side ((num/den)/100, each correctly rounded).
+    "q_time_weighted_avg" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+        |    epoch_us(lead(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id)) - epoch_us(ts) AS dur_us
+        |  FROM events)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+        |  CAST(sum(dur_us) AS BIGINT) AS span_us,
+        |  CAST(sum(cents * dur_us) AS DOUBLE) / CAST(sum(dur_us) AS DOUBLE)
+        |    / 100.0 AS twa_value
+        |FROM e WHERE dur_us IS NOT NULL GROUP BY user_id""".stripMargin,
 
     "q_topk_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders
@@ -4831,6 +4951,53 @@ object PipelineQueries {
       """SELECT c_nationkey, c_mktsegment,
         |  CAST(count(*) AS BIGINT) AS group_size
         |FROM customer GROUP BY 1, 2 HAVING count(*) < 10""".stripMargin,
+
+    // Same three-pass median/MAD shape; quantile_cont == Spark's exact
+    // interpolating percentile on the integer cents and their exact
+    // half-grid deviations.
+    "q_mad_outliers" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events),
+        |med AS (
+        |  SELECT event_type, quantile_cont(c, 0.5) AS med
+        |  FROM e GROUP BY 1),
+        |dev AS (
+        |  SELECT e.event_type, med,
+        |    abs(CAST(c AS DOUBLE) - med) AS d
+        |  FROM e JOIN med USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, quantile_cont(d, 0.5) AS mad
+        |  FROM dev GROUP BY 1)
+        |SELECT dev.event_type, CAST(count(*) AS BIGINT) AS n,
+        |  any_value(dev.med) AS med, any_value(mad.mad) AS mad,
+        |  CAST(sum(CASE WHEN dev.d * 10000 > mad.mad * 44780
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dev JOIN mad USING (event_type)
+        |GROUP BY dev.event_type""".stripMargin,
+
+    // Identical arithmetic chain: exact int64 (n, Σx, Σx²), then
+    // mean = Σx/n, std = sqrt(Σx²/n − mean²), z = (x − mean)/std — every
+    // float op correctly rounded in the same order on both engines.
+    "q_standardize" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer),
+        |s AS (
+        |  SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sm,
+        |    CAST(sum(cents * cents) AS BIGINT) AS sq
+        |  FROM c GROUP BY 1),
+        |m AS (
+        |  SELECT c_mktsegment, CAST(sm AS DOUBLE) / n AS mean,
+        |    sqrt(CAST(sq AS DOUBLE) / n -
+        |         (CAST(sm AS DOUBLE) / n) * (CAST(sm AS DOUBLE) / n)) AS std
+        |  FROM s)
+        |SELECT c_custkey, c.c_mktsegment, cents,
+        |  CASE WHEN std > 0 THEN (CAST(cents AS DOUBLE) - mean) / std
+        |       ELSE 0.0 END AS z
+        |FROM c JOIN m USING (c_mktsegment)""".stripMargin,
 
     // Both legs reuse proven formulations (the BM25 rational arithmetic
     // of q_bm25_search; the sequential-fold cosine of q_sim_topk); the

@@ -305,6 +305,43 @@ object EventOps {
         date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
         date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"))
 
+  /** Time-weighted mean of `value` per user (piecewise-constant hold:
+    * each event's value holds until the next event, weighted by the
+    * duration it held — the correct average for irregularly-sampled
+    * gauges, where a plain `avg` over-weights chatty periods). The last
+    * event of a user carries no duration and drops out, per the standard
+    * left-closed convention.
+    *
+    * Exactness: duration is integer epoch-microseconds from one `lead`
+    * window; value enters as integer cents, so the accumulator is a sum
+    * of exact int64 products — reduction-order-proof, engine-portable —
+    * with ONE final IEEE division pair. Int64 headroom: cents are
+    * O(10^4-10^7) and per-user held-durations sum to the observation
+    * span, so the numerator stays below ~span_us·max_cents; at
+    * multi-year spans with large gauges, pre-divide durations to
+    * seconds or use DECIMAL(38).
+    *
+    * Scale shape: ONE user-keyed Exchange shared by the lead window and
+    * the final aggregate (same partitioning key, no second shuffle).
+    * Output: (user_id, n_intervals, span_us, twa_value).
+    */
+  def timeWeightedAvg(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        cents(col("value")).as("__cents"))
+      .withColumn("__dur_us",
+        unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+      .filter(col("__dur_us").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_intervals"),
+        sum(col("__dur_us")).as("span_us"),
+        ((sum(col("__cents") * col("__dur_us")).cast("double") /
+          sum(col("__dur_us")).cast("double")) / 100.0).as("twa_value"))
+  }
+
   /** EWMA anomaly flags over per-key ordered series (monitoring the
     * volume of an ingest feed, an event type, a source partition — the
     * drop/spike detector a 100 TB pipeline runs over its own meters).

@@ -45,6 +45,25 @@ class DedupOpsSpec extends SparkSpec {
     assert(!pairs.contains((1L, 4L)))
   }
 
+  test("containmentPairs flags a short doc quoted inside a long one") {
+    val quoteDocs = Seq(
+      (1L, "alpha beta gamma delta"), // 2 3-shingles, both inside doc 2
+      (2L, "intro words alpha beta gamma delta and a long tail of extra content here"),
+      (3L, "totally unrelated text about other things entirely now")
+    ).toDF("doc_id", "text")
+    val out = DedupOps.containmentPairs(quoteDocs, "doc_id", "text", 3, 0.8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(5)))
+      .toMap
+    // doc 1's shingle set is wholly inside doc 2: containment 1.0
+    assert(out((1L, 2L)) == ((2L, 1.0)))
+    assert(out.size == 1)
+    // same pair is INVISIBLE to jaccard at the same threshold (union-drowned)
+    val j = DedupOps.ngramJaccardPairs(quoteDocs, "doc_id", "text", 3, 0.8)
+      .collect()
+    assert(j.isEmpty)
+  }
+
   test("ngramJaccardAgainst pairs only across corpora, never within one") {
     val left = Seq((10L, "the quick brown fox jumps over the lazy dog"),
       (11L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")

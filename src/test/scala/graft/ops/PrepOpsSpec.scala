@@ -67,6 +67,27 @@ class PrepOpsSpec extends SparkSpec {
     }
   }
 
+  test("standardizeByGroup: hand-computed z-scores; zero-variance group -> 0") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L),
+      (4L, "b", 7L), (5L, "b", 7L))
+      .toDF("id", "g", "c")
+    val out = PrepOps.standardizeByGroup(df, $"id", $"g", $"c").collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // a: mean 20, var = (100+400+900)/3 - 400 = 200/3... exact chain:
+    // sq/n = 1400/3, mean^2 = 400 -> std = sqrt(1400/3 - 400)
+    val stdA = math.sqrt(1400.0 / 3 - (60.0 / 3) * (60.0 / 3))
+    assert(out(1L) == (10.0 - 20.0) / stdA)
+    assert(out(2L) == 0.0)
+    assert(out(3L) == (30.0 - 20.0) / stdA)
+    // b: zero variance -> z pinned to 0, not NaN/Inf
+    assert(out(4L) == 0.0 && out(5L) == 0.0)
+    // layout invariance (exact integer sums -> identical floats)
+    val again = PrepOps.standardizeByGroup(df.repartition(7), $"id", $"g", $"c")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(again == out)
+  }
+
   test("bpeTrain learns the hand-computed merges in order, layout-invariant") {
     // word freqs: "aaab" x2, "ab" x1
     // round 1: (a,a)=4 beats (a,b)=3 -> merge; round 2: (a,b)=3; round 3: (aa,ab)=2

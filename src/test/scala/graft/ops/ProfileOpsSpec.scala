@@ -77,6 +77,33 @@ class ProfileOpsSpec extends SparkSpec {
     assert(one == many)
   }
 
+  test("madOutliers: hand-computed median/MAD, robust to one wild value") {
+    // group g: values 10,11,12,13,14 and one wild 10000 (cents)
+    val df = Seq(("g", 10L), ("g", 11L), ("g", 12L), ("g", 13L), ("g", 14L),
+      ("g", 10000L), ("h", 5L), ("h", 5L))
+      .toDF("k", "c")
+    val out = ProfileOps.madOutliers(df, $"k", $"c").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4)))).toMap
+    // g: sorted 10,11,12,13,14,10000 -> med = 12.5; deviations
+    // 2.5,1.5,0.5,0.5,1.5,9987.5 -> sorted 0.5,0.5,1.5,1.5,2.5,9987.5,
+    // MAD = 1.5; outliers: dev*10000 > 1.5*44780 = 67170 -> dev > 6.717:
+    // only the wild point. The mean/std rule would have flagged nothing
+    // (std ~ 4076 swallows every deviation).
+    assert(out("g") == ((6L, 12.5, 1.5, 1L)))
+    // h: constant group -> MAD 0, nothing beats a zero threshold strictly
+    // except nonzero deviations; here all deviations are 0 -> no outliers
+    assert(out("h") == ((2L, 5.0, 0.0, 0L)))
+  }
+
+  test("madOutliers is layout-invariant") {
+    val df = (1L to 5000L).map(i => (s"t${i % 3}", (i * 7919) % 100000))
+      .toDF("k", "c")
+    val a = ProfileOps.madOutliers(df, $"k", $"c").collect().toSet
+    val b = ProfileOps.madOutliers(df.repartition(17), $"k", $"c").collect().toSet
+    assert(a == b)
+  }
+
   test("skewReport: hand-computed percentiles, hot keys, nulls dropped") {
     import spark.implicits._
     // key 1: 60 rows (the hot key); keys 2..10: 4 rows each; one null key

@@ -97,6 +97,36 @@ class SamplingOpsSpec extends SparkSpec {
     assert(got == Set(("g1", 2L, 1L), ("g1", 1L, 2L), ("g2", 3L, 1L)))
   }
 
+  test("weightedSamplePerGroup: layout-invariant, k-bounded, weight-sensitive") {
+    // A-ES selects ∝ TOTAL weight: 20 rows x 1e6 dwarf ~10k rows x 1
+    val weighted = rows.withColumn("w",
+      when($"id" <= 20, lit(1e6)).otherwise(lit(1.0)))
+    val got = SamplingOps.weightedSamplePerGroup(weighted, $"stratum", $"w", $"id", k = 10)
+      .as[(String, Long, Long)].collect().toSet
+    val again = SamplingOps
+      .weightedSamplePerGroup(weighted.repartition(13), $"stratum", $"w", $"id", 10)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == again, "draw must not depend on input layout")
+    assert(got.groupBy(_._1).forall(_._2.size == 10))
+    // ids 1..20 carry 1e6x the weight of the other 9980 rows; A-ES fills
+    // the slots with them first (u^(1e-6) ~ 1). Stratum "a" holds only 6
+    // of the heavy ids (multiples of 3), "b" the other 14 competing for
+    // 10 slots — so the heavy ceiling is 6 + 10 = 16.
+    val heavyChosen = got.count(_._2 <= 20L)
+    assert(heavyChosen >= 15, s"expected heavy ids to dominate, got $heavyChosen/16")
+    // and the same draw UNWEIGHTED picks (almost) none of the first 20 ids
+    val unif = SamplingOps
+      .weightedSamplePerGroup(rows.withColumn("w", lit(1.0)), $"stratum", $"w", $"id", 10)
+      .as[(String, Long, Long)].collect().toSet
+    assert(unif.count(_._2 <= 20L) <= 1)
+    // rows with w <= 0 are excluded (A-ES undefined there)
+    val zeroed = SamplingOps.weightedSamplePerGroup(
+      rows.withColumn("w", when($"id" <= 9990, lit(0.0)).otherwise(lit(2.0))),
+      $"stratum", $"w", $"id", 10)
+      .as[(String, Long, Long)].collect()
+    assert(zeroed.forall(_._2 > 9990L) && zeroed.length == 10)
+  }
+
   test("mixtureResample replicates by whole weight and keeps the exact fraction") {
     val out = SamplingOps.mixtureResample(
       rows, $"stratum", $"id", Map("a" -> 2.5, "b" -> 0.25))

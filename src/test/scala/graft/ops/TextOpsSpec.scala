@@ -86,6 +86,19 @@ class TextOpsSpec extends SparkSpec {
     assert(one[Int](TextOps.piiCount($"t"), plain) == 0)
   }
 
+  test("normalizeText lowercases, strips symbols, collapses whitespace") {
+    val out = Seq(
+      "  Hello,   WORLD!!  42\tfoo\nbar  ",
+      "***",
+      "",
+      "already clean text"
+    ).toDF("t").select(TextOps.normalizeText($"t")).as[String].collect()
+    assert(out(0) == "hello world 42 foo bar")
+    assert(out(1) == "") // symbol-only input normalizes to empty
+    assert(out(2) == "")
+    assert(out(3) == "already clean text")
+  }
+
   test("tokenNgrams windows tokens; short docs yield empty") {
     val g = one[collection.Seq[String]](TextOps.tokenNgrams($"t", 2), "a b a b")
     assert(g.toSeq == Seq("a b", "b a", "a b"))

@@ -248,6 +248,21 @@ class EventOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("timeWeightedAvg: hand-computed piecewise-constant hold") {
+    val out = EventOps.timeWeightedAvg(fixture).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // user 10: 1.50 held 50 min, 2.25 held 15 min, 4.00 held 110 min;
+    // the last event (03:00, value 0.25) has no successor and drops out.
+    // twa = (150*50 + 225*15 + 400*110)/(175 min)/100
+    val num = 150L * 50 + 225L * 15 + 400L * 110
+    val den = 175L
+    assert(out(10L) == ((3L, den * 60L * 1000000L,
+      num.toDouble / den.toDouble / 100.0)))
+    // user 11 has a single event: no interval, no row
+    assert(!out.contains(11L))
+  }
+
   test("ewmaAnomalies: hand-computed fixed-point recurrence, strict thresholds") {
     def d(s: String) = java.sql.Date.valueOf(s)
     val series = Seq(
