@@ -398,6 +398,112 @@ object GraphOps {
     visited
   }
 
+  /** k-CORE: the maximal subgraph in which every node has degree >= k —
+    * the standard coreness filter for pruning weakly-connected spam/noise
+    * nodes from a web or interaction graph before expensive downstream
+    * analytics (a node kept by raw degree but dropped by k-core only
+    * touched other low-degree nodes).
+    *
+    * Matula-Beck peeling as `rounds` synchronous pruning rounds: each
+    * round computes degrees, keeps nodes with degree >= k, and restricts
+    * the edge list to kept endpoints. A round that removes nothing is a
+    * fixpoint and every later round is a no-op, so any `rounds` at or
+    * past convergence yields the true k-core — the early-exit check is a
+    * pure shortcut, never a semantics knob (KCore fixpoint pinned in
+    * GraphOpsSpec by rounds=r vs rounds=r+4 equality).
+    *
+    * Scale shape: the canonical simple-graph edge list is cached ONCE;
+    * every round is one map-side-combined degree aggregate plus two
+    * semi-joins keyed on the 8-byte node id, all edge-list-sized — the
+    * [[pageRank]] discipline of moving only node-sized state per round.
+    * Peeling depth on real graphs is small (the degeneracy ordering
+    * collapses in O(log n) synchronous rounds in practice); each round
+    * materializes via cache + count to cut lineage.
+    *
+    * Output: (node, degree) of the surviving subgraph, degree >= k.
+    */
+  def kCoreNodes(
+      pairs: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int,
+      rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val canon = pairs.select(
+      least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("u"),
+      greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    var e = canon.cache()
+    var nEdges = e.count()
+    var r = 0
+    var fixed = false
+    def degrees(edges: DataFrame): DataFrame =
+      edges.select(col("u").as("node"))
+        .union(edges.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    while (r < rounds && !fixed) {
+      val keep = degrees(e).filter(col("degree") >= k).select(col("node"))
+      val pruned = e
+        .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+        .select(col("u"), col("v")).cache()
+      val n = pruned.count()
+      fixed = n == nEdges
+      e.unpersist(false)
+      e = pruned
+      nEdges = n
+      r += 1
+    }
+    degrees(e).filter(col("degree") >= k)
+  }
+
+  /** Basket co-occurrence: for every unordered item pair appearing
+    * together in the same basket, the number of baskets containing both
+    * (market-basket affinity, co-view/co-purchase graphs, shingle-free
+    * related-items candidates).
+    *
+    * Pair generation is basket-LOCAL (self-join on the basket key with
+    * `item_a < item_b`), so the candidate volume is Σ size² over
+    * baskets — bounded a priori by the `maxBasketSize` raise_error
+    * guard (the intervalJoin skew discipline: one degenerate
+    * basket with 10^5 items would otherwise fan out to 10^10 pairs at
+    * 100 TB; loud refusal beats a silent blow-up). The pair count is one
+    * map-side-combined aggregate on the (item_a, item_b) composite key.
+    *
+    * Output: (item_a, item_b, n_baskets) with item_a < item_b and
+    * n_baskets >= minCount.
+    */
+  def cooccurrencePairs(
+      baskets: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      minCount: Long,
+      maxBasketSize: Long = 4096): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(maxBasketSize >= 2, s"maxBasketSize must be >= 2, got $maxBasketSize")
+    val items = baskets.select(
+      col(basketCol).as("bk"), col(itemCol).cast("long").as("item"))
+      .distinct()
+    val guarded = items
+      .withColumn("__bsz",
+        count(lit(1)).over(Window.partitionBy(col("bk"))))
+      .withColumn("__g",
+        when(col("__bsz") <= maxBasketSize, lit(0)).otherwise(raise_error(
+          format_string(
+            s"cooccurrencePairs: basket %s has more than $maxBasketSize " +
+              "items (skew guard; pre-filter mega-baskets or raise the cap)",
+            col("bk"))).cast("int")))
+      .select(col("bk"), col("item"), col("__g"))
+    guarded.as("a")
+      .join(guarded.as("b"),
+        col("a.bk") === col("b.bk") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+      .agg((count(lit(1)) + max(col("a.__g")) + max(col("b.__g")))
+        .as("n_baskets"))
+      .filter(col("n_baskets") >= minCount)
+  }
+
   /** [[connectedComponents]] extended to a full node table: nodes with no
     * edges become singleton components labeled by their own id.
     */

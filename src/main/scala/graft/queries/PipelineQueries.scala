@@ -173,6 +173,12 @@ object PipelineQueries {
       DedupOps.containmentPairs(
         t(s, dir, "documents"), "doc_id", "text", k = 3, threshold = 0.8)),
 
+    // Mosaic-duplication salvage score: the fraction of a doc's shingles
+    // unseen in any earlier doc — the duplication tail pairwise
+    // thresholds miss. Index-sized aggregates only; no candidate join.
+    "q_novelty" -> ((s, dir) =>
+      DedupOps.noveltyScores(t(s, dir, "documents"), "doc_id", "text", k = 3)),
+
     // PPJoin-style prefix-filtered Jaccard join: each doc indexes only
     // its rarest |d|-ceil(t|d|)+1 shingles under a global (df, hash)
     // order — provably complete for J >= t (prefix-filtering lemma)
@@ -991,6 +997,12 @@ object PipelineQueries {
     "q_time_weighted_avg" -> ((s, dir) =>
       EventOps.timeWeightedAvg(RefQueries.events(s, dir))),
 
+    // Retry-storm / double-fire collapse: (user, type) events within 30 s
+    // of their predecessor merge into one burst row. Both window passes
+    // share one keyed Exchange; integer-microsecond gaps only.
+    "q_collapse_bursts" -> ((s, dir) =>
+      EventOps.collapseBursts(RefQueries.events(s, dir), gapUs = 30000000L)),
+
     // Point-in-time join: latest click at-or-before each error, per user.
     // One union + one window shuffle — never a range cross product.
     "q_asof_join" -> ((s, dir) => {
@@ -1079,6 +1091,29 @@ object PipelineQueries {
         .select(col("p.u"), col("p.v")).distinct()
       GraphOps.triangleCounts(edges, "u", "v")
     }),
+
+    // k-core of the customer-supplier interaction graph (disjoint
+    // even/odd node encoding, as q_pagerank): the coreness filter that
+    // drops weakly-attached nodes a raw degree cut keeps. rounds=8 is
+    // past fixpoint on this graph (rounds-invariance pinned in
+    // GraphOpsSpec); the oracle unrolls the identical 8 synchronous
+    // peel rounds.
+    "q_kcore" -> ((s, dir) => {
+      val e = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * lit(2L)).as("u"),
+          (col("l_suppkey") * lit(2L) + lit(1L)).as("v"))
+      GraphOps.kCoreNodes(e, "u", "v", k = 40, rounds = 8)
+        .select(col("node"), col("degree"))
+    }),
+
+    // Market-basket co-occurrence: unordered part pairs bought together
+    // in >= 3 orders. Basket-local pair generation under the
+    // maxBasketSize skew guard — never an unbounded item self-join.
+    "q_cooccurrence" -> ((s, dir) =>
+      GraphOps.cooccurrencePairs(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey", minCount = 3L)
+        .select(col("item_a"), col("item_b"), col("n_baskets"))),
 
     // First-touch funnel signup -> view -> click -> purchase: ONE shuffle
     // (conditional min per user), then a global single-row reduction —
@@ -2563,6 +2598,37 @@ object PipelineQueries {
        |SELECT node, CAST(rank AS BIGINT) AS rank_fp FROM r$iters""".stripMargin
   }
 
+  /** DuckDB twin of [[GraphOps.kCoreNodes]]: the same `rounds`
+    * synchronous Matula-Beck peel rounds, unrolled (degree aggregate ->
+    * keep-set -> edge restriction per round), over the identical
+    * canonical simple-graph edge list. Any rounds at or past fixpoint
+    * yields the true k-core in both engines, so the unroll depth only
+    * has to MATCH the Spark side, which it does by construction.
+    */
+  private def kCoreSql(k: Int, rounds: Int): String = {
+    // AS MATERIALIZED: each round's CTEs are referenced 2-3x; inlining
+    // would re-expand the whole prefix per reference (3^rounds parquet
+    // scans — observed as a "too many open files" blow-up at rounds=8).
+    val peels = (0 until rounds).map { i =>
+      s"""d${i + 1} AS MATERIALIZED (SELECT node, count(*) AS n FROM (
+         |  SELECT u AS node FROM e$i UNION ALL SELECT v FROM e$i) GROUP BY node),
+         |k${i + 1} AS MATERIALIZED (SELECT node FROM d${i + 1} WHERE n >= $k),
+         |e${i + 1} AS MATERIALIZED (SELECT u, v FROM e$i
+         |  WHERE u IN (SELECT node FROM k${i + 1})
+         |    AND v IN (SELECT node FROM k${i + 1}))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT DISTINCT
+       |    least(CAST(2 * o_custkey AS BIGINT), CAST(2 * l_suppkey + 1 AS BIGINT)) AS u,
+       |    greatest(CAST(2 * o_custkey AS BIGINT), CAST(2 * l_suppkey + 1 AS BIGINT)) AS v
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |$peels
+       |SELECT node, CAST(n AS BIGINT) AS degree FROM (
+       |  SELECT node, count(*) AS n FROM (
+       |    SELECT u AS node FROM e$rounds UNION ALL SELECT v FROM e$rounds)
+       |  GROUP BY node) WHERE n >= $k""".stripMargin
+  }
+
   /** DuckDB twin of the literal-centroid IVF search (q_sim_ivf_literal):
     * per-vector dots against the K=4 inlined centroids, sequential-CASE
     * argmax for the corpus assignment (ties -> lowest cid, matching the
@@ -3436,6 +3502,23 @@ object PipelineQueries {
          |FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
          |WHERE CAST(intersection AS DOUBLE)/least(sa.n, sb.n) >= 0.8""".stripMargin,
 
+    // Same string-shingle formulation; shingle -> min(doc_id), join back,
+    // one exact division and one exact IEEE subtraction per doc.
+    "q_novelty" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${S.tokens("text")} AS w FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')))) AS s
+         |  FROM toks WHERE len(w) >= 3),
+         |fs AS (SELECT s, min(doc_id) AS first_id FROM sh GROUP BY s)
+         |SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(sum(CASE WHEN first_id < sh.doc_id THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_seen_before,
+         |  1.0 - CAST(sum(CASE WHEN first_id < sh.doc_id THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty
+         |FROM sh JOIN fs ON sh.s = fs.s GROUP BY sh.doc_id""".stripMargin,
+
     // so a green row proves the prefix filter dropped NO qualifying pair.
     "q_dedup_prefix" ->
       s"""WITH toks AS (
@@ -3864,6 +3947,19 @@ object PipelineQueries {
         |FROM nodes GROUP BY node""".stripMargin,
 
     "q_pagerank_dangling" -> pageRankOracle(iters = 3, dangling = true),
+
+    "q_kcore" -> kCoreSql(k = 40, rounds = 8),
+
+    // Basket-local pair join on the distinct (order, part) set — the
+    // oracle needs no skew guard at its scale.
+    "q_cooccurrence" ->
+      """WITH it AS (
+        |  SELECT DISTINCT l_orderkey AS bk, CAST(l_partkey AS BIGINT) AS item
+        |  FROM lineitem)
+        |SELECT a.item AS item_a, b.item AS item_b,
+        |  CAST(count(*) AS BIGINT) AS n_baskets
+        |FROM it a JOIN it b ON a.bk = b.bk AND a.item < b.item
+        |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
 
     "q_quality_filter" ->
       s"""WITH q AS (
@@ -4325,6 +4421,26 @@ object PipelineQueries {
         |  CAST(sum(cents * dur_us) AS DOUBLE) / CAST(sum(dur_us) AS DOUBLE)
         |    / 100.0 AS twa_value
         |FROM e WHERE dur_us IS NOT NULL GROUP BY user_id""".stripMargin,
+
+    // Same lag-flag-and-running-sum sessionization in integer
+    // microseconds; burst_id's HUGEINT window sum casts back to BIGINT.
+    "q_collapse_bursts" ->
+      """WITH x AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    epoch_us(ts) - epoch_us(lag(ts) OVER (
+        |      PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id)) AS gap
+        |  FROM events),
+        |b AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us,
+        |    sum(CASE WHEN gap IS NULL OR gap > 30000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS burst_id
+        |  FROM x)
+        |SELECT user_id, event_type, CAST(burst_id AS BIGINT) AS burst_id,
+        |  CAST(min(us) AS BIGINT) AS start_us,
+        |  CAST(count(*) AS BIGINT) AS n_collapsed
+        |FROM b GROUP BY user_id, event_type, burst_id""".stripMargin,
 
     "q_topk_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders

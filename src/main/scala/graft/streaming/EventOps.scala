@@ -342,6 +342,48 @@ object EventOps {
           sum(col("__dur_us")).cast("double")) / 100.0).as("twa_value"))
   }
 
+  /** Burst collapse — telemetry dedup: repeated (user, event_type)
+    * firings closer than `gapUs` microseconds to their predecessor are
+    * one logical event (retry storms, double-clicks, at-least-once
+    * delivery), so each maximal burst collapses to one row. This is the
+    * event-stream analogue of exact document dedup: at 100 TB of clicks
+    * it routinely removes double-digit percentages before any downstream
+    * aggregate pays for the duplicates.
+    *
+    * Deterministic sessionization without state: the gap-to-predecessor
+    * flag (`lag` window) marks burst starts, a running sum of flags
+    * numbers the bursts, and one aggregate per (user, type, burst) emits
+    * the burst's first timestamp and collapsed count. All arithmetic is
+    * integer microseconds — bit-portable, no float time math.
+    *
+    * Scale shape: both window passes share ONE (user_id, event_type)
+    * keyed Exchange + sort; the closing aggregate re-keys on the
+    * burst-qualified key (event-sized rows, map-side combined). Compare
+    * [[sessionize]], which uses the same flag-and-sum shape for
+    * inactivity sessions over all of a user's events.
+    *
+    * Output: (user_id, event_type, burst_id, start_us, n_collapsed).
+    */
+  def collapseBursts(events: DataFrame, gapUs: Long): DataFrame = {
+    require(gapUs > 0, s"gapUs must be > 0, got $gapUs")
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("__prev_us", unix_micros(lag(col("ts"), 1).over(w)))
+      .withColumn("__new_burst",
+        when(col("__prev_us").isNull ||
+          unix_micros(col("ts")) - col("__prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("burst_id",
+        sum(col("__new_burst")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("event_type"), col("burst_id"))
+      .agg(
+        unix_micros(min(col("ts"))).as("start_us"),
+        count(lit(1)).as("n_collapsed"))
+  }
+
   /** EWMA anomaly flags over per-key ordered series (monitoring the
     * volume of an ingest feed, an event type, a source partition — the
     * drop/spike detector a 100 TB pipeline runs over its own meters).

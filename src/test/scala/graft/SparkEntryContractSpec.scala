@@ -72,7 +72,7 @@ class SparkEntryContractSpec extends AnyFunSuite {
     // tables
     val ref = "(?i)(?:FROM|JOIN)\\s+([a-zA-Z_][a-zA-Z0-9_]*+)(?!\\s*\\()".r
     SparkEntry.oracleSql.foreach { case (name, sql) =>
-      val ctes = "(?i)([a-zA-Z_][a-zA-Z0-9_]*)\\s*(?:\\([^)]*\\))?\\s+AS\\s*\\(".r
+      val ctes = "(?i)([a-zA-Z_][a-zA-Z0-9_]*)\\s*(?:\\([^)]*\\))?\\s+AS\\s*(?:MATERIALIZED\\s*)?\\(".r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       ref.findAllMatchIn(sql).map(_.group(1).toLowerCase).foreach { t =>
         assert(tables.contains(t) || ctes.contains(t),

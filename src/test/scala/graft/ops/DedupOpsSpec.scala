@@ -408,4 +408,24 @@ class DedupOpsSpec extends SparkSpec {
     assert(prefixLen < fullEntries / 2,
       s"prefix index $prefixLen should be well under full $fullEntries")
   }
+
+  test("noveltyScores: first doc fully novel; verbatim copy fully seen; partial overlap exact") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),         // shingles: ab g, b g d -> first, all novel
+      (2L, "alpha beta gamma delta"),         // exact copy -> novelty 0
+      (3L, "alpha beta gamma epsilon zeta"),  // 3 shingles, 1 seen (a b g)
+      (4L, "xx yy")).toDF("doc_id", "text")   // < k tokens -> no row
+    val got = DedupOps.noveltyScores(docs, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet == Set(1L, 2L, 3L), s"got $got")
+    assert(got(1L) == ((2L, 0L, 1.0)))
+    assert(got(2L) == ((2L, 2L, 0.0)))
+    assert(got(3L) == ((3L, 1L, 1.0 - 1.0 / 3.0)))
+    // layout invariance: scores are set-algebra over min ids
+    val re = DedupOps.noveltyScores(docs.repartition(7), "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(re == got)
+  }
 }

@@ -255,4 +255,52 @@ class GraphOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(multi == Map(1L -> 0, 4L -> 0, 2L -> 1, 5L -> 1, 3L -> 2, 6L -> 2))
   }
+
+  test("kCoreNodes: hand-computed 2-core; peeling cascades") {
+    // Triangle 1-2-3 (2-core) with a pendant chain 3-4-5: removing 5
+    // (deg 1) exposes 4 (deg 1) — the cascade needs two rounds, and the
+    // triangle must survive both.
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    val got = GraphOps.kCoreNodes(edges, "a", "b", k = 2, rounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2, 2L -> 2, 3L -> 2), s"got $got")
+  }
+
+  test("kCoreNodes: rounds at/past fixpoint agree; parallel edges and self-loops collapse") {
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(400)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .toDF("a", "b")
+    def run(rounds: Int) =
+      GraphOps.kCoreNodes(edges, "a", "b", k = 4, rounds = rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r8 = run(8)
+    assert(r8 == run(12), "extra rounds past fixpoint changed the result")
+    assert(r8.nonEmpty && r8.values.forall(_ >= 4))
+    // duplicate + reversed edges and self-loops do not inflate degrees
+    val doubled = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+      .union(Seq((7L, 7L)).toDF("a", "b"))
+    val gotDoubled = GraphOps.kCoreNodes(doubled, "a", "b", k = 4, rounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotDoubled == r8)
+  }
+
+  test("cooccurrencePairs: hand case, minCount filter, and the basket-size guard") {
+    val baskets = Seq(
+      (1, 10L), (1, 11L), (1, 12L),
+      (2, 10L), (2, 11L),
+      (3, 10L), (3, 11L), (3, 11L), // duplicate item collapses
+      (4, 12L)).toDF("bk", "item")
+    val got = GraphOps.cooccurrencePairs(baskets, "bk", "item", minCount = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((10L, 11L) -> 3L), s"got $got")
+    val all = GraphOps.cooccurrencePairs(baskets, "bk", "item", minCount = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(all == Map((10L, 11L) -> 3L, (10L, 12L) -> 1L, (11L, 12L) -> 1L))
+    val err = intercept[Exception] {
+      GraphOps.cooccurrencePairs(baskets, "bk", "item",
+        minCount = 1L, maxBasketSize = 2L).collect()
+    }
+    assert(err.getMessage.contains("basket"), err.getMessage)
+  }
 }

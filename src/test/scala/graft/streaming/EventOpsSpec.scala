@@ -263,6 +263,35 @@ class EventOpsSpec extends SparkSpec {
     assert(!out.contains(11L))
   }
 
+  test("collapseBursts: gap threshold is strict; bursts split per (user, type)") {
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10L, "click", 0.0),
+      (2L, ts("2024-01-01 00:00:20"), 10L, "click", 0.0), // 20s gap -> same burst
+      (3L, ts("2024-01-01 00:00:50"), 10L, "click", 0.0), // exactly 30s -> same (strict >)
+      (4L, ts("2024-01-01 00:01:21"), 10L, "click", 0.0), // 31s -> NEW burst
+      (5L, ts("2024-01-01 00:00:25"), 10L, "view", 0.0),  // other type: own burst
+      (6L, ts("2024-01-01 00:00:05"), 11L, "click", 0.0)  // other user: own burst
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventOps.collapseBursts(events, gapUs = 30000000L)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getLong(4))))
+      .toMap
+    def us(s: String) = ts(s).getTime * 1000L
+    assert(got == Map(
+      (10L, "click", 1L) -> ((us("2024-01-01 00:00:00"), 3L)),
+      (10L, "click", 2L) -> ((us("2024-01-01 00:01:21"), 1L)),
+      (10L, "view", 1L) -> ((us("2024-01-01 00:00:25"), 1L)),
+      (11L, "click", 1L) -> ((us("2024-01-01 00:00:05"), 1L))), s"got $got")
+    // layout invariance
+    val re = EventOps.collapseBursts(events.repartition(5), 30000000L)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(re == got)
+  }
+
   test("ewmaAnomalies: hand-computed fixed-point recurrence, strict thresholds") {
     def d(s: String) = java.sql.Date.valueOf(s)
     val series = Seq(
