@@ -458,6 +458,59 @@ object GraphOps {
     degrees(e).filter(col("degree") >= k)
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007) for community
+    * detection, made fully DETERMINISTIC: every node starts labeled by
+    * its own id; each round it adopts the most frequent label among its
+    * neighbors, ties broken toward the SMALLEST label; `rounds` is fixed
+    * (the caller picks the budget — LPA has no natural fixpoint on many
+    * graphs, and synchronous variants can oscillate, so a bounded round
+    * count IS the semantics, not an approximation of one).
+    * Connected-components ([[connectedComponents]]) answers "reachable
+    * at all"; LPA answers "densely attached where", splitting a
+    * connected near-dup/interaction graph into cohesive groups.
+    *
+    * Scale shape: the bidirectional edge list is partitioned by the
+    * neighbor key ONCE and cached; each round is one edge-sized join
+    * against the node-sized label frame, one map-side-combined
+    * (node, label) count, and one bounded argmax via max(struct) — no
+    * window, no sort. Labels materialize per round (cache + count) to
+    * cut lineage, the [[pageRank]] discipline.
+    *
+    * Output: (node, label) after `rounds` rounds.
+    */
+  def labelPropagation(
+      pairs: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val canon = pairs.select(
+      least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("u"),
+      greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val bidir = canon.select(col("u").as("node"), col("v").as("nbr"))
+      .union(canon.select(col("v").as("node"), col("u").as("nbr")))
+      .repartition(col("nbr")).cache()
+    var labels = bidir.select(col("node")).distinct()
+      .select(col("node"), col("node").as("label")).cache()
+    labels.count()
+    for (_ <- 1 to rounds) {
+      val next = bidir
+        .join(labels.select(col("node").as("nbr"), col("label")), "nbr")
+        .groupBy(col("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("node"))
+        // argmax count, ties -> smallest label: max over (cnt, -label)
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("label"))
+        .cache()
+      next.count()
+      labels.unpersist(false)
+      labels = next
+    }
+    labels
+  }
+
   /** Basket co-occurrence: for every unordered item pair appearing
     * together in the same basket, the number of baskets containing both
     * (market-basket affinity, co-view/co-purchase graphs, shingle-free

@@ -168,6 +168,34 @@ object LakeOps {
     * join state; this is the same single Exchange with constant-size agg
     * state per key, and it extends to multi-version changelogs for free.
     */
+  /** Per-partition content fingerprints — rsync-style drift detection for
+    * a lake: two snapshots of a partition match iff (n_rows, fp_xor)
+    * match, so a 100 TB sync/audit pass compares one tiny frame per side
+    * instead of re-reading either lake. XOR is the right fold here: it is
+    * commutative/associative (layout- and merge-order-proof), needs no
+    * overflow handling (unlike an ANSI int64 sum), and any single-row
+    * change flips the aggregate with probability 1 - 2^-64. Known XOR
+    * blind spot: an EVEN number of byte-identical duplicate rows cancels
+    * itself — which the row count catches, hence the pair.
+    *
+    * `contentHash` should be an engine-portable row hash (e.g.
+    * [[TextOps.fingerprint]]) when the result is compared across engines;
+    * any deterministic 64-bit hash works within one engine.
+    *
+    * Output: (partition value(s), n_rows, fp_xor) via ONE
+    * map-side-combined aggregate.
+    */
+  def partitionFingerprints(
+      df: DataFrame,
+      contentHash: Column,
+      partCols: (String, Column)*): DataFrame = {
+    require(partCols.nonEmpty, "partitionFingerprints needs >= 1 partition column")
+    df.groupBy(partCols.map { case (n, c) => c.as(n) }: _*)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        bit_xor(contentHash).as("fp_xor"))
+  }
+
   def applyChanges(
       snapshot: DataFrame,
       changes: DataFrame,

@@ -416,6 +416,16 @@ object PipelineQueries {
           .as("touch_cents"))
     }),
 
+    // Lake drift detection: one (n_rows, xor-of-content-hash) row per
+    // (source, lang) partition — snapshot comparison without re-reading
+    // either lake. The portable rolling fingerprint makes the XOR
+    // engine-comparable.
+    "q_partition_hash" -> ((s, dir) =>
+      LakeOps.partitionFingerprints(
+        t(s, dir, "documents"),
+        TextOps.fingerprint(col("text")),
+        "source" -> col("source"), "lang" -> col("lang"))),
+
     // Column-level data profiling (exact): per column, row/null/distinct
     // counts + stringified min/max. Each UNION leg prunes its scan to ONE
     // column (total bytes across legs == one full-width scan) and the
@@ -1003,6 +1013,11 @@ object PipelineQueries {
     "q_collapse_bursts" -> ((s, dir) =>
       EventOps.collapseBursts(RefQueries.events(s, dir), gapUs = 30000000L)),
 
+    // Next-event training pairs: context = up to 3 preceding event types
+    // per user, oldest first. One keyed Exchange; bounded ROWS frame.
+    "q_seq_windows" -> ((s, dir) =>
+      EventOps.sequenceWindows(RefQueries.events(s, dir), ctxLen = 3)),
+
     // Point-in-time join: latest click at-or-before each error, per user.
     // One union + one window shuffle — never a range cross product.
     "q_asof_join" -> ((s, dir) => {
@@ -1114,6 +1129,23 @@ object PipelineQueries {
       GraphOps.cooccurrencePairs(
         t(s, dir, "lineitem"), "l_orderkey", "l_partkey", minCount = 3L)
         .select(col("item_a"), col("item_b"), col("n_baskets"))),
+
+    // Deterministic synchronous LPA (4 rounds, neighbor-majority, min
+    // label on ties) over the part co-occurrence graph: splits the
+    // connected graph into cohesive groups where components can't. The
+    // oracle unrolls the identical 4 rounds.
+    "q_communities" -> ((s, dir) => {
+      val ps = col("ps")
+      val edges = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .select(explode(flatten(transform(ps,
+          (x, i) => transform(slice(ps, i + 2, size(ps)),
+            y => struct(x.cast("long").as("u"), y.cast("long").as("v"))))))
+          .as("p"))
+        .select(col("p.u"), col("p.v")).distinct()
+      GraphOps.labelPropagation(edges, "u", "v", rounds = 4)
+    }),
 
     // First-touch funnel signup -> view -> click -> purchase: ONE shuffle
     // (conditional min per user), then a global single-row reduction —
@@ -2629,6 +2661,38 @@ object PipelineQueries {
        |  GROUP BY node) WHERE n >= $k""".stripMargin
   }
 
+  /** DuckDB twin of [[GraphOps.labelPropagation]] on the part
+    * co-occurrence graph: the same `rounds` synchronous label updates,
+    * unrolled (neighbor-label count -> per-node argmax with the
+    * identical ties-to-smallest-label rule), MATERIALIZED against
+    * exponential CTE inlining as [[kCoreSql]].
+    */
+  private def lpaSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""c$i AS MATERIALIZED (
+         |  SELECT b.node, l.label, count(*) AS cnt
+         |  FROM bid b JOIN l${i - 1} l ON b.nbr = l.node GROUP BY 1, 2),
+         |l$i AS MATERIALIZED (
+         |  SELECT node, label FROM (
+         |    SELECT node, label, row_number() OVER (
+         |      PARTITION BY node ORDER BY cnt DESC, label) AS rn FROM c$i)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH it AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey, CAST(l_partkey AS BIGINT) AS item
+       |  FROM lineitem),
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT a.item AS u, b.item AS v
+       |  FROM it a JOIN it b
+       |    ON a.l_orderkey = b.l_orderkey AND a.item < b.item),
+       |bid AS MATERIALIZED (
+       |  SELECT u AS node, v AS nbr FROM e0
+       |  UNION ALL SELECT v, u FROM e0),
+       |l0 AS MATERIALIZED (SELECT DISTINCT node, node AS label FROM bid),
+       |$steps
+       |SELECT node, CAST(label AS BIGINT) AS label FROM l$rounds""".stripMargin
+  }
+
   /** DuckDB twin of the literal-centroid IVF search (q_sim_ivf_literal):
     * per-vector dots against the K=4 inlined centroids, sequential-CASE
     * argmax for the corpus assignment (ties -> lowest cid, matching the
@@ -3061,6 +3125,13 @@ object PipelineQueries {
         |        AND min(CAST(round(l_extendedprice * 100) AS BIGINT)) <= 9100000
         |    THEN 1 ELSE 0 END AS touch_cents
         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    // Same portable rolling fingerprint; DuckDB's bit_xor is the same
+    // order-free 64-bit fold.
+    "q_partition_hash" ->
+      s"""SELECT source, lang, CAST(count(*) AS BIGINT) AS n_rows,
+         |  bit_xor(${S.fingerprint("text")}) AS fp_xor
+         |FROM documents GROUP BY 1, 2""".stripMargin,
 
     "q_merge_upsert" ->
       """WITH base AS (
@@ -3960,6 +4031,18 @@ object PipelineQueries {
         |  CAST(count(*) AS BIGINT) AS n_baskets
         |FROM it a JOIN it b ON a.bk = b.bk AND a.item < b.item
         |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
+
+    "q_communities" -> lpaSql(rounds = 4),
+
+    // Window list() honors the bounded ROWS frame; an empty frame yields
+    // NULL -> coalesce to '' matching Spark's empty-array array_join.
+    "q_seq_windows" ->
+      """SELECT user_id, event_id,
+        |  coalesce(array_to_string(list(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), '|'), '') AS context,
+        |  event_type AS target
+        |FROM events""".stripMargin,
 
     "q_quality_filter" ->
       s"""WITH q AS (

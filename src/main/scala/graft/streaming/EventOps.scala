@@ -384,6 +384,34 @@ object EventOps {
         count(lit(1)).as("n_collapsed"))
   }
 
+  /** Sliding context windows over per-user event sequences — the
+    * training-pair extraction for next-event models (and the event-stream
+    * analogue of token-window chunking in [[graft.ops.PrepOps]]): each
+    * event becomes one example whose context is the types of up to
+    * `ctxLen` immediately preceding events, oldest first, joined by '|'
+    * ('' when the event opens its user's history).
+    *
+    * Scale shape: ONE (user_id)-keyed Exchange + sort; the bounded
+    * ROWS-frame `collect_list` buffers at most `ctxLen` strings per row
+    * (never a whole user history), so memory is O(ctxLen) per in-flight
+    * row and the output is input-sized. Deterministic because the sort
+    * key (ts, event_id) is unique per user.
+    *
+    * Output: (user_id, event_id, context, target).
+    */
+  def sequenceWindows(events: DataFrame, ctxLen: Int): DataFrame = {
+    require(ctxLen >= 1, s"ctxLen must be >= 1, got $ctxLen")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-ctxLen, -1)
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("context",
+        array_join(collect_list(col("event_type")).over(w), "|"))
+      .select(col("user_id"), col("event_id"), col("context"),
+        col("event_type").as("target"))
+  }
+
   /** EWMA anomaly flags over per-key ordered series (monitoring the
     * volume of an ingest feed, an event type, a source partition — the
     * drop/spike detector a 100 TB pipeline runs over its own meters).

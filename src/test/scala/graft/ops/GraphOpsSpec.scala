@@ -285,6 +285,35 @@ class GraphOpsSpec extends SparkSpec {
     assert(gotDoubled == r8)
   }
 
+  test("labelPropagation: two cliques + bridge split into min-labeled communities") {
+    // Clique {1,2,3} and clique {10,11,12} joined by one bridge 3-10.
+    // Hand-traced synchronous rounds: label 1 wins clique A by round 2;
+    // the bridge leaks node 3's ID into clique B, where tie-breaks carry
+    // it to all of {10,11,12} by round 4 — two communities, labels 1 and
+    // 3, stable from round 4 on. (The leaked-label value is exactly the
+    // determinism being pinned: any tie-break change shifts it.)
+    val k3a = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val k3b = Seq((10L, 11L), (11L, 12L), (10L, 12L))
+    val edges = (k3a ++ k3b :+ (3L, 10L)).toDF("a", "b")
+    val got = GraphOps.labelPropagation(edges, "a", "b", rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 3L, 11L -> 3L, 12L -> 3L), s"got $got")
+    // deterministic and layout-invariant
+    val re = GraphOps.labelPropagation(edges.repartition(7), "a", "b", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(re == got)
+  }
+
+  test("labelPropagation: single round on a star adopts the hub/spoke labels symmetrically") {
+    // Star 5-(1,2,3): after one synchronous round the hub sees labels
+    // {1,2,3} (tie -> 1) and each spoke sees only {5}.
+    val edges = Seq((5L, 1L), (5L, 2L), (5L, 3L)).toDF("a", "b")
+    val got = GraphOps.labelPropagation(edges, "a", "b", rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(5L -> 1L, 1L -> 5L, 2L -> 5L, 3L -> 5L), s"got $got")
+  }
+
   test("cooccurrencePairs: hand case, minCount filter, and the basket-size guard") {
     val baskets = Seq(
       (1, 10L), (1, 11L), (1, 12L),

@@ -257,4 +257,25 @@ class LakeOpsSpec extends SparkSpec {
     // deterministic under input layout: same plan from a 7-way shuffle
     assert(planOf(files.repartition(7)) == plan)
   }
+
+  test("partitionFingerprints: drift flips the XOR; even-duplicate blind spot caught by count") {
+    import spark.implicits._
+    val snapA = Seq(
+      ("s1", "a"), ("s1", "b"), ("s2", "c")).toDF("part", "txt")
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      LakeOps.partitionFingerprints(df, xxhash64($"txt"), "part" -> $"part")
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+    val a = fp(snapA)
+    // identical snapshot in a different layout matches exactly
+    assert(fp(snapA.repartition(5)) == a)
+    // one changed row flips that partition's fingerprint, leaves the other
+    val b = fp(Seq(("s1", "a"), ("s1", "B"), ("s2", "c")).toDF("part", "txt"))
+    assert(b("s1") != a("s1") && b("s2") == a("s2"))
+    // XOR blind spot: duplicating a row twice cancels the XOR — the row
+    // count is what still differs (why the pair is the contract)
+    val c = fp(Seq(("s1", "a"), ("s1", "b"), ("s1", "b"), ("s1", "b"),
+      ("s2", "c")).toDF("part", "txt"))
+    assert(c("s1")._2 == a("s1")._2 && c("s1")._1 != a("s1")._1)
+  }
 }

@@ -292,6 +292,19 @@ class EventOpsSpec extends SparkSpec {
     assert(re == got)
   }
 
+  test("sequenceWindows: bounded context, oldest first, empty at history start") {
+    val out = EventOps.sequenceWindows(fixture, ctxLen = 2)
+      .collect().map(r => r.getLong(1) -> ((r.getString(2), r.getString(3))))
+      .toMap
+    // user 10 ordered: 1 click, 2 click, 3 view, 5 click
+    assert(out(1L) == (("", "click")))
+    assert(out(2L) == (("click", "click")))
+    assert(out(3L) == (("click|click", "view")))
+    assert(out(5L) == (("click|view", "click"))) // frame slides: event 1 aged out
+    // user 11's single event opens its own history
+    assert(out(4L) == (("", "click")))
+  }
+
   test("ewmaAnomalies: hand-computed fixed-point recurrence, strict thresholds") {
     def d(s: String) = java.sql.Date.valueOf(s)
     val series = Seq(
