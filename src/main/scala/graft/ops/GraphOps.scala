@@ -557,6 +557,52 @@ object GraphOps {
       .filter(col("n_baskets") >= minCount)
   }
 
+  /** Newman modularity Q of a node partition — the standard quality
+    * score for a community assignment ([[labelPropagation]],
+    * [[connectedComponents]], any external clustering):
+    * Q = Σ_c (e_c/m − (d_c/2m)²) over communities, with m undirected
+    * edges, e_c intra-community edges, d_c the community degree sum.
+    *
+    * Computed as the exact integer rational
+    * Q = Σ_c (4·m·e_c − d_c²) / (4m²): every term and the numerator sum
+    * are int64 (reduction-order-proof), and the single closing division
+    * is one correctly-rounded IEEE op — so Q is bit-portable, unlike a
+    * naive Σ of per-community doubles whose summation order varies by
+    * engine. Headroom: needs d_c² and 4·m·e_c < 2^63 — fine to ~10^9
+    * community degree; past that, scale to DECIMAL(38).
+    *
+    * Scale shape: two edge-sized hash joins label the endpoints, then
+    * everything is community-sized aggregates. Output: ONE row
+    * (m_edges, q_num, q).
+    */
+  def modularity(
+      pairs: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      labels: DataFrame): DataFrame = {
+    val canon = pairs.select(
+      least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("u"),
+      greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("v"))
+      .filter(col("u") =!= col("v")).distinct().cache()
+    val lab = labels.select(col("node"), col("label"))
+    val labeled = canon
+      .join(lab.select(col("node").as("u"), col("label").as("la")), "u")
+      .join(lab.select(col("node").as("v"), col("label").as("lb")), "v")
+      .cache()
+    val m = labeled.count()
+    val intra = labeled.filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label")).agg(count(lit(1)).as("ec"))
+    val degc = labeled.select(col("u").as("node"), col("la").as("label"))
+      .union(labeled.select(col("v").as("node"), col("lb").as("label")))
+      .groupBy(col("label")).agg(count(lit(1)).as("dc"))
+    degc.join(intra, Seq("label"), "left")
+      .agg(sum(lit(4L) * lit(m) * coalesce(col("ec"), lit(0L)) -
+        col("dc") * col("dc")).as("q_num"))
+      .select(lit(m).as("m_edges"), col("q_num"),
+        (col("q_num").cast("double") / lit(4.0 * m.toDouble * m.toDouble))
+          .as("q"))
+  }
+
   /** [[connectedComponents]] extended to a full node table: nodes with no
     * edges become singleton components labeled by their own id.
     */

@@ -178,6 +178,47 @@ object SamplingOps {
     * Weights should be exact binary fractions (x.0/.25/.5/.75…) so
     * `floor`/`round` are exact in IEEE arithmetic on every engine.
     */
+  /** Temperature-flattened mixture PLAN: given a per-source corpus and a
+    * total row budget, allocate each source floor(budget · w_g / Σw)
+    * rows with w_g = sqrt(n_g) — the α = 0.5 temperature that upweights
+    * small sources relative to proportional sampling without letting one
+    * giant crawl dominate (multilingual/multi-source pretraining's
+    * standard mix). Allocations are capped at n_g (no oversampling here;
+    * compose with [[mixtureResample]] for >1× epochs).
+    *
+    * Exactness/portability: n_g are exact counts; sqrt is the ONE
+    * correctly-rounded float op, immediately quantized to an integer
+    * milli-weight `floor(1000·sqrt(n_g))` — from there everything is
+    * int64 arithmetic (sum, product, integer division), so the result is
+    * reduction-order-proof and engine-portable. A float Σw would NOT be:
+    * double summation order varies by engine and layout. α is fixed at
+    * 0.5 deliberately: a general pow(n, α) is not correctly rounded on
+    * every libm, sqrt is. Headroom: budget · w_milli needs
+    * budget · 1000·sqrt(max n_g) < 2^63 — fine to ~10^12-row sources.
+    *
+    * Scale shape: ONE map-side-combined count per source, then integer
+    * arithmetic on the sources-sized frame against a broadcast 1-row
+    * total. Output: (source, n_docs, w_milli, alloc).
+    */
+  def temperatureMixturePlan(
+      df: DataFrame,
+      sourceCol: Column,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be > 0, got $budget")
+    val counts = df.groupBy(sourceCol.as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_milli",
+        floor(sqrt(col("n_docs").cast("double")) * 1000.0).cast("long"))
+    val total = counts.agg(sum(col("w_milli")).as("__wsum"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("__num", lit(budget) * col("w_milli"))
+      // SQL `div`: exact int64 division — a double `/` would lose
+      // precision past 2^53 and truncate differently per engine
+      .withColumn("__alloc", expr("__num div __wsum"))
+      .select(col("source"), col("n_docs"), col("w_milli"),
+        least(col("n_docs"), col("__alloc")).as("alloc"))
+  }
+
   def mixtureResample(
       df: DataFrame,
       sourceCol: Column,

@@ -57,6 +57,23 @@ object PipelineQueries {
     ("colu", "m"), ("colum", "n"), ("cu", "st"), ("cust", "o"),
     ("custo", "mer"), ("f", "i"), ("fi", "l"))
 
+  /** Part co-occurrence edges (parts bought in the same order),
+    * generated ROW-LOCALLY from each order's sorted part set — shared by
+    * `q_triangles`, `q_communities`, and `q_modularity` (one definition;
+    * see q_triangles' plan note for the measured rationale).
+    */
+  private def partCooccurrenceEdges(s: SparkSession, dir: String): DataFrame = {
+    val ps = col("ps")
+    t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(flatten(transform(ps,
+        (x, i) => transform(slice(ps, i + 2, size(ps)),
+          y => struct(x.cast("long").as("u"), y.cast("long").as("v"))))))
+        .as("p"))
+      .select(col("p.u"), col("p.v")).distinct()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ------------------------------------------------------ text analysis
     "q_text_stats" -> ((s, dir) =>
@@ -1018,6 +1035,18 @@ object PipelineQueries {
     "q_seq_windows" -> ((s, dir) =>
       EventOps.sequenceWindows(RefQueries.events(s, dir), ctxLen = 3)),
 
+    // First-order Markov transitions: exact pair counts + one portable
+    // conditional-probability division per (prev, next) row.
+    "q_transition_matrix" -> ((s, dir) =>
+      EventOps.transitionMatrix(RefQueries.events(s, dir))),
+
+    // sqrt-temperature mixture allocation across sources for a 200-row
+    // budget: integer milli-weight grid end to end (see the op's
+    // portability note — a float Σw would be order-dependent).
+    "q_mixture_plan" -> ((s, dir) =>
+      SamplingOps.temperatureMixturePlan(
+        t(s, dir, "documents"), col("source"), budget = 200L)),
+
     // Point-in-time join: latest click at-or-before each error, per user.
     // One union + one window shuffle — never a range cross product.
     "q_asof_join" -> ((s, dir) => {
@@ -1094,18 +1123,8 @@ object PipelineQueries {
     // side, and one less distinct — measured 1.8 s -> 1.5 s warm for the
     // edge stage, and the at-scale shape no longer depends on the item
     // table fitting anywhere.
-    "q_triangles" -> ((s, dir) => {
-      val ps = col("ps")
-      val edges = t(s, dir, "lineitem")
-        .groupBy(col("l_orderkey"))
-        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-        .select(explode(flatten(transform(ps,
-          (x, i) => transform(slice(ps, i + 2, size(ps)),
-            y => struct(x.cast("long").as("u"), y.cast("long").as("v"))))))
-          .as("p"))
-        .select(col("p.u"), col("p.v")).distinct()
-      GraphOps.triangleCounts(edges, "u", "v")
-    }),
+    "q_triangles" -> ((s, dir) =>
+      GraphOps.triangleCounts(partCooccurrenceEdges(s, dir), "u", "v")),
 
     // k-core of the customer-supplier interaction graph (disjoint
     // even/odd node encoding, as q_pagerank): the coreness filter that
@@ -1134,17 +1153,18 @@ object PipelineQueries {
     // label on ties) over the part co-occurrence graph: splits the
     // connected graph into cohesive groups where components can't. The
     // oracle unrolls the identical 4 rounds.
-    "q_communities" -> ((s, dir) => {
-      val ps = col("ps")
-      val edges = t(s, dir, "lineitem")
-        .groupBy(col("l_orderkey"))
-        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-        .select(explode(flatten(transform(ps,
-          (x, i) => transform(slice(ps, i + 2, size(ps)),
-            y => struct(x.cast("long").as("u"), y.cast("long").as("v"))))))
-          .as("p"))
-        .select(col("p.u"), col("p.v")).distinct()
-      GraphOps.labelPropagation(edges, "u", "v", rounds = 4)
+    "q_communities" -> ((s, dir) =>
+      GraphOps.labelPropagation(partCooccurrenceEdges(s, dir), "u", "v",
+        rounds = 4)),
+
+    // Quality score of the LPA partition: exact integer rational
+    // Σ(4·m·e_c - d_c²) / 4m² — one portable closing division. Rerunning
+    // LPA in-query keeps the pair self-contained; the oracle replays the
+    // identical rounds then the same integer algebra.
+    "q_modularity" -> ((s, dir) => {
+      val edges = partCooccurrenceEdges(s, dir)
+      GraphOps.modularity(edges, "u", "v",
+        GraphOps.labelPropagation(edges, "u", "v", rounds = 4))
     }),
 
     // First-touch funnel signup -> view -> click -> purchase: ONE shuffle
@@ -2667,7 +2687,10 @@ object PipelineQueries {
     * identical ties-to-smallest-label rule), MATERIALIZED against
     * exponential CTE inlining as [[kCoreSql]].
     */
-  private def lpaSql(rounds: Int): String = {
+  private def lpaSql(
+      rounds: Int,
+      extraCtes: String = "",
+      finalSelect: String = null): String = {
     val steps = (1 to rounds).map { i =>
       s"""c$i AS MATERIALIZED (
          |  SELECT b.node, l.label, count(*) AS cnt
@@ -2678,6 +2701,8 @@ object PipelineQueries {
          |      PARTITION BY node ORDER BY cnt DESC, label) AS rn FROM c$i)
          |  WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
+    val fin = Option(finalSelect).getOrElse(
+      s"SELECT node, CAST(label AS BIGINT) AS label FROM l$rounds")
     s"""WITH it AS MATERIALIZED (
        |  SELECT DISTINCT l_orderkey, CAST(l_partkey AS BIGINT) AS item
        |  FROM lineitem),
@@ -2689,8 +2714,34 @@ object PipelineQueries {
        |  SELECT u AS node, v AS nbr FROM e0
        |  UNION ALL SELECT v, u FROM e0),
        |l0 AS MATERIALIZED (SELECT DISTINCT node, node AS label FROM bid),
-       |$steps
-       |SELECT node, CAST(label AS BIGINT) AS label FROM l$rounds""".stripMargin
+       |$steps$extraCtes
+       |$fin""".stripMargin
+  }
+
+  /** [[lpaSql]] extended with the modularity closing algebra of
+    * [[graft.ops.GraphOps.modularity]]: the same exact integer rational
+    * Σ(4·m·e_c − d_c²) / 4m² over the round-`rounds` LPA labels.
+    */
+  private def modularitySql(rounds: Int): String = {
+    val num = "sum(4 * (SELECT m FROM mm) * coalesce(ec, 0) - dc * dc)"
+    lpaSql(rounds,
+      extraCtes = s""",
+        |lab AS MATERIALIZED (SELECT node, label FROM l$rounds),
+        |mm AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS m FROM e0),
+        |le AS MATERIALIZED (
+        |  SELECT la.label AS la, lb.label AS lb
+        |  FROM e0 JOIN lab la ON e0.u = la.node
+        |          JOIN lab lb ON e0.v = lb.node),
+        |intra AS (SELECT la AS label, CAST(count(*) AS BIGINT) AS ec
+        |          FROM le WHERE la = lb GROUP BY la),
+        |degc AS (SELECT label, CAST(count(*) AS BIGINT) AS dc FROM (
+        |  SELECT la AS label FROM le UNION ALL SELECT lb FROM le)
+        |  GROUP BY label)""".stripMargin,
+      finalSelect = s"""SELECT (SELECT m FROM mm) AS m_edges,
+        |  CAST($num AS BIGINT) AS q_num,
+        |  CAST($num AS DOUBLE) /
+        |    (4.0 * (SELECT m FROM mm) * (SELECT m FROM mm)) AS q
+        |FROM degc LEFT JOIN intra USING (label)""".stripMargin)
   }
 
   /** DuckDB twin of the literal-centroid IVF search (q_sim_ivf_literal):
@@ -4033,6 +4084,39 @@ object PipelineQueries {
         |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
 
     "q_communities" -> lpaSql(rounds = 4),
+
+    "q_modularity" -> modularitySql(rounds = 4),
+
+    "q_transition_matrix" ->
+      """WITH pr AS (
+        |  SELECT user_id, event_type, lag(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |c AS (
+        |  SELECT prev_type, event_type AS next_type,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM pr WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS row_total
+        |      FROM c GROUP BY prev_type)
+        |SELECT c.prev_type, next_type, n,
+        |  CAST(n AS DOUBLE) / CAST(row_total AS DOUBLE) AS p
+        |FROM c JOIN t ON c.prev_type = t.prev_type""".stripMargin,
+
+    // Same integer milli-weight grid: one sqrt, then int64 only.
+    "q_mixture_plan" ->
+      """WITH c AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY source),
+        |w AS (
+        |  SELECT source, n_docs,
+        |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000.0) AS BIGINT)
+        |      AS w_milli
+        |  FROM c),
+        |s AS (SELECT CAST(sum(w_milli) AS BIGINT) AS wsum FROM w)
+        |SELECT source, n_docs, w_milli,
+        |  least(n_docs,
+        |    CAST((200 * w_milli) // (SELECT wsum FROM s) AS BIGINT)) AS alloc
+        |FROM w""".stripMargin,
 
     // Window list() honors the bounded ROWS frame; an empty frame yields
     // NULL -> coalesce to '' matching Spark's empty-array array_join.

@@ -399,6 +399,37 @@ object EventOps {
     *
     * Output: (user_id, event_id, context, target).
     */
+  /** First-order Markov transition matrix over per-user event-type
+    * sequences: for every (prev_type, next_type) pair, the global count
+    * of consecutive occurrences and the row-conditional probability
+    * P(next | prev). The standard behavioral summary (and the smoothing
+    * target for sequence models over [[sequenceWindows]] pairs).
+    *
+    * Counts are exact integers from one lag window + one
+    * map-side-combined aggregate; the probability is ONE correctly
+    * rounded IEEE division per output row (engine-portable). The
+    * per-prev totals ride a second tiny aggregate over the pair frame
+    * (pair-type-sized, broadcast back) — never a second pass over the
+    * events.
+    *
+    * Output: (prev_type, next_type, n, p).
+    */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("prev_type"))
+      .agg(sum(col("n")).as("row_total"))
+    pairs.join(totals, "prev_type")
+      .select(col("prev_type"), col("next_type"), col("n"),
+        (col("n").cast("double") / col("row_total").cast("double")).as("p"))
+  }
+
   def sequenceWindows(events: DataFrame, ctxLen: Int): DataFrame = {
     require(ctxLen >= 1, s"ctxLen must be >= 1, got $ctxLen")
     val w = Window.partitionBy(col("user_id"))

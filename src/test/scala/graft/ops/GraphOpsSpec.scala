@@ -314,6 +314,25 @@ class GraphOpsSpec extends SparkSpec {
     assert(got == Map(5L -> 1L, 1L -> 5L, 2L -> 5L, 3L -> 5L), s"got $got")
   }
 
+  test("modularity: two clean triangles score the textbook 0.5; one community scores 0") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L)).toDF("a", "b")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 4L), (5L, 4L), (6L, 4L)).toDF("node", "label")
+    val r = GraphOps.modularity(edges, "a", "b", labels).collect()(0)
+    // m=6; per community e_c=3, d_c=6 -> num = 2*(4*6*3 - 36) = 72
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == ((6L, 72L, 0.5)))
+    // everything in one community: Q = 0 exactly
+    val one = labels.select(col("node"), lit(1L).as("label"))
+    assert(GraphOps.modularity(edges, "a", "b", one).collect()(0)
+      .getDouble(2) == 0.0)
+    // a bad split (cut both triangles in half) scores negative
+    val bad = Seq((1L, 1L), (2L, 1L), (3L, 2L),
+      (4L, 1L), (5L, 2L), (6L, 2L)).toDF("node", "label")
+    assert(GraphOps.modularity(edges, "a", "b", bad).collect()(0)
+      .getDouble(2) < 0.0)
+  }
+
   test("cooccurrencePairs: hand case, minCount filter, and the basket-size guard") {
     val baskets = Seq(
       (1, 10L), (1, 11L), (1, 12L),

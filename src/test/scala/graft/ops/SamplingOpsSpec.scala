@@ -285,4 +285,26 @@ class SamplingOpsSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(one == eight)
   }
+
+  test("temperatureMixturePlan: sqrt flattening, integer grid, n_docs cap") {
+    val docs = (Seq.fill(4)("a") ++ Seq.fill(1)("b"))
+      .zipWithIndex.map { case (s, i) => (s, i.toLong) }.toDF("src", "id")
+    def plan(budget: Long) =
+      SamplingOps.temperatureMixturePlan(docs, $"src", budget)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+    // w_milli: sqrt(4)*1000=2000, sqrt(1)*1000=1000; wsum=3000
+    val p3 = plan(3L)
+    assert(p3 == Map("a" -> ((4L, 2000L, 2L)), "b" -> ((1L, 1000L, 1L))), s"got $p3")
+    // big budget: allocations cap at n_docs, never oversample
+    val p30 = plan(30L)
+    assert(p30("a")._3 == 4L && p30("b")._3 == 1L)
+    // sqrt flattening upweights the small source vs proportional:
+    // proportional gives b 3*1/5 = 0 rows at budget 3; temperature gives 1
+    assert(p3("b")._3 > 3L * 1L / 5L)
+    // layout invariance (integer arithmetic end to end)
+    val re = SamplingOps.temperatureMixturePlan(docs.repartition(7), $"src", 3L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(re == p3.map { case (k, v) => k -> v._3 })
+  }
 }

@@ -305,6 +305,17 @@ class EventOpsSpec extends SparkSpec {
     assert(out(4L) == (("", "click")))
   }
 
+  test("transitionMatrix: exact counts and row-conditional probabilities") {
+    val got = EventOps.transitionMatrix(fixture).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    // user 10: click->click, click->view, view->click; user 11: none
+    assert(got == Map(
+      ("click", "click") -> ((1L, 0.5)),
+      ("click", "view") -> ((1L, 0.5)),
+      ("view", "click") -> ((1L, 1.0))), s"got $got")
+  }
+
   test("ewmaAnomalies: hand-computed fixed-point recurrence, strict thresholds") {
     def d(s: String) = java.sql.Date.valueOf(s)
     val series = Seq(
