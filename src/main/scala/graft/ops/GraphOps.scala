@@ -516,13 +516,16 @@ object GraphOps {
     * (market-basket affinity, co-view/co-purchase graphs, shingle-free
     * related-items candidates).
     *
-    * Pair generation is basket-LOCAL (self-join on the basket key with
-    * `item_a < item_b`), so the candidate volume is Σ size² over
-    * baskets — bounded a priori by the `maxBasketSize` raise_error
-    * guard (the intervalJoin skew discipline: one degenerate
+    * Pair generation is basket-LOCAL and ROW-LOCAL: baskets collapse to
+    * one sorted distinct item set each (map-side-combined collect_set),
+    * and pairs explode from nested array transforms — no self-join, so
+    * the input is scanned ONCE and the whole op is two Exchanges (basket
+    * key, then pair key). A basket self-join was measured to re-scan and
+    * re-shuffle the input for each join side. Candidate volume is
+    * Σ size²/2 over baskets — bounded a priori by the `maxBasketSize`
+    * raise_error guard (the intervalJoin skew discipline: one degenerate
     * basket with 10^5 items would otherwise fan out to 10^10 pairs at
-    * 100 TB; loud refusal beats a silent blow-up). The pair count is one
-    * map-side-combined aggregate on the (item_a, item_b) composite key.
+    * 100 TB; loud refusal beats a silent blow-up).
     *
     * Output: (item_a, item_b, n_baskets) with item_a < item_b and
     * n_baskets >= minCount.
@@ -535,25 +538,21 @@ object GraphOps {
       maxBasketSize: Long = 4096): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     require(maxBasketSize >= 2, s"maxBasketSize must be >= 2, got $maxBasketSize")
-    val items = baskets.select(
-      col(basketCol).as("bk"), col(itemCol).cast("long").as("item"))
-      .distinct()
-    val guarded = items
-      .withColumn("__bsz",
-        count(lit(1)).over(Window.partitionBy(col("bk"))))
-      .withColumn("__g",
-        when(col("__bsz") <= maxBasketSize, lit(0)).otherwise(raise_error(
-          format_string(
+    val ps = col("__ps")
+    baskets
+      .groupBy(col(basketCol).as("bk"))
+      .agg(sort_array(collect_set(col(itemCol).cast("long"))).as("__ps0"))
+      .withColumn("__ps",
+        when(size(col("__ps0")) <= maxBasketSize, col("__ps0"))
+          .otherwise(raise_error(format_string(
             s"cooccurrencePairs: basket %s has more than $maxBasketSize " +
               "items (skew guard; pre-filter mega-baskets or raise the cap)",
-            col("bk"))).cast("int")))
-      .select(col("bk"), col("item"), col("__g"))
-    guarded.as("a")
-      .join(guarded.as("b"),
-        col("a.bk") === col("b.bk") && col("a.item") < col("b.item"))
-      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
-      .agg((count(lit(1)) + max(col("a.__g")) + max(col("b.__g")))
-        .as("n_baskets"))
+            col("bk"))).cast("array<bigint>")))
+      .select(explode(flatten(transform(ps,
+        (x, i) => transform(slice(ps, i + 2, size(ps)),
+          y => struct(x.as("item_a"), y.as("item_b")))))).as("p"))
+      .groupBy(col("p.item_a").as("item_a"), col("p.item_b").as("item_b"))
+      .agg(count(lit(1)).as("n_baskets"))
       .filter(col("n_baskets") >= minCount)
   }
 

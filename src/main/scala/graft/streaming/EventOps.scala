@@ -408,24 +408,25 @@ object EventOps {
     * Counts are exact integers from one lag window + one
     * map-side-combined aggregate; the probability is ONE correctly
     * rounded IEEE division per output row (engine-portable). The
-    * per-prev totals ride a second tiny aggregate over the pair frame
-    * (pair-type-sized, broadcast back) — never a second pass over the
-    * events.
+    * per-prev totals are a window over the aggregated PAIR frame
+    * (|types|² rows) — a totals-side join would re-scan and re-sort the
+    * whole event table a second time (observed in the physical plan),
+    * which at 100 TB doubles the dominant cost for a frame that fits in
+    * one page.
     *
     * Output: (prev_type, next_type, n, p).
     */
   def transitionMatrix(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    val pairs = events
+    events
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("prev_type", lag(col("event_type"), 1).over(w))
       .filter(col("prev_type").isNotNull)
       .groupBy(col("prev_type"), col("event_type").as("next_type"))
       .agg(count(lit(1)).as("n"))
-    val totals = pairs.groupBy(col("prev_type"))
-      .agg(sum(col("n")).as("row_total"))
-    pairs.join(totals, "prev_type")
+      .withColumn("row_total",
+        sum(col("n")).over(Window.partitionBy(col("prev_type"))))
       .select(col("prev_type"), col("next_type"), col("n"),
         (col("n").cast("double") / col("row_total").cast("double")).as("p"))
   }
