@@ -22,6 +22,24 @@ case class ClosedSession(
     user_id: Long, session_id: Long, n_events: Long,
     session_start: String, session_end: String)
 
+/** Input row for [[EventOps.collapseBurstsStream]]. */
+private[streaming] case class BurstEvent(
+    event_id: Long, ts: java.sql.Timestamp, user_id: Long, event_type: String)
+
+/** Open-burst state for [[EventOps.collapseBurstsStream]]: ordinal, first
+  * timestamp, last timestamp (all epoch micros) and collapsed count —
+  * constant size per (user, type) key.
+  */
+private[streaming] case class OpenBurst(
+    ordinal: Long, startUs: Long, lastUs: Long, n: Long)
+
+/** Closed burst emitted by [[EventOps.collapseBurstsStream]] — same shape
+  * as [[EventOps.collapseBursts]].
+  */
+case class ClosedBurst(
+    user_id: Long, event_type: String, burst_id: Long,
+    start_us: Long, n_collapsed: Long)
+
 /** Event-stream operators, written so the SAME plan runs batch or
   * streaming (`spark.readStream` + `writeStream`): tumbling-window
   * aggregation with a watermark, and gap-based sessionization.
@@ -382,6 +400,71 @@ object EventOps {
       .agg(
         unix_micros(min(col("ts"))).as("start_us"),
         count(lit(1)).as("n_collapsed"))
+  }
+
+  /** Streaming twin of [[collapseBursts]] — `flatMapGroupsWithState`
+    * keyed by (user, type), one [[OpenBurst]] (four longs) per live key:
+    * a burst closes either when a later event's gap exceeds `gapUs`
+    * in-data, or by event-time timeout once the watermark passes
+    * `last_ts + gap` — so state is bounded by keys active inside the
+    * watermark horizon, the correct shape for an unbounded telemetry
+    * feed. Each burst is emitted EXACTLY once (append mode).
+    *
+    * Burst ordinals count 1,2,3... per key exactly like the batch window
+    * formulation, provided events arrive within the watermark (the
+    * [[sessionizeStream]] contract). streamed==batch and
+    * restart-exactly-once are pinned in EventOpsSpec.
+    */
+  def collapseBurstsStream(
+      events: Dataset[BurstEvent],
+      gapUs: Long): Dataset[ClosedBurst] = {
+    require(gapUs > 0, s"gapUs must be > 0, got $gapUs")
+    val session = events.sparkSession
+    import session.implicits._
+    def usOf(t: java.sql.Timestamp): Long = t.getTime * 1000L
+    def close(key: (Long, String), b: OpenBurst): ClosedBurst =
+      ClosedBurst(key._1, key._2, b.ordinal, b.startUs, b.n)
+
+    def onGroup(
+        key: (Long, String),
+        batch: Iterator[BurstEvent],
+        state: GroupState[OpenBurst]): Iterator[ClosedBurst] = {
+      if (state.hasTimedOut) {
+        val b = state.get
+        state.remove()
+        Iterator(close(key, b))
+      } else {
+        val evs = batch.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+        val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedBurst]
+        var acc = state.getOption
+        evs.foreach { e =>
+          val t = usOf(e.ts)
+          acc = acc match {
+            case None => Some(OpenBurst(1L, t, t, 1L))
+            case Some(b) if t - b.lastUs > gapUs =>
+              closed += close(key, b)
+              Some(OpenBurst(b.ordinal + 1, t, t, 1L))
+            case Some(b) =>
+              Some(b.copy(lastUs = math.max(b.lastUs, t), n = b.n + 1))
+          }
+        }
+        acc.foreach { b =>
+          val closeAtMs = (b.lastUs + gapUs) / 1000L
+          if (state.getCurrentWatermarkMs() >= closeAtMs) {
+            closed += close(key, b)
+            state.remove()
+          } else {
+            state.update(b)
+            state.setTimeoutTimestamp(closeAtMs)
+          }
+        }
+        closed.iterator
+      }
+    }
+
+    events.groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[OpenBurst, ClosedBurst](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(onGroup)
   }
 
   /** Sliding context windows over per-user event sequences — the

@@ -145,6 +145,89 @@ class EventOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("collapseBurstsStream matches batch collapseBursts after flush") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String)]
+    val stream = mem.toDF().toDF("event_id", "ts", "user_id", "event_type")
+      .withWatermark("ts", "10 minutes")
+      .as[BurstEvent]
+    val q = EventOps.collapseBurstsStream(stream, gapUs = 30000000L)
+      .writeStream.format("memory").queryName("burst_out")
+      .outputMode("append").start()
+    val data = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10L, "click"),
+      (2L, ts("2024-01-01 00:00:20"), 10L, "click"),
+      (3L, ts("2024-01-01 00:00:50"), 10L, "click"), // 30s exactly: same burst
+      (4L, ts("2024-01-01 00:01:21"), 10L, "click"), // 31s: new burst
+      (5L, ts("2024-01-01 00:00:25"), 10L, "view"),
+      (6L, ts("2024-01-01 00:00:05"), 11L, "click"))
+    try {
+      // first two events out of order within a batch, then the rest
+      mem.addData(data(1), data(0))
+      q.processAllAvailable()
+      mem.addData(data(2), data(3), data(4), data(5))
+      q.processAllAvailable()
+      // flush ticks on a sentinel key: advance watermark, then fire timeouts
+      mem.addData((90L, ts("2024-01-02 00:00:00"), 999L, "flush"))
+      q.processAllAvailable()
+      mem.addData((91L, ts("2024-01-03 00:00:00"), 999L, "flush"))
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT * FROM burst_out WHERE user_id <> 999").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)) ->
+          ((r.getLong(3), r.getLong(4)))).toMap
+      val batch = EventOps.collapseBursts(
+        data.map { case (id, t, u, et) => (id, t, u, et, 0.0) }
+          .toDF("event_id", "ts", "user_id", "event_type", "value"),
+        gapUs = 30000000L)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)) ->
+          ((r.getLong(3), r.getLong(4)))).toMap
+      assert(streamed == batch && batch.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("collapseBurstsStream restart resumes exactly-once from the checkpoint") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("burst_ckpt").toString
+    val out = s"$dir/out"
+    val ckpt = s"$dir/ckpt"
+    val mem = MemoryStream[(Long, Timestamp, Long, String)]
+    val stream = mem.toDF().toDF("event_id", "ts", "user_id", "event_type")
+      .withWatermark("ts", "10 minutes")
+      .as[BurstEvent]
+    def start() = EventOps.collapseBurstsStream(stream, gapUs = 30000000L)
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q1 = start()
+    try {
+      mem.addData((1L, ts("2024-01-01 00:00:00"), 10L, "click"),
+        (2L, ts("2024-01-01 00:00:20"), 10L, "click"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart from the same checkpoint: open-burst state must survive
+    val q2 = start()
+    try {
+      mem.addData((3L, ts("2024-01-01 00:01:00"), 10L, "click")) // 40s: new burst
+      q2.processAllAvailable()
+      mem.addData((90L, ts("2024-01-02 00:00:00"), 999L, "flush"))
+      q2.processAllAvailable()
+      mem.addData((91L, ts("2024-01-03 00:00:00"), 999L, "flush"))
+      q2.processAllAvailable()
+      val got = spark.read.parquet(out)
+        .filter($"user_id" =!= 999L).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)) ->
+          ((r.getLong(3), r.getLong(4)))).toMap
+      def us(s: String) = ts(s).getTime * 1000L
+      // burst 1 (events 1,2) closed by the in-data gap; burst 2 by timeout
+      assert(got == Map(
+        (10L, "click", 1L) -> ((us("2024-01-01 00:00:00"), 2L)),
+        (10L, "click", 2L) -> ((us("2024-01-01 00:01:00"), 1L))), s"got $got")
+    } finally q2.stop()
+  }
+
   test("clicksBeforeErrors stream-stream join matches batch") {
     implicit val sqlCtx = spark.sqlContext
     val data = Seq(
