@@ -131,6 +131,81 @@ object ProfileOps {
     * rank-based percentiles pay one key-sized sort — rank selection, not
     * interpolation, so the report is integer-exact and engine-portable.
     */
+  /** Pearson chi-square contingency terms for two categorical columns —
+    * the statistical-DQ check for "did lang mix shift per source" /
+    * "are these two attributes independent". Per cell: observed count,
+    * expected count under independence, and the chi-square term
+    * (o − e)²/e; the test statistic is the sum of terms and the
+    * degrees-of-freedom is (|rows|−1)(|cols|−1) — both left to the
+    * consumer, because a double Σ over cells is reduction-order-
+    * dependent while each TERM is engine-portable: computed as the
+    * rational (o·N − r·c)² / (N·r·c) — exact int64 numerator and
+    * denominator, ONE correctly-rounded closing division (same for
+    * e = r·c/N). Headroom: needs (o·N − r·c)² < 2^63, i.e. cell·N
+    * products below ~3·10^9 — past that, pre-aggregate or go
+    * DECIMAL(38).
+    *
+    * Scale shape: one map-side-combined cell count (the only
+    * corpus-sized shuffle), then margins via two tiny windows over the
+    * CELL frame (|A|·|B| rows) — the input is scanned once.
+    *
+    * Output: (a, b, o, e, chi_term).
+    */
+  def chiSquareCells(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val cells = df.groupBy(aCol.as("a"), bCol.as("b"))
+      .agg(count(lit(1)).as("o"))
+    val wA = org.apache.spark.sql.expressions.Window.partitionBy(col("a"))
+    val wB = org.apache.spark.sql.expressions.Window.partitionBy(col("b"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    cells
+      .withColumn("r", sum(col("o")).over(wA))
+      .withColumn("c", sum(col("o")).over(wB))
+      .withColumn("n", sum(col("o")).over(wAll))
+      .withColumn("__dev", col("o") * col("n") - col("r") * col("c"))
+      .select(col("a"), col("b"), col("o"),
+        ((col("r") * col("c")).cast("double") / col("n").cast("double"))
+          .as("e"),
+        ((col("__dev") * col("__dev")).cast("double") /
+          (col("n") * col("r") * col("c")).cast("double")).as("chi_term"))
+  }
+
+  /** Gini concentration coefficient of a non-negative integer measure
+    * within each group — "how unevenly are the bytes/tokens spread over
+    * this source's documents" (0 = perfectly even, →1 = one document
+    * holds everything). The corpus-balance number a mixture plan
+    * ([[SamplingOps.temperatureMixturePlan]]) is usually reacting to.
+    *
+    * Exact rank formulation over values sorted ascending with ranks
+    * 1..n: G = (2·Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i) — every sum is
+    * int64 (reduction-order-proof; needs n·Σx < 2^63) and the single
+    * closing division is one correctly-rounded IEEE op, so the score is
+    * bit-portable. Ties are harmless: exchanging equal values across
+    * adjacent ranks leaves Σ i·x_i unchanged.
+    *
+    * Scale shape: ONE group-keyed window sort (rank) feeding one
+    * map-side-combined aggregate on the same key — single Exchange.
+    * Groups with Σx = 0 report NULL (concentration is undefined).
+    *
+    * Output: (group, n, total, gini).
+    */
+  def giniByGroup(df: DataFrame, groupCol: Column, xCol: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g")).orderBy(col("__x"), col("__rk"))
+    df.select(groupCol.as("__g"), xCol.cast("long").as("__x"),
+        monotonically_increasing_id().as("__rk"))
+      .withColumn("__i", row_number().over(w).cast("long"))
+      .groupBy(col("__g").as("group"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__x")).as("total"),
+        sum(col("__i") * col("__x")).as("__ixsum"))
+      .select(col("group"), col("n"), col("total"),
+        when(col("total") > 0L,
+          (lit(2L) * col("__ixsum") - (col("n") + 1L) * col("total"))
+            .cast("double") / (col("n") * col("total")).cast("double"))
+          .as("gini"))
+  }
+
   def skewReport(df: DataFrame, keyCol: Column, topK: Int = 5): DataFrame = {
     require(topK >= 1, "topK must be >= 1")
     val w = org.apache.spark.sql.expressions.Window

@@ -1047,6 +1047,24 @@ object PipelineQueries {
       SamplingOps.temperatureMixturePlan(
         t(s, dir, "documents"), col("source"), budget = 200L)),
 
+    // Did the language mix shift per source? Per-cell chi-square terms
+    // as exact integer rationals with one closing division each (a
+    // double Σ over cells would be reduction-order-dependent; summing
+    // is the consumer's one cheap step).
+    "q_chisq" -> ((s, dir) =>
+      ProfileOps.chiSquareCells(
+        t(s, dir, "documents"), col("source"), col("lang"))
+        .select(col("a").as("source"), col("b").as("lang"),
+          col("o"), col("e"), col("chi_term"))),
+
+    // Byte-concentration per source: exact rank-formulation Gini in
+    // int64 with one closing division.
+    "q_gini" -> ((s, dir) =>
+      ProfileOps.giniByGroup(
+        t(s, dir, "documents"), col("source"), col("n_chars"))
+        .select(col("group").as("source"), col("n"), col("total"),
+          col("gini"))),
+
     // Point-in-time join: latest click at-or-before each error, per user.
     // One union + one window shuffle — never a range cross product.
     "q_asof_join" -> ((s, dir) => {
@@ -4101,6 +4119,40 @@ object PipelineQueries {
         |SELECT c.prev_type, next_type, n,
         |  CAST(n AS DOUBLE) / CAST(row_total AS DOUBLE) AS p
         |FROM c JOIN t ON c.prev_type = t.prev_type""".stripMargin,
+
+    // Same exact rational per cell: (o·N − r·c)² / (N·r·c), margins via
+    // windows over the cell frame.
+    "q_chisq" ->
+      """WITH cells AS (
+        |  SELECT source AS a, lang AS b, CAST(count(*) AS BIGINT) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |m AS (
+        |  SELECT a, b, o,
+        |    CAST(sum(o) OVER (PARTITION BY a) AS BIGINT) AS r,
+        |    CAST(sum(o) OVER (PARTITION BY b) AS BIGINT) AS c,
+        |    CAST(sum(o) OVER () AS BIGINT) AS n
+        |  FROM cells)
+        |SELECT a AS source, b AS lang, o,
+        |  CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE) AS e,
+        |  CAST((o*n - r*c) * (o*n - r*c) AS DOUBLE)
+        |    / CAST(n * r * c AS DOUBLE) AS chi_term
+        |FROM m""".stripMargin,
+
+    // Same rank formulation; ties across equal values cannot move the
+    // i·x sum, so the arbitrary tie order is harmless on both engines.
+    "q_gini" ->
+      """WITH rk AS (
+        |  SELECT source, n_chars,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY source ORDER BY n_chars) AS BIGINT) AS i
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS total,
+        |  CASE WHEN sum(n_chars) > 0 THEN
+        |    CAST(2*sum(i*n_chars) - (count(*)+1)*sum(n_chars) AS DOUBLE)
+        |      / CAST(count(*)*sum(n_chars) AS DOUBLE)
+        |  ELSE NULL END AS gini
+        |FROM rk GROUP BY source""".stripMargin,
 
     // Same integer milli-weight grid: one sqrt, then int64 only.
     "q_mixture_plan" ->

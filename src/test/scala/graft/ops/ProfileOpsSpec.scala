@@ -123,4 +123,45 @@ class ProfileOpsSpec extends SparkSpec {
       .collect().head
     assert(again.toSeq == got.toSeq)
   }
+
+  test("chiSquareCells: hand-computed 2x2 table; independent table scores 0 terms") {
+    import spark.implicits._
+    // observed: (a1,b1)=10 (a1,b2)=10 (a2,b1)=10 (a2,b2)=30; N=60
+    val rows = Seq.fill(10)(("a1", "b1")) ++ Seq.fill(10)(("a1", "b2")) ++
+      Seq.fill(10)(("a2", "b1")) ++ Seq.fill(30)(("a2", "b2"))
+    val df = rows.toDF("a", "b")
+    val got = ProfileOps.chiSquareCells(df, col("a"), col("b"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // margins: r(a1)=20 r(a2)=40 c(b1)=20 c(b2)=40
+    // e(a1,b1) = 20*20/60; term = (10*60 - 20*20)^2 / (60*20*20)
+    assert(got(("a1", "b1")) ==
+      ((10L, 400.0 / 60.0, (200.0 * 200.0) / 24000.0)))
+    assert(got(("a2", "b2")) ==
+      ((30L, 1600.0 / 60.0, (200.0 * 200.0) / 96000.0)))
+    // perfectly independent table: every term exactly 0
+    val ind = (Seq.fill(10)(("x", "p")) ++ Seq.fill(20)(("x", "q")) ++
+      Seq.fill(20)(("y", "p")) ++ Seq.fill(40)(("y", "q"))).toDF("a", "b")
+    val terms = ProfileOps.chiSquareCells(ind, col("a"), col("b"))
+      .collect().map(_.getDouble(4))
+    assert(terms.length == 4 && terms.forall(_ == 0.0))
+  }
+
+  test("giniByGroup: uniform 0, single-holder (n-1)/n, zero-total NULL; layout-invariant") {
+    import spark.implicits._
+    val df = (Seq.fill(4)(("u", 5L)) ++
+      Seq(("c", 0L), ("c", 0L), ("c", 0L), ("c", 12L)) ++
+      Seq(("z", 0L), ("z", 0L))).toDF("g", "x")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      ProfileOps.giniByGroup(d, col("g"), col("x"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2),
+            if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))).toMap
+    val got = run(df)
+    assert(got("u") == ((4L, 20L, 0.0)), s"got $got")
+    assert(got("c") == ((4L, 12L, 0.75))) // (2*48 - 5*12)/(4*12)
+    assert(got("z")._3.isNaN) // undefined concentration -> NULL
+    assert(run(df.repartition(7)).toSeq.sortBy(_._1).map(_.toString) ==
+      got.toSeq.sortBy(_._1).map(_.toString))
+  }
 }
