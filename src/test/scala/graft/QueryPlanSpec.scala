@@ -418,4 +418,55 @@ class QueryPlanSpec extends SparkSpec {
     assert(!sj.contains("CartesianProduct") && !sj.contains("BroadcastNestedLoop"),
       s"interval must ride the user equi-join as a residual:\n$sj")
   }
+
+  test("round-4 additions keep their scale shapes") {
+    // q_cooccurrence: baskets collapse row-locally — ONE scan, two
+    // Exchanges (basket key, pair key), never a self-join
+    val co = finalPlan("q_cooccurrence")
+    assert(countOf(co, "Scan parquet") == 1 && !co.contains("Join"),
+      s"basket pairs must be row-local off one scan:\n$co")
+    assert(countOf(co, "Exchange") == 2, s"two keyed shuffles only:\n$co")
+
+    // q_transition_matrix: one event scan; totals ride the aggregated
+    // pair frame, never a second event pass
+    val tm = finalPlan("q_transition_matrix")
+    assert(countOf(tm, "Scan parquet") == 1 && !tm.contains("Join"),
+      s"totals must not re-scan events:\n$tm")
+
+    // q_seq_windows / q_collapse_bursts: the (user[, type]) Exchange is
+    // the only shuffle — the closing agg's clustered requirement is
+    // satisfied by the window partitioning
+    val sw = finalPlan("q_seq_windows")
+    assert(countOf(sw, "Exchange") == 1 && !sw.contains("Join"),
+      s"one keyed shuffle:\n$sw")
+    val cb = finalPlan("q_collapse_bursts")
+    assert(countOf(cb, "Exchange") == 1 && !cb.contains("Join"),
+      s"burst agg must reuse the window Exchange:\n$cb")
+
+    // q_gini: rank window and closing agg share one group Exchange
+    val gi = finalPlan("q_gini")
+    assert(countOf(gi, "Exchange") == 1 && !gi.contains("Join"),
+      s"gini is one keyed sort + agg:\n$gi")
+
+    // q_novelty: the shingle index materializes ONCE (cache) and is
+    // reused by both the first-seen aggregate and the join-back
+    val nv = finalPlan("q_novelty")
+    assert(!nv.contains("CartesianProduct"), s"no pair blowup:\n$nv")
+    assert(nv.contains("InMemoryTableScan"),
+      s"index must be cached and reused, not recomputed:\n$nv")
+
+    // q_standardize: the 5-row stats frame broadcasts back; the corpus
+    // side never shuffles for the join
+    val st = finalPlan("q_standardize")
+    assert(st.contains("BroadcastHashJoin") && !st.contains("SortMergeJoin"),
+      s"stats must broadcast:\n$st")
+
+    // q_mixture_plan: sources-sized arithmetic — the 1-row total attaches
+    // via broadcast, nothing corpus-sized moves after the count
+    val mx = finalPlan("q_mixture_plan")
+    assert(mx.contains("BroadcastNestedLoopJoin") || mx.contains("BroadcastHashJoin"),
+      s"1-row total must broadcast:\n$mx")
+    assert(!mx.contains("SortMergeJoin") && !mx.contains("CartesianProduct"),
+      s"no corpus-sized join:\n$mx")
+  }
 }
