@@ -133,6 +133,55 @@ object PrepOps {
           .otherwise(lit(0.0)).as("z"))
   }
 
+  /** Quantile normalization against a FROZEN reference distribution —
+    * map each value onto the distribution described by `refBoundaries`
+    * (B+1 ascending quantile boundaries of the reference, e.g. an
+    * offline-profiled quality-score distribution), preserving each
+    * value's rank within its group. This is the production shape: the
+    * reference is a constant artifact (like [[bpeEncode]]'s frozen
+    * merges), so the corpus-scale apply is one rank window + a
+    * ROW-LOCAL piecewise-linear interpolation — no global sort, no
+    * corpus-sized lookup join. (An EXACT corpus-global quantile map
+    * would need a total order over 100 TB; freezing the reference is
+    * how real pipelines sidestep exactly that.)
+    *
+    * Portability: p = (rank−1)/(n_g−1) is one exact-integer-fed
+    * division; the interpolation `lo + (p·B − i)·(hi − lo)` is a fixed
+    * chain of correctly-rounded IEEE ops over literal boundaries —
+    * bit-portable. Ties take distinct ranks (ordered by the unique id),
+    * matching row_number semantics on any engine. Groups with one row
+    * map to the reference minimum (p = 0 by convention).
+    *
+    * Output: (id, group, x, p, qnorm).
+    */
+  def quantileNormalizeRef(
+      df: DataFrame,
+      idCol: Column,
+      groupCol: Column,
+      xCol: Column,
+      refBoundaries: Seq[Double]): DataFrame = {
+    require(refBoundaries.size >= 2, "need >= 2 reference boundaries")
+    require(refBoundaries == refBoundaries.sorted,
+      s"reference boundaries must ascend: $refBoundaries")
+    val b = refBoundaries.size - 1
+    val w = Window.partitionBy(col("group")).orderBy(col("x"), col("id"))
+    val wn = Window.partitionBy(col("group"))
+    // bucket i = min(floor(p·B), B−1); interpolate inside [bnd_i, bnd_i+1]
+    val p = when(col("__n") === 1L, lit(0.0))
+      .otherwise((col("__rk") - 1L).cast("double") /
+        (col("__n") - 1L).cast("double"))
+    val pos = col("p") * b
+    val idx = least(floor(pos).cast("int"), lit(b - 1))
+    val lo = element_at(lit(refBoundaries.toArray), idx + 1)
+    val hi = element_at(lit(refBoundaries.toArray), idx + 2)
+    df.select(idCol.as("id"), groupCol.as("group"), xCol.as("x"))
+      .withColumn("__rk", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wn))
+      .withColumn("p", p)
+      .select(col("id"), col("group"), col("x"), col("p"),
+        (lo + (pos - idx.cast("double")) * (hi - lo)).as("qnorm"))
+  }
+
   /** Adjacent-symbol pair counts over the corpus' words with characters as
     * the initial symbols — round one of BPE vocabulary induction. Pure
     * explode + groupBy: counting occurrences directly equals the classic

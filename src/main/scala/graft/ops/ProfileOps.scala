@@ -206,6 +206,50 @@ object ProfileOps {
           .as("gini"))
   }
 
+  /** Exact Pearson correlation of two integer-valued measures per group
+    * (feature-drift / redundancy profiling: "is quantity still
+    * price-linked per return flag"). Computed from the five integer
+    * power sums (n, Σx, Σy, Σxy, Σx², Σy²) — one map-side-combined
+    * aggregate, merge-order-proof — then the closed form
+    * r = (n·Σxy − Σx·Σy) / sqrt((n·Σx² − (Σx)²) · (n·Σy² − (Σy)²))
+    * with every n·S and S·S product taken in DOUBLE (each sum cast
+    * once, then a FIXED chain of correctly-rounded IEEE ops mirrored
+    * token for token in the oracle) — n·Σy² routinely exceeds int64
+    * under ANSI mode, and the double chain, while it can cancel, is
+    * DETERMINISTIC and engine-identical, which is the property the
+    * gate needs. Built-in `corr` is a float running accumulation —
+    * reduction-order-dependent — which is why it is not used.
+    * Headroom: the power SUMS themselves must fit int64
+    * (n·max(x²) < 2^63 — pre-scale the measure, e.g. dollars not
+    * cents, for wide-range columns); beyond, DECIMAL(38).
+    * Degenerate groups (either variance 0) report NULL.
+    *
+    * Output: (group, n, r).
+    */
+  def corrByGroup(
+      df: DataFrame,
+      groupCol: Column,
+      xCol: Column,
+      yCol: Column): DataFrame = {
+    val s = df.select(groupCol.as("group"),
+        xCol.cast("long").as("__x"), yCol.cast("long").as("__y"))
+      .groupBy(col("group"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__x")).as("__sx"),
+        sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"))
+    def d(c: Column) = c.cast("double")
+    val vx = d(col("n")) * d(col("__sxx")) - d(col("__sx")) * d(col("__sx"))
+    val vy = d(col("n")) * d(col("__syy")) - d(col("__sy")) * d(col("__sy"))
+    s.select(col("group"), col("n"),
+      when(vx > 0.0 && vy > 0.0,
+        (d(col("n")) * d(col("__sxy")) - d(col("__sx")) * d(col("__sy"))) /
+          sqrt(vx * vy)).as("r"))
+  }
+
   def skewReport(df: DataFrame, keyCol: Column, topK: Int = 5): DataFrame = {
     require(topK >= 1, "topK must be >= 1")
     val w = org.apache.spark.sql.expressions.Window

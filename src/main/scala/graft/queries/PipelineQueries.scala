@@ -1065,6 +1065,25 @@ object PipelineQueries {
         .select(col("group").as("source"), col("n"), col("total"),
           col("gini"))),
 
+    // Quantile-normalize doc lengths per source onto a frozen 0-100
+    // reference scale: rank window + row-local interpolation over
+    // literal boundaries — the no-global-sort production shape.
+    "q_qnorm" -> ((s, dir) =>
+      PrepOps.quantileNormalizeRef(
+        t(s, dir, "documents"), col("doc_id"), col("source"),
+        col("n_chars"), Seq(0.0, 10.0, 25.0, 50.0, 100.0))
+        .select(col("id").as("doc_id"), col("group").as("source"),
+          col("x").as("n_chars"), col("p"), col("qnorm"))),
+
+    // Quantity-revenue coupling per return flag: exact integer power
+    // sums, then the fixed double chain (dollars, not cents — the
+    // Σy² headroom note on corrByGroup).
+    "q_correlation" -> ((s, dir) =>
+      ProfileOps.corrByGroup(
+        t(s, dir, "lineitem"), col("l_returnflag"),
+        col("l_quantity"), round(col("l_extendedprice")).cast("long"))
+        .select(col("group").as("l_returnflag"), col("n"), col("r"))),
+
     // Point-in-time join: latest click at-or-before each error, per user.
     // One union + one window shuffle — never a range cross product.
     "q_asof_join" -> ((s, dir) => {
@@ -4153,6 +4172,56 @@ object PipelineQueries {
         |      / CAST(count(*)*sum(n_chars) AS DOUBLE)
         |  ELSE NULL END AS gini
         |FROM rk GROUP BY source""".stripMargin,
+
+    // Same rank division and the same literal-boundary interpolation
+    // chain (lo + (p·B − i)·(hi − lo)), token for token.
+    "q_qnorm" -> {
+      val bnd = "[0.0, 10.0, 25.0, 50.0, 100.0]"
+      val idx = "least(CAST(floor(p * 4) AS INT), 3)"
+      s"""WITH rk AS (
+         |  SELECT doc_id, source, n_chars,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) AS rk,
+         |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+         |  FROM documents),
+         |pp AS (
+         |  SELECT doc_id, source, n_chars,
+         |    CASE WHEN n = 1 THEN 0.0
+         |         ELSE CAST(rk - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) END AS p
+         |  FROM rk)
+         |SELECT doc_id, source, n_chars, p,
+         |  ($bnd)[$idx + 1]
+         |    + (p * 4 - CAST($idx AS DOUBLE))
+         |      * (($bnd)[$idx + 2] - ($bnd)[$idx + 1]) AS qnorm
+         |FROM pp""".stripMargin
+    },
+
+    // Same five power sums, same double chain.
+    "q_correlation" ->
+      """WITH s AS (
+        |  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice) AS BIGINT) AS y
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x*y) AS BIGINT) AS sxy,
+        |    CAST(sum(x*x) AS BIGINT) AS sxx,
+        |    CAST(sum(y*y) AS BIGINT) AS syy
+        |  FROM s GROUP BY g)
+        |SELECT g AS l_returnflag, n,
+        |  CASE WHEN CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+        |              - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) > 0
+        |        AND CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+        |              - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE) > 0 THEN
+        |    (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+        |       - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+        |    / sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+        |              - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+        |           * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+        |              - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))
+        |  END AS r
+        |FROM a""".stripMargin,
 
     // Same integer milli-weight grid: one sqrt, then int64 only.
     "q_mixture_plan" ->

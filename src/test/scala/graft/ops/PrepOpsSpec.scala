@@ -224,4 +224,35 @@ class PrepOpsSpec extends SparkSpec {
     assert(filesTouched { case (x, y) => y * 16 + x } == 4)
     assert(filesTouched(keys) == 1)
   }
+
+  test("quantileNormalizeRef: rank-preserving map onto literal boundaries") {
+    // boundaries [0, 10, 100], B=2: p<=0.5 interpolates [0,10], p>0.5 [10,100]
+    val df = Seq(
+      ("g", 1L, 5L), ("g", 2L, 7L), ("g", 3L, 7L), ("g", 4L, 50L), ("g", 5L, 9L),
+      ("solo", 9L, 42L)).toDF("grp", "id", "x")
+    val got = PrepOps.quantileNormalizeRef(
+      df, col("id"), col("grp"), col("x"), Seq(0.0, 10.0, 100.0))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(3), r.getDouble(4))))
+      .toMap
+    // g ranks by (x, id): id1(5)->1, id2(7)->2, id3(7)->3, id5(9)->4,
+    // id4(50)->5; n=5
+    assert(got(1L) == ((0.0, 0.0)))
+    assert(got(2L) == ((0.25, 5.0)))   // p*B=0.5 inside [0,10] -> 5
+    assert(got(3L) == ((0.5, 10.0)))   // exactly the middle boundary
+    assert(got(5L) == ((0.75, 55.0)))  // 10 + 0.5*(100-10)
+    assert(got(4L) == ((1.0, 100.0)))  // top rank -> reference max
+    // single-row group maps to the reference minimum by convention
+    assert(got(9L) == ((0.0, 0.0)))
+    // monotone: ranks never invert after normalization
+    val g = Seq(1L, 2L, 3L, 5L, 4L).map(got(_)._2)
+    assert(g == g.sorted)
+  }
+
+  test("quantileNormalizeRef rejects unsorted boundaries") {
+    val df = Seq(("g", 1L, 5L)).toDF("grp", "id", "x")
+    intercept[IllegalArgumentException] {
+      PrepOps.quantileNormalizeRef(df, col("id"), col("grp"), col("x"),
+        Seq(10.0, 0.0))
+    }
+  }
 }

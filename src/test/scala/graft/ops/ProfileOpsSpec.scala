@@ -147,6 +147,31 @@ class ProfileOpsSpec extends SparkSpec {
     assert(terms.length == 4 && terms.forall(_ == 0.0))
   }
 
+  test("corrByGroup: perfect linear +1/-1, known mid value, degenerate NULL") {
+    import spark.implicits._
+    val df = Seq(
+      ("up", 1L, 10L), ("up", 2L, 20L), ("up", 3L, 30L),      // y = 10x -> r=1
+      ("dn", 1L, 6L), ("dn", 2L, 4L), ("dn", 3L, 2L),         // y = 8-2x -> r=-1
+      ("mid", 1L, 1L), ("mid", 2L, 3L), ("mid", 3L, 2L),      // known hand value
+      ("flat", 1L, 7L), ("flat", 2L, 7L), ("flat", 3L, 7L))   // var(y)=0 -> NULL
+      .toDF("g", "x", "y")
+    val got = ProfileOps.corrByGroup(df, col("g"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) Double.NaN else r.getDouble(2))))
+      .toMap
+    assert(got("up") == ((3L, 1.0)))
+    assert(got("dn") == ((3L, -1.0)))
+    // mid: n=3 sx=6 sy=6 sxy=13 sxx=14 syy=14 -> r = 3/6 = 0.5
+    assert(got("mid") == ((3L, 0.5)))
+    assert(got("flat")._2.isNaN)
+    // layout invariance: integer sums merge in any order
+    val re = ProfileOps.corrByGroup(df.repartition(7), col("g"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toMap
+    assert(re.toSeq.sortBy(_._1).toString ==
+      got.map { case (k, v) => k -> v._2 }.toSeq.sortBy(_._1).toString)
+  }
+
   test("giniByGroup: uniform 0, single-holder (n-1)/n, zero-total NULL; layout-invariant") {
     import spark.implicits._
     val df = (Seq.fill(4)(("u", 5L)) ++
