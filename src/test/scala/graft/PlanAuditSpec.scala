@@ -1,0 +1,55 @@
+package graft
+
+/** Catalog-wide physical-plan audit: every registered query's plan is
+  * scanned for the two operators that do not survive a 100× scale-up —
+  * CartesianProduct and BroadcastNestedLoopJoin — so a regression that
+  * slips a cross product into ANY query fails the suite loudly, not just
+  * the handful of queries with individual pins in QueryPlanSpec.
+  *
+  * Queries on the allowlist use the operator DELIBERATELY, each for a
+  * reason reviewed in its Scaladoc: a broadcast brute-force baseline
+  * whose gated scale path is a separate query, a 1-row scalar attach
+  * (BNLJ over a single aggregate row is a broadcast of one row), or a
+  * bounded query-set cross. The allowlist is exact — an addition that
+  * needs the operator must be added HERE with its justification.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** query -> why a cartesian/BNLJ is the intended plan there. */
+  private val allowed: Map[String, String] = Map(
+    "q_embed_neardup" -> "broadcast brute-force baseline; scale path is q_embed_neardup_lsh",
+    "q_sim_topk" -> "broadcast query set x corpus is the stated brute baseline; scale paths q_sim_lsh_topk / q_sim_ivf_topk",
+    "q_knn_classify" -> "broadcast support set is the kNN contract (support fits memory by definition)",
+    "q_sim_ivf_pq" -> "bounded probe-set cross, PQ-coded lists",
+    "q_ivf_recall" -> "recall gate compares the bounded probe set against both paths",
+    "q_pagerank_dangling" -> "1-row dangling-mass scalar attach per round",
+    "q_mixture_plan" -> "1-row weight-total attach to the sources frame",
+    "q_decontaminate" -> "benchmark shingle set is broadcast by contract",
+    "q_retrieval_serve" -> "bounded query set crossed with pruned index lists",
+    "q_hybrid_rrf" -> "bounded query set; both legs end in per-task top-k heaps",
+    "q_ann_recall" -> "recall gate crosses the bounded query set with both ANN paths",
+    "q_bm25_search" -> "1-row corpus-stats attach (N, avgdl) before row-local scoring",
+    "q_sim_pq_literal" -> "bounded probe set crossed with literal PQ codebooks",
+    "q_tpch_q11" -> "1-row scalar threshold (sum x fraction) attach — canonical Q11 shape",
+    "q_tpch_q22" -> "1-row scalar average attach; the anti join probes by key (pinned in QueryPlanSpec)")
+
+  test("no unlisted query plans a CartesianProduct or BroadcastNestedLoopJoin") {
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    val stale = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.sparkPlan.toString
+      val hasCross = plan.contains("CartesianProduct") ||
+        plan.contains("BroadcastNestedLoopJoin")
+      if (hasCross && !allowed.contains(name)) offenders += name
+      if (!hasCross && allowed.contains(name)) stale += name
+    }
+    assert(offenders.isEmpty,
+      s"unreviewed cross/nested-loop joins in: ${offenders.mkString(", ")} — " +
+        "either fix the plan or allowlist it here with a justification")
+    assert(stale.isEmpty,
+      s"allowlist rows no longer needed (plan improved — delete them): " +
+        stale.mkString(", "))
+  }
+}
