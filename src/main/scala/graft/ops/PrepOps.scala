@@ -133,6 +133,43 @@ object PrepOps {
           .otherwise(lit(0.0)).as("z"))
   }
 
+  /** Curriculum ordering with ROUND-ROBIN source interleave: rank docs
+    * within each source by descending score, then place rank r of source
+    * s at global position (r−1)·|sources| + idx(s) — the best document
+    * of every source leads, sources alternate, and quality decays down
+    * the curriculum. The arithmetic position is what makes this scale:
+    * a direct global ORDER BY (rank, source) would funnel the corpus
+    * through one partition, while here the only corpus-sized work is the
+    * per-source rank window; the position is a row-local formula against
+    * a broadcast sources-frame index. Positions are a SPARSE total order
+    * (a source exhausted early leaves its residue of slots empty) —
+    * consumers sort by position, which any engine does identically on
+    * exact integers.
+    *
+    * Output: (id, source, rank, position).
+    */
+  def curriculumInterleave(
+      df: DataFrame,
+      idCol: Column,
+      sourceCol: Column,
+      scoreCol: Column): DataFrame = {
+    val base = df.select(idCol.as("id"), sourceCol.as("source"),
+      scoreCol.as("__score"))
+    val wRank = Window.partitionBy(col("source"))
+      .orderBy(col("__score").desc, col("id"))
+    // sources-sized frame: a window over dozens of rows, then broadcast
+    val srcIdx = base.select(col("source")).distinct()
+      .withColumn("__idx",
+        (row_number().over(Window.orderBy(col("source"))) - 1).cast("long"))
+      .withColumn("__nsrc",
+        count(lit(1)).over(Window.partitionBy()).cast("long"))
+    base
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .join(broadcast(srcIdx), "source")
+      .select(col("id"), col("source"), col("rank"),
+        ((col("rank") - 1L) * col("__nsrc") + col("__idx")).as("position"))
+  }
+
   /** Quantile normalization against a FROZEN reference distribution —
     * map each value onto the distribution described by `refBoundaries`
     * (B+1 ascending quantile boundaries of the reference, e.g. an

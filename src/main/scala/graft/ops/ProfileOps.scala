@@ -206,6 +206,52 @@ object ProfileOps {
           .as("gini"))
   }
 
+  /** Distribution drift of a numeric measure between a BASELINE slice
+    * and the current slice, over FROZEN literal bucket boundaries (the
+    * continuous-variable counterpart of [[chiSquareCells]]; the PSI /
+    * KS-style report a feed monitor tracks day over day). Per bucket:
+    * counts and exact fractions on both sides plus the fraction delta —
+    * the PSI log terms are left to the consumer, because ln is not
+    * correctly rounded on every engine/libm while counts, single
+    * divisions, and one subtraction are bit-portable.
+    *
+    * Bucketing is ROW-LOCAL: bucket = Σ_i [x >= bnd_i] over the literal
+    * interior boundaries (a codegen'd integer chain, no lookup join) —
+    * B boundaries make B+1 buckets; values below every boundary land in
+    * bucket 0, values past the last in bucket B, and drift INTO those
+    * edge buckets is exactly the tail-shift signal. One map-side-
+    * combined (bucket, side) count is the only corpus-sized shuffle;
+    * totals ride a window over the bucket frame.
+    *
+    * Output: (bucket, base_n, cur_n, base_frac, cur_frac, frac_diff).
+    */
+  def bucketDrift(
+      df: DataFrame,
+      isBaseline: Column,
+      xCol: Column,
+      boundaries: Seq[Double]): DataFrame = {
+    require(boundaries.nonEmpty, "need >= 1 interior boundary")
+    require(boundaries == boundaries.sorted,
+      s"boundaries must ascend: $boundaries")
+    val bucket = boundaries.foldLeft(lit(0L)) { (acc, b) =>
+      acc + when(xCol >= b, 1L).otherwise(0L)
+    }
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    df.select(bucket.as("bucket"), isBaseline.as("__base"))
+      .groupBy(col("bucket"))
+      .agg(
+        sum(when(col("__base"), 1L).otherwise(0L)).as("base_n"),
+        sum(when(!col("__base"), 1L).otherwise(0L)).as("cur_n"))
+      .withColumn("__bt", sum(col("base_n")).over(wAll))
+      .withColumn("__ct", sum(col("cur_n")).over(wAll))
+      .select(col("bucket"), col("base_n"), col("cur_n"),
+        (col("base_n").cast("double") / col("__bt").cast("double"))
+          .as("base_frac"),
+        (col("cur_n").cast("double") / col("__ct").cast("double"))
+          .as("cur_frac"))
+      .withColumn("frac_diff", col("cur_frac") - col("base_frac"))
+  }
+
   /** Exact Pearson correlation of two integer-valued measures per group
     * (feature-drift / redundancy profiling: "is quantity still
     * price-linked per return flag"). Computed from the five integer

@@ -1075,6 +1075,27 @@ object PipelineQueries {
         .select(col("id").as("doc_id"), col("group").as("source"),
           col("x").as("n_chars"), col("p"), col("qnorm"))),
 
+    // Value-distribution drift, first half of January vs second, over
+    // frozen cent boundaries: row-local bucketing, one corpus shuffle;
+    // the PSI ln terms stay with the consumer (ln is not portable).
+    "q_drift_buckets" -> ((s, dir) =>
+      ProfileOps.bucketDrift(
+        RefQueries.events(s, dir)
+          .withColumn("__cents", round(col("value") * 100).cast("long")),
+        col("ts") < lit("2024-01-16").cast("timestamp"),
+        col("__cents"),
+        Seq(1000.0, 2500.0, 5000.0, 10000.0, 20000.0))),
+
+    // Curriculum with round-robin source interleave: per-source quality
+    // rank window + an arithmetic global position against a broadcast
+    // source index — no global sort anywhere.
+    "q_curriculum" -> ((s, dir) =>
+      PrepOps.curriculumInterleave(
+        t(s, dir, "documents"), col("doc_id"), col("source"),
+        TextOps.qualityScore(col("text")))
+        .select(col("id").as("doc_id"), col("source"), col("rank"),
+          col("position"))),
+
     // Quantity-revenue coupling per return flag: exact integer power
     // sums, then the fixed double chain (dollars, not cents — the
     // Σy² headroom note on corrByGroup).
@@ -4195,6 +4216,54 @@ object PipelineQueries {
          |      * (($bnd)[$idx + 2] - ($bnd)[$idx + 1]) AS qnorm
          |FROM pp""".stripMargin
     },
+
+    // Same row-local threshold chain over the same literal boundaries.
+    "q_drift_buckets" ->
+      """WITH e AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS c,
+        |    ts < TIMESTAMP '2024-01-16' AS b
+        |  FROM events),
+        |k AS (
+        |  SELECT CAST(
+        |    CASE WHEN c >= 1000 THEN 1 ELSE 0 END +
+        |    CASE WHEN c >= 2500 THEN 1 ELSE 0 END +
+        |    CASE WHEN c >= 5000 THEN 1 ELSE 0 END +
+        |    CASE WHEN c >= 10000 THEN 1 ELSE 0 END +
+        |    CASE WHEN c >= 20000 THEN 1 ELSE 0 END AS BIGINT) AS bucket, b
+        |  FROM e),
+        |g AS (
+        |  SELECT bucket,
+        |    CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS base_n,
+        |    CAST(sum(CASE WHEN NOT b THEN 1 ELSE 0 END) AS BIGINT) AS cur_n
+        |  FROM k GROUP BY bucket),
+        |t AS (
+        |  SELECT bucket, base_n, cur_n,
+        |    CAST(sum(base_n) OVER () AS BIGINT) AS bt,
+        |    CAST(sum(cur_n) OVER () AS BIGINT) AS ct
+        |  FROM g)
+        |SELECT bucket, base_n, cur_n,
+        |  CAST(base_n AS DOUBLE) / CAST(bt AS DOUBLE) AS base_frac,
+        |  CAST(cur_n AS DOUBLE) / CAST(ct AS DOUBLE) AS cur_frac,
+        |  CAST(cur_n AS DOUBLE) / CAST(ct AS DOUBLE)
+        |    - CAST(base_n AS DOUBLE) / CAST(bt AS DOUBLE) AS frac_diff
+        |FROM t""".stripMargin,
+
+    // Same per-source rank + arithmetic position over the source index.
+    "q_curriculum" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, source, ${S.qualityScore("text")} AS sc
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, source, CAST(row_number() OVER (
+         |    PARTITION BY source ORDER BY sc DESC, doc_id) AS BIGINT) AS rank
+         |  FROM q),
+         |si AS (
+         |  SELECT source,
+         |    CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT) AS idx,
+         |    CAST(count(*) OVER () AS BIGINT) AS nsrc
+         |  FROM (SELECT DISTINCT source FROM documents))
+         |SELECT doc_id, r.source, rank, (rank - 1) * nsrc + idx AS position
+         |FROM r JOIN si ON r.source = si.source""".stripMargin,
 
     // Same five power sums, same double chain.
     "q_correlation" ->

@@ -248,6 +248,28 @@ class PrepOpsSpec extends SparkSpec {
     assert(g == g.sorted)
   }
 
+  test("curriculumInterleave: best of each source leads; positions interleave round-robin") {
+    val df = Seq(
+      ("a", 1L, 90L), ("a", 2L, 80L), ("a", 3L, 70L),
+      ("b", 11L, 99L), ("b", 12L, 10L),
+      ("c", 21L, 50L)).toDF("src", "id", "sc")
+    val got = PrepOps.curriculumInterleave(df, col("id"), col("src"), col("sc"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // source idx: a=0, b=1, c=2; position = (rank-1)*3 + idx
+    assert(got == Map(
+      1L -> ((1L, 0L)), 11L -> ((1L, 1L)), 21L -> ((1L, 2L)),
+      2L -> ((2L, 3L)), 12L -> ((2L, 4L)),
+      3L -> ((3L, 6L))), s"got $got")
+    // positions are unique and round-1 docs precede every round-2 doc
+    val pos = got.values.map(_._2).toSeq
+    assert(pos.distinct.size == pos.size)
+    // deterministic under layout
+    val re = PrepOps.curriculumInterleave(df.repartition(7), col("id"),
+      col("src"), col("sc"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(re == got)
+  }
+
   test("quantileNormalizeRef rejects unsorted boundaries") {
     val df = Seq(("g", 1L, 5L)).toDF("grp", "id", "x")
     intercept[IllegalArgumentException] {

@@ -147,6 +147,27 @@ class ProfileOpsSpec extends SparkSpec {
     assert(terms.length == 4 && terms.forall(_ == 0.0))
   }
 
+  test("bucketDrift: hand case with clamped tails; fractions exact") {
+    import spark.implicits._
+    // boundaries [10, 20] -> buckets: <10, [10,20), >=20
+    val df = Seq(
+      (true, 5L), (true, 5L), (true, 15L), (true, 25L),   // base: 2/1/1
+      (false, 15L), (false, 15L), (false, 25L), (false, 99L)) // cur: 0/2/2
+      .toDF("b", "x")
+    val got = ProfileOps.bucketDrift(df, col("b"), col("x"), Seq(10.0, 20.0))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(got(0L) == ((2L, 0L, 0.5, 0.0, -0.5)), s"got $got")
+    assert(got(1L) == ((1L, 2L, 0.25, 0.5, 0.25)))
+    assert(got(2L) == ((1L, 2L, 0.25, 0.5, 0.25)))
+    // layout invariance
+    val re = ProfileOps.bucketDrift(df.repartition(5), col("b"), col("x"),
+      Seq(10.0, 20.0)).collect().map(_.toSeq).toSet
+    assert(re == ProfileOps.bucketDrift(df, col("b"), col("x"),
+      Seq(10.0, 20.0)).collect().map(_.toSeq).toSet)
+  }
+
   test("corrByGroup: perfect linear +1/-1, known mid value, degenerate NULL") {
     import spark.implicits._
     val df = Seq(
