@@ -133,6 +133,46 @@ object PrepOps {
           .otherwise(lit(0.0)).as("z"))
   }
 
+  /** Deterministic negative sampling over a DENSE id domain [0, N) —
+    * k pseudo-random non-matching partners per document for contrastive
+    * training pairs, with no RNG state: negative j of id d is
+    * `(d·2654435761 + j·40503 + 104729) mod N`, bumped by one (mod N)
+    * on self-collision. Fully ROW-LOCAL after a 1-row (count, min, max)
+    * attach — no join against the corpus, no shuffle of it; layout-
+    * reproducible like every hash-driven sampler here
+    * ([[graft.ops.SamplingOps.hashKeep]] discipline).
+    *
+    * The dense-domain contract (min = 0, max = N−1) is CHECKED, not
+    * assumed: a gap would alias negatives onto missing ids, so the 1-row
+    * frame carries the bounds and any violation fails loudly via
+    * raise_error. Sparse-id corpora should pass through a dense-rank
+    * re-index first.
+    *
+    * Output: (id, j, neg_id), j in [0, k).
+    */
+  def negativeSamples(df: DataFrame, idCol: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val ids = df.select(idCol.cast("long").as("id"))
+    val bounds = ids.agg(count(lit(1)).as("__n"), min(col("id")).as("__lo"),
+      max(col("id")).as("__hi"))
+    val dense = col("__lo") === 0L && col("__hi") === col("__n") - 1L
+    val raw = pmod(col("id") * 2654435761L + col("j") * 40503L + 104729L,
+      col("__n"))
+    ids.crossJoin(broadcast(bounds))
+      .select(col("id"),
+        explode(sequence(lit(0L), lit(k.toLong - 1L))).as("j"),
+        col("__n"), col("__lo"), col("__hi"))
+      .withColumn("__raw",
+        when(dense, raw).otherwise(raise_error(format_string(
+          "negativeSamples: id domain not dense [0, N): n=%s min=%s max=%s" +
+            " — re-index with a dense rank first",
+          col("__n"), col("__lo"), col("__hi"))).cast("long")))
+      .select(col("id"), col("j"),
+        when(col("__raw") === col("id"),
+          pmod(col("__raw") + 1L, col("__n"))).otherwise(col("__raw"))
+          .as("neg_id"))
+  }
+
   /** Curriculum ordering with ROUND-ROBIN source interleave: rank docs
     * within each source by descending score, then place rank r of source
     * s at global position (r−1)·|sources| + idx(s) — the best document

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -40,6 +40,37 @@ object TextOps {
     trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9\\s]", ""),
       "\\s+", " "))
+
+  /** Dictionary tagging — weak labeling against a broadcast-literal
+    * entity lexicon (the NER-lite every curation pipeline runs: product
+    * names, site names, topic keywords). Matching is word-boundary exact
+    * on the normalized text: entity "new york" matches "...in New York!"
+    * but not "newyorker" — implemented as a space-delimited contains
+    * over ' '+norm+' ', one codegen'd scan per entity, all ROW-LOCAL
+    * (zero shuffles; at 100 TB this is its scan, like [[normalizeText]]).
+    * Multi-token entities must be pre-normalized by the caller (lowercase
+    * alnum + single spaces) — enforced.
+    *
+    * Output: one (doc_id, entity) row per matched entity (docs with no
+    * match emit nothing).
+    */
+  def dictionaryTag(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      entities: Seq[String]): DataFrame = {
+    require(entities.nonEmpty, "empty entity lexicon")
+    entities.foreach { e =>
+      require(e.nonEmpty && e == e.toLowerCase.replaceAll("[^a-z0-9\\s]", "")
+        .replaceAll("\\s+", " ").trim,
+        s"entity '$e' must be normalized (lowercase alnum, single spaces)")
+    }
+    val padded = concat(lit(" "), normalizeText(col(textCol)), lit(" "))
+    val matched = array(entities.map(e =>
+      when(padded.contains(s" $e "), lit(e))): _*)
+    docs.select(col(idCol).as("doc_id"),
+        explode(filter(matched, _.isNotNull)).as("entity"))
+  }
 
   /** Characters (code points) that are neither ASCII-alphanumeric nor
     * whitespace. Codegen'd byte walk ([[graft.expr.PunctCount]]) — the

@@ -196,6 +196,18 @@ object PipelineQueries {
     "q_novelty" -> ((s, dir) =>
       DedupOps.noveltyScores(t(s, dir, "documents"), "doc_id", "text", k = 3)),
 
+    // Weak labeling against a literal lexicon: word-boundary contains on
+    // the normalized text, one codegen'd scan per entity, zero shuffles.
+    "q_dict_tag" -> ((s, dir) =>
+      TextOps.dictionaryTag(t(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "stream", "hash value", "table part"))),
+
+    // Contrastive negatives: k=4 hash-driven partners per doc over the
+    // checked-dense id domain — row-local after a 1-row bounds attach.
+    "q_neg_samples" -> ((s, dir) =>
+      PrepOps.negativeSamples(t(s, dir, "documents"), col("doc_id"), k = 4)
+        .select(col("id").as("doc_id"), col("j"), col("neg_id"))),
+
     // PPJoin-style prefix-filtered Jaccard join: each doc indexes only
     // its rarest |d|-ceil(t|d|)+1 shingles under a global (df, hash)
     // order — provably complete for J >= t (prefix-filtering lemma)
@@ -3469,6 +3481,32 @@ object PipelineQueries {
 
     "q_text_fingerprint" ->
       s"SELECT doc_id, ${S.fingerprint("text")} AS fp FROM documents",
+
+    // Same normalized space-delimited contains per literal entity.
+    "q_dict_tag" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    ' ' || trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) || ' ' AS t
+        |  FROM documents)
+        |SELECT doc_id, entity
+        |FROM n, (VALUES ('spark'), ('stream'), ('hash value'),
+        |         ('table part')) AS e(entity)
+        |WHERE contains(t, ' ' || entity || ' ')""".stripMargin,
+
+    // Same affine formula over the same checked-dense domain.
+    "q_neg_samples" ->
+      """WITH b AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |x AS (
+        |  SELECT doc_id, j,
+        |    (doc_id * 2654435761 + j * 40503 + 104729)
+        |      % (SELECT n FROM b) AS raw
+        |  FROM documents, (VALUES (0), (1), (2), (3)) AS js(j))
+        |SELECT doc_id, CAST(j AS BIGINT) AS j,
+        |  CAST(CASE WHEN raw = doc_id
+        |    THEN (raw + 1) % (SELECT n FROM b) ELSE raw END AS BIGINT)
+        |    AS neg_id
+        |FROM x""".stripMargin,
 
     // Same two-regexp chain with the 'g' flag; both engines' [^a-z0-9\s]
     // and \s classes agree on ASCII input.

@@ -270,6 +270,29 @@ class PrepOpsSpec extends SparkSpec {
     assert(re == got)
   }
 
+  test("negativeSamples: k per id, never self, in-domain, deterministic; sparse domain refused") {
+    val ids = (0L until 10L).map(Tuple1(_)).toDF("doc_id")
+    val got = PrepOps.negativeSamples(ids, col("doc_id"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.size == 30)
+    got.foreach { case ((id, j), neg) =>
+      assert(neg != id && neg >= 0 && neg < 10, s"($id,$j)->$neg")
+      // the affine formula, self-bumped
+      val raw = Math.floorMod(id * 2654435761L + j * 40503L + 104729L, 10L)
+      assert(neg == (if (raw == id) (raw + 1) % 10 else raw))
+    }
+    // layout invariance
+    val re = PrepOps.negativeSamples(ids.repartition(4), col("doc_id"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(re == got)
+    // a hole in the domain fails loudly instead of aliasing onto it
+    val sparse = Seq(0L, 1L, 3L).map(Tuple1(_)).toDF("doc_id")
+    val err = intercept[Exception] {
+      PrepOps.negativeSamples(sparse, col("doc_id"), 2).collect()
+    }
+    assert(err.getMessage.contains("dense"), err.getMessage)
+  }
+
   test("quantileNormalizeRef rejects unsorted boundaries") {
     val df = Seq(("g", 1L, 5L)).toDF("grp", "id", "x")
     intercept[IllegalArgumentException] {

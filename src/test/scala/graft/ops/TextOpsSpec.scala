@@ -119,4 +119,21 @@ class TextOpsSpec extends SparkSpec {
     assert(one[Double](TextOps.distinctTokenFrac($"t"), "") == 1.0)
     assert(one[Double](TextOps.dupNgramFrac($"t", 2), "solo") == 0.0)
   }
+
+  test("dictionaryTag: word boundaries, multi-token entities, normalization") {
+    val docs = Seq(
+      (1L, "Visited New York, twice!"),      // multi-token + punctuation
+      (2L, "the newyorker magazine"),        // no partial/substring match
+      (3L, "york new york  new"),            // match anywhere, once per entity
+      (4L, "nothing here")).toDF("doc_id", "text")
+    val got = TextOps.dictionaryTag(docs, "doc_id", "text",
+        Seq("new york", "york"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "new york"), (1L, "york"),
+      (3L, "new york"), (3L, "york")), s"got $got")
+    // unnormalized entities are rejected loudly
+    intercept[IllegalArgumentException] {
+      TextOps.dictionaryTag(docs, "doc_id", "text", Seq("New York"))
+    }
+  }
 }
