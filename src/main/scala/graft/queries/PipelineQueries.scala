@@ -90,6 +90,52 @@ object PipelineQueries {
         col("doc_id"),
         TextOps.langId(col("text")).as("lang_pred"))),
 
+    // Lang-ID confusion matrix: labeled lang vs stopword-heuristic
+    // prediction, with the row-conditional rate — the accuracy report
+    // that decides whether the cheap classifier gates a language. One
+    // corpus scan; totals ride the tiny cell frame (transitionMatrix
+    // discipline).
+    "q_lang_confusion" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"), TextOps.langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("row_total",
+          sum(col("n")).over(Window.partitionBy(col("lang"))))
+        .select(col("lang"), col("lang_pred"), col("n"),
+          (col("n").cast("double") / col("row_total").cast("double"))
+            .as("rate"))),
+
+    // Exact-duplicate rate per source: 1 - distinct fingerprints / docs.
+    // Two map-side-combined aggregates over the fingerprint frame.
+    "q_dup_rate" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("source"), TextOps.fingerprint(col("text")).as("__fp"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("__fp")).as("n_unique"))
+        .withColumn("dup_rate",
+          lit(1.0) - col("n_unique").cast("double") /
+            col("n_docs").cast("double"))),
+
+    // Inverted-index health: how many shingles appear in 1 doc, 2-3,
+    // 4-7, ... (log2 df buckets). THE histogram that justifies a
+    // maxShingleDf cap before a candidate join: candidate volume is
+    // sum df^2, so the tail buckets dominate cost. Index-sized
+    // aggregates only. Bucket = floor(log2 df) computed as
+    // length(bin(df)) - 1: pure integer/string ops — a float log2 can
+    // land on either side of a power-of-2 boundary per libm.
+    "q_shingle_df_hist" -> ((s, dir) => {
+      val idx = DedupOps.shingleIndexHashed(
+        t(s, dir, "documents"), "doc_id", "text", k = 3)
+      idx.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .select((length(bin(col("df"))) - 1).cast("long").as("df_bucket"),
+          col("df"))
+        .groupBy(col("df_bucket"))
+        .agg(count(lit(1)).as("n_shingles"), sum(col("df")).as("n_postings"),
+          sum(col("df") * col("df")).as("candidate_volume"))
+    }),
+
     "q_text_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -3478,6 +3524,43 @@ object PipelineQueries {
 
     "q_text_langid" ->
       s"SELECT doc_id, ${S.langId("text")} AS lang_pred FROM documents",
+
+    // Same heuristic, same cell counts, same one-division rate.
+    "q_lang_confusion" ->
+      s"""WITH p AS (
+         |  SELECT lang, ${S.langId("text")} AS lang_pred FROM documents),
+         |c AS (
+         |  SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+         |  FROM p GROUP BY 1, 2)
+         |SELECT lang, lang_pred, n,
+         |  CAST(n AS DOUBLE)
+         |    / CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE) AS rate
+         |FROM c""".stripMargin,
+
+    // Same fingerprint, exact distinct on both engines.
+    "q_dup_rate" ->
+      s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT ${S.fingerprint("text")}) AS BIGINT)
+         |    AS n_unique,
+         |  1.0 - CAST(count(DISTINCT ${S.fingerprint("text")}) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS dup_rate
+         |FROM documents GROUP BY source""".stripMargin,
+
+    // String shingles stand in for the hashed index (the q_dedup_ngram
+    // convention); length(bin(df)) - 1 is the same integer bucket.
+    "q_shingle_df_hist" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${S.tokens("text")} AS w FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')))) AS s
+         |  FROM toks WHERE len(w) >= 3),
+         |d AS (SELECT s, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY s)
+         |SELECT CAST(length(bin(df)) - 1 AS BIGINT) AS df_bucket,
+         |  CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(sum(df) AS BIGINT) AS n_postings,
+         |  CAST(sum(df * df) AS BIGINT) AS candidate_volume
+         |FROM d GROUP BY 1""".stripMargin,
 
     "q_text_fingerprint" ->
       s"SELECT doc_id, ${S.fingerprint("text")} AS fp FROM documents",
