@@ -120,6 +120,52 @@ object MultimodalOps {
     }
   }
 
+  /** STUB PERCEPTUAL HASH — the block-mean signature shape of pHash over
+    * raw payload bytes (a real deployment computes it over decoded
+    * grayscale pixels after a DCT; the 64-bit contract and everything
+    * downstream are identical). The payload splits into 64 equal blocks
+    * of w = len/64 bytes (integer division; the tail remainder is
+    * dropped, payloads under 64 bytes hash to 0), and bit i is set iff
+    * block i's byte-sum exceeds the mean block-sum — evaluated as the
+    * EXACT integer comparison 64·s_i > Σs (no floats anywhere, so the
+    * signature is bit-portable and an engine oracle can replay it).
+    */
+  def pHashStub(payload: Array[Byte]): Long = {
+    val w = payload.length / 64
+    if (w == 0) return 0L
+    val sums = new Array[Long](64)
+    var i = 0
+    while (i < 64) {
+      var j = i * w
+      val end = j + w
+      var s = 0L
+      while (j < end) { s += payload(j) & 0xff; j += 1 }
+      sums(i) = s
+      i += 1
+    }
+    val total = sums.sum
+    var sig = 0L
+    i = 0
+    while (i < 64) {
+      if (64L * sums(i) > total) sig |= (1L << i)
+      i += 1
+    }
+    sig
+  }
+
+  /** One 64-bit perceptual signature per media row — same no-shuffle
+    * `mapPartitions` batch shape as [[extractFeatures]]. Near-dup pairs
+    * come from [[graft.ops.DedupOps.simhashNearDupPairs]] over the
+    * result: perceptual hashes are Hamming-clustered exactly like text
+    * simhashes, so the pigeonhole chunk join is the pair engine for both.
+    */
+  def perceptualHashes(media: Dataset[MediaRow]): DataFrame = {
+    implicit val enc = Encoders.product[(Long, Long)]
+    media.mapPartitions(_.filter(_.payload != null).map(r =>
+      (r.media_id, pHashStub(r.payload))))
+      .toDF("media_id", "phash")
+  }
+
   /** Build a media table from the documents table (payload = UTF-8 bytes of
     * the text — a stand-in for real image bytes with identical plumbing).
     */

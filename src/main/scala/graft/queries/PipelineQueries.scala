@@ -347,6 +347,23 @@ object PipelineQueries {
         DedupOps.portableSimhash(t(s, dir, "documents"), "doc_id", "text"),
         bits = 60, maxHamming = 5)),
 
+    // 64-bit block-sum perceptual hash per media payload (pHash shape;
+    // exact integer comparisons only, so the byte-level stub is fully
+    // oracle-replayable). Codec batch shape: mapPartitions, no shuffle.
+    "q_media_phash" -> ((s, dir) =>
+      MultimodalOps.perceptualHashes(
+        MultimodalOps.mediaFromDocuments(t(s, dir, "documents")))),
+
+    // Perceptual near-dup pairs within Hamming 3: the SAME pigeonhole
+    // chunk join that pairs text simhashes pairs image signatures —
+    // 4 chunks of 16 bits, candidates bucket-joined, row-local verify.
+    "q_media_neardup" -> ((s, dir) =>
+      DedupOps.simhashNearDupPairs(
+        MultimodalOps.perceptualHashes(
+          MultimodalOps.mediaFromDocuments(t(s, dir, "documents")))
+          .select(col("media_id").as("doc_id"), col("phash").as("simhash")),
+        bits = 64, maxHamming = 3)),
+
     // The composed scale path: LSH candidates -> exact Jaccard verify on
     // candidates only, at the production 32/8/4 geometry, with the
     // portable family so the full pipeline is hash-gated by the driver
@@ -3243,6 +3260,46 @@ object PipelineQueries {
     * the NAIVE all-pairs Hamming predicate — the hash-compare against
     * Spark's pigeonhole chunk join is the completeness proof.
     */
+  /** DuckDB twin of [[graft.ops.MultimodalOps.pHashStub]] over the
+    * documents-derived media table: payload bytes are the raw text's
+    * ASCII codes, so per-block byte sums replay as per-block char-code
+    * sums; bit i = [64·s_i > Σs] is exact integer algebra on both
+    * engines, and bit 63 enters as the int64 MIN literal (two's
+    * complement — a positive 2^63 literal would overflow BIGINT).
+    */
+  private def phashCtes: String = {
+    val pow2 = (0 until 63).map(i => (1L << i).toString) :+
+      Long.MinValue.toString
+    s"""ph_c AS (
+       |  SELECT doc_id AS media_id,
+       |    list_transform(list_filter(string_split(text, ''),
+       |      ch -> len(ch) > 0), ch -> CAST(ord(ch) AS BIGINT)) AS codes
+       |  FROM documents),
+       |ph_s AS (
+       |  SELECT media_id, len(codes) // 64 AS w, codes FROM ph_c),
+       |ph_b AS (
+       |  SELECT media_id,
+       |    list_transform(range(0, 64), i -> CASE WHEN w = 0
+       |      THEN CAST(0 AS BIGINT)
+       |      ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        codes[i*w+1 : i*w+w]), (a, x) -> a + x) END) AS ss
+       |  FROM ph_s),
+       |ph_t AS (
+       |  SELECT media_id, ss,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), ss),
+       |      (a, x) -> a + x) AS tot
+       |  FROM ph_b),
+       |ph AS (
+       |  SELECT media_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(0, 64), i ->
+       |        CASE WHEN 64 * ss[i+1] > tot
+       |          THEN ([${pow2.mkString(", ")}])[i+1]
+       |          ELSE CAST(0 AS BIGINT) END)),
+       |      (a, x) -> a + x) AS phash
+       |  FROM ph_t)""".stripMargin
+  }
+
   private def simhashNearDupOracle: String =
     s"""WITH $simhashSigCtes
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -3261,6 +3318,17 @@ object PipelineQueries {
       minhashPortableOracle(16, 4, 4, verified = true),
     "q_dedup_simhash_portable" -> simhashPortableOracle,
     "q_simhash_neardup" -> simhashNearDupOracle,
+
+    "q_media_phash" ->
+      s"""WITH $phashCtes
+         |SELECT media_id, phash FROM ph""".stripMargin,
+
+    "q_media_neardup" ->
+      s"""WITH $phashCtes
+         |SELECT a.media_id AS id_a, b.media_id AS id_b,
+         |  CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+         |FROM ph a JOIN ph b ON a.media_id < b.media_id
+         |WHERE bit_count(xor(a.phash, b.phash)) <= 3""".stripMargin,
     "q_bpe_encode" -> bpeEncodeOracle,
     "q_sim_pq_literal" -> pqLiteralOracle,
     "q_sim_ivfpq_literal" -> ivfPqLiteralOracle,

@@ -68,4 +68,24 @@ class MultimodalOpsSpec extends SparkSpec {
     val out = MultimodalOps.extractFeatures(media)
     assert(out.rdd.getNumPartitions == 3)
   }
+
+  test("pHashStub: hand-computed bits, short-payload zero, locality") {
+    // 128 bytes, blocks of w=2: first 32 blocks sum 2*200, rest 2*10 —
+    // exactly the high blocks exceed the mean, so bits 0..31 are set
+    val hot = Array.fill(64)(200.toByte) ++ Array.fill(64)(10.toByte)
+    assert(MultimodalOps.pHashStub(hot) == 0xFFFFFFFFL)
+    // under one block per bit -> defined zero
+    assert(MultimodalOps.pHashStub(Array.fill(63)(1.toByte)) == 0L)
+    assert(MultimodalOps.pHashStub(Array.emptyByteArray) == 0L)
+    // locality: flipping a few bytes moves few bits; unrelated content moves many
+    val base = Array.tabulate(256)(i => (i % 251).toByte)
+    val tweak = base.clone(); tweak(0) = 250.toByte; tweak(1) = 250.toByte
+    val other = Array.tabulate(256)(i => ((i * 37 + 11) % 251).toByte)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val hp = MultimodalOps.pHashStub(base)
+    assert(ham(hp, MultimodalOps.pHashStub(tweak)) <= 4)
+    assert(ham(hp, MultimodalOps.pHashStub(other)) > 8)
+    // deterministic
+    assert(hp == MultimodalOps.pHashStub(base.clone()))
+  }
 }
