@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Online-experiment (A/B test) analysis over event streams.
+  *
+  * The assignment is DETERMINISTIC — a unit (user) hashes into its arm via
+  * the ANSI-portable affine hash ([[SamplingOps.portableAffine]]), the way
+  * production experiment frameworks bucket by `hash(unit_id, salt)` so the
+  * same user always sees the same arm with no assignment table to join.
+  * Determinism also makes the whole analysis oracle-checkable end to end.
+  *
+  * Scale shape: one map-side-combined aggregate collapses the event table
+  * to unit grain, a second collapses units to ONE summary row. Both
+  * Exchanges move partial-aggregate rows (units, then arms), never raw
+  * events — at 100 TB the z-test costs one pass over the fact.
+  */
+object ExperimentOps {
+
+  /** Bucket `id` into `nArms` deterministic experiment arms (0-based). */
+  def armOf(id: Column, nArms: Int): Column =
+    pmod(SamplingOps.portableAffine(id), lit(nArms.toLong))
+
+  /** Two-proportion z-test between arms 0 (control) and 1 (treatment).
+    *
+    * `units` must be one row per experiment unit with `idCol` (the
+    * assignment key) and `convertedCol` (0/1 long). Output is ONE row:
+    * `(users_a, users_b, conv_a, conv_b, rate_a, rate_b, z)` where
+    * `z = (rate_a - rate_b) / sqrt(pool * (1 - pool) * (1/na + 1/nb))`
+    * under the pooled success rate. Counts are exact longs; the float
+    * chain is a FIXED order of IEEE ops (divide, multiply, sqrt are all
+    * correctly rounded), so the statistic is bit-identical on any engine —
+    * the same discipline as q_standardize. Degenerate pools (0 or 1 —
+    * nothing or everything converts) yield NULL z rather than ±Inf.
+    */
+  def abTest(units: DataFrame, idCol: Column, convertedCol: Column): DataFrame = {
+    val armed = units.select(
+      armOf(idCol, 2).as("arm"),
+      convertedCol.cast("long").as("converted"))
+    // counts via count() (0 on an empty arm, like SQL's count FILTER);
+    // every division sits behind a positivity guard — ANSI mode makes an
+    // unguarded 0/0 a runtime error, not a NULL.
+    val sums = armed.agg(
+      count(when(col("arm") === 0, 1L)).as("users_a"),
+      count(when(col("arm") === 1, 1L)).as("users_b"),
+      sum(when(col("arm") === 0, col("converted")).otherwise(0L)).as("conv_a"),
+      sum(when(col("arm") === 1, col("converted")).otherwise(0L)).as("conv_b"))
+    val na = col("users_a").cast("double")
+    val nb = col("users_b").cast("double")
+    val ra = when(col("users_a") > 0, col("conv_a") / col("users_a"))
+    val rb = when(col("users_b") > 0, col("conv_b") / col("users_b"))
+    val pool = when(col("users_a") + col("users_b") > 0,
+      (col("conv_a") + col("conv_b")).cast("double") /
+        (col("users_a") + col("users_b")))
+    sums.select(
+      col("users_a"), col("users_b"), col("conv_a"), col("conv_b"),
+      ra.as("rate_a"), rb.as("rate_b"),
+      when(col("users_a") > 0 && col("users_b") > 0 &&
+          pool > 0.0 && pool < 1.0,
+        (ra - rb) / sqrt(pool * (lit(1.0) - pool) *
+          (lit(1.0) / na + lit(1.0) / nb)))
+        .as("z"))
+  }
+}

@@ -216,4 +216,43 @@ object LakeOps {
       .filter(col(s"__w.$opCol") =!= "D")
       .select(col(keyCol) +: payload.map(p => col(s"__w.$p").as(p)): _*)
   }
+
+  /** Persist `df` as a BUCKETED parquet table: `nBuckets` hash buckets on
+    * `keys`, each bucket sorted on the same keys, registered in the
+    * session catalog under `table` (dropped first, so re-runs are
+    * idempotent).
+    *
+    * Bucketing is the lake-side answer to the repeated-join shuffle: two
+    * tables bucketed on the same keys with the same bucket count report
+    * `HashPartitioning(keys, n)` straight from the SCAN, so every later
+    * join or aggregation on those keys plans with ZERO Exchange on the
+    * bucketed side — the shuffle is paid ONCE at write time and amortized
+    * over every downstream query. At 100 TB this is the difference
+    * between re-shuffling the fact table per query and never shuffling
+    * it again (BucketJoinSpec pins the Exchange-free plan).
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      keys: Seq[String],
+      nBuckets: Int): Unit = {
+    require(keys.nonEmpty, "writeBucketed needs >= 1 bucket key")
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val s = df.sparkSession
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    // The in-memory catalog dies with the session but the managed-table
+    // DIRECTORY survives in the warehouse — a fresh session's DROP is a
+    // no-op and CTAS then refuses the non-empty location. Clear it.
+    val loc = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"),
+      table.toLowerCase(java.util.Locale.ROOT))
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.write
+      .mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(nBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+  }
 }

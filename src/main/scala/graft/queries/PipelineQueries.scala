@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{ContaminationOps, DedupOps, GraphOps, IvfOps, JoinOps, LakeOps, LmOps, MultimodalOps, PqOps, PrepOps, ProfileOps, SamplingOps, SearchOps, SimilarityOps, TextOps}
+import graft.ops.{ContaminationOps, DedupOps, ExperimentOps, GraphOps, IvfOps, JoinOps, LakeOps, LmOps, MultimodalOps, PqOps, PrepOps, ProfileOps, SamplingOps, SearchOps, SimilarityOps, TextOps}
 import graft.streaming.EventOps
 
 /** Training-data pipeline operators (dedup, similarity search, multimodal,
@@ -463,6 +463,27 @@ object PipelineQueries {
     // partition columns.
     "q_lake_layout2" -> ((s, dir) =>
       LakeOps.layoutPlan(t(s, dir, "documents"), Seq("source", "lang"), 25L)),
+
+    // Shuffle-once-at-write-time: both join sides land as bucketed tables
+    // on the join key (8 buckets, bucket-sorted), then the revenue join
+    // reads HashPartitioning straight from the scans — zero Exchange on
+    // either join input (BucketJoinSpec pins it). The oracle re-joins the
+    // raw parquet, so a green row also proves the bucketed round-trip is
+    // lossless.
+    "q_bucket_join" -> ((s, dir) => {
+      LakeOps.writeBucketed(
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+        "graft_bkt_lineitem", Seq("l_orderkey"), nBuckets = 8)
+      LakeOps.writeBucketed(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+        "graft_bkt_orders", Seq("o_orderkey"), nBuckets = 8)
+      s.table("graft_bkt_lineitem")
+        .join(s.table("graft_bkt_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg((sum(revU) / 10000.0).as("revenue"))
+    }),
 
     // Join-key skew diagnostic (run BEFORE choosing saltedJoin): key
     // cardinality, max/median/p99 group sizes, skew ratio, hottest keys.
@@ -1114,6 +1135,27 @@ object PipelineQueries {
     // conditional-probability division per (prev, next) row.
     "q_transition_matrix" -> ((s, dir) =>
       EventOps.transitionMatrix(RefQueries.events(s, dir))),
+
+    // Exact 7-day rolling distinct users per day: each active day covers
+    // [a, min(a+6, next-1)] (disjoint by construction), so the count is
+    // a bounded row-local explode + one tiny day-keyed aggregate — never
+    // a W-wide range self-join or a windowed collect_set over the fact.
+    "q_rolling_dau" -> ((s, dir) =>
+      EventOps.rollingActiveUsers(RefQueries.events(s, dir), windowDays = 7)),
+
+    // Two-proportion z-test over a deterministic hash-split experiment:
+    // arms from the portable affine hash of user_id (no assignment table),
+    // conversion = "purchases >= views" per user, pooled z in a fixed
+    // IEEE chain. Two map-side-combined aggregates; one summary row.
+    "q_ab_test" -> ((s, dir) => {
+      val units = RefQueries.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("nv"))
+      ExperimentOps.abTest(
+        units, col("user_id"), (col("np") >= col("nv")).cast("long"))
+    }),
 
     // sqrt-temperature mixture allocation across sources for a 200-row
     // budget: integer milli-weight grid end to end (see the op's
@@ -3344,6 +3386,16 @@ object PipelineQueries {
         |  CAST((count(*) + 24) // 25 AS BIGINT) AS n_files
         |FROM documents GROUP BY source, lang""".stripMargin,
 
+    // Re-joins the RAW parquet: a hash match proves the bucketed
+    // round-trip lost and changed nothing.
+    "q_bucket_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+        |    AS DOUBLE) / 10000 AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+
     "q_zone_map" ->
       """SELECT strftime(l_shipdate, '%Y-%m') AS zone,
         |  CAST(count(*) AS BIGINT) AS n_rows,
@@ -4348,6 +4400,59 @@ object PipelineQueries {
         |SELECT c.prev_type, next_type, n,
         |  CAST(n AS DOUBLE) / CAST(row_total AS DOUBLE) AS p
         |FROM c JOIN t ON c.prev_type = t.prev_type""".stripMargin,
+
+    // Independent formulation: the W-wide range join the Spark plan
+    // refuses to run — correct at oracle scale, and a hash match proves
+    // the disjoint-interval explode counts every (user, day) exactly once.
+    "q_rolling_dau" ->
+      """WITH active AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |days AS (SELECT DISTINCT day FROM active)
+        |SELECT d.day AS day,
+        |  CAST(count(DISTINCT CASE WHEN a.day = d.day THEN a.user_id END)
+        |    AS BIGINT) AS dau,
+        |  CAST(count(DISTINCT a.user_id) AS BIGINT) AS dau_w
+        |FROM days d JOIN active a ON a.day BETWEEN d.day - 6 AND d.day
+        |GROUP BY d.day""".stripMargin,
+
+    // Verbatim twin of ExperimentOps.abTest: same affine-hash arm split,
+    // same fixed IEEE chain for the pooled z (/, *, sqrt are all
+    // correctly rounded, so the statistic is bit-identical).
+    "q_ab_test" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    count(*) FILTER (WHERE event_type = 'purchase') AS np,
+        |    count(*) FILTER (WHERE event_type = 'view') AS nv
+        |  FROM events GROUP BY 1),
+        |a AS (
+        |  SELECT
+        |    ((((user_id % 999999937) * 2654435761 + 104729) % 999999937)
+        |      % 2) AS arm,
+        |    CASE WHEN np >= nv THEN 1 ELSE 0 END AS converted
+        |  FROM u),
+        |s AS (
+        |  SELECT
+        |    CAST(count(*) FILTER (WHERE arm = 0) AS BIGINT) AS users_a,
+        |    CAST(count(*) FILTER (WHERE arm = 1) AS BIGINT) AS users_b,
+        |    CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END)
+        |      AS BIGINT) AS conv_a,
+        |    CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END)
+        |      AS BIGINT) AS conv_b
+        |  FROM a),
+        |r AS (
+        |  SELECT *,
+        |    CASE WHEN users_a > 0 THEN conv_a / users_a END AS rate_a,
+        |    CASE WHEN users_b > 0 THEN conv_b / users_b END AS rate_b,
+        |    CASE WHEN users_a + users_b > 0
+        |      THEN (conv_a + conv_b) / (users_a + users_b) END AS pool
+        |  FROM s)
+        |SELECT users_a, users_b, conv_a, conv_b, rate_a, rate_b,
+        |  CASE WHEN users_a > 0 AND users_b > 0
+        |        AND pool > 0.0 AND pool < 1.0
+        |    THEN (rate_a - rate_b) / sqrt(pool * (1.0 - pool)
+        |      * (1.0 / users_a + 1.0 / users_b))
+        |  END AS z
+        |FROM r""".stripMargin,
 
     // Same exact rational per cell: (o·N − r·c)² / (N·r·c), margins via
     // windows over the cell frame.

@@ -577,4 +577,44 @@ object EventOps {
       }
       .toDF("key", "ord", "x", "ewma", "anomaly")
   }
+
+  /** EXACT rolling-window distinct users per day — DAU plus the trailing
+    * `windowDays`-day active-user count for every observed day.
+    *
+    * Rolling COUNT(DISTINCT) is the classic scale trap: the naive plan
+    * range-joins every day against a `windowDays`-wide slice of the fact
+    * (W full re-scans' worth of join input), and a windowed
+    * `collect_set(user)` materializes per-day user sets. This plan does
+    * neither. Per user, a day `a` with successor active day `n` is the
+    * MOST RECENT active day exactly on `[a, min(a + W - 1, n - 1)]` —
+    * consecutive intervals are disjoint by construction, so exploding
+    * each active day to its interval emits every (user, covered day)
+    * pair EXACTLY once, at most W rows per active pair, all row-local.
+    *
+    * One Exchange collapses events to per-user sorted active-day arrays
+    * (bounded by the calendar span, not the event count); the interval
+    * explode is a higher-order function over that array (no second
+    * window); one tiny day-keyed aggregate counts covering users. Days
+    * nobody was active on are not reported (`dau > 0` — also what
+    * filters coverage that dangles past the corpus end).
+    */
+  def rollingActiveUsers(events: DataFrame, windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val perUser = events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_set(col("day"))).as("days"))
+    val covered = perUser.select(
+      explode(flatten(transform(col("days"), (d, i) => {
+        val next = get(col("days"), i + lit(1))
+        val cap = date_add(d, windowDays - 1)
+        val end = least(cap, coalesce(date_sub(next, 1), cap))
+        transform(sequence(d, end),
+          cd => struct(cd.as("day"), (cd === d).cast("long").as("is_active")))
+      }))).as("c"))
+    covered
+      .groupBy(col("c.day").as("day"))
+      .agg(sum(col("c.is_active")).as("dau"), count(lit(1)).as("dau_w"))
+      .filter(col("dau") > 0)
+  }
 }

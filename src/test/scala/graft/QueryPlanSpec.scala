@@ -469,4 +469,29 @@ class QueryPlanSpec extends SparkSpec {
     assert(!mx.contains("SortMergeJoin") && !mx.contains("CartesianProduct"),
       s"no corpus-sized join:\n$mx")
   }
+
+  test("rolling-DAU / A-B test / bucket join keep their scale shapes") {
+    // q_rolling_dau: the disjoint-interval explode is row-local — one
+    // user-keyed Exchange (active-day arrays), one tiny day-keyed
+    // Exchange; NEVER a W-wide range join or a windowed collect_set
+    val rd = finalPlan("q_rolling_dau")
+    assert(!rd.contains("Join"), s"rolling distinct must not range-join:\n$rd")
+    assert(countOf(rd, "Exchange") == 2,
+      s"user agg + day agg are the only shuffles:\n$rd")
+
+    // q_ab_test: two map-side-combined aggregates (user grain, then the
+    // 1-row summary) — no assignment-table join, nothing fact-sized after
+    // the first partial aggregate
+    val ab = finalPlan("q_ab_test")
+    assert(!ab.contains("Join"), s"hash-split assignment must not join:\n$ab")
+    assert(countOf(ab, "Exchange") == 2,
+      s"user agg + scalar summary are the only shuffles:\n$ab")
+
+    // q_bucket_join: the registered query re-buckets then joins; whatever
+    // join strategy fires, there must be no shuffle between the bucketed
+    // SCANS and the join (the zero-Exchange contract under disabled
+    // broadcast is pinned in BucketJoinSpec against real bucketed tables)
+    val bj = finalPlan("q_bucket_join")
+    assert(!bj.contains("CartesianProduct"), s"no cartesian:\n$bj")
+  }
 }

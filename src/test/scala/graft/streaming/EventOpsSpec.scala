@@ -477,4 +477,64 @@ class EventOpsSpec extends SparkSpec {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("rollingActiveUsers: hand-computed DAU and trailing-3-day counts") {
+    // u10 active days 1, 2 (twice — same-day events must collapse), 5;
+    // u11 active days 1, 8. W=3 coverage: u10 {1},{2,3,4},{5,6,7};
+    // u11 {1,2,3},{8,9,10}. Days with dau=0 are not reported.
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 10L, "click", 1.0),
+      (2L, ts("2024-01-02 09:00:00"), 10L, "view", 1.0),
+      (3L, ts("2024-01-02 21:00:00"), 10L, "click", 1.0),
+      (4L, ts("2024-01-05 12:00:00"), 10L, "click", 1.0),
+      (5L, ts("2024-01-01 01:00:00"), 11L, "click", 1.0),
+      (6L, ts("2024-01-08 23:00:00"), 11L, "error", 1.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventOps.rollingActiveUsers(events, windowDays = 3).collect()
+      .map(r => r.getDate(0).toString -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(
+      "2024-01-01" -> (2L, 2L),
+      "2024-01-02" -> (1L, 2L),
+      "2024-01-05" -> (1L, 1L),
+      "2024-01-08" -> (1L, 1L)))
+  }
+
+  test("rollingActiveUsers matches the naive W-wide range join") {
+    // pseudo-random (user, day) activity from an affine hash — no RNG
+    val events = (0L until 3000L).map { i =>
+      val u = (i * 2654435761L + 104729L) % 1000000007L
+      (i, ts(f"2024-01-${(u % 28) + 1}%02d 12:00:00"), u % 37L, "click", 1.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventOps.rollingActiveUsers(events, windowDays = 7).collect()
+      .map(r => r.getDate(0).toString -> (r.getLong(1), r.getLong(2))).toMap
+
+    val active = events
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val days = active.select(col("day").as("d")).distinct()
+    val naive = days.join(active,
+        col("day").between(date_sub(col("d"), 6), col("d")))
+      .groupBy(col("d"))
+      .agg(
+        countDistinct(when(col("day") === col("d"), col("user_id"))).as("dau"),
+        countDistinct(col("user_id")).as("dau_w"))
+      .collect()
+      .map(r => r.getDate(0).toString -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == naive)
+  }
+
+  test("rollingActiveUsers: coverage caps at the next active day (no double count)") {
+    // consecutive active days: each day's interval must stop before the
+    // next, so dau_w on day 3 counts the user ONCE despite 3 covering days
+    val events = Seq(
+      (1L, ts("2024-02-01 10:00:00"), 7L, "click", 1.0),
+      (2L, ts("2024-02-02 10:00:00"), 7L, "click", 1.0),
+      (3L, ts("2024-02-03 10:00:00"), 7L, "click", 1.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventOps.rollingActiveUsers(events, windowDays = 7).collect()
+      .map(r => r.getDate(0).toString -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(
+      "2024-02-01" -> (1L, 1L),
+      "2024-02-02" -> (1L, 1L),
+      "2024-02-03" -> (1L, 1L)))
+  }
 }
