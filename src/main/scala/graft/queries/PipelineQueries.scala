@@ -1157,6 +1157,21 @@ object PipelineQueries {
         units, col("user_id"), (col("np") >= col("nv")).cast("long"))
     }),
 
+    // CUPED variance reduction: pre-period activity (first half of the
+    // month) as the covariate for the post-period purchase count. One
+    // user-grain aggregate + ONE moments pass (12 exact-long sums in a
+    // single map-side-combined aggregate); θ and the adjusted means are
+    // integer moment identities with one closing double division each.
+    "q_cuped" -> ((s, dir) => {
+      val e = RefQueries.events(s, dir)
+      val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+      val units = e.groupBy(col("user_id")).agg(
+        sum(when(col("ts") < cut, 1L).otherwise(0L)).as("x"),
+        sum(when(col("ts") >= cut && col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("y"))
+      ExperimentOps.cuped(units, col("user_id"), col("x"), col("y"))
+    }),
+
     // sqrt-temperature mixture allocation across sources for a 200-row
     // budget: integer milli-weight grid end to end (see the op's
     // portability note — a float Σw would be order-dependent).
@@ -4453,6 +4468,54 @@ object PipelineQueries {
         |      * (1.0 / users_a + 1.0 / users_b))
         |  END AS z
         |FROM r""".stripMargin,
+
+    // Verbatim twin of ExperimentOps.cuped: same integer moment
+    // identities, same closing-division order.
+    "q_cuped" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    count(*) FILTER (WHERE ts < TIMESTAMP '2024-01-16') AS x,
+        |    count(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-16'
+        |      AND event_type = 'purchase') AS y
+        |  FROM events GROUP BY 1),
+        |a AS (
+        |  SELECT ((((user_id % 999999937) * 2654435761 + 104729)
+        |    % 999999937) % 2) AS arm, x, y FROM u),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy,
+        |    CAST(count(*) FILTER (WHERE arm = 0) AS BIGINT) AS n_a,
+        |    CAST(count(*) FILTER (WHERE arm = 1) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS sx_a,
+        |    CAST(sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS sx_b,
+        |    CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS sy_a,
+        |    CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_b
+        |  FROM a),
+        |d AS (
+        |  SELECT *,
+        |    CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+        |    CAST(n * sxx - sx * sx AS DOUBLE) AS denx,
+        |    CAST(n * syy - sy * sy AS DOUBLE) AS deny
+        |  FROM m),
+        |t AS (
+        |  SELECT *, CASE WHEN n > 0 THEN
+        |    (CASE WHEN denx > 0 THEN num / denx ELSE 0.0 END) END AS theta
+        |  FROM d)
+        |SELECT n_a, n_b, theta,
+        |  CASE WHEN n_a > 0 THEN CAST(sy_a AS DOUBLE) / n_a END AS mean_y_a,
+        |  CASE WHEN n_b > 0 THEN CAST(sy_b AS DOUBLE) / n_b END AS mean_y_b,
+        |  CASE WHEN n_a > 0 THEN CAST(sy_a AS DOUBLE) / n_a
+        |    - theta * (CAST(sx_a AS DOUBLE) / n_a - CAST(sx AS DOUBLE) / n)
+        |  END AS mean_adj_a,
+        |  CASE WHEN n_b > 0 THEN CAST(sy_b AS DOUBLE) / n_b
+        |    - theta * (CAST(sx_b AS DOUBLE) / n_b - CAST(sx AS DOUBLE) / n)
+        |  END AS mean_adj_b,
+        |  CASE WHEN denx > 0 AND deny > 0
+        |    THEN num * num / (denx * deny) END AS var_reduction
+        |FROM t""".stripMargin,
 
     // Same exact rational per cell: (o·N − r·c)² / (N·r·c), margins via
     // windows over the cell frame.

@@ -493,5 +493,13 @@ class QueryPlanSpec extends SparkSpec {
     // broadcast is pinned in BucketJoinSpec against real bucketed tables)
     val bj = finalPlan("q_bucket_join")
     assert(!bj.contains("CartesianProduct"), s"no cartesian:\n$bj")
+
+    // q_cuped: ONE event scan; user-grain agg + the 12-sum moments pass
+    // are the only shuffles — no assignment or moments join anywhere
+    val cu = finalPlan("q_cuped")
+    assert(countOf(cu, "Scan parquet") == 1 && !cu.contains("Join"),
+      s"moments must ride one scan, no join:\n$cu")
+    assert(countOf(cu, "Exchange") == 2,
+      s"user agg + scalar moments are the only shuffles:\n$cu")
   }
 }

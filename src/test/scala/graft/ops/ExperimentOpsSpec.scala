@@ -67,4 +67,63 @@ class ExperimentOpsSpec extends SparkSpec {
       .collect().head.toSeq
     assert(one == eight)
   }
+
+  test("cuped: theta and adjusted means match the JVM moment identities") {
+    // y correlated with x plus an arm-dependent shift — CUPED must
+    // reproduce the exact moment arithmetic, not an approximation
+    val units = (0L until 200L).map { i =>
+      val x = (i * 7 % 13) + 1
+      val y = 2 * x + (i % 5) + (if (arm(i) == 1) 3 else 0)
+      (i, x, y)
+    }
+    val out = ExperimentOps.cuped(
+      units.toDF("id", "x", "y"), col("id"), col("x"), col("y"))
+      .collect().head
+
+    val n = units.size.toLong
+    val sx = units.map(_._2).sum; val sy = units.map(_._3).sum
+    val sxy = units.map(u => u._2 * u._3).sum
+    val sxx = units.map(u => u._2 * u._2).sum
+    val syy = units.map(u => u._3 * u._3).sum
+    val (ua, ub) = units.partition(u => arm(u._1) == 0)
+    val num = (n * sxy - sx * sy).toDouble
+    val denx = (n * sxx - sx * sx).toDouble
+    val deny = (n * syy - sy * sy).toDouble
+    val theta = num / denx
+    val meanX = sx.toDouble / n
+    def adj(g: Seq[(Long, Long, Long)]) = {
+      val m = g.size.toLong
+      g.map(_._3).sum.toDouble / m -
+        theta * (g.map(_._2).sum.toDouble / m - meanX)
+    }
+    assert(out.getLong(0) == ua.size && out.getLong(1) == ub.size)
+    assert(out.getDouble(2) == theta)
+    assert(out.getDouble(5) == adj(ua) && out.getDouble(6) == adj(ub))
+    assert(out.getDouble(7) == num * num / (denx * deny))
+    // CUPED removes the x-driven variance: rho^2 must be substantial here
+    assert(out.getDouble(7) > 0.5)
+    // the adjusted treatment effect stays close to the designed +3 shift
+    val effect = out.getDouble(6) - out.getDouble(5)
+    assert(math.abs(effect - 3.0) < 1.0, s"adjusted effect $effect")
+  }
+
+  test("cuped: zero covariate variance degrades to raw means (theta = 0)") {
+    val units = (0L until 60L).map(i => (i, 5L, i % 4))
+    val out = ExperimentOps.cuped(
+      units.toDF("id", "x", "y"), col("id"), col("x"), col("y"))
+      .collect().head
+    assert(out.getDouble(2) == 0.0, "theta must be 0 when var(x) = 0")
+    assert(out.getDouble(5) == out.getDouble(3) &&
+      out.getDouble(6) == out.getDouble(4),
+      "adjusted means must equal raw means")
+    assert(out.isNullAt(7), "var_reduction undefined when var(x) = 0")
+  }
+
+  test("cuped: empty input yields a fully guarded row") {
+    val out = ExperimentOps.cuped(
+      Seq.empty[(Long, Long, Long)].toDF("id", "x", "y"),
+      col("id"), col("x"), col("y")).collect().head
+    assert(out.getLong(0) == 0L && out.getLong(1) == 0L)
+    (2 to 7).foreach(i => assert(out.isNullAt(i), s"col $i must be NULL"))
+  }
 }
