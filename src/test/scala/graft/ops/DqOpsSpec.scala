@@ -125,4 +125,42 @@ class DqOpsSpec extends SparkSpec {
     assert(plan.contains("SinglePartition"),
       s"global partial/final aggregate expected:\n$plan")
   }
+
+  test("benford: exact grid shares, literal expectations, non-positives dropped") {
+    import spark.implicits._
+    val vals = Seq(5L, 19L, 23L, 345L, 67L, 8L, 91L, 111L, -3L, 0L)
+    val out = DqOps.benford(vals.toDF("x"), col("x")).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // digits of the 8 positive values: 5,1,2,3,6,8,9,1 -> total 8
+    assert(out(1) == (2L, 250000L, 301030L))
+    assert(out(5) == (1L, 125000L, 79181L))
+    assert(!out.contains(4) && !out.contains(7), "absent digits emit no row")
+    assert(out.size == 7)
+    // expectations are a partition of unity on the micro grid
+    assert(DqOps.benfordMicro.values.sum == 1000000L)
+  }
+
+  test("benford: a 10^k-spread sample tracks the law; a flat sample does not") {
+    import spark.implicits._
+    // multi-magnitude sample: for each magnitude, counts proportional to
+    // the Benford shares themselves -> deltas collapse to rounding
+    val benfordish = (for {
+      mag <- Seq(1L, 10L, 100L)
+      d <- 1 to 9
+      rep <- 0L until (DqOps.benfordMicro(d) / 10000L)
+    } yield d * mag + rep % mag).toDF("x")
+    val deltas = DqOps.benford(benfordish, col("x")).collect()
+      .map(r => r.getInt(0) -> r.getLong(4)).toMap
+    assert(deltas.values.forall(d => math.abs(d) < 40000L),
+      s"multi-scale sample should track Benford: $deltas")
+
+    // flat sample 100..999: every first digit equally likely -> digit 1
+    // shows a strong NEGATIVE deviation (111111 vs 301030 expected)
+    val flat = (100L until 1000L).toDF("x")
+    val flatDeltas = DqOps.benford(flat, col("x")).collect()
+      .map(r => r.getInt(0) -> r.getLong(4)).toMap
+    assert(flatDeltas(1) < -150000L,
+      s"flat data must flunk the screen: $flatDeltas")
+  }
 }
