@@ -255,4 +255,19 @@ object LakeOps {
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
   }
+
+  /** [[writeBucketed]], skipped when `table` is already registered in THIS
+    * session's catalog — the write-once-join-many usage: callers key the
+    * table name to the immutable source (q_bucket_join suffixes the input
+    * directory's hash), so a registered table is known-current and every
+    * later query pays only the shuffle-free read. A fresh session always
+    * rebuilds (the in-memory catalog dies with it).
+    */
+  def writeBucketedIfAbsent(
+      df: DataFrame,
+      table: String,
+      keys: Seq[String],
+      nBuckets: Int): Unit =
+    if (!df.sparkSession.catalog.tableExists(table))
+      writeBucketed(df, table, keys, nBuckets)
 }
