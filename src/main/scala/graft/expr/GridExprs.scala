@@ -111,12 +111,15 @@ object GridExprs {
   }
 
   /** Granule filename metadata: day-of-year and hour from names like
-    * `MYD06_L2.A2008001.0035.061....hdf` (reference
-    * `aggregate_functions.py:289-291`: `split('.')[1][5:]` and
-    * `split('.')[2][:2]`).
+    * `MYD06_L2.A2008001.0035.061....hdf` — split on '.' and slice fixed
+    * positions, the reference's own mechanism
+    * (`aggregate_functions.py:289-291`: `split('.')[1][5:]` and
+    * `split('.')[2][:2]`; an earlier regexp formulation was both slower
+    * per row and less faithful). `get` (0-based, NULL past the end)
+    * keeps malformed names NULL-safe up to the cast, like Python slicing.
     */
   def granuleDayOfYear(name: Column): Column =
-    regexp_extract(name, "\\.A\\d{4}(\\d{3})\\.", 1).cast("int")
+    substring(get(split(name, "\\."), lit(1)), 6, 3).cast("int")
   def granuleHour(name: Column): Column =
-    regexp_extract(name, "\\.A\\d{7}\\.(\\d{2})\\d{2}", 1).cast("int")
+    substring(get(split(name, "\\."), lit(2)), 1, 2).cast("int")
 }
