@@ -333,4 +333,48 @@ object ProfileOps {
         concat_ws(",", (0 until topK).map(i => col(s"__h$i")): _*)
           .as("hot_keys"))
   }
+
+  /** Cohen's kappa between two binary raters — chance-corrected
+    * agreement, the standard check before trusting automated labelers
+    * (two heuristic quality filters, or an LLM judge against a gold
+    * rater): raw agreement po is inflated whenever both raters lean the
+    * same way, κ = (po − pe)/(1 − pe) subtracts the chance floor.
+    *
+    * Exact arithmetic end to end: the four confusion cells and both
+    * marginals are longs from ONE map-side-combined aggregate (a single
+    * Exchange of one partial row per task); κ itself is the integer
+    * rational `(n·(n11+n00) − (a1·b1 + a0·b0)) / (n² − (a1·b1 + a0·b0))`
+    * with one closing double division. Constant raters (pe = 1) and
+    * empty input yield NULL κ. Rater values outside {0, 1} raise — a
+    * silently coerced rater would fabricate agreement.
+    *
+    * Output (one row): `(n, n11, n10, n01, n00, po, pe, kappa)`.
+    */
+  def cohenKappa(df: DataFrame, raterA: Column, raterB: Column): DataFrame = {
+    def dom(c: Column, side: String) = {
+      val v = c.cast("long")
+      when(v.isin(0L, 1L), v).otherwise(raise_error(concat(
+        lit(s"cohenKappa: rater $side outside {0,1}: "), c.cast("string"))))
+    }
+    val cells = df.select(dom(raterA, "A").as("a"), dom(raterB, "B").as("b"))
+    val m = cells.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum((col("a") * col("b"))), lit(0L)).as("n11"),
+      coalesce(sum(col("a") * (lit(1L) - col("b"))), lit(0L)).as("n10"),
+      coalesce(sum((lit(1L) - col("a")) * col("b")), lit(0L)).as("n01"),
+      coalesce(sum((lit(1L) - col("a")) * (lit(1L) - col("b"))), lit(0L))
+        .as("n00"))
+    val a1 = col("n11") + col("n10")
+    val b1 = col("n11") + col("n01")
+    val chance = a1 * b1 + (col("n") - a1) * (col("n") - b1)
+    val num = col("n") * (col("n11") + col("n00")) - chance
+    val den = col("n") * col("n") - chance
+    m.select(
+      col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+      when(col("n") > 0,
+        (col("n11") + col("n00")).cast("double") / col("n")).as("po"),
+      when(col("n") > 0,
+        chance.cast("double") / (col("n") * col("n"))).as("pe"),
+      when(den > 0, num.cast("double") / den.cast("double")).as("kappa"))
+  }
 }

@@ -57,6 +57,27 @@ object PipelineQueries {
     ("colu", "m"), ("colum", "n"), ("cu", "st"), ("cust", "o"),
     ("custo", "mer"), ("f", "i"), ("fi", "l"))
 
+  /** The Gopher-style quality rule bundle as four 0/1 columns
+    * (word-count bounds, mean-word-length window, symbol ratio, stopword
+    * presence) — shared by `q_gopher_rules` and the `q_judge_agreement`
+    * kappa so the rater definition cannot drift between them. Every
+    * threshold is an exact integer cross-product; the token-length fold
+    * is the codegen'd expression (see expr/TokenExprs).
+    */
+  private def gopherRules: (Column, Column, Column, Column) = {
+    val toks = TextOps.tokens(lower(col("text")))
+    val nW = size(toks).cast("long")
+    val sumLen = graft.expr.TokenExprs.tokenLengthSum(toks)
+    val nC = TextOps.charCount(col("text")).cast("long")
+    val nP = TextOps.punctCount(col("text")).cast("long")
+    val stops = TextOps.stopwordHits(col("text"),
+      Seq("the", "a", "of", "and", "to", "in", "is", "it"))
+    ((nW >= 3 && nW <= 50).cast("int"),
+      (nW > 0 && sumLen >= nW && sumLen * 10 <= nW * 45).cast("int"),
+      (nP * 10 <= nC).cast("int"),
+      (stops >= 1).cast("int"))
+  }
+
   /** Part co-occurrence edges (parts bought in the same order),
     * generated ROW-LOCALLY from each order's sorted part set — shared by
     * `q_triangles`, `q_communities`, and `q_modularity` (one definition;
@@ -2581,23 +2602,24 @@ object PipelineQueries {
     // corpus has no punctuation. Row-local, zero shuffles — a 100 TB
     // quality pass is a pure map.
     "q_gopher_rules" -> ((s, dir) => {
-      val toks = TextOps.tokens(lower(col("text")))
-      val nW = size(toks).cast("long")
-      // codegen'd fold — the aggregate() HOF form runs its lambda
-      // interpreted per token (see expr/TokenExprs)
-      val sumLen = graft.expr.TokenExprs.tokenLengthSum(toks)
-      val nC = TextOps.charCount(col("text")).cast("long")
-      val nP = TextOps.punctCount(col("text")).cast("long")
-      val stops = TextOps.stopwordHits(col("text"),
-        Seq("the", "a", "of", "and", "to", "in", "is", "it"))
-      val rWords = (nW >= 3 && nW <= 50).cast("int")
-      val rLen = (nW > 0 && sumLen >= nW && sumLen * 10 <= nW * 45).cast("int")
-      val rSym = (nP * 10 <= nC).cast("int")
-      val rStop = (stops >= 1).cast("int")
+      val (rWords, rLen, rSym, rStop) = gopherRules
       t(s, dir, "documents").select(col("doc_id"),
         rWords.as("r_words"), rLen.as("r_word_len"),
         rSym.as("r_symbol"), rStop.as("r_stopword"),
         (rWords * rLen * rSym * rStop).as("passes"))
+    }),
+
+    // Do two automated quality judges agree beyond chance? Cohen's kappa
+    // between the Gopher rule bundle and the lexicon classifier: both
+    // raters row-local, confusion cells + marginals in ONE aggregate,
+    // κ an exact integer rational with one closing division.
+    "q_judge_agreement" -> ((s, dir) => {
+      val (rWords, rLen, rSym, rStop) = gopherRules
+      ProfileOps.cohenKappa(
+        t(s, dir, "documents"),
+        rWords * rLen * rSym * rStop,
+        (TextOps.classifierMargin(col("text"), qualityLexicon) >= 0L)
+          .cast("int"))
     }),
 
     // CUBE completes the grouping-analytics family (rollup, grouping
@@ -5752,6 +5774,59 @@ object PipelineQueries {
       """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    // Raters rebuilt from the q_gopher_rules / q_quality_classifier
+    // oracle fragments; κ chain mirrors ProfileOps.cohenKappa exactly.
+    "q_judge_agreement" -> {
+      val toks = S.tokens("lower(text)")
+      val sumLen = s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform($toks, t -> CAST(len(t) AS BIGINT))), (a, b) -> a + b)"
+      val stops = TextOps.Sql.stopwordHits("text",
+        Seq("the", "a", "of", "and", "to", "in", "is", "it"))
+      val vals = qualityLexicon.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"('$k', CAST($v AS BIGINT))" }.mkString(", ")
+      s"""WITH w(tok, wt) AS (VALUES $vals),
+         |tk AS (
+         |  SELECT doc_id, unnest($toks) AS tok FROM documents),
+         |mm AS (
+         |  SELECT doc_id, CAST(COALESCE(sum(wt), 0) AS BIGINT) AS margin
+         |  FROM tk LEFT JOIN w USING (tok) GROUP BY doc_id),
+         |g AS (SELECT doc_id,
+         |        CAST(len($toks) AS BIGINT) AS nw,
+         |        $sumLen AS suml,
+         |        CAST(length(text) AS BIGINT) AS nc,
+         |        CAST(${S.punctCount("text")} AS BIGINT) AS np,
+         |        $stops AS stops
+         |      FROM documents),
+         |r AS (
+         |  SELECT
+         |    CAST(nw >= 3 AND nw <= 50 AS BIGINT)
+         |      * CAST(nw > 0 AND suml >= nw AND suml * 10 <= nw * 45 AS BIGINT)
+         |      * CAST(np * 10 <= nc AS BIGINT)
+         |      * CAST(stops >= 1 AS BIGINT) AS a,
+         |    CAST(CASE WHEN COALESCE(mm.margin, 0) >= 0
+         |      THEN 1 ELSE 0 END AS BIGINT) AS b
+         |  FROM g LEFT JOIN mm USING (doc_id)),
+         |c AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(a * b) AS BIGINT) AS n11,
+         |    CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+         |    CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+         |    CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+         |  FROM r),
+         |k AS (
+         |  SELECT *,
+         |    (n11 + n10) * (n11 + n01)
+         |      + (n - n11 - n10) * (n - n11 - n01) AS chance
+         |  FROM c)
+         |SELECT n, n11, n10, n01, n00,
+         |  CASE WHEN n > 0 THEN CAST(n11 + n00 AS DOUBLE) / n END AS po,
+         |  CASE WHEN n > 0 THEN CAST(chance AS DOUBLE) / (n * n) END AS pe,
+         |  CASE WHEN n * n - chance > 0
+         |    THEN CAST(n * (n11 + n00) - chance AS DOUBLE)
+         |      / CAST(n * n - chance AS DOUBLE) END AS kappa
+         |FROM k""".stripMargin
+    },
 
     "q_incr_agg" ->
       """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,

@@ -501,5 +501,14 @@ class QueryPlanSpec extends SparkSpec {
       s"moments must ride one scan, no join:\n$cu")
     assert(countOf(cu, "Exchange") == 2,
       s"user agg + scalar moments are the only shuffles:\n$cu")
+
+    // q_judge_agreement: both raters are row-local (literal lexicon, no
+    // weight-table join); the confusion cells reduce in the single
+    // global aggregate
+    val ja = finalPlan("q_judge_agreement")
+    assert(countOf(ja, "Scan parquet") == 1 && !ja.contains("Join"),
+      s"raters must be row-local off one scan:\n$ja")
+    assert(countOf(ja, "Exchange") == 1,
+      s"one scalar aggregate shuffle only:\n$ja")
   }
 }

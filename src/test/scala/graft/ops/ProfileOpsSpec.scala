@@ -210,4 +210,46 @@ class ProfileOpsSpec extends SparkSpec {
     assert(run(df.repartition(7)).toSeq.sortBy(_._1).map(_.toString) ==
       got.toSeq.sortBy(_._1).map(_.toString))
   }
+
+  test("cohenKappa: hand-computed cells, po/pe/kappa exact") {
+    import spark.implicits._
+    // cells: n11=4, n10=2, n01=1, n00=3 -> n=10, po=0.7,
+    // a1=6, b1=5, chance=6*5+4*5=50, pe=0.5, kappa=(7-5)/(10-5)=0.4
+    val rows = Seq.fill(4)((1L, 1L)) ++ Seq.fill(2)((1L, 0L)) ++
+      Seq.fill(1)((0L, 1L)) ++ Seq.fill(3)((0L, 0L))
+    val out = ProfileOps.cohenKappa(
+      rows.toDF("a", "b"), col("a"), col("b")).collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2),
+      out.getLong(3), out.getLong(4)) == ((10L, 4L, 2L, 1L, 3L)))
+    assert(out.getDouble(5) == 0.7 && out.getDouble(6) == 0.5)
+    assert(out.getDouble(7) == 0.4)
+  }
+
+  test("cohenKappa: perfect agreement is 1; constant raters give NULL") {
+    import spark.implicits._
+    val perfect = ProfileOps.cohenKappa(
+      Seq((1L, 1L), (0L, 0L), (1L, 1L)).toDF("a", "b"),
+      col("a"), col("b")).collect().head
+    assert(perfect.getDouble(7) == 1.0)
+
+    val constant = ProfileOps.cohenKappa(
+      Seq((1L, 1L), (1L, 1L)).toDF("a", "b"),
+      col("a"), col("b")).collect().head
+    assert(constant.isNullAt(7), "pe = 1 must yield NULL kappa")
+
+    val empty = ProfileOps.cohenKappa(
+      Seq.empty[(Long, Long)].toDF("a", "b"), col("a"), col("b"))
+      .collect().head
+    assert(empty.getLong(0) == 0L && empty.isNullAt(5) &&
+      empty.isNullAt(6) && empty.isNullAt(7))
+  }
+
+  test("cohenKappa: out-of-domain rater values raise") {
+    import spark.implicits._
+    val ex = intercept[Exception] {
+      ProfileOps.cohenKappa(
+        Seq((1L, 2L)).toDF("a", "b"), col("a"), col("b")).collect()
+    }
+    assert(ex.getMessage.contains("outside {0,1}"))
+  }
 }
