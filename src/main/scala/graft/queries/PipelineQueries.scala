@@ -1449,6 +1449,20 @@ object PipelineQueries {
           col("x").as("n"), col("ewma"), col("anomaly"))
     }),
 
+    // CUSUM level-shift detection on daily per-type volumes — the
+    // persistent-drift complement to q_anomaly_ewma's spike test: int64
+    // fold per key over ONE keyed Exchange, oracle replays the identical
+    // recurrence in a recursive CTE.
+    "q_cusum_shift" -> ((s, dir) => {
+      val daily = RefQueries.events(s, dir)
+        .groupBy(col("event_type").as("key"), to_date(col("ts")).as("ord"))
+        .agg(count(lit(1)).as("x"))
+      EventOps.cusumShifts(daily, slack = 4L, threshold = 40L)
+        .select(col("key").as("event_type"),
+          date_format(col("ord"), "yyyy-MM-dd").as("day"),
+          col("x").as("n"), col("s_hi"), col("s_lo"), col("alarm"))
+    }),
+
     // Snapshot diff (dataset versioning): v2 = the corpus after a policy
     // change (drop docs under 20 tokens, truncate to 40). The full-outer
     // join carries only (id, sha256) — never the text — so diffing two
@@ -4812,6 +4826,34 @@ object PipelineQueries {
         |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
         |  CAST(x AS BIGINT) AS n, CAST(ewma AS BIGINT) AS ewma,
         |  CAST(anomaly AS INTEGER) AS anomaly
+        |FROM r""".stripMargin,
+
+    // Identical recurrence, mu carried through the recursion; slack=4,
+    // threshold=40 mirror the registered parameters.
+    "q_cusum_shift" ->
+      """WITH RECURSIVE d0 AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |d AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY day) AS i
+        |  FROM d0),
+        |r AS (
+        |  SELECT event_type, day, x, i, x AS mu,
+        |    CAST(0 AS BIGINT) AS s_hi, CAST(0 AS BIGINT) AS s_lo,
+        |    0 AS alarm
+        |  FROM d WHERE i = 1
+        |  UNION ALL
+        |  SELECT d.event_type, d.day, d.x, d.i, r.mu,
+        |    greatest(CAST(0 AS BIGINT), r.s_hi + (d.x - r.mu) - 4),
+        |    greatest(CAST(0 AS BIGINT), r.s_lo + (r.mu - d.x) - 4),
+        |    CASE WHEN greatest(CAST(0 AS BIGINT), r.s_hi + (d.x - r.mu) - 4) > 40
+        |           OR greatest(CAST(0 AS BIGINT), r.s_lo + (r.mu - d.x) - 4) > 40
+        |      THEN 1 ELSE 0 END
+        |  FROM r JOIN d ON d.event_type = r.event_type AND d.i = r.i + 1)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+        |  CAST(x AS BIGINT) AS n, CAST(s_hi AS BIGINT) AS s_hi,
+        |  CAST(s_lo AS BIGINT) AS s_lo, CAST(alarm AS INTEGER) AS alarm
         |FROM r""".stripMargin,
 
     "q_dataset_diff" ->

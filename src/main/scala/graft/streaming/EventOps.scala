@@ -598,6 +598,50 @@ object EventOps {
     * nobody was active on are not reported (`dau > 0` — also what
     * filters coverage that dangles past the corpus end).
     */
+  /** Two-sided CUSUM change-point detection over per-key ordered series
+    * (Page 1954): `s_hi += (x − μ) − slack` and `s_lo += (μ − x) − slack`,
+    * both clamped at 0, alarm when either exceeds `threshold`. CUSUM
+    * accumulates small persistent shifts that a point threshold (or the
+    * EWMA ratio test, [[ewmaAnomalies]]) misses — the level-shift
+    * complement to EWMA's spike test. μ seeds from each key's FIRST
+    * observation (the same deterministic seed rule as ewmaAnomalies);
+    * all arithmetic is int64, so results are engine- and
+    * partitioning-exact. State per key is three longs; the fold is a
+    * `flatMapSortedGroups` over one keyed Exchange.
+    *
+    * Input columns `(key, ord, x)`; output
+    * `(key, ord, x, s_hi, s_lo, alarm)`.
+    */
+  def cusumShifts(series: DataFrame, slack: Long, threshold: Long): DataFrame = {
+    require(slack >= 0, s"slack must be >= 0, got $slack")
+    require(threshold > 0, s"threshold must be > 0, got $threshold")
+    val ss = series.sparkSession
+    import ss.implicits._
+    series
+      .select(col("key").cast("string"), col("ord").cast("date"),
+        col("x").cast("long"))
+      .as[(String, java.sql.Date, Long)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("ord")) { (key, it) =>
+        var seeded = false
+        var mu = 0L
+        var sHi = 0L
+        var sLo = 0L
+        it.map { case (_, ord, x) =>
+          if (!seeded) {
+            seeded = true; mu = x
+            (key, ord, x, 0L, 0L, 0)
+          } else {
+            sHi = math.max(0L, sHi + (x - mu) - slack)
+            sLo = math.max(0L, sLo + (mu - x) - slack)
+            val alarm = if (sHi > threshold || sLo > threshold) 1 else 0
+            (key, ord, x, sHi, sLo, alarm)
+          }
+        }
+      }
+      .toDF("key", "ord", "x", "s_hi", "s_lo", "alarm")
+  }
+
   def rollingActiveUsers(events: DataFrame, windowDays: Int): DataFrame = {
     require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
     val perUser = events

@@ -478,6 +478,49 @@ class EventOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cusumShifts: hand-computed recurrence; sustained drift alarms, spikes do not") {
+    // series A: mu=10; +3 drift per step (slack 2): s_hi accrues 1 per
+    // step -> crosses threshold 3 at the 5th drifted point.
+    // series B: one +100 spike then back to baseline: s_hi jumps but
+    // decays by slack each quiet step (x=mu -> delta -slack).
+    def day(i: Int) = java.sql.Date.valueOf(f"2024-03-$i%02d")
+    val a = (1 to 8).map(i => ("A", day(i), if (i == 1) 10L else 13L))
+    val b = Seq(("B", day(1), 10L), ("B", day(2), 110L),
+      ("B", day(3), 10L), ("B", day(4), 10L))
+    val out = EventOps.cusumShifts(
+      (a ++ b).toDF("key", "ord", "x"), slack = 2L, threshold = 3L)
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        (r.getLong(3), r.getLong(4), r.getInt(5))).toMap
+    // A: s_hi after steps 2..8 = 1,2,3,4,5,6,7; alarm from s_hi>3
+    assert(out(("A", "2024-03-02")) == (1L, 0L, 0))
+    assert(out(("A", "2024-03-04")) == (3L, 0L, 0))
+    assert(out(("A", "2024-03-05")) == (4L, 0L, 1))
+    assert(out(("A", "2024-03-08")) == (7L, 0L, 1))
+    // B: spike 110 -> s_hi = 98 (alarm), then decays by slack=2 per step
+    assert(out(("B", "2024-03-02")) == (98L, 0L, 1))
+    assert(out(("B", "2024-03-03")) == (96L, 0L, 1))
+    assert(out(("B", "2024-03-04")) == (94L, 0L, 1))
+  }
+
+  test("cusumShifts: downward shifts trip s_lo; partitioning-invariant") {
+    def day(i: Int) = java.sql.Date.valueOf(f"2024-04-$i%02d")
+    val s = (1 to 6).map(i => ("K", day(i), if (i == 1) 50L else 40L))
+    val df = s.toDF("key", "ord", "x")
+    val out = EventOps.cusumShifts(df, slack = 3L, threshold = 10L)
+      .collect().map(r => r.getDate(1).toString ->
+        (r.getLong(3), r.getLong(4), r.getInt(5))).toMap
+    // each low step adds (50-40)-3 = 7 to s_lo: 7,14,21,28,35
+    assert(out("2024-04-02") == (0L, 7L, 0))
+    assert(out("2024-04-03") == (0L, 14L, 1))
+    assert(out("2024-04-06") == (0L, 35L, 1))
+    val one = EventOps.cusumShifts(df.repartition(1), 3L, 10L)
+      .collect().map(_.toSeq).toSeq.sortBy(_.mkString)
+    val eight = EventOps.cusumShifts(df.repartition(8), 3L, 10L)
+      .collect().map(_.toSeq).toSeq.sortBy(_.mkString)
+    assert(one == eight)
+  }
+
   test("rollingActiveUsers: hand-computed DAU and trailing-3-day counts") {
     // u10 active days 1, 2 (twice — same-day events must collapse), 5;
     // u11 active days 1, 8. W=3 coverage: u10 {1},{2,3,4},{5,6,7};
