@@ -253,6 +253,41 @@ object PipelineScaleBench {
       graft.ops.PqOps.pqTopK(
         vecs.filter(col("vec_id") < 10), vecs, k = 10, pqCb).count()
     }
+
+    // ---- event stages: nDocs x 10 synthetic events over a year for
+    // nDocs/20 users, worker-generated. What matters at 100 TB: rolling
+    // distinct collapses events to per-user day arrays (bounded by the
+    // 366-day calendar, NOT the event count) before any explode; CUSUM
+    // folds key-partitioned series with three longs of state; the
+    // experiment readouts reduce the fact in two aggregates.
+    val nUsers = math.max(1L, nDocs / 20)
+    val events = spark.range(nDocs * 10).select(
+      pmod(xxhash64(col("id")), lit(nUsers)).as("user_id"),
+      to_timestamp(date_add(lit("2024-01-01").cast("date"),
+        pmod(xxhash64(col("id"), lit(3)), lit(366)).cast("int"))).as("ts"))
+      .cache()
+    events.count()
+    stage("rolling_dau_7d_10x") {
+      graft.streaming.EventOps.rollingActiveUsers(events, windowDays = 7).count()
+    }
+    events.cache().count()
+    stage("cusum_366d_50keys_10x") {
+      val daily = events
+        .groupBy(pmod(col("user_id"), lit(50)).cast("string").as("key"),
+          to_date(col("ts")).as("ord"))
+        .agg(count(lit(1)).as("x"))
+      graft.streaming.EventOps.cusumShifts(daily, slack = 4L, threshold = 400L)
+        .count()
+    }
+    events.cache().count()
+    stage("ab_cuped_moments_10x") {
+      val cut = lit("2024-07-01").cast("timestamp")
+      val units = events.groupBy(col("user_id")).agg(
+        sum(when(col("ts") < cut, 1L).otherwise(0L)).as("x"),
+        sum(when(col("ts") >= cut, 1L).otherwise(0L)).as("y"))
+      graft.ops.ExperimentOps.cuped(
+        units, col("user_id"), col("x"), col("y")).count()
+    }
     spark.stop()
   }
 }
