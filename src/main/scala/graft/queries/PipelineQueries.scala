@@ -1048,6 +1048,31 @@ object PipelineQueries {
             .as("recall_at_10"))
     }),
 
+    // Matryoshka-style truncation eval (Kusupati et al. 2022): how much
+    // of the full-64-dim top-10 survives searching only the first 16
+    // dims — the cheap-retrieval/full-rerank tradeoff measured per
+    // query. Both legs are the audited broadcast brute-force top-k
+    // (query-sized output); recall joins candidate-sized frames.
+    "q_matryoshka_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val e16 = e.select(col("vec_id"),
+        slice(col("embedding"), 1, 16).as("embedding"))
+      val exact = SimilarityOps
+        .bruteForceTopK(e.filter(col("vec_id") < 10), e, k = 10)
+        .select(col("query_id"), col("corpus_id"))
+      val trunc = SimilarityOps
+        .bruteForceTopK(e16.filter(col("vec_id") < 10), e16, k = 10)
+        .select(col("query_id"), col("corpus_id"))
+      val hits = exact.join(trunc, Seq("query_id", "corpus_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      e.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)).cast("double") / 10)
+            .as("recall_at_10"))
+    }),
+
     // JL random projection 64 -> 16 dims: deterministic literal planes,
     // pure map (the cheap front of ANN/clustering pipelines). Bit-exact
     // vs the oracle: integer weights, sequential fold, power-of-two scale.
@@ -3439,6 +3464,41 @@ object PipelineQueries {
     "q_sim_pq_literal" -> pqLiteralOracle,
     "q_sim_ivfpq_literal" -> ivfPqLiteralOracle,
     "q_ann_recall" -> annRecallOracle,
+
+    // Both legs replay the q_sim_topk window formulation; the truncated
+    // leg slices the SAME stored lists, so a hash match also proves the
+    // slice semantics line up (1-based inclusive on both engines).
+    "q_matryoshka_recall" -> {
+      val cos64 = SimilarityOps.Sql.cosine("q.embedding", "c.embedding")
+      val cos16 = SimilarityOps.Sql.cosine(
+        "q.embedding[1:16]", "c.embedding[1:16]")
+      s"""WITH exact AS (
+         |  SELECT query_id, corpus_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY $cos64 DESC, c.vec_id) AS rank
+         |    FROM embeddings q JOIN embeddings c ON q.vec_id < 10
+         |    WHERE $cos64 IS NOT NULL)
+         |  WHERE rank <= 10),
+         |trunc AS (
+         |  SELECT query_id, corpus_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY $cos16 DESC, c.vec_id) AS rank
+         |    FROM embeddings q JOIN embeddings c ON q.vec_id < 10
+         |    WHERE $cos16 IS NOT NULL)
+         |  WHERE rank <= 10),
+         |h AS (
+         |  SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM exact e JOIN trunc tr
+         |    ON e.query_id = tr.query_id AND e.corpus_id = tr.corpus_id
+         |  GROUP BY e.query_id)
+         |SELECT qq.vec_id AS query_id,
+         |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 10 AS recall_at_10
+         |FROM embeddings qq LEFT JOIN h ON h.query_id = qq.vec_id
+         |WHERE qq.vec_id < 10""".stripMargin
+    },
 
     "q_lake_layout" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
