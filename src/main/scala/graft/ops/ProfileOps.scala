@@ -345,18 +345,22 @@ object ProfileOps {
     * Exchange of one partial row per task); κ itself is the integer
     * rational `(n·(n11+n00) − (a1·b1 + a0·b0)) / (n² − (a1·b1 + a0·b0))`
     * with one closing double division. Constant raters (pe = 1) and
-    * empty input yield NULL κ. Rater values outside {0, 1} raise — a
-    * silently coerced rater would fabricate agreement.
+    * empty input yield NULL κ. A NULL rater value is an ABSTENTION — the
+    * row is dropped from both marginals (standard pairwise-complete
+    * agreement); a NON-null value outside {0, 1} raises — a silently
+    * coerced rater would fabricate agreement.
     *
     * Output (one row): `(n, n11, n10, n01, n00, po, pe, kappa)`.
     */
   def cohenKappa(df: DataFrame, raterA: Column, raterB: Column): DataFrame = {
     def dom(c: Column, side: String) = {
-      val v = c.cast("long")
-      when(v.isin(0L, 1L), v).otherwise(raise_error(concat(
+      when(c.isin(0L, 1L), c).otherwise(raise_error(concat(
         lit(s"cohenKappa: rater $side outside {0,1}: "), c.cast("string"))))
     }
-    val cells = df.select(dom(raterA, "A").as("a"), dom(raterB, "B").as("b"))
+    val cells = df
+      .select(raterA.cast("long").as("a0"), raterB.cast("long").as("b0"))
+      .filter(col("a0").isNotNull && col("b0").isNotNull)
+      .select(dom(col("a0"), "A").as("a"), dom(col("b0"), "B").as("b"))
     val m = cells.agg(
       count(lit(1)).as("n"),
       coalesce(sum((col("a") * col("b"))), lit(0L)).as("n11"),

@@ -252,4 +252,15 @@ class ProfileOpsSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("outside {0,1}"))
   }
+
+  test("cohenKappa: NULL rater rows are abstentions, dropped from both marginals") {
+    import spark.implicits._
+    val rows = Seq((Some(1L), Some(1L)), (Some(0L), Some(0L)),
+      (None, Some(1L)), (Some(1L), None), (None, None))
+    val out = ProfileOps.cohenKappa(
+      rows.toDF("a", "b"), col("a"), col("b")).collect().head
+    assert(out.getLong(0) == 2L, "only pairwise-complete rows count")
+    assert(out.getLong(1) == 1L && out.getLong(4) == 1L)
+    assert(out.getDouble(7) == 1.0)
+  }
 }
