@@ -349,14 +349,13 @@ object PipelineQueries {
         family = DedupOps.PortableFamily)
     }),
 
+    // The registered SimHash runs the portable 60-bit md5 token-hash
+    // family end to end, so the signature itself hash-compares against
+    // DuckDB — the q_dedup_minhash discipline: ONE implementation
+    // (simhashOver) parameterized by family, the oracle-green family
+    // registered, xxhash64 remaining the documented throughput default
+    // (DedupOpsSpec pins its determinism and bit mixing).
     "q_dedup_simhash" -> ((s, dir) =>
-      DedupOps.simhash(t(s, dir, "documents"), "doc_id", "text")),
-
-    // SimHash over the portable 60-bit md5 token hash: the per-bit sign
-    // sums and the bit assembly are plain SQL, so the signature itself
-    // hash-compares against DuckDB (the 64-bit xxhash64 signature above
-    // stays the production path, rows-only).
-    "q_dedup_simhash_portable" -> ((s, dir) =>
       DedupOps.portableSimhash(t(s, dir, "documents"), "doc_id", "text")),
 
     // SimHash near-dup PAIRS (Manku WWW'07): pigeonhole chunk bucket
@@ -3380,8 +3379,7 @@ object PipelineQueries {
        |sg AS (SELECT doc_id, $sig AS simhash FROM s)""".stripMargin
   }
 
-  /** DuckDB twin of the portable SimHash signature
-    * (q_dedup_simhash_portable).
+  /** DuckDB twin of the portable SimHash signature (q_dedup_simhash).
     */
   private def simhashPortableOracle: String =
     s"""WITH $simhashSigCtes
@@ -3447,7 +3445,7 @@ object PipelineQueries {
       minhashPortableOracle(32, 8, 4, verified = true),
     "q_dedup_minhash_portable" ->
       minhashPortableOracle(16, 4, 4, verified = true),
-    "q_dedup_simhash_portable" -> simhashPortableOracle,
+    "q_dedup_simhash" -> simhashPortableOracle,
     "q_simhash_neardup" -> simhashNearDupOracle,
 
     "q_media_phash" ->

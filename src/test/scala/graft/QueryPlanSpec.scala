@@ -287,7 +287,7 @@ class QueryPlanSpec extends SparkSpec {
         s"$name: hash-set expression inlined into a pushed filter:\n$p")
     }
     // portable simhash: the 60 sign sums ride ONE doc-keyed shuffle
-    val sh = finalPlan("q_dedup_simhash_portable")
+    val sh = finalPlan("q_dedup_simhash")
     assert(countOf(sh, "Exchange") == 1, s"simhash one shuffle:\n$sh")
     // literal-centroid semdedup: cluster equi-join + components, no
     // cartesian anywhere
