@@ -1314,6 +1314,30 @@ object PipelineQueries {
           date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("clicked_at"))
     }),
 
+    // The NATIVE as-of join (custom LogicalPlan -> SparkStrategy ->
+    // SparkPlan, plans/AsofJoinPlan.scala): same query as q_asof_join,
+    // same DuckDB ASOF oracle — a green row proves the whole-operator
+    // extension path end to end. One O(1)-state merge pass per
+    // co-partitioned sorted partition; AsofJoinPlanSpec pins the
+    // 2-Exchange plan and the equivalence with the composed operator.
+    "q_asof_native" -> ((s, dir) => {
+      val ev = RefQueries.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_id"))
+        .select(col("user_id").as("c_uid"), col("ts").as("click_ts"),
+          col("click_id"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id"), col("ts"))
+      graft.plans.AsofJoinPlan.asofJoin(errors, clicks,
+        leftKeys = Seq("user_id"), rightKeys = Seq("c_uid"),
+        leftTime = "ts", rightTime = "click_ts")
+        .select(col("error_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("err_ts"),
+          col("click_id"),
+          date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("clicked_at"))
+    }),
+
     // Keyed interval join (the stream-stream join's batch semantics —
     // streamed==batch is EventOpsSpec-verified): each error paired with
     // the same user's clicks in the preceding 30 minutes.
@@ -4460,6 +4484,21 @@ object PipelineQueries {
          |GROUP BY token ORDER BY tf DESC, token LIMIT 100""".stripMargin,
 
     "q_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts AS click_ts, max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |errors AS (
+        |  SELECT event_id AS error_id, user_id, ts
+        |  FROM events WHERE event_type = 'error')
+        |SELECT error_id, e.user_id,
+        |  strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS err_ts,
+        |  c.click_id,
+        |  strftime(c.click_ts, '%Y-%m-%d %H:%M:%S') AS clicked_at
+        |FROM errors e ASOF LEFT JOIN clicks c
+        |  ON e.user_id = c.user_id AND e.ts >= c.click_ts""".stripMargin,
+
+    // Same ASOF semantics checked against the NATIVE physical operator.
+    "q_asof_native" ->
       """WITH clicks AS (
         |  SELECT user_id, ts AS click_ts, max(event_id) AS click_id
         |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
