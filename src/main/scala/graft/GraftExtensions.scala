@@ -28,5 +28,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // plain-SQL inequality range joins -> bucketed equi-joins (opt-in via
     // spark.graft.rangeJoin.bucketWidth; see RangeJoinBucketRule)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinBucketRule)
+    // the native as-of join's planner strategy (AsofJoinPlan.asofJoin
+    // also self-registers it programmatically for extension-less sessions)
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }
