@@ -280,6 +280,36 @@ object PipelineScaleBench {
         .count()
     }
     events.cache().count()
+    stage("asof_native_10x") {
+      // the custom physical operator vs the composed form (next stage)
+      // on identical inputs: 10x-corpus left rows, 2x-corpus right rows
+      val quotes = spark.range(nDocs * 2).select(
+        pmod(xxhash64(col("id")), lit(nUsers)).as("q_user"),
+        to_timestamp(date_add(lit("2024-01-01").cast("date"),
+          pmod(xxhash64(col("id"), lit(9)), lit(366)).cast("int")))
+          .as("q_ts"),
+        (col("id") * 10).as("px"))
+        .groupBy(col("q_user"), col("q_ts")).agg(max(col("px")).as("px"))
+      noop(graft.plans.AsofJoinPlan.asofJoin(
+        events, quotes, Seq("user_id"), Seq("q_user"), "ts", "q_ts"))
+    }
+    events.cache().count()
+    stage("asof_composed_10x") {
+      val quotes = spark.range(nDocs * 2).select(
+        pmod(xxhash64(col("id")), lit(nUsers)).as("user_id"),
+        to_timestamp(date_add(lit("2024-01-01").cast("date"),
+          pmod(xxhash64(col("id"), lit(9)), lit(366)).cast("int")))
+          .as("q_ts"),
+        (col("id") * 10).as("px"))
+        .groupBy(col("user_id"), col("q_ts")).agg(max(col("px")).as("px"))
+      // noop, NOT count(): count() lets Catalyst prune the composed
+      // form's payload through the window while the custom node gets no
+      // pruning — the comparison must sink full rows on both sides
+      noop(graft.ops.JoinOps.asofJoin(
+        events, quotes, keys = Seq("user_id"),
+        tsLeft = "ts", tsRight = "q_ts", payloadCols = Seq("px")))
+    }
+    events.cache().count()
     stage("ab_cuped_moments_10x") {
       val cut = lit("2024-07-01").cast("timestamp")
       val units = events.groupBy(col("user_id")).agg(

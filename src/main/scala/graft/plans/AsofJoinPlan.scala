@@ -101,7 +101,14 @@ case class AsofJoinExec(
       val rKeyProj = UnsafeProjection.create(rKeysB, rOut)
       val lTimeProj = UnsafeProjection.create(Seq(lTimeB), lOut)
       val rTimeProj = UnsafeProjection.create(Seq(rTimeB), rOut)
-      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      // codegen'd comparator — the interpreted natural ordering boxes on
+      // every compare, and the merge compares ~2x per left row
+      val keyOrd = org.apache.spark.sql.catalyst.expressions.codegen
+        .GenerateOrdering.create(
+          org.apache.spark.sql.types.StructType(
+            keyTypes.zipWithIndex.map { case (t, i) =>
+              org.apache.spark.sql.types.StructField(s"k$i", t)
+            }))
       // bind against nullability-FORCED right attrs: binding to the
       // original non-null attributes elides the null check and reads 0s
       // out of the all-null miss row (the classic outer-join trap)

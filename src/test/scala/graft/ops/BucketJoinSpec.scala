@@ -54,6 +54,34 @@ class BucketJoinSpec extends SparkSpec {
     }
   }
 
+  test("an equality filter on the bucket key prunes to ONE bucket at the scan") {
+    // data skipping without any index: hash(key) pins the bucket, so the
+    // scan reads 1/nBuckets of the files — the same lever partition
+    // pruning gives, but on a high-cardinality key
+    LakeOps.writeBucketedIfAbsent(
+      spark.read.parquet(s"$sf/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_quantity")),
+      "bktspec_lineitem", Seq("l_orderkey"), 4)
+    // DisableUnnecessaryBucketedScan only weighs DISTRIBUTION needs — a
+    // scan-only query gets its bucketed layout planned away, losing the
+    // pruning. Pin with auto-bucketed-scan off (what a deployment
+    // reading point-lookups off bucketed tables would set).
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try {
+      val q = spark.table("bktspec_lineitem")
+        .filter(col("l_orderkey") === 7L)
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 4"),
+        s"bucket pruning must reach the scan:\n$plan")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("mismatched bucket counts fall back to a correct (shuffled) join") {
     val ord = spark.read.parquet(s"$sf/orders.parquet")
       .select(col("o_orderkey"), col("o_custkey"))
