@@ -63,6 +63,33 @@ object ExperimentOps {
         .as("z"))
   }
 
+  /** Sample-ratio-mismatch check — the experiment-validity gate run
+    * BEFORE reading any metric: under a healthy 50/50 split the arm
+    * counts differ only by chance, and `χ² = (n_a − n_b)² / n` (the
+    * 1-dof equal-split statistic) stays small; a large value means the
+    * assignment or logging pipeline is dropping one arm's traffic and
+    * every downstream readout is suspect (χ² > 3.84 ≈ p < 0.05).
+    * Exact longs + ONE closing double division; one map-side-combined
+    * aggregate over units.
+    */
+  def srmCheck(units: DataFrame, idCol: Column): DataFrame = {
+    val armed = units.select(armOf(idCol, 2).as("arm"))
+    armed.agg(
+      count(when(col("arm") === 0, 1L)).as("users_a"),
+      count(when(col("arm") === 1, 1L)).as("users_b"))
+      .select(
+        col("users_a"), col("users_b"),
+        when(col("users_a") + col("users_b") > 0,
+          ((col("users_a") - col("users_b")) *
+            (col("users_a") - col("users_b"))).cast("double") /
+            (col("users_a") + col("users_b"))).as("chi2"),
+        (when(col("users_a") + col("users_b") > 0,
+          ((col("users_a") - col("users_b")) *
+            (col("users_a") - col("users_b"))).cast("double") /
+            (col("users_a") + col("users_b"))) > 3.841)
+          .cast("int").as("srm_suspect"))
+  }
+
   /** CUPED variance reduction (Deng, Xu, Kohavi, Walker, "Improving the
     * Sensitivity of Online Controlled Experiments by Utilizing
     * Pre-Experiment Data", WSDM 2013): adjust each unit's outcome `y` by

@@ -778,6 +778,40 @@ object PipelineQueries {
         t(s, dir, "documents"), col("doc_id"), col("text"),
         Seq("vector", "customer", "stream"), k = 20)),
 
+    // Ranking-quality eval: nDCG@10 of the BM25 ranking against binary
+    // contains-all-terms relevance. The 1/log2(rank+1) gains are
+    // pre-rounded ×10⁶ literals (the q_benford no-libm discipline), so
+    // DCG and IDCG are exact longs with ONE closing division. The rank
+    // window runs on ≤10 heap-bounded rows (the q_hybrid_rrf argument);
+    // the final cross is two 1-row eval frames.
+    "q_ndcg" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val terms = Seq("vector", "customer", "stream")
+      val wArr = Seq(1000000L, 630930L, 500000L, 430677L, 386853L,
+        356207L, 333333L, 315465L, 301030L, 289065L)
+      val idcgPrefix = wArr.scanLeft(0L)(_ + _).tail
+      val top = SearchOps
+        .bm25TopK(docs, col("doc_id"), col("text"), terms, k = 10)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))))
+      val rel = docs.select(col("doc_id"),
+        terms.map(tm =>
+            array_contains(TextOps.tokens(lower(col("text"))), tm))
+          .reduce(_ && _).cast("long").as("rel"))
+      val gain = (1 to 10).foldLeft(lit(0L)) { (acc, i) =>
+        when(col("rank") === i, wArr(i - 1)).otherwise(acc)
+      }
+      val dcg = top.join(rel, "doc_id")
+        .agg(coalesce(sum(col("rel") * gain), lit(0L)).as("dcg_micro"))
+      val nRel = rel.agg(coalesce(sum(col("rel")), lit(0L)).as("n_rel"))
+      val idcg = (1 to 10).foldLeft(lit(0L)) { (acc, i) =>
+        when(col("n_rel") >= i, idcgPrefix(i - 1)).otherwise(acc)
+      }
+      nRel.crossJoin(dcg)
+        .select(col("n_rel"), col("dcg_micro"), idcg.as("idcg_micro"),
+          when(idcg > 0, col("dcg_micro").cast("double") / idcg).as("ndcg"))
+    }),
+
     // Pretraining data mixing: upweight two curated sources (2.5x / 2x),
     // downweight one (0.25x), keep the rest at 1x — row-local replication
     // (chained-when weight + sequence/explode), no join, no shuffle.
@@ -1214,6 +1248,14 @@ object PipelineQueries {
       ExperimentOps.abTest(
         units, col("user_id"), (col("np") >= col("nv")).cast("long"))
     }),
+
+    // Sample-ratio-mismatch gate: arm counts vs the designed 50/50 split,
+    // chi2 = (n_a - n_b)^2 / n exact-integer until one closing division.
+    // Run BEFORE reading any experiment metric.
+    "q_srm" -> ((s, dir) =>
+      ExperimentOps.srmCheck(
+        RefQueries.events(s, dir).select(col("user_id")).distinct(),
+        col("user_id"))),
 
     // CUPED variance reduction: pre-period activity (first half of the
     // month) as the covariate for the post-period purchase count. One
@@ -4400,6 +4442,62 @@ object PipelineQueries {
          |WHERE score > 0
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
+    // Same BM25 scoring text cut at 10, gains/prefixes the identical
+    // ×10⁶ literals, one closing division.
+    "q_ndcg" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, toks,
+         |         CAST(len(toks) AS DOUBLE) AS dl,
+         |         CAST(len(list_filter(toks, t -> t = 'vector')) AS DOUBLE) AS tf0,
+         |         CAST(len(list_filter(toks, t -> t = 'customer')) AS DOUBLE) AS tf1,
+         |         CAST(len(list_filter(toks, t -> t = 'stream')) AS DOUBLE) AS tf2
+         |  FROM (SELECT doc_id, ${S.tokens("lower(text)")} AS toks FROM documents)),
+         |s AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) AS sumdl,
+         |         CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+         |         CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+         |         CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+         |  FROM d),
+         |top AS (
+         |  SELECT doc_id, rank FROM (
+         |    SELECT doc_id, score,
+         |      row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+         |    FROM (
+         |      SELECT doc_id,
+         |        ((n - df0 + 0.5) / (df0 + 0.5)) * (tf0 * 2.25) / (tf0 + 1.25 * (0.25 + 0.75 * dl / (sumdl / n)))
+         |      + ((n - df1 + 0.5) / (df1 + 0.5)) * (tf1 * 2.25) / (tf1 + 1.25 * (0.25 + 0.75 * dl / (sumdl / n)))
+         |      + ((n - df2 + 0.5) / (df2 + 0.5)) * (tf2 * 2.25) / (tf2 + 1.25 * (0.25 + 0.75 * dl / (sumdl / n)))
+         |        AS score
+         |      FROM d, s)
+         |    WHERE score > 0)
+         |  WHERE rank <= 10),
+         |rel AS (
+         |  SELECT doc_id,
+         |    CAST(list_contains(toks, 'vector') AND list_contains(toks, 'customer')
+         |      AND list_contains(toks, 'stream') AS BIGINT) AS rel
+         |  FROM d),
+         |g AS (
+         |  SELECT CAST(COALESCE(sum(r.rel * CASE rank
+         |    WHEN 1 THEN 1000000 WHEN 2 THEN 630930 WHEN 3 THEN 500000
+         |    WHEN 4 THEN 430677 WHEN 5 THEN 386853 WHEN 6 THEN 356207
+         |    WHEN 7 THEN 333333 WHEN 8 THEN 315465 WHEN 9 THEN 301030
+         |    WHEN 10 THEN 289065 END), 0) AS BIGINT) AS dcg_micro
+         |  FROM top JOIN rel r USING (doc_id)),
+         |nr AS (SELECT CAST(COALESCE(sum(rel), 0) AS BIGINT) AS n_rel FROM rel),
+         |i AS (
+         |  SELECT n_rel, CAST(CASE
+         |    WHEN n_rel >= 10 THEN 4543560 WHEN n_rel = 9 THEN 4254495
+         |    WHEN n_rel = 8 THEN 3953465 WHEN n_rel = 7 THEN 3638000
+         |    WHEN n_rel = 6 THEN 3304667 WHEN n_rel = 5 THEN 2948460
+         |    WHEN n_rel = 4 THEN 2561607 WHEN n_rel = 3 THEN 2130930
+         |    WHEN n_rel = 2 THEN 1630930 WHEN n_rel = 1 THEN 1000000
+         |    ELSE 0 END AS BIGINT) AS idcg_micro
+         |  FROM nr)
+         |SELECT n_rel, dcg_micro, idcg_micro,
+         |  CASE WHEN idcg_micro > 0
+         |    THEN CAST(dcg_micro AS DOUBLE) / idcg_micro END AS ndcg
+         |FROM i, g""".stripMargin,
+
     // Same arithmetic as the Spark side: exact binary-fraction weights, so
     // floor/round are exact; the fractional keep is an integer modulus.
     "q_mixture_resample" ->
@@ -4633,6 +4731,25 @@ object PipelineQueries {
         |      * (1.0 / users_a + 1.0 / users_b))
         |  END AS z
         |FROM r""".stripMargin,
+
+    // Same affine arm split; chi2 chain mirrors ExperimentOps.srmCheck.
+    "q_srm" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |a AS (
+        |  SELECT ((((user_id % 999999937) * 2654435761 + 104729)
+        |    % 999999937) % 2) AS arm FROM u),
+        |s AS (
+        |  SELECT CAST(count(*) FILTER (WHERE arm = 0) AS BIGINT) AS users_a,
+        |    CAST(count(*) FILTER (WHERE arm = 1) AS BIGINT) AS users_b
+        |  FROM a)
+        |SELECT users_a, users_b,
+        |  CASE WHEN users_a + users_b > 0
+        |    THEN CAST((users_a - users_b) * (users_a - users_b) AS DOUBLE)
+        |      / (users_a + users_b) END AS chi2,
+        |  CAST(CASE WHEN users_a + users_b > 0
+        |    THEN CAST((users_a - users_b) * (users_a - users_b) AS DOUBLE)
+        |      / (users_a + users_b) > 3.841 END AS INTEGER) AS srm_suspect
+        |FROM s""".stripMargin,
 
     // Verbatim twin of ExperimentOps.cuped: same integer moment
     // identities, same closing-division order.
