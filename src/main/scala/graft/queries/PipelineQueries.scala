@@ -111,6 +111,23 @@ object PipelineQueries {
         col("doc_id"),
         TextOps.langId(col("text")).as("lang_pred"))),
 
+    // Tokenizer fertility (chars per subword, by language) — the standard
+    // multilingual tokenizer-quality report: a high ratio means the
+    // vocabulary splits that language into many pieces (costly training
+    // tokens). Row-local estimate, one lang-keyed aggregate, exact longs
+    // + one closing division.
+    "q_fertility" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("n_chars"),
+          sum(TextOps.tokenEstimate(col("text")).cast("long"))
+            .as("n_subwords"))
+        .withColumn("chars_per_subword",
+          when(col("n_subwords") > 0,
+            col("n_chars").cast("double") / col("n_subwords")))),
+
     // Lang-ID confusion matrix: labeled lang vs stopword-heuristic
     // prediction, with the row-conditional rate — the accuracy report
     // that decides whether the cheap classifier gates a language. One
@@ -3851,6 +3868,17 @@ object PipelineQueries {
 
     "q_text_langid" ->
       s"SELECT doc_id, ${S.langId("text")} AS lang_pred FROM documents",
+
+    // Same subword estimate, same exact sums, one closing division.
+    "q_fertility" ->
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+         |  CAST(sum(${S.tokenEstimate("text")}) AS BIGINT) AS n_subwords,
+         |  CASE WHEN sum(${S.tokenEstimate("text")}) > 0
+         |    THEN CAST(sum(length(text)) AS DOUBLE)
+         |      / CAST(sum(${S.tokenEstimate("text")}) AS BIGINT)
+         |  END AS chars_per_subword
+         |FROM documents GROUP BY lang""".stripMargin,
 
     // Same heuristic, same cell counts, same one-division rate.
     "q_lang_confusion" ->
