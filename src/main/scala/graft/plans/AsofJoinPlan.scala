@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
@@ -35,6 +35,11 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   * Determinism: ties (several right rows at the same (key, time)) keep
   * the last one in sort order — callers wanting full determinism dedup
   * the right side first, same contract as the composed operator.
+  *
+  * NULL keys GROUP (a null-key left row can match a null-key right row)
+  * — window-partition semantics, identical to the composed
+  * union→window operator, and unlike SQL equi-join NULLs. NULL times
+  * never match (left keeps NULL right columns; right rows are skipped).
   */
 case class AsofJoinNode(
     left: LogicalPlan,

@@ -62,6 +62,20 @@ class AsofJoinPlanSpec extends SparkSpec {
     assert(out == Map("a" -> 7L, "b" -> -1L))
   }
 
+  test("native as-of: NULL keys group (window-partition semantics, like the composed op)") {
+    val l = Seq((Option(1L), ts("2024-01-01 10:00:05"), "a"),
+      (Option.empty[Long], ts("2024-01-01 10:00:05"), "b"))
+      .toDF("k", "t", "tag")
+    val r = Seq((Option(1L), ts("2024-01-01 10:00:00"), 7L),
+      (Option.empty[Long], ts("2024-01-01 10:00:01"), 9L))
+      .toDF("rk", "rt", "v")
+    val out = AsofJoinPlan.asofJoin(l, r, Seq("k"), Seq("rk"), "t", "rt")
+      .select(col("tag"), col("v")).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(out == Map("a" -> 7L, "b" -> 9L),
+      "null-key rows must match null-key history, as the window form does")
+  }
+
   test("native as-of matches the composed JoinOps.asofJoin on random data") {
     // deterministic pseudo-random series: 40 keys, ~25 rows per side
     val l = (0L until 1000L).map { i =>
