@@ -526,6 +526,48 @@ object PipelineQueries {
         .agg((sum(revU) / 10000.0).as("revenue"))
     }),
 
+    // Right-to-be-forgotten erasure with cascade + residual audit: a
+    // deterministic delete-list of customers propagates through the FK
+    // chain (customer -> orders -> lineitem) via anti joins, and each
+    // table reports before/after/erased plus a residual count that MUST
+    // be zero — the verification regulators actually ask for. The
+    // delete-list broadcasts; the doomed-orders key set is fact-derived,
+    // so the lineitem erase is a keyed anti join (never broadcast at
+    // 100 TB) — each anti join is the table's one shuffle.
+    "q_erasure" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val ords = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val doomed = cust.filter(pmod(col("c_custkey"), lit(10)) === 3)
+        .select(col("c_custkey"))
+      val custAfter = cust.join(broadcast(doomed), Seq("c_custkey"),
+        "left_anti")
+      val ordsAfter = ords.join(broadcast(doomed),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      val doomedOrders = ords.join(broadcast(doomed),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+        .select(col("o_orderkey"))
+      val liAfter = li.join(doomedOrders,
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      def leg(name: String, before: DataFrame, after: DataFrame,
+          residual: DataFrame) =
+        before.agg(count(lit(1)).as("n_before")).crossJoin(
+          after.agg(count(lit(1)).as("n_after"))).crossJoin(
+          residual.agg(count(lit(1)).as("n_residual")))
+          .select(lit(name).as("table_name"), col("n_before"),
+            col("n_after"),
+            (col("n_before") - col("n_after")).as("n_erased"),
+            col("n_residual"))
+      leg("customer", cust, custAfter,
+        custAfter.join(broadcast(doomed), Seq("c_custkey"), "left_semi"))
+        .unionByName(leg("orders", ords, ordsAfter,
+          ordsAfter.join(broadcast(doomed),
+            col("o_custkey") === col("c_custkey"), "left_semi")))
+        .unionByName(leg("lineitem", li, liAfter,
+          liAfter.join(doomedOrders,
+            col("l_orderkey") === col("o_orderkey"), "left_semi")))
+    }),
+
     // Join-key skew diagnostic (run BEFORE choosing saltedJoin): key
     // cardinality, max/median/p99 group sizes, skew ratio, hottest keys.
     // One corpus-sized count shuffle; rank selection pays one KEY-sized
@@ -3590,6 +3632,44 @@ object PipelineQueries {
       """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST((count(*) + 24) // 25 AS BIGINT) AS n_files
         |FROM documents GROUP BY source, lang""".stripMargin,
+
+    // Same cascade and audit in plain SQL; every residual must be 0.
+    "q_erasure" ->
+      """WITH doomed AS (
+        |  SELECT c_custkey FROM customer WHERE c_custkey % 10 = 3),
+        |ca AS (SELECT * FROM customer
+        |       WHERE c_custkey NOT IN (SELECT c_custkey FROM doomed)),
+        |oa AS (SELECT * FROM orders
+        |       WHERE o_custkey NOT IN (SELECT c_custkey FROM doomed)),
+        |dord AS (SELECT o_orderkey FROM orders
+        |         WHERE o_custkey IN (SELECT c_custkey FROM doomed)),
+        |la AS (SELECT * FROM lineitem
+        |       WHERE l_orderkey NOT IN (SELECT o_orderkey FROM dord))
+        |SELECT 'customer' AS table_name,
+        |  CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_before,
+        |  CAST((SELECT count(*) FROM ca) AS BIGINT) AS n_after,
+        |  CAST((SELECT count(*) FROM customer)
+        |    - (SELECT count(*) FROM ca) AS BIGINT) AS n_erased,
+        |  CAST((SELECT count(*) FROM ca
+        |    WHERE c_custkey IN (SELECT c_custkey FROM doomed))
+        |    AS BIGINT) AS n_residual
+        |UNION ALL
+        |SELECT 'orders',
+        |  CAST((SELECT count(*) FROM orders) AS BIGINT),
+        |  CAST((SELECT count(*) FROM oa) AS BIGINT),
+        |  CAST((SELECT count(*) FROM orders)
+        |    - (SELECT count(*) FROM oa) AS BIGINT),
+        |  CAST((SELECT count(*) FROM oa
+        |    WHERE o_custkey IN (SELECT c_custkey FROM doomed)) AS BIGINT)
+        |UNION ALL
+        |SELECT 'lineitem',
+        |  CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+        |  CAST((SELECT count(*) FROM la) AS BIGINT),
+        |  CAST((SELECT count(*) FROM lineitem)
+        |    - (SELECT count(*) FROM la) AS BIGINT),
+        |  CAST((SELECT count(*) FROM la
+        |    WHERE l_orderkey IN (SELECT o_orderkey FROM dord)) AS BIGINT)
+        |""".stripMargin,
 
     // Re-joins the RAW parquet: a hash match proves the bucketed
     // round-trip lost and changed nothing.

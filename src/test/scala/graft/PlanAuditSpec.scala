@@ -33,6 +33,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_ann_recall" -> "recall gate crosses the bounded query set with both ANN paths",
     "q_matryoshka_recall" -> "recall gate crosses the bounded query set at both dims (brute baseline x2)",
     "q_ndcg" -> "two 1-row eval frames (DCG, n_rel) cross at the end; ranking legs are heap-bounded",
+    "q_erasure" -> "per-table audit legs cross three 1-row count frames; the erases themselves are keyed anti joins",
     "q_bm25_search" -> "1-row corpus-stats attach (N, avgdl) before row-local scoring",
     "q_sim_pq_literal" -> "bounded probe set crossed with literal PQ codebooks",
     "q_tpch_q11" -> "1-row scalar threshold (sum x fraction) attach — canonical Q11 shape",
