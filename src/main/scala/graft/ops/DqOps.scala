@@ -148,29 +148,39 @@ object DqOps {
     * off. `values` must be a positive integral column (zero/negative/
     * NULL rows are dropped and reported via n_total).
     *
-    * Output: one row per leading digit 1-9: `(digit, n, obs_micro,
-    * exp_micro, delta_micro)` — observed and expected shares on the same
-    * exact ×10⁶ integer grid (`n × 10⁶ ÷ total` in integer division, so
-    * every value is engine-portable). The 9-row share step rides a
-    * window over the aggregated digit frame (k-bounded, same shape as
-    * q_transition_matrix's totals).
+    * Output: EXACTLY one row per leading digit 1-9 — a digit with zero
+    * occurrences (the strongest fabrication signal) still emits its row
+    * with `n = 0`, `obs_micro = 0`, `delta_micro = -exp_micro`, so
+    * callers never have to infer deviation from an absent row. Columns:
+    * `(digit, n, obs_micro, exp_micro, delta_micro)` — observed and
+    * expected shares on the same exact ×10⁶ integer grid
+    * (`n × 10⁶ ÷ total` in integer division, so every value is
+    * engine-portable). On empty input all shares are 0. The 9-row share
+    * step rides a window over the 9-row digit frame (k-bounded, same
+    * shape as q_transition_matrix's totals).
     */
   def benford(df: DataFrame, values: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val digits = df
       .select(values.cast("long").as("v"))
       .filter(col("v") > 0)
       .select(substring(col("v").cast("string"), 1, 1).cast("int").as("digit"))
-    val counts = digits.groupBy(col("digit")).agg(count(lit(1)).as("n"))
-    val expMicro = (1 to 9).foldLeft(lit(0L)) { (acc, d) =>
-      when(col("digit") === d, benfordMicro(d)).otherwise(acc)
-    }
-    counts
+    val counts = digits.groupBy(col("digit")).agg(count(lit(1)).as("cnt"))
+    // anchor on the literal 1-9 frame so zero-count digits emit a row
+    val expected = (1 to 9).map(d => (d, benfordMicro(d)))
+      .toDF("digit", "exp_micro")
+    expected
+      .join(counts, Seq("digit"), "left")
+      .withColumn("n", coalesce(col("cnt"), lit(0L)))
       .withColumn("__total",
         sum(col("n")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
       // integer `div`, not `/`: the share must live on the exact grid
-      .withColumn("obs_micro", expr("(n * 1000000) div __total"))
-      .withColumn("exp_micro", expMicro)
+      .withColumn("obs_micro",
+        when(col("__total") === 0L, lit(0L))
+          .otherwise(expr("(n * 1000000) div __total")))
       .withColumn("delta_micro", col("obs_micro") - col("exp_micro"))
-      .drop("__total")
+      .select(col("digit"), col("n"), col("obs_micro"), col("exp_micro"),
+        col("delta_micro"))
   }
 }

@@ -238,16 +238,36 @@ object LakeOps {
       nBuckets: Int): Unit = {
     require(keys.nonEmpty, "writeBucketed needs >= 1 bucket key")
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    // Unqualified identifiers only: for `db.tbl` the managed location is
+    // <warehouse>/db.db/tbl, so the <warehouse>/<table> cleanup below
+    // would miss it AND could recursively delete a path this helper
+    // never wrote. Cheaper to reject than to half-support.
+    require(
+      table.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"writeBucketed takes an unqualified table identifier, got '$table'")
     val s = df.sparkSession
+    // If a previous run's table still exists, clear its ACTUAL location
+    // (resolved via the catalog, never guessed) before dropping.
+    val staleLoc: Option[org.apache.hadoop.fs.Path] =
+      if (s.catalog.tableExists(table))
+        scala.util.Try(new org.apache.hadoop.fs.Path(
+          new java.net.URI(s.sql(s"DESCRIBE TABLE EXTENDED $table")
+            .filter(col("col_name") === "Location")
+            .select("data_type").head().getString(0)))).toOption
+      else None
     s.sql(s"DROP TABLE IF EXISTS $table")
     // The in-memory catalog dies with the session but the managed-table
     // DIRECTORY survives in the warehouse — a fresh session's DROP is a
-    // no-op and CTAS then refuses the non-empty location. Clear it.
-    val loc = new org.apache.hadoop.fs.Path(
+    // no-op and CTAS then refuses the non-empty location. Clear the
+    // managed path for this (unqualified, validated) identifier.
+    val loc = staleLoc.getOrElse(new org.apache.hadoop.fs.Path(
       s.conf.get("spark.sql.warehouse.dir"),
-      table.toLowerCase(java.util.Locale.ROOT))
+      table.toLowerCase(java.util.Locale.ROOT)))
     val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    if (fs.exists(loc)) {
+      s.sparkContext.setJobDescription(s"writeBucketed: clearing stale $loc")
+      fs.delete(loc, true)
+    }
     df.write
       .mode(SaveMode.Overwrite)
       .format("parquet")

@@ -197,6 +197,19 @@ object AsofJoinPlan {
           a.dataType == LongType,
         s"as-of time column ${a.name} must be long-backed, got ${a.dataType}")
     }
+    // Floating-point KEYS are rejected: real joins get Catalyst's
+    // NormalizeFloatingNumbers rule so -0.0/0.0 and NaN hash-partition
+    // together, but a custom node never does — float keys could land
+    // -0.0 and 0.0 in different partitions and silently miss matches.
+    (leftKeys.map(attr(lPlan, _)) ++ rightKeys.map(attr(rPlan, _))).foreach { a =>
+      require(
+        a.dataType != org.apache.spark.sql.types.FloatType &&
+          a.dataType != org.apache.spark.sql.types.DoubleType,
+        s"as-of join key ${a.name} is ${a.dataType}: floating-point keys " +
+          "are not supported (-0.0/0.0 and NaN would hash-partition " +
+          "inconsistently without NormalizeFloatingNumbers); cast the key " +
+          "to an integral, decimal, or string type first")
+    }
     val clash = left.columns.toSet.intersect(right.columns.toSet)
     require(clash.isEmpty, s"right columns collide with left: $clash")
     Bridge.ofRows(spark, AsofJoinNode(

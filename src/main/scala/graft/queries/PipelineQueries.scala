@@ -3877,16 +3877,20 @@ object PipelineQueries {
         |  FROM orders WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0),
         |d AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INTEGER)
         |        AS digit FROM v),
-        |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
-        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+        |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS cnt FROM d GROUP BY 1),
+        |t AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS total FROM c),
         |e(digit, exp_micro) AS (VALUES
         |  (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
         |  (6, 66947), (7, 57992), (8, 51153), (9, 45757))
-        |SELECT c.digit, n,
-        |  CAST((n * 1000000) // total AS BIGINT) AS obs_micro,
+        |SELECT e.digit, CAST(coalesce(cnt, 0) AS BIGINT) AS n,
+        |  CAST(CASE WHEN total = 0 THEN 0
+        |       ELSE (coalesce(cnt, 0) * 1000000) // total END AS BIGINT)
+        |    AS obs_micro,
         |  CAST(exp_micro AS BIGINT) AS exp_micro,
-        |  CAST((n * 1000000) // total - exp_micro AS BIGINT) AS delta_micro
-        |FROM c CROSS JOIN t JOIN e ON e.digit = c.digit""".stripMargin,
+        |  CAST(CASE WHEN total = 0 THEN 0
+        |       ELSE (coalesce(cnt, 0) * 1000000) // total END
+        |       - exp_micro AS BIGINT) AS delta_micro
+        |FROM e LEFT JOIN c ON c.digit = e.digit CROSS JOIN t""".stripMargin,
 
     // The straightforward formulation the distributed plan must equal:
     // one total order, one running sum, prefix under the budget.

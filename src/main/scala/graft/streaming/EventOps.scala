@@ -578,26 +578,6 @@ object EventOps {
       .toDF("key", "ord", "x", "ewma", "anomaly")
   }
 
-  /** EXACT rolling-window distinct users per day — DAU plus the trailing
-    * `windowDays`-day active-user count for every observed day.
-    *
-    * Rolling COUNT(DISTINCT) is the classic scale trap: the naive plan
-    * range-joins every day against a `windowDays`-wide slice of the fact
-    * (W full re-scans' worth of join input), and a windowed
-    * `collect_set(user)` materializes per-day user sets. This plan does
-    * neither. Per user, a day `a` with successor active day `n` is the
-    * MOST RECENT active day exactly on `[a, min(a + W - 1, n - 1)]` —
-    * consecutive intervals are disjoint by construction, so exploding
-    * each active day to its interval emits every (user, covered day)
-    * pair EXACTLY once, at most W rows per active pair, all row-local.
-    *
-    * One Exchange collapses events to per-user sorted active-day arrays
-    * (bounded by the calendar span, not the event count); the interval
-    * explode is a higher-order function over that array (no second
-    * window); one tiny day-keyed aggregate counts covering users. Days
-    * nobody was active on are not reported (`dau > 0` — also what
-    * filters coverage that dangles past the corpus end).
-    */
   /** Two-sided CUSUM change-point detection over per-key ordered series
     * (Page 1954): `s_hi += (x − μ) − slack` and `s_lo += (μ − x) − slack`,
     * both clamped at 0, alarm when either exceeds `threshold`. CUSUM
@@ -642,6 +622,26 @@ object EventOps {
       .toDF("key", "ord", "x", "s_hi", "s_lo", "alarm")
   }
 
+  /** EXACT rolling-window distinct users per day — DAU plus the trailing
+    * `windowDays`-day active-user count for every observed day.
+    *
+    * Rolling COUNT(DISTINCT) is the classic scale trap: the naive plan
+    * range-joins every day against a `windowDays`-wide slice of the fact
+    * (W full re-scans' worth of join input), and a windowed
+    * `collect_set(user)` materializes per-day user sets. This plan does
+    * neither. Per user, a day `a` with successor active day `n` is the
+    * MOST RECENT active day exactly on `[a, min(a + W - 1, n - 1)]` —
+    * consecutive intervals are disjoint by construction, so exploding
+    * each active day to its interval emits every (user, covered day)
+    * pair EXACTLY once, at most W rows per active pair, all row-local.
+    *
+    * One Exchange collapses events to per-user sorted active-day arrays
+    * (bounded by the calendar span, not the event count); the interval
+    * explode is a higher-order function over that array (no second
+    * window); one tiny day-keyed aggregate counts covering users. Days
+    * nobody was active on are not reported (`dau > 0` — also what
+    * filters coverage that dangles past the corpus end).
+    */
   def rollingActiveUsers(events: DataFrame, windowDays: Int): DataFrame = {
     require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
     val perUser = events

@@ -135,8 +135,11 @@ class DqOpsSpec extends SparkSpec {
     // digits of the 8 positive values: 5,1,2,3,6,8,9,1 -> total 8
     assert(out(1) == (2L, 250000L, 301030L))
     assert(out(5) == (1L, 125000L, 79181L))
-    assert(!out.contains(4) && !out.contains(7), "absent digits emit no row")
-    assert(out.size == 7)
+    // zero-count digits STILL emit a row: n=0, obs=0, delta=-exp — the
+    // strongest fabrication signal must be visible, not an absent row
+    assert(out(4) == (0L, 0L, 96910L))
+    assert(out(7) == (0L, 0L, 57992L))
+    assert(out.size == 9)
     // expectations are a partition of unity on the micro grid
     assert(DqOps.benfordMicro.values.sum == 1000000L)
   }

@@ -118,4 +118,14 @@ class AsofJoinPlanSpec extends SparkSpec {
       .findAllMatchIn(plan.split("== Initial Plan ==").head).size
     assert(shuffles == 2, s"one keyed Exchange per side:\n$plan")
   }
+
+  test("native as-of rejects floating-point keys (-0.0/NaN partitioning trap)") {
+    import spark.implicits._
+    val l = Seq((0.0d, 1L)).toDF("k", "t")
+    val r = Seq((-0.0d, 0L, 7L)).toDF("rk", "rt", "v")
+    val ex = intercept[IllegalArgumentException] {
+      AsofJoinPlan.asofJoin(l, r, Seq("k"), Seq("rk"), "t", "rt")
+    }
+    assert(ex.getMessage.contains("floating-point keys"), ex.getMessage)
+  }
 }
