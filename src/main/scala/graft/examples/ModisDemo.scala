@@ -107,6 +107,12 @@ object ModisDemo {
     val nc = graft.io.NetCDF3.read(s"$outPath.nc")
     println(s"[demo] netCDF L3: ${nc.vars.map(_.name).mkString(", ")}")
 
+    // binary sink: the reference's LITERAL .h5 container
+    L3Writer.writeH5(l3, cfg, s"$outPath.h5",
+      packings = Map("Cloud_Top_Pressure_Mean" -> L3Writer.Packing(0.1, 0.0, -9999)))
+    val h5 = graft.io.HDF5.read(s"$outPath.h5")
+    println(s"[demo] HDF5 L3: ${h5.datasets.map(_.name).mkString(", ")}")
+
     val back = spark.read.parquet(outPath)
     println(s"[demo] L3 grid rows: ${back.count()} (grid ${cfg.grid.gridLat}x${cfg.grid.gridLon})")
     back.orderBy($"cell").show(5, truncate = false)

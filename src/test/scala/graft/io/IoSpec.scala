@@ -284,4 +284,110 @@ class IoSpec extends SparkSpec {
     // output-exists guard
     intercept[Exception] { L3Writer.writeNetcdf(grid, cfg, out) }
   }
+
+  test("writeH5 emits the reference's literal .h5 container (HDF5 classic)") {
+    import graft.io.HDF5._
+    // same fixture as the netCDF test: 6 x 12 grid, scalar stat, counts,
+    // 3-bin histogram, 3x3 joint histogram, cells 0 and 13 populated
+    val cfg = JobConfig(
+      grid = GridSpec(Region(-90, 90, -180, 180), 30.0, 30.0),
+      vars = Seq(VarSpec("Cloud_Top_Pressure_1km",
+        binEdges = Seq(0.0, 300.0, 700.0, 1100.0),
+        joint = Some(JointSpec("Cloud_Top_Temperature_1km", Seq(180.0, 240.0, 280.0, 310.0))))))
+    val grid = Seq(
+      (0L, 812.5, 10L, 0.25, Seq(1L, 2L, 7L),
+        Seq(Seq(1L, 0L, 2L), Seq(0L, 3L, 4L), Seq(5L, 0L, 0L))),
+      (13L, 401.0, 4L, 0.5, Seq(0L, 4L, 0L),
+        Seq(Seq(0L, 1L, 0L), Seq(2L, 0L, 1L), Seq(0L, 0L, 6L))))
+      .toDF("cell", "Cloud_Top_Pressure_1km_Mean",
+        "Cloud_Top_Pressure_1km_Pixel_Counts", "cloud_fraction_Mean",
+        "Cloud_Top_Pressure_1km_Histogram_Counts",
+        "Cloud_Top_Pressure_1km_Jhisto_vs_Cloud_Top_Temperature_1km")
+    val ctpAttrs = PixelSource.VarAttrs(
+      units = "hPa", longName = "Cloud Top Pressure",
+      fillValue = -32768, scaleFactor = 0.1, addOffset = -15000.0)
+    val out = Files.createTempDirectory("h5").resolve("l3.h5").toString
+    L3Writer.writeH5(grid, cfg, out,
+      packings = Map("Cloud_Top_Pressure_1km_Mean" ->
+        L3Writer.Packing(0.1, -15000.0, -32768L)),
+      varAttrs = Map("Cloud_Top_Pressure_1km" -> ctpAttrs))
+
+    val h5 = HDF5.read(out)
+    def d(name: String): Dataset = h5.datasets.find(_.name == name).getOrElse(
+      fail(s"dataset $name missing: ${h5.datasets.map(_.name)}"))
+
+    // axis datasets: float64 cell centers with the reference attrs
+    assert(d("lat_bnd").dtype == H5Float64)
+    assert(d("lat_bnd").data.asInstanceOf[Array[Double]].toSeq ==
+      (0 until 6).map(i => -90.0 + 15.0 + i * 30.0))
+    assert(d("lon_bnd").data.asInstanceOf[Array[Double]].toSeq ==
+      (0 until 12).map(i => -180.0 + 15.0 + i * 30.0))
+    assert(d("lat_bnd").atts.contains(Att("long_name", StrAtt("Latitude_boundaries"))))
+
+    // packed mean: int64 dense [lat, lon] with _1km stripped
+    val mean = d("Cloud_Top_Pressure_Mean")
+    assert(mean.dims == Seq(6, 12) && mean.dtype == H5Int64)
+    val md = mean.data.asInstanceOf[Array[Long]]
+    assert(md(0) == math.round(812.5 / 0.1 + -15000.0))
+    assert(md(13) == math.round(401.0 / 0.1 + -15000.0))
+    assert(md(1) == -32768L && md.count(_ != -32768L) == 2)
+    assert(mean.atts.contains(Att("_FillValue", LongAtt(-32768L))))
+    assert(mean.atts.contains(Att("scale_factor", DoubleAtt(0.1))))
+    assert(mean.atts.contains(Att("units", StrAtt("hPa"))))
+    assert(mean.atts.contains(Att("DIMENSION_LABELS",
+      StrArrayAtt(Seq("lat_bnd", "lon_bnd")))),
+      "dims[i].label footprint (reference :447-448)")
+
+    // counts: int64, absent cells 0
+    val cnt = d("Cloud_Top_Pressure_Pixel_Counts").data.asInstanceOf[Array[Long]]
+    assert(cnt(0) == 10L && cnt(13) == 4L && cnt.sum == 14L)
+
+    // Cloud_Fraction: FLOAT64 at forced 1e-4 scaling, UNROUNDED — the
+    // reference's CF branch skips the astype(int) (:438-444)
+    val cf = d("cloud_fraction_Mean")
+    assert(cf.dtype == H5Float64, "reference CF datasets are float64")
+    val cfd = cf.data.asInstanceOf[Array[Double]]
+    assert(cfd(0) == 0.25 / 1e-4 && cfd(13) == 0.5 / 1e-4)
+    assert(cfd(1) == -9999.0 && cfd.count(_ != -9999.0) == 2)
+    assert(cf.atts.contains(Att("scale_factor", DoubleAtt(1e-4))))
+    assert(cf.atts.contains(Att("_FillValue", DoubleAtt(-9999.0))))
+
+    // histograms: native N-D int64 datasets (the reference's reshape)
+    val h = d("Cloud_Top_Pressure_Histogram_Counts")
+    assert(h.dims == Seq(6, 12, 3) && h.dtype == H5Int64)
+    val hd = h.data.asInstanceOf[Array[Long]]
+    assert(hd.slice(0, 3).toSeq == Seq(1L, 2L, 7L))
+    assert(hd.slice(13 * 3, 13 * 3 + 3).toSeq == Seq(0L, 4L, 0L))
+    assert(hd.sum == 14L)
+
+    val j = d("Cloud_Top_Pressure_Jhisto_vs_Cloud_Top_Temperature")
+    assert(j.dims == Seq(6, 12, 3, 3))
+    val jd = j.data.asInstanceOf[Array[Long]]
+    assert(jd.slice(0, 9).toSeq == Seq(1L, 0L, 2L, 0L, 3L, 4L, 5L, 0L, 0L))
+    assert(jd.slice(13 * 9, 13 * 9 + 9).toSeq == Seq(0L, 1L, 0L, 2L, 0L, 1L, 0L, 0L, 6L))
+
+    // grid content matches the writeL3 parquet path through the container:
+    // every packed non-CF cell value equals the parquet grid's value
+    val pq = Files.createTempDirectory("h5pq").resolve("l3").toString
+    L3Writer.writeL3(grid, cfg, pq,
+      packings = Map("Cloud_Top_Pressure_1km_Mean" ->
+        L3Writer.Packing(0.1, -15000.0, -32768L)),
+      varAttrs = Map("Cloud_Top_Pressure_1km" -> ctpAttrs))
+    val gridPq = spark.read.parquet(s"$pq/grid")
+      .select("lat_idx", "lon_idx", "Cloud_Top_Pressure_Mean")
+      .collect()
+    gridPq.foreach { r =>
+      val cell = r.getAs[Number]("lat_idx").intValue() * 12 +
+        r.getAs[Number]("lon_idx").intValue()
+      assert(md(cell) == r.getAs[Long]("Cloud_Top_Pressure_Mean"))
+    }
+
+    // the file really is HDF5: signature + re-write identity
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(out))
+    assert((bytes(0) & 0xFF) == 0x89 && bytes(1) == 'H' && bytes(2) == 'D' && bytes(3) == 'F')
+    assert(HDF5.toBytes(h5).toSeq == bytes.toSeq)
+
+    // output-exists guard
+    intercept[Exception] { L3Writer.writeH5(grid, cfg, out) }
+  }
 }
