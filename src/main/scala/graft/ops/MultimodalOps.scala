@@ -12,11 +12,13 @@ import org.apache.spark.sql.functions._
   * The Spark-side machinery is real and tested — schema, partitioning,
   * batch iteration via `mapPartitions` on a typed `Dataset` (the Scala
   * analog of `mapInPandas`: one JVM-side batch loop per partition, no
-  * per-row closure dispatch into Python). Only the codec itself is a STUB:
-  * this container has no image/audio libraries, so [[decodeStub]] derives
-  * deterministic pseudo-features from a SHA-256 of the payload. Swapping in
-  * a real decoder changes one function; every schema/partition/batch
-  * decision stays.
+  * per-row closure dispatch into Python). IMAGE decode/resize are REAL:
+  * the JDK's built-in `javax.imageio` (PNG/JPEG/GIF/BMP, headless-safe,
+  * zero extra dependencies) produces true dimensions, exact-integer mean
+  * luma, and real pixel resampling. Payloads no JDK reader recognizes
+  * (audio/video containers, synthetic bytes) fall back to the
+  * deterministic SHA-256 stubs, keeping every pipeline total and
+  * reproducible; a production audio/video codec swaps one function.
   */
 object MultimodalOps {
 
@@ -36,9 +38,11 @@ object MultimodalOps {
       height: Int,
       mean_lum: Double)
 
-  /** STUB CODEC — deterministic fake decode. A real deployment replaces
-    * the body with (e.g.) javax.imageio / ffmpeg bindings; the signature
-    * (bytes in, features out) is the stable contract.
+  /** STUB CODEC — deterministic fake decode for payloads no JDK reader
+    * recognizes (audio/video/synthetic bytes): pseudo-features from a
+    * SHA-256 of the payload. The signature (bytes in, features out) is
+    * the stable contract; [[decodeImage]] is the REAL path for PNG/JPEG/
+    * GIF/BMP.
     */
   def decodeStub(payload: Array[Byte]): (String, Int, Int, Double) = {
     val md = MessageDigest.getInstance("SHA-256")
@@ -50,6 +54,50 @@ object MultimodalOps {
     val meanLum = (digest(3) & 0xff).toDouble / 255.0
     (hex, width, height, meanLum)
   }
+
+  /** REAL image decode via the JDK's built-in `javax.imageio` (PNG, JPEG,
+    * GIF, BMP — no external dependency, headless-safe): true
+    * width/height plus mean Rec.601 luma `(299R + 587G + 114B) / 1000`,
+    * normalized to [0, 1]. The luma sum is accumulated in exact integer
+    * arithmetic (one long per image; overflow would need > 2^44 pixels)
+    * so the result is deterministic across JVMs and partitionings.
+    * Returns None when no registered reader recognizes the bytes — the
+    * caller falls back to [[decodeStub]].
+    */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Double)] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        var num = 0L // sum of (299R + 587G + 114B) over all pixels
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            num += 299L * ((rgb >> 16) & 0xff) +
+              587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, num.toDouble / (1000.0 * 255.0 * w * h)))
+      }
+    } catch { case _: java.io.IOException => None }
+
+  /** Decode one payload: real image decode when a JDK reader recognizes
+    * the bytes, deterministic stub otherwise. The SHA-256 content address
+    * is computed either way.
+    */
+  def decode(payload: Array[Byte]): (String, Int, Int, Double) =
+    decodeImage(payload) match {
+      case Some((w, h, lum)) =>
+        val digest = MessageDigest.getInstance("SHA-256").digest(payload)
+        (digest.map(b => f"${b & 0xff}%02x").mkString, w, h, lum)
+      case None => decodeStub(payload)
+    }
 
   /** Partition-batched feature extraction. `mapPartitions` keeps one codec
     * instance per partition (decoders are expensive to init) and streams
@@ -63,7 +111,7 @@ object MultimodalOps {
       // fetch / decode upstream) have no features — drop, don't crash;
       // fetch-failure accounting belongs to the ingest ledger, not here.
       rows.filter(_.payload != null).map { r =>
-        val (hex, w, h, lum) = decodeStub(r.payload)
+        val (hex, w, h, lum) = decode(r.payload)
         MediaFeatures(r.media_id, r.modality, r.payload.length.toLong, hex, w, h, lum)
       }
     }
@@ -76,20 +124,48 @@ object MultimodalOps {
       frame_bytes: Array[Byte],
       frame_sha: String)
 
-  /** STUB RESIZE — deterministic byte-level downsample standing in for an
-    * image resize: keeps every `factor`-th byte (a real codec resamples
-    * pixels; the partitioning/schema contract is identical).
+  /** STUB RESIZE — deterministic byte-level downsample for payloads no
+    * JDK reader recognizes: keeps every `factor`-th byte. Real images go
+    * through [[resizeImage]] instead.
     */
   def resizeStub(payload: Array[Byte], factor: Int): Array[Byte] =
     payload.indices.collect { case i if i % factor == 0 => payload(i) }.toArray
 
+  /** REAL image resize via `javax.imageio` + `Graphics2D`: decode, scale
+    * both dimensions down by `factor` (bilinear, floor, min 1 px),
+    * re-encode as PNG. None when the bytes aren't a decodable image.
+    */
+  def resizeImage(payload: Array[Byte], factor: Int): Option[Array[Byte]] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = math.max(1, img.getWidth / factor)
+        val h = math.max(1, img.getHeight / factor)
+        val out = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, w, h, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        Some(bos.toByteArray)
+      }
+    } catch { case _: java.io.IOException => None }
+
   /** Partition-batched resize: same no-shuffle `mapPartitions` shape as
-    * [[extractFeatures]].
+    * [[extractFeatures]]. Decodable images get a real pixel resample
+    * ([[resizeImage]]); everything else the deterministic byte stub.
     */
   def resize(media: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {
     implicit val enc = Encoders.product[MediaRow]
     media.mapPartitions(_.filter(_.payload != null).map(r =>
-      r.copy(payload = resizeStub(r.payload, factor))))
+      r.copy(payload = resizeImage(r.payload, factor)
+        .getOrElse(resizeStub(r.payload, factor)))))
   }
 
   /** Frame sampling: one media row expands to ceil(len / frameSize / every)

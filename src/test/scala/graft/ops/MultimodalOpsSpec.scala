@@ -63,6 +63,51 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(new String(out.payload, "UTF-8") == "adg")
   }
 
+  /** Real PNG fixture: w x h with the left half `left`-colored and the
+    * right half `right`-colored (packed 0xRRGGBB).
+    */
+  private def pngBytes(w: Int, h: Int, left: Int, right: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (x < w / 2) left else right)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("real PNG payloads decode to true dimensions and exact mean luma") {
+    // 8x4, left half white (luma 1.0), right half black (luma 0.0)
+    val png = pngBytes(8, 4, 0xFFFFFF, 0x000000)
+    val (_, w, h, lum) = MultimodalOps.decode(png)
+    assert(w == 8 && h == 4, "true decoded dimensions, not stub pseudo-dims")
+    assert(lum == 0.5, "half white + half black = exactly 0.5 mean luma")
+
+    // pure green: Rec.601 luma = 587/1000 exactly
+    val (_, _, _, g) = MultimodalOps.decode(pngBytes(3, 3, 0x00FF00, 0x00FF00))
+    assert(g == 0.587)
+
+    // through the full Spark pipeline: a real image row among opaque ones
+    val media = Seq(
+      MultimodalOps.MediaRow(1L, "image", png),
+      MultimodalOps.MediaRow(2L, "audio", "not an image".getBytes("UTF-8")))
+      .toDS()
+    val feats = MultimodalOps.extractFeatures(media).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(feats(1L).width == 8 && feats(1L).height == 4 && feats(1L).mean_lum == 0.5)
+    // non-image payload still flows through via the deterministic stub
+    assert(feats(2L).width >= 64 && feats(2L).n_bytes == 12L)
+  }
+
+  test("real PNG resize resamples pixels (stub only for opaque payloads)") {
+    val png = pngBytes(8, 4, 0xFFFFFF, 0xFFFFFF) // all white
+    val media = Seq(MultimodalOps.MediaRow(1L, "image", png)).toDS()
+    val out = MultimodalOps.resize(media, 2).collect().head
+    val (_, w, h, lum) = MultimodalOps.decode(out.payload)
+    assert(w == 4 && h == 2, "dimensions halved by real resampling")
+    assert(lum == 1.0, "all-white stays all-white through bilinear resize")
+  }
+
   test("extraction preserves partitioning (no shuffle)") {
     val media = MultimodalOps.mediaFromDocuments(docs).repartition(3)
     val out = MultimodalOps.extractFeatures(media)
