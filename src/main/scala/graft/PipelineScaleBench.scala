@@ -60,9 +60,16 @@ object PipelineScaleBench {
             lit("_"), pmod(xxhash64(lit(7), h), lit(50)).cast("string"))
         })).as("text"))
       .cache()
-    docs.count() // materialize: stage timings below exclude generation
+    // materialize: stage timings below exclude generation (skipped under
+    // a SPARK_GRAFT_STAGES filter — a filtered probe of doc-free stages
+    // must not pay corpus generation; doc-using stages then pay it
+    // inside their own timing, acceptable for a dev probe)
+    if (sys.env.get("SPARK_GRAFT_STAGES").isEmpty) docs.count()
 
+    // dev knob: SPARK_GRAFT_STAGES=a,b runs only the named stages
+    val onlyStages = sys.env.get("SPARK_GRAFT_STAGES").map(_.split(",").toSet)
     def stage(name: String)(f: => Long): Unit = {
+      if (onlyStages.exists(!_.contains(name))) return
       val t0 = System.nanoTime()
       val n = f
       val secs = (System.nanoTime() - t0) / 1e9
@@ -72,7 +79,7 @@ object PipelineScaleBench {
       // isolated — accumulated storage blocks otherwise evict/recompute
       // across stages and later stages pay earlier stages' memory bills
       spark.sharedState.cacheManager.clearCache()
-      docs.cache().count()
+      if (onlyStages.isEmpty) docs.cache().count()
     }
 
     // Pure-map stages MUST sink through noop: under `.count()` Catalyst
@@ -182,6 +189,26 @@ object PipelineScaleBench {
         pmod(xxhash64(col("id"), lit(1)),
           pmod(xxhash64(col("id"), lit(2)), lit(nDocs)) + 1).as("dst"))
       GraphOps.pageRank(edges, "src", "dst", iters = 5).count()
+    }
+    // LPA hub-skew pair: one hub wired to EVERY node (degree = 20% of
+    // the edge list) over a sparse pseudo-random remainder. The default
+    // hotDegree threshold routes the hub's edges through the broadcast
+    // side (no shuffle of hub rows, no straggler partition); the 1path
+    // control forces the original single shuffle-join plan — the pair
+    // prints the bounded-vs-serialized round cost side by side.
+    val lpaSparse = sys.env.getOrElse("SPARK_GRAFT_LPA_SPARSE", "4").toLong
+    val lpaRounds = sys.env.getOrElse("SPARK_GRAFT_LPA_ROUNDS", "3").toInt
+    def hubGraph = spark.range(nDocs)
+      .select(lit(0L).as("src"), (col("id") + 1L).as("dst"))
+      .union(spark.range(nDocs * lpaSparse).select(
+        (pmod(xxhash64(col("id")), lit(nDocs)) + 1L).as("src"),
+        (pmod(xxhash64(col("id"), lit(1)), lit(nDocs)) + 1L).as("dst")))
+    stage("lpa_hub_2path") {
+      GraphOps.labelPropagation(hubGraph, "src", "dst", rounds = lpaRounds).count()
+    }
+    stage("lpa_hub_1path") {
+      GraphOps.labelPropagation(hubGraph, "src", "dst", rounds = lpaRounds,
+        hotDegree = Int.MaxValue).count()
     }
     stage("bfs_3hop_10x") {
       // same power-law graph: frontier expansion from one hub — round

@@ -476,35 +476,102 @@ object GraphOps {
     * window, no sort. Labels materialize per round (cache + count) to
     * cut lineage, the [[pageRank]] discipline.
     *
+    * SKEW: the `nbr`-keyed label join is the hot path on a power-law
+    * graph — a hub with degree d lands d edge rows in ONE partition
+    * every round, serializing the round on that task at scale. When any
+    * node's degree exceeds `hotDegree`, the edge list splits ONCE into a
+    * cold part (regular shuffle join, now hub-free) and a SALTED hot
+    * part: hot edges get a per-row salt and are partitioned by
+    * (nbr, salt) once; each round the hot label slice (at most
+    * edges/hotDegree rows, carved out by a broadcast semi-join against
+    * the hot-id set) replicates across the salt values and equi-joins on
+    * (nbr, salt) — the [[graft.ops.JoinOps.saltedJoin]] replicate-the-
+    * small-side technique applied to an iterative join, with no
+    * per-round driver barrier (the broadcast-the-ranks variant pageRank
+    * measured and rejected). A hub's rows thus spread over `saltBuckets`
+    * tasks instead of one. Results are path-independent (same join +
+    * count algebra either way; differential-pinned in GraphOpsSpec);
+    * graphs with no hub keep the original single-path plan.
+    *
+    * The `hotDegree` default (~2M) is MEASURED, not guessed: below a
+    * few million rows a single task absorbs a hub faster than the split
+    * pays its per-round overhead (local[16], 6M edges, 2M-degree hub,
+    * 6 rounds: 31.7 s single vs 44.7 s split), while at 8M edges with a
+    * 4M-degree hub over 9 rounds the split wins 139.5 s vs 194.7 s and
+    * the gap widens with degree — see PERF.md "LPA hub skew". Cluster
+    * numbers shift the crossover LOWER (network shuffle + executor
+    * memory ceilings punish the straggler task harder than local mode),
+    * so callers on real clusters may pass a smaller threshold.
+    *
     * Output: (node, label) after `rounds` rounds.
     */
   def labelPropagation(
       pairs: DataFrame,
       srcCol: String,
       dstCol: String,
-      rounds: Int): DataFrame = {
+      rounds: Int,
+      hotDegree: Int = 1 << 21,
+      saltBuckets: Int = 32): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(hotDegree >= 1, s"hotDegree must be >= 1, got $hotDegree")
+    require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
     val canon = pairs.select(
       least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("u"),
       greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-    val bidir = canon.select(col("u").as("node"), col("v").as("nbr"))
+    val bidirAll = canon.select(col("u").as("node"), col("v").as("nbr"))
       .union(canon.select(col("v").as("node"), col("u").as("nbr")))
-      .repartition(col("nbr")).cache()
-    var labels = bidir.select(col("node")).distinct()
+    // hub census: one edge-sized aggregate, paid once before the rounds
+    val hotIds = bidirAll.groupBy(col("nbr")).agg(count(lit(1)).as("d"))
+      .filter(col("d") > hotDegree).select(col("nbr")).cache()
+    val anyHot = hotIds.limit(1).count() > 0
+    val bidir =
+      (if (anyHot) bidirAll.join(broadcast(hotIds), Seq("nbr"), "left_anti")
+       else bidirAll)
+        .repartition(col("nbr")).cache()
+    // hot edges salted and laid out ONCE; the per-row salt spreads each
+    // hub's rows over saltBuckets partitions for every round's join
+    val bidirHot =
+      if (anyHot) bidirAll.join(broadcast(hotIds), Seq("nbr"), "left_semi")
+        .withColumn("__salt", pmod(xxhash64(col("node")), lit(saltBuckets)))
+        .repartition(col("nbr"), col("__salt")).cache()
+      else null
+    if (!anyHot) hotIds.unpersist(false)
+    var labels = bidirAll.select(col("node")).distinct()
       .select(col("node"), col("node").as("label")).cache()
     labels.count()
-    for (_ <- 1 to rounds) {
-      val next = bidir
+    for (round <- 1 to rounds) {
+      val coldVotes = bidir
         .join(labels.select(col("node").as("nbr"), col("label")), "nbr")
+        .select(col("node"), col("label"))
+      val votes =
+        if (anyHot) {
+          val hotLabels = labels
+            .join(broadcast(hotIds.withColumnRenamed("nbr", "node")),
+              Seq("node"), "left_semi")
+            .select(col("node").as("nbr"), col("label"))
+            .withColumn("__salt",
+              explode(array((0 until saltBuckets).map(lit(_)): _*)))
+          coldVotes.union(
+            bidirHot.join(hotLabels, Seq("nbr", "__salt"))
+              .select(col("node"), col("label")))
+        } else coldVotes
+      val agreed = votes
         .groupBy(col("node"), col("label"))
         .agg(count(lit(1)).as("cnt"))
         .groupBy(col("node"))
         // argmax count, ties -> smallest label: max over (cnt, -label)
         .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
         .select(col("node"), (-col("m.nl")).as("label"))
-        .cache()
-      next.count()
+      // lineage: the hot path references `labels` TWICE per round (cold
+      // branch + hot branch), so plain cache leaves an analyzed plan that
+      // DOUBLES per round — exponential in `rounds` (a 9-round hub probe
+      // hit Spark's 2 GiB plan-string cap). Cut it with an eager
+      // localCheckpoint every round on the hot path, every 4th otherwise
+      // (the pageRank discipline).
+      val next =
+        if (anyHot || round % 4 == 0) agreed.localCheckpoint(true)
+        else { val c = agreed.cache(); c.count(); c }
       labels.unpersist(false)
       labels = next
     }

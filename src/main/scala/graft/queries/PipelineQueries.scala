@@ -78,22 +78,63 @@ object PipelineQueries {
       (stops >= 1).cast("int"))
   }
 
+  /** Session-scoped memo for the two canonical graph edge tables: the
+    * heaviest graph queries each used to rebuild the same
+    * project→explode→distinct edge list from scratch (`q_triangles`/
+    * `q_communities`/`q_modularity` the co-occurrence pairs;
+    * `q_pagerank`/`q_pagerank_dangling`/`q_kcore` the order-line
+    * customer-supplier join), so a catalog run paid the build five
+    * times. The memo persists the frame ONCE per (session, input dir)
+    * and every later query reads the materialized cache — the
+    * `writeBucketedIfAbsent` write-once-read-many amortization, in
+    * memory. Keys hold the session reference, so a stopped session's
+    * entries are never revived; robustness sweeps (empty/nulled/skewed
+    * dirs) key separately by dir. Results are unchanged — only the
+    * number of times the identical build executes.
+    */
+  private val edgeMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  private def memoized(s: SparkSession, dir: String, tag: String)(
+      build: => DataFrame): DataFrame =
+    edgeMemo.getOrElseUpdate((s, dir, tag), {
+      val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count() // materialize once; consumers start from the cache
+      df
+    })
+
   /** Part co-occurrence edges (parts bought in the same order),
     * generated ROW-LOCALLY from each order's sorted part set — shared by
     * `q_triangles`, `q_communities`, and `q_modularity` (one definition;
-    * see q_triangles' plan note for the measured rationale).
+    * see q_triangles' plan note for the measured rationale), built once
+    * per session+dir via [[memoized]].
     */
-  private def partCooccurrenceEdges(s: SparkSession, dir: String): DataFrame = {
-    val ps = col("ps")
-    t(s, dir, "lineitem")
-      .groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-      .select(explode(flatten(transform(ps,
-        (x, i) => transform(slice(ps, i + 2, size(ps)),
-          y => struct(x.cast("long").as("u"), y.cast("long").as("v"))))))
-        .as("p"))
-      .select(col("p.u"), col("p.v")).distinct()
-  }
+  private def partCooccurrenceEdges(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "part_cooccurrence") {
+      val ps = col("ps")
+      t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .select(explode(flatten(transform(ps,
+          (x, i) => transform(slice(ps, i + 2, size(ps)),
+            y => struct(x.cast("long").as("u"), y.cast("long").as("v"))))))
+          .as("p"))
+        .select(col("p.u"), col("p.v")).distinct()
+    }
+
+  /** Customer-supplier interaction pairs from the orders-lineitem join,
+    * on the disjoint even/odd node encoding (customers 2k, suppliers
+    * 2k+1) — shared by `q_pagerank`, `q_pagerank_dangling`, and
+    * `q_kcore`, built once per session+dir via [[memoized]]. Kept raw
+    * (with multiplicities): each consumer applies its own distinct.
+    */
+  private def custSuppPairs(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "cust_supp") {
+      t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * lit(2L)).as("cust"),
+          (col("l_suppkey") * lit(2L) + lit(1L)).as("supp"))
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ------------------------------------------------------ text analysis
@@ -1463,10 +1504,7 @@ object PipelineQueries {
     // nodes once custkeys cross the offset, and the oracle, sharing the
     // encoding, could never catch it).
     "q_pagerank" -> ((s, dir) => {
-      val e = t(s, dir, "orders")
-        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-        .select((col("o_custkey") * lit(2L)).as("cust"),
-          (col("l_suppkey") * lit(2L) + lit(1L)).as("supp"))
+      val e = custSuppPairs(s, dir)
       val edges = e.select(col("cust").as("src"), col("supp").as("dst"))
         .union(e.select(col("supp").as("src"), col("cust").as("dst")))
       GraphOps.pageRank(edges, "src", "dst", iters = 5)
@@ -1478,10 +1516,8 @@ object PipelineQueries {
     // the recurrence as an exact integer share each iteration, and the
     // oracle unrolls the same scalar term per round.
     "q_pagerank_dangling" -> ((s, dir) => {
-      val e = t(s, dir, "orders")
-        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-        .select((col("o_custkey") * lit(2L)).as("src"),
-          (col("l_suppkey") * lit(2L) + lit(1L)).as("dst"))
+      val e = custSuppPairs(s, dir)
+        .select(col("cust").as("src"), col("supp").as("dst"))
       GraphOps.pageRank(e, "src", "dst", iters = 3, redistributeDangling = true)
     }),
 
@@ -1506,10 +1542,8 @@ object PipelineQueries {
     // GraphOpsSpec); the oracle unrolls the identical 8 synchronous
     // peel rounds.
     "q_kcore" -> ((s, dir) => {
-      val e = t(s, dir, "orders")
-        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-        .select((col("o_custkey") * lit(2L)).as("u"),
-          (col("l_suppkey") * lit(2L) + lit(1L)).as("v"))
+      val e = custSuppPairs(s, dir)
+        .select(col("cust").as("u"), col("supp").as("v"))
       GraphOps.kCoreNodes(e, "u", "v", k = 40, rounds = 8)
         .select(col("node"), col("degree"))
     }),

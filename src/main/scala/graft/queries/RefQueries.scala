@@ -215,18 +215,20 @@ object RefQueries {
         .withColumn("cf", col("cloud_pix") / col("total_pix"))),
 
     // S2/S3 as a native DataSource V2: granule -> pixel-rows scan with
-    // partition-per-granule planning and column pruning (rows-only check;
-    // DuckDB cannot read a custom Spark source — content determinism is
-    // covered by GranuleSourceSpec).
+    // partition-per-granule planning and column pruning. Emits the RAW
+    // decoded pixel frame: every value is a row-local chain of exact
+    // integer mixing plus correctly-rounded IEEE ops, so the DuckDB
+    // oracle replays the identical arithmetic (seed literals + split-
+    // multiplier 64-bit modular splitmix) and hash-matches bit for bit —
+    // the one custom-source query with a full content oracle. (The
+    // aggregation PATH over this source is exercised by GranuleSourceSpec
+    // + QueryPlanSpec; an aggregated form would not be hash-portable:
+    // float mean/std over non-integral doubles is summation-order-
+    // dependent across engines.)
     "q_granule_source" -> ((s, _) =>
-      GridAggregation.aggregate(
-        s.read.format("graft.sources.GranuleSource")
-          .option("granules", "A2008001.0005,A2008001.0100,A2008001.1200")
-          .option("rows", "64").option("cols", "64").load(),
-        JobConfig(
-          grid = GridSpec(Region(-90, 90, -180, 180), 30.0, 30.0),
-          stats = StatSwitches(),
-          vars = Seq(VarSpec("Cloud_Top_Pressure"))))),
+      s.read.format("graft.sources.GranuleSource")
+        .option("granules", "A2008001.0005,A2008001.0100,A2008001.1200")
+        .option("rows", "64").option("cols", "64").load()),
 
     // A11/P8 exact legacy semantics: fixed 180x360 grid, truncation
     // indexing with clamp at 0, dense output with the 0/1 guard.
@@ -307,7 +309,62 @@ object RefQueries {
        |   AS l_quantity_Standard_Deviation
        |FROM $baseSql GROUP BY cell""".stripMargin
 
+  /** One 64-bit splitmix round (the GranuleSource decode stand-in,
+    * `sources/GranuleSource.scala` `mix`) as DuckDB lateral-alias SQL,
+    * entirely in HUGEINT mod 2^64: logical right shifts are integer
+    * division by 2^k on the unsigned representation, and each 64x64
+    * wrapping multiply splits the CONSTANT into 32-bit halves so no
+    * intermediate exceeds INT128 ((a*bh mod 2^32)*2^32 + a*bl mod 2^64).
+    * Emits select-list fragments defining `<pfx>m` (the mixed value) and
+    * `<pfx>u` (the [0,1) unit double, (m >>> 11) / 2^53 — exact, since
+    * m >>> 11 < 2^53 and the divisor is a power of two).
+    */
+  private def mixSql(pfx: String, input: String): String = {
+    val M = "18446744073709551616" // 2^64
+    s"""(($input) + 11400714819323198485) % $M AS ${pfx}z0,
+       |  xor(${pfx}z0, ${pfx}z0 // 1073741824) AS ${pfx}y1,
+       |  (((${pfx}y1 * 3210233709) % 4294967296) * 4294967296 + ${pfx}y1 * 484763065) % $M AS ${pfx}z1,
+       |  xor(${pfx}z1, ${pfx}z1 // 134217728) AS ${pfx}y2,
+       |  (((${pfx}y2 * 2496678331) % 4294967296) * 4294967296 + ${pfx}y2 * 321982955) % $M AS ${pfx}z2,
+       |  xor(${pfx}z2, ${pfx}z2 // 2147483648) AS ${pfx}m,
+       |  (${pfx}m // 2048)::DOUBLE / 9007199254740992.0 AS ${pfx}u""".stripMargin
+  }
+
+  /** DuckDB replay of the whole q_granule_source frame: seeds are the
+    * three granule ids' Java hashCodes (masked to 32 bits) baked as
+    * literals; `seed * 1315423911 + k` never wraps (seed < 2^32), so the
+    * HUGEINT form equals the JVM's long arithmetic; every double is a
+    * row-local chain of exact conversions and correctly-rounded IEEE
+    * mul/sub — bit-identical across engines.
+    */
+  private val granuleSourceSql: String =
+    s"""WITH g(gid, seed, doy, hr) AS (VALUES
+       |  ('A2008001.0005', 4080383785::HUGEINT, 1, 0),
+       |  ('A2008001.0100', 4080384741::HUGEINT, 1, 1),
+       |  ('A2008001.1200', 4080415493::HUGEINT, 1, 12)),
+       |px AS (SELECT gid, seed, doy, hr, t.range AS i
+       |       FROM g CROSS JOIN range(0, 4096) t),
+       |m AS (SELECT gid, doy, hr, i,
+       |  ${mixSql("a", "seed * 1315423911 + i * 4")},
+       |  ${mixSql("b", "seed * 1315423911 + i * 4 + 1")},
+       |  ${mixSql("c", "seed * 1315423911 + i * 4 + 2")},
+       |  ${mixSql("d", "seed * 1315423911 + i * 4 + 3")},
+       |  ${mixSql("e", "seed + i")}
+       |  FROM px)
+       |SELECT gid AS granule_id, doy AS day_of_year, hr AS "hour",
+       |  (i // 64)::INT AS "row", (i % 64)::INT AS col,
+       |  au * 180.0 - 90.0 AS lat,
+       |  bu * 360.0 - 180.0 AS lon,
+       |  (em % 8)::INT AS cm_byte,
+       |  CASE WHEN cu < 0.02 THEN NULL
+       |       ELSE cu * 900.0 + 200.0 END AS Cloud_Top_Pressure,
+       |  CASE WHEN du < 0.02 THEN NULL
+       |       ELSE du * 130.0 + 180.0 END AS Cloud_Top_Temperature
+       |FROM m""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q_granule_source" -> granuleSourceSql,
+
     "q_grid_stats" -> statsSqlQty,
 
     "q_grid_stats_price" ->

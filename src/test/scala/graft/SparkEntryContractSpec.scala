@@ -37,16 +37,18 @@ class SparkEntryContractSpec extends AnyFunSuite {
   }
 
   /** The documented rows-only set — each inherently un-oracle-able
-    * (custom DSv2 source / in-query float k-means training), each
-    * covered by a substantive ScalaTest AND by an oracle-green twin
-    * gating the same algebra (q_sim_ivf_literal, q_semdedup_literal,
-    * GranuleSourceSpec content pins). q_dedup_simhash left this set when
-    * its registered form switched to the portable family (the
-    * q_dedup_minhash discipline). Growing this set is a DELIBERATE
-    * act: add the justification to COVERAGE.md when you add a name here.
+    * (in-query float k-means training), each covered by a substantive
+    * ScalaTest AND by an oracle-green twin gating the same algebra
+    * (q_sim_ivf_literal, q_semdedup_literal). q_dedup_simhash left this
+    * set when its registered form switched to the portable family (the
+    * q_dedup_minhash discipline); q_granule_source left it when the
+    * query switched to the raw decoded frame, whose splitmix arithmetic
+    * the DuckDB oracle replays exactly in HUGEINT mod 2^64. Growing this
+    * set is a DELIBERATE act: add the justification to COVERAGE.md when
+    * you add a name here.
     */
   private val rowsOnly = Set(
-    "q_sim_ivf_topk", "q_semdedup", "q_granule_source")
+    "q_sim_ivf_topk", "q_semdedup")
 
   test("every query is oracled or documented rows-only; no orphan oracles") {
     val q = SparkEntry.queries.keySet

@@ -314,6 +314,25 @@ class GraphOpsSpec extends SparkSpec {
     assert(got == Map(5L -> 1L, 1L -> 5L, 2L -> 5L, 3L -> 5L), s"got $got")
   }
 
+  test("labelPropagation: hub-split (hot) path is result-identical to the single path") {
+    // Power-law-ish graph: hub 0 touches every node (degree >= 20% of
+    // edges) plus a pseudo-random sparse remainder. hotDegree=8 forces
+    // the broadcast two-path plan; hotDegree=MaxValue is the original
+    // single-path plan — the results must match bit for bit.
+    val rnd = new scala.util.Random(42)
+    val hub = (1L to 60L).map(i => (0L, i))
+    val sparse = (0 until 120).map(_ =>
+      (rnd.nextInt(60).toLong + 1L, rnd.nextInt(60).toLong + 1L))
+    val edges = (hub ++ sparse).toDF("a", "b")
+    def run(hot: Int) =
+      GraphOps.labelPropagation(edges, "a", "b", rounds = 3, hotDegree = hot)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val split = run(8)
+    val single = run(Int.MaxValue)
+    assert(split == single, "two-path LPA must be semantics-preserving")
+    assert(split.nonEmpty && split.contains(0L))
+  }
+
   test("modularity: two clean triangles score the textbook 0.5; one community scores 0") {
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
       (4L, 5L), (5L, 6L), (4L, 6L)).toDF("a", "b")
