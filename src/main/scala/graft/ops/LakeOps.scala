@@ -290,4 +290,123 @@ object LakeOps {
       nBuckets: Int): Unit =
     if (!df.sparkSession.catalog.tableExists(table))
       writeBucketed(df, table, keys, nBuckets)
+
+  /** One table of an erasure cascade: the hive-partitioned parquet
+    * dataset at `path`, the column that joins it to the delete-key frame,
+    * and a display name for the audit.
+    */
+  final case class ErasureStep(
+      name: String,
+      path: String,
+      partitionCol: String,
+      keyCol: String,
+      keys: DataFrame)
+
+  /** Right-to-be-forgotten erasure as a real STORAGE operation: for each
+    * step, rewrite ONLY the partitions that contain doomed rows
+    * (replaceWhere-style), leave every other partition's files untouched
+    * byte for byte, and return the audit frame regulators ask for —
+    * per-table before/after/erased counts, touched-partition counts, and
+    * a residual that MUST be zero (recounted from the files actually on
+    * disk, not from the plan that wrote them).
+    *
+    * Why partition-granular: a naive "filter and rewrite the table"
+    * rewrites 100 TB to delete a few thousand users. Here each table
+    * pays (1) one semi-join to find touched partitions (collected —
+    * bounded by the partition count, the same driver bound as any
+    * partition listing), (2) one anti-join rewrite of ONLY those
+    * partitions via dynamic partition overwrite, (3) one semi-join
+    * recount for the residual. Partitions whose every row is doomed
+    * produce no output rows — dynamic overwrite would silently leave
+    * their old files in place, so their directories are deleted
+    * explicitly (the classic replaceWhere edge case).
+    *
+    * The touched-partition slice is eagerly materialized
+    * (`localCheckpoint`) before the overwrite: Spark (correctly) refuses
+    * plans that overwrite a path they are still reading from; the
+    * checkpoint bounds memory by the touched partitions' size — the
+    * point of partition-granular erasure is that this is small.
+    *
+    * Cascades compose by key derivation at the call site (delete-list ->
+    * fact-derived child keys), exactly like `q_erasure`'s report-only
+    * form; [[LakeOpsSpec]] drives the customer->orders-style cascade on
+    * a temp lake and pins untouched-partition byte-identity.
+    */
+  def eraseCascade(steps: Seq[ErasureStep]): DataFrame = {
+    require(steps.nonEmpty, "eraseCascade needs >= 1 step")
+    steps.map(eraseTable).reduce(_.unionByName(_))
+  }
+
+  private def eraseTable(step: ErasureStep): DataFrame = {
+    val spark = step.keys.sparkSession
+    import spark.implicits._
+    val keyFrame = step.keys.select(step.keys.columns.head).toDF("__dk")
+    val before = spark.read.parquet(step.path)
+    require(before.columns.contains(step.partitionCol),
+      s"${step.name}: partition column ${step.partitionCol} missing")
+    require(before.columns.contains(step.keyCol),
+      s"${step.name}: key column ${step.keyCol} missing")
+    val nBefore = before.count()
+    val nPartsTotal =
+      before.select(col(step.partitionCol)).distinct().count()
+
+    // (1) touched partitions: bounded by the table's partition count
+    val touched = before
+      .join(keyFrame, col(step.keyCol) === col("__dk"), "left_semi")
+      .select(col(step.partitionCol)).distinct()
+      .collect().map(_.get(0))
+    require(!touched.contains(null),
+      s"${step.name}: NULL ${step.partitionCol} partition cannot be " +
+        "rewritten partition-granularly (no directory to replace); " +
+        "repartition the lake or erase it with a full rewrite")
+
+    var nErased = 0L
+    if (touched.nonEmpty) {
+      // (2) rewrite only the touched partitions, minus doomed rows.
+      // Eager checkpoint: breaks the read-the-path-being-overwritten
+      // cycle and bounds the rewrite to touched-partition bytes.
+      val slice = before
+        .filter(col(step.partitionCol).isin(touched: _*))
+        .join(keyFrame, col(step.keyCol) === col("__dk"), "left_anti")
+        .localCheckpoint(true)
+      val sliceBefore = before
+        .filter(col(step.partitionCol).isin(touched: _*)).count()
+      nErased = sliceBefore - slice.count()
+      val prevMode =
+        spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try
+        slice.write.mode(SaveMode.Overwrite)
+          .partitionBy(step.partitionCol).parquet(step.path)
+      finally prevMode match {
+        case Some(m) =>
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+        case None =>
+          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      // fully-erased partitions wrote no rows -> dynamic overwrite left
+      // their directories alone; remove them explicitly
+      val surviving = slice.select(col(step.partitionCol)).distinct()
+        .collect().map(_.get(0)).toSet
+      val emptied = touched.filterNot(surviving)
+      if (emptied.nonEmpty) {
+        val fs = new org.apache.hadoop.fs.Path(step.path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        emptied.foreach { v =>
+          fs.delete(new org.apache.hadoop.fs.Path(
+            step.path, s"${step.partitionCol}=$v"), true)
+        }
+      }
+    }
+
+    // (3) audit from the files actually on disk
+    val after = spark.read.parquet(step.path)
+    val nAfter = after.count()
+    val nResidual = after
+      .join(keyFrame, col(step.keyCol) === col("__dk"), "left_semi").count()
+    Seq((step.name, nBefore, nAfter, nErased, nResidual,
+      touched.length.toLong, nPartsTotal))
+      .toDF("table_name", "n_before", "n_after", "n_erased", "n_residual",
+        "n_partitions_touched", "n_partitions_total")
+  }
 }

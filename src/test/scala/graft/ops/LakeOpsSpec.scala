@@ -278,4 +278,74 @@ class LakeOpsSpec extends SparkSpec {
       ("s2", "c")).toDF("part", "txt"))
     assert(c("s1")._2 == a("s1")._2 && c("s1")._1 != a("s1")._1)
   }
+
+  test("eraseCascade: partition-granular rewrite, untouched bytes identical, residual 0") {
+    import java.security.MessageDigest
+    val root = Files.createTempDirectory("erase").toString
+
+    // users partitioned by region; events partitioned by day.
+    // region "r9" holds ONLY doomed users -> its directory must vanish;
+    // region "r2" holds none -> its files must stay byte-identical.
+    val users = Seq(
+      (1L, "r1"), (2L, "r1"), (3L, "r1"),
+      (4L, "r2"), (5L, "r2"),
+      (6L, "r9"), (7L, "r9"))
+      .toDF("user_id", "region")
+    val events = Seq(
+      (10L, 1L, "d1"), (11L, 2L, "d1"), (12L, 4L, "d1"),
+      (13L, 6L, "d2"), (14L, 7L, "d2"),
+      (15L, 4L, "d3"), (16L, 5L, "d3"))
+      .toDF("event_id", "user_id", "day")
+    users.write.partitionBy("region").parquet(s"$root/users")
+    events.write.partitionBy("day").parquet(s"$root/events")
+
+    def dirHash(dir: String): Seq[(String, String)] = {
+      val d = new java.io.File(dir)
+      d.listFiles().toSeq.filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        .map { f =>
+          val md = MessageDigest.getInstance("SHA-256")
+          (f.getName, md.digest(java.nio.file.Files.readAllBytes(f.toPath))
+            .map(b => f"$b%02x").mkString)
+        }
+    }
+    val r2Before = dirHash(s"$root/users/region=r2")
+    val d3Before = dirHash(s"$root/events/day=d3")
+
+    // cascade: doomed users 3, 6, 7 -> derived doomed events
+    val doomed = Seq(3L, 6L, 7L).toDF("user_id")
+    val audit = LakeOps.eraseCascade(Seq(
+      LakeOps.ErasureStep("users", s"$root/users", "region", "user_id", doomed),
+      LakeOps.ErasureStep("events", s"$root/events", "day", "user_id", doomed)))
+      .collect().map(r => r.getString(0) -> r).toMap
+
+    // audit: counts and zero residual per table
+    assert(audit("users").getLong(1) == 7 && audit("users").getLong(2) == 4)
+    assert(audit("users").getLong(3) == 3 && audit("users").getLong(4) == 0)
+    assert(audit("users").getLong(5) == 2, "touched r1 and r9 only")
+    assert(audit("events").getLong(1) == 7 && audit("events").getLong(2) == 5)
+    assert(audit("events").getLong(3) == 2 && audit("events").getLong(4) == 0)
+    assert(audit("events").getLong(5) == 1, "touched day=d2 only")
+
+    // erased keys truly absent from the files on disk
+    val usersAfter = spark.read.parquet(s"$root/users")
+    assert(usersAfter.filter(col("user_id").isin(3L, 6L, 7L)).count() == 0)
+    assert(usersAfter.count() == 4)
+    val eventsAfter = spark.read.parquet(s"$root/events")
+    assert(eventsAfter.filter(col("user_id").isin(3L, 6L, 7L)).count() == 0)
+
+    // fully-doomed partition directory is gone (the replaceWhere edge)
+    assert(!new java.io.File(s"$root/users/region=r9").exists())
+    // untouched partitions: byte-identical files, not rewritten copies
+    assert(dirHash(s"$root/users/region=r2") == r2Before)
+    assert(dirHash(s"$root/events/day=d3") == d3Before)
+    // touched partition was genuinely rewritten
+    assert(spark.read.parquet(s"$root/users/region=r1")
+      .select("user_id").as[Long].collect().toSet == Set(1L, 2L))
+
+    // a second pass is a no-op: nothing touched, counts stable
+    val again = LakeOps.eraseCascade(Seq(
+      LakeOps.ErasureStep("users", s"$root/users", "region", "user_id", doomed)))
+      .collect().head
+    assert(again.getLong(3) == 0 && again.getLong(5) == 0)
+  }
 }
