@@ -219,6 +219,60 @@ object SamplingOps {
         least(col("n_docs"), col("__alloc")).as("alloc"))
   }
 
+  /** Token-budget mixture allocation — the planning step BEFORE
+    * [[mixtureResample]]: given explicit per-source mixture weights (on
+    * an exact x10^6 integer grid) and a total training-token budget,
+    * compute what each source must contribute and whether it has to be
+    * oversampled (epochs > 1) to meet it. This is the arithmetic a
+    * data-mixture spec ("30% web, 20% code, ...") turns into before
+    * anyone samples a row.
+    *
+    * All integer: `target = budget x w div Σw`,
+    * `epochs_micro = target x 10^6 div available` (>10^6 means the
+    * source repeats). One corpus scan collapses to a sources-sized frame
+    * (map-side-combined token sum); everything after is row-local
+    * arithmetic against a broadcast 1-row weight total — the
+    * [[temperatureMixturePlan]] shape with explicit weights and
+    * token-denominated availability.
+    *
+    * Output: (source, available_tokens, w_micro, target_tokens,
+    * epochs_micro, oversampled).
+    */
+  def tokenMixturePlan(
+      df: DataFrame,
+      sourceCol: Column,
+      text: Column,
+      weightsMicro: Map[String, Long],
+      defaultMicro: Long,
+      budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"budget must be > 0, got $budgetTokens")
+    val ws = weightsMicro.values.toSeq :+ defaultMicro
+    require(ws.forall(_ >= 0), "mixture weights must be >= 0")
+    // both products must stay within Long: budget x w, then target x 10^6
+    require(budgetTokens <= Long.MaxValue / math.max(ws.max, 1L),
+      s"budget x max weight overflows Long")
+    require(budgetTokens <= Long.MaxValue / 1000000L,
+      s"budget x 10^6 (the epochs grid) overflows Long")
+    val avail = df.groupBy(sourceCol.as("source"))
+      .agg(sum(TextOps.tokenCount(text)).as("available_tokens"))
+    val w = weightsMicro.toSeq.sortBy(_._1)
+      .foldRight(lit(defaultMicro)) { case ((s, x), els) =>
+        when(col("source") === s, lit(x)).otherwise(els)
+      }
+    val withW = avail.withColumn("w_micro", w)
+    val total = withW.agg(sum(col("w_micro")).as("__wsum"))
+    withW.crossJoin(broadcast(total))
+      .withColumn("target_tokens",
+        expr(s"(${budgetTokens}L * w_micro) div __wsum"))
+      .withColumn("epochs_micro",
+        when(col("available_tokens") > 0,
+          expr("(target_tokens * 1000000) div available_tokens")))
+      .withColumn("oversampled",
+        (col("epochs_micro") > 1000000L).cast("int"))
+      .select(col("source"), col("available_tokens"), col("w_micro"),
+        col("target_tokens"), col("epochs_micro"), col("oversampled"))
+  }
+
   def mixtureResample(
       df: DataFrame,
       sourceCol: Column,

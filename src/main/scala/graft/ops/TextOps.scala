@@ -271,6 +271,41 @@ object TextOps {
     graft.expr.TextFingerprintExprs.rollingFingerprint(
       concat_ws(" ", tokens(lower(text))))
 
+  /** Vocabulary coverage curve — the tokenizer-sizing diagnostic: for the
+    * top `k` token types by frequency, the cumulative share of ALL token
+    * occurrences they cover ("a 32k vocab covers 97.2% of running
+    * tokens"). Ranking is deterministic (count desc, token asc ties);
+    * shares live on the exact x10^6 integer grid (`cum_n x 10^6 div
+    * total`), so the curve is engine-portable.
+    *
+    * Scale shape: one corpus-sized explode collapses through a map-side-
+    * combined type count into a VOCAB-sized frame; the rank/cumulative
+    * window then runs over that vocab frame — its SinglePartition sort is
+    * bounded by distinct-type count (a few million at web scale, with
+    * Zipf guaranteeing the interesting prefix is tiny), never by corpus
+    * rows. The corpus itself is scanned once, shuffled once (type key).
+    *
+    * Output: (rank, token, n, cum_n, cum_micro), rank <= k.
+    */
+  def vocabCoverage(df: DataFrame, text: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val types = df
+      .select(explode(tokens(lower(text))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val byFreq = Window.orderBy(col("n").desc, col("token"))
+    types
+      .withColumn("rank", row_number().over(byFreq).cast("long"))
+      .withColumn("cum_n", sum(col("n")).over(
+        byFreq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__total",
+        sum(col("n")).over(Window.partitionBy()))
+      .withColumn("cum_micro", expr("(cum_n * 1000000) div __total"))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("token"), col("n"), col("cum_n"),
+        col("cum_micro"))
+  }
+
   object Sql {
     /** DuckDB equivalents (same semantics, same evaluation order). */
     def tokens(c: String): String =

@@ -1379,6 +1379,26 @@ object PipelineQueries {
       SamplingOps.temperatureMixturePlan(
         t(s, dir, "documents"), col("source"), budget = 200L)),
 
+    // Explicit token-budget mixture allocation ("30% from src1, 10%
+    // from src4, rest even"): per-source token availability, integer
+    // micro-weight targets, and the epochs factor that flags
+    // oversampling — the planning arithmetic a mixture spec becomes
+    // before any row is sampled. One corpus scan -> sources-sized
+    // frame; every number exact int64.
+    "q_token_mixture" -> ((s, dir) =>
+      SamplingOps.tokenMixturePlan(
+        t(s, dir, "documents"), col("source"), col("text"),
+        weightsMicro = Map("src1" -> 300000L, "src4" -> 100000L),
+        defaultMicro = 50000L, budgetTokens = 40000L)),
+
+    // Vocabulary coverage curve (tokenizer sizing): top-40 token types
+    // and the cumulative share of running tokens they cover, on the
+    // exact x10^6 grid. Corpus explode collapses map-side into a
+    // vocab-sized frame; the rank window sorts the VOCAB, not the
+    // corpus.
+    "q_vocab_coverage" -> ((s, dir) =>
+      TextOps.vocabCoverage(t(s, dir, "documents"), col("text"), k = 40)),
+
     // Did the language mix shift per source? Per-cell chi-square terms
     // as exact integer rationals with one closing division each (a
     // double Σ over cells would be reduction-order-dependent; summing
@@ -5092,6 +5112,50 @@ object PipelineQueries {
         |  least(n_docs,
         |    CAST((200 * w_milli) // (SELECT wsum FROM s) AS BIGINT)) AS alloc
         |FROM w""".stripMargin,
+
+    // Same exact micro-weight algebra: budget x w div Σw, then the
+    // epochs ratio on the x10^6 grid.
+    "q_token_mixture" ->
+      s"""WITH a AS (
+         |  SELECT source,
+         |    CAST(sum(${S.tokenCount("text")}) AS BIGINT) AS available_tokens
+         |  FROM documents GROUP BY source),
+         |w AS (
+         |  SELECT source, available_tokens,
+         |    CAST(CASE source WHEN 'src1' THEN 300000
+         |         WHEN 'src4' THEN 100000 ELSE 50000 END AS BIGINT)
+         |      AS w_micro
+         |  FROM a),
+         |t AS (SELECT CAST(sum(w_micro) AS BIGINT) AS wsum FROM w)
+         |SELECT source, available_tokens, w_micro,
+         |  CAST((40000 * w_micro) // wsum AS BIGINT) AS target_tokens,
+         |  CASE WHEN available_tokens > 0 THEN
+         |    CAST(((40000 * w_micro) // wsum) * 1000000 // available_tokens
+         |      AS BIGINT) END AS epochs_micro,
+         |  CASE WHEN available_tokens > 0 THEN
+         |    CAST(CASE WHEN ((40000 * w_micro) // wsum) * 1000000
+         |         // available_tokens > 1000000
+         |         THEN 1 ELSE 0 END AS INTEGER) END AS oversampled
+         |FROM w CROSS JOIN t""".stripMargin,
+
+    // Same ranking (count desc, token asc) and exact x10^6 cumulative
+    // grid over the type counts.
+    "q_vocab_coverage" ->
+      s"""WITH tok AS (
+         |  SELECT unnest(${S.tokens("lower(text)")}) AS token
+         |  FROM documents),
+         |c AS (SELECT token, CAST(count(*) AS BIGINT) AS n
+         |      FROM tok GROUP BY token),
+         |r AS (SELECT token, n,
+         |  CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT)
+         |    AS rank,
+         |  CAST(sum(n) OVER (ORDER BY n DESC, token
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+         |  CAST(sum(n) OVER () AS BIGINT) AS total
+         |  FROM c)
+         |SELECT rank, token, n, cum_n,
+         |  CAST((cum_n * 1000000) // total AS BIGINT) AS cum_micro
+         |FROM r WHERE rank <= 40""".stripMargin,
 
     // Window list() honors the bounded ROWS frame; an empty frame yields
     // NULL -> coalesce to '' matching Spark's empty-array array_join.

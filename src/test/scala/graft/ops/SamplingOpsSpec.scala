@@ -307,4 +307,35 @@ class SamplingOpsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
     assert(re == p3.map { case (k, v) => k -> v._3 })
   }
+  test("tokenMixturePlan: exact targets, epochs factor, oversample flag") {
+    import org.apache.spark.sql.functions._
+    // sources: a has 10 tokens, b has 2, c has 6
+    val docs = Seq(
+      ("a", "t1 t2 t3 t4 t5"), ("a", "t1 t2 t3 t4 t5"),
+      ("b", "x y"),
+      ("c", "p q r"), ("c", "p q r")).toDF("src", "text")
+    val out = SamplingOps.tokenMixturePlan(
+      docs, $"src", $"text",
+      weightsMicro = Map("a" -> 500000L, "b" -> 300000L),
+      defaultMicro = 200000L, budgetTokens = 10L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5)))
+      .toMap
+    // wsum = 1_000_000; targets: a 5, b 3, c 2
+    assert(out("a") == ((10L, 500000L, 5L, 500000L, 0)))
+    // b must repeat: 3 tokens wanted from 2 available -> 1.5 epochs
+    assert(out("b") == ((2L, 300000L, 3L, 1500000L, 1)))
+    assert(out("c") == ((6L, 200000L, 2L, 333333L, 0)))
+    // layout invariance (integer arithmetic end to end)
+    val re = SamplingOps.tokenMixturePlan(
+      docs.repartition(5), $"src", $"text",
+      Map("a" -> 500000L, "b" -> 300000L), 200000L, 10L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(re == out.map { case (k, v) => k -> v._3 })
+    // overflow guards are loud
+    intercept[IllegalArgumentException] {
+      SamplingOps.tokenMixturePlan(docs, $"src", $"text",
+        Map("a" -> Long.MaxValue), 1L, Long.MaxValue / 2)
+    }
+  }
 }

@@ -136,4 +136,26 @@ class TextOpsSpec extends SparkSpec {
       TextOps.dictionaryTag(docs, "doc_id", "text", Seq("New York"))
     }
   }
+  test("vocabCoverage: deterministic ranking and exact cumulative shares") {
+    import org.apache.spark.sql.functions._
+    // occurrences: the 5, cat 3, dog 2 -> total 10
+    val docs = Seq("the cat the dog", "the cat THE dog cat the")
+      .toDF("text")
+    val out = TextOps.vocabCoverage(docs, col("text"), k = 2)
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, "the", 5L, 5L, 500000L),
+      (2L, "cat", 3L, 8L, 800000L)))
+    // ties break on token asc: two types with equal counts rank by name
+    val tie = Seq("aa bb aa bb cc").toDF("text")
+    val t2 = TextOps.vocabCoverage(tie, col("text"), k = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(t2 == Map(1L -> "aa", 2L -> "bb", 3L -> "cc"))
+    // k past the vocab just returns the whole curve; last row covers all
+    val full = TextOps.vocabCoverage(docs, col("text"), k = 100).collect()
+    assert(full.last.getLong(4) == 1000000L)
+    // empty input -> empty curve, no division error
+    assert(TextOps.vocabCoverage(docs.limit(0), col("text"), 5).count() == 0)
+  }
 }
