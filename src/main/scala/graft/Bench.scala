@@ -71,8 +71,12 @@ object Bench {
     execOnce("q_grid_stats")
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> exec(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // millisecond precision: full-double times balloon the line to ~6 KB
+    // and the driver's BENCH_rNN.json keeps only a truncated stdout tail —
+    // a compact line survives whole (timing noise is >> 1 ms anyway)
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
