@@ -345,6 +345,54 @@ object PipelineScaleBench {
       graft.ops.ExperimentOps.cuped(
         units, col("user_id"), col("x"), col("y")).count()
     }
+
+    // RTBF erasure pair: a 64-partition lake where the delete-list
+    // touches 2 partitions. Partition-granular eraseCascade rewrites
+    // ONLY those two; the naive control filters and rewrites the WHOLE
+    // lake. At this corpus size wall time is scheduler-bound either way;
+    // the scale metric is WRITE AMPLIFICATION (bytes rewritten), printed
+    // per stage — 2/64ths of the lake vs all of it, and at 100 TB the
+    // rewrite IS the cost (the granular path's two audit scans are reads,
+    // ~an order cheaper than writes, and they buy the residual report).
+    def buildLake(tag: String): String = {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"erase_$tag").resolve("t").toString
+      docs.select(col("doc_id"), col("text"),
+        pmod(col("doc_id"), lit(64)).as("part"))
+        .write.partitionBy("part").parquet(dir)
+      dir
+    }
+    def dirBytes(d: String): Long = {
+      val f = new java.io.File(d)
+      if (f.isFile) f.length()
+      else Option(f.listFiles()).fold(0L)(_.map(c => dirBytes(c.getPath)).sum)
+    }
+    def doomedKeys = spark.range(nDocs / 100)
+      .select((col("id") * 64).as("doc_id")) // part=0
+      .union(spark.range(nDocs / 100)
+        .select((col("id") * 64 + 1).as("doc_id"))) // part=1
+      .toDF("doc_id")
+    stage("erase_partition_granular") {
+      val dir = buildLake("pg")
+      val lakeBytes = dirBytes(dir)
+      val preTouched = dirBytes(s"$dir/part=0") + dirBytes(s"$dir/part=1")
+      graft.ops.LakeOps.eraseCascade(Seq(graft.ops.LakeOps.ErasureStep(
+        "docs", dir, "part", "doc_id", doomedKeys))).count()
+      println(f"[pipeline-scale]   granular rewrote ~$preTouched%d of " +
+        f"$lakeBytes%d lake bytes (${100.0 * preTouched / lakeBytes}%.1f%%)")
+      1L
+    }
+    stage("erase_full_rewrite") {
+      val dir = buildLake("full")
+      val out = dir + "_rewritten"
+      spark.read.parquet(dir)
+        .join(doomedKeys, Seq("doc_id"), "left_anti")
+        .write.partitionBy("part").parquet(out)
+      val n = spark.read.parquet(out).count()
+      println(f"[pipeline-scale]   full rewrite wrote ${dirBytes(out)}%d " +
+        f"bytes (100%% of the lake, every partition)")
+      n
+    }
     spark.stop()
   }
 }

@@ -340,21 +340,29 @@ object LakeOps {
   private def eraseTable(step: ErasureStep): DataFrame = {
     val spark = step.keys.sparkSession
     import spark.implicits._
+    // delete-lists are SETS: dedup so the outer-join audit below cannot
+    // double-count rows against a repeated key
     val keyFrame = step.keys.select(step.keys.columns.head).toDF("__dk")
+      .distinct()
     val before = spark.read.parquet(step.path)
     require(before.columns.contains(step.partitionCol),
       s"${step.name}: partition column ${step.partitionCol} missing")
     require(before.columns.contains(step.keyCol),
       s"${step.name}: key column ${step.keyCol} missing")
-    val nBefore = before.count()
-    val nPartsTotal =
-      before.select(col(step.partitionCol)).distinct().count()
 
-    // (1) touched partitions: bounded by the table's partition count
-    val touched = before
-      .join(keyFrame, col(step.keyCol) === col("__dk"), "left_semi")
-      .select(col(step.partitionCol)).distinct()
-      .collect().map(_.get(0))
+    // (1) ONE audit pass: per-partition (rows, doomed rows). Everything
+    // the pre-image audit needs — total rows, partition count, touched
+    // partitions — falls out of this partition-sized frame; a naive
+    // formulation (count + distinct + semi-join) scans the lake three
+    // times for the same numbers.
+    val preAudit = before
+      .join(keyFrame, col(step.keyCol) === col("__dk"), "left_outer")
+      .groupBy(col(step.partitionCol))
+      .agg(count(lit(1)).as("__n"), count(col("__dk")).as("__doomed"))
+      .collect()
+    val nBefore = preAudit.map(_.getLong(1)).sum
+    val nPartsTotal = preAudit.length.toLong
+    val touched = preAudit.filter(_.getLong(2) > 0).map(_.get(0))
     require(!touched.contains(null),
       s"${step.name}: NULL ${step.partitionCol} partition cannot be " +
         "rewritten partition-granularly (no directory to replace); " +
@@ -369,8 +377,10 @@ object LakeOps {
         .filter(col(step.partitionCol).isin(touched: _*))
         .join(keyFrame, col(step.keyCol) === col("__dk"), "left_anti")
         .localCheckpoint(true)
-      val sliceBefore = before
-        .filter(col(step.partitionCol).isin(touched: _*)).count()
+      // touched-partition row count comes from the pre-audit frame —
+      // no extra scan; the checkpointed slice's count is block-local
+      val sliceBefore = preAudit.filter(_.getLong(2) > 0)
+        .map(_.getLong(1)).sum
       nErased = sliceBefore - slice.count()
       val prevMode =
         spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
@@ -399,11 +409,14 @@ object LakeOps {
       }
     }
 
-    // (3) audit from the files actually on disk
-    val after = spark.read.parquet(step.path)
-    val nAfter = after.count()
-    val nResidual = after
-      .join(keyFrame, col(step.keyCol) === col("__dk"), "left_semi").count()
+    // (3) ONE post-image audit pass from the files actually on disk:
+    // total rows + residual doomed rows in the same scan
+    val postAudit = spark.read.parquet(step.path)
+      .join(keyFrame, col(step.keyCol) === col("__dk"), "left_outer")
+      .agg(count(lit(1)).as("__n"), count(col("__dk")).as("__res"))
+      .head()
+    val nAfter = postAudit.getLong(0)
+    val nResidual = postAudit.getLong(1)
     Seq((step.name, nBefore, nAfter, nErased, nResidual,
       touched.length.toLong, nPartsTotal))
       .toDF("table_name", "n_before", "n_after", "n_erased", "n_residual",
