@@ -26,6 +26,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_ivf_recall" -> "recall gate compares the bounded probe set against both paths",
     "q_pagerank_dangling" -> "1-row dangling-mass scalar attach per round",
     "q_mixture_plan" -> "1-row weight-total attach to the sources frame",
+    "q_token_mixture" -> "1-row weight-total attach to the sources frame (same shape as q_mixture_plan)",
     "q_neg_samples" -> "1-row domain-bounds attach before the row-local affine draw",
     "q_decontaminate" -> "benchmark shingle set is broadcast by contract",
     "q_retrieval_serve" -> "bounded query set crossed with pruned index lists",
