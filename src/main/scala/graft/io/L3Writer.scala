@@ -275,7 +275,7 @@ object L3Writer {
       ).flatten
     }
 
-    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType, LongType}
+    import org.apache.spark.sql.types.{ArrayType, DecimalType, DoubleType, FloatType, IntegerType, LongType}
     val dataVars: Seq[Var] = schema.fields.filterNot(f => IndexCols(f.name)).map { f =>
       val c = f.name
       f.dataType match {
@@ -287,7 +287,9 @@ object L3Writer {
               dense(cellOf(r)) = checkedInt(c, r.getAs[Number](c).longValue())
           }
           Var(c, Seq(0, 1), NcInt, commonAtts(c, fillAsInt = true), dense)
-        case DoubleType | FloatType =>
+        // DecimalType: user parquet (DuckDB/Hive writers) routinely types
+        // arithmetic results DECIMAL; stats over them surface here too
+        case DoubleType | FloatType | _: DecimalType =>
           val init = attD(c, "_FillValue", -9999.0)
           val dense = Array.fill(nLat * nLon)(init)
           rows.foreach { r =>
@@ -459,7 +461,7 @@ object L3Writer {
       ).flatten
     }
 
-    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType, LongType}
+    import org.apache.spark.sql.types.{ArrayType, DecimalType, DoubleType, FloatType, IntegerType, LongType}
     val dataSets: Seq[Dataset] = packed.schema.fields
       .filterNot(f => IndexCols(f.name)).map { f =>
         val c = f.name
@@ -490,7 +492,9 @@ object L3Writer {
             }
             Dataset(c, Seq(nLat, nLon), H5Int64,
               commonAtts(c, 2, fillAsLong = true), dense)
-          case DoubleType | FloatType =>
+          // DecimalType: user parquet (DuckDB/Hive writers) routinely
+          // types arithmetic results DECIMAL
+          case DoubleType | FloatType | _: DecimalType =>
             val init = attD(c, "_FillValue", -9999.0)
             val dense = Array.fill(nLat * nLon)(init)
             packedRows.foreach { r =>

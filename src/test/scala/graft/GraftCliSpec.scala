@@ -133,6 +133,42 @@ class GraftCliSpec extends SparkSpec {
     assert(cli.cfg.vars.forall(_.joint.isEmpty))
   }
 
+  test("decimal-typed pixel parquet (DuckDB/Hive writers) exports cleanly") {
+    // external writers routinely type arithmetic results DECIMAL; the
+    // h5/netCDF sinks must treat them as the doubles they are
+    val dir = Files.createTempDirectory("clidec").resolve("pixels").toString
+    spark.range(2000).select(
+      lit("A2008005.0100").as("granule_id"),
+      lit(5).as("day_of_year"), lit(1).as("hour"),
+      (col("id") / 64).cast("int").as("row"),
+      (col("id") % 64).cast("int").as("col"),
+      (pmod(col("id") * 37, lit(1800)) / 10.0 - 90.0)
+        .cast("decimal(8,1)").as("lat"),
+      (pmod(col("id") * 91, lit(3600)) / 10.0 - 180.0)
+        .cast("decimal(8,1)").as("lon"),
+      pmod(col("id"), lit(8)).cast("int").as("cm_byte"),
+      (pmod(col("id") * 13, lit(900)) + lit(200.0))
+        .cast("decimal(21,1)").as("Cloud_Top_Pressure"),
+      (pmod(col("id") * 17, lit(130)) + lit(180.0))
+        .cast("decimal(21,1)").as("Cloud_Top_Temperature"))
+      .withColumn("cm_flag", graft.expr.GridExprs.cloudMaskFlag(col("cm_byte")))
+      .write.parquet(dir)
+    val outDir = Files.createTempDirectory("clidecout").toString
+    val (dp0, vf, jf) = writeConfigs(dir, outDir)
+    val cli = GraftCli.parse(exampleArgs(dp0, vf, jf))
+    val out = GraftCli.run(spark, cli)
+    val h5 = HDF5.read(out)
+    // no explicit packing on the CLI path -> the decimal stat exports as
+    // the float64 it is (counts stay int64)
+    val mean = h5.datasets.find(_.name == "Cloud_Top_Pressure_Mean").get
+    assert(mean.dtype == HDF5.H5Float64)
+    assert(mean.data.asInstanceOf[Array[Double]].exists(v =>
+      v >= 200.0 && v < 1100.0))
+    val cnt = h5.datasets.find(_.name == "Cloud_Top_Pressure_Pixel_Counts").get
+    assert(cnt.dtype == HDF5.H5Int64 &&
+      cnt.data.asInstanceOf[Array[Long]].sum > 0)
+  }
+
   test("l3 name reproduces the reference's year-rollover quirk verbatim") {
     val pixels = writePixels()
     val outDir = Files.createTempDirectory("cliout4").toString
