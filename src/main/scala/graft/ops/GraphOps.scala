@@ -391,7 +391,12 @@ object GraphOps {
         .withColumn("hops", lit(h))
         .cache()
       exhausted = next.count() == 0
-      visited = visited.union(next).cache()
+      // `visited` is referenced TWICE per hop (the anti-join and this
+      // union), so plain cache doubles the analyzed plan every round —
+      // the exponential-lineage trap labelPropagation's hub probe hit.
+      // Eager localCheckpoint keeps the plan O(1) per hop (node-sized
+      // materialization, same price as the cache+count it replaces).
+      visited = visited.union(next).localCheckpoint(true)
       frontier = next.select(col("node"))
       h += 1
     }
@@ -444,10 +449,16 @@ object GraphOps {
         .groupBy(col("node")).agg(count(lit(1)).as("degree"))
     while (r < rounds && !fixed) {
       val keep = degrees(e).filter(col("degree") >= k).select(col("node"))
+      // `e` is referenced THREE times per round (the degree aggregate
+      // and both semi-joins), so plain cache grows the analyzed plan
+      // 3x per round — 3^8 at the canonical rounds=8 (the exponential-
+      // lineage trap labelPropagation's hub probe exposed). The eager
+      // localCheckpoint keeps the plan O(1) per round and doubles as
+      // the materialization the fixpoint count needs.
       val pruned = e
         .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
         .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
-        .select(col("u"), col("v")).cache()
+        .select(col("u"), col("v")).localCheckpoint(true)
       val n = pruned.count()
       fixed = n == nEdges
       e.unpersist(false)
