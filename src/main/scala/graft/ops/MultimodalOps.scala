@@ -85,7 +85,13 @@ object MultimodalOps {
         }
         Some((w, h, num.toDouble / (1000.0 * 255.0 * w * h)))
       }
-    } catch { case _: java.io.IOException => None }
+    } catch {
+      // ImageIO plugins throw RuntimeExceptions (IllegalArgumentException,
+      // ArrayIndexOutOfBoundsException, ...) on corrupt/truncated images,
+      // not just IOException; a malformed payload must fall back to the
+      // stub, never crash the executor task (the total-pipeline contract)
+      case scala.util.control.NonFatal(_) => None
+    }
 
   /** Decode one payload: real image decode when a JDK reader recognizes
     * the bytes, deterministic stub otherwise. The SHA-256 content address
@@ -155,7 +161,11 @@ object MultimodalOps {
         javax.imageio.ImageIO.write(out, "png", bos)
         Some(bos.toByteArray)
       }
-    } catch { case _: java.io.IOException => None }
+    } catch {
+      // same NonFatal discipline as decodeImage: malformed bytes route
+      // to resizeStub instead of crashing the task
+      case scala.util.control.NonFatal(_) => None
+    }
 
   /** Partition-batched resize: same no-shuffle `mapPartitions` shape as
     * [[extractFeatures]]. Decodable images get a real pixel resample
