@@ -84,7 +84,10 @@ object GraftCli {
   /** Parse the reference argv (15 args, 16 with the joint CSV). */
   def parse(args: Array[String]): Cli = {
     // the reference checks len(sys.argv) == 16|17 INCLUDING the program
-    // name (:459); without it: 14 args, 15 with the joint CSV
+    // name (:459), i.e. it requires 15|16 real args — the jhist-off form
+    // still passes a (unused) joint-CSV slot. Accepting 14 args with the
+    // joint CSV omitted is a deliberate relaxation: every valid reference
+    // invocation still parses, the 14-arg form is just more convenient
     require(args.length == 14 || args.length == 15,
       "wrong user input: expected <data_path.csv> <start> <end> " +
         "[lat0,lat1,lon0,lon1] [latGap,lonGap] [sampling] " +

@@ -292,15 +292,30 @@ object LakeOps {
       writeBucketed(df, table, keys, nBuckets)
 
   /** One table of an erasure cascade: the hive-partitioned parquet
-    * dataset at `path`, the column that joins it to the delete-key frame,
-    * and a display name for the audit.
+    * dataset at `path` (one or more partition levels, e.g.
+    * `Seq("year", "month")` for `year=2020/month=03/...` layouts), the
+    * column that joins it to the delete-key frame, and a display name
+    * for the audit.
     */
   final case class ErasureStep(
       name: String,
       path: String,
-      partitionCol: String,
+      partitionCols: Seq[String],
       keyCol: String,
       keys: DataFrame)
+
+  object ErasureStep {
+    /** Single-level convenience form (the common date- or
+      * region-partitioned lake).
+      */
+    def apply(
+        name: String,
+        path: String,
+        partitionCol: String,
+        keyCol: String,
+        keys: DataFrame): ErasureStep =
+      ErasureStep(name, path, Seq(partitionCol), keyCol, keys)
+  }
 
   /** Right-to-be-forgotten erasure as a real STORAGE operation: for each
     * step, rewrite ONLY the partitions that contain doomed rows
@@ -340,33 +355,45 @@ object LakeOps {
   private def eraseTable(step: ErasureStep): DataFrame = {
     val spark = step.keys.sparkSession
     import spark.implicits._
+    val pcols = step.partitionCols
+    require(pcols.nonEmpty, s"${step.name}: >= 1 partition column required")
     // delete-lists are SETS: dedup so the outer-join audit below cannot
     // double-count rows against a repeated key
     val keyFrame = step.keys.select(step.keys.columns.head).toDF("__dk")
       .distinct()
     val before = spark.read.parquet(step.path)
-    require(before.columns.contains(step.partitionCol),
-      s"${step.name}: partition column ${step.partitionCol} missing")
+    pcols.foreach(c => require(before.columns.contains(c),
+      s"${step.name}: partition column $c missing"))
     require(before.columns.contains(step.keyCol),
       s"${step.name}: key column ${step.keyCol} missing")
 
-    // (1) ONE audit pass: per-partition (rows, doomed rows). Everything
-    // the pre-image audit needs — total rows, partition count, touched
-    // partitions — falls out of this partition-sized frame; a naive
-    // formulation (count + distinct + semi-join) scans the lake three
-    // times for the same numbers.
+    // (1) ONE audit pass: per-partition (rows, doomed rows), grouped by
+    // the FULL partition-column sequence (composite leaves for
+    // multi-level lakes). Everything the pre-image audit needs — total
+    // rows, partition count, touched partitions — falls out of this
+    // partition-sized frame; a naive formulation (count + distinct +
+    // semi-join) scans the lake three times for the same numbers.
+    val k = pcols.length
     val preAudit = before
       .join(keyFrame, col(step.keyCol) === col("__dk"), "left_outer")
-      .groupBy(col(step.partitionCol))
+      .groupBy(pcols.map(col): _*)
       .agg(count(lit(1)).as("__n"), count(col("__dk")).as("__doomed"))
       .collect()
-    val nBefore = preAudit.map(_.getLong(1)).sum
+    val nBefore = preAudit.map(_.getLong(k)).sum
     val nPartsTotal = preAudit.length.toLong
-    val touched = preAudit.filter(_.getLong(2) > 0).map(_.get(0))
-    require(!touched.contains(null),
-      s"${step.name}: NULL ${step.partitionCol} partition cannot be " +
+    // touched partitions as composite value tuples, in partitionCols order
+    val touched: Array[List[Any]] =
+      preAudit.filter(_.getLong(k + 1) > 0).map(r => (0 until k).map(r.get).toList)
+    require(!touched.exists(_.contains(null)),
+      s"${step.name}: NULL ${pcols.mkString("/")} partition cannot be " +
         "rewritten partition-granularly (no directory to replace); " +
         "repartition the lake or erase it with a full rewrite")
+
+    // one composite leaf = the conjunction of its level equalities; the
+    // touched set = the disjunction (bounded by the partition count,
+    // same driver bound as any partition listing)
+    def leafPredicate(vals: Seq[Any]) =
+      pcols.zip(vals).map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
 
     var nErased = 0L
     if (touched.nonEmpty) {
@@ -374,20 +401,20 @@ object LakeOps {
       // Eager checkpoint: breaks the read-the-path-being-overwritten
       // cycle and bounds the rewrite to touched-partition bytes.
       val slice = before
-        .filter(col(step.partitionCol).isin(touched: _*))
+        .filter(touched.map(leafPredicate).reduce(_ || _))
         .join(keyFrame, col(step.keyCol) === col("__dk"), "left_anti")
         .localCheckpoint(true)
       // touched-partition row count comes from the pre-audit frame —
       // no extra scan; the checkpointed slice's count is block-local
-      val sliceBefore = preAudit.filter(_.getLong(2) > 0)
-        .map(_.getLong(1)).sum
+      val sliceBefore = preAudit.filter(_.getLong(k + 1) > 0)
+        .map(_.getLong(k)).sum
       nErased = sliceBefore - slice.count()
       val prevMode =
         spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       try
         slice.write.mode(SaveMode.Overwrite)
-          .partitionBy(step.partitionCol).parquet(step.path)
+          .partitionBy(pcols: _*).parquet(step.path)
       finally prevMode match {
         case Some(m) =>
           spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
@@ -395,16 +422,32 @@ object LakeOps {
           spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
       // fully-erased partitions wrote no rows -> dynamic overwrite left
-      // their directories alone; remove them explicitly
-      val surviving = slice.select(col(step.partitionCol)).distinct()
-        .collect().map(_.get(0)).toSet
+      // their directories alone; remove them explicitly. Directory names
+      // use Spark's own partition-path escaping
+      // (ExternalCatalogUtils.getPartitionPathString — space, ':', '%',
+      // ... are %-encoded in Hive layouts), so values with special
+      // characters resolve to the directory Spark actually wrote, and
+      // emptied parent levels are pruned once their last child goes.
+      val surviving = slice.select(pcols.map(col): _*).distinct()
+        .collect().map(r => (0 until k).map(r.get).toList).toSet
       val emptied = touched.filterNot(surviving)
       if (emptied.nonEmpty) {
-        val fs = new org.apache.hadoop.fs.Path(step.path)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        emptied.foreach { v =>
-          fs.delete(new org.apache.hadoop.fs.Path(
-            step.path, s"${step.partitionCol}=$v"), true)
+        val root = new org.apache.hadoop.fs.Path(step.path)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val rootQ = fs.makeQualified(root)
+        emptied.foreach { vals =>
+          val rel = pcols.zip(vals).map { case (c, v) =>
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .getPartitionPathString(c, String.valueOf(v))
+          }.mkString("/")
+          fs.delete(new org.apache.hadoop.fs.Path(root, rel), true)
+          // prune now-empty ancestor level dirs up to (not incl.) the root
+          var parent = new org.apache.hadoop.fs.Path(root, rel).getParent
+          while (parent != null && fs.makeQualified(parent) != rootQ &&
+              fs.exists(parent) && fs.listStatus(parent).isEmpty) {
+            fs.delete(parent, false)
+            parent = parent.getParent
+          }
         }
       }
     }

@@ -93,15 +93,33 @@ object PipelineQueries {
     * number of times the identical build executes.
     */
   private val edgeMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+    scala.collection.mutable.HashMap.empty[(SparkSession, String, String), DataFrame]
 
   private def memoized(s: SparkSession, dir: String, tag: String)(
-      build: => DataFrame): DataFrame =
-    edgeMemo.getOrElseUpdate((s, dir, tag), {
+      build: => DataFrame): DataFrame = {
+    val key = (s, dir, tag)
+    val hit = edgeMemo.synchronized {
+      // evict entries pinned to STOPPED sessions on every access: a
+      // long-lived JVM that creates many sessions (suite runners) must
+      // not accumulate dead session references + persisted frames
+      edgeMemo.filterInPlace { case ((sess, _, _), _) =>
+        !sess.sparkContext.isStopped }
+      edgeMemo.get(key)
+    }
+    hit.getOrElse {
+      // build OUTSIDE the lock (this is minutes of Spark work); if two
+      // threads raced to build the same key, the loser unpersists its
+      // copy instead of orphaning it
       val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count() // materialize once; consumers start from the cache
-      df
-    })
+      edgeMemo.synchronized {
+        edgeMemo.get(key) match {
+          case Some(winner) => df.unpersist(blocking = false); winner
+          case None => edgeMemo.put(key, df); df
+        }
+      }
+    }
+  }
 
   /** Part co-occurrence edges (parts bought in the same order),
     * generated ROW-LOCALLY from each order's sorted part set — shared by

@@ -348,4 +348,56 @@ class LakeOpsSpec extends SparkSpec {
       .collect().head
     assert(again.getLong(3) == 0 && again.getLong(5) == 0)
   }
+
+  test("eraseCascade: two-level (year, site) lake, escaped values, parent pruning") {
+    import java.security.MessageDigest
+    val root = Files.createTempDirectory("erase2").toString
+
+    // two partition levels; site values include characters Spark/Hive
+    // %-escape in directory names (':' and space) — the delete path must
+    // resolve the directory Spark actually wrote, not the raw string
+    val docs = Seq(
+      (1L, 2019, "a:b"), (2L, 2019, "a:b"),      // whole year doomed
+      (3L, 2020, "a:b"),                          // fully-doomed leaf
+      (4L, 2020, "plain"), (5L, 2020, "plain"),   // partially doomed
+      (6L, 2020, "with space"),                   // untouched
+      (7L, 2021, "plain"))                        // untouched
+      .toDF("doc_id", "year", "site")
+    docs.write.partitionBy("year", "site").parquet(s"$root/docs")
+
+    def dirHash(dir: String): Seq[(String, String)] = {
+      val d = new java.io.File(dir)
+      d.listFiles().toSeq.filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        .map { f =>
+          val md = MessageDigest.getInstance("SHA-256")
+          (f.getName, md.digest(java.nio.file.Files.readAllBytes(f.toPath))
+            .map(b => f"$b%02x").mkString)
+        }
+    }
+    // escaped leaf directories as Spark wrote them
+    assert(new java.io.File(s"$root/docs/year=2020/site=a%3Ab").exists())
+    assert(new java.io.File(s"$root/docs/year=2020/site=with space").exists())
+    val untouchedBefore = dirHash(s"$root/docs/year=2020/site=with space")
+    val untouched2Before = dirHash(s"$root/docs/year=2021/site=plain")
+
+    val doomed = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val audit = LakeOps.eraseCascade(Seq(LakeOps.ErasureStep(
+      "docs", s"$root/docs", Seq("year", "site"), "doc_id", doomed)))
+      .collect().head
+    assert(audit.getLong(1) == 7 && audit.getLong(2) == 3)
+    assert(audit.getLong(3) == 4 && audit.getLong(4) == 0)
+    assert(audit.getLong(5) == 3, "touched (2019,a:b), (2020,a:b), (2020,plain)")
+    assert(audit.getLong(6) == 5, "five composite leaves total")
+
+    // fully-doomed ESCAPED leaf is gone
+    assert(!new java.io.File(s"$root/docs/year=2020/site=a%3Ab").exists())
+    // whole-year-doomed: leaf gone AND the now-empty year level pruned
+    assert(!new java.io.File(s"$root/docs/year=2019").exists())
+    // untouched leaves byte-identical (space is NOT in the escape set)
+    assert(dirHash(s"$root/docs/year=2020/site=with space") == untouchedBefore)
+    assert(dirHash(s"$root/docs/year=2021/site=plain") == untouched2Before)
+    // partially-doomed leaf rewritten correctly
+    assert(spark.read.parquet(s"$root/docs")
+      .select("doc_id").as[Long].collect().toSet == Set(5L, 6L, 7L))
+  }
 }
