@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query against
   * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line
-  * `{"metric","value","unit","queries","sf"}`.
+  * `{"metric","value","unit","queries","sf","steal_s","stolen"}`.
   *
   * Each query is forced through a `noop` sink so the FULL result is
   * computed (a bare `count()` lets Catalyst prune projections and
@@ -21,11 +21,43 @@ import org.apache.spark.sql.SparkSession
   * reps=1 the single timed pass is reported as-is. The total is the sum
   * of per-query mins.
   *
+  * STEAL ACCOUNTING: hypervisor CPU steal is sampled from `/proc/stat`
+  * (field 8 of the aggregate `cpu` line, USER_HZ ticks) around the whole
+  * run and around each rep. The JSON line carries `steal_s` (whole-run
+  * steal seconds) and `stolen` — the queries whose REPORTED (min) rep
+  * was hit by > [[Bench.StolenRepThresholdS]] s of steal, i.e. numbers
+  * that time the hypervisor, not the plan. A run whose `stolen` map is
+  * non-empty should be re-run or read per PERF.md "CPU steal" (the
+  * round-5 official artifact read 226.6 s vs 122.9 s honest for exactly
+  * this reason, and only archaeology proved it).
+  *
   * Besides `bench_out.json` (overwritten each run), every line is
   * APPENDED to `bench_history.jsonl`, so each round's per-query numbers
   * stay reproducible after later runs overwrite the snapshot.
   */
 object Bench {
+
+  /** Steal (s) during a query's reported rep above which the number is
+    * flagged as hypervisor-corrupted in the `stolen` map.
+    */
+  val StolenRepThresholdS = 0.5
+
+  /** Aggregate steal ticks from `/proc/stat` (USER_HZ = 100 on every
+    * mainstream Linux; the value only feeds a threshold flag). 0 when
+    * unreadable (non-Linux), which disables the accounting gracefully.
+    */
+  def stealTicks(): Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        // "cpu  user nice system idle iowait irq softirq steal ..."
+        src.getLines().next().trim.split("\\s+")
+          .drop(1).lift(7).map(_.toLong).getOrElse(0L)
+      } finally src.close()
+    } catch { case _: Throwable => 0L }
+
+  private val UserHz = 100.0
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -43,42 +75,54 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def execOnce(name: String): Double = {
+    /** (elapsed s, steal s during the rep); elapsed -1 on failure. */
+    def execOnce(name: String): (Double, Double) = {
+      val s0 = stealTicks()
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          return -1.0
+          return (-1.0, 0.0)
       }
-      (System.nanoTime() - t0) / 1e9
+      ((System.nanoTime() - t0) / 1e9, (stealTicks() - s0) / UserHz)
     }
 
     // default 3 = one warm-up + min-of-2 timed: with only one timed rep a
     // single steal spike poisons that query's number (round-4 bench read
     // q_triangles at 46 s vs 4.7 s warm-isolated)
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
-    def exec(name: String): Double = {
+    def exec(name: String): (Double, Double) = {
       val times = (1 to reps).map(_ => execOnce(name))
       // rep 1 is warm-up (dropped when there are timed reps after it);
       // a failure in ANY rep still reports the -1 sentinel
       val timed = if (reps >= 2) times.drop(1) else times
-      if (times.exists(_ < 0)) -1.0 else timed.min
+      if (times.exists(_._1 < 0)) (-1.0, 0.0) else timed.minBy(_._1)
     }
 
+    val stealRun0 = stealTicks()
     // warm-up: JVM/codegen/parquet-footer caches
     execOnce("q_grid_stats")
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> exec(n))
+    val stealRunS = (stealTicks() - stealRun0) / UserHz
     // millisecond precision: full-double times balloon the line to ~6 KB
     // and the driver's BENCH_rNN.json keeps only a truncated stdout tail —
     // a compact line survives whole (timing noise is >> 1 ms anyway)
-    val qs = results.map { case (k, v) =>
-      "\"" + k + "\":" + "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def fmt(v: Double, p: String) = p.formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, (v, _)) =>
+      "\"" + k + "\":" + fmt(v, "%.3f")
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // queries whose REPORTED rep was steal-corrupted: normally empty (adds
+    // nothing to the line); in a steal burst it names the poisoned numbers
+    val stolen = results.collect {
+      case (k, (v, st)) if v >= 0 && st > StolenRepThresholdS =>
+        "\"" + k + "\":" + fmt(st, "%.1f")
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""sf":"$sfDir","steal_s":${fmt(stealRunS, "%.1f")},"stolen":$stolen}"""
     println(line)
     // stdout is log-scraped (sbt [info] prefixes, Spark log interleaving) —
     // also land the JSON line in a file so the harness can parse it reliably

@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Machine-derive the round close-gate record (GATE_rNN.json).
+
+The round-5 close commits hand-transcribed test counts (claimed 438 then
+442; the suite ran 425) — this tool exists so the gate line is scraped
+from the tooling's own outputs instead:
+
+  - test count + pass/fail from an `sbt test` log
+    ("Total number of tests run: N", "Tests: succeeded N, failed N, ...")
+  - query count   = the <name>.parquet dumps graft.Verify wrote
+  - oracled count = entries in the oracle_sql.json graft.Verify wrote
+  - per-query bench map = the self-contained bench_out.json line
+    (BENCH_rNN.json's stdout tail truncates mid-JSON; this embeds the
+    full line so the driver-side record stops being the only copy)
+  - git HEAD at generation time
+
+Usage:
+  python3 tools/make_gate.py ROUND SBT_TEST_LOG VERIFY_OUT_DIR [BENCH_JSON]
+e.g.
+  sbt test 2>&1 | tee /tmp/sbt_test.log
+  python3 tools/make_gate.py 6 /tmp/sbt_test.log /tmp/verify_out bench_out.json
+"""
+import json, os, re, subprocess, sys
+
+def main():
+    if len(sys.argv) < 4:
+        sys.exit(__doc__)
+    rnd = int(sys.argv[1])
+    log_path, verify_dir = sys.argv[2], sys.argv[3]
+    bench_path = sys.argv[4] if len(sys.argv) > 4 else 'bench_out.json'
+
+    log = open(log_path, errors='replace').read()
+    m_total = re.findall(r'Total number of tests run: (\d+)', log)
+    m_counts = re.findall(
+        r'Tests: succeeded (\d+), failed (\d+), canceled (\d+), '
+        r'ignored (\d+), pending (\d+)', log)
+    if not m_total or not m_counts:
+        sys.exit(f'no scalatest summary in {log_path}')
+    # the LAST summary block is the full run's
+    tests_run = int(m_total[-1])
+    succeeded, failed, canceled, ignored, pending = map(int, m_counts[-1])
+
+    dumps = sorted(d[:-8] for d in os.listdir(verify_dir)
+                   if d.endswith('.parquet'))
+    oracle = json.load(open(os.path.join(verify_dir, 'oracle_sql.json')))
+    no_oracle = sorted(set(dumps) - set(oracle))
+
+    bench = None
+    if os.path.exists(bench_path):
+        bench = json.loads(open(bench_path).read().strip())
+
+    head = subprocess.run(['git', 'rev-parse', 'HEAD'],
+                          capture_output=True, text=True).stdout.strip()
+
+    gate = {
+        'round': rnd,
+        'git_head': head,
+        'tests_run': tests_run,
+        'tests_succeeded': succeeded,
+        'tests_failed': failed,
+        'tests_canceled': canceled,
+        'tests_ignored': ignored,
+        'tests_pending': pending,
+        'queries_registered': len(dumps),
+        'queries_oracled': len(oracle),
+        'queries_no_oracle': no_oracle,
+        'bench': bench,
+    }
+    out = f'GATE_r{rnd:02d}.json'
+    with open(out, 'w') as f:
+        json.dump(gate, f, indent=1)
+        f.write('\n')
+    print(f'{out}: {tests_run} tests ({failed} failed), '
+          f'{len(dumps)} queries ({len(oracle)} oracled), '
+          f'bench={"embedded" if bench else "ABSENT"}')
+
+if __name__ == '__main__':
+    main()
