@@ -50,14 +50,20 @@ import graft.model._
   */
 object GraftCli {
 
-  /** Parsed CLI: the job config plus paths and the derived date window. */
+  /** Parsed CLI: the job config plus paths and the derived date window.
+    * `format` selects the input mode: `"parquet"` (default — the
+    * HDF->Parquet conversion contract's pixel frame at `<data dir>`) or
+    * `"granule"` (the [[graft.sources.GranuleSource]] DSv2 source driven
+    * end to end: catalog -> scan -> L3 -> `.h5`).
+    */
   final case class Cli(
       cfg: JobConfig,
       dataDir: String,
       outDir: String,
       outPrefix: String,
       start: LocalDate,
-      end: LocalDate) {
+      end: LocalDate,
+      format: String = "parquet") {
     /** END day + spill day, with the reference's year-rollover rule. */
     def l3Name: String = {
       val doyEnd = end.getDayOfYear
@@ -81,8 +87,17 @@ object GraftCli {
     LocalDate.of(p(0), p(1), p(2))
   }
 
-  /** Parse the reference argv (15 args, 16 with the joint CSV). */
-  def parse(args: Array[String]): Cli = {
+  /** Parse the reference argv (15 args, 16 with the joint CSV). A
+    * leading `--format granule|parquet` pair (an engine extension, not
+    * reference argv) is stripped before the positional parse.
+    */
+  def parse(rawArgs: Array[String]): Cli = {
+    val (format, args) =
+      if (rawArgs.length >= 2 && rawArgs(0) == "--format") {
+        require(rawArgs(1) == "parquet" || rawArgs(1) == "granule",
+          s"--format must be parquet|granule, got '${rawArgs(1)}'")
+        (rawArgs(1), rawArgs.drop(2))
+      } else ("parquet", rawArgs)
     // the reference checks len(sys.argv) == 16|17 INCLUDING the program
     // name (:459), i.e. it requires 15|16 real args — the jhist-off form
     // still passes a (unused) joint-CSV slot. Accepting 14 args with the
@@ -127,7 +142,25 @@ object GraftCli {
       stats = stats,
       vars = vars,
       sampling = sampling)
-    Cli(cfg, dataDir, outDir, outPrefix, parseDate(args(1)), parseDate(args(2)))
+    Cli(cfg, dataDir, outDir, outPrefix, parseDate(args(1)), parseDate(args(2)),
+      format)
+  }
+
+  /** Granule ids of the reference's date window for the DSv2 source:
+    * every hour of each day in [start, end] plus ALL 24 hours of the
+    * spill day. The reference's shell glob selects spill hours 0-2 at
+    * file-list time (`aggregate_functions.py:588-601`); here the SAME
+    * selection happens at PLANNING time — [[ModisEngine.rangeL3]]'s
+    * day/hour predicate is pushed into the source, which prunes the
+    * spill day's other 21 granule partitions before any task runs
+    * (granule-grade partition pruning through the reference's own argv
+    * surface; GraftCliSpec pins the pruned partition count).
+    */
+  def granuleIds(start: LocalDate, end: LocalDate): Seq[String] = {
+    val days = Iterator.iterate(start)(_.plusDays(1))
+      .takeWhile(!_.isAfter(end.plusDays(1))).toSeq
+    for { d <- days; h <- 0 until 24 }
+      yield f"A${d.getYear}%04d${d.getDayOfYear}%03d.$h%02d05"
   }
 
   /** Run the parsed job on an existing session: read the pixel parquet,
@@ -144,7 +177,19 @@ object GraftCli {
     require(cli.start.getYear == cli.end.getYear,
       "date ranges crossing a year boundary are not expressible in the " +
         "reference's day-of-year window either")
-    val pixels = spark.read.parquet(cli.dataDir)
+    val pixels = cli.format match {
+      case "granule" =>
+        // DSv2 end to end; granule dimensions via the same env knobs the
+        // scale bench uses (64x64 default — the synthetic decode's size)
+        spark.read.format("graft.sources.GranuleSource")
+          .option("granules", granuleIds(cli.start, cli.end).mkString(","))
+          .option("rows", sys.env.getOrElse("SPARK_GRAFT_GRANULE_ROWS", "64"))
+          .option("cols", sys.env.getOrElse("SPARK_GRAFT_GRANULE_COLS", "64"))
+          .load()
+          .withColumn("cm_flag",
+            graft.expr.GridExprs.cloudMaskFlag(org.apache.spark.sql.functions.col("cm_byte")))
+      case _ => spark.read.parquet(cli.dataDir)
+    }
     val grid = ModisEngine.rangeL3(
       pixels, cli.cfg, cli.start.getDayOfYear, cli.end.getDayOfYear)
     new java.io.File(cli.outDir).mkdirs()

@@ -58,6 +58,16 @@ object IvfOps {
     */
   def assignmentCol(vec: Column, cents: Array[Array[Double]]): Column =
     if (cents.isEmpty) lit(0).cast("int")
+    // fused argmax loop (centroids as ONE reference object): same dots in
+    // the same accumulation order as the struct-argmax composed form
+    // (IvfOpsSpec pins the differential), constant plan-compile cost
+    else graft.expr.PqExprs.vecNearestCentroid(vec, cents)
+
+  /** COMPOSED REFERENCE assignment (differential-test twin of
+    * [[graft.expr.PqExprs.vecNearestCentroid]]).
+    */
+  private[graft] def assignmentColComposed(vec: Column, cents: Array[Array[Double]]): Column =
+    if (cents.isEmpty) lit(0).cast("int")
     else (-array_max(scoredCentroids(vec, cents)).getField("nc")).cast("int")
 
   /** The query's `nprobe` nearest centroid ids, best first. Zero trained

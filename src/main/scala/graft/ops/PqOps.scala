@@ -53,7 +53,12 @@ object PqOps {
   /** Squared L2 distance from the `sub`-th subspace slice of `vec` to the
     * constant centroid `w` — literal-unrolled, left-to-right add order,
     * element widened float->double before the subtraction (bit-exact twin
-    * of the SQL form).
+    * of the SQL form). COMPOSED REFERENCE form: the production path is
+    * the fused [[graft.expr.PqExprs]] loop expressions (same arithmetic
+    * order, so bit-identical — PqOpsSpec pins the differential); the
+    * unrolled form's generated source scales with codebook size and its
+    * Janino compile cost (~2 s at 4x16x16) dominated both PQ catalog
+    * queries at sf0.1.
     */
   private def subDist(vec: Column, sub: Int, w: Array[Double]): Column = {
     val dsub = w.length
@@ -67,17 +72,30 @@ object PqOps {
   private def subDists(vec: Column, sub: Int, cb: Array[Array[Double]]): Column =
     array(cb.indices.map(c => subDist(vec, sub, cb(c))): _*)
 
-  /** PQ encode: `m` codes per vector, code j = argmin over subspace j's
-    * centroids of the squared L2 distance (first minimum on ties — the
-    * lowest centroid id, matching the oracle's CASE chain). Pure
-    * row-local expression: a 100 TB encode pass is a map with zero
-    * shuffles, emitting `m` small ints per vector.
+  /** COMPOSED REFERENCE encode (differential-test twin of
+    * [[graft.expr.PqExprs.pqEncode]]).
     */
-  def pqEncode(vec: Column, cb: Array[Array[Array[Double]]]): Column =
+  private[graft] def pqEncodeComposed(vec: Column, cb: Array[Array[Array[Double]]]): Column =
     array(cb.indices.map { j =>
       val ds = subDists(vec, j, cb(j))
       (array_position(ds, array_min(ds)) - 1).cast("int")
     }: _*)
+
+  /** COMPOSED REFERENCE lookup table (differential-test twin of
+    * [[graft.expr.PqExprs.pqLut]]).
+    */
+  private[graft] def pqLutComposed(vec: Column, cb: Array[Array[Array[Double]]]): Column =
+    array(cb.indices.map(j => subDists(vec, j, cb(j))): _*)
+
+  /** PQ encode: `m` codes per vector, code j = argmin over subspace j's
+    * centroids of the squared L2 distance (first minimum on ties — the
+    * lowest centroid id, matching the oracle's CASE chain). Pure
+    * row-local FUSED loop expression ([[graft.expr.PqExprs.pqEncode]]):
+    * a 100 TB encode pass is a map with zero shuffles emitting `m` small
+    * ints per vector, and plan-compile cost is constant in codebook size.
+    */
+  def pqEncode(vec: Column, cb: Array[Array[Array[Double]]]): Column =
+    graft.expr.PqExprs.pqEncode(vec, cb)
 
   /** IVF-PQ top-k — the full canonical index (Jégou 2011 §IV): a coarse
     * quantizer partitions the corpus into lists ([[IvfOps]] assignment),
@@ -103,14 +121,13 @@ object PqOps {
     * subtraction is exact in double at these magnitudes) — the SQL twin
     * bakes the folded `cent + code` constants per list branch.
     */
-  /** Residual of `vec` against the `cid`-th literal centroid. */
+  /** Residual of `vec` against the `cid`-th literal centroid (fused
+    * loop, [[graft.expr.PqExprs.vecResidual]] — replaces a per-row
+    * interpreted `transform` lambda on the corpus path).
+    */
   private def residualCol(
-      vec: Column, cid: Column, cents: Array[Array[Double]]): Column = {
-    val centsLit = array(cents.map(c => array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
-    transform(sequence(lit(1), lit(cents(0).length)), d =>
-      element_at(vec, d).cast("double") -
-        element_at(element_at(centsLit, cid + 1), d))
-  }
+      vec: Column, cid: Column, cents: Array[Array[Double]]): Column =
+    graft.expr.PqExprs.vecResidual(vec, cid.cast("int"), cents)
 
   /** The corpus half of the index: `(corpus_id, cid, codes)` — coarse
     * assignment plus PQ codes of the residual, two row-local projections
@@ -153,12 +170,10 @@ object PqOps {
       .select(col("query_id"), col("cid"),
         residualCol(col("qv"), col("cid"), cents).as("__qresid"))
       .select(col("query_id"), col("cid"),
-        array(cb.indices.map(j => subDists(col("__qresid"), j, cb(j))): _*).as("lut"))
+        graft.expr.PqExprs.pqLut(col("__qresid"), cb).as("lut"))
     val scored = enc.join(broadcast(q), "cid")
       .withColumn("adc_dist",
-        aggregate(
-          zip_with(col("codes"), col("lut"), (cd, l) => element_at(l, cd + 1)),
-          lit(0.0), (acc, x) => acc + x))
+        graft.expr.PqExprs.pqAdc(col("codes"), col("lut")))
     scored
       .groupBy(col("query_id"))
       .agg(TopKFunctions.topKByScore(
@@ -246,13 +261,11 @@ object PqOps {
       vecCol: String = "embedding"): DataFrame = {
     val enc = corpus.select(col(corpusId).as("corpus_id"),
       pqEncode(col(vecCol), cb).as("codes"))
-    val lut = array(cb.indices.map(j => subDists(col(vecCol), j, cb(j))): _*)
-    val q = queries.select(col(queryId).as("query_id"), lut.as("lut"))
+    val q = queries.select(col(queryId).as("query_id"),
+      graft.expr.PqExprs.pqLut(col(vecCol), cb).as("lut"))
     val scored = enc.crossJoin(broadcast(q))
       .withColumn("adc_dist",
-        aggregate(
-          zip_with(col("codes"), col("lut"), (cd, l) => element_at(l, cd + 1)),
-          lit(0.0), (acc, x) => acc + x))
+        graft.expr.PqExprs.pqAdc(col("codes"), col("lut")))
     scored
       .groupBy(col("query_id"))
       .agg(TopKFunctions.topKByScore(

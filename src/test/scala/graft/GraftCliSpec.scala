@@ -95,6 +95,54 @@ class GraftCliSpec extends SparkSpec {
     assert(ex.getMessage.contains("already exists"))
   }
 
+  test("--format granule drives the DSv2 source argv-to-.h5, pruned and byte-stable") {
+    def granuleRun(): (String, Array[Byte]) = {
+      val outDir = Files.createTempDirectory("cliout-gran").toString
+      val (dp, vf, jf) = writeConfigs("/unused-in-granule-mode", outDir)
+      val cli = GraftCli.parse(Array("--format", "granule") ++
+        exampleArgs(dp, vf, jf))
+      assert(cli.format == "granule")
+      val out = GraftCli.run(spark, cli)
+      (out, Files.readAllBytes(Paths.get(out)))
+    }
+
+    // catalog: 24 granules for day 5 + all 24 of spill day 6
+    val cli = GraftCli.parse(Array("--format", "granule") ++ {
+      val outDir = Files.createTempDirectory("x").toString
+      val (dp, vf, jf) = writeConfigs("/unused", outDir)
+      exampleArgs(dp, vf, jf)
+    })
+    val ids = GraftCli.granuleIds(cli.start, cli.end)
+    assert(ids.size == 48)
+    assert(ids.head == "A2008005.0005" && ids.last == "A2008006.2305")
+
+    // rangeL3's day/hour predicate prunes the spill day's hours >= 3 at
+    // PLANNING time: 24 (day 5) + 3 (day 6 spill) granule partitions
+    val src = spark.read.format("graft.sources.GranuleSource")
+      .option("granules", ids.mkString(",")).load()
+      .filter(($"day_of_year" >= 5 && $"day_of_year" <= 5) ||
+        ($"day_of_year" === 6 && $"hour" < 3))
+    assert(src.rdd.getNumPartitions == 27,
+      "expected granule-grade pruning to 27 partitions")
+
+    // end to end argv -> .h5, with real grid content
+    val (out, bytes1) = granuleRun()
+    assert(out.endsWith("MYD08_L3.A2008005-2008006.h5"))
+    val h5 = HDF5.read(out)
+    val names = h5.datasets.map(_.name).toSet
+    assert(names.contains("Cloud_Top_Pressure_Mean") &&
+      names.contains("cloud_fraction_Mean") && names.contains("GRID_Counts"))
+    val counts = h5.datasets.find(_.name == "Cloud_Top_Pressure_Pixel_Counts").get
+      .data.asInstanceOf[Array[Long]]
+    assert(counts.sum > 0)
+
+    // byte-stable: the synthetic decode is deterministic, the grid pivot
+    // is driver-side sorted, and the writer is canonical — a second
+    // identical run yields the identical file
+    val (_, bytes2) = granuleRun()
+    assert(java.util.Arrays.equals(bytes1, bytes2))
+  }
+
   test("argv errors match the reference's aborts") {
     val pixels = writePixels()
     val outDir = Files.createTempDirectory("cliout2").toString

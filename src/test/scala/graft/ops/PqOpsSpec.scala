@@ -38,6 +38,62 @@ class PqOpsSpec extends SparkSpec {
     }
   }
 
+  test("fused PQ expressions are bit-identical to the composed reference forms") {
+    import graft.expr.PqExprs
+    val cents = IvfOps.literalCentroids(8, m * dsub)
+    val e = embs().limit(200)
+    // one frame computing every pair (fused, composed); zero mismatches
+    val adcComposed = aggregate(
+      zip_with(col("cF"), col("lF"), (cd, l) => element_at(l, cd + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val centsLit = array(cents.map(c =>
+      array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
+    val residComposed = transform(sequence(lit(1), lit(m * dsub)), d =>
+      element_at(col("embedding"), d).cast("double") -
+        element_at(element_at(centsLit, col("aF") + 1), d))
+    val rows = e
+      .select(col("vec_id"), col("embedding"),
+        PqExprs.pqEncode(col("embedding"), cb).as("cF"),
+        PqOps.pqEncodeComposed(col("embedding"), cb).as("cC"),
+        PqExprs.pqLut(col("embedding"), cb).as("lF"),
+        PqOps.pqLutComposed(col("embedding"), cb).as("lC"),
+        PqExprs.vecNearestCentroid(col("embedding"), cents).as("aF"),
+        IvfOps.assignmentColComposed(col("embedding"), cents).as("aC"))
+      .withColumn("adcF", PqExprs.pqAdc(col("cF"), col("lF")))
+      .withColumn("adcC", adcComposed)
+      .withColumn("rF", PqExprs.vecResidual(col("embedding"), col("aF"), cents))
+      .withColumn("rC", residComposed)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Int](2) == r.getSeq[Int](3), s"codes ${r.getLong(0)}")
+      assert(r.getSeq[Seq[Double]](4) == r.getSeq[Seq[Double]](5),
+        s"lut ${r.getLong(0)}")
+      assert(r.getInt(6) == r.getInt(7), s"assignment ${r.getLong(0)}")
+      assert(r.getDouble(8) == r.getDouble(9), s"adc ${r.getLong(0)}")
+      assert(r.getSeq[Double](10) == r.getSeq[Double](11),
+        s"residual ${r.getLong(0)}")
+    }
+  }
+
+  test("fused PQ expressions are total on NULL / wrong-length vectors") {
+    import graft.expr.PqExprs
+    val cents = IvfOps.literalCentroids(4, m * dsub)
+    val bad = Seq(
+      (1L, null.asInstanceOf[Array[Float]]),
+      (2L, Array.fill(3)(1.0f)), // wrong length
+      (3L, Array.fill(m * dsub)(0.5f))) // valid
+      .toDF("vec_id", "embedding")
+    val out = bad.select(
+      PqExprs.pqEncode($"embedding", cb).as("c"),
+      PqExprs.pqLut($"embedding", cb).as("l"),
+      PqExprs.vecNearestCentroid($"embedding", cents).as("a"))
+      .collect()
+    assert(out(0).isNullAt(0) && out(0).isNullAt(1) && out(0).isNullAt(2))
+    assert(out(1).isNullAt(0) && out(1).isNullAt(1) && out(1).isNullAt(2))
+    assert(!out(2).isNullAt(0) && !out(2).isNullAt(1) && !out(2).isNullAt(2))
+  }
+
   test("pqTopK equals the exhaustive ADC ranking (ties by corpus id)") {
     val e = embs()
     val all = e.select($"vec_id", $"embedding").collect()
