@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.{ContaminationOps, DedupOps, ExperimentOps, GraphOps, IvfOps, JoinOps, LakeOps, LmOps, MultimodalOps, PqOps, PrepOps, ProfileOps, SamplingOps, SearchOps, SimilarityOps, TextOps}
-import graft.streaming.EventOps
+import graft.streaming.{EventOps, IngestDedupStream}
 
 /** Training-data pipeline operators (dedup, similarity search, multimodal,
   * text analysis, event streams) as driver-checkable queries over the
@@ -384,6 +384,26 @@ object PipelineQueries {
         idCol = "doc_id", textCol = "text",
         keyCol = concat_ws(" ", TextOps.tokens(lower(col("text")))),
         k = 3, threshold = 0.2)
+        .select(col("doc_id"), col("source"))
+    }),
+
+    // The streaming ingest-dedup's batch reference over the same split:
+    // the feed (doc_id % 3 == 0) anti-joined on key hashes against the
+    // standing corpus, then first arrival per key. documents has no
+    // timestamp, so arrival order is synthesized deterministically
+    // (doc_id % 7, ties by doc_id) — it exercises the within-feed
+    // first-wins path with non-id-ordered arrivals.
+    "q_dedup_ingest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      IngestDedupStream.batchReference(
+        incoming = docs
+          .filter(pmod(col("doc_id"), lit(3)) === 0)
+          .withColumn("arrival", pmod(col("doc_id"), lit(7))),
+        existingKeys = docs
+          .filter(pmod(col("doc_id"), lit(3)) =!= 0)
+          .select(lower(col("text")).as("k")),
+        keyCol = lower(col("text")),
+        eventTimeCol = "arrival", idCol = "doc_id")
         .select(col("doc_id"), col("source"))
     }),
 
@@ -4241,6 +4261,22 @@ object PipelineQueries {
          |  WHERE CAST(i AS DOUBLE) / (szi.n + sze.n - i) >= 0.2)
          |SELECT doc_id, source FROM surv
          |WHERE doc_id NOT IN (SELECT ia FROM near)""".stripMargin,
+
+    // The Spark side anti-joins on xxhash64(lower(text)); the oracle uses
+    // plain string equality — the hash-compare proves the 8-byte-key plan
+    // changes nothing. Same synthesized arrival order (doc_id % 7, doc_id).
+    "q_dedup_ingest" ->
+      s"""WITH inc AS (
+         |  SELECT doc_id, source, lower(text) AS k, doc_id % 7 AS arrival
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |ex AS (
+         |  SELECT DISTINCT lower(text) AS k
+         |  FROM documents WHERE doc_id % 3 <> 0),
+         |surv AS (SELECT * FROM inc WHERE k NOT IN (SELECT k FROM ex))
+         |SELECT doc_id, source FROM (
+         |  SELECT doc_id, source, row_number() OVER (
+         |    PARTITION BY k ORDER BY arrival, doc_id) AS rn
+         |  FROM surv) WHERE rn = 1""".stripMargin,
 
     // Independent formulation: spans as STRINGS + windows (the Spark side
     // groups 8-byte span hashes and joins — same winners modulo 2^-64
