@@ -113,6 +113,13 @@ object ModisDemo {
     val h5 = graft.io.HDF5.read(s"$outPath.h5")
     println(s"[demo] HDF5 L3: ${h5.datasets.map(_.name).mkString(", ")}")
 
+    // plot sink: the legacy CLI's displayOutput half — contourf-style
+    // jet PNG of the cloud-fraction grid (cfa.py's savefig)
+    graft.io.GridPlot.displayOutput(l3, cfg, "cloud_fraction_Mean",
+      s"$outPath.png", cellPx = 8)
+    println(s"[demo] PNG plot: $outPath.png " +
+      s"(${new java.io.File(s"$outPath.png").length()} bytes)")
+
     val back = spark.read.parquet(outPath)
     println(s"[demo] L3 grid rows: ${back.count()} (grid ${cfg.grid.gridLat}x${cfg.grid.gridLon})")
     back.orderBy($"cell").show(5, truncate = false)
