@@ -120,4 +120,38 @@ class GridPlotSpec extends SparkSpec {
     // never yields pure white -> no fill color anywhere on the map
     assert(!mapColors.contains(GridPlot.FillRgb))
   }
+
+  test("golden-vs-golden difference panel renders through the divergent palette") {
+    val dir = "/root/reference/resources/data/sample_output_data"
+    val d = L3Compare.diff(spark, s"$dir/output_final.hdf5", "CF",
+      s"$dir/MYD08_D3.A2008001CloudFraction.nc", "__xarray_dataarray_variable__")
+      .select("lat_idx", "lon_idx", "abs_diff").collect()
+    val cells = Array.fill(180, 360)(Double.NaN)
+    d.foreach { r =>
+      if (!r.isNullAt(2)) cells(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+    }
+    // the notebook's ticks3 range, 10 intervals, NegPos-style palette
+    val img = GridPlot.renderGrid(cells, -0.2, 0.2, levels = 10, cellPx = 1,
+      colorbar = false, palette = GridPlot.divergent)
+    assert(img.getWidth == 360 && img.getHeight == 180)
+    val colors = (for (y <- 0 until 180; x <- 0 until 360)
+      yield img.getRGB(x, y) & 0xffffff).toSet
+    // undefined cells (the .hdf5 covers only 1776) render white; the real
+    // golden diff is one-sided (h5 CF >= nc CF everywhere, 0..1.0), so
+    // only the warm half of the ramp appears — pinned as such
+    assert(colors.contains(GridPlot.FillRgb))
+    assert(colors.exists(c => (c >> 16) == 0xff && (c & 0xff) < 0xff), "warm side")
+    assert(!colors.exists(c => (c & 0xff) == 0xff && (c >> 16) < 0xff),
+      "no cool side on a non-negative diff map")
+  }
+
+  test("divergent palette hits both ramp halves on a signed grid") {
+    val cells = Array.tabulate(4, 8)((_, x) => (x - 3.5) / 10.0) // -0.35..0.35
+    val img = GridPlot.renderGrid(cells, -0.4, 0.4, levels = 10, cellPx = 1,
+      colorbar = false, palette = GridPlot.divergent)
+    val colors = (for (y <- 0 until 4; x <- 0 until 8)
+      yield img.getRGB(x, y) & 0xffffff).toSet
+    assert(colors.exists(c => (c >> 16) == 0xff && (c & 0xff) < 0xff), "warm side")
+    assert(colors.exists(c => (c & 0xff) == 0xff && (c >> 16) < 0xff), "cool side")
+  }
 }
