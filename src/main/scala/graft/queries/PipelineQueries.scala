@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{ContaminationOps, DedupOps, ExperimentOps, GraphOps, IvfOps, JoinOps, LakeOps, LmOps, MultimodalOps, PqOps, PrepOps, ProfileOps, SamplingOps, SearchOps, SimilarityOps, TextOps}
+import graft.ops.{AudioOps, ContaminationOps, DedupOps, ExperimentOps, GraphOps, IvfOps, JoinOps, LakeOps, LmOps, MultimodalOps, PqOps, PrepOps, ProfileOps, SamplingOps, SearchOps, SimilarityOps, TextOps}
 import graft.streaming.{EventOps, IngestDedupStream}
 
 /** Training-data pipeline operators (dedup, similarity search, multimodal,
@@ -491,6 +491,18 @@ object PipelineQueries {
           .select(col("media_id").as("doc_id"), col("phash").as("simhash")),
         bits = 64, maxHamming = 3)),
 
+    // Audio leg of the multimodal contract: real RIFF/WAVE parse inside
+    // the partition (synthetic payloads whose PCM replays in DuckDB via
+    // the HUGEINT splitmix SQL), integer-exact acoustic features out.
+    "q_audio_features" -> ((s, dir) =>
+      AudioOps.featureFrame(t(s, dir, "documents"))),
+
+    // Duplicate-audio groups by energy-delta fingerprint
+    // (Haitsma-Kalker bit vector): one map-side-combining shuffle on the
+    // 8-byte fingerprint; the synthetic corpus plants the duplicates.
+    "q_audio_dup" -> ((s, dir) =>
+      AudioOps.dupGroups(t(s, dir, "documents"))),
+
     // The composed scale path: LSH candidates -> exact Jaccard verify on
     // candidates only, at the production 32/8/4 geometry, with the
     // portable family so the full pipeline is hash-gated by the driver
@@ -857,29 +869,28 @@ object PipelineQueries {
     // NO join — snapshot+changelog union rides ONE key shuffle with a
     // map-side partial max_by (LakeOps.applyChanges scaladoc).
     "q_merge_upsert" -> ((s, dir) => {
-      val base = t(s, dir, "orders").select(
-        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-        round(col("o_totalprice") * 100).cast("long").as("total_cents"))
-      val snapshot = base.filter(col("o_orderkey") % 4 < 3)
-      val changes =
-        base.filter(col("o_orderkey") % 4 === 0).select(
-            col("o_orderkey"), col("o_custkey"),
-            lit("X").as("o_orderstatus"),
-            (col("total_cents") + 100).as("total_cents"),
-            lit(1L).as("seq"), lit("U").as("op"))
-          .unionByName(base.filter(col("o_orderkey") % 4 === 1).select(
-            col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-            col("total_cents"), lit(1L).as("seq"), lit("D").as("op")))
-          .unionByName(base.filter(col("o_orderkey") % 4 === 3).select(
-            col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-            col("total_cents"), lit(1L).as("seq"), lit("U").as("op")))
-          .unionByName(base.filter(col("o_orderkey") % 8 === 0).select(
-            col("o_orderkey"), col("o_custkey"),
-            lit("Y").as("o_orderstatus"),
-            (col("total_cents") + 200).as("total_cents"),
-            lit(2L).as("seq"), lit("U").as("op")))
+      val (snapshot, changes) = cdcFeed(s, dir)
       LakeOps.applyChanges(snapshot, changes,
         keyCol = "o_orderkey", seqCol = "seq", opCol = "op")
+    }),
+
+    // The streaming CDC operator's batch form: the SAME planted
+    // changelog, bootstrap snapshot replayed as seq=-inf 'U' changes
+    // (the standard streaming bootstrap), folded by
+    // CdcStream.latestView — the IDENTICAL declarative plan the
+    // streaming twin runs as ONE stateful aggregation in update mode
+    // (CdcStreamSpec pins streamed == batch on out-of-order, stale,
+    // duplicate-delivery and post-tombstone feeds). applyChanges
+    // (q_merge_upsert) and this fold agree by construction — both
+    // gated so neither formulation can drift.
+    "q_cdc_view" -> ((s, dir) => {
+      val (snapshot, changes) = cdcFeed(s, dir)
+      val snapAsChanges = snapshot.select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("total_cents"),
+        lit(Long.MinValue).as("seq"), lit("U").as("op"))
+      graft.streaming.CdcStream.latestView(
+        snapAsChanges.unionByName(changes), "o_orderkey", "seq", "op")
     }),
 
     // ---------------------------------------------------------- sampling
@@ -3623,6 +3634,55 @@ object PipelineQueries {
     * engines, and bit 63 enters as the int64 MIN literal (two's
     * complement — a positive 2^63 literal would overflow BIGINT).
     */
+  /** The planted CDC changelog shared by `q_merge_upsert` and
+    * `q_cdc_view`: snapshot = keys with `o_orderkey % 4 < 3`; changes =
+    * an update (%4==0, seq 1), a tombstone (%4==1), an out-of-snapshot
+    * insert (%4==3) and a second-version update (%8==0, seq 2) — unique
+    * (key, seq) pairs, as real CDC logs guarantee, so the max_by fold
+    * is tie-free on every engine.
+    */
+  private def cdcFeed(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val base = t(s, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("total_cents"))
+    val snapshot = base.filter(col("o_orderkey") % 4 < 3)
+    val changes =
+      base.filter(col("o_orderkey") % 4 === 0).select(
+          col("o_orderkey"), col("o_custkey"),
+          lit("X").as("o_orderstatus"),
+          (col("total_cents") + 100).as("total_cents"),
+          lit(1L).as("seq"), lit("U").as("op"))
+        .unionByName(base.filter(col("o_orderkey") % 4 === 1).select(
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("total_cents"), lit(1L).as("seq"), lit("D").as("op")))
+        .unionByName(base.filter(col("o_orderkey") % 4 === 3).select(
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("total_cents"), lit(1L).as("seq"), lit("U").as("op")))
+        .unionByName(base.filter(col("o_orderkey") % 8 === 0).select(
+          col("o_orderkey"), col("o_custkey"),
+          lit("Y").as("o_orderstatus"),
+          (col("total_cents") + 200).as("total_cents"),
+          lit(2L).as("seq"), lit("U").as("op")))
+    (snapshot, changes)
+  }
+
+  /** Shared sample-replay CTEs for the audio oracles: every PCM sample
+    * of every clip regenerated in HUGEINT mod-2^64 SQL via the splitmix
+    * rounds ([[RefQueries.mixSql]]), then re-centered to signed 16-bit
+    * exactly as [[graft.ops.AudioOps.sampleAt]] does
+    * (`(m % 65536) - 32768` == `(m & 0xffff) - 32768`).
+    */
+  private def audioCtes: String =
+    s"""d AS (SELECT doc_id, (doc_id % ${AudioOps.SeedGroups})::HUGEINT AS seed
+       |      FROM documents),
+       |px AS (SELECT doc_id, seed, t.range AS i
+       |       FROM d CROSS JOIN range(0, ${AudioOps.NSamples}) t),
+       |m AS (SELECT doc_id, i,
+       |  ${RefQueries.mixSql("a", s"seed * ${AudioOps.SeedMult} + i")}
+       |  FROM px),
+       |x AS (SELECT doc_id, i, (am % 65536)::BIGINT - 32768 AS smp FROM m)""".stripMargin
+
   private def phashCtes: String = {
     val pow2 = (0 until 63).map(i => (1L << i).toString) :+
       Long.MinValue.toString
@@ -3685,6 +3745,37 @@ object PipelineQueries {
          |  CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
          |FROM ph a JOIN ph b ON a.media_id < b.media_id
          |WHERE bit_count(xor(a.phash, b.phash)) <= 3""".stripMargin,
+
+    // Every PCM sample of every clip regenerated in HUGEINT SQL
+    // (RefQueries.mixSql splitmix replay), then the same integer folds.
+    "q_audio_features" ->
+      s"""WITH $audioCtes,
+         |lagd AS (SELECT doc_id, i, smp,
+         |  lag(smp) OVER (PARTITION BY doc_id ORDER BY i) AS prv FROM x)
+         |SELECT doc_id,
+         |  ${AudioOps.SampleRate} AS sample_rate,
+         |  CAST(count(*) AS BIGINT) AS n_samples,
+         |  CAST(count(*) * 1000 // ${AudioOps.SampleRate} AS BIGINT) AS duration_ms,
+         |  CAST(sum(smp) AS BIGINT) AS sum_amp,
+         |  CAST(sum(smp * smp) AS BIGINT) AS sum_sq,
+         |  CAST(sum(CASE WHEN prv IS NOT NULL AND ((smp >= 0) <> (prv >= 0))
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross,
+         |  CAST(max(abs(smp)) AS BIGINT) AS peak
+         |FROM lagd GROUP BY doc_id""".stripMargin,
+
+    "q_audio_dup" ->
+      s"""WITH $audioCtes,
+         |e AS (SELECT doc_id, i // ${AudioOps.WindowLen} AS w, sum(smp * smp) AS en
+         |      FROM x GROUP BY doc_id, i // ${AudioOps.WindowLen}),
+         |l AS (SELECT doc_id, w, en,
+         |      lead(en) OVER (PARTITION BY doc_id ORDER BY w) AS nxt FROM e),
+         |fp AS (SELECT doc_id,
+         |       CAST(sum(CASE WHEN nxt > en THEN 1::BIGINT << w ELSE 0 END) AS BIGINT)
+         |         AS fingerprint
+         |       FROM l WHERE nxt IS NOT NULL GROUP BY doc_id)
+         |SELECT fingerprint, CAST(count(*) AS BIGINT) AS n_docs,
+         |  min(doc_id) AS canonical_doc
+         |FROM fp GROUP BY fingerprint HAVING count(*) > 1""".stripMargin,
     "q_bpe_encode" -> bpeEncodeOracle,
     "q_sim_pq_literal" -> pqLiteralOracle,
     "q_sim_ivfpq_literal" -> ivfPqLiteralOracle,
@@ -3808,6 +3899,38 @@ object PipelineQueries {
          |FROM documents GROUP BY 1, 2""".stripMargin,
 
     "q_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
+        |  FROM orders),
+        |snap AS (
+        |  SELECT *, CAST(-1 AS BIGINT) AS seq, 'U' AS op
+        |  FROM base WHERE o_orderkey % 4 < 3),
+        |chg AS (
+        |  SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+        |    total_cents + 100 AS total_cents, CAST(1 AS BIGINT) AS seq,
+        |    'U' AS op
+        |  FROM base WHERE o_orderkey % 4 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, total_cents, 1, 'D'
+        |  FROM base WHERE o_orderkey % 4 = 1
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, total_cents, 1, 'U'
+        |  FROM base WHERE o_orderkey % 4 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, 'Y', total_cents + 200, 2, 'U'
+        |  FROM base WHERE o_orderkey % 8 = 0),
+        |w AS (
+        |  SELECT *, row_number()
+        |    OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+        |  FROM (SELECT * FROM snap UNION ALL SELECT * FROM chg))
+        |SELECT o_orderkey, o_custkey, o_orderstatus, total_cents
+        |FROM w WHERE rn = 1 AND op <> 'D'""".stripMargin,
+
+    // Same changelog, same winner-per-key semantics — the bootstrap
+    // snapshot enters as seq -1 'U' rows (below every change seq, as
+    // Long.MinValue is on the Spark side).
+    "q_cdc_view" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_custkey, o_orderstatus,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents

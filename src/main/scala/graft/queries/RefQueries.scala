@@ -319,7 +319,7 @@ object RefQueries {
     * `<pfx>u` (the [0,1) unit double, (m >>> 11) / 2^53 — exact, since
     * m >>> 11 < 2^53 and the divisor is a power of two).
     */
-  private def mixSql(pfx: String, input: String): String = {
+  private[queries] def mixSql(pfx: String, input: String): String = {
     val M = "18446744073709551616" // 2^64
     s"""(($input) + 11400714819323198485) % $M AS ${pfx}z0,
        |  xor(${pfx}z0, ${pfx}z0 // 1073741824) AS ${pfx}y1,
