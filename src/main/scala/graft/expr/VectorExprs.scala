@@ -203,10 +203,120 @@ case class LshPlanesBucket(
   override def prettyName: String = "lsh_planes_bucket"
 }
 
+/** Fused nearest-centroid search on the INTEGER lattice: for a quantized
+  * `ARRAY<BIGINT>` vector, the squared L2 distance to each of `k`
+  * centroid rows of `cents` and the argmin, in ONE codegen'd two-level
+  * loop with the centroid matrix attached as a single reference object
+  * (the [[LshPlanesBucket]] fusion pattern — k separate distance
+  * expressions would each drag a dims-literal array through Janino).
+  *
+  * Returns `dist2 * 16 + j` packed in one long (so one pass yields both
+  * outputs): `j` = lowest index among minimal distances (strict `<`
+  * keeps the first minimum — tie order is deterministic and matches the
+  * oracle's `ORDER BY dist2, j`), `dist2` exact in integer arithmetic.
+  * Callers unpack with `& 15` / `>> 4`. Bounds: k <= 16 and
+  * dist2 < 2^59 by construction for any sane quantization scale
+  * (|elem| <= 2^26, dims <= 2^6 gives dist2 <= 2^59 packed < 2^63).
+  *
+  * NULL when: the vector is NULL, its length differs from the centroid
+  * dims, or any element is NULL.
+  */
+case class LatticeArgmin(
+    child: Expression,
+    cents: Seq[Seq[Long]]) extends UnaryExpression {
+
+  require(cents.nonEmpty && cents.size <= 16,
+    s"lattice_argmin needs 1..16 centroids, got ${cents.size}")
+  require(cents.forall(_.size == cents.head.size),
+    "lattice_argmin centroids must share one dimensionality")
+
+  private def k: Int = cents.size
+  private def dims: Int = cents.head.size
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"lattice_argmin needs ARRAY<BIGINT>, got $t")
+    }
+
+  @transient private lazy val matrix: Array[Array[Long]] =
+    cents.map(_.toArray).toArray
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    if (arr.numElements() != dims) return null
+    var best = Long.MaxValue
+    var bj = -1
+    var j = 0
+    while (j < k) {
+      val c = matrix(j)
+      var acc = 0L
+      var d = 0
+      while (d < dims) {
+        if (arr.isNullAt(d)) return null
+        val diff = arr.getLong(d) - c(d)
+        acc += diff * diff
+        d += 1
+      }
+      if (acc < best) { best = acc; bj = j }
+      j += 1
+    }
+    best * 16L + bj
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val m = ctx.addReferenceObj("latticeCents", matrix, "long[][]")
+    val best = ctx.freshName("best")
+    val bj = ctx.freshName("bj")
+    val ok = ctx.freshName("ok")
+    val j = ctx.freshName("j")
+    val d = ctx.freshName("d")
+    val acc = ctx.freshName("acc")
+    val diff = ctx.freshName("diff")
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = true;
+      long ${ev.value} = 0L;
+      if (!${childGen.isNull} && ${childGen.value}.numElements() == $dims) {
+        long $best = Long.MAX_VALUE;
+        int $bj = -1;
+        boolean $ok = true;
+        for (int $j = 0; $j < $k && $ok; $j++) {
+          long $acc = 0L;
+          for (int $d = 0; $d < $dims; $d++) {
+            if (${childGen.value}.isNullAt($d)) { $ok = false; break; }
+            long $diff = ${childGen.value}.getLong($d) - $m[$j][$d];
+            $acc += $diff * $diff;
+          }
+          if ($ok && $acc < $best) { $best = $acc; $bj = $j; }
+        }
+        if ($ok) { ${ev.isNull} = false; ${ev.value} = $best * 16L + $bj; }
+      }
+    """)
+  }
+
+  override protected def withNewChildInternal(c: Expression): LatticeArgmin =
+    copy(child = c)
+  override def prettyName: String = "lattice_argmin"
+}
+
 object VectorExprs {
   /** Sequential-order dot product (codegen'd). */
   def vecDot(a: Column, b: Column): Column =
     Bridge.column(VecDot(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Packed nearest-centroid (dist2*16 + cluster) on the integer
+    * lattice (codegen'd single pass over the vector).
+    */
+  def latticeArgmin(qv: Column, cents: Seq[Seq[Long]]): Column =
+    Bridge.column(LatticeArgmin(Bridge.expression(qv), cents))
 
   /** Deterministic hyperplane weight schedule shared by every LSH caller
     * (and the DuckDB oracle builder): an avalanche mix of (plane, dim) into

@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.agg.VecSumFunctions
+import graft.expr.VectorExprs
+
+/** K-means whose TRAINING is engine-exact: embeddings quantized to the
+  * integer lattice (`round(x * 2^20)` per dimension — row-local,
+  * correctly-rounded, identical on every engine), Lloyd rounds whose
+  * assignment (integer squared L2 argmin) and centroid update (integer
+  * elementwise sums, toward-zero division by the cluster count) are
+  * EXACT integer arithmetic end to end.
+  *
+  * Why this exists: float k-means training is summation-order-dependent
+  * — the reason `q_semdedup`/`q_sim_ivf_topk` are rows-only checks with
+  * literal-centroid twins. On the lattice, every reduction is an
+  * associative integer sum and every division is toward-zero integer
+  * division, so the WHOLE
+  * training loop (not just the apply) replays bit-for-bit in DuckDB SQL
+  * with the rounds unrolled as CTEs — in-query clustering with a full
+  * content oracle. The quantization (20 fractional bits on unit-scale
+  * embeddings) costs ~1e-6 relative precision per dimension; for
+  * dedup/sharding/curation clustering that error is irrelevant, and
+  * determinism under ANY partitioning is what production needs.
+  *
+  * Scale shape (the [[IvfOps.trainCentroids]] discipline):
+  *   - assignment is one fused codegen pass per row
+  *     ([[graft.expr.LatticeArgmin]] — centroid matrix attached as one
+  *     reference object, dist2+argmin in a single loop);
+  *   - the update is ONE map-side-combining aggregate per round whose
+  *     groups are the k clusters; each map task forwards k dims x 8 B
+  *     buffers ([[VecSumFunctions.vecSumFixed]]), never rows x dims
+  *     cells;
+  *   - only k centroid rows ever reach the driver (the k-bounded
+  *     centroid-frame collect already established for IVF training).
+  *
+  * Seeding is the lowest-k ids' vectors (portable ORDER BY id LIMIT k —
+  * not a hash order, so the oracle's seeding is the same three tokens).
+  */
+object LatticeKmeans {
+
+  /** Fixed-point scale: 20 fractional bits. */
+  val Scale: Long = 1L << 20
+
+  /** Quantize a float/double vector column to the lattice:
+    * `floor(x * 2^20 + 0.5)` per element (round-half-UP). Every step is
+    * an exact dyadic operation — power-of-two product, exact +0.5 (the
+    * float mantissa's lowest bit after scaling sits above 2^-2, well
+    * inside double), binary floor — so the lattice point is
+    * bit-identical on every engine. (Spark's `round()` is NOT portable
+    * here: on doubles it routes through BigDecimal.valueOf's
+    * shortest-decimal-string, which can round differently than an
+    * engine operating on the exact binary value.)
+    */
+  def quantize(vec: Column): Column =
+    transform(vec.cast("array<double>"), x => floor(x * Scale + 0.5))
+
+  /** Packed nearest-centroid column: `dist2 * 16 + cluster`. */
+  def packed(qv: Column, cents: Array[Array[Long]]): Column =
+    VectorExprs.latticeArgmin(qv, cents.map(_.toSeq).toSeq)
+
+  /** `iters` Lloyd rounds on the lattice. Empty clusters keep their
+    * previous centroid. Returns the final k x dims centroid matrix
+    * (empty when the corpus has no non-null vectors).
+    */
+  def train(
+      vecs: DataFrame,
+      k: Int,
+      iters: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Array[Array[Long]] = {
+    require(k >= 1 && k <= 16, s"need 1 <= k <= 16, got $k")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val q = vecs.select(
+      col(idCol).cast("long").as("id"), quantize(col(vecCol)).as("qv"))
+      .filter(col("qv").isNotNull)
+    val seeds = q.orderBy(col("id")).limit(k).collect()
+      .map(_.getSeq[Long](1).toArray)
+    if (seeds.isEmpty) return Array.empty
+    var cents = seeds
+    for (_ <- 1 to iters) {
+      // one aggregate per round: k groups, map-side combined; the sum
+      // rides the fixed-point vector-sum buffer (scale 1.0 over integral
+      // doubles |q| < 2^21 — the truncation is exact)
+      val sums = q
+        .select(
+          (packed(col("qv"), cents) % 16).cast("int").as("cid"),
+          col("qv").cast("array<double>").as("v"))
+        .filter(col("cid").isNotNull)
+        .groupBy(col("cid"))
+        .agg(VecSumFunctions.vecSumFixed(col("v"), 1.0).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone())
+      sums.foreach { r =>
+        val cid = r.getInt(0)
+        val s = r.getSeq[Long](1).toArray
+        val n = r.getLong(2)
+        if (cid < next.length)
+          // toward-zero division: Java's Long `/` == DuckDB's integer
+          // `//` (measured: -7//2 = -3 there) — floorDiv would be off
+          // by one on negative sums
+          next(cid) = s.map(x => x / n)
+      }
+      cents = next
+    }
+    cents
+  }
+
+  /** Train, then assign every vector under the final centroids:
+    * (id, cluster, dist2) with exact integer dist2. NULL/mismatched
+    * vectors keep their row with NULL cluster/dist2 (total pipeline).
+    */
+  def assignments(
+      vecs: DataFrame,
+      k: Int,
+      iters: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cents = train(vecs, k, iters, idCol, vecCol)
+    val base = vecs.select(
+      col(idCol).cast("long").as(idCol), quantize(col(vecCol)).as("qv"))
+    if (cents.isEmpty)
+      return base.select(col(idCol),
+        lit(null).cast("int").as("cluster"),
+        lit(null).cast("long").as("dist2"))
+    base
+      .select(col(idCol), packed(col("qv"), cents).as("p"))
+      .select(col(idCol),
+        col("p").bitwiseAND(15L).cast("int").as("cluster"),
+        shiftright(col("p"), 4).as("dist2"))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AudioOps, ContaminationOps, DedupOps, ExperimentOps, GraphOps, IvfOps, JoinOps, LakeOps, LmOps, MultimodalOps, PqOps, PrepOps, ProfileOps, SamplingOps, SearchOps, SimilarityOps, TextOps}
+import graft.ops.{AudioOps, ContaminationOps, DedupOps, ExperimentOps, GraphOps, IvfOps, JoinOps, LakeOps, LatticeKmeans, LmOps, MultimodalOps, PqOps, PrepOps, ProfileOps, SamplingOps, SearchOps, SimilarityOps, TextOps}
 import graft.streaming.{EventOps, IngestDedupStream}
 
 /** Training-data pipeline operators (dedup, similarity search, multimodal,
@@ -490,6 +490,16 @@ object PipelineQueries {
           MultimodalOps.mediaFromDocuments(t(s, dir, "documents")))
           .select(col("media_id").as("doc_id"), col("phash").as("simhash")),
         bits = 64, maxHamming = 3)),
+
+    // In-query k-means with a FULL training oracle: embeddings quantized
+    // to the integer lattice (round(x*2^20), row-local exact), 2 Lloyd
+    // rounds of integer argmin assignment + truncating-division centroid update —
+    // every reduction an associative integer sum, so the whole training
+    // loop replays bit-for-bit in DuckDB with the rounds unrolled as
+    // CTEs. The float k-means pair (q_semdedup/q_sim_ivf_topk) stays
+    // rows-only by nature; this is the same algorithm made engine-exact.
+    "q_kmeans_lattice" -> ((s, dir) =>
+      LatticeKmeans.assignments(t(s, dir, "embeddings"), k = 4, iters = 2)),
 
     // Audio leg of the multimodal contract: real RIFF/WAVE parse inside
     // the partition (synthetic payloads whose PCM replays in DuckDB via
@@ -3667,6 +3677,54 @@ object PipelineQueries {
     (snapshot, changes)
   }
 
+  /** DuckDB replay of the ENTIRE lattice k-means — quantization,
+    * seeding, every Lloyd round (assignment argmin + truncating-division centroid
+    * update, empty-cluster carryover) and the final assignment — with
+    * the rounds unrolled as CTEs. All arithmetic is integer-exact on
+    * both engines: DuckDB's integer `//` truncates toward zero exactly
+    * like Java's Long `/` (NOT floorDiv — negative sums differ by one
+    * under flooring); ties break on (dist2, j) = the expression's
+    * strict-< first-minimum.
+    */
+  private def kmeansLatticeOracle(k: Int, iters: Int, dims: Int): String = {
+    def distExpr(qv: String, cv: String) =
+      s"list_reduce(list_prepend(0::BIGINT, list_transform(" +
+        s"range(1, $dims + 1), i -> ($qv[i] - $cv[i]) * ($qv[i] - $cv[i]))), " +
+        s"(a, b) -> a + b)"
+    def assignCte(name: String, centsCte: String) =
+      s"""$name AS (
+         |  SELECT vec_id, qv, j, dist2, row_number()
+         |    OVER (PARTITION BY vec_id ORDER BY dist2, j) AS rn
+         |  FROM (SELECT q.vec_id, q.qv, c.j,
+         |          ${distExpr("q.qv", "c.qv")} AS dist2
+         |        FROM q CROSS JOIN $centsCte c))""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      s"""${assignCte(s"a$r", s"c${r - 1}")},
+         |w$r AS (SELECT vec_id, qv, j FROM a$r WHERE rn = 1),
+         |n$r AS (SELECT j, count(*) AS n FROM w$r GROUP BY j),
+         |u$r AS (SELECT w$r.j, t.range AS d, w$r.qv[t.range + 1] AS v
+         |        FROM w$r CROSS JOIN range(0, $dims) t),
+         |s$r AS (SELECT j, d, sum(v) AS sv FROM u$r GROUP BY j, d),
+         |c$r AS (
+         |  SELECT s$r.j, list(s$r.sv // n$r.n ORDER BY s$r.d) AS qv
+         |  FROM s$r JOIN n$r ON s$r.j = n$r.j GROUP BY s$r.j
+         |  UNION ALL
+         |  SELECT j, qv FROM c${r - 1}
+         |  WHERE j NOT IN (SELECT j FROM w$r))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * ${LatticeKmeans.Scale} + 0.5) AS BIGINT)) AS qv
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS j, qv
+       |  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT $k)),
+       |$rounds,
+       |${assignCte("fin", s"c$iters")}
+       |SELECT vec_id, CAST(j AS INTEGER) AS cluster, dist2
+       |FROM fin WHERE rn = 1""".stripMargin
+  }
+
   /** Shared sample-replay CTEs for the audio oracles: every PCM sample
     * of every clip regenerated in HUGEINT mod-2^64 SQL via the splitmix
     * rounds ([[RefQueries.mixSql]]), then re-centered to signed 16-bit
@@ -3745,6 +3803,8 @@ object PipelineQueries {
          |  CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
          |FROM ph a JOIN ph b ON a.media_id < b.media_id
          |WHERE bit_count(xor(a.phash, b.phash)) <= 3""".stripMargin,
+
+    "q_kmeans_lattice" -> kmeansLatticeOracle(k = 4, iters = 2, dims = 64),
 
     // Every PCM sample of every clip regenerated in HUGEINT SQL
     // (RefQueries.mixSql splitmix replay), then the same integer folds.

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.expr.VectorExprs
+
+class LatticeKmeansSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("lattice_argmin packs the first-minimum cluster and exact dist2") {
+    val cents = Seq(Seq(0L, 0L), Seq(10L, 0L), Seq(0L, 10L))
+    val df = Seq(
+      (1L, Seq(1L, 1L)), // dist2: 2, 82, 82 -> cluster 0
+      (2L, Seq(9L, 0L)), // dist2: 81, 1, 181 -> cluster 1
+      (3L, Seq(5L, 0L))) // TIE: 25 vs 25 (c0/c1) -> lowest j wins
+      .toDF("id", "qv")
+    val out = df.select(col("id"),
+      VectorExprs.latticeArgmin(col("qv"), cents).as("p"))
+      .select(col("id"),
+        col("p").bitwiseAND(15L).cast("int").as("c"),
+        shiftright(col("p"), 4).as("d2"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((0, 2L)))
+    assert(out(2L) == ((1, 1L)))
+    assert(out(3L) == ((0, 25L)))
+  }
+
+  test("lattice_argmin: null vector / length mismatch / null element -> NULL") {
+    val cents = Seq(Seq(0L, 0L))
+    val df = Seq(
+      (1L, Some(Seq(Some(1L), Some(2L)))),
+      (2L, None),
+      (3L, Some(Seq(Some(1L)))), // wrong dims
+      (4L, Some(Seq(Some(1L), None)))) // null element
+      .toDF("id", "qv")
+    val out = df.select(col("id"),
+      VectorExprs.latticeArgmin(col("qv"), cents).as("p"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(out == Map(1L -> false, 2L -> true, 3L -> true, 4L -> true))
+  }
+
+  test("training converges deterministically on planted lattice clusters") {
+    // two tight planted clusters around (0,0) and (1,1)
+    val pts = (0 until 20).map(i => (i.toLong, Seq(0.001f * i, 0.001f * i))) ++
+      (20 until 40).map(i => (i.toLong, Seq(1.0f - 0.001f * i, 1.0f)))
+    val df = pts.toDF("vec_id", "embedding")
+    val a = LatticeKmeans.assignments(df, k = 2, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // both planted groups end up uniform (seeds 0 and 1 both start in
+    // group A, but round-1 update pulls one centroid to each mass)
+    val g1 = (0L until 20L).map(a)
+    val g2 = (20L until 40L).map(a)
+    assert(g1.distinct.size == 1 && g2.distinct.size == 1 && g1.head != g2.head,
+      s"clusters: g1=${g1.distinct} g2=${g2.distinct}")
+  }
+
+  test("result is invariant under repartitioning (integer-exact reductions)") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = LatticeKmeans.assignments(df, k = 4, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val b = LatticeKmeans.assignments(df.repartition(7), k = 4, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
+  test("empty and all-null corpora yield total (null-clustered) output") {
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(LatticeKmeans.assignments(empty, 4, 2).collect().isEmpty)
+    val nulled = Seq((1L, Option.empty[Seq[Float]])).toDF("vec_id", "embedding")
+    val rows = LatticeKmeans.assignments(nulled, 4, 2).collect()
+    assert(rows.length == 1 && rows.head.isNullAt(1) && rows.head.isNullAt(2))
+  }
+}
