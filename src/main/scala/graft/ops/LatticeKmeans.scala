@@ -109,6 +109,74 @@ object LatticeKmeans {
     cents
   }
 
+  /** Pair-test scale: 10 fractional bits. Coarser than [[Scale]] on
+    * purpose — with |x| <= 1 every SemDeDup intermediate stays inside
+    * int64 (|q| <= 2^10, dot <= 64*2^20 = 2^26, den^2*dot^2 <= 2^60 for
+    * den <= 20); a larger element or scale overflows LOUDLY on both
+    * engines (Spark ANSI / DuckDB BIGINT both raise).
+    */
+  val PairScale: Long = 1L << 10
+
+  /** Quantize at [[PairScale]] (same exact dyadic rounding). */
+  def quantizePair(vec: Column): Column =
+    transform(vec.cast("array<double>"), x => floor(x * PairScale + 0.5))
+
+  /** SemDeDup with the ENTIRE pipeline engine-exact — training included.
+    * Clusters via [[train]] (lattice Lloyd rounds), then within-cluster
+    * near-duplicate pairs by an integer-exact cosine test at threshold
+    * `tauNum/tauDen`: on [[PairScale]]-quantized vectors,
+    * `cos >= tau  <=>  dot >= 0 AND tauDen^2*dot^2 >= tauNum^2*|a|^2*|b|^2`
+    * — no sqrt, no division, pure int64 algebra (dot rides the codegen
+    * [[graft.expr.VecDot]]: its sequential double fold is EXACT here
+    * because every product is an integer < 2^53, and the cast back to
+    * long loses nothing). Transitive closure and min-id representatives
+    * as in [[SimilarityOps.semDedup]].
+    *
+    * Same output contract: (vec_id, rep_id, keep). Zero-norm and NULL
+    * vectors pair with nothing (singleton keepers). The float variant
+    * (`q_semdedup`) remains the paper's exact semantics; this one trades
+    * ~2^-10 per-element precision for a FULL DuckDB training+dedup
+    * oracle and bit-reproducibility under any partitioning.
+    */
+  def semDedup(
+      vecs: DataFrame,
+      k: Int,
+      iters: Int,
+      tauNum: Long,
+      tauDen: Long,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
+      s"need 0 < tauNum/tauDen <= 1, got $tauNum/$tauDen")
+    require(tauDen <= 20, s"tauDen^2 must keep dot^2 in int64; got $tauDen > 20")
+    val cents = train(vecs, k, iters, idCol, vecCol)
+    val nodes = vecs.select(col(idCol).cast("long").as(idCol))
+    if (cents.isEmpty)
+      return nodes.select(col(idCol).as("vec_id"),
+        col(idCol).as("rep_id"), lit(1).as("keep"))
+    val qd = quantizePair(col(vecCol)).cast("array<double>")
+    val assigned = vecs.select(
+      col(idCol).cast("long").as("id"),
+      (packed(quantize(col(vecCol)), cents) % 16).cast("int").as("cid"),
+      qd.as("qs"),
+      VectorExprs.vecDot(qd, qd).cast("long").as("n2"))
+    val a = assigned.select(col("cid"), col("id").as("id_a"),
+      col("qs").as("qa"), col("n2").as("na2"))
+    val b = assigned.select(col("cid"), col("id").as("id_b"),
+      col("qs").as("qb"), col("n2").as("nb2"))
+    val pairs = a.join(b, Seq("cid"))
+      .filter(col("id_a") < col("id_b") &&
+        col("na2") > 0 && col("nb2") > 0)
+      .withColumn("d", VectorExprs.vecDot(col("qa"), col("qb")).cast("long"))
+      .filter(col("d") >= 0 &&
+        lit(tauDen * tauDen) * col("d") * col("d") >=
+          lit(tauNum * tauNum) * col("na2") * col("nb2"))
+      .select(col("id_a"), col("id_b"))
+    GraphOps.componentsOf(vecs, idCol, pairs, "id_a", "id_b")
+      .select(col("node").as("vec_id"), col("component").as("rep_id"),
+        (col("node") === col("component")).cast("int").as("keep"))
+  }
+
   /** Train, then assign every vector under the final centroids:
     * (id, cluster, dist2) with exact integer dist2. NULL/mismatched
     * vectors keep their row with NULL cluster/dist2 (total pipeline).

@@ -501,6 +501,15 @@ object PipelineQueries {
     "q_kmeans_lattice" -> ((s, dir) =>
       LatticeKmeans.assignments(t(s, dir, "embeddings"), k = 4, iters = 2)),
 
+    // SemDeDup with NOTHING left un-oracled: lattice-trained clusters,
+    // integer-exact within-cluster cosine test at tau = 7/20 (= the
+    // 0.35 of the literal variant), recursive-CTE transitive closure.
+    // q_semdedup (float training) keeps the paper's exact semantics as
+    // the rows-only twin; this is the same pipeline made engine-exact.
+    "q_semdedup_lattice" -> ((s, dir) =>
+      LatticeKmeans.semDedup(t(s, dir, "embeddings"),
+        k = 4, iters = 2, tauNum = 7, tauDen = 20)),
+
     // Audio leg of the multimodal contract: real RIFF/WAVE parse inside
     // the partition (synthetic payloads whose PCM replays in DuckDB via
     // the HUGEINT splitmix SQL), integer-exact acoustic features out.
@@ -3686,7 +3695,7 @@ object PipelineQueries {
     * under flooring); ties break on (dist2, j) = the expression's
     * strict-< first-minimum.
     */
-  private def kmeansLatticeOracle(k: Int, iters: Int, dims: Int): String = {
+  private def kmeansLatticeCtes(k: Int, iters: Int, dims: Int): String = {
     def distExpr(qv: String, cv: String) =
       s"list_reduce(list_prepend(0::BIGINT, list_transform(" +
         s"range(1, $dims + 1), i -> ($qv[i] - $cv[i]) * ($qv[i] - $cv[i]))), " +
@@ -3712,7 +3721,7 @@ object PipelineQueries {
          |  SELECT j, qv FROM c${r - 1}
          |  WHERE j NOT IN (SELECT j FROM w$r))""".stripMargin
     }.mkString(",\n")
-    s"""WITH q AS (
+    s"""q AS (
        |  SELECT vec_id, list_transform(embedding,
        |    x -> CAST(floor(CAST(x AS DOUBLE) * ${LatticeKmeans.Scale} + 0.5) AS BIGINT)) AS qv
        |  FROM embeddings WHERE embedding IS NOT NULL),
@@ -3720,9 +3729,52 @@ object PipelineQueries {
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS j, qv
        |  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT $k)),
        |$rounds,
-       |${assignCte("fin", s"c$iters")}
+       |${assignCte("fin", s"c$iters")}""".stripMargin
+  }
+
+  private def kmeansLatticeOracle(k: Int, iters: Int, dims: Int): String =
+    s"""WITH ${kmeansLatticeCtes(k, iters, dims)}
        |SELECT vec_id, CAST(j AS INTEGER) AS cluster, dist2
        |FROM fin WHERE rn = 1""".stripMargin
+
+  /** Fully-oracled SemDeDup: the lattice training replay above, then
+    * within-cluster pairs by the integer cosine test
+    * (`dot >= 0 AND den^2*dot^2 >= num^2*|a|^2*|b|^2` on the
+    * PairScale-quantized vectors — pure BIGINT algebra), then the
+    * min-id transitive closure as a recursive CTE (the
+    * q_semdedup_literal machinery).
+    */
+  private def semDedupLatticeOracle(
+      k: Int, iters: Int, dims: Int, tauNum: Long, tauDen: Long): String = {
+    def dotExpr(a: String, b: String) =
+      s"list_reduce(list_prepend(0::BIGINT, list_transform(" +
+        s"range(1, $dims + 1), i -> $a[i] * $b[i])), (x, y) -> x + y)"
+    s"""WITH RECURSIVE ${kmeansLatticeCtes(k, iters, dims)},
+       |qs AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * ${LatticeKmeans.PairScale} + 0.5) AS BIGINT)) AS qs
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |asg AS (
+       |  SELECT fin.vec_id, fin.j AS cid, qs.qs,
+       |    ${dotExpr("qs.qs", "qs.qs")} AS n2
+       |  FROM fin JOIN qs ON fin.vec_id = qs.vec_id WHERE fin.rn = 1),
+       |p AS (
+       |  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+       |  FROM asg x JOIN asg y
+       |    ON x.cid = y.cid AND x.vec_id < y.vec_id
+       |  WHERE x.n2 > 0 AND y.n2 > 0
+       |    AND ${dotExpr("x.qs", "y.qs")} >= 0
+       |    AND ${tauDen * tauDen} * ${dotExpr("x.qs", "y.qs")} * ${dotExpr("x.qs", "y.qs")}
+       |        >= ${tauNum * tauNum} * x.n2 * y.n2),
+       |e AS (SELECT id_a AS u, id_b AS v FROM p
+       |      UNION ALL SELECT id_b, id_a FROM p),
+       |reach(node, r) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT e.v, reach.r FROM reach JOIN e ON e.u = reach.node)
+       |SELECT node AS vec_id, CAST(min(r) AS BIGINT) AS rep_id,
+       |       CAST(CASE WHEN node = min(r) THEN 1 ELSE 0 END AS INT) AS keep
+       |FROM reach GROUP BY node""".stripMargin
   }
 
   /** Shared sample-replay CTEs for the audio oracles: every PCM sample
@@ -3805,6 +3857,8 @@ object PipelineQueries {
          |WHERE bit_count(xor(a.phash, b.phash)) <= 3""".stripMargin,
 
     "q_kmeans_lattice" -> kmeansLatticeOracle(k = 4, iters = 2, dims = 64),
+    "q_semdedup_lattice" ->
+      semDedupLatticeOracle(k = 4, iters = 2, dims = 64, tauNum = 7, tauDen = 20),
 
     // Every PCM sample of every clip regenerated in HUGEINT SQL
     // (RefQueries.mixSql splitmix replay), then the same integer folds.

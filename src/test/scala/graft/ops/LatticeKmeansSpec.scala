@@ -65,6 +65,23 @@ class LatticeKmeansSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
+  test("lattice semDedup groups planted duplicates, keeps min-id reps") {
+    // ids 0/1/2 identical (dup group), 10/11 near-identical, 20 isolated
+    val v1 = Seq.tabulate(4)(i => 0.1f * (i + 1))
+    val v2 = Seq.tabulate(4)(i => -0.2f + 0.05f * i)
+    val v3 = Seq(0.3f, -0.4f, 0.1f, 0.2f)
+    val df = (Seq((0L, v1), (1L, v1), (2L, v1), (20L, v3)) ++
+      Seq((10L, v2), (11L, v2.map(x => x * 1.001f))))
+      .toDF("vec_id", "embedding")
+    val out = LatticeKmeans.semDedup(df, k = 2, iters = 2,
+      tauNum = 19, tauDen = 20, vecCol = "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(out.contains((0L, 0L, 1)))
+    assert(out.contains((1L, 0L, 0)) && out.contains((2L, 0L, 0)))
+    assert(out.contains((10L, 10L, 1)) && out.contains((11L, 10L, 0)))
+    assert(out.contains((20L, 20L, 1)))
+  }
+
   test("empty and all-null corpora yield total (null-clustered) output") {
     val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
     assert(LatticeKmeans.assignments(empty, 4, 2).collect().isEmpty)
