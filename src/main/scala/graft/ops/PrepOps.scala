@@ -498,4 +498,61 @@ object PrepOps {
       }
     s"(${spread(x)} | (${spread(y)} << 1))"
   }
+
+  /** 2-D Hilbert clustering key: the space-filling curve WITHOUT the
+    * Morton key's diagonal jumps (consecutive curve positions are grid
+    * neighbors), so 2-D boxes split into fewer contiguous key runs in
+    * aggregate — fewer files touched for the same bbox predicates
+    * (PrepOpsSpec measures total runs across a box sweep: Hilbert <
+    * Morton). Inputs masked to `[0, 2^order)`; the walk itself is the
+    * codegen'd [[graft.expr.HilbertIndex]].
+    */
+  def hilbertKey(x: Column, y: Column, order: Int = 16): Column =
+    graft.expr.HilbertIndex.hilbertIndex(x.cast("long"), y.cast("long"), order)
+
+  /** SQL twin of [[hilbertKey]] as a COMPLETE query: the per-level walk
+    * unrolled as a chain of MATERIALIZED CTEs, one per bit level. The
+    * chain must materialize — expressed as lateral aliases or plain
+    * subqueries, each level's 3-4 references to the previous level's
+    * state columns let the optimizer inline the whole walk into one
+    * expression tree that grows ~4^order (measured: the 16-level inline
+    * form never finishes; the materialized chain runs in milliseconds).
+    * `carry` columns pass through untouched; the index lands in
+    * `keyAlias`.
+    */
+  def hilbertKeySqlQuery(
+      x: String,
+      y: String,
+      from: String,
+      carry: Seq[String],
+      keyAlias: String,
+      order: Int = 16): String = {
+    val mask = (1L << order) - 1
+    val cs = carry.mkString(", ")
+    val init =
+      s"""hh0 AS MATERIALIZED (
+         |  SELECT $cs,
+         |    (CAST($x AS BIGINT) & $mask) AS hx0,
+         |    (CAST($y AS BIGINT) & $mask) AS hy0,
+         |    CAST(0 AS BIGINT) AS hacc0
+         |  FROM $from)""".stripMargin
+    val levels = (0 until order).map { i =>
+      val s = 1L << (order - 1 - i)
+      s"""hh${i + 1} AS MATERIALIZED (
+         |  SELECT $cs,
+         |    CASE WHEN (hy$i & $s) = 0 THEN
+         |      (CASE WHEN (hx$i & $s) != 0 THEN $s - 1 - hy$i ELSE hy$i END)
+         |    ELSE hx$i END AS hx${i + 1},
+         |    CASE WHEN (hy$i & $s) = 0 THEN
+         |      (CASE WHEN (hx$i & $s) != 0 THEN $s - 1 - hx$i ELSE hx$i END)
+         |    ELSE hy$i END AS hy${i + 1},
+         |    hacc$i + $s * $s * xor(
+         |      3 * (CASE WHEN (hx$i & $s) != 0 THEN 1 ELSE 0 END),
+         |      CASE WHEN (hy$i & $s) != 0 THEN 1 ELSE 0 END) AS hacc${i + 1}
+         |  FROM hh$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $init,
+       |$levels
+       |SELECT $cs, hacc$order AS $keyAlias FROM hh$order""".stripMargin
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AudioOps, ContaminationOps, DedupOps, ExperimentOps, GraphOps, IvfOps, JoinOps, LakeOps, LatticeKmeans, LmOps, MultimodalOps, PqOps, PrepOps, ProfileOps, SamplingOps, SearchOps, SimilarityOps, TextOps}
+import graft.ops.{AudioOps, ContaminationOps, DedupOps, ExperimentOps, GraphOps, IvfOps, JoinOps, LakeOps, LatticeKmeans, LmOps, MultimodalOps, PqOps, PrepOps, PrivacyOps, ProfileOps, SamplingOps, SearchOps, SimilarityOps, TextOps}
 import graft.streaming.{EventOps, IngestDedupStream}
 
 /** Training-data pipeline operators (dedup, similarity search, multimodal,
@@ -1089,6 +1089,17 @@ object PipelineQueries {
       t(s, dir, "lineitem").select(
         col("l_orderkey"), col("l_linenumber"),
         PrepOps.zorderKey(col("l_partkey"), col("l_suppkey")).as("zkey"))),
+
+    // Hilbert clustering key over the same access pattern: no diagonal
+    // jumps (consecutive curve positions are grid neighbors), so bbox
+    // predicates touch fewer contiguous key runs than under the Morton
+    // key in aggregate (PrepOpsSpec measures the box sweep). The
+    // stateful per-bit walk is one codegen'd expression; the oracle
+    // unrolls the identical walk level by level.
+    "q_hilbert_layout" -> ((s, dir) =>
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        PrepOps.hilbertKey(col("l_partkey"), col("l_suppkey")).as("hkey"))),
 
     // Embedding outlier scoring for curation: cosine of every vector to
     // its label centroid. The centroid comes from the EXACT fixed-point
@@ -3045,6 +3056,18 @@ object PipelineQueries {
         .select(col("id").as("c_custkey"), col("group").as("c_mktsegment"),
           col("cents"), col("z"))),
 
+    // One-bit randomized response (Warner 1965 / RAPPOR basic): each
+    // document "reports" lang='en' truthfully with p=3/4 (deterministic
+    // portable-hash coin — the production coin is client-side; the
+    // server-side estimator is identical); the unbiased per-source
+    // estimate (4*sum_r - n)/2 stays in exact integers as est_x2.
+    "q_randomized_response" -> ((s, dir) =>
+      PrivacyOps.randomizedResponse(
+        t(s, dir, "documents"),
+        idCol = col("doc_id"),
+        bitCol = coalesce(col("lang") === "en", lit(false)),
+        groupCol = col("source"))),
+
     // k-anonymity audit (privacy gate for releasable training data):
     // quasi-identifier groups smaller than k single out individuals —
     // report every violating group. ONE map-side-combined aggregate over
@@ -4713,6 +4736,27 @@ object PipelineQueries {
       s"""SELECT l_orderkey, l_linenumber,
          |  ${PrepOps.zorderKeySql("l_partkey", "l_suppkey")} AS zkey
          |FROM lineitem""".stripMargin,
+
+    // The coin replays as the same md5 15-hex-char parse the portable
+    // MinHash family uses; everything downstream is integer algebra.
+    "q_randomized_response" ->
+      s"""WITH r AS (
+         |  SELECT source AS grp,
+         |    CASE WHEN coalesce(lang = 'en', FALSE) THEN 1 ELSE 0 END AS b,
+         |    CAST(('0x' || substring(md5('rr:' || CAST(doc_id AS VARCHAR)), 1, 15))
+         |      AS BIGINT) % ${DedupOps.PortableHashPrime} % 4 AS c
+         |  FROM documents)
+         |SELECT grp, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(b) AS BIGINT) AS true_cnt,
+         |  CAST(sum(CASE WHEN c < 3 THEN b ELSE 1 - b END) AS BIGINT) AS sum_reported,
+         |  4 * CAST(sum(CASE WHEN c < 3 THEN b ELSE 1 - b END) AS BIGINT)
+         |    - CAST(count(*) AS BIGINT) AS est_x2
+         |FROM r GROUP BY grp""".stripMargin,
+
+    "q_hilbert_layout" ->
+      PrepOps.hilbertKeySqlQuery(
+        "l_partkey", "l_suppkey", "lineitem",
+        carry = Seq("l_orderkey", "l_linenumber"), keyAlias = "hkey"),
 
     "q_embed_outliers" ->
       s"""WITH e AS (

@@ -225,6 +225,48 @@ class PrepOpsSpec extends SparkSpec {
     assert(filesTouched(keys) == 1)
   }
 
+  test("hilbertKey matches the reference walk and is a bijection on the grid") {
+    val order = 6 // 64x64
+    val grid = for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y)
+    val got = grid.toDF("x", "y")
+      .select(PrepOps.hilbertKey($"x", $"y", order))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == grid.map { case (x, y) =>
+      graft.expr.HilbertIndex.xy2d(order, x, y) })
+    assert(got.toSet == (0L until 4096L).toSet, "bijection onto [0, 4^order)")
+    // adjacency: consecutive curve positions are grid neighbors — the
+    // property Morton lacks (its diagonal jumps) and the reason boxes
+    // split into fewer runs
+    val pos = grid.zip(got).map { case (p, d) => d -> p }.toMap
+    (0L until 4095L).foreach { d =>
+      val (x1, y1) = pos(d); val (x2, y2) = pos(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"curve jump at d=$d: ($x1,$y1)->($x2,$y2)")
+    }
+  }
+
+  test("hilbert box sweep needs fewer total key runs than morton") {
+    val order = 6
+    val grid = for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y)
+    val h = grid.map { case (x, y) =>
+      (x, y) -> graft.expr.HilbertIndex.xy2d(order, x, y) }.toMap
+    val z = grid.map { case (x, y) => (x, y) -> mortonRef(x, y) }.toMap
+    def runs(keyOf: ((Long, Long)) => Long,
+        x0: Long, x1: Long, y0: Long, y1: Long): Int = {
+      val ks = grid.filter { case (x, y) =>
+        x >= x0 && x <= x1 && y >= y0 && y <= y1 }.map(keyOf).sorted
+      1 + ks.zip(ks.tail).count { case (a, b) => b != a + 1 }
+    }
+    var hTotal = 0; var zTotal = 0
+    for (sz <- Seq(4L, 8L, 16L); x0 <- 0L until 64L - sz by 13; y0 <- 0L until 64L - sz by 13) {
+      val hr = runs(h, x0, x0 + sz - 1, y0, y0 + sz - 1)
+      val zr = runs(z, x0, x0 + sz - 1, y0, y0 + sz - 1)
+      hTotal += hr; zTotal += zr
+    }
+    assert(hTotal < zTotal,
+      s"hilbert total runs $hTotal should beat morton $zTotal")
+  }
+
   test("quantileNormalizeRef: rank-preserving map onto literal boundaries") {
     // boundaries [0, 10, 100], B=2: p<=0.5 interpolates [0,10], p>0.5 [10,100]
     val df = Seq(
