@@ -177,6 +177,95 @@ object LatticeKmeans {
         (col("node") === col("component")).cast("int").as("keep"))
   }
 
+  /** Integer squared L2 distance from a [[quantize]]d vector (as
+    * `array<double>` — integral values, so the codegen VecDot fold is
+    * exact) to one literal centroid: `|q|^2 + |c|^2 - 2*dot(q, c)`.
+    * Every term < 2^53 stays exact through the double fold; the result
+    * is cast back to an exact long.
+    */
+  private def centDist2(qd: Column, n2: Column, c: Array[Long]): Column =
+    n2 + lit(c.map(x => x * x).sum) -
+      lit(2L) * VectorExprs.vecDot(qd, typedLit(c.map(_.toDouble))).cast("long")
+
+  /** IVF top-k under the L2 metric with IN-QUERY TRAINING and a full
+    * oracle — the lattice answer to `q_sim_ivf_topk`'s rows-only floor
+    * (whose float cosine ranking cannot be oracled through float
+    * training). Exact-integer end to end: [[train]]ed coarse centroids,
+    * corpus assigned by the fused [[graft.expr.LatticeArgmin]] pass,
+    * each query probes its `nprobe` nearest lists (exact integer dist2
+    * to each centroid, ties on (dist2, j)), candidates = corpus rows in
+    * probed lists (list-id equi-join against the BROADCAST query side),
+    * ranked by exact integer dist2 with corpus-id ascending ties — the
+    * standard FAISS IVF-Flat/L2 search shape, deterministic on every
+    * engine.
+    *
+    * Scale shape mirrors [[IvfOps.ivfTopK]]: the corpus is scanned once
+    * (one codegen'd assignment pass), candidates are the only join rows,
+    * and the per-query top-k is a partial aggregate — no full-score
+    * shuffle. Returns (query_id, rank, corpus_id, dist2).
+    */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nLists: Int,
+      iters: Int,
+      nprobe: Int,
+      queryId: String = "vec_id",
+      corpusId: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nLists,
+      s"need 1 <= nprobe <= nLists, got $nprobe/$nLists")
+    val cents = train(corpus, nLists, iters, corpusId, vecCol)
+    val spark = corpus.sparkSession
+    if (cents.isEmpty)
+      return spark.emptyDataFrame.select(
+        lit(null).cast("long").as("query_id"),
+        lit(null).cast("int").as("rank"),
+        lit(null).cast("long").as("corpus_id"),
+        lit(null).cast("long").as("dist2")).limit(0)
+    def qd(c: Column) = quantize(c).cast("array<double>")
+    val cFrame = corpus.select(
+      col(corpusId).cast("long").as("corpus_id"),
+      qd(col(vecCol)).as("cv"),
+      VectorExprs.vecDot(qd(col(vecCol)), qd(col(vecCol)))
+        .cast("long").as("cn2"),
+      (packed(quantize(col(vecCol)), cents) % 16).cast("int").as("cid"))
+      .filter(col("cid").isNotNull)
+    val probeStructs = cents.zipWithIndex.map { case (c, j) =>
+      struct(centDist2(col("__qd"), col("qn2"), c).as("d2"),
+        lit(j).as("j"))
+    }
+    val qFrame = queries.select(
+      col(queryId).cast("long").as("query_id"),
+      qd(col(vecCol)).as("__qd"))
+      .withColumn("qn2",
+        VectorExprs.vecDot(col("__qd"), col("__qd")).cast("long"))
+      .filter(col("qn2").isNotNull)
+      .select(col("query_id"), col("__qd"), col("qn2"),
+        explode(slice(array_sort(array(probeStructs: _*)), 1, nprobe))
+          .as("__p"))
+      .select(col("query_id"), col("__qd").as("qv"), col("qn2"),
+        col("__p.j").as("cid"))
+    val scored = cFrame.join(broadcast(qFrame), "cid")
+      .withColumn("dist2",
+        col("cn2") + col("qn2") -
+          lit(2L) * VectorExprs.vecDot(col("cv"), col("qv")).cast("long"))
+    // (-dist2) as the higher-is-better score: |dist2| < 2^53 keeps the
+    // double exact, and id-ascending tie-break matches the oracle's
+    // ORDER BY dist2, corpus_id
+    scored
+      .groupBy(col("query_id"))
+      .agg(graft.agg.TopKFunctions.topKByScore(
+        -col("dist2").cast("double"), col("corpus_id"), k).as("__topk"))
+      .select(col("query_id"),
+        posexplode(col("__topk")).as(Seq("__pos", "__hit")))
+      .select(col("query_id"),
+        (col("__pos") + 1).cast("int").as("rank"),
+        col("__hit.id").as("corpus_id"),
+        (-col("__hit.score")).cast("long").as("dist2"))
+  }
+
   /** Train, then assign every vector under the final centroids:
     * (id, cluster, dist2) with exact integer dist2. NULL/mismatched
     * vectors keep their row with NULL cluster/dist2 (total pipeline).

@@ -501,6 +501,19 @@ object PipelineQueries {
     "q_kmeans_lattice" -> ((s, dir) =>
       LatticeKmeans.assignments(t(s, dir, "embeddings"), k = 4, iters = 2)),
 
+    // IVF ANN with IN-QUERY TRAINING and a full oracle: the lattice
+    // answer to q_sim_ivf_topk's rows-only floor. L2 metric, exact
+    // integer arithmetic end to end — trained coarse lists, fused
+    // assignment pass, nprobe probe selection, candidates-only join,
+    // (dist2, id) deterministic ranking. The float-cosine variant keeps
+    // its literal-centroid twin; this is the trained index made
+    // engine-exact.
+    "q_sim_ivf_lattice" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      LatticeKmeans.ivfTopK(e.filter(col("vec_id") < 10), e,
+        k = 10, nLists = 4, iters = 2, nprobe = 2)
+    }),
+
     // SemDeDup with NOTHING left un-oracled: lattice-trained clusters,
     // integer-exact within-cluster cosine test at tau = 7/20 (= the
     // 0.35 of the literal variant), recursive-CTE transitive closure.
@@ -3800,6 +3813,42 @@ object PipelineQueries {
        |FROM reach GROUP BY node""".stripMargin
   }
 
+  /** Fully-oracled IVF/L2 search on the lattice: training replay, corpus
+    * assignment (`fin`), per-query probe ranking, candidates-only join,
+    * exact-integer dist2 top-k — all BIGINT.
+    */
+  private def ivfLatticeOracle(
+      k: Int, iters: Int, dims: Int, nprobe: Int, topK: Int): String = {
+    def dotExpr(a: String, b: String) =
+      s"list_reduce(list_prepend(0::BIGINT, list_transform(" +
+        s"range(1, $dims + 1), i -> $a[i] * $b[i])), (x, y) -> x + y)"
+    s"""WITH ${kmeansLatticeCtes(k, iters, dims)},
+       |asg AS (
+       |  SELECT vec_id AS corpus_id, qv, j AS cid,
+       |    ${dotExpr("qv", "qv")} AS cn2
+       |  FROM fin WHERE rn = 1),
+       |qf AS (
+       |  SELECT vec_id AS query_id, qv, ${dotExpr("qv", "qv")} AS qn2
+       |  FROM q WHERE vec_id < 10),
+       |pr AS (
+       |  SELECT query_id, qv, qn2, j AS cid, row_number()
+       |    OVER (PARTITION BY query_id ORDER BY d2, j) AS prn
+       |  FROM (SELECT qf.query_id, qf.qv, qf.qn2, c.j,
+       |          qf.qn2 + ${dotExpr("c.qv", "c.qv")}
+       |            - 2 * ${dotExpr("qf.qv", "c.qv")} AS d2
+       |        FROM qf CROSS JOIN c$iters c)),
+       |sc AS (
+       |  SELECT pr.query_id, a.corpus_id,
+       |    pr.qn2 + a.cn2 - 2 * ${dotExpr("pr.qv", "a.qv")} AS dist2
+       |  FROM pr JOIN asg a ON a.cid = pr.cid WHERE pr.prn <= $nprobe),
+       |r AS (
+       |  SELECT query_id, corpus_id, dist2, row_number()
+       |    OVER (PARTITION BY query_id ORDER BY dist2, corpus_id) AS rnk
+       |  FROM sc)
+       |SELECT query_id, CAST(rnk AS INT) AS rank, corpus_id, dist2
+       |FROM r WHERE rnk <= $topK""".stripMargin
+  }
+
   /** Shared sample-replay CTEs for the audio oracles: every PCM sample
     * of every clip regenerated in HUGEINT mod-2^64 SQL via the splitmix
     * rounds ([[RefQueries.mixSql]]), then re-centered to signed 16-bit
@@ -3882,6 +3931,8 @@ object PipelineQueries {
     "q_kmeans_lattice" -> kmeansLatticeOracle(k = 4, iters = 2, dims = 64),
     "q_semdedup_lattice" ->
       semDedupLatticeOracle(k = 4, iters = 2, dims = 64, tauNum = 7, tauDen = 20),
+    "q_sim_ivf_lattice" ->
+      ivfLatticeOracle(k = 4, iters = 2, dims = 64, nprobe = 2, topK = 10),
 
     // Every PCM sample of every clip regenerated in HUGEINT SQL
     // (RefQueries.mixSql splitmix replay), then the same integer folds.

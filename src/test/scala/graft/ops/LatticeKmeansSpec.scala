@@ -82,6 +82,29 @@ class LatticeKmeansSpec extends SparkSpec {
     assert(out.contains((20L, 20L, 1)))
   }
 
+  test("ivfTopK with all lists probed == exact brute-force L2 ranking") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val got = LatticeKmeans.ivfTopK(
+      df.filter(col("vec_id") < 5), df, k = 8, nLists = 4, iters = 2,
+      nprobe = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // brute-force reference on the driver over the same quantization
+    val rows = df.select(col("vec_id"),
+      LatticeKmeans.quantize(col("embedding")).as("qv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val expect = rows.filter(_._1 < 5).flatMap { case (qid, qv) =>
+      rows.map { case (cid2, cv) => (cid2, d2(qv, cv)) }
+        .sortBy { case (cid2, d) => (d, cid2) }
+        .take(8).zipWithIndex
+        .map { case ((cid2, d), i) => (qid, i + 1, cid2, d) }
+    }.toSet
+    assert(got == expect)
+  }
+
   test("empty and all-null corpora yield total (null-clustered) output") {
     val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
     assert(LatticeKmeans.assignments(empty, 4, 2).collect().isEmpty)
