@@ -93,6 +93,12 @@ object GraftFunctions {
         graft.agg.MisraGriesAgg(exprs(0), intLit(exprs(1), "capacity"))
           .toAggregateExpression(isDistinct = false)
       }),
+    "hilbert_index" -> ("hilbert_index(x, y, order) - Hilbert-curve position of a 2-D grid cell (layout key)",
+      exprs => {
+        require(exprs.length == 3, "hilbert_index(x, y, order)")
+        graft.expr.HilbertIndex(lng(exprs(0)), lng(exprs(1)),
+          intLit(exprs(2), "order"))
+      }),
     "rolling_fingerprint" -> ("rolling_fingerprint(s) - code-point rolling hash mod 1e9+7",
       exprs => {
         require(exprs.length == 1, "rolling_fingerprint(s)")

@@ -266,6 +266,64 @@ object LatticeKmeans {
         (-col("__hit.score")).cast("long").as("dist2"))
   }
 
+  /** Farthest-point (k-center greedy) coreset selection on the lattice —
+    * the classic diversity-sampling pass for training-data curation:
+    * start from the lowest id (the portable "arbitrary first point"),
+    * then repeatedly pick the vector FARTHEST from the chosen set
+    * (max over rows of min over chosen of exact integer dist2, ties to
+    * the lowest id). Selecting m points costs m-1 corpus scans, each one
+    * fused [[graft.expr.LatticeArgmin]] pass (the chosen set IS the
+    * centroid matrix — hence m <= 16) plus a 1-row TakeOrdered; the
+    * driver holds only the m chosen vectors (the accepted k-bounded
+    * centroid-frame pattern). Deterministic end to end, and the whole
+    * greedy loop replays in DuckDB with the rounds unrolled.
+    *
+    * Returns (sel_rank 1..m, vec_id, min_dist2) in selection order;
+    * `min_dist2` is the squared distance to the previously-chosen set
+    * (NULL for the first pick) — the classic coreset radius curve.
+    */
+  def coresetSample(
+      vecs: DataFrame,
+      m: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(m >= 1 && m <= 16, s"need 1 <= m <= 16, got $m")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val q = vecs.select(
+      col(idCol).cast("long").as("id"), quantize(col(vecCol)).as("qv"))
+      .filter(col("qv").isNotNull)
+    val first = q.orderBy(col("id")).limit(1).collect()
+    if (first.isEmpty)
+      return Seq.empty[(Int, Long, Option[Long])]
+        .toDF("sel_rank", "vec_id", "min_dist2")
+    var chosen = Vector((first.head.getLong(0), first.head.getSeq[Long](1).toArray))
+    val picks = scala.collection.mutable.ArrayBuffer[(Int, Long, Option[Long])](
+      (1, chosen.head._1, None))
+    var r = 2
+    while (r <= m) {
+      val cents = chosen.map(_._2).toArray
+      val chosenIds = chosen.map(_._1)
+      val next = q
+        .filter(!col("id").isin(chosenIds: _*))
+        .select(col("id"), col("qv"),
+          shiftright(packed(col("qv"), cents), 4).as("md"))
+        .orderBy(col("md").desc, col("id").asc)
+        .limit(1)
+        .collect()
+      // corpus exhausted (fewer rows than m): stop early — duplicates
+      // of chosen points are still pickable (md = 0), chosen ids are not
+      if (next.isEmpty) { r = m + 1 }
+      else {
+        val row = next.head
+        picks += ((r, row.getLong(0), Some(row.getLong(2))))
+        chosen = chosen :+ ((row.getLong(0), row.getSeq[Long](1).toArray))
+        r += 1
+      }
+    }
+    picks.toSeq.toDF("sel_rank", "vec_id", "min_dist2")
+  }
+
   /** Train, then assign every vector under the final centroids:
     * (id, cluster, dist2) with exact integer dist2. NULL/mismatched
     * vectors keep their row with NULL cluster/dist2 (total pipeline).

@@ -501,6 +501,14 @@ object PipelineQueries {
     "q_kmeans_lattice" -> ((s, dir) =>
       LatticeKmeans.assignments(t(s, dir, "embeddings"), k = 4, iters = 2)),
 
+    // Farthest-point (k-center greedy) coreset selection — diversity
+    // sampling for curation, exact-integer on the lattice: m-1 fused
+    // assignment scans (the chosen set is the centroid matrix), 1-row
+    // TakeOrdered per round, ties to the lowest id. The greedy loop
+    // replays round by round in the oracle.
+    "q_coreset_sample" -> ((s, dir) =>
+      LatticeKmeans.coresetSample(t(s, dir, "embeddings"), m = 6)),
+
     // IVF ANN with IN-QUERY TRAINING and a full oracle: the lattice
     // answer to q_sim_ivf_topk's rows-only floor. L2 metric, exact
     // integer arithmetic end to end — trained coarse lists, fused
@@ -1214,7 +1222,9 @@ object PipelineQueries {
     // cannot appear as static literals in oracle SQL (training itself is
     // layout-invariant — IvfOps accumulates in fixed point precisely so the
     // result does not depend on partitioning); rows-only check here,
-    // recall/exactness are IvfOpsSpec-verified.
+    // recall/exactness are IvfOpsSpec-verified. The trained-index idea
+    // IS fully oracled in L2 form as q_sim_ivf_lattice — this entry
+    // keeps the float-cosine semantics.
     "q_sim_ivf_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val cents = IvfOps.trainCentroids(e, k = 8, iters = 2)
@@ -1322,7 +1332,10 @@ object PipelineQueries {
     // training), within-cluster cosine pairs (Σ|cluster|² — never
     // all-pairs), transitive closure, min-id representative per group.
     // Float k-means has no DuckDB twin -> rows-only; semantics pinned in
-    // SimilarityOpsSpec (planted groups == global brute-force components).
+    // SimilarityOpsSpec (planted groups == global brute-force
+    // components). The SAME pipeline with engine-exact training is
+    // fully oracled as q_semdedup_lattice — this entry keeps the
+    // paper's float semantics.
     "q_semdedup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val cents = IvfOps.trainCentroids(e, k = 8, iters = 2)
@@ -3849,6 +3862,41 @@ object PipelineQueries {
        |FROM r WHERE rnk <= $topK""".stripMargin
   }
 
+  /** DuckDB replay of the greedy farthest-point coreset: the rounds
+    * unrolled, each one a min-over-chosen distance aggregate and a
+    * (md DESC, vec_id) LIMIT 1 pick — exactly the Spark loop's
+    * TakeOrdered per round.
+    */
+  private def coresetOracle(m: Int, dims: Int): String = {
+    def distExpr(a: String, b: String) =
+      s"list_reduce(list_prepend(0::BIGINT, list_transform(" +
+        s"range(1, $dims + 1), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), " +
+        s"(x, y) -> x + y)"
+    val rounds = (2 to m).map { r =>
+      s"""md$r AS MATERIALIZED (
+         |  SELECT q.vec_id, q.qv, min(${distExpr("q.qv", "c.qv")}) AS md
+         |  FROM q CROSS JOIN ch${r - 1} c
+         |  WHERE q.vec_id NOT IN (SELECT vec_id FROM ch${r - 1})
+         |  GROUP BY q.vec_id, q.qv),
+         |s$r AS (SELECT vec_id, md FROM md$r ORDER BY md DESC, vec_id LIMIT 1),
+         |ch$r AS (SELECT vec_id, qv FROM ch${r - 1}
+         |         UNION ALL
+         |         SELECT q.vec_id, q.qv FROM q JOIN s$r ON q.vec_id = s$r.vec_id)""".stripMargin
+    }.mkString(",\n")
+    val out = (2 to m).map { r =>
+      s"UNION ALL SELECT CAST($r AS INT), vec_id, md FROM s$r"
+    }.mkString("\n")
+    s"""WITH q AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * ${LatticeKmeans.Scale} + 0.5) AS BIGINT)) AS qv
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |ch1 AS (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 1),
+       |$rounds
+       |SELECT CAST(1 AS INT) AS sel_rank, vec_id, CAST(NULL AS BIGINT) AS min_dist2
+       |FROM ch1
+       |$out""".stripMargin
+  }
+
   /** Shared sample-replay CTEs for the audio oracles: every PCM sample
     * of every clip regenerated in HUGEINT mod-2^64 SQL via the splitmix
     * rounds ([[RefQueries.mixSql]]), then re-centered to signed 16-bit
@@ -3933,6 +3981,7 @@ object PipelineQueries {
       semDedupLatticeOracle(k = 4, iters = 2, dims = 64, tauNum = 7, tauDen = 20),
     "q_sim_ivf_lattice" ->
       ivfLatticeOracle(k = 4, iters = 2, dims = 64, nprobe = 2, topK = 10),
+    "q_coreset_sample" -> coresetOracle(m = 6, dims = 64),
 
     // Every PCM sample of every clip regenerated in HUGEINT SQL
     // (RefQueries.mixSql splitmix replay), then the same integer folds.

@@ -129,6 +129,19 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(est == 3L) // 1 + 2
   }
 
+  test("hilbert_index from SQL text matches the reference walk") {
+    GraftFunctions.registerAll(spark)
+    val d = spark.sql("SELECT hilbert_index(5, 11, 4) AS d").as[Long].head()
+    assert(d == graft.expr.HilbertIndex.xy2d(4, 5L, 11L))
+    // int columns cast through the lng() guard, null propagates
+    val rows = spark.sql(
+      "SELECT hilbert_index(x, y, 6) AS d FROM VALUES " +
+        "(CAST(3 AS INT), CAST(7 AS INT)), (NULL, CAST(1 AS INT)) t(x, y)")
+      .collect()
+    assert(rows(0).getLong(0) == graft.expr.HilbertIndex.xy2d(6, 3L, 7L))
+    assert(rows(1).isNullAt(0))
+  }
+
   test("GraftExtensions wires the SQL surface (builder route + config-string loadability)") {
     // the production `spark.sql.extensions=graft.GraftExtensions` route
     // loads the class BY NAME through a zero-arg constructor — pin that

@@ -105,6 +105,29 @@ class LatticeKmeansSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("coresetSample picks greedy farthest points with lowest-id ties") {
+    // 1-D line embedded in 2-D: ids 0..4 at x = 0, 1, 2, 10, 11
+    val pts = Seq(0L -> 0f, 1L -> 1f, 2L -> 2f, 3L -> 10f, 4L -> 11f)
+    val df = pts.map { case (id, x) => (id, Seq(x / 16f, 0f)) }
+      .toDF("vec_id", "embedding")
+    val got = LatticeKmeans.coresetSample(df, m = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    val u = 65536L * 65536L // (1/16 scaled by 2^20)^2 per unit step
+    // pick 1: lowest id (0, at x=0). pick 2: farthest = x=11 (id 4,
+    // d2=121u). pick 3: min-dist map {1:1u, 2:4u, 3:1u} -> max 4u (id
+    // 2). pick 4: {1:1u, 3:1u} -> tie at 1u -> lowest id 1.
+    assert(got(0) == ((1, 0L, -1L)))
+    assert(got(1) == ((2, 4L, 121L * u)))
+    assert(got(2) == ((3, 2L, 4L * u)))
+    assert(got(3) == ((4, 1L, 1L * u)))
+    // corpus smaller than m: stops after exhausting ids
+    val small = LatticeKmeans.coresetSample(
+      pts.take(2).map { case (id, x) => (id, Seq(x / 16f, 0f)) }
+        .toDF("vec_id", "embedding"), m = 6)
+    assert(small.count() == 2)
+  }
+
   test("empty and all-null corpora yield total (null-clustered) output") {
     val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
     assert(LatticeKmeans.assignments(empty, 4, 2).collect().isEmpty)
