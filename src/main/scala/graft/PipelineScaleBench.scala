@@ -281,6 +281,41 @@ object PipelineScaleBench {
         vecs.filter(col("vec_id") < 10), vecs, k = 10, pqCb).count()
     }
 
+    // ---- lattice family (engine-exact training): what matters at
+    // 100 TB: training = iters x (one fused assignment scan + one
+    // k-group map-side-combined aggregate); semdedup candidates are
+    // Sigma|cluster|^2 rows (k=64 -> ~n^2/64 pairs on balanced
+    // clusters — k scales the bound down, capped at 256 by the argmin
+    // packing; beyond that, swap the packed long for a struct);
+    // coreset = m-1 scans with a 1-row TakeOrdered each.
+    vecs.cache().count()
+    stage("lattice_kmeans_k64x2") {
+      noop(graft.ops.LatticeKmeans.assignments(vecs, k = 64, iters = 2))
+    }
+    vecs.cache().count()
+    stage("lattice_semdedup_pairs") {
+      // pair-generation phase only (components are covered by
+      // cluster_components): k=64 trained lists, tau=0.95 integer test.
+      // Quarter subsample: the full 200k corpus measured 287 s — the
+      // honest Sigma|cluster|^2 = ~n^2/k pair cost (625M 64-dim dots);
+      // at production scale k tracks n (SemDeDup uses ~11k clusters per
+      // 1B docs) precisely so the per-cluster pair count stays flat.
+      graft.ops.LatticeKmeans.semDedup(
+        vecs.filter(pmod(col("vec_id"), lit(4)) === 0),
+        k = 64, iters = 1, tauNum = 19, tauDen = 20)
+        .filter(col("keep") === 0).count()
+    }
+    vecs.cache().count()
+    stage("lattice_coreset_m16") {
+      graft.ops.LatticeKmeans.coresetSample(vecs, m = 16).count()
+    }
+    vecs.cache().count()
+    stage("lattice_ivf_top10") {
+      graft.ops.LatticeKmeans.ivfTopK(
+        vecs.filter(col("vec_id") < 10), vecs, k = 10,
+        nLists = 64, iters = 1, nprobe = 8).count()
+    }
+
     // ---- event stages: nDocs x 10 synthetic events over a year for
     // nDocs/20 users, worker-generated. What matters at 100 TB: rolling
     // distinct collapses events to per-user day arrays (bounded by the

@@ -210,13 +210,15 @@ case class LshPlanesBucket(
   * (the [[LshPlanesBucket]] fusion pattern — k separate distance
   * expressions would each drag a dims-literal array through Janino).
   *
-  * Returns `dist2 * 16 + j` packed in one long (so one pass yields both
-  * outputs): `j` = lowest index among minimal distances (strict `<`
-  * keeps the first minimum — tie order is deterministic and matches the
-  * oracle's `ORDER BY dist2, j`), `dist2` exact in integer arithmetic.
-  * Callers unpack with `& 15` / `>> 4`. Bounds: k <= 16 and
-  * dist2 < 2^59 by construction for any sane quantization scale
-  * (|elem| <= 2^26, dims <= 2^6 gives dist2 <= 2^59 packed < 2^63).
+  * Returns `dist2 * 256 + j` packed in one long (so one pass yields
+  * both outputs): `j` = lowest index among minimal distances (strict
+  * `<` keeps the first minimum — tie order is deterministic and matches
+  * the oracle's `ORDER BY dist2, j`), `dist2` exact in integer
+  * arithmetic. Callers unpack with `& 255` / `>> 8`. Bounds: k <= 256
+  * (the packing width — chosen so the SemDeDup/IVF cluster count can
+  * scale the Sigma|cluster|^2 candidate bound down at corpus scale) and
+  * dist2 < 2^55, comfortably above any sane quantization
+  * (|elem| <= 2^22, dims <= 2^6 gives dist2 <= 2^50).
   *
   * NULL when: the vector is NULL, its length differs from the centroid
   * dims, or any element is NULL.
@@ -225,8 +227,8 @@ case class LatticeArgmin(
     child: Expression,
     cents: Seq[Seq[Long]]) extends UnaryExpression {
 
-  require(cents.nonEmpty && cents.size <= 16,
-    s"lattice_argmin needs 1..16 centroids, got ${cents.size}")
+  require(cents.nonEmpty && cents.size <= 256,
+    s"lattice_argmin needs 1..256 centroids, got ${cents.size}")
   require(cents.forall(_.size == cents.head.size),
     "lattice_argmin centroids must share one dimensionality")
 
@@ -267,7 +269,7 @@ case class LatticeArgmin(
       if (acc < best) { best = acc; bj = j }
       j += 1
     }
-    best * 16L + bj
+    best * 256L + bj
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -297,7 +299,7 @@ case class LatticeArgmin(
           }
           if ($ok && $acc < $best) { $best = $acc; $bj = $j; }
         }
-        if ($ok) { ${ev.isNull} = false; ${ev.value} = $best * 16L + $bj; }
+        if ($ok) { ${ev.isNull} = false; ${ev.value} = $best * 256L + $bj; }
       }
     """)
   }

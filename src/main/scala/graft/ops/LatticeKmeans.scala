@@ -57,7 +57,7 @@ object LatticeKmeans {
   def quantize(vec: Column): Column =
     transform(vec.cast("array<double>"), x => floor(x * Scale + 0.5))
 
-  /** Packed nearest-centroid column: `dist2 * 16 + cluster`. */
+  /** Packed nearest-centroid column: `dist2 * 256 + cluster`. */
   def packed(qv: Column, cents: Array[Array[Long]]): Column =
     VectorExprs.latticeArgmin(qv, cents.map(_.toSeq).toSeq)
 
@@ -71,7 +71,7 @@ object LatticeKmeans {
       iters: Int,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): Array[Array[Long]] = {
-    require(k >= 1 && k <= 16, s"need 1 <= k <= 16, got $k")
+    require(k >= 1 && k <= 256, s"need 1 <= k <= 256, got $k")
     require(iters >= 0, s"iters must be >= 0, got $iters")
     val q = vecs.select(
       col(idCol).cast("long").as("id"), quantize(col(vecCol)).as("qv"))
@@ -86,7 +86,7 @@ object LatticeKmeans {
       // doubles |q| < 2^21 — the truncation is exact)
       val sums = q
         .select(
-          (packed(col("qv"), cents) % 16).cast("int").as("cid"),
+          (packed(col("qv"), cents) % 256).cast("int").as("cid"),
           col("qv").cast("array<double>").as("v"))
         .filter(col("cid").isNotNull)
         .groupBy(col("cid"))
@@ -157,7 +157,7 @@ object LatticeKmeans {
     val qd = quantizePair(col(vecCol)).cast("array<double>")
     val assigned = vecs.select(
       col(idCol).cast("long").as("id"),
-      (packed(quantize(col(vecCol)), cents) % 16).cast("int").as("cid"),
+      (packed(quantize(col(vecCol)), cents) % 256).cast("int").as("cid"),
       qd.as("qs"),
       VectorExprs.vecDot(qd, qd).cast("long").as("n2"))
     val a = assigned.select(col("cid"), col("id").as("id_a"),
@@ -230,7 +230,7 @@ object LatticeKmeans {
       qd(col(vecCol)).as("cv"),
       VectorExprs.vecDot(qd(col(vecCol)), qd(col(vecCol)))
         .cast("long").as("cn2"),
-      (packed(quantize(col(vecCol)), cents) % 16).cast("int").as("cid"))
+      (packed(quantize(col(vecCol)), cents) % 256).cast("int").as("cid"))
       .filter(col("cid").isNotNull)
     val probeStructs = cents.zipWithIndex.map { case (c, j) =>
       struct(centDist2(col("__qd"), col("qn2"), c).as("d2"),
@@ -273,7 +273,7 @@ object LatticeKmeans {
     * (max over rows of min over chosen of exact integer dist2, ties to
     * the lowest id). Selecting m points costs m-1 corpus scans, each one
     * fused [[graft.expr.LatticeArgmin]] pass (the chosen set IS the
-    * centroid matrix — hence m <= 16) plus a 1-row TakeOrdered; the
+    * centroid matrix — hence m <= 256) plus a 1-row TakeOrdered; the
     * driver holds only the m chosen vectors (the accepted k-bounded
     * centroid-frame pattern). Deterministic end to end, and the whole
     * greedy loop replays in DuckDB with the rounds unrolled.
@@ -287,7 +287,7 @@ object LatticeKmeans {
       m: Int,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    require(m >= 1 && m <= 16, s"need 1 <= m <= 16, got $m")
+    require(m >= 1 && m <= 256, s"need 1 <= m <= 256, got $m")
     val spark = vecs.sparkSession
     import spark.implicits._
     val q = vecs.select(
@@ -307,7 +307,7 @@ object LatticeKmeans {
       val next = q
         .filter(!col("id").isin(chosenIds: _*))
         .select(col("id"), col("qv"),
-          shiftright(packed(col("qv"), cents), 4).as("md"))
+          shiftright(packed(col("qv"), cents), 8).as("md"))
         .orderBy(col("md").desc, col("id").asc)
         .limit(1)
         .collect()
@@ -344,7 +344,7 @@ object LatticeKmeans {
     base
       .select(col(idCol), packed(col("qv"), cents).as("p"))
       .select(col(idCol),
-        col("p").bitwiseAND(15L).cast("int").as("cluster"),
-        shiftright(col("p"), 4).as("dist2"))
+        col("p").bitwiseAND(255L).cast("int").as("cluster"),
+        shiftright(col("p"), 8).as("dist2"))
   }
 }

@@ -18,8 +18,8 @@ class LatticeKmeansSpec extends SparkSpec {
     val out = df.select(col("id"),
       VectorExprs.latticeArgmin(col("qv"), cents).as("p"))
       .select(col("id"),
-        col("p").bitwiseAND(15L).cast("int").as("c"),
-        shiftright(col("p"), 4).as("d2"))
+        col("p").bitwiseAND(255L).cast("int").as("c"),
+        shiftright(col("p"), 8).as("d2"))
       .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
     assert(out(1L) == ((0, 2L)))
     assert(out(2L) == ((1, 1L)))
