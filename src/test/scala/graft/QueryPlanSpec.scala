@@ -511,4 +511,40 @@ class QueryPlanSpec extends SparkSpec {
     assert(countOf(ja, "Exchange") == 1,
       s"one scalar aggregate shuffle only:\n$ja")
   }
+
+  test("round-6 additions keep their scale shapes") {
+    // q_hilbert_layout: the stateful walk is ONE codegen'd projection
+    // over the scan — zero shuffles, zero joins at any corpus size
+    val hl = finalPlan("q_hilbert_layout")
+    assert(countOf(hl, "Exchange") == 0 && !hl.contains("Join"),
+      s"hilbert key must be a pure map:\n$hl")
+
+    // q_kmeans_lattice (final assignment): same pure-map contract —
+    // training's per-round aggregates run as separate bounded jobs
+    val km = finalPlan("q_kmeans_lattice")
+    assert(countOf(km, "Exchange") == 0 && !km.contains("Join"),
+      s"lattice assignment must be a pure map:\n$km")
+
+    // q_audio_dup: payload-local codec, then ONE fingerprint shuffle
+    // with map-side partials — only (fp, count, min_id) rows move
+    val ad = finalPlan("q_audio_dup")
+    assert(countOf(ad, "Exchange") == 1 && !ad.contains("Join"),
+      s"one map-side-combined fingerprint shuffle only:\n$ad")
+    assert(countOf(ad, "HashAggregate") == 2,
+      s"partial + final aggregate expected:\n$ad")
+
+    // q_randomized_response: row-local coin, one group-sized aggregate
+    val rr = finalPlan("q_randomized_response")
+    assert(countOf(rr, "Exchange") == 1 && !rr.contains("Join"),
+      s"one group aggregate shuffle only:\n$rr")
+
+    // q_sim_ivf_lattice: the query side broadcasts (probes explode on
+    // the small side), the corpus is never re-shuffled before the join,
+    // and the top-k is a partial aggregate — no corpus-sized sort
+    val iv = finalPlan("q_sim_ivf_lattice")
+    assert(iv.contains("BroadcastHashJoin"),
+      s"query probes must broadcast:\n$iv")
+    assert(!iv.contains("SortMergeJoin") && !iv.contains("CartesianProduct"),
+      s"no corpus-side sort join:\n$iv")
+  }
 }
