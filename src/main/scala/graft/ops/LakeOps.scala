@@ -119,6 +119,102 @@ object LakeOps {
     zm.filter(zoneTouched(keyName, lo, hi) === 1)
       .select(col("zone")).collect().map(_.get(0)).toSeq
 
+  /** Per-partition Bloom-filter index — the point-lookup data-skipping
+    * complement to [[zoneMap]] (Delta/Iceberg `bloomFilterIndex`): zone
+    * maps prune RANGE predicates on clustered keys; a Bloom index prunes
+    * EQUALITY probes on high-cardinality keys the layout is NOT sorted by,
+    * where every zone's [min, max] envelope spans the whole keyspace.
+    *
+    * One row per (partition, 64-bit word): `k` bit positions per key from
+    * the oracle-replayable splitmix64 family ([[graft.expr.BloomBitPos]]),
+    * packed by a single map-side-combined `bit_or` aggregate. The output
+    * is layout-sized (|partitions| x mBits/64 rows), never corpus-sized —
+    * a 100 TB table's index is a broadcastable frame, and the build is one
+    * scan with no row shuffle (only k x distinct-words-per-task partial
+    * rows reach the exchange).
+    *
+    * Size `mBits` to the per-partition key count (~10 bits/key for ~1%
+    * fpp at k=3); an undersized filter saturates and prunes nothing —
+    * correct, just useless, exactly like a production Bloom index.
+    */
+  def bloomPartitionIndex(
+      df: DataFrame, partCol: Column, keyCol: Column,
+      mBits: Int = 65536, k: Int = 3): DataFrame = {
+    require(mBits > 0 && mBits % 64 == 0, s"mBits must be a multiple of 64, got $mBits")
+    require(k >= 1 && k <= 16, s"k must be in [1, 16], got $k")
+    val positions = (0 until k).map(j =>
+      graft.expr.BloomExprs.bitPos(keyCol.cast("long"), j, mBits))
+    df.select(partCol.as("part"), explode(array(positions: _*)).as("bitpos"))
+      .select(col("part"), expr("bitpos DIV 64").as("word_idx"),
+        expr("shiftleft(CAST(1 AS BIGINT), bitpos % 64)").as("mask"))
+      .groupBy("part", "word_idx")
+      .agg(expr("bit_or(mask)").as("word"))
+  }
+
+  /** The partitions a batch of equality probes must read: a probe passes a
+    * partition iff ALL `k` of its bits are set in that partition's filter.
+    * `index` and `probes` are both metadata-sized, so the whole decision
+    * is a broadcast join — no corpus scan. No false negatives ever; false
+    * positives at the filter's fpp. Returns `(probe, part)`.
+    */
+  def bloomCandidates(
+      index: DataFrame, probes: DataFrame, probeCol: Column,
+      mBits: Int, k: Int): DataFrame = {
+    val positions = (0 until k).map(j =>
+      graft.expr.BloomExprs.bitPos(col("probe"), j, mBits))
+    val probeBits = probes.select(probeCol.cast("long").as("probe"))
+      .select(col("probe"),
+        posexplode(array(positions: _*)).as(Seq("j", "bitpos")))
+      .select(col("probe"), col("j"),
+        expr("bitpos DIV 64").as("word_idx"),
+        expr("shiftleft(CAST(1 AS BIGINT), bitpos % 64)").as("mask"))
+    probeBits
+      .join(broadcast(index), "word_idx")
+      .where(col("word").bitwiseAND(col("mask")) === col("mask"))
+      // count(distinct j), not count(*): two hashes of one probe may land
+      // in the same (word, mask) — each j still joins its own row, and a
+      // missing bit drops exactly the j rows that need it
+      .groupBy(col("probe"), col("part"))
+      .agg(countDistinct(col("j")).as("n_bits_hit"))
+      .where(col("n_bits_hit") === k)
+      .select("probe", "part")
+  }
+
+  /** End-to-end point lookup THROUGH the index: build, prune, then scan
+    * only candidate partitions. Per probe: how many partitions the Bloom
+    * admitted, how many truly hold the key, and the exact row count —
+    * with `n_parts_total` alongside so the skip ratio is read directly
+    * off the result. Absent keys appear with zeros (the
+    * definitely-absent path: 0 candidates -> 0 partitions opened).
+    */
+  def bloomPointLookup(
+      data: DataFrame, partCol: Column, keyCol: Column,
+      probes: DataFrame, probeCol: Column,
+      mBits: Int = 65536, k: Int = 3): DataFrame = {
+    val index = bloomPartitionIndex(data, partCol, keyCol, mBits, k)
+    val cand = bloomCandidates(index, probes, probeCol, mBits, k)
+    val hits = data
+      .select(partCol.as("d_part"), keyCol.cast("long").as("d_key"))
+      .join(broadcast(cand),
+        col("d_part") === col("part") && col("d_key") === col("probe"))
+      .groupBy(col("probe").as("h_probe"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("d_part")).as("n_true_parts"))
+    val candCounts = cand.groupBy(col("probe").as("c_probe"))
+      .agg(count(lit(1)).as("n_candidate_parts"))
+    val nParts = index.select("part").distinct()
+      .agg(count(lit(1)).as("n_parts_total"))
+    probes.select(probeCol.cast("long").as("probe_key"))
+      .join(candCounts, col("probe_key") === col("c_probe"), "left")
+      .join(hits, col("probe_key") === col("h_probe"), "left")
+      .crossJoin(broadcast(nParts)) // 1-row frame
+      .select(col("probe_key"),
+        coalesce(col("n_candidate_parts"), lit(0L)).as("n_candidate_parts"),
+        coalesce(col("n_true_parts"), lit(0L)).as("n_true_parts"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        col("n_parts_total"))
+  }
+
   /** Small-file compaction plan (the lakehouse OPTIMIZE bin-pack):
     * assign existing files to merge bins of ~`targetBytes` within each
     * partition. Input is a file listing `(partCol, pathCol, bytesCol)` —

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AudioOps, ContaminationOps, DedupOps, ExperimentOps, GraphOps, IvfOps, JoinOps, LakeOps, LatticeKmeans, LmOps, MultimodalOps, PqOps, PrepOps, PrivacyOps, ProfileOps, SamplingOps, SearchOps, SimilarityOps, TextOps}
+import graft.ops.{AudioOps, ContaminationOps, DedupOps, ExperimentOps, GraphOps, IvfOps, JoinOps, LakeOps, LatticeKmeans, LmOps, MultimodalOps, PqOps, PrepOps, PrivacyOps, ProfileOps, SamplingOps, SearchOps, SimilarityOps, SketchOps, TextOps}
 import graft.streaming.{EventOps, IngestDedupStream}
 
 /** Training-data pipeline operators (dedup, similarity search, multimodal,
@@ -754,6 +754,24 @@ object PipelineQueries {
           .as("touch_cents"))
     }),
 
+    // Bloom-filter partition index — the point-lookup twin of q_zone_map:
+    // orders laid out by month, probed with 400 keys — 200 live ones and
+    // 200 from 1e12 up (absent at ANY scale factor; keys stay positive so
+    // the HUGEINT mod-2^64 replay stays on the unsigned branch). The
+    // splitmix64 family replays in HUGEINT SQL, so the oracle gates the
+    // PRUNING DECISIONS themselves (n_candidate_parts per probe), not
+    // just the row counts — a false negative or a wrongly-set bit on
+    // either side breaks the hash.
+    "q_bloom_index" -> ((s, dir) =>
+      LakeOps.bloomPointLookup(
+        t(s, dir, "orders"),
+        partCol = expr("year(o_orderdate) * 12 + month(o_orderdate)"),
+        keyCol = col("o_orderkey"),
+        probes = s.range(1, 201)
+          .union(s.range(1000000000001L, 1000000000201L)).toDF("probe"),
+        probeCol = col("probe"),
+        mBits = 65536, k = 3)),
+
     // Lake drift detection: one (n_rows, xor-of-content-hash) row per
     // (source, lang) partition — snapshot comparison without re-reading
     // either lake. The portable rolling fingerprint makes the XOR
@@ -1184,6 +1202,26 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_orders"), max(col("total")).as("total"))
         .filter(col("n_orders") * 1024 > col("total"))
         .select(col("o_custkey"), col("n_orders"))
+    }),
+
+    // Count-min sketch point-frequency estimates (SketchOps) — the
+    // fixed-space complement to q_heavy_hitters' Misra-Gries top-k. w=256
+    // is deliberately tight for ~1000 live keys so collisions HAPPEN and
+    // the min-fold does real work; the oracle replays every counter and
+    // gates est >= exact per probe (overcount is exact-valued, never a
+    // statistical bound, because the hash family is deterministic).
+    "q_cms_freq" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val sketch = SketchOps.cmsSketch(orders, col("o_custkey"), w = 256, d = 3)
+      val est = SketchOps.cmsEstimate(
+        sketch, s.range(1, 201).toDF("probe"), col("probe"), w = 256, d = 3)
+      val exact = orders.groupBy(col("o_custkey").cast("long").as("ck"))
+        .agg(count(lit(1)).as("exact_count"))
+      est.join(exact, col("probe") === col("ck"), "left")
+        .select(col("probe").as("probe_key"), col("cms_count"),
+          coalesce(col("exact_count"), lit(0L)).as("exact_count"),
+          (col("cms_count") - coalesce(col("exact_count"), lit(0L)))
+            .as("overcount"))
     }),
 
     // ------------------------------------------------------- vocabulary
@@ -1964,6 +2002,40 @@ object PipelineQueries {
       JoinOps.fuzzySelfPairs(
         t(s, dir, "customer").select(col("c_custkey"), col("c_name")),
         "c_custkey", "c_name")),
+
+    // Entity resolution end-to-end (EntityOps.goldenRecords): each
+    // customer becomes 1-2 dirty "feed observations" (evens get a copy
+    // with one deterministically-deleted character), the blocked matcher
+    // + connected components re-discover which observations are the same
+    // real-world entity, and survivorship merges each cluster into one
+    // golden record (longest-name winner with lineage, max-completeness
+    // acct). An 8-hex avalanche tag in the observation key keeps distinct
+    // customers >1 edit apart (bare c_name values are digit-neighbors —
+    // lev 1 — and would transitively chain the whole table into one
+    // entity), so clusters stay entity-sized — the over-linking control
+    // the Scaladoc prescribes.
+    "q_entity_golden" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("ck"),
+        concat(col("c_name"), lit(" "),
+          format_string("%08x",
+            col("c_custkey").cast("long") * 2654435761L % 4294967296L))
+          .as("nm"),
+        round(col("c_acctbal") * 100).cast("long").as("cents"))
+      val base = c.select((col("ck") * 2).as("rid"), col("nm").as("obs_name"),
+        col("cents").as("acct_cents"), lit(0).as("is_dirty"))
+      val p = (col("ck") % 10 + 10).cast("int")
+      val dirty = c.filter(col("ck") % 2 === 0).select(
+        (col("ck") * 2 + 1).as("rid"),
+        concat(col("nm").substr(lit(1), p - 1),
+          col("nm").substr(p + 1, length(col("nm")))).as("obs_name"),
+        lit(0L).as("acct_cents"), lit(1).as("is_dirty"))
+      graft.ops.EntityOps.goldenRecords(
+        base.unionByName(dirty), "rid", "obs_name",
+        Seq(count(lit(1)).as("n_members"),
+          sum(col("is_dirty")).cast("long").as("n_dirty"),
+          max(col("acct_cents")).as("acct_cents")))
+    }),
 
     // ------------------------------------- sort / top-k / window (engine
     // completeness; the reference needs none of these, SURVEY §2.5)
@@ -4128,6 +4200,59 @@ object PipelineQueries {
         |    THEN 1 ELSE 0 END AS touch_cents
         |FROM lineitem GROUP BY 1""".stripMargin,
 
+    // The Bloom pruning decisions replayed bit-for-bit: the same
+    // splitmix64 chain in HUGEINT mod-2^64 SQL (RefQueries.mixSql), the
+    // same (hash >>> 1) % mBits positions, the same all-k-bits pass rule.
+    "q_bloom_index" ->
+      s"""WITH o AS (
+         |  SELECT o_orderkey AS key,
+         |    year(CAST(o_orderdate AS DATE)) * 12
+         |      + month(CAST(o_orderdate AS DATE)) AS part
+         |  FROM orders),
+         |js(j) AS (VALUES (0), (1), (2)),
+         |kb AS (
+         |  SELECT part, key, j,
+         |  ${RefQueries.mixSql("a", "key::HUGEINT * 2654435761 + j")}
+         |  FROM o CROSS JOIN js),
+         |bits AS (SELECT DISTINCT part, (am // 2) % 65536 AS pos FROM kb),
+         |pr AS (SELECT t.range AS probe FROM range(1, 201) t
+         |       UNION ALL
+         |       SELECT t.range
+         |       FROM range(1000000000001, 1000000000201) t),
+         |pb AS (
+         |  SELECT probe, j,
+         |  ${RefQueries.mixSql("b", "probe::HUGEINT * 2654435761 + j")}
+         |  FROM pr CROSS JOIN js),
+         |pbits AS (SELECT probe, j, (bm // 2) % 65536 AS pos FROM pb),
+         |cand AS (
+         |  SELECT p.probe, b.part
+         |  FROM pbits p JOIN bits b ON b.pos = p.pos
+         |  GROUP BY p.probe, b.part
+         |  HAVING count(DISTINCT p.j) = 3),
+         |truth AS (
+         |  SELECT key, part, CAST(count(*) AS BIGINT) AS nr
+         |  FROM o GROUP BY 1, 2),
+         |hits AS (
+         |  SELECT c.probe,
+         |    CAST(count(*) AS BIGINT) AS n_true_parts,
+         |    CAST(sum(t.nr) AS BIGINT) AS n_rows
+         |  FROM cand c JOIN truth t ON t.part = c.part AND t.key = c.probe
+         |  GROUP BY 1),
+         |cc AS (
+         |  SELECT probe, CAST(count(*) AS BIGINT) AS n_candidate_parts
+         |  FROM cand GROUP BY 1),
+         |np AS (
+         |  SELECT CAST(count(DISTINCT part) AS BIGINT) AS n_parts_total
+         |  FROM o)
+         |SELECT pr.probe AS probe_key,
+         |  coalesce(cc.n_candidate_parts, 0) AS n_candidate_parts,
+         |  coalesce(hits.n_true_parts, 0) AS n_true_parts,
+         |  coalesce(hits.n_rows, 0) AS n_rows,
+         |  np.n_parts_total
+         |FROM pr LEFT JOIN cc ON cc.probe = pr.probe
+         |LEFT JOIN hits ON hits.probe = pr.probe
+         |CROSS JOIN np""".stripMargin,
+
     // Same portable rolling fingerprint; DuckDB's bit_xor is the same
     // order-free 64-bit fold.
     "q_partition_hash" ->
@@ -5185,6 +5310,38 @@ object PipelineQueries {
         |FROM orders GROUP BY o_custkey
         |HAVING count(*) * 1024 > (SELECT count(*) FROM orders)""".stripMargin,
 
+    // Every CMS counter regenerated in HUGEINT splitmix SQL, then the
+    // same min-fold — the estimate values themselves are gated, and with
+    // them the est >= exact guarantee (overcount would go negative on a
+    // hash-family or fold bug and break the hash compare).
+    "q_cms_freq" ->
+      s"""WITH o AS (SELECT o_custkey AS key FROM orders),
+         |js(j) AS (VALUES (0), (1), (2)),
+         |cells AS (
+         |  SELECT j, (am // 2) % 256 AS bucket,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT key, j,
+         |    ${RefQueries.mixSql("a", "key::HUGEINT * 2654435761 + j")}
+         |    FROM o CROSS JOIN js)
+         |  GROUP BY 1, 2),
+         |pr AS (SELECT t.range AS probe FROM range(1, 201) t),
+         |pc AS (
+         |  SELECT probe, j, (bm // 2) % 256 AS bucket
+         |  FROM (SELECT probe, j,
+         |    ${RefQueries.mixSql("b", "probe::HUGEINT * 2654435761 + j")}
+         |    FROM pr CROSS JOIN js)),
+         |est AS (
+         |  SELECT probe, min(coalesce(c.cnt, 0)) AS cms_count
+         |  FROM pc LEFT JOIN cells c ON c.j = pc.j AND c.bucket = pc.bucket
+         |  GROUP BY 1),
+         |ex AS (SELECT o_custkey AS ck, CAST(count(*) AS BIGINT) AS exact_count
+         |       FROM orders GROUP BY 1)
+         |SELECT e.probe AS probe_key,
+         |  CAST(e.cms_count AS BIGINT) AS cms_count,
+         |  coalesce(x.exact_count, 0) AS exact_count,
+         |  CAST(e.cms_count - coalesce(x.exact_count, 0) AS BIGINT) AS overcount
+         |FROM est e LEFT JOIN ex x ON x.ck = e.probe""".stripMargin,
+
     "q_vocab_topk" ->
       s"""SELECT token, CAST(count(*) AS BIGINT) AS tf,
          | CAST(count(DISTINCT doc_id) AS BIGINT) AS df
@@ -5889,6 +6046,52 @@ object PipelineQueries {
         |SELECT l_returnflag, 'sum_price_cents', sum_price_cents FROM w
         |UNION ALL
         |SELECT l_returnflag, 'n_rows', n_rows FROM w""".stripMargin,
+
+    // All-pairs matcher + recursive-CTE components + the same windowed
+    // survivorship order — the gate proves blocking completeness AND
+    // cluster-label agreement AND deterministic tie-breaks at once.
+    "q_entity_golden" ->
+      """WITH RECURSIVE c AS (
+        |  SELECT c_custkey AS ck,
+        |    c_name || ' '
+        |      || printf('%08x', (c_custkey * 2654435761) % 4294967296) AS nm,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer),
+        |recs AS (
+        |  SELECT ck * 2 AS rid, nm AS obs_name, cents AS acct_cents,
+        |    0 AS is_dirty
+        |  FROM c
+        |  UNION ALL
+        |  SELECT ck * 2 + 1,
+        |    substr(nm, 1, (ck % 10 + 10) - 1)
+        |      || substr(nm, ck % 10 + 10 + 1, length(nm)),
+        |    CAST(0 AS BIGINT), 1
+        |  FROM c WHERE ck % 2 = 0),
+        |pairs AS (
+        |  SELECT a.rid AS u, b.rid AS v FROM recs a JOIN recs b
+        |  ON a.rid < b.rid AND levenshtein(a.obs_name, b.obs_name) <= 1),
+        |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+        |reach(n, r) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+        |  UNION
+        |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.n),
+        |comp AS (SELECT n, min(r) AS component FROM reach GROUP BY n),
+        |tagged AS (
+        |  SELECT r.*, coalesce(cp.component, r.rid) AS entity_id
+        |  FROM recs r LEFT JOIN comp cp ON cp.n = r.rid),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY entity_id
+        |    ORDER BY length(obs_name) DESC, obs_name DESC, rid) AS rn
+        |  FROM tagged),
+        |agg AS (
+        |  SELECT entity_id, CAST(count(*) AS BIGINT) AS n_members,
+        |    CAST(sum(is_dirty) AS BIGINT) AS n_dirty,
+        |    CAST(max(acct_cents) AS BIGINT) AS acct_cents
+        |  FROM tagged GROUP BY 1)
+        |SELECT a.entity_id, a.n_members, a.n_dirty, a.acct_cents,
+        |  r.obs_name AS name, r.rid AS src_rid
+        |FROM agg a JOIN ranked r
+        |  ON r.entity_id = a.entity_id AND r.rn = 1""".stripMargin,
 
     // The all-pairs formulation the Spark side's blocking must equal.
     "q_fuzzy_join" ->

@@ -400,4 +400,73 @@ class LakeOpsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/docs")
       .select("doc_id").as[Long].collect().toSet == Set(5L, 6L, 7L))
   }
+
+  // reference splitmix64 — the same chain BloomBitPos generates
+  private def refMix(x: Long): Long = {
+    var z = x + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+  private def refPos(key: Long, j: Int, m: Int): Int =
+    ((refMix(key * 2654435761L + j) >>> 1) % m).toInt
+
+  test("bloomPartitionIndex: packed words equal a reference bitset") {
+    val m = 256; val k = 3
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b"), (1000000007L, "b"))
+      .toDF("key", "part")
+    val idx = LakeOps.bloomPartitionIndex(df, $"part", $"key", m, k)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val expected = scala.collection.mutable.Map.empty[(String, Long), Long]
+    for ((key, part) <- Seq((1L, "a"), (2L, "a"), (3L, "b"), (1000000007L, "b"));
+         j <- 0 until k) {
+      val pos = refPos(key, j, m)
+      val wk = (part, pos / 64L)
+      expected(wk) = expected.getOrElse(wk, 0L) | (1L << (pos % 64))
+    }
+    assert(idx == expected.toMap)
+  }
+
+  test("bloomPointLookup: no false negatives, absent keys prune to zero") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    // 100 live keys + 100 absent at any scale (testdata orderkeys are
+    // dense from 0, so "absent" must come from far outside the keyspace)
+    val probeKeys =
+      (1L until 101L) ++ (1000000000001L until 1000000000101L)
+    val out = LakeOps.bloomPointLookup(
+      orders,
+      partCol = expr("year(o_orderdate) * 12 + month(o_orderdate)"),
+      keyCol = col("o_orderkey"),
+      probes = probeKeys.toDF("probe"),
+      probeCol = col("probe"),
+      mBits = 65536, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+
+    val truth = orders
+      .select(col("o_orderkey").cast("long"),
+        expr("year(o_orderdate) * 12 + month(o_orderdate)").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val truthByKey = truth.groupBy(_._1)
+    val nParts = truth.map(_._2).distinct.length.toLong
+
+    assert(out.size == 200)
+    for (p <- probeKeys) {
+      val (nCand, nTrue, nRows, nTotal) = out(p)
+      val t = truthByKey.getOrElse(p, Array.empty)
+      assert(nTotal == nParts)
+      // soundness: every partition truly holding the key is admitted
+      assert(nTrue == t.map(_._2).distinct.length.toLong)
+      assert(nRows == t.length.toLong)
+      assert(nCand >= nTrue, s"false negative for probe $p")
+    }
+    // the index actually skips: absent probes admit (almost) nothing.
+    // 65536 bits vs ~15-40 keys/partition => fpp ~ 1e-8; >0 would mean
+    // the filter is saturated or the hash family degenerate
+    val absent = probeKeys.filter(p => !truthByKey.contains(p))
+    assert(absent.size >= 100)
+    assert(absent.map(p => out(p)._1).sum == 0L,
+      "absent keys must prune every partition at this m/n ratio")
+  }
 }
