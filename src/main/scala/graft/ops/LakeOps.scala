@@ -205,8 +205,9 @@ object LakeOps {
     val nParts = index.select("part").distinct()
       .agg(count(lit(1)).as("n_parts_total"))
     probes.select(probeCol.cast("long").as("probe_key"))
-      .join(candCounts, col("probe_key") === col("c_probe"), "left")
-      .join(hits, col("probe_key") === col("h_probe"), "left")
+      // both sides are probe-bounded frames — broadcast at plan time
+      .join(broadcast(candCounts), col("probe_key") === col("c_probe"), "left")
+      .join(broadcast(hits), col("probe_key") === col("h_probe"), "left")
       .crossJoin(broadcast(nParts)) // 1-row frame
       .select(col("probe_key"),
         coalesce(col("n_candidate_parts"), lit(0L)).as("n_candidate_parts"),

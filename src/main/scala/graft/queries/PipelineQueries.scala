@@ -1212,12 +1212,18 @@ object PipelineQueries {
     // statistical bound, because the hash family is deterministic).
     "q_cms_freq" -> ((s, dir) => {
       val orders = t(s, dir, "orders")
+      val probes = s.range(1, 201).toDF("probe")
       val sketch = SketchOps.cmsSketch(orders, col("o_custkey"), w = 256, d = 3)
-      val est = SketchOps.cmsEstimate(
-        sketch, s.range(1, 201).toDF("probe"), col("probe"), w = 256, d = 3)
-      val exact = orders.groupBy(col("o_custkey").cast("long").as("ck"))
-        .agg(count(lit(1)).as("exact_count"))
-      est.join(exact, col("probe") === col("ck"), "left")
+      val est = SketchOps.cmsEstimate(sketch, probes, col("probe"), w = 256, d = 3)
+      // the exact leg stays probe-bounded: broadcast-semi the corpus down
+      // to probed keys FIRST, so the verification frame never grows with
+      // the key universe (the sketch exists precisely because that
+      // universe is too big to groupBy)
+      val exact = orders
+        .join(broadcast(probes.select(col("probe").as("ck"))),
+          col("o_custkey").cast("long") === col("ck"))
+        .groupBy("ck").agg(count(lit(1)).as("exact_count"))
+      est.join(broadcast(exact), col("probe") === col("ck"), "left")
         .select(col("probe").as("probe_key"), col("cms_count"),
           coalesce(col("exact_count"), lit(0L)).as("exact_count"),
           (col("cms_count") - coalesce(col("exact_count"), lit(0L)))

@@ -547,4 +547,34 @@ class QueryPlanSpec extends SparkSpec {
     assert(!iv.contains("SortMergeJoin") && !iv.contains("CartesianProduct"),
       s"no corpus-side sort join:\n$iv")
   }
+
+  test("bloom index / CMS / entity golden keep their scale shapes") {
+    // q_bloom_index: the index and every probe decision are broadcast
+    // joins (index and probes are metadata-sized); the only non-hash
+    // join is the deliberate 1-row n_parts_total crossJoin. The corpus
+    // is never sort-merge joined or exploded all-pairs.
+    val bi = finalPlan("q_bloom_index")
+    assert(bi.contains("BroadcastHashJoin"),
+      s"index/candidate joins must broadcast:\n$bi")
+    assert(!bi.contains("SortMergeJoin") && !bi.contains("CartesianProduct"),
+      s"no corpus-side sort join in the lookup:\n$bi")
+
+    // q_cms_freq: sketch-sized build aggregate (partial + final), then
+    // probe estimates ride a broadcast of the sketch
+    val cm = finalPlan("q_cms_freq")
+    assert(cm.contains("BroadcastHashJoin"),
+      s"sketch must broadcast to the probes:\n$cm")
+    assert(!cm.contains("SortMergeJoin") && !cm.contains("CartesianProduct"),
+      s"no sort join in the sketch path:\n$cm")
+
+    // q_entity_golden: the matcher meets on variant hashes (hash join,
+    // never all-pairs) and survivorship windows are entity-partitioned
+    val eg = finalPlan("q_entity_golden")
+    assert(!eg.contains("CartesianProduct"),
+      s"no all-pairs stage anywhere:\n$eg")
+    assert(eg.contains("Window"), s"survivorship window expected:\n$eg")
+    assert(!eg.contains("Window [") ||
+      !eg.contains("windowspecdefinition()"),
+      s"survivorship window must be partitioned:\n$eg")
+  }
 }
