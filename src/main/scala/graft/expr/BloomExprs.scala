@@ -97,10 +97,53 @@ case class BloomBitPos(child: Expression, salt: Int, mBits: Int)
   override def prettyName: String = "bloom_bit_pos"
 }
 
+/** The raw 64-bit member of the same family: `splitmix64(key * 2654435761
+  * + salt)` with no truncation — the full-width hash behind the KMV
+  * distinct sketch (order statistics need all 63 bits after the sign
+  * shift, so [[BloomBitPos]]'s modular cut is the wrong shape there).
+  * Same wrapping-in-generated-Java / HUGEINT-mod-2^64 replay contract.
+  */
+case class SplitmixHash(child: Expression, salt: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"splitmix_hash needs BIGINT key, got $t")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    var z = v.asInstanceOf[Long] * 2654435761L + salt + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val z = ctx.freshName("z")
+      s"""long $z = $c * 2654435761L + $salt + 0x9e3779b97f4a7c15L;
+         |$z = ($z ^ ($z >>> 30)) * 0xbf58476d1ce4e5b9L;
+         |$z = ($z ^ ($z >>> 27)) * 0x94d049bb133111ebL;
+         |${ev.value} = $z ^ ($z >>> 31);""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SplitmixHash =
+    copy(child = newChild)
+  override def prettyName: String = "splitmix_hash"
+}
+
 object BloomExprs {
   /** Membership-probe column against `bloom` (codegen'd, row-local). */
   def mightContainLong(key: Column, bloom: BloomFilter): Column =
     Bridge.column(BloomMightContainLong(Bridge.expression(key), bloom))
+
+  /** Full-width hash `salt` of `key` (see [[SplitmixHash]]). */
+  def splitmixHash(key: Column, salt: Int): Column =
+    Bridge.column(SplitmixHash(Bridge.expression(key), salt))
 
   /** Hash `salt` of `key` into a bit position in `[0, mBits)` — the
     * oracle-replayable Bloom hash family (see [[BloomBitPos]]).

@@ -41,6 +41,51 @@ object SketchOps {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** KMV (k-minimum-values) distinct sketch, Bar-Yossef et al. 2002: per
+    * group, keep the k SMALLEST distinct 63-bit hashes of the key; the
+    * k-th smallest `u` estimates the distinct count as
+    * `(k-1) * 2^63 / u` (hashes of a set of n distinct keys behave like n
+    * uniform draws, so the k-th order statistic sits near `k/n` of the
+    * range). Unlike HLL++, every number here is DETERMINISTIC given the
+    * hash family — the shared splitmix64 chain — so a DuckDB oracle gates
+    * the k-th hash and the estimate bit-for-bit, not an error band.
+    *
+    * Scale shape: the buffer rides [[graft.agg.TopKByScoreAgg]] (constant
+    * score, long id => exact integer k-smallest with set semantics), i.e.
+    * standard two-phase hash aggregation — each map task forwards <= k
+    * values per group, the shuffle carries groups x k x partitions rows,
+    * and sketches MERGE (union of k-smallest is the k-smallest of the
+    * union), which is what makes KMV a lake-metadata citizen like the
+    * zone map and the Bloom index.
+    *
+    * Output per group: `n_kept` (min(k, distinct hashes)), `kth_hash`
+    * (NULL when the group holds fewer than k distinct hashes — the sketch
+    * then IS the exact distinct set) and `est_distinct`.
+    */
+  def kmvDistinct(
+      df: DataFrame, groups: Seq[(String, Column)], keyCol: Column,
+      k: Int): DataFrame = {
+    require(k >= 2 && k <= 65536, s"k must be in [2, 65536], got $k")
+    require(groups.nonEmpty, "need at least one group column")
+    val u = shiftrightunsigned(
+      BloomExprs.splitmixHash(keyCol.cast("long"), 0), 1)
+    val kmv = col("__kmv")
+    val kth = get(kmv, lit(k - 1)).getField("id")
+    df.select(groups.map { case (n, c) => c.as(n) } :+ u.as("__u"): _*)
+      .groupBy(groups.map { case (n, _) => col(n) }: _*)
+      .agg(graft.agg.TopKFunctions.topKByScore(lit(0.0), col("__u"), k)
+        .as("__kmv"))
+      .select(groups.map { case (n, _) => col(n) } ++ Seq(
+        size(kmv).cast("long").as("n_kept"),
+        when(size(kmv) >= k, kth).as("kth_hash"),
+        when(size(kmv) >= k,
+          // division FIRST, then multiply — the oracle runs the same
+          // two correctly-rounded IEEE ops in the same order
+          lit((k - 1).toDouble) *
+            (lit(9223372036854775808.0) / kth.cast("double")))
+          .otherwise(size(kmv).cast("double")).as("est_distinct")): _*)
+  }
+
   /** Point-query the sketch for each probe: `est = min_j grid[j][h_j(p)]`
     * (missing cells read 0). `sketch` and `probes` are both tiny, so the
     * whole lookup is broadcast joins.

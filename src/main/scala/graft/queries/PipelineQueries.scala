@@ -1230,6 +1230,32 @@ object PipelineQueries {
             .as("overcount"))
     }),
 
+    // KMV distinct sketch (SketchOps.kmvDistinct) — the third sketch leg:
+    // Misra-Gries answers "which keys are hot", CMS "how often is key x",
+    // KMV "how many distinct keys" — and unlike the HLL++ in
+    // q_approx_distinct (gated within 5%), every KMV number is
+    // deterministic, so the oracle pins the k-th order-statistic hash and
+    // the estimate bit-for-bit. Grouped by (month, status): F/O cells
+    // hold > k distinct custkeys (estimate branch), the rare 'P' cells
+    // fewer (exact small-set branch) — both paths live at every SF.
+    "q_kmv_distinct" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val month = expr("year(o_orderdate) * 12 + month(o_orderdate)")
+      val sk = SketchOps.kmvDistinct(
+        o, Seq("part_month" -> month.cast("long"),
+          "status" -> col("o_orderstatus")),
+        col("o_custkey"), k = 64)
+      val exact = o
+        .groupBy(month.cast("long").as("m2"), col("o_orderstatus").as("s2"))
+        .agg(countDistinct(col("o_custkey")).as("n_exact"))
+      sk.join(broadcast(exact),
+          col("part_month") === col("m2") && col("status") === col("s2"))
+        .select(col("part_month"), col("status"), col("n_kept"),
+          col("kth_hash"), col("est_distinct"), col("n_exact"),
+          (col("est_distinct") / col("n_exact").cast("double"))
+            .as("est_ratio"))
+    }),
+
     // ------------------------------------------------------- vocabulary
     "q_vocab_topk" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -5347,6 +5373,46 @@ object PipelineQueries {
          |  coalesce(x.exact_count, 0) AS exact_count,
          |  CAST(e.cms_count - coalesce(x.exact_count, 0) AS BIGINT) AS overcount
          |FROM est e LEFT JOIN ex x ON x.ck = e.probe""".stripMargin,
+
+    // The k-th order statistic of the distinct hash set, replayed in
+    // HUGEINT SQL; the estimate is the same two correctly-rounded IEEE
+    // ops (divide, then multiply) on it.
+    "q_kmv_distinct" ->
+      s"""WITH o AS (
+         |  SELECT CAST(year(CAST(o_orderdate AS DATE)) * 12
+         |           + month(CAST(o_orderdate AS DATE)) AS BIGINT) AS part_month,
+         |    o_orderstatus AS status, o_custkey AS key
+         |  FROM orders),
+         |m AS (
+         |  SELECT DISTINCT part_month, status, (am // 2) AS u
+         |  FROM (SELECT part_month, status,
+         |    ${RefQueries.mixSql("a", "key::HUGEINT * 2654435761")}
+         |    FROM o)),
+         |r AS (
+         |  SELECT part_month, status, u, row_number() OVER (
+         |    PARTITION BY part_month, status ORDER BY u) AS rk
+         |  FROM m),
+         |cnt AS (
+         |  SELECT part_month, status, CAST(count(*) AS BIGINT) AS n_all
+         |  FROM m GROUP BY 1, 2),
+         |kth AS (
+         |  SELECT part_month, status, CAST(u AS BIGINT) AS kth_hash
+         |  FROM r WHERE rk = 64),
+         |ex AS (
+         |  SELECT part_month, status,
+         |    CAST(count(DISTINCT key) AS BIGINT) AS n_exact
+         |  FROM o GROUP BY 1, 2)
+         |SELECT c.part_month, c.status,
+         |  CAST(least(c.n_all, 64) AS BIGINT) AS n_kept,
+         |  k.kth_hash,
+         |  CASE WHEN k.kth_hash IS NULL THEN CAST(c.n_all AS DOUBLE)
+         |       ELSE 63.0 * (9223372036854775808.0 / CAST(k.kth_hash AS DOUBLE))
+         |  END AS est_distinct,
+         |  e.n_exact,
+         |  est_distinct / CAST(e.n_exact AS DOUBLE) AS est_ratio
+         |FROM cnt c
+         |LEFT JOIN kth k ON k.part_month = c.part_month AND k.status = c.status
+         |JOIN ex e ON e.part_month = c.part_month AND e.status = c.status""".stripMargin,
 
     "q_vocab_topk" ->
       s"""SELECT token, CAST(count(*) AS BIGINT) AS tf,

@@ -576,5 +576,17 @@ class QueryPlanSpec extends SparkSpec {
     assert(!eg.contains("Window [") ||
       !eg.contains("windowspecdefinition()"),
       s"survivorship window must be partitioned:\n$eg")
+
+    // q_kmv_distinct: the sketch is a bounded-buffer aggregate riding
+    // two-phase ObjectHashAggregate (<= k values per group per map task
+    // reach the exchange — never a per-group sort of all hashes), and
+    // the exact-verify leg broadcasts
+    val kv = finalPlan("q_kmv_distinct")
+    assert(countOf(kv, "ObjectHashAggregate") >= 2,
+      s"partial + final sketch aggregate expected:\n$kv")
+    assert(kv.contains("BroadcastHashJoin"),
+      s"exact leg must broadcast:\n$kv")
+    assert(!kv.contains("SortMergeJoin") && !kv.contains("CartesianProduct"),
+      s"no sort join in the sketch path:\n$kv")
   }
 }

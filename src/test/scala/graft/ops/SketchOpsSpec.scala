@@ -48,4 +48,39 @@ class SketchOpsSpec extends SparkSpec {
     for (p <- 1L to 60L)
       assert(wide(p) == exact.getOrElse(p, 0L), s"inexact at $p")
   }
+
+  private def kmvRow(keys: Seq[Long], k: Int) = {
+    val df = keys.map(x => ("g", x)).toDF("g", "key")
+    SketchOps.kmvDistinct(df, Seq("grp" -> $"g"), $"key", k)
+      .collect().map(r => (r.getAs[Long]("n_kept"),
+        Option(r.getAs[java.lang.Long]("kth_hash")).map(_.longValue),
+        r.getAs[Double]("est_distinct"))).head
+  }
+
+  test("kmvDistinct: kth hash is the exact k-th smallest; duplicates collapse") {
+    val k = 8
+    val keys = (1L to 40L) ++ (1L to 40L) // every key twice
+    val hashes = (1L to 40L).map(x => refMix(x * 2654435761L) >>> 1).sorted
+    val (nKept, kth, est) = kmvRow(keys, k)
+    assert(nKept == k && kth.contains(hashes(k - 1)))
+    assert(est == 7.0 * (9223372036854775808.0 / hashes(k - 1).toDouble))
+    // the estimate lands in sane territory for n=40, k=8 (sigma ~ 38%)
+    assert(est > 10.0 && est < 160.0, s"estimate $est wildly off for n=40")
+  }
+
+  test("kmvDistinct: under-k group degrades to the exact distinct count") {
+    val (nKept, kth, est) = kmvRow(Seq(5L, 5L, 9L, 9L, 13L), 8)
+    assert(nKept == 3L && kth.isEmpty && est == 3.0)
+  }
+
+  test("kmvDistinct merges: 1-partition == 8-partition sketch") {
+    val keys = (1L to 500L).map(x => ("g", x % 97))
+    val one = SketchOps.kmvDistinct(
+      keys.toDF("g", "key").repartition(1), Seq("grp" -> $"g"), $"key", 16)
+      .collect().map(_.toSeq).toSeq
+    val eight = SketchOps.kmvDistinct(
+      keys.toDF("g", "key").repartition(8), Seq("grp" -> $"g"), $"key", 16)
+      .collect().map(_.toSeq).toSeq
+    assert(one == eight)
+  }
 }
