@@ -151,6 +151,18 @@ object LakeOps {
       .agg(expr("bit_or(mask)").as("word"))
   }
 
+  /** Incremental index maintenance: fold freshly-ingested partitions'
+    * word rows into an existing index without touching the rest — Bloom
+    * bitsets are an OR-monoid, so append-only ingest never rebuilds
+    * history (`bit_or` of the union; both frames are layout-sized). An
+    * overwritten partition must instead be dropped from `index` before
+    * merging (bits cannot be unset), same as any destructive lake op.
+    */
+  def mergeBloomIndexes(index: DataFrame, delta: DataFrame): DataFrame =
+    index.unionByName(delta)
+      .groupBy("part", "word_idx")
+      .agg(expr("bit_or(word)").as("word"))
+
   /** The partitions a batch of equality probes must read: a probe passes a
     * partition iff ALL `k` of its bits are set in that partition's filter.
     * `index` and `probes` are both metadata-sized, so the whole decision

@@ -22,6 +22,11 @@ import graft.expr.BloomExprs
   * is sketch-sized (<= d*w rows) regardless of input rows; estimating is
   * a broadcast join of probe hash coordinates against that frame. No
   * corpus-sized shuffle anywhere — the 100 TB path is the same plan.
+  *
+  * Both sketches here are STREAMING-READY as-is: each build is a standard
+  * keyed aggregate with bounded state by construction, so update-mode
+  * structured streaming maintains it over an unbounded feed (streamed ==
+  * batch pinned in SketchStreamSpec).
   */
 object SketchOps {
 

@@ -469,4 +469,43 @@ class LakeOpsSpec extends SparkSpec {
     assert(absent.map(p => out(p)._1).sum == 0L,
       "absent keys must prune every partition at this m/n ratio")
   }
+
+  test("mergeBloomIndexes: incremental ingest equals a full rebuild") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val part = expr("year(o_orderdate) * 12 + month(o_orderdate)")
+    def idx(d: org.apache.spark.sql.DataFrame) =
+      LakeOps.bloomPartitionIndex(d, part, col("o_orderkey"), 4096, 3)
+    val old = df.filter($"o_orderkey" % 3 =!= 0)
+    val delta = df.filter($"o_orderkey" % 3 === 0)
+    val merged = LakeOps.mergeBloomIndexes(idx(old), idx(delta))
+      .collect().map(r => (r.get(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val full = idx(df)
+      .collect().map(r => (r.get(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == full)
+  }
+
+  test("bloom candidates on the hive partition key prune DIRECTORIES") {
+    val out = Files.createTempDirectory("lake").resolve("bloomed").toString
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .withColumn("m", expr("year(o_orderdate) * 12 + month(o_orderdate)"))
+      .write.partitionBy("m").parquet(out)
+    val back = spark.read.parquet(out)
+    val index = LakeOps.bloomPartitionIndex(
+      back, col("m"), col("o_orderkey"), 65536, 3)
+    val probeKey = 7L
+    val cands = LakeOps.bloomCandidates(
+        index, spark.range(probeKey, probeKey + 1).toDF("p"), col("p"),
+        65536, 3)
+      .select("part").collect().map(_.get(0)).toSeq
+    assert(cands.size == 1, s"one live key should admit one month: $cands")
+    val pruned = back.filter(col("m").isin(cands: _*) &&
+      col("o_orderkey") === probeKey)
+    assert(pruned.count() ==
+      back.filter(col("o_orderkey") === probeKey).count())
+    // the candidate isin lands in the scan's PartitionFilters — the 79
+    // other month directories are never opened
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("m#"),
+      s"bloom prune must be a partition filter:\n$plan")
+  }
 }
