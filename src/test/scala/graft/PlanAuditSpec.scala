@@ -38,7 +38,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_bm25_search" -> "1-row corpus-stats attach (N, avgdl) before row-local scoring",
     "q_sim_pq_literal" -> "bounded probe set crossed with literal PQ codebooks",
     "q_tpch_q11" -> "1-row scalar threshold (sum x fraction) attach — canonical Q11 shape",
-    "q_tpch_q22" -> "1-row scalar average attach; the anti join probes by key (pinned in QueryPlanSpec)")
+    "q_tpch_q22" -> "1-row scalar average attach; the anti join probes by key (pinned in QueryPlanSpec)",
+    "q_bloom_index" -> "1-row n_parts_total attach; the index/probe joins themselves are plan-time broadcasts (pinned in QueryPlanSpec)")
 
   test("no unlisted query plans a CartesianProduct or BroadcastNestedLoopJoin") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
