@@ -91,6 +91,67 @@ object SketchOps {
           .otherwise(size(kmv).cast("double")).as("est_distinct")): _*)
   }
 
+  /** One GLOBAL KMV sketch of `keyCol` as a single-row frame holding the
+    * ascending array of the k smallest distinct hashes — the mergeable
+    * set-summary form [[kmvIntersect]] combines. One map-side-combined
+    * aggregate; the row is k longs no matter the corpus.
+    */
+  def kmvSetSketch(df: DataFrame, keyCol: Column, k: Int,
+      name: String): DataFrame = {
+    val u = shiftrightunsigned(
+      BloomExprs.splitmixHash(keyCol.cast("long"), 0), 1)
+    df.agg(graft.agg.TopKFunctions.topKByScore(lit(0.0), u, k).as("__t"))
+      .select(transform(col("__t"), x => x.getField("id")).as(name))
+  }
+
+  /** Set-cardinality algebra on KMV sketches (Beyer et al. 2007): from
+    * the two k-long summaries ALONE — never re-reading either table —
+    * estimate |A ∪ B| and |A ∩ B| distinct keys. The k smallest of
+    * K(A) ∪ K(B) is exactly the k smallest hashes of A ∪ B (each side's
+    * sketch covers at least up to the union's k-th order statistic), so
+    * the union estimate is the same (k-1)·2^63/u_k; the Jaccard estimate
+    * is the fraction of those k that BOTH sides kept, and intersection =
+    * jaccard × union. This is the optimizer's join-cardinality /
+    * overlap-planning primitive: at 100 TB each table contributes one
+    * k-long row of lake metadata, and the combine is row-local array
+    * arithmetic on a 1×1 cross of two 1-row frames.
+    *
+    * Every number is deterministic given the hash family — the oracle
+    * replays the order statistics and set memberships exactly. Under-k
+    * unions degrade to the exact distinct-hash count, like
+    * [[kmvDistinct]].
+    */
+  def kmvIntersect(
+      a: DataFrame, keyA: Column, b: DataFrame, keyB: Column,
+      k: Int): DataFrame = {
+    require(k >= 2 && k <= 65536, s"k must be in [2, 65536], got $k")
+    val sa = kmvSetSketch(a, keyA, k, "ka")
+    val sb = kmvSetSketch(b, keyB, k, "kb")
+    val merged = slice(
+      array_sort(array_distinct(concat(col("ka"), col("kb")))), 1, k)
+    val kth = get(col("__m"), lit(k - 1))
+    sa.crossJoin(broadcast(sb)) // 1-row x 1-row sketch combine
+      .select(col("ka"), col("kb"), merged.as("__m"))
+      .select(
+        size(col("__m")).cast("long").as("n_kept_union"),
+        when(size(col("__m")) >= k, kth).as("kth_union"),
+        when(size(col("__m")) >= k,
+          lit((k - 1).toDouble) *
+            (lit(9223372036854775808.0) / kth.cast("double")))
+          .otherwise(size(col("__m")).cast("double")).as("union_est"),
+        size(array_intersect(col("__m"),
+          array_intersect(col("ka"), col("kb")))).cast("long")
+          .as("n_common"))
+      .select(col("n_kept_union"), col("kth_union"), col("union_est"),
+        col("n_common"),
+        // jaccard uses the KEPT size, so the under-k branch stays exact;
+        // empty-input guard keeps the 0/0 double out of the frame
+        when(col("n_kept_union") > 0,
+          (col("n_common").cast("double") /
+            col("n_kept_union").cast("double")) * col("union_est"))
+          .otherwise(lit(0.0)).as("inter_est"))
+  }
+
   /** Point-query the sketch for each probe: `est = min_j grid[j][h_j(p)]`
     * (missing cells read 0). `sketch` and `probes` are both tiny, so the
     * whole lookup is broadcast joins.

@@ -1230,6 +1230,27 @@ object PipelineQueries {
             .as("overcount"))
     }),
 
+    // KMV set algebra (SketchOps.kmvIntersect): |A union B| and
+    // |A intersect B| estimated from the two k-long sketches ALONE —
+    // the optimizer's join-cardinality / overlap primitive. A = customers
+    // with orders, B = one market segment; the exact legs ride one
+    // full-outer on distinct keys purely for the gate's comparison.
+    "q_kmv_join_card" -> ((s, dir) => {
+      val a = t(s, dir, "orders").select(col("o_custkey").as("key"))
+      val b = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "AUTOMOBILE")
+        .select(col("c_custkey").as("key"))
+      val sk = SketchOps.kmvIntersect(a, col("key"), b, col("key"), k = 64)
+      val ex = a.distinct().withColumnRenamed("key", "ak")
+        .join(b.distinct().withColumnRenamed("key", "bk"),
+          col("ak") === col("bk"), "full")
+        .agg(count(col("ak")).as("exact_a"), count(col("bk")).as("exact_b"),
+          count(lit(1)).as("exact_union"),
+          sum(when(col("ak").isNotNull && col("bk").isNotNull, 1L)
+            .otherwise(0L)).as("exact_inter"))
+      sk.crossJoin(broadcast(ex)) // 1-row x 1-row
+    }),
+
     // KMV distinct sketch (SketchOps.kmvDistinct) — the third sketch leg:
     // Misra-Gries answers "which keys are hot", CMS "how often is key x",
     // KMV "how many distinct keys" — and unlike the HLL++ in
@@ -5373,6 +5394,61 @@ object PipelineQueries {
          |  coalesce(x.exact_count, 0) AS exact_count,
          |  CAST(e.cms_count - coalesce(x.exact_count, 0) AS BIGINT) AS overcount
          |FROM est e LEFT JOIN ex x ON x.ck = e.probe""".stripMargin,
+
+    // Order statistics and set memberships of both sketches replayed
+    // exactly; the union/intersection estimates are the same IEEE op
+    // chains on them.
+    "q_kmv_join_card" ->
+      s"""WITH ah AS (
+         |  SELECT DISTINCT (am // 2) AS u
+         |  FROM (SELECT
+         |    ${RefQueries.mixSql("a", "o_custkey::HUGEINT * 2654435761")}
+         |    FROM orders)),
+         |ka AS (SELECT u FROM (
+         |  SELECT u, row_number() OVER (ORDER BY u) AS rk FROM ah)
+         |  WHERE rk <= 64),
+         |b0 AS (SELECT c_custkey AS key FROM customer
+         |       WHERE c_mktsegment = 'AUTOMOBILE'),
+         |bh AS (
+         |  SELECT DISTINCT (bm // 2) AS u
+         |  FROM (SELECT
+         |    ${RefQueries.mixSql("b", "key::HUGEINT * 2654435761")}
+         |    FROM b0)),
+         |kb AS (SELECT u FROM (
+         |  SELECT u, row_number() OVER (ORDER BY u) AS rk FROM bh)
+         |  WHERE rk <= 64),
+         |m AS (SELECT u FROM (
+         |  SELECT u, row_number() OVER (ORDER BY u) AS rk FROM
+         |    (SELECT DISTINCT u FROM
+         |      (SELECT u FROM ka UNION ALL SELECT u FROM kb)))
+         |  WHERE rk <= 64),
+         |ms AS (SELECT CAST(count(*) AS BIGINT) AS n_kept_union,
+         |              max(u) AS max_u FROM m),
+         |cm AS (SELECT CAST(count(*) AS BIGINT) AS n_common FROM m
+         |       WHERE u IN (SELECT u FROM ka)
+         |         AND u IN (SELECT u FROM kb)),
+         |ad AS (SELECT DISTINCT o_custkey AS k1 FROM orders),
+         |bd AS (SELECT DISTINCT key AS k2 FROM b0),
+         |ex AS (SELECT
+         |    CAST(count(k1) AS BIGINT) AS exact_a,
+         |    CAST(count(k2) AS BIGINT) AS exact_b,
+         |    CAST(count(*) AS BIGINT) AS exact_union,
+         |    CAST(sum(CASE WHEN k1 IS NOT NULL AND k2 IS NOT NULL
+         |        THEN 1 ELSE 0 END) AS BIGINT) AS exact_inter
+         |  FROM ad FULL JOIN bd ON k1 = k2)
+         |SELECT ms.n_kept_union,
+         |  CASE WHEN ms.n_kept_union >= 64
+         |       THEN CAST(ms.max_u AS BIGINT) END AS kth_union,
+         |  CASE WHEN ms.n_kept_union >= 64
+         |       THEN 63.0 * (9223372036854775808.0 / CAST(ms.max_u AS DOUBLE))
+         |       ELSE CAST(ms.n_kept_union AS DOUBLE) END AS union_est,
+         |  cm.n_common,
+         |  CASE WHEN ms.n_kept_union > 0
+         |       THEN (CAST(cm.n_common AS DOUBLE)
+         |             / CAST(ms.n_kept_union AS DOUBLE)) * union_est
+         |       ELSE 0.0 END AS inter_est,
+         |  ex.exact_a, ex.exact_b, ex.exact_union, ex.exact_inter
+         |FROM ms CROSS JOIN cm CROSS JOIN ex""".stripMargin,
 
     // The k-th order statistic of the distinct hash set, replayed in
     // HUGEINT SQL; the estimate is the same two correctly-rounded IEEE

@@ -39,7 +39,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_sim_pq_literal" -> "bounded probe set crossed with literal PQ codebooks",
     "q_tpch_q11" -> "1-row scalar threshold (sum x fraction) attach — canonical Q11 shape",
     "q_tpch_q22" -> "1-row scalar average attach; the anti join probes by key (pinned in QueryPlanSpec)",
-    "q_bloom_index" -> "1-row n_parts_total attach; the index/probe joins themselves are plan-time broadcasts (pinned in QueryPlanSpec)")
+    "q_bloom_index" -> "1-row n_parts_total attach; the index/probe joins themselves are plan-time broadcasts (pinned in QueryPlanSpec)",
+    "q_kmv_join_card" -> "the whole point: two 1-row k-long sketches cross (plus the 1-row exact-legs frame for the gate's comparison)")
 
   test("no unlisted query plans a CartesianProduct or BroadcastNestedLoopJoin") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

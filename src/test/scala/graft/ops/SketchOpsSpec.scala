@@ -73,6 +73,38 @@ class SketchOpsSpec extends SparkSpec {
     assert(nKept == 3L && kth.isEmpty && est == 3.0)
   }
 
+  test("kmvIntersect: union/intersection estimates from sketches alone") {
+    // A = 1..300, B = 201..500 -> |union| 500, |inter| 100, jaccard 0.2
+    val a = (1L to 300L).toDF("key")
+    val b = (201L to 500L).toDF("key")
+    val r = SketchOps.kmvIntersect(a, $"key", b, $"key", 64).collect().head
+    val nKept = r.getAs[Long]("n_kept_union")
+    val unionEst = r.getAs[Double]("union_est")
+    val interEst = r.getAs[Double]("inter_est")
+    assert(nKept == 64L)
+    // the merged kth equals the true kth smallest hash of A union B
+    val all = (1L to 500L).map(x => refMix(x * 2654435761L) >>> 1).sorted
+    assert(r.getAs[Long]("kth_union") == all(63))
+    assert(unionEst == 63.0 * (9223372036854775808.0 / all(63).toDouble))
+    // k=64 => sigma ~ 12.5%; allow 4 sigma on union, looser on inter
+    // (jaccard adds binomial noise) — deterministic values, bounds are
+    // documentation not flake tolerance
+    assert(unionEst > 250.0 && unionEst < 750.0, s"union_est $unionEst")
+    assert(interEst > 20.0 && interEst < 250.0, s"inter_est $interEst")
+  }
+
+  test("kmvIntersect: disjoint and under-k sets stay exact") {
+    val r = SketchOps.kmvIntersect(
+      (1L to 20L).toDF("key"), $"key",
+      (100L to 120L).toDF("key"), $"key", 64).collect().head
+    // 41 distinct hashes < k: the merged sketch IS the exact union set
+    assert(r.getAs[Long]("n_kept_union") == 41L)
+    assert(r.isNullAt(r.fieldIndex("kth_union")))
+    assert(r.getAs[Double]("union_est") == 41.0)
+    assert(r.getAs[Long]("n_common") == 0L)
+    assert(r.getAs[Double]("inter_est") == 0.0)
+  }
+
   test("kmvDistinct merges: 1-partition == 8-partition sketch") {
     val keys = (1L to 500L).map(x => ("g", x % 97))
     val one = SketchOps.kmvDistinct(
