@@ -40,8 +40,11 @@ def main():
     tests_run = int(m_total[-1])
     succeeded, failed, canceled, ignored, pending = map(int, m_counts[-1])
 
-    dumps = sorted(d[:-8] for d in os.listdir(verify_dir)
-                   if d.endswith('.parquet'))
+    # Verify writes each query's result as a bare <name> directory
+    # (parquet dataset), plus oracle_sql.json alongside
+    dumps = sorted(d for d in os.listdir(verify_dir)
+                   if d.startswith('q_')
+                   and os.path.isdir(os.path.join(verify_dir, d)))
     oracle = json.load(open(os.path.join(verify_dir, 'oracle_sql.json')))
     no_oracle = sorted(set(dumps) - set(oracle))
 
