@@ -191,4 +191,34 @@ class CodegenCompileSpec extends AnyFunSuite {
     assert(e.eval(InternalRow(withNull)) == 0L)
     assert(proj(InternalRow(withNull)).getLong(0) == 0L)
   }
+
+  // shared reference chain for the splitmix family expressions
+  private def refMix(x: Long): Long = {
+    var z = x + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  test("BloomBitPos generated code compiles and matches eval + reference") {
+    val e = BloomBitPos(BoundReference(0, LongType, nullable = true),
+      salt = 2, mBits = 4096)
+    val proj = GenerateMutableProjection.generate(Seq(e))
+    // keys beyond 2^32 exercise the deliberate wrap of key * 2654435761
+    for (key <- Seq(0L, 1L, 42L, 1L << 33, Long.MaxValue / 3)) {
+      val want = ((refMix(key * 2654435761L + 2) >>> 1) % 4096).toInt
+      assert(e.eval(InternalRow(key)) == want, s"eval at $key")
+      assert(proj(InternalRow(key)).getInt(0) == want, s"codegen at $key")
+    }
+  }
+
+  test("SplitmixHash generated code compiles and matches eval + reference") {
+    val e = SplitmixHash(BoundReference(0, LongType, nullable = true), salt = 0)
+    val proj = GenerateMutableProjection.generate(Seq(e))
+    for (key <- Seq(0L, 7L, 1000000007L, 1L << 40)) {
+      val want = refMix(key * 2654435761L)
+      assert(e.eval(InternalRow(key)) == want, s"eval at $key")
+      assert(proj(InternalRow(key)).getLong(0) == want, s"codegen at $key")
+    }
+  }
 }
