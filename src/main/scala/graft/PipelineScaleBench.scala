@@ -428,6 +428,45 @@ object PipelineScaleBench {
         f"bytes (100%% of the lake, every partition)")
       n
     }
+
+    // Bloom-index pair: point lookups on a key the layout is NOT sorted
+    // by (doc_id interleaves mod 64, so every partition's min/max spans
+    // the whole keyspace — zone maps and row-group stats prune NOTHING).
+    // The scale metric is BYTES TOUCHED: candidate directories vs the
+    // whole lake; at 100 TB the read IS the cost and the index is a
+    // broadcastable metadata frame.
+    stage("bloom_index_lookup") {
+      val dir = buildLake("bloom")
+      val lakeBytes = dirBytes(dir)
+      val back = spark.read.parquet(dir)
+      val m = 1 << 17
+      val idx = graft.ops.LakeOps.bloomPartitionIndex(
+        back, col("part"), col("doc_id"), m, 3)
+      // 8 live keys + 8 absent at any corpus size
+      val probes = spark.range(8).select((col("id") * 37 + 5).as("p"))
+        .union(spark.range(8).select((col("id") + 1000000000001L).as("p")))
+      val cands = graft.ops.LakeOps.bloomCandidates(idx, probes, col("p"), m, 3)
+      val parts = cands.select("part").distinct()
+        .collect().map(_.get(0))
+      val touched = parts.map(p => dirBytes(s"$dir/part=$p")).sum
+      val keys = probes.collect().map(_.getLong(0))
+      val n = back.filter(col("part").isin(parts.toSeq: _*) &&
+        col("doc_id").isin(keys.toSeq: _*)).count()
+      println(f"[pipeline-scale]   bloom lookup opened ${parts.length}%d/64 " +
+        f"partitions, ~$touched%d of $lakeBytes%d lake bytes " +
+        f"(${100.0 * touched / lakeBytes}%.1f%%), $n%d rows")
+      n
+    }
+    stage("bloom_full_scan") {
+      val dir = buildLake("bloomfull")
+      val back = spark.read.parquet(dir)
+      val keys = (0L until 8L).map(_ * 37 + 5) ++
+        (0L until 8L).map(_ + 1000000000001L)
+      val n = back.filter(col("doc_id").isin(keys: _*)).count()
+      println(f"[pipeline-scale]   full scan read ${dirBytes(dir)}%d bytes " +
+        f"(100%% of the lake, every partition), $n%d rows")
+      n
+    }
     spark.stop()
   }
 }
