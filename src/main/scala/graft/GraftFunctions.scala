@@ -99,6 +99,17 @@ object GraftFunctions {
         graft.expr.HilbertIndex(lng(exprs(0)), lng(exprs(1)),
           intLit(exprs(2), "order"))
       }),
+    "bloom_bit_pos" -> ("bloom_bit_pos(key, salt, mBits) - Bloom/CMS bit position from the oracle-replayable splitmix64 family",
+      exprs => {
+        require(exprs.length == 3, "bloom_bit_pos(key, salt, mBits)")
+        graft.expr.BloomBitPos(lng(exprs(0)), intLit(exprs(1), "salt"),
+          intLit(exprs(2), "mBits"))
+      }),
+    "splitmix_hash" -> ("splitmix_hash(key, salt) - full-width 64-bit member of the same splitmix64 family (KMV order statistics)",
+      exprs => {
+        require(exprs.length == 2, "splitmix_hash(key, salt)")
+        graft.expr.SplitmixHash(lng(exprs(0)), intLit(exprs(1), "salt"))
+      }),
     "rolling_fingerprint" -> ("rolling_fingerprint(s) - code-point rolling hash mod 1e9+7",
       exprs => {
         require(exprs.length == 1, "rolling_fingerprint(s)")

@@ -142,6 +142,26 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(rows(1).isNullAt(0))
   }
 
+  test("bloom_bit_pos / splitmix_hash from SQL text match the family") {
+    GraftFunctions.registerAll(spark)
+    def refMix(x: Long): Long = {
+      var z = x + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val r = spark.sql(
+      "SELECT bloom_bit_pos(CAST(42 AS BIGINT), 1, 4096) AS p, " +
+        "splitmix_hash(CAST(42 AS BIGINT), 0) AS h").head()
+    assert(r.getInt(0) == ((refMix(42L * 2654435761L + 1) >>> 1) % 4096).toInt)
+    assert(r.getLong(1) == refMix(42L * 2654435761L))
+    // null key propagates through both
+    val n = spark.sql(
+      "SELECT bloom_bit_pos(CAST(NULL AS BIGINT), 0, 64) AS p, " +
+        "splitmix_hash(CAST(NULL AS BIGINT), 0) AS h").head()
+    assert(n.isNullAt(0) && n.isNullAt(1))
+  }
+
   test("GraftExtensions wires the SQL surface (builder route + config-string loadability)") {
     // the production `spark.sql.extensions=graft.GraftExtensions` route
     // loads the class BY NAME through a zero-arg constructor — pin that
