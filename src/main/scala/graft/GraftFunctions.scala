@@ -87,6 +87,12 @@ object GraftFunctions {
         LshPlanesBucket(exprs(0), intLit(exprs(1), "planeOffset"),
           intLit(exprs(2), "planes"), intLit(exprs(3), "dims"))
       }),
+    "lsh_all_buckets" -> ("lsh_all_buckets(vec, planes, dims, tables) - all OR-amplification table buckets in one fused pass",
+      exprs => {
+        require(exprs.length == 4, "lsh_all_buckets(vec, planes, dims, tables)")
+        graft.expr.LshAllBuckets(exprs(0), intLit(exprs(1), "planes"),
+          intLit(exprs(2), "dims"), intLit(exprs(3), "tables"))
+      }),
     "freq_sketch" -> ("freq_sketch(key, capacity) - Misra-Gries frequent-items summary (aggregate)",
       exprs => {
         require(exprs.length == 2, "freq_sketch(key, capacity)")

@@ -203,6 +203,123 @@ case class LshPlanesBucket(
   override def prettyName: String = "lsh_planes_bucket"
 }
 
+/** ALL `tables` OR-amplification bucket assignments of one vector in ONE
+  * pass: element `t` of the result equals
+  * `LshPlanesBucket(vec, t * planes, planes, dims)` bit for bit (same
+  * weight schedule, same index-order accumulation, same all-bits-0
+  * degenerate-input parity), but the whole family compiles to a single
+  * two-level loop with ONE `(tables*planes) x dims` reference-object
+  * weight matrix.
+  *
+  * This is the [[LatticeArgmin]]/[[LshPlanesBucket]] fusion discipline
+  * applied ACROSS tables: the per-table form emitted `tables` independent
+  * generated loops (16 at the measured operating point) whose Janino
+  * compile time dominated sf0.1 benches and whose 16 passes re-read the
+  * vector from row storage every time. Callers `posexplode` the result to
+  * recover the (t, b) stream the bucket join keys on.
+  *
+  * Output is never NULL (arity = `tables` always); a NULL vector, length
+  * mismatch, or NULL element yields all-zero buckets — identical to the
+  * per-table expressions on the same input.
+  */
+case class LshAllBuckets(
+    child: Expression,
+    planes: Int,
+    dims: Int,
+    tables: Int) extends UnaryExpression {
+
+  require(planes >= 1 && planes <= 64, s"planes must be in [1,64], got $planes")
+  require(dims >= 1, s"dims must be >= 1, got $dims")
+  require(tables >= 1 && tables <= 1024, s"tables must be in [1,1024], got $tables")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"lsh_all_buckets needs ARRAY<FLOAT|DOUBLE>, got $t")
+    }
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  private def total: Int = tables * planes
+
+  @transient private lazy val weights: Array[Array[Double]] =
+    Array.tabulate(total, dims)((j, d) =>
+      VectorExprs.planeWeight(j, d).toDouble)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val zeros = () => new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      new Array[Long](tables))
+    val a = child.eval(input)
+    if (a == null) return zeros()
+    val arr = a.asInstanceOf[ArrayData]
+    if (arr.numElements() != dims) return zeros()
+    val isFloat = elemIsFloat
+    val acc = new Array[Double](total)
+    var d = 0
+    while (d < dims) {
+      if (arr.isNullAt(d)) return zeros()
+      val v = if (isFloat) arr.getFloat(d).toDouble else arr.getDouble(d)
+      var j = 0
+      while (j < total) { acc(j) += v * weights(j)(d); j += 1 }
+      d += 1
+    }
+    val out = new Array[Long](tables)
+    var j = 0
+    while (j < total) {
+      if (acc(j) >= 0) out(j / planes) |= 1L << (j % planes)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val w = ctx.addReferenceObj("lshAllWeights", weights, "double[][]")
+    val get = if (elemIsFloat) "getFloat" else "getDouble"
+    val acc = ctx.freshName("acc")
+    val out = ctx.freshName("out")
+    val ok = ctx.freshName("ok")
+    val d = ctx.freshName("d")
+    val v = ctx.freshName("v")
+    val j = ctx.freshName("j")
+    val j2 = ctx.freshName("j2")
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = false;
+      long[] $out = new long[$tables];
+      if (!${childGen.isNull} && ${childGen.value}.numElements() == $dims) {
+        double[] $acc = new double[$total];
+        boolean $ok = true;
+        for (int $d = 0; $d < $dims; $d++) {
+          if (${childGen.value}.isNullAt($d)) { $ok = false; break; }
+          double $v = (double) ${childGen.value}.$get($d);
+          for (int $j = 0; $j < $total; $j++) {
+            $acc[$j] += $v * $w[$j][$d];
+          }
+        }
+        if ($ok) {
+          for (int $j2 = 0; $j2 < $total; $j2++) {
+            if ($acc[$j2] >= 0) $out[$j2 / $planes] |= (1L << ($j2 % $planes));
+          }
+        }
+      }
+      ArrayData ${ev.value} =
+        new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+    """)
+  }
+
+  override protected def withNewChildInternal(c: Expression): LshAllBuckets =
+    copy(child = c)
+  override def prettyName: String = "lsh_all_buckets"
+}
+
 /** Fused nearest-centroid search on the INTEGER lattice: for a quantized
   * `ARRAY<BIGINT>` vector, the squared L2 distance to each of `k`
   * centroid rows of `cents` and the argmin, in ONE codegen'd two-level
@@ -314,7 +431,7 @@ object VectorExprs {
   def vecDot(a: Column, b: Column): Column =
     Bridge.column(VecDot(Bridge.expression(a), Bridge.expression(b)))
 
-  /** Packed nearest-centroid (dist2*16 + cluster) on the integer
+  /** Packed nearest-centroid (dist2*256 + cluster) on the integer
     * lattice (codegen'd single pass over the vector).
     */
   def latticeArgmin(qv: Column, cents: Seq[Seq[Long]]): Column =
@@ -339,4 +456,10 @@ object VectorExprs {
     */
   def lshPlanesBucket(vec: Column, planeOffset: Int, planes: Int, dims: Int): Column =
     Bridge.column(LshPlanesBucket(Bridge.expression(vec), planeOffset, planes, dims))
+
+  /** All `tables` OR-amplification buckets in one fused pass
+    * (element t == `lshPlanesBucket(vec, t*planes, planes, dims)`).
+    */
+  def lshAllBuckets(vec: Column, planes: Int, dims: Int, tables: Int): Column =
+    Bridge.column(LshAllBuckets(Bridge.expression(vec), planes, dims, tables))
 }

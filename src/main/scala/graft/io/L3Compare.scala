@@ -72,19 +72,32 @@ object L3Compare {
   }
 
   /** One decoded grid as a `(lat_idx, lon_idx, value)` frame (value NULL
+    * where the cell is fill), plus its (nLat, nLon) shape — exposed so
+    * callers ([[diff]]) can shape-check without re-reading and
+    * re-decoding the file.
+    */
+  def gridFrameWithShape(
+      spark: SparkSession,
+      path: String,
+      dataset: String,
+      flipLat: Boolean = false): (DataFrame, Int, Int) = {
+    import spark.implicits._
+    val (nLat, nLon, v) = decodedGrid(path, dataset, flipLat)
+    val df = v.toSeq.zipWithIndex.map { case (x, i) =>
+      (i / nLon, i % nLon, if (x.isNaN) None else Some(x))
+    }.toDF("lat_idx", "lon_idx", "value")
+    (df, nLat, nLon)
+  }
+
+  /** One decoded grid as a `(lat_idx, lon_idx, value)` frame (value NULL
     * where the cell is fill).
     */
   def gridFrame(
       spark: SparkSession,
       path: String,
       dataset: String,
-      flipLat: Boolean = false): DataFrame = {
-    import spark.implicits._
-    val (nLat, nLon, v) = decodedGrid(path, dataset, flipLat)
-    v.toSeq.zipWithIndex.map { case (x, i) =>
-      (i / nLon, i % nLon, if (x.isNaN) None else Some(x))
-    }.toDF("lat_idx", "lon_idx", "value")
-  }
+      flipLat: Boolean = false): DataFrame =
+    gridFrameWithShape(spark, path, dataset, flipLat)._1
 
   /** Difference map of two decoded grids (the notebook's third panel
     * row): per cell `a`, `b`, `abs_diff = a - b`, `rel_diff = (a-b)/a`
@@ -98,12 +111,10 @@ object L3Compare {
       pathB: String,
       datasetB: String,
       flipLatB: Boolean = false): DataFrame = {
-    val a = gridFrame(spark, pathA, datasetA)
-    val b = gridFrame(spark, pathB, datasetB, flipLatB)
-    val shapes = (decodedGrid(pathA, datasetA)._1, decodedGrid(pathA, datasetA)._2,
-      decodedGrid(pathB, datasetB)._1, decodedGrid(pathB, datasetB)._2)
-    require(shapes._1 == shapes._3 && shapes._2 == shapes._4,
-      s"grid shapes differ: ${shapes._1}x${shapes._2} vs ${shapes._3}x${shapes._4}")
+    val (a, aLat, aLon) = gridFrameWithShape(spark, pathA, datasetA)
+    val (b, bLat, bLon) = gridFrameWithShape(spark, pathB, datasetB, flipLatB)
+    require(aLat == bLat && aLon == bLon,
+      s"grid shapes differ: ${aLat}x$aLon vs ${bLat}x$bLon")
     a.join(b.withColumnRenamed("value", "b_value"), Seq("lat_idx", "lon_idx"))
       .select(col("lat_idx"), col("lon_idx"),
         col("value").as("a"), col("b_value").as("b"),

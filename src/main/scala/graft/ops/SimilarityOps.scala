@@ -161,16 +161,17 @@ object SimilarityOps {
       queryId: String = "vec_id",
       corpusId: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    def bucketT(t: Int, vec: Column): Column = lshBucketTable(vec, t, planes, dims)
+    // all tables' buckets from ONE fused pass over the vector (single
+    // generated loop + one reference-object weight matrix, vs `tables`
+    // independent codegen'd projections — the Janino compile and the
+    // repeated vector re-reads dominated small benches)
     def withBuckets(df: DataFrame, id: String, v: String, side: String) =
       df.select(
         col(id).as(side),
         col(v).as(s"${side}_v"),
         sqrt(norm2(col(v))).as(s"${side}_n"),
-        explode(array((0 until tables).map(t =>
-          struct(lit(t).as("t"), bucketT(t, col(v)).as("b"))): _*)).as("bucket"))
-        .select(col(side), col(s"${side}_v"), col(s"${side}_n"),
-          col("bucket.t").as("t"), col("bucket.b").as("b"))
+        posexplode(graft.expr.VectorExprs.lshAllBuckets(col(v), planes, dims, tables))
+          .as(Seq("t", "b")))
     val q = withBuckets(queries, queryId, vecCol, "query_id")
     val c = withBuckets(corpus, corpusId, vecCol, "corpus_id")
     val cand = c.join(broadcast(q), Seq("t", "b"))
@@ -220,12 +221,11 @@ object SimilarityOps {
     // collides in many tables. (Carrying the vectors through this join
     // multiplies the shuffled payload by tables x vector width — measured
     // 20x slower at 2k vectors.)
+    // (all tables' buckets in one fused codegen pass — see lshTopKMulti)
     val b0 = vecs.select(
       col(idCol).as("id"),
-      explode(array((0 until tables).map(t =>
-        struct(lit(t).as("t"), lshBucketTable(col(vecCol), t, planes, dims).as("b"))): _*))
-        .as("bucket"))
-      .select(col("id"), col("bucket.t").as("t"), col("bucket.b").as("b"))
+      posexplode(graft.expr.VectorExprs.lshAllBuckets(col(vecCol), planes, dims, tables))
+        .as(Seq("t", "b")))
     val b = maxBucketSize match {
       case None => b0
       case Some(cap) =>

@@ -3864,10 +3864,14 @@ object PipelineQueries {
     * seeding, every Lloyd round (assignment argmin + truncating-division centroid
     * update, empty-cluster carryover) and the final assignment — with
     * the rounds unrolled as CTEs. All arithmetic is integer-exact on
-    * both engines: DuckDB's integer `//` truncates toward zero exactly
-    * like Java's Long `/` (NOT floorDiv — negative sums differ by one
-    * under flooring); ties break on (dist2, j) = the expression's
-    * strict-< first-minimum.
+    * both engines. The centroid update must divide toward zero like
+    * Java's Long `/`, but DuckDB's integer `//` rounding direction is
+    * ENVIRONMENT-DEPENDENT (1.0.0 truncates toward zero, newer builds
+    * floor-divide — the two differ by one on negative sums). The oracle
+    * therefore sign-splits the division so its operands are always
+    * nonnegative: `CASE WHEN sv >= 0 THEN sv // n ELSE -((-sv) // n)
+    * END` is toward-zero under EITHER `//` semantics (n = count > 0).
+    * Ties break on (dist2, j) = the expression's strict-< first-minimum.
     */
   private def kmeansLatticeCtes(k: Int, iters: Int, dims: Int): String = {
     def distExpr(qv: String, cv: String) =
@@ -3889,7 +3893,9 @@ object PipelineQueries {
          |        FROM w$r CROSS JOIN range(0, $dims) t),
          |s$r AS (SELECT j, d, sum(v) AS sv FROM u$r GROUP BY j, d),
          |c$r AS (
-         |  SELECT s$r.j, list(s$r.sv // n$r.n ORDER BY s$r.d) AS qv
+         |  SELECT s$r.j, list(CASE WHEN s$r.sv >= 0 THEN s$r.sv // n$r.n
+         |                          ELSE -((-s$r.sv) // n$r.n) END
+         |                     ORDER BY s$r.d) AS qv
          |  FROM s$r JOIN n$r ON s$r.j = n$r.j GROUP BY s$r.j
          |  UNION ALL
          |  SELECT j, qv FROM c${r - 1}
@@ -6195,9 +6201,16 @@ object PipelineQueries {
         |UNION ALL
         |SELECT l_returnflag, 'n_rows', n_rows FROM w""".stripMargin,
 
-    // All-pairs matcher + recursive-CTE components + the same windowed
-    // survivorship order — the gate proves blocking completeness AND
-    // cluster-label agreement AND deterministic tie-breaks at once.
+    // Matcher replayed through the SAME SymSpell deletion-neighborhood
+    // blocking (variant-STRING equality join + exact levenshtein verify
+    // on candidates only) + recursive-CTE components + the same windowed
+    // survivorship order. The all-pairs formulation this blocking equals
+    // is proven twice elsewhere: q_fuzzy_join's driver oracle IS the
+    // all-pairs predicate join, and EntityOpsSpec re-proves it on the
+    // exact q_entity_golden observation frame at sf0.001. The previous
+    // all-pairs oracle here cost 1 346 s at sf0.1 in DuckDB (PERF.md) —
+    // O(n²) levenshtein evals that dominated every scale sweep; the
+    // blocked replay is O(n·len + candidates), seconds at sf0.1.
     "q_entity_golden" ->
       """WITH RECURSIVE c AS (
         |  SELECT c_custkey AS ck,
@@ -6215,9 +6228,22 @@ object PipelineQueries {
         |      || substr(nm, ck % 10 + 10 + 1, length(nm)),
         |    CAST(0 AS BIGINT), 1
         |  FROM c WHERE ck % 2 = 0),
+        |vr AS (
+        |  SELECT rid, unnest(list_distinct(list_append(
+        |    list_transform(range(1, length(obs_name) + 1),
+        |      i -> substr(obs_name, 1, i - 1)
+        |           || substr(obs_name, i + 1, length(obs_name))),
+        |    obs_name))) AS vh
+        |  FROM recs),
+        |cand AS (
+        |  SELECT DISTINCT a.rid AS u, b.rid AS w
+        |  FROM vr a JOIN vr b ON a.vh = b.vh AND a.rid < b.rid),
         |pairs AS (
-        |  SELECT a.rid AS u, b.rid AS v FROM recs a JOIN recs b
-        |  ON a.rid < b.rid AND levenshtein(a.obs_name, b.obs_name) <= 1),
+        |  SELECT cd.u, cd.w AS v
+        |  FROM cand cd
+        |  JOIN recs ra ON ra.rid = cd.u
+        |  JOIN recs rb ON rb.rid = cd.w
+        |  WHERE levenshtein(ra.obs_name, rb.obs_name) <= 1),
         |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
         |reach(n, r) AS (
         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t

@@ -112,8 +112,15 @@ object CdcStream {
         val spark = batch.sparkSession
         val payload =
           batch.columns.filterNot(Set(keyCol, seqCol, opCol)).toSeq
+        // existence check through the Hadoop FileSystem API so the sink
+        // works on HDFS/S3 paths too, not just the local filesystem —
+        // a java.io.File probe is always false there and would silently
+        // fold every micro-batch against a fresh empty lake
+        val lakeHPath = new org.apache.hadoop.fs.Path(lakePath)
+        val fs = lakeHPath.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
         val lake =
-          if (new java.io.File(lakePath).exists())
+          if (fs.exists(lakeHPath))
             spark.read.parquet(lakePath)
           else
             batch.sparkSession.emptyDataFrame.select(

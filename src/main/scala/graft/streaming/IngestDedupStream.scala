@@ -33,7 +33,9 @@ import org.apache.spark.sql.functions._
   *   - a duplicate arriving AFTER the watermark has expired its key's
   *     state is re-admitted — the documented watermark trade: bounded
   *     state in exchange for no-dedup-beyond-the-lateness-horizon.
-  *     Size `withinWatermarkDelay` to the feed's real re-post horizon.
+  *     Size `watermarkDelay` to the feed's real re-post horizon: it is
+  *     the single knob — `dropDuplicatesWithinWatermark` expires state
+  *     at exactly the `withWatermark` delay, there is no separate TTL.
   *
   * At 100 TB: the static key frame is the only corpus-sized input and it
   * carries 8 bytes per document; per-micro-batch work is one hash join
@@ -46,16 +48,17 @@ object IngestDedupStream {
     * drops rows whose key hash appears in `existingKeys` (static frame,
     * read as hashes of its FIRST column) or has already arrived within
     * the watermark horizon. `eventTimeCol` must be a timestamp column of
-    * `incoming`; `watermarkDelay`/`withinWatermarkDelay` are Spark
-    * duration strings (e.g. "10 minutes").
+    * `incoming`; `watermarkDelay` is a Spark duration string (e.g.
+    * "10 minutes") and governs BOTH late-data admission and the dedup
+    * state's expiry (`dropDuplicatesWithinWatermark` takes no delay of
+    * its own).
     */
   def dedupedIngest(
       incoming: DataFrame,
       existingKeys: DataFrame,
       keyCol: Column,
       eventTimeCol: String,
-      watermarkDelay: String,
-      withinWatermarkDelay: String): DataFrame = {
+      watermarkDelay: String): DataFrame = {
     val exKeys = existingKeys
       .select(xxhash64(col(existingKeys.columns.head)).as("__k"))
       .distinct()

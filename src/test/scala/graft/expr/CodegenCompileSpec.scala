@@ -192,6 +192,36 @@ class CodegenCompileSpec extends AnyFunSuite {
     assert(proj(InternalRow(withNull)).getLong(0) == 0L)
   }
 
+  test("LshAllBuckets generated code compiles, matches eval and the per-table form") {
+    val fltArr = ArrayType(FloatType)
+    val all = LshAllBuckets(BoundReference(0, fltArr, nullable = true),
+      planes = 8, dims = 4, tables = 3)
+    val proj = GenerateMutableProjection.generate(Seq(all))
+    val vec = new GenericArrayData(Array[Any](1.0f, -2.0f, 0.5f, 3.0f))
+    val row = InternalRow(vec)
+    val gen = proj(row).getArray(0)
+    val ev = all.eval(row).asInstanceOf[ArrayData]
+    assert(gen.numElements() == 3 && ev.numElements() == 3)
+    for (t <- 0 until 3) {
+      val single = LshPlanesBucket(BoundReference(0, fltArr, nullable = true),
+        planeOffset = t * 8, planes = 8, dims = 4)
+      val want = single.eval(row).asInstanceOf[Long]
+      assert(gen.getLong(t) == want, s"codegen table $t")
+      assert(ev.getLong(t) == want, s"eval table $t")
+    }
+    // degenerate inputs -> all-zero buckets (never NULL), matching the
+    // per-table expressions' parity rule
+    def zeros(r: InternalRow): Unit = {
+      val a = all.eval(r).asInstanceOf[ArrayData]
+      assert((0 until 3).forall(t => a.getLong(t) == 0L))
+      val g = proj(r).getArray(0)
+      assert((0 until 3).forall(t => g.getLong(t) == 0L))
+    }
+    zeros(InternalRow(null))
+    zeros(InternalRow(new GenericArrayData(Array[Any](1.0f))))
+    zeros(InternalRow(new GenericArrayData(Array[Any](1.0f, null, 0.5f, 3.0f))))
+  }
+
   // shared reference chain for the splitmix family expressions
   private def refMix(x: Long): Long = {
     var z = x + 0x9e3779b97f4a7c15L

@@ -35,6 +35,35 @@ class EntityOpsSpec extends SparkSpec {
     assert(out(9L) == ((2L, 20L, "orbital gmbh 555", 10L)))
   }
 
+  test("blocking completeness on the q_entity_golden observation frame (sf0.001 all-pairs proof)") {
+    // The registered q_entity_golden DRIVER oracle replays the matcher
+    // through the same SymSpell blocking (the all-pairs form cost 1 346 s
+    // at sf0.1 in DuckDB); THIS assert is where the all-pairs completeness
+    // proof now lives: on the exact observation frame the query builds,
+    // blocked candidates + verify == brute-force levenshtein <= 1.
+    val c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      .select(col("c_custkey").cast("long").as("ck"),
+        concat(col("c_name"), lit(" "),
+          format_string("%08x",
+            col("c_custkey").cast("long") * 2654435761L % 4294967296L))
+          .as("nm"))
+    val base = c.select((col("ck") * 2).as("rid"), col("nm").as("obs_name"))
+    val p = (col("ck") % 10 + 10).cast("int")
+    val dirty = c.filter(col("ck") % 2 === 0).select(
+      (col("ck") * 2 + 1).as("rid"),
+      concat(col("nm").substr(lit(1), p - 1),
+        col("nm").substr(p + 1, length(col("nm")))).as("obs_name"))
+    val obs = base.unionByName(dirty)
+    val blocked = JoinOps.fuzzySelfPairs(obs, "rid", "obs_name")
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    val brute = obs.as("a").crossJoin(obs.as("b"))
+      .filter(col("a.rid") < col("b.rid") &&
+        levenshtein(col("a.obs_name"), col("b.obs_name")) <= 1)
+      .select(col("a.rid"), col("b.rid")).as[(Long, Long)].collect().toSet
+    assert(blocked == brute)
+    assert(brute.nonEmpty) // the planted dirty twins actually pair up
+  }
+
   test("survivorship tie-breaks are a total order (rerun-stable)") {
     // same length names inside one entity: lexicographically LAST wins,
     // and among identical names the LOWEST record id is the lineage

@@ -135,6 +135,21 @@ class SimilarityOpsSpec extends SparkSpec {
     }
   }
 
+  test("lshAllBuckets equals the per-table lshBucketTable family bit for bit") {
+    val rnd = new scala.util.Random(37)
+    val df = (0 until 200).map(i => (i.toLong, Seq.fill(32)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val tables = 5
+    val out = df.select(
+      graft.expr.VectorExprs.lshAllBuckets($"embedding", 6, 32, tables).as("all"),
+      array((0 until tables).map(t =>
+        SimilarityOps.lshBucketTable($"embedding", t, planes = 6, dims = 32)): _*).as("each"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+  }
+
   test("lshBucket is deterministic and spreads vectors") {
     val rnd = new scala.util.Random(29)
     val df = vecs((0L until 256L).map(i =>

@@ -35,8 +35,7 @@ class IngestDedupStreamSpec extends SparkSpec {
     val mem = MemoryStream[(Long, String, Timestamp)]
     val deduped = IngestDedupStream.dedupedIngest(
       mem.toDF().toDF("doc_id", "text", "ts"),
-      corpus, col("text"), "ts",
-      watermarkDelay = "10 minutes", withinWatermarkDelay = "10 minutes")
+      corpus, col("text"), "ts", watermarkDelay = "10 minutes")
     val q = deduped.writeStream.format("memory").queryName("ingest_dedup")
       .outputMode("append").start()
     try {
@@ -63,8 +62,7 @@ class IngestDedupStreamSpec extends SparkSpec {
     val mem = MemoryStream[(Long, String, Timestamp)]
     val deduped = IngestDedupStream.dedupedIngest(
       mem.toDF().toDF("doc_id", "text", "ts"),
-      corpus, col("text"), "ts",
-      watermarkDelay = "1 minute", withinWatermarkDelay = "1 minute")
+      corpus, col("text"), "ts", watermarkDelay = "1 minute")
     val q = deduped.writeStream.format("memory").queryName("ingest_dedup_ttl")
       .outputMode("append").start()
     try {

@@ -37,10 +37,25 @@ def array_typed_cols(con, rp):
             if "[]" in typ or typ.startswith(("STRUCT", "MAP"))]
 
 
+def intdiv_probe(con):
+    """DuckDB's integer `//` rounding direction is environment-dependent
+    (1.0.0 truncates toward zero: -7//2 = -3; other builds floor-divide:
+    -7//2 = -4). Oracle SQL is written division-direction-proof, but the
+    environment fact must be visible so drift fails loudly, not as a
+    mysterious hash mismatch."""
+    val = con.sql("SELECT -7 // 2").fetchone()[0]
+    return {"duckdb_version": duckdb.__version__,
+            "intdiv_toward_zero": val == -3,
+            "probe_minus7_div_2": val}
+
+
 def main():
     out_dir, sf_dir = Path(sys.argv[1]), Path(sys.argv[2])
     oracle = json.loads((out_dir / "oracle_sql.json").read_text())
     con = duckdb.connect()
+    env = intdiv_probe(con)
+    print(f"ENV duckdb={env['duckdb_version']} -7//2={env['probe_minus7_div_2']} "
+          f"(toward_zero={env['intdiv_toward_zero']})")
     for table in ("region nation customer supplier part orders lineitem "
                   "events documents embeddings").split():
         p = sf_dir / f"{table}.parquet"

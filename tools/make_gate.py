@@ -55,9 +55,36 @@ def main():
     head = subprocess.run(['git', 'rev-parse', 'HEAD'],
                           capture_output=True, text=True).stdout.strip()
 
+    # environment block: makes cross-round artifact archaeology (like the
+    # round-6 DuckDB `//` division-direction hunt) start from facts
+    def probe(cmd):
+        try:
+            r = subprocess.run(cmd, capture_output=True, text=True)
+            return (r.stdout + r.stderr).strip().splitlines()[0]
+        except Exception as e:
+            return f'probe_failed: {e}'
+    try:
+        import duckdb
+        con = duckdb.connect()
+        dver = duckdb.__version__
+        intdiv = con.sql('SELECT -7 // 2').fetchone()[0]
+    except Exception as e:
+        dver, intdiv = f'probe_failed: {e}', None
+    env = {
+        'jdk': probe(['java', '-version']),
+        'spark_version': probe(
+            ['bash', '-c',
+             'ls /opt/spark/jars/spark-sql_* 2>/dev/null | head -1']),
+        'duckdb_version': dver,
+        'duckdb_probe_minus7_div_2': intdiv,
+        'duckdb_intdiv_toward_zero': (intdiv == -3) if intdiv is not None
+                                     else None,
+    }
+
     gate = {
         'round': rnd,
         'git_head': head,
+        'env': env,
         'tests_run': tests_run,
         'tests_succeeded': succeeded,
         'tests_failed': failed,

@@ -13,13 +13,17 @@ from pathlib import Path
 import duckdb
 
 sys.path.insert(0, str(Path(__file__).parent))
-from check_oracle import canon  # noqa: E402
+from check_oracle import canon, intdiv_probe  # noqa: E402
 
 
 def main():
     out_dir, sf_dir, rnd = Path(sys.argv[1]), Path(sys.argv[2]), int(sys.argv[3])
     oracle = json.loads((out_dir / "oracle_sql.json").read_text())
     con = duckdb.connect()
+    env = intdiv_probe(con)
+    print(f"ENV duckdb={env['duckdb_version']} "
+          f"-7//2={env['probe_minus7_div_2']} "
+          f"(toward_zero={env['intdiv_toward_zero']})")
     for table in ("region nation customer supplier part orders lineitem "
                   "events documents embeddings").split():
         p = sf_dir / f"{table}.parquet"
@@ -64,6 +68,7 @@ def main():
                  "q_sim_ivf_lattice ARE fully oracled and included) ran "
                  "without error."),
         "git_head": head,
+        "env": env,
         "n_pass": n_pass,
         "n_fail": n_fail,
         "excluded_float_mean": [],
