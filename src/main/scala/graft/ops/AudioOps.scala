@@ -223,6 +223,51 @@ object AudioOps {
     * >= 2 members whenever the table spans a seed group twice.
     */
   def dupGroups(docs: DataFrame): DataFrame = {
+    fingerprintFrame(docs)
+      .groupBy(col("fingerprint"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_doc"))
+      .filter(col("n_docs") > 1)
+  }
+
+  /** Observation-id offset for [[variantFingerprintFrame]]'s
+    * "re-recorded" clips (keeps variant ids disjoint from doc ids).
+    */
+  val VariantIdOffset = 1000000L
+
+  /** The window a clip's variant attenuates: 1..NWindows-2 so both
+    * adjacent fingerprint bits (w-1, w) exist — a variant differs from
+    * its source by AT MOST 2 energy-delta bits.
+    */
+  def quietWindowOf(docId: Long): Int =
+    (docId % (NSamples / WindowLen - 2) + 1).toInt
+
+  /** A "re-recorded" variant of a clip: the same WAV container and PCM
+    * except window [[quietWindowOf]]'s samples are halved toward zero
+    * (`v / 2` — Java truncation; the oracle replays it with the
+    * sign-split `//`). Quartering one window's energy can flip only the
+    * two delta bits that window participates in, so source and variant
+    * are Hamming <= 2 apart in fingerprint space — planted NEAR-dups
+    * (the exact-equality groups of [[dupGroups]] never see them).
+    */
+  def synthWavVariant(docId: Long): Array[Byte] = {
+    val bytes = synthWav(docId)
+    val qw = quietWindowOf(docId)
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val dataStart = bytes.length - NSamples * 2
+    var i = qw * WindowLen
+    while (i < (qw + 1) * WindowLen) {
+      val p = dataStart + i * 2
+      bb.putShort(p, (bb.getShort(p) / 2).toShort)
+      i += 1
+    }
+    bytes
+  }
+
+  /** (doc_id, fingerprint) per clip — the indexable signature frame both
+    * [[dupGroups]] and radius-tolerant matching build on. Payload-local:
+    * only the 8-byte fingerprint leaves the partition.
+    */
+  def fingerprintFrame(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id").cast("long")).as[Long]
@@ -234,8 +279,40 @@ object AudioOps {
         }
       }
       .toDF("doc_id", "fingerprint")
-      .groupBy(col("fingerprint"))
-      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_doc"))
-      .filter(col("n_docs") > 1)
   }
+
+  /** Fingerprints of each doc's re-recorded variant, id-shifted by
+    * [[VariantIdOffset]].
+    */
+  def variantFingerprintFrame(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val pcm = decodeWav(synthWavVariant(id)).getOrElse(
+            WavPcm(SampleRate, 1, 16, Array.empty[Short]))
+          (id + VariantIdOffset, fingerprint(pcm.samples))
+        }
+      }
+      .toDF("doc_id", "fingerprint")
+  }
+
+  /** Radius-tolerant audio near-duplicate pairs: all (id_a < id_b) whose
+    * fingerprints are within Hamming `maxHamming`, via the SAME
+    * pigeonhole chunk join [[DedupOps.simhashNearDupPairs]] runs for
+    * text simhash and media phash — candidates meet on an equal
+    * (maxHamming+1)-way chunk (one of them MUST match within the
+    * radius), exact bit_count verify after. `bits = 32` covers the
+    * 31-bit energy-delta fingerprint; 64 would put every clip in one
+    * all-zero top chunk and degenerate to all-pairs.
+    *
+    * Real audio dup detection needs this tolerance: a re-encode or
+    * re-record perturbs a couple of energy deltas, which exact-equality
+    * grouping ([[dupGroups]]) can never see.
+    */
+  def nearDupPairs(fps: DataFrame, maxHamming: Int): DataFrame =
+    DedupOps.simhashNearDupPairs(
+      fps.select(col("doc_id"), col("fingerprint").as("simhash")),
+      bits = 32, maxHamming = maxHamming)
 }

@@ -152,6 +152,49 @@ object SketchOps {
           .otherwise(lit(0.0)).as("inter_est"))
   }
 
+  /** Streaming-maintenance demo of the KMV monoid, driver-gatable: one
+    * `(segment, n_kept, kth_hash, est_distinct)` row per feed segment
+    * PLUS a `'merged'` row folded from the SEGMENT SKETCHES ALONE — the k
+    * smallest of the union of per-segment k-smallest, never re-reading
+    * the feed (the fold's input is segments x k hashes, sketch-sized).
+    * Because that fold is the KMV monoid, the merged row is bit-identical
+    * to the sketch of the whole feed — which is exactly what the oracle
+    * computes, so the gate proves the MERGEABLE-SUMMARY LAW itself: the
+    * property that lets a stream maintain the sketch per micro-batch
+    * (SketchStreamSpec pins streamed == batch over the same feed) and a
+    * lake keep one k-long summary per partition that ingest merges
+    * instead of rebuilding.
+    */
+  def kmvSegmented(
+      df: DataFrame, segCol: Column, keyCol: Column, k: Int): DataFrame = {
+    require(k >= 2 && k <= 65536, s"k must be in [2, 65536], got $k")
+    val u = shiftrightunsigned(
+      BloomExprs.splitmixHash(keyCol.cast("long"), 0), 1)
+    val segs = df.select(segCol.cast("string").as("segment"), u.as("__u"))
+      .groupBy(col("segment"))
+      .agg(graft.agg.TopKFunctions.topKByScore(lit(0.0), col("__u"), k)
+        .as("__t"))
+      .select(col("segment"),
+        transform(col("__t"), x => x.getField("id")).as("ks"))
+    val merged = segs
+      .select(explode(col("ks")).as("__u"))
+      .agg(graft.agg.TopKFunctions.topKByScore(lit(0.0), col("__u"), k)
+        .as("__t"))
+      .select(lit("merged").as("segment"),
+        transform(col("__t"), x => x.getField("id")).as("ks"))
+    def stats(s: DataFrame) = {
+      val kth = get(col("ks"), lit(k - 1))
+      s.select(col("segment"),
+        size(col("ks")).cast("long").as("n_kept"),
+        when(size(col("ks")) >= k, kth).as("kth_hash"),
+        when(size(col("ks")) >= k,
+          lit((k - 1).toDouble) *
+            (lit(9223372036854775808.0) / kth.cast("double")))
+          .otherwise(size(col("ks")).cast("double")).as("est_distinct"))
+    }
+    stats(segs).unionByName(stats(merged))
+  }
+
   /** Point-query the sketch for each probe: `est = min_j grid[j][h_j(p)]`
     * (missing cells read 0). `sketch` and `probes` are both tiny, so the
     * whole lookup is broadcast joins.

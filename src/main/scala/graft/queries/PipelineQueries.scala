@@ -522,6 +522,26 @@ object PipelineQueries {
         k = 10, nLists = 4, iters = 2, nprobe = 2)
     }),
 
+    // Incremental IVF maintenance (IvfIndexOps): FAISS add-after-train on
+    // disk — train on the base 2/3 of the corpus, persist centroids +
+    // cid-partitioned lists, APPEND the remaining 1/3 without retraining
+    // (assign under the persisted quantizer, add list files, merge
+    // stats), then probe the merged index. The whole lifecycle is lattice
+    // arithmetic, so training-on-a-subset + full-corpus assignment +
+    // ranking replays bit-for-bit in the oracle (trainWhere pushes the
+    // same base-segment predicate into the training CTEs).
+    "q_sim_ivf_incremental" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_ivf_idx_").toString
+      graft.ops.IvfIndexOps.build(
+        e.filter(col("vec_id") % 3 =!= 0), idx, nLists = 4, iters = 2)
+      graft.ops.IvfIndexOps.append(
+        e.filter(col("vec_id") % 3 === 0), idx, segment = "delta1")
+      graft.ops.IvfIndexOps.probe(
+        e.filter(col("vec_id") < 10), idx, k = 10, nprobe = 2)
+    }),
+
     // SemDeDup with NOTHING left un-oracled: lattice-trained clusters,
     // integer-exact within-cluster cosine test at tau = 7/20 (= the
     // 0.35 of the literal variant), recursive-CTE transitive closure.
@@ -542,6 +562,20 @@ object PipelineQueries {
     // 8-byte fingerprint; the synthetic corpus plants the duplicates.
     "q_audio_dup" -> ((s, dir) =>
       AudioOps.dupGroups(t(s, dir, "documents"))),
+
+    // Radius-tolerant audio NEAR-dup (Hamming <= 3 on the energy-delta
+    // fingerprint) riding the same pigeonhole chunk join as simhash and
+    // phash — never all-pairs. Planted near-dups: each doc_id < 50 also
+    // contributes a "re-recorded" variant whose quiet window halves the
+    // PCM (<= 2 fingerprint bits flip), invisible to exact-equality
+    // grouping but found here; the oracle replays variant PCM, both
+    // fingerprints and the radius join exactly.
+    "q_audio_neardup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 200)
+      val fps = AudioOps.fingerprintFrame(d).unionByName(
+        AudioOps.variantFingerprintFrame(d.filter(col("doc_id") < 50)))
+      AudioOps.nearDupPairs(fps, maxHamming = 3)
+    }),
 
     // The composed scale path: LSH candidates -> exact Jaccard verify on
     // candidates only, at the production 32/8/4 geometry, with the
@@ -1259,6 +1293,21 @@ object PipelineQueries {
     // the estimate bit-for-bit. Grouped by (month, status): F/O cells
     // hold > k distinct custkeys (estimate branch), the rare 'P' cells
     // fewer (exact small-set branch) — both paths live at every SF.
+    // KMV as a STREAMED summary, driver-gated: the event feed split into
+    // 3 "micro-batch" segments, one sketch per segment, and a merged row
+    // folded from the segment sketches alone (k-smallest of the union of
+    // k-smallest — the monoid a streaming ingest applies per trigger and
+    // a lake applies per partition). The oracle computes every segment
+    // AND the merged row from the raw feed, so a hash match proves
+    // merge(sketches) == sketch(union) exactly — the mergeable-summary
+    // law itself, not a recomputation. SketchStreamSpec carries the live
+    // streamed==batch differential for the same aggregate.
+    "q_kmv_stream" -> ((s, dir) =>
+      SketchOps.kmvSegmented(
+        RefQueries.events(s, dir),
+        segCol = pmod(col("event_id"), lit(3)),
+        keyCol = col("user_id"), k = 64)),
+
     "q_kmv_distinct" -> ((s, dir) => {
       val o = t(s, dir, "orders")
       val month = expr("year(o_orderdate) * 12 + month(o_orderdate)")
@@ -3873,20 +3922,26 @@ object PipelineQueries {
     * END` is toward-zero under EITHER `//` semantics (n = count > 0).
     * Ties break on (dist2, j) = the expression's strict-< first-minimum.
     */
-  private def kmeansLatticeCtes(k: Int, iters: Int, dims: Int): String = {
+  private def kmeansLatticeCtes(
+      k: Int, iters: Int, dims: Int, trainWhere: String = "TRUE"): String = {
     def distExpr(qv: String, cv: String) =
       s"list_reduce(list_prepend(0::BIGINT, list_transform(" +
         s"range(1, $dims + 1), i -> ($qv[i] - $cv[i]) * ($qv[i] - $cv[i]))), " +
         s"(a, b) -> a + b)"
-    def assignCte(name: String, centsCte: String) =
+    // `src` = qt (the training subset) for the Lloyd rounds, q (the full
+    // corpus) for the final assignment — with trainWhere = TRUE the two
+    // coincide and this is the original whole-corpus training replay;
+    // a narrower predicate replays FAISS add-after-train (train on the
+    // base segment, assign everything).
+    def assignCte(name: String, src: String, centsCte: String) =
       s"""$name AS (
          |  SELECT vec_id, qv, j, dist2, row_number()
          |    OVER (PARTITION BY vec_id ORDER BY dist2, j) AS rn
-         |  FROM (SELECT q.vec_id, q.qv, c.j,
-         |          ${distExpr("q.qv", "c.qv")} AS dist2
-         |        FROM q CROSS JOIN $centsCte c))""".stripMargin
+         |  FROM (SELECT $src.vec_id, $src.qv, c.j,
+         |          ${distExpr(s"$src.qv", "c.qv")} AS dist2
+         |        FROM $src CROSS JOIN $centsCte c))""".stripMargin
     val rounds = (1 to iters).map { r =>
-      s"""${assignCte(s"a$r", s"c${r - 1}")},
+      s"""${assignCte(s"a$r", "qt", s"c${r - 1}")},
          |w$r AS (SELECT vec_id, qv, j FROM a$r WHERE rn = 1),
          |n$r AS (SELECT j, count(*) AS n FROM w$r GROUP BY j),
          |u$r AS (SELECT w$r.j, t.range AS d, w$r.qv[t.range + 1] AS v
@@ -3905,11 +3960,12 @@ object PipelineQueries {
        |  SELECT vec_id, list_transform(embedding,
        |    x -> CAST(floor(CAST(x AS DOUBLE) * ${LatticeKmeans.Scale} + 0.5) AS BIGINT)) AS qv
        |  FROM embeddings WHERE embedding IS NOT NULL),
+       |qt AS (SELECT vec_id, qv FROM q WHERE $trainWhere),
        |c0 AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS j, qv
-       |  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT $k)),
+       |  FROM (SELECT vec_id, qv FROM qt ORDER BY vec_id LIMIT $k)),
        |$rounds,
-       |${assignCte("fin", s"c$iters")}""".stripMargin
+       |${assignCte("fin", "q", s"c$iters")}""".stripMargin
   }
 
   private def kmeansLatticeOracle(k: Int, iters: Int, dims: Int): String =
@@ -3962,11 +4018,12 @@ object PipelineQueries {
     * exact-integer dist2 top-k — all BIGINT.
     */
   private def ivfLatticeOracle(
-      k: Int, iters: Int, dims: Int, nprobe: Int, topK: Int): String = {
+      k: Int, iters: Int, dims: Int, nprobe: Int, topK: Int,
+      trainWhere: String = "TRUE"): String = {
     def dotExpr(a: String, b: String) =
       s"list_reduce(list_prepend(0::BIGINT, list_transform(" +
         s"range(1, $dims + 1), i -> $a[i] * $b[i])), (x, y) -> x + y)"
-    s"""WITH ${kmeansLatticeCtes(k, iters, dims)},
+    s"""WITH ${kmeansLatticeCtes(k, iters, dims, trainWhere)},
        |asg AS (
        |  SELECT vec_id AS corpus_id, qv, j AS cid,
        |    ${dotExpr("qv", "qv")} AS cn2
@@ -4112,6 +4169,12 @@ object PipelineQueries {
       semDedupLatticeOracle(k = 4, iters = 2, dims = 64, tauNum = 7, tauDen = 20),
     "q_sim_ivf_lattice" ->
       ivfLatticeOracle(k = 4, iters = 2, dims = 64, nprobe = 2, topK = 10),
+    // Same search semantics, quantizer trained ONLY on the base segment
+    // (vec_id % 3 <> 0) while fin assigns the full corpus — the oracle of
+    // the add-after-train lifecycle.
+    "q_sim_ivf_incremental" ->
+      ivfLatticeOracle(k = 4, iters = 2, dims = 64, nprobe = 2, topK = 10,
+        trainWhere = "vec_id % 3 <> 0"),
     "q_coreset_sample" -> coresetOracle(m = 6, dims = 64),
 
     // Every PCM sample of every clip regenerated in HUGEINT SQL
@@ -4144,6 +4207,45 @@ object PipelineQueries {
          |SELECT fingerprint, CAST(count(*) AS BIGINT) AS n_docs,
          |  min(doc_id) AS canonical_doc
          |FROM fp GROUP BY fingerprint HAVING count(*) > 1""".stripMargin,
+    // Original + variant PCM regenerated per observation (qw = the
+    // halved window, -1 = untouched original), both fingerprints, then
+    // the exact radius-3 pair join. The variant's halving replays with
+    // the sign-split `//` (division-direction-proof on negative PCM).
+    "q_audio_neardup" -> {
+      val nW = AudioOps.NSamples / AudioOps.WindowLen
+      s"""WITH obs AS (
+         |  SELECT doc_id AS oid, doc_id AS src, -1 AS qw
+         |  FROM documents WHERE doc_id < 200
+         |  UNION ALL
+         |  SELECT doc_id + ${AudioOps.VariantIdOffset}, doc_id,
+         |    CAST(doc_id % ${nW - 2} + 1 AS INTEGER)
+         |  FROM documents WHERE doc_id < 50),
+         |px AS (SELECT oid, qw,
+         |         (src % ${AudioOps.SeedGroups})::HUGEINT AS seed,
+         |         t.range AS i
+         |       FROM obs CROSS JOIN range(0, ${AudioOps.NSamples}) t),
+         |m AS (SELECT oid, qw, i,
+         |  ${RefQueries.mixSql("a", s"seed * ${AudioOps.SeedMult} + i")}
+         |  FROM px),
+         |x0 AS (SELECT oid, qw, i, (am % 65536)::BIGINT - 32768 AS s0 FROM m),
+         |x AS (SELECT oid, i,
+         |        CASE WHEN i // ${AudioOps.WindowLen} = qw THEN
+         |          CASE WHEN s0 >= 0 THEN s0 // 2 ELSE -((-s0) // 2) END
+         |        ELSE s0 END AS smp
+         |      FROM x0),
+         |e AS (SELECT oid, i // ${AudioOps.WindowLen} AS w, sum(smp * smp) AS en
+         |      FROM x GROUP BY oid, i // ${AudioOps.WindowLen}),
+         |l AS (SELECT oid, w, en,
+         |      lead(en) OVER (PARTITION BY oid ORDER BY w) AS nxt FROM e),
+         |fp AS (SELECT oid,
+         |       CAST(sum(CASE WHEN nxt > en THEN 1::BIGINT << w ELSE 0 END) AS BIGINT)
+         |         AS fingerprint
+         |       FROM l WHERE nxt IS NOT NULL GROUP BY oid)
+         |SELECT a.oid AS id_a, b.oid AS id_b,
+         |  CAST(bit_count(xor(a.fingerprint, b.fingerprint)) AS INTEGER) AS hamming
+         |FROM fp a JOIN fp b ON a.oid < b.oid
+         |WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 3""".stripMargin
+    },
     "q_bpe_encode" -> bpeEncodeOracle,
     "q_sim_pq_literal" -> pqLiteralOracle,
     "q_sim_ivfpq_literal" -> ivfPqLiteralOracle,
@@ -5459,6 +5561,45 @@ object PipelineQueries {
     // The k-th order statistic of the distinct hash set, replayed in
     // HUGEINT SQL; the estimate is the same two correctly-rounded IEEE
     // ops (divide, then multiply) on it.
+    // Per-segment k-smallest AND the merged row computed from the raw
+    // feed — matching them against the Spark side's sketch-only fold IS
+    // the mergeable-summary proof.
+    "q_kmv_stream" -> {
+      val k = 64
+      s"""WITH e AS (
+         |  SELECT CAST(event_id % 3 AS VARCHAR) AS segment,
+         |    user_id AS key
+         |  FROM events),
+         |m AS (
+         |  SELECT DISTINCT segment, (am // 2) AS u
+         |  FROM (SELECT segment,
+         |    ${RefQueries.mixSql("a", "key::HUGEINT * 2654435761")}
+         |    FROM e)),
+         |a AS (
+         |  SELECT segment, u FROM m
+         |  UNION
+         |  SELECT 'merged', u FROM m),
+         |r AS (
+         |  SELECT segment, u, row_number() OVER (
+         |    PARTITION BY segment ORDER BY u) AS rk
+         |  FROM a),
+         |cnt AS (
+         |  SELECT segment, CAST(count(*) AS BIGINT) AS n_all
+         |  FROM a GROUP BY 1),
+         |kth AS (
+         |  SELECT segment, CAST(u AS BIGINT) AS kth_hash
+         |  FROM r WHERE rk = $k)
+         |SELECT c.segment,
+         |  CAST(least(c.n_all, $k) AS BIGINT) AS n_kept,
+         |  k2.kth_hash,
+         |  CASE WHEN k2.kth_hash IS NULL THEN CAST(c.n_all AS DOUBLE)
+         |       ELSE ${k - 1}.0 * (9223372036854775808.0
+         |              / CAST(k2.kth_hash AS DOUBLE))
+         |  END AS est_distinct
+         |FROM cnt c
+         |LEFT JOIN kth k2 ON k2.segment = c.segment""".stripMargin
+    },
+
     "q_kmv_distinct" ->
       s"""WITH o AS (
          |  SELECT CAST(year(CAST(o_orderdate AS DATE)) * 12

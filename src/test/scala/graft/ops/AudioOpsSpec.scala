@@ -83,4 +83,42 @@ class AudioOpsSpec extends SparkSpec {
     val fp117 = fingerprint(decodeWav(synthWav(117L)).get.samples)
     assert(fp17 == fp117) // same seed group -> identical audio
   }
+
+  test("radius-tolerant near-dup finds planted 1-2 bit variants; exact groups unchanged") {
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = (0L until 100L).toDF("doc_id")
+    // each variant differs from its source by <= 2 fingerprint bits
+    // (only the halved window's two delta bits can flip), and by >= 1
+    // for at least some sources (otherwise the plant is vacuous)
+    val hams = (0L until 100L).map { id =>
+      val src = fingerprint(decodeWav(synthWav(id)).get.samples)
+      val variant = fingerprint(decodeWav(synthWavVariant(id)).get.samples)
+      java.lang.Long.bitCount(src ^ variant)
+    }
+    assert(hams.forall(_ <= 2), s"variant flipped > 2 bits: ${hams.max}")
+    assert(hams.exists(_ >= 1), "no variant flipped any bit — vacuous plant")
+
+    val fps = AudioOps.fingerprintFrame(docs)
+      .unionByName(AudioOps.variantFingerprintFrame(docs))
+    val pairs = AudioOps.nearDupPairs(fps, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // every perturbed variant is found against its own source
+    (0L until 100L).filter(id => hams(id.toInt) >= 1).foreach { id =>
+      val key = (id, id + AudioOps.VariantIdOffset)
+      assert(pairs.contains(key), s"planted near-dup $key missed")
+      assert(pairs(key) == hams(id.toInt))
+    }
+    // pigeonhole result == brute force over the same fingerprint frame
+    val all = fps.collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (ia, fa) <- all; (ib, fb) <- all
+      if ia < ib && java.lang.Long.bitCount(fa ^ fb) <= 3
+    } yield (ia, ib)).toSet
+    assert(pairs.keySet == brute)
+    // exact-equality groups are untouched by the variants' existence
+    val exact = AudioOps.dupGroups(docs).collect()
+    assert(exact.forall(_.getLong(1) == 1L) || exact.isEmpty ||
+      exact.forall(r => r.getLong(2) < AudioOps.VariantIdOffset))
+  }
 }

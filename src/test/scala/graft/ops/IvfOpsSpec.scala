@@ -90,4 +90,65 @@ class IvfOpsSpec extends SparkSpec {
     // should stay usable, never collapse
     assert(recall >= 0.7, s"unclustered recall $recall < 0.7")
   }
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("incremental IVF: probe after append == probe after full list rebuild on the union") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = emb.filter($"vec_id" % 3 =!= 0)
+    val delta = emb.filter($"vec_id" % 3 === 0)
+    val queries = emb.filter($"vec_id" < 10)
+
+    val incr = tmp("ivf_incr_")
+    IvfIndexOps.build(base, incr, nLists = 4, iters = 2)
+    IvfIndexOps.append(delta, incr, segment = "delta1")
+
+    // full rebuild of the LIST FILES over the union corpus under the SAME
+    // quantizer (trainOn = base) — the FAISS add-after-train invariant:
+    // adding in two batches == adding everything at once
+    val full = tmp("ivf_full_")
+    IvfIndexOps.build(emb, full, nLists = 4, iters = 2, trainOn = Some(base))
+
+    def probeSet(path: String) =
+      IvfIndexOps.probe(queries, path, k = 10, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    val a = probeSet(incr)
+    assert(a == probeSet(full))
+    assert(a.nonEmpty)
+    // and both equal the in-memory ivfTopK when ITS training corpus and
+    // list corpus match the persisted index's
+    val mem = LatticeKmeans.ivfTopK(queries, emb, k = 10, nLists = 4,
+      iters = 2, nprobe = 2)
+    // (in-memory trains on the FULL corpus, so only compare when the
+    // quantizers agree: train persisted centroids on the full corpus too)
+    val full2 = tmp("ivf_full2_")
+    IvfIndexOps.build(emb, full2, nLists = 4, iters = 2)
+    assert(probeSet(full2) ==
+      mem.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet)
+  }
+
+  test("incremental IVF: drift report flags out-of-distribution appends only") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = emb.filter($"vec_id" % 3 =!= 0)
+    val inDist = emb.filter($"vec_id" % 3 === 0)
+    // out-of-distribution delta: every coordinate pushed off the unit
+    // ball the quantizer was trained on (scaled within the lattice
+    // packing bound |elem| <= 2^22, i.e. |x| <= 4 at Scale = 2^20)
+    val outDist = emb.filter($"vec_id" % 3 === 0)
+      .select(($"vec_id" + 1000000L).as("vec_id"),
+        transform($"embedding", x => x * 2f + 3f).as("embedding"))
+
+    val idx = tmp("ivf_drift_")
+    IvfIndexOps.build(base, idx, nLists = 4, iters = 2)
+    IvfIndexOps.append(inDist, idx, segment = "good")
+    IvfIndexOps.append(outDist, idx, segment = "shifted")
+
+    val rep = IvfIndexOps.driftReport(spark, idx)
+      .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(rep("base") == false)
+    assert(rep("good") == false, "in-distribution append must not flag")
+    assert(rep("shifted") == true, "out-of-distribution append must flag")
+  }
 }

@@ -105,6 +105,26 @@ class SketchOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("inter_est") == 0.0)
   }
 
+  test("kmvSegmented: merged row (fold of segment sketches) == whole-feed sketch") {
+    val feed = (1L to 400L).map(x => (x % 3, x % 151))
+    val seg = SketchOps.kmvSegmented(
+      feed.toDF("seg", "key"), $"seg", $"key", k = 32)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.getAs[java.lang.Long](2)),
+          r.getDouble(3)))).toMap
+    assert(seg.keySet == Set("0", "1", "2", "merged"))
+    // the merged row must equal the sketch built directly on the union
+    val whole = SketchOps.kmvDistinct(
+      feed.map { case (_, k) => ("all", k) }.toDF("g", "key"),
+      Seq("grp" -> $"g"), $"key", 32)
+      .collect().map(r =>
+        (r.getLong(1), Option(r.getAs[java.lang.Long](2)), r.getDouble(3)))
+      .head
+    assert(seg("merged") == whole)
+    // per-segment sketches are genuinely different inputs (not vacuous)
+    assert(seg("0") != seg("merged") || seg("1") != seg("merged"))
+  }
+
   test("kmvDistinct merges: 1-partition == 8-partition sketch") {
     val keys = (1L to 500L).map(x => ("g", x % 97))
     val one = SketchOps.kmvDistinct(
