@@ -864,4 +864,61 @@ object DedupOps {
           transform(col("__ls"), x => x.getField("line"))).as("text_clean"),
         size(col("__ls")).cast("long").as("n_lines_kept"))
   }
+
+  /** Winnowing fingerprints per document (Schleimer–Wilkerson–Aiken,
+    * SIGMOD'03 — the MOSS local-fingerprinting algorithm; see
+    * [[graft.expr.WinnowFingerprints]]). Text is normalized to the
+    * formatting-free space (lowercase, `[a-z0-9]` only — whitespace and
+    * punctuation vanish, so re-wrapping or re-punctuating a stolen passage
+    * does not change its fingerprints), then k-gram hashed and window-min
+    * selected entirely row-locally inside whole-stage codegen. The ONLY
+    * shuffle in the whole family is whatever the caller does with the
+    * exploded `(doc_id, fp)` rows — the selection itself is scan-shaped
+    * and streams at 100 TB.
+    *
+    * Density: winnowing selects ~`2/(w+1)` of gram positions, so the
+    * posting list is a small constant fraction of corpus characters —
+    * the index-size/guarantee trade the `w + k - 1` threshold buys.
+    *
+    * Returns distinct `(doc_id, fp)` rows (the expression already
+    * dedups per document).
+    */
+  def winnowFingerprints(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 4,
+      w: Int = 8): DataFrame = {
+    val norm = regexp_replace(lower(col(textCol)), "[^a-z0-9]", "")
+    docs.select(
+      col(idCol).as("doc_id"),
+      explode(graft.expr.WinnowExprs.winnowFingerprints(norm, k, w))
+        .as("fp"))
+  }
+
+  /** Partial-overlap pairs from winnowing fingerprints: documents sharing
+    * at least `minShared` selected fingerprints, scored by the shared
+    * count. The join is the standard posting-list self-join — fingerprints
+    * whose document frequency exceeds `maxDf` are dropped FIRST (the
+    * boilerplate/stop-fingerprint cap: candidate volume is sum df², so the
+    * df tail is the entire cost at scale; the same discipline as the
+    * MinHash hot-bucket cap). Input is [[winnowFingerprints]] output;
+    * returns `(id_a, id_b, shared)` with `id_a < id_b`.
+    */
+  def winnowOverlapPairs(
+      fps: DataFrame,
+      minShared: Long,
+      maxDf: Long): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(maxDf >= 2, s"maxDf must be >= 2 for any pair to survive, got $maxDf")
+    val df = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val kept = fps.join(df.select(col("fp")), Seq("fp"))
+    kept.as("a").join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
 }

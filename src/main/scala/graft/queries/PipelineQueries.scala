@@ -413,6 +413,26 @@ object PipelineQueries {
     "q_dedup_spans" -> ((s, dir) =>
       DedupOps.spanDedup(t(s, dir, "documents"), "doc_id", "text", k = 5)),
 
+    // Winnowing local fingerprints (Schleimer-Wilkerson-Aiken SIGMOD'03,
+    // the MOSS algorithm): k-gram polynomial hashes over the
+    // formatting-free normalization, min per w-window, distinct selected
+    // values. Row-local codegen selection; the oracle replays the exact
+    // gram/window arithmetic with DuckDB list comprehensions.
+    "q_winnowing" -> ((s, dir) =>
+      DedupOps.winnowFingerprints(
+        t(s, dir, "documents"), "doc_id", "text", k = 4, w = 8)),
+
+    // Partial-overlap pairs on those fingerprints: shared substrings of
+    // length >= w + k - 1 guarantee a shared fingerprint, so reuse
+    // detection is a df-capped posting self-join — never an all-pairs
+    // alignment. The df cap (boilerplate fingerprints out FIRST) is the
+    // candidate-volume control that holds at 100 TB.
+    "q_winnow_pairs" -> ((s, dir) =>
+      DedupOps.winnowOverlapPairs(
+        DedupOps.winnowFingerprints(
+          t(s, dir, "documents"), "doc_id", "text", k = 4, w = 8),
+        minShared = 8L, maxDf = 64L)),
+
     // Line-level boilerplate removal (CCNet/RefinedWeb pass). The source
     // docs are single-line, so the query deterministically wraps each in
     // web chrome first: a per-source header (df ~ docs/source — always
@@ -4091,6 +4111,38 @@ object PipelineQueries {
     * exactly as [[graft.ops.AudioOps.sampleAt]] does
     * (`(m % 65536) - 32768` == `(m & 0xffff) - 32768`).
     */
+  /** Shared winnowing-selection CTEs (k=4, w=8 — MUST match the
+    * registered queries' parameters): normalize to the formatting-free
+    * space, code points, k-gram polynomial hashes, min per w-window
+    * (slices clamp at the end exactly like the expression's final
+    * windows), distinct selected values. `range()` ends are exclusive:
+    * gram positions run 1 .. len(codes)-k+1 = range(1, len(codes)-2) at
+    * k=4; window starts run 1 .. max(nGrams-w+1, 1) =
+    * range(1, greatest(len(grams)-6, 2)) at w=8.
+    */
+  private def winnowCtes: String =
+    """n AS (
+      |  SELECT doc_id,
+      |    regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id,
+      |    list_transform(list_filter(string_split(s, ''), ch -> len(ch) > 0),
+      |      ch -> CAST(ord(ch) AS BIGINT)) AS codes
+      |  FROM n),
+      |g AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, len(codes) - 2),
+      |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT), codes[i:i+3]),
+      |             (a, x) -> (a * 31 + x) % 1000000007)) AS grams
+      |  FROM c WHERE len(codes) >= 4),
+      |sel AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      range(1, greatest(len(grams) - 6, 2)),
+      |      j -> list_min(grams[j:j+7]))) AS fps
+      |  FROM g)""".stripMargin
+
   private def audioCtes: String =
     s"""d AS (SELECT doc_id, (doc_id % ${AudioOps.SeedGroups})::HUGEINT AS seed
        |      FROM documents),
@@ -4959,6 +5011,27 @@ object PipelineQueries {
          |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
          |  CAST(len(t.w) - coalesce(a.n_kept, 0) AS BIGINT) AS n_dropped
          |FROM toks t LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // Exact replay of the winnowing selection (normalize -> k-gram
+    // polynomial hashes -> window min -> distinct) with list
+    // comprehensions; range() end is exclusive, so counts shift by one
+    // vs Spark's inclusive sequence().
+    "q_winnowing" ->
+      s"""WITH $winnowCtes
+         |SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fp FROM sel""".stripMargin,
+
+    // Same selection, then the df-capped posting self-join in plain SQL.
+    "q_winnow_pairs" ->
+      s"""WITH $winnowCtes,
+         |fp AS (SELECT doc_id, unnest(fps) AS fp FROM sel),
+         |df AS (SELECT fp, count(*) AS df FROM fp GROUP BY fp),
+         |kept AS (SELECT f.doc_id, f.fp FROM fp f
+         |         JOIN df ON df.fp = f.fp WHERE df.df <= 64)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(count(*) AS BIGINT) AS shared
+         |FROM kept a JOIN kept b
+         |  ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 8""".stripMargin,
 
     // Exact line-equality semantics (the Spark side dfs by 8-byte line
     // hashes — same result modulo 2^-64 collisions, the documented trade).
