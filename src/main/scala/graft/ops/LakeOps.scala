@@ -574,4 +574,38 @@ object LakeOps {
       .toDF("table_name", "n_before", "n_after", "n_erased", "n_residual",
         "n_partitions_touched", "n_partitions_total")
   }
+
+  /** Salt base distinguishing the rendezvous hash family from the Bloom /
+    * KMV / CMS members of the same splitmix64 family.
+    */
+  val RendezvousSaltBase: Int = 7001
+
+  /** Rendezvous (highest-random-weight) shard assignment (Thaler &
+    * Ravishankar, IEEE ToN '98 — the consistent-placement scheme behind
+    * cache rings and object-store placement): shard =
+    * `argmax_{s in [0, nShards)} h(key, s)` with
+    * `h = splitmix64(key * 2654435761 + RendezvousSaltBase + s) >>> 1`
+    * (sign-cleared so the Spark Long comparison and the oracle's HUGEINT
+    * `m // 2` order identically). Ties — probability ~2^-63 but the
+    * oracle demands determinism — go to the smallest shard id (the
+    * argmax scan takes the FIRST maximum).
+    *
+    * THE property that matters at 100 TB: growing `nShards` by one moves
+    * exactly the keys whose new shard wins the argmax — an expected
+    * `1/(nShards+1)` fraction, every one of them moving TO the new
+    * shard — instead of the `(nShards-1)/nShards` reshuffle a
+    * `hash % nShards` layout forces. Entirely row-local codegen (one
+    * splitmix per shard per row, no shuffle, no coordination state);
+    * the assignment is a pure function of (key, nShards), so ingest
+    * writers on 1000 executors agree without a directory service.
+    */
+  def rendezvousShard(key: Column, nShards: Int): Column = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val scores = (0 until nShards).map(s =>
+      shiftrightunsigned(
+        graft.expr.BloomExprs.splitmixHash(key, RendezvousSaltBase + s), 1))
+    val arr = array(scores: _*)
+    // first index of the max = smallest shard id on (impossible) ties
+    (array_position(arr, array_max(arr)) - 1).cast("int")
+  }
 }

@@ -836,6 +836,19 @@ object PipelineQueries {
         TextOps.fingerprint(col("text")),
         "source" -> col("source"), "lang" -> col("lang"))),
 
+    // Rendezvous (HRW) shard placement under 8 shards and after growing
+    // to 9: row-local argmax over the splitmix family, no shuffle, no
+    // directory service. The gated frame carries BOTH assignments plus
+    // the moved flag, so the oracle hash-pins the consistent-placement
+    // law: every moved key lands on the NEW shard (RendezvousSpec
+    // asserts it; the driver hash would break if either argmax drifted).
+    "q_rendezvous_shard" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        LakeOps.rendezvousShard(col("doc_id"), 8).as("shard8"),
+        LakeOps.rendezvousShard(col("doc_id"), 9).as("shard9"))
+        .withColumn("moved", (col("shard8") =!= col("shard9")).cast("int"))),
+
     // Column-level data profiling (exact): per column, row/null/distinct
     // counts + stringified min/max. Each UNION leg prunes its scan to ONE
     // column (total bytes across legs == one full-width scan) and the
@@ -4472,6 +4485,29 @@ object PipelineQueries {
       s"""SELECT source, lang, CAST(count(*) AS BIGINT) AS n_rows,
          |  bit_xor(${S.fingerprint("text")}) AS fp_xor
          |FROM documents GROUP BY 1, 2""".stripMargin,
+
+    // Every per-shard splitmix score regenerated in HUGEINT mod-2^64 SQL
+    // (`m // 2` == the Spark side's sign-clearing >>> 1); argmax via
+    // row_number (score DESC, s ASC) = the expression's first-maximum.
+    "q_rendezvous_shard" ->
+      s"""WITH d AS (SELECT doc_id FROM documents),
+         |h AS (SELECT doc_id, s, am // 2 AS score
+         |      FROM (SELECT d.doc_id, t.range AS s,
+         |        ${RefQueries.mixSql("a",
+              s"doc_id::HUGEINT * 2654435761 + (${LakeOps.RendezvousSaltBase} + t.range)")}
+         |        FROM d CROSS JOIN range(0, 9) t)),
+         |a8 AS (SELECT doc_id, s AS shard8 FROM (
+         |  SELECT doc_id, s, row_number()
+         |    OVER (PARTITION BY doc_id ORDER BY score DESC, s) AS rn
+         |  FROM h WHERE s < 8) WHERE rn = 1),
+         |a9 AS (SELECT doc_id, s AS shard9 FROM (
+         |  SELECT doc_id, s, row_number()
+         |    OVER (PARTITION BY doc_id ORDER BY score DESC, s) AS rn
+         |  FROM h) WHERE rn = 1)
+         |SELECT d.doc_id, CAST(shard8 AS INT) AS shard8,
+         |  CAST(shard9 AS INT) AS shard9,
+         |  CAST(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END AS INT) AS moved
+         |FROM d JOIN a8 USING (doc_id) JOIN a9 USING (doc_id)""".stripMargin,
 
     "q_merge_upsert" ->
       """WITH base AS (

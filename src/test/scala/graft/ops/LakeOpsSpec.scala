@@ -508,4 +508,33 @@ class LakeOpsSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("m#"),
       s"bloom prune must be a partition filter:\n$plan")
   }
+
+  test("rendezvousShard: consistent placement when a shard is added") {
+    import spark.implicits._
+    val keys = spark.range(0, 4000).toDF("k")
+    val rows = keys.select(
+      col("k"),
+      LakeOps.rendezvousShard(col("k"), 8).as("s8"),
+      LakeOps.rendezvousShard(col("k"), 9).as("s9"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+
+    // range discipline
+    assert(rows.forall { case (_, s8, s9) => s8 >= 0 && s8 < 8 && s9 >= 0 && s9 < 9 })
+
+    // THE HRW law: growing 8 -> 9 only ever moves keys TO the new shard —
+    // the argmax over the old scores is untouched unless shard 8 wins
+    val moved = rows.filter { case (_, s8, s9) => s8 != s9 }
+    assert(moved.forall(_._3 == 8),
+      s"moved keys must land on the new shard: ${moved.take(5).mkString(",")}")
+
+    // expected move fraction 1/9 of 4000 ~ 444; generous 2x bounds
+    assert(moved.length > 222 && moved.length < 889,
+      s"move fraction should be ~1/9, moved ${moved.length}/4000")
+
+    // balance: every shard owns a non-trivial slice under both layouts
+    val by8 = rows.groupBy(_._2).map(_._2.size)
+    val by9 = rows.groupBy(_._3).map(_._2.size)
+    assert(by8.size == 8 && by8.min > 4000 / 8 / 2)
+    assert(by9.size == 9 && by9.min > 4000 / 9 / 2)
+  }
 }
