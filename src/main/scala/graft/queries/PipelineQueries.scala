@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AudioOps, ContaminationOps, DedupOps, ExperimentOps, GraphOps, IvfOps, JoinOps, LakeOps, LatticeKmeans, LmOps, MultimodalOps, PqOps, PrepOps, PrivacyOps, ProfileOps, SamplingOps, SearchOps, SimilarityOps, SketchOps, TextOps}
+import graft.ops.{AssocOps, AudioOps, ContaminationOps, DedupOps, ExperimentOps, GraphOps, IvfOps, JoinOps, LakeOps, LatticeKmeans, LmOps, MultimodalOps, PqOps, PrepOps, PrivacyOps, ProfileOps, SamplingOps, SearchOps, SimilarityOps, SketchOps, TextOps}
 import graft.streaming.{EventOps, IngestDedupStream}
 
 /** Training-data pipeline operators (dedup, similarity search, multimodal,
@@ -1864,6 +1864,21 @@ object PipelineQueries {
       GraphOps.cooccurrencePairs(
         t(s, dir, "lineitem"), "l_orderkey", "l_partkey", minCount = 3L)
         .select(col("item_a"), col("item_b"), col("n_baskets"))),
+
+    // Association rules (Agrawal et al. SIGMOD'93) over order->brand
+    // baskets: support/confidence/lift, directional. Pair explosion is
+    // row-local after ONE basket-keyed collect_set shuffle (baskets are
+    // small; the corpus-sized self-join is the rejected plan); the brand
+    // dimension joins in broadcast. Confidence/lift are single IEEE
+    // divisions of exact longs — engine-portable.
+    "q_assoc_rules" -> ((s, dir) =>
+      AssocOps.assocRules(
+        t(s, dir, "lineitem")
+          .join(broadcast(t(s, dir, "part")),
+            col("l_partkey") === col("p_partkey")),
+        basketCol = col("l_orderkey"),
+        itemCol = col("p_brand"),
+        minSupportCnt = 50L)),
 
     // Deterministic synchronous LPA (4 rounds, neighbor-majority, min
     // label on ties) over the part co-occurrence graph: splits the
@@ -5831,6 +5846,30 @@ object PipelineQueries {
         |  CAST(count(*) AS BIGINT) AS n_baskets
         |FROM it a JOIN it b ON a.bk = b.bk AND a.item < b.item
         |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
+
+    // Independent formulation: basket-keyed self-join pair counts (the
+    // Spark side explodes row-locally — same pairs); confidence/lift are
+    // the same single divisions of the same exact longs.
+    "q_assoc_rules" ->
+      """WITH it AS (
+        |  SELECT DISTINCT l_orderkey AS bk, p_brand AS item
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |n AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n_baskets FROM it),
+        |ic AS (SELECT item, CAST(count(*) AS BIGINT) AS cnt FROM it GROUP BY item),
+        |pc AS (
+        |  SELECT a.item AS antecedent, b.item AS consequent,
+        |    CAST(count(*) AS BIGINT) AS pair_cnt
+        |  FROM it a JOIN it b ON a.bk = b.bk AND a.item <> b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 50)
+        |SELECT pc.antecedent, pc.consequent, pc.pair_cnt,
+        |  ia.cnt AS ante_cnt, ca.cnt AS cons_cnt, n.n_baskets,
+        |  CAST(pc.pair_cnt AS DOUBLE) / CAST(ia.cnt AS DOUBLE) AS confidence,
+        |  CAST(pc.pair_cnt * n.n_baskets AS DOUBLE)
+        |    / CAST(ia.cnt * ca.cnt AS DOUBLE) AS lift
+        |FROM pc
+        |JOIN ic ia ON ia.item = pc.antecedent
+        |JOIN ic ca ON ca.item = pc.consequent
+        |CROSS JOIN n""".stripMargin,
 
     "q_communities" -> lpaSql(rounds = 4),
 
