@@ -400,6 +400,81 @@ object SimilarityOps {
         expr("CAST(__best.id DIV 256 AS BIGINT)").as("nn_id"))
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk, ACL'19 — the
+    * LASER/CCMatrix parallel-corpus miner): for every source-side
+    * embedding, its best target-side match is kept iff the match score
+    * clears a RATIO MARGIN against both neighborhoods —
+    * `2k·sim(x,y) > (tauNum/tauDen)·(Σ topk sims of x + Σ topk sims of y)`
+    * — so a pair only survives when it stands out from everything else
+    * either side is close to (the fix for cosine's hubness problem in
+    * mining).
+    *
+    * Engine-exact: vectors are [[LatticeKmeans.quantize]]d to the integer
+    * lattice and similarity is the raw integer dot product (64 dims ×
+    * (2^20-scale)² < 2^53, exact through the codegen [[vecDot]] fold), so
+    * neighborhood sums and the cross-multiplied margin predicate are pure
+    * BIGINT algebra on any engine. The margin keeps the sum form (k·mean
+    * = sum when both neighborhoods have k members; short corpora just sum
+    * what exists — mirrored by the oracle).
+    *
+    * Scale shape: the source side is the (small) query set — broadcast —
+    * and the target corpus is scanned once; BOTH directions' top-k
+    * neighborhoods come from partial top-k aggregates over the same
+    * scored frame (never a full-score shuffle). At 100 TB the scored
+    * frame is bounded by ANN candidate generation first ([[IvfOps]] /
+    * [[graft.ops.LatticeKmeans.ivfTopK]]) — the margin algebra is
+    * unchanged, it just scores candidates instead of the cross product.
+    *
+    * Returns (src_id, tgt_id, dot, sum_src, sum_tgt) for mined pairs.
+    */
+  def bitextMine(
+      src: DataFrame,
+      tgt: DataFrame,
+      k: Int,
+      tauNum: Long,
+      tauDen: Long,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(tauNum > 0 && tauDen > 0, s"tau must be positive, got $tauNum/$tauDen")
+    // integral doubles: the codegen vecDot fold stays exact below 2^53
+    val qs = src
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("src_id"),
+        LatticeKmeans.quantize(col(vecCol)).cast("array<double>").as("sv"))
+    val qt = tgt
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("tgt_id"),
+        LatticeKmeans.quantize(col(vecCol)).cast("array<double>").as("tv"))
+    val scored = qt.crossJoin(broadcast(qs))
+      .select(col("src_id"), col("tgt_id"),
+        vecDot(col("sv"), col("tv")).cast("long").as("dot"))
+
+    // partial top-k per direction; scores are integral doubles (exact)
+    def topkExploded(byCol: String, hitCol: String) = scored
+      .groupBy(col(byCol))
+      .agg(TopKFunctions.topKByScore(
+        col("dot").cast("double"), col(hitCol), k).as("__t"))
+      .select(col(byCol), posexplode(col("__t")).as(Seq("__pos", "__hit")))
+      .select(col(byCol), (col("__pos") + 1).as("rn"),
+        col("__hit.id").as(hitCol), col("__hit.score").cast("long").as("dot"))
+
+    val fwd = topkExploded("src_id", "tgt_id")
+    val sumSrc = fwd.groupBy(col("src_id")).agg(sum(col("dot")).as("sum_src"))
+    val sumTgt = topkExploded("tgt_id", "src_id")
+      .groupBy(col("tgt_id")).agg(sum(col("dot")).as("sum_tgt"))
+    val best = fwd.filter(col("rn") === 1)
+      .select(col("src_id"), col("tgt_id"), col("dot"))
+
+    best
+      .join(sumSrc, Seq("src_id"))
+      .join(sumTgt, Seq("tgt_id"))
+      .filter(lit(2L * k) * col("dot") * lit(tauDen) >
+        lit(tauNum) * (col("sum_src") + col("sum_tgt")))
+      .select(col("src_id"), col("tgt_id"), col("dot"),
+        col("sum_src"), col("sum_tgt"))
+  }
+
   object Sql {
     /** DuckDB dot product with the same sequential fold order. */
     def dot(a: String, b: String): String =

@@ -1375,6 +1375,21 @@ object PipelineQueries {
       SimilarityOps.bruteForceTopK(e.filter(col("vec_id") < 10), e, k = 10)
     }),
 
+    // Margin-based bitext mining (Artetxe-Schwenk ACL'19): parity splits
+    // the corpus into a source and a target "language"; each source
+    // vector's best target survives only if it clears the ratio margin
+    // against BOTH top-4 neighborhoods. Integer-exact on the lattice, so
+    // the neighborhood sums and the cross-multiplied margin predicate
+    // hash-gate end to end. Both neighborhoods come from partial top-k
+    // aggregates — no full-score shuffle.
+    "q_bitext_mine" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimilarityOps.bitextMine(
+        e.filter(col("vec_id") % 2 === 0),
+        e.filter(col("vec_id") % 2 === 1),
+        k = 4, tauNum = 21L, tauDen = 20L)
+    }),
+
     "q_sim_lsh_buckets" -> ((s, dir) =>
       t(s, dir, "embeddings").select(
         col("vec_id"),
@@ -6595,6 +6610,34 @@ object PipelineQueries {
          |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10
          |  WHERE $cos IS NOT NULL)
          |WHERE rank <= 10""".stripMargin
+    },
+
+    // Window-rank formulation of both neighborhoods over the same
+    // integer-lattice dot products; the margin is the identical
+    // cross-multiplied BIGINT predicate.
+    "q_bitext_mine" -> {
+      val dotF = "list_reduce(list_prepend(0::BIGINT, list_transform(" +
+        "range(1, 65), i -> s.qv[i] * tt.qv[i])), (x, y) -> x + y)"
+      s"""WITH q AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * ${graft.ops.LatticeKmeans.Scale} + 0.5) AS BIGINT)) AS qv
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |s AS (SELECT vec_id AS src_id, qv FROM q WHERE vec_id % 2 = 0),
+         |tt AS (SELECT vec_id AS tgt_id, qv FROM q WHERE vec_id % 2 = 1),
+         |sc AS (SELECT src_id, tgt_id, $dotF AS dot FROM s CROSS JOIN tt),
+         |fr AS (SELECT *, row_number() OVER (PARTITION BY src_id
+         |         ORDER BY dot DESC, tgt_id) AS rn FROM sc),
+         |ss AS (SELECT src_id, CAST(sum(dot) AS BIGINT) AS sum_src
+         |       FROM fr WHERE rn <= 4 GROUP BY 1),
+         |rr AS (SELECT *, row_number() OVER (PARTITION BY tgt_id
+         |         ORDER BY dot DESC, src_id) AS rn FROM sc),
+         |st AS (SELECT tgt_id, CAST(sum(dot) AS BIGINT) AS sum_tgt
+         |       FROM rr WHERE rn <= 4 GROUP BY 1)
+         |SELECT b.src_id, b.tgt_id, b.dot, ss.sum_src, st.sum_tgt
+         |FROM (SELECT src_id, tgt_id, dot FROM fr WHERE rn = 1) b
+         |JOIN ss USING (src_id)
+         |JOIN st ON st.tgt_id = b.tgt_id
+         |WHERE 8 * b.dot * 20 > 21 * (ss.sum_src + st.sum_tgt)""".stripMargin
     },
 
     // independent vote formulation: window rank for the top-7, group
