@@ -2,7 +2,7 @@ package graft.ops
 
 import java.security.MessageDigest
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video payloads as opaque
@@ -269,4 +269,98 @@ object MultimodalOps {
   /** End-to-end: documents -> media rows -> batched decode -> features. */
   def documentFeatures(spark: SparkSession, docs: DataFrame): DataFrame =
     extractFeatures(mediaFromDocuments(docs)).toDF()
+
+  // -------------------------------------------------------------------
+  // Content-defined chunking (storage-level blob dedup)
+  // -------------------------------------------------------------------
+
+  /** One content-defined chunk of a payload. */
+  final case class ChunkRow(
+    media_id: Long, chunk_idx: Int, start: Int, len: Int, chash: Long)
+
+  /** Content-defined chunking parameters. Anchors are PURE functions of
+    * the local byte window (Manber '94 fingerprint anchors — no
+    * min/max-length state like LBFS/FastCDC), deliberately: a
+    * position-independent anchor means two writers chunking overlapping
+    * blobs — or an engine and its oracle — agree with zero sequential
+    * state, and an edit's damage stays bounded by one window.
+    */
+  object Cdc {
+    /** Rolling window in bytes. */
+    val Window = 16
+    /** Salt separating the gear family from the Bloom/KMV/HRW members. */
+    val GearSalt = 9103
+    /** Anchor test: `((h >> AnchorShift) & AnchorMask) == 0` — mask 63
+      * => anchor probability 1/64 => ~64-byte average chunks. The shift
+      * judges middle bits (the low 6 depend on too few window bytes).
+      */
+    val AnchorShift = 8
+    val AnchorMask = 63L
+
+    /** Gear table: 15-bit splitmix values per byte, so the windowed sum
+      * `h = sum_t gear(b[i-W+1+t]) * 2^t` stays below 2^35 (exact in any
+      * engine's integers). Same splitmix64 family as the Bloom/KMV/CMS
+      * expressions; the oracle regenerates the 256 values in HUGEINT SQL.
+      */
+    lazy val gear: Array[Long] = Array.tabulate(256)(b =>
+      AudioOps.mix(b.toLong * 2654435761L + GearSalt) & 0x7fffL)
+
+    /** Chunk `bytes`: anchors close a chunk at every window position
+      * whose rolling hash passes the anchor test (first full window ends
+      * at `Window - 1`); the final chunk closes at the payload end.
+      * Chunk hash = the house `(acc*31 + byte) mod 1e9+7` polynomial
+      * over the chunk's (unsigned) bytes — the oracle-portable DEMO
+      * address; a production store swaps in a 128/256-bit content hash
+      * (the 1e9+7 space collides at billions of chunks). Collisions are
+      * deterministic and identical on both engines, so gates stay exact. One O(n) pass: the windowed
+      * sum updates incrementally (`h = (h - gear(out)) / 2 + gear(in) <<
+      * (W-1)` — exact integer algebra, no bit-borrow: h minus its t=0
+      * term is even by construction).
+      */
+    def chunksOf(bytes: Array[Byte]): Seq[(Int, Int, Long)] = {
+      val n = bytes.length
+      if (n == 0) return Seq.empty
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long)]
+      var h = 0L
+      var start = 0
+      var chash = 0L
+      var i = 0
+      while (i < n) {
+        val b = bytes(i) & 0xff
+        chash = (chash * 31 + b) % 1000000007L
+        h =
+          if (i < Window) h + (gear(b) << i)
+          else (h - gear(bytes(i - Window) & 0xff)) / 2 + (gear(b) << (Window - 1))
+        val anchored =
+          i >= Window - 1 && ((h >> AnchorShift) & AnchorMask) == 0
+        if (anchored || i == n - 1) {
+          out += ((start, i - start + 1, chash))
+          start = i + 1
+          chash = 0L
+        }
+        i += 1
+      }
+      out.toSeq
+    }
+  }
+
+  /** Content-defined chunks per payload — the dedup unit of every blob
+    * store (backup dedup, artifact caches, image-layer stores): equal
+    * chunk hashes across payloads dedup storage even when blobs embed
+    * each other at shifted offsets, which fixed-size blocks structurally
+    * cannot see. Payload-local mapPartitions codec (the
+    * [[extractFeatures]] batch shape): one pass per blob, only the
+    * 5-column integer chunk rows leave the partition — grouping by
+    * `chash` afterwards is the ONE shuffle of a dedup-ratio pipeline,
+    * and it moves chunk METADATA, never payload bytes.
+    */
+  def contentChunks(media: Dataset[MediaRow]): Dataset[ChunkRow] = {
+    implicit val enc: Encoder[ChunkRow] = Encoders.product[ChunkRow]
+    media.mapPartitions(_.filter(_.payload != null).flatMap { r =>
+      Cdc.chunksOf(r.payload).iterator.zipWithIndex.map {
+        case ((start, len, chash), idx) =>
+          ChunkRow(r.media_id, idx, start, len, chash)
+      }
+    })
+  }
 }

@@ -511,6 +511,37 @@ object PipelineQueries {
           .select(col("media_id").as("doc_id"), col("phash").as("simhash")),
         bits = 64, maxHamming = 3)),
 
+    // Content-defined chunking of opaque payloads (Manber'94 anchors):
+    // every boundary, length and chunk hash of every blob, gated — the
+    // storage-dedup unit blob stores actually use. Payload-local codec
+    // pass; the oracle regenerates the gear table in HUGEINT splitmix
+    // SQL and replays the windowed rolling hash per byte position.
+    "q_cdc_chunks" -> ((s, dir) =>
+      MultimodalOps.contentChunks(
+        MultimodalOps.mediaFromDocuments(t(s, dir, "documents"))).toDF()),
+
+    // The dedup-ratio readout per modality: unique-vs-total chunk bytes
+    // (the corpus plants exact text dups, so ratios are meaningfully
+    // below 1). Chunk-metadata-sized aggregate — payload bytes never
+    // shuffle.
+    "q_cdc_dedup" -> ((s, dir) => {
+      val chunks = MultimodalOps.contentChunks(
+        MultimodalOps.mediaFromDocuments(t(s, dir, "documents"))).toDF()
+        .withColumn("modality",
+          element_at(array(lit("image"), lit("audio"), lit("video")),
+            (col("media_id") % 3 + 1).cast("int")))
+      chunks
+        .groupBy(col("modality"), col("chash"))
+        .agg(count(lit(1)).as("refs"), min(col("len")).as("clen"))
+        .groupBy(col("modality"))
+        .agg(sum(col("refs")).as("total_chunks"),
+          count(lit(1)).as("unique_chunks"),
+          sum(col("refs") * col("clen")).as("total_bytes"),
+          sum(col("clen")).as("unique_bytes"))
+        .withColumn("dedup_ratio",
+          col("unique_bytes").cast("double") / col("total_bytes").cast("double"))
+    }),
+
     // In-query k-means with a FULL training oracle: embeddings quantized
     // to the integer lattice (round(x*2^20), row-local exact), 2 Lloyd
     // rounds of integer argmin assignment + truncating-division centroid update —
@@ -4186,6 +4217,55 @@ object PipelineQueries {
       |      j -> list_min(grams[j:j+7]))) AS fps
       |  FROM g)""".stripMargin
 
+  /** Shared content-defined-chunking CTEs: payload bytes (= ASCII text
+    * codes — `mediaFromDocuments` encodes the text), the 256-entry gear
+    * table regenerated in HUGEINT splitmix SQL, the windowed rolling
+    * hash at every full-window position (a 16-wide position self-join —
+    * the oracle pays the quadratic window so the engine's O(n)
+    * incremental update is independently checked), anchors, and chunk
+    * rows with the house polynomial chunk hash.
+    */
+  private def cdcCtes: String = {
+    val W = MultimodalOps.Cdc.Window
+    s"""pay AS (
+       |  SELECT doc_id, list_transform(
+       |    list_filter(string_split(text, ''), ch -> len(ch) > 0),
+       |    ch -> CAST(ord(ch) AS BIGINT)) AS bytes
+       |  FROM documents WHERE text IS NOT NULL),
+       |gear AS (SELECT b, (am % 32768)::BIGINT AS g FROM (
+       |  SELECT t.range AS b,
+       |    ${RefQueries.mixSql("a",
+            s"t.range::HUGEINT * 2654435761 + ${MultimodalOps.Cdc.GearSalt}")}
+       |  FROM range(0, 256) t)),
+       |pos AS (SELECT doc_id, i, bytes[i + 1] AS byte
+       |        FROM pay, LATERAL unnest(range(0, len(bytes))) r(i)),
+       |hw AS (
+       |  SELECT p.doc_id, p.i,
+       |    CAST(sum(g.g * (1::BIGINT << (q.i - p.i + ${W - 1}))) AS BIGINT) AS h
+       |  FROM pos p
+       |  JOIN pos q ON q.doc_id = p.doc_id AND q.i BETWEEN p.i - ${W - 1} AND p.i
+       |  JOIN gear g ON g.b = q.byte
+       |  WHERE p.i >= ${W - 1}
+       |  GROUP BY p.doc_id, p.i),
+       |ends AS (SELECT DISTINCT doc_id, i FROM (
+       |  SELECT doc_id, i FROM hw
+       |  WHERE ((h // ${1 << MultimodalOps.Cdc.AnchorShift})
+       |         % ${MultimodalOps.Cdc.AnchorMask + 1}) = 0
+       |  UNION ALL
+       |  SELECT doc_id, len(bytes) - 1 AS i FROM pay WHERE len(bytes) > 0)),
+       |ch AS (
+       |  SELECT doc_id, i AS e,
+       |    coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), -1) + 1 AS s,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS idx
+       |  FROM ends),
+       |chk AS (
+       |  SELECT ch.doc_id AS media_id, CAST(idx AS INT) AS chunk_idx,
+       |    CAST(s AS INT) AS "start", CAST(e - s + 1 AS INT) AS len,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), p.bytes[s + 1:e + 1]),
+       |      (a, x) -> (a * 31 + x) % 1000000007) AS chash
+       |  FROM ch JOIN pay p ON p.doc_id = ch.doc_id)""".stripMargin
+  }
+
   private def audioCtes: String =
     s"""d AS (SELECT doc_id, (doc_id % ${AudioOps.SeedGroups})::HUGEINT AS seed
        |      FROM documents),
@@ -4258,6 +4338,26 @@ object PipelineQueries {
          |  CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
          |FROM ph a JOIN ph b ON a.media_id < b.media_id
          |WHERE bit_count(xor(a.phash, b.phash)) <= 3""".stripMargin,
+
+    "q_cdc_chunks" ->
+      s"""WITH $cdcCtes
+         |SELECT media_id, chunk_idx, "start", len, chash FROM chk""".stripMargin,
+
+    "q_cdc_dedup" ->
+      s"""WITH $cdcCtes,
+         |m AS (SELECT *, CASE media_id % 3 WHEN 0 THEN 'image'
+         |        WHEN 1 THEN 'audio' ELSE 'video' END AS modality FROM chk),
+         |u AS (SELECT modality, chash, CAST(count(*) AS BIGINT) AS refs,
+         |        CAST(min(len) AS BIGINT) AS clen
+         |      FROM m GROUP BY 1, 2)
+         |SELECT modality,
+         |  CAST(sum(refs) AS BIGINT) AS total_chunks,
+         |  CAST(count(*) AS BIGINT) AS unique_chunks,
+         |  CAST(sum(refs * clen) AS BIGINT) AS total_bytes,
+         |  CAST(sum(clen) AS BIGINT) AS unique_bytes,
+         |  CAST(sum(clen) AS DOUBLE) / CAST(sum(refs * clen) AS DOUBLE)
+         |    AS dedup_ratio
+         |FROM u GROUP BY modality""".stripMargin,
 
     "q_kmeans_lattice" -> kmeansLatticeOracle(k = 4, iters = 2, dims = 64),
     "q_semdedup_lattice" ->
