@@ -450,24 +450,28 @@ object SimilarityOps {
       .select(col("src_id"), col("tgt_id"),
         vecDot(col("sv"), col("tv")).cast("long").as("dot"))
 
-    // partial top-k per direction; scores are integral doubles (exact)
-    def topkExploded(byCol: String, hitCol: String) = scored
+    // partial top-k per direction; scores are integral doubles (exact).
+    // Each direction is ONE aggregate pass over the scored frame — the
+    // best hit and the neighborhood sum both come from the same k-element
+    // array row-locally (a separate best/sum pass would re-run the whole
+    // scored subtree, doubling the dominant cost).
+    def neighborhood(byCol: String, hitCol: String) = scored
       .groupBy(col(byCol))
       .agg(TopKFunctions.topKByScore(
         col("dot").cast("double"), col(hitCol), k).as("__t"))
-      .select(col(byCol), posexplode(col("__t")).as(Seq("__pos", "__hit")))
-      .select(col(byCol), (col("__pos") + 1).as("rn"),
-        col("__hit.id").as(hitCol), col("__hit.score").cast("long").as("dot"))
+    def arrSum(c: Column): Column =
+      aggregate(transform(c, h => h.getField("score").cast("long")),
+        lit(0L), _ + _)
 
-    val fwd = topkExploded("src_id", "tgt_id")
-    val sumSrc = fwd.groupBy(col("src_id")).agg(sum(col("dot")).as("sum_src"))
-    val sumTgt = topkExploded("tgt_id", "src_id")
-      .groupBy(col("tgt_id")).agg(sum(col("dot")).as("sum_tgt"))
-    val best = fwd.filter(col("rn") === 1)
-      .select(col("src_id"), col("tgt_id"), col("dot"))
+    val fwd = neighborhood("src_id", "tgt_id").select(
+      col("src_id"),
+      element_at(col("__t"), 1).getField("id").as("tgt_id"),
+      element_at(col("__t"), 1).getField("score").cast("long").as("dot"),
+      arrSum(col("__t")).as("sum_src"))
+    val sumTgt = neighborhood("tgt_id", "src_id").select(
+      col("tgt_id"), arrSum(col("__t")).as("sum_tgt"))
 
-    best
-      .join(sumSrc, Seq("src_id"))
+    fwd
       .join(sumTgt, Seq("tgt_id"))
       .filter(lit(2L * k) * col("dot") * lit(tauDen) >
         lit(tauNum) * (col("sum_src") + col("sum_tgt")))
