@@ -74,4 +74,33 @@ object SearchOps {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Positional postings: one `(doc_id, pos, token)` row per token
+    * occurrence — the inverted-index layout phrase and proximity queries
+    * run against. ONE corpus explode; at 100 TB this table is built once
+    * (partitioned/bucketed by token) and amortized over every query.
+    */
+  def positionalPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      posexplode(TextOps.tokens(lower(col(textCol)))).as(Seq("pos", "token")))
+
+  /** Exact-phrase search over positional postings — the classic
+    * inverted-index phrase query: term i of the phrase must appear at
+    * `pos = anchor + i`, so the phrase is an m-way equi-join on
+    * `(doc_id, pos - i)` with each leg pre-filtered to ONE token's
+    * postings. Candidate volume after leg i is bounded by the rarest
+    * prefix term's df — the planner (or a df-ordered rewrite) never
+    * touches documents missing any term; a `contains()` scan would read
+    * every byte of every document instead. Returns one row per
+    * occurrence: `(doc_id, pos)` = the phrase's anchor position.
+    */
+  def phraseSearch(postings: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val legs = phrase.zipWithIndex.map { case (term, i) =>
+      postings.filter(col("token") === lit(term))
+        .select(col("doc_id"), (col("pos") - i).as("anchor"))
+    }
+    legs.reduce(_.join(_, Seq("doc_id", "anchor")))
+      .select(col("doc_id"), col("anchor").cast("long").as("pos"))
+  }
 }

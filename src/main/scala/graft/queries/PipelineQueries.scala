@@ -1089,6 +1089,16 @@ object PipelineQueries {
     // scores on every engine/libm), one stats row broadcast back, row-local
     // scoring, TakeOrderedAndProject top-k. Two corpus passes, zero wide
     // shuffles.
+    // Exact-phrase query over the positional inverted index: three
+    // postings legs (each pre-filtered to ONE token) equi-joined on
+    // (doc_id, pos - i) — candidate volume bounded by the rarest term's
+    // df; a contains() scan reads every document instead. Gates every
+    // occurrence position.
+    "q_phrase_search" -> ((s, dir) =>
+      SearchOps.phraseSearch(
+        SearchOps.positionalPostings(t(s, dir, "documents"), "doc_id", "text"),
+        Seq("slow", "hash", "batch"))),
+
     "q_bm25_search" -> ((s, dir) =>
       SearchOps.bm25TopK(
         t(s, dir, "documents"), col("doc_id"), col("text"),
@@ -1999,6 +2009,21 @@ object PipelineQueries {
         .select(col("key").as("event_type"),
           date_format(col("ord"), "yyyy-MM-dd").as("day"),
           col("x").as("n"), col("ewma"), col("anomaly"))
+    }),
+
+    // Seasonal-naive backtest with MASE on daily per-type revenue: the
+    // forecast-accuracy readout production monitors report. Gap-aware
+    // value-range lags (a missing day yields no forecast, never a
+    // shifted season); exact fixed-point cents so the error sums are
+    // merge-order-proof; MASE one closing division.
+    "q_forecast_backtest" -> ((s, dir) => {
+      val daily = RefQueries.events(s, dir)
+        .groupBy(col("event_type").as("key"),
+          datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+            .cast("long").as("d"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+      EventOps.seasonalBacktest(daily, season = 7)
+        .withColumnRenamed("key", "event_type")
     }),
 
     // CUSUM level-shift detection on daily per-type volumes — the
@@ -5554,6 +5579,15 @@ object PipelineQueries {
     // Same rational arithmetic and the same left-assoc evaluation order as
     // the Spark side — every op is IEEE-exactly-rounded, so the double
     // scores hash-match bit-for-bit.
+    // Independent formulation: token array slices compared as strings —
+    // the oracle never builds postings or joins.
+    "q_phrase_search" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${S.tokens("lower(text)")} AS w FROM documents)
+         |SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos
+         |FROM toks, LATERAL unnest(range(1, len(w) - 1)) r(i)
+         |WHERE array_to_string(w[i:i+2], ' ') = 'slow hash batch'""".stripMargin,
+
     "q_bm25_search" ->
       s"""WITH d AS (
          |  SELECT doc_id,
@@ -6390,6 +6424,29 @@ object PipelineQueries {
 
     // same 256-scaled integer recurrence, unrolled as a recursive CTE
     // keyed by the per-type day index
+    // Same value-range window lags over the same exact cents grid.
+    "q_forecast_backtest" ->
+      """WITH d0 AS (
+        |  SELECT event_type,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, d, x,
+        |  max(x) OVER (PARTITION BY event_type ORDER BY d
+        |    RANGE BETWEEN 7 PRECEDING AND 7 PRECEDING) AS xs,
+        |  max(x) OVER (PARTITION BY event_type ORDER BY d
+        |    RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING) AS xn
+        |  FROM d0)
+        |SELECT event_type,
+        |  CAST(count(xs) AS BIGINT) AS n_eval,
+        |  CAST(sum(abs(x - xs)) AS BIGINT) AS sae_seasonal,
+        |  CAST(count(xn) AS BIGINT) AS n_naive,
+        |  CAST(sum(abs(x - xn)) AS BIGINT) AS sae_naive,
+        |  CASE WHEN count(xs) > 0 AND sum(abs(x - xn)) > 0
+        |    THEN CAST(sum(abs(x - xs)) * count(xn) AS DOUBLE)
+        |       / CAST(count(xs) * sum(abs(x - xn)) AS DOUBLE) END AS mase
+        |FROM s GROUP BY event_type""".stripMargin,
+
     "q_anomaly_ewma" ->
       """WITH RECURSIVE d0 AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x

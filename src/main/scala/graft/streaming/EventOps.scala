@@ -661,4 +661,41 @@ object EventOps {
       .agg(sum(col("c.is_active")).as("dau"), count(lit(1)).as("dau_w"))
       .filter(col("dau") > 0)
   }
+
+  /** Seasonal-naive forecast backtest with MASE (Hyndman & Koehler '06 —
+    * the scale-free accuracy metric production forecast monitors report):
+    * forecast(d) = actual(d − season), scored against the one-step naive
+    * baseline error. GAP-AWARE: both lags are value-range lookups
+    * (`RANGE BETWEEN n PRECEDING AND n PRECEDING` on the day number),
+    * never row-offset `lag()` — a missing day must yield no forecast,
+    * not silently shift the season.
+    *
+    * Input: one row per (key, d, x) — `d` a day number, `x` the exact
+    * integer daily total (fixed-point cents upstream; doubles would make
+    * the error sums order-dependent). Both window frames share ONE
+    * key-partitioned Exchange; the output is key-sized. MASE =
+    * `(sae_seasonal · n_naive) / (n_eval · sae_naive)` — exact long
+    * cross-products, one closing IEEE division; NULL when either leg has
+    * no comparable days (degenerate series stay visible, not NaN).
+    */
+  def seasonalBacktest(daily: DataFrame, season: Int): DataFrame = {
+    require(season >= 2, s"season must be >= 2 (1 is the naive baseline itself), got $season")
+    val w = Window.partitionBy(col("key")).orderBy(col("d"))
+    def at(n: Int) = max(col("x")).over(w.rangeBetween(-n, -n))
+    val scored = daily
+      .select(col("key"), col("d").cast("long").as("d"),
+        col("x").cast("long").as("x"))
+      .withColumn("xs", at(season))
+      .withColumn("xn", at(1))
+    scored.groupBy(col("key"))
+      .agg(
+        count(col("xs")).as("n_eval"),
+        sum(abs(col("x") - col("xs"))).as("sae_seasonal"),
+        count(col("xn")).as("n_naive"),
+        sum(abs(col("x") - col("xn"))).as("sae_naive"))
+      .withColumn("mase",
+        when(col("n_eval") > 0 && col("sae_naive") > 0,
+          (col("sae_seasonal") * col("n_naive")).cast("double") /
+            (col("n_eval") * col("sae_naive")).cast("double")))
+  }
 }

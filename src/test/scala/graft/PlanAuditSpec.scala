@@ -40,7 +40,9 @@ class PlanAuditSpec extends SparkSpec {
     "q_tpch_q11" -> "1-row scalar threshold (sum x fraction) attach — canonical Q11 shape",
     "q_tpch_q22" -> "1-row scalar average attach; the anti join probes by key (pinned in QueryPlanSpec)",
     "q_bloom_index" -> "1-row n_parts_total attach; the index/probe joins themselves are plan-time broadcasts (pinned in QueryPlanSpec)",
-    "q_kmv_join_card" -> "the whole point: two 1-row k-long sketches cross (plus the 1-row exact-legs frame for the gate's comparison)")
+    "q_kmv_join_card" -> "the whole point: two 1-row k-long sketches cross (plus the 1-row exact-legs frame for the gate's comparison)",
+    "q_assoc_rules" -> "1-row n_baskets attach to the vocabulary-sized rule frame",
+    "q_bitext_mine" -> "broadcast source (query) side x target corpus — the stated mining shape; ANN candidates bound the frame at scale")
 
   test("no unlisted query plans a CartesianProduct or BroadcastNestedLoopJoin") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

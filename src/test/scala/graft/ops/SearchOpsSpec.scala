@@ -63,4 +63,23 @@ class SearchOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
       s"stats row must be broadcast:\n$plan")
   }
+
+  test("phraseSearch finds every occurrence at its exact anchor, nothing else") {
+    val corpus = Seq(
+      (1L, "the quick brown fox and the quick brown dog"), // anchors 0 and 5
+      (2L, "quick brown"), // prefix only — no full phrase
+      (3L, "THE Quick BROWN fox"), // case-normalized anchor 0
+      (4L, "the brown quick fox"), // all terms, wrong order
+      (5L, "the quick quick brown fox") // repeated term breaks adjacency — no hit
+    ).toDF("doc_id", "text")
+    val postings = SearchOps.positionalPostings(corpus, "doc_id", "text")
+    val hits = SearchOps.phraseSearch(postings, Seq("the", "quick", "brown"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits == Set((1L, 0L), (1L, 5L), (3L, 0L)))
+
+    // single-term degenerate form = that term's postings
+    val one = SearchOps.phraseSearch(postings, Seq("fox"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(one == Set((1L, 3L), (3L, 3L), (4L, 3L), (5L, 4L)))
+  }
 }

@@ -580,4 +580,24 @@ class EventOpsSpec extends SparkSpec {
       "2024-02-02" -> (1L, 1L),
       "2024-02-03" -> (1L, 1L)))
   }
+
+  test("seasonalBacktest: gap-aware lags, hand-computed MASE, degenerate NULL") {
+    // key "a": days 0..9 except 6 missing, x = 10*d
+    //   season-3 forecasts exist where d-3 present: d in 3,4,5,7(4),8(5),9(no 6)
+    //     d=3..5: |10d - 10(d-3)| = 30 each; d=7: |70-40|=30; d=8: |80-50|=30;
+    //     d=9: d-3=6 MISSING -> no forecast (gap-aware; row lag would fake one)
+    //   naive-1: d=1..5 (|10|x5), d=7: d-1=6 missing -> none, d=8,9: |10|x2
+    //   => n_eval=5, sae_s=150, n_naive=7, sae_n=70
+    //   MASE = (150*7)/(5*70) = 3.0
+    val a = Seq(0, 1, 2, 3, 4, 5, 7, 8, 9).map(d => ("a", d.toLong, 10L * d))
+    // key "b": constant series -> sae_naive = 0 -> NULL mase, still a row
+    val b = (0 to 4).map(d => ("b", d.toLong, 5L))
+    val daily = (a ++ b).toDF("key", "d", "x")
+    val out = EventOps.seasonalBacktest(daily, season = 3).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toMap
+    assert(out("a") == (5L, 150L, 7L, 70L, Some(3.0)))
+    assert(out("b") == (2L, 0L, 4L, 0L, None))
+  }
 }
