@@ -555,4 +555,44 @@ object PrepOps {
        |$levels
        |SELECT $cs, hacc$order AS $keyAlias FROM hh$order""".stripMargin
   }
+
+  /** 2-D Pareto frontier (skyline query, Börzsönyi et al. ICDE'01) —
+    * the rows no other row strictly dominates under (minimize `cost`,
+    * maximize `gain`): the curation readout "best quality at every
+    * budget" (token budget vs classifier margin, latency vs recall,
+    * price vs size). Dominance is the standard strict form: `a` beats
+    * `b` iff `cost_a <= cost_b AND gain_a >= gain_b` with at least one
+    * strict; exact-tie rows (equal cost AND gain) dominate nothing and
+    * all survive.
+    *
+    * Scale shape — the naive skyline is an all-pairs NOT EXISTS (the
+    * oracle, where quadratic cost is the completeness proof's job); the
+    * engine plan is three bounded steps: (1) ONE map-side-combined
+    * `groupBy(cost) -> max(gain)` collapses the corpus to a
+    * distinct-cost frame (value-domain-sized, not corpus-sized); (2) the
+    * running strictly-cheaper max — the only global sort — runs over
+    * THAT frame (`RANGE UNBOUNDED PRECEDING .. 1 PRECEDING`, so equal
+    * costs never see each other); (3) winning `(cost, gain)` pairs
+    * broadcast back as a semi-join. The corpus is scanned twice and
+    * never globally sorted.
+    *
+    * Inputs must be integral (exact comparisons); returns the input rows
+    * on the frontier.
+    */
+  def paretoFrontier(df: DataFrame, cost: Column, gain: Column): DataFrame = {
+    val tagged = df.withColumn("__cost", cost.cast("long"))
+      .withColumn("__gain", gain.cast("long"))
+      .filter(col("__cost").isNotNull && col("__gain").isNotNull)
+    val byCost = tagged.groupBy(col("__cost"))
+      .agg(max(col("__gain")).as("__best"))
+    val w = Window.orderBy(col("__cost"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val frontier = byCost
+      .withColumn("__cheaperBest", max(col("__best")).over(w))
+      .filter(col("__cheaperBest").isNull ||
+        col("__best") > col("__cheaperBest"))
+      .select(col("__cost"), col("__best").as("__gain"))
+    tagged.join(broadcast(frontier), Seq("__cost", "__gain"), "left_semi")
+      .drop("__cost", "__gain")
+  }
 }

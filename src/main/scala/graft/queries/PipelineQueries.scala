@@ -297,6 +297,22 @@ object PipelineQueries {
     // Model-based quality filtering (the GPT-3/fastText linear-classifier
     // shape): weights trained offline, applied at scale as a row-local
     // codegen'd hash-table fold. Margin is an exact integer.
+    // 2-D Pareto frontier (skyline, Borzsonyi ICDE'01) over the curation
+    // plane (minimize length, maximize classifier margin): "the best
+    // quality at every token budget". Corpus collapses through ONE
+    // map-side-combined groupBy(cost) to a value-domain-sized frame; the
+    // only global sort runs over THAT frame; winners broadcast back as a
+    // semi join. The oracle is the quadratic NOT EXISTS dominance
+    // predicate — the completeness proof lives where quadratic cost
+    // belongs.
+    "q_pareto_frontier" -> ((s, dir) =>
+      PrepOps.paretoFrontier(
+        t(s, dir, "documents").select(
+          col("doc_id"), col("n_chars"),
+          TextOps.classifierMargin(col("text"), qualityLexicon)
+            .as("margin")),
+        cost = col("n_chars"), gain = col("margin"))),
+
     "q_quality_classifier" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -5059,6 +5075,28 @@ object PipelineQueries {
          |SELECT doc_id, n_bigrams, lm_sum_ppm,
          |  CAST(lm_sum_ppm // n_bigrams AS BIGINT) AS lm_avg_ppm
          |FROM agg""".stripMargin,
+
+    // The independent quadratic formulation: strict-dominance NOT EXISTS
+    // over the same exact-integer (n_chars, margin) plane.
+    "q_pareto_frontier" -> {
+      val vals = qualityLexicon.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"('$k', CAST($v AS BIGINT))" }.mkString(", ")
+      s"""WITH w(tok, wt) AS (VALUES $vals),
+         |toks AS (
+         |  SELECT doc_id, unnest(${S.tokens("lower(text)")}) AS tok FROM documents),
+         |m AS (
+         |  SELECT doc_id, CAST(COALESCE(sum(wt), 0) AS BIGINT) AS margin
+         |  FROM toks LEFT JOIN w USING (tok) GROUP BY doc_id),
+         |sc AS (
+         |  SELECT d.doc_id, d.n_chars, COALESCE(m.margin, 0) AS margin
+         |  FROM documents d LEFT JOIN m USING (doc_id)
+         |  WHERE d.n_chars IS NOT NULL)
+         |SELECT a.doc_id, a.n_chars, a.margin FROM sc a
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM sc b
+         |  WHERE b.n_chars <= a.n_chars AND b.margin >= a.margin
+         |    AND (b.n_chars < a.n_chars OR b.margin > a.margin))""".stripMargin
+    },
 
     "q_quality_classifier" -> {
       val vals = qualityLexicon.toSeq.sortBy(_._1)

@@ -342,4 +342,47 @@ class PrepOpsSpec extends SparkSpec {
         Seq(10.0, 0.0))
     }
   }
+
+  test("paretoFrontier: hand-computed skyline, exact-tie duplicates, null drop") {
+    val rows = Seq(
+      (1L, 10L, 5L), // frontier (cheapest)
+      (2L, 10L, 3L), // dominated by 1 (equal cost, lower gain)
+      (3L, 20L, 8L), // frontier (more gain for more cost)
+      (4L, 20L, 8L), // exact tie of 3 — both survive
+      (5L, 25L, 8L), // dominated by 3 (costlier, same gain)
+      (6L, 30L, 7L), // dominated by 3 (costlier AND lower gain)
+      (7L, 40L, 9L), // frontier
+      (8L, 50L, 9L)  // dominated by 7
+    ).toDF("id", "cost", "gain")
+      .union(Seq((9L, null.asInstanceOf[java.lang.Long], 99L))
+        .toDF("id", "cost", "gain")) // null cost never participates
+    val got = PrepOps.paretoFrontier(rows, col("cost"), col("gain"))
+      .select(col("id")).as[Long].collect().toSet
+    assert(got == Set(1L, 3L, 4L, 7L))
+  }
+
+  test("paretoFrontier matches the quadratic dominance predicate on a dense grid") {
+    // every (cost, gain) in a 20x20 deterministic scatter
+    val pts = (0L until 400L).map { i =>
+      val c = (i * 2654435761L >>> 7) % 20
+      val g = (i * 0x9e3779b97f4a7c15L >>> 9) % 20
+      (i, c, g)
+    }
+    val df = pts.toDF("id", "cost", "gain")
+    val got = PrepOps.paretoFrontier(df, col("cost"), col("gain"))
+      .select(col("id")).as[Long].collect().toSet
+    val want = pts.filter { case (_, c, g) =>
+      !pts.exists { case (_, c2, g2) =>
+        c2 <= c && g2 >= g && (c2 < c || g2 > g)
+      }
+    }.map(_._1).toSet
+    assert(got == want)
+
+    // the only global sort runs over the distinct-cost aggregate, and the
+    // winner join is a broadcast semi join — never a corpus-wide sort
+    val plan = PrepOps.paretoFrontier(df, col("cost"), col("gain"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"frontier must broadcast back:\n$plan")
+  }
 }
