@@ -284,6 +284,72 @@ object GraphOps {
     ranks.select(col("node"), col("rank").as("rank_fp"))
   }
 
+  /** HITS hubs & authorities (Kleinberg JACM'99) in exact fixed point —
+    * the second classic link-scoring recurrence next to [[pageRank]]:
+    * per round, authority(v) = Σ hub(u) over in-edges, then hub(u) =
+    * Σ authority(v) over out-edges, each vector max-normalized. The
+    * float algorithm L2-normalizes; portable exactness wants neither
+    * sqrt nor float sums, so this uses MAX-normalization to `scale`
+    * (`v * scale div max` — nonnegative toward-zero division, identical
+    * on every engine; same ranking, bounded values: post-normalization
+    * entries are ≤ 2^20, so round sums stay ≤ 2^20·maxdeg — no overflow
+    * at any realistic graph).
+    *
+    * Scale shape: the edge list is materialized ONCE in two join
+    * layouts (src-keyed and dst-keyed — each HITS round joins on the
+    * OTHER side, unlike PageRank's src-only recurrence); each round
+    * then moves only node-sized score tables through two
+    * map-side-combined aggregates and two 1-row max attaches. Lineage
+    * cut every 2 rounds (the [[pageRank]] discipline).
+    *
+    * Returns (node, hub_fp, auth_fp); nodes that never receive mass on
+    * a side report 0 there.
+    */
+  def hits(
+      pairs: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int,
+      scale: Long = 1L << 20): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(scale >= 2, s"scale must be >= 2, got $scale")
+    val edges = pairs
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    val eBySrc = edges.repartition(col("src")).cache()
+    val eByDst = edges.repartition(col("dst")).cache()
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct().cache()
+
+    def normalized(raw: DataFrame): DataFrame = {
+      val mx = raw.agg(max(col("v")).as("m"))
+      raw.crossJoin(broadcast(mx)) // 1 row: BNLJ attach, no shuffle
+        .select(col("node"), expr(s"(v * $scale) div m").as("v"))
+    }
+
+    var hub = nodes.select(col("node"), lit(1L).as("v"))
+    var auth: DataFrame = null
+    for (i <- 1 to iters) {
+      auth = normalized(
+        eBySrc.join(hub, eBySrc("src") === hub("node"))
+          .groupBy(col("dst").as("node")).agg(sum(col("v")).as("v")))
+      hub = normalized(
+        eByDst.join(auth, eByDst("dst") === auth("node"))
+          .groupBy(col("src").as("node")).agg(sum(col("v")).as("v")))
+      if (i % 2 == 0 && i < iters) {
+        auth = auth.localCheckpoint(true)
+        hub = hub.localCheckpoint(true)
+      }
+    }
+    nodes
+      .join(hub.select(col("node"), col("v").as("hub_fp")), Seq("node"), "left")
+      .join(auth.select(col("node"), col("v").as("auth_fp")), Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("hub_fp"), lit(0L)).as("hub_fp"),
+        coalesce(col("auth_fp"), lit(0L)).as("auth_fp"))
+  }
+
   /** Per-node triangle counts by degree-ordered edge orientation (the
     * classic MapReduce triangle algorithm — Suri & Vassilvitskii WWW'11):
     * orient every undirected edge from its lower-(degree, id) endpoint to

@@ -479,6 +479,59 @@ object SimilarityOps {
         col("sum_src"), col("sum_tgt"))
   }
 
+  /** Late-interaction (MaxSim) retrieval — the ColBERT scoring shape
+    * (Khattab & Zaharia SIGIR'20): documents and queries are SETS of
+    * vectors; score(q, d) = Σ over query vectors of the max dot against
+    * any document vector. Catches term-level matches a single pooled
+    * vector averages away.
+    *
+    * Engine-exact on the lattice (integer dots through the codegen
+    * [[vecDot]] fold), so the full ranking hash-gates. Scale shape: the
+    * query vectors broadcast; vector-level scores collapse through TWO
+    * map-side-combined aggregates (max per (corpus_doc, query_vec),
+    * then sum per (corpus_doc, query_doc)) and a partial top-k — no
+    * full-score shuffle, no per-pair materialization beyond the
+    * vector-level stream. At 100 TB an ANN pass bounds the candidate
+    * vectors first (the standard ColBERT two-stage serving plan); the
+    * MaxSim algebra is unchanged.
+    *
+    * Inputs carry (docCol, vecIdCol, vecCol); returns
+    * (query_doc, rank, corpus_doc, score).
+    */
+  def maxSimTopK(
+      queryVecs: DataFrame,
+      corpusVecs: DataFrame,
+      k: Int,
+      docCol: String = "doc",
+      vecIdCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def q(df: DataFrame, pfx: String) = df
+      .filter(col(vecCol).isNotNull)
+      .select(col(docCol).cast("long").as(s"${pfx}doc"),
+        col(vecIdCol).cast("long").as(s"${pfx}vid"),
+        LatticeKmeans.quantize(col(vecCol)).cast("array<double>").as(s"${pfx}v"))
+    val qv = q(queryVecs, "q")
+    val cv = q(corpusVecs, "c")
+    val scores = cv.crossJoin(broadcast(qv))
+      .select(col("qdoc"), col("qvid"), col("cdoc"),
+        vecDot(col("qv"), col("cv")).cast("long").as("dot"))
+      .groupBy(col("qdoc"), col("qvid"), col("cdoc"))
+      .agg(max(col("dot")).as("m"))
+      .groupBy(col("qdoc"), col("cdoc"))
+      .agg(sum(col("m")).as("score"))
+    scores
+      .groupBy(col("qdoc"))
+      .agg(TopKFunctions.topKByScore(
+        col("score").cast("double"), col("cdoc"), k).as("__t"))
+      .select(col("qdoc").as("query_doc"),
+        posexplode(col("__t")).as(Seq("__pos", "__hit")))
+      .select(col("query_doc"),
+        (col("__pos") + 1).cast("int").as("rank"),
+        col("__hit.id").as("corpus_doc"),
+        col("__hit.score").cast("long").as("score"))
+  }
+
   object Sql {
     /** DuckDB dot product with the same sequential fold order. */
     def dot(a: String, b: String): String =

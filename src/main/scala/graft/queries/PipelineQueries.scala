@@ -1432,6 +1432,20 @@ object PipelineQueries {
       SimilarityOps.bruteForceTopK(e.filter(col("vec_id") < 10), e, k = 10)
     }),
 
+    // Late-interaction MaxSim retrieval (ColBERT, Khattab-Zaharia
+    // SIGIR'20): docs/queries are SETS of 4 vectors (vec_id div 4);
+    // score = sum over query vectors of the max integer dot against any
+    // doc vector. Full ranking hash-gated on the lattice; two map-side
+    // aggregates + partial top-k, query vectors broadcast. Self-docs
+    // rank first by construction — a live sanity pin inside the gate.
+    "q_maxsim_topk" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+        .select(expr("vec_id div 4").as("doc"),
+          col("vec_id"), col("embedding"))
+      SimilarityOps.maxSimTopK(
+        vecs.filter(col("vec_id") < 32), vecs, k = 5)
+    }),
+
     // Margin-based bitext mining (Artetxe-Schwenk ACL'19): parity splits
     // the corpus into a source and a target "language"; each source
     // vector's best target survives only if it clears the ratio margin
@@ -1890,6 +1904,18 @@ object PipelineQueries {
         .union(e.select(col("supp").as("src"), col("cust").as("dst")))
       GraphOps.pageRank(edges, "src", "dst", iters = 5)
     }),
+
+    // HITS hubs & authorities (Kleinberg) on the directed
+    // customer->supplier graph — customers are pure hubs, suppliers pure
+    // authorities, so both sides of the alternating recurrence carry
+    // real mass. Exact fixed point with max-normalization (no sqrt/L2 —
+    // nonneg toward-zero division, portable); the oracle unrolls all 3
+    // rounds including each round's 1-row max.
+    "q_hits" -> ((s, dir) =>
+      GraphOps.hits(
+        custSuppPairs(s, dir).select(
+          col("cust").as("src"), col("supp").as("dst")),
+        "src", "dst", iters = 3)),
 
     // Canonical PageRank semantics on the DIRECTED customer->supplier
     // graph: every supplier is dangling (no out-edges), so this exercises
@@ -3480,6 +3506,38 @@ object PipelineQueries {
     * iteration count is a literal because SQL has no loop — each round is
     * its own CTE reading the previous one.
     */
+  /** Unrolled HITS replay: per round an authority aggregate + 1-row max
+    * normalize, then the hub half — mirrors [[GraphOps.hits]] exactly
+    * (scale 2^20; `//` operands nonnegative, so either DuckDB division
+    * semantics matches Java's toward-zero `div`).
+    */
+  private def hitsOracle(iters: Int): String = {
+    val scale = 1L << 20
+    val rounds = (1 to iters).map { i =>
+      s"""ar$i AS (SELECT e.dst AS node, CAST(sum(h.v) AS BIGINT) AS v
+         |  FROM eraw e JOIN h${i - 1} h ON h.node = e.src GROUP BY e.dst),
+         |a$i AS (SELECT node,
+         |  CAST(v * $scale // (SELECT max(v) FROM ar$i) AS BIGINT) AS v
+         |  FROM ar$i),
+         |hr$i AS (SELECT e.src AS node, CAST(sum(a.v) AS BIGINT) AS v
+         |  FROM eraw e JOIN a$i a ON a.node = e.dst GROUP BY e.src),
+         |h$i AS (SELECT node,
+         |  CAST(v * $scale // (SELECT max(v) FROM hr$i) AS BIGINT) AS v
+         |  FROM hr$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH eraw AS (
+       |  SELECT DISTINCT CAST(2 * o_custkey AS BIGINT) AS src,
+       |    CAST(2 * l_suppkey + 1 AS BIGINT) AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |nodes AS (SELECT src AS node FROM eraw UNION SELECT dst FROM eraw),
+       |h0 AS (SELECT node, CAST(1 AS BIGINT) AS v FROM nodes),
+       |$rounds
+       |SELECT n.node, coalesce(h.v, 0) AS hub_fp, coalesce(a.v, 0) AS auth_fp
+       |FROM nodes n
+       |LEFT JOIN h$iters h ON h.node = n.node
+       |LEFT JOIN a$iters a ON a.node = n.node""".stripMargin
+  }
+
   private def pageRankOracle(iters: Int, dangling: Boolean = false): String = {
     // per round: optional dangling share d$i (sum of the previous ranks
     // over nodes with no out-edges, integer-divided by n), then the rank
@@ -6021,6 +6079,8 @@ object PipelineQueries {
 
     "q_pagerank_dangling" -> pageRankOracle(iters = 3, dangling = true),
 
+    "q_hits" -> hitsOracle(iters = 3),
+
     "q_kcore" -> kCoreSql(k = 40, rounds = 8),
 
     // Basket-local pair join on the distinct (order, part) set — the
@@ -6805,6 +6865,29 @@ object PipelineQueries {
          |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10
          |  WHERE $cos IS NOT NULL)
          |WHERE rank <= 10""".stripMargin
+    },
+
+    // Window-rank formulation over the same lattice dots: max per
+    // (corpus doc, query vector), sum per doc pair, rank per query doc.
+    "q_maxsim_topk" -> {
+      val dotF = "list_reduce(list_prepend(0::BIGINT, list_transform(" +
+        "range(1, 65), i -> a.qv[i] * b.qv[i])), (x, y) -> x + y)"
+      s"""WITH q AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * ${graft.ops.LatticeKmeans.Scale} + 0.5) AS BIGINT)) AS qv
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |a AS (SELECT vec_id // 4 AS qdoc, vec_id AS qvid, qv
+         |      FROM q WHERE vec_id < 32),
+         |b AS (SELECT vec_id // 4 AS cdoc, qv FROM q),
+         |mx AS (SELECT a.qdoc, a.qvid, b.cdoc, max($dotF) AS m
+         |       FROM a CROSS JOIN b GROUP BY 1, 2, 3),
+         |sc AS (SELECT qdoc, cdoc, CAST(sum(m) AS BIGINT) AS score
+         |       FROM mx GROUP BY 1, 2),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY qdoc
+         |        ORDER BY score DESC, cdoc) AS rank FROM sc)
+         |SELECT qdoc AS query_doc, CAST(rank AS INT) AS rank,
+         |  cdoc AS corpus_doc, score
+         |FROM r WHERE rank <= 5""".stripMargin
     },
 
     // Window-rank formulation of both neighborhoods over the same

@@ -370,4 +370,36 @@ class GraphOpsSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("basket"), err.getMessage)
   }
+
+  test("hits: hand-computed round, bipartite separation, scale bound, layout invariance") {
+    import spark.implicits._
+    val S = 1L << 20
+    // 1 -> {a=100, b=101}, 2 -> {b}: node 1 is the stronger hub, b the
+    // stronger authority
+    val edges = Seq((1L, 100L), (1L, 101L), (2L, 101L)).toDF("src", "dst")
+    def run(df: org.apache.spark.sql.DataFrame, iters: Int) =
+      GraphOps.hits(df, "src", "dst", iters)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    // one round by hand: ar = {a:1, b:2}, max 2 -> a1 = {a:S/2, b:S};
+    // hr = {1: S/2+S, 2: S}, max 3S/2 -> h1 = {1:S, 2: S*S div (3S/2)}
+    val r1 = run(edges, 1)
+    assert(r1(100L) == (0L, S / 2))
+    assert(r1(101L) == (0L, S))
+    assert(r1(1L) == (S, 0L))
+    assert(r1(2L) == (S * S / (3 * S / 2), 0L))
+
+    // deeper rounds: bipartite separation holds, every score is in
+    // [0, scale], and both maxima ARE scale (normalization pins the top)
+    val r3 = run(edges, 3)
+    assert(r3.values.forall { case (h, a) => h >= 0 && h <= S && a >= 0 && a <= S })
+    assert(Seq(100L, 101L).forall(n => r3(n)._1 == 0L))
+    assert(Seq(1L, 2L).forall(n => r3(n)._2 == 0L))
+    assert(r3.values.map(_._1).max == S && r3.values.map(_._2).max == S)
+    // node 1 out-ranks node 2 as a hub; b out-ranks a as an authority
+    assert(r3(1L)._1 > r3(2L)._1 && r3(101L)._2 > r3(100L)._2)
+
+    // exact integer recurrence => bit-identical under any partitioning
+    assert(run(edges.repartition(7), 3) == r3)
+  }
 }

@@ -336,4 +336,43 @@ class SimilarityOpsSpec extends SparkSpec {
         (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3), r.getLong(4))).toSet
     assert(g2 == g1)
   }
+
+  test("maxSimTopK: term-level match beats the pooled average; self-doc ranks first") {
+    import spark.implicits._
+    // query doc 0 = two orthogonal "terms". corpus doc 1 hits ONE term
+    // exactly (MaxSim = S² + 0); corpus doc 2 is a 0.4/0.4 blur
+    // (MaxSim = 0.8 S²). POOLED means rank them the OTHER way
+    // (0.25 S² vs 0.4 S²) — the separation late interaction exists for.
+    val vecs = Seq(
+      (0L, 0L, Seq(1f, 0f, 0f, 0f)),
+      (0L, 1L, Seq(0f, 1f, 0f, 0f)),
+      (1L, 10L, Seq(1f, 0f, 0f, 0f)),
+      (1L, 11L, Seq(0f, 0f, 1f, 0f)),
+      (2L, 20L, Seq(0.4f, 0.4f, 0f, 0f)),
+      (2L, 21L, Seq(0.4f, 0.4f, 0f, 0f)))
+      .toDF("doc", "vec_id", "embedding")
+    val queries = vecs.filter($"doc" === 0L)
+    val corpus = vecs // self-doc included
+    val got = SimilarityOps.maxSimTopK(queries, corpus, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val S = 1L << 20
+    // self at rank 1 with score 2*S^2 (each term matches itself)
+    assert(got((0L, 1)) == (0L, 2L * S * S))
+    // MaxSim order: term-hit doc 1 above blur doc 2
+    val (d1, s1) = got((0L, 2))
+    val (d2, s2) = got((0L, 3))
+    assert(d1 == 1L && d2 == 2L, s"ranking: $got")
+    assert(s1 == S * S && s2 < s1 && s2 > 0)
+    // and the pooled-mean ranking really is inverted (the contrast claim)
+    def pooledDot(a: Seq[Float], b: Seq[Float], c: Seq[Float], d: Seq[Float]) = {
+      val qm = a.zip(b).map { case (x, y) => (x + y) / 2 }
+      val cm = c.zip(d).map { case (x, y) => (x + y) / 2 }
+      qm.zip(cm).map { case (x, y) => x.toDouble * y }.sum
+    }
+    val q = (Seq(1f, 0f, 0f, 0f), Seq(0f, 1f, 0f, 0f))
+    val p1 = pooledDot(q._1, q._2, Seq(1f, 0f, 0f, 0f), Seq(0f, 0f, 1f, 0f))
+    val p2 = pooledDot(q._1, q._2, Seq(0.4f, 0.4f, 0f, 0f), Seq(0.4f, 0.4f, 0f, 0f))
+    assert(p2 > p1, "pooled means must prefer the blur for the contrast to mean anything")
+  }
 }
