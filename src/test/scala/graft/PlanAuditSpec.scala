@@ -42,7 +42,9 @@ class PlanAuditSpec extends SparkSpec {
     "q_bloom_index" -> "1-row n_parts_total attach; the index/probe joins themselves are plan-time broadcasts (pinned in QueryPlanSpec)",
     "q_kmv_join_card" -> "the whole point: two 1-row k-long sketches cross (plus the 1-row exact-legs frame for the gate's comparison)",
     "q_assoc_rules" -> "1-row n_baskets attach to the vocabulary-sized rule frame",
-    "q_bitext_mine" -> "broadcast source (query) side x target corpus — the stated mining shape; ANN candidates bound the frame at scale")
+    "q_bitext_mine" -> "broadcast source (query) side x target corpus — the stated mining shape; ANN candidates bound the frame at scale",
+    "q_hits" -> "1-row max-normalizer attach per round (the pagerank dangling-share shape)",
+    "q_maxsim_topk" -> "broadcast query vectors x corpus vectors — the ColBERT serving shape; ANN bounds candidates at scale")
 
   test("no unlisted query plans a CartesianProduct or BroadcastNestedLoopJoin") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
