@@ -467,6 +467,44 @@ object PipelineScaleBench {
         f"(100%% of the lake, every partition), $n%d rows")
       n
     }
+
+    // Phrase query: the positional-postings layout (partitioned by
+    // token-hash bucket — partition-per-raw-token would mean a directory
+    // per vocabulary type, the small-files antipattern; 64 buckets is
+    // the shape a real index lake uses), written once and amortized
+    // across queries, touches only the phrase terms' buckets; the
+    // contains() alternative reads every text byte of every document.
+    // The phrase is doc 0's first trigram — deterministic and
+    // guaranteed >= 1 occurrence at any corpus size.
+    def phraseOfDocZero: Seq[String] = docs.filter(col("doc_id") === 0)
+      .select(slice(TextOps.tokens(col("text")), 1, 3).as("p"))
+      .head().getSeq[String](0).toSeq
+    stage("phrase_postings_search") {
+      val pdir = java.nio.file.Files
+        .createTempDirectory("postings").resolve("t").toString
+      graft.ops.SearchOps.positionalPostings(docs, "doc_id", "text")
+        .withColumn("tb", pmod(xxhash64(col("token")), lit(64)))
+        .write.partitionBy("tb").parquet(pdir)
+      val phrase = phraseOfDocZero
+      import spark.implicits._
+      val buckets = phrase.toDS()
+        .select(pmod(xxhash64(col("value")), lit(64)).as("tb"))
+        .distinct().as[Long].collect().toSeq
+      // the bucket isin lands in PartitionFilters — unprobed buckets are
+      // never opened
+      val pruned = spark.read.parquet(pdir).filter(col("tb").isin(buckets: _*))
+      val n = graft.ops.SearchOps.phraseSearch(pruned, phrase).count()
+      val total = dirBytes(pdir)
+      val touched = buckets.map(b => dirBytes(s"$pdir/tb=$b")).sum
+      println(f"[pipeline-scale]   phrase legs opened ${buckets.size}%d/64 " +
+        f"buckets, ~$touched%d of $total%d postings bytes " +
+        f"(${100.0 * touched / total}%.2f%%), $n%d occurrences")
+      n
+    }
+    stage("phrase_contains_scan") {
+      val needle = phraseOfDocZero.mkString(" ")
+      docs.filter(col("text").contains(needle)).count()
+    }
     spark.stop()
   }
 }
