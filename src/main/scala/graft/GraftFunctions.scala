@@ -121,6 +121,11 @@ object GraftFunctions {
         require(exprs.length == 1, "rolling_fingerprint(s)")
         graft.expr.RollingFingerprint(exprs(0))
       }),
+    "nfc_normalize" -> ("nfc_normalize(s) - Unicode NFC canonical composition",
+      exprs => {
+        require(exprs.length == 1, "nfc_normalize(s)")
+        graft.expr.NfcNormalize(exprs(0))
+      }),
     "token_set_hits" -> ("token_set_hits(tokens, words) - count of tokens in the literal word set",
       exprs => {
         require(exprs.length == 2, "token_set_hits(tokens, words)")

@@ -249,6 +249,24 @@ object PipelineQueries {
         col("doc_id"),
         TextOps.fingerprint(col("text")).as("fp"))),
 
+    // Unicode NFC normalization — the dedup prerequisite for text that
+    // mixes combining sequences with precomposed forms (byte-distinct,
+    // visually identical, hash-keyed dedup misses them). The corpus is
+    // ASCII, so the query plants combining marks deterministically
+    // (a+U+0300, o+U+0308) and gates the composed output + codepoint
+    // counts. The oracle runs DuckDB's NATIVE nfc_normalize — two
+    // independent implementations of the Unicode conformance algorithm,
+    // hash-compared.
+    "q_text_nfc" -> ((s, dir) => {
+      val raw = regexp_replace(
+        regexp_replace(col("text"), "a", "a\u0300"), "o", "o\u0308")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        graft.expr.UnicodeExprs.nfcNormalize(raw).as("text_nfc"),
+        length(raw).cast("long").as("n_raw"))
+        .withColumn("n_nfc", length(col("text_nfc")).cast("long"))
+    }),
+
     // Canonical normalization pass (pre-dedup cleanup): row-local regexp
     // chain, zero shuffles — at 100 TB this query IS its scan + write.
     "q_text_normalize" -> ((s, dir) =>
@@ -5068,6 +5086,21 @@ object PipelineQueries {
 
     "q_text_fingerprint" ->
       s"SELECT doc_id, ${S.fingerprint("text")} AS fp FROM documents",
+
+    // DuckDB's NATIVE nfc_normalize vs the JVM's java.text.Normalizer —
+    // both pinned by the Unicode conformance suite, so the composed
+    // strings hash-compare byte for byte. chr(768)/chr(776) are the same
+    // U+0300/U+0308 combining marks the Spark side plants.
+    "q_text_nfc" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(text,
+        |      'a', 'a' || chr(768), 'g'), 'o', 'o' || chr(776), 'g') AS r
+        |  FROM documents)
+        |SELECT doc_id, nfc_normalize(r) AS text_nfc,
+        |  CAST(length(r) AS BIGINT) AS n_raw,
+        |  CAST(length(nfc_normalize(r)) AS BIGINT) AS n_nfc
+        |FROM raw""".stripMargin,
 
     // Same normalized space-delimited contains per literal entity.
     "q_dict_tag" ->
