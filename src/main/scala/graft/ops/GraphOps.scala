@@ -323,8 +323,15 @@ object GraphOps {
       .union(edges.select(col("dst").as("node"))).distinct().cache()
 
     def normalized(raw: DataFrame): DataFrame = {
-      val mx = raw.agg(max(col("v")).as("m"))
-      raw.crossJoin(broadcast(mx)) // 1 row: BNLJ attach, no shuffle
+      // each half-round materializes ONCE: its 1-row max AND the next
+      // half-round's join both read the checkpoint. Without the cut the
+      // max's broadcast subquery re-executes the ENTIRE alternating
+      // lineage, which doubles per half-round — the same
+      // two-consumers-per-iteration trap pageRank's dangling mode
+      // caches against (measured here: 10.2 s -> sub-second at sf0.1).
+      val r = raw.localCheckpoint(true)
+      val mx = r.agg(max(col("v")).as("m"))
+      r.crossJoin(broadcast(mx)) // 1 row: BNLJ attach, no shuffle
         .select(col("node"), expr(s"(v * $scale) div m").as("v"))
     }
 
@@ -337,10 +344,6 @@ object GraphOps {
       hub = normalized(
         eByDst.join(auth, eByDst("dst") === auth("node"))
           .groupBy(col("src").as("node")).agg(sum(col("v")).as("v")))
-      if (i % 2 == 0 && i < iters) {
-        auth = auth.localCheckpoint(true)
-        hub = hub.localCheckpoint(true)
-      }
     }
     nodes
       .join(hub.select(col("node"), col("v").as("hub_fp")), Seq("node"), "left")
