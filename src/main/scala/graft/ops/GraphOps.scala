@@ -472,6 +472,58 @@ object GraphOps {
     visited
   }
 
+  /** Round-bounded multi-source shortest WEIGHTED distances —
+    * Bellman-Ford in the min-plus semiring: after `rounds` relaxations
+    * the table holds the exact cheapest cost over paths of at most
+    * `rounds` edges (nonnegative integer weights; the hop bound is the
+    * semantics, not an approximation — production "within N legs"
+    * routing/attribution queries want exactly this, and it terminates on
+    * graphs with cycles without distance-convergence bookkeeping).
+    *
+    * Scale shape — the [[pageRank]] discipline: the weighted edge list
+    * hash-partitions by src ONCE and is cached; each round is one
+    * frontier-to-edges equi-join plus one map-side-combined `min`
+    * aggregate, moving node-sized rows only. The distance table is
+    * consumed twice per round (relaxation join + the union), so each
+    * round eager-localCheckpoints — the same exponential-lineage trap
+    * [[bfsHops]] documents.
+    *
+    * Returns (node, dist) for every node reachable within `rounds` hops.
+    */
+  def shortestPathsWeighted(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: String,
+      sources: Seq[Long],
+      rounds: Int): DataFrame = {
+    require(sources.nonEmpty, "shortestPathsWeighted needs at least one source")
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val spark0 = edges.sparkSession
+    import spark0.implicits._
+    val e = edges.select(
+        col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"),
+        // negative weights would need true convergence detection (and
+        // break the min-plus round bound's meaning) — refuse loudly
+        when(col(weightCol).cast("long") >= 0, col(weightCol).cast("long"))
+          .otherwise(raise_error(concat(
+            lit("shortestPathsWeighted: negative weight on edge "),
+            col(srcCol), lit("->"), col(dstCol)))).as("w"))
+      .filter(col("src").isNotNull && col("dst").isNotNull && col("w").isNotNull)
+      .repartition(col("src")).cache()
+    var dist = sources.distinct.map(n => (n, 0L)).toDF("node", "dist")
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val relaxed = dist.join(e, col("node") === col("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.union(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
+
   /** k-CORE: the maximal subgraph in which every node has degree >= k —
     * the standard coreness filter for pruning weakly-connected spam/noise
     * nodes from a web or interaction graph before expensive downstream

@@ -3356,6 +3356,24 @@ object PipelineQueries {
       GraphOps.bfsHops(edges, "src", "dst", Seq(2L), maxHops = 3)
     }),
 
+    // WEIGHTED shortest distances within 3 legs (Bellman-Ford in the
+    // min-plus semiring — q_shortest_hops counts hops; this costs them):
+    // synthetic deterministic edge weights ((src + dst) mod 7 + 1), so
+    // cheaper multi-hop detours can genuinely beat direct edges and the
+    // oracle replays every relaxation exactly.
+    "q_shortest_paths" -> ((s, dir) => {
+      val pairsDf = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * lit(2L)).as("cust"),
+          (col("l_suppkey") * lit(2L) + lit(1L)).as("supp"))
+        .distinct()
+      val edges = pairsDf.select(col("cust").as("src"), col("supp").as("dst"))
+        .union(pairsDf.select(col("supp").as("src"), col("cust").as("dst")))
+        .withColumn("w", (col("src") + col("dst")) % 7 + 1)
+      GraphOps.shortestPathsWeighted(
+        edges, "src", "dst", "w", Seq(2L), rounds = 3)
+    }),
+
     // Stream-stream interval join (conversion-path assembly): purchases
     // matched to the same user's clicks within the 2 hours before the
     // purchase. Registered in batch semantics; the SAME EventOps function
@@ -7781,6 +7799,23 @@ object PipelineQueries {
         |  SELECT e.dst, w.hops + 1 FROM walk w JOIN e ON e.src = w.node
         |  WHERE w.hops < 3)
         |SELECT node, min(hops) AS hops FROM walk GROUP BY node""".stripMargin,
+
+    // Same min-plus recursion with the hop counter bounding rounds; the
+    // modular weight regenerates row-locally on both engines.
+    "q_shortest_paths" ->
+      """WITH RECURSIVE
+        |pairs AS (SELECT DISTINCT o_custkey * 2 AS cust,
+        |            l_suppkey * 2 + 1 AS supp
+        |          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT src, dst, (src + dst) % 7 + 1 AS w FROM (
+        |  SELECT cust AS src, supp AS dst FROM pairs
+        |  UNION ALL SELECT supp, cust FROM pairs)),
+        |walk(node, d, h) AS (
+        |  SELECT CAST(2 AS BIGINT) AS node, CAST(0 AS BIGINT) AS d, 0 AS h
+        |  UNION ALL
+        |  SELECT e.dst, w.d + e.w, w.h + 1 FROM walk w JOIN e ON e.src = w.node
+        |  WHERE w.h < 3)
+        |SELECT node, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY node""".stripMargin,
 
     "q_stream_join" ->
       """SELECT p.event_id AS purchase_id, c.event_id AS click_id,

@@ -371,6 +371,32 @@ class GraphOpsSpec extends SparkSpec {
     assert(err.getMessage.contains("basket"), err.getMessage)
   }
 
+  test("shortestPathsWeighted: detour beats direct edge, hop bound, negative refuse") {
+    import spark.implicits._
+    // 1 -> 4 direct costs 10; 1 -> 2 -> 4 costs 2 + 3 = 5; 1 -> 2 -> 3 -> 5
+    // reaches 5 only with >= 3 rounds; node 6 unreachable
+    val edges = Seq(
+      (1L, 4L, 10L), (1L, 2L, 2L), (2L, 4L, 3L), (2L, 3L, 4L), (3L, 5L, 1L))
+      .toDF("src", "dst", "w")
+    def run(rounds: Int) = GraphOps
+      .shortestPathsWeighted(edges, "src", "dst", "w", Seq(1L), rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(3) == Map(1L -> 0L, 2L -> 2L, 3L -> 6L, 4L -> 5L, 5L -> 7L))
+    // hop bound is the semantics: with 1 round the direct edge wins
+    assert(run(1) == Map(1L -> 0L, 2L -> 2L, 4L -> 10L))
+    // layout invariance (exact integer min-plus)
+    val r13 = GraphOps.shortestPathsWeighted(
+        edges.repartition(13), "src", "dst", "w", Seq(1L), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r13 == run(3))
+    // negative weights refuse loudly
+    val neg = Seq((1L, 2L, -1L)).toDF("src", "dst", "w")
+    val err = intercept[Exception] {
+      GraphOps.shortestPathsWeighted(neg, "src", "dst", "w", Seq(1L), 1).collect()
+    }
+    assert(err.getMessage.contains("negative weight"), err.getMessage)
+  }
+
   test("hits: hand-computed round, bipartite separation, scale bound, layout invariance") {
     import spark.implicits._
     val S = 1L << 20
