@@ -472,6 +472,71 @@ object GraphOps {
     visited
   }
 
+  /** Personalized PageRank (random walk with restart to a SEED set —
+    * the "related items for THIS user/item" scoring behind graph
+    * recommenders): identical fixed-point arithmetic to [[pageRank]],
+    * except the teleport mass returns to the seeds instead of spreading
+    * uniformly — `r_{t+1}(v) = (1-d)·s(v) + d·Σ r_t(u)/outdeg(u)` with
+    * `s` = `scale/|seeds|` on seeds, 0 elsewhere (exact integers, so the
+    * result is bit-portable and layout-invariant like the global rank).
+    * Nodes the walk cannot reach from the seeds stay at rank 0 — the
+    * locality that makes PPR a candidate generator.
+    *
+    * Same scale shape as [[pageRank]]: edges partitioned once, one
+    * rank join + one map-side-combined sum per round, node-sized tables
+    * only, lineage cut every 4 rounds.
+    */
+  def personalizedPageRank(
+      pairs: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: Seq[Long],
+      iters: Int,
+      dampNum: Long = 85L,
+      dampDen: Long = 100L,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(seeds.nonEmpty, "personalizedPageRank needs at least one seed")
+    require(iters >= 0 && dampNum >= 0 && dampDen > 0 && dampNum <= dampDen)
+    require(scale > 0 &&
+      scale <= Long.MaxValue / math.max(math.max(dampNum, dampDen - dampNum), 1L),
+      s"scale * damping factors must stay within Long: scale=$scale")
+    val spark0 = pairs.sparkSession
+    import spark0.implicits._
+    val edges = pairs
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+      .cache()
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val edgesDeg = edges.join(outdeg, "src")
+      .repartition(col("src"))
+      .cache()
+    val seedSet = seeds.distinct
+    val init = scale / seedSet.length
+    val base = init * (dampDen - dampNum) / dampDen
+    val isSeed = col("node").isin(seedSet: _*)
+
+    var ranks = nodes.select(col("node"),
+      when(isSeed, lit(init)).otherwise(lit(0L)).as("rank"))
+    for (i <- 1 to iters) {
+      val sums = edgesDeg
+        .join(ranks, edgesDeg("src") === ranks("node"))
+        .select(col("dst"), expr("rank div outdeg").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("s"))
+      val next = nodes
+        .join(sums, nodes("node") === sums("dst"), "left")
+        .select(col("node"),
+          (when(isSeed, lit(base)).otherwise(lit(0L)) +
+            expr(s"($dampNum * coalesce(s, 0L)) div $dampDen")).as("rank"))
+      ranks = if (i % 4 == 0 && i < iters) next.localCheckpoint(true) else next
+    }
+    ranks.select(col("node"), col("rank").as("rank_fp"))
+  }
+
   /** Round-bounded multi-source shortest WEIGHTED distances —
     * Bellman-Ford in the min-plus semiring: after `rounds` relaxations
     * the table holds the exact cheapest cost over paths of at most

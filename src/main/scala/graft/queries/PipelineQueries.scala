@@ -1923,6 +1923,19 @@ object PipelineQueries {
       GraphOps.pageRank(edges, "src", "dst", iters = 5)
     }),
 
+    // Personalized PageRank (random walk with restart): teleport mass
+    // returns to ONE seed customer, so scores localize around its
+    // suppliers and co-purchasing customers — the graph-recommender
+    // candidate generator. Unreached nodes stay at exact 0; the oracle
+    // unrolls the same seeded recurrence.
+    "q_ppr" -> ((s, dir) => {
+      val e = custSuppPairs(s, dir)
+      val edges = e.select(col("cust").as("src"), col("supp").as("dst"))
+        .union(e.select(col("supp").as("src"), col("cust").as("dst")))
+      GraphOps.personalizedPageRank(
+        edges, "src", "dst", seeds = Seq(2L), iters = 3)
+    }),
+
     // HITS hubs & authorities (Kleinberg) on the directed
     // customer->supplier graph — customers are pure hubs, suppliers pure
     // authorities, so both sides of the alternating recurrence carry
@@ -3618,6 +3631,41 @@ object PipelineQueries {
        |  CAST(count(*) AS BIGINT) AS n
        |  FROM nodes),
        |r0 AS (SELECT node, (SELECT init FROM p) AS rank FROM nodes),
+       |$rounds
+       |SELECT node, CAST(rank AS BIGINT) AS rank_fp FROM r$iters""".stripMargin
+  }
+
+  /** Seeded (personalized) PageRank replay — the [[pageRankOracle]]
+    * recurrence with teleport mass restricted to the seed set: init and
+    * base are `scale/|seeds|`-derived on seeds and 0 elsewhere.
+    */
+  private def pprOracle(seeds: Seq[Long], iters: Int): String = {
+    val seedList = seeds.distinct.sorted.mkString("(", ", ", ")")
+    val nSeeds = seeds.distinct.length
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (SELECT n.node,
+         |  (CASE WHEN n.node IN $seedList THEN (SELECT base FROM p)
+         |        ELSE 0 END) + (85 * coalesce(s.s, 0)) // 100 AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst, sum(r.rank // d.outdeg) AS s
+         |    FROM edges e JOIN deg d ON e.src = d.src
+         |    JOIN r${i - 1} r ON r.node = e.src
+         |    GROUP BY e.dst) s ON n.node = s.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH eraw AS (
+       |  SELECT DISTINCT CAST(2 * o_custkey AS BIGINT) AS src,
+       |    CAST(2 * l_suppkey + 1 AS BIGINT) AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS (SELECT src, dst FROM eraw UNION SELECT dst, src FROM eraw),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges
+       |          UNION SELECT DISTINCT dst FROM edges),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+       |        FROM edges GROUP BY src),
+       |p AS (SELECT CAST(1000000000000 AS BIGINT) // $nSeeds AS init,
+       |  (CAST(1000000000000 AS BIGINT) // $nSeeds) * 15 // 100 AS base),
+       |r0 AS (SELECT node,
+       |  CASE WHEN node IN $seedList THEN (SELECT init FROM p)
+       |       ELSE CAST(0 AS BIGINT) END AS rank FROM nodes),
        |$rounds
        |SELECT node, CAST(rank AS BIGINT) AS rank_fp FROM r$iters""".stripMargin
   }
@@ -6131,6 +6179,8 @@ object PipelineQueries {
     "q_pagerank_dangling" -> pageRankOracle(iters = 3, dangling = true),
 
     "q_hits" -> hitsOracle(iters = 3),
+
+    "q_ppr" -> pprOracle(seeds = Seq(2L), iters = 3),
 
     "q_kcore" -> kCoreSql(k = 40, rounds = 8),
 

@@ -371,6 +371,25 @@ class GraphOpsSpec extends SparkSpec {
     assert(err.getMessage.contains("basket"), err.getMessage)
   }
 
+  test("personalizedPageRank: hand-computed rounds, locality, layout invariance") {
+    import spark.implicits._
+    // two components; the walk restarts at seed 1 — nodes 3/4 must stay
+    // at EXACT 0 (the locality that makes PPR a candidate generator)
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L)).toDF("s", "d")
+    def run(iters: Int) = GraphOps
+      .personalizedPageRank(edges, "s", "d", seeds = Seq(1L), iters = iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // r1: seed = base = init*15//100; neighbor = 85%*init
+    assert(run(1) == Map(
+      1L -> 150000000000L, 2L -> 850000000000L, 3L -> 0L, 4L -> 0L))
+    // r2: seed = base + 85%*r1(2); neighbor = 85%*r1(1)
+    assert(run(2) == Map(
+      1L -> 872500000000L, 2L -> 127500000000L, 3L -> 0L, 4L -> 0L))
+    assert(GraphOps.personalizedPageRank(
+        edges.repartition(7), "s", "d", Seq(1L), 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == run(2))
+  }
+
   test("shortestPathsWeighted: detour beats direct edge, hop bound, negative refuse") {
     import spark.implicits._
     // 1 -> 4 direct costs 10; 1 -> 2 -> 4 costs 2 + 3 = 5; 1 -> 2 -> 3 -> 5
