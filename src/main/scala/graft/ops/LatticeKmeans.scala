@@ -70,7 +70,26 @@ object LatticeKmeans {
       k: Int,
       iters: Int,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): Array[Array[Long]] = {
+      vecCol: String = "embedding"): Array[Array[Long]] =
+    trainRounds(vecs, k, iters, idCol, vecCol)
+      .lastOption.getOrElse(Array.empty)
+
+  /** [[train]] with every intermediate exposed: element r of the result
+    * is the centroid matrix AFTER round r (element 0 = the seeds = the
+    * oracle's `c0` CTE, element `iters` = what [[train]] returns).
+    * Exists for the round-8 driver-side bisection of the
+    * `q_kmeans_lattice` hash-fail: the gated `q_kmeans_lattice_c{1,2}`
+    * debug queries export these matrices row-exploded so the driver's
+    * DuckDB localizes a divergence to quantization, a specific Lloyd
+    * round, or the final assignment. Same cost shape as [[train]] —
+    * one k-group aggregate per round, k-bounded collects only.
+    */
+  def trainRounds(
+      vecs: DataFrame,
+      k: Int,
+      iters: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Seq[Array[Array[Long]]] = {
     require(k >= 1 && k <= 256, s"need 1 <= k <= 256, got $k")
     require(iters >= 0, s"iters must be >= 0, got $iters")
     val q = vecs.select(
@@ -78,7 +97,9 @@ object LatticeKmeans {
       .filter(col("qv").isNotNull)
     val seeds = q.orderBy(col("id")).limit(k).collect()
       .map(_.getSeq[Long](1).toArray)
-    if (seeds.isEmpty) return Array.empty
+    if (seeds.isEmpty) return Seq.empty
+    val snapshots = Seq.newBuilder[Array[Array[Long]]]
+    snapshots += seeds
     var cents = seeds
     for (_ <- 1 to iters) {
       // one aggregate per round: k groups, map-side combined; the sum
@@ -105,8 +126,9 @@ object LatticeKmeans {
           next(cid) = s.map(x => x / n)
       }
       cents = next
+      snapshots += cents
     }
-    cents
+    snapshots.result()
   }
 
   /** Pair-test scale: 10 fractional bits. Coarser than [[Scale]] on
@@ -175,6 +197,25 @@ object LatticeKmeans {
     GraphOps.componentsOf(vecs, idCol, pairs, "id_a", "id_b")
       .select(col("node").as("vec_id"), col("component").as("rep_id"),
         (col("node") === col("component")).cast("int").as("keep"))
+  }
+
+  /** Every (vector, centroid) squared L2 distance under a trained
+    * centroid matrix — the engine side of the `q_kmeans_lattice_fd`
+    * bisection stage (the raw distance values of the final-assignment
+    * pass, not just the argmin winner). k x corpus rows, exact integer
+    * arithmetic via [[centDist2]]. */
+  def allDistances(
+      vecs: DataFrame,
+      cents: Array[Array[Long]],
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val qd = quantize(col(vecCol)).cast("array<double>")
+    val n2 = VectorExprs.vecDot(qd, qd).cast("long")
+    vecs.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("vec_id"),
+        posexplode(array(cents.map(c => centDist2(qd, n2, c)): _*)))
+      .select(col("vec_id"), col("pos").cast("int").as("j"),
+        col("col").cast("long").as("dist2"))
   }
 
   /** Integer squared L2 distance from a [[quantize]]d vector (as

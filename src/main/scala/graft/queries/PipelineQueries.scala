@@ -586,6 +586,58 @@ object PipelineQueries {
     "q_kmeans_lattice" -> ((s, dir) =>
       LatticeKmeans.assignments(t(s, dir, "embeddings"), k = 4, iters = 2)),
 
+    // --- q_kmeans_lattice driver-side bisection (round 8) -------------
+    // The headline query above has been hash-red at the DRIVER for two
+    // rounds while the identical SQL passes in the builder's DuckDB at
+    // sf0.01 AND sf0.1 — so the divergence lives in something only the
+    // driver's environment exhibits. These three stages share the exact
+    // kmeansLatticeCtes SQL text and export each intermediate as scalar
+    // rows, so the driver's own CORRECTNESS run localizes the failure:
+    //   _q  green + _c1 red  -> round-1 update (list_reduce sum /
+    //                           list(ORDER BY) / division);
+    //   _c1 green + _c2 red  -> round-2 (same ops, post-update inputs);
+    //   all green + headline red -> final assignment ranking or the
+    //                           driver comparator itself.
+    // Kept permanently: free insurance for every lattice query.
+
+    // Stage 0 — quantization: every (vec, dim) lattice coordinate.
+    "q_kmeans_lattice_q" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .filter(col("embedding").isNotNull)
+        .select(col("vec_id"), posexplode(
+          LatticeKmeans.quantize(col("embedding")).cast("array<long>")))
+        .select(col("vec_id"), col("pos").cast("int").as("d"),
+          col("col").as("coord"))),
+
+    // Stage 1a — round-1 winner assignment under the seed centroids
+    // (exercises distExpr + the (dist2, j) row_number tie-break alone).
+    "q_kmeans_lattice_a1" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val seeds = LatticeKmeans.trainRounds(e, k = 4, iters = 2).head
+      e.select(col("vec_id"),
+          LatticeKmeans.quantize(col("embedding")).as("qv"))
+        .filter(col("qv").isNotNull)
+        .select(col("vec_id"),
+          (LatticeKmeans.packed(col("qv"), seeds) % 256)
+            .cast("int").as("cluster"))
+    }),
+
+    // Stage 1b / 2 — the centroid matrices after Lloyd rounds 1 and 2,
+    // row-exploded to (j, d, coord) so no array-typed cell reaches the
+    // driver comparator.
+    "q_kmeans_lattice_c1" -> ((s, dir) =>
+      latticeCentroidFrame(s, dir, round = 1)),
+    "q_kmeans_lattice_c2" -> ((s, dir) =>
+      latticeCentroidFrame(s, dir, round = 2)),
+
+    // Stage 3 — every (vec, final-centroid) distance VALUE (the raw
+    // numbers the headline's argmin ranks and emits).
+    "q_kmeans_lattice_fd" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      LatticeKmeans.allDistances(e,
+        LatticeKmeans.trainRounds(e, k = 4, iters = 2).last)
+    }),
+
     // Farthest-point (k-center greedy) coreset selection — diversity
     // sampling for curation, exact-integer on the lattice: m-1 fused
     // assignment scans (the chosen set is the centroid matrix), 1-row
@@ -4245,10 +4297,74 @@ object PipelineQueries {
        |${assignCte("fin", "q", s"c$iters")}""".stripMargin
   }
 
+  /** The final projection CASTs dist2 back to BIGINT explicitly. In
+    * DuckDB 1.0.0 this is a no-op (the lambda fold is BIGINT), but
+    * `fin.dist2` is the ONE value path the headline exposes that the
+    * green lattice queries (`q_semdedup_lattice`, `q_sim_ivf_lattice` —
+    * which embed these same CTEs and pass at the driver) never emit; if
+    * a different driver DuckDB widens the fold's result type, pandas
+    * renders HUGEINT as float64 and the comparator's stringify turns
+    * `123` into `123.0` — a hash mismatch with identical values and
+    * matching column names, which is precisely the two-round-old red
+    * row's signature. The cast pins the wire type under EITHER
+    * behavior without touching the values (dist2 < 2^50, exact in
+    * every candidate type). */
   private def kmeansLatticeOracle(k: Int, iters: Int, dims: Int): String =
     s"""WITH ${kmeansLatticeCtes(k, iters, dims)}
-       |SELECT vec_id, CAST(j AS INTEGER) AS cluster, dist2
+       |SELECT vec_id, CAST(j AS INTEGER) AS cluster,
+       |       CAST(dist2 AS BIGINT) AS dist2
        |FROM fin WHERE rn = 1""".stripMargin
+
+  /** Bisection oracles for the `q_kmeans_lattice_*` debug stages: the
+    * SAME kmeansLatticeCtes SQL text as the headline oracle, selecting
+    * one intermediate CTE each (quantized input / round-1 winners /
+    * per-round centroid matrices), list cells exploded to scalars so the
+    * driver comparator never sees an array. */
+  private def kmeansLatticeQuantOracle(k: Int, iters: Int, dims: Int): String =
+    s"""WITH ${kmeansLatticeCtes(k, iters, dims)}
+       |SELECT q.vec_id, CAST(t.range AS INTEGER) AS d,
+       |       CAST(q.qv[t.range + 1] AS BIGINT) AS coord
+       |FROM q CROSS JOIN range(0, $dims) t""".stripMargin
+
+  private def kmeansLatticeAssign1Oracle(k: Int, iters: Int, dims: Int): String =
+    s"""WITH ${kmeansLatticeCtes(k, iters, dims)}
+       |SELECT vec_id, CAST(j AS INTEGER) AS cluster FROM w1""".stripMargin
+
+  private def kmeansLatticeCentsOracle(
+      k: Int, iters: Int, dims: Int, round: Int): String =
+    s"""WITH ${kmeansLatticeCtes(k, iters, dims)}
+       |SELECT CAST(c.j AS INTEGER) AS j, CAST(t.range AS INTEGER) AS d,
+       |       CAST(c.qv[t.range + 1] AS BIGINT) AS coord
+       |FROM c$round c CROSS JOIN range(0, $dims) t""".stripMargin
+
+  /** Stage "fd": EVERY (vec, final centroid) squared distance — the raw
+    * lambda-fold values of the headline's `fin` subquery, not just the
+    * argmin winner. If the driver's red row is a genuine value
+    * divergence in `distExpr` (rather than a result-type widening), this
+    * stage is red and localizes it; if only the headline was red for
+    * dtype reasons, this stage is green alongside the cast-pinned
+    * headline. */
+  private def kmeansLatticeFinDistOracle(
+      k: Int, iters: Int, dims: Int): String =
+    s"""WITH ${kmeansLatticeCtes(k, iters, dims)}
+       |SELECT vec_id, CAST(j AS INTEGER) AS j,
+       |       CAST(dist2 AS BIGINT) AS dist2
+       |FROM fin""".stripMargin
+
+  /** Engine side of the `_c{1,2}` stages: [[LatticeKmeans.trainRounds]]
+    * run with the headline query's parameters, one snapshot exploded to
+    * (j, d, coord) rows. The collect is k x dims-bounded (4 x 64). */
+  private def latticeCentroidFrame(
+      s: SparkSession, dir: String, round: Int): DataFrame = {
+    val rounds =
+      LatticeKmeans.trainRounds(t(s, dir, "embeddings"), k = 4, iters = 2)
+    val rows = for {
+      (c, j) <- rounds(round).zipWithIndex.toSeq
+      (v, d) <- c.zipWithIndex.toSeq
+    } yield (j, d, v)
+    import s.implicits._
+    rows.toDF("j", "d", "coord")
+  }
 
   /** Fully-oracled SemDeDup: the lattice training replay above, then
     * within-cluster pairs by the integer cosine test
@@ -4543,6 +4659,18 @@ object PipelineQueries {
          |FROM u GROUP BY modality""".stripMargin,
 
     "q_kmeans_lattice" -> kmeansLatticeOracle(k = 4, iters = 2, dims = 64),
+    // Bisection stages for the headline hash-fail (round 8, VERDICT r7
+    // task 1): identical CTE text, one intermediate each.
+    "q_kmeans_lattice_q" ->
+      kmeansLatticeQuantOracle(k = 4, iters = 2, dims = 64),
+    "q_kmeans_lattice_a1" ->
+      kmeansLatticeAssign1Oracle(k = 4, iters = 2, dims = 64),
+    "q_kmeans_lattice_c1" ->
+      kmeansLatticeCentsOracle(k = 4, iters = 2, dims = 64, round = 1),
+    "q_kmeans_lattice_c2" ->
+      kmeansLatticeCentsOracle(k = 4, iters = 2, dims = 64, round = 2),
+    "q_kmeans_lattice_fd" ->
+      kmeansLatticeFinDistOracle(k = 4, iters = 2, dims = 64),
     "q_semdedup_lattice" ->
       semDedupLatticeOracle(k = 4, iters = 2, dims = 64, tauNum = 7, tauDen = 20),
     "q_sim_ivf_lattice" ->

@@ -55,6 +55,27 @@ class LatticeKmeansSpec extends SparkSpec {
       s"clusters: g1=${g1.distinct} g2=${g2.distinct}")
   }
 
+  test("trainRounds exposes seeds and per-round snapshots consistently") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val rounds = LatticeKmeans.trainRounds(df, k = 4, iters = 2)
+    assert(rounds.size == 3) // seeds + 2 Lloyd rounds
+    // element 0 = the lowest-4-ids seed vectors (the oracle's c0)
+    val seeds = df.orderBy(col("vec_id")).limit(4)
+      .select(LatticeKmeans.quantize(col("embedding")).cast("array<long>"))
+      .collect().map(_.getSeq[Long](0).toArray)
+    assert(rounds.head.map(_.toSeq).toSeq == seeds.map(_.toSeq).toSeq)
+    // last snapshot IS what train() returns
+    val fin = LatticeKmeans.train(df, k = 4, iters = 2)
+    assert(rounds.last.map(_.toSeq).toSeq == fin.map(_.toSeq).toSeq)
+    // the fd stage's minimum per vec reproduces assignments' (cluster, dist2)
+    val byMin = LatticeKmeans.allDistances(df, fin)
+      .collect().map(r => (r.getLong(0), (r.getLong(2), r.getInt(1))))
+      .groupBy(_._1).map { case (id, xs) => id -> xs.map(_._2).min }
+    val asg = LatticeKmeans.assignments(df, k = 4, iters = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getInt(1)))).toMap
+    assert(byMin == asg)
+  }
+
   test("result is invariant under repartitioning (integer-exact reductions)") {
     val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val a = LatticeKmeans.assignments(df, k = 4, iters = 2)
