@@ -51,6 +51,21 @@ def main():
     bench = None
     if os.path.exists(bench_path):
         bench = json.loads(open(bench_path).read().strip())
+        # A partial sweep is a failed sweep (round 7 embedded -1.000
+        # sentinels for 11 queries and PERF.md over-reported the total):
+        # refuse to mint a gate from a bench map with unmeasured entries
+        # or with registered queries missing from the sweep.
+        bq = bench.get('queries', {})
+        sentinels = sorted(k for k, v in bq.items() if v is None or v < 0)
+        if sentinels:
+            sys.exit(f'REFUSING to embed bench: unmeasured sentinel values '
+                     f'for {sentinels} — re-run graft.Bench (it now retries '
+                     f'failed/stolen queries in-run) until the map is clean')
+        missing = sorted(set(dumps) - set(bq))
+        if missing:
+            sys.exit(f'REFUSING to embed bench: registered queries missing '
+                     f'from the sweep: {missing} — the bench JSON predates '
+                     f'the current catalog; re-run graft.Bench')
 
     head = subprocess.run(['git', 'rev-parse', 'HEAD'],
                           capture_output=True, text=True).stdout.strip()
