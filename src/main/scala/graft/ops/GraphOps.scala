@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.ops.Lineage.LineageOps
+
 /** Distributed connected components — the clustering step that turns
   * near-duplicate PAIRS (from [[DedupOps.ngramJaccardPairs]],
   * [[SimilarityOps]] LSH candidates, MinHash bands, ...) into canonical
@@ -138,7 +140,7 @@ object GraphOps {
       val next = smallStar(largeStar(edges)).cache()
       // every ~4 rounds cut the lineage so plan size stays O(1) per round
       val materialized =
-        if (round % 4 == 3) next.localCheckpoint(true) else next
+        if (round % 4 == 3) next.cutLineage() else next
       val cur = checksum(materialized)
       edges.unpersist(false)
       edges = materialized
@@ -279,7 +281,7 @@ object GraphOps {
               (lit(base) + expr(s"($dampNum * coalesce(s, 0L)) div $dampDen"))
                 .as("rank"))
         }
-      ranks = if (i % 4 == 0 && i < iters) next.localCheckpoint(true) else next
+      ranks = if (i % 4 == 0 && i < iters) next.cutLineage() else next
     }
     ranks.select(col("node"), col("rank").as("rank_fp"))
   }
@@ -329,7 +331,7 @@ object GraphOps {
       // lineage, which doubles per half-round — the same
       // two-consumers-per-iteration trap pageRank's dangling mode
       // caches against (measured here: 10.2 s -> sub-second at sf0.1).
-      val r = raw.localCheckpoint(true)
+      val r = raw.cutLineage()
       val mx = r.agg(max(col("v")).as("m"))
       r.crossJoin(broadcast(mx)) // 1 row: BNLJ attach, no shuffle
         .select(col("node"), expr(s"(v * $scale) div m").as("v"))
@@ -376,14 +378,15 @@ object GraphOps {
     // 600k-row self-join plus a 1.9M-row distinct, and the static plan
     // repeats that subtree four times. Materialize the (u,v) pairs once
     // (same discipline as pageRank's per-iteration checkpoint above).
-    // Trade-offs of the eager localCheckpoint, deliberately accepted:
-    // construction runs jobs immediately, and the truncated lineage is
-    // NOT recomputable after executor loss — a caller needing
-    // fault-tolerant lineage on a preemptible cluster should persist
-    // `edges` to reliable storage first and pass the re-read frame.
+    // Trade-offs of the eager cut, deliberately accepted: construction
+    // runs jobs immediately, and in the default localCheckpoint mode
+    // the truncated lineage is NOT recomputable after executor loss —
+    // on a preemptible cluster set `spark.graft.checkpointDir` and
+    // every cut in this module switches to reliable checkpoint()
+    // storage instead (see [[Lineage.cut]]).
     val e = edges
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
-      .localCheckpoint(true)
+      .cutLineage()
     val deg = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
     val withDeg = e
@@ -395,7 +398,7 @@ object GraphOps {
     val oriented = withDeg.select(
       when(fwd, col("u")).otherwise(col("v")).as("s"),
       when(fwd, col("v")).otherwise(col("u")).as("t"))
-      .localCheckpoint(true)
+      .cutLineage()
     // Adjacency-intersection instead of wedge materialization: a wedge
     // join would shuffle Σ C(outdeg, 2) rows (tens of millions even on a
     // mid-sized graph); joining each oriented edge to the two out-
@@ -465,7 +468,7 @@ object GraphOps {
       // the exponential-lineage trap labelPropagation's hub probe hit.
       // Eager localCheckpoint keeps the plan O(1) per hop (node-sized
       // materialization, same price as the cache+count it replaces).
-      visited = visited.union(next).localCheckpoint(true)
+      visited = visited.union(next).cutLineage()
       frontier = next.select(col("node"))
       h += 1
     }
@@ -532,7 +535,7 @@ object GraphOps {
         .select(col("node"),
           (when(isSeed, lit(base)).otherwise(lit(0L)) +
             expr(s"($dampNum * coalesce(s, 0L)) div $dampDen")).as("rank"))
-      ranks = if (i % 4 == 0 && i < iters) next.localCheckpoint(true) else next
+      ranks = if (i % 4 == 0 && i < iters) next.cutLineage() else next
     }
     ranks.select(col("node"), col("rank").as("rank_fp"))
   }
@@ -578,13 +581,13 @@ object GraphOps {
       .filter(col("src").isNotNull && col("dst").isNotNull && col("w").isNotNull)
       .repartition(col("src")).cache()
     var dist = sources.distinct.map(n => (n, 0L)).toDF("node", "dist")
-      .localCheckpoint(true)
+      .cutLineage()
     for (_ <- 1 to rounds) {
       val relaxed = dist.join(e, col("node") === col("src"))
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
       dist = dist.union(relaxed)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint(true)
+        .cutLineage()
     }
     dist
   }
@@ -644,7 +647,7 @@ object GraphOps {
       val pruned = e
         .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
         .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
-        .select(col("u"), col("v")).localCheckpoint(true)
+        .select(col("u"), col("v")).cutLineage()
       val n = pruned.count()
       fixed = n == nEdges
       e.unpersist(false)
@@ -767,7 +770,7 @@ object GraphOps {
       // localCheckpoint every round on the hot path, every 4th otherwise
       // (the pageRank discipline).
       val next =
-        if (anyHot || round % 4 == 0) agreed.localCheckpoint(true)
+        if (anyHot || round % 4 == 0) agreed.cutLineage()
         else { val c = agreed.cache(); c.count(); c }
       labels.unpersist(false)
       labels = next

@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
+import graft.ops.Lineage.LineageOps
+
 /** Lake-layout sinks: writing a processed corpus OUT is as much a part of
   * the 100 TB pipeline as reading it in. The failure mode at scale is not
   * correctness but layout: one file per task gives millions of small files
@@ -512,7 +514,7 @@ object LakeOps {
       val slice = before
         .filter(touched.map(leafPredicate).reduce(_ || _))
         .join(keyFrame, col(step.keyCol) === col("__dk"), "left_anti")
-        .localCheckpoint(true)
+        .cutLineage()
       // touched-partition row count comes from the pre-audit frame —
       // no extra scan; the checkpointed slice's count is block-local
       val sliceBefore = preAudit.filter(_.getLong(k + 1) > 0)

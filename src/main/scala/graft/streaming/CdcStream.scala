@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
+import graft.ops.Lineage.LineageOps
+
 /** CDC apply as a stream: the streaming twin of
   * [[graft.ops.LakeOps.applyChanges]] — a changelog feed
   * (key, payload..., seq, op∈{U,D}) continuously folded into the
@@ -132,7 +134,7 @@ object CdcStream {
                 :+ lit(null).cast("string").as("__op"): _*
             ).limit(0)
         val next = foldChangelog(lake, batch, keyCol, seqCol, opCol)
-          .localCheckpoint(true)
+          .cutLineage()
         next.write.mode("overwrite").parquet(lakePath)
         ()
       }

@@ -234,6 +234,26 @@ class GraphOpsSpec extends SparkSpec {
     assert(r1 == r8)
   }
 
+  test("pageRank is identical under reliable-checkpoint mode (spark.graft.checkpointDir)") {
+    // Lineage.cut switches every iterative materialization from
+    // localCheckpoint (fast, not executor-loss-tolerant) to reliable
+    // checkpoint() when the config names a directory — the production
+    // mode for preemptible clusters. Results must be bit-identical.
+    val edges = (1L to 100L).map(i => (i, i % 7))
+    val local = pageRankOf(edges, 5)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ckpt_").toString
+    spark.conf.set(Lineage.CheckpointDirKey, dir)
+    try {
+      val reliable = pageRankOf(edges, 5)
+      assert(reliable == local)
+      // the reliable path actually wrote checkpoint data
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, s"no checkpoint files under $dir")
+    } finally spark.conf.unset(Lineage.CheckpointDirKey)
+  }
+
   test("bfsHops: hand-computed hop levels, hop cap, layout invariance") {
     // 1-2-3-4-5 path plus a 2-6 branch and an unreachable 8-9 island;
     // directed edges given one-way — BFS follows direction
