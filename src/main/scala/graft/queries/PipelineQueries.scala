@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AssocOps, AudioOps, ContaminationOps, DedupOps, ExperimentOps, GraphOps, IvfOps, JoinOps, LakeOps, LatticeKmeans, LmOps, MultimodalOps, PqOps, PrepOps, PrivacyOps, ProfileOps, SamplingOps, SearchOps, SimilarityOps, SketchOps, TextOps}
+import graft.ops.{AssocOps, AudioOps, ContaminationOps, DedupOps, ExperimentOps, GraphOps, IndexOps, IvfOps, JoinOps, LakeOps, LatticeKmeans, LmOps, MultimodalOps, PqOps, PrepOps, PrivacyOps, ProfileOps, SamplingOps, SearchOps, SimilarityOps, SketchOps, TextOps}
 import graft.streaming.{EventOps, IngestDedupStream}
 
 /** Training-data pipeline operators (dedup, similarity search, multimodal,
@@ -969,6 +969,32 @@ object PipelineQueries {
         probeCol = col("probe"),
         mBits = 65536, k = 3)),
 
+    // Bloom-index LIFECYCLE through IndexOps.refresh: base 2/3 of the
+    // orders built first, the remaining 1/3 folded in as a segment via
+    // the OR-monoid merge (one layout-sized bit_or — the corpus is read
+    // once per segment, ever), idempotent re-refresh, then EVERY pruning
+    // decision of the merged index gated: the oracle replays the
+    // from-scratch build over the full table in HUGEINT splitmix SQL, so
+    // green means merged-after-append == rebuilt, bit for bit.
+    "q_index_refresh_bloom" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val part = expr("year(o_orderdate) * 12 + month(o_orderdate)")
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_idxb_").toString
+      IndexOps.refreshBloom(orders.filter(col("o_orderkey") % 3 =!= 0),
+        idx, "base", part, col("o_orderkey"))
+      IndexOps.refreshBloom(orders.filter(col("o_orderkey") % 3 === 0),
+        idx, "delta1", part, col("o_orderkey"))
+      IndexOps.refreshBloom(orders.filter(col("o_orderkey") % 3 === 0),
+        idx, "delta1", part, col("o_orderkey")) // idempotent re-run
+      LakeOps.bloomCandidates(
+        IndexOps.readBloom(s, idx),
+        probes = s.range(1, 201)
+          .union(s.range(1000000000001L, 1000000000201L)).toDF("probe"),
+        probeCol = col("probe"), mBits = 65536, k = 3)
+        .select(col("probe"), col("part").cast("long").as("part"))
+    }),
+
     // Lake drift detection: one (n_rows, xor-of-content-hash) row per
     // (source, lang) partition — snapshot comparison without re-reading
     // either lake. The portable rolling fingerprint makes the XOR
@@ -1210,6 +1236,40 @@ object PipelineQueries {
       SearchOps.phraseSearch(
         SearchOps.positionalPostings(t(s, dir, "documents"), "doc_id", "text"),
         Seq("slow", "hash", "batch"))),
+
+    // Index LIFECYCLE, gated end to end (IndexOps.refresh): build the
+    // token-bucket postings lake on the base 2/3 of the corpus, APPEND
+    // the remaining 1/3 as a named segment (pure file adds into the
+    // existing bucket partitions — base postings bytes never rewritten),
+    // prove idempotence by re-refreshing the base segment (a ledger
+    // no-op), then phrase-search THROUGH the refreshed lake. The oracle
+    // replays the phrase over the full corpus — green means
+    // append-without-rebuild produced exactly the from-scratch index's
+    // answers, delta docs included (the from_delta flag pins that delta
+    // occurrences are really present).
+    "q_index_refresh" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_idx_").toString
+      IndexOps.refreshPostings(docs.filter(col("doc_id") % 3 =!= 0), idx, "base")
+      IndexOps.refreshPostings(docs.filter(col("doc_id") % 3 === 0), idx, "delta1")
+      IndexOps.refreshPostings(docs.filter(col("doc_id") % 3 =!= 0), idx, "base") // idempotent re-run
+      IndexOps.phraseSearch(s, idx, Seq("slow", "hash", "batch"))
+        .withColumn("from_delta", (col("doc_id") % 3 === 0).cast("int"))
+    }),
+
+    // The ledger side of the lifecycle: which EXPECTED segments has the
+    // index not folded in yet? (The assertion a scheduled ingest alerts
+    // on.) base+delta1 refreshed, delta2 deliberately absent -> covered
+    // 1/1/0.
+    "q_index_staleness" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 120)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_idxs_").toString
+      IndexOps.refreshPostings(docs.filter(col("doc_id") % 3 =!= 0), idx, "base")
+      IndexOps.refreshPostings(docs.filter(col("doc_id") % 3 === 0), idx, "delta1")
+      IndexOps.staleness(s, idx, "postings", Seq("base", "delta1", "delta2"))
+    }),
 
     "q_bm25_search" -> ((s, dir) =>
       SearchOps.bm25TopK(
@@ -5009,6 +5069,37 @@ object PipelineQueries {
          |LEFT JOIN hits ON hits.probe = pr.probe
          |CROSS JOIN np""".stripMargin,
 
+    // From-scratch Bloom build over the FULL table (same HUGEINT
+    // splitmix replay as q_bloom_index), emitting every (probe, part)
+    // pruning decision: the OR-monoid guarantees the engine's
+    // base-build + delta-merge index equals this, and the hash compare
+    // enforces it bit for bit.
+    "q_index_refresh_bloom" ->
+      s"""WITH o AS (
+         |  SELECT o_orderkey AS key,
+         |    year(CAST(o_orderdate AS DATE)) * 12
+         |      + month(CAST(o_orderdate AS DATE)) AS part
+         |  FROM orders),
+         |js(j) AS (VALUES (0), (1), (2)),
+         |kb AS (
+         |  SELECT part, key, j,
+         |  ${RefQueries.mixSql("a", "key::HUGEINT * 2654435761 + j")}
+         |  FROM o CROSS JOIN js),
+         |bits AS (SELECT DISTINCT part, (am // 2) % 65536 AS pos FROM kb),
+         |pr AS (SELECT t.range AS probe FROM range(1, 201) t
+         |       UNION ALL
+         |       SELECT t.range
+         |       FROM range(1000000000001, 1000000000201) t),
+         |pb AS (
+         |  SELECT probe, j,
+         |  ${RefQueries.mixSql("b", "probe::HUGEINT * 2654435761 + j")}
+         |  FROM pr CROSS JOIN js),
+         |pbits AS (SELECT probe, j, (bm // 2) % 65536 AS pos FROM pb)
+         |SELECT p.probe, CAST(b.part AS BIGINT) AS part
+         |FROM pbits p JOIN bits b ON b.pos = p.pos
+         |GROUP BY p.probe, b.part
+         |HAVING count(DISTINCT p.j) = 3""".stripMargin,
+
     // Same portable rolling fingerprint; DuckDB's bit_xor is the same
     // order-free 64-bit fold.
     "q_partition_hash" ->
@@ -5999,6 +6090,25 @@ object PipelineQueries {
          |SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos
          |FROM toks, LATERAL unnest(range(1, len(w) - 1)) r(i)
          |WHERE array_to_string(w[i:i+2], ' ') = 'slow hash batch'""".stripMargin,
+
+    // Full-corpus phrase replay (the q_phrase_search oracle) + the
+    // segment flag: green means the refreshed (base build + delta
+    // append) postings lake answers exactly like a from-scratch index.
+    "q_index_refresh" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${S.tokens("lower(text)")} AS w FROM documents)
+         |SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT) AS from_delta
+         |FROM toks, LATERAL unnest(range(1, len(w) - 1)) r(i)
+         |WHERE array_to_string(w[i:i+2], ' ') = 'slow hash batch'""".stripMargin,
+
+    // The ledger assertion is deterministic by construction: base and
+    // delta1 refreshed, delta2 deliberately left out.
+    "q_index_staleness" ->
+      """SELECT * FROM (VALUES
+        |  ('postings', 'base',   CAST(1 AS INT)),
+        |  ('postings', 'delta1', CAST(1 AS INT)),
+        |  ('postings', 'delta2', CAST(0 AS INT))) t(kind, segment, covered)""".stripMargin,
 
     "q_bm25_search" ->
       s"""WITH d AS (
