@@ -284,6 +284,91 @@ object DedupOps {
     * Output: (doc_id, n_shingles, n_seen_before, novelty), docs with
     * >= 1 shingle only.
     */
+  /** Repeated-substring span report — the remediation half of exact
+    * substring deduplication (Lee et al. 2021, "Deduplicating Training
+    * Data Makes Language Models Better", whose suffix-array pass removes
+    * every duplicated span instead of whole documents): every MAXIMAL
+    * span of `k`-token windows whose window occurs at least `minCount`
+    * times corpus-wide (within-doc repeats count).
+    *
+    * Mechanics: each document contributes one portable rolling-hash per
+    * k-token window ([[TextOps.fingerprint]] of the space-joined window —
+    * the same 31-polynomial the DuckDB oracle replays), window counts
+    * collapse through ONE map-side-combined hash-keyed aggregate (the
+    * postings discipline — never an all-pairs join), duplicated-window
+    * positions join back per doc, and overlapping/abutting windows merge
+    * into maximal spans with ONE doc-keyed gaps-and-islands window pass
+    * (a window starting <= k tokens after its predecessor extends the
+    * island). Per-window hashing is O(k) chars — the oracle-replayable
+    * formulation; a production suffix-array/O(1)-rolling variant changes
+    * the constant, not the shuffle shape (corpus scanned once, shuffles
+    * keyed on window hash then doc id).
+    *
+    * Output: one row per maximal span,
+    * `(doc_id, span_start, span_end, span_tokens)` — token positions,
+    * end exclusive. Removing `[span_start, span_end)` from every doc is
+    * the Lee et al. scrub; [[duplicateSpanStats]] is the per-doc report.
+    */
+  def duplicateSpans(
+      docs: DataFrame,
+      k: Int,
+      minCount: Long = 2,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k >= 2, s"window must be >= 2 tokens, got $k")
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    val toks = TextOps.tokens(lower(col(textCol)))
+    val winHash = transform(
+      sequence(lit(0), size(col("w")) - k),
+      i => TextOps.fingerprint(
+        concat_ws(" ", slice(col("w"), i + 1, lit(k)))))
+    val grams = docs
+      .select(col(idCol).as("doc_id"), toks.as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), posexplode(winHash).as(Seq("pos", "h")))
+    val dup = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .select(col("h"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val hits = grams.join(dup, "h").select(col("doc_id"), col("pos"))
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) <= k, 0)
+          .otherwise(1))
+      .withColumn("island", sum(col("brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    hits.groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + k).cast("long").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_tokens"))
+  }
+
+  /** Per-document scrub report over [[duplicateSpans]]: total tokens,
+    * tokens inside duplicated spans, and the duplicated fraction on the
+    * exact x10^6 integer grid (span-free docs report zeros). */
+  def duplicateSpanStats(
+      docs: DataFrame,
+      k: Int,
+      minCount: Long = 2,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spans = duplicateSpans(docs, k, minCount, idCol, textCol)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("span_tokens")).as("dup_tokens"))
+    docs.select(col(idCol).as("doc_id"),
+        TextOps.tokenCount(lower(col(textCol))).cast("long").as("n_tokens"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+      // exact integer grid (DIV, not float /: a quotient landing exactly
+      // on an integer must not float one ulp below it)
+      .withColumn("dup_micro",
+        when(col("n_tokens") > 0,
+          expr("dup_tokens * 1000000 DIV n_tokens")).otherwise(lit(0L)))
+  }
+
   def noveltyScores(
       docs: DataFrame,
       idCol: String,

@@ -410,6 +410,21 @@ object PipelineQueries {
     "q_novelty" -> ((s, dir) =>
       DedupOps.noveltyScores(t(s, dir, "documents"), "doc_id", "text", k = 3)),
 
+    // Exact SUBSTRING-level dedup (Lee et al. 2021): every maximal span
+    // of 8-token windows occurring >= 2 times corpus-wide — removal at
+    // span granularity instead of dropping whole near-dup documents.
+    // Window-hash postings aggregate + per-doc gaps-and-islands merge;
+    // the oracle replays the rolling window hashes, the global counts,
+    // and the island algebra, so every span boundary is hash-gated.
+    "q_dup_spans" -> ((s, dir) =>
+      DedupOps.duplicateSpans(t(s, dir, "documents"), k = 8)),
+
+    // The per-document scrub report over the same spans: token totals,
+    // duplicated-token mass and the x10^6 duplicated fraction (span-free
+    // docs report zeros — the corpus-health readout a curation run logs).
+    "q_dup_span_stats" -> ((s, dir) =>
+      DedupOps.duplicateSpanStats(t(s, dir, "documents"), k = 8)),
+
     // Weak labeling against a literal lexicon: word-boundary contains on
     // the normalized text, one codegen'd scan per entity, zero shuffles.
     "q_dict_tag" -> ((s, dir) =>
@@ -4630,6 +4645,36 @@ object PipelineQueries {
     * k=4; window starts run 1 .. max(nGrams-w+1, 1) =
     * range(1, greatest(len(grams)-6, 2)) at w=8.
     */
+  /** Shared CTEs for the substring-span dedup oracles: k-token window
+    * rolling hashes (the proven [[TextOps.Sql.fingerprint]] polynomial
+    * over the space-joined window), corpus-wide window counts, and the
+    * gaps-and-islands merge of duplicated-window positions into maximal
+    * spans — the same algebra as [[graft.ops.DedupOps.duplicateSpans]].
+    */
+  private def dupSpanCtes(k: Int): String =
+    s"""toksd AS (
+       |  SELECT doc_id, ${S.tokens("lower(text)")} AS w FROM documents),
+       |gw AS (
+       |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+       |    ${S.fingerprint(s"array_to_string(w[i:i+${k - 1}], ' ')")} AS h
+       |  FROM toksd, LATERAL unnest(range(1, len(w) - ${k - 2})) r(i)
+       |  WHERE len(w) >= $k),
+       |dh AS (SELECT h FROM gw GROUP BY h HAVING count(*) >= 2),
+       |hp AS (
+       |  SELECT doc_id, pos,
+       |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+       |  FROM gw JOIN dh USING (h)),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |    sum(CASE WHEN prev IS NULL OR pos - prev > $k THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM hp),
+       |sp AS (
+       |  SELECT doc_id, island,
+       |    CAST(min(pos) AS BIGINT) AS span_start,
+       |    CAST(max(pos) + $k AS BIGINT) AS span_end
+       |  FROM isl GROUP BY doc_id, island)""".stripMargin
+
   private def winnowCtes: String =
     """n AS (
       |  SELECT doc_id,
@@ -5772,6 +5817,33 @@ object PipelineQueries {
          |  CAST(intersection AS DOUBLE)/least(sa.n, sb.n) AS containment
          |FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
          |WHERE CAST(intersection AS DOUBLE)/least(sa.n, sb.n) >= 0.8""".stripMargin,
+
+    // Every maximal duplicated span's boundaries, bit for bit.
+    "q_dup_spans" ->
+      s"""WITH ${dupSpanCtes(8)}
+         |SELECT doc_id, span_start, span_end,
+         |  span_end - span_start AS span_tokens
+         |FROM sp""".stripMargin,
+
+    // Same CTEs; per-doc scrub report with the x10^6 integer-grid
+    // duplicated fraction (nonneg // nonneg — division-direction-proof).
+    "q_dup_span_stats" ->
+      s"""WITH ${dupSpanCtes(8)},
+         |agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |    CAST(sum(span_end - span_start) AS BIGINT) AS dup_tokens
+         |  FROM sp GROUP BY doc_id),
+         |tc AS (
+         |  SELECT doc_id,
+         |    CAST(len(${S.tokens("lower(text)")}) AS BIGINT) AS n_tokens
+         |  FROM documents)
+         |SELECT tc.doc_id, tc.n_tokens,
+         |  coalesce(agg.n_spans, 0) AS n_spans,
+         |  coalesce(agg.dup_tokens, 0) AS dup_tokens,
+         |  CASE WHEN tc.n_tokens > 0
+         |    THEN coalesce(agg.dup_tokens, 0) * 1000000 // tc.n_tokens
+         |    ELSE 0 END AS dup_micro
+         |FROM tc LEFT JOIN agg USING (doc_id)""".stripMargin,
 
     // Same string-shingle formulation; shingle -> min(doc_id), join back,
     // one exact division and one exact IEEE subtraction per doc.

@@ -428,4 +428,58 @@ class DedupOpsSpec extends SparkSpec {
       .toMap
     assert(re == got)
   }
+
+  test("duplicateSpans: planted shared run yields exactly its maximal span") {
+    // ids 10/11 share a 7-token run inside otherwise-unique text; with
+    // k=4 the duplicated windows are positions 2..5 in doc 10 (run at
+    // tokens [2, 9)) and 0..3 in doc 11 (run at [0, 7)) — islands merge
+    // them into ONE maximal span each, end exclusive.
+    val run = "alpha beta gamma delta epsilon zeta eta"
+    val d = Seq(
+      (10L, s"unique one $run tail ten eleven"),
+      (11L, s"$run closing words here"),
+      (12L, "nothing repeated in this document at all"))
+      .toDF("doc_id", "text")
+    val spans = DedupOps.duplicateSpans(d, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans == Set((10L, 2L, 9L), (11L, 0L, 7L)))
+  }
+
+  test("duplicateSpans: within-doc repetition counts toward the threshold") {
+    // the 4-token window repeats INSIDE one doc -> both occurrences span
+    val d = Seq(
+      (20L, "intro words spam spam spam spam middle spam spam spam spam out"),
+      (21L, "totally fresh text never repeating anything anywhere today"))
+      .toDF("doc_id", "text")
+    val spans = DedupOps.duplicateSpans(d, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // only the window 'spam spam spam spam' repeats (positions 2 and 7);
+    // the gap (5 > k) keeps the two occurrences separate islands
+    assert(spans == Set((20L, 2L, 6L), (20L, 7L, 11L)))
+  }
+
+  test("duplicateSpanStats: span-free docs report zeros; fractions on the x1e6 grid") {
+    val run = "alpha beta gamma delta epsilon zeta eta"
+    val d = Seq(
+      (10L, s"unique one $run tail ten eleven"),
+      (11L, s"$run closing words here"),
+      (12L, "nothing repeated in this document at all"))
+      .toDF("doc_id", "text")
+    val got = DedupOps.duplicateSpanStats(d, k = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(12L) == ((7L, 0L, 0L, 0L)))
+    assert(got(10L) == ((12L, 1L, 7L, 7L * 1000000L / 12L)))
+    assert(got(11L) == ((10L, 1L, 7L, 700000L)))
+  }
+
+  test("duplicateSpans is layout-invariant (hash counts + island algebra)") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      DedupOps.duplicateSpans(df, k = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val a = run(d)
+    assert(run(d.repartition(7)) == a)
+    assert(a.nonEmpty) // the synthetic corpus plants exact dups
+  }
 }
