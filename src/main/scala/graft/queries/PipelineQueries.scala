@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AssocOps, AudioOps, ContaminationOps, DedupOps, ExperimentOps, GraphOps, IndexOps, IvfOps, JoinOps, LakeOps, LatticeKmeans, LmOps, MultimodalOps, PqOps, PrepOps, PrivacyOps, ProfileOps, SamplingOps, SearchOps, SimilarityOps, SketchOps, TextOps}
+import graft.ops.{AssocOps, AudioOps, ContaminationOps, DedupOps, ExperimentOps, GraphOps, IndexOps, IvfOps, JoinOps, LakeOps, LatticeKmeans, LmOps, MultimodalOps, PcaOps, PqOps, PrepOps, PrivacyOps, ProfileOps, SamplingOps, SearchOps, SimilarityOps, SketchOps, TextOps}
 import graft.streaming.{EventOps, IngestDedupStream}
 
 /** Training-data pipeline operators (dedup, similarity search, multimodal,
@@ -1761,6 +1761,22 @@ object PipelineQueries {
         col("vec_id") +: (0 until 16).map(j =>
           SimilarityOps.projectCol(col("embedding"), j, dims = 64, outDims = 16)
             .as(s"p$j")): _*)),
+
+    // DATA-ADAPTIVE dimensionality reduction next to the data-oblivious
+    // JL projection above: distributed PCA. The corpus contributes ONE
+    // fixed-point moment pass (mean + Gram — layout-invariant integers);
+    // covariance, cyclic-Jacobi eigen, ordering and sign conventions run
+    // on the driver over the 64x64 matrix; projection is a row-local
+    // literal-component scan. The deterministic model exports through
+    // TrainedExport, so the oracle re-derives every projected score from
+    // the base table — downstream-of-decomposition hash-gated, the
+    // q_sim_ivf_topk discipline.
+    "q_pca_project" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val model = PcaOps.fit(e, m = 4, dims = 64)
+      TrainedExport.put("pca_m4", model.components :+ model.offsets)
+      PcaOps.project(e, model)
+    }),
 
     // SemDeDup (Abbas et al. 2023): k-means clusters (layout-invariant
     // training), within-cluster cosine pairs (Σ|cluster|² — never
@@ -3931,11 +3947,22 @@ object PipelineQueries {
     * second probe as the argmax over the complement, then the standard
     * cosine + window top-k over candidates from the probed lists only.
     */
+  /** An exact double literal for oracle SQL. A bare decimal like
+    * `0.19102453383572876` is typed DECIMAL by DuckDB, and its
+    * decimal-to-double conversion computes int/10^scale in double
+    * arithmetic — DOUBLE-ROUNDED, up to 1 ulp off the correctly-rounded
+    * parse of the same digits (found via q_pca_project, whose projected
+    * scores expose the literal dot directly; the assignment-only users
+    * are ulp-robust but ride the same fix). The string cast routes
+    * through the correctly-rounded parser, so the shortest-repr
+    * round-trip is bit-exact. */
+  private def dlit(d: Double): String = s"CAST('$d' AS DOUBLE)"
+
   /** Literal-centroid dot product in DuckDB: the K centroid weight lists
     * are inlined, the fold order matches [[SimilarityOps.Sql.dot]].
     */
   private def dotLit(c: Array[Double]): String = {
-    val ws = c.map(_.toString).mkString("[", ", ", "]")
+    val ws = c.map(dlit).mkString("[", ", ", "]")
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(" +
       s"range(1, len(embedding) + 1), i -> CAST(embedding[i] AS DOUBLE) * ($ws)[i])), " +
       s"(acc, v) -> acc + v)"
@@ -4807,7 +4834,25 @@ object PipelineQueries {
         Map(
           "q_sim_ivf_topk" -> ivfCentroidOracle(cents, nprobe = 4, topK = 10),
           "q_semdedup" -> semDedupCentroidOracle(cents, threshold = 0.35))
+      }.getOrElse(Map.empty[String, String]) ++
+      TrainedExport.get("pca_m4").map { packed =>
+        Map("q_pca_project" ->
+          pcaProjectOracle(packed.dropRight(1), packed.last))
       }.getOrElse(Map.empty[String, String])
+
+  /** DuckDB twin of the PCA projection under the exported literal model:
+    * per-component sequential-fold dot minus the mean-offset literal —
+    * the exact IEEE chain of [[graft.ops.PcaOps.project]]. */
+  private def pcaProjectOracle(
+      comps: Array[Array[Double]], offs: Array[Double]): String = {
+    val cols = comps.zipWithIndex.map { case (c, j) =>
+      s"  ${dotLit(c)} - ${dlit(offs(j))} AS pc${j + 1}"
+    }.mkString(",\n")
+    s"""SELECT vec_id,
+       |$cols
+       |FROM embeddings
+       |WHERE embedding IS NOT NULL AND len(embedding) = 64""".stripMargin
+  }
 
   private val staticOracleSql: Map[String, String] = Map(
     "q_sim_ivf_literal" -> ivfLiteralOracle,

@@ -48,14 +48,15 @@ class SparkEntryContractSpec extends AnyFunSuite {
     * add a name here.
     */
   private val dynamicOracle = Set(
-    "q_sim_ivf_topk", "q_semdedup")
+    "q_sim_ivf_topk", "q_semdedup", "q_pca_project")
 
   test("every query is oracled (dynamic pair included); no orphan oracles") {
     val q = SparkEntry.queries.keySet
-    // test 1 above executed the whole catalog, so the trained export is
+    // test 1 above executed the whole catalog, so the trained exports are
     // populated and the dynamic entries must be present; be explicit
     // anyway so this test stands alone under testOnly -z filtering
     SparkEntry.queries("q_semdedup")(SparkSpec.spark, "/root/testdata/sf0.001")
+    SparkEntry.queries("q_pca_project")(SparkSpec.spark, "/root/testdata/sf0.001")
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracles without queries: ${o -- q}")
     assert(dynamicOracle.subsetOf(o),
