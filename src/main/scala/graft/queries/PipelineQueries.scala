@@ -783,6 +783,25 @@ object PipelineQueries {
         .select(col("node").as("doc_id"), col("component"))
     }),
 
+    // SOFT dedup: instead of dropping near-duplicates, DOWNWEIGHT them —
+    // every member of a duplicate cluster trains at weight 1/|cluster|
+    // (x10^6 exact grid), so the cluster contributes one document's worth
+    // of gradient mass while keeping its phrasing diversity (the
+    // sampling-weight alternative the hard q_dedup_apply cut discards).
+    // One cluster-sized aggregate over the components frame joined back.
+    "q_dedup_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = DedupOps.ngramJaccardPairs(
+        docs, "doc_id", "text", k = 3, threshold = 0.2)
+      val comp = GraphOps.componentsOf(docs, "doc_id", pairs, "id_a", "id_b")
+        .select(col("node").as("doc_id"), col("component"))
+      val sizes = comp.groupBy(col("component"))
+        .agg(count(lit(1)).as("cluster_size"))
+      comp.join(sizes, "component")
+        .select(col("doc_id"), col("component"), col("cluster_size"),
+          expr("1000000 DIV cluster_size").as("weight_micro"))
+    }),
+
     // Dedup APPLIED: keep one representative (the minimum id) per
     // near-dup cluster — the end-to-end "give me the cleaned corpus" op.
     "q_dedup_apply" -> ((s, dir) => {
@@ -1847,6 +1866,23 @@ object PipelineQueries {
     // ------------------------------------------------------ event stream
     "q_events_hourly" -> ((s, dir) =>
       EventOps.hourlyStats(RefQueries.events(s, dir))),
+
+    // Watermark late-data accounting: per hour, how many events a
+    // 10-minute watermark would drop and their total lateness — the
+    // prefix-max over arrival order runs as the two-phase distributed
+    // scan (bucket maxima -> metadata-sized cross-bucket prefix ->
+    // per-bucket parallel windows), never a global sort. The synthetic
+    // feed arrives perfectly ordered (n_late would be identically 0), so
+    // the gate plants deterministic ingest disorder: arrival order
+    // reverses each 16-event block (a bijection both engines compute),
+    // modeling multi-partition interleave — inter-event gaps make real
+    // late drops fire. The oracle is the naive single-window
+    // formulation — hash equality proves the distributed scan computes
+    // the same watermark at every record.
+    "q_late_data" -> ((s, dir) =>
+      EventOps.lateDataReport(RefQueries.events(s, dir),
+        delayUs = 600000000L,
+        arrival = expr("event_id DIV 16 * 16 + 15 - event_id % 16"))),
 
     "q_sessionize" -> ((s, dir) =>
       EventOps.sessionStats(RefQueries.events(s, dir), gapMinutes = 30)),
@@ -5967,6 +6003,41 @@ object PipelineQueries {
          |  CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS component
          |FROM documents d LEFT JOIN comp c ON d.doc_id = c.n""".stripMargin,
 
+    // Same component CTEs; the weight is 10^6 DIV cluster size (nonneg
+    // integer division — direction-proof).
+    "q_dedup_weights" ->
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id, ${S.tokens("text")} AS w FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')))) AS s
+         |  FROM toks WHERE len(w) >= 3),
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS i
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |good AS (
+         |  SELECT id_a, id_b FROM inter
+         |  JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+         |  WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.2),
+         |edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM good
+         |  UNION SELECT id_b, id_a FROM good),
+         |reach(n, r) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+         |  UNION
+         |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.n),
+         |comp AS (SELECT n, min(r) AS component FROM reach GROUP BY n),
+         |asg AS (
+         |  SELECT d.doc_id,
+         |    CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS component
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.n),
+         |cs AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+         |       FROM asg GROUP BY component)
+         |SELECT asg.doc_id, asg.component, cs.cluster_size,
+         |  1000000 // cs.cluster_size AS weight_micro
+         |FROM asg JOIN cs USING (component)""".stripMargin,
+
     "q_chunk_tokens" ->
       s"""WITH toks AS (
          |  SELECT doc_id, ${S.tokens("text")} AS w FROM documents),
@@ -7577,6 +7648,30 @@ object PipelineQueries {
         | CAST(count(*) AS BIGINT) AS n_events,
         | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS value_sum
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // Naive global-window watermark replay (the formulation the engine's
+    // two-phase prefix scan must equal), over the same block-16-reversed
+    // planted arrival order.
+    "q_late_data" ->
+      """WITH e AS (
+        |  SELECT event_id // 16 * 16 + 15 - event_id % 16 AS arrival,
+        |    epoch_us(ts) AS ts_us FROM events),
+        |s AS (
+        |  SELECT ts_us, max(ts_us) OVER (ORDER BY arrival
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS seen
+        |  FROM e),
+        |l AS (
+        |  SELECT ts_us,
+        |    CASE WHEN seen IS NOT NULL AND ts_us < seen - 600000000
+        |         THEN 1 ELSE 0 END AS late,
+        |    CASE WHEN seen IS NOT NULL AND ts_us < seen - 600000000
+        |         THEN seen - 600000000 - ts_us ELSE 0 END AS lateness
+        |  FROM s)
+        |SELECT ts_us // 3600000000 * 3600000000 AS window_us,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(late) AS BIGINT) AS n_late,
+        |  CAST(sum(lateness) AS BIGINT) AS late_us_sum
+        |FROM l GROUP BY 1""".stripMargin,
 
     "q_sessionize" ->
       """WITH marked AS (

@@ -54,6 +54,58 @@ object EventOps {
   /** Exact fixed-point cents of a 2-decimal double (merge-order-proof sums). */
   private def cents(c: Column): Column = round(c * 100).cast("long")
 
+  /** Watermark late-data accounting — the observability report every
+    * watermarked streaming job needs ("how much data would a `delay`
+    * watermark drop, and how late is it?"): an event is LATE iff its
+    * event time is more than `delayUs` behind the maximum event time
+    * among all EARLIER-ARRIVING events (arrival order = the `arrival` column;
+    * defaults to `event_id`, the ingest sequence) — exactly Structured Streaming's per-record
+    * watermark rule, replayed over the batch table.
+    *
+    * The running "max event time seen so far" is a PREFIX MAX over
+    * arrival order — inherently sequential if done naively (one
+    * SinglePartition window over the corpus: the global-sort plan this
+    * avoids). Instead the classic two-phase distributed prefix scan:
+    * arrival ids bucket by `DIV bucketWidth`; per-bucket maxima collapse
+    * through ONE map-side-combined aggregate into a bucket-count-sized
+    * frame; the cross-bucket prefix max is a window over THAT frame
+    * (metadata-sized, broadcast back); within-bucket running maxima run
+    * partitioned by bucket — parallel. The corpus is scanned once and
+    * shuffled once (by bucket).
+    *
+    * Output per `windowUs` tumbling window (epoch-micro start):
+    * `(window_us, n_events, n_late, late_us_sum)` — all exact integers.
+    */
+  def lateDataReport(
+      events: DataFrame,
+      delayUs: Long,
+      windowUs: Long = 3600000000L,
+      bucketWidth: Long = 4096L,
+      arrival: Column = col("event_id")): DataFrame = {
+    require(delayUs >= 0 && windowUs > 0 && bucketWidth > 0)
+    val e = events.select(arrival.cast("long").as("arrival"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("b", expr(s"arrival DIV $bucketWidth"))
+    val byBucket = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bprefix = e.groupBy(col("b")).agg(max(col("ts_us")).as("bmax"))
+      .withColumn("prev_bucket_max", max(col("bmax")).over(byBucket))
+      .select(col("b"), col("prev_bucket_max"))
+    val inBucket = Window.partitionBy(col("b")).orderBy(col("arrival"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val scanned = e.join(broadcast(bprefix), "b")
+      .withColumn("seen_max", greatest(
+        col("prev_bucket_max"), max(col("ts_us")).over(inBucket)))
+      .withColumn("late",
+        coalesce(col("ts_us") < col("seen_max") - delayUs, lit(false)))
+    scanned
+      .groupBy(expr(s"ts_us DIV $windowUs * $windowUs").as("window_us"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("late").cast("long")).as("n_late"),
+        sum(when(col("late"), col("seen_max") - delayUs - col("ts_us"))
+          .otherwise(0L)).as("late_us_sum"))
+  }
+
   /** Tumbling 1-hour event-time window per event_type: row count + exact
     * value sum. With `watermark` (streaming), late data beyond the grace is
     * dropped and windows finalize incrementally; in batch the watermark is a

@@ -600,4 +600,37 @@ class EventOpsSpec extends SparkSpec {
     assert(out("a") == (5L, 150L, 7L, 70L, Some(3.0)))
     assert(out("b") == (2L, 0L, 4L, 0L, None))
   }
+
+  test("lateDataReport: hand-computed lateness; two-phase scan == naive; layout-invariant") {
+    // arrival order 0..5; event times (s): 0, 100, 40, 95, 200, 30.
+    // delay 50 s: seen-so-far maxima BEFORE each arrival are
+    // -,0,100,100,100,200 -> late iff ts < seen-50: arr2 (40<50), arr5
+    // (30<150). Lateness sums: (50-40)+(150-30) = 130 s.
+    val rows = Seq((0L, 0L), (1L, 100L), (2L, 40L), (3L, 95L),
+      (4L, 200L), (5L, 30L))
+      .map { case (id, s) =>
+        (id, new java.sql.Timestamp(s * 1000L), 1L, "t", 0.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    // windowUs = 1 minute -> windows 0s, 60s, 180s
+    val got = EventOps.lateDataReport(rows, delayUs = 50000000L,
+      windowUs = 60000000L, bucketWidth = 2L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      0L -> ((3L, 2L, 130000000L)), // ts 0, 40, 30 (two late)
+      60000000L -> ((2L, 0L, 0L)),  // ts 100, 95
+      180000000L -> ((1L, 0L, 0L))))// ts 200
+    // bucket width must not change the answer (prefix-scan correctness)
+    val wide = EventOps.lateDataReport(rows, delayUs = 50000000L,
+      windowUs = 60000000L, bucketWidth = 1000L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(wide == got)
+    // and neither does input layout
+    val re = EventOps.lateDataReport(rows.repartition(5), delayUs = 50000000L,
+      windowUs = 60000000L, bucketWidth = 2L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(re == got)
+  }
 }
