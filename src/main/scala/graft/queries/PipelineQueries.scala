@@ -1176,6 +1176,19 @@ object PipelineQueries {
         weightCol = col("n_chars"),
         budget = 60000L)),
 
+    // DSIR quality-targeted selection (Xie et al. NeurIPS'23): per-doc
+    // log importance ratio of hashed-token distributions, target = the
+    // English slice. Engine-exact: add-1-smoothed INTEGER bucket counts
+    // and a fixed-point integer log2 (msb + 20 squaring rounds), so the
+    // oracle replays the ENTIRE computation from scratch — bucketing,
+    // counts, every log iteration (unrolled SQL), and the per-doc fold.
+    // One explode pass to a buckets-sized count table; scoring is a
+    // row-local literal-array fold, zero shuffles.
+    "q_dsir_score" -> ((s, dir) =>
+      graft.ops.SelectionOps.dsirScores(
+        t(s, dir, "documents"), target = col("lang") === "en",
+        buckets = 4096)),
+
     // Continuous DQ monitoring: the same constraint report per 1-hour
     // event-time window (the incrementally-mergeable streaming form —
     // runs unchanged under readStream with a watermark, pinned
@@ -4708,6 +4721,74 @@ object PipelineQueries {
     * k=4; window starts run 1 .. max(nGrams-w+1, 1) =
     * range(1, greatest(len(grams)-6, 2)) at w=8.
     */
+  /** SQL replay of [[graft.ops.SelectionOps.log2Fixed]] over a 1-column
+    * CTE `valsCte(v)`: msb from the binary string length (bin() has no
+    * leading zeros), then the 20 mantissa-squaring rounds UNROLLED as
+    * chained CTEs — pure int64 shifts/compares, bit-identical to the
+    * driver loop. Emits `lg(v, lg)`. */
+  private def log2FixedSql(valsCte: String): String = {
+    val steps = (0 until graft.ops.SelectionOps.LogFracBits).map { i =>
+      val bit = 1L << (graft.ops.SelectionOps.LogFracBits - 1 - i)
+      s"""s${i + 1} AS (
+         |  SELECT v, msb,
+         |    CASE WHEN sq >= 2147483648 THEN sq >> 1 ELSE sq END AS m,
+         |    frac + CASE WHEN sq >= 2147483648 THEN $bit ELSE 0 END AS frac
+         |  FROM (SELECT v, msb, frac, (m * m) >> 30 AS sq FROM s$i))""".stripMargin
+    }.mkString(",\n")
+    s"""s0 AS (
+       |  SELECT v, length(bin(v)) - 1 AS msb,
+       |    CASE WHEN length(bin(v)) - 1 >= 30
+       |         THEN v >> (length(bin(v)) - 1 - 30)
+       |         ELSE v << (30 - (length(bin(v)) - 1)) END AS m,
+       |    CAST(0 AS BIGINT) AS frac
+       |  FROM $valsCte),
+       |$steps,
+       |lg AS (SELECT v, msb * 1048576 + frac AS lg
+       |       FROM s${graft.ops.SelectionOps.LogFracBits})""".stripMargin
+  }
+
+  /** Full from-scratch DSIR replay: portable md5 token bucketing, the
+    * smoothed target/raw counts, [[log2FixedSql]] over every needed
+    * value, the per-bucket weight, and the per-doc fold. */
+  private def dsirOracle(buckets: Int): String = {
+    val p = DedupOps.PortableHashPrime
+    val hash =
+      s"(CAST(('0x' || substring(md5(tk), 1, 15)) AS BIGINT) % $p) % $buckets"
+    s"""WITH toksl AS (
+       |  SELECT doc_id, lang, ${S.tokens("lower(text)")} AS w FROM documents),
+       |tok AS (
+       |  SELECT doc_id, lang = 'en' AS is_t, unnest(w) AS tk FROM toksl),
+       |bk AS (SELECT doc_id, is_t, CAST($hash AS BIGINT) AS b FROM tok),
+       |bc AS (
+       |  SELECT b, CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS t,
+       |    CAST(count(*) AS BIGINT) AS r
+       |  FROM bk GROUP BY b),
+       |tot AS (SELECT CAST(sum(t) AS BIGINT) AS nt,
+       |               CAST(sum(r) AS BIGINT) AS nr FROM bc),
+       |vals AS (
+       |  SELECT DISTINCT v FROM (
+       |    SELECT t + 1 AS v FROM bc
+       |    UNION ALL SELECT r + 1 FROM bc
+       |    UNION ALL SELECT nt + $buckets FROM tot
+       |    UNION ALL SELECT nr + $buckets FROM tot)),
+       |${log2FixedSql("vals")},
+       |wb AS (
+       |  SELECT bc.b, (lt.lg - lr.lg) + (lnr.lg - lnt.lg) AS w
+       |  FROM bc CROSS JOIN tot
+       |  JOIN lg lt ON lt.v = bc.t + 1
+       |  JOIN lg lr ON lr.v = bc.r + 1
+       |  JOIN lg lnt ON lnt.v = tot.nt + $buckets
+       |  JOIN lg lnr ON lnr.v = tot.nr + $buckets),
+       |ds AS (
+       |  SELECT bk.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |    CAST(sum(wb.w) AS BIGINT) AS dsir_fixed
+       |  FROM bk JOIN wb ON wb.b = bk.b GROUP BY bk.doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(ds.n_tokens, 0) AS n_tokens,
+       |  coalesce(ds.dsir_fixed, 0) AS dsir_fixed
+       |FROM documents d LEFT JOIN ds USING (doc_id)""".stripMargin
+  }
+
   /** Shared CTEs for the substring-span dedup oracles: k-token window
     * rolling hashes (the proven [[TextOps.Sql.fingerprint]] polynomial
     * over the space-joined window), corpus-wide window counts, and the
@@ -6005,6 +6086,8 @@ object PipelineQueries {
 
     // Same component CTEs; the weight is 10^6 DIV cluster size (nonneg
     // integer division — direction-proof).
+    "q_dsir_score" -> dsirOracle(buckets = 4096),
+
     "q_dedup_weights" ->
       s"""WITH RECURSIVE toks AS (
          |  SELECT doc_id, ${S.tokens("text")} AS w FROM documents),
