@@ -352,6 +352,50 @@ object ProfileOps {
     *
     * Output (one row): `(n, n11, n10, n01, n00, po, pe, kappa)`.
     */
+  /** Per-group KL divergence of the token distribution from the corpus
+    * distribution — the mixture-drift diagnostic ("which source's
+    * language moved away from the blend?"), in exact 2^-20 log2 fixed
+    * point: for group s with token counts c_t, total n_s, corpus counts
+    * C_t, total N,
+    * `kl_sum = Σ_t c_t * ((L(c_t) + L(N)) - (L(n_s) + L(C_t)))`
+    * = n_s * KL(P_s || P_corpus) in 2^-20 bits — emitted UNDIVIDED so no
+    * integer division (whose direction would matter on the slightly-
+    * negative sums fixed-point error can produce) enters the gate. The
+    * corpus includes every group, so C_t > 0 wherever c_t > 0 — no
+    * smoothing needed. L = the codegen'd integer
+    * [[graft.expr.MathExprs.log2Fixed]]; the whole statistic replays in
+    * SQL from scratch.
+    *
+    * Scale shape: one (group, token) count (map-side combined), corpus
+    * counts derived from THAT vocabulary-sized frame (never a second
+    * corpus pass), the 1-row grand total broadcast back. Output:
+    * (group, n_tokens, kl_sum_fixed).
+    */
+  def tokenKlByGroup(
+      docs: DataFrame,
+      group: Column,
+      textCol: String = "text"): DataFrame = {
+    import graft.expr.MathExprs.log2Fixed
+    val st = docs
+      .select(group.as("grp"),
+        explode(TextOps.tokens(lower(col(textCol)))).as("tk"))
+      .groupBy(col("grp"), col("tk"))
+      .agg(count(lit(1)).as("c"))
+    val ct = st.groupBy(col("tk")).agg(sum(col("c")).as("ctot"))
+    val ns = st.groupBy(col("grp")).agg(sum(col("c")).as("n"))
+    val nn = st.agg(sum(col("c")).as("nt")) // 1-row grand total
+    st.join(ct, "tk")
+      .join(ns, "grp")
+      .crossJoin(broadcast(nn))
+      .select(col("grp"),
+        col("n"),
+        (col("c") * ((log2Fixed(col("c")) + log2Fixed(col("nt"))) -
+          (log2Fixed(col("n")) + log2Fixed(col("ctot"))))).as("term"))
+      .groupBy(col("grp"))
+      .agg(max(col("n")).as("n_tokens"), sum(col("term")).as("kl_sum_fixed"))
+      .select(col("grp").as("group"), col("n_tokens"), col("kl_sum_fixed"))
+  }
+
   def cohenKappa(df: DataFrame, raterA: Column, raterB: Column): DataFrame = {
     def dom(c: Column, side: String) = {
       when(c.isin(0L, 1L), c).otherwise(raise_error(concat(

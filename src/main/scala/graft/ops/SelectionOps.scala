@@ -39,16 +39,7 @@ object SelectionOps {
     */
   def log2Fixed(v: Long): Long = {
     require(v >= 1, s"log2Fixed needs v >= 1, got $v")
-    val msb = 63 - java.lang.Long.numberOfLeadingZeros(v)
-    var m = if (msb >= 30) v >> (msb - 30) else v << (30 - msb)
-    var frac = 0L
-    var i = 0
-    while (i < LogFracBits) {
-      m = (m * m) >> 30
-      if (m >= (1L << 31)) { frac |= 1L << (LogFracBits - 1 - i); m >>= 1 }
-      i += 1
-    }
-    (msb.toLong << LogFracBits) | frac
+    graft.expr.Log2Fixed.eval(v)
   }
 
   /** Portable token -> bucket assignment (the md5 family of

@@ -271,6 +271,53 @@ object TextOps {
     graft.expr.TextFingerprintExprs.rollingFingerprint(
       concat_ws(" ", tokens(lower(text))))
 
+  /** Per-document Shannon entropy of the token distribution (bits, in
+    * exact 2^-20 fixed point) — the repetition/diversity quality signal
+    * (low entropy = chant-like repetition; high = diverse vocabulary):
+    * `H = Σ_t (c_t / n) * log2(n / c_t)
+    *    = (Σ_t c_t * (L(n) - L(c_t))) DIV n`
+    * with L = the codegen'd [[graft.expr.MathExprs.log2Fixed]] — a pure
+    * integer logarithm, so the score is bit-identical on every engine
+    * (a float `ln` would tie the gate to a libm) and the DuckDB oracle
+    * replays it from scratch. The dividend is nonnegative (L is
+    * monotone, c_t <= n), so the single integer division is
+    * direction-proof.
+    *
+    * Scale shape: one (doc, token)-keyed count (map-side combined), one
+    * doc-keyed fold — both corpus-shaped shuffles a per-doc vocabulary
+    * profile fundamentally needs; nothing collects.
+    *
+    * Output: (doc_id, n_tokens, n_types, entropy_fixed); token-free
+    * docs report zeros.
+    */
+  def tokenEntropy(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import graft.expr.MathExprs.log2Fixed
+    val tc = docs
+      .select(col(idCol).as("doc_id"),
+        explode(tokens(lower(col(textCol)))).as("tk"))
+      .groupBy(col("doc_id"), col("tk"))
+      .agg(count(lit(1)).as("c"))
+    val tot = tc.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_types"))
+    val hs = tc.join(tot.select(col("doc_id"), col("n")), "doc_id")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c") * (log2Fixed(col("n")) - log2Fixed(col("c"))))
+        .as("hs"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(tot, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"))
+      .join(hs, Seq("doc_id"), "left")
+      .withColumn("entropy_fixed",
+        when(col("n_tokens") > 0, expr("hs DIV n_tokens"))
+          .otherwise(lit(0L)))
+      .drop("hs")
+  }
+
   /** Vocabulary coverage curve — the tokenizer-sizing diagnostic: for the
     * top `k` token types by frequency, the cumulative share of ALL token
     * occurrences they cover ("a 32k vocab covers 97.2% of running

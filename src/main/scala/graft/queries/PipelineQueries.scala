@@ -1176,6 +1176,22 @@ object PipelineQueries {
         weightCol = col("n_chars"),
         budget = 60000L)),
 
+    // Per-doc Shannon entropy of the token distribution (2^-20-bit fixed
+    // point) — the diversity/repetition quality signal, engine-exact via
+    // the codegen'd integer log2 (no libm in the gate). One (doc, token)
+    // count + one doc fold.
+    "q_token_entropy" -> ((s, dir) =>
+      TextOps.tokenEntropy(t(s, dir, "documents"))),
+
+    // Mixture-drift diagnostic: per-source KL(P_source || P_corpus) over
+    // token distributions, exact fixed point (emitted as the undivided
+    // n_s-scaled sum — no integer division in the gate). Corpus counts
+    // derive from the vocabulary-sized frame, never a second corpus
+    // pass.
+    "q_source_kl" -> ((s, dir) =>
+      graft.ops.ProfileOps.tokenKlByGroup(
+        t(s, dir, "documents"), col("source"))),
+
     // DSIR quality-targeted selection (Xie et al. NeurIPS'23): per-doc
     // log importance ratio of hashed-token distributions, target = the
     // English slice. Engine-exact: add-1-smoothed INTEGER bucket counts
@@ -6087,6 +6103,65 @@ object PipelineQueries {
     // Same component CTEs; the weight is 10^6 DIV cluster size (nonneg
     // integer division — direction-proof).
     "q_dsir_score" -> dsirOracle(buckets = 4096),
+
+    // Entropy replay: same (doc, token) counts, same unrolled integer
+    // log2, same single direction-proof (nonnegative) division.
+    "q_token_entropy" ->
+      s"""WITH tokse AS (
+         |  SELECT doc_id, ${S.tokens("lower(text)")} AS w FROM documents),
+         |tc AS (
+         |  SELECT doc_id, tk, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT doc_id, unnest(w) AS tk FROM tokse) GROUP BY 1, 2),
+         |tote AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+         |    CAST(count(*) AS BIGINT) AS n_types
+         |  FROM tc GROUP BY doc_id),
+         |vals AS (
+         |  SELECT DISTINCT v FROM (
+         |    SELECT c AS v FROM tc UNION ALL SELECT n FROM tote)),
+         |${log2FixedSql("vals")},
+         |hsum AS (
+         |  SELECT tc.doc_id,
+         |    CAST(sum(tc.c * (la.lg - lb.lg)) AS BIGINT) AS hs
+         |  FROM tc JOIN tote USING (doc_id)
+         |  JOIN lg la ON la.v = tote.n
+         |  JOIN lg lb ON lb.v = tc.c
+         |  GROUP BY tc.doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(tote.n, 0) AS n_tokens,
+         |  coalesce(tote.n_types, 0) AS n_types,
+         |  CASE WHEN coalesce(tote.n, 0) > 0 THEN hsum.hs // tote.n
+         |       ELSE 0 END AS entropy_fixed
+         |FROM documents d
+         |LEFT JOIN tote USING (doc_id) LEFT JOIN hsum USING (doc_id)""".stripMargin,
+
+    // KL replay: same counts, same log, undivided n_s-scaled sum.
+    "q_source_kl" ->
+      s"""WITH tokss AS (
+         |  SELECT source, ${S.tokens("lower(text)")} AS w FROM documents),
+         |st AS (
+         |  SELECT source, tk, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT source, unnest(w) AS tk FROM tokss) GROUP BY 1, 2),
+         |ct AS (SELECT tk, CAST(sum(c) AS BIGINT) AS ctot FROM st GROUP BY tk),
+         |nsrc AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM st GROUP BY source),
+         |nn AS (SELECT CAST(sum(c) AS BIGINT) AS nt FROM st),
+         |vals AS (
+         |  SELECT DISTINCT v FROM (
+         |    SELECT c AS v FROM st UNION ALL SELECT ctot FROM ct
+         |    UNION ALL SELECT n FROM nsrc UNION ALL SELECT nt FROM nn)),
+         |${log2FixedSql("vals")},
+         |ks AS (
+         |  SELECT st.source,
+         |    CAST(sum(st.c * ((la.lg + lb.lg) - (lc.lg + ld.lg)))
+         |      AS BIGINT) AS kl_sum_fixed
+         |  FROM st JOIN ct USING (tk) JOIN nsrc USING (source) CROSS JOIN nn
+         |  JOIN lg la ON la.v = st.c
+         |  JOIN lg lb ON lb.v = nn.nt
+         |  JOIN lg lc ON lc.v = nsrc.n
+         |  JOIN lg ld ON ld.v = ct.ctot
+         |  GROUP BY st.source)
+         |SELECT nsrc.source AS "group", nsrc.n AS n_tokens, ks.kl_sum_fixed
+         |FROM nsrc JOIN ks USING (source)""".stripMargin,
 
     "q_dedup_weights" ->
       s"""WITH RECURSIVE toks AS (

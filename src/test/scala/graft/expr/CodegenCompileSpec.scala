@@ -251,4 +251,19 @@ class CodegenCompileSpec extends AnyFunSuite {
       assert(proj(InternalRow(key)).getLong(0) == want, s"codegen at $key")
     }
   }
+
+  test("Log2Fixed generated code compiles, matches eval and the driver kernel") {
+    val e = Log2Fixed(BoundReference(0, LongType, nullable = true))
+    val proj = GenerateMutableProjection.generate(Seq(e))
+    for (v <- Seq(1L, 2L, 3L, 7L, 1000L, 999999937L, 1L << 40, (1L << 62) - 1)) {
+      val want = Log2Fixed.eval(v)
+      assert(e.eval(InternalRow(v)) == want, s"eval at $v")
+      assert(proj(InternalRow(v)).getLong(0) == want, s"codegen at $v")
+      if ((v & (v - 1)) == 0) // power of two: exact
+        assert(want == (63 - java.lang.Long.numberOfLeadingZeros(v)).toLong << 20)
+    }
+    // below-domain inputs are NULL, not garbage
+    assert(e.eval(InternalRow(0L)) == null)
+    assert(proj(InternalRow(-5L)).isNullAt(0))
+  }
 }
