@@ -89,6 +89,38 @@ object SimilarityOps {
     rankTopK(scored, k)
   }
 
+  /** Hard-negative mining for contrastive training: for each query, the
+    * `k` most similar corpus vectors whose `classCol` DIFFERS — the
+    * near-boundary examples a contrastive or reranker objective needs
+    * (random negatives are trivially easy; same-class neighbours are
+    * positives). Identical scale shape to [[bruteForceTopK]] (queries
+    * broadcast, one corpus scan, class filter as a join residual,
+    * partial top-k), so swapping in an ANN candidate generator changes
+    * the candidate set only. Self-pairs are excluded by construction
+    * (same id => same class).
+    *
+    * Returns (query_id, rank, corpus_id, cosine).
+    */
+  def hardNegatives(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      classCol: String,
+      queryId: String = "vec_id",
+      corpusId: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(queryId).as("query_id"), col(vecCol).as("qv"),
+      sqrt(norm2(col(vecCol))).as("qn"), col(classCol).as("q_cls"))
+    val c = corpus.select(col(corpusId).as("corpus_id"), col(vecCol).as("cv"),
+      sqrt(norm2(col(vecCol))).as("cn"), col(classCol).as("c_cls"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("c_cls") =!= col("q_cls"))
+      .withColumn("cosine",
+        dot(col("qv"), col("cv")) / nullif(col("qn") * col("cn"), lit(0.0)))
+      .filter(col("cosine").isNotNull)
+    rankTopK(scored, k)
+  }
+
   /** Deterministic pseudo-random hyperplane weight for (plane j, dim d),
     * integer in [-3, 3]. Derived from an avalanche-mixed hash of (j, d) so
     * planes are effectively independent — a plain linear form like

@@ -293,6 +293,21 @@ object PipelineQueries {
         .withColumn("n_nfc", length(col("text_nfc")).cast("long"))
     }),
 
+    // Diacritic folding (NFD + strip combining marks) \u2014 the match-key
+    // normalization fuzzy joins block on: planted combining grave +
+    // precomposed \u00e9 both fold away. Oracle = DuckDB's independent
+    // utf8proc strip_accents (the q_text_nfc two-implementations
+    // discipline).
+    "q_text_fold" -> ((s, dir) => {
+      val raw = regexp_replace(
+        regexp_replace(col("text"), "a", "a\u0300"), "e", "\u00e9")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        graft.expr.UnicodeExprs.foldDiacritics(raw).as("text_folded"),
+        length(raw).cast("long").as("n_raw"))
+        .withColumn("n_folded", length(col("text_folded")).cast("long"))
+    }),
+
     // Canonical normalization pass (pre-dedup cleanup): row-local regexp
     // chain, zero shuffles — at 100 TB this query IS its scan + write.
     "q_text_normalize" -> ((s, dir) =>
@@ -1649,6 +1664,32 @@ object PipelineQueries {
     "q_sim_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       SimilarityOps.bruteForceTopK(e.filter(col("vec_id") < 10), e, k = 10)
+    }),
+
+    // Hard-negative mining for contrastive training: nearest corpus
+    // vectors of a DIFFERENT class (vec_id % 4 as the synthetic label) —
+    // near-boundary negatives, not random ones. Same audited broadcast
+    // top-k shape with the class test as a join residual.
+    "q_hard_negatives" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .withColumn("cls", (col("vec_id") % 4).cast("int"))
+      SimilarityOps.hardNegatives(
+        e.filter(col("vec_id") < 10), e, k = 3, classCol = "cls")
+    }),
+
+    // Leakage-safe grouped k-fold: every member of a near-dup cluster
+    // lands in the SAME fold (fold = portable hash of the component id),
+    // so no fold ever evaluates on a near-copy of another fold's
+    // training doc — the grouped-CV discipline plain random splits
+    // break. Components reuse the proven Jaccard-pair machinery.
+    "q_group_kfold" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = DedupOps.ngramJaccardPairs(
+        docs, "doc_id", "text", k = 3, threshold = 0.2)
+      GraphOps.componentsOf(docs, "doc_id", pairs, "id_a", "id_b")
+        .select(col("node").as("doc_id"), col("component"),
+          (DedupOps.portableShingleHash(col("component").cast("string")) % 5)
+            .cast("int").as("fold"))
     }),
 
     // Late-interaction MaxSim retrieval (ColBERT, Khattab-Zaharia
@@ -5699,6 +5740,19 @@ object PipelineQueries {
         |  CAST(length(nfc_normalize(r)) AS BIGINT) AS n_nfc
         |FROM raw""".stripMargin,
 
+    // Independent utf8proc implementation (strip_accents) vs the
+    // engine's NFD + Mn-strip — hash-compared on the planted domain.
+    "q_text_fold" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(text,
+        |      'a', 'a' || chr(768), 'g'), 'e', chr(233), 'g') AS r
+        |  FROM documents)
+        |SELECT doc_id, strip_accents(r) AS text_folded,
+        |  CAST(length(r) AS BIGINT) AS n_raw,
+        |  CAST(length(strip_accents(r)) AS BIGINT) AS n_folded
+        |FROM raw""".stripMargin,
+
     // Same normalized space-delimited contains per literal entity.
     "q_dict_tag" ->
       """WITH n AS (
@@ -6162,6 +6216,40 @@ object PipelineQueries {
          |  GROUP BY st.source)
          |SELECT nsrc.source AS "group", nsrc.n AS n_tokens, ks.kl_sum_fixed
          |FROM nsrc JOIN ks USING (source)""".stripMargin,
+
+    // Same component CTEs as q_dedup_clusters; fold = the portable md5
+    // hash of the component's decimal string, mod 5.
+    "q_group_kfold" ->
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id, ${S.tokens("text")} AS w FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')))) AS s
+         |  FROM toks WHERE len(w) >= 3),
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS i
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |good AS (
+         |  SELECT id_a, id_b FROM inter
+         |  JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+         |  WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.2),
+         |edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM good
+         |  UNION SELECT id_b, id_a FROM good),
+         |reach(n, r) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+         |  UNION
+         |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.n),
+         |comp AS (SELECT n, min(r) AS component FROM reach GROUP BY n),
+         |asg AS (
+         |  SELECT d.doc_id,
+         |    CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS component
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.n)
+         |SELECT doc_id, component,
+         |  CAST((CAST(('0x' || substring(md5(CAST(component AS VARCHAR)), 1, 15))
+         |    AS BIGINT) % ${DedupOps.PortableHashPrime}) % 5 AS INT) AS fold
+         |FROM asg""".stripMargin,
 
     "q_dedup_weights" ->
       s"""WITH RECURSIVE toks AS (
@@ -7639,6 +7727,19 @@ object PipelineQueries {
          |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10
          |  WHERE $cos IS NOT NULL)
          |WHERE rank <= 10""".stripMargin
+    },
+
+    // Same proven window shape with the different-class residual.
+    "q_hard_negatives" -> {
+      val cos = SimilarityOps.Sql.cosine("q.embedding", "c.embedding")
+      s"""SELECT query_id, rank, corpus_id, cosine FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, $cos AS cosine,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY $cos DESC, c.vec_id) AS rank
+         |  FROM embeddings q JOIN embeddings c
+         |    ON q.vec_id < 10 AND c.vec_id % 4 <> q.vec_id % 4
+         |  WHERE $cos IS NOT NULL)
+         |WHERE rank <= 3""".stripMargin
     },
 
     // Window-rank formulation over the same lattice dots: max per

@@ -46,4 +46,24 @@ class UnicodeExprsSpec extends SparkSpec {
       .collect().head.getString(0)
     assert(r == "caf\u00e9")
   }
+
+  test("foldDiacritics: precomposed + combining marks fold; CJK/ASCII untouched") {
+    val rows = Seq(
+      (1L, "d\u00e9j\u00e0 vu"),        // precomposed e-acute, a-grave
+      (2L, "de\u0301ja\u0300 vu"),      // same via combining marks
+      (3L, "\u00c5ngstr\u00f6m 42"),    // A-ring, o-diaeresis
+      (4L, "plain ascii"),
+      (5L, "\u4e2d\u6587 text"))        // CJK has no decomposition
+      .toDF("id", "s")
+    val got = rows.select($"id", UnicodeExprs.foldDiacritics($"s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "deja vu")
+    assert(got(2L) == "deja vu")
+    assert(got(3L) == "Angstrom 42")
+    assert(got(4L) == "plain ascii")
+    assert(got(5L) == "\u4e2d\u6587 text")
+    // the match-key motivation: byte-distinct spellings share one key
+    assert(rows.filter($"id" <= 2)
+      .select(UnicodeExprs.foldDiacritics($"s")).distinct().count() == 1)
+  }
 }
