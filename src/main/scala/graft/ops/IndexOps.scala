@@ -112,8 +112,24 @@ object IndexOps {
     recordSegment(spark, indexDir, "bloom", segment)
   }
 
+  /** True when the dataset dir holds at least one parquet part file.
+    * A segment of ZERO postings writes no partition dirs (partitionBy on
+    * an empty frame), leaving schema inference nothing to read. */
+  private def hasParquet(path: String): Boolean = {
+    val root = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(root)) return false
+    val s = java.nio.file.Files.walk(root)
+    try s.anyMatch(p => p.toString.endsWith(".parquet"))
+    finally s.close()
+  }
+
   def readPostings(spark: SparkSession, indexDir: String): DataFrame =
-    spark.read.parquet(s"$indexDir/postings")
+    if (hasParquet(s"$indexDir/postings"))
+      spark.read.parquet(s"$indexDir/postings")
+    else { // empty lake (all segments token-free) — degrade totally
+      import spark.implicits._
+      Seq.empty[(Long, Int, String, Long)].toDF("doc_id", "pos", "token", "tb")
+    }
 
   def readBloom(spark: SparkSession, indexDir: String): DataFrame =
     spark.read.parquet(s"$indexDir/bloom")

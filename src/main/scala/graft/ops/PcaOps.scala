@@ -124,10 +124,21 @@ object PcaOps {
       vecs: DataFrame,
       m: Int,
       dims: Int,
-      vecCol: String = "embedding"): PcaModel = {
+      vecCol: String = "embedding"): PcaModel =
+    fitOption(vecs, m, dims, vecCol).getOrElse(
+      throw new IllegalArgumentException(
+        "PCA needs at least one non-null vector"))
+
+  /** [[fit]] that degrades to None on an empty/all-null corpus (total
+    * pipelines — an upstream filter matching nothing is routine). */
+  def fitOption(
+      vecs: DataFrame,
+      m: Int,
+      dims: Int,
+      vecCol: String = "embedding"): Option[PcaModel] = {
     require(m >= 1 && m <= dims, s"need 1 <= m <= dims, got $m/$dims")
     val (n, s, g) = moments(vecs, dims, vecCol)
-    require(n > 0, "PCA needs at least one non-null vector")
+    if (n == 0) return None
     val mean = s.map(_ / MomentScale / n)
     val cov = Array.tabulate(dims, dims)((i, j) =>
       g(i * dims + j) / MomentScale / n - mean(i) * mean(j))
@@ -140,7 +151,7 @@ object PcaOps {
       if (e(kMax) < 0) e.map(x => -x) else e.clone()
     }.toArray
     val offs = comps.map(e => e.zip(mean).map { case (a, b) => a * b }.sum)
-    PcaModel(n, mean, comps, order.map(evals(_)).toArray, offs)
+    Some(PcaModel(n, mean, comps, order.map(evals(_)).toArray, offs))
   }
 
   /** Row-local projection onto the fitted components: one corpus scan,

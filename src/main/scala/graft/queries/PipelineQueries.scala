@@ -668,14 +668,18 @@ object PipelineQueries {
     // Stage 1a — round-1 winner assignment under the seed centroids
     // (exercises distExpr + the (dist2, j) row_number tie-break alone).
     "q_kmeans_lattice_a1" -> ((s, dir) => {
+      import s.implicits._
       val e = t(s, dir, "embeddings")
-      val seeds = LatticeKmeans.trainRounds(e, k = 4, iters = 2).head
-      e.select(col("vec_id"),
-          LatticeKmeans.quantize(col("embedding")).as("qv"))
-        .filter(col("qv").isNotNull)
-        .select(col("vec_id"),
-          (LatticeKmeans.packed(col("qv"), seeds) % 256)
-            .cast("int").as("cluster"))
+      LatticeKmeans.trainRounds(e, k = 4, iters = 2).headOption match {
+        case None => Seq.empty[(Long, Int)].toDF("vec_id", "cluster")
+        case Some(seeds) =>
+          e.select(col("vec_id"),
+              LatticeKmeans.quantize(col("embedding")).as("qv"))
+            .filter(col("qv").isNotNull)
+            .select(col("vec_id"),
+              (LatticeKmeans.packed(col("qv"), seeds) % 256)
+                .cast("int").as("cluster"))
+      }
     }),
 
     // Stage 1b / 2 — the centroid matrices after Lloyd rounds 1 and 2,
@@ -689,9 +693,12 @@ object PipelineQueries {
     // Stage 3 — every (vec, final-centroid) distance VALUE (the raw
     // numbers the headline's argmin ranks and emits).
     "q_kmeans_lattice_fd" -> ((s, dir) => {
+      import s.implicits._
       val e = t(s, dir, "embeddings")
-      LatticeKmeans.allDistances(e,
-        LatticeKmeans.trainRounds(e, k = 4, iters = 2).last)
+      LatticeKmeans.trainRounds(e, k = 4, iters = 2).lastOption match {
+        case None => Seq.empty[(Long, Int, Long)].toDF("vec_id", "j", "dist2")
+        case Some(cents) => LatticeKmeans.allDistances(e, cents)
+      }
     }),
 
     // Farthest-point (k-center greedy) coreset selection — diversity
@@ -1749,8 +1756,8 @@ object PipelineQueries {
       val e = t(s, dir, "embeddings")
       // export the (deterministic) trained centroids so oracleSql can
       // gate everything downstream of training — see TrainedExport
-      val cents = TrainedExport.put("float_k8_i2",
-        IvfOps.trainCentroids(e, k = 8, iters = 2))
+      val cents = IvfOps.trainCentroids(e, k = 8, iters = 2)
+      if (cents.nonEmpty) TrainedExport.put("float_k8_i2", cents)
       IvfOps.ivfTopK(e.filter(col("vec_id") < 10), e, k = 10, cents, nprobe = 4)
     }),
 
@@ -1861,10 +1868,16 @@ object PipelineQueries {
     // the base table — downstream-of-decomposition hash-gated, the
     // q_sim_ivf_topk discipline.
     "q_pca_project" -> ((s, dir) => {
+      import s.implicits._
       val e = t(s, dir, "embeddings")
-      val model = PcaOps.fit(e, m = 4, dims = 64)
-      TrainedExport.put("pca_m4", model.components :+ model.offsets)
-      PcaOps.project(e, model)
+      PcaOps.fitOption(e, m = 4, dims = 64) match {
+        case None => // empty/all-null corpus: total, zero rows
+          Seq.empty[(Long, Double, Double, Double, Double)]
+            .toDF("vec_id", "pc1", "pc2", "pc3", "pc4")
+        case Some(model) =>
+          TrainedExport.put("pca_m4", model.components :+ model.offsets)
+          PcaOps.project(e, model)
+      }
     }),
 
     // SemDeDup (Abbas et al. 2023): k-means clusters (layout-invariant
@@ -1879,8 +1892,8 @@ object PipelineQueries {
     "q_semdedup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       // same training geometry as q_sim_ivf_topk — one shared export
-      val cents = TrainedExport.put("float_k8_i2",
-        IvfOps.trainCentroids(e, k = 8, iters = 2))
+      val cents = IvfOps.trainCentroids(e, k = 8, iters = 2)
+      if (cents.nonEmpty) TrainedExport.put("float_k8_i2", cents)
       SimilarityOps.semDedup(e, cents, threshold = 0.35)
     }),
 
@@ -4644,7 +4657,7 @@ object PipelineQueries {
     val rounds =
       LatticeKmeans.trainRounds(t(s, dir, "embeddings"), k = 4, iters = 2)
     val rows = for {
-      (c, j) <- rounds(round).zipWithIndex.toSeq
+      (c, j) <- rounds.lift(round).getOrElse(Array.empty).zipWithIndex.toSeq
       (v, d) <- c.zipWithIndex.toSeq
     } yield (j, d, v)
     import s.implicits._

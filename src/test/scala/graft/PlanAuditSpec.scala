@@ -44,7 +44,9 @@ class PlanAuditSpec extends SparkSpec {
     "q_assoc_rules" -> "1-row n_baskets attach to the vocabulary-sized rule frame",
     "q_bitext_mine" -> "broadcast source (query) side x target corpus — the stated mining shape; ANN candidates bound the frame at scale",
     "q_hits" -> "1-row max-normalizer attach per round (the pagerank dangling-share shape)",
-    "q_maxsim_topk" -> "broadcast query vectors x corpus vectors — the ColBERT serving shape; ANN bounds candidates at scale")
+    "q_maxsim_topk" -> "broadcast query vectors x corpus vectors — the ColBERT serving shape; ANN bounds candidates at scale",
+    "q_hard_negatives" -> "broadcast query set x corpus with the class test as the residual — the q_sim_topk brute shape; ANN swaps in as the candidate generator at scale",
+    "q_source_kl" -> "1-row grand-total attach to the vocabulary-sized (source, token) frame")
 
   test("no unlisted query plans a CartesianProduct or BroadcastNestedLoopJoin") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
