@@ -318,10 +318,11 @@ object DedupOps {
     require(k >= 2, s"window must be >= 2 tokens, got $k")
     require(minCount >= 2, s"minCount must be >= 2, got $minCount")
     val toks = TextOps.tokens(lower(col(textCol)))
-    val winHash = transform(
-      sequence(lit(0), size(col("w")) - k),
-      i => TextOps.fingerprint(
-        concat_ws(" ", slice(col("w"), i + 1, lit(k)))))
+    // one generated rolling-hash pass per doc (O(chars)); the
+    // slice-per-window HOF twin below is the executable spec
+    // (differential-pinned in DedupOpsSpec) and measured ~10x slower
+    val winHash =
+      graft.expr.TokenWindowExprs.tokenWindowHashes(col("w"), k)
     val grams = docs
       .select(col(idCol).as("doc_id"), toks.as("w"))
       .filter(size(col("w")) >= k)

@@ -252,6 +252,18 @@ class CodegenCompileSpec extends AnyFunSuite {
     }
   }
 
+  test("TokenWindowHashes generated code compiles and matches eval") {
+    val e = TokenWindowHashes(BoundReference(0, strArr, nullable = true), k = 2)
+    val proj = GenerateMutableProjection.generate(Seq(e))
+    val row = InternalRow(toks)
+    val got = proj(row).getArray(0).toLongArray().toSeq
+    val want = e.eval(row).asInstanceOf[ArrayData].toLongArray().toSeq
+    assert(got == want && got.size == 3)
+    // hand value: window "a b" = fold of 'a',' ','b'
+    val h = ((97L * 31 + 32) % 1000000007L * 31 + 98) % 1000000007L
+    assert(got.head == h)
+  }
+
   test("Log2Fixed generated code compiles, matches eval and the driver kernel") {
     val e = Log2Fixed(BoundReference(0, LongType, nullable = true))
     val proj = GenerateMutableProjection.generate(Seq(e))

@@ -473,6 +473,52 @@ class DedupOpsSpec extends SparkSpec {
     assert(got(11L) == ((10L, 1L, 7L, 700000L)))
   }
 
+  test("tokenWindowHashes == the fingerprint-per-window HOF formulation") {
+    import graft.ops.TextOps
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val toks = TextOps.tokens(lower(col("text")))
+    for (k <- Seq(2, 8)) {
+      val fast = d.select(col("doc_id"), toks.as("w"))
+        .filter(size(col("w")) >= k)
+        .select(col("doc_id"),
+          graft.expr.TokenWindowExprs.tokenWindowHashes(col("w"), k).as("h"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val spec = d.select(col("doc_id"), toks.as("w"))
+        .filter(size(col("w")) >= k)
+        .select(col("doc_id"), transform(
+          sequence(lit(0), size(col("w")) - k),
+          i => TextOps.fingerprint(
+            concat_ws(" ", slice(col("w"), i + 1, lit(k))))).as("h"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(fast == spec, s"k=$k rolling != per-window spec")
+      assert(fast.nonEmpty)
+    }
+  }
+
+  test("tokenWindowHashes edge cases: short docs, k=1, null token") {
+    import graft.expr.TokenWindowExprs.tokenWindowHashes
+    val rows = Seq(
+      (1L, Some(Seq(Some("a"), Some("b")))),
+      (2L, Some(Seq(Some("only")))),
+      (3L, None),
+      (4L, Some(Seq(Some("x"), None))))
+      .toDF("id", "w")
+    val k3 = rows.select(col("id"), tokenWindowHashes(col("w"), 3).as("h"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Long](1))).toMap
+    assert(k3(1L) == Seq.empty) // fewer than k tokens
+    assert(k3(2L) == Seq.empty)
+    assert(k3(3L) == null)      // null array
+    assert(k3(4L) == Seq.empty) // short-circuits before the null element
+    // with enough tokens the null element SURFACES instead of skipping
+    val k2n = rows.filter(col("id") === 4L)
+      .select(tokenWindowHashes(col("w"), 2)).head()
+    assert(k2n.isNullAt(0))
+    val k1 = rows.filter(col("id") === 1L)
+      .select(tokenWindowHashes(col("w"), 1)).head().getSeq[Long](0)
+    assert(k1 == Seq(97L, 98L)) // single-char polynomials
+  }
+
   test("duplicateSpans is layout-invariant (hash counts + island algebra)") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def run(df: org.apache.spark.sql.DataFrame) =
