@@ -126,6 +126,23 @@ object GraftFunctions {
         require(exprs.length == 1, "nfc_normalize(s)")
         graft.expr.NfcNormalize(exprs(0))
       }),
+    "fold_diacritics" -> ("fold_diacritics(s) - NFD + strip combining marks (match-key folding)",
+      exprs => {
+        require(exprs.length == 1, "fold_diacritics(s)")
+        graft.expr.FoldDiacritics(exprs(0))
+      }),
+    "log2_fixed" -> ("log2_fixed(v) - integer fixed-point log2 (2^-20 units; NULL below 1)",
+      exprs => {
+        require(exprs.length == 1, "log2_fixed(v)")
+        graft.expr.Log2Fixed(lng(exprs(0)))
+      }),
+    "token_window_hashes" -> ("token_window_hashes(tokens, k) - rolling fingerprints of every k-token window",
+      exprs => {
+        require(exprs.length == 2, "token_window_hashes(tokens, k)")
+        require(exprs(1).foldable, "token_window_hashes k must be a literal")
+        graft.expr.TokenWindowHashes(exprs(0),
+          exprs(1).eval(null).toString.toInt)
+      }),
     "token_set_hits" -> ("token_set_hits(tokens, words) - count of tokens in the literal word set",
       exprs => {
         require(exprs.length == 2, "token_set_hits(tokens, words)")

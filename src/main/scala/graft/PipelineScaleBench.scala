@@ -480,20 +480,21 @@ object PipelineScaleBench {
       .select(slice(TextOps.tokens(col("text")), 1, 3).as("p"))
       .head().getSeq[String](0).toSeq
     stage("phrase_postings_search") {
-      val pdir = java.nio.file.Files
+      // the unified index lifecycle (IndexOps): build the lake once,
+      // search through it — same tb=xxhash64%64 bucket layout, now with
+      // the covered-segment ledger every scheduled ingest needs
+      val idxDir = java.nio.file.Files
         .createTempDirectory("postings").resolve("t").toString
-      graft.ops.SearchOps.positionalPostings(docs, "doc_id", "text")
-        .withColumn("tb", pmod(xxhash64(col("token")), lit(64)))
-        .write.partitionBy("tb").parquet(pdir)
+      graft.ops.IndexOps.refreshPostings(docs, idxDir, segment = "base")
+      val pdir = s"$idxDir/postings"
       val phrase = phraseOfDocZero
       import spark.implicits._
       val buckets = phrase.toDS()
-        .select(pmod(xxhash64(col("value")), lit(64)).as("tb"))
+        .select(graft.ops.IndexOps.postingsBucket(col("value")).as("tb"))
         .distinct().as[Long].collect().toSeq
       // the bucket isin lands in PartitionFilters — unprobed buckets are
-      // never opened
-      val pruned = spark.read.parquet(pdir).filter(col("tb").isin(buckets: _*))
-      val n = graft.ops.SearchOps.phraseSearch(pruned, phrase).count()
+      // never opened (IndexOps.phraseSearch applies the same prune)
+      val n = graft.ops.IndexOps.phraseSearch(spark, idxDir, phrase).count()
       val total = dirBytes(pdir)
       val touched = buckets.map(b => dirBytes(s"$pdir/tb=$b")).sum
       println(f"[pipeline-scale]   phrase legs opened ${buckets.size}%d/64 " +

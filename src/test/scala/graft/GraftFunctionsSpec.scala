@@ -238,6 +238,27 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(got == viaColumn)
   }
 
+  test("fold_diacritics / log2_fixed / token_window_hashes from SQL text") {
+    GraftFunctions.registerAll(spark)
+    assert(spark.sql("SELECT fold_diacritics('déjà vu')")
+      .head().getString(0) == "deja vu")
+    // log2_fixed: exact on powers of two, NULL below domain, INT casts
+    assert(spark.sql("SELECT log2_fixed(1024)").head().getLong(0) ==
+      10L << 20)
+    assert(spark.sql("SELECT log2_fixed(0)").head().isNullAt(0))
+    // token_window_hashes: window 'a b' polynomial, literal k enforced
+    val h = ((97L * 31 + 32) % 1000000007L * 31 + 98) % 1000000007L
+    assert(spark.sql("SELECT token_window_hashes(array('a','b','c'), 2)")
+      .head().getSeq[Long](0).head == h)
+    // k must be plan-time foldable (a literal column ref is not;
+    // length('xx') would constant-fold and pass, so use rand())
+    val e = intercept[Exception] {
+      spark.sql("SELECT token_window_hashes(array('a','b'), CAST(rand() AS INT) + 2)")
+        .collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("hist1d rejects non-literal edges") {
     GraftFunctions.registerAll(spark)
     Seq((1L, 0.5)).toDF("cell", "v").createOrReplaceTempView("px2")
