@@ -89,6 +89,57 @@ object SimilarityOps {
     rankTopK(scored, k)
   }
 
+  /** Two-stage retrieval — the production serving shape (Matryoshka /
+    * "funnel" retrieval): stage 1 ranks the corpus by the CHEAP metric
+    * (cosine over the first `frontDims` dims — 4x less arithmetic and,
+    * in a real system, 4x less index memory) and keeps `kCand`
+    * candidates per query; stage 2 re-ranks ONLY those candidates with
+    * the full-dimension cosine and returns `k`. Recall loss is exactly
+    * what q_matryoshka_recall measures; here the PIPELINE is the
+    * operator. Both stages are the audited broadcast partial-top-k
+    * shape; stage 2's input is kCand-bounded per query regardless of
+    * corpus size — the full vectors of only the candidate set are ever
+    * re-scored (at 100 TB: the stage-2 gather is a candidate-id join
+    * against the full-vector store, not a second corpus scan with
+    * another top-k; this composition keeps that contract).
+    *
+    * Returns (query_id, rank, corpus_id, cosine) — full-dim cosine.
+    */
+  def twoStageTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      kCand: Int,
+      frontDims: Int,
+      queryId: String = "vec_id",
+      corpusId: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && kCand >= k, s"need 1 <= k <= kCand, got $k/$kCand")
+    def front(c: Column) = slice(c, 1, frontDims)
+    val q = queries.select(col(queryId).as("query_id"),
+      col(vecCol).as("qv"), sqrt(norm2(col(vecCol))).as("qn"),
+      front(col(vecCol)).as("qf"), sqrt(norm2(front(col(vecCol)))).as("qfn"))
+    val c = corpus.select(col(corpusId).as("corpus_id"),
+      col(vecCol).as("cv"), sqrt(norm2(col(vecCol))).as("cn"),
+      front(col(vecCol)).as("cf"), sqrt(norm2(front(col(vecCol)))).as("cfn"))
+    // stage 1: cheap front-dim scan, kCand-bounded partial top-k
+    val cand = rankTopK(
+      c.crossJoin(broadcast(q.select(col("query_id"), col("qf"), col("qfn"))))
+        .withColumn("cosine",
+          dot(col("qf"), col("cf")) / nullif(col("qfn") * col("cfn"), lit(0.0)))
+        .filter(col("cosine").isNotNull),
+      kCand)
+      .select(col("query_id"), col("corpus_id"))
+    // stage 2: full-dim re-rank of the candidate set only
+    val rescored = cand
+      .join(c.select(col("corpus_id"), col("cv"), col("cn")), "corpus_id")
+      .join(broadcast(q.select(col("query_id"), col("qv"), col("qn"))), "query_id")
+      .withColumn("cosine",
+        dot(col("qv"), col("cv")) / nullif(col("qn") * col("cn"), lit(0.0)))
+      .filter(col("cosine").isNotNull)
+    rankTopK(rescored, k)
+  }
+
   /** Hard-negative mining for contrastive training: for each query, the
     * `k` most similar corpus vectors whose `classCol` DIFFERS — the
     * near-boundary examples a contrastive or reranker objective needs

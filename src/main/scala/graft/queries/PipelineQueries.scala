@@ -824,6 +824,27 @@ object PipelineQueries {
           expr("1000000 DIV cluster_size").as("weight_micro"))
     }),
 
+    // Quality-aware survivorship: within each near-dup cluster keep the
+    // LONGEST document (most tokens; ties -> lowest id) instead of the
+    // arbitrary min-id — truncated/mangled copies lose to the complete
+    // one, the curation policy real pipelines want. One cluster-keyed
+    // window over the components frame.
+    "q_dedup_keep_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = DedupOps.ngramJaccardPairs(
+        docs, "doc_id", "text", k = 3, threshold = 0.2)
+      val comp = GraphOps.componentsOf(docs, "doc_id", pairs, "id_a", "id_b")
+        .select(col("node").as("doc_id"), col("component"))
+      val withQ = comp.join(
+        docs.select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "doc_id")
+      val byCluster = Window.partitionBy(col("component"))
+        .orderBy(col("n_tokens").desc, col("doc_id"))
+      withQ.select(col("doc_id"), col("component"), col("n_tokens"),
+        (row_number().over(byCluster) === 1).cast("int").as("keep"))
+    }),
+
     // Dedup APPLIED: keep one representative (the minimum id) per
     // near-dup cluster — the end-to-end "give me the cleaned corpus" op.
     "q_dedup_apply" -> ((s, dir) => {
@@ -1671,6 +1692,18 @@ object PipelineQueries {
     "q_sim_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       SimilarityOps.bruteForceTopK(e.filter(col("vec_id") < 10), e, k = 10)
+    }),
+
+    // Two-stage funnel retrieval (the production serving pipeline): a
+    // cheap 16-dim Matryoshka front ranks the corpus and keeps 50
+    // candidates; the full 64-dim cosine re-ranks ONLY those and
+    // returns 10. Stage 2's cost is candidate-bounded at any corpus
+    // size. Both stage rankings replay in the oracle (two window
+    // ranks over the sequential-fold cosines).
+    "q_two_stage_rerank" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimilarityOps.twoStageTopK(
+        e.filter(col("vec_id") < 10), e, k = 10, kCand = 50, frontDims = 16)
     }),
 
     // Hard-negative mining for contrastive training: nearest corpus
@@ -6230,6 +6263,41 @@ object PipelineQueries {
          |SELECT nsrc.source AS "group", nsrc.n AS n_tokens, ks.kl_sum_fixed
          |FROM nsrc JOIN ks USING (source)""".stripMargin,
 
+    // Same component CTEs; representative = row_number 1 by
+    // (token count DESC, doc_id).
+    "q_dedup_keep_best" ->
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id, ${S.tokens("text")} AS w FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')))) AS s
+         |  FROM toks WHERE len(w) >= 3),
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS i
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |good AS (
+         |  SELECT id_a, id_b FROM inter
+         |  JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+         |  WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.2),
+         |edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM good
+         |  UNION SELECT id_b, id_a FROM good),
+         |reach(n, r) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+         |  UNION
+         |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.n),
+         |comp AS (SELECT n, min(r) AS component FROM reach GROUP BY n),
+         |asg AS (
+         |  SELECT d.doc_id,
+         |    CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS component,
+         |    CAST(len(${S.tokens("d.text")}) AS BIGINT) AS n_tokens
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.n)
+         |SELECT doc_id, component, n_tokens,
+         |  CAST(CASE WHEN row_number() OVER (PARTITION BY component
+         |    ORDER BY n_tokens DESC, doc_id) = 1 THEN 1 ELSE 0 END AS INT) AS keep
+         |FROM asg""".stripMargin,
+
     // Same component CTEs as q_dedup_clusters; fold = the portable md5
     // hash of the component's decimal string, mod 5.
     "q_group_kfold" ->
@@ -7738,6 +7806,31 @@ object PipelineQueries {
          |    row_number() OVER (PARTITION BY q.vec_id
          |      ORDER BY $cos DESC, c.vec_id) AS rank
          |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10
+         |  WHERE $cos IS NOT NULL)
+         |WHERE rank <= 10""".stripMargin
+    },
+
+    // Stage 1 window rank on the 16-dim slice cosine keeps 50; stage 2
+    // window rank on the full cosine over those candidates keeps 10 —
+    // both folds the proven sequential form.
+    "q_two_stage_rerank" -> {
+      val cosF = SimilarityOps.Sql.cosine("q.embedding[1:16]", "c.embedding[1:16]")
+      val cos = SimilarityOps.Sql.cosine("q.embedding", "c.embedding")
+      s"""WITH cand AS (
+         |  SELECT query_id, corpus_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY $cosF DESC, c.vec_id) AS rnk
+         |    FROM embeddings q JOIN embeddings c ON q.vec_id < 10
+         |    WHERE $cosF IS NOT NULL)
+         |  WHERE rnk <= 50)
+         |SELECT query_id, rank, corpus_id, cosine FROM (
+         |  SELECT cand.query_id, cand.corpus_id, $cos AS cosine,
+         |    row_number() OVER (PARTITION BY cand.query_id
+         |      ORDER BY $cos DESC, cand.corpus_id) AS rank
+         |  FROM cand
+         |  JOIN embeddings q ON q.vec_id = cand.query_id
+         |  JOIN embeddings c ON c.vec_id = cand.corpus_id
          |  WHERE $cos IS NOT NULL)
          |WHERE rank <= 10""".stripMargin
     },

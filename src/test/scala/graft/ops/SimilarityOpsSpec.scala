@@ -375,4 +375,29 @@ class SimilarityOpsSpec extends SparkSpec {
     val p2 = pooledDot(q._1, q._2, Seq(0.4f, 0.4f, 0f, 0f), Seq(0.4f, 0.4f, 0f, 0f))
     assert(p2 > p1, "pooled means must prefer the blur for the contrast to mean anything")
   }
+
+  test("twoStageTopK: full-width front == brute force; narrow front shows the recall trade") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 5)
+    def ranking(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // frontDims = full width and kCand = corpus size degrade EXACTLY to
+    // the brute-force ranking (stage 1 cannot drop a true top-k hit)
+    val n = e.count().toInt
+    val full = ranking(SimilarityOps.twoStageTopK(q, e, k = 10, kCand = n, frontDims = 64))
+    val brute = ranking(SimilarityOps.bruteForceTopK(q, e, k = 10))
+    assert(full == brute)
+    // a narrow front with a tight candidate budget is a DIFFERENT
+    // (cheaper) ranking on real data — the measured recall trade
+    val narrow = ranking(SimilarityOps.twoStageTopK(q, e, k = 10, kCand = 12, frontDims = 8))
+    assert(narrow.nonEmpty && narrow.map(_._1) == brute.map(_._1))
+    // stage-2 cosines are FULL-dim: every returned pair's cosine equals
+    // the brute-force cosine for that pair
+    val bruteCos = SimilarityOps.bruteForceTopK(q, e, k = n)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    SimilarityOps.twoStageTopK(q, e, k = 10, kCand = 12, frontDims = 8)
+      .collect().foreach { r =>
+        assert(r.getDouble(3) == bruteCos((r.getLong(0), r.getLong(2))))
+      }
+  }
 }
