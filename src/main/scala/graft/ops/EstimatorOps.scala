@@ -1,0 +1,291 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.expr.{BloomExprs, Log2Fixed, MathExprs}
+
+/** Estimation & evaluation primitives a curation pipeline runs next to
+  * its aggregates: a DETERMINISTIC HyperLogLog (register-exact, so the
+  * sketch state itself is oracle-checkable — unlike
+  * `approx_count_distinct`, whose HLL++ buffer is engine-private),
+  * Adamic-Adar co-neighbor link scores, a Poisson bootstrap confidence
+  * interval, split-conformal prediction intervals, and an exact
+  * distributed k-th order statistic (the selection primitive conformal
+  * calibration needs at corpus scale, where "sort everything and take
+  * row k" is not a plan).
+  *
+  * Shared discipline: every randomized step rides the splitmix64 family
+  * ([[graft.expr.BloomExprs.splitmixHash]]) and every logarithm rides
+  * [[graft.expr.Log2Fixed]] — both replay bit-for-bit in DuckDB HUGEINT
+  * SQL, so the whole module is hash-oracle-able end to end.
+  */
+object EstimatorOps {
+
+  // ------------------------------------------------------------ HyperLogLog
+
+  /** Register count exponent: 2^8 = 256 registers (~6.5% rel. error). */
+  val HllP = 8
+
+  /** rho values are clipped here so the harmonic sum stays exact:
+    * Σ 2^(41−rho) over 256 registers plus the zero-register mass is
+    * < 2^50 — inside int64 AND losslessly representable as an IEEE
+    * double. A register with rho > 41 contributes 2^-41 instead of
+    * 2^-rho: absolute error < 2^-41 per register, unobservable next to
+    * the sketch's 6.5% standard error, and identical on every engine.
+    */
+  val RhoCap = 41
+
+  /** alpha_256 * 256^2 * 2^41 — the estimate's numerator, computed ONCE
+    * here (fixed operation order) and shipped to both engines as the
+    * same IEEE double literal.
+    */
+  val HllAlphaNum: Double =
+    (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 2199023255552.0
+
+  /** HLL register table of `key` under hash `salt`: one row per occupied
+    * register, `(idx, rho)` with idx the hash's top 8 bits and rho the
+    * 1-based leading-zero rank of the remaining 56 (rho = 57 when they
+    * are all zero). The register table IS the sketch: constant-size
+    * (≤ 256 rows) no matter the corpus, mergeable by `max(rho)` per
+    * `idx` — the map-side combine does exactly that, so the shuffle is
+    * register-sized. msb comes from [[Log2Fixed]] (integer-only,
+    * codegen'd), never from float log.
+    */
+  def hllRegisters(df: DataFrame, key: Column, salt: Int): DataFrame = {
+    val h = BloomExprs.splitmixHash(key.cast("long"), salt)
+    val lowMask = (1L << 56) - 1
+    df.select(
+        shiftrightunsigned(h, 56).as("idx"),
+        h.bitwiseAND(lit(lowMask)).as("w"))
+      .select(col("idx"),
+        when(col("w") === 0L, lit(57L))
+          .otherwise(lit(56L) -
+            shiftright(MathExprs.log2Fixed(col("w")), 20)).as("rho"))
+      .groupBy("idx").agg(max(col("rho")).as("rho"))
+  }
+
+  /** Fold a register table into the raw HLL estimate, ONE row:
+    * `(m, v_zero, s_scaled, est_raw)` where `s_scaled` is the exact
+    * integer harmonic sum Σ 2^(RhoCap − min(rho, RhoCap)) with every
+    * absent register contributing 2^RhoCap, and
+    * `est_raw = HllAlphaNum / s_scaled` — a single correctly-rounded
+    * IEEE division of exactly-representable operands. The small-range
+    * linear-counting correction is deliberately NOT applied: it needs a
+    * float ln; callers below the ~640-distinct regime should use the
+    * exact KMV sketch ([[SketchOps]]) instead.
+    */
+  def hllEstimate(registers: DataFrame): DataFrame = {
+    val zeroMass = 1L << RhoCap
+    registers
+      .agg(
+        count(lit(1)).as("present"),
+        coalesce(sum(expr(
+          s"shiftleft(CAST(1 AS BIGINT), CAST($RhoCap - least(rho, $RhoCap) AS INT))")),
+          lit(0L)).as("sp"))
+      .select(
+        lit(256L).as("m"),
+        (lit(256L) - col("present")).as("v_zero"),
+        (col("sp") + (lit(256L) - col("present")) * lit(zeroMass))
+          .as("s_scaled"))
+      .withColumn("est_raw", lit(HllAlphaNum) / col("s_scaled").cast("double"))
+  }
+
+  // --------------------------------------------- Adamic-Adar link scores
+
+  /** Numerator of the inverse-log weight: 10^6 * 2^20, so
+    * `w_micro = num div log2Fixed(deg)` is ~10^6/log2(deg) as an exact
+    * integer division both engines replay.
+    */
+  val AaMicroNum = 1048576000000L
+
+  /** Adamic-Adar co-neighbor scores over a bipartite edge set
+    * `(center, leaf)`: every leaf pair sharing a center scores
+    * Σ_centers 10^6 / log2(deg(center)) — the classic link-prediction /
+    * item-similarity weight (Adamic & Adar 2003), with log2 riding
+    * [[Log2Fixed]] so the score is exact integer algebra.
+    *
+    * Scale shape: wedge pairs are emitted ROW-LOCALLY from each
+    * center's sorted leaf set (the [[graft.queries.PipelineQueries]]
+    * co-occurrence shape) — never a leaf-on-leaf self-join — and
+    * centers are degree-capped BEFORE their adjacency is collected, so
+    * a hub center can neither materialize an unbounded array nor emit
+    * deg² wedges. The cap is part of the operator's semantics (hub
+    * centers carry the least AA weight anyway) and the oracle applies
+    * the identical cutoff. Output: top-`k` `(node_a, node_b, n_common,
+    * aa_micro)` by score, ties broken on the pair.
+    */
+  def adamicAdarTopK(
+      edges: DataFrame, centerCol: String, leafCol: String,
+      maxCenterDegree: Long, k: Int): DataFrame = {
+    val e = edges
+      .select(col(centerCol).as("ctr"), col(leafCol).as("leaf")).distinct()
+    val centerW = e.groupBy("ctr").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= 2L && col("deg") <= maxCenterDegree)
+      .withColumn("lg", MathExprs.log2Fixed(col("deg")))
+      .select(col("ctr"), expr(s"${AaMicroNum}L div lg").as("w_micro"))
+    val adj = e.join(centerW, "ctr")
+      .groupBy(col("ctr"), col("w_micro"))
+      .agg(sort_array(collect_set(col("leaf"))).as("ls"))
+    adj
+      .select(col("w_micro"),
+        explode(flatten(transform(col("ls"), (x, i) =>
+          transform(slice(col("ls"), i + 2, size(col("ls"))),
+            y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .groupBy(col("p.a").as("node_a"), col("p.b").as("node_b"))
+      .agg(count(lit(1)).as("n_common"), sum(col("w_micro")).as("aa_micro"))
+      .orderBy(col("aa_micro").desc, col("node_a"), col("node_b"))
+      .limit(k)
+  }
+
+  // ------------------------------------------------- Poisson bootstrap CI
+
+  /** Cumulative Poisson(1) CDF at k = 0..6 — the threshold ladder that
+    * turns one uniform draw into a bootstrap replication weight
+    * (weights ≥ 7 are folded into 7; P ≈ 8·10^-5). Computed once in a
+    * fixed operation order; the oracle receives these exact doubles as
+    * literals.
+    */
+  val PoissonCdf1: Array[Double] = {
+    val e1 = math.exp(-1.0)
+    val fact = Array(1.0, 1.0, 2.0, 6.0, 24.0, 120.0, 720.0)
+    fact.map(f => e1 / f).scanLeft(0.0)(_ + _).tail
+  }
+
+  /** Poisson bootstrap (the resampling scheme that DISTRIBUTES: each row
+    * draws an independent Poisson(1) replication weight per replicate,
+    * so no replicate ever needs a global with-replacement shuffle) of
+    * the mean of `cents`, with a deterministic splitmix-keyed draw per
+    * `(id, replicate)`. Output ONE row: `(n_reps, point_mean, ci_lo,
+    * ci_hi)` — point from a weight-1 pseudo-replicate, lo/hi the
+    * `loRank`/`hiRank`-th order statistics of the replicate means.
+    *
+    * Scale shape: the explode multiplies rows by `reps+1` but collapses
+    * map-side into `reps+1` partial-agg groups — the shuffle carries
+    * O(reps × partitions) rows; the order-statistic window runs on the
+    * reps-sized frame (bounded by construction). Means are
+    * `(Σ w·cents)/(Σ w)/100` — two correctly-rounded IEEE divisions of
+    * exact longs, engine-portable.
+    */
+  def poissonBootstrapCi(
+      rows: DataFrame, id: Column, cents: Column,
+      reps: Int, loRank: Int, hiRank: Int, salt: Int): DataFrame = {
+    require(reps >= 2 && loRank >= 1 && hiRank <= reps && loRank < hiRank,
+      s"bad bootstrap ranks: reps=$reps lo=$loRank hi=$hiRank")
+    val h = BloomExprs.splitmixHash(
+      col("id") * lit(1000003L) + col("r"), salt)
+    val u = shiftrightunsigned(h, 11).cast("double") /
+      lit(9007199254740992.0)
+    val ladder = PoissonCdf1.zipWithIndex.reverse
+      .foldLeft(lit(7L)) { case (els, (t, i)) =>
+        when(u < lit(t), lit(i.toLong)).otherwise(els)
+      }
+    val perRep = rows
+      .select(id.cast("long").as("id"), cents.cast("long").as("c"))
+      .withColumn("r", explode(sequence(lit(-1), lit(reps - 1))))
+      .withColumn("w", when(col("r") === -1L, lit(1L)).otherwise(ladder))
+      .groupBy("r")
+      .agg(sum(col("w") * col("c")).as("sc"), sum(col("w")).as("sw"))
+      .select(col("r"),
+        when(col("sw") > 0L,
+          col("sc").cast("double") / col("sw").cast("double") / lit(100.0))
+          .as("mean"))
+    // one window over reps+1 rows (bounded by construction): the point
+    // pseudo-replicate sorts first, bootstrap replicates by mean
+    val rk = row_number().over(Window.orderBy(
+      (col("r") =!= -1L).asc, col("mean").asc_nulls_last, col("r").asc))
+    perRep.withColumn("rk", rk).agg(
+      lit(reps.toLong).as("n_reps"),
+      max(when(col("rk") === 1, col("mean"))).as("point_mean"),
+      max(when(col("rk") === loRank + 1, col("mean"))).as("ci_lo"),
+      max(when(col("rk") === hiRank + 1, col("mean"))).as("ci_hi"))
+  }
+
+  // ------------------------------------- distributed k-th order statistic
+
+  /** Exact k-th smallest value of long column `c` (1-based rank, ties
+    * counted) without a global sort: three bounded passes — a 2^16-wide
+    * coarse bucket histogram, a 16-wide sub-bucket histogram inside the
+    * selected coarse bucket, then value counts over the ≤16 distinct
+    * values of the selected sub-bucket. Every driver collect is
+    * histogram-sized (guarded), never row-sized; callers scanning the
+    * frame repeatedly should persist it. Arithmetic shifts preserve
+    * order for negatives too, so the domain is all of int64. Returns
+    * None when the frame has fewer than `k` rows.
+    */
+  def kthSmallest(df: DataFrame, c: String, k: Long): Option[Long] = {
+    require(k >= 1, s"kthSmallest needs k >= 1, got $k")
+    def locate(hist: Array[(Long, Long)], kk: Long): Option[(Long, Long)] = {
+      var rem = kk
+      var i = 0
+      while (i < hist.length) {
+        val (b, n) = hist(i)
+        if (rem <= n) return Some((b, rem))
+        rem -= n
+        i += 1
+      }
+      None
+    }
+    def hist(d: DataFrame, bucket: Column): Array[(Long, Long)] = {
+      val rows = d.filter(col(c).isNotNull)
+        .groupBy(bucket.as("b")).agg(count(lit(1)).as("n"))
+        .orderBy("b").collect()
+      require(rows.length <= (1 << 20),
+        s"selection histogram exceeds ${1 << 20} buckets — widen the bucket shifts")
+      rows.map(r => (r.getLong(0), r.getLong(1)))
+    }
+    for {
+      (b1, k1) <- locate(hist(df, shiftright(col(c), 16)), k)
+      in1 = df.filter(shiftright(col(c), 16) === b1)
+      (b2, k2) <- locate(hist(in1, shiftright(col(c), 4)), k1)
+      (v, _) <- locate(hist(in1.filter(shiftright(col(c), 4) === b2), col(c)), k2)
+    } yield v
+  }
+
+  // ------------------------------------------------------ split conformal
+
+  /** Split-conformal prediction interval (Papadopoulos et al. 2002 /
+    * Vovk): fit a trivial per-group mean model on the calibration
+    * split, take `q_hat` = the ceil((n+1)·0.9)-th smallest calibration
+    * residual (capped at n — the finite-sample infinite-interval case),
+    * and report coverage of `|y − pred| ≤ q_hat` on the held-out split;
+    * by the conformal guarantee that coverage concentrates at ≥ 90%.
+    *
+    * All-integer residuals (cents; pred is an integer division), the
+    * order statistic via [[kthSmallest]] (three bounded passes, no
+    * global sort), the group model a broadcast-sized table. Output ONE
+    * row: `(n_cal, k_rank, q_hat_cents, n_test, covered, coverage)`.
+    */
+  def splitConformal(
+      rows: DataFrame, group: Column, yCents: Column,
+      isCalib: Column): DataFrame = {
+    val base = rows.select(
+      group.as("g"), yCents.cast("long").as("y"), isCalib.as("cal"))
+    val preds = base.filter(col("cal")).groupBy("g")
+      .agg(sum(col("y")).as("sy"), count(lit(1)).as("n"))
+      .select(col("g"), expr("sy div n").as("pred"))
+    val resid = base.join(broadcast(preds), Seq("g"))
+      .select(col("cal"), abs(col("y") - col("pred")).as("r"))
+      // null labels (nulled-input sweeps) carry no residual — excluded
+      // from calibration ranks AND test coverage, mirrored in the oracle
+      .filter(col("r").isNotNull)
+      .persist()
+    try {
+      val calib = resid.filter(col("cal"))
+      val nCal = calib.count()
+      val k = math.min(((nCal + 1L) * 9L + 9L) / 10L, nCal)
+      val qHat = if (nCal == 0L) None else kthSmallest(calib, "r", k)
+      val qLit = qHat.map(lit(_)).getOrElse(lit(null).cast("long"))
+      resid.filter(!col("cal")).agg(
+        lit(nCal).as("n_cal"),
+        lit(k).as("k_rank"),
+        qLit.as("q_hat_cents"),
+        count(lit(1)).as("n_test"),
+        sum((col("r") <= qLit).cast("long")).as("covered"))
+        .withColumn("coverage",
+          when(col("n_test") > 0L,
+            col("covered").cast("double") / col("n_test").cast("double")))
+    } finally resid.unpersist(blocking = false)
+  }
+}

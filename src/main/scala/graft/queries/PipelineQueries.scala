@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AssocOps, AudioOps, ContaminationOps, DedupOps, ExperimentOps, GraphOps, IndexOps, IvfOps, JoinOps, LakeOps, LatticeKmeans, LmOps, MultimodalOps, PcaOps, PqOps, PrepOps, PrivacyOps, ProfileOps, SamplingOps, SearchOps, SimilarityOps, SketchOps, TextOps}
+import graft.ops.{AssocOps, AudioOps, ContaminationOps, DedupOps, EstimatorOps, ExperimentOps, GraphOps, IndexOps, IvfOps, JoinOps, LakeOps, LatticeKmeans, LmOps, MultimodalOps, PcaOps, PqOps, PrepOps, PrivacyOps, ProfileOps, SamplingOps, SearchOps, SimilarityOps, SketchOps, TextOps}
 import graft.streaming.{EventOps, IngestDedupStream}
 
 /** Training-data pipeline operators (dedup, similarity search, multimodal,
@@ -56,6 +56,21 @@ object PipelineQueries {
     ("c", "an"), ("s", "can"), ("c", "o"), ("c", "u"), ("co", "lu"),
     ("colu", "m"), ("colum", "n"), ("cu", "st"), ("cust", "o"),
     ("custo", "mer"), ("f", "i"), ("fi", "l"))
+
+  /** Evaluation term set for `q_mrr` — eight frozen query terms drawn
+    * from the corpus vocabulary; relevance is "term appears in the
+    * document's first three tokens" (a label independent of the
+    * term-frequency ranking signal, so the metric is non-degenerate).
+    */
+  private val MrrTerms: Seq[String] = Seq(
+    "vector", "stream", "window", "filter", "merge", "batch", "scan",
+    "column")
+
+  /** 10^6/rank pre-rounded once (rank 1..10) — the reciprocal-rank gain
+    * table, identical literals in the engine plan and the oracle SQL
+    * (the q_ndcg discipline: no division inside the aggregate).
+    */
+  private val MrrGainMicro: Seq[Long] = (1 to 10).map(i => math.round(1e6 / i))
 
   /** The Gopher-style quality rule bundle as four 0/1 columns
     * (word-count bounds, mean-word-length window, symbol ratio, stopword
@@ -3868,6 +3883,100 @@ object PipelineQueries {
         .groupBy(col("source"))
         .agg(sum(col("nt")).as("n_tokens"), sum(col("no")).as("n_oov"))
         .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tokens"))
+    }),
+
+    // ------------------------------------------- estimation & evaluation
+
+    // Deterministic HyperLogLog: the register table itself (≤256 rows no
+    // matter the corpus — the sketch STATE is the gated artifact, unlike
+    // approx_count_distinct whose HLL++ buffer is engine-private). One
+    // register-sized shuffle; rho rides the integer Log2Fixed msb, never
+    // float log; the oracle regenerates every register from the splitmix
+    // replay in HUGEINT SQL.
+    "q_hll_registers" -> ((s, dir) =>
+      EstimatorOps.hllRegisters(
+        t(s, dir, "orders"), col("o_custkey"), salt = 77)),
+
+    // The folded HLL estimate next to the exact distinct count: the
+    // harmonic sum is exact int64 (rho clipped at RhoCap — see
+    // EstimatorOps), the estimate ONE correctly-rounded IEEE division,
+    // and the ±20% sanity flag uses only exact-representable factors.
+    // The two 1-row frames cross at the end (q_kmv_join_card shape).
+    "q_hll_estimate" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val est = EstimatorOps.hllEstimate(
+        EstimatorOps.hllRegisters(orders, col("o_custkey"), salt = 77))
+      val exact = orders.agg(countDistinct(col("o_custkey")).as("n_exact"))
+      est.crossJoin(exact)
+        .withColumn("within20",
+          (col("est_raw") * lit(5.0) >= col("n_exact").cast("double") * lit(4.0) &&
+            col("est_raw") * lit(5.0) <= col("n_exact").cast("double") * lit(6.0))
+            .cast("int"))
+    }),
+
+    // Adamic-Adar link scores over the customer->supplier bipartite
+    // graph: top-20 supplier pairs by shared-customer evidence, hub
+    // customers (deg > 64) excluded BEFORE adjacency collection — the
+    // wedge-center degree cap that bounds both memory and the deg²
+    // wedge fanout (and which the oracle applies identically). Inverse
+    // log2 weights are exact integer divisions on Log2Fixed.
+    "q_link_predict" -> ((s, dir) =>
+      EstimatorOps.adamicAdarTopK(custSuppPairs(s, dir),
+        "cust", "supp", maxCenterDegree = 64L, k = 20)),
+
+    // Poisson bootstrap CI of the mean order value: 64 deterministic
+    // splitmix-keyed Poisson(1) replicates folded map-side into 65
+    // partial-agg groups (the distributed bootstrap — no per-replicate
+    // resample shuffle), order statistics on the replicate-sized frame.
+    // Ranks 2/63 of 64 bracket a ~94% interval.
+    "q_bootstrap_ci" -> ((s, dir) =>
+      EstimatorOps.poissonBootstrapCi(t(s, dir, "orders"),
+        col("o_orderkey"), round(col("o_totalprice") * 100).cast("long"),
+        reps = 64, loRank = 2, hiRank = 63, salt = 421)),
+
+    // Split-conformal 90% prediction interval for order value under the
+    // per-priority mean model: q_hat is the exact ceil((n+1)·0.9)-th
+    // smallest calibration residual via the three-pass bounded selection
+    // (EstimatorOps.kthSmallest — no global sort), coverage checked on
+    // the held-out parity split.
+    "q_conformal" -> ((s, dir) =>
+      EstimatorOps.splitConformal(t(s, dir, "orders"),
+        col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long"),
+        col("o_orderkey") % 2 === 0)),
+
+    // Mean-reciprocal-rank retrieval eval over eight frozen term queries:
+    // rank by exact term frequency (doc_id tie-break), relevance = term
+    // within the first three tokens. The rank window shuffles only
+    // term-matching rows (tf > 0), partitioned by term; gains are the
+    // pre-rounded ×10⁶ literals (q_ndcg discipline). The literal 8-term
+    // frame left-joins the per-term aggregate so termless queries keep
+    // their rr_micro = 0 row.
+    "q_mrr" -> ((s, dir) => {
+      val toks = TextOps.tokens(lower(col("text")))
+      val cand = t(s, dir, "documents")
+        .select(col("doc_id"), toks.as("tk"))
+        .select(col("doc_id"), col("tk"),
+          explode(array(MrrTerms.map(lit): _*)).as("term"))
+        .withColumn("tf",
+          size(filter(col("tk"), x => x === col("term"))).cast("long"))
+        .filter(col("tf") > 0L)
+        .withColumn("rel",
+          array_contains(slice(col("tk"), 1, 3), col("term")))
+      val firstRel = cand
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("term"))
+            .orderBy(col("tf").desc, col("doc_id"))))
+        .filter(col("rank") <= 10 && col("rel"))
+        .groupBy("term")
+        .agg(min(col("rank")).cast("long").as("first_rel_rank"))
+      val termsDf = s.createDataFrame(MrrTerms.map(Tuple1(_))).toDF("term")
+      val rr = MrrGainMicro.zipWithIndex.foldLeft(lit(0L)) {
+        case (els, (g, i)) =>
+          when(col("first_rel_rank") === (i + 1), lit(g)).otherwise(els)
+      }
+      termsDf.join(firstRel, Seq("term"), "left")
+        .select(col("term"), col("first_rel_rank"), rr.as("rr_micro"))
     })
   )
 
@@ -8913,6 +9022,172 @@ object PipelineQueries {
          |          tk -> NOT list_contains($vocab, tk))) AS no
          |      FROM documents)
          |GROUP BY source""".stripMargin
+    },
+
+    // Every register regenerated from scratch: the splitmix chain in
+    // HUGEINT mod-2^64 SQL (RefQueries.mixSql — the identical replay
+    // family as q_bloom_index), idx/w as unsigned div/mod by 2^56, msb
+    // from bin() string length (no leading zeros — the log2FixedSql
+    // convention), max per register.
+    "q_hll_registers" ->
+      s"""WITH m AS (
+         |  SELECT ${RefQueries.mixSql("h", "o_custkey::HUGEINT * 2654435761 + 77")}
+         |  FROM orders),
+         |r0 AS (SELECT hm // 72057594037927936 AS idx,
+         |              (hm % 72057594037927936)::BIGINT AS w FROM m)
+         |SELECT idx::BIGINT AS idx,
+         |  CAST(max(CASE WHEN w = 0 THEN 57
+         |           ELSE 56 - (length(bin(w)) - 1) END) AS BIGINT) AS rho
+         |FROM r0 GROUP BY idx""".stripMargin,
+
+    // Same register build, folded: the clipped harmonic sum in exact
+    // int64 (absent registers contribute 2^RhoCap), ONE division by the
+    // shared HllAlphaNum literal, and the ±20% flag from
+    // exact-representable factors only.
+    "q_hll_estimate" -> {
+      val zm = 1L << EstimatorOps.RhoCap
+      val a = dlit(EstimatorOps.HllAlphaNum)
+      val sTot = s"sp + (256 - present) * $zm"
+      s"""WITH m AS (
+         |  SELECT ${RefQueries.mixSql("h", "o_custkey::HUGEINT * 2654435761 + 77")}
+         |  FROM orders),
+         |r0 AS (SELECT hm // 72057594037927936 AS idx,
+         |              (hm % 72057594037927936)::BIGINT AS w FROM m),
+         |reg AS (SELECT idx,
+         |          max(CASE WHEN w = 0 THEN 57
+         |              ELSE 56 - (length(bin(w)) - 1) END) AS rho
+         |        FROM r0 GROUP BY idx),
+         |e AS (SELECT CAST(count(*) AS BIGINT) AS present,
+         |        CAST(coalesce(sum(
+         |          1::BIGINT << CAST(${EstimatorOps.RhoCap} -
+         |            least(rho, ${EstimatorOps.RhoCap}) AS INT)), 0) AS BIGINT)
+         |          AS sp
+         |      FROM reg),
+         |x AS (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact
+         |      FROM orders)
+         |SELECT CAST(256 AS BIGINT) AS m,
+         |  CAST(256 - present AS BIGINT) AS v_zero,
+         |  CAST($sTot AS BIGINT) AS s_scaled,
+         |  $a / CAST($sTot AS DOUBLE) AS est_raw,
+         |  n_exact,
+         |  CAST(($a / CAST($sTot AS DOUBLE)) * CAST(5 AS DOUBLE)
+         |         >= CAST(n_exact AS DOUBLE) * CAST(4 AS DOUBLE)
+         |   AND ($a / CAST($sTot AS DOUBLE)) * CAST(5 AS DOUBLE)
+         |         <= CAST(n_exact AS DOUBLE) * CAST(6 AS DOUBLE) AS INT)
+         |    AS within20
+         |FROM e, x""".stripMargin
+    },
+
+    // From-scratch Adamic-Adar replay: distinct bipartite edges, center
+    // degrees, log2FixedSql over the (bounded) distinct degree values,
+    // the identical hub cutoff, wedges via the center self-join (viable
+    // at oracle scale; the engine emits them row-locally), integer
+    // floor-division weights (positive operands: DuckDB // == Spark div).
+    "q_link_predict" ->
+      s"""WITH e AS (SELECT DISTINCT o_custkey * 2 AS ctr,
+         |    l_suppkey * 2 + 1 AS leaf
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |dg AS (SELECT ctr, count(*) AS deg FROM e GROUP BY ctr),
+         |vals AS (SELECT DISTINCT deg AS v FROM dg WHERE deg BETWEEN 2 AND 64),
+         |${log2FixedSql("vals")},
+         |w AS (SELECT dg.ctr, ${EstimatorOps.AaMicroNum} // lg.lg AS wm
+         |      FROM dg JOIN lg ON lg.v = dg.deg
+         |      WHERE dg.deg BETWEEN 2 AND 64),
+         |wg AS (SELECT a.leaf AS node_a, b.leaf AS node_b, w.wm
+         |       FROM e a JOIN e b ON a.ctr = b.ctr AND a.leaf < b.leaf
+         |       JOIN w ON w.ctr = a.ctr)
+         |SELECT node_a::BIGINT AS node_a, node_b::BIGINT AS node_b,
+         |  CAST(count(*) AS BIGINT) AS n_common,
+         |  CAST(sum(wm) AS BIGINT) AS aa_micro
+         |FROM wg GROUP BY node_a, node_b
+         |ORDER BY aa_micro DESC, node_a, node_b LIMIT 20""".stripMargin,
+
+    // Per-(row, replicate) splitmix draw replayed in HUGEINT, the
+    // Poisson(1) CDF ladder on the SAME double literals, replicate
+    // means as the identical two-division IEEE chain, rank via the
+    // point-row-first ordering.
+    "q_bootstrap_ci" -> {
+      val ladder = EstimatorOps.PoissonCdf1.zipWithIndex
+        .map { case (th, i) => s"WHEN hu < ${dlit(th)} THEN $i" }
+        .mkString(" ")
+      s"""WITH x AS (SELECT o_orderkey AS id,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+         |rp AS (SELECT id, c, t.range AS r FROM x CROSS JOIN range(-1, 64) t),
+         |m AS (SELECT id, c, r,
+         |  ${RefQueries.mixSql("h", "(id::HUGEINT * 1000003 + r) * 2654435761 + 421")}
+         |  FROM rp),
+         |w AS (SELECT r, c,
+         |    CASE WHEN r = -1 THEN 1 $ladder ELSE 7 END AS w FROM m),
+         |pr AS (SELECT r,
+         |    CASE WHEN sum(w) > 0
+         |         THEN CAST(sum(w * c) AS DOUBLE) / CAST(sum(w) AS DOUBLE)
+         |              / CAST(100 AS DOUBLE)
+         |    END AS mean
+         |  FROM w GROUP BY r),
+         |rk AS (SELECT r, mean, row_number() OVER (
+         |    ORDER BY (r <> -1), mean NULLS LAST, r) AS rk FROM pr)
+         |SELECT CAST(64 AS BIGINT) AS n_reps,
+         |  max(CASE WHEN rk = 1 THEN mean END) AS point_mean,
+         |  max(CASE WHEN rk = 3 THEN mean END) AS ci_lo,
+         |  max(CASE WHEN rk = 64 THEN mean END) AS ci_hi
+         |FROM rk""".stripMargin
+    },
+
+    // The conformal replay: integer-division group means, residual rank
+    // via row_number (the VALUE at sorted position k is tie-order-proof),
+    // k = ceil((n+1)·0.9) in pure integer arithmetic, coverage as one
+    // division. Null-residual rows (nulled-input sweeps) are excluded on
+    // both sides.
+    "q_conformal" ->
+      s"""WITH b AS (SELECT o_orderpriority AS g,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS y,
+         |    o_orderkey % 2 = 0 AS cal FROM orders),
+         |p AS (SELECT g, CAST(sum(y) // count(*) AS BIGINT) AS pred
+         |      FROM b WHERE cal AND y IS NOT NULL GROUP BY g),
+         |j AS (SELECT b.cal, abs(b.y - p.pred) AS r
+         |      FROM b JOIN p USING (g) WHERE b.y IS NOT NULL),
+         |kk AS (SELECT CAST(count(*) AS BIGINT) AS n_cal,
+         |    CAST(least(((count(*) + 1) * 9 + 9) // 10, count(*)) AS BIGINT)
+         |      AS k_rank
+         |  FROM j WHERE cal),
+         |q AS (SELECT s.r AS q_hat FROM
+         |    (SELECT r, row_number() OVER (ORDER BY r) AS rn
+         |     FROM j WHERE cal) s
+         |    JOIN kk ON s.rn = kk.k_rank),
+         |tt AS (SELECT CAST(count(*) AS BIGINT) AS n_test,
+         |    CAST(sum(CASE WHEN r <= q.q_hat THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS covered
+         |  FROM j, q WHERE NOT cal)
+         |SELECT kk.n_cal, kk.k_rank, q.q_hat AS q_hat_cents, tt.n_test,
+         |  tt.covered,
+         |  CASE WHEN tt.n_test > 0
+         |       THEN CAST(tt.covered AS DOUBLE) / CAST(tt.n_test AS DOUBLE)
+         |  END AS coverage
+         |FROM kk, q, tt""".stripMargin,
+
+    // Term-frequency ranking, first-relevant rank, the same ×10⁶ gain
+    // literals — the engine's exact pipeline in SQL, with the VALUES
+    // term frame left-joined so termless queries keep their zero row.
+    "q_mrr" -> {
+      val termsVals = MrrTerms.map(tm => s"('$tm')").mkString(", ")
+      val gains = MrrGainMicro.zipWithIndex
+        .map { case (g, i) => s"WHEN ${i + 1} THEN $g" }.mkString(" ")
+      s"""WITH d AS (SELECT doc_id, ${S.tokens("lower(text)")} AS tk
+         |           FROM documents),
+         |tq(term) AS (VALUES $termsVals),
+         |f AS (SELECT doc_id, term,
+         |        CAST(len(list_filter(tk, x -> x = term)) AS BIGINT) AS tf,
+         |        list_contains(tk[1:3], term) AS rel
+         |      FROM d CROSS JOIN tq
+         |      WHERE len(list_filter(tk, x -> x = term)) > 0),
+         |r AS (SELECT term, rel, row_number() OVER (
+         |        PARTITION BY term ORDER BY tf DESC, doc_id) AS rank FROM f),
+         |fr AS (SELECT term, CAST(min(rank) AS BIGINT) AS first_rel_rank
+         |       FROM r WHERE rel AND rank <= 10 GROUP BY term)
+         |SELECT tq.term, fr.first_rel_rank,
+         |  CAST(coalesce(CASE fr.first_rel_rank $gains END, 0) AS BIGINT)
+         |    AS rr_micro
+         |FROM tq LEFT JOIN fr ON fr.term = tq.term""".stripMargin
     }
   )
 }

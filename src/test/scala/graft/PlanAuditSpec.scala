@@ -47,7 +47,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_maxsim_topk" -> "broadcast query vectors x corpus vectors — the ColBERT serving shape; ANN bounds candidates at scale",
     "q_hard_negatives" -> "broadcast query set x corpus with the class test as the residual — the q_sim_topk brute shape; ANN swaps in as the candidate generator at scale",
     "q_two_stage_rerank" -> "stage 1 is the q_sim_topk broadcast front scan (16-dim); stage 2 is candidate-bounded joins — the funnel serving shape",
-    "q_source_kl" -> "1-row grand-total attach to the vocabulary-sized (source, token) frame")
+    "q_source_kl" -> "1-row grand-total attach to the vocabulary-sized (source, token) frame",
+    "q_hll_estimate" -> "the 1-row exact-distinct eval frame crosses the 1-row register-summary frame (q_kmv_join_card gate shape)")
 
   test("no unlisted query plans a CartesianProduct or BroadcastNestedLoopJoin") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

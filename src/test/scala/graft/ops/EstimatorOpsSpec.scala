@@ -1,0 +1,167 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class EstimatorOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Local replica of [[graft.expr.BloomExprs.splitmixHash]]'s scalar
+    * kernel — the differential anchor for the HLL register build.
+    */
+  private def smix(key: Long, salt: Int): Long = {
+    var z = key * 2654435761L + salt + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private def localRegisters(keys: Seq[Long], salt: Int): Map[Long, Long] =
+    keys.map { k =>
+      val h = smix(k, salt)
+      val idx = h >>> 56
+      val w = h & ((1L << 56) - 1)
+      val rho = if (w == 0) 57L else 56L - (63 - java.lang.Long.numberOfLeadingZeros(w))
+      (idx, rho)
+    }.groupMapReduce(_._1)(_._2)(math.max)
+
+  test("hllRegisters matches the scalar replica and is layout-invariant") {
+    val keys = (1L to 4000L).map(_ * 7919L)
+    val df = keys.toDF("k")
+    val got = EstimatorOps.hllRegisters(df, $"k", salt = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got == localRegisters(keys, 5))
+    val shuffled = EstimatorOps.hllRegisters(df.repartition(13), $"k", salt = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(shuffled == got, "register table must not depend on layout")
+  }
+
+  test("hll registers merge by max: sketch(A ++ B) == merge(sketch(A), sketch(B))") {
+    val a = (1L to 2500L).map(_ * 104729L)
+    val b = (2000L to 5000L).map(_ * 104729L) // overlapping
+    val ra = localRegisters(a, 9)
+    val rb = localRegisters(b, 9)
+    val merged = (ra.keySet ++ rb.keySet).map(i =>
+      i -> math.max(ra.getOrElse(i, 0L), rb.getOrElse(i, 0L))).toMap
+    val whole = EstimatorOps.hllRegisters((a ++ b).toDF("k"), $"k", 9)
+      .as[(Long, Long)].collect().toMap
+    assert(whole == merged)
+  }
+
+  test("hllEstimate lands within the sketch's error regime and is exact-integer inside") {
+    for (n <- Seq(1000L, 5000L, 20000L)) {
+      val df = (1L to n).map(_ * 6364136223846793005L).toDF("k")
+      val row = EstimatorOps.hllEstimate(
+        EstimatorOps.hllRegisters(df, $"k", salt = 3)).collect().head
+      val est = row.getAs[Double]("est_raw")
+      assert(math.abs(est / n - 1.0) < 0.2,
+        s"n=$n est=$est — outside 20% (expected ~6.5% sigma)")
+      assert(row.getAs[Long]("s_scaled") > 0L)
+    }
+  }
+
+  test("hllEstimate on an empty frame yields the all-zero-register row, no crash") {
+    val row = EstimatorOps.hllEstimate(
+      EstimatorOps.hllRegisters(Seq.empty[Long].toDF("k"), $"k", 1))
+      .collect().head
+    assert(row.getAs[Long]("v_zero") == 256L)
+    assert(row.getAs[Long]("s_scaled") == 256L * (1L << EstimatorOps.RhoCap))
+  }
+
+  test("adamicAdarTopK matches a local brute force on a small bipartite graph") {
+    // 40 centers x up to 6 leaves, deterministic pattern incl. a hub to cap
+    val edges = (for {
+      c <- 1L to 40L
+      l <- 1L to (c % 6 + 1)
+    } yield (c, (c * l) % 13)) ++ (1L to 30L).map(l => (99L, l)) // hub center
+    val df = edges.toDF("ctr", "leaf")
+    val got = EstimatorOps.adamicAdarTopK(df, "ctr", "leaf",
+      maxCenterDegree = 10L, k = 15)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // local brute
+    val e = edges.distinct
+    val deg = e.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size.toLong).toMap
+    val w = deg.collect { case (c, d) if d >= 2 && d <= 10 =>
+      c -> EstimatorOps.AaMicroNum / SelectionOps.log2Fixed(d) }
+    val pairs = e.groupBy(_._1).toSeq.flatMap { case (c, ls) =>
+      if (!w.contains(c)) Nil
+      else {
+        val s = ls.map(_._2).distinct.sorted
+        for (i <- s.indices; j <- (i + 1) until s.size)
+          yield ((s(i), s(j)), w(c))
+      }
+    }
+    val scored = pairs.groupBy(_._1).view.mapValues(vs =>
+      (vs.size.toLong, vs.map(_._2).sum)).toMap
+    val expect = scored.toSeq
+      .map { case ((a, b), (n, s)) => (a, b, n, s) }
+      .sortBy { case (a, b, _, s) => (-s, a, b) }.take(15)
+    assert(got == expect)
+  }
+
+  test("kthSmallest equals local sort across shapes (dups, negatives, bounds)") {
+    val cases = Seq(
+      Seq(5L, 3L, 3L, 3L, 9L, 1L),
+      (1L to 1000L).map(i => (i * 7919L) % 217L),
+      Seq(-50L, -1L, 0L, 1L << 40, 7L, -50L),
+      Seq(42L))
+    for (vs <- cases) {
+      val df = vs.toDF("r")
+      val sorted = vs.sorted
+      for (k <- Seq(1, (vs.size + 1) / 2, vs.size)) {
+        assert(EstimatorOps.kthSmallest(df, "r", k) == Some(sorted(k - 1)),
+          s"k=$k over $vs")
+      }
+      assert(EstimatorOps.kthSmallest(df, "r", vs.size + 1L).isEmpty)
+    }
+  }
+
+  test("poissonBootstrapCi is deterministic, ordered, and brackets the point") {
+    val rows = (1L to 3000L).map(i => (i, 10000L + (i * 7919L) % 5000L))
+      .toDF("id", "cents")
+    def run() = EstimatorOps.poissonBootstrapCi(rows, $"id", $"cents",
+      reps = 32, loRank = 2, hiRank = 31, salt = 11).collect().head
+    val a = run()
+    assert(a == run(), "bootstrap must be deterministic")
+    val (pt, lo, hi) = (a.getAs[Double]("point_mean"),
+      a.getAs[Double]("ci_lo"), a.getAs[Double]("ci_hi"))
+    assert(lo < hi && lo < pt && pt < hi, s"pt=$pt lo=$lo hi=$hi")
+    // exact mean of the weight-1 pseudo-replicate
+    val mean = rows.agg(sum($"cents"), count(lit(1))).as[(Long, Long)]
+      .collect().head match { case (s, n) => s.toDouble / n.toDouble / 100.0 }
+    assert(pt == mean)
+  }
+
+  test("splitConformal: q_hat is the exact order statistic; coverage near level") {
+    // g must not be correlated with the split: i%5 vs parity mixes both
+    // splits into every group (an i%4 group would leave the odd groups
+    // modelless and the inner model join would drop every test row)
+    val rows = (1L to 8000L).map { i =>
+      ((i % 5).toString, 100000L + (i * 6364136223846793005L) % 9001L, i % 2 == 0)
+    }.toDF("g", "y", "cal")
+    val row = EstimatorOps.splitConformal(rows, $"g", $"y", $"cal")
+      .collect().head
+    val nCal = row.getAs[Long]("n_cal")
+    val k = row.getAs[Long]("k_rank")
+    assert(k == math.min(((nCal + 1) * 9 + 9) / 10, nCal))
+    // re-derive q_hat locally from the same model
+    val local = rows.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    val preds = local.filter(_._3).groupBy(_._1).view
+      .mapValues(vs => vs.map(_._2).sum / vs.size).toMap
+    val calResid = local.filter(_._3)
+      .map(t => math.abs(t._2 - preds(t._1))).sorted
+    assert(row.getAs[Long]("q_hat_cents") == calResid(k.toInt - 1))
+    assert(row.getAs[Long]("n_test") > 0L)
+    val cov = row.getAs[Double]("coverage")
+    assert(cov >= 0.85 && cov <= 0.95, s"coverage $cov drifted from 0.9")
+  }
+
+  test("splitConformal survives an empty frame") {
+    val row = EstimatorOps.splitConformal(
+      Seq.empty[(String, Long, Boolean)].toDF("g", "y", "cal"),
+      $"g", $"y", $"cal").collect().head
+    assert(row.getAs[Long]("n_cal") == 0L && row.getAs[Long]("n_test") == 0L)
+  }
+}
