@@ -53,17 +53,27 @@ object EstimatorOps {
     * register-sized. msb comes from [[Log2Fixed]] (integer-only,
     * codegen'd), never from float log.
     */
-  def hllRegisters(df: DataFrame, key: Column, salt: Int): DataFrame = {
+  def hllRegisters(df: DataFrame, key: Column, salt: Int): DataFrame =
+    hllRegistersBy(df, lit(0L), key, salt).drop("g")
+
+  /** Per-group register tables in ONE corpus pass: `(g, idx, rho)`,
+    * ≤ 256 rows per group. Grouped sketches are how set algebra runs at
+    * scale — per-source registers merge into any union's registers by
+    * `max(rho)` per idx (one register-sized shuffle), never by
+    * re-scanning the corpus.
+    */
+  def hllRegistersBy(
+      df: DataFrame, group: Column, key: Column, salt: Int): DataFrame = {
     val h = BloomExprs.splitmixHash(key.cast("long"), salt)
     val lowMask = (1L << 56) - 1
-    df.select(
+    df.select(group.as("g"),
         shiftrightunsigned(h, 56).as("idx"),
         h.bitwiseAND(lit(lowMask)).as("w"))
-      .select(col("idx"),
+      .select(col("g"), col("idx"),
         when(col("w") === 0L, lit(57L))
           .otherwise(lit(56L) -
             shiftright(MathExprs.log2Fixed(col("w")), 20)).as("rho"))
-      .groupBy("idx").agg(max(col("rho")).as("rho"))
+      .groupBy("g", "idx").agg(max(col("rho")).as("rho"))
   }
 
   /** Fold a register table into the raw HLL estimate, ONE row:
@@ -90,6 +100,32 @@ object EstimatorOps {
         (col("sp") + (lit(256L) - col("present")) * lit(zeroMass))
           .as("s_scaled"))
       .withColumn("est_raw", lit(HllAlphaNum) / col("s_scaled").cast("double"))
+  }
+
+  // ------------------------------------------- leave-one-group-out deltas
+
+  /** Data-ablation planning: for every group, the corpus mean of `value`
+    * WITHOUT that group — `(T − T_g)/(N − N_g)` from one group-keyed
+    * aggregate plus grand totals over the group-count-sized frame (a
+    * bounded whole-frame window, no corpus re-scan, no 1-row cross
+    * join). The classic cheap proxy for leave-one-source-out influence:
+    * exact integer totals, one IEEE division per mean, `delta =
+    * mean_without − mean_all`. Groups owning the whole corpus get a
+    * NULL `mean_without`.
+    */
+  def looDeltas(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val w = Window.partitionBy()
+    df.groupBy(group.as("g"))
+      .agg(sum(value.cast("long")).as("t_g"), count(lit(1)).as("n_g"))
+      .withColumn("t_all", sum(col("t_g")).over(w))
+      .withColumn("n_all", sum(col("n_g")).over(w))
+      .select(col("g"), col("n_g"),
+        (col("t_all").cast("double") / col("n_all").cast("double"))
+          .as("mean_all"),
+        when(col("n_all") > col("n_g"),
+          (col("t_all") - col("t_g")).cast("double") /
+            (col("n_all") - col("n_g")).cast("double")).as("mean_without"))
+      .withColumn("delta", col("mean_without") - col("mean_all"))
   }
 
   // --------------------------------------------- Adamic-Adar link scores

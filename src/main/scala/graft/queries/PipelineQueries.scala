@@ -72,6 +72,37 @@ object PipelineQueries {
     */
   private val MrrGainMicro: Seq[Long] = (1 to 10).map(i => math.round(1e6 / i))
 
+  /** Shared candidate frame for the retrieval-eval pair (`q_mrr`,
+    * `q_map_eval`): one corpus scan exploded over the 8 literal terms,
+    * pruned to term-matching rows (`tf > 0`) BEFORE any shuffle, with
+    * the relevance label row-local.
+    */
+  private def mrrCandidates(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokens(lower(col("text")))
+    t(s, dir, "documents")
+      .select(col("doc_id"), toks.as("tk"))
+      .select(col("doc_id"), col("tk"),
+        explode(array(MrrTerms.map(lit): _*)).as("term"))
+      .withColumn("tf",
+        size(filter(col("tk"), x => x === col("term"))).cast("long"))
+      .filter(col("tf") > 0L)
+      .withColumn("rel",
+        array_contains(slice(col("tk"), 1, 3), col("term")))
+      .select(col("doc_id"), col("term"), col("tf"), col("rel"))
+  }
+
+  /** The eval pair's shared ranking: per-term tf-desc with doc_id
+    * tie-break — MUST stay one definition so the two metrics rank
+    * identically.
+    */
+  private def mrrRank: Column = row_number().over(
+    Window.partitionBy(col("term")).orderBy(col("tf").desc, col("doc_id")))
+
+  /** The literal 8-term frame both eval queries left-join so termless
+    * queries keep a zero row. */
+  private def mrrTermsDf(s: SparkSession): DataFrame =
+    s.createDataFrame(MrrTerms.map(Tuple1(_))).toDF("term")
+
   /** The Gopher-style quality rule bundle as four 0/1 columns
     * (word-count bounds, mean-word-length window, symbol ratio, stopword
     * presence) — shared by `q_gopher_rules` and the `q_judge_agreement`
@@ -3953,31 +3984,94 @@ object PipelineQueries {
     // frame left-joins the per-term aggregate so termless queries keep
     // their rr_micro = 0 row.
     "q_mrr" -> ((s, dir) => {
-      val toks = TextOps.tokens(lower(col("text")))
-      val cand = t(s, dir, "documents")
-        .select(col("doc_id"), toks.as("tk"))
-        .select(col("doc_id"), col("tk"),
-          explode(array(MrrTerms.map(lit): _*)).as("term"))
-        .withColumn("tf",
-          size(filter(col("tk"), x => x === col("term"))).cast("long"))
-        .filter(col("tf") > 0L)
-        .withColumn("rel",
-          array_contains(slice(col("tk"), 1, 3), col("term")))
-      val firstRel = cand
-        .withColumn("rank", row_number().over(
-          Window.partitionBy(col("term"))
-            .orderBy(col("tf").desc, col("doc_id"))))
+      val firstRel = mrrCandidates(s, dir)
+        .withColumn("rank", mrrRank)
         .filter(col("rank") <= 10 && col("rel"))
         .groupBy("term")
         .agg(min(col("rank")).cast("long").as("first_rel_rank"))
-      val termsDf = s.createDataFrame(MrrTerms.map(Tuple1(_))).toDF("term")
       val rr = MrrGainMicro.zipWithIndex.foldLeft(lit(0L)) {
         case (els, (g, i)) =>
           when(col("first_rel_rank") === (i + 1), lit(g)).otherwise(els)
       }
-      termsDf.join(firstRel, Seq("term"), "left")
+      mrrTermsDf(s).join(firstRel, Seq("term"), "left")
         .select(col("term"), col("first_rel_rank"), rr.as("rr_micro"))
-    })
+    }),
+
+    // Mean-average-precision companion to q_mrr on the SAME candidate
+    // frame: AP@10 in exact micro-integers — running relevant-hit counts
+    // over the rank window (term-partitioned, ≤10 rows after the cut),
+    // precision@k as `hits×10⁶ div k`, normalized by min(R, 10) with R
+    // the term's corpus-wide relevant count. Every division is integer;
+    // termless / relevant-free queries keep their zero row.
+    "q_map_eval" -> ((s, dir) => {
+      val cand = mrrCandidates(s, dir)
+      val apNum = cand
+        .withColumn("rank", mrrRank)
+        .filter(col("rank") <= 10)
+        .withColumn("hits", sum(col("rel").cast("long")).over(
+          Window.partitionBy(col("term")).orderBy(col("rank"))))
+        .filter(col("rel"))
+        .withColumn("prec_micro", expr("(hits * 1000000) div rank"))
+        .groupBy("term").agg(sum(col("prec_micro")).as("ap_num"))
+      val nRel = cand.filter(col("rel"))
+        .groupBy("term").agg(count(lit(1)).as("n_rel"))
+      mrrTermsDf(s)
+        .join(nRel, Seq("term"), "left")
+        .join(apNum, Seq("term"), "left")
+        .select(col("term"),
+          coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+          coalesce(expr("ap_num div least(n_rel, 10)"), lit(0L))
+            .as("ap_micro"))
+    }),
+
+    // HLL set algebra over the order-status customer sets: per-status
+    // registers in ONE corpus pass, the union's registers by max-merge
+    // in ONE idx-keyed (≤256-group) shuffle, estimates for A='O', B='F',
+    // A∪B, and the inclusion-exclusion intersection — next to the exact
+    // counts from a single custkey-keyed pass. The two 1-row frames
+    // (sketch summary, exact summary) cross at the end.
+    "q_hll_sources" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderstatus").isin("O", "F"))
+      val byIdx = EstimatorOps
+        .hllRegistersBy(o, col("o_orderstatus"), col("o_custkey"), salt = 77)
+        .groupBy("idx")
+        .agg(max(col("rho")).as("rho_u"),
+          max(when(col("g") === "O", col("rho"))).as("rho_a"),
+          max(when(col("g") === "F", col("rho"))).as("rho_b"))
+      def sp(c: String) = coalesce(sum(expr(
+        s"shiftleft(CAST(1 AS BIGINT), CAST(41 - least($c, 41) AS INT))")),
+        lit(0L))
+      val zm = 1L << EstimatorOps.RhoCap
+      def est(spc: Column, present: Column) =
+        lit(EstimatorOps.HllAlphaNum) /
+          (spc + (lit(256L) - present) * lit(zm)).cast("double")
+      val sk = byIdx.agg(
+        est(sp("rho_a"), count(col("rho_a"))).as("est_a"),
+        est(sp("rho_b"), count(col("rho_b"))).as("est_b"),
+        est(sp("rho_u"), count(col("rho_u"))).as("est_union"))
+        .withColumn("est_intersect",
+          (col("est_a") + col("est_b")) - col("est_union"))
+      val ex = o.groupBy(col("o_custkey"))
+        .agg(max((col("o_orderstatus") === "O").cast("long")).as("ia"),
+          max((col("o_orderstatus") === "F").cast("long")).as("ib"))
+        .agg(sum(col("ia")).as("n_a"), sum(col("ib")).as("n_b"),
+          count(lit(1)).as("n_union"),
+          sum(col("ia") * col("ib")).as("n_intersect"))
+      sk.crossJoin(ex)
+    }),
+
+    // Leave-one-source-out ablation over the document corpus: for every
+    // source, the corpus mean token count WITHOUT that source — the
+    // cheap exact proxy for per-source influence a mixture planner reads
+    // before re-weighting. One source-keyed aggregate; grand totals ride
+    // a window over the source-count-sized frame (no corpus re-scan, no
+    // 1-row cross).
+    "q_loo_source" -> ((s, dir) =>
+      EstimatorOps.looDeltas(t(s, dir, "documents"),
+        col("source"), TextOps.tokenCount(col("text")))
+        .select(col("g").as("source"), col("n_g").as("n_docs"),
+          col("mean_all"), col("mean_without"), col("delta")))
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -9188,6 +9282,100 @@ object PipelineQueries {
          |  CAST(coalesce(CASE fr.first_rel_rank $gains END, 0) AS BIGINT)
          |    AS rr_micro
          |FROM tq LEFT JOIN fr ON fr.term = tq.term""".stripMargin
-    }
+    },
+
+    // Same ranking CTEs as q_mrr, plus the running relevant-hit window
+    // and the two integer divisions (prec@k, the min(R,10) normalizer).
+    "q_map_eval" -> {
+      val termsVals = MrrTerms.map(tm => s"('$tm')").mkString(", ")
+      s"""WITH d AS (SELECT doc_id, ${S.tokens("lower(text)")} AS tk
+         |           FROM documents),
+         |tq(term) AS (VALUES $termsVals),
+         |f AS (SELECT doc_id, term,
+         |        CAST(len(list_filter(tk, x -> x = term)) AS BIGINT) AS tf,
+         |        list_contains(tk[1:3], term) AS rel
+         |      FROM d CROSS JOIN tq
+         |      WHERE len(list_filter(tk, x -> x = term)) > 0),
+         |r AS (SELECT term, rel, row_number() OVER (
+         |        PARTITION BY term ORDER BY tf DESC, doc_id) AS rank FROM f),
+         |h AS (SELECT term, rel, rank,
+         |        sum(CASE WHEN rel THEN 1 ELSE 0 END) OVER (
+         |          PARTITION BY term ORDER BY rank) AS hits
+         |      FROM r WHERE rank <= 10),
+         |ap AS (SELECT term, sum((hits * 1000000) // rank) AS ap_num
+         |       FROM h WHERE rel GROUP BY term),
+         |nr AS (SELECT term, CAST(count(*) AS BIGINT) AS n_rel
+         |       FROM f WHERE rel GROUP BY term)
+         |SELECT tq.term, coalesce(nr.n_rel, 0) AS n_rel,
+         |  CAST(coalesce(ap.ap_num // least(nr.n_rel, 10), 0) AS BIGINT)
+         |    AS ap_micro
+         |FROM tq LEFT JOIN nr ON nr.term = tq.term
+         |        LEFT JOIN ap ON ap.term = tq.term""".stripMargin
+    },
+
+    // Grouped register build (one pass), idx-keyed max-merge for the
+    // union, conditional harmonic folds for all three sets, the
+    // inclusion-exclusion subtraction in the SAME operation order, and
+    // the exact custkey-keyed flags.
+    "q_hll_sources" -> {
+      val zm = 1L << EstimatorOps.RhoCap
+      val a = dlit(EstimatorOps.HllAlphaNum)
+      def spSql(c: String) =
+        s"coalesce(sum(1::BIGINT << CAST(41 - least($c, 41) AS INT)), 0)"
+      def estSql(s0: String, p: String) =
+        s"$a / CAST($s0 + (256 - $p) * $zm AS DOUBLE)"
+      s"""WITH o AS (SELECT o_custkey, o_orderstatus FROM orders
+         |           WHERE o_orderstatus IN ('O', 'F')),
+         |m AS (SELECT o_orderstatus AS g,
+         |  ${RefQueries.mixSql("h", "o_custkey::HUGEINT * 2654435761 + 77")}
+         |  FROM o),
+         |r0 AS (SELECT g, hm // 72057594037927936 AS idx,
+         |              (hm % 72057594037927936)::BIGINT AS w FROM m),
+         |reg AS (SELECT g, idx,
+         |          max(CASE WHEN w = 0 THEN 57
+         |              ELSE 56 - (length(bin(w)) - 1) END) AS rho
+         |        FROM r0 GROUP BY g, idx),
+         |bi AS (SELECT idx, max(rho) AS rho_u,
+         |         max(CASE WHEN g = 'O' THEN rho END) AS rho_a,
+         |         max(CASE WHEN g = 'F' THEN rho END) AS rho_b
+         |       FROM reg GROUP BY idx),
+         |e AS (SELECT count(rho_a) AS pa, ${spSql("rho_a")} AS sa,
+         |             count(rho_b) AS pb, ${spSql("rho_b")} AS sb,
+         |             count(rho_u) AS pu, ${spSql("rho_u")} AS su
+         |      FROM bi),
+         |x AS (SELECT CAST(sum(ia) AS BIGINT) AS n_a,
+         |        CAST(sum(ib) AS BIGINT) AS n_b,
+         |        CAST(count(*) AS BIGINT) AS n_union,
+         |        CAST(sum(ia * ib) AS BIGINT) AS n_intersect
+         |      FROM (SELECT o_custkey,
+         |              max(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS ia,
+         |              max(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS ib
+         |            FROM o GROUP BY o_custkey))
+         |SELECT ${estSql("sa", "pa")} AS est_a,
+         |  ${estSql("sb", "pb")} AS est_b,
+         |  ${estSql("su", "pu")} AS est_union,
+         |  (est_a + est_b) - est_union AS est_intersect,
+         |  n_a, n_b, n_union, n_intersect
+         |FROM e, x""".stripMargin
+    },
+
+    // Exact integer totals, grand totals from the per-source frame, the
+    // identical two-division/one-subtraction IEEE chain.
+    "q_loo_source" ->
+      s"""WITH per AS (SELECT source,
+         |    CAST(sum(ntok) AS BIGINT) AS t_g,
+         |    CAST(count(*) AS BIGINT) AS n_g
+         |  FROM (SELECT source, ${S.tokenCount("text")} AS ntok
+         |        FROM documents)
+         |  GROUP BY source),
+         |tot AS (SELECT CAST(sum(t_g) AS BIGINT) AS t_all,
+         |               CAST(sum(n_g) AS BIGINT) AS n_all FROM per)
+         |SELECT per.source, per.n_g AS n_docs,
+         |  CAST(t_all AS DOUBLE) / CAST(n_all AS DOUBLE) AS mean_all,
+         |  CASE WHEN n_all > n_g
+         |       THEN CAST(t_all - t_g AS DOUBLE) / CAST(n_all - n_g AS DOUBLE)
+         |  END AS mean_without,
+         |  mean_without - mean_all AS delta
+         |FROM per, tot""".stripMargin
   )
 }

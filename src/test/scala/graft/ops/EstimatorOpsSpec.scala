@@ -158,6 +158,40 @@ class EstimatorOpsSpec extends SparkSpec {
     assert(cov >= 0.85 && cov <= 0.95, s"coverage $cov drifted from 0.9")
   }
 
+  test("hllRegistersBy grouped registers max-merge into the union's registers") {
+    val a = (1L to 1500L).map(i => ("a", i * 31L))
+    val b = (700L to 2500L).map(i => ("b", i * 31L))
+    val byG = EstimatorOps.hllRegistersBy(
+      (a ++ b).toDF("src", "k"), $"src", $"k", salt = 7)
+      .as[(String, Long, Long)].collect()
+    val merged = byG.groupMapReduce(_._2)(_._3)(math.max)
+    val union = localRegisters((a ++ b).map(_._2).distinct, 7)
+    assert(merged == union,
+      "per-group registers must max-merge into the union sketch")
+  }
+
+  test("looDeltas matches local exact algebra and handles the whole-corpus group") {
+    val rows = (1L to 600L).map(i => (s"s${i % 3}", i % 17)).toDF("g", "v")
+    val got = EstimatorOps.looDeltas(rows, $"g", $"v")
+      .as[(String, Long, Double, Option[Double], Option[Double])]
+      .collect().sortBy(_._1)
+    val local = (1L to 600L).map(i => (s"s${i % 3}", (i % 17).toLong))
+    val tAll = local.map(_._2).sum
+    val nAll = local.size.toLong
+    for ((g, n, mAll, mWo, d) <- got) {
+      val (tg, ng) = (local.filter(_._1 == g).map(_._2).sum,
+        local.count(_._1 == g).toLong)
+      assert(n == ng && mAll == tAll.toDouble / nAll.toDouble)
+      assert(mWo.contains((tAll - tg).toDouble / (nAll - ng).toDouble))
+      assert(d.contains(mWo.get - mAll))
+    }
+    // single group owning the corpus: mean_without must be NULL, not a 0/0
+    val one = EstimatorOps.looDeltas(
+      Seq(("only", 5L), ("only", 7L)).toDF("g", "v"), $"g", $"v")
+      .collect().head
+    assert(one.isNullAt(one.fieldIndex("mean_without")))
+  }
+
   test("splitConformal survives an empty frame") {
     val row = EstimatorOps.splitConformal(
       Seq.empty[(String, Long, Boolean)].toDF("g", "y", "cal"),

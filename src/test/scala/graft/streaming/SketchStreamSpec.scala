@@ -65,4 +65,30 @@ class SketchStreamSpec extends SparkSpec {
       assert(streamed("a")._1 == 8L && streamed("b")._2.isEmpty)
     } finally q.stop()
   }
+
+  test("streamed HLL registers == batch registers of everything ingested") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Long]
+    // hllRegisters is a keyed max — register state is ≤256 rows by
+    // construction, so update mode maintains the sketch unbounded with
+    // no watermark; rho per register only grows, so the latest emitted
+    // value per idx is the max of the emissions
+    val regs = graft.ops.EstimatorOps.hllRegisters(
+      mem.toDF().toDF("k"), $"k", salt = 5)
+    val q = regs.writeStream.format("memory").queryName("hll_stream")
+      .outputMode("update").start()
+    val b1 = (1L to 900L).map(_ * 7919L)
+    val b2 = (500L to 2000L).map(_ * 7919L)
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT idx, max(rho) FROM hll_stream GROUP BY idx")
+        .as[(Long, Long)].collect().toMap
+      val batch = graft.ops.EstimatorOps.hllRegisters(
+        (b1 ++ b2).toDF("k"), $"k", salt = 5)
+        .as[(Long, Long)].collect().toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
 }
