@@ -103,6 +103,24 @@ object PipelineQueries {
   private def mrrTermsDf(s: SparkSession): DataFrame =
     s.createDataFrame(MrrTerms.map(Tuple1(_))).toDF("term")
 
+  /** Soft-dedup weights (1/cluster_size in micro units) over the 3-gram
+    * Jaccard near-dup components — shared by `q_dedup_weights` (the
+    * per-doc frame) and `q_ess_weights` (its effective-sample-size fold)
+    * so the weight definition cannot drift between them.
+    */
+  private def dedupWeightsFrame(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = DedupOps.ngramJaccardPairs(
+      docs, "doc_id", "text", k = 3, threshold = 0.2)
+    val comp = GraphOps.componentsOf(docs, "doc_id", pairs, "id_a", "id_b")
+      .select(col("node").as("doc_id"), col("component"))
+    val sizes = comp.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, "component")
+      .select(col("doc_id"), col("component"), col("cluster_size"),
+        expr("1000000 DIV cluster_size").as("weight_micro"))
+  }
+
   /** The Gopher-style quality rule bundle as four 0/1 columns
     * (word-count bounds, mean-word-length window, symbol ratio, stopword
     * presence) — shared by `q_gopher_rules` and the `q_judge_agreement`
@@ -857,18 +875,24 @@ object PipelineQueries {
     // of gradient mass while keeping its phrasing diversity (the
     // sampling-weight alternative the hard q_dedup_apply cut discards).
     // One cluster-sized aggregate over the components frame joined back.
-    "q_dedup_weights" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val pairs = DedupOps.ngramJaccardPairs(
-        docs, "doc_id", "text", k = 3, threshold = 0.2)
-      val comp = GraphOps.componentsOf(docs, "doc_id", pairs, "id_a", "id_b")
-        .select(col("node").as("doc_id"), col("component"))
-      val sizes = comp.groupBy(col("component"))
-        .agg(count(lit(1)).as("cluster_size"))
-      comp.join(sizes, "component")
-        .select(col("doc_id"), col("component"), col("cluster_size"),
-          expr("1000000 DIV cluster_size").as("weight_micro"))
-    }),
+    "q_dedup_weights" -> ((s, dir) => dedupWeightsFrame(s, dir)),
+
+    // Effective sample size of the soft-dedup weights — the number a
+    // mixture planner actually budgets against: ESS = (Σw)²/Σw²
+    // (Kish 1965). Exact long sums (micro weights ≤ 10⁶ per row), then
+    // ONE multiply and ONE divide of correctly-rounded doubles; the
+    // micro scale cancels in the ratio. ess_ratio = ESS/n — 1.0 means
+    // dedup found nothing, 1/max_cluster_size means one gigantic clone
+    // class dominates.
+    "q_ess_weights" -> ((s, dir) =>
+      dedupWeightsFrame(s, dir).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("weight_micro")).as("sum_w_micro"),
+        sum(col("weight_micro") * col("weight_micro")).as("sum_w2"))
+        .withColumn("ess",
+          (col("sum_w_micro").cast("double") *
+            col("sum_w_micro").cast("double")) / col("sum_w2").cast("double"))
+        .withColumn("ess_ratio", col("ess") / col("n_docs").cast("double"))),
 
     // Quality-aware survivorship: within each near-dup cluster keep the
     // LONGEST document (most tokens; ties -> lowest id) instead of the
@@ -5277,6 +5301,46 @@ object PipelineQueries {
        |WHERE embedding IS NOT NULL AND len(embedding) = 64""".stripMargin
   }
 
+  /** CTE list of the soft-dedup weight replay (3-gram Jaccard pairs,
+    * recursive min-label components, cluster sizes) — shared by the
+    * `q_dedup_weights` and `q_ess_weights` oracles, mirroring
+    * [[dedupWeightsFrame]].
+    */
+  private lazy val dedupWeightsCtes: String =
+    s"""toks AS (
+       |  SELECT doc_id, ${S.tokens("text")} AS w FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')))) AS s
+       |  FROM toks WHERE len(w) >= 3),
+       |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS i
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |good AS (
+       |  SELECT id_a, id_b FROM inter
+       |  JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+       |  WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.2),
+       |edges AS (
+       |  SELECT id_a AS u, id_b AS v FROM good
+       |  UNION SELECT id_b, id_a FROM good),
+       |reach(n, r) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+       |  UNION
+       |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.n),
+       |comp AS (SELECT n, min(r) AS component FROM reach GROUP BY n),
+       |asg AS (
+       |  SELECT d.doc_id,
+       |    CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS component
+       |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.n),
+       |cs AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+       |       FROM asg GROUP BY component)""".stripMargin
+
+  private lazy val dedupWeightsSelect: String =
+    """SELECT asg.doc_id, asg.component, cs.cluster_size,
+      |  1000000 // cs.cluster_size AS weight_micro
+      |FROM asg JOIN cs USING (component)""".stripMargin
+
   private val staticOracleSql: Map[String, String] = Map(
     "q_sim_ivf_literal" -> ivfLiteralOracle,
     "q_semdedup_literal" -> semDedupLiteralOracle,
@@ -6536,37 +6600,23 @@ object PipelineQueries {
          |FROM asg""".stripMargin,
 
     "q_dedup_weights" ->
-      s"""WITH RECURSIVE toks AS (
-         |  SELECT doc_id, ${S.tokens("text")} AS w FROM documents),
-         |sh AS (
-         |  SELECT doc_id, unnest(list_distinct(list_transform(
-         |    range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')))) AS s
-         |  FROM toks WHERE len(w) >= 3),
-         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
-         |inter AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS i
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-         |good AS (
-         |  SELECT id_a, id_b FROM inter
-         |  JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
-         |  WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.2),
-         |edges AS (
-         |  SELECT id_a AS u, id_b AS v FROM good
-         |  UNION SELECT id_b, id_a FROM good),
-         |reach(n, r) AS (
-         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
-         |  UNION
-         |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.n),
-         |comp AS (SELECT n, min(r) AS component FROM reach GROUP BY n),
-         |asg AS (
-         |  SELECT d.doc_id,
-         |    CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS component
-         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.n),
-         |cs AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
-         |       FROM asg GROUP BY component)
-         |SELECT asg.doc_id, asg.component, cs.cluster_size,
-         |  1000000 // cs.cluster_size AS weight_micro
-         |FROM asg JOIN cs USING (component)""".stripMargin,
+      s"""WITH RECURSIVE $dedupWeightsCtes
+         |$dedupWeightsSelect""".stripMargin,
+
+    // The Kish ESS fold over the identical weight CTEs: exact long
+    // sums, one multiply, two divisions — same IEEE order as the engine.
+    "q_ess_weights" ->
+      s"""WITH RECURSIVE $dedupWeightsCtes,
+         |w AS ($dedupWeightsSelect)
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(weight_micro) AS BIGINT) AS sum_w_micro,
+         |  CAST(sum(weight_micro * weight_micro) AS BIGINT) AS sum_w2,
+         |  (CAST(sum(weight_micro) AS DOUBLE) * CAST(sum(weight_micro) AS DOUBLE))
+         |    / CAST(sum(weight_micro * weight_micro) AS DOUBLE) AS ess,
+         |  ((CAST(sum(weight_micro) AS DOUBLE) * CAST(sum(weight_micro) AS DOUBLE))
+         |    / CAST(sum(weight_micro * weight_micro) AS DOUBLE))
+         |    / CAST(count(*) AS DOUBLE) AS ess_ratio
+         |FROM w""".stripMargin,
 
     "q_chunk_tokens" ->
       s"""WITH toks AS (
