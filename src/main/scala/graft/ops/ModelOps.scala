@@ -1,0 +1,307 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.expr.MathExprs
+import graft.ops.Lineage.LineageOps
+
+/** Lightweight statistical models a curation pipeline fits IN the
+  * engine, next to the data — trend fits over telemetry, a hashed
+  * multinomial Naive Bayes text classifier, and a Bradley-Terry
+  * pairwise-preference leaderboard (the aggregation behind LLM "arena"
+  * rankings).
+  *
+  * Shared discipline (the [[EstimatorOps]] contract): every fit is
+  * closed-form or a FIXED number of unrolled fixed-point rounds, all
+  * arithmetic is exact integer algebra — divisions are Java `div`
+  * (toward zero; the oracle sign-splits so either DuckDB `//` semantics
+  * matches), logarithms ride [[graft.expr.Log2Fixed]] — so every model
+  * replays bit-for-bit in DuckDB SQL. No floats touch a merge boundary.
+  *
+  * Scale shapes: each fit reduces the corpus in ONE map-side-combined
+  * pass to a bounded frame (groups × moments, buckets × classes,
+  * players × players) and iterates — if at all — on that bounded frame
+  * only. The corpus is never joined to itself and nothing corpus-sized
+  * reaches the driver.
+  */
+object ModelOps {
+
+  /** Fixed-point scale for micro-valued slopes/ratings: 10^6. */
+  val Micro = 1000000L
+
+  // --------------------------------------------------------- OLS trend fit
+
+  /** Per-group simple linear regression `y ≈ a + b·x` in closed form
+    * from one pass of integer moments `(n, Σx, Σy, Σxx, Σxy)`:
+    *
+    *   slope_micro     = (n·Σxy − Σx·Σy) · 10^6  div  (n·Σxx − Σx²)
+    *   intercept_micro = (Σy·10^6 − slope_micro·Σx)  div  n
+    *   pred_next_micro = intercept_micro + slope_micro·(max(x)+1)
+    *
+    * All moments are exact longs; both divisions are toward-zero (the
+    * oracle sign-splits). Groups with zero x-variance get NULL fit
+    * columns. `x` must be a small-domain long (e.g. day index — callers
+    * anchor dates to a literal epoch so the ×10^6 products stay far
+    * inside int64); `y` an integer measurement (cents / micro units).
+    *
+    * Scale shape: ONE map-side-combined aggregate over the fact — the
+    * textbook "regression is five sums" decomposition; everything after
+    * is per-group column algebra on the groups-sized frame.
+    */
+  def olsTrend(df: DataFrame, group: Column, x: Column, y: Column): DataFrame =
+    df.select(group.as("g"), x.cast("long").as("x"), y.cast("long").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        max(col("x")).as("xmax"))
+      .withColumn("num",
+        (col("n") * col("sxy") - col("sx") * col("sy")) * lit(Micro))
+      .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("slope_micro", when(col("den") > 0, expr("num div den")))
+      .withColumn("intercept_micro",
+        when(col("den") > 0,
+          expr(s"(sy * ${Micro}L - slope_micro * sx) div n")))
+      .withColumn("pred_next_micro",
+        col("intercept_micro") + col("slope_micro") * (col("xmax") + 1L))
+      .select(col("g"), col("n").as("n_points"), col("slope_micro"),
+        col("intercept_micro"), col("pred_next_micro"))
+
+  // ----------------------------------------- Theil-Sen / Mann-Kendall
+
+  /** Robust per-group trend over a BOUNDED series (calendar-bounded
+    * daily aggregates — group size is capped by the date window, never
+    * by corpus size, and `maxPoints` enforces that contract loudly):
+    * Mann-Kendall's S statistic (Σ sign(y_j − y_i) over ordered pairs)
+    * and the Theil-Sen slope = the lower-median of the pairwise slopes
+    * `(y_j − y_i)·10^6 div (x_j − x_i)` (toward-zero; deterministic
+    * (slope, x_i, x_j) tie-break).
+    *
+    * Scale shape: the series collapses to ONE sorted array per group
+    * (size ≤ maxPoints by contract), pairs are emitted ROW-LOCALLY from
+    * that array (the [[EstimatorOps.adamicAdarTopK]] wedge shape — no
+    * self-join), and the median window partitions by group over ≤
+    * maxPoints² pair rows.
+    */
+  def theilSen(
+      df: DataFrame, group: Column, x: Column, y: Column,
+      maxPoints: Int = 128): DataFrame = {
+    val pts = df
+      .select(group.as("g"), x.cast("long").as("x"), y.cast("long").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+      .groupBy("g")
+      .agg(sort_array(collect_list(struct(col("x"), col("y")))).as("ps"))
+      .withColumn("ps",
+        when(size(col("ps")) <= maxPoints, col("ps"))
+          .otherwise(raise_error(concat(
+            lit(s"theilSen: group series exceeds $maxPoints points: "),
+            col("g").cast("string")))))
+    val pairs = pts
+      .select(col("g"), size(col("ps")).as("n_points"),
+        explode(flatten(transform(col("ps"), (p, i) =>
+          transform(slice(col("ps"), i + 2, size(col("ps"))),
+            q => struct(p.getField("x").as("xi"), p.getField("y").as("yi"),
+              q.getField("x").as("xj"), q.getField("y").as("yj")))))).as("pr"))
+      .select(col("g"), col("n_points"),
+        col("pr.xi").as("xi"), col("pr.yi").as("yi"),
+        col("pr.xj").as("xj"), col("pr.yj").as("yj"))
+      .filter(col("xj") > col("xi")) // distinct x only: ties carry no slope
+      .withColumn("dy", col("yj") - col("yi"))
+      .withColumn("s_micro", expr("(dy * 1000000) div (xj - xi)"))
+    val w = Window.partitionBy("g")
+      .orderBy(col("s_micro"), col("xi"), col("xj"))
+    pairs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("np", count(lit(1)).over(Window.partitionBy("g")))
+      .groupBy("g")
+      .agg(max(col("n_points")).as("n_points"),
+        count(lit(1)).as("n_pairs"),
+        sum(signum(col("dy")).cast("long")).as("s_stat"),
+        max(when(col("rn") === expr("(np + 1) div 2"),
+          col("s_micro"))).as("slope_micro"))
+  }
+
+  // ------------------------------------------- hashed multinomial NB
+
+  /** Hashed-feature multinomial Naive Bayes over tokenized text — the
+    * classic cheap lang/quality classifier curation pipelines train on
+    * a labeled slice and sweep over the corpus. Features are portable
+    * md5 token buckets ([[SelectionOps.tokenBucket]] — the hashing
+    * trick, so the model is `buckets × classes` no matter the
+    * vocabulary); scores are exact fixed-point log-likelihoods on
+    * [[graft.expr.Log2Fixed]]:
+    *
+    *   score(d, c) = Σ_tokens L(cnt(bucket, c) + 1) − n_tok·L(tot_c + B)
+    *
+    * (add-1 smoothing; the class prior is deliberately uniform — the
+    * usual choice when the labeled slice's class mix is not trusted).
+    * Prediction is the (score, class) argmax with the class-ascending
+    * tie-break. Returns the test-split confusion matrix
+    * `(label_true, label_pred, n_docs)`.
+    *
+    * Scale shape: training is ONE token-explode pass collapsing
+    * map-side into the buckets×classes count grid (bounded, broadcast);
+    * scoring is a second explode pass joined to the broadcast grid,
+    * folded per (doc, class) map-side; the argmax window partitions by
+    * doc over `classes` rows.
+    */
+  def naiveBayesConfusion(
+      docs: DataFrame, id: Column, label: Column, text: Column,
+      isTrain: Column, buckets: Int = 64): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 16), s"bad buckets: $buckets")
+    val base = docs
+      .select(id.as("rid"), label.as("lbl"), text.as("txt"), isTrain.as("tr"))
+      .filter(col("lbl").isNotNull && col("txt").isNotNull)
+    val tok = base.select(col("rid"), col("lbl"), col("tr"),
+      explode(TextOps.tokens(lower(col("txt")))).as("tk"))
+      .withColumn("b", SelectionOps.tokenBucket(col("tk"), buckets))
+    val classes = base.filter(col("tr")).select(col("lbl").as("cls")).distinct()
+    // dense buckets×classes grid: absent cells must still carry their
+    // add-1 smoothing mass, so the grid is built dense and left-joined
+    val counts = tok.filter(col("tr"))
+      .groupBy(col("b"), col("lbl").as("cls"))
+      .agg(count(lit(1)).as("cnt"))
+    val grid = classes
+      .crossJoin(spark(docs).range(buckets).select(col("id").as("b")))
+      .join(counts, Seq("b", "cls"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .withColumn("lg_cnt1", MathExprs.log2Fixed(col("cnt") + 1L))
+    val totals = grid.groupBy("cls")
+      .agg(sum(col("cnt")).as("tot"))
+      .withColumn("lg_tot", MathExprs.log2Fixed(col("tot") + buckets.toLong))
+      .select(col("cls"), col("lg_tot"))
+    val scored = tok.filter(!col("tr"))
+      .join(broadcast(grid.select(col("b"), col("cls"), col("lg_cnt1"))), Seq("b"))
+      .groupBy(col("rid"), col("lbl"), col("cls"))
+      .agg(sum(col("lg_cnt1")).as("sum_lg"), count(lit(1)).as("n_tok"))
+      .join(broadcast(totals), Seq("cls"))
+      .withColumn("score", col("sum_lg") - col("n_tok") * col("lg_tot"))
+    val wArg = Window.partitionBy("rid")
+      .orderBy(col("score").desc, col("cls").asc)
+    scored
+      .withColumn("rn", row_number().over(wArg))
+      .filter(col("rn") === 1)
+      .groupBy(col("lbl").as("label_true"), col("cls").as("label_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  private def spark(df: DataFrame) = df.sparkSession
+
+  // --------------------------------------------- Bradley-Terry ratings
+
+  /** Rating scale: ratings live in [1, 2^20] fixed point. */
+  val BtScale = 1L << 20
+
+  /** Bradley-Terry strength ratings from a pairwise win table — the
+    * model behind chess Elo aggregates and LLM arena leaderboards —
+    * fitted with `iters` unrolled minorization-maximization rounds
+    * (Hunter 2004) in exact fixed point:
+    *
+    *   d_i   = Σ_j  n_ij · S²  div  (π_i + π_j)      (S = 2^20)
+    *   π_i'  = max(1,  W_i · S²  div  d_i)
+    *   π_i'' = max(1,  π_i' · S  div  max_k(π_k'))   (max-normalize)
+    *
+    * Every operand is a nonnegative long (toward-zero division matches
+    * either DuckDB `//` semantics — the [[GraphOps.hits]] convention),
+    * the floor at 1 keeps winless players in-domain, and the per-round
+    * MAX normalization pins the scale so rounds are comparable.
+    *
+    * Input `battles`: one row per unordered player pair,
+    * `(pa, pb, n_games, wins_a)` with `pa < pb`. Output: one row per
+    * player, `(player, games, wins, rating_fx)` — rating_fx in 2^-20
+    * units of the round-`iters` normalized strength.
+    *
+    * Scale shape: the pair table is players²-bounded (the corpus
+    * reduced to it BEFORE this fit); every round is two joins and a
+    * map-side-combined sum on that bounded frame, lineage cut per round
+    * (the iterative-op discipline).
+    */
+  /** Deterministic pairwise "battles" from a scored corpus: rows are
+    * matched into id-contiguous buckets of `bucketWidth` (bucket size
+    * is bounded BY CONSTRUCTION at any corpus size — `id div width`,
+    * never `id mod k`), every cross-player pair inside a bucket is one
+    * game, and the higher `score` wins (tie → the lower id). Output one
+    * row per unordered player pair: `(pa, pb, n_games, wins_a)` with
+    * `pa < pb` — [[bradleyTerry]]'s input contract. In production the
+    * battles table comes from real judgments (human prefs / LLM judge);
+    * this builder is the deterministic stand-in that makes the full fit
+    * replayable.
+    *
+    * Scale shape: pairs are emitted ROW-LOCALLY from each bucket's
+    * ≤ `bucketWidth` collected rows (the [[theilSen]] array shape), and
+    * collapse map-side into the players²-bounded win table.
+    */
+  def lengthBattles(
+      rows: DataFrame, id: Column, player: Column, score: Column,
+      bucketWidth: Int = 8): DataFrame = {
+    require(bucketWidth >= 2 && bucketWidth <= 64, s"bad width: $bucketWidth")
+    val pairs = rows
+      .select(id.cast("long").as("i"), player.as("pl"),
+        score.cast("long").as("sc"))
+      .filter(col("i").isNotNull && col("pl").isNotNull && col("sc").isNotNull)
+      .withColumn("bkt", expr(s"i div ${bucketWidth}L"))
+      .groupBy("bkt")
+      .agg(sort_array(collect_list(struct(col("i"), col("pl"), col("sc"))))
+        .as("rs"))
+      .select(explode(flatten(transform(col("rs"), (p, ix) =>
+        transform(slice(col("rs"), ix + 2, size(col("rs"))),
+          q => struct(
+            p.getField("pl").as("pl_a"), q.getField("pl").as("pl_b"),
+            // arrays sort by (i, ...) so p.i < q.i: ties go to p
+            (p.getField("sc") >= q.getField("sc")).as("a_wins")))))).as("m"))
+      .select(col("m.pl_a"), col("m.pl_b"), col("m.a_wins"))
+      .filter(col("pl_a") =!= col("pl_b"))
+    pairs
+      .select(
+        least(col("pl_a"), col("pl_b")).as("pa"),
+        greatest(col("pl_a"), col("pl_b")).as("pb"),
+        when(col("pl_a") <= col("pl_b"), col("a_wins").cast("long"))
+          .otherwise(lit(1L) - col("a_wins").cast("long")).as("wa"))
+      .groupBy("pa", "pb")
+      .agg(count(lit(1)).as("n_games"), sum(col("wa")).as("wins_a"))
+  }
+
+  def bradleyTerry(battles: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 16, s"bad iters: $iters")
+    val sym = battles.select(
+        col("pa").as("p"), col("pb").as("q"),
+        col("n_games").cast("long").as("n"),
+        col("wins_a").cast("long").as("w"))
+      .unionByName(battles.select(
+        col("pb").as("p"), col("pa").as("q"),
+        col("n_games").cast("long").as("n"),
+        (col("n_games") - col("wins_a")).cast("long").as("w")))
+      .cutLineage()
+    val players = sym.groupBy("p")
+      .agg(sum(col("n")).as("games"), sum(col("w")).as("wins"))
+      .cutLineage()
+    val s2 = BtScale * BtScale
+    var pi = players.select(col("p"), lit(BtScale).as("pi"))
+    for (_ <- 1 to iters) {
+      val d = sym
+        .join(pi, Seq("p"))
+        .join(pi.select(col("p").as("q"), col("pi").as("pi_q")), Seq("q"))
+        .groupBy("p")
+        .agg(sum(expr(s"(n * ${s2}L) div (pi + pi_q)")).as("den"))
+      val raw = players.select(col("p"), col("wins"))
+        .join(d, Seq("p"))
+        .select(col("p"),
+          greatest(lit(1L), expr(s"(wins * ${s2}L) div den")).as("pi_raw"))
+        .cutLineage()
+      val mx = raw.agg(max(col("pi_raw")).as("mx"))
+      pi = raw.crossJoin(broadcast(mx))
+        .select(col("p"),
+          // floor at 1 AFTER normalizing too: a winless player's rating
+          // would otherwise round to 0 and zero a later round's divisor
+          greatest(lit(1L), expr(s"(pi_raw * ${BtScale}L) div mx")).as("pi"))
+        .cutLineage()
+    }
+    players.join(pi, Seq("p"))
+      .select(col("p").as("player"), col("games"), col("wins"),
+        col("pi").as("rating_fx"))
+  }
+}

@@ -58,4 +58,55 @@ object PrivacyOps {
         sum(col("r")).as("sum_reported"))
       .withColumn("est_x2", lit(4L) * col("sum_reported") - col("n"))
   }
+
+  // --------------------------------------- discrete-Laplace noisy counts
+
+  /** Two-sided-geometric (discrete Laplace) pmf with α = 1/2 — the
+    * ε = ln 2 mechanism for sensitivity-1 counting queries (Ghosh-
+    * Roughgarden-Sundararajan 2009: the UNIVERSALLY optimal mechanism
+    * for counts). P(0) = 1/3, P(±k) = (1/3)·2^-k; the ladder covers
+    * k = −6..5 (mass 1 − 1/64) and the uncovered 1/64 of the uniform
+    * draw — both true tails — lands on +6: a ≈0.08 expected-value bias,
+    * far under the mechanism's noise scale and identical on every
+    * engine. The CDF ladder is computed ONCE here in a fixed operation
+    * order and shipped to both engines as identical double literals.
+    */
+  val DiscreteLaplaceCdf: Array[(Int, Double)] = {
+    val ks = (-6 to 5).toArray
+    val pmf = ks.map(k => (1.0 / 3.0) * math.pow(0.5, math.abs(k)))
+    val cdf = pmf.scanLeft(0.0)(_ + _).tail
+    ks.zip(cdf)
+  }
+
+  /** Per-group counts with deterministic discrete-Laplace noise — the
+    * central-DP release shape for a histogram of group sizes (ε = ln 2
+    * per group under parallel composition; groups partition the rows).
+    * The noise draw is the portable md5 coin of the GROUP KEY (domain-
+    * separated by `salt`), pushed through [[DiscreteLaplaceCdf]] — a
+    * deterministic stand-in for the curator's secret randomness, same
+    * contract as [[coin]]: production swaps in true randomness; the
+    * release arithmetic (and this exact aggregate) is identical, and
+    * determinism is what lets tests and oracles replay the release
+    * bit-for-bit. True counts ride along for error observability (a
+    * real release omits them, by design).
+    *
+    * Scale shape: ONE map-side-combined count; hash, ladder, and the
+    * clip-at-zero are group-row-local.
+    */
+  def dpCounts(df: DataFrame, groupCol: Column, salt: String): DataFrame = {
+    // raw 60-bit md5 value (NOT the mod-prime reduction — the ladder
+    // needs uniform [0,1) at full width); >> 7 leaves 53 exact bits
+    val h = conv(substring(md5(
+      concat(lit(s"dp:$salt:"), col("grp").cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    val u = shiftrightunsigned(h, 7).cast("double") / lit(9007199254740992.0)
+    val noise = DiscreteLaplaceCdf.reverse
+      .foldLeft(lit(6L)) {
+        case (els, (k, t)) => when(u < lit(t), lit(k.toLong)).otherwise(els)
+      }
+    df.groupBy(groupCol.as("grp"))
+      .agg(count(lit(1)).as("n_true"))
+      .withColumn("noise", noise)
+      .withColumn("n_dp", greatest(lit(0L), col("n_true") + col("noise")))
+  }
 }

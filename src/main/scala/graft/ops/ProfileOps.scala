@@ -425,4 +425,56 @@ object ProfileOps {
         chance.cast("double") / (col("n") * col("n"))).as("pe"),
       when(den > 0, num.cast("double") / den.cast("double")).as("kappa"))
   }
+
+  /** Fleiss' kappa for THREE binary raters (Fleiss 1971) — chance-
+    * corrected agreement when more than two automated judges vote on
+    * every item (the multi-rater extension of [[cohenKappa]]). With
+    * c_i = the item's positive-vote count (0..3):
+    *
+    *   P_i  = (c_i² + (3−c_i)² − 3) / 6          per-item agreement
+    *   P̄    = A / (6N)          with A = Σ_i (c_i² + (3−c_i)² − 3)
+    *   P̄_e  = (S² + (3N−S)²) / (9N²)             with S = Σ_i c_i
+    *   κ    = (3N·A − 2B) / (18N² − 2B)          with B = S² + (3N−S)²
+    *
+    * — one exact-integer rational (the ×18N² clearing keeps every term
+    * a product of longs) with a single closing IEEE division, the
+    * [[cohenKappa]] discipline. Degenerate panels (P̄_e = 1: every vote
+    * identical) yield NULL κ. ONE map-side-combined aggregate; int64
+    * holds the clearing up to N ≈ 7·10^8 items — beyond that, lift the
+    * closing algebra (not the corpus pass) to DECIMAL(38,0).
+    *
+    * Raters outside {0,1} fail loudly (the [[cohenKappa]] domain guard);
+    * items where any rater is NULL are excluded.
+    */
+  def fleissKappa3(
+      df: DataFrame, r1: Column, r2: Column, r3: Column): DataFrame = {
+    def dom(c: Column, side: String) =
+      when(c.isin(0L, 1L), c).otherwise(raise_error(concat(
+        lit(s"fleissKappa3: rater $side outside {0,1}: "), c.cast("string"))))
+    val c = df
+      .select(r1.cast("long").as("a0"), r2.cast("long").as("b0"),
+        r3.cast("long").as("c0"))
+      .filter(col("a0").isNotNull && col("b0").isNotNull && col("c0").isNotNull)
+      .select((dom(col("a0"), "1") + dom(col("b0"), "2") +
+        dom(col("c0"), "3")).as("c"))
+    val m = c.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(col("c")), lit(0L)).as("s"),
+      coalesce(sum(col("c") * col("c") +
+        (lit(3L) - col("c")) * (lit(3L) - col("c")) - lit(3L)), lit(0L))
+        .as("a"))
+    val b = col("s") * col("s") +
+      (lit(3L) * col("n") - col("s")) * (lit(3L) * col("n") - col("s"))
+    val num = lit(3L) * col("n") * col("a") - lit(2L) * b
+    val den = lit(18L) * col("n") * col("n") - lit(2L) * b
+    m.select(
+      col("n").as("n_items"), col("s").as("s_sum"), col("a").as("a_sum"),
+      when(col("n") > 0,
+        col("a").cast("double") / (lit(6L) * col("n")).cast("double"))
+        .as("p_bar"),
+      when(col("n") > 0,
+        b.cast("double") / (lit(9L) * col("n") * col("n")).cast("double"))
+        .as("p_e"),
+      when(den > 0, num.cast("double") / den.cast("double")).as("kappa"))
+  }
 }

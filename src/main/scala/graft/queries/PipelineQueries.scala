@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AssocOps, AudioOps, ContaminationOps, DedupOps, EstimatorOps, ExperimentOps, GraphOps, IndexOps, IvfOps, JoinOps, LakeOps, LatticeKmeans, LmOps, MultimodalOps, PcaOps, PqOps, PrepOps, PrivacyOps, ProfileOps, SamplingOps, SearchOps, SimilarityOps, SketchOps, TextOps}
+import graft.ops.{AssocOps, AudioOps, ContaminationOps, DedupOps, EstimatorOps, ExperimentOps, GraphOps, IndexOps, IvfOps, JoinOps, LakeOps, LatticeKmeans, LmOps, ModelOps, MultimodalOps, PcaOps, PqOps, PrepOps, PrivacyOps, ProfileOps, SamplingOps, SearchOps, SimilarityOps, SketchOps, TextOps}
 import graft.streaming.{EventOps, IngestDedupStream}
 
 /** Training-data pipeline operators (dedup, similarity search, multimodal,
@@ -4095,12 +4095,108 @@ object PipelineQueries {
       EstimatorOps.looDeltas(t(s, dir, "documents"),
         col("source"), TextOps.tokenCount(col("text")))
         .select(col("g").as("source"), col("n_g").as("n_docs"),
-          col("mean_all"), col("mean_without"), col("delta")))
+          col("mean_all"), col("mean_without"), col("delta"))),
+
+    // ------------------------------------------------ modeling & inference
+
+    // Closed-form OLS trend of the daily mean event value per type:
+    // "regression is five sums" — ONE map-side-combined moment pass over
+    // the fact, then per-group column algebra. Slope/intercept in exact
+    // micro fixed point (toward-zero divisions; the oracle sign-splits);
+    // x anchors to the table's literal epoch so every moment product
+    // stays far inside int64.
+    "q_ols_trend" -> ((s, dir) =>
+      ModelOps.olsTrend(trendDaily(s, dir),
+        col("g"), col("x"), col("y"))
+        .withColumnRenamed("g", "event_type")),
+
+    // Robust twin of q_ols_trend: Mann-Kendall's S plus the Theil-Sen
+    // lower-median slope over the same daily series. Pairs are emitted
+    // row-locally from each group's calendar-bounded sorted array (never
+    // a self-join); the median window partitions by group over ≤ 31²
+    // pair rows.
+    "q_theilsen" -> ((s, dir) =>
+      ModelOps.theilSen(trendDaily(s, dir),
+        col("g"), col("x"), col("y"))
+        .withColumnRenamed("g", "event_type")),
+
+    // Hashed multinomial Naive Bayes lang classifier: train on even
+    // doc_ids, score the odd half, report the confusion matrix. The
+    // model is the 64-bucket × classes count grid (hashing trick —
+    // vocabulary-independent, broadcast); scores are exact fixed-point
+    // log-likelihoods on Log2Fixed, so the whole fit+predict replays in
+    // SQL.
+    "q_nb_classify" -> ((s, dir) =>
+      ModelOps.naiveBayesConfusion(t(s, dir, "documents"),
+        col("doc_id"), col("lang"), col("text"),
+        col("doc_id") % 2 === 0, buckets = 64)),
+
+    // Bradley-Terry strength leaderboard (the LLM-arena aggregation)
+    // over deterministic length battles: id-contiguous buckets of 8
+    // docs, cross-source pairs inside each bucket, longer text wins.
+    // Three unrolled fixed-point MM rounds on the players²-bounded win
+    // table; every division nonnegative toward-zero (HITS convention).
+    "q_bt_ratings" -> ((s, dir) =>
+      ModelOps.bradleyTerry(
+        ModelOps.lengthBattles(t(s, dir, "documents"),
+          col("doc_id"), col("source"), col("n_chars"), bucketWidth = 8),
+        iters = 3)),
+
+    // Central-DP noisy per-source histogram: discrete-Laplace (two-sided
+    // geometric, ε = ln 2) noise from the deterministic portable-hash
+    // coin through a fixed CDF ladder — the q_randomized_response
+    // contract (production swaps true randomness; the release arithmetic
+    // is identical and replayable). True counts ride along for error
+    // observability.
+    "q_dp_counts" -> ((s, dir) =>
+      PrivacyOps.dpCounts(t(s, dir, "documents"), col("source"), salt = "v1")
+        .withColumnRenamed("grp", "source")),
+
+    // Fleiss' kappa across THREE automated quality judges (the gopher
+    // word-count / symbol-ratio / stopword rules): chance-corrected
+    // multi-rater agreement in one exact-integer rational with a single
+    // closing IEEE division — the multi-rater extension of
+    // q_judge_agreement's Cohen κ.
+    "q_fleiss_kappa" -> ((s, dir) => {
+      val (rWords, _, rSym, rStop) = gopherRules
+      ProfileOps.fleissKappa3(t(s, dir, "documents"), rWords, rSym, rStop)
+    })
   )
+
+  /** Shared daily series for the trend pair (`q_ols_trend`,
+    * `q_theilsen`): per (event_type, day) mean value in cents —
+    * `sum div count`, nonnegative toward-zero on both engines — with
+    * x = days since the table's literal epoch (2024-01-01, TESTDATA's
+    * fixed event window) so the regression moments' ×10^6 products stay
+    * far inside int64 at any scale factor.
+    */
+  private def trendDaily(s: SparkSession, dir: String): DataFrame =
+    RefQueries.events(s, dir)
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .groupBy(col("event_type").as("g"),
+        datediff(to_date(col("ts")), to_date(lit("2024-01-01"))).as("x"))
+      .agg(expr("sum(cast(round(value * 100) as bigint)) div count(1)")
+        .as("y"))
 
   // ------------------------------------------------------------ oracle SQL
 
   private val S = TextOps.Sql
+
+  /** Shared daily-series CTE for the trend-pair oracles — mirrors
+    * [[trendDaily]]: per (event_type, day) mean cents (`//` with
+    * nonnegative operands = Spark `div`), x anchored to the literal
+    * 2024-01-01 epoch.
+    */
+  private val trendDailySql: String =
+    """d AS (
+      |  SELECT event_type AS g,
+      |    CAST(date_diff('day', DATE '2024-01-01', dt) AS BIGINT) AS x, y
+      |  FROM (
+      |    SELECT event_type, CAST(ts AS DATE) AS dt,
+      |      CAST(sum(CAST(round(value * 100) AS BIGINT)) // count(*)
+      |        AS BIGINT) AS y
+      |    FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      |    GROUP BY event_type, CAST(ts AS DATE)))""".stripMargin
 
   /** Unrolled integer-PageRank recurrence over the cust<->supp trade
     * graph — mirrors [[graft.ops.GraphOps.pageRank]]'s fixed-point
@@ -9407,6 +9503,213 @@ object PipelineQueries {
          |  (est_a + est_b) - est_union AS est_intersect,
          |  n_a, n_b, n_union, n_intersect
          |FROM e, x""".stripMargin
+    },
+
+    // Moments replayed per group (HUGEINT intermediates), both divisions
+    // sign-split so either DuckDB `//` semantics is toward-zero.
+    "q_ols_trend" ->
+      s"""WITH $trendDailySql,
+         |m AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+         |        sum(x) AS sx, sum(y) AS sy,
+         |        sum(x * x) AS sxx, sum(x * y) AS sxy,
+         |        max(x) AS xmax
+         |      FROM d GROUP BY g),
+         |f AS (SELECT g, n, sx, sy, xmax,
+         |        (n * sxy - sx * sy) * 1000000 AS num,
+         |        n * sxx - sx * sx AS den
+         |      FROM m),
+         |s1 AS (SELECT g, n, sx, sy, xmax, den,
+         |         CASE WHEN den > 0 THEN
+         |           CASE WHEN num >= 0 THEN num // den
+         |                ELSE -((-num) // den) END
+         |         END AS slope_micro
+         |       FROM f),
+         |s2 AS (SELECT g, n, xmax, slope_micro,
+         |         CASE WHEN den > 0 THEN
+         |           CASE WHEN sy * 1000000 - slope_micro * sx >= 0
+         |                THEN (sy * 1000000 - slope_micro * sx) // n
+         |                ELSE -((-(sy * 1000000 - slope_micro * sx)) // n) END
+         |         END AS intercept_micro
+         |       FROM s1)
+         |SELECT g AS event_type, n AS n_points,
+         |  CAST(slope_micro AS BIGINT) AS slope_micro,
+         |  CAST(intercept_micro AS BIGINT) AS intercept_micro,
+         |  CAST(intercept_micro + slope_micro * (xmax + 1) AS BIGINT)
+         |    AS pred_next_micro
+         |FROM s2""".stripMargin,
+
+    // Pairwise replay: the self-join IS the oracle's formulation (the
+    // engine emits pairs row-locally); slope candidates sign-split, the
+    // lower median by the identical (s_micro, xi, xj) ordering.
+    "q_theilsen" ->
+      s"""WITH $trendDailySql,
+         |pr AS (SELECT a.g, a.x AS xi, b.x AS xj, b.y - a.y AS dy
+         |       FROM d a JOIN d b ON a.g = b.g AND b.x > a.x),
+         |sm AS (SELECT g, xi, xj, dy,
+         |         CASE WHEN dy >= 0 THEN (dy * 1000000) // (xj - xi)
+         |              ELSE -(((-dy) * 1000000) // (xj - xi)) END AS s_micro
+         |       FROM pr),
+         |rk AS (SELECT g, dy, s_micro,
+         |         row_number() OVER (PARTITION BY g
+         |           ORDER BY s_micro, xi, xj) AS rn,
+         |         count(*) OVER (PARTITION BY g) AS np
+         |       FROM sm),
+         |g2 AS (SELECT g, CAST(count(*) AS BIGINT) AS n_points
+         |       FROM d GROUP BY g),
+         |ag AS (SELECT g, CAST(count(*) AS BIGINT) AS n_pairs,
+         |         CAST(sum(CASE WHEN dy > 0 THEN 1 WHEN dy < 0 THEN -1
+         |                       ELSE 0 END) AS BIGINT) AS s_stat,
+         |         CAST(max(CASE WHEN rn = (np + 1) // 2 THEN s_micro END)
+         |           AS BIGINT) AS slope_micro
+         |       FROM rk GROUP BY g)
+         |SELECT g2.g AS event_type, g2.n_points, ag.n_pairs, ag.s_stat,
+         |  ag.slope_micro
+         |FROM g2 JOIN ag USING (g)""".stripMargin,
+
+    // Full fit+predict replay: md5 token buckets (the DSIR hash), the
+    // dense bucket×class grid with add-1 smoothing, log2FixedSql over
+    // every needed value, the same argmax tie-break, the confusion
+    // aggregate.
+    "q_nb_classify" -> {
+      val p = DedupOps.PortableHashPrime
+      val bhash =
+        s"(CAST(('0x' || substring(md5(tk), 1, 15)) AS BIGINT) % $p) % 64"
+      s"""WITH base AS (SELECT doc_id, lang, text, doc_id % 2 = 0 AS tr
+         |  FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL),
+         |tok AS (SELECT doc_id, lang, tr, CAST($bhash AS BIGINT) AS b
+         |  FROM (SELECT doc_id, lang, tr,
+         |          unnest(${S.tokens("lower(text)")}) AS tk FROM base)),
+         |cls AS (SELECT DISTINCT lang AS cls FROM base WHERE tr),
+         |cnt AS (SELECT b, lang AS cls, CAST(count(*) AS BIGINT) AS cnt
+         |        FROM tok WHERE tr GROUP BY b, lang),
+         |grid AS (SELECT c.cls, r.range AS b,
+         |           CAST(coalesce(cnt.cnt, 0) AS BIGINT) AS cnt
+         |         FROM cls c CROSS JOIN range(0, 64) r
+         |         LEFT JOIN cnt ON cnt.cls = c.cls AND cnt.b = r.range),
+         |tot AS (SELECT cls, CAST(sum(cnt) AS BIGINT) AS tot
+         |        FROM grid GROUP BY cls),
+         |vals AS (SELECT DISTINCT v FROM (
+         |    SELECT cnt + 1 AS v FROM grid
+         |    UNION ALL SELECT tot + 64 FROM tot)),
+         |${log2FixedSql("vals")},
+         |nbsc AS (SELECT t.doc_id, t.lang, g.cls,
+         |         CAST(sum(l1.lg) AS BIGINT) AS sum_lg,
+         |         CAST(count(*) AS BIGINT) AS n_tok
+         |       FROM tok t JOIN grid g ON g.b = t.b
+         |       JOIN lg l1 ON l1.v = g.cnt + 1
+         |       WHERE NOT t.tr GROUP BY t.doc_id, t.lang, g.cls),
+         |nbsd AS (SELECT nbsc.doc_id, nbsc.lang, nbsc.cls,
+         |         nbsc.sum_lg - nbsc.n_tok * lt.lg AS score
+         |       FROM nbsc JOIN tot ON tot.cls = nbsc.cls
+         |       JOIN lg lt ON lt.v = tot.tot + 64),
+         |arg AS (SELECT doc_id, lang, cls, row_number() OVER (
+         |          PARTITION BY doc_id ORDER BY score DESC, cls) AS rn
+         |        FROM nbsd)
+         |SELECT lang AS label_true, cls AS label_pred,
+         |  CAST(count(*) AS BIGINT) AS n_docs
+         |FROM arg WHERE rn = 1 GROUP BY lang, cls""".stripMargin
+    },
+
+    // Battles via the bucket self-join (the engine emits them
+    // row-locally), then the three MM rounds unrolled — every division
+    // has nonnegative operands, so `//` is toward-zero under either
+    // DuckDB semantics.
+    "q_bt_ratings" -> {
+      val s2 = ModelOps.BtScale * ModelOps.BtScale
+      def round(i: Int) =
+        s"""d$i AS (SELECT s.p,
+           |  sum((s.n * ${s2}) // (x.pi + y.pi)) AS den
+           |  FROM sym s JOIN r${i - 1} x ON x.p = s.p
+           |  JOIN r${i - 1} y ON y.p = s.q GROUP BY s.p),
+           |w$i AS (SELECT pl.p,
+           |  greatest(1, (pl.wins * ${s2}) // d$i.den) AS praw
+           |  FROM pl JOIN d$i ON d$i.p = pl.p),
+           |m$i AS (SELECT max(praw) AS mx FROM w$i),
+           |r$i AS (SELECT p,
+           |          greatest(1, (praw * ${ModelOps.BtScale}) // mx) AS pi
+           |        FROM w$i, m$i)""".stripMargin
+      s"""WITH docs0 AS (SELECT doc_id, source, n_chars FROM documents
+         |  WHERE doc_id IS NOT NULL AND source IS NOT NULL
+         |    AND n_chars IS NOT NULL),
+         |pr AS (SELECT a.source AS sa, b.source AS sb,
+         |         a.n_chars >= b.n_chars AS a_wins
+         |       FROM docs0 a JOIN docs0 b
+         |         ON (a.doc_id // 8) = (b.doc_id // 8)
+         |        AND a.doc_id < b.doc_id AND a.source <> b.source),
+         |bt AS (SELECT least(sa, sb) AS pa, greatest(sa, sb) AS pb,
+         |         CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(CASE WHEN sa <= sb
+         |               THEN CASE WHEN a_wins THEN 1 ELSE 0 END
+         |               ELSE CASE WHEN a_wins THEN 0 ELSE 1 END END)
+         |           AS BIGINT) AS wa
+         |       FROM pr GROUP BY 1, 2),
+         |sym AS (SELECT pa AS p, pb AS q, n, wa AS w FROM bt
+         |        UNION ALL SELECT pb, pa, n, n - wa FROM bt),
+         |pl AS (SELECT p, CAST(sum(n) AS BIGINT) AS games,
+         |         CAST(sum(w) AS BIGINT) AS wins FROM sym GROUP BY p),
+         |r0 AS (SELECT p, CAST(${ModelOps.BtScale} AS BIGINT) AS pi FROM pl),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT pl.p AS player, pl.games, pl.wins,
+         |  CAST(r3.pi AS BIGINT) AS rating_fx
+         |FROM pl JOIN r3 ON r3.p = pl.p""".stripMargin
+    },
+
+    // The md5 coin at full 60-bit width (>> 7 leaves 53 exact bits), the
+    // same CDF double literals, the same clip at zero.
+    "q_dp_counts" -> {
+      val ladder = PrivacyOps.DiscreteLaplaceCdf
+        .map { case (k, th) => s"WHEN u < ${dlit(th)} THEN $k" }
+        .mkString(" ")
+      s"""WITH c AS (SELECT source AS grp, CAST(count(*) AS BIGINT) AS n_true
+         |           FROM documents GROUP BY source),
+         |h AS (SELECT grp, n_true,
+         |        CAST(('0x' || substring(md5('dp:v1:' || grp), 1, 15))
+         |          AS BIGINT) AS hv
+         |      FROM c),
+         |u AS (SELECT grp, n_true,
+         |        CAST(hv >> 7 AS DOUBLE) / 9007199254740992.0 AS u
+         |      FROM h),
+         |z AS (SELECT grp, n_true,
+         |        CAST(CASE $ladder ELSE 6 END AS BIGINT) AS noise
+         |      FROM u)
+         |SELECT grp AS source, n_true, noise,
+         |  greatest(CAST(0 AS BIGINT), n_true + noise) AS n_dp
+         |FROM z""".stripMargin
+    },
+
+    // Three raters rebuilt from the q_judge_agreement oracle fragments;
+    // the κ clearing mirrors ProfileOps.fleissKappa3 term for term.
+    "q_fleiss_kappa" -> {
+      val toks = S.tokens("lower(text)")
+      val stops = TextOps.Sql.stopwordHits("text",
+        Seq("the", "a", "of", "and", "to", "in", "is", "it"))
+      s"""WITH g AS (SELECT CAST(len($toks) AS BIGINT) AS nw,
+         |        CAST(length(text) AS BIGINT) AS nc,
+         |        CAST(${S.punctCount("text")} AS BIGINT) AS np,
+         |        $stops AS stops
+         |      FROM documents WHERE text IS NOT NULL),
+         |r AS (SELECT CAST(nw >= 3 AND nw <= 50 AS BIGINT)
+         |        + CAST(np * 10 <= nc AS BIGINT)
+         |        + CAST(stops >= 1 AS BIGINT) AS c FROM g),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |        CAST(coalesce(sum(c), 0) AS BIGINT) AS s,
+         |        CAST(coalesce(sum(c * c + (3 - c) * (3 - c) - 3), 0)
+         |          AS BIGINT) AS a
+         |      FROM r)
+         |SELECT n AS n_items, s AS s_sum, a AS a_sum,
+         |  CASE WHEN n > 0
+         |       THEN CAST(a AS DOUBLE) / CAST(6 * n AS DOUBLE) END AS p_bar,
+         |  CASE WHEN n > 0
+         |       THEN CAST(s * s + (3 * n - s) * (3 * n - s) AS DOUBLE)
+         |          / CAST(9 * n * n AS DOUBLE) END AS p_e,
+         |  CASE WHEN 18 * n * n - 2 * (s * s + (3 * n - s) * (3 * n - s)) > 0
+         |       THEN CAST(3 * n * a - 2 * (s * s + (3 * n - s) * (3 * n - s))
+         |              AS DOUBLE)
+         |          / CAST(18 * n * n - 2 * (s * s + (3 * n - s) * (3 * n - s))
+         |              AS DOUBLE) END AS kappa
+         |FROM m""".stripMargin
     },
 
     // Exact integer totals, grand totals from the per-source frame, the

@@ -49,7 +49,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_two_stage_rerank" -> "stage 1 is the q_sim_topk broadcast front scan (16-dim); stage 2 is candidate-bounded joins — the funnel serving shape",
     "q_source_kl" -> "1-row grand-total attach to the vocabulary-sized (source, token) frame",
     "q_hll_estimate" -> "the 1-row exact-distinct eval frame crosses the 1-row register-summary frame (q_kmv_join_card gate shape)",
-    "q_hll_sources" -> "1-row sketch-summary frame crosses the 1-row exact-counts frame (q_hll_estimate shape)")
+    "q_hll_sources" -> "1-row sketch-summary frame crosses the 1-row exact-counts frame (q_hll_estimate shape)",
+    "q_nb_classify" -> "classes x range(64) cross builds the DENSE bucket-count model grid (bounded by construction: buckets x classes, never corpus-sized); scoring joins it by bucket as a broadcast")
 
   test("no unlisted query plans a CartesianProduct or BroadcastNestedLoopJoin") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

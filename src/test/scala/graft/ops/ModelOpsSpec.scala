@@ -1,0 +1,166 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ModelOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------- OLS
+
+  test("olsTrend recovers an exact linear series bit-for-bit") {
+    // y = 250 + 7x: slope/intercept land exactly on the micro grid
+    val df = (0L to 20L).map(x => ("a", x, 250L + 7L * x)).toDF("g", "x", "y")
+    val row = ModelOps.olsTrend(df, $"g", $"x", $"y").collect().head
+    assert(row.getAs[Long]("slope_micro") == 7000000L)
+    assert(row.getAs[Long]("intercept_micro") == 250000000L)
+    assert(row.getAs[Long]("pred_next_micro") == (250L + 7L * 21L) * 1000000L)
+  }
+
+  test("olsTrend: negative slope divides toward zero (Java div semantics)") {
+    // points (0,10),(1,3): slope = -7 exactly; then a non-exact case
+    val exact = ModelOps.olsTrend(
+      Seq(("a", 0L, 10L), ("a", 1L, 3L)).toDF("g", "x", "y"),
+      $"g", $"x", $"y").collect().head
+    assert(exact.getAs[Long]("slope_micro") == -7000000L)
+    // points (0,1),(1,0),(2,0): num = -1e6*3... slope = -0.5 -> -500000
+    val half = ModelOps.olsTrend(
+      Seq(("a", 0L, 1L), ("a", 2L, 0L)).toDF("g", "x", "y"),
+      $"g", $"x", $"y").collect().head
+    assert(half.getAs[Long]("slope_micro") == -500000L)
+  }
+
+  test("olsTrend: zero x-variance group gets NULL fit, layout-invariant") {
+    val df = Seq(("a", 5L, 1L), ("a", 5L, 9L)).toDF("g", "x", "y")
+    val row = ModelOps.olsTrend(df, $"g", $"x", $"y").collect().head
+    assert(row.isNullAt(row.fieldIndex("slope_micro")))
+    val big = (0L to 29L).flatMap(x =>
+      (1L to 7L).map(i => ("t", x, x * 13L + i))).toDF("g", "x", "y")
+    val a = ModelOps.olsTrend(big, $"g", $"x", $"y").collect().head
+    val b = ModelOps.olsTrend(big.repartition(17), $"g", $"x", $"y")
+      .collect().head
+    assert(a == b, "moment sums are integer — layout must not matter")
+  }
+
+  // ------------------------------------------------- Theil-Sen / MK
+
+  test("theilSen: hand series — S statistic and lower-median slope") {
+    // y: 1, 2, 9, 4 at x = 0..3 -> pairwise slopes (micro):
+    // (0,1):1e6 (0,2):4e6 (0,3):1e6 (1,2):7e6 (1,3):1e6 (2,3):-5e6
+    // sorted: -5e6, 1e6, 1e6, 1e6, 4e6, 7e6 -> lower median (rank 3) = 1e6
+    // S = sign sum = +1 +1 +1 +1 +1 -1 = 4
+    val df = Seq(("a", 0L, 1L), ("a", 1L, 2L), ("a", 2L, 9L), ("a", 3L, 4L))
+      .toDF("g", "x", "y")
+    val row = ModelOps.theilSen(df, $"g", $"x", $"y").collect().head
+    assert(row.getAs[Long]("n_pairs") == 6L)
+    assert(row.getAs[Long]("s_stat") == 4L)
+    assert(row.getAs[Long]("slope_micro") == 1000000L)
+  }
+
+  test("theilSen ignores a gross outlier that drags OLS") {
+    // clean slope 5, one wild point at the end
+    val pts = (0L to 19L).map(x => ("a", x, 100L + 5L * x)) :+ ("a", 20L, 100000L)
+    val df = pts.toDF("g", "x", "y")
+    val ts = ModelOps.theilSen(df, $"g", $"x", $"y").collect().head
+    assert(ts.getAs[Long]("slope_micro") == 5000000L,
+      "median slope must shrug off one outlier")
+    val ols = ModelOps.olsTrend(df, $"g", $"x", $"y").collect().head
+    assert(ols.getAs[Long]("slope_micro") > 100L * 1000000L,
+      "OLS should be dragged — that contrast is the operator's point")
+  }
+
+  test("theilSen is layout-invariant and enforces the series bound") {
+    val df = (0L to 30L).map(x => ("a", x, (x * x) % 97L)).toDF("g", "x", "y")
+    val a = ModelOps.theilSen(df, $"g", $"x", $"y").collect().head
+    val b = ModelOps.theilSen(df.repartition(7), $"g", $"x", $"y")
+      .collect().head
+    assert(a == b)
+    val err = intercept[Exception] {
+      ModelOps.theilSen(df, $"g", $"x", $"y", maxPoints = 10).collect()
+    }
+    assert(err.getMessage.contains("exceeds"))
+  }
+
+  // ------------------------------------------------------ Naive Bayes
+
+  test("naiveBayesConfusion separates two clean vocabularies") {
+    // train: 4 docs per class with disjoint vocab; test: 2 per class
+    val rows = Seq(
+      (0L, "en", "data table join query"), (2L, "en", "table query data"),
+      (4L, "en", "join data table"), (6L, "en", "query join table data"),
+      (1L, "en", "data join query table"), (3L, "en", "table data query"),
+      // zh vocab chosen bucket-disjoint from the en vocab under the
+      // md5 % 64 feature hash (verified offline) — the clean-separation
+      // assertion must not ride on collision luck
+      (10L, "zh", "wong chen ling ming"), (12L, "zh", "chen ming wong"),
+      (14L, "zh", "ling wong chen"), (16L, "zh", "ming ling chen wong"),
+      (11L, "zh", "chen wong ming ling"), (13L, "zh", "ling ming wong"))
+    val df = rows.toDF("doc_id", "lang", "text")
+    val conf = ModelOps.naiveBayesConfusion(
+      df, $"doc_id", $"lang", $"text", $"doc_id" % 2 === 0)
+      .as[(String, String, Long)].collect().toSet
+    assert(conf == Set(("en", "en", 2L), ("zh", "zh", 2L)),
+      s"clean split must classify perfectly, got $conf")
+  }
+
+  test("naiveBayesConfusion is layout-invariant and drops null/token-free docs") {
+    val rows = Seq(
+      (0L, "en", "data table join"), (2L, "en", "table query"),
+      (10L, "zh", "chen ling"), (12L, "zh", "wong ming chen"),
+      (1L, "en", "data query"), (11L, "zh", "ling wong"),
+      (3L, null.asInstanceOf[String], "data data"), (5L, "en", ""))
+    val df = rows.toDF("doc_id", "lang", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      ModelOps.naiveBayesConfusion(
+        d, $"doc_id", $"lang", $"text", $"doc_id" % 2 === 0)
+        .as[(String, String, Long)].collect().sorted.toSeq
+    val a = run(df)
+    assert(a == run(df.repartition(5)))
+    assert(a.map(_._3).sum == 2L, "null-lang and token-free docs drop")
+  }
+
+  // -------------------------------------------------- Bradley-Terry
+
+  test("lengthBattles: bucket pairing, win orientation, tie to lower id") {
+    val docs = Seq(
+      (0L, "a", 100L), (1L, "b", 50L),  // bucket 0: a beats b
+      (2L, "b", 80L), (3L, "a", 80L),   // bucket 0: tie -> id 2 (b) wins
+      (8L, "a", 10L), (9L, "c", 90L),   // bucket 1: c beats a
+      (10L, "a", 5L))                   // same bucket: c beats a, a vs a skipped? no second a
+    val b = ModelOps.lengthBattles(
+      docs.toDF("id", "p", "s"), $"id", $"p", $"s")
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // bucket 0 pairs: (0,1) a(100)>b(50) win-a, (0,2) a(100)>b(80) win-a,
+    // (1,3) b(50)<a(80) win-a, (2,3) b(80)=a(80) tie -> doc 2 (b) wins
+    assert(b(("a", "b")) == (4L, 3L))
+    // bucket 1: (8,9) c wins, (8? no) (9,10): c(90) vs a(5): c wins ->
+    // pair (a, c): 2 games, 0 wins for a
+    assert(b(("a", "c")) == (2L, 0L))
+  }
+
+  test("bradleyTerry ranks a dominant player on top, fixed point, layout-proof") {
+    // a beats b 9/10, b beats c 9/10, a beats c 9/10
+    val battles = Seq(
+      ("a", "b", 10L, 9L), ("b", "c", 10L, 9L), ("a", "c", 10L, 9L))
+      .toDF("pa", "pb", "n_games", "wins_a")
+    val r = ModelOps.bradleyTerry(battles, iters = 3)
+      .as[(String, Long, Long, Long)].collect()
+      .map(x => x._1 -> x._4).toMap
+    assert(r("a") > r("b") && r("b") > r("c"), s"ordering wrong: $r")
+    assert(r("a") == ModelOps.BtScale, "max-normalized leader pins the scale")
+    val r2 = ModelOps.bradleyTerry(battles.repartition(3), iters = 3)
+      .as[(String, Long, Long, Long)].collect()
+      .map(x => x._1 -> x._4).toMap
+    assert(r == r2)
+  }
+
+  test("bradleyTerry: winless player floors at 1, never divides by zero") {
+    val battles = Seq(("a", "b", 4L, 4L)).toDF("pa", "pb", "n_games", "wins_a")
+    val r = ModelOps.bradleyTerry(battles, iters = 3)
+      .as[(String, Long, Long, Long)].collect()
+      .map(x => x._1 -> x._4).toMap
+    assert(r("b") >= 1L && r("a") == ModelOps.BtScale)
+  }
+}

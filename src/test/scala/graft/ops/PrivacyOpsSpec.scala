@@ -46,4 +46,37 @@ class PrivacyOpsSpec extends SparkSpec {
     val byGrp = out.map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
     assert(byGrp(Some("a")) == 2L && byGrp(None) == 1L)
   }
+
+  test("dpCounts: deterministic discrete-Laplace noise, bounded, clipped at zero") {
+    import spark.implicits._
+    val df = (1L to 300L).map(i => (i, s"g${i % 30}")).toDF("id", "grp")
+    val out = PrivacyOps.dpCounts(df, col("grp"), salt = "t")
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.length == 30)
+    out.foreach { case (g, nTrue, noise, nDp) =>
+      assert(nTrue == 10L, s"$g")
+      assert(noise >= -6L && noise <= 6L, s"$g noise=$noise outside ladder")
+      assert(nDp == math.max(0L, nTrue + noise))
+    }
+    // deterministic: same release twice, and under any layout
+    val again = PrivacyOps.dpCounts(df.repartition(7), col("grp"), salt = "t")
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.sortBy(_._1).sameElements(again.sortBy(_._1)))
+    // the ladder actually disperses: 30 groups must not share one noise
+    assert(out.map(_._3).distinct.length > 3)
+    // near-zero counts clip, never release negatives
+    val tiny = PrivacyOps.dpCounts(
+      Seq((1L, "only")).toDF("id", "grp"), col("grp"), salt = "t")
+      .as[(String, Long, Long, Long)].collect().head
+    assert(tiny._4 >= 0L)
+  }
+
+  test("dpCounts ladder CDF is a valid distribution with the documented mass") {
+    val cdf = PrivacyOps.DiscreteLaplaceCdf
+    assert(cdf.map(_._1).sameElements(-6 to 5))
+    assert(cdf.map(_._2).sliding(2).forall(w => w(0) < w(1)), "monotone")
+    // ladder covers k=-6..5: mass 1 - (1/3)(2^-5 + 2^-6) = 1 - 1/64;
+    // the uncovered 1/64 of u (both true tails) lands on +6
+    assert(math.abs(cdf.last._2 - (1.0 - 1.0 / 64.0)) < 1e-12)
+  }
 }

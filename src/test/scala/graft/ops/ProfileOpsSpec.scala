@@ -263,4 +263,38 @@ class ProfileOpsSpec extends SparkSpec {
     assert(out.getLong(1) == 1L && out.getLong(4) == 1L)
     assert(out.getDouble(7) == 1.0)
   }
+
+  test("fleissKappa3: perfect agreement = 1, hand panel matches the algebra") {
+    import spark.implicits._
+    val perfect = Seq((1L, 1L, 1L), (0L, 0L, 0L), (1L, 1L, 1L))
+      .toDF("a", "b", "c")
+    val p = ProfileOps.fleissKappa3(perfect, col("a"), col("b"), col("c"))
+      .collect().head
+    assert(p.getAs[Double]("kappa") == 1.0)
+    // hand panel: c = 3, 2, 1, 0 -> c²+(3−c)²−3 = 6, 2, 2, 6 -> A = 16,
+    // S = 6, N = 4
+    val mixed = Seq((1L, 1L, 1L), (1L, 1L, 0L), (1L, 0L, 0L), (0L, 0L, 0L))
+      .toDF("a", "b", "c")
+    val m = ProfileOps.fleissKappa3(mixed, col("a"), col("b"), col("c"))
+      .collect().head
+    assert(m.getAs[Long]("n_items") == 4L)
+    assert(m.getAs[Long]("s_sum") == 6L)
+    assert(m.getAs[Long]("a_sum") == 16L)
+    // num = 3·4·16 − 2·(36+36) = 192 − 144 = 48; den = 18·16 − 144 = 144
+    assert(m.getAs[Double]("kappa") == 48.0 / 144.0)
+  }
+
+  test("fleissKappa3: degenerate all-identical panel -> NULL kappa; domain guard fires") {
+    import spark.implicits._
+    val allPos = Seq((1L, 1L, 1L), (1L, 1L, 1L)).toDF("a", "b", "c")
+    val row = ProfileOps.fleissKappa3(allPos, col("a"), col("b"), col("c"))
+      .collect().head
+    assert(row.isNullAt(row.fieldIndex("kappa")),
+      "P_e = 1 must yield NULL, not a division blow-up")
+    val bad = Seq((1L, 2L, 0L)).toDF("a", "b", "c")
+    val ex = intercept[Exception] {
+      ProfileOps.fleissKappa3(bad, col("a"), col("b"), col("c")).collect()
+    }
+    assert(ex.getMessage.contains("outside {0,1}"))
+  }
 }
