@@ -102,6 +102,47 @@ object EstimatorOps {
       .withColumn("est_raw", lit(HllAlphaNum) / col("s_scaled").cast("double"))
   }
 
+  // ----------------------------------------------- Good-Turing frequencies
+
+  /** Good-Turing frequency-of-frequencies readout over an array-of-keys
+    * column (unigram tokens, bigrams, shingles — whatever unit the
+    * caller's LM smooths): for r = 1..`maxR`, the count-of-counts N_r,
+    * the adjusted count
+    * `r* = (r+1)·N_{r+1} / N_r` (micro fixed point, toward-zero — both
+    * operands nonnegative), and the corpus-constant unseen-mass
+    * estimate `P₀ = N₁/N` — the number that answers "how much
+    * vocabulary is this corpus still missing", which a tokenizer/
+    * mixture designer reads before freezing a vocab.
+    *
+    * Scale shape: one explode pass collapses to the vocabulary-sized
+    * frequency table, a second to the counts-of-counts table (bounded
+    * by the number of DISTINCT frequencies, O(√tokens)); totals ride a
+    * bounded whole-frame window over that table ([[looDeltas]] shape —
+    * no corpus re-scan, no 1-row cross), and the N_{r+1} lookup is a
+    * self-join on the same bounded frame.
+    */
+  def goodTuring(docs: DataFrame, keys: Column, maxR: Int = 10): DataFrame = {
+    require(maxR >= 1 && maxR <= 1000, s"bad maxR: $maxR")
+    val freq = docs
+      .select(explode(keys).as("tk"))
+      .groupBy("tk").agg(count(lit(1)).as("f"))
+    val cc = freq.groupBy(col("f").as("r")).agg(count(lit(1)).as("n_r"))
+    val w = Window.partitionBy()
+    cc
+      .withColumn("n_tokens", sum(col("r") * col("n_r")).over(w))
+      .withColumn("vocab", sum(col("n_r")).over(w))
+      .withColumn("n1",
+        coalesce(sum(when(col("r") === 1L, col("n_r"))).over(w), lit(0L)))
+      .filter(col("r") <= maxR)
+      .join(broadcast(cc.select((col("r") - 1L).as("r"),
+        col("n_r").as("n_r_next"))), Seq("r"), "left")
+      .withColumn("n_r_next", coalesce(col("n_r_next"), lit(0L)))
+      .select(col("r"), col("n_r"), col("n_r_next"),
+        col("n_tokens"), col("vocab"),
+        expr("((r + 1) * n_r_next * 1000000) div n_r").as("r_star_micro"),
+        expr("(n1 * 1000000) div n_tokens").as("p_unseen_micro"))
+  }
+
   // ------------------------------------------- leave-one-group-out deltas
 
   /** Data-ablation planning: for every group, the corpus mean of `value`

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Online-experiment (A/B test) analysis over event streams.
@@ -152,5 +153,66 @@ object ExperimentOps {
         meanAdj("a").as("mean_adj_a"), meanAdj("b").as("mean_adj_b"),
         when(denX > 0.0 && denY > 0.0, num * num / (denX * denY))
           .as("var_reduction"))
+  }
+
+  // ------------------------------------------------- Mann-Whitney U test
+
+  /** z²-critical value for two-sided α = 0.05: 1.96². Computed nowhere —
+    * a shared literal, so both engines compare against the identical
+    * double.
+    */
+  val MwZ2Crit: Double = 3.8416
+
+  /** Mann-Whitney U (Wilcoxon rank-sum) — the nonparametric two-sample
+    * test an experimenter reaches for when [[abTest]]'s normal
+    * approximation is suspect (skewed metrics, outliers). Exact-integer
+    * core: tie midranks ride DOUBLED ranks (`2·midrank = 2·cumBelow +
+    * t + 1`, always an integer), so the rank sum, `u2_a = 2·U_A`, and
+    * the tie-correction term `T = Σ(t³−t)` are exact longs on any
+    * engine. The normal-approximation readout
+    *
+    *   z² = 3·(u2_a − n_a·n_b)²·n·(n−1)
+    *        / (n_a·n_b·((n+1)·n·(n−1) − T))
+    *
+    * closes in doubles with a FIXED operation order (each operand an
+    * exact long; both engines evaluate the identical expression tree),
+    * and `significant` compares z² against the shared [[MwZ2Crit]]
+    * literal.
+    *
+    * Scale shape: ONE value-keyed count aggregate (map-side combined),
+    * then the cumulative window runs over the DISTINCT-VALUE frame —
+    * bounded by the measurement's value domain (cents of a bounded
+    * metric), not by row count; the final algebra is a 1-row fold.
+    * Degenerate inputs (either group empty, or all values tied) yield
+    * NULL z².
+    */
+  def mannWhitneyU(df: DataFrame, isA: Column, value: Column): DataFrame = {
+    val v = df.select(isA.cast("boolean").as("a"), value.cast("long").as("v"))
+      .filter(col("a").isNotNull && col("v").isNotNull)
+    val byv = v.groupBy("v").agg(count(lit(1)).as("cnt"),
+      sum(col("a").cast("long")).as("cnt_a"))
+    val cum = byv
+      .withColumn("cum", coalesce(sum(col("cnt")).over(
+        Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val agg = cum.agg(
+      coalesce(sum(col("cnt_a")), lit(0L)).as("n_a"),
+      coalesce(sum(col("cnt")), lit(0L)).as("n"),
+      coalesce(sum(col("cnt_a") *
+        (lit(2L) * col("cum") + col("cnt") + 1L)), lit(0L)).as("r2a"),
+      coalesce(sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")),
+        lit(0L)).as("t_ties"))
+    val nB = col("n") - col("n_a")
+    val u2 = col("r2a") - col("n_a") * (col("n_a") + 1L)
+    val d = u2 - col("n_a") * nB
+    val m = (col("n") + 1L) * col("n") * (col("n") - 1L) - col("t_ties")
+    val z2 = lit(3.0) * (d.cast("double") * d.cast("double")) *
+      col("n").cast("double") * (col("n") - 1L).cast("double") /
+      (col("n_a").cast("double") * nB.cast("double") * m.cast("double"))
+    agg.select(
+      col("n_a"), nB.as("n_b"), u2.as("u2_a"), col("t_ties"),
+      when(col("n_a") > 0 && nB > 0 && m > 0, z2).as("z2"),
+      when(col("n_a") > 0 && nB > 0 && m > 0,
+        (z2 >= MwZ2Crit).cast("int")).as("significant"))
   }
 }

@@ -71,6 +71,33 @@ object ModelOps {
       .select(col("g"), col("n").as("n_points"), col("slope_micro"),
         col("intercept_micro"), col("pred_next_micro"))
 
+  /** Zipf-law fit of the token frequency head: rank the `topRanks` most
+    * frequent tokens (a distributed top-k heap, never a vocabulary
+    * sort), then regress log₂(freq) on log₂(rank) with [[olsTrend]] —
+    * `slope_micro ≈ −10^6·s`, the Zipf exponent a tokenizer/mixture
+    * designer reads. Both logs ride [[graft.expr.Log2Fixed]] truncated
+    * to 8 fractional bits (`>> 12`): at k = 128 ranks that caps every
+    * OLS moment product inside int64 FOR ANY DATA (x ≤ 2^11, y ≤ 2^14
+    * even at 10^12 corpus tokens), and the 2^-8 quantization is far
+    * below the fit's own head-vs-tail model error. The rank window runs
+    * over the k-bounded heap output only.
+    */
+  def zipfFit(docs: DataFrame, text: Column, topRanks: Int = 128): DataFrame = {
+    require(topRanks >= 8 && topRanks <= 4096, s"bad topRanks: $topRanks")
+    val freq = docs.select(explode(TextOps.tokens(lower(text))).as("tk"))
+      .groupBy("tk").agg(count(lit(1)).as("f"))
+    val top = freq.orderBy(col("f").desc, col("tk")).limit(topRanks)
+    val pts = top
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("f").desc, col("tk"))))
+      .select(lit("zipf").as("g"),
+        shiftright(MathExprs.log2Fixed(col("rank").cast("long")), 12).as("x"),
+        shiftright(MathExprs.log2Fixed(col("f")), 12).as("y"))
+    olsTrend(pts, col("g"), col("x"), col("y"))
+      .select(col("n_points").as("n_ranks"),
+        col("slope_micro"), col("intercept_micro"))
+  }
+
   // ----------------------------------------- Theil-Sen / Mann-Kendall
 
   /** Robust per-group trend over a BOUNDED series (calendar-bounded

@@ -4160,7 +4160,41 @@ object PipelineQueries {
     "q_fleiss_kappa" -> ((s, dir) => {
       val (rWords, _, rSym, rStop) = gopherRules
       ProfileOps.fleissKappa3(t(s, dir, "documents"), rWords, rSym, rStop)
-    })
+    }),
+
+    // Zipf exponent of the token-frequency head: top-128 tokens via a
+    // distributed heap (never a vocabulary sort), log-log OLS in 2^-8
+    // fixed point — composes zipfFit's heap + Log2Fixed + olsTrend.
+    // slope_micro ≈ −10^6·s is the number a tokenizer designer reads.
+    "q_zipf_fit" -> ((s, dir) =>
+      ModelOps.zipfFit(t(s, dir, "documents"), col("text"), topRanks = 128)),
+
+    // Good-Turing frequency-of-frequencies over word BIGRAMS (the
+    // corpus's unigram vocab is closed — bigrams carry the open tail an
+    // LM actually smooths): N_r for r = 1..10, adjusted counts
+    // r* = (r+1)·N_{r+1}/N_r, and the unseen-mass estimate P₀ = N₁/N —
+    // "how much vocabulary is still missing". Two bounded collapses
+    // (vocab, then counts-of-counts); totals ride the looDeltas
+    // whole-frame window, nothing corpus-sized moves twice.
+    "q_good_turing" -> ((s, dir) => {
+      val w = TextOps.tokens(lower(col("text")))
+      val n1 = greatest(size(w) - 1, lit(0))
+      val bigrams = zip_with(slice(w, lit(1), n1), slice(w, lit(2), n1),
+        (a, b) => concat(a, lit(" "), b))
+      EstimatorOps.goodTuring(
+        t(s, dir, "documents").select(bigrams.as("bg")), col("bg"), maxR = 10)
+    }),
+
+    // Mann-Whitney U rank-sum test (BUILDING vs MACHINERY account
+    // balances): the nonparametric two-sample complement to q_ab_test.
+    // Doubled midranks keep ties exact-integer; the z² readout closes
+    // in a fixed-order double chain against the shared 1.96² literal.
+    "q_mann_whitney" -> ((s, dir) =>
+      ExperimentOps.mannWhitneyU(
+        t(s, dir, "customer").filter(
+          col("c_mktsegment").isin("BUILDING", "MACHINERY")),
+        col("c_mktsegment") === "BUILDING",
+        round(col("c_acctbal") * 100).cast("long")))
   )
 
   /** Shared daily series for the trend pair (`q_ols_trend`,
@@ -9677,6 +9711,108 @@ object PipelineQueries {
          |SELECT grp AS source, n_true, noise,
          |  greatest(CAST(0 AS BIGINT), n_true + noise) AS n_dp
          |FROM z""".stripMargin
+    },
+
+    // Heap replay (ORDER BY f DESC, tk LIMIT 128), log2FixedSql over
+    // ranks ∪ frequencies, the >> 12 truncation, then the q_ols_trend
+    // sign-split moment algebra.
+    "q_zipf_fit" ->
+      s"""WITH fr AS (SELECT tk, CAST(count(*) AS BIGINT) AS f
+         |  FROM (SELECT unnest(${S.tokens("lower(text)")}) AS tk
+         |        FROM documents) GROUP BY tk),
+         |top AS (SELECT tk, f FROM fr ORDER BY f DESC, tk LIMIT 128),
+         |rk AS (SELECT f, CAST(row_number() OVER (ORDER BY f DESC, tk)
+         |         AS BIGINT) AS rank FROM top),
+         |vals AS (SELECT DISTINCT v FROM (
+         |    SELECT f AS v FROM rk UNION ALL SELECT rank FROM rk)),
+         |${log2FixedSql("vals")},
+         |pts AS (SELECT lr.lg >> 12 AS x, lf.lg >> 12 AS y
+         |        FROM rk JOIN lg lr ON lr.v = rk.rank
+         |        JOIN lg lf ON lf.v = rk.f),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+         |        sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy
+         |      FROM pts),
+         |f2 AS (SELECT n, sx, sy,
+         |         (n * sxy - sx * sy) * 1000000 AS num,
+         |         n * sxx - sx * sx AS den
+         |       FROM m),
+         |sl AS (SELECT n, sx, sy, den,
+         |         CASE WHEN den > 0 THEN
+         |           CASE WHEN num >= 0 THEN num // den
+         |                ELSE -((-num) // den) END
+         |         END AS slope_micro
+         |       FROM f2)
+         |SELECT n AS n_ranks, CAST(slope_micro AS BIGINT) AS slope_micro,
+         |  CAST(CASE WHEN den > 0 THEN
+         |    CASE WHEN sy * 1000000 - slope_micro * sx >= 0
+         |         THEN (sy * 1000000 - slope_micro * sx) // n
+         |         ELSE -((-(sy * 1000000 - slope_micro * sx)) // n) END
+         |  END AS BIGINT) AS intercept_micro
+         |FROM sl""".stripMargin,
+
+    // Bigram build (1-based list indexing over range(1, len)), then
+    // counts-of-counts from scratch; every division nonnegative `//`.
+    "q_good_turing" ->
+      s"""WITH tw AS (SELECT ${S.tokens("lower(text)")} AS w FROM documents),
+         |fr AS (SELECT tk, CAST(count(*) AS BIGINT) AS f
+         |  FROM (SELECT w[i] || ' ' || w[i + 1] AS tk
+         |        FROM tw, unnest(range(1, len(w))) AS u(i)) GROUP BY tk),
+         |cc AS (SELECT f AS r, CAST(count(*) AS BIGINT) AS n_r
+         |       FROM fr GROUP BY f),
+         |tot AS (SELECT CAST(sum(r * n_r) AS BIGINT) AS n_tokens,
+         |          CAST(sum(n_r) AS BIGINT) AS vocab,
+         |          CAST(coalesce(sum(CASE WHEN r = 1 THEN n_r END), 0)
+         |            AS BIGINT) AS n1
+         |        FROM cc)
+         |SELECT cc.r, cc.n_r,
+         |  CAST(coalesce(nx.n_r, 0) AS BIGINT) AS n_r_next,
+         |  tot.n_tokens, tot.vocab,
+         |  CAST(((cc.r + 1) * coalesce(nx.n_r, 0) * 1000000) // cc.n_r
+         |    AS BIGINT) AS r_star_micro,
+         |  CAST((tot.n1 * 1000000) // tot.n_tokens AS BIGINT)
+         |    AS p_unseen_micro
+         |FROM cc LEFT JOIN cc nx ON nx.r = cc.r + 1 CROSS JOIN tot
+         |WHERE cc.r <= 10""".stripMargin,
+
+    // Doubled-midrank replay (2·cum + t + 1), exact tie term, the
+    // identical fixed-order double chain for z², the shared 1.96²
+    // literal.
+    "q_mann_whitney" -> {
+      val crit = dlit(ExperimentOps.MwZ2Crit)
+      val z2 = "3.0e0 * (CAST(u2_a - n_a * n_b AS DOUBLE) * " +
+        "CAST(u2_a - n_a * n_b AS DOUBLE)) * CAST(n AS DOUBLE) * " +
+        "CAST(n - 1 AS DOUBLE) / (CAST(n_a AS DOUBLE) * " +
+        "CAST(n_b AS DOUBLE) * CAST(m AS DOUBLE))"
+      s"""WITH v AS (SELECT c_mktsegment = 'BUILDING' AS a,
+         |    CAST(round(c_acctbal * 100) AS BIGINT) AS v
+         |  FROM customer
+         |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+         |    AND c_acctbal IS NOT NULL),
+         |byv AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt,
+         |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a
+         |  FROM v GROUP BY v),
+         |cum AS (SELECT cnt, cnt_a,
+         |    CAST(coalesce(sum(cnt) OVER (ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cum
+         |  FROM byv),
+         |ag AS (SELECT CAST(coalesce(sum(cnt_a), 0) AS BIGINT) AS n_a,
+         |    CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n,
+         |    CAST(coalesce(sum(cnt_a * (2 * cum + cnt + 1)), 0) AS BIGINT)
+         |      AS r2a,
+         |    CAST(coalesce(sum(cnt * cnt * cnt - cnt), 0) AS BIGINT)
+         |      AS t_ties
+         |  FROM cum),
+         |fin AS (SELECT n_a, n - n_a AS n_b,
+         |    r2a - n_a * (n_a + 1) AS u2_a, t_ties, n,
+         |    (n + 1) * n * (n - 1) - t_ties AS m
+         |  FROM ag)
+         |SELECT n_a, CAST(n_b AS BIGINT) AS n_b,
+         |  CAST(u2_a AS BIGINT) AS u2_a, t_ties,
+         |  CASE WHEN n_a > 0 AND n_b > 0 AND m > 0 THEN $z2 END AS z2,
+         |  CASE WHEN n_a > 0 AND n_b > 0 AND m > 0
+         |       THEN CAST($z2 >= $crit AS INT) END AS significant
+         |FROM fin""".stripMargin
     },
 
     // Three raters rebuilt from the q_judge_agreement oracle fragments;

@@ -61,6 +61,37 @@ class EstimatorOpsSpec extends SparkSpec {
     }
   }
 
+  test("goodTuring: hand corpus — counts-of-counts, r*, unseen mass") {
+    // tokens: a x4, b x2, c x2, d x1, e x1, f x1 -> N=11, vocab=6
+    // N_1=3, N_2=2, N_4=1; r*=1: 2*N_2/N_1 = 4/3 -> 1333333 micro
+    // P0 = 3/11 -> 272727 micro
+    val docs = Seq("a a b c d", "a a b c e f").toDF("text")
+    val rows = EstimatorOps.goodTuring(
+      docs, TextOps.tokens(lower(col("text"))), maxR = 4)
+      .collect().map(r => r.getAs[Long]("r") -> r).toMap
+    assert(rows.keySet == Set(1L, 2L, 4L))
+    val r1 = rows(1L)
+    assert(r1.getAs[Long]("n_r") == 3L)
+    assert(r1.getAs[Long]("n_r_next") == 2L)
+    assert(r1.getAs[Long]("n_tokens") == 11L)
+    assert(r1.getAs[Long]("vocab") == 6L)
+    assert(r1.getAs[Long]("r_star_micro") == 2L * 2L * 1000000L / 3L)
+    assert(r1.getAs[Long]("p_unseen_micro") == 3L * 1000000L / 11L)
+    // top count r=4 has no successor: r* = 0 by the N_5=0 convention
+    assert(rows(4L).getAs[Long]("r_star_micro") == 0L)
+  }
+
+  test("goodTuring is layout-invariant") {
+    val docs = (1 to 200).map(i =>
+      (1 to (1 + i % 7)).map(_ => s"w${i % 37}").mkString(" ")).toDF("text")
+    val a = EstimatorOps.goodTuring(docs, TextOps.tokens(lower(col("text"))))
+      .collect().sortBy(_.getAs[Long]("r")).toSeq
+    val b = EstimatorOps.goodTuring(
+      docs.repartition(11), TextOps.tokens(lower(col("text"))))
+      .collect().sortBy(_.getAs[Long]("r")).toSeq
+    assert(a == b)
+  }
+
   test("hllEstimate on an empty frame yields the all-zero-register row, no crash") {
     val row = EstimatorOps.hllEstimate(
       EstimatorOps.hllRegisters(Seq.empty[Long].toDF("k"), $"k", 1))

@@ -126,4 +126,48 @@ class ExperimentOpsSpec extends SparkSpec {
     assert(out.getLong(0) == 0L && out.getLong(1) == 0L)
     (2 to 7).foreach(i => assert(out.isNullAt(i), s"col $i must be NULL"))
   }
+
+  test("mannWhitneyU: hand ranks with a tie — doubled midranks exact") {
+    // A = {1, 3, 3}, B = {2, 5}: sorted 1,2,3,3,5; midranks 1,2,3.5,3.5,5
+    // R_A = 1 + 3.5 + 3.5 = 8 -> r2a = 16; U_A = 8 - 3*4/2 = 2 -> u2 = 4
+    // ties: one group of 2 -> T = 2^3 - 2 = 6
+    val df = Seq((true, 1L), (true, 3L), (true, 3L), (false, 2L), (false, 5L))
+      .toDF("a", "v")
+    val out = ExperimentOps.mannWhitneyU(df, col("a"), col("v"))
+      .collect().head
+    assert(out.getAs[Long]("n_a") == 3L && out.getAs[Long]("n_b") == 2L)
+    assert(out.getAs[Long]("u2_a") == 4L)
+    assert(out.getAs[Long]("t_ties") == 6L)
+    // z2 = 3*(4-6)^2*5*4 / (3*2*((6*5*4)-6)) = 240/684
+    assert(math.abs(out.getAs[Double]("z2") - 240.0 / 684.0) < 1e-12)
+    assert(out.getAs[Int]("significant") == 0)
+  }
+
+  test("mannWhitneyU: clean separation is significant; degenerate inputs NULL") {
+    val sep = ((1L to 40L).map(v => (true, v)) ++
+      (101L to 140L).map(v => (false, v))).toDF("a", "v")
+    val out = ExperimentOps.mannWhitneyU(sep, col("a"), col("v"))
+      .collect().head
+    assert(out.getAs[Int]("significant") == 1,
+      s"fully separated samples must reject: $out")
+    // one-group-only input: z2 guarded to NULL
+    val solo = (1L to 9L).map(v => (true, v)).toDF("a", "v")
+    val s = ExperimentOps.mannWhitneyU(solo, col("a"), col("v"))
+      .collect().head
+    assert(s.isNullAt(s.fieldIndex("z2")))
+    // all values tied: m = 0 -> NULL
+    val tied = Seq((true, 7L), (true, 7L), (false, 7L), (false, 7L))
+      .toDF("a", "v")
+    val t2 = ExperimentOps.mannWhitneyU(tied, col("a"), col("v"))
+      .collect().head
+    assert(t2.isNullAt(t2.fieldIndex("z2")))
+  }
+
+  test("mannWhitneyU is layout-invariant") {
+    val df = (1 to 500).map(i => (i % 3 == 0, (i * 37L) % 91L)).toDF("a", "v")
+    val a = ExperimentOps.mannWhitneyU(df, col("a"), col("v")).collect().head
+    val b = ExperimentOps.mannWhitneyU(df.repartition(17), col("a"), col("v"))
+      .collect().head
+    assert(a == b)
+  }
 }

@@ -43,6 +43,33 @@ class ModelOpsSpec extends SparkSpec {
     assert(a == b, "moment sums are integer — layout must not matter")
   }
 
+  // --------------------------------------------------------- Zipf fit
+
+  test("zipfFit recovers a planted exponent-1 power law") {
+    // f(rank) = floor(16384 / rank): log2 f = 14 - log2 rank up to
+    // <2^-10 flooring error; the 2^-8 grid adds ≤0.004/pt — the fitted
+    // slope must land within ~1% of -1
+    val docs = (1 to 8).flatMap { r =>
+      Seq.fill(16384 / r)(s"t$r")
+    }.grouped(500).map(_.mkString(" ")).toSeq.toDF("text")
+    val row = ModelOps.zipfFit(docs, col("text"), topRanks = 8)
+      .collect().head
+    assert(row.getAs[Long]("n_ranks") == 8L)
+    val slope = row.getAs[Long]("slope_micro")
+    assert(math.abs(slope + 1000000L) < 10000L,
+      s"planted exponent 1, fitted $slope")
+  }
+
+  test("zipfFit is layout-invariant and heap-bounded") {
+    val docs = (1 to 400).map(i =>
+      (1 to (400 / i)).map(_ => s"w$i").mkString(" ")).toDF("text")
+    val a = ModelOps.zipfFit(docs, col("text")).collect().head
+    val b = ModelOps.zipfFit(docs.repartition(13), col("text")).collect().head
+    assert(a == b)
+    assert(a.getAs[Long]("n_ranks") == 128L)
+    assert(a.getAs[Long]("slope_micro") < 0L, "frequency falls with rank")
+  }
+
   // ------------------------------------------------- Theil-Sen / MK
 
   test("theilSen: hand series — S statistic and lower-median slope") {
