@@ -215,4 +215,90 @@ object ExperimentOps {
       when(col("n_a") > 0 && nB > 0 && m > 0,
         (z2 >= MwZ2Crit).cast("int")).as("significant"))
   }
+
+  // --------------------------------------- Kolmogorov-Smirnov two-sample
+
+  /** c(0.05)² for the two-sample KS rejection rule — 1.358². A shared
+    * literal (computed nowhere), same contract as [[MwZ2Crit]].
+    */
+  val KsC2Crit: Double = 1.844164
+
+  /** Two-sample Kolmogorov-Smirnov test — rejects when the two groups'
+    * empirical CDFs diverge ANYWHERE (shape/spread differences the
+    * rank-sum test is blind to; the standard drift gate between two
+    * data snapshots). Exact-integer core: at every distinct value the
+    * cross-multiplied CDF gap `|cumA·n_b − cumB·n_a|` is an exact long,
+    * and `d_num = max` of it, so D = d_num/(n_a·n_b) needs no floats
+    * until the readout. The rejection rule
+    * `D² ≥ c²·(n_a+n_b)/(n_a·n_b)` cross-multiplies to
+    * `d_num² ≥ c²·(n_a+n_b)·n_a·n_b` — one fixed-order double compare
+    * of exact operands against the shared [[KsC2Crit]] literal.
+    *
+    * Scale shape: identical to [[mannWhitneyU]] — one value-keyed
+    * count aggregate, one cumulative window over the value-DOMAIN-
+    * bounded distinct frame, a 1-row fold.
+    */
+  def ksTest(df: DataFrame, isA: Column, value: Column): DataFrame = {
+    val v = df.select(isA.cast("boolean").as("a"), value.cast("long").as("v"))
+      .filter(col("a").isNotNull && col("v").isNotNull)
+    val byv = v.groupBy("v").agg(
+      sum(col("a").cast("long")).as("ca0"),
+      sum((!col("a")).cast("long")).as("cb0"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byv
+      .withColumn("cum_a", sum(col("ca0")).over(w))
+      .withColumn("cum_b", sum(col("cb0")).over(w))
+      // the gap needs the group totals inside the per-value expression:
+      // totals are the LAST cumulative values — one more bounded-frame
+      // window, no second pass and no 1-row cross join
+      .withColumn("n_a", max(col("cum_a")).over(Window.partitionBy()))
+      .withColumn("n_b", max(col("cum_b")).over(Window.partitionBy()))
+    val gap = cum.agg(
+      coalesce(max(col("n_a")), lit(0L)).as("n_a"),
+      coalesce(max(col("n_b")), lit(0L)).as("n_b"),
+      coalesce(max(abs(col("cum_a") * col("n_b") -
+        col("cum_b") * col("n_a"))), lit(0L)).as("d_num"))
+    val nn = col("n_a") * col("n_b")
+    val dn = col("d_num").cast("double")
+    val reject = dn * dn >= lit(KsC2Crit) *
+      (col("n_a") + col("n_b")).cast("double") * nn.cast("double")
+    gap.select(col("n_a"), col("n_b"), col("d_num"),
+      when(nn > 0, dn / nn.cast("double")).as("d_stat"),
+      when(nn > 0, reject.cast("int")).as("significant"))
+  }
+
+  // ------------------------------------------------------------- ROC AUC
+
+  /** ROC AUC of a long-valued score against a boolean label — computed
+    * as the tie-aware Mann-Whitney statistic (AUC = U⁺/(n₊·n₋), the
+    * probability a random positive outscores a random negative, ties
+    * counting half): the [[mannWhitneyU]] doubled-midrank machinery
+    * verbatim, so `u2_pos = 2·U⁺` is an exact long and AUC is ONE
+    * correctly-rounded division `u2_pos / (2·n_pos·n_neg)`. The metric
+    * every classifier gate reports, with no sort over the corpus — one
+    * value-keyed aggregate and a value-domain-bounded window.
+    */
+  def rocAuc(df: DataFrame, label: Column, score: Column): DataFrame = {
+    val v = df.select(label.cast("boolean").as("a"), score.cast("long").as("v"))
+      .filter(col("a").isNotNull && col("v").isNotNull)
+    val byv = v.groupBy("v").agg(count(lit(1)).as("cnt"),
+      sum(col("a").cast("long")).as("cnt_a"))
+    val cum = byv
+      .withColumn("cum", coalesce(sum(col("cnt")).over(
+        Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val agg = cum.agg(
+      coalesce(sum(col("cnt_a")), lit(0L)).as("n_pos"),
+      coalesce(sum(col("cnt")), lit(0L)).as("n"),
+      coalesce(sum(col("cnt_a") *
+        (lit(2L) * col("cum") + col("cnt") + 1L)), lit(0L)).as("r2p"))
+    val nNeg = col("n") - col("n_pos")
+    val u2 = col("r2p") - col("n_pos") * (col("n_pos") + 1L)
+    agg.select(
+      col("n_pos"), nNeg.as("n_neg"), u2.as("u2_pos"),
+      when(col("n_pos") > 0 && nNeg > 0,
+        u2.cast("double") /
+          (lit(2L) * col("n_pos") * nNeg).cast("double")).as("auc"))
+  }
 }

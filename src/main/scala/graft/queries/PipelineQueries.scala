@@ -4194,7 +4194,27 @@ object PipelineQueries {
         t(s, dir, "customer").filter(
           col("c_mktsegment").isin("BUILDING", "MACHINERY")),
         col("c_mktsegment") === "BUILDING",
-        round(col("c_acctbal") * 100).cast("long")))
+        round(col("c_acctbal") * 100).cast("long"))),
+
+    // Two-sample Kolmogorov-Smirnov drift gate (open vs finished order
+    // values): the cross-multiplied CDF-gap maximum is exact-integer at
+    // every distinct value; the same value-keyed-aggregate + bounded-
+    // window shape as q_mann_whitney — KS catches shape/spread drift
+    // the rank test is blind to.
+    "q_ks_test" -> ((s, dir) =>
+      ExperimentOps.ksTest(
+        t(s, dir, "orders").filter(col("o_orderstatus").isin("O", "F")),
+        col("o_orderstatus") === "O",
+        round(col("o_totalprice") * 100).cast("long"))),
+
+    // ROC AUC of the lexicon quality classifier against the lang='en'
+    // label — AUC as the tie-aware Mann-Whitney statistic (u2/(2·n₊·n₋)),
+    // exact-integer until one closing division; no corpus sort.
+    "q_auc" -> ((s, dir) =>
+      ExperimentOps.rocAuc(
+        t(s, dir, "documents").filter(col("lang").isNotNull),
+        col("lang") === "en",
+        TextOps.classifierMargin(col("text"), qualityLexicon)))
   )
 
   /** Shared daily series for the trend pair (`q_ols_trend`,
@@ -9813,6 +9833,77 @@ object PipelineQueries {
          |  CASE WHEN n_a > 0 AND n_b > 0 AND m > 0
          |       THEN CAST($z2 >= $crit AS INT) END AS significant
          |FROM fin""".stripMargin
+    },
+
+    // Inclusive cumulative CDFs per distinct value, totals as the last
+    // cumulative (whole-frame window), the exact cross-multiplied gap,
+    // the fixed-order double rejection rule.
+    "q_ks_test" -> {
+      val crit = dlit(ExperimentOps.KsC2Crit)
+      s"""WITH v AS (SELECT o_orderstatus = 'O' AS a,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS v
+         |  FROM orders WHERE o_orderstatus IN ('O', 'F')
+         |    AND o_totalprice IS NOT NULL),
+         |byv AS (SELECT v,
+         |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca0,
+         |    CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS cb0
+         |  FROM v GROUP BY v),
+         |cum AS (SELECT v, sum(ca0) OVER wv AS cum_a,
+         |    sum(cb0) OVER wv AS cum_b
+         |  FROM byv WINDOW wv AS (ORDER BY v
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |cum2 AS (SELECT cum_a, cum_b, max(cum_a) OVER () AS n_a,
+         |    max(cum_b) OVER () AS n_b FROM cum),
+         |g AS (SELECT CAST(coalesce(max(n_a), 0) AS BIGINT) AS n_a,
+         |    CAST(coalesce(max(n_b), 0) AS BIGINT) AS n_b,
+         |    CAST(coalesce(max(abs(cum_a * n_b - cum_b * n_a)), 0)
+         |      AS BIGINT) AS d_num
+         |  FROM cum2)
+         |SELECT n_a, n_b, d_num,
+         |  CASE WHEN n_a * n_b > 0
+         |       THEN CAST(d_num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE)
+         |  END AS d_stat,
+         |  CASE WHEN n_a * n_b > 0 THEN CAST(
+         |    CAST(d_num AS DOUBLE) * CAST(d_num AS DOUBLE) >=
+         |      $crit * CAST(n_a + n_b AS DOUBLE) * CAST(n_a * n_b AS DOUBLE)
+         |    AS INT) END AS significant
+         |FROM g""".stripMargin
+    },
+
+    // The q_judge_agreement margin fragment as the score, then the
+    // q_mann_whitney doubled-midrank replay and the single AUC division.
+    "q_auc" -> {
+      val vals = qualityLexicon.toSeq.sortBy(_._1)
+        .map { case (k, v2) => s"('$k', CAST($v2 AS BIGINT))" }.mkString(", ")
+      s"""WITH w(tok, wt) AS (VALUES $vals),
+         |tk AS (SELECT doc_id, unnest(${S.tokens("lower(text)")}) AS tok
+         |       FROM documents),
+         |mm AS (SELECT doc_id, CAST(COALESCE(sum(wt), 0) AS BIGINT)
+         |         AS margin
+         |       FROM tk LEFT JOIN w USING (tok) GROUP BY doc_id),
+         |v AS (SELECT d.lang = 'en' AS a, COALESCE(mm.margin, 0) AS v
+         |      FROM documents d LEFT JOIN mm USING (doc_id)
+         |      WHERE d.lang IS NOT NULL AND d.text IS NOT NULL),
+         |byv AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt,
+         |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a
+         |  FROM v GROUP BY v),
+         |cum AS (SELECT cnt, cnt_a,
+         |    CAST(coalesce(sum(cnt) OVER (ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cum
+         |  FROM byv),
+         |ag AS (SELECT CAST(coalesce(sum(cnt_a), 0) AS BIGINT) AS n_pos,
+         |    CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n,
+         |    CAST(coalesce(sum(cnt_a * (2 * cum + cnt + 1)), 0) AS BIGINT)
+         |      AS r2p
+         |  FROM cum)
+         |SELECT n_pos, CAST(n - n_pos AS BIGINT) AS n_neg,
+         |  CAST(r2p - n_pos * (n_pos + 1) AS BIGINT) AS u2_pos,
+         |  CASE WHEN n_pos > 0 AND n - n_pos > 0
+         |       THEN CAST(r2p - n_pos * (n_pos + 1) AS DOUBLE)
+         |          / CAST(2 * n_pos * (n - n_pos) AS DOUBLE)
+         |  END AS auc
+         |FROM ag""".stripMargin
     },
 
     // Three raters rebuilt from the q_judge_agreement oracle fragments;

@@ -163,6 +163,57 @@ class ExperimentOpsSpec extends SparkSpec {
     assert(t2.isNullAt(t2.fieldIndex("z2")))
   }
 
+  test("ksTest: hand CDFs — exact cross-multiplied gap") {
+    // A = {1, 2, 3}, B = {3, 4}: at v=2 F_A=2/3, F_B=0 -> gap 2/3
+    // d_num = max|cumA*nB - cumB*nA| = |2*2 - 0*3| = 4; D = 4/6
+    val df = Seq((true, 1L), (true, 2L), (true, 3L), (false, 3L), (false, 4L))
+      .toDF("a", "v")
+    val out = ExperimentOps.ksTest(df, col("a"), col("v")).collect().head
+    assert(out.getAs[Long]("n_a") == 3L && out.getAs[Long]("n_b") == 2L)
+    assert(out.getAs[Long]("d_num") == 4L)
+    assert(math.abs(out.getAs[Double]("d_stat") - 4.0 / 6.0) < 1e-12)
+    // tiny samples: 0.444 < c^2*(5)/(6) = 1.54 -> not significant
+    assert(out.getAs[Int]("significant") == 0)
+  }
+
+  test("ksTest: disjoint supports reject at scale; identical samples gap 0") {
+    val sep = ((1L to 200L).map(v => (true, v)) ++
+      (1001L to 1200L).map(v => (false, v))).toDF("a", "v")
+    val s = ExperimentOps.ksTest(sep, col("a"), col("v")).collect().head
+    assert(s.getAs[Long]("d_num") == 200L * 200L, "full separation: D = 1")
+    assert(s.getAs[Int]("significant") == 1)
+    val same = (1L to 50L).flatMap(v => Seq((true, v), (false, v)))
+      .toDF("a", "v")
+    val t2 = ExperimentOps.ksTest(same, col("a"), col("v")).collect().head
+    assert(t2.getAs[Long]("d_num") == 0L)
+    assert(t2.getAs[Int]("significant") == 0)
+    val b = ExperimentOps.ksTest(sep.repartition(13), col("a"), col("v"))
+      .collect().head
+    assert(s == b, "layout-invariant")
+  }
+
+  test("rocAuc: perfect, random-tie, and inverted scorers") {
+    // perfect: every positive outscores every negative -> AUC 1
+    val perfect = ((1L to 10L).map(s0 => (false, s0)) ++
+      (11L to 20L).map(s0 => (true, s0))).toDF("y", "s")
+    val p = ExperimentOps.rocAuc(perfect, col("y"), col("s")).collect().head
+    assert(p.getAs[Double]("auc") == 1.0)
+    // constant scorer: all tied -> AUC exactly 0.5
+    val tied = ((1 to 6).map(i => (i % 2 == 0, 7L))).toDF("y", "s")
+    val t2 = ExperimentOps.rocAuc(tied, col("y"), col("s")).collect().head
+    assert(t2.getAs[Double]("auc") == 0.5)
+    // inverted: AUC 0
+    val inv = ((1L to 10L).map(s0 => (true, s0)) ++
+      (11L to 20L).map(s0 => (false, s0))).toDF("y", "s")
+    val i2 = ExperimentOps.rocAuc(inv, col("y"), col("s")).collect().head
+    assert(i2.getAs[Double]("auc") == 0.0)
+    // hand mid case: pos {3, 1}, neg {2}: pairs (3>2)=1, (1<2)=0 -> 0.5
+    val mid = Seq((true, 3L), (true, 1L), (false, 2L)).toDF("y", "s")
+    val m = ExperimentOps.rocAuc(mid, col("y"), col("s")).collect().head
+    assert(m.getAs[Double]("auc") == 0.5)
+    assert(m.getAs[Long]("u2_pos") == 2L)
+  }
+
   test("mannWhitneyU is layout-invariant") {
     val df = (1 to 500).map(i => (i % 3 == 0, (i * 37L) % 91L)).toDF("a", "v")
     val a = ExperimentOps.mannWhitneyU(df, col("a"), col("v")).collect().head
