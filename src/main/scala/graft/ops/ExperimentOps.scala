@@ -268,6 +268,75 @@ object ExperimentOps {
       when(nn > 0, reject.cast("int")).as("significant"))
   }
 
+  // ---------------------------------------------------- permutation test
+
+  /** Randomization test for a difference in group means — the
+    * distribution-free significance check that needs NO variance
+    * formula (the fallback when even rank-test assumptions are
+    * suspect): re-label every unit with `reps` deterministic splitmix
+    * coins (p = 1/2 random relabeling, the standard large-sample
+    * approximation to exact permutation), recompute the mean difference
+    * per replicate, and report
+    *
+    *   p_micro = (1 + #{|d_rep| ≥ |d_obs|}) · 10^6  div  (reps + 1)
+    *
+    * — the add-one Monte-Carlo p-value as an exact integer. Group sums
+    * stay exact longs; each mean difference is the same fixed two-
+    * division double chain on both engines, and a replicate that lands
+    * one side empty counts as extreme (conservative, and deterministic
+    * either way).
+    *
+    * Scale shape: the `reps`-way explode collapses MAP-SIDE into
+    * `reps` partial-agg groups (the [[EstimatorOps.poissonBootstrapCi]]
+    * distributed-resampling shape — no per-replicate shuffle); the
+    * comparison folds the reps-sized frame.
+    */
+  def permutationTest(
+      rows: DataFrame, id: Column, isA: Column, cents: Column,
+      reps: Int = 64, salt: Int = 97): DataFrame = {
+    require(reps >= 8 && reps <= 4096, s"bad reps: $reps")
+    import graft.expr.BloomExprs
+    val base = rows.select(id.cast("long").as("id"),
+        isA.cast("boolean").as("a"), cents.cast("long").as("c"))
+      .filter(col("a").isNotNull && col("c").isNotNull)
+    def meanDiff(sa: Column, na: Column, sb: Column, nb: Column): Column =
+      sa.cast("double") / na.cast("double") -
+        sb.cast("double") / nb.cast("double")
+    val obs = base.agg(
+      coalesce(sum(when(col("a"), col("c"))), lit(0L)).as("sa"),
+      coalesce(sum(when(col("a"), 1L)), lit(0L)).as("na"),
+      coalesce(sum(when(!col("a"), col("c"))), lit(0L)).as("sb"),
+      coalesce(sum(when(!col("a"), 1L)), lit(0L)).as("nb"))
+    val coin = BloomExprs.splitmixHash(
+      col("id") * lit(1000003L) + col("r"), salt).bitwiseAND(lit(1L))
+    val perRep = base
+      .withColumn("r", explode(sequence(lit(0), lit(reps - 1))))
+      .withColumn("g", coin === 1L)
+      .groupBy("r")
+      .agg(
+        coalesce(sum(when(col("g"), col("c"))), lit(0L)).as("sa"),
+        coalesce(sum(when(col("g"), 1L)), lit(0L)).as("na"),
+        coalesce(sum(when(!col("g"), col("c"))), lit(0L)).as("sb"),
+        coalesce(sum(when(!col("g"), 1L)), lit(0L)).as("nb"))
+    val dRep = when(col("na") > 0 && col("nb") > 0,
+      meanDiff(col("sa"), col("na"), col("sb"), col("nb")))
+    val o = obs.select(
+      (col("na") + col("nb")).as("n_units"),
+      when(col("na") > 0 && col("nb") > 0,
+        meanDiff(col("sa"), col("na"), col("sb"), col("nb"))).as("d_obs"))
+    val extreme = perRep
+      .crossJoin(broadcast(o))
+      .agg(
+        max(col("n_units")).as("n_units"),
+        max(col("d_obs")).as("d_obs"),
+        coalesce(sum(when(dRep.isNull || col("d_obs").isNull ||
+          abs(dRep) >= abs(col("d_obs")), 1L).otherwise(0L)), lit(0L))
+          .as("n_ge"))
+    extreme.select(col("n_units"), lit(reps.toLong).as("n_reps"),
+      col("d_obs"), col("n_ge"),
+      expr(s"((1 + n_ge) * 1000000) div ${reps + 1}").as("p_micro"))
+  }
+
   // ------------------------------------------------------------- ROC AUC
 
   /** ROC AUC of a long-valued score against a boolean label — computed

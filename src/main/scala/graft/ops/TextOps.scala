@@ -318,6 +318,85 @@ object TextOps {
       .drop("hs")
   }
 
+  /** Corpus-wide adjacent-token pair counts `(x, y, c_xy)` — the shared
+    * frame under [[pmiCollocations]] and [[bigramCondEntropy]]: ONE
+    * explode pass collapsing map-side into the (vocab²-bounded, in
+    * practice far sparser) bigram count table. Pairs come from
+    * `zip_with(w[1..n-1], w[2..n])` — row-local, no self-join.
+    */
+  def bigramCounts(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val w = tokens(lower(col(textCol)))
+    val n1 = greatest(size(w) - 1, lit(0))
+    val pairs = zip_with(slice(w, lit(1), n1), slice(w, lit(2), n1),
+      (a, b) => struct(a.as("x"), b.as("y")))
+    docs.select(explode(pairs).as("p"))
+      .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+      .agg(count(lit(1)).as("c_xy"))
+  }
+
+  /** Pointwise-mutual-information collocations (Church & Hanks 1990) —
+    * the adjacent pairs that co-occur far above chance ("new york"-style
+    * multiword units a tokenizer/phrase-miner wants): top `k` bigrams
+    * with `c_xy ≥ minCount` by
+    *
+    *   pmi_fixed = L(c_xy) + L(N) − L(c_x·) − L(c_·y)     (L = log2Fixed)
+    *
+    * with positional marginals (x as left token, y as right) and N the
+    * total bigram count — exact integer algebra end to end; the
+    * min-count floor is the standard guard against PMI's rare-pair
+    * bias.
+    *
+    * Scale shape: marginals and N derive from the bigram COUNT frame
+    * (vocab-bounded — never a corpus re-scan): two broadcast joins plus
+    * one 1-row N attach; the final cut is a k-row TakeOrdered heap.
+    */
+  def pmiCollocations(
+      docs: DataFrame, minCount: Long = 5L, k: Int = 50): DataFrame = {
+    import graft.expr.MathExprs.log2Fixed
+    val bc = bigramCounts(docs)
+    val mx = bc.groupBy("x").agg(sum(col("c_xy")).as("c_x"))
+    val my = bc.groupBy("y").agg(sum(col("c_xy")).as("c_y"))
+    val tot = bc.agg(coalesce(sum(col("c_xy")), lit(0L)).as("n_pairs"))
+    bc.filter(col("c_xy") >= minCount)
+      .join(broadcast(mx), Seq("x"))
+      .join(broadcast(my), Seq("y"))
+      .crossJoin(broadcast(tot))
+      .select(col("x"), col("y"), col("c_xy"), col("c_x"), col("c_y"),
+        (log2Fixed(col("c_xy")) + log2Fixed(col("n_pairs")) -
+          log2Fixed(col("c_x")) - log2Fixed(col("c_y"))).as("pmi_fixed"))
+      .orderBy(col("pmi_fixed").desc, col("x"), col("y"))
+      .limit(k)
+  }
+
+  /** Corpus bigram conditional entropy H(Y|X) — the entropy RATE of the
+    * token stream under a first-order model, the corpus-level
+    * repetitiveness/compressibility signal ([[tokenEntropy]]'s unigram
+    * form says how diverse the vocabulary is; this says how predictable
+    * the NEXT token is — boilerplate-heavy corpora score low):
+    *
+    *   h_num_fixed = Σ_xy c_xy·(L(c_x·) − L(c_xy))   (exact int64 sum)
+    *   h_bits      = h_num_fixed / (N·2^20)          (one division)
+    *
+    * the [[ProfileOps.tokenKlByGroup]] undivided-sum discipline. ONE
+    * row: `(n_pairs, n_contexts, h_num_fixed, h_bits)`.
+    */
+  def bigramCondEntropy(docs: DataFrame): DataFrame = {
+    import graft.expr.MathExprs.log2Fixed
+    val bc = bigramCounts(docs)
+    val mx = bc.groupBy("x").agg(sum(col("c_xy")).as("c_x"))
+    bc.join(broadcast(mx), Seq("x"))
+      .agg(
+        coalesce(sum(col("c_xy")), lit(0L)).as("n_pairs"),
+        countDistinct(col("x")).as("n_contexts"),
+        coalesce(sum(col("c_xy") *
+          (log2Fixed(col("c_x")) - log2Fixed(col("c_xy")))), lit(0L))
+          .as("h_num_fixed"))
+      .withColumn("h_bits",
+        when(col("n_pairs") > 0,
+          col("h_num_fixed").cast("double") /
+            (col("n_pairs") * lit(1048576L)).cast("double")))
+  }
+
   /** Vocabulary coverage curve — the tokenizer-sizing diagnostic: for the
     * top `k` token types by frequency, the cumulative share of ALL token
     * occurrences they cover ("a 32k vocab covers 97.2% of running

@@ -4214,7 +4214,32 @@ object PipelineQueries {
       ExperimentOps.rocAuc(
         t(s, dir, "documents").filter(col("lang").isNotNull),
         col("lang") === "en",
-        TextOps.classifierMargin(col("text"), qualityLexicon)))
+        TextOps.classifierMargin(col("text"), qualityLexicon))),
+
+    // PMI collocations (Church & Hanks 1990): the adjacent pairs that
+    // co-occur far above chance — multiword units a tokenizer/phrase
+    // miner promotes. Exact Log2Fixed algebra over the bigram count
+    // frame; marginals and N never re-scan the corpus; k-row heap cut.
+    "q_pmi_collocations" -> ((s, dir) =>
+      TextOps.pmiCollocations(t(s, dir, "documents"), minCount = 5L, k = 50)),
+
+    // Corpus entropy RATE: bigram conditional entropy H(Y|X) — how
+    // predictable the next token is (boilerplate scores low). The
+    // undivided fixed-point sum discipline of q_source_kl; one closing
+    // division for the bits readout.
+    "q_entropy_rate" -> ((s, dir) =>
+      TextOps.bigramCondEntropy(t(s, dir, "documents"))),
+
+    // Monte-Carlo permutation test on open-vs-finished order values:
+    // 64 deterministic splitmix relabelings folded map-side into 64
+    // partial-agg groups (the distributed-bootstrap shape), add-one
+    // p-value as an exact integer — the significance check that needs
+    // NO variance formula next to q_ab_test / q_mann_whitney.
+    "q_permutation_test" -> ((s, dir) =>
+      ExperimentOps.permutationTest(
+        t(s, dir, "orders").filter(col("o_orderstatus").isin("O", "F")),
+        col("o_orderkey"), col("o_orderstatus") === "O",
+        round(col("o_totalprice") * 100).cast("long")))
   )
 
   /** Shared daily series for the trend pair (`q_ols_trend`,
@@ -9834,6 +9859,111 @@ object PipelineQueries {
          |       THEN CAST($z2 >= $crit AS INT) END AS significant
          |FROM fin""".stripMargin
     },
+
+    // Bigram counts via 1-based list indexing, positional marginals,
+    // log2FixedSql over counts ∪ marginals ∪ N, the identical heap cut.
+    "q_pmi_collocations" ->
+      s"""WITH tw AS (SELECT ${S.tokens("lower(text)")} AS w FROM documents),
+         |bc AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c_xy FROM (
+         |    SELECT w[i] AS x, w[i + 1] AS y
+         |    FROM tw, unnest(range(1, len(w))) AS u(i)) GROUP BY x, y),
+         |mx AS (SELECT x, CAST(sum(c_xy) AS BIGINT) AS c_x
+         |       FROM bc GROUP BY x),
+         |my AS (SELECT y, CAST(sum(c_xy) AS BIGINT) AS c_y
+         |       FROM bc GROUP BY y),
+         |tot AS (SELECT CAST(coalesce(sum(c_xy), 0) AS BIGINT) AS n_pairs
+         |        FROM bc),
+         |vals AS (SELECT DISTINCT v FROM (
+         |    SELECT c_xy AS v FROM bc WHERE c_xy >= 5
+         |    UNION ALL SELECT c_x FROM mx
+         |    UNION ALL SELECT c_y FROM my
+         |    UNION ALL SELECT n_pairs FROM tot WHERE n_pairs >= 1)),
+         |${log2FixedSql("vals")},
+         |sc AS (SELECT bc.x, bc.y, bc.c_xy, mx.c_x, my.c_y,
+         |         lxy.lg + ln.lg - lx.lg - ly.lg AS pmi_fixed
+         |       FROM bc JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
+         |       JOIN lg lxy ON lxy.v = bc.c_xy
+         |       JOIN lg lx ON lx.v = mx.c_x
+         |       JOIN lg ly ON ly.v = my.c_y
+         |       JOIN lg ln ON ln.v = tot.n_pairs
+         |       WHERE bc.c_xy >= 5)
+         |SELECT x, y, c_xy, c_x, c_y, CAST(pmi_fixed AS BIGINT) AS pmi_fixed
+         |FROM sc ORDER BY pmi_fixed DESC, x, y LIMIT 50""".stripMargin,
+
+    // Same bigram/marginal CTEs; the undivided fixed-point sum and the
+    // single closing division.
+    "q_entropy_rate" ->
+      s"""WITH tw AS (SELECT ${S.tokens("lower(text)")} AS w FROM documents),
+         |bc AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c_xy FROM (
+         |    SELECT w[i] AS x, w[i + 1] AS y
+         |    FROM tw, unnest(range(1, len(w))) AS u(i)) GROUP BY x, y),
+         |mx AS (SELECT x, CAST(sum(c_xy) AS BIGINT) AS c_x
+         |       FROM bc GROUP BY x),
+         |vals AS (SELECT DISTINCT v FROM (
+         |    SELECT c_xy AS v FROM bc UNION ALL SELECT c_x FROM mx)),
+         |${log2FixedSql("vals")},
+         |j AS (SELECT bc.c_xy, lx.lg AS lgx, lxy.lg AS lgxy
+         |      FROM bc JOIN mx USING (x)
+         |      JOIN lg lxy ON lxy.v = bc.c_xy
+         |      JOIN lg lx ON lx.v = mx.c_x),
+         |hsum AS (SELECT CAST(coalesce(sum(c_xy), 0) AS BIGINT) AS n_pairs,
+         |         CAST(coalesce(sum(c_xy * (lgx - lgxy)), 0) AS BIGINT)
+         |           AS h_num_fixed
+         |       FROM j),
+         |cx AS (SELECT CAST(count(*) AS BIGINT) AS n_contexts FROM mx)
+         |SELECT hsum.n_pairs, cx.n_contexts, hsum.h_num_fixed,
+         |  CASE WHEN hsum.n_pairs > 0
+         |       THEN CAST(hsum.h_num_fixed AS DOUBLE)
+         |          / CAST(hsum.n_pairs * 1048576 AS DOUBLE) END AS h_bits
+         |FROM hsum, cx""".stripMargin,
+
+    // The splitmix relabeling replayed in HUGEINT (mixSql parity bit),
+    // per-replicate sums, the identical two-division mean chain, the
+    // add-one integer p-value.
+    "q_permutation_test" ->
+      s"""WITH base AS (SELECT o_orderkey AS id, o_orderstatus = 'O' AS a,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS c
+         |  FROM orders WHERE o_orderstatus IN ('O', 'F')
+         |    AND o_totalprice IS NOT NULL),
+         |obs AS (SELECT
+         |    CAST(coalesce(sum(CASE WHEN a THEN c END), 0) AS BIGINT) AS sa,
+         |    CAST(coalesce(sum(CASE WHEN a THEN 1 END), 0) AS BIGINT) AS na,
+         |    CAST(coalesce(sum(CASE WHEN NOT a THEN c END), 0) AS BIGINT)
+         |      AS sb,
+         |    CAST(coalesce(sum(CASE WHEN NOT a THEN 1 END), 0) AS BIGINT)
+         |      AS nb
+         |  FROM base),
+         |o2 AS (SELECT na + nb AS n_units,
+         |    CASE WHEN na > 0 AND nb > 0
+         |         THEN CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+         |            - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) END AS d_obs
+         |  FROM obs),
+         |rp AS (SELECT id, c, t.range AS r FROM base CROSS JOIN range(0, 64) t),
+         |m AS (SELECT c, r,
+         |  ${RefQueries.mixSql("h", "(id::HUGEINT * 1000003 + r) * 2654435761 + 97")}
+         |  FROM rp),
+         |pr AS (SELECT r,
+         |    CAST(coalesce(sum(CASE WHEN hm % 2 = 1 THEN c END), 0)
+         |      AS BIGINT) AS sa,
+         |    CAST(coalesce(sum(CASE WHEN hm % 2 = 1 THEN 1 END), 0)
+         |      AS BIGINT) AS na,
+         |    CAST(coalesce(sum(CASE WHEN hm % 2 = 0 THEN c END), 0)
+         |      AS BIGINT) AS sb,
+         |    CAST(coalesce(sum(CASE WHEN hm % 2 = 0 THEN 1 END), 0)
+         |      AS BIGINT) AS nb
+         |  FROM m GROUP BY r),
+         |dr AS (SELECT CASE WHEN na > 0 AND nb > 0
+         |         THEN CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+         |            - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) END AS d
+         |       FROM pr),
+         |ex AS (SELECT CAST(coalesce(sum(CASE WHEN d IS NULL
+         |           OR o2.d_obs IS NULL OR abs(d) >= abs(o2.d_obs)
+         |         THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_ge
+         |       FROM dr, o2)
+         |SELECT o2.n_units, CAST(64 AS BIGINT) AS n_reps, o2.d_obs,
+         |  ex.n_ge, CAST(((1 + ex.n_ge) * 1000000) // 65 AS BIGINT)
+         |    AS p_micro
+         |FROM o2, ex""".stripMargin,
 
     // Inclusive cumulative CDFs per distinct value, totals as the last
     // cumulative (whole-frame window), the exact cross-multiplied gap,

@@ -50,7 +50,9 @@ class PlanAuditSpec extends SparkSpec {
     "q_source_kl" -> "1-row grand-total attach to the vocabulary-sized (source, token) frame",
     "q_hll_estimate" -> "the 1-row exact-distinct eval frame crosses the 1-row register-summary frame (q_kmv_join_card gate shape)",
     "q_hll_sources" -> "1-row sketch-summary frame crosses the 1-row exact-counts frame (q_hll_estimate shape)",
-    "q_nb_classify" -> "classes x range(64) cross builds the DENSE bucket-count model grid (bounded by construction: buckets x classes, never corpus-sized); scoring joins it by bucket as a broadcast")
+    "q_nb_classify" -> "classes x range(64) cross builds the DENSE bucket-count model grid (bounded by construction: buckets x classes, never corpus-sized); scoring joins it by bucket as a broadcast",
+    "q_pmi_collocations" -> "1-row total-bigram-count attach to the vocab-bounded pair frame (the q_bm25_search N/avgdl shape)",
+    "q_permutation_test" -> "1-row observed-difference attach to the reps-sized replicate frame (the q_kmv_join_card gate shape)")
 
   test("no unlisted query plans a CartesianProduct or BroadcastNestedLoopJoin") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -214,6 +214,30 @@ class ExperimentOpsSpec extends SparkSpec {
     assert(m.getAs[Long]("u2_pos") == 2L)
   }
 
+  test("permutationTest: planted shift rejects, null effect accepts, deterministic") {
+    // strong effect: group A ~ +1000 cents over B
+    val eff = ((1L to 200L).map(i => (i, true, 2000L + (i % 7))) ++
+      (201L to 400L).map(i => (i, false, 1000L + (i % 7))))
+      .toDF("id", "a", "c")
+    val r = ExperimentOps.permutationTest(
+      eff, col("id"), col("a"), col("c")).collect().head
+    assert(r.getAs[Long]("n_units") == 400L)
+    // no relabeling should reproduce a 1000-cent gap: only the +1 smooths
+    assert(r.getAs[Long]("n_ge") == 0L)
+    assert(r.getAs[Long]("p_micro") == 1000000L / 65L)
+    // null effect: identical distributions -> p far from significant
+    val nul = ((1L to 200L).map(i => (i, i % 2 == 0, 1000L + (i % 13))))
+      .toDF("id", "a", "c")
+    val n = ExperimentOps.permutationTest(
+      nul, col("id"), col("a"), col("c")).collect().head
+    assert(n.getAs[Long]("p_micro") > 100000L,
+      s"null effect must not reject: $n")
+    // deterministic under layout
+    val r2 = ExperimentOps.permutationTest(
+      eff.repartition(7), col("id"), col("a"), col("c")).collect().head
+    assert(r == r2)
+  }
+
   test("mannWhitneyU is layout-invariant") {
     val df = (1 to 500).map(i => (i % 3 == 0, (i * 37L) % 91L)).toDF("a", "v")
     val a = ExperimentOps.mannWhitneyU(df, col("a"), col("v")).collect().head

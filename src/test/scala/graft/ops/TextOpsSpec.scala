@@ -158,4 +158,59 @@ class TextOpsSpec extends SparkSpec {
     // empty input -> empty curve, no division error
     assert(TextOps.vocabCoverage(docs.limit(0), col("text"), 5).count() == 0)
   }
+
+  test("bigramCounts: hand pairs, doc boundaries never pair, layout-invariant") {
+    import spark.implicits._
+    val docs = Seq("a b a b", "b a", "c").toDF("text")
+    val got = TextOps.bigramCounts(docs).as[(String, String, Long)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    // doc1: (a,b),(b,a),(a,b); doc2: (b,a); doc3: none
+    assert(got == Map(("a", "b") -> 2L, ("b", "a") -> 2L))
+    val shuffled = TextOps.bigramCounts(docs.repartition(5))
+      .as[(String, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(shuffled == got)
+  }
+
+  test("pmiCollocations: planted collocation tops the list; min-count floor holds") {
+    import spark.implicits._
+    // "new york" always adjacent (planted); "the the" frequent but
+    // independent-ish filler; rare pair "rare gem" (1 occurrence) must
+    // be cut by minCount
+    val docs = (1 to 30).map(i =>
+      s"new york w$i the x${i % 3} the y$i the z${i % 5} the") ++
+      Seq("rare gem")
+    val out = TextOps.pmiCollocations(docs.toDF("text"), minCount = 5L, k = 10)
+      .collect()
+    assert(out.nonEmpty)
+    val top = out.head
+    assert(top.getAs[String]("x") == "new" && top.getAs[String]("y") == "york",
+      s"planted collocation must win: ${out.take(3).mkString(";")}")
+    assert(!out.exists(r => r.getAs[String]("x") == "rare"),
+      "minCount floor must cut singletons")
+    // PMI of a deterministic pair: c_xy = c_x = c_y = 30 ->
+    // pmi = L(30) + L(N) - L(30) - L(30) = L(N) - L(30) > 0
+    assert(top.getAs[Long]("pmi_fixed") > 0L)
+  }
+
+  test("bigramCondEntropy: deterministic stream scores 0; uniform scores log2 k") {
+    import spark.implicits._
+    // 'a b a b ...': every context predicts its successor exactly ->
+    // H(Y|X) = 0
+    val det = Seq(("a b " * 50).trim).toDF("text")
+    val d = TextOps.bigramCondEntropy(det).collect().head
+    assert(d.getAs[Long]("h_num_fixed") == 0L)
+    assert(d.getAs[Double]("h_bits") == 0.0)
+    // context 'a' followed by c/d equally often -> H = 1 bit exactly
+    // (counts are powers of two, so Log2Fixed is exact)
+    val unif = Seq(("a c a d " * 16).trim).toDF("text")
+    val u = TextOps.bigramCondEntropy(unif).collect().head
+    // pairs: (a,c) 16, (a,d) 16, (c,a) 16, (d,a) 15; context a: 32 ->
+    // contributions: 16*(L32-L16)*2 = 32*2^20 from 'a'; c,d contexts 0
+    assert(u.getAs[Long]("n_contexts") == 3L)
+    assert(u.getAs[Long]("h_num_fixed") == 32L * 1048576L)
+    // empty corpus: zero row with NULL bits
+    val e = TextOps.bigramCondEntropy(det.limit(0)).collect().head
+    assert(e.getAs[Long]("n_pairs") == 0L)
+    assert(e.isNullAt(e.fieldIndex("h_bits")))
+  }
 }
