@@ -268,6 +268,48 @@ object ExperimentOps {
       when(nn > 0, reject.cast("int")).as("significant"))
   }
 
+  // ------------------------------------------------- post-stratification
+
+  /** Post-stratified treatment-effect readout: the standard variance-
+    * reduction move when arms are assigned unit-level but the metric
+    * varies strongly by a known covariate — report the A/B mean gap
+    * WITHIN each stratum plus the stratum's population weight, one row
+    * per stratum (the scalar weighted effect is ONE more fold the
+    * consumer — or a 1-row follow-up — applies; emitting rows keeps
+    * every number a function of exact per-stratum longs with single
+    * closing divisions, with no cross-stratum double summation order
+    * to pin).
+    *
+    * Arms ride [[armOf]] (the deterministic portable assignment hash).
+    * Output per stratum: `(stratum, n_a, n_b, mean_a, mean_b, diff,
+    * weight_micro)` with `weight_micro = n_s·10^6 div N`. ONE
+    * map-side-combined aggregate over the fact; the weight join is a
+    * whole-frame window over the strata-sized frame.
+    */
+  def stratifiedEffect(
+      rows: DataFrame, id: Column, stratum: Column,
+      cents: Column): DataFrame = {
+    val base = rows.select(armOf(id, 2).as("arm"), stratum.as("s"),
+        cents.cast("long").as("c"))
+      .filter(col("c").isNotNull)
+    val per = base.groupBy("s").agg(
+      count(when(col("arm") === 0, 1L)).as("n_a"),
+      count(when(col("arm") === 1, 1L)).as("n_b"),
+      coalesce(sum(when(col("arm") === 0, col("c"))), lit(0L)).as("sa"),
+      coalesce(sum(when(col("arm") === 1, col("c"))), lit(0L)).as("sb"))
+    val w = Window.partitionBy()
+    val meanA = when(col("n_a") > 0,
+      col("sa").cast("double") / col("n_a").cast("double"))
+    val meanB = when(col("n_b") > 0,
+      col("sb").cast("double") / col("n_b").cast("double"))
+    per
+      .withColumn("n_total", sum(col("n_a") + col("n_b")).over(w))
+      .select(col("s").as("stratum"), col("n_a"), col("n_b"),
+        meanA.as("mean_a"), meanB.as("mean_b"),
+        (meanA - meanB).as("diff"),
+        expr("((n_a + n_b) * 1000000) div n_total").as("weight_micro"))
+  }
+
   // ---------------------------------------------------- permutation test
 
   /** Randomization test for a difference in group means — the

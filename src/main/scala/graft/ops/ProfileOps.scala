@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Column-level data profiling — the "know your corpus" report every
@@ -424,6 +425,37 @@ object ProfileOps {
       when(col("n") > 0,
         chance.cast("double") / (col("n") * col("n"))).as("pe"),
       when(den > 0, num.cast("double") / den.cast("double")).as("kappa"))
+  }
+
+  /** Herfindahl-Hirschman concentration of a group column — the
+    * one-number "is this corpus dominated by a few sources?" readout a
+    * mixture planner checks before weighting (HHI = Σ share², and
+    * 1/HHI is the effective number of equally-sized sources). Shares
+    * are pre-truncated micro integers (`c·10^6 div N` — the defined
+    * semantics both engines replay exactly), so the sum is order-free:
+    *
+    *   hhi_micro ≈ 10^6·Σ share²      effective = 10^12 / hhi_micro
+    *
+    * ONE map-side-combined count; totals ride the [[graft.ops
+    * .EstimatorOps.looDeltas]] whole-frame window over the groups-sized
+    * frame. NULL group keys count as their own group (a real source
+    * bucket in practice). Output ONE row:
+    * `(n_units, n_groups, hhi_micro, effective_groups_micro)`.
+    */
+  def concentration(df: DataFrame, group: Column): DataFrame = {
+    val per = df.groupBy(group.as("g")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy()
+    per
+      .withColumn("n", sum(col("c")).over(w))
+      .withColumn("share_micro", expr("(c * 1000000) div n"))
+      .agg(
+        coalesce(sum(col("c")), lit(0L)).as("n_units"),
+        count(lit(1)).as("n_groups"),
+        coalesce(expr("sum(share_micro * share_micro) div 1000000"),
+          lit(0L)).as("hhi_micro"))
+      .withColumn("effective_groups_micro",
+        when(col("hhi_micro") > 0,
+          expr("1000000000000 div hhi_micro")))
   }
 
   /** Fleiss' kappa for THREE binary raters (Fleiss 1971) — chance-

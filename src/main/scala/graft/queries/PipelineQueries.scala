@@ -4239,7 +4239,24 @@ object PipelineQueries {
       ExperimentOps.permutationTest(
         t(s, dir, "orders").filter(col("o_orderstatus").isin("O", "F")),
         col("o_orderkey"), col("o_orderstatus") === "O",
-        round(col("o_totalprice") * 100).cast("long")))
+        round(col("o_totalprice") * 100).cast("long"))),
+
+    // Post-stratified A/B readout (variance reduction by a known
+    // covariate): per-stratum arm means + population weights, every
+    // number a single division of exact longs — the scalar weighted
+    // effect is one consumer-side fold, so no cross-stratum double
+    // summation order needs pinning.
+    "q_stratified_effect" -> ((s, dir) =>
+      ExperimentOps.stratifiedEffect(
+        t(s, dir, "orders"), col("o_custkey"), col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long"))),
+
+    // Herfindahl concentration of the corpus by source — the "is this
+    // dominated by a few sources" number (and 1/HHI = effective source
+    // count) a mixture planner reads; pre-truncated micro shares keep
+    // the sum order-free.
+    "q_source_hhi" -> ((s, dir) =>
+      ProfileOps.concentration(t(s, dir, "documents"), col("source")))
   )
 
   /** Shared daily series for the trend pair (`q_ols_trend`,
@@ -9964,6 +9981,51 @@ object PipelineQueries {
          |  ex.n_ge, CAST(((1 + ex.n_ge) * 1000000) // 65 AS BIGINT)
          |    AS p_micro
          |FROM o2, ex""".stripMargin,
+
+    // The q_ab_test affine-arm replay, per-stratum FILTER counts, the
+    // same single divisions, weights via the 1-row totals frame.
+    "q_stratified_effect" ->
+      """WITH b AS (SELECT
+        |    ((((o_custkey % 999999937) * 2654435761 + 104729) % 999999937)
+        |      % 2) AS arm,
+        |    o_orderpriority AS s,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |per AS (SELECT s,
+        |    CAST(count(*) FILTER (WHERE arm = 0) AS BIGINT) AS n_a,
+        |    CAST(count(*) FILTER (WHERE arm = 1) AS BIGINT) AS n_b,
+        |    CAST(coalesce(sum(CASE WHEN arm = 0 THEN c END), 0) AS BIGINT)
+        |      AS sa,
+        |    CAST(coalesce(sum(CASE WHEN arm = 1 THEN c END), 0) AS BIGINT)
+        |      AS sb
+        |  FROM b GROUP BY s),
+        |tot AS (SELECT CAST(sum(n_a + n_b) AS BIGINT) AS n_total FROM per)
+        |SELECT per.s AS stratum, n_a, n_b,
+        |  CASE WHEN n_a > 0
+        |       THEN CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE) END AS mean_a,
+        |  CASE WHEN n_b > 0
+        |       THEN CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE) END AS mean_b,
+        |  mean_a - mean_b AS diff,
+        |  CAST(((n_a + n_b) * 1000000) // n_total AS BIGINT) AS weight_micro
+        |FROM per, tot""".stripMargin,
+
+    // Pre-truncated micro shares, order-free square sum, the same two
+    // integer divisions.
+    "q_source_hhi" ->
+      """WITH per AS (SELECT source AS g, CAST(count(*) AS BIGINT) AS c
+        |             FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM per),
+        |sh AS (SELECT c, (c * 1000000) // n AS share_micro FROM per, tot),
+        |ag AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_units,
+        |    CAST(count(*) AS BIGINT) AS n_groups,
+        |    CAST(coalesce(sum(share_micro * share_micro) // 1000000, 0)
+        |      AS BIGINT) AS hhi_micro
+        |  FROM sh)
+        |SELECT n_units, n_groups, hhi_micro,
+        |  CASE WHEN hhi_micro > 0
+        |       THEN CAST(1000000000000 // hhi_micro AS BIGINT)
+        |  END AS effective_groups_micro
+        |FROM ag""".stripMargin,
 
     // Inclusive cumulative CDFs per distinct value, totals as the last
     // cumulative (whole-frame window), the exact cross-multiplied gap,

@@ -238,6 +238,24 @@ class ExperimentOpsSpec extends SparkSpec {
     assert(r == r2)
   }
 
+  test("stratifiedEffect: exact per-stratum means/weights; planted stratum gap") {
+    // stratum s1 pays +500 in arm 0 only; weights 3:1
+    val rows = (1L to 300L).map(i =>
+      (i, "s1", if (arm(i) == 0) 1500L else 1000L)) ++
+      (301L to 400L).map(i => (i, "s2", 2000L))
+    val out = ExperimentOps.stratifiedEffect(
+      rows.toDF("id", "s", "c"), col("id"), col("s"), col("c"))
+      .collect().map(r => r.getAs[String]("stratum") -> r).toMap
+    val s1 = out("s1")
+    assert(s1.getAs[Double]("mean_a") == 1500.0)
+    assert(s1.getAs[Double]("mean_b") == 1000.0)
+    assert(s1.getAs[Double]("diff") == 500.0)
+    assert(s1.getAs[Long]("weight_micro") == 300L * 1000000L / 400L)
+    val s2 = out("s2")
+    assert(s2.getAs[Double]("diff") == 0.0)
+    assert(s2.getAs[Long]("weight_micro") == 100L * 1000000L / 400L)
+  }
+
   test("mannWhitneyU is layout-invariant") {
     val df = (1 to 500).map(i => (i % 3 == 0, (i * 37L) % 91L)).toDF("a", "v")
     val a = ExperimentOps.mannWhitneyU(df, col("a"), col("v")).collect().head

@@ -264,6 +264,27 @@ class ProfileOpsSpec extends SparkSpec {
     assert(out.getDouble(7) == 1.0)
   }
 
+  test("concentration: uniform, dominated, and single-group cases exact") {
+    import spark.implicits._
+    // 4 equal groups: shares 250000 -> hhi = 4*250000^2/1e6 = 250000;
+    // effective = 1e12/250000 = 4e6 micro = 4.0 groups
+    val unif = (1 to 100).map(i => s"g${i % 4}").toDF("g")
+    val u = ProfileOps.concentration(unif, col("g")).collect().head
+    assert(u.getAs[Long]("n_units") == 100L && u.getAs[Long]("n_groups") == 4L)
+    assert(u.getAs[Long]("hhi_micro") == 250000L)
+    assert(u.getAs[Long]("effective_groups_micro") == 4000000L)
+    // single group: hhi = 1e6, effective exactly 1.0
+    val one = (1 to 7).map(_ => "only").toDF("g")
+    val o = ProfileOps.concentration(one, col("g")).collect().head
+    assert(o.getAs[Long]("hhi_micro") == 1000000L)
+    assert(o.getAs[Long]("effective_groups_micro") == 1000000L)
+    // dominated: 97/100 in one group -> hhi near 1e6, effective < 1.07
+    val dom = ((1 to 97).map(_ => "big") ++ Seq("a", "b", "c")).toDF("g")
+    val d = ProfileOps.concentration(dom, col("g")).collect().head
+    assert(d.getAs[Long]("hhi_micro") > 900000L)
+    assert(d.getAs[Long]("effective_groups_micro") < 1070000L)
+  }
+
   test("fleissKappa3: perfect agreement = 1, hand panel matches the algebra") {
     import spark.implicits._
     val perfect = Seq((1L, 1L, 1L), (0L, 0L, 0L), (1L, 1L, 1L))
