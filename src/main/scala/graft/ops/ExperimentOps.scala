@@ -157,6 +157,52 @@ object ExperimentOps {
 
   // ------------------------------------------------- Mann-Whitney U test
 
+  /** Two-phase distributed prefix sums over a value-keyed count frame —
+    * the [[graft.streaming.EventOps.lateDataReport]] scan shape, reused
+    * for the rank statistics: a naive `Window.orderBy(v)` over the
+    * distinct-value frame is a SinglePartition sort (one task holds
+    * every distinct value — the scale gap the round-8 verdict flagged).
+    * Instead: values bucket by `v DIV bucketWidth` (truncating division
+    * is monotone in v, so buckets are ordered intervals and negatives
+    * are safe); per-bucket totals collapse through ONE map-side-combined
+    * aggregate into a bucket-count-sized frame; the cross-bucket
+    * exclusive prefix (and the grand total) are windows over THAT
+    * metadata-sized frame, broadcast back; the within-bucket running
+    * sums run partitioned by bucket — parallel, each task bounded by
+    * `bucketWidth` distinct values. The distinct frame is scanned once
+    * and shuffled once (by bucket).
+    *
+    * Input must carry a long `v` column plus the long count columns in
+    * `sumCols`. Output keeps every input column and adds, per count
+    * column c: `pre_c` (exact exclusive prefix sum over all strictly
+    * smaller v) and `tot_c` (the exact grand total). All longs — results
+    * are bit-identical to the single-window formulation.
+    */
+  private[ops] def prefixByValue(
+      byv: DataFrame, sumCols: Seq[String],
+      bucketWidth: Long = 4096L): DataFrame = {
+    require(bucketWidth > 0, s"bad bucketWidth: $bucketWidth")
+    val b = byv.withColumn("pfx_b", expr(s"v DIV $bucketWidth"))
+    val crossBucket = Window.orderBy(col("pfx_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val whole = Window.orderBy(col("pfx_b"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val totals = b.groupBy(col("pfx_b")).agg(
+      sum(col(sumCols.head)).as(s"bt_${sumCols.head}"),
+      sumCols.tail.map(c => sum(col(c)).as(s"bt_$c")): _*)
+    val bucketFrame = totals.select(
+      col("pfx_b") +: sumCols.flatMap(c => Seq(
+        coalesce(sum(col(s"bt_$c")).over(crossBucket), lit(0L)).as(s"bp_$c"),
+        sum(col(s"bt_$c")).over(whole).as(s"tot_$c"))): _*)
+    val inBucket = Window.partitionBy(col("pfx_b")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    b.join(broadcast(bucketFrame), "pfx_b")
+      .select(byv.columns.map(col).toSeq ++ sumCols.flatMap(c => Seq(
+        (col(s"bp_$c") +
+          coalesce(sum(col(c)).over(inBucket), lit(0L))).as(s"pre_$c"),
+        col(s"tot_$c"))): _*)
+  }
+
   /** z²-critical value for two-sided α = 0.05: 1.96². Computed nowhere —
     * a shared literal, so both engines compare against the identical
     * double.
@@ -180,21 +226,19 @@ object ExperimentOps {
     * literal.
     *
     * Scale shape: ONE value-keyed count aggregate (map-side combined),
-    * then the cumulative window runs over the DISTINCT-VALUE frame —
-    * bounded by the measurement's value domain (cents of a bounded
-    * metric), not by row count; the final algebra is a 1-row fold.
-    * Degenerate inputs (either group empty, or all values tied) yield
-    * NULL z².
+    * then the cumulative rank sums ride the [[prefixByValue]] two-phase
+    * bucketed prefix scan — no SinglePartition window ever touches the
+    * distinct-value frame, so an unbounded score domain degrades to more
+    * buckets, never to a one-task sort; the final algebra is a 1-row
+    * fold. Degenerate inputs (either group empty, or all values tied)
+    * yield NULL z².
     */
   def mannWhitneyU(df: DataFrame, isA: Column, value: Column): DataFrame = {
     val v = df.select(isA.cast("boolean").as("a"), value.cast("long").as("v"))
       .filter(col("a").isNotNull && col("v").isNotNull)
     val byv = v.groupBy("v").agg(count(lit(1)).as("cnt"),
       sum(col("a").cast("long")).as("cnt_a"))
-    val cum = byv
-      .withColumn("cum", coalesce(sum(col("cnt")).over(
-        Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
+    val cum = prefixByValue(byv, Seq("cnt")).withColumnRenamed("pre_cnt", "cum")
     val agg = cum.agg(
       coalesce(sum(col("cnt_a")), lit(0L)).as("n_a"),
       coalesce(sum(col("cnt")), lit(0L)).as("n"),
@@ -234,9 +278,11 @@ object ExperimentOps {
     * `d_num² ≥ c²·(n_a+n_b)·n_a·n_b` — one fixed-order double compare
     * of exact operands against the shared [[KsC2Crit]] literal.
     *
-    * Scale shape: identical to [[mannWhitneyU]] — one value-keyed
-    * count aggregate, one cumulative window over the value-DOMAIN-
-    * bounded distinct frame, a 1-row fold.
+    * Scale shape: identical to [[mannWhitneyU]] — one value-keyed count
+    * aggregate, then the two CDFs and both group totals all ride ONE
+    * [[prefixByValue]] two-phase bucketed scan (the totals fall out of
+    * the bucket frame for free — no whole-frame window, no second pass,
+    * no 1-row cross join), a 1-row fold.
     */
   def ksTest(df: DataFrame, isA: Column, value: Column): DataFrame = {
     val v = df.select(isA.cast("boolean").as("a"), value.cast("long").as("v"))
@@ -244,21 +290,14 @@ object ExperimentOps {
     val byv = v.groupBy("v").agg(
       sum(col("a").cast("long")).as("ca0"),
       sum((!col("a")).cast("long")).as("cb0"))
-    val w = Window.orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = byv
-      .withColumn("cum_a", sum(col("ca0")).over(w))
-      .withColumn("cum_b", sum(col("cb0")).over(w))
-      // the gap needs the group totals inside the per-value expression:
-      // totals are the LAST cumulative values — one more bounded-frame
-      // window, no second pass and no 1-row cross join
-      .withColumn("n_a", max(col("cum_a")).over(Window.partitionBy()))
-      .withColumn("n_b", max(col("cum_b")).over(Window.partitionBy()))
+    val cum = prefixByValue(byv, Seq("ca0", "cb0"))
+      .withColumn("cum_a", col("pre_ca0") + col("ca0"))
+      .withColumn("cum_b", col("pre_cb0") + col("cb0"))
     val gap = cum.agg(
-      coalesce(max(col("n_a")), lit(0L)).as("n_a"),
-      coalesce(max(col("n_b")), lit(0L)).as("n_b"),
-      coalesce(max(abs(col("cum_a") * col("n_b") -
-        col("cum_b") * col("n_a"))), lit(0L)).as("d_num"))
+      coalesce(max(col("tot_ca0")), lit(0L)).as("n_a"),
+      coalesce(max(col("tot_cb0")), lit(0L)).as("n_b"),
+      coalesce(max(abs(col("cum_a") * col("tot_cb0") -
+        col("cum_b") * col("tot_ca0"))), lit(0L)).as("d_num"))
     val nn = col("n_a") * col("n_b")
     val dn = col("d_num").cast("double")
     val reject = dn * dn >= lit(KsC2Crit) *
@@ -388,17 +427,15 @@ object ExperimentOps {
     * verbatim, so `u2_pos = 2·U⁺` is an exact long and AUC is ONE
     * correctly-rounded division `u2_pos / (2·n_pos·n_neg)`. The metric
     * every classifier gate reports, with no sort over the corpus — one
-    * value-keyed aggregate and a value-domain-bounded window.
+    * value-keyed aggregate and the [[prefixByValue]] two-phase bucketed
+    * prefix scan (no SinglePartition window over the score domain).
     */
   def rocAuc(df: DataFrame, label: Column, score: Column): DataFrame = {
     val v = df.select(label.cast("boolean").as("a"), score.cast("long").as("v"))
       .filter(col("a").isNotNull && col("v").isNotNull)
     val byv = v.groupBy("v").agg(count(lit(1)).as("cnt"),
       sum(col("a").cast("long")).as("cnt_a"))
-    val cum = byv
-      .withColumn("cum", coalesce(sum(col("cnt")).over(
-        Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
+    val cum = prefixByValue(byv, Seq("cnt")).withColumnRenamed("pre_cnt", "cum")
     val agg = cum.agg(
       coalesce(sum(col("cnt_a")), lit(0L)).as("n_pos"),
       coalesce(sum(col("cnt")), lit(0L)).as("n"),

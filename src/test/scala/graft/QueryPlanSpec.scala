@@ -548,6 +548,31 @@ class QueryPlanSpec extends SparkSpec {
       s"no corpus-side sort join:\n$iv")
   }
 
+  test("rank-stat family: no SinglePartition window ever touches the " +
+    "distinct-value frame (two-phase bucketed prefix scan)") {
+    // the round-8 gap: mannWhitneyU/ksTest/rocAuc ran Window.orderBy(v)
+    // over the distinct-value frame — a one-task sort bounded only by a
+    // documented (unenforced) value-domain contract. Now the cumulative
+    // rank sums ride the lateDataReport two-phase scan: the ONLY
+    // unpartitioned windows run over the bucket-collapsed frame (ordered
+    // by pfx_b), and the within-bucket phase is partitioned by pfx_b.
+    for (q <- Seq("q_mann_whitney", "q_ks_test", "q_auc")) {
+      val plan = finalPlan(q)
+      val windows = plan.linesIterator.filter(_.contains("Window ")).toList
+      assert(windows.nonEmpty, s"$q: expected bucket-frame windows:\n$plan")
+      windows.foreach { w =>
+        assert(w.contains("pfx_b#"),
+          s"$q: window must be bucket-scoped (over/by pfx_b), got:\n$w\n$plan")
+      }
+      // the within-bucket cumulative phase runs partition-parallel
+      assert(plan.contains("hashpartitioning(pfx_b"),
+        s"$q: partitioned in-bucket scan expected:\n$plan")
+      // the bucket frame is broadcast back, never sort-merge joined
+      assert(!plan.contains("SortMergeJoin"),
+        s"$q: bucket frame must broadcast:\n$plan")
+    }
+  }
+
   test("bloom index / CMS / entity golden keep their scale shapes") {
     // q_bloom_index: the index and every probe decision are broadcast
     // joins (index and probes are metadata-sized); the only non-hash
