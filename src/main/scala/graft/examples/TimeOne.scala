@@ -9,12 +9,18 @@ object TimeOne {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // comma-separated names share one warm JVM; min-of-3 is the number to
-    // trust on this host (2-5x CPU-steal variance)
+    // trust on this host (2-5x CPU-steal variance). Optional second arg:
+    // the sf dir (default sf0.1) — the sf1.0 scaling sweep passes the
+    // MakeScaledData output here.
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     args(0).split(',').foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       val times = (1 to 3).map { i =>
+        // match Bench's per-query isolation accounting: no run rides a
+        // cached relation left by an earlier run (its own or a sibling's)
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        fn(spark, "/root/testdata/sf0.1").write.mode("overwrite").format("noop").save()
+        fn(spark, dir).write.mode("overwrite").format("noop").save()
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"[timeone] $name run$i $dt%.2f s")
         dt

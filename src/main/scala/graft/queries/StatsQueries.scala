@@ -1,0 +1,1297 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{AssocOps, AudioOps, ContaminationOps, DedupOps, EstimatorOps, ExperimentOps, GraphOps, IndexOps, IvfOps, JoinOps, LakeOps, LatticeKmeans, LmOps, ModelOps, MultimodalOps, PcaOps, PqOps, PrepOps, PrivacyOps, ProfileOps, SamplingOps, SearchOps, SimilarityOps, SketchOps, TextOps}
+import graft.streaming.{EventOps, IngestDedupStream}
+
+import QueryShared._
+
+/** Statistics and evaluation: experiment tests, rank stats, estimators, small models.
+  *
+  * Domain slice of the gated catalog (split out of PipelineQueries
+  * in round 9); assembled and exposed by [[PipelineQueries]].
+  */
+private[queries] object StatsQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Ranking-quality eval: nDCG@10 of the BM25 ranking against binary
+    // contains-all-terms relevance. The 1/log2(rank+1) gains are
+    // pre-rounded ×10⁶ literals (the q_benford no-libm discipline), so
+    // DCG and IDCG are exact longs with ONE closing division. The rank
+    // window runs on ≤10 heap-bounded rows (the q_hybrid_rrf argument);
+    // the final cross is two 1-row eval frames.
+    "q_ndcg" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val terms = Seq("vector", "customer", "stream")
+      val wArr = Seq(1000000L, 630930L, 500000L, 430677L, 386853L,
+        356207L, 333333L, 315465L, 301030L, 289065L)
+      val idcgPrefix = wArr.scanLeft(0L)(_ + _).tail
+      val top = SearchOps
+        .bm25TopK(docs, col("doc_id"), col("text"), terms, k = 10)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))))
+      val rel = docs.select(col("doc_id"),
+        terms.map(tm =>
+            array_contains(TextOps.tokens(lower(col("text"))), tm))
+          .reduce(_ && _).cast("long").as("rel"))
+      val gain = (1 to 10).foldLeft(lit(0L)) { (acc, i) =>
+        when(col("rank") === i, wArr(i - 1)).otherwise(acc)
+      }
+      val dcg = top.join(rel, "doc_id")
+        .agg(coalesce(sum(col("rel") * gain), lit(0L)).as("dcg_micro"))
+      val nRel = rel.agg(coalesce(sum(col("rel")), lit(0L)).as("n_rel"))
+      val idcg = (1 to 10).foldLeft(lit(0L)) { (acc, i) =>
+        when(col("n_rel") >= i, idcgPrefix(i - 1)).otherwise(acc)
+      }
+      nRel.crossJoin(dcg)
+        .select(col("n_rel"), col("dcg_micro"), idcg.as("idcg_micro"),
+          when(idcg > 0, col("dcg_micro").cast("double") / idcg).as("ndcg"))
+    }),
+
+    // Two-proportion z-test over a deterministic hash-split experiment:
+    // arms from the portable affine hash of user_id (no assignment table),
+    // conversion = "purchases >= views" per user, pooled z in a fixed
+    // IEEE chain. Two map-side-combined aggregates; one summary row.
+    "q_ab_test" -> ((s, dir) => {
+      val units = RefQueries.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("nv"))
+      ExperimentOps.abTest(
+        units, col("user_id"), (col("np") >= col("nv")).cast("long"))
+    }),
+
+    // Sample-ratio-mismatch gate: arm counts vs the designed 50/50 split,
+    // chi2 = (n_a - n_b)^2 / n exact-integer until one closing division.
+    // Run BEFORE reading any experiment metric.
+    "q_srm" -> ((s, dir) =>
+      ExperimentOps.srmCheck(
+        RefQueries.events(s, dir).select(col("user_id")).distinct(),
+        col("user_id"))),
+
+    // CUPED variance reduction: pre-period activity (first half of the
+    // month) as the covariate for the post-period purchase count. One
+    // user-grain aggregate + ONE moments pass (12 exact-long sums in a
+    // single map-side-combined aggregate); θ and the adjusted means are
+    // integer moment identities with one closing double division each.
+    "q_cuped" -> ((s, dir) => {
+      val e = RefQueries.events(s, dir)
+      val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+      val units = e.groupBy(col("user_id")).agg(
+        sum(when(col("ts") < cut, 1L).otherwise(0L)).as("x"),
+        sum(when(col("ts") >= cut && col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("y"))
+      ExperimentOps.cuped(units, col("user_id"), col("x"), col("y"))
+    }),
+
+    // Did the language mix shift per source? Per-cell chi-square terms
+    // as exact integer rationals with one closing division each (a
+    // double Σ over cells would be reduction-order-dependent; summing
+    // is the consumer's one cheap step).
+    "q_chisq" -> ((s, dir) =>
+      ProfileOps.chiSquareCells(
+        t(s, dir, "documents"), col("source"), col("lang"))
+        .select(col("a").as("source"), col("b").as("lang"),
+          col("o"), col("e"), col("chi_term"))),
+
+    // Byte-concentration per source: exact rank-formulation Gini in
+    // int64 with one closing division.
+    "q_gini" -> ((s, dir) =>
+      ProfileOps.giniByGroup(
+        t(s, dir, "documents"), col("source"), col("n_chars"))
+        .select(col("group").as("source"), col("n"), col("total"),
+          col("gini"))),
+
+    // Quantity-revenue coupling per return flag: exact integer power
+    // sums, then the fixed double chain (dollars, not cents — the
+    // Σy² headroom note on corrByGroup).
+    "q_correlation" -> ((s, dir) =>
+      ProfileOps.corrByGroup(
+        t(s, dir, "lineitem"), col("l_returnflag"),
+        col("l_quantity"), round(col("l_extendedprice")).cast("long"))
+        .select(col("group").as("l_returnflag"), col("n"), col("r"))),
+
+    // Distinct aggregation (exact).
+    "q_count_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))),
+
+    // Exact distributed percentiles over fixed-point cents (integer
+    // endpoints keep the interpolation arithmetic engine-exact); the
+    // sketch-based scale path is percentile_approx (error-bounded in
+    // SamplingOpsSpec — exact percentile sorts per group, approx merges
+    // constant-size sketches).
+    "q_quantiles" -> ((s, dir) => {
+      val cents = round(col("l_extendedprice") * 100).cast("long")
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        // ONE percentile buffer per group evaluating all three points
+        // (three separate calls would hold three copies of every value)
+        .agg(percentile(cents, array(lit(0.5), lit(0.9), lit(0.99))).as("ps"))
+        .select(col("l_returnflag"),
+          (element_at(col("ps"), 1) / 100).as("p50"),
+          (element_at(col("ps"), 2) / 100).as("p90"),
+          (element_at(col("ps"), 3) / 100).as("p99"))
+    }),
+
+    // The percentile SKETCH (KLL-style: constant-size mergeable buffers,
+    // the 100 TB path where exact percentile would sort every group)
+    // gated with an error-bound oracle, like q_approx_distinct: the
+    // approx p90 must land inside the exact [p85, p95] rank window —
+    // orders of magnitude looser than the sketch's n/accuracy rank
+    // guarantee at accuracy=10000, so the flag is 1 iff the sketch
+    // behaves. Exact legs ride the proven fixed-point-cents arithmetic
+    // (q_quantiles).
+    "q_approx_quantiles" -> ((s, dir) => {
+      val cents = round(col("l_extendedprice") * 100).cast("long")
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile_approx(cents, lit(0.9), lit(10000)).as("ap90"),
+          percentile(cents, array(lit(0.85), lit(0.9), lit(0.95))).as("ps"))
+        .select(col("l_returnflag"),
+          (element_at(col("ps"), 2) / 100).as("p90"),
+          (col("ap90") >= element_at(col("ps"), 1) &&
+            col("ap90") <= element_at(col("ps"), 3))
+            .cast("int").as("within_rank_window"))
+    }),
+
+    // HLL++ sketch distinct (the 100 TB path where exact per-group
+    // count-distinct would shuffle every distinct value). The sketch
+    // value itself is engine-specific, but its ERROR BOUND is not: the
+    // gated output carries the exact distinct count plus a within-5%
+    // flag for the rsd=0.02 sketch (3-sigma margin at 4096 registers), and the oracle asserts the flag is 1
+    // on every group — a hash-matched error-bound oracle. (The exact
+    // leg exists only to express that oracle; the production 100 TB call
+    // is the sketch alone.)
+    "q_approx_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx"),
+          countDistinct(col("l_partkey")).as("nd_parts"),
+          count(lit(1)).as("n_rows"))
+        .select(col("l_returnflag"), col("n_rows"), col("nd_parts"),
+          (abs(col("approx") - col("nd_parts")) <=
+            col("nd_parts") * 0.05).cast("int").as("within_5pct"))),
+
+    // Exact distinct users per event type via the fixed-bitmap aggregate
+    // — the exact complement of q_approx_distinct's HLL: for a BOUNDED
+    // id domain the shuffle moves partitions x groups x maxId/8 bytes of
+    // bitmap (merge = word-wise OR, layout-invariant by construction)
+    // instead of re-shuffling every distinct id the way count(DISTINCT)
+    // does. The oracle IS count(DISTINCT): hash equality proves the
+    // bitmap path exact.
+    "q_bitmap_distinct" -> ((s, dir) =>
+      RefQueries.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(graft.agg.BitmapDistinct
+          .bitmapDistinct(col("user_id"), 1L << 20).as("n_users"))),
+
+    // Equi-depth (quantile-boundary) histogram: the reference's A6
+    // histograms bin over KNOWN fixed edges; feature pipelines bucket by
+    // QUANTILES so every bucket carries equal mass. The three boundaries
+    // are ONE percentile aggregate (driver-collected — bounded at 3
+    // doubles, the IvfOps centroid precedent) re-entering the plan as
+    // literals, so bucket assignment is a row-local codegen'd comparison
+    // chain and the counts are one map-side-combined aggregate. Exact
+    // interpolated percentiles parity with quantile_cont (q_quantiles).
+    "q_equidepth" -> ((s, dir) => {
+      val src = t(s, dir, "orders")
+        .select(round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val eRow = src.agg(percentile(col("cents"),
+          array(lit(0.25), lit(0.5), lit(0.75))).as("e"))
+        .collect()(0)
+      // empty input -> NULL percentile array; the edges are then unused
+      // (the aggregate below emits zero rows) but must still be literals
+      val e = if (eRow.isNullAt(0)) Seq(0.0, 0.0, 0.0)
+        else eRow.getSeq[Double](0)
+      src
+        .withColumn("bucket",
+          when(col("cents") < e(0), 0)
+            .when(col("cents") < e(1), 1)
+            .when(col("cents") < e(2), 2).otherwise(3))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("cents")).as("lo"),
+          max(col("cents")).as("hi"))
+    }),
+
+    // ------------------------------------------- estimation & evaluation
+
+    // Deterministic HyperLogLog: the register table itself (≤256 rows no
+    // matter the corpus — the sketch STATE is the gated artifact, unlike
+    // approx_count_distinct whose HLL++ buffer is engine-private). One
+    // register-sized shuffle; rho rides the integer Log2Fixed msb, never
+    // float log; the oracle regenerates every register from the splitmix
+    // replay in HUGEINT SQL.
+    "q_hll_registers" -> ((s, dir) =>
+      EstimatorOps.hllRegisters(
+        t(s, dir, "orders"), col("o_custkey"), salt = 77)),
+
+    // The folded HLL estimate next to the exact distinct count: the
+    // harmonic sum is exact int64 (rho clipped at RhoCap — see
+    // EstimatorOps), the estimate ONE correctly-rounded IEEE division,
+    // and the ±20% sanity flag uses only exact-representable factors.
+    // The two 1-row frames cross at the end (q_kmv_join_card shape).
+    "q_hll_estimate" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val est = EstimatorOps.hllEstimate(
+        EstimatorOps.hllRegisters(orders, col("o_custkey"), salt = 77))
+      val exact = orders.agg(countDistinct(col("o_custkey")).as("n_exact"))
+      est.crossJoin(exact)
+        .withColumn("within20",
+          (col("est_raw") * lit(5.0) >= col("n_exact").cast("double") * lit(4.0) &&
+            col("est_raw") * lit(5.0) <= col("n_exact").cast("double") * lit(6.0))
+            .cast("int"))
+    }),
+
+    // Poisson bootstrap CI of the mean order value: 64 deterministic
+    // splitmix-keyed Poisson(1) replicates folded map-side into 65
+    // partial-agg groups (the distributed bootstrap — no per-replicate
+    // resample shuffle), order statistics on the replicate-sized frame.
+    // Ranks 2/63 of 64 bracket a ~94% interval.
+    "q_bootstrap_ci" -> ((s, dir) =>
+      EstimatorOps.poissonBootstrapCi(t(s, dir, "orders"),
+        col("o_orderkey"), round(col("o_totalprice") * 100).cast("long"),
+        reps = 64, loRank = 2, hiRank = 63, salt = 421)),
+
+    // Split-conformal 90% prediction interval for order value under the
+    // per-priority mean model: q_hat is the exact ceil((n+1)·0.9)-th
+    // smallest calibration residual via the three-pass bounded selection
+    // (EstimatorOps.kthSmallest — no global sort), coverage checked on
+    // the held-out parity split.
+    "q_conformal" -> ((s, dir) =>
+      EstimatorOps.splitConformal(t(s, dir, "orders"),
+        col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long"),
+        col("o_orderkey") % 2 === 0)),
+
+    // Mean-reciprocal-rank retrieval eval over eight frozen term queries:
+    // rank by exact term frequency (doc_id tie-break), relevance = term
+    // within the first three tokens. The rank window shuffles only
+    // term-matching rows (tf > 0), partitioned by term; gains are the
+    // pre-rounded ×10⁶ literals (q_ndcg discipline). The literal 8-term
+    // frame left-joins the per-term aggregate so termless queries keep
+    // their rr_micro = 0 row.
+    "q_mrr" -> ((s, dir) => {
+      val firstRel = mrrCandidates(s, dir)
+        .withColumn("rank", mrrRank)
+        .filter(col("rank") <= 10 && col("rel"))
+        .groupBy("term")
+        .agg(min(col("rank")).cast("long").as("first_rel_rank"))
+      val rr = MrrGainMicro.zipWithIndex.foldLeft(lit(0L)) {
+        case (els, (g, i)) =>
+          when(col("first_rel_rank") === (i + 1), lit(g)).otherwise(els)
+      }
+      mrrTermsDf(s).join(firstRel, Seq("term"), "left")
+        .select(col("term"), col("first_rel_rank"), rr.as("rr_micro"))
+    }),
+
+    // Mean-average-precision companion to q_mrr on the SAME candidate
+    // frame: AP@10 in exact micro-integers — running relevant-hit counts
+    // over the rank window (term-partitioned, ≤10 rows after the cut),
+    // precision@k as `hits×10⁶ div k`, normalized by min(R, 10) with R
+    // the term's corpus-wide relevant count. Every division is integer;
+    // termless / relevant-free queries keep their zero row.
+    "q_map_eval" -> ((s, dir) => {
+      val cand = mrrCandidates(s, dir)
+      val apNum = cand
+        .withColumn("rank", mrrRank)
+        .filter(col("rank") <= 10)
+        .withColumn("hits", sum(col("rel").cast("long")).over(
+          Window.partitionBy(col("term")).orderBy(col("rank"))))
+        .filter(col("rel"))
+        .withColumn("prec_micro", expr("(hits * 1000000) div rank"))
+        .groupBy("term").agg(sum(col("prec_micro")).as("ap_num"))
+      val nRel = cand.filter(col("rel"))
+        .groupBy("term").agg(count(lit(1)).as("n_rel"))
+      mrrTermsDf(s)
+        .join(nRel, Seq("term"), "left")
+        .join(apNum, Seq("term"), "left")
+        .select(col("term"),
+          coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+          coalesce(expr("ap_num div least(n_rel, 10)"), lit(0L))
+            .as("ap_micro"))
+    }),
+
+    // HLL set algebra over the order-status customer sets: per-status
+    // registers in ONE corpus pass, the union's registers by max-merge
+    // in ONE idx-keyed (≤256-group) shuffle, estimates for A='O', B='F',
+    // A∪B, and the inclusion-exclusion intersection — next to the exact
+    // counts from a single custkey-keyed pass. The two 1-row frames
+    // (sketch summary, exact summary) cross at the end.
+    "q_hll_sources" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderstatus").isin("O", "F"))
+      val byIdx = EstimatorOps
+        .hllRegistersBy(o, col("o_orderstatus"), col("o_custkey"), salt = 77)
+        .groupBy("idx")
+        .agg(max(col("rho")).as("rho_u"),
+          max(when(col("g") === "O", col("rho"))).as("rho_a"),
+          max(when(col("g") === "F", col("rho"))).as("rho_b"))
+      def sp(c: String) = coalesce(sum(expr(
+        s"shiftleft(CAST(1 AS BIGINT), CAST(41 - least($c, 41) AS INT))")),
+        lit(0L))
+      val zm = 1L << EstimatorOps.RhoCap
+      def est(spc: Column, present: Column) =
+        lit(EstimatorOps.HllAlphaNum) /
+          (spc + (lit(256L) - present) * lit(zm)).cast("double")
+      val sk = byIdx.agg(
+        est(sp("rho_a"), count(col("rho_a"))).as("est_a"),
+        est(sp("rho_b"), count(col("rho_b"))).as("est_b"),
+        est(sp("rho_u"), count(col("rho_u"))).as("est_union"))
+        .withColumn("est_intersect",
+          (col("est_a") + col("est_b")) - col("est_union"))
+      val ex = o.groupBy(col("o_custkey"))
+        .agg(max((col("o_orderstatus") === "O").cast("long")).as("ia"),
+          max((col("o_orderstatus") === "F").cast("long")).as("ib"))
+        .agg(sum(col("ia")).as("n_a"), sum(col("ib")).as("n_b"),
+          count(lit(1)).as("n_union"),
+          sum(col("ia") * col("ib")).as("n_intersect"))
+      sk.crossJoin(ex)
+    }),
+
+    // ------------------------------------------------ modeling & inference
+
+    // Closed-form OLS trend of the daily mean event value per type:
+    // "regression is five sums" — ONE map-side-combined moment pass over
+    // the fact, then per-group column algebra. Slope/intercept in exact
+    // micro fixed point (toward-zero divisions; the oracle sign-splits);
+    // x anchors to the table's literal epoch so every moment product
+    // stays far inside int64.
+    "q_ols_trend" -> ((s, dir) =>
+      ModelOps.olsTrend(trendDaily(s, dir),
+        col("g"), col("x"), col("y"))
+        .withColumnRenamed("g", "event_type")),
+
+    // Robust twin of q_ols_trend: Mann-Kendall's S plus the Theil-Sen
+    // lower-median slope over the same daily series. Pairs are emitted
+    // row-locally from each group's calendar-bounded sorted array (never
+    // a self-join); the median window partitions by group over ≤ 31²
+    // pair rows.
+    "q_theilsen" -> ((s, dir) =>
+      ModelOps.theilSen(trendDaily(s, dir),
+        col("g"), col("x"), col("y"))
+        .withColumnRenamed("g", "event_type")),
+
+    // Hashed multinomial Naive Bayes lang classifier: train on even
+    // doc_ids, score the odd half, report the confusion matrix. The
+    // model is the 64-bucket × classes count grid (hashing trick —
+    // vocabulary-independent, broadcast); scores are exact fixed-point
+    // log-likelihoods on Log2Fixed, so the whole fit+predict replays in
+    // SQL.
+    "q_nb_classify" -> ((s, dir) =>
+      ModelOps.naiveBayesConfusion(t(s, dir, "documents"),
+        col("doc_id"), col("lang"), col("text"),
+        col("doc_id") % 2 === 0, buckets = 64)),
+
+    // Bradley-Terry strength leaderboard (the LLM-arena aggregation)
+    // over deterministic length battles: id-contiguous buckets of 8
+    // docs, cross-source pairs inside each bucket, longer text wins.
+    // Three unrolled fixed-point MM rounds on the players²-bounded win
+    // table; every division nonnegative toward-zero (HITS convention).
+    "q_bt_ratings" -> ((s, dir) =>
+      ModelOps.bradleyTerry(
+        ModelOps.lengthBattles(t(s, dir, "documents"),
+          col("doc_id"), col("source"), col("n_chars"), bucketWidth = 8),
+        iters = 3)),
+
+    // Mann-Whitney U rank-sum test (BUILDING vs MACHINERY account
+    // balances): the nonparametric two-sample complement to q_ab_test.
+    // Doubled midranks keep ties exact-integer; the z² readout closes
+    // in a fixed-order double chain against the shared 1.96² literal.
+    "q_mann_whitney" -> ((s, dir) =>
+      ExperimentOps.mannWhitneyU(
+        t(s, dir, "customer").filter(
+          col("c_mktsegment").isin("BUILDING", "MACHINERY")),
+        col("c_mktsegment") === "BUILDING",
+        round(col("c_acctbal") * 100).cast("long"))),
+
+    // Two-sample Kolmogorov-Smirnov drift gate (open vs finished order
+    // values): the cross-multiplied CDF-gap maximum is exact-integer at
+    // every distinct value; the same value-keyed-aggregate + bounded-
+    // window shape as q_mann_whitney — KS catches shape/spread drift
+    // the rank test is blind to.
+    "q_ks_test" -> ((s, dir) =>
+      ExperimentOps.ksTest(
+        t(s, dir, "orders").filter(col("o_orderstatus").isin("O", "F")),
+        col("o_orderstatus") === "O",
+        round(col("o_totalprice") * 100).cast("long"))),
+
+    // ROC AUC of the lexicon quality classifier against the lang='en'
+    // label — AUC as the tie-aware Mann-Whitney statistic (u2/(2·n₊·n₋)),
+    // exact-integer until one closing division; no corpus sort.
+    "q_auc" -> ((s, dir) =>
+      ExperimentOps.rocAuc(
+        t(s, dir, "documents").filter(col("lang").isNotNull),
+        col("lang") === "en",
+        TextOps.classifierMargin(col("text"), qualityLexicon))),
+
+    // Monte-Carlo permutation test on open-vs-finished order values:
+    // 64 deterministic splitmix relabelings folded map-side into 64
+    // partial-agg groups (the distributed-bootstrap shape), add-one
+    // p-value as an exact integer — the significance check that needs
+    // NO variance formula next to q_ab_test / q_mann_whitney.
+    "q_permutation_test" -> ((s, dir) =>
+      ExperimentOps.permutationTest(
+        t(s, dir, "orders").filter(col("o_orderstatus").isin("O", "F")),
+        col("o_orderkey"), col("o_orderstatus") === "O",
+        round(col("o_totalprice") * 100).cast("long"))),
+
+    // Post-stratified A/B readout (variance reduction by a known
+    // covariate): per-stratum arm means + population weights, every
+    // number a single division of exact longs — the scalar weighted
+    // effect is one consumer-side fold, so no cross-stratum double
+    // summation order needs pinning.
+    "q_stratified_effect" -> ((s, dir) =>
+      ExperimentOps.stratifiedEffect(
+        t(s, dir, "orders"), col("o_custkey"), col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long"))),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    // Same BM25 scoring text cut at 10, gains/prefixes the identical
+    // ×10⁶ literals, one closing division.
+    "q_ndcg" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, toks,
+         |         CAST(len(toks) AS DOUBLE) AS dl,
+         |         CAST(len(list_filter(toks, t -> t = 'vector')) AS DOUBLE) AS tf0,
+         |         CAST(len(list_filter(toks, t -> t = 'customer')) AS DOUBLE) AS tf1,
+         |         CAST(len(list_filter(toks, t -> t = 'stream')) AS DOUBLE) AS tf2
+         |  FROM (SELECT doc_id, ${S.tokens("lower(text)")} AS toks FROM documents)),
+         |s AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) AS sumdl,
+         |         CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+         |         CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+         |         CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+         |  FROM d),
+         |top AS (
+         |  SELECT doc_id, rank FROM (
+         |    SELECT doc_id, score,
+         |      row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+         |    FROM (
+         |      SELECT doc_id,
+         |        ((n - df0 + 0.5) / (df0 + 0.5)) * (tf0 * 2.25) / (tf0 + 1.25 * (0.25 + 0.75 * dl / (sumdl / n)))
+         |      + ((n - df1 + 0.5) / (df1 + 0.5)) * (tf1 * 2.25) / (tf1 + 1.25 * (0.25 + 0.75 * dl / (sumdl / n)))
+         |      + ((n - df2 + 0.5) / (df2 + 0.5)) * (tf2 * 2.25) / (tf2 + 1.25 * (0.25 + 0.75 * dl / (sumdl / n)))
+         |        AS score
+         |      FROM d, s)
+         |    WHERE score > 0)
+         |  WHERE rank <= 10),
+         |rel AS (
+         |  SELECT doc_id,
+         |    CAST(list_contains(toks, 'vector') AND list_contains(toks, 'customer')
+         |      AND list_contains(toks, 'stream') AS BIGINT) AS rel
+         |  FROM d),
+         |g AS (
+         |  SELECT CAST(COALESCE(sum(r.rel * CASE rank
+         |    WHEN 1 THEN 1000000 WHEN 2 THEN 630930 WHEN 3 THEN 500000
+         |    WHEN 4 THEN 430677 WHEN 5 THEN 386853 WHEN 6 THEN 356207
+         |    WHEN 7 THEN 333333 WHEN 8 THEN 315465 WHEN 9 THEN 301030
+         |    WHEN 10 THEN 289065 END), 0) AS BIGINT) AS dcg_micro
+         |  FROM top JOIN rel r USING (doc_id)),
+         |nr AS (SELECT CAST(COALESCE(sum(rel), 0) AS BIGINT) AS n_rel FROM rel),
+         |i AS (
+         |  SELECT n_rel, CAST(CASE
+         |    WHEN n_rel >= 10 THEN 4543560 WHEN n_rel = 9 THEN 4254495
+         |    WHEN n_rel = 8 THEN 3953465 WHEN n_rel = 7 THEN 3638000
+         |    WHEN n_rel = 6 THEN 3304667 WHEN n_rel = 5 THEN 2948460
+         |    WHEN n_rel = 4 THEN 2561607 WHEN n_rel = 3 THEN 2130930
+         |    WHEN n_rel = 2 THEN 1630930 WHEN n_rel = 1 THEN 1000000
+         |    ELSE 0 END AS BIGINT) AS idcg_micro
+         |  FROM nr)
+         |SELECT n_rel, dcg_micro, idcg_micro,
+         |  CASE WHEN idcg_micro > 0
+         |    THEN CAST(dcg_micro AS DOUBLE) / idcg_micro END AS ndcg
+         |FROM i, g""".stripMargin,
+
+    // Error-bound oracle: the exact p90 leg must hash-match and the
+    // sketch must sit inside the exact [p85, p95] window on every group.
+    "q_approx_quantiles" ->
+      """SELECT l_returnflag,
+        | quantile_cont(cents, 0.9) / 100 AS p90,
+        | CAST(1 AS INT) AS within_rank_window
+        |FROM (SELECT l_returnflag,
+        |        CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |      FROM lineitem)
+        |GROUP BY l_returnflag""".stripMargin,
+
+    // Error-bound oracle: DuckDB contributes the exact distinct counts
+    // and asserts within_5pct = 1; the hash compare fails iff Spark's
+    // rsd=0.02 HLL++ estimate strays past 5% on any group.
+    "q_approx_distinct" ->
+      """SELECT l_returnflag,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS nd_parts,
+        |       CAST(1 AS INT) AS within_5pct
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // Verbatim twin of ExperimentOps.abTest: same affine-hash arm split,
+    // same fixed IEEE chain for the pooled z (/, *, sqrt are all
+    // correctly rounded, so the statistic is bit-identical).
+    "q_ab_test" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    count(*) FILTER (WHERE event_type = 'purchase') AS np,
+        |    count(*) FILTER (WHERE event_type = 'view') AS nv
+        |  FROM events GROUP BY 1),
+        |a AS (
+        |  SELECT
+        |    ((((user_id % 999999937) * 2654435761 + 104729) % 999999937)
+        |      % 2) AS arm,
+        |    CASE WHEN np >= nv THEN 1 ELSE 0 END AS converted
+        |  FROM u),
+        |s AS (
+        |  SELECT
+        |    CAST(count(*) FILTER (WHERE arm = 0) AS BIGINT) AS users_a,
+        |    CAST(count(*) FILTER (WHERE arm = 1) AS BIGINT) AS users_b,
+        |    CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END)
+        |      AS BIGINT) AS conv_a,
+        |    CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END)
+        |      AS BIGINT) AS conv_b
+        |  FROM a),
+        |r AS (
+        |  SELECT *,
+        |    CASE WHEN users_a > 0 THEN conv_a / users_a END AS rate_a,
+        |    CASE WHEN users_b > 0 THEN conv_b / users_b END AS rate_b,
+        |    CASE WHEN users_a + users_b > 0
+        |      THEN (conv_a + conv_b) / (users_a + users_b) END AS pool
+        |  FROM s)
+        |SELECT users_a, users_b, conv_a, conv_b, rate_a, rate_b,
+        |  CASE WHEN users_a > 0 AND users_b > 0
+        |        AND pool > 0.0 AND pool < 1.0
+        |    THEN (rate_a - rate_b) / sqrt(pool * (1.0 - pool)
+        |      * (1.0 / users_a + 1.0 / users_b))
+        |  END AS z
+        |FROM r""".stripMargin,
+
+    // Same affine arm split; chi2 chain mirrors ExperimentOps.srmCheck.
+    "q_srm" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |a AS (
+        |  SELECT ((((user_id % 999999937) * 2654435761 + 104729)
+        |    % 999999937) % 2) AS arm FROM u),
+        |s AS (
+        |  SELECT CAST(count(*) FILTER (WHERE arm = 0) AS BIGINT) AS users_a,
+        |    CAST(count(*) FILTER (WHERE arm = 1) AS BIGINT) AS users_b
+        |  FROM a)
+        |SELECT users_a, users_b,
+        |  CASE WHEN users_a + users_b > 0
+        |    THEN CAST((users_a - users_b) * (users_a - users_b) AS DOUBLE)
+        |      / (users_a + users_b) END AS chi2,
+        |  CAST(CASE WHEN users_a + users_b > 0
+        |    THEN CAST((users_a - users_b) * (users_a - users_b) AS DOUBLE)
+        |      / (users_a + users_b) > 3.841 END AS INTEGER) AS srm_suspect
+        |FROM s""".stripMargin,
+
+    // Verbatim twin of ExperimentOps.cuped: same integer moment
+    // identities, same closing-division order.
+    "q_cuped" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    count(*) FILTER (WHERE ts < TIMESTAMP '2024-01-16') AS x,
+        |    count(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-16'
+        |      AND event_type = 'purchase') AS y
+        |  FROM events GROUP BY 1),
+        |a AS (
+        |  SELECT ((((user_id % 999999937) * 2654435761 + 104729)
+        |    % 999999937) % 2) AS arm, x, y FROM u),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy,
+        |    CAST(count(*) FILTER (WHERE arm = 0) AS BIGINT) AS n_a,
+        |    CAST(count(*) FILTER (WHERE arm = 1) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS sx_a,
+        |    CAST(sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS sx_b,
+        |    CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS sy_a,
+        |    CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_b
+        |  FROM a),
+        |d AS (
+        |  SELECT *,
+        |    CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+        |    CAST(n * sxx - sx * sx AS DOUBLE) AS denx,
+        |    CAST(n * syy - sy * sy AS DOUBLE) AS deny
+        |  FROM m),
+        |t AS (
+        |  SELECT *, CASE WHEN n > 0 THEN
+        |    (CASE WHEN denx > 0 THEN num / denx ELSE 0.0 END) END AS theta
+        |  FROM d)
+        |SELECT n_a, n_b, theta,
+        |  CASE WHEN n_a > 0 THEN CAST(sy_a AS DOUBLE) / n_a END AS mean_y_a,
+        |  CASE WHEN n_b > 0 THEN CAST(sy_b AS DOUBLE) / n_b END AS mean_y_b,
+        |  CASE WHEN n_a > 0 THEN CAST(sy_a AS DOUBLE) / n_a
+        |    - theta * (CAST(sx_a AS DOUBLE) / n_a - CAST(sx AS DOUBLE) / n)
+        |  END AS mean_adj_a,
+        |  CASE WHEN n_b > 0 THEN CAST(sy_b AS DOUBLE) / n_b
+        |    - theta * (CAST(sx_b AS DOUBLE) / n_b - CAST(sx AS DOUBLE) / n)
+        |  END AS mean_adj_b,
+        |  CASE WHEN denx > 0 AND deny > 0
+        |    THEN num * num / (denx * deny) END AS var_reduction
+        |FROM t""".stripMargin,
+
+    // Same exact rational per cell: (o·N − r·c)² / (N·r·c), margins via
+    // windows over the cell frame.
+    "q_chisq" ->
+      """WITH cells AS (
+        |  SELECT source AS a, lang AS b, CAST(count(*) AS BIGINT) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |m AS (
+        |  SELECT a, b, o,
+        |    CAST(sum(o) OVER (PARTITION BY a) AS BIGINT) AS r,
+        |    CAST(sum(o) OVER (PARTITION BY b) AS BIGINT) AS c,
+        |    CAST(sum(o) OVER () AS BIGINT) AS n
+        |  FROM cells)
+        |SELECT a AS source, b AS lang, o,
+        |  CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE) AS e,
+        |  CAST((o*n - r*c) * (o*n - r*c) AS DOUBLE)
+        |    / CAST(n * r * c AS DOUBLE) AS chi_term
+        |FROM m""".stripMargin,
+
+    // Same rank formulation; ties across equal values cannot move the
+    // i·x sum, so the arbitrary tie order is harmless on both engines.
+    "q_gini" ->
+      """WITH rk AS (
+        |  SELECT source, n_chars,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY source ORDER BY n_chars) AS BIGINT) AS i
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS total,
+        |  CASE WHEN sum(n_chars) > 0 THEN
+        |    CAST(2*sum(i*n_chars) - (count(*)+1)*sum(n_chars) AS DOUBLE)
+        |      / CAST(count(*)*sum(n_chars) AS DOUBLE)
+        |  ELSE NULL END AS gini
+        |FROM rk GROUP BY source""".stripMargin,
+
+    // Same five power sums, same double chain.
+    "q_correlation" ->
+      """WITH s AS (
+        |  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice) AS BIGINT) AS y
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x*y) AS BIGINT) AS sxy,
+        |    CAST(sum(x*x) AS BIGINT) AS sxx,
+        |    CAST(sum(y*y) AS BIGINT) AS syy
+        |  FROM s GROUP BY g)
+        |SELECT g AS l_returnflag, n,
+        |  CASE WHEN CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+        |              - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) > 0
+        |        AND CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+        |              - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE) > 0 THEN
+        |    (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+        |       - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+        |    / sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+        |              - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+        |           * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+        |              - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))
+        |  END AS r
+        |FROM a""".stripMargin,
+
+    "q_quantiles" ->
+      """SELECT l_returnflag,
+        | quantile_cont(cents, 0.5) / 100 AS p50,
+        | quantile_cont(cents, 0.9) / 100 AS p90,
+        | quantile_cont(cents, 0.99) / 100 AS p99
+        |FROM (SELECT l_returnflag,
+        |        CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |      FROM lineitem)
+        |GROUP BY l_returnflag""".stripMargin,
+
+    "q_count_distinct" ->
+      """SELECT l_returnflag,
+        | CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        | CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+        | CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_bitmap_distinct" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_equidepth" ->
+      """WITH src AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |ed AS (SELECT quantile_cont(cents, [0.25, 0.5, 0.75]) AS e FROM src),
+        |b AS (SELECT cents,
+        |        CASE WHEN cents < e[1] THEN 0 WHEN cents < e[2] THEN 1
+        |             WHEN cents < e[3] THEN 2 ELSE 3 END AS bucket
+        |      FROM src, ed)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+        |  min(cents) AS lo, max(cents) AS hi
+        |FROM b GROUP BY 1""".stripMargin,
+
+    // Every register regenerated from scratch: the splitmix chain in
+    // HUGEINT mod-2^64 SQL (RefQueries.mixSql — the identical replay
+    // family as q_bloom_index), idx/w as unsigned div/mod by 2^56, msb
+    // from bin() string length (no leading zeros — the log2FixedSql
+    // convention), max per register.
+    "q_hll_registers" ->
+      s"""WITH m AS (
+         |  SELECT ${RefQueries.mixSql("h", "o_custkey::HUGEINT * 2654435761 + 77")}
+         |  FROM orders),
+         |r0 AS (SELECT hm // 72057594037927936 AS idx,
+         |              (hm % 72057594037927936)::BIGINT AS w FROM m)
+         |SELECT idx::BIGINT AS idx,
+         |  CAST(max(CASE WHEN w = 0 THEN 57
+         |           ELSE 56 - (length(bin(w)) - 1) END) AS BIGINT) AS rho
+         |FROM r0 GROUP BY idx""".stripMargin,
+
+    // Same register build, folded: the clipped harmonic sum in exact
+    // int64 (absent registers contribute 2^RhoCap), ONE division by the
+    // shared HllAlphaNum literal, and the ±20% flag from
+    // exact-representable factors only.
+    "q_hll_estimate" -> {
+      val zm = 1L << EstimatorOps.RhoCap
+      val a = dlit(EstimatorOps.HllAlphaNum)
+      val sTot = s"sp + (256 - present) * $zm"
+      s"""WITH m AS (
+         |  SELECT ${RefQueries.mixSql("h", "o_custkey::HUGEINT * 2654435761 + 77")}
+         |  FROM orders),
+         |r0 AS (SELECT hm // 72057594037927936 AS idx,
+         |              (hm % 72057594037927936)::BIGINT AS w FROM m),
+         |reg AS (SELECT idx,
+         |          max(CASE WHEN w = 0 THEN 57
+         |              ELSE 56 - (length(bin(w)) - 1) END) AS rho
+         |        FROM r0 GROUP BY idx),
+         |e AS (SELECT CAST(count(*) AS BIGINT) AS present,
+         |        CAST(coalesce(sum(
+         |          1::BIGINT << CAST(${EstimatorOps.RhoCap} -
+         |            least(rho, ${EstimatorOps.RhoCap}) AS INT)), 0) AS BIGINT)
+         |          AS sp
+         |      FROM reg),
+         |x AS (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact
+         |      FROM orders)
+         |SELECT CAST(256 AS BIGINT) AS m,
+         |  CAST(256 - present AS BIGINT) AS v_zero,
+         |  CAST($sTot AS BIGINT) AS s_scaled,
+         |  $a / CAST($sTot AS DOUBLE) AS est_raw,
+         |  n_exact,
+         |  CAST(($a / CAST($sTot AS DOUBLE)) * CAST(5 AS DOUBLE)
+         |         >= CAST(n_exact AS DOUBLE) * CAST(4 AS DOUBLE)
+         |   AND ($a / CAST($sTot AS DOUBLE)) * CAST(5 AS DOUBLE)
+         |         <= CAST(n_exact AS DOUBLE) * CAST(6 AS DOUBLE) AS INT)
+         |    AS within20
+         |FROM e, x""".stripMargin
+    },
+
+    // Per-(row, replicate) splitmix draw replayed in HUGEINT, the
+    // Poisson(1) CDF ladder on the SAME double literals, replicate
+    // means as the identical two-division IEEE chain, rank via the
+    // point-row-first ordering.
+    "q_bootstrap_ci" -> {
+      val ladder = EstimatorOps.PoissonCdf1.zipWithIndex
+        .map { case (th, i) => s"WHEN hu < ${dlit(th)} THEN $i" }
+        .mkString(" ")
+      s"""WITH x AS (SELECT o_orderkey AS id,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+         |rp AS (SELECT id, c, t.range AS r FROM x CROSS JOIN range(-1, 64) t),
+         |m AS (SELECT id, c, r,
+         |  ${RefQueries.mixSql("h", "(id::HUGEINT * 1000003 + r) * 2654435761 + 421")}
+         |  FROM rp),
+         |w AS (SELECT r, c,
+         |    CASE WHEN r = -1 THEN 1 $ladder ELSE 7 END AS w FROM m),
+         |pr AS (SELECT r,
+         |    CASE WHEN sum(w) > 0
+         |         THEN CAST(sum(w * c) AS DOUBLE) / CAST(sum(w) AS DOUBLE)
+         |              / CAST(100 AS DOUBLE)
+         |    END AS mean
+         |  FROM w GROUP BY r),
+         |rk AS (SELECT r, mean, row_number() OVER (
+         |    ORDER BY (r <> -1), mean NULLS LAST, r) AS rk FROM pr)
+         |SELECT CAST(64 AS BIGINT) AS n_reps,
+         |  max(CASE WHEN rk = 1 THEN mean END) AS point_mean,
+         |  max(CASE WHEN rk = 3 THEN mean END) AS ci_lo,
+         |  max(CASE WHEN rk = 64 THEN mean END) AS ci_hi
+         |FROM rk""".stripMargin
+    },
+
+    // The conformal replay: integer-division group means, residual rank
+    // via row_number (the VALUE at sorted position k is tie-order-proof),
+    // k = ceil((n+1)·0.9) in pure integer arithmetic, coverage as one
+    // division. Null-residual rows (nulled-input sweeps) are excluded on
+    // both sides.
+    "q_conformal" ->
+      s"""WITH b AS (SELECT o_orderpriority AS g,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS y,
+         |    o_orderkey % 2 = 0 AS cal FROM orders),
+         |p AS (SELECT g, CAST(sum(y) // count(*) AS BIGINT) AS pred
+         |      FROM b WHERE cal AND y IS NOT NULL GROUP BY g),
+         |j AS (SELECT b.cal, abs(b.y - p.pred) AS r
+         |      FROM b JOIN p USING (g) WHERE b.y IS NOT NULL),
+         |kk AS (SELECT CAST(count(*) AS BIGINT) AS n_cal,
+         |    CAST(least(((count(*) + 1) * 9 + 9) // 10, count(*)) AS BIGINT)
+         |      AS k_rank
+         |  FROM j WHERE cal),
+         |q AS (SELECT s.r AS q_hat FROM
+         |    (SELECT r, row_number() OVER (ORDER BY r) AS rn
+         |     FROM j WHERE cal) s
+         |    JOIN kk ON s.rn = kk.k_rank),
+         |tt AS (SELECT CAST(count(*) AS BIGINT) AS n_test,
+         |    CAST(sum(CASE WHEN r <= q.q_hat THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS covered
+         |  FROM j, q WHERE NOT cal)
+         |SELECT kk.n_cal, kk.k_rank, q.q_hat AS q_hat_cents, tt.n_test,
+         |  tt.covered,
+         |  CASE WHEN tt.n_test > 0
+         |       THEN CAST(tt.covered AS DOUBLE) / CAST(tt.n_test AS DOUBLE)
+         |  END AS coverage
+         |FROM kk, q, tt""".stripMargin,
+
+    // Term-frequency ranking, first-relevant rank, the same ×10⁶ gain
+    // literals — the engine's exact pipeline in SQL, with the VALUES
+    // term frame left-joined so termless queries keep their zero row.
+    "q_mrr" -> {
+      val termsVals = MrrTerms.map(tm => s"('$tm')").mkString(", ")
+      val gains = MrrGainMicro.zipWithIndex
+        .map { case (g, i) => s"WHEN ${i + 1} THEN $g" }.mkString(" ")
+      s"""WITH d AS (SELECT doc_id, ${S.tokens("lower(text)")} AS tk
+         |           FROM documents),
+         |tq(term) AS (VALUES $termsVals),
+         |f AS (SELECT doc_id, term,
+         |        CAST(len(list_filter(tk, x -> x = term)) AS BIGINT) AS tf,
+         |        list_contains(tk[1:3], term) AS rel
+         |      FROM d CROSS JOIN tq
+         |      WHERE len(list_filter(tk, x -> x = term)) > 0),
+         |r AS (SELECT term, rel, row_number() OVER (
+         |        PARTITION BY term ORDER BY tf DESC, doc_id) AS rank FROM f),
+         |fr AS (SELECT term, CAST(min(rank) AS BIGINT) AS first_rel_rank
+         |       FROM r WHERE rel AND rank <= 10 GROUP BY term)
+         |SELECT tq.term, fr.first_rel_rank,
+         |  CAST(coalesce(CASE fr.first_rel_rank $gains END, 0) AS BIGINT)
+         |    AS rr_micro
+         |FROM tq LEFT JOIN fr ON fr.term = tq.term""".stripMargin
+    },
+
+    // Same ranking CTEs as q_mrr, plus the running relevant-hit window
+    // and the two integer divisions (prec@k, the min(R,10) normalizer).
+    "q_map_eval" -> {
+      val termsVals = MrrTerms.map(tm => s"('$tm')").mkString(", ")
+      s"""WITH d AS (SELECT doc_id, ${S.tokens("lower(text)")} AS tk
+         |           FROM documents),
+         |tq(term) AS (VALUES $termsVals),
+         |f AS (SELECT doc_id, term,
+         |        CAST(len(list_filter(tk, x -> x = term)) AS BIGINT) AS tf,
+         |        list_contains(tk[1:3], term) AS rel
+         |      FROM d CROSS JOIN tq
+         |      WHERE len(list_filter(tk, x -> x = term)) > 0),
+         |r AS (SELECT term, rel, row_number() OVER (
+         |        PARTITION BY term ORDER BY tf DESC, doc_id) AS rank FROM f),
+         |h AS (SELECT term, rel, rank,
+         |        sum(CASE WHEN rel THEN 1 ELSE 0 END) OVER (
+         |          PARTITION BY term ORDER BY rank) AS hits
+         |      FROM r WHERE rank <= 10),
+         |ap AS (SELECT term, sum((hits * 1000000) // rank) AS ap_num
+         |       FROM h WHERE rel GROUP BY term),
+         |nr AS (SELECT term, CAST(count(*) AS BIGINT) AS n_rel
+         |       FROM f WHERE rel GROUP BY term)
+         |SELECT tq.term, coalesce(nr.n_rel, 0) AS n_rel,
+         |  CAST(coalesce(ap.ap_num // least(nr.n_rel, 10), 0) AS BIGINT)
+         |    AS ap_micro
+         |FROM tq LEFT JOIN nr ON nr.term = tq.term
+         |        LEFT JOIN ap ON ap.term = tq.term""".stripMargin
+    },
+
+    // Grouped register build (one pass), idx-keyed max-merge for the
+    // union, conditional harmonic folds for all three sets, the
+    // inclusion-exclusion subtraction in the SAME operation order, and
+    // the exact custkey-keyed flags.
+    "q_hll_sources" -> {
+      val zm = 1L << EstimatorOps.RhoCap
+      val a = dlit(EstimatorOps.HllAlphaNum)
+      def spSql(c: String) =
+        s"coalesce(sum(1::BIGINT << CAST(41 - least($c, 41) AS INT)), 0)"
+      def estSql(s0: String, p: String) =
+        s"$a / CAST($s0 + (256 - $p) * $zm AS DOUBLE)"
+      s"""WITH o AS (SELECT o_custkey, o_orderstatus FROM orders
+         |           WHERE o_orderstatus IN ('O', 'F')),
+         |m AS (SELECT o_orderstatus AS g,
+         |  ${RefQueries.mixSql("h", "o_custkey::HUGEINT * 2654435761 + 77")}
+         |  FROM o),
+         |r0 AS (SELECT g, hm // 72057594037927936 AS idx,
+         |              (hm % 72057594037927936)::BIGINT AS w FROM m),
+         |reg AS (SELECT g, idx,
+         |          max(CASE WHEN w = 0 THEN 57
+         |              ELSE 56 - (length(bin(w)) - 1) END) AS rho
+         |        FROM r0 GROUP BY g, idx),
+         |bi AS (SELECT idx, max(rho) AS rho_u,
+         |         max(CASE WHEN g = 'O' THEN rho END) AS rho_a,
+         |         max(CASE WHEN g = 'F' THEN rho END) AS rho_b
+         |       FROM reg GROUP BY idx),
+         |e AS (SELECT count(rho_a) AS pa, ${spSql("rho_a")} AS sa,
+         |             count(rho_b) AS pb, ${spSql("rho_b")} AS sb,
+         |             count(rho_u) AS pu, ${spSql("rho_u")} AS su
+         |      FROM bi),
+         |x AS (SELECT CAST(sum(ia) AS BIGINT) AS n_a,
+         |        CAST(sum(ib) AS BIGINT) AS n_b,
+         |        CAST(count(*) AS BIGINT) AS n_union,
+         |        CAST(sum(ia * ib) AS BIGINT) AS n_intersect
+         |      FROM (SELECT o_custkey,
+         |              max(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS ia,
+         |              max(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS ib
+         |            FROM o GROUP BY o_custkey))
+         |SELECT ${estSql("sa", "pa")} AS est_a,
+         |  ${estSql("sb", "pb")} AS est_b,
+         |  ${estSql("su", "pu")} AS est_union,
+         |  (est_a + est_b) - est_union AS est_intersect,
+         |  n_a, n_b, n_union, n_intersect
+         |FROM e, x""".stripMargin
+    },
+
+    // Moments replayed per group (HUGEINT intermediates), both divisions
+    // sign-split so either DuckDB `//` semantics is toward-zero.
+    "q_ols_trend" ->
+      s"""WITH $trendDailySql,
+         |m AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+         |        sum(x) AS sx, sum(y) AS sy,
+         |        sum(x * x) AS sxx, sum(x * y) AS sxy,
+         |        max(x) AS xmax
+         |      FROM d GROUP BY g),
+         |f AS (SELECT g, n, sx, sy, xmax,
+         |        (n * sxy - sx * sy) * 1000000 AS num,
+         |        n * sxx - sx * sx AS den
+         |      FROM m),
+         |s1 AS (SELECT g, n, sx, sy, xmax, den,
+         |         CASE WHEN den > 0 THEN
+         |           CASE WHEN num >= 0 THEN num // den
+         |                ELSE -((-num) // den) END
+         |         END AS slope_micro
+         |       FROM f),
+         |s2 AS (SELECT g, n, xmax, slope_micro,
+         |         CASE WHEN den > 0 THEN
+         |           CASE WHEN sy * 1000000 - slope_micro * sx >= 0
+         |                THEN (sy * 1000000 - slope_micro * sx) // n
+         |                ELSE -((-(sy * 1000000 - slope_micro * sx)) // n) END
+         |         END AS intercept_micro
+         |       FROM s1)
+         |SELECT g AS event_type, n AS n_points,
+         |  CAST(slope_micro AS BIGINT) AS slope_micro,
+         |  CAST(intercept_micro AS BIGINT) AS intercept_micro,
+         |  CAST(intercept_micro + slope_micro * (xmax + 1) AS BIGINT)
+         |    AS pred_next_micro
+         |FROM s2""".stripMargin,
+
+    // Pairwise replay: the self-join IS the oracle's formulation (the
+    // engine emits pairs row-locally); slope candidates sign-split, the
+    // lower median by the identical (s_micro, xi, xj) ordering.
+    "q_theilsen" ->
+      s"""WITH $trendDailySql,
+         |pr AS (SELECT a.g, a.x AS xi, b.x AS xj, b.y - a.y AS dy
+         |       FROM d a JOIN d b ON a.g = b.g AND b.x > a.x),
+         |sm AS (SELECT g, xi, xj, dy,
+         |         CASE WHEN dy >= 0 THEN (dy * 1000000) // (xj - xi)
+         |              ELSE -(((-dy) * 1000000) // (xj - xi)) END AS s_micro
+         |       FROM pr),
+         |rk AS (SELECT g, dy, s_micro,
+         |         row_number() OVER (PARTITION BY g
+         |           ORDER BY s_micro, xi, xj) AS rn,
+         |         count(*) OVER (PARTITION BY g) AS np
+         |       FROM sm),
+         |g2 AS (SELECT g, CAST(count(*) AS BIGINT) AS n_points
+         |       FROM d GROUP BY g),
+         |ag AS (SELECT g, CAST(count(*) AS BIGINT) AS n_pairs,
+         |         CAST(sum(CASE WHEN dy > 0 THEN 1 WHEN dy < 0 THEN -1
+         |                       ELSE 0 END) AS BIGINT) AS s_stat,
+         |         CAST(max(CASE WHEN rn = (np + 1) // 2 THEN s_micro END)
+         |           AS BIGINT) AS slope_micro
+         |       FROM rk GROUP BY g)
+         |SELECT g2.g AS event_type, g2.n_points, ag.n_pairs, ag.s_stat,
+         |  ag.slope_micro
+         |FROM g2 JOIN ag USING (g)""".stripMargin,
+
+    // Full fit+predict replay: md5 token buckets (the DSIR hash), the
+    // dense bucket×class grid with add-1 smoothing, log2FixedSql over
+    // every needed value, the same argmax tie-break, the confusion
+    // aggregate.
+    "q_nb_classify" -> {
+      val p = DedupOps.PortableHashPrime
+      val bhash =
+        s"(CAST(('0x' || substring(md5(tk), 1, 15)) AS BIGINT) % $p) % 64"
+      s"""WITH base AS (SELECT doc_id, lang, text, doc_id % 2 = 0 AS tr
+         |  FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL),
+         |tok AS (SELECT doc_id, lang, tr, CAST($bhash AS BIGINT) AS b
+         |  FROM (SELECT doc_id, lang, tr,
+         |          unnest(${S.tokens("lower(text)")}) AS tk FROM base)),
+         |cls AS (SELECT DISTINCT lang AS cls FROM base WHERE tr),
+         |cnt AS (SELECT b, lang AS cls, CAST(count(*) AS BIGINT) AS cnt
+         |        FROM tok WHERE tr GROUP BY b, lang),
+         |grid AS (SELECT c.cls, r.range AS b,
+         |           CAST(coalesce(cnt.cnt, 0) AS BIGINT) AS cnt
+         |         FROM cls c CROSS JOIN range(0, 64) r
+         |         LEFT JOIN cnt ON cnt.cls = c.cls AND cnt.b = r.range),
+         |tot AS (SELECT cls, CAST(sum(cnt) AS BIGINT) AS tot
+         |        FROM grid GROUP BY cls),
+         |vals AS (SELECT DISTINCT v FROM (
+         |    SELECT cnt + 1 AS v FROM grid
+         |    UNION ALL SELECT tot + 64 FROM tot)),
+         |${log2FixedSql("vals")},
+         |nbsc AS (SELECT t.doc_id, t.lang, g.cls,
+         |         CAST(sum(l1.lg) AS BIGINT) AS sum_lg,
+         |         CAST(count(*) AS BIGINT) AS n_tok
+         |       FROM tok t JOIN grid g ON g.b = t.b
+         |       JOIN lg l1 ON l1.v = g.cnt + 1
+         |       WHERE NOT t.tr GROUP BY t.doc_id, t.lang, g.cls),
+         |nbsd AS (SELECT nbsc.doc_id, nbsc.lang, nbsc.cls,
+         |         nbsc.sum_lg - nbsc.n_tok * lt.lg AS score
+         |       FROM nbsc JOIN tot ON tot.cls = nbsc.cls
+         |       JOIN lg lt ON lt.v = tot.tot + 64),
+         |arg AS (SELECT doc_id, lang, cls, row_number() OVER (
+         |          PARTITION BY doc_id ORDER BY score DESC, cls) AS rn
+         |        FROM nbsd)
+         |SELECT lang AS label_true, cls AS label_pred,
+         |  CAST(count(*) AS BIGINT) AS n_docs
+         |FROM arg WHERE rn = 1 GROUP BY lang, cls""".stripMargin
+    },
+
+    // Battles via the bucket self-join (the engine emits them
+    // row-locally), then the three MM rounds unrolled — every division
+    // has nonnegative operands, so `//` is toward-zero under either
+    // DuckDB semantics.
+    "q_bt_ratings" -> {
+      val s2 = ModelOps.BtScale * ModelOps.BtScale
+      def round(i: Int) =
+        s"""d$i AS (SELECT s.p,
+           |  sum((s.n * ${s2}) // (x.pi + y.pi)) AS den
+           |  FROM sym s JOIN r${i - 1} x ON x.p = s.p
+           |  JOIN r${i - 1} y ON y.p = s.q GROUP BY s.p),
+           |w$i AS (SELECT pl.p,
+           |  greatest(1, (pl.wins * ${s2}) // d$i.den) AS praw
+           |  FROM pl JOIN d$i ON d$i.p = pl.p),
+           |m$i AS (SELECT max(praw) AS mx FROM w$i),
+           |r$i AS (SELECT p,
+           |          greatest(1, (praw * ${ModelOps.BtScale}) // mx) AS pi
+           |        FROM w$i, m$i)""".stripMargin
+      s"""WITH docs0 AS (SELECT doc_id, source, n_chars FROM documents
+         |  WHERE doc_id IS NOT NULL AND source IS NOT NULL
+         |    AND n_chars IS NOT NULL),
+         |pr AS (SELECT a.source AS sa, b.source AS sb,
+         |         a.n_chars >= b.n_chars AS a_wins
+         |       FROM docs0 a JOIN docs0 b
+         |         ON (a.doc_id // 8) = (b.doc_id // 8)
+         |        AND a.doc_id < b.doc_id AND a.source <> b.source),
+         |bt AS (SELECT least(sa, sb) AS pa, greatest(sa, sb) AS pb,
+         |         CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(CASE WHEN sa <= sb
+         |               THEN CASE WHEN a_wins THEN 1 ELSE 0 END
+         |               ELSE CASE WHEN a_wins THEN 0 ELSE 1 END END)
+         |           AS BIGINT) AS wa
+         |       FROM pr GROUP BY 1, 2),
+         |sym AS (SELECT pa AS p, pb AS q, n, wa AS w FROM bt
+         |        UNION ALL SELECT pb, pa, n, n - wa FROM bt),
+         |pl AS (SELECT p, CAST(sum(n) AS BIGINT) AS games,
+         |         CAST(sum(w) AS BIGINT) AS wins FROM sym GROUP BY p),
+         |r0 AS (SELECT p, CAST(${ModelOps.BtScale} AS BIGINT) AS pi FROM pl),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT pl.p AS player, pl.games, pl.wins,
+         |  CAST(r3.pi AS BIGINT) AS rating_fx
+         |FROM pl JOIN r3 ON r3.p = pl.p""".stripMargin
+    },
+
+    // Doubled-midrank replay (2·cum + t + 1), exact tie term, the
+    // identical fixed-order double chain for z², the shared 1.96²
+    // literal.
+    "q_mann_whitney" -> {
+      val crit = dlit(ExperimentOps.MwZ2Crit)
+      val z2 = "3.0e0 * (CAST(u2_a - n_a * n_b AS DOUBLE) * " +
+        "CAST(u2_a - n_a * n_b AS DOUBLE)) * CAST(n AS DOUBLE) * " +
+        "CAST(n - 1 AS DOUBLE) / (CAST(n_a AS DOUBLE) * " +
+        "CAST(n_b AS DOUBLE) * CAST(m AS DOUBLE))"
+      s"""WITH v AS (SELECT c_mktsegment = 'BUILDING' AS a,
+         |    CAST(round(c_acctbal * 100) AS BIGINT) AS v
+         |  FROM customer
+         |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+         |    AND c_acctbal IS NOT NULL),
+         |byv AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt,
+         |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a
+         |  FROM v GROUP BY v),
+         |cum AS (SELECT cnt, cnt_a,
+         |    CAST(coalesce(sum(cnt) OVER (ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cum
+         |  FROM byv),
+         |ag AS (SELECT CAST(coalesce(sum(cnt_a), 0) AS BIGINT) AS n_a,
+         |    CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n,
+         |    CAST(coalesce(sum(cnt_a * (2 * cum + cnt + 1)), 0) AS BIGINT)
+         |      AS r2a,
+         |    CAST(coalesce(sum(cnt * cnt * cnt - cnt), 0) AS BIGINT)
+         |      AS t_ties
+         |  FROM cum),
+         |fin AS (SELECT n_a, n - n_a AS n_b,
+         |    r2a - n_a * (n_a + 1) AS u2_a, t_ties, n,
+         |    (n + 1) * n * (n - 1) - t_ties AS m
+         |  FROM ag)
+         |SELECT n_a, CAST(n_b AS BIGINT) AS n_b,
+         |  CAST(u2_a AS BIGINT) AS u2_a, t_ties,
+         |  CASE WHEN n_a > 0 AND n_b > 0 AND m > 0 THEN $z2 END AS z2,
+         |  CASE WHEN n_a > 0 AND n_b > 0 AND m > 0
+         |       THEN CAST($z2 >= $crit AS INT) END AS significant
+         |FROM fin""".stripMargin
+    },
+
+    // The splitmix relabeling replayed in HUGEINT (mixSql parity bit),
+    // per-replicate sums, the identical two-division mean chain, the
+    // add-one integer p-value.
+    "q_permutation_test" ->
+      s"""WITH base AS (SELECT o_orderkey AS id, o_orderstatus = 'O' AS a,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS c
+         |  FROM orders WHERE o_orderstatus IN ('O', 'F')
+         |    AND o_totalprice IS NOT NULL),
+         |obs AS (SELECT
+         |    CAST(coalesce(sum(CASE WHEN a THEN c END), 0) AS BIGINT) AS sa,
+         |    CAST(coalesce(sum(CASE WHEN a THEN 1 END), 0) AS BIGINT) AS na,
+         |    CAST(coalesce(sum(CASE WHEN NOT a THEN c END), 0) AS BIGINT)
+         |      AS sb,
+         |    CAST(coalesce(sum(CASE WHEN NOT a THEN 1 END), 0) AS BIGINT)
+         |      AS nb
+         |  FROM base),
+         |o2 AS (SELECT na + nb AS n_units,
+         |    CASE WHEN na > 0 AND nb > 0
+         |         THEN CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+         |            - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) END AS d_obs
+         |  FROM obs),
+         |rp AS (SELECT id, c, t.range AS r FROM base CROSS JOIN range(0, 64) t),
+         |m AS (SELECT c, r,
+         |  ${RefQueries.mixSql("h", "(id::HUGEINT * 1000003 + r) * 2654435761 + 97")}
+         |  FROM rp),
+         |pr AS (SELECT r,
+         |    CAST(coalesce(sum(CASE WHEN hm % 2 = 1 THEN c END), 0)
+         |      AS BIGINT) AS sa,
+         |    CAST(coalesce(sum(CASE WHEN hm % 2 = 1 THEN 1 END), 0)
+         |      AS BIGINT) AS na,
+         |    CAST(coalesce(sum(CASE WHEN hm % 2 = 0 THEN c END), 0)
+         |      AS BIGINT) AS sb,
+         |    CAST(coalesce(sum(CASE WHEN hm % 2 = 0 THEN 1 END), 0)
+         |      AS BIGINT) AS nb
+         |  FROM m GROUP BY r),
+         |dr AS (SELECT CASE WHEN na > 0 AND nb > 0
+         |         THEN CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+         |            - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) END AS d
+         |       FROM pr),
+         |ex AS (SELECT CAST(coalesce(sum(CASE WHEN d IS NULL
+         |           OR o2.d_obs IS NULL OR abs(d) >= abs(o2.d_obs)
+         |         THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_ge
+         |       FROM dr, o2)
+         |SELECT o2.n_units, CAST(64 AS BIGINT) AS n_reps, o2.d_obs,
+         |  ex.n_ge, CAST(((1 + ex.n_ge) * 1000000) // 65 AS BIGINT)
+         |    AS p_micro
+         |FROM o2, ex""".stripMargin,
+
+    // The q_ab_test affine-arm replay, per-stratum FILTER counts, the
+    // same single divisions, weights via the 1-row totals frame.
+    "q_stratified_effect" ->
+      """WITH b AS (SELECT
+        |    ((((o_custkey % 999999937) * 2654435761 + 104729) % 999999937)
+        |      % 2) AS arm,
+        |    o_orderpriority AS s,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |per AS (SELECT s,
+        |    CAST(count(*) FILTER (WHERE arm = 0) AS BIGINT) AS n_a,
+        |    CAST(count(*) FILTER (WHERE arm = 1) AS BIGINT) AS n_b,
+        |    CAST(coalesce(sum(CASE WHEN arm = 0 THEN c END), 0) AS BIGINT)
+        |      AS sa,
+        |    CAST(coalesce(sum(CASE WHEN arm = 1 THEN c END), 0) AS BIGINT)
+        |      AS sb
+        |  FROM b GROUP BY s),
+        |tot AS (SELECT CAST(sum(n_a + n_b) AS BIGINT) AS n_total FROM per)
+        |SELECT per.s AS stratum, n_a, n_b,
+        |  CASE WHEN n_a > 0
+        |       THEN CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE) END AS mean_a,
+        |  CASE WHEN n_b > 0
+        |       THEN CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE) END AS mean_b,
+        |  mean_a - mean_b AS diff,
+        |  CAST(((n_a + n_b) * 1000000) // n_total AS BIGINT) AS weight_micro
+        |FROM per, tot""".stripMargin,
+
+    // Inclusive cumulative CDFs per distinct value, totals as the last
+    // cumulative (whole-frame window), the exact cross-multiplied gap,
+    // the fixed-order double rejection rule.
+    "q_ks_test" -> {
+      val crit = dlit(ExperimentOps.KsC2Crit)
+      s"""WITH v AS (SELECT o_orderstatus = 'O' AS a,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS v
+         |  FROM orders WHERE o_orderstatus IN ('O', 'F')
+         |    AND o_totalprice IS NOT NULL),
+         |byv AS (SELECT v,
+         |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca0,
+         |    CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS cb0
+         |  FROM v GROUP BY v),
+         |cum AS (SELECT v, sum(ca0) OVER wv AS cum_a,
+         |    sum(cb0) OVER wv AS cum_b
+         |  FROM byv WINDOW wv AS (ORDER BY v
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |cum2 AS (SELECT cum_a, cum_b, max(cum_a) OVER () AS n_a,
+         |    max(cum_b) OVER () AS n_b FROM cum),
+         |g AS (SELECT CAST(coalesce(max(n_a), 0) AS BIGINT) AS n_a,
+         |    CAST(coalesce(max(n_b), 0) AS BIGINT) AS n_b,
+         |    CAST(coalesce(max(abs(cum_a * n_b - cum_b * n_a)), 0)
+         |      AS BIGINT) AS d_num
+         |  FROM cum2)
+         |SELECT n_a, n_b, d_num,
+         |  CASE WHEN n_a * n_b > 0
+         |       THEN CAST(d_num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE)
+         |  END AS d_stat,
+         |  CASE WHEN n_a * n_b > 0 THEN CAST(
+         |    CAST(d_num AS DOUBLE) * CAST(d_num AS DOUBLE) >=
+         |      $crit * CAST(n_a + n_b AS DOUBLE) * CAST(n_a * n_b AS DOUBLE)
+         |    AS INT) END AS significant
+         |FROM g""".stripMargin
+    },
+
+    // The q_judge_agreement margin fragment as the score, then the
+    // q_mann_whitney doubled-midrank replay and the single AUC division.
+    "q_auc" -> {
+      val vals = qualityLexicon.toSeq.sortBy(_._1)
+        .map { case (k, v2) => s"('$k', CAST($v2 AS BIGINT))" }.mkString(", ")
+      s"""WITH w(tok, wt) AS (VALUES $vals),
+         |tk AS (SELECT doc_id, unnest(${S.tokens("lower(text)")}) AS tok
+         |       FROM documents),
+         |mm AS (SELECT doc_id, CAST(COALESCE(sum(wt), 0) AS BIGINT)
+         |         AS margin
+         |       FROM tk LEFT JOIN w USING (tok) GROUP BY doc_id),
+         |v AS (SELECT d.lang = 'en' AS a, COALESCE(mm.margin, 0) AS v
+         |      FROM documents d LEFT JOIN mm USING (doc_id)
+         |      WHERE d.lang IS NOT NULL AND d.text IS NOT NULL),
+         |byv AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt,
+         |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a
+         |  FROM v GROUP BY v),
+         |cum AS (SELECT cnt, cnt_a,
+         |    CAST(coalesce(sum(cnt) OVER (ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cum
+         |  FROM byv),
+         |ag AS (SELECT CAST(coalesce(sum(cnt_a), 0) AS BIGINT) AS n_pos,
+         |    CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n,
+         |    CAST(coalesce(sum(cnt_a * (2 * cum + cnt + 1)), 0) AS BIGINT)
+         |      AS r2p
+         |  FROM cum)
+         |SELECT n_pos, CAST(n - n_pos AS BIGINT) AS n_neg,
+         |  CAST(r2p - n_pos * (n_pos + 1) AS BIGINT) AS u2_pos,
+         |  CASE WHEN n_pos > 0 AND n - n_pos > 0
+         |       THEN CAST(r2p - n_pos * (n_pos + 1) AS DOUBLE)
+         |          / CAST(2 * n_pos * (n - n_pos) AS DOUBLE)
+         |  END AS auc
+         |FROM ag""".stripMargin
+    },
+  )
+}

@@ -1,0 +1,905 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{AssocOps, AudioOps, ContaminationOps, DedupOps, EstimatorOps, ExperimentOps, GraphOps, IndexOps, IvfOps, JoinOps, LakeOps, LatticeKmeans, LmOps, ModelOps, MultimodalOps, PcaOps, PqOps, PrepOps, PrivacyOps, ProfileOps, SamplingOps, SearchOps, SimilarityOps, SketchOps, TextOps}
+import graft.streaming.{EventOps, IngestDedupStream}
+
+import QueryShared._
+
+/** Text analysis: language id, quality scoring, tokenization, BPE, vocab/LM statistics.
+  *
+  * Domain slice of the gated catalog (split out of PipelineQueries
+  * in round 9); assembled and exposed by [[PipelineQueries]].
+  */
+private[queries] object TextQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ------------------------------------------------------ text analysis
+    "q_text_stats" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.charCount(col("text")).as("n_chars_actual"),
+        TextOps.punctCount(col("text")).as("n_punct"),
+        TextOps.tokenEstimate(col("text")).as("n_subword_est"),
+        TextOps.qualityScore(col("text")).as("quality"))),
+
+    "q_text_langid" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.langId(col("text")).as("lang_pred"))),
+
+    // Tokenizer fertility (chars per subword, by language) — the standard
+    // multilingual tokenizer-quality report: a high ratio means the
+    // vocabulary splits that language into many pieces (costly training
+    // tokens). Row-local estimate, one lang-keyed aggregate, exact longs
+    // + one closing division.
+    "q_fertility" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("n_chars"),
+          sum(TextOps.tokenEstimate(col("text")).cast("long"))
+            .as("n_subwords"))
+        .withColumn("chars_per_subword",
+          when(col("n_subwords") > 0,
+            col("n_chars").cast("double") / col("n_subwords")))),
+
+    // Lang-ID confusion matrix: labeled lang vs stopword-heuristic
+    // prediction, with the row-conditional rate — the accuracy report
+    // that decides whether the cheap classifier gates a language. One
+    // corpus scan; totals ride the tiny cell frame (transitionMatrix
+    // discipline).
+    "q_lang_confusion" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"), TextOps.langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("row_total",
+          sum(col("n")).over(Window.partitionBy(col("lang"))))
+        .select(col("lang"), col("lang_pred"), col("n"),
+          (col("n").cast("double") / col("row_total").cast("double"))
+            .as("rate"))),
+
+    // Unicode NFC normalization — the dedup prerequisite for text that
+    // mixes combining sequences with precomposed forms (byte-distinct,
+    // visually identical, hash-keyed dedup misses them). The corpus is
+    // ASCII, so the query plants combining marks deterministically
+    // (a+U+0300, o+U+0308) and gates the composed output + codepoint
+    // counts. The oracle runs DuckDB's NATIVE nfc_normalize — two
+    // independent implementations of the Unicode conformance algorithm,
+    // hash-compared.
+    "q_text_nfc" -> ((s, dir) => {
+      val raw = regexp_replace(
+        regexp_replace(col("text"), "a", "a\u0300"), "o", "o\u0308")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        graft.expr.UnicodeExprs.nfcNormalize(raw).as("text_nfc"),
+        length(raw).cast("long").as("n_raw"))
+        .withColumn("n_nfc", length(col("text_nfc")).cast("long"))
+    }),
+
+    // Diacritic folding (NFD + strip combining marks) \u2014 the match-key
+    // normalization fuzzy joins block on: planted combining grave +
+    // precomposed \u00e9 both fold away. Oracle = DuckDB's independent
+    // utf8proc strip_accents (the q_text_nfc two-implementations
+    // discipline).
+    "q_text_fold" -> ((s, dir) => {
+      val raw = regexp_replace(
+        regexp_replace(col("text"), "a", "a\u0300"), "e", "\u00e9")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        graft.expr.UnicodeExprs.foldDiacritics(raw).as("text_folded"),
+        length(raw).cast("long").as("n_raw"))
+        .withColumn("n_folded", length(col("text_folded")).cast("long"))
+    }),
+
+    // Canonical normalization pass (pre-dedup cleanup): row-local regexp
+    // chain, zero shuffles — at 100 TB this query IS its scan + write.
+    "q_text_normalize" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.normalizeText(col("text")).as("text_norm"))
+        .withColumn("n_chars_norm", length(col("text_norm")).cast("long"))),
+
+    // PII scrub as a gated transform: chained codegen'd regexp_replace
+    // (patterns avoid dialect-divergent constructs, so the DuckDB twin is
+    // the same chain with the 'g' flag). Row-local, zero shuffles.
+    "q_pii_redact" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.redactPii(col("text")).as("clean_text"),
+        TextOps.piiCount(col("text")).as("n_pii"))),
+
+    // Gopher/C4-style repetition filter signals: all row-local codegen'd
+    // expressions (integer counts + one IEEE division each) — a 100 TB
+    // repetition pass is a pure map over the scan, zero shuffles. Staged
+    // selects tokenize ONCE and build each n-gram array ONCE: the arrays
+    // are non-cheap and multiply-referenced, so CollapseProject keeps the
+    // stages and nothing is recomputed under the `when` guards.
+    "q_repetition" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("__w"))
+        .select(col("doc_id"), col("__w"),
+          TextOps.ngramsOfTokens(col("__w"), 2).as("__g2"),
+          TextOps.ngramsOfTokens(col("__w"), 3).as("__g3"))
+        .select(col("doc_id"),
+          TextOps.distinctFracOfTokens(col("__w")).as("distinct_token_frac"),
+          TextOps.dupFracOfNgrams(col("__g2")).as("dup_bigram_frac"),
+          TextOps.dupFracOfNgrams(col("__g3")).as("dup_trigram_frac"))),
+
+    // CCNet-style LM quality scoring: train a char-bigram model on the
+    // corpus (one bounded-key groupBy pass), then score every doc with a
+    // codegen'd string walk over the literal model — the scoring pass is
+    // a pure map (zero joins/shuffles at 100 TB). Fixed-point ppm
+    // probabilities keep train AND score integer-exact across engines.
+    "q_lm_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = LmOps.trainModelPpm(docs, col("text"))
+      LmOps.scoreDocs(docs, col("doc_id"), col("text"), model)
+    }),
+
+    "q_quality_classifier" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.classifierMargin(col("text"), qualityLexicon).as("margin"))
+        .withColumn("keep", (col("margin") >= 0L).cast("int"))),
+
+    // Weak labeling against a literal lexicon: word-boundary contains on
+    // the normalized text, one codegen'd scan per entity, zero shuffles.
+    "q_dict_tag" -> ((s, dir) =>
+      TextOps.dictionaryTag(t(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "stream", "hash value", "table part"))),
+
+    // Dataset-card statistics per (source, lang): doc/token counts + PII
+    // audit + quality bounds. Sums are integers and bounds are
+    // order-independent — reproducible under any merge order (a double
+    // quality SUM would not be).
+    "q_corpus_stats" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("source"), col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"),
+          sum(TextOps.piiCount(col("text")).cast("long")).as("n_pii"),
+          min(TextOps.qualityScore(col("text"))).as("min_quality"),
+          max(TextOps.qualityScore(col("text"))).as("max_quality"))),
+
+    // Top-3 characteristic terms per document by tf * (1/df) weighting
+    // (df from the whole corpus; ratio instead of ln-idf keeps the score
+    // an exact IEEE division — ln differs in last ulps across libm
+    // implementations). The exploded token stream shuffles ONCE (map-side
+    // partial tf counts); df = per-token row count OVER the tf aggregate
+    // (== countDistinct(doc_id), since tf has one row per (doc, token)),
+    // so no second corpus-sized shuffle and no distinct-expand. The
+    // per-doc selection is the bounded top-k aggregate, not a row_number
+    // window: each map task forwards <= 3 rows per doc instead of
+    // shuffling and sorting the whole tf frame. The struct id carries
+    // (token, tf, df) through the buffer; struct ordering is field-by-
+    // field and tokens are unique per doc, so ties still break token ASC.
+    "q_top_terms" -> ((s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(lower(col("text")))).as("token"))
+      // cache the shared tf leg: without it the df side RE-SCANS the
+      // corpus and repeats the (doc, token) shuffle (differing downstream
+      // projections defeat exchange reuse — same trap as TPC-H Q15/Q17)
+      val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+        .cache()
+      val df_ = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      tf.join(broadcast(df_), "token")
+        .withColumn("score", col("tf").cast("double") / col("df"))
+        .groupBy(col("doc_id"))
+        .agg(graft.agg.TopKFunctions.topKByScore(
+          col("score"), struct(col("token"), col("tf"), col("df")), 3).as("__t"))
+        .select(col("doc_id"), posexplode(col("__t")).as(Seq("__p", "__h")))
+        .select(col("doc_id"), (col("__p") + 1).cast("long").as("rank"),
+          col("__h.id.token").as("token"), col("__h.id.tf").as("tf"),
+          col("__h.id.df").as("df"), col("__h.score").as("score"))
+    }),
+
+    // Per-doc Shannon entropy of the token distribution (2^-20-bit fixed
+    // point) — the diversity/repetition quality signal, engine-exact via
+    // the codegen'd integer log2 (no libm in the gate). One (doc, token)
+    // count + one doc fold.
+    "q_token_entropy" -> ((s, dir) =>
+      TextOps.tokenEntropy(t(s, dir, "documents"))),
+
+    // Keyword relevance search: rational-idf BM25 (no ln — bit-identical
+    // scores on every engine/libm), one stats row broadcast back, row-local
+    // scoring, TakeOrderedAndProject top-k. Two corpus passes, zero wide
+    // shuffles.
+    // Exact-phrase query over the positional inverted index: three
+    // postings legs (each pre-filtered to ONE token) equi-joined on
+    // (doc_id, pos - i) — candidate volume bounded by the rarest term's
+    // df; a contains() scan reads every document instead. Gates every
+    // occurrence position.
+    "q_phrase_search" -> ((s, dir) =>
+      SearchOps.phraseSearch(
+        SearchOps.positionalPostings(t(s, dir, "documents"), "doc_id", "text"),
+        Seq("slow", "hash", "batch"))),
+
+    "q_bm25_search" -> ((s, dir) =>
+      SearchOps.bm25TopK(
+        t(s, dir, "documents"), col("doc_id"), col("text"),
+        Seq("vector", "customer", "stream"), k = 20)),
+
+    // BPE vocabulary induction, round one: adjacent character-pair counts
+    // over corpus words (explode + groupBy; further rounds iterate on the
+    // small distinct-word table — PrepOps.bpeTrain, spec-tested).
+    "q_bpe_pairs" -> ((s, dir) =>
+      PrepOps.bpePairCounts(t(s, dir, "documents"), col("text"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(50)),
+
+    // Epoch-1 training order: salted shard assignment + shard-local
+    // content-keyed rank. The only shuffle is the shard partitioning;
+    // each shard sorts locally (shards scale with the corpus — never a
+    // global sort).
+    // BPE encode with a FROZEN merge list — how production tokenizers
+    // work (train once offline, apply at corpus scale as plan literals;
+    // the row-local codegen'd encoder makes a 100 TB tokenization pass a
+    // pure map with zero shuffles). Freezing the merges is also what
+    // makes this oracle-able: the same 32 literals feed a DuckDB
+    // recursive CTE that replays the encoder's exact priority loop
+    // (merge ALL occurrences of the lowest-ranked applicable pair,
+    // repeat), so the segmentation hash-compares end to end. The TRAINER
+    // stays differential-tested in PrepOpsSpec (bpeTrainLocal == bpeTrain)
+    // and corpus-gated via q_bpe_pairs; [[bpeFrozenMerges]] is its output
+    // on the sf0.01 corpus, frozen.
+    "q_bpe_encode" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        PrepOps.bpeEncode(col("text"), bpeFrozenMerges).as("pieces"))
+        .select(col("doc_id"), size(col("pieces")).as("n_pieces"),
+          array_join(col("pieces"), "|").as("pieces_str"))),
+
+    // The end-to-end cleaning pipeline a pretraining run actually executes,
+    // composed from gated pieces: Gopher-style signal filters (row-local,
+    // evaluated at the scan) -> exact-substring span dedup on the survivors
+    // -> exact dedup of the reassembled text. Every stage keeps the
+    // corpus-sized shuffles hash-keyed (span hash, text fingerprint).
+    "q_corpus_clean" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val filtered = docs.filter(
+        TextOps.tokenCount(col("text")) >= 20 &&
+          TextOps.distinctTokenFrac(col("text")) >= 0.45)
+      val spanned = DedupOps.spanDedup(filtered, "doc_id", "text", 5)
+        .filter(col("n_kept") > 0)
+      DedupOps.exactDedup(spanned, "doc_id", col("text_clean"))
+    }),
+
+    // ------------------------------------------- sample preparation
+    "q_chunk_tokens" -> ((s, dir) =>
+      PrepOps.chunkTokens(t(s, dir, "documents"), "doc_id", "text",
+        chunkSize = 32, overlap = 8)),
+
+    "q_pack_sequences" -> ((s, dir) =>
+      PrepOps.packGreedy(t(s, dir, "documents"), "doc_id", "text",
+        budgetTokens = 512, buckets = 8)),
+
+    // ------------------------------------------------------- vocabulary
+    "q_vocab_topk" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextOps.tokens(lower(col("text")))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("tf").desc, col("token"))
+        .limit(100)),
+
+    // Vocabulary coverage curve (tokenizer sizing): top-40 token types
+    // and the cumulative share of running tokens they cover, on the
+    // exact x10^6 grid. Corpus explode collapses map-side into a
+    // vocab-sized frame; the rank window sorts the VOCAB, not the
+    // corpus.
+    "q_vocab_coverage" -> ((s, dir) =>
+      TextOps.vocabCoverage(t(s, dir, "documents"), col("text"), k = 40)),
+
+    // Per-language median quality gate (CCNet-style percentile filter):
+    // keep docs at or above their language's lower-median quality. The
+    // median is RANK-based (k-th smallest, k = (n+1) div 2) — pure
+    // selection, no interpolation arithmetic, so it is bit-portable
+    // across engines where interpolated quantiles differ in last-ulp
+    // rounding. One window shuffle by lang for the medians (lang-sized
+    // result, broadcast back); the corpus itself is never re-shuffled.
+    "q_quality_filter" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextOps.qualityScore(col("text")).as("quality"))
+      val wr = Window.partitionBy(col("lang"))
+        .orderBy(col("quality"), col("doc_id"))
+      val wn = Window.partitionBy(col("lang"))
+      val medians = docs
+        .withColumn("rn", row_number().over(wr))
+        .withColumn("n", count(lit(1)).over(wn))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("lang"), col("quality").as("med"))
+      docs.join(broadcast(medians), "lang")
+        .filter(col("quality") >= col("med"))
+        .select(col("doc_id"), col("lang"), col("quality"))
+    }),
+
+    // Gopher-style document-quality rules (Rae et al. 2021, Appendix A)
+    // — the published pretraining filter bundle, evaluated in EXACT
+    // integer arithmetic (every ratio threshold as a cross-product, no
+    // float compare): word-count bounds; mean word length <= 4.5
+    // (10*sum-of-token-lengths <= 45*words); symbol-to-char ratio <= 10%
+    // (10*punct <= chars); at least one stopword. The word-count and
+    // word-length cuts are calibrated so BOTH branches fire on the
+    // synthetic corpus at every SF (the q_anomaly_ewma discipline); the
+    // symbol rule is kept at the published threshold even though this
+    // corpus has no punctuation. Row-local, zero shuffles — a 100 TB
+    // quality pass is a pure map.
+    "q_gopher_rules" -> ((s, dir) => {
+      val (rWords, rLen, rSym, rStop) = gopherRules
+      t(s, dir, "documents").select(col("doc_id"),
+        rWords.as("r_words"), rLen.as("r_word_len"),
+        rSym.as("r_symbol"), rStop.as("r_stopword"),
+        (rWords * rLen * rSym * rStop).as("passes"))
+    }),
+
+    // Vocabulary-coverage report: per-source out-of-vocabulary token rate
+    // against a frozen lexicon (the tokenizer-drift health check run
+    // before training). Token ops are row-local (whitespace tokens,
+    // literal IN-list membership); ONE source-keyed aggregate; the rate
+    // divides two exact longs so the double is engine-identical.
+    "q_oov_rate" -> ((s, dir) => {
+      val vocab = qualityLexicon.keys.toSeq.sorted
+      val toks = TextOps.tokens(lower(col("text")))
+      // oov = total - in-vocab hits, with the hit count a codegen'd
+      // set-probe loop — the filter() HOF form runs interpreted per token
+      val hits = graft.expr.TokenExprs.tokenSetHits(toks, vocab)
+      t(s, dir, "documents")
+        .select(col("source"), size(toks).as("nt"),
+          (size(toks) - hits).as("no"))
+        .groupBy(col("source"))
+        .agg(sum(col("nt")).as("n_tokens"), sum(col("no")).as("n_oov"))
+        .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tokens"))
+    }),
+
+    // Zipf exponent of the token-frequency head: top-128 tokens via a
+    // distributed heap (never a vocabulary sort), log-log OLS in 2^-8
+    // fixed point — composes zipfFit's heap + Log2Fixed + olsTrend.
+    // slope_micro ≈ −10^6·s is the number a tokenizer designer reads.
+    "q_zipf_fit" -> ((s, dir) =>
+      ModelOps.zipfFit(t(s, dir, "documents"), col("text"), topRanks = 128)),
+
+    // Good-Turing frequency-of-frequencies over word BIGRAMS (the
+    // corpus's unigram vocab is closed — bigrams carry the open tail an
+    // LM actually smooths): N_r for r = 1..10, adjusted counts
+    // r* = (r+1)·N_{r+1}/N_r, and the unseen-mass estimate P₀ = N₁/N —
+    // "how much vocabulary is still missing". Two bounded collapses
+    // (vocab, then counts-of-counts); totals ride the looDeltas
+    // whole-frame window, nothing corpus-sized moves twice.
+    "q_good_turing" -> ((s, dir) => {
+      val w = TextOps.tokens(lower(col("text")))
+      val n1 = greatest(size(w) - 1, lit(0))
+      val bigrams = zip_with(slice(w, lit(1), n1), slice(w, lit(2), n1),
+        (a, b) => concat(a, lit(" "), b))
+      EstimatorOps.goodTuring(
+        t(s, dir, "documents").select(bigrams.as("bg")), col("bg"), maxR = 10)
+    }),
+
+    // PMI collocations (Church & Hanks 1990): the adjacent pairs that
+    // co-occur far above chance — multiword units a tokenizer/phrase
+    // miner promotes. Exact Log2Fixed algebra over the bigram count
+    // frame; marginals and N never re-scan the corpus; k-row heap cut.
+    "q_pmi_collocations" -> ((s, dir) =>
+      TextOps.pmiCollocations(t(s, dir, "documents"), minCount = 5L, k = 50)),
+
+    // Corpus entropy RATE: bigram conditional entropy H(Y|X) — how
+    // predictable the next token is (boilerplate scores low). The
+    // undivided fixed-point sum discipline of q_source_kl; one closing
+    // division for the bits readout.
+    "q_entropy_rate" -> ((s, dir) =>
+      TextOps.bigramCondEntropy(t(s, dir, "documents"))),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_bpe_encode" -> bpeEncodeOracle,
+    "q_text_stats" ->
+      s"""SELECT doc_id,
+         | CAST(${S.tokenCount("text")} AS INTEGER) AS n_tokens,
+         | CAST(length(text) AS INTEGER) AS n_chars_actual,
+         | CAST(${S.punctCount("text")} AS INTEGER) AS n_punct,
+         | ${S.tokenEstimate("text")} AS n_subword_est,
+         | ${S.qualityScore("text")} AS quality
+         |FROM documents""".stripMargin,
+
+    "q_text_langid" ->
+      s"SELECT doc_id, ${S.langId("text")} AS lang_pred FROM documents",
+
+    // Same subword estimate, same exact sums, one closing division.
+    "q_fertility" ->
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+         |  CAST(sum(${S.tokenEstimate("text")}) AS BIGINT) AS n_subwords,
+         |  CASE WHEN sum(${S.tokenEstimate("text")}) > 0
+         |    THEN CAST(sum(length(text)) AS DOUBLE)
+         |      / CAST(sum(${S.tokenEstimate("text")}) AS BIGINT)
+         |  END AS chars_per_subword
+         |FROM documents GROUP BY lang""".stripMargin,
+
+    // Same heuristic, same cell counts, same one-division rate.
+    "q_lang_confusion" ->
+      s"""WITH p AS (
+         |  SELECT lang, ${S.langId("text")} AS lang_pred FROM documents),
+         |c AS (
+         |  SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+         |  FROM p GROUP BY 1, 2)
+         |SELECT lang, lang_pred, n,
+         |  CAST(n AS DOUBLE)
+         |    / CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE) AS rate
+         |FROM c""".stripMargin,
+
+    // DuckDB's NATIVE nfc_normalize vs the JVM's java.text.Normalizer —
+    // both pinned by the Unicode conformance suite, so the composed
+    // strings hash-compare byte for byte. chr(768)/chr(776) are the same
+    // U+0300/U+0308 combining marks the Spark side plants.
+    "q_text_nfc" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(text,
+        |      'a', 'a' || chr(768), 'g'), 'o', 'o' || chr(776), 'g') AS r
+        |  FROM documents)
+        |SELECT doc_id, nfc_normalize(r) AS text_nfc,
+        |  CAST(length(r) AS BIGINT) AS n_raw,
+        |  CAST(length(nfc_normalize(r)) AS BIGINT) AS n_nfc
+        |FROM raw""".stripMargin,
+
+    // Independent utf8proc implementation (strip_accents) vs the
+    // engine's NFD + Mn-strip — hash-compared on the planted domain.
+    "q_text_fold" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(text,
+        |      'a', 'a' || chr(768), 'g'), 'e', chr(233), 'g') AS r
+        |  FROM documents)
+        |SELECT doc_id, strip_accents(r) AS text_folded,
+        |  CAST(length(r) AS BIGINT) AS n_raw,
+        |  CAST(length(strip_accents(r)) AS BIGINT) AS n_folded
+        |FROM raw""".stripMargin,
+
+    // Same normalized space-delimited contains per literal entity.
+    "q_dict_tag" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    ' ' || trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) || ' ' AS t
+        |  FROM documents)
+        |SELECT doc_id, entity
+        |FROM n, (VALUES ('spark'), ('stream'), ('hash value'),
+        |         ('table part')) AS e(entity)
+        |WHERE contains(t, ' ' || entity || ' ')""".stripMargin,
+
+    // Same two-regexp chain with the 'g' flag; both engines' [^a-z0-9\s]
+    // and \s classes agree on ASCII input.
+    "q_text_normalize" ->
+      s"""SELECT doc_id, text_norm,
+         |  CAST(length(text_norm) AS BIGINT) AS n_chars_norm
+         |FROM (
+         |  SELECT doc_id,
+         |    trim(regexp_replace(regexp_replace(lower(text),
+         |      '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')) AS text_norm
+         |  FROM documents)""".stripMargin,
+
+    "q_repetition" ->
+      s"""SELECT doc_id,
+         | ${S.distinctTokenFrac("text")} AS distinct_token_frac,
+         | ${S.dupNgramFrac("text", 2)} AS dup_bigram_frac,
+         | ${S.dupNgramFrac("text", 3)} AS dup_trigram_frac
+         |FROM documents""".stripMargin,
+
+    // Independent formulation: the model is a joined CTE here where the
+    // Spark side walks a literal hash table — same counts, same floor
+    // divisions, so the integer scores match exactly.
+    "q_lm_score" ->
+      s"""WITH norm AS (
+         |  SELECT doc_id,
+         |    '_' || regexp_replace(lower(text), '\\s+', '_', 'g') || '_' AS t
+         |  FROM documents),
+         |idx AS (SELECT doc_id, t, unnest(range(1, length(t))) AS i FROM norm),
+         |big AS (SELECT doc_id, substr(t, i, 2) AS b FROM idx),
+         |cnt AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM big GROUP BY b),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
+         |model AS (SELECT b, CAST(c * 1000000 // n AS BIGINT) AS ppm FROM cnt, tot),
+         |agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |    CAST(sum(ppm) AS BIGINT) AS lm_sum_ppm
+         |  FROM big JOIN model USING (b) GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams, lm_sum_ppm,
+         |  CAST(lm_sum_ppm // n_bigrams AS BIGINT) AS lm_avg_ppm
+         |FROM agg""".stripMargin,
+
+    "q_quality_classifier" -> {
+      val vals = qualityLexicon.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"('$k', CAST($v AS BIGINT))" }.mkString(", ")
+      s"""WITH w(tok, wt) AS (VALUES $vals),
+         |toks AS (
+         |  SELECT doc_id, unnest(${S.tokens("lower(text)")}) AS tok FROM documents),
+         |m AS (
+         |  SELECT doc_id, CAST(COALESCE(sum(wt), 0) AS BIGINT) AS margin
+         |  FROM toks LEFT JOIN w USING (tok) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(${S.tokenCount("d.text")} AS INTEGER) AS n_tokens,
+         |  COALESCE(m.margin, 0) AS margin,
+         |  CAST(CASE WHEN COALESCE(m.margin, 0) >= 0 THEN 1 ELSE 0 END AS INTEGER) AS keep
+         |FROM documents d LEFT JOIN m USING (doc_id)""".stripMargin
+    },
+
+    // Entropy replay: same (doc, token) counts, same unrolled integer
+    // log2, same single direction-proof (nonnegative) division.
+    "q_token_entropy" ->
+      s"""WITH tokse AS (
+         |  SELECT doc_id, ${S.tokens("lower(text)")} AS w FROM documents),
+         |tc AS (
+         |  SELECT doc_id, tk, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT doc_id, unnest(w) AS tk FROM tokse) GROUP BY 1, 2),
+         |tote AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+         |    CAST(count(*) AS BIGINT) AS n_types
+         |  FROM tc GROUP BY doc_id),
+         |vals AS (
+         |  SELECT DISTINCT v FROM (
+         |    SELECT c AS v FROM tc UNION ALL SELECT n FROM tote)),
+         |${log2FixedSql("vals")},
+         |hsum AS (
+         |  SELECT tc.doc_id,
+         |    CAST(sum(tc.c * (la.lg - lb.lg)) AS BIGINT) AS hs
+         |  FROM tc JOIN tote USING (doc_id)
+         |  JOIN lg la ON la.v = tote.n
+         |  JOIN lg lb ON lb.v = tc.c
+         |  GROUP BY tc.doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(tote.n, 0) AS n_tokens,
+         |  coalesce(tote.n_types, 0) AS n_types,
+         |  CASE WHEN coalesce(tote.n, 0) > 0 THEN hsum.hs // tote.n
+         |       ELSE 0 END AS entropy_fixed
+         |FROM documents d
+         |LEFT JOIN tote USING (doc_id) LEFT JOIN hsum USING (doc_id)""".stripMargin,
+
+    "q_chunk_tokens" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${S.tokens("text")} AS w FROM documents),
+         |c AS (
+         |  SELECT doc_id, w,
+         |    unnest(range(0, CAST(floor((len(w) - 1) / 24.0) AS BIGINT) + 1)) AS chunk_idx
+         |  FROM toks WHERE len(w) > 0)
+         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |  array_to_string(w[chunk_idx*24 + 1 : chunk_idx*24 + 32], ' ') AS chunk_text,
+         |  CAST(least(32, len(w) - chunk_idx*24) AS BIGINT) AS n_tokens
+         |FROM c""".stripMargin,
+
+    "q_pack_sequences" ->
+      s"""SELECT doc_id, doc_id % 8 AS bucket,
+         |  CAST(floor(coalesce(sum(n_tokens) OVER (
+         |    PARTITION BY doc_id % 8 ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0) AS BIGINT)
+         |    AS pack_id,
+         |  n_tokens
+         |FROM (SELECT doc_id, CAST(${S.tokenCount("text")} AS BIGINT) AS n_tokens
+         |      FROM documents)""".stripMargin,
+
+    "q_corpus_stats" ->
+      s"""SELECT source, lang,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(${S.tokenCount("text")}) AS BIGINT) AS n_tokens,
+         |  CAST(sum(${S.piiCount("text")}) AS BIGINT) AS n_pii,
+         |  min(${S.qualityScore("text")}) AS min_quality,
+         |  max(${S.qualityScore("text")}) AS max_quality
+         |FROM documents GROUP BY source, lang""".stripMargin,
+
+    "q_top_terms" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(${S.tokens("lower(text)")}) AS token
+         |  FROM documents),
+         |dfreq AS (
+         |  SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |  FROM tok GROUP BY token),
+         |tfreq AS (
+         |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+         |  FROM tok GROUP BY doc_id, token),
+         |scored AS (
+         |  SELECT doc_id, token, tf, df,
+         |    CAST(tf AS DOUBLE) / df AS score,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY CAST(tf AS DOUBLE) / df DESC, token) AS rank
+         |  FROM tfreq JOIN dfreq USING (token))
+         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, tf, df, score
+         |FROM scored WHERE rank <= 3""".stripMargin,
+
+    "q_corpus_clean" ->
+      s"""WITH filtered AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE ${S.tokenCount("text")} >= 20
+         |    AND ${S.distinctTokenFrac("text")} >= 0.45),
+         |toks AS (
+         |  SELECT doc_id, ${S.tokens("text")} AS w FROM filtered),
+         |grams AS (
+         |  SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+4], ' ') AS g
+         |  FROM toks, LATERAL unnest(range(1, len(w) - 3)) r(i)),
+         |marked AS (
+         |  SELECT doc_id, pos,
+         |    count(*) OVER (PARTITION BY g) AS c,
+         |    row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+         |  FROM grams),
+         |cov AS (
+         |  SELECT doc_id, pos + j AS tpos
+         |  FROM (SELECT doc_id, pos FROM marked WHERE c > 1 AND rn > 1),
+         |       LATERAL unnest(range(0, 5)) rr(j)),
+         |tok_pos AS (
+         |  SELECT doc_id, unnest(w) AS tok, unnest(range(0, len(w))) AS pos
+         |  FROM toks),
+         |kept AS (
+         |  SELECT t.doc_id, t.tok, t.pos
+         |  FROM tok_pos t LEFT JOIN cov c
+         |    ON c.doc_id = t.doc_id AND c.tpos = t.pos
+         |  WHERE c.doc_id IS NULL),
+         |agg AS (
+         |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean,
+         |    CAST(count(*) AS BIGINT) AS n_kept
+         |  FROM kept GROUP BY doc_id),
+         |spanned AS (
+         |  SELECT t.doc_id,
+         |    coalesce(a.text_clean, '') AS text_clean,
+         |    CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+         |    CAST(len(t.w) - coalesce(a.n_kept, 0) AS BIGINT) AS n_dropped
+         |  FROM toks t LEFT JOIN agg a USING (doc_id)
+         |  WHERE coalesce(a.n_kept, 0) > 0)
+         |SELECT doc_id, text_clean, n_kept, n_dropped FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY text_clean ORDER BY doc_id) AS rn
+         |  FROM spanned) WHERE rn = 1""".stripMargin,
+
+    "q_pii_redact" ->
+      s"""SELECT doc_id, ${S.redactPii("text")} AS clean_text,
+         | CAST(${S.piiCount("text")} AS INTEGER) AS n_pii
+         |FROM documents""".stripMargin,
+
+    "q_bpe_pairs" ->
+      s"""WITH w AS (SELECT unnest(${S.tokens("lower(text)")}) AS w FROM documents),
+         |chs AS (SELECT list_filter(string_split(w, ''), c -> len(c) > 0) AS ch FROM w),
+         |p AS (
+         |  SELECT unnest(list_transform(range(1, len(ch)), i -> ch[i] || ' ' || ch[i + 1])) AS pair
+         |  FROM chs WHERE len(ch) >= 2)
+         |SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY pair
+         |ORDER BY n DESC, pair LIMIT 50""".stripMargin,
+
+    // Same rational arithmetic and the same left-assoc evaluation order as
+    // the Spark side — every op is IEEE-exactly-rounded, so the double
+    // scores hash-match bit-for-bit.
+    // Independent formulation: token array slices compared as strings —
+    // the oracle never builds postings or joins.
+    "q_phrase_search" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${S.tokens("lower(text)")} AS w FROM documents)
+         |SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos
+         |FROM toks, LATERAL unnest(range(1, len(w) - 1)) r(i)
+         |WHERE array_to_string(w[i:i+2], ' ') = 'slow hash batch'""".stripMargin,
+
+    "q_bm25_search" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |         CAST(len(toks) AS DOUBLE) AS dl,
+         |         CAST(len(list_filter(toks, t -> t = 'vector')) AS DOUBLE) AS tf0,
+         |         CAST(len(list_filter(toks, t -> t = 'customer')) AS DOUBLE) AS tf1,
+         |         CAST(len(list_filter(toks, t -> t = 'stream')) AS DOUBLE) AS tf2
+         |  FROM (SELECT doc_id, ${S.tokens("lower(text)")} AS toks FROM documents)),
+         |s AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) AS sumdl,
+         |         CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+         |         CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+         |         CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+         |  FROM d)
+         |SELECT doc_id, score FROM (
+         |  SELECT doc_id,
+         |         ((n - df0 + 0.5) / (df0 + 0.5)) * (tf0 * 2.25) / (tf0 + 1.25 * (0.25 + 0.75 * dl / (sumdl / n)))
+         |       + ((n - df1 + 0.5) / (df1 + 0.5)) * (tf1 * 2.25) / (tf1 + 1.25 * (0.25 + 0.75 * dl / (sumdl / n)))
+         |       + ((n - df2 + 0.5) / (df2 + 0.5)) * (tf2 * 2.25) / (tf2 + 1.25 * (0.25 + 0.75 * dl / (sumdl / n)))
+         |         AS score
+         |  FROM d, s)
+         |WHERE score > 0
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q_vocab_topk" ->
+      s"""SELECT token, CAST(count(*) AS BIGINT) AS tf,
+         | CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |FROM (SELECT doc_id, unnest(${S.tokens("lower(text)")}) AS token
+         |      FROM documents)
+         |GROUP BY token ORDER BY tf DESC, token LIMIT 100""".stripMargin,
+
+    // Same ranking (count desc, token asc) and exact x10^6 cumulative
+    // grid over the type counts.
+    "q_vocab_coverage" ->
+      s"""WITH tok AS (
+         |  SELECT unnest(${S.tokens("lower(text)")}) AS token
+         |  FROM documents),
+         |c AS (SELECT token, CAST(count(*) AS BIGINT) AS n
+         |      FROM tok GROUP BY token),
+         |r AS (SELECT token, n,
+         |  CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT)
+         |    AS rank,
+         |  CAST(sum(n) OVER (ORDER BY n DESC, token
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+         |  CAST(sum(n) OVER () AS BIGINT) AS total
+         |  FROM c)
+         |SELECT rank, token, n, cum_n,
+         |  CAST((cum_n * 1000000) // total AS BIGINT) AS cum_micro
+         |FROM r WHERE rank <= 40""".stripMargin,
+
+    "q_quality_filter" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, lang, ${S.qualityScore("text")} AS quality
+         |  FROM documents),
+         |m AS (
+         |  SELECT lang, quality AS med FROM (
+         |    SELECT lang, quality,
+         |      row_number() OVER (PARTITION BY lang ORDER BY quality, doc_id) AS rn,
+         |      count(*) OVER (PARTITION BY lang) AS n
+         |    FROM q)
+         |  WHERE rn = (n + 1) // 2)
+         |SELECT doc_id, q.lang, quality
+         |FROM q JOIN m ON q.lang = m.lang
+         |WHERE quality >= med""".stripMargin,
+
+    "q_gopher_rules" -> {
+      val toks = S.tokens("lower(text)")
+      val sumLen = s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform($toks, t -> CAST(len(t) AS BIGINT))), (a, b) -> a + b)"
+      val stops = TextOps.Sql.stopwordHits("text",
+        Seq("the", "a", "of", "and", "to", "in", "is", "it"))
+      s"""SELECT doc_id,
+         |  CAST(nw >= 3 AND nw <= 50 AS INTEGER) AS r_words,
+         |  CAST(nw > 0 AND suml >= nw AND suml * 10 <= nw * 45 AS INTEGER)
+         |    AS r_word_len,
+         |  CAST(np * 10 <= nc AS INTEGER) AS r_symbol,
+         |  CAST(stops >= 1 AS INTEGER) AS r_stopword,
+         |  CAST(nw >= 3 AND nw <= 50 AS INTEGER)
+         |    * CAST(nw > 0 AND suml >= nw AND suml * 10 <= nw * 45 AS INTEGER)
+         |    * CAST(np * 10 <= nc AS INTEGER)
+         |    * CAST(stops >= 1 AS INTEGER) AS passes
+         |FROM (SELECT doc_id,
+         |        CAST(len($toks) AS BIGINT) AS nw,
+         |        $sumLen AS suml,
+         |        CAST(length(text) AS BIGINT) AS nc,
+         |        CAST(${S.punctCount("text")} AS BIGINT) AS np,
+         |        $stops AS stops
+         |      FROM documents)""".stripMargin
+    },
+
+    "q_oov_rate" -> {
+      val vocab = qualityLexicon.keys.toSeq.sorted
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""SELECT source, CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |  CAST(sum(no) AS BIGINT) AS n_oov,
+         |  CAST(sum(no) AS DOUBLE) / CAST(sum(nt) AS DOUBLE) AS oov_rate
+         |FROM (SELECT source, len(${S.tokens("lower(text)")}) AS nt,
+         |        len(list_filter(${S.tokens("lower(text)")},
+         |          tk -> NOT list_contains($vocab, tk))) AS no
+         |      FROM documents)
+         |GROUP BY source""".stripMargin
+    },
+
+    // Heap replay (ORDER BY f DESC, tk LIMIT 128), log2FixedSql over
+    // ranks ∪ frequencies, the >> 12 truncation, then the q_ols_trend
+    // sign-split moment algebra.
+    "q_zipf_fit" ->
+      s"""WITH fr AS (SELECT tk, CAST(count(*) AS BIGINT) AS f
+         |  FROM (SELECT unnest(${S.tokens("lower(text)")}) AS tk
+         |        FROM documents) GROUP BY tk),
+         |top AS (SELECT tk, f FROM fr ORDER BY f DESC, tk LIMIT 128),
+         |rk AS (SELECT f, CAST(row_number() OVER (ORDER BY f DESC, tk)
+         |         AS BIGINT) AS rank FROM top),
+         |vals AS (SELECT DISTINCT v FROM (
+         |    SELECT f AS v FROM rk UNION ALL SELECT rank FROM rk)),
+         |${log2FixedSql("vals")},
+         |pts AS (SELECT lr.lg >> 12 AS x, lf.lg >> 12 AS y
+         |        FROM rk JOIN lg lr ON lr.v = rk.rank
+         |        JOIN lg lf ON lf.v = rk.f),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+         |        sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy
+         |      FROM pts),
+         |f2 AS (SELECT n, sx, sy,
+         |         (n * sxy - sx * sy) * 1000000 AS num,
+         |         n * sxx - sx * sx AS den
+         |       FROM m),
+         |sl AS (SELECT n, sx, sy, den,
+         |         CASE WHEN den > 0 THEN
+         |           CASE WHEN num >= 0 THEN num // den
+         |                ELSE -((-num) // den) END
+         |         END AS slope_micro
+         |       FROM f2)
+         |SELECT n AS n_ranks, CAST(slope_micro AS BIGINT) AS slope_micro,
+         |  CAST(CASE WHEN den > 0 THEN
+         |    CASE WHEN sy * 1000000 - slope_micro * sx >= 0
+         |         THEN (sy * 1000000 - slope_micro * sx) // n
+         |         ELSE -((-(sy * 1000000 - slope_micro * sx)) // n) END
+         |  END AS BIGINT) AS intercept_micro
+         |FROM sl""".stripMargin,
+
+    // Bigram build (1-based list indexing over range(1, len)), then
+    // counts-of-counts from scratch; every division nonnegative `//`.
+    "q_good_turing" ->
+      s"""WITH tw AS (SELECT ${S.tokens("lower(text)")} AS w FROM documents),
+         |fr AS (SELECT tk, CAST(count(*) AS BIGINT) AS f
+         |  FROM (SELECT w[i] || ' ' || w[i + 1] AS tk
+         |        FROM tw, unnest(range(1, len(w))) AS u(i)) GROUP BY tk),
+         |cc AS (SELECT f AS r, CAST(count(*) AS BIGINT) AS n_r
+         |       FROM fr GROUP BY f),
+         |tot AS (SELECT CAST(sum(r * n_r) AS BIGINT) AS n_tokens,
+         |          CAST(sum(n_r) AS BIGINT) AS vocab,
+         |          CAST(coalesce(sum(CASE WHEN r = 1 THEN n_r END), 0)
+         |            AS BIGINT) AS n1
+         |        FROM cc)
+         |SELECT cc.r, cc.n_r,
+         |  CAST(coalesce(nx.n_r, 0) AS BIGINT) AS n_r_next,
+         |  tot.n_tokens, tot.vocab,
+         |  CAST(((cc.r + 1) * coalesce(nx.n_r, 0) * 1000000) // cc.n_r
+         |    AS BIGINT) AS r_star_micro,
+         |  CAST((tot.n1 * 1000000) // tot.n_tokens AS BIGINT)
+         |    AS p_unseen_micro
+         |FROM cc LEFT JOIN cc nx ON nx.r = cc.r + 1 CROSS JOIN tot
+         |WHERE cc.r <= 10""".stripMargin,
+
+    // Bigram counts via 1-based list indexing, positional marginals,
+    // log2FixedSql over counts ∪ marginals ∪ N, the identical heap cut.
+    "q_pmi_collocations" ->
+      s"""WITH tw AS (SELECT ${S.tokens("lower(text)")} AS w FROM documents),
+         |bc AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c_xy FROM (
+         |    SELECT w[i] AS x, w[i + 1] AS y
+         |    FROM tw, unnest(range(1, len(w))) AS u(i)) GROUP BY x, y),
+         |mx AS (SELECT x, CAST(sum(c_xy) AS BIGINT) AS c_x
+         |       FROM bc GROUP BY x),
+         |my AS (SELECT y, CAST(sum(c_xy) AS BIGINT) AS c_y
+         |       FROM bc GROUP BY y),
+         |tot AS (SELECT CAST(coalesce(sum(c_xy), 0) AS BIGINT) AS n_pairs
+         |        FROM bc),
+         |vals AS (SELECT DISTINCT v FROM (
+         |    SELECT c_xy AS v FROM bc WHERE c_xy >= 5
+         |    UNION ALL SELECT c_x FROM mx
+         |    UNION ALL SELECT c_y FROM my
+         |    UNION ALL SELECT n_pairs FROM tot WHERE n_pairs >= 1)),
+         |${log2FixedSql("vals")},
+         |sc AS (SELECT bc.x, bc.y, bc.c_xy, mx.c_x, my.c_y,
+         |         lxy.lg + ln.lg - lx.lg - ly.lg AS pmi_fixed
+         |       FROM bc JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
+         |       JOIN lg lxy ON lxy.v = bc.c_xy
+         |       JOIN lg lx ON lx.v = mx.c_x
+         |       JOIN lg ly ON ly.v = my.c_y
+         |       JOIN lg ln ON ln.v = tot.n_pairs
+         |       WHERE bc.c_xy >= 5)
+         |SELECT x, y, c_xy, c_x, c_y, CAST(pmi_fixed AS BIGINT) AS pmi_fixed
+         |FROM sc ORDER BY pmi_fixed DESC, x, y LIMIT 50""".stripMargin,
+
+    // Same bigram/marginal CTEs; the undivided fixed-point sum and the
+    // single closing division.
+    "q_entropy_rate" ->
+      s"""WITH tw AS (SELECT ${S.tokens("lower(text)")} AS w FROM documents),
+         |bc AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c_xy FROM (
+         |    SELECT w[i] AS x, w[i + 1] AS y
+         |    FROM tw, unnest(range(1, len(w))) AS u(i)) GROUP BY x, y),
+         |mx AS (SELECT x, CAST(sum(c_xy) AS BIGINT) AS c_x
+         |       FROM bc GROUP BY x),
+         |vals AS (SELECT DISTINCT v FROM (
+         |    SELECT c_xy AS v FROM bc UNION ALL SELECT c_x FROM mx)),
+         |${log2FixedSql("vals")},
+         |j AS (SELECT bc.c_xy, lx.lg AS lgx, lxy.lg AS lgxy
+         |      FROM bc JOIN mx USING (x)
+         |      JOIN lg lxy ON lxy.v = bc.c_xy
+         |      JOIN lg lx ON lx.v = mx.c_x),
+         |hsum AS (SELECT CAST(coalesce(sum(c_xy), 0) AS BIGINT) AS n_pairs,
+         |         CAST(coalesce(sum(c_xy * (lgx - lgxy)), 0) AS BIGINT)
+         |           AS h_num_fixed
+         |       FROM j),
+         |cx AS (SELECT CAST(count(*) AS BIGINT) AS n_contexts FROM mx)
+         |SELECT hsum.n_pairs, cx.n_contexts, hsum.h_num_fixed,
+         |  CASE WHEN hsum.n_pairs > 0
+         |       THEN CAST(hsum.h_num_fixed AS DOUBLE)
+         |          / CAST(hsum.n_pairs * 1048576 AS DOUBLE) END AS h_bits
+         |FROM hsum, cx""".stripMargin,
+  )
+}

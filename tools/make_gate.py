@@ -70,6 +70,21 @@ def main():
     head = subprocess.run(['git', 'rev-parse', 'HEAD'],
                           capture_output=True, text=True).stdout.strip()
 
+    # The gate must describe HEAD (round 8's gate lagged it by one
+    # test-only commit — tests landed after generation). Refuse when any
+    # tracked SOURCE file is dirty: a gate minted then would describe a
+    # tree no commit points at. Artifact files (GATE/BENCH/PERF/bench_out
+    # etc.) may be dirty — the gate commit itself is expected to follow.
+    porcelain = subprocess.run(['git', 'status', '--porcelain'],
+                               capture_output=True, text=True).stdout
+    dirty_src = sorted(l[3:] for l in porcelain.splitlines()
+                       if l[3:].startswith(('src/', 'build.sbt', 'project/',
+                                            'tools/')))
+    if dirty_src:
+        sys.exit(f'REFUSING to mint gate: uncommitted source changes '
+                 f'{dirty_src} — commit first so git_head={head[:12]} '
+                 f'actually describes the gated tree')
+
     # environment block: makes cross-round artifact archaeology (like the
     # round-6 DuckDB `//` division-direction hunt) start from facts
     def probe(cmd):
