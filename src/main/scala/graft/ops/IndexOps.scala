@@ -59,7 +59,7 @@ object IndexOps {
       .filter(col("kind") === kind)
       .select("segment").collect().map(_.getString(0)).toSet
 
-  private def recordSegment(
+  private[ops] def recordSegment(
       spark: SparkSession, indexDir: String, kind: String, segment: String): Unit = {
     import spark.implicits._
     Seq((kind, segment)).toDF("kind", "segment")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AssocOps, AudioOps, ContaminationOps, DedupOps, EstimatorOps, ExperimentOps, GraphOps, IndexOps, IvfOps, JoinOps, LakeOps, LatticeKmeans, LmOps, ModelOps, MultimodalOps, PcaOps, PqOps, PrepOps, PrivacyOps, ProfileOps, SamplingOps, SearchOps, SimilarityOps, SketchOps, TextOps}
+import graft.ops.{AssocOps, AudioOps, ComponentStore, ContaminationOps, DedupOps, EstimatorOps, ExperimentOps, GraphOps, IndexOps, IvfOps, JoinOps, LakeOps, LatticeKmeans, LmOps, ModelOps, MultimodalOps, PcaOps, PqOps, PrepOps, PrivacyOps, ProfileOps, SamplingOps, SearchOps, SimilarityOps, SketchOps, TextOps}
 import graft.streaming.{EventOps, IngestDedupStream}
 
 import QueryShared._
@@ -357,6 +357,51 @@ private[queries] object DedupQueries {
             .cast("int").as("fold"))
     }),
 
+    // Component-store lifecycle (ComponentStore): the near-dup component
+    // artifact is built ONCE per ingested segment and persisted — base +
+    // delta + idempotent delta re-run inside the query, oracled against
+    // the from-scratch recursive-CTE components over the WHOLE corpus
+    // (the even/odd split cuts real clusters across the two segments, so
+    // the label-contraction merge path is what the hash gate certifies).
+    "q_components_refresh" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_comp_").toString
+      ComponentStore.refresh(docs.filter(col("doc_id") % 2 === 0), store, "base")
+      ComponentStore.refresh(docs.filter(col("doc_id") % 2 =!= 0), store, "delta1")
+      ComponentStore.refresh(docs.filter(col("doc_id") % 2 =!= 0), store, "delta1") // idempotent re-run
+      ComponentStore.assignment(s, store)
+    }),
+
+    // q_dedup_weights riding the artifact: same exact weight grid, but
+    // the expensive pair + components work happened at ingest (three
+    // segment refreshes here); the readout is one cluster-sized
+    // aggregate + one slim join. Oracle identical to q_dedup_weights.
+    "q_dedup_weights_artifact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_compw_").toString
+      ComponentStore.refresh(docs.filter(col("doc_id") % 3 === 0), store, "s0")
+      ComponentStore.refresh(docs.filter(col("doc_id") % 3 === 1), store, "s1")
+      ComponentStore.refresh(docs.filter(col("doc_id") % 3 === 2), store, "s2")
+      ComponentStore.weights(s, store)
+    }),
+
+    // q_group_kfold riding the artifact: leakage-safe folds from the
+    // stored assignment — no shingling or component iteration at split
+    // time. Oracle identical to q_group_kfold.
+    "q_group_kfold_artifact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_compk_").toString
+      ComponentStore.refresh(docs.filter(col("doc_id") % 2 === 0), store, "base")
+      ComponentStore.refresh(docs.filter(col("doc_id") % 2 =!= 0), store, "delta1")
+      ComponentStore.assignment(s, store)
+        .select(col("doc_id"), col("component"),
+          (DedupOps.portableShingleHash(col("component").cast("string")) % 5)
+            .cast("int").as("fold"))
+    }),
+
     // Fuzzy entity matching (SymSpell deletion-neighborhood blocking +
     // exact levenshtein verify): candidates join on 8-byte variant
     // hashes, never all-pairs — the oracle IS the all-pairs predicate
@@ -401,7 +446,7 @@ private[queries] object DedupQueries {
     }),
   )
 
-  val oracleSql: Map[String, String] = Map(
+  private val oracleSql0: Map[String, String] = Map(
     "q_dedup_minhash" ->
       minhashPortableOracle(32, 8, 4, verified = false),
     "q_dedup_minhash_verified" ->
@@ -910,4 +955,14 @@ private[queries] object DedupQueries {
         |  ON a.c_custkey < b.c_custkey
         | AND levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
   )
+
+  // The artifact-riding variants compute bit-identical results to their
+  // from-scratch twins, so the oracle SQL is shared verbatim; the
+  // refresh lifecycle itself gates against the whole-corpus components.
+  val oracleSql: Map[String, String] = oracleSql0 ++ Map(
+    "q_components_refresh" ->
+      s"""WITH RECURSIVE $dedupWeightsCtes
+         |SELECT doc_id, component FROM asg""".stripMargin,
+    "q_dedup_weights_artifact" -> oracleSql0("q_dedup_weights"),
+    "q_group_kfold_artifact" -> oracleSql0("q_group_kfold"))
 }
