@@ -67,10 +67,20 @@ object MakeScaledData {
       println(s"[scale] wrote $name x$n")
     }
 
+    // entity NAMES must not replicate verbatim: a 10x corpus brings NEW
+    // customers, not ten exact copies of each name — verbatim copies
+    // inflate every name-blocking bucket 10x and manufacture a quadratic
+    // candidate blowup no real ingest has (measured: q_fuzzy_join x13
+    // before this fix, x~2.5 after)
+    def tagName(c: String) = when(col("__r") === 0, col(c))
+      .otherwise(concat(col(c), lit("~"), col("__r")))
+
     write(tbl("region"), "region", 1)
     write(tbl("nation"), "nation", 1)
-    write(replicate(tbl("customer"), Seq("c_custkey")).drop("__r"), "customer", 8)
-    write(replicate(tbl("supplier"), Seq("s_suppkey")).drop("__r"), "supplier", 4)
+    write(replicate(tbl("customer"), Seq("c_custkey"))
+      .withColumn("c_name", tagName("c_name")).drop("__r"), "customer", 8)
+    write(replicate(tbl("supplier"), Seq("s_suppkey"))
+      .withColumn("s_name", tagName("s_name")).drop("__r"), "supplier", 4)
     write(replicate(tbl("part"), Seq("p_partkey")).drop("__r"), "part", 8)
     val ordStride = tbl("orders").agg(max(col("o_orderkey"))).head.getLong(0) + 1L
     write(replicate(tbl("orders"), Seq("o_orderkey", "o_custkey")).drop("__r"),
