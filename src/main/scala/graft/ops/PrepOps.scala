@@ -570,11 +570,16 @@ object PrepOps {
     * engine plan is three bounded steps: (1) ONE map-side-combined
     * `groupBy(cost) -> max(gain)` collapses the corpus to a
     * distinct-cost frame (value-domain-sized, not corpus-sized); (2) the
-    * running strictly-cheaper max — the only global sort — runs over
-    * THAT frame (`RANGE UNBOUNDED PRECEDING .. 1 PRECEDING`, so equal
-    * costs never see each other); (3) winning `(cost, gain)` pairs
-    * broadcast back as a semi-join. The corpus is scanned twice and
-    * never globally sorted.
+    * running strictly-cheaper max rides the two-phase bucketed prefix
+    * scan (the [[graft.ops.ExperimentOps]] rank-stat /
+    * lateDataReport shape — until round 9 this was a SinglePartition
+    * window over the whole distinct-cost frame): per-bucket maxima
+    * collapse map-side, the cross-bucket prefix max is a window over the
+    * BUCKET-count-sized frame (broadcast back), and the within-bucket
+    * strictly-cheaper max (`RANGE .. 1 PRECEDING`, so equal costs never
+    * see each other) runs partitioned by bucket; (3) winning
+    * `(cost, gain)` pairs broadcast back as a semi-join. The corpus is
+    * scanned twice and never globally sorted.
     *
     * Inputs must be integral (exact comparisons); returns the input rows
     * on the frontier.
@@ -585,10 +590,20 @@ object PrepOps {
       .filter(col("__cost").isNotNull && col("__gain").isNotNull)
     val byCost = tagged.groupBy(col("__cost"))
       .agg(max(col("__gain")).as("__best"))
-    val w = Window.orderBy(col("__cost"))
+      .withColumn("__pb", expr("__cost DIV 4096"))
+    val crossBucket = Window.orderBy(col("__pb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bpre = byCost.groupBy(col("__pb"))
+      .agg(max(col("__best")).as("__bmax"))
+      .withColumn("__prevBucketMax", max(col("__bmax")).over(crossBucket))
+      .select(col("__pb"), col("__prevBucketMax"))
+    val inBucket = Window.partitionBy(col("__pb")).orderBy(col("__cost"))
       .rangeBetween(Window.unboundedPreceding, -1)
-    val frontier = byCost
-      .withColumn("__cheaperBest", max(col("__best")).over(w))
+    val frontier = byCost.join(broadcast(bpre), "__pb")
+      // greatest() skips NULLs: first value in the first bucket sees
+      // NULL/NULL and survives unconditionally, like the old global form
+      .withColumn("__cheaperBest", greatest(
+        col("__prevBucketMax"), max(col("__best")).over(inBucket)))
       .filter(col("__cheaperBest").isNull ||
         col("__best") > col("__cheaperBest"))
       .select(col("__cost"), col("__best").as("__gain"))

@@ -405,11 +405,13 @@ object TextOps {
     * total`), so the curve is engine-portable.
     *
     * Scale shape: one corpus-sized explode collapses through a map-side-
-    * combined type count into a VOCAB-sized frame; the rank/cumulative
-    * window then runs over that vocab frame — its SinglePartition sort is
-    * bounded by distinct-type count (a few million at web scale, with
-    * Zipf guaranteeing the interesting prefix is tiny), never by corpus
-    * rows. The corpus itself is scanned once, shuffled once (type key).
+    * combined type count into a VOCAB-sized frame; the top-k cut is a
+    * per-task heap (TakeOrderedAndProject — the vocab frame is NEVER
+    * globally sorted: until round 9 the rank window ran SinglePartition
+    * over every distinct type, a few million rows in one task at web
+    * scale), the rank/cumulative window runs over the K-SIZED survivor
+    * frame, and the occurrence total attaches as a 1-row broadcast. The
+    * corpus is scanned once, shuffled once (type key).
     *
     * Output: (rank, token, n, cum_n, cum_micro), rank <= k.
     */
@@ -419,15 +421,17 @@ object TextOps {
     val types = df
       .select(explode(tokens(lower(text))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val total = types.agg(sum(col("n")).as("__total"))
+    // (n desc, token) is a strict total order (token is the group key),
+    // so limit-k == the old rank<=k filter, but plans as per-task heaps
+    val topk = types.orderBy(col("n").desc, col("token")).limit(k)
     val byFreq = Window.orderBy(col("n").desc, col("token"))
-    types
+    topk
       .withColumn("rank", row_number().over(byFreq).cast("long"))
       .withColumn("cum_n", sum(col("n")).over(
         byFreq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("__total",
-        sum(col("n")).over(Window.partitionBy()))
+      .crossJoin(broadcast(total))
       .withColumn("cum_micro", expr("(cum_n * 1000000) div __total"))
-      .filter(col("rank") <= k)
       .select(col("rank"), col("token"), col("n"), col("cum_n"),
         col("cum_micro"))
   }
