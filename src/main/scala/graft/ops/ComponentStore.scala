@@ -163,6 +163,30 @@ object ComponentStore {
   def assignment(spark: SparkSession, storeDir: String): DataFrame =
     spark.read.parquet(s"$storeDir/assignment")
 
+  /** Streaming ingest: each micro-batch folds into the store through
+    * [[refresh]] with `segment = "batch-<id>"` — segment-name idempotence
+    * makes the sink exactly-once under foreachBatch's at-least-once
+    * replay (same discipline as [[graft.streaming.CdcStream.applyToLake]]).
+    * After any prefix of batches the assignment equals the from-scratch
+    * clustering of every document delivered so far.
+    */
+  def applyStream(
+      docs: DataFrame,
+      storeDir: String,
+      checkpointPath: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 3,
+      threshold: Double = 0.2): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        refresh(batch, storeDir, s"batch-$batchId", idCol, textCol,
+          k, threshold)
+        ()
+      }
+      .start()
+
   /** Soft-dedup weights riding the artifact: the exact
     * `1e6 DIV cluster_size` grid of the from-scratch formulation, at the
     * cost of one cluster-sized aggregate + one join over the slim

@@ -387,6 +387,40 @@ private[queries] object DedupQueries {
       ComponentStore.weights(s, store)
     }),
 
+    // The ESS fold riding the artifact (same exact-long Kish algebra as
+    // q_ess_weights, off ComponentStore.weights). Oracle identical.
+    "q_ess_weights_artifact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_compe_").toString
+      ComponentStore.refresh(docs.filter(col("doc_id") % 2 === 0), store, "base")
+      ComponentStore.refresh(docs.filter(col("doc_id") % 2 =!= 0), store, "delta1")
+      ComponentStore.weights(s, store).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("weight_micro")).as("sum_w_micro"),
+        sum(col("weight_micro") * col("weight_micro")).as("sum_w2"))
+        .withColumn("ess",
+          (col("sum_w_micro").cast("double") *
+            col("sum_w_micro").cast("double")) / col("sum_w2").cast("double"))
+        .withColumn("ess_ratio", col("ess") / col("n_docs").cast("double"))
+    }),
+
+    // Dedup APPLIED off the artifact: representatives are the fixpoint
+    // rows (doc_id == component) of the stored assignment — the cleaned
+    // corpus without re-pairing anything. Oracle identical to
+    // q_dedup_apply.
+    "q_dedup_apply_artifact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_compa_").toString
+      ComponentStore.refresh(docs.filter(col("doc_id") % 2 === 0), store, "base")
+      ComponentStore.refresh(docs.filter(col("doc_id") % 2 =!= 0), store, "delta1")
+      val reps = ComponentStore.assignment(s, store)
+        .filter(col("doc_id") === col("component"))
+        .select(col("doc_id"))
+      docs.join(reps, "doc_id").select(col("doc_id"), col("source"))
+    }),
+
     // q_group_kfold riding the artifact: leakage-safe folds from the
     // stored assignment — no shingling or component iteration at split
     // time. Oracle identical to q_group_kfold.
@@ -964,5 +998,7 @@ private[queries] object DedupQueries {
       s"""WITH RECURSIVE $dedupWeightsCtes
          |SELECT doc_id, component FROM asg""".stripMargin,
     "q_dedup_weights_artifact" -> oracleSql0("q_dedup_weights"),
+    "q_ess_weights_artifact" -> oracleSql0("q_ess_weights"),
+    "q_dedup_apply_artifact" -> oracleSql0("q_dedup_apply"),
     "q_group_kfold_artifact" -> oracleSql0("q_group_kfold"))
 }

@@ -96,6 +96,35 @@ class ComponentStoreSpec extends SparkSpec {
     assert(compOf(7L) == 7L)
   }
 
+  test("streamed ingest (applyStream) == batch clustering after every batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val store = tmp("stream")
+    val ckpt = tmp("streamck")
+    val mem = MemoryStream[(Long, String)]
+    val q = ComponentStore.applyStream(
+      mem.toDF().toDF("doc_id", "text"), store, ckpt)
+    val all = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    try {
+      // batch 1: the first two families' even docs; batch 2: the rest
+      // minus the bridge; batch 3: the bridge alone (late fuse)
+      val b1 = all.filter(_._1 <= 4)
+      val b2 = all.filter(d => d._1 > 4 && d._1 <= 9)
+      val b3 = all.filter(_._1 == 10L)
+      mem.addData(b1.toSeq: _*)
+      q.processAllAvailable()
+      assert(stored(store).sameElements(
+        fromScratch(docs.filter(col("doc_id") <= 4))))
+      mem.addData(b2.toSeq: _*)
+      q.processAllAvailable()
+      assert(stored(store).sameElements(
+        fromScratch(docs.filter(col("doc_id") <= 9))))
+      mem.addData(b3.toSeq: _*)
+      q.processAllAvailable()
+      assert(stored(store).sameElements(fromScratch(docs)))
+    } finally q.stop()
+  }
+
   test("weights off the artifact == dedupWeights shape off from-scratch") {
     val store = tmp("w")
     ComponentStore.refresh(docs.filter(col("doc_id") % 3 === 0), store, "s0")
