@@ -112,8 +112,8 @@ object ComponentStore {
         GraphOps.componentsOf(ids, "doc_id", edges, "u", "v")
           .select(col("node").as("doc_id"), col("component"))
       } else {
-        val baseIdx = spark.read.parquet(s"$storeDir/shingles")
-        val baseSizes = spark.read.parquet(s"$storeDir/sizes")
+        val baseIdx = readShingles(spark, storeDir)
+        val baseSizes = readSizes(spark, storeDir)
         val baseAsg = spark.read.parquet(asgPath)
         val edges = jaccardEdges(newIdx, newSizes, newIdx, newSizes,
             threshold, selfJoin = true)
@@ -156,12 +156,37 @@ object ComponentStore {
     IndexOps.recordSegment(spark, storeDir, "components", segment)
   }
 
+  // Empty-store degradation (the IndexOps.readPostings discipline): a
+  // zero-row segment writes no parquet part files, so schema inference
+  // has nothing to read — fall back to typed empty frames.
+  private def readShingles(spark: SparkSession, storeDir: String): DataFrame =
+    if (hasParquet(s"$storeDir/shingles"))
+      spark.read.parquet(s"$storeDir/shingles")
+    else {
+      import spark.implicits._
+      Seq.empty[(Long, Long, Long)].toDF("doc_id", "sh", "sb")
+    }
+
+  private def readSizes(spark: SparkSession, storeDir: String): DataFrame =
+    if (hasParquet(s"$storeDir/sizes"))
+      spark.read.parquet(s"$storeDir/sizes")
+    else {
+      import spark.implicits._
+      Seq.empty[(Long, Long)].toDF("doc_id", "n")
+    }
+
   /** The stored (doc_id, component) assignment over every ingested
     * segment — what downstream consumers JOIN instead of rebuilding
-    * pairs + components.
+    * pairs + components. An all-empty store (every refreshed segment had
+    * zero rows) degrades to the typed empty frame.
     */
   def assignment(spark: SparkSession, storeDir: String): DataFrame =
-    spark.read.parquet(s"$storeDir/assignment")
+    if (hasParquet(s"$storeDir/assignment"))
+      spark.read.parquet(s"$storeDir/assignment")
+    else {
+      import spark.implicits._
+      Seq.empty[(Long, Long)].toDF("doc_id", "component")
+    }
 
   /** Streaming ingest: each micro-batch folds into the store through
     * [[refresh]] with `segment = "batch-<id>"` — segment-name idempotence

@@ -243,14 +243,30 @@ class GraphOpsSpec extends SparkSpec {
     val local = pageRankOf(edges, 5)
     val dir = java.nio.file.Files
       .createTempDirectory("graft_ckpt_").toString
+    // SparkContext.checkpointDir is JVM-global and FIRST-set wins
+    // (another suite — LineageModeSpec — may have pinned it already), so
+    // count files under whatever dir the context actually uses
+    def count(d: String): Long = {
+      val p = if (d.startsWith("file:"))
+        java.nio.file.Paths.get(java.net.URI.create(d))
+      else java.nio.file.Paths.get(d)
+      if (!java.nio.file.Files.exists(p)) 0L
+      else {
+        val s = java.nio.file.Files.walk(p)
+        try s.filter(java.nio.file.Files.isRegularFile(_)).count()
+        finally s.close()
+      }
+    }
+    val before = spark.sparkContext.getCheckpointDir.map(count).getOrElse(0L)
     spark.conf.set(Lineage.CheckpointDirKey, dir)
     try {
       val reliable = pageRankOf(edges, 5)
       assert(reliable == local)
       // the reliable path actually wrote checkpoint data
-      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-        .filter(java.nio.file.Files.isRegularFile(_)).count()
-      assert(wrote > 0, s"no checkpoint files under $dir")
+      val actual = spark.sparkContext.getCheckpointDir
+      assert(actual.isDefined, "reliable run never set a checkpoint dir")
+      assert(count(actual.get) > before,
+        s"no checkpoint files under ${actual.get}")
     } finally spark.conf.unset(Lineage.CheckpointDirKey)
   }
 
