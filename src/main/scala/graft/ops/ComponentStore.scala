@@ -147,10 +147,15 @@ object ComponentStore {
 
     // reading assignment/ and overwriting it is the refreshBloom cycle —
     // cut lineage before the overwrite
-    next.cutLineage().write.mode("overwrite").parquet(asgPath)
+    next.cutLineage().coalesce(4).write.mode("overwrite").parquet(asgPath)
+    // repartition by the bucket key first: partitionBy from N shuffle
+    // partitions otherwise writes up to N files into EVERY bucket dir
+    // (64xN small files per segment — measured as the dominant refresh
+    // cost at sf0.1)
     newIdx.withColumn("sb", pmod(col("sh"), lit(64L)))
+      .repartition(col("sb"))
       .write.partitionBy("sb").mode("append").parquet(s"$storeDir/shingles")
-    newSizes.write.mode("append").parquet(s"$storeDir/sizes")
+    newSizes.coalesce(4).write.mode("append").parquet(s"$storeDir/sizes")
     newIdx.unpersist(false)
     newSizes.unpersist(false)
     IndexOps.recordSegment(spark, storeDir, "components", segment)

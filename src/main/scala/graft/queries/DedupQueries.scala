@@ -374,67 +374,45 @@ private[queries] object DedupQueries {
     }),
 
     // q_dedup_weights riding the artifact: same exact weight grid, but
-    // the expensive pair + components work happened at ingest (three
-    // segment refreshes here); the readout is one cluster-sized
-    // aggregate + one slim join. Oracle identical to q_dedup_weights.
-    "q_dedup_weights_artifact" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val store = java.nio.file.Files
-        .createTempDirectory("graft_compw_").toString
-      ComponentStore.refresh(docs.filter(col("doc_id") % 3 === 0), store, "s0")
-      ComponentStore.refresh(docs.filter(col("doc_id") % 3 === 1), store, "s1")
-      ComponentStore.refresh(docs.filter(col("doc_id") % 3 === 2), store, "s2")
-      ComponentStore.weights(s, store)
-    }),
+    // the expensive pair + components work happened at INGEST (the
+    // memoized shared store — QueryShared.componentStore — plays the
+    // ingest; the rider is one cluster-sized aggregate + one slim
+    // join). Oracle identical to q_dedup_weights.
+    "q_dedup_weights_artifact" -> ((s, dir) =>
+      ComponentStore.weights(s, componentStore(s, dir))),
 
     // The ESS fold riding the artifact (same exact-long Kish algebra as
     // q_ess_weights, off ComponentStore.weights). Oracle identical.
-    "q_ess_weights_artifact" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val store = java.nio.file.Files
-        .createTempDirectory("graft_compe_").toString
-      ComponentStore.refresh(docs.filter(col("doc_id") % 2 === 0), store, "base")
-      ComponentStore.refresh(docs.filter(col("doc_id") % 2 =!= 0), store, "delta1")
-      ComponentStore.weights(s, store).agg(
+    "q_ess_weights_artifact" -> ((s, dir) =>
+      ComponentStore.weights(s, componentStore(s, dir)).agg(
         count(lit(1)).as("n_docs"),
         sum(col("weight_micro")).as("sum_w_micro"),
         sum(col("weight_micro") * col("weight_micro")).as("sum_w2"))
         .withColumn("ess",
           (col("sum_w_micro").cast("double") *
             col("sum_w_micro").cast("double")) / col("sum_w2").cast("double"))
-        .withColumn("ess_ratio", col("ess") / col("n_docs").cast("double"))
-    }),
+        .withColumn("ess_ratio", col("ess") / col("n_docs").cast("double"))),
 
     // Dedup APPLIED off the artifact: representatives are the fixpoint
     // rows (doc_id == component) of the stored assignment — the cleaned
     // corpus without re-pairing anything. Oracle identical to
     // q_dedup_apply.
     "q_dedup_apply_artifact" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val store = java.nio.file.Files
-        .createTempDirectory("graft_compa_").toString
-      ComponentStore.refresh(docs.filter(col("doc_id") % 2 === 0), store, "base")
-      ComponentStore.refresh(docs.filter(col("doc_id") % 2 =!= 0), store, "delta1")
-      val reps = ComponentStore.assignment(s, store)
+      val reps = ComponentStore.assignment(s, componentStore(s, dir))
         .filter(col("doc_id") === col("component"))
         .select(col("doc_id"))
-      docs.join(reps, "doc_id").select(col("doc_id"), col("source"))
+      t(s, dir, "documents").join(reps, "doc_id")
+        .select(col("doc_id"), col("source"))
     }),
 
     // q_group_kfold riding the artifact: leakage-safe folds from the
     // stored assignment — no shingling or component iteration at split
     // time. Oracle identical to q_group_kfold.
-    "q_group_kfold_artifact" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val store = java.nio.file.Files
-        .createTempDirectory("graft_compk_").toString
-      ComponentStore.refresh(docs.filter(col("doc_id") % 2 === 0), store, "base")
-      ComponentStore.refresh(docs.filter(col("doc_id") % 2 =!= 0), store, "delta1")
-      ComponentStore.assignment(s, store)
+    "q_group_kfold_artifact" -> ((s, dir) =>
+      ComponentStore.assignment(s, componentStore(s, dir))
         .select(col("doc_id"), col("component"),
           (DedupOps.portableShingleHash(col("component").cast("string")) % 5)
-            .cast("int").as("fold"))
-    }),
+            .cast("int").as("fold"))),
 
     // Fuzzy entity matching (SymSpell deletion-neighborhood blocking +
     // exact levenshtein verify): candidates join on 8-byte variant

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AssocOps, AudioOps, ContaminationOps, DedupOps, EstimatorOps, ExperimentOps, GraphOps, IndexOps, IvfOps, JoinOps, LakeOps, LatticeKmeans, LmOps, ModelOps, MultimodalOps, PcaOps, PqOps, PrepOps, PrivacyOps, ProfileOps, SamplingOps, SearchOps, SimilarityOps, SketchOps, TextOps}
+import graft.ops.{AssocOps, AudioOps, ComponentStore, ContaminationOps, DedupOps, EstimatorOps, ExperimentOps, GraphOps, IndexOps, IvfOps, JoinOps, LakeOps, LatticeKmeans, LmOps, ModelOps, MultimodalOps, PcaOps, PqOps, PrepOps, PrivacyOps, ProfileOps, SamplingOps, SearchOps, SimilarityOps, SketchOps, TextOps}
 import graft.streaming.{EventOps, IngestDedupStream}
 
 /** Shared fixtures, memoized frames, and oracle-SQL builders used by
@@ -153,6 +153,34 @@ private[queries] object QueryShared {
     * dirs) key separately by dir. Results are unchanged — only the
     * number of times the identical build executes.
     */
+  /** Component-store artifact shared by the artifact-riding dedup
+    * queries (weights / ESS / apply / k-fold): built ONCE per
+    * (session, sf dir) through the segment lifecycle (even base + odd
+    * delta) and reused from DISK — riding a PERSISTED artifact is these
+    * queries' semantics (the expensive clustering happened at ingest),
+    * so rebuilding the store inside every rider would mis-price exactly
+    * the cost the artifact amortizes (measured: 13-21 s/query at sf0.1
+    * rebuilt, ~1 s riding). q_components_refresh deliberately does NOT
+    * share it: that query prices the lifecycle itself (fresh store,
+    * build + append + idempotent re-run).
+    */
+  val componentStoreMemo =
+    scala.collection.mutable.HashMap.empty[(SparkSession, String), String]
+
+  def componentStore(s: SparkSession, dir: String): String =
+    componentStoreMemo.synchronized {
+      componentStoreMemo.filterInPlace { case ((sess, _), _) =>
+        !sess.sparkContext.isStopped }
+      componentStoreMemo.getOrElseUpdate((s, dir), {
+        val docs = t(s, dir, "documents")
+        val store = java.nio.file.Files
+          .createTempDirectory("graft_comp_shared_").toString
+        ComponentStore.refresh(docs.filter(col("doc_id") % 2 === 0), store, "base")
+        ComponentStore.refresh(docs.filter(col("doc_id") % 2 =!= 0), store, "delta1")
+        store
+      })
+    }
+
   val edgeMemo =
     scala.collection.mutable.HashMap.empty[(SparkSession, String, String), DataFrame]
 
