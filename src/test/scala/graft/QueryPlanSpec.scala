@@ -573,6 +573,23 @@ class QueryPlanSpec extends SparkSpec {
     }
   }
 
+  test("artifact riders actually ride: no shingle machinery in their plans") {
+    // the point of ComponentStore is that downstream consumers JOIN the
+    // persisted assignment instead of re-pairing the corpus — a rider
+    // whose plan re-derives shingles (xxhash64 over text, a join keyed
+    // on sh) has silently regressed to the from-scratch formulation
+    for (q <- Seq("q_dedup_weights_artifact", "q_ess_weights_artifact",
+        "q_dedup_apply_artifact", "q_group_kfold_artifact")) {
+      val plan = finalPlan(q)
+      assert(!plan.contains("xxhash64"),
+        s"$q: rider must not re-shingle the corpus:\n$plan")
+      assert(!plan.contains("sh#") && !plan.contains("hashpartitioning(sh"),
+        s"$q: rider must not rebuild the shingle index:\n$plan")
+      assert(plan.contains("Scan parquet") || plan.contains("FileScan"),
+        s"$q: rider must read the persisted assignment:\n$plan")
+    }
+  }
+
   test("bloom index / CMS / entity golden keep their scale shapes") {
     // q_bloom_index: the index and every probe decision are broadcast
     // joins (index and probes are metadata-sized); the only non-hash
