@@ -260,6 +260,100 @@ object ExperimentOps {
         (z2 >= MwZ2Crit).cast("int")).as("significant"))
   }
 
+  // ------------------------------------------------- Welch's t (unequal var)
+
+  /** Welch's unequal-variance two-sample t — the continuous-metric
+    * complement to [[abTest]] when pooling is unjustified (arm variances
+    * differ, the usual case for revenue-like metrics). Exact-long core:
+    * per-arm `(n, Σx, Σx²)` in ONE map-side-combined aggregate; the
+    * sample variance deliberately avoids the textbook
+    * `(n·Σx² − (Σx)²)/(n·(n−1))` long product (overflows int64 at corpus
+    * scale) and closes instead as the algebraically-equal fixed IEEE
+    * chain
+    *
+    *   var = Σx²/(n−1) − (Σx/n)·(Σx/(n−1))
+    *
+    * — three correctly-rounded divisions and one multiply of exact-long
+    * operands, bit-identical on any engine. t² and the
+    * Welch–Satterthwaite df are the same fixed-order double chains;
+    * `significant` compares t² to the shared [[MwZ2Crit]] normal cut
+    * (the n ≫ 30 regime corpus experiments run at). Value contract:
+    * `n·max(v²) < 2^63` for the Σx² long (cents of a bounded metric) —
+    * ANSI mode raises loudly on breach rather than wrapping.
+    * Degenerate arms (n < 2) or zero spread on both sides yield NULLs.
+    */
+  def welchT(df: DataFrame, isA: Column, value: Column): DataFrame = {
+    val v = df.select(isA.cast("boolean").as("a"), value.cast("long").as("v"))
+      .filter(col("a").isNotNull && col("v").isNotNull)
+    val s = v.agg(
+      coalesce(sum(when(col("a"), 1L)), lit(0L)).as("n_a"),
+      coalesce(sum(when(col("a"), col("v"))), lit(0L)).as("s_a"),
+      coalesce(sum(when(col("a"), col("v") * col("v"))), lit(0L)).as("q_a"),
+      coalesce(sum(when(!col("a"), 1L)), lit(0L)).as("n_b"),
+      coalesce(sum(when(!col("a"), col("v"))), lit(0L)).as("s_b"),
+      coalesce(sum(when(!col("a"), col("v") * col("v"))), lit(0L)).as("q_b"))
+    def mean(sm: Column, n: Column): Column =
+      when(n > 0, sm.cast("double") / n.cast("double"))
+    def vr(q: Column, sm: Column, n: Column): Column =
+      when(n > 1, q.cast("double") / (n - 1L).cast("double") -
+        (sm.cast("double") / n.cast("double")) *
+          (sm.cast("double") / (n - 1L).cast("double")))
+    val meanA = mean(col("s_a"), col("n_a"))
+    val meanB = mean(col("s_b"), col("n_b"))
+    val varA = vr(col("q_a"), col("s_a"), col("n_a"))
+    val varB = vr(col("q_b"), col("s_b"), col("n_b"))
+    val ta = varA / col("n_a").cast("double")
+    val tb = varB / col("n_b").cast("double")
+    val se2 = ta + tb
+    val d = meanA - meanB
+    val t2 = when(se2 > 0.0, d * d / se2)
+    val dfW = when(se2 > 0.0,
+      se2 * se2 / (ta * ta / (col("n_a") - 1L).cast("double") +
+        tb * tb / (col("n_b") - 1L).cast("double")))
+    s.select(
+      col("n_a"), col("n_b"),
+      meanA.as("mean_a"), meanB.as("mean_b"),
+      varA.as("var_a"), varB.as("var_b"),
+      t2.as("t2"), dfW.as("df_welch"),
+      when(t2.isNotNull, (t2 >= MwZ2Crit).cast("int")).as("significant"))
+  }
+
+  // --------------------------------------------- Benjamini-Hochberg FDR
+
+  /** Benjamini–Hochberg step-up FDR control over a HYPOTHESIS frame —
+    * the multiple-comparisons gate an experiment platform applies when
+    * it reads m metrics/segments per day: order the p-values ascending,
+    * find the largest k with `p_(k) ≤ k·α/m`, reject ranks 1..k. With
+    * p-values on the exact ×10^6 integer grid the acceptance test
+    * cross-multiplies to `p_micro·m ≤ k·alphaMicro` — pure longs, no
+    * float anywhere, so the rejection set is engine-exact.
+    *
+    * Scale shape: the frame is HYPOTHESIS-bounded by construction
+    * (metrics × segments — dozens to thousands, never corpus rows; the
+    * corpus-sized work happened in the upstream tests that produced the
+    * p-values), so the rank window and the step-up fold run on a
+    * metadata-sized frame — the [[stratifiedEffect]] strata-frame
+    * contract.
+    *
+    * Output per hypothesis: `(hyp, p_micro, rank, m, rejected)`.
+    */
+  def bhFdr(
+      hyp: DataFrame, key: Column, pMicro: Column,
+      alphaMicro: Long = 50000L): DataFrame = {
+    require(alphaMicro > 0 && alphaMicro <= 1000000L,
+      s"bad alphaMicro: $alphaMicro")
+    val b = hyp.select(key.as("hyp"), pMicro.cast("long").as("p_micro"))
+    val byP = Window.orderBy(col("p_micro"), col("hyp"))
+    val whole = Window.partitionBy()
+    b.withColumn("rank", row_number().over(byP).cast("long"))
+      .withColumn("m", count(lit(1)).over(whole))
+      .withColumn("k_max", coalesce(max(
+        when(col("p_micro") * col("m") <= col("rank") * alphaMicro,
+          col("rank"))).over(whole), lit(0L)))
+      .select(col("hyp"), col("p_micro"), col("rank"), col("m"),
+        (col("rank") <= col("k_max")).cast("int").as("rejected"))
+  }
+
   // --------------------------------------- Kolmogorov-Smirnov two-sample
 
   /** c(0.05)² for the two-sample KS rejection rule — 1.358². A shared

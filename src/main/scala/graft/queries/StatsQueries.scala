@@ -436,6 +436,32 @@ private[queries] object StatsQueries {
         col("lang") === "en",
         TextOps.classifierMargin(col("text"), qualityLexicon))),
 
+    // Welch's unequal-variance t on the same BUILDING/MACHINERY balance
+    // fixture as q_mann_whitney — the parametric continuous-metric
+    // complement: exact-long (n, Σx, Σx²) per arm, variance closed as
+    // the overflow-safe fixed IEEE chain, Welch-Satterthwaite df, the
+    // shared 1.96² normal cut.
+    "q_welch_t" -> ((s, dir) =>
+      ExperimentOps.welchT(
+        t(s, dir, "customer").filter(
+          col("c_mktsegment").isin("BUILDING", "MACHINERY")),
+        col("c_mktsegment") === "BUILDING",
+        round(col("c_acctbal") * 100).cast("long"))),
+
+    // Benjamini-Hochberg step-up FDR over the (source, lang) hypothesis
+    // family — p-values stand in as the deterministic portable hash
+    // (the CONTROL procedure is the operator under test; upstream tests
+    // produce real p_micro in production). Pure exact-long step-up:
+    // p_micro·m <= rank·50000.
+    "q_fdr_bh" -> ((s, dir) => {
+      val hyp = t(s, dir, "documents")
+        .filter(col("lang").isNotNull && col("source").isNotNull)
+        .select(concat(col("source"), lit("|"), col("lang")).as("h"))
+        .distinct()
+      ExperimentOps.bhFdr(hyp, col("h"),
+        DedupOps.portableShingleHash(col("h")) % 1000000L + 1L)
+    }),
+
     // Monte-Carlo permutation test on open-vs-finished order values:
     // 64 deterministic splitmix relabelings folded map-side into 64
     // partial-agg groups (the distributed-bootstrap shape), add-one
@@ -1293,5 +1319,78 @@ private[queries] object StatsQueries {
          |  END AS auc
          |FROM ag""".stripMargin
     },
+
+    // The engine's exact welchT chain: exact-long (n, Σx, Σx²) per arm,
+    // the overflow-safe variance form, fixed-order t²/df doubles, the
+    // shared 1.96² literal through the dlit discipline.
+    "q_welch_t" ->
+      """WITH v AS (
+        |  SELECT (c_mktsegment = 'BUILDING') AS a,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS v
+        |  FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        |s AS (SELECT
+        |    CAST(count(*) FILTER (WHERE a) AS BIGINT) AS n_a,
+        |    CAST(coalesce(sum(v) FILTER (WHERE a), 0) AS BIGINT) AS s_a,
+        |    CAST(coalesce(sum(v * v) FILTER (WHERE a), 0) AS BIGINT) AS q_a,
+        |    CAST(count(*) FILTER (WHERE NOT a) AS BIGINT) AS n_b,
+        |    CAST(coalesce(sum(v) FILTER (WHERE NOT a), 0) AS BIGINT) AS s_b,
+        |    CAST(coalesce(sum(v * v) FILTER (WHERE NOT a), 0) AS BIGINT) AS q_b
+        |  FROM v),
+        |m AS (SELECT *,
+        |    CASE WHEN n_a > 0
+        |      THEN CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) END AS mean_a,
+        |    CASE WHEN n_b > 0
+        |      THEN CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) END AS mean_b,
+        |    CASE WHEN n_a > 1
+        |      THEN CAST(q_a AS DOUBLE) / CAST(n_a - 1 AS DOUBLE)
+        |         - (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+        |           * (CAST(s_a AS DOUBLE) / CAST(n_a - 1 AS DOUBLE))
+        |    END AS var_a,
+        |    CASE WHEN n_b > 1
+        |      THEN CAST(q_b AS DOUBLE) / CAST(n_b - 1 AS DOUBLE)
+        |         - (CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |           * (CAST(s_b AS DOUBLE) / CAST(n_b - 1 AS DOUBLE))
+        |    END AS var_b
+        |  FROM s),
+        |t AS (SELECT *,
+        |    var_a / CAST(n_a AS DOUBLE) AS ta,
+        |    var_b / CAST(n_b AS DOUBLE) AS tb
+        |  FROM m),
+        |u AS (SELECT *, ta + tb AS se2, mean_a - mean_b AS d FROM t),
+        |z AS (SELECT *,
+        |    CASE WHEN se2 > 0.0 THEN d * d / se2 END AS t2,
+        |    CASE WHEN se2 > 0.0 THEN se2 * se2
+        |      / (ta * ta / CAST(n_a - 1 AS DOUBLE)
+        |         + tb * tb / CAST(n_b - 1 AS DOUBLE)) END AS df_welch
+        |  FROM u)
+        |SELECT n_a, n_b, mean_a, mean_b, var_a, var_b, t2, df_welch,
+        |  CASE WHEN t2 IS NOT NULL THEN
+        |    CAST(t2 >= CAST('3.8416' AS DOUBLE) AS INT) END AS significant
+        |FROM z""".stripMargin,
+
+    // The exact-long BH step-up: portable-md5 p_micro per hypothesis,
+    // rank window over the hypothesis-bounded frame, cross-multiplied
+    // acceptance p_micro*m <= rank*50000, rejection by rank <= k_max.
+    "q_fdr_bh" ->
+      s"""WITH g AS (
+         |  SELECT DISTINCT source || '|' || lang AS h FROM documents
+         |  WHERE lang IS NOT NULL AND source IS NOT NULL),
+         |p AS (
+         |  SELECT h, (CAST(('0x' || substring(md5(h), 1, 15)) AS BIGINT)
+         |    % ${graft.ops.DedupOps.PortableHashPrime}) % 1000000 + 1
+         |    AS p_micro
+         |  FROM g),
+         |r AS (
+         |  SELECT h AS hyp, CAST(p_micro AS BIGINT) AS p_micro,
+         |    CAST(row_number() OVER (ORDER BY p_micro, h) AS BIGINT)
+         |      AS rank,
+         |    CAST(count(*) OVER () AS BIGINT) AS m
+         |  FROM p),
+         |k AS (SELECT coalesce(max(CASE WHEN p_micro * m <= rank * 50000
+         |        THEN rank END), 0) AS k_max FROM r)
+         |SELECT hyp, p_micro, rank, m,
+         |  CAST(CASE WHEN rank <= k_max THEN 1 ELSE 0 END AS INT)
+         |    AS rejected
+         |FROM r, k""".stripMargin,
   )
 }

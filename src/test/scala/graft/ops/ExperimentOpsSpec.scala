@@ -263,4 +263,65 @@ class ExperimentOpsSpec extends SparkSpec {
       .collect().head
     assert(a == b)
   }
+
+  test("welchT == the scalar replica; layout-invariant; degenerate arms NULL") {
+    val vals = (1 to 400).map(i => (i % 3 == 0, (i * 37L) % 211L - 50L))
+    val df = vals.toDF("a", "v")
+    val r = ExperimentOps.welchT(df, col("a"), col("v")).collect().head
+    // scalar replica with the SAME fixed IEEE chain
+    def stats(xs: Seq[Long]) = {
+      val n = xs.length.toLong
+      val s = xs.sum
+      val q = xs.map(x => x * x).sum
+      val mean = s.toDouble / n.toDouble
+      val vr = q.toDouble / (n - 1).toDouble -
+        (s.toDouble / n.toDouble) * (s.toDouble / (n - 1).toDouble)
+      (n, mean, vr)
+    }
+    val (na, ma, va) = stats(vals.filter(_._1).map(_._2))
+    val (nb, mb, vb) = stats(vals.filterNot(_._1).map(_._2))
+    assert(r.getAs[Long]("n_a") == na && r.getAs[Long]("n_b") == nb)
+    assert(r.getAs[Double]("mean_a") == ma && r.getAs[Double]("mean_b") == mb)
+    assert(r.getAs[Double]("var_a") == va && r.getAs[Double]("var_b") == vb)
+    val ta = va / na.toDouble; val tb = vb / nb.toDouble
+    val se2 = ta + tb; val d = ma - mb
+    assert(r.getAs[Double]("t2") == d * d / se2)
+    assert(r.getAs[Double]("df_welch") ==
+      se2 * se2 / (ta * ta / (na - 1).toDouble + tb * tb / (nb - 1).toDouble))
+    val r17 = ExperimentOps.welchT(df.repartition(17), col("a"), col("v"))
+      .collect().head
+    assert(r == r17)
+    // single-row arms have no variance -> NULL t2
+    val degen = Seq((true, 5L), (false, 7L), (false, 9L)).toDF("a", "v")
+    val rd = ExperimentOps.welchT(degen, col("a"), col("v")).collect().head
+    assert(rd.isNullAt(rd.fieldIndex("t2")))
+  }
+
+  test("bhFdr == the scalar step-up; boundary ranks behave") {
+    // hand-built p grid: with alpha=0.05 and m=8, row k passes iff
+    // p <= 6250*k. h4 (26000 > 25000) FAILS its own row but h5
+    // (31000 <= 31250) passes rank 5 — the step-up must rescue h4.
+    val ps = Seq(
+      ("h1", 1000L), ("h2", 12000L), ("h3", 18000L), ("h4", 26000L),
+      ("h5", 31000L), ("h6", 390000L), ("h7", 500000L), ("h8", 900000L))
+    val out = ExperimentOps.bhFdr(
+      ps.toDF("h", "p"), col("h"), col("p"))
+      .collect().map(r => r.getAs[String]("hyp") ->
+        (r.getAs[Long]("rank"), r.getAs[Int]("rejected"))).toMap
+    // scalar BH: sort, find max k with p*m <= k*50000
+    val sorted = ps.sortBy(p => (p._2, p._1))
+    val kmax = sorted.zipWithIndex
+      .filter { case ((_, p), i) => p * 8 <= (i + 1).toLong * 50000L }
+      .map(_._2 + 1).maxOption.getOrElse(0)
+    for (((h, _), i) <- sorted.zipWithIndex) {
+      assert(out(h)._1 == i + 1)
+      assert(out(h)._2 == (if (i + 1 <= kmax) 1 else 0),
+        s"$h rank ${i + 1} vs kmax $kmax")
+    }
+    // the planted step-up boundary actually fired: h4 fails its own row
+    // test yet is rejected (rescued by h5's rank passing)
+    assert(kmax == 5, s"fixture must plant kmax=5, got $kmax")
+    assert(out("h4")._2 == 1, "step-up must rescue h4")
+    assert(out("h6")._2 == 0)
+  }
 }
