@@ -138,6 +138,11 @@ object ComponentStore {
           .select(col("doc_id"),
             coalesce(col("new_label"), col("component")).as("component"))
         val mergedNew = ids
+          // exclude ids the assignment already carries: under the segment
+          // contract this is empty, but a replay of a TORN refresh (crash
+          // after the assignment overwrite, before the ledger record)
+          // would otherwise union duplicate doc_id rows with reset labels
+          .join(baseAsg.select(col("doc_id")), Seq("doc_id"), "left_anti")
           .join(remap.withColumnRenamed("old_label", "doc_id"),
             Seq("doc_id"), "left")
           .select(col("doc_id"),
@@ -194,11 +199,18 @@ object ComponentStore {
     }
 
   /** Streaming ingest: each micro-batch folds into the store through
-    * [[refresh]] with `segment = "batch-<id>"` — segment-name idempotence
-    * makes the sink exactly-once under foreachBatch's at-least-once
-    * replay (same discipline as [[graft.streaming.CdcStream.applyToLake]]).
-    * After any prefix of batches the assignment equals the from-scratch
-    * clustering of every document delivered so far.
+    * [[refresh]] with `segment = "batch-<id>"` — the segment ledger makes
+    * replay of a COMPLETED batch a no-op (the
+    * [[graft.streaming.CdcStream.applyToLake]] discipline), and the
+    * assignment merge tolerates a replay of a TORN refresh (crash after
+    * the assignment overwrite, before the ledger record): already-merged
+    * delta ids are excluded from the re-union, so labels are not reset.
+    * The torn window's shingle APPEND is not replay-idempotent — a crash
+    * exactly there requires rebuilding the store (refreshes are seconds;
+    * the window is the final two writes) — documented as the store's
+    * recovery contract rather than hidden. After any prefix of completed
+    * batches the assignment equals the from-scratch clustering of every
+    * document delivered so far.
     */
   def applyStream(
       docs: DataFrame,

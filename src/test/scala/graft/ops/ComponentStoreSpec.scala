@@ -96,6 +96,24 @@ class ComponentStoreSpec extends SparkSpec {
     assert(compOf(7L) == 7L)
   }
 
+  test("replay of a TORN refresh (assignment committed, ledger lost) does " +
+    "not reset merged labels") {
+    val store = tmp("torn")
+    ComponentStore.refresh(docs.filter(col("doc_id") % 2 === 0), store, "base")
+    ComponentStore.refresh(docs.filter(col("doc_id") % 2 =!= 0), store, "delta")
+    val good = stored(store)
+    // simulate the torn window: the ledger vanishes (crash between the
+    // assignment overwrite and recordSegment) and foreachBatch replays
+    // the delta — the merged labels must survive the re-union
+    val ledger = java.nio.file.Paths.get(s"$store/segments")
+    java.nio.file.Files.walk(ledger)
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.delete(p))
+    ComponentStore.refresh(docs.filter(col("doc_id") % 2 =!= 0), store, "delta")
+    assert(stored(store).sameElements(good),
+      "torn-refresh replay must not reset delta labels")
+  }
+
   test("streamed ingest (applyStream) == batch clustering after every batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
