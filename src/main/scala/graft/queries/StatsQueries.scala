@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AssocOps, AudioOps, ContaminationOps, DedupOps, EstimatorOps, ExperimentOps, GraphOps, IndexOps, IvfOps, JoinOps, LakeOps, LatticeKmeans, LmOps, ModelOps, MultimodalOps, PcaOps, PqOps, PrepOps, PrivacyOps, ProfileOps, SamplingOps, SearchOps, SimilarityOps, SketchOps, TextOps}
+import graft.ops.{AssocOps, AudioOps, ContaminationOps, DedupOps, EstimatorOps, ExperimentOps, GraphOps, IndexOps, IvfOps, JoinOps, LakeOps, LatticeKmeans, LmOps, ModelOps, MultimodalOps, PcaOps, PqOps, PrepOps, PrivacyOps, ProfileOps, SamplingOps, SearchOps, SimilarityOps, SketchOps, SurvivalOps, TextOps}
 import graft.streaming.{EventOps, IngestDedupStream}
 
 import QueryShared._
@@ -482,7 +482,99 @@ private[queries] object StatsQueries {
       ExperimentOps.stratifiedEffect(
         t(s, dir, "orders"), col("o_custkey"), col("o_orderpriority"),
         round(col("o_totalprice") * 100).cast("long"))),
+
+    // Kaplan-Meier life table over right-censored signup→first-purchase
+    // lifetimes (entry = first event day, event = first purchase day,
+    // administrative censoring at study end, day 30). Exact-long life
+    // table + intdiv hazard; the survival curve rides the fixed-point
+    // Log2Fixed log-space prefix sum (no float cumulative product, no
+    // libm), both prefix passes on the two-phase bucketed scan.
+    "q_km_lifetable" -> ((s, dir) => {
+      val sb = survivalSubjects(s, dir)
+      SurvivalOps.kmLifeTable(
+        sb.select(
+          when(col("conv").isNotNull, col("conv") - col("entry"))
+            .otherwise(lit(30L) - col("entry")).as("dur"),
+          col("conv").isNotNull.cast("long").as("ev")),
+        col("dur"), col("ev"))
+    }),
+
+    // Two-group log-rank test on the same censored lifetimes, arms from
+    // the q_ab_test affine hash — does treatment change TIME-to-convert,
+    // not just whether (the question q_ab_test can't see). Per-event-time
+    // observed-minus-expected and hypergeometric-variance terms, each an
+    // all-double fixed chain (the welchT overflow discipline); the scalar
+    // z² = (Σoe)²/Σvar is the consumer's one fold (q_chisq convention).
+    "q_logrank" -> ((s, dir) => {
+      val sb = survivalSubjects(s, dir)
+      SurvivalOps.logRankTerms(
+        sb.select(
+          when(col("conv").isNotNull, col("conv") - col("entry"))
+            .otherwise(lit(30L) - col("entry")).as("dur"),
+          col("conv").isNotNull.cast("long").as("ev"),
+          (ExperimentOps.armOf(col("user_id"), 2) === 0).as("a")),
+        col("dur"), col("ev"), col("a"))
+    }),
+
+    // Group-sequential monitoring: the q_ab_test pooled z² evaluated at
+    // four weekly interim looks against the constant Pocock K=4 boundary
+    // (shared 2.361² literal) — peeking made honest. Cumulative exact
+    // counts per look via one map-side ×4 replicate explode (the
+    // permutationTest shape); stop_look over the 4-row look frame.
+    "q_seq_monitor" -> ((s, dir) =>
+      SurvivalOps.seqMonitor(
+        survivalSubjects(s, dir), col("user_id"),
+        col("entry"), col("conv"), Seq(7L, 14L, 21L, 28L))),
+
+    // Two-period difference-in-differences on purchase spend (pre = days
+    // 0-14, post = days 15+), arms from the same affine hash: the panel
+    // estimator that differences out time trends a raw post-period
+    // comparison confounds. Balanced user-period cells (absent periods
+    // spend 0), ONE 8-sum map-side aggregate, means one division each,
+    // the DiD contrast a fixed four-term chain.
+    "q_did" -> ((s, dir) => {
+      val day = datediff(to_date(col("ts")),
+        lit("2024-01-01").cast("date")).cast("long")
+      val cents = round(col("value") * 100).cast("long")
+      val perUser = RefQueries.events(s, dir)
+        .groupBy(col("user_id")).agg(
+          sum(when(col("event_type") === "purchase" && day < 15L, cents)
+            .otherwise(0L)).as("pre_cents"),
+          sum(when(col("event_type") === "purchase" && day >= 15L, cents)
+            .otherwise(0L)).as("post_cents"))
+      val cells = perUser.select(
+        (ExperimentOps.armOf(col("user_id"), 2) === 0).as("tr"),
+        explode(array(
+          struct(lit(false).as("po"), col("pre_cents").as("y")),
+          struct(lit(true).as("po"), col("post_cents").as("y")))).as("pp"))
+        .select(col("tr"), col("pp.po").as("po"), col("pp.y").as("y"))
+      SurvivalOps.did(cells, col("tr"), col("po"), col("y"))
+    }),
   )
+
+  /** Shared survival fixture: one row per user with `entry` (first event
+    * day since 2024-01-01) and `conv` (first purchase day, NULL = never)
+    * — the subject frame for q_km_lifetable / q_logrank / q_seq_monitor.
+    * One map-side-combined user-grain aggregate over events.
+    */
+  private def survivalSubjects(s: SparkSession, dir: String): DataFrame = {
+    val day = datediff(to_date(col("ts")),
+      lit("2024-01-01").cast("date")).cast("long")
+    RefQueries.events(s, dir).groupBy(col("user_id")).agg(
+      min(day).as("entry"),
+      min(when(col("event_type") === "purchase", day)).as("conv"))
+  }
+
+  /** The survival subject frame as a DuckDB CTE body (replays
+    * [[survivalSubjects]]): emits `user_id, entry, conv`. */
+  private val survSubjSql: String =
+    """SELECT user_id,
+      |    min(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)))
+      |      AS entry,
+      |    min(CASE WHEN event_type = 'purchase'
+      |        THEN date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+      |        END) AS conv
+      |  FROM events GROUP BY user_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
 
@@ -1392,5 +1484,190 @@ private[queries] object StatsQueries {
          |  CAST(CASE WHEN rank <= k_max THEN 1 ELSE 0 END AS INT)
          |    AS rejected
          |FROM r, k""".stripMargin,
+
+    // Full life-table replay: the same subject frame, at-risk counts via
+    // the exclusive prefix window, the 20-round fixed-point log2 unrolled
+    // over every (n_risk, n_risk−d) value, intdiv hazard.
+    "q_km_lifetable" ->
+      s"""WITH u AS ($survSubjSql),
+         |subj AS (
+         |  SELECT CASE WHEN conv IS NOT NULL THEN conv - entry
+         |              ELSE 30 - entry END AS v,
+         |         CASE WHEN conv IS NOT NULL THEN 1 ELSE 0 END AS e
+         |  FROM u),
+         |byv AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt,
+         |    CAST(sum(e) AS BIGINT) AS d
+         |  FROM subj GROUP BY v),
+         |risk AS (SELECT v, cnt, d,
+         |    CAST(sum(cnt) OVER ()
+         |      - coalesce(sum(cnt) OVER (ORDER BY v
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS n_risk
+         |  FROM byv),
+         |vals AS (SELECT DISTINCT v FROM (
+         |  SELECT n_risk AS v FROM risk WHERE d > 0 AND d < n_risk
+         |  UNION ALL
+         |  SELECT n_risk - d FROM risk WHERE d > 0 AND d < n_risk)),
+         |${QueryShared.log2FixedSql("vals")},
+         |inc AS (SELECT r.v, r.cnt, r.d, r.n_risk,
+         |    CASE WHEN r.d = 0 OR r.d = r.n_risk THEN 0
+         |         ELSE ls.lg - lr.lg END AS dlog,
+         |    CASE WHEN r.d = r.n_risk AND r.d > 0 THEN 1 ELSE 0 END AS dead
+         |  FROM risk r
+         |  LEFT JOIN lg ls ON ls.v = r.n_risk - r.d
+         |  LEFT JOIN lg lr ON lr.v = r.n_risk),
+         |cum AS (SELECT v, cnt, d, n_risk,
+         |    CAST(sum(dlog) OVER (ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cdlog,
+         |    CAST(sum(dead) OVER (ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cdead
+         |  FROM inc)
+         |SELECT v AS t, n_risk, d, CAST(cnt - d AS BIGINT) AS c,
+         |  CAST(d * 1000000 // n_risk AS BIGINT) AS hazard_micro,
+         |  CASE WHEN cdead = 0 THEN cdlog END AS km_log2fx,
+         |  CAST(CASE WHEN cdead > 0 THEN 1 ELSE 0 END AS INT) AS km_zero
+         |FROM cum""".stripMargin,
+
+    // Same subject frame + affine arms; per-event-time O−E and
+    // hypergeometric-variance terms in the identical all-double chains.
+    "q_logrank" ->
+      """WITH u AS (%SUBJ%),
+        |subj AS (
+        |  SELECT CASE WHEN conv IS NOT NULL THEN conv - entry
+        |              ELSE 30 - entry END AS v,
+        |         CASE WHEN conv IS NOT NULL THEN 1 ELSE 0 END AS e,
+        |         ((((user_id % 999999937) * 2654435761 + 104729)
+        |           % 999999937) % 2) = 0 AS a
+        |  FROM u),
+        |byv AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+        |    CAST(sum(e) AS BIGINT) AS d,
+        |    CAST(sum(CASE WHEN a THEN e ELSE 0 END) AS BIGINT) AS d_a
+        |  FROM subj GROUP BY v),
+        |risk AS (SELECT v, d, d_a,
+        |    CAST(sum(cnt) OVER ()
+        |      - coalesce(sum(cnt) OVER (ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS n,
+        |    CAST(sum(cnt_a) OVER ()
+        |      - coalesce(sum(cnt_a) OVER (ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS n_a
+        |  FROM byv)
+        |SELECT v AS t, n, n_a, d, d_a,
+        |  CAST(d_a AS DOUBLE)
+        |    - CAST(d AS DOUBLE) * CAST(n_a AS DOUBLE) / CAST(n AS DOUBLE)
+        |    AS term_oe,
+        |  CASE WHEN n > 1 THEN
+        |    CAST(d AS DOUBLE) * CAST(n - d AS DOUBLE) * CAST(n_a AS DOUBLE)
+        |      * CAST(n - n_a AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |         * CAST(n - 1 AS DOUBLE)) END AS term_var
+        |FROM risk WHERE d > 0""".stripMargin
+        .replace("%SUBJ%", survSubjSql),
+
+    // Affine arms, ×4 look replicate, cumulative FILTERed counts, the
+    // identical pooled-z² chain per look, the shared Pocock literal,
+    // first-crossing via a frame-global window min.
+    "q_seq_monitor" -> {
+      val crit = dlit(SurvivalOps.PocockZ2CritK4)
+      val z2 = "(ra - rb) * (ra - rb) / (pool * (1.0e0 - pool) * " +
+        "(1.0e0 / CAST(n_a AS DOUBLE) + 1.0e0 / CAST(n_b AS DOUBLE)))"
+      s"""WITH u AS ($survSubjSql),
+         |armed AS (
+         |  SELECT ((((user_id % 999999937) * 2654435761 + 104729)
+         |      % 999999937) % 2) AS arm,
+         |    entry, conv
+         |  FROM u),
+         |looks(look) AS (VALUES (7), (14), (21), (28)),
+         |pl AS (
+         |  SELECT CAST(look AS BIGINT) AS look,
+         |    CAST(count(CASE WHEN arm = 0 THEN 1 END) AS BIGINT) AS n_a,
+         |    CAST(count(CASE WHEN arm = 1 THEN 1 END) AS BIGINT) AS n_b,
+         |    CAST(coalesce(sum(CASE WHEN arm = 0 AND conv <= look
+         |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS x_a,
+         |    CAST(coalesce(sum(CASE WHEN arm = 1 AND conv <= look
+         |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS x_b
+         |  FROM armed CROSS JOIN looks
+         |  WHERE entry <= look
+         |  GROUP BY look),
+         |sc AS (
+         |  SELECT look, n_a, x_a, n_b, x_b,
+         |    CASE WHEN n_a > 0 AND n_b > 0 AND x_a + x_b > 0
+         |              AND x_a + x_b < n_a + n_b
+         |         THEN $z2 END AS z2
+         |  FROM (SELECT look, n_a, x_a, n_b, x_b,
+         |          CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ra,
+         |          CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rb,
+         |          CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+         |            AS pool
+         |        FROM pl))
+         |SELECT look, n_a, x_a, n_b, x_b, z2,
+         |  coalesce(CAST(z2 >= $crit AS INT), 0) AS crossed,
+         |  min(CASE WHEN z2 >= $crit THEN look END) OVER () AS stop_look
+         |FROM sc""".stripMargin
+    },
+
+    // Per-user pre/post purchase cents (absent period = 0), the affine
+    // treat flag, ONE 8-sum aggregate, identical mean and DiD chains.
+    "q_did" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+        |      AND date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) < 15
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END), 0)
+        |      AS BIGINT) AS pre_cents,
+        |    CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+        |      AND date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) >= 15
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END), 0)
+        |      AS BIGINT) AS post_cents
+        |  FROM events GROUP BY user_id),
+        |cells AS (
+        |  SELECT ((((user_id % 999999937) * 2654435761 + 104729)
+        |      % 999999937) % 2) = 0 AS tr,
+        |    po,
+        |    CASE WHEN po THEN post_cents ELSE pre_cents END AS y
+        |  FROM pu, (VALUES (FALSE), (TRUE)) AS p(po)),
+        |sums AS (
+        |  SELECT
+        |    CAST(count(CASE WHEN tr AND NOT po THEN 1 END) AS BIGINT)
+        |      AS n_t_pre,
+        |    CAST(coalesce(sum(CASE WHEN tr AND NOT po THEN y ELSE 0 END), 0)
+        |      AS BIGINT) AS s_t_pre,
+        |    CAST(count(CASE WHEN tr AND po THEN 1 END) AS BIGINT)
+        |      AS n_t_post,
+        |    CAST(coalesce(sum(CASE WHEN tr AND po THEN y ELSE 0 END), 0)
+        |      AS BIGINT) AS s_t_post,
+        |    CAST(count(CASE WHEN NOT tr AND NOT po THEN 1 END) AS BIGINT)
+        |      AS n_c_pre,
+        |    CAST(coalesce(sum(CASE WHEN NOT tr AND NOT po THEN y ELSE 0 END),
+        |      0) AS BIGINT) AS s_c_pre,
+        |    CAST(count(CASE WHEN NOT tr AND po THEN 1 END) AS BIGINT)
+        |      AS n_c_post,
+        |    CAST(coalesce(sum(CASE WHEN NOT tr AND po THEN y ELSE 0 END), 0)
+        |      AS BIGINT) AS s_c_post
+        |  FROM cells),
+        |m AS (
+        |  SELECT *,
+        |    CASE WHEN n_t_pre > 0
+        |      THEN CAST(s_t_pre AS DOUBLE) / CAST(n_t_pre AS DOUBLE) END
+        |      AS m_t_pre,
+        |    CASE WHEN n_t_post > 0
+        |      THEN CAST(s_t_post AS DOUBLE) / CAST(n_t_post AS DOUBLE) END
+        |      AS m_t_post,
+        |    CASE WHEN n_c_pre > 0
+        |      THEN CAST(s_c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE) END
+        |      AS m_c_pre,
+        |    CASE WHEN n_c_post > 0
+        |      THEN CAST(s_c_post AS DOUBLE) / CAST(n_c_post AS DOUBLE) END
+        |      AS m_c_post
+        |  FROM sums)
+        |SELECT n_t_pre, s_t_pre, n_t_post, s_t_post,
+        |  n_c_pre, s_c_pre, n_c_post, s_c_post,
+        |  m_t_pre, m_t_post, m_c_pre, m_c_post,
+        |  (m_t_post - m_t_pre) - (m_c_post - m_c_pre) AS did
+        |FROM m""".stripMargin,
   )
 }

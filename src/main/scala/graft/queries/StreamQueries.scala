@@ -434,6 +434,16 @@ private[queries] object StreamQueries {
         ev.filter(col("event_type") === "purchase"),
         ev.filter(col("event_type") === "click"))
     }),
+
+    // Engaged-time interval union: each event opens a 4-hour attention
+    // window; covered time per user counts overlaps ONCE (a naive
+    // n·window double-counts, session islands lose partial-overlap
+    // geometry). Running-max-frontier sweep — one user-keyed Exchange
+    // shared by the window and the aggregate, integer microseconds,
+    // intdiv coverage ppm.
+    "q_interval_union" -> ((s, dir) =>
+      EventOps.coveredTime(
+        RefQueries.events(s, dir), windowUs = 14400000000L)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -891,5 +901,29 @@ private[queries] object StreamQueries {
         |  ON p.user_id = c.user_id
         | AND p.event_type = 'purchase' AND c.event_type = 'click'
         | AND c.ts >= p.ts - INTERVAL 2 HOUR AND c.ts <= p.ts""".stripMargin,
+
+    // Same frontier sweep: strictly-preceding running max end per user,
+    // per-interval uncovered-suffix contribution, intdiv ppm.
+    "q_interval_union" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS s FROM events),
+        |f AS (
+        |  SELECT user_id, s,
+        |    max(s + 14400000000) OVER (PARTITION BY user_id
+        |      ORDER BY s, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS frontier
+        |  FROM e),
+        |c AS (
+        |  SELECT user_id, s,
+        |    CASE WHEN frontier IS NULL THEN 14400000000
+        |         ELSE greatest(0, s + 14400000000 - greatest(s, frontier))
+        |         END AS contrib
+        |  FROM f)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+        |  CAST(sum(contrib) AS BIGINT) AS covered_us,
+        |  CAST(max(s) + 14400000000 - min(s) AS BIGINT) AS span_us,
+        |  CAST(sum(contrib) * 1000000
+        |    // (max(s) + 14400000000 - min(s)) AS BIGINT) AS coverage_ppm
+        |FROM c GROUP BY user_id""".stripMargin,
   )
 }

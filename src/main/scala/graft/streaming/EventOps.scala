@@ -412,6 +412,51 @@ object EventOps {
           sum(col("__dur_us")).cast("double")) / 100.0).as("twa_value"))
   }
 
+  /** Interval-union coverage — the classic overlapping-intervals sweep:
+    * each event opens a fixed-length attention window
+    * `[ts, ts + windowUs)`, and the per-user COVERED time is the measure
+    * of the union (overlaps counted once). The engaged-time / uptime /
+    * SLA-coverage primitive: a plain `n_events · windowUs` double-counts
+    * every overlap, and a gaps-and-islands session count loses the
+    * partial-overlap geometry.
+    *
+    * Sweep without self-join: per user, ordered by start, the
+    * running-max end over STRICTLY PRECEDING rows is the frontier; each
+    * interval contributes `max(0, end − max(start, frontier))` — full
+    * length when disjoint, the uncovered suffix when partially
+    * overlapped, 0 when swallowed. All integer microseconds; the sum per
+    * user is tie-order invariant (equal starts imply equal ends, so one
+    * of the tied rows contributes the full window and the rest 0,
+    * whichever order the engine visits them).
+    *
+    * Scale shape: ONE user-keyed Exchange shared by the window sort and
+    * the closing aggregate (same partitioning, no second shuffle) —
+    * parallel across users, never a global sort; the interval-set union
+    * at 100 TB costs one pass over the fact. Output per user:
+    * `(user_id, n_intervals, covered_us, span_us, coverage_ppm)` with
+    * `coverage_ppm = covered·10⁶ div span` exact integer.
+    */
+  def coveredTime(events: DataFrame, windowUs: Long): DataFrame = {
+    require(windowUs > 0, s"windowUs must be > 0, got $windowUs")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("s"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("s"))
+      .withColumn("__frontier", max(col("s") + windowUs).over(w))
+      .select(col("user_id"), col("s"),
+        when(col("__frontier").isNull, lit(windowUs))
+          .otherwise(greatest(lit(0L),
+            col("s") + windowUs - greatest(col("s"), col("__frontier"))))
+          .as("__contrib"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_intervals"),
+        sum(col("__contrib")).as("covered_us"),
+        (max(col("s")) + windowUs - min(col("s"))).as("span_us"))
+      .withColumn("coverage_ppm", expr("covered_us * 1000000L div span_us"))
+  }
+
   /** Burst collapse — telemetry dedup: repeated (user, event_type)
     * firings closer than `gapUs` microseconds to their predecessor are
     * one logical event (retry storms, double-clicks, at-least-once

@@ -573,6 +573,46 @@ class QueryPlanSpec extends SparkSpec {
     }
   }
 
+  test("survival family: at-risk and log-survival prefixes stay on the " +
+    "bucketed two-phase scan; the interval sweep stays user-partitioned") {
+    // q_km_lifetable / q_logrank accumulate over the distinct-DURATION
+    // frame — same contract as the rank stats: every window either
+    // bucket-scoped (pfx_b) or partitioned, never a SinglePartition sort
+    // of the value frame
+    for (q <- Seq("q_km_lifetable", "q_logrank")) {
+      val plan = finalPlan(q)
+      val windows = plan.linesIterator.filter(_.contains("Window ")).toList
+      assert(windows.nonEmpty, s"$q: expected bucket-frame windows:\n$plan")
+      windows.foreach { w =>
+        assert(w.contains("pfx_b#"),
+          s"$q: window must be bucket-scoped (over/by pfx_b), got:\n$w\n$plan")
+      }
+      assert(plan.contains("hashpartitioning(pfx_b"),
+        s"$q: partitioned in-bucket scan expected:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$q: bucket frame must broadcast:\n$plan")
+    }
+    // q_seq_monitor: the only unpartitioned window runs over the K-row
+    // look frame (hypothesis-bounded, the q_fdr_bh argument); the unit
+    // explode collapses through one partial-aggregated groupBy(look)
+    val sm = finalPlan("q_seq_monitor")
+    assert(sm.contains("partial_count") || sm.contains("HashAggregate"),
+      s"q_seq_monitor: map-side combine expected:\n$sm")
+    // count in the FINAL plan section only — AQE's toString repeats the
+    // tree under "== Initial Plan ==" and would double-count
+    val smFinal = sm.split("== Initial Plan ==").head
+    val smWindows = smFinal.linesIterator.filter(_.contains("Window ")).toList
+    assert(smWindows.size <= 1, s"one look-frame window only:\n$sm")
+    // q_interval_union: the sweep window and the closing aggregate share
+    // one user-keyed Exchange; no global sort anywhere
+    val iu = finalPlan("q_interval_union")
+    assert(iu.contains("hashpartitioning(user_id"),
+      s"q_interval_union: user-keyed sweep expected:\n$iu")
+    assert(!iu.linesIterator.exists(l =>
+      l.contains("Window ") && !l.contains("user_id#")),
+      s"q_interval_union: window must be user-partitioned:\n$iu")
+  }
+
   test("artifact riders actually ride: no shingle machinery in their plans") {
     // the point of ComponentStore is that downstream consumers JOIN the
     // persisted assignment instead of re-pairing the corpus — a rider
