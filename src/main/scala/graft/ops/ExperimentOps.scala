@@ -203,6 +203,51 @@ object ExperimentOps {
         col(s"tot_$c"))): _*)
   }
 
+  /** Grouped twin of [[prefixByValue]]: exact exclusive prefix sums and
+    * grand totals over the value domain WITHIN each group — the per-group
+    * cumulative scan (weighted medians, per-group CDFs) with the same
+    * two-phase shape. Strictly better parallelism than the ungrouped
+    * form: the cross-bucket prefix window is PARTITIONED BY the group
+    * (never a SinglePartition frame at all), and the within-bucket phase
+    * is partitioned by (group, bucket).
+    *
+    * Input carries the group columns, a long `v`, and the long count
+    * columns in `sumCols`; output keeps every input column and adds
+    * `pre_c` / `tot_c` per count column, scoped to the row's group.
+    *
+    * Contract: the (groups × buckets) bucket frame is broadcast back to
+    * the value frame — fine for the grouped-analytics shape (groups and
+    * occupied buckets both bounded); a per-USER million-group scan
+    * should drop the broadcast hint, not this helper.
+    */
+  private[ops] def prefixByValueGrouped(
+      byv: DataFrame, groupCols: Seq[String], sumCols: Seq[String],
+      bucketWidth: Long = 4096L): DataFrame = {
+    require(bucketWidth > 0, s"bad bucketWidth: $bucketWidth")
+    require(groupCols.nonEmpty, "use prefixByValue for the ungrouped scan")
+    val g = groupCols.map(col)
+    val b = byv.withColumn("pfx_b", expr(s"v DIV $bucketWidth"))
+    val crossBucket = Window.partitionBy(g: _*).orderBy(col("pfx_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val whole = Window.partitionBy(g: _*).orderBy(col("pfx_b"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val totals = b.groupBy((g :+ col("pfx_b")): _*).agg(
+      sum(col(sumCols.head)).as(s"bt_${sumCols.head}"),
+      sumCols.tail.map(c => sum(col(c)).as(s"bt_$c")): _*)
+    val bucketFrame = totals.select(
+      (g :+ col("pfx_b")) ++ sumCols.flatMap(c => Seq(
+        coalesce(sum(col(s"bt_$c")).over(crossBucket), lit(0L)).as(s"bp_$c"),
+        sum(col(s"bt_$c")).over(whole).as(s"tot_$c"))): _*)
+    val inBucket = Window.partitionBy((g :+ col("pfx_b")): _*)
+      .orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    b.join(broadcast(bucketFrame), groupCols :+ "pfx_b")
+      .select(byv.columns.map(col).toSeq ++ sumCols.flatMap(c => Seq(
+        (col(s"bp_$c") +
+          coalesce(sum(col(c)).over(inBucket), lit(0L))).as(s"pre_$c"),
+        col(s"tot_$c"))): _*)
+  }
+
   /** z²-critical value for two-sided α = 0.05: 1.96². Computed nowhere —
     * a shared literal, so both engines compare against the identical
     * double.

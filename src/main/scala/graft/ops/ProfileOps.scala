@@ -509,4 +509,108 @@ object ProfileOps {
         .as("p_e"),
       when(den > 0, num.cast("double") / den.cast("double")).as("kappa"))
   }
+
+  /** Exact weighted median per group — the robust location statistic
+    * (token-weighted document length, quantity-weighted price) that a
+    * plain median misreports whenever weights are uneven. Lower weighted
+    * median: the smallest value v whose inclusive cumulative weight
+    * reaches half the group total (`2·cum(v) >= W`) — pure selection,
+    * no interpolation arithmetic, so the answer is a value FROM the
+    * data and bit-portable by construction (the q_quality_filter
+    * discipline).
+    *
+    * Scale shape: ONE (group, value)-keyed map-side-combined aggregate
+    * collapses rows to the distinct-value frame; the cumulative weights
+    * ride [[ExperimentOps.prefixByValueGrouped]] — the two-phase
+    * bucketed scan partitioned by group, so no SinglePartition window
+    * touches any value domain, grouped or not; the closing argmin is a
+    * groups-sized aggregate. Rows with non-positive weight are excluded
+    * (a zero-weight row must not shift the median).
+    *
+    * Output per group: `(group, w_median, w_total, n_upper)` — `n_upper`
+    * counts the distinct values from the median upward (the filtered
+    * frame's size; a free selectivity diagnostic).
+    */
+  def weightedMedianByGroup(
+      df: DataFrame, group: Column, value: Column,
+      weight: Column): DataFrame = {
+    val byv = df
+      .select(group.as("g"), value.cast("long").as("v"),
+        weight.cast("long").as("w0"))
+      .filter(col("g").isNotNull && col("v").isNotNull && col("w0") > 0L)
+      .groupBy(col("g"), col("v"))
+      .agg(sum(col("w0")).as("w"))
+    ExperimentOps.prefixByValueGrouped(byv, Seq("g"), Seq("w"))
+      .filter(lit(2L) * (col("pre_w") + col("w")) >= col("tot_w"))
+      .groupBy(col("g"))
+      .agg(min(col("v")).as("w_median"), max(col("tot_w")).as("w_total"),
+        count(lit(1)).as("n_upper"))
+      .select(col("g").as("group"), col("w_median"), col("w_total"),
+        col("n_upper"))
+  }
+
+  /** Jensen-Shannon divergence between the token distributions of two
+    * document slices — the SYMMETRIC, always-finite drift readout
+    * [[tokenKlByGroup]] cannot give (KL blows up on tokens absent from
+    * the reference; JS's mixture midpoint never does, which is why
+    * mixture planners and drift monitors prefer it).
+    *
+    * Engine-exact: with integer token counts a_t/b_t and totals A/B,
+    * each side's undivided contribution is
+    *
+    *   a_t · [L(a_t) − L(A) − L(a_t·B + b_t·A) + L(2·A·B)]
+    *
+    * (the `p·log2(p/m)` term cleared of divisions), L the fixed-point
+    * [[graft.expr.Log2Fixed]] — exact int64 in/out, summed exactly; the
+    * closing `js_bits = ((sa/A) + (sb/B)) / 2 / 2²⁰` is one fixed IEEE
+    * chain. Zero-count sides contribute nothing (their multiplier is 0),
+    * so JS stays finite on disjoint vocabularies by construction.
+    * Value contract: `a_t·B + b_t·A` and `2·A·B` must fit int64 —
+    * per-slice token totals below ~2·10⁹ (slice-vs-slice audits); ANSI
+    * mode raises loudly on breach.
+    *
+    * Scale shape: one explode + ONE token-keyed map-side-combined
+    * aggregate with conditional sums (never a per-slice self-join);
+    * totals are a 1-row broadcast; the term sum is a second 1-row
+    * aggregate. Output ONE row:
+    * `(n_a, n_b, vocab, js_a_fixed, js_b_fixed, js_bits)`.
+    */
+  def tokenJsDivergence(
+      docs: DataFrame, isA: Column, isB: Column,
+      textCol: String = "text"): DataFrame = {
+    import graft.expr.MathExprs.log2Fixed
+    val tok = docs
+      .select(isA.cast("boolean").as("ia"), isB.cast("boolean").as("ib"),
+        explode(TextOps.tokens(lower(col(textCol)))).as("tk"))
+      .filter(col("ia") || col("ib"))
+      .groupBy(col("tk"))
+      .agg(sum(when(col("ia"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("ib"), 1L).otherwise(0L)).as("b"))
+    val totals = tok.agg(
+      coalesce(sum(col("a")), lit(0L)).as("na"),
+      coalesce(sum(col("b")), lit(0L)).as("nb"))
+    val terms = tok.crossJoin(broadcast(totals))
+      .select(col("na"), col("nb"),
+        when(col("a") > 0L, col("a") *
+          ((log2Fixed(col("a")) - log2Fixed(col("na"))) -
+            log2Fixed(col("a") * col("nb") + col("b") * col("na")) +
+            log2Fixed(lit(2L) * col("na") * col("nb"))))
+          .otherwise(0L).as("ta"),
+        when(col("b") > 0L, col("b") *
+          ((log2Fixed(col("b")) - log2Fixed(col("nb"))) -
+            log2Fixed(col("a") * col("nb") + col("b") * col("na")) +
+            log2Fixed(lit(2L) * col("na") * col("nb"))))
+          .otherwise(0L).as("tb"))
+    terms
+      .groupBy(col("na"), col("nb"))
+      .agg(count(lit(1)).as("vocab"),
+        coalesce(sum(col("ta")), lit(0L)).as("js_a_fixed"),
+        coalesce(sum(col("tb")), lit(0L)).as("js_b_fixed"))
+      .select(col("na").as("n_a"), col("nb").as("n_b"), col("vocab"),
+        col("js_a_fixed"), col("js_b_fixed"),
+        when(col("na") > 0L && col("nb") > 0L,
+          (col("js_a_fixed").cast("double") / col("na").cast("double") +
+            col("js_b_fixed").cast("double") / col("nb").cast("double")) /
+            lit(2.0) / lit(1048576.0)).as("js_bits"))
+  }
 }

@@ -211,6 +211,16 @@ private[queries] object CurationQueries {
       graft.ops.ProfileOps.tokenKlByGroup(
         t(s, dir, "documents"), col("source"))),
 
+    // Jensen-Shannon divergence between two source slices — the
+    // symmetric, always-finite drift readout KL can't give (tokens
+    // absent from one slice blow KL up; JS's mixture midpoint never
+    // does). Undivided Log2Fixed sums per side; one fixed closing chain
+    // to bits; zero-count sides contribute 0 by construction.
+    "q_js_divergence" -> ((s, dir) =>
+      graft.ops.ProfileOps.tokenJsDivergence(
+        t(s, dir, "documents"),
+        col("source") === "src0", col("source") === "src1")),
+
     // DSIR quality-targeted selection (Xie et al. NeurIPS'23): per-doc
     // log importance ratio of hashed-token distributions, target = the
     // English slice. Engine-exact: add-1-smoothed INTEGER bucket counts
@@ -807,6 +817,54 @@ private[queries] object CurationQueries {
          |  GROUP BY st.source)
          |SELECT nsrc.source AS "group", nsrc.n AS n_tokens, ks.kl_sum_fixed
          |FROM nsrc JOIN ks USING (source)""".stripMargin,
+
+    // JS replay: per-token conditional counts for the two slices, the
+    // cleared p·log2(p/m) term with every log a lg-join, same closing
+    // chain. Tokens in one slice only keep the OTHER side's term at 0.
+    "q_js_divergence" ->
+      s"""WITH tokss AS (
+         |  SELECT source, ${S.tokens("lower(text)")} AS w FROM documents
+         |  WHERE source IN ('src0', 'src1')),
+         |tok AS (
+         |  SELECT tk,
+         |    CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS a,
+         |    CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS b
+         |  FROM (SELECT source, unnest(w) AS tk FROM tokss) GROUP BY tk),
+         |tt AS (SELECT CAST(sum(a) AS BIGINT) AS na,
+         |    CAST(sum(b) AS BIGINT) AS nb FROM tok),
+         |vals AS (
+         |  SELECT DISTINCT v FROM (
+         |    SELECT a AS v FROM tok WHERE a > 0
+         |    UNION ALL SELECT b FROM tok WHERE b > 0
+         |    UNION ALL SELECT a * nb + b * na FROM tok, tt
+         |    UNION ALL SELECT na FROM tt
+         |    UNION ALL SELECT nb FROM tt
+         |    UNION ALL SELECT 2 * na * nb FROM tt)
+         |  WHERE v >= 1),
+         |${log2FixedSql("vals")},
+         |terms AS (
+         |  SELECT na, nb,
+         |    CASE WHEN a > 0
+         |      THEN a * ((la.lg - lna.lg) - lm.lg + l2.lg) ELSE 0 END AS ta,
+         |    CASE WHEN b > 0
+         |      THEN b * ((lb.lg - lnb.lg) - lm.lg + l2.lg) ELSE 0 END AS tb
+         |  FROM tok CROSS JOIN tt
+         |  LEFT JOIN lg la ON la.v = tok.a
+         |  LEFT JOIN lg lb ON lb.v = tok.b
+         |  JOIN lg lna ON lna.v = tt.na
+         |  JOIN lg lnb ON lnb.v = tt.nb
+         |  JOIN lg lm ON lm.v = tok.a * tt.nb + tok.b * tt.na
+         |  JOIN lg l2 ON l2.v = 2 * tt.na * tt.nb)
+         |SELECT na AS n_a, nb AS n_b, CAST(count(*) AS BIGINT) AS vocab,
+         |  CAST(coalesce(sum(ta), 0) AS BIGINT) AS js_a_fixed,
+         |  CAST(coalesce(sum(tb), 0) AS BIGINT) AS js_b_fixed,
+         |  CASE WHEN na > 0 AND nb > 0 THEN
+         |    (CAST(coalesce(sum(ta), 0) AS DOUBLE) / CAST(na AS DOUBLE)
+         |     + CAST(coalesce(sum(tb), 0) AS DOUBLE) / CAST(nb AS DOUBLE))
+         |    / 2.0e0 / 1048576.0e0 END AS js_bits
+         |FROM terms GROUP BY na, nb""".stripMargin,
 
     // The coin replays as the same md5 15-hex-char parse the portable
     // MinHash family uses; everything downstream is integer algebra.

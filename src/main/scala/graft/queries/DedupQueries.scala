@@ -456,6 +456,34 @@ private[queries] object DedupQueries {
           sum(col("is_dirty")).cast("long").as("n_dirty"),
           max(col("acct_cents")).as("acct_cents")))
     }),
+
+    // Fellegi-Sunter probabilistic linkage: customer vs a deterministic
+    // dirty copy (hash-corrupted segment for 1/5 of records, +1-dollar
+    // balance jitter for 1/4). Blocking on (nation, thousand-dollar
+    // bucket) is the candidate generator — never all-pairs; u-weights
+    // from the dirty side's exact frequency moments; pair weights are
+    // fixed-point log2 sums (no libm, no floats). q_entity_golden
+    // resolves entities deterministically; this puts each candidate on
+    // a calibrated log-odds scale instead of a similarity cliff.
+    "q_fs_link" -> ((s, dir) => {
+      val base = t(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("id"),
+        col("c_nationkey").cast("long").as("nation"),
+        col("c_mktsegment").as("seg"),
+        round(col("c_acctbal") * 100).cast("long").as("cents"))
+      val h = SamplingOps.portableAffine(col("id"))
+      val dirty = base.select(col("id"), col("nation"),
+        when(h % 5 === 0, lit("UNKNOWN")).otherwise(col("seg")).as("seg"),
+        (col("cents") + when(h % 4 === 0, 100L).otherwise(0L)).as("cents"))
+      // shift keeps the bucket math on nonnegative operands (toward-zero
+      // vs floor division never differs)
+      def prep(df: DataFrame) = df.select(col("id"), col("nation"),
+        expr("(cents + 100000L) div 1000").as("blk"),
+        col("seg"),
+        expr("(cents + 100000L) div 100").as("bal"))
+      graft.ops.LinkageOps.fsLink(prep(base), prep(dirty), "id", "id",
+        blockCols = Seq("nation", "blk"), compareCols = Seq("seg", "bal"))
+    }),
   )
 
   private val oracleSql0: Map[String, String] = Map(
@@ -966,6 +994,69 @@ private[queries] object DedupQueries {
         |FROM customer a JOIN customer b
         |  ON a.c_custkey < b.c_custkey
         | AND levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+
+    // Full FS replay: the same dirty copy (affine hash corruption), the
+    // exact second frequency moments, every log a lg-join over the
+    // unrolled fixed-point log2, null-safe agreement, blocked join.
+    "q_fs_link" ->
+      s"""WITH base AS (
+         |  SELECT CAST(c_custkey AS BIGINT) AS id,
+         |    CAST(c_nationkey AS BIGINT) AS nation,
+         |    c_mktsegment AS seg,
+         |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+         |  FROM customer),
+         |dirty AS (
+         |  SELECT id, nation,
+         |    CASE WHEN h % 5 = 0 THEN 'UNKNOWN' ELSE seg END AS seg,
+         |    cents + CASE WHEN h % 4 = 0 THEN 100 ELSE 0 END AS cents
+         |  FROM (SELECT *,
+         |      (((id % 999999937) * 2654435761 + 104729) % 999999937) AS h
+         |    FROM base)),
+         |al AS (SELECT id AS a_id, nation, (cents + 100000) // 1000 AS blk,
+         |    seg AS seg_a, (cents + 100000) // 100 AS bal_a FROM base),
+         |bl AS (SELECT id AS b_id, nation, (cents + 100000) // 1000 AS blk,
+         |    seg AS seg_b, (cents + 100000) // 100 AS bal_b FROM dirty),
+         |mm AS (SELECT CAST((SELECT count(*) FROM bl) AS BIGINT) AS n,
+         |    CAST((SELECT sum(c * c) FROM
+         |      (SELECT count(*) AS c FROM bl GROUP BY seg_b)) AS BIGINT)
+         |      AS ss_seg,
+         |    CAST((SELECT sum(c * c) FROM
+         |      (SELECT count(*) AS c FROM bl GROUP BY bal_b)) AS BIGINT)
+         |      AS ss_bal),
+         |vals AS (SELECT DISTINCT v FROM (
+         |    SELECT 950000 * n * n AS v FROM mm
+         |    UNION ALL SELECT 1000000 * ss_seg FROM mm
+         |    UNION ALL SELECT 1000000 * ss_bal FROM mm
+         |    UNION ALL SELECT 50000 * n * n FROM mm
+         |    UNION ALL SELECT 1000000 * (n * n - ss_seg) FROM mm
+         |    UNION ALL SELECT 1000000 * (n * n - ss_bal) FROM mm)
+         |  WHERE v >= 1),
+         |${QueryShared.log2FixedSql("vals")},
+         |w AS (SELECT
+         |    (SELECT lg FROM lg, mm WHERE lg.v = 950000 * mm.n * mm.n)
+         |      - (SELECT lg FROM lg, mm WHERE lg.v = 1000000 * mm.ss_seg)
+         |      AS wa_seg,
+         |    CASE WHEN (SELECT ss_seg < n * n FROM mm) THEN
+         |      (SELECT lg FROM lg, mm WHERE lg.v = 50000 * mm.n * mm.n)
+         |        - (SELECT lg FROM lg, mm
+         |           WHERE lg.v = 1000000 * (mm.n * mm.n - mm.ss_seg)) END
+         |      AS wd_seg,
+         |    (SELECT lg FROM lg, mm WHERE lg.v = 950000 * mm.n * mm.n)
+         |      - (SELECT lg FROM lg, mm WHERE lg.v = 1000000 * mm.ss_bal)
+         |      AS wa_bal,
+         |    CASE WHEN (SELECT ss_bal < n * n FROM mm) THEN
+         |      (SELECT lg FROM lg, mm WHERE lg.v = 50000 * mm.n * mm.n)
+         |        - (SELECT lg FROM lg, mm
+         |           WHERE lg.v = 1000000 * (mm.n * mm.n - mm.ss_bal)) END
+         |      AS wd_bal)
+         |SELECT a_id, b_id,
+         |  CAST(seg_a IS NOT DISTINCT FROM seg_b AS INT) AS agree_seg,
+         |  CAST(bal_a IS NOT DISTINCT FROM bal_b AS INT) AS agree_bal,
+         |  CAST(CASE WHEN seg_a IS NOT DISTINCT FROM seg_b
+         |         THEN wa_seg ELSE wd_seg END
+         |    + CASE WHEN bal_a IS NOT DISTINCT FROM bal_b
+         |         THEN wa_bal ELSE wd_bal END AS BIGINT) AS weight_fx
+         |FROM al JOIN bl USING (nation, blk) CROSS JOIN w""".stripMargin,
   )
 
   // The artifact-riding variants compute bit-identical results to their

@@ -483,6 +483,18 @@ private[queries] object StatsQueries {
         t(s, dir, "orders"), col("o_custkey"), col("o_orderpriority"),
         round(col("o_totalprice") * 100).cast("long"))),
 
+    // Exact weighted median (quantity-weighted price cents per return
+    // flag) — pure selection, no interpolation: the smallest value whose
+    // inclusive cumulative weight reaches half the group total. The
+    // cumulative weights ride the GROUPED two-phase bucketed prefix scan
+    // (partitioned by group AND bucket — no SinglePartition window
+    // anywhere in the plan, pinned in QueryPlanSpec).
+    "q_weighted_median" -> ((s, dir) =>
+      ProfileOps.weightedMedianByGroup(
+        t(s, dir, "lineitem"), col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long"),
+        col("l_quantity").cast("long"))),
+
     // Kaplan-Meier life table over right-censored signup→first-purchase
     // lifetimes (entry = first event day, event = first purchase day,
     // administrative censoring at study end, day 30). Exact-long life
@@ -1484,6 +1496,28 @@ private[queries] object StatsQueries {
          |  CAST(CASE WHEN rank <= k_max THEN 1 ELSE 0 END AS INT)
          |    AS rejected
          |FROM r, k""".stripMargin,
+
+    // Same distinct-value weight frame; the cumulative scan is a plain
+    // per-group window (the oracle needs correctness, not the scale
+    // shape), the same exact-long median cut.
+    "q_weighted_median" ->
+      """WITH byv AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem WHERE CAST(l_quantity AS BIGINT) > 0
+        |  GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT g, v, w,
+        |    CAST(coalesce(sum(w) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS pre_w,
+        |    CAST(sum(w) OVER (PARTITION BY g) AS BIGINT) AS tot_w
+        |  FROM byv)
+        |SELECT g AS "group", CAST(min(v) AS BIGINT) AS w_median,
+        |  CAST(max(tot_w) AS BIGINT) AS w_total,
+        |  CAST(count(*) AS BIGINT) AS n_upper
+        |FROM cum WHERE 2 * (pre_w + w) >= tot_w GROUP BY g""".stripMargin,
 
     // Full life-table replay: the same subject frame, at-risk counts via
     // the exclusive prefix window, the 20-round fixed-point log2 unrolled

@@ -579,7 +579,9 @@ class QueryPlanSpec extends SparkSpec {
     // frame — same contract as the rank stats: every window either
     // bucket-scoped (pfx_b) or partitioned, never a SinglePartition sort
     // of the value frame
-    for (q <- Seq("q_km_lifetable", "q_logrank")) {
+    // q_weighted_median rides the GROUPED scan — its windows are
+    // additionally partitioned by the group, so the same pin holds
+    for (q <- Seq("q_km_lifetable", "q_logrank", "q_weighted_median")) {
       val plan = finalPlan(q)
       val windows = plan.linesIterator.filter(_.contains("Window ")).toList
       assert(windows.nonEmpty, s"$q: expected bucket-frame windows:\n$plan")
@@ -587,7 +589,8 @@ class QueryPlanSpec extends SparkSpec {
         assert(w.contains("pfx_b#"),
           s"$q: window must be bucket-scoped (over/by pfx_b), got:\n$w\n$plan")
       }
-      assert(plan.contains("hashpartitioning(pfx_b"),
+      assert(plan.contains("hashpartitioning(pfx_b") ||
+        plan.contains(", pfx_b#"),
         s"$q: partitioned in-bucket scan expected:\n$plan")
       assert(!plan.contains("SortMergeJoin"),
         s"$q: bucket frame must broadcast:\n$plan")

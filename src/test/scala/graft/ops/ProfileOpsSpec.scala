@@ -318,4 +318,109 @@ class ProfileOpsSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("outside {0,1}"))
   }
+
+  // ------------------------------------------------- weighted median
+
+  /** Scalar lower weighted median: smallest v with 2·cum(v) >= W. */
+  private def scalarWMedian(vw: Seq[(Long, Long)]): Long = {
+    val byV = vw.filter(_._2 > 0).groupBy(_._1).view
+      .mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+    val total = byV.map(_._2).sum
+    var cum = 0L
+    byV.collectFirst {
+      case (v, w) if { cum += w; 2 * cum >= total } => v
+    }.get
+  }
+
+  test("weightedMedianByGroup: hand cases (skewed weights, even split, single value)") {
+    val df = Seq(
+      // group A: value 1 carries 9/10 of the weight -> median 1
+      ("A", 1L, 9L), ("A", 100L, 1L),
+      // group B: exact half at value 2 (2*cum == W at v=2) -> lower median 2
+      ("B", 2L, 1L), ("B", 5L, 1L),
+      // group C: one value
+      ("C", 7L, 3L)).toDF("g", "v", "w")
+    val got = ProfileOps.weightedMedianByGroup(
+      df, col("g"), col("v"), col("w"))
+      .orderBy("group").collect()
+    assert(got.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq(("A", 1L, 10L), ("B", 2L, 2L), ("C", 7L, 3L)))
+  }
+
+  test("weightedMedianByGroup: brute-force differential; zero/negative weights excluded") {
+    val rows = for (g <- Seq("x", "y", "z"); i <- 1 to 200) yield
+      (g, ((i * 31 + g.hashCode.abs) % 43).toLong, (i % 7).toLong - 1L)
+    val got = ProfileOps.weightedMedianByGroup(
+      rows.toDF("g", "v", "w").repartition(9), col("g"), col("v"), col("w"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val vw = rs.map(r => (r._2, r._3))
+      assert(got(g)._1 === scalarWMedian(vw), s"group $g median")
+      assert(got(g)._2 === vw.filter(_._2 > 0).map(_._2).sum, s"group $g total")
+    }
+  }
+
+  test("weightedMedianByGroup: unit weights equal the plain lower median") {
+    val rows = (1 to 101).map(i => ("g", ((i * 17) % 37).toLong, 1L))
+    val got = ProfileOps.weightedMedianByGroup(
+      rows.toDF("g", "v", "w"), col("g"), col("v"), col("w"))
+      .collect().head.getLong(1)
+    val sorted = rows.map(_._2).sorted
+    assert(got === sorted((sorted.size - 1) / 2))
+  }
+
+  // ------------------------------------------------- Jensen-Shannon
+
+  private def jsRows(a: Seq[String], b: Seq[String]) = {
+    val docs = a.map(t => ("sa", t)) ++ b.map(t => ("sb", t))
+    ProfileOps.tokenJsDivergence(
+      docs.toDF("src", "text"), col("src") === "sa", col("src") === "sb")
+      .collect().head
+  }
+
+  test("tokenJsDivergence: identical slices sit at ~0 bits, disjoint at ~1 bit") {
+    val same = jsRows(Seq("alpha beta gamma beta"), Seq("alpha beta gamma beta"))
+    assert(math.abs(same.getDouble(5)) < 1e-4, s"identical: ${same.getDouble(5)}")
+    val disjoint = jsRows(Seq("alpha beta alpha beta"), Seq("gamma delta gamma delta"))
+    assert(math.abs(disjoint.getDouble(5) - 1.0) < 1e-4,
+      s"disjoint: ${disjoint.getDouble(5)}")
+  }
+
+  test("tokenJsDivergence: exact scalar replay of the fixed-point formula") {
+    val a = Seq("the cat sat on the mat", "a cat and a dog")
+    val b = Seq("the dog ran to the park", "a bird and a dog ran")
+    val row = jsRows(a, b)
+    // scalar replay with the same tokenizer contract (lowercase, \s+ split)
+    def toks(ss: Seq[String]) = ss.flatMap(_.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+    val (ta, tb) = (toks(a), toks(b))
+    val vocab = (ta ++ tb).distinct
+    val (na, nb) = (ta.size.toLong, tb.size.toLong)
+    def l(v: Long) = SelectionOps.log2Fixed(v)
+    var (sa, sb) = (0L, 0L)
+    vocab.foreach { t =>
+      val (ca, cb) = (ta.count(_ == t).toLong, tb.count(_ == t).toLong)
+      val lm = l(ca * nb + cb * na)
+      val l2 = l(2L * na * nb)
+      if (ca > 0) sa += ca * ((l(ca) - l(na)) - lm + l2)
+      if (cb > 0) sb += cb * ((l(cb) - l(nb)) - lm + l2)
+    }
+    assert(row.getLong(0) === na)
+    assert(row.getLong(1) === nb)
+    assert(row.getLong(2) === vocab.size.toLong)
+    assert(row.getLong(3) === sa)
+    assert(row.getLong(4) === sb)
+    val bits = (sa.toDouble / na + sb.toDouble / nb) / 2.0 / 1048576.0
+    assert(row.getDouble(5) === bits)
+  }
+
+  test("tokenJsDivergence: symmetric in its arguments") {
+    val a = Seq("red green blue red")
+    val b = Seq("red yellow yellow")
+    val docs = (a.map(t => ("sa", t)) ++ b.map(t => ("sb", t))).toDF("src", "text")
+    val ab = ProfileOps.tokenJsDivergence(
+      docs, col("src") === "sa", col("src") === "sb").collect().head
+    val ba = ProfileOps.tokenJsDivergence(
+      docs, col("src") === "sb", col("src") === "sa").collect().head
+    assert(ab.getDouble(5) === ba.getDouble(5))
+  }
 }
