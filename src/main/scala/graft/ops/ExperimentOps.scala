@@ -64,6 +64,54 @@ object ExperimentOps {
         .as("z"))
   }
 
+  /** z_{α/2} + z_β for two-sided α = 0.05 at 80% power
+    * (1.96 + 0.8416) — the standard planning constants, shared as ONE
+    * literal so both engines compute the identical MDE.
+    */
+  val PowerZSum: Double = 2.8016
+
+  /** Minimum detectable effect (power analysis) for the running
+    * two-proportion experiment — the "could we even see the effect we
+    * care about yet?" readout that belongs NEXT TO every z-test: a
+    * non-significant [[abTest]] is uninterpretable without it (no
+    * effect, or not enough traffic?).
+    *
+    *   MDE_abs = (z_{α/2} + z_β) · sqrt(p·(1−p)·(1/n_a + 1/n_b))
+    *
+    * with p the pooled conversion rate observed so far — exact-long
+    * counts, then ONE fixed IEEE chain (divide/multiply/sqrt all
+    * correctly rounded, the abTest discipline). Output ONE row:
+    * `(users_a, users_b, conv_a, conv_b, pool_rate, mde_abs, mde_rel)`
+    * with `mde_rel = mde_abs / pool_rate`. Degenerate pools (0 or 1)
+    * yield NULL MDEs.
+    *
+    * Scale shape: identical to [[abTest]] — two map-side-combined
+    * aggregates, one summary row.
+    */
+  def powerMde(units: DataFrame, idCol: Column, convertedCol: Column): DataFrame = {
+    val armed = units.select(
+      armOf(idCol, 2).as("arm"),
+      convertedCol.cast("long").as("converted"))
+    val sums = armed.agg(
+      count(when(col("arm") === 0, 1L)).as("users_a"),
+      count(when(col("arm") === 1, 1L)).as("users_b"),
+      sum(when(col("arm") === 0, col("converted")).otherwise(0L)).as("conv_a"),
+      sum(when(col("arm") === 1, col("converted")).otherwise(0L)).as("conv_b"))
+    val pool = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("users_a") + col("users_b")).cast("double")
+    val mde = lit(PowerZSum) * sqrt(pool * (lit(1.0) - pool) *
+      (lit(1.0) / col("users_a").cast("double") +
+        lit(1.0) / col("users_b").cast("double")))
+    val ok = col("users_a") > 0 && col("users_b") > 0 &&
+      col("conv_a") + col("conv_b") > 0 &&
+      col("conv_a") + col("conv_b") < col("users_a") + col("users_b")
+    sums.select(
+      col("users_a"), col("users_b"), col("conv_a"), col("conv_b"),
+      when(col("users_a") + col("users_b") > 0, pool).as("pool_rate"),
+      when(ok, mde).as("mde_abs"),
+      when(ok, mde / pool).as("mde_rel"))
+  }
+
   /** Sample-ratio-mismatch check — the experiment-validity gate run
     * BEFORE reading any metric: under a healthy 50/50 split the arm
     * counts differ only by chance, and `χ² = (n_a − n_b)² / n` (the

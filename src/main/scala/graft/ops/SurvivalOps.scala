@@ -46,6 +46,9 @@ object SurvivalOps {
     *   - `d` / `c` — events / censorings at exactly t (exact longs),
     *   - `hazard_micro` — `d·10⁶ div n_risk`, the discrete hazard as an
     *     exact integer division (both engines truncate toward zero),
+    *   - `cumhaz_micro` — the Nelson-Aalen cumulative hazard
+    *     `Σ_{i≤t} d_i·10⁶ div n_i` (exact prefix of the exact hazards —
+    *     the standard estimator alongside KM, free on the same scan),
     *   - `km_log2fx` — the Kaplan-Meier LOG-survival
     *     `log2(Ŝ(t)) · 2²⁰ ≈ Σ_{i≤t} [L(n_i−d_i) − L(n_i)]` with L the
     *     fixed-point [[graft.expr.Log2Fixed]] — exact integer in/out, so
@@ -73,14 +76,16 @@ object SurvivalOps {
     // survivors remain; 0 (with the `dead` flag raised) when d == n_risk,
     // so sum() never swallows a NULL and extinction is tracked exactly.
     val withInc = risk.select(col("v"), col("cnt"), col("d"), col("n_risk"),
+      expr("d * 1000000L div n_risk").as("hz"),
       when(col("d") === 0L || col("d") === col("n_risk"), lit(0L))
         .otherwise(MathExprs.log2Fixed(col("n_risk") - col("d")) -
           MathExprs.log2Fixed(col("n_risk"))).as("dlog"),
       (col("d") === col("n_risk") && col("d") > 0L).cast("long").as("dead"))
-    ExperimentOps.prefixByValue(withInc, Seq("dlog", "dead"))
+    ExperimentOps.prefixByValue(withInc, Seq("hz", "dlog", "dead"))
       .select(col("v").as("t"), col("n_risk"), col("d"),
         (col("cnt") - col("d")).as("c"),
-        expr("d * 1000000L div n_risk").as("hazard_micro"),
+        col("hz").as("hazard_micro"),
+        (col("pre_hz") + col("hz")).as("cumhaz_micro"),
         when(col("pre_dead") + col("dead") === 0L,
           col("pre_dlog") + col("dlog")).as("km_log2fx"),
         ((col("pre_dead") + col("dead")) > 0L).cast("int").as("km_zero"))

@@ -436,6 +436,100 @@ object TextOps {
         col("cum_micro"))
   }
 
+  /** Term burstiness (Church & Gale 1995): variance-to-mean ratio of a
+    * term's per-document counts — clumped terms (VMR ≫ 1, names, topic
+    * words) vs evenly-spread function words (VMR ≈ 1, Poisson-like).
+    * A pure-df weighting misprices bursty terms; this is the diagnostic
+    * that says WHICH terms need it, and a boilerplate detector reads
+    * high-VMR high-df terms as template fragments.
+    *
+    *   VMR = (N·Σc² − (Σc)²) / (N·Σc)
+    *
+    * over ALL N docs (zeros included — the totals formulation needs no
+    * zero rows): exact int64 numerator/denominator, ONE closing IEEE
+    * division. Top-k terms by total frequency, tie-broken by token —
+    * a strict total order, so limit-k plans as per-task heaps (the
+    * [[vocabCoverage]] discipline).
+    *
+    * Scale shape: one explode + ONE (token, doc)-keyed aggregate, one
+    * token-keyed moment aggregate, a k-bounded TakeOrdered; N attaches
+    * as a 1-row broadcast. Output:
+    * `(token, tf, df, vmr)` for the k highest-tf terms.
+    */
+  def termBurstiness(
+      docs: DataFrame, k: Int, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val perDoc = docs
+      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("token"))
+      .groupBy(col("token"), col(idCol))
+      .agg(count(lit(1)).as("c"))
+    val moments = perDoc.groupBy(col("token")).agg(
+      sum(col("c")).as("tf"),
+      sum(col("c") * col("c")).as("sumsq"),
+      count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("__n"))
+    moments
+      .orderBy(col("tf").desc, col("token")).limit(k)
+      .crossJoin(broadcast(nDocs))
+      .select(col("token"), col("tf"), col("df"),
+        when(col("tf") > 0L,
+          (col("__n") * col("sumsq") - col("tf") * col("tf")).cast("double") /
+            (col("__n") * col("tf")).cast("double")).as("vmr"))
+  }
+
+  /** Keyness by Dunning (1993) log-likelihood ratio — the standard
+    * "which terms DISTINGUISH slice A from slice B" statistic (corpus
+    * linguistics' G², the grown-up version of naive frequency ratios,
+    * robust at low counts where PMI and ratios explode). Emitted per
+    * token in fixed-point log2 units (G²·2²⁰/ln2·... — a monotone
+    * rescaling of G²; thresholds calibrate on it directly):
+    *
+    *   llr_fx = 2·( a·[L(a·(A+B)) − L((a+b)·A)]
+    *              + b·[L(b·(A+B)) − L((a+b)·B)] )
+    *
+    * — each O·log2(O/E) term cleared of divisions, L the fixed-point
+    * [[graft.expr.Log2Fixed]], all int64 (value contract:
+    * `count·(A+B)` fits int64 — per-slice token totals below ~2·10⁹;
+    * ANSI raises loudly on breach). Zero-count sides contribute 0, so
+    * single-slice tokens stay finite. `enriched_in` says which slice
+    * over-represents the token (exact cross-product comparison, no
+    * division).
+    *
+    * Scale shape: the q_source_kl shape — one explode + ONE token-keyed
+    * conditional-sum aggregate, 1-row totals broadcast, row-local
+    * algebra. Output per token with `a+b >= minCount`:
+    * `(token, c_a, c_b, llr_fx, enriched_in)`.
+    */
+  def keynessLlr(
+      docs: DataFrame, isA: Column, isB: Column, minCount: Long = 1L,
+      textCol: String = "text"): DataFrame = {
+    import graft.expr.MathExprs.log2Fixed
+    val tok = docs
+      .select(isA.cast("boolean").as("ia"), isB.cast("boolean").as("ib"),
+        explode(tokens(lower(col(textCol)))).as("token"))
+      .filter(col("ia") || col("ib"))
+      .groupBy(col("token"))
+      .agg(sum(when(col("ia"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("ib"), 1L).otherwise(0L)).as("b"))
+      .filter(col("a") + col("b") >= minCount)
+    val totals = tok.agg(
+      coalesce(sum(col("a")), lit(0L)).as("na"),
+      coalesce(sum(col("b")), lit(0L)).as("nb"))
+    tok.crossJoin(broadcast(totals))
+      .select(col("token"), col("a").as("c_a"), col("b").as("c_b"),
+        (lit(2L) * (
+          when(col("a") > 0L, col("a") *
+            (log2Fixed(col("a") * (col("na") + col("nb"))) -
+              log2Fixed((col("a") + col("b")) * col("na")))).otherwise(0L) +
+          when(col("b") > 0L, col("b") *
+            (log2Fixed(col("b") * (col("na") + col("nb"))) -
+              log2Fixed((col("a") + col("b")) * col("nb")))).otherwise(0L)))
+          .as("llr_fx"),
+        when(col("a") * col("nb") > col("b") * col("na"), lit("a"))
+          .otherwise(lit("b")).as("enriched_in"))
+  }
+
   object Sql {
     /** DuckDB equivalents (same semantics, same evaluation order). */
     def tokens(c: String): String =

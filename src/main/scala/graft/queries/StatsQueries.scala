@@ -66,6 +66,21 @@ private[queries] object StatsQueries {
         units, col("user_id"), (col("np") >= col("nv")).cast("long"))
     }),
 
+    // Minimum detectable effect at the current traffic — the power
+    // readout that makes a non-significant q_ab_test interpretable (no
+    // effect, or not enough users?). Same unit fixture and exact counts
+    // as q_ab_test; one fixed sqrt chain against the shared
+    // (z_alpha/2 + z_beta) literal.
+    "q_power_mde" -> ((s, dir) => {
+      val units = RefQueries.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("nv"))
+      ExperimentOps.powerMde(
+        units, col("user_id"), (col("np") >= col("nv")).cast("long"))
+    }),
+
     // Sample-ratio-mismatch gate: arm counts vs the designed 50/50 split,
     // chi2 = (n_a - n_b)^2 / n exact-integer until one closing division.
     // Run BEFORE reading any experiment metric.
@@ -1497,6 +1512,48 @@ private[queries] object StatsQueries {
          |    AS rejected
          |FROM r, k""".stripMargin,
 
+    // Same conversion fixture and affine arms as q_ab_test; the MDE
+    // chain against the shared dlit'd planning literal.
+    "q_power_mde" -> {
+      val zsum = dlit(ExperimentOps.PowerZSum)
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |    count(*) FILTER (WHERE event_type = 'purchase') AS np,
+         |    count(*) FILTER (WHERE event_type = 'view') AS nv
+         |  FROM events GROUP BY 1),
+         |a AS (
+         |  SELECT
+         |    ((((user_id % 999999937) * 2654435761 + 104729) % 999999937)
+         |      % 2) AS arm,
+         |    CASE WHEN np >= nv THEN 1 ELSE 0 END AS converted
+         |  FROM u),
+         |sm AS (
+         |  SELECT
+         |    CAST(count(*) FILTER (WHERE arm = 0) AS BIGINT) AS users_a,
+         |    CAST(count(*) FILTER (WHERE arm = 1) AS BIGINT) AS users_b,
+         |    CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END)
+         |      AS BIGINT) AS conv_a,
+         |    CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END)
+         |      AS BIGINT) AS conv_b
+         |  FROM a),
+         |r AS (
+         |  SELECT *,
+         |    CASE WHEN users_a + users_b > 0
+         |      THEN (conv_a + conv_b) / (users_a + users_b) END AS pool,
+         |    users_a > 0 AND users_b > 0 AND conv_a + conv_b > 0
+         |      AND conv_a + conv_b < users_a + users_b AS ok
+         |  FROM sm),
+         |f AS (
+         |  SELECT *,
+         |    CASE WHEN ok THEN $zsum * sqrt(pool * (1.0 - pool)
+         |      * (1.0 / users_a + 1.0 / users_b)) END AS mde
+         |  FROM r)
+         |SELECT users_a, users_b, conv_a, conv_b,
+         |  pool AS pool_rate, mde AS mde_abs,
+         |  CASE WHEN ok THEN mde / pool END AS mde_rel
+         |FROM f""".stripMargin
+    },
+
     // Same distinct-value weight frame; the cumulative scan is a plain
     // per-group window (the oracle needs correctness, not the scale
     // shape), the same exact-long median cut.
@@ -1544,13 +1601,17 @@ private[queries] object StatsQueries {
          |  SELECT n_risk - d FROM risk WHERE d > 0 AND d < n_risk)),
          |${QueryShared.log2FixedSql("vals")},
          |inc AS (SELECT r.v, r.cnt, r.d, r.n_risk,
+         |    CAST(r.d * 1000000 // r.n_risk AS BIGINT) AS hz,
          |    CASE WHEN r.d = 0 OR r.d = r.n_risk THEN 0
          |         ELSE ls.lg - lr.lg END AS dlog,
          |    CASE WHEN r.d = r.n_risk AND r.d > 0 THEN 1 ELSE 0 END AS dead
          |  FROM risk r
          |  LEFT JOIN lg ls ON ls.v = r.n_risk - r.d
          |  LEFT JOIN lg lr ON lr.v = r.n_risk),
-         |cum AS (SELECT v, cnt, d, n_risk,
+         |cum AS (SELECT v, cnt, d, n_risk, hz,
+         |    CAST(sum(hz) OVER (ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS chz,
          |    CAST(sum(dlog) OVER (ORDER BY v
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          |      AS BIGINT) AS cdlog,
@@ -1559,7 +1620,7 @@ private[queries] object StatsQueries {
          |      AS BIGINT) AS cdead
          |  FROM inc)
          |SELECT v AS t, n_risk, d, CAST(cnt - d AS BIGINT) AS c,
-         |  CAST(d * 1000000 // n_risk AS BIGINT) AS hazard_micro,
+         |  hz AS hazard_micro, chz AS cumhaz_micro,
          |  CASE WHEN cdead = 0 THEN cdlog END AS km_log2fx,
          |  CAST(CASE WHEN cdead > 0 THEN 1 ELSE 0 END AS INT) AS km_zero
          |FROM cum""".stripMargin,

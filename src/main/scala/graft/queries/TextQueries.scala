@@ -397,6 +397,24 @@ private[queries] object TextQueries {
     // division for the bits readout.
     "q_entropy_rate" -> ((s, dir) =>
       TextOps.bigramCondEntropy(t(s, dir, "documents"))),
+
+    // Term burstiness (Church & Gale 1995): variance-to-mean of per-doc
+    // counts for the 40 highest-tf terms — clumped topic words vs
+    // Poisson-spread function words; high-VMR high-df terms read as
+    // template boilerplate. Exact int64 moments, one closing division,
+    // per-task-heap top-k.
+    "q_burstiness" -> ((s, dir) =>
+      TextOps.termBurstiness(t(s, dir, "documents"), k = 40)),
+
+    // Dunning (1993) log-likelihood keyness: which terms distinguish
+    // the English slice from the rest — G² per token in fixed-point
+    // log2 units (robust at low counts where raw ratios explode),
+    // zero-count sides finite by construction, exact cross-product
+    // enrichment direction.
+    "q_keyness" -> ((s, dir) =>
+      TextOps.keynessLlr(
+        t(s, dir, "documents"),
+        col("lang") === "en", col("lang") =!= "en", minCount = 5L)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -901,5 +919,59 @@ private[queries] object TextQueries {
          |       THEN CAST(hsum.h_num_fixed AS DOUBLE)
          |          / CAST(hsum.n_pairs * 1048576 AS DOUBLE) END AS h_bits
          |FROM hsum, cx""".stripMargin,
+
+    // Same (token, doc) count frame, exact moments, (tf DESC, token)
+    // total order for the cut, one closing division.
+    "q_burstiness" ->
+      s"""WITH pd AS (
+         |  SELECT token, doc_id, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT doc_id, unnest(${S.tokens("lower(text)")}) AS token
+         |        FROM documents)
+         |  GROUP BY 1, 2),
+         |m AS (SELECT token, CAST(sum(c) AS BIGINT) AS tf,
+         |    CAST(sum(c * c) AS BIGINT) AS sumsq,
+         |    CAST(count(*) AS BIGINT) AS df
+         |  FROM pd GROUP BY token),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |top AS (SELECT * FROM m ORDER BY tf DESC, token LIMIT 40)
+         |SELECT token, tf, df,
+         |  CASE WHEN tf > 0 THEN
+         |    CAST(n * sumsq - tf * tf AS DOUBLE) / CAST(n * tf AS DOUBLE)
+         |  END AS vmr
+         |FROM top, nd""".stripMargin,
+
+    // G² replay: per-token conditional counts, every cleared O·log2(O/E)
+    // log a lg-join over the unrolled fixed-point log2.
+    "q_keyness" ->
+      s"""WITH tokd AS (
+         |  SELECT lang = 'en' AS ia, unnest(${S.tokens("lower(text)")}) AS token
+         |  FROM documents WHERE lang IS NOT NULL),
+         |tok AS (
+         |  SELECT token,
+         |    CAST(sum(CASE WHEN ia THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         |    CAST(sum(CASE WHEN NOT ia THEN 1 ELSE 0 END) AS BIGINT) AS b
+         |  FROM tokd GROUP BY token
+         |  HAVING count(*) >= 5),
+         |tt AS (SELECT CAST(sum(a) AS BIGINT) AS na,
+         |    CAST(sum(b) AS BIGINT) AS nb FROM tok),
+         |vals AS (
+         |  SELECT DISTINCT v FROM (
+         |    SELECT a * (na + nb) AS v FROM tok, tt WHERE a > 0
+         |    UNION ALL SELECT (a + b) * na FROM tok, tt
+         |    UNION ALL SELECT b * (na + nb) FROM tok, tt WHERE b > 0
+         |    UNION ALL SELECT (a + b) * nb FROM tok, tt)
+         |  WHERE v >= 1),
+         |${log2FixedSql("vals")}
+         |SELECT token, a AS c_a, b AS c_b,
+         |  CAST(2 * (
+         |    CASE WHEN a > 0 THEN a * (la.lg - lea.lg) ELSE 0 END
+         |    + CASE WHEN b > 0 THEN b * (lb.lg - leb.lg) ELSE 0 END)
+         |    AS BIGINT) AS llr_fx,
+         |  CASE WHEN a * nb > b * na THEN 'a' ELSE 'b' END AS enriched_in
+         |FROM tok CROSS JOIN tt
+         |LEFT JOIN lg la ON la.v = tok.a * (tt.na + tt.nb)
+         |LEFT JOIN lg lea ON lea.v = (tok.a + tok.b) * tt.na
+         |LEFT JOIN lg lb ON lb.v = tok.b * (tt.na + tt.nb)
+         |LEFT JOIN lg leb ON leb.v = (tok.a + tok.b) * tt.nb""".stripMargin,
   )
 }

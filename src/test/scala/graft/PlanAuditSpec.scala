@@ -55,7 +55,9 @@ class PlanAuditSpec extends SparkSpec {
     "q_permutation_test" -> "1-row observed-difference attach to the reps-sized replicate frame (the q_kmv_join_card gate shape)",
     "q_vocab_coverage" -> "1-row occurrence-total attach to the k-row top frame (q_bm25_search shape); the round-9 rewrite cut the full-vocab SinglePartition rank window to a per-task heap",
     "q_js_divergence" -> "1-row token-totals attach to the vocabulary-sized count frame (the q_source_kl shape)",
-    "q_fs_link" -> "1-row m/u-weight attach to the blocked pair stream; the candidate generator is the blocking equi-join")
+    "q_fs_link" -> "1-row m/u-weight attach to the blocked pair stream; the candidate generator is the blocking equi-join",
+    "q_burstiness" -> "1-row doc-count attach to the k-row top frame (q_vocab_coverage shape)",
+    "q_keyness" -> "1-row token-totals attach to the vocabulary-sized count frame (the q_source_kl shape)")
 
   test("no unlisted query plans a CartesianProduct or BroadcastNestedLoopJoin") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -324,4 +324,34 @@ class ExperimentOpsSpec extends SparkSpec {
     assert(out("h4")._2 == 1, "step-up must rescue h4")
     assert(out("h6")._2 == 0)
   }
+
+  test("powerMde: exact scalar replay of counts and the MDE chain") {
+    val units = (1L to 300L).map(id => (id, (id % 3 == 0)))
+    val row = ExperimentOps.powerMde(
+      units.toDF("id", "conv"), col("id"), col("conv").cast("long"))
+      .collect().head
+    val nA = units.count(u => arm(u._1) == 0).toLong
+    val nB = units.count(u => arm(u._1) == 1).toLong
+    val xA = units.count(u => arm(u._1) == 0 && u._2).toLong
+    val xB = units.count(u => arm(u._1) == 1 && u._2).toLong
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)) ===
+      ((nA, nB, xA, xB)))
+    val pool = (xA + xB).toDouble / (nA + nB).toDouble
+    val mde = ExperimentOps.PowerZSum *
+      math.sqrt(pool * (1.0 - pool) * (1.0 / nA.toDouble + 1.0 / nB.toDouble))
+    assert(row.getDouble(4) === pool)
+    assert(row.getDouble(5) === mde)
+    assert(row.getDouble(6) === mde / pool)
+  }
+
+  test("powerMde: MDE shrinks as traffic grows; degenerate pools yield NULL") {
+    def mdeAt(n: Long): Double = ExperimentOps.powerMde(
+      (1L to n).map(id => (id, id % 5 == 0)).toDF("id", "conv"),
+      col("id"), col("conv").cast("long")).collect().head.getDouble(5)
+    assert(mdeAt(2000) < mdeAt(200))
+    val allConv = ExperimentOps.powerMde(
+      (1L to 50L).map(id => (id, true)).toDF("id", "conv"),
+      col("id"), col("conv").cast("long")).collect().head
+    assert(allConv.isNullAt(5) && allConv.isNullAt(6))
+  }
 }

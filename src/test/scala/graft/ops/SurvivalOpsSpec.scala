@@ -27,8 +27,9 @@ class SurvivalOpsSpec extends SparkSpec {
     // t, n_risk, d, c
     assert(r.map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3))).toSeq ===
       Seq((1L, 5L, 1L, 0L), (2L, 4L, 1L, 1L), (3L, 2L, 1L, 0L), (4L, 1L, 0L, 1L)))
-    // hazard_micro = d*1e6 div n_risk
+    // hazard_micro = d*1e6 div n_risk; cumhaz = Nelson-Aalen prefix
     assert(r.map(_.getLong(4)).toSeq === Seq(200000L, 250000L, 500000L, 0L))
+    assert(r.map(_.getLong(5)).toSeq === Seq(200000L, 450000L, 950000L, 950000L))
   }
 
   test("kmLifeTable: km_log2fx tracks log2 of the true KM product within fixed-point slack") {
@@ -37,12 +38,12 @@ class SurvivalOpsSpec extends SparkSpec {
     val s = Seq(0.8, 0.6, 0.3, 0.3)
     r.zip(s).foreach { case (row, surv) =>
       val expected = math.log(surv) / math.log(2.0) * (1 << 20)
-      val got = row.getLong(5).toDouble
+      val got = row.getLong(6).toDouble
       // each Log2Fixed is round-down with error < 2^-20; k summed terms
       // keep the difference within a few fixed-point units
       assert(math.abs(got - expected) <= 8.0,
         s"t=${row.getLong(0)}: got $got expected ~$expected")
-      assert(row.getInt(6) === 0)
+      assert(row.getInt(7) === 0)
     }
   }
 
@@ -50,15 +51,18 @@ class SurvivalOpsSpec extends SparkSpec {
     // everyone at risk dies at t=2: S(2)=0, log undefined
     val r = km(Seq(1L -> 1L, 2L -> 1L, 2L -> 1L))
     val at1 = r.find(_.getLong(0) == 1L).get
-    assert(at1.getInt(6) === 0 && !at1.isNullAt(5))
+    assert(at1.getInt(7) === 0 && !at1.isNullAt(6))
     val at2 = r.find(_.getLong(0) == 2L).get
-    assert(at2.getInt(6) === 1 && at2.isNullAt(5))
+    assert(at2.getInt(7) === 1 && at2.isNullAt(6))
+    // Nelson-Aalen stays defined through extinction: 1e6/3 + 1e6
+    assert(at2.getLong(5) === 333333L + 1000000L)
   }
 
   test("kmLifeTable: no events at all (all censored) keeps survival at 1") {
     val r = km(Seq(3L -> 0L, 5L -> 0L))
     assert(r.forall(_.getLong(2) == 0L))
-    assert(r.forall(_.getLong(5) == 0L)) // log2(1) = 0
+    assert(r.forall(_.getLong(5) == 0L)) // zero hazard accumulates to zero
+    assert(r.forall(_.getLong(6) == 0L)) // log2(1) = 0
   }
 
   test("kmLifeTable: partition-count invariance (1 vs 16 partitions)") {

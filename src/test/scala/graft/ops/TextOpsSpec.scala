@@ -213,4 +213,66 @@ class TextOpsSpec extends SparkSpec {
     assert(e.getAs[Long]("n_pairs") == 0L)
     assert(e.isNullAt(e.fieldIndex("h_bits")))
   }
+
+  test("termBurstiness: clumped vs spread terms with identical tf; exact moments") {
+    // 'spread' once in each of 4 docs (VMR -> Poisson-ish, < 1 over 8 docs);
+    // 'clump' four times in one doc (VMR >> 1); same tf = 4
+    val docs = Seq(
+      (1L, "clump clump clump clump"), (2L, "spread x"), (3L, "spread y"),
+      (4L, "spread z"), (5L, "spread w"), (6L, "pad a"), (7L, "pad b"),
+      (8L, "pad c")).toDF("doc_id", "text")
+    val got = TextOps.termBurstiness(docs, k = 20)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val n = 8L
+    def vmr(counts: Seq[Long]): Double = {
+      val tf = counts.sum; val ss = counts.map(c => c * c).sum
+      (n * ss - tf * tf).toDouble / (n * tf).toDouble
+    }
+    assert(got("clump") === ((4L, 1L, vmr(Seq(4L)))))
+    assert(got("spread") === ((4L, 4L, vmr(Seq(1L, 1L, 1L, 1L)))))
+    assert(got("clump")._3 > 2.0 && got("spread")._3 < 1.0)
+  }
+
+  test("termBurstiness: top-k cut is (tf desc, token) deterministic") {
+    val docs = Seq((1L, "b b a a c")).toDF("doc_id", "text")
+    val got = TextOps.termBurstiness(docs, k = 2).collect().map(_.getString(0))
+    assert(got.toSet === Set("a", "b")) // tf 2,2,1 — ties broken by token
+  }
+
+  test("keynessLlr: exact scalar replay; planted enrichment; single-slice finite") {
+    val docs = Seq(
+      ("en", "apple apple apple shared shared only_en"),
+      ("en", "apple shared banana"),
+      ("de", "banana banana shared shared only_de"),
+      ("de", "banana shared apple")).toDF("lang", "text")
+    val got = TextOps.keynessLlr(
+      docs, col("lang") === "en", col("lang") =!= "en", minCount = 1L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    // scalar replay
+    val ta = Seq("apple", "apple", "apple", "shared", "shared", "only_en",
+      "apple", "shared", "banana")
+    val tb = Seq("banana", "banana", "shared", "shared", "only_de",
+      "banana", "shared", "apple")
+    val (na, nb) = (ta.size.toLong, tb.size.toLong)
+    def l(v: Long) = SelectionOps.log2Fixed(v)
+    (ta ++ tb).distinct.foreach { t =>
+      val (a, b) = (ta.count(_ == t).toLong, tb.count(_ == t).toLong)
+      val expected = 2L * (
+        (if (a > 0) a * (l(a * (na + nb)) - l((a + b) * na)) else 0L) +
+          (if (b > 0) b * (l(b * (na + nb)) - l((a + b) * nb)) else 0L))
+      val (gA, gB, gLlr, gIn) = got(t)
+      assert((gA, gB) === ((a, b)), s"counts for $t")
+      assert(gLlr === expected, s"llr for $t")
+      assert(gIn === (if (a * nb > b * na) "a" else "b"), s"side for $t")
+    }
+    // planted: apple enriched in en, banana in de; both clearly keyed
+    assert(got("apple")._4 === "a" && got("banana")._4 === "b")
+    // single-slice tokens are finite and keyed to their slice
+    assert(got("only_en")._4 === "a" && got("only_en")._3 > 0L)
+    // balanced term scores ~0 (within fixed-point truncation slack)
+    assert(math.abs(got("shared")._3.toDouble) <
+      math.min(got("apple")._3, got("banana")._3).toDouble / 4)
+  }
 }
