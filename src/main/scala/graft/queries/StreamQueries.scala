@@ -444,6 +444,15 @@ private[queries] object StreamQueries {
     "q_interval_union" -> ((s, dir) =>
       EventOps.coveredTime(
         RefQueries.events(s, dir), windowUs = 14400000000L)),
+
+    // The islands BEHIND the union: one row per maximal run of
+    // chain-overlapping attention windows — when the user was engaged,
+    // not just how long. Registered in batch semantics; the SAME
+    // semantics run streaming via coveredIslandsStream (watermark-sealed
+    // island state, streamed==batch in CoveredTimeSpec).
+    "q_covered_islands" -> ((s, dir) =>
+      EventOps.coveredIslands(
+        RefQueries.events(s, dir), windowUs = 14400000000L)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -925,5 +934,33 @@ private[queries] object StreamQueries {
         |  CAST(sum(contrib) * 1000000
         |    // (max(s) + 14400000000 - min(s)) AS BIGINT) AS coverage_ppm
         |FROM c GROUP BY user_id""".stripMargin,
+
+    // Same strict-frontier island flag and running sum; contiguous-union
+    // identity makes covered = end - start per island.
+    "q_covered_islands" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS s FROM events),
+        |f AS (
+        |  SELECT user_id, s,
+        |    CASE WHEN max(s + 14400000000) OVER (PARTITION BY user_id
+        |        ORDER BY s, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |      OR s > max(s + 14400000000) OVER (PARTITION BY user_id
+        |        ORDER BY s, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      THEN 1 ELSE 0 END AS nw,
+        |    event_id
+        |  FROM e),
+        |i AS (
+        |  SELECT user_id, s,
+        |    sum(nw) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM f)
+        |SELECT user_id,
+        |  CAST(min(s) AS BIGINT) AS island_start_us,
+        |  CAST(max(s) + 14400000000 AS BIGINT) AS island_end_us,
+        |  CAST(max(s) + 14400000000 - min(s) AS BIGINT) AS covered_us,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM i GROUP BY user_id, island""".stripMargin,
   )
 }

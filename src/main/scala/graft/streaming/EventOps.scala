@@ -40,6 +40,25 @@ case class ClosedBurst(
     user_id: Long, event_type: String, burst_id: Long,
     start_us: Long, n_collapsed: Long)
 
+/** One merged coverage island (sorted, disjoint) held in
+  * [[EventOps.coveredIslandsStream]] state — bounds in epoch micros plus
+  * the member-interval count.
+  */
+private[streaming] case class IslandState(startUs: Long, endUs: Long, n: Long)
+
+/** Per-user pending islands for [[EventOps.coveredIslandsStream]]: the
+  * merged intervals the watermark has not yet sealed. Bounded by the
+  * islands inside the watermark horizon (a sealed island leaves state).
+  */
+private[streaming] case class PendingIslands(islands: Seq[IslandState])
+
+/** Sealed coverage island emitted by [[EventOps.coveredIslandsStream]] —
+  * same shape as the batch [[EventOps.coveredIslands]].
+  */
+case class ClosedIsland(
+    user_id: Long, island_start_us: Long, island_end_us: Long,
+    covered_us: Long, n_events: Long)
+
 /** Event-stream operators, written so the SAME plan runs batch or
   * streaming (`spark.readStream` + `writeStream`): tumbling-window
   * aggregation with a watermark, and gap-based sessionization.
@@ -455,6 +474,114 @@ object EventOps {
         sum(col("__contrib")).as("covered_us"),
         (max(col("s")) + windowUs - min(col("s"))).as("span_us"))
       .withColumn("coverage_ppm", expr("covered_us * 1000000L div span_us"))
+  }
+
+  /** The merged coverage ISLANDS behind [[coveredTime]] — one row per
+    * maximal run of chain-overlapping attention windows (gaps-and-islands
+    * on the interval union). Within an island the union is contiguous,
+    * so `covered_us = island_end − island_start` exactly, and the
+    * per-user sum of island lengths equals [[coveredTime]]'s
+    * `covered_us` (pinned in CoveredTimeSpec). The islands themselves
+    * are the product a session-quality or SLA report reads — WHEN the
+    * user was engaged, not just how long.
+    *
+    * Same scale shape as [[coveredTime]]: both window passes and the
+    * closing aggregate share ONE user-keyed Exchange.
+    */
+  def coveredIslands(events: DataFrame, windowUs: Long): DataFrame = {
+    require(windowUs > 0, s"windowUs must be > 0, got $windowUs")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("s"), col("event_id"))
+    val pre = w.rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("s"))
+      .withColumn("__front", max(col("s") + windowUs).over(pre))
+      .withColumn("__new",
+        when(col("__front").isNull || col("s") > col("__front"), 1L)
+          .otherwise(0L))
+      .withColumn("__island", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("__island"))
+      .agg(min(col("s")).as("island_start_us"),
+        (max(col("s")) + windowUs).as("island_end_us"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("island_start_us"), col("island_end_us"),
+        (col("island_end_us") - col("island_start_us")).as("covered_us"),
+        col("n_events"))
+  }
+
+  /** Streaming twin of [[coveredIslands]] — `flatMapGroupsWithState`
+    * keyed by user, state = the SORTED DISJOINT pending islands inside
+    * the watermark horizon. Each arriving event's window merges into the
+    * list (possibly bridging two neighbors — the reason a sealed-looking
+    * island cannot emit on data alone: a late event still above the
+    * watermark may bridge into it); an island seals and emits EXACTLY
+    * once when the event-time watermark passes its end, because any
+    * would-be bridger must carry `ts < island_end` and the watermark
+    * contract says no such event is still coming. Late events below the
+    * watermark are dropped before the operator by the upstream
+    * `withWatermark` — the same at-most-once-late contract as
+    * [[sessionizeStream]].
+    *
+    * State is bounded by islands whose end exceeds the watermark —
+    * under any fixed window length that is O(horizon / window) per live
+    * user. streamed == batch and Σ islands == coveredTime pinned in
+    * CoveredTimeSpec.
+    */
+  def coveredIslandsStream(
+      events: Dataset[SessionEvent], windowUs: Long): Dataset[ClosedIsland] = {
+    require(windowUs > 0, s"windowUs must be > 0, got $windowUs")
+    val session = events.sparkSession
+    import session.implicits._
+
+    def usOf(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+    def emitSealed(
+        user: Long, islands: List[IslandState], wmUs: Long,
+        state: GroupState[PendingIslands]): Iterator[ClosedIsland] = {
+      val (ripe, pending) = islands.partition(_.endUs <= wmUs)
+      if (pending.isEmpty) state.remove()
+      else {
+        state.update(PendingIslands(pending))
+        // wake when the earliest pending island can seal (micros → ms up)
+        state.setTimeoutTimestamp(
+          Math.floorDiv(pending.map(_.endUs).min + 999L, 1000L))
+      }
+      ripe.sortBy(_.startUs).map(i =>
+        ClosedIsland(user, i.startUs, i.endUs, i.endUs - i.startUs, i.n))
+        .iterator
+    }
+
+    def onGroup(
+        user: Long,
+        batch: Iterator[SessionEvent],
+        state: GroupState[PendingIslands]): Iterator[ClosedIsland] = {
+      val existing = state.getOption.map(_.islands.toList).getOrElse(Nil)
+      val wm = state.getCurrentWatermarkMs() * 1000L
+      if (state.hasTimedOut) emitSealed(user, existing, wm, state)
+      else {
+        var islands = existing // sorted by startUs, pairwise disjoint
+        batch.toArray.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+          val s = usOf(e.ts)
+          val en = s + windowUs
+          // neighbors that touch [s, en] merge (end == start is adjacency,
+          // matching the batch rule: new island only when s > frontier)
+          val (overlap, keep) =
+            islands.partition(i => i.startUs <= en && i.endUs >= s)
+          val merged = IslandState(
+            (s :: overlap.map(_.startUs)).min,
+            (en :: overlap.map(_.endUs)).max,
+            overlap.map(_.n).sum + 1L)
+          islands = (merged :: keep).sortBy(_.startUs)
+        }
+        emitSealed(user, islands, wm, state)
+      }
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[PendingIslands, ClosedIsland](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(onGroup)
   }
 
   /** Burst collapse — telemetry dedup: repeated (user, event_type)

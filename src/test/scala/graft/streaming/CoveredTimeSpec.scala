@@ -79,6 +79,72 @@ class CoveredTimeSpec extends SparkSpec {
     assert(a === c)
   }
 
+  test("coveredIslands: island lengths sum to coveredTime's union measure") {
+    val rows = for (u <- 1L to 5L; i <- 1L to 30L) yield
+      (u, u * 100 + i, ((u * 13 + i * 104729) % 23) * (W / 3))
+    val islands = EventOps.coveredIslands(
+      rows.toDF("user_id", "event_id", "us")
+        .select(col("user_id"), col("event_id"),
+          timestamp_micros(col("us")).as("ts")), windowUs = W)
+      .collect()
+    val union = runUs(rows).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    islands.groupBy(_.getLong(0)).foreach { case (u, is) =>
+      assert(is.map(_.getLong(3)).sum === union(u), s"user $u")
+      // islands are disjoint with real gaps between them
+      val sorted = is.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+      sorted.sliding(2).foreach {
+        case Array((_, e1), (s2, _)) => assert(s2 > e1)
+        case _ =>
+      }
+    }
+  }
+
+  test("coveredIslandsStream: streamed == batch under out-of-order delivery") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    // second-grain fixture (watermark advances in ms); user 2's late
+    // event (00:00:30) arrives in batch 2, inside the watermark, and
+    // BRIDGES two islands that would otherwise look sealed on data
+    def ts(s: String) = Timestamp.valueOf(s)
+    val w = 60000000L // 1-minute windows
+    val evs = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L),
+      (2L, ts("2024-01-01 00:00:30"), 1L),
+      (3L, ts("2024-01-01 00:05:00"), 1L),  // gap -> 2 islands for user 1
+      (4L, ts("2024-01-01 00:00:00"), 2L),
+      (5L, ts("2024-01-01 00:01:30"), 2L))  // 30s gap after [0,60): 2 islands
+    val late = (6L, ts("2024-01-01 00:00:30"), 2L) // bridges user 2's pair
+    val sentinel = (7L, ts("2024-01-01 09:00:00"), 99L) // advances watermark
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long)]
+    val q = EventOps.coveredIslandsStream(
+      mem.toDF().toDF("event_id", "ts", "user_id")
+        .withWatermark("ts", "30 minutes")
+        .as[SessionEvent], windowUs = w)
+      .writeStream.format("memory").queryName("islands_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(evs: _*)
+      q.processAllAvailable()
+      mem.addData(late)
+      q.processAllAvailable()
+      mem.addData(sentinel)
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT * FROM islands_out WHERE user_id <> 99 ORDER BY user_id, island_start_us")
+        .collect().map(_.toSeq)
+      val batch = EventOps.coveredIslands(
+        (evs :+ late).toDF("event_id", "ts", "user_id"), windowUs = w)
+        .orderBy("user_id", "island_start_us").collect().map(_.toSeq)
+      assert(streamed.toSeq === batch.toSeq)
+      // the bridge actually exercised the merge: user 2 has ONE island of 3
+      assert(batch.count(_.head == 2L) === 1)
+    } finally q.stop()
+  }
+
   test("plan: one user-keyed Exchange shared by window and aggregate; never SinglePartition") {
     val df = runUs((1 to 50).map(i => ((i % 3).toLong, i.toLong, i * W / 2)))
     df.collect()
