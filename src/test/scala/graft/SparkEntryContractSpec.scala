@@ -79,8 +79,10 @@ class SparkEntryContractSpec extends AnyFunSuite {
     // crude but effective: every FROM/JOIN target must be a known table,
     // a CTE defined in the same statement, or a parenthesized subquery;
     // identifiers followed by '(' are table functions (range(...)), not
-    // tables
-    val ref = "(?i)(?:FROM|JOIN)\\s+([a-zA-Z_][a-zA-Z0-9_]*+)(?!\\s*\\()".r
+    // tables, and the FROM of IS [NOT] DISTINCT FROM is an operator,
+    // not a clause
+    val ref =
+      "(?i)(?<!DISTINCT\\s)(?:FROM|JOIN)\\s+([a-zA-Z_][a-zA-Z0-9_]*+)(?!\\s*\\()".r
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       val ctes = "(?i)([a-zA-Z_][a-zA-Z0-9_]*)\\s*(?:\\([^)]*\\))?\\s+AS\\s*(?:MATERIALIZED\\s*)?\\(".r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
