@@ -636,4 +636,105 @@ object ExperimentOps {
         u2.cast("double") /
           (lit(2L) * col("n_pos") * nNeg).cast("double")).as("auc"))
   }
+
+  // ----------------------------------------------------- one-way ANOVA F
+
+  /** One-way ANOVA F over a LITERAL group list — the k-arm extension of
+    * [[welchT]] an experiment platform reads before any pairwise drill-
+    * down ("do the arms differ at all?"). The group list is a query
+    * literal (arms are experiment config, never data-discovered), so the
+    * per-group moments pivot into fixed columns of ONE map-side-combined
+    * 1-row aggregate: `(n_i, Σx_i, Σx²_i)` per listed group, exact
+    * longs. Grand sums fold the per-group longs (integer adds —
+    * order-free); the sums of squares close as FIXED left-associated
+    * IEEE chains over the k per-group terms (both engines evaluate the
+    * identical expression tree, the [[SearchOps.bm25TopK]] discipline):
+    *
+    *   SSW = Σ_i (Σx²_i − (Σx_i/n_i)·Σx_i)   (within)
+    *   SSB = Σ_i (Σx_i/n_i)·Σx_i − (S/N)·S   (between)
+    *
+    * F = (SSB/(k−1)) / (SSW/(N−k)) and η² = SSB/(SSB+SSW) are single
+    * fixed chains. Value contract: `n·max(v²) < 2^63` (the [[welchT]]
+    * cents bound); ANSI mode raises on breach. Empty listed groups make
+    * F NULL (k counts only non-empty groups).
+    *
+    * Scale shape: one aggregate pass over the corpus, everything after
+    * is a 1-row select — no shuffle beyond the partial-agg exchange.
+    *
+    * Output: `(k, n, ss_between, ss_within, df1, df2, f_stat, eta2)`.
+    */
+  def anovaF(
+      df: DataFrame, group: Column, value: Column,
+      groups: Seq[String]): DataFrame = {
+    require(groups.size >= 2, "anovaF needs at least two groups")
+    require(groups.distinct.size == groups.size, "duplicate group labels")
+    val v = df.select(group.cast("string").as("g"), value.cast("long").as("v"))
+      .filter(col("g").isInCollection(groups) && col("v").isNotNull)
+    val aggCols = groups.zipWithIndex.flatMap { case (gl, i) =>
+      val in = col("g") === lit(gl)
+      Seq(
+        coalesce(sum(when(in, 1L)), lit(0L)).as(s"n_$i"),
+        coalesce(sum(when(in, col("v"))), lit(0L)).as(s"s_$i"),
+        coalesce(sum(when(in, col("v") * col("v"))), lit(0L)).as(s"q_$i"))
+    }
+    val m = v.agg(aggCols.head, aggCols.tail: _*)
+    def n(i: Int) = col(s"n_$i")
+    def sS(i: Int) = col(s"s_$i")
+    def q(i: Int) = col(s"q_$i")
+    val k = groups.indices.map(i => (n(i) > 0L).cast("long")).reduce(_ + _)
+    val nTot = groups.indices.map(n).reduce(_ + _)
+    val sTot = groups.indices.map(sS).reduce(_ + _)
+    // per-group between/within terms; empty groups contribute exactly 0.0
+    def bTerm(i: Int): Column = when(n(i) > 0L,
+      (sS(i).cast("double") / n(i).cast("double")) * sS(i).cast("double"))
+      .otherwise(lit(0.0))
+    def wTerm(i: Int): Column = when(n(i) > 0L,
+      q(i).cast("double") - (sS(i).cast("double") / n(i).cast("double")) *
+        sS(i).cast("double")).otherwise(lit(0.0))
+    val grand = (sTot.cast("double") / nTot.cast("double")) *
+      sTot.cast("double")
+    val ssb = groups.indices.map(bTerm).reduce(_ + _) - grand
+    val ssw = groups.indices.map(wTerm).reduce(_ + _)
+    val df1 = k - 1L
+    val df2 = nTot - k
+    val f = when(df1 > 0L && df2 > 0L && ssw > 0.0,
+      (ssb / df1.cast("double")) / (ssw / df2.cast("double")))
+    val eta2 = when(ssb + ssw > 0.0, ssb / (ssb + ssw))
+    m.select(
+      k.as("k"), nTot.as("n"),
+      when(nTot > 0L, ssb).as("ss_between"),
+      when(nTot > 0L, ssw).as("ss_within"),
+      df1.as("df1"), df2.as("df2"), f.as("f_stat"), eta2.as("eta2"))
+  }
+
+  // ----------------------------------------------------- Cliff's delta
+
+  /** Cliff's delta — the EFFECT SIZE companion to [[mannWhitneyU]]
+    * (which only answers "significant?"; at corpus n everything is):
+    * δ = (#(a>b) − #(a<b)) / (n_a·n_b), the dominance probability
+    * difference. From the doubled-rank machinery δ is exact algebra:
+    * `2·U_A = 2·wins + ties`, so `#(a>b) − #(a<b) = u2_a − n_a·n_b` —
+    * exact longs with ONE closing division. The magnitude label uses
+    * the Romano et al. (2006) thresholds |δ| < 0.147 / 0.33 / 0.474
+    * (negligible / small / medium / large) as shared literals.
+    *
+    * Scale shape: identical to [[mannWhitneyU]] — one value-keyed
+    * aggregate + the [[prefixByValue]] two-phase scan, 1-row output.
+    *
+    * Output: `(n_a, n_b, dom_diff, delta, magnitude)`.
+    */
+  def cliffsDelta(df: DataFrame, isA: Column, value: Column): DataFrame = {
+    val mw = mannWhitneyU(df, isA, value)
+    val prod = col("n_a") * col("n_b")
+    val dd = col("u2_a") - prod
+    val delta = when(prod > 0L, dd.cast("double") / prod.cast("double"))
+    val absd = abs(delta)
+    mw.select(
+      col("n_a"), col("n_b"), dd.as("dom_diff"), delta.as("delta"),
+      when(delta.isNotNull,
+        when(absd < 0.147, "negligible")
+          .when(absd < 0.33, "small")
+          .when(absd < 0.474, "medium")
+          .otherwise("large")).as("magnitude"))
+  }
 }

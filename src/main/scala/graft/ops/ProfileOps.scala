@@ -613,4 +613,33 @@ object ProfileOps {
             col("js_b_fixed").cast("double") / col("nb").cast("double")) /
             lit(2.0) / lit(1048576.0)).as("js_bits"))
   }
+
+  /** Brown–Forsythe test (Levene with median centers) — "are the group
+    * SPREADS equal?", the variance-homogeneity gate that decides whether
+    * pooled-variance methods are even admissible on a segmented metric.
+    * Robust form: deviations are taken from each group's exact lower
+    * MEDIAN (the [[weightedMedianByGroup]] selection with unit weights —
+    * a value FROM the data, so `|v − med|` stays an exact long), then
+    * the deviations feed [[ExperimentOps.anovaF]] verbatim: a large F on
+    * |deviations| = unequal spreads.
+    *
+    * Scale shape: the medians ride the grouped two-phase bucketed
+    * prefix scan (no SinglePartition window), land as a k-row broadcast
+    * joined back onto the rows, and the ANOVA is one aggregate pass —
+    * two corpus passes total, both shuffle-light.
+    *
+    * Output: the [[ExperimentOps.anovaF]] row over the deviations.
+    */
+  def brownForsythe(
+      df: DataFrame, group: Column, value: Column,
+      groups: Seq[String]): DataFrame = {
+    val rows = df
+      .select(group.cast("string").as("g"), value.cast("long").as("v"))
+      .filter(col("g").isInCollection(groups) && col("v").isNotNull)
+    val med = weightedMedianByGroup(rows, col("g"), col("v"), lit(1L))
+      .select(col("group").as("g"), col("w_median").as("med"))
+    val dev = rows.join(broadcast(med), "g")
+      .select(col("g"), abs(col("v") - col("med")).as("d"))
+    ExperimentOps.anovaF(dev, col("g"), col("d"), groups)
+  }
 }

@@ -463,6 +463,36 @@ private[queries] object StatsQueries {
         col("c_mktsegment") === "BUILDING",
         round(col("c_acctbal") * 100).cast("long"))),
 
+    // One-way ANOVA F across ALL FIVE market segments — the k-arm
+    // omnibus "do the arms differ at all?" upstream of any pairwise
+    // test: per-segment (n, Σx, Σx²) pivoted into ONE 1-row aggregate
+    // (the segment list is a query literal), sums of squares as fixed
+    // left-assoc IEEE chains over exact longs.
+    "q_anova_f" -> ((s, dir) =>
+      ExperimentOps.anovaF(
+        t(s, dir, "customer"), col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("long"), MktSegments)),
+
+    // Brown-Forsythe spread-homogeneity gate on the same five segments:
+    // exact grouped lower medians (grouped two-phase prefix scan), then
+    // the ANOVA F over |v - median| deviations — decides whether
+    // pooled-variance readouts are admissible segment-wide.
+    "q_levene" -> ((s, dir) =>
+      ProfileOps.brownForsythe(
+        t(s, dir, "customer"), col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("long"), MktSegments)),
+
+    // Cliff's delta effect size on open-vs-finished order values — the
+    // magnitude readout q_mann_whitney's significance bit can't give at
+    // corpus n (where everything is significant): exact dominance
+    // difference from the doubled-rank machinery, one closing division,
+    // Romano-threshold magnitude label.
+    "q_cliffs_delta" -> ((s, dir) =>
+      ExperimentOps.cliffsDelta(
+        t(s, dir, "orders").filter(col("o_orderstatus").isin("O", "F")),
+        col("o_orderstatus") === "O",
+        round(col("o_totalprice") * 100).cast("long"))),
+
     // Benjamini-Hochberg step-up FDR over the (source, lang) hypothesis
     // family — p-values stand in as the deterministic portable hash
     // (the CONTROL procedure is the operator under test; upstream tests
@@ -602,6 +632,54 @@ private[queries] object StatsQueries {
       |        THEN date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
       |        END) AS conv
       |  FROM events GROUP BY user_id""".stripMargin
+
+  /** The five TPC-H market segments — the literal arm list for the
+    * k-group omnibus tests (arms are experiment config, never
+    * data-discovered; the [[graft.ops.ExperimentOps.anovaF]] contract).
+    */
+  private val MktSegments: Seq[String] =
+    Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+  /** DuckDB replay of [[graft.ops.ExperimentOps.anovaF]] over a source
+    * CTE named `srcCte` emitting `(g, v)`: per-group moment pivot, then
+    * the IDENTICAL fixed left-assoc IEEE chains (both engines evaluate
+    * the same expression tree — the welch_t discipline, k-ary).
+    */
+  private def anovaFSql(srcCte: String, groups: Seq[String]): String = {
+    val is = groups.indices
+    val moments = groups.zipWithIndex.flatMap { case (gl, i) =>
+      Seq(
+        s"CAST(count(*) FILTER (WHERE g = '$gl') AS BIGINT) AS n_$i",
+        s"CAST(coalesce(sum(v) FILTER (WHERE g = '$gl'), 0) AS BIGINT) AS s_$i",
+        s"CAST(coalesce(sum(v * v) FILTER (WHERE g = '$gl'), 0) AS BIGINT) AS q_$i")
+    }.mkString(",\n    ")
+    val kSum = is.map(i => s"CAST(n_$i > 0 AS BIGINT)").mkString(" + ")
+    val nSum = is.map(i => s"n_$i").mkString(" + ")
+    val sSum = is.map(i => s"s_$i").mkString(" + ")
+    val bChain = is.map(i =>
+      s"""CASE WHEN n_$i > 0 THEN (CAST(s_$i AS DOUBLE) / CAST(n_$i AS DOUBLE)) * CAST(s_$i AS DOUBLE) ELSE 0.0 END""")
+      .mkString(" + ")
+    val wChain = is.map(i =>
+      s"""CASE WHEN n_$i > 0 THEN CAST(q_$i AS DOUBLE) - (CAST(s_$i AS DOUBLE) / CAST(n_$i AS DOUBLE)) * CAST(s_$i AS DOUBLE) ELSE 0.0 END""")
+      .mkString(" + ")
+    s"""av_m AS (SELECT
+       |    $moments
+       |  FROM $srcCte),
+       |av_c AS (SELECT *, $kSum AS k, $nSum AS n, $sSum AS s FROM av_m),
+       |av_e AS (SELECT *,
+       |    ($bChain) - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(s AS DOUBLE) AS ssb,
+       |    ($wChain) AS ssw
+       |  FROM av_c)
+       |SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+       |  CASE WHEN n > 0 THEN ssb END AS ss_between,
+       |  CASE WHEN n > 0 THEN ssw END AS ss_within,
+       |  CAST(k - 1 AS BIGINT) AS df1, CAST(n - k AS BIGINT) AS df2,
+       |  CASE WHEN k - 1 > 0 AND n - k > 0 AND ssw > 0.0
+       |    THEN (ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(n - k AS DOUBLE))
+       |  END AS f_stat,
+       |  CASE WHEN ssb + ssw > 0.0 THEN ssb / (ssb + ssw) END AS eta2
+       |FROM av_e""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
 
@@ -1486,6 +1564,83 @@ private[queries] object StatsQueries {
         |  CASE WHEN t2 IS NOT NULL THEN
         |    CAST(t2 >= CAST('3.8416' AS DOUBLE) AS INT) END AS significant
         |FROM z""".stripMargin,
+
+    // The engine's k-arm moment pivot replayed with the identical fixed
+    // left-assoc SS chains (anovaFSql builds both sides from the same
+    // group list).
+    "q_anova_f" -> {
+      val inList = MktSegments.map(g => s"'$g'").mkString(", ")
+      s"""WITH av_v AS (
+         |  SELECT c_mktsegment AS g,
+         |    CAST(round(c_acctbal * 100) AS BIGINT) AS v
+         |  FROM customer
+         |  WHERE c_mktsegment IN ($inList) AND c_acctbal IS NOT NULL),
+         |${anovaFSql("av_v", MktSegments)}""".stripMargin
+    },
+
+    // Exact grouped lower median (2·cum >= total selection), |v − med|
+    // deviations, then the same ANOVA chain over the deviation frame.
+    "q_levene" -> {
+      val inList = MktSegments.map(g => s"'$g'").mkString(", ")
+      s"""WITH bf_rows AS (
+         |  SELECT c_mktsegment AS g,
+         |    CAST(round(c_acctbal * 100) AS BIGINT) AS v
+         |  FROM customer
+         |  WHERE c_mktsegment IN ($inList) AND c_acctbal IS NOT NULL),
+         |bf_byv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS w
+         |  FROM bf_rows GROUP BY g, v),
+         |bf_cum AS (SELECT g, v,
+         |    CAST(sum(w) OVER (PARTITION BY g ORDER BY v
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+         |    CAST(sum(w) OVER (PARTITION BY g) AS BIGINT) AS tw
+         |  FROM bf_byv),
+         |bf_med AS (SELECT g, min(v) AS med
+         |  FROM bf_cum WHERE 2 * cw >= tw GROUP BY g),
+         |av_v AS (SELECT bf_rows.g AS g,
+         |    CAST(abs(bf_rows.v - bf_med.med) AS BIGINT) AS v
+         |  FROM bf_rows JOIN bf_med ON bf_rows.g = bf_med.g),
+         |${anovaFSql("av_v", MktSegments)}""".stripMargin
+    },
+
+    // Same doubled-rank CTEs as q_mann_whitney on the O-vs-F order
+    // values; the dominance difference u2_a − n_a·n_b is exact long,
+    // one closing division, Romano thresholds through dlit.
+    "q_cliffs_delta" ->
+      s"""WITH v AS (SELECT o_orderstatus = 'O' AS a,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS v
+         |  FROM orders
+         |  WHERE o_orderstatus IN ('O', 'F') AND o_totalprice IS NOT NULL),
+         |byv AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt,
+         |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a
+         |  FROM v GROUP BY v),
+         |cum AS (SELECT cnt, cnt_a,
+         |    CAST(coalesce(sum(cnt) OVER (ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cum
+         |  FROM byv),
+         |ag AS (SELECT CAST(coalesce(sum(cnt_a), 0) AS BIGINT) AS n_a,
+         |    CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n,
+         |    CAST(coalesce(sum(cnt_a * (2 * cum + cnt + 1)), 0) AS BIGINT)
+         |      AS r2a
+         |  FROM cum),
+         |fin AS (SELECT n_a, n - n_a AS n_b,
+         |    r2a - n_a * (n_a + 1) - n_a * (n - n_a) AS dom_diff,
+         |    n_a * (n - n_a) AS prod
+         |  FROM ag),
+         |dl AS (SELECT n_a, CAST(n_b AS BIGINT) AS n_b,
+         |    CAST(dom_diff AS BIGINT) AS dom_diff,
+         |    CASE WHEN prod > 0
+         |      THEN CAST(dom_diff AS DOUBLE) / CAST(prod AS DOUBLE)
+         |    END AS delta
+         |  FROM fin)
+         |SELECT n_a, n_b, dom_diff, delta,
+         |  CASE WHEN delta IS NOT NULL THEN
+         |    CASE WHEN abs(delta) < ${dlit(0.147)} THEN 'negligible'
+         |         WHEN abs(delta) < ${dlit(0.33)} THEN 'small'
+         |         WHEN abs(delta) < ${dlit(0.474)} THEN 'medium'
+         |         ELSE 'large' END
+         |  END AS magnitude
+         |FROM dl""".stripMargin,
 
     // The exact-long BH step-up: portable-md5 p_micro per hypothesis,
     // rank window over the hypothesis-bounded frame, cross-multiplied

@@ -354,4 +354,66 @@ class ExperimentOpsSpec extends SparkSpec {
       col("id"), col("conv").cast("long")).collect().head
     assert(allConv.isNullAt(5) && allConv.isNullAt(6))
   }
+
+  test("anovaF == the scalar replica; empty groups drop from k; invariant") {
+    val groups = Seq("g0", "g1", "g2")
+    val vals = (1 to 300).map(i => (s"g${i % 3}", (i * 37L) % 211L - 50L))
+    val df = vals.toDF("g", "v")
+    val r = ExperimentOps.anovaF(df, col("g"), col("v"), groups)
+      .collect().head
+    // scalar replica with the SAME fixed left-assoc chains
+    val by = groups.map(g => vals.filter(_._1 == g).map(_._2))
+    val ns = by.map(_.length.toLong)
+    val ss = by.map(_.sum)
+    val qs = by.map(_.map(x => x * x).sum)
+    val k = ns.map(n => if (n > 0) 1L else 0L).reduce(_ + _)
+    val n = ns.reduce(_ + _)
+    val s = ss.reduce(_ + _)
+    val bT = groups.indices.map(i => if (ns(i) > 0)
+      (ss(i).toDouble / ns(i).toDouble) * ss(i).toDouble else 0.0)
+    val wT = groups.indices.map(i => if (ns(i) > 0)
+      qs(i).toDouble - (ss(i).toDouble / ns(i).toDouble) * ss(i).toDouble
+      else 0.0)
+    val ssb = bT.reduce(_ + _) - (s.toDouble / n.toDouble) * s.toDouble
+    val ssw = wT.reduce(_ + _)
+    assert(r.getAs[Long]("k") == k && r.getAs[Long]("n") == n)
+    assert(r.getAs[Double]("ss_between") == ssb)
+    assert(r.getAs[Double]("ss_within") == ssw)
+    assert(r.getAs[Double]("f_stat") ==
+      (ssb / (k - 1).toDouble) / (ssw / (n - k).toDouble))
+    assert(r.getAs[Double]("eta2") == ssb / (ssb + ssw))
+    val r17 = ExperimentOps.anovaF(df.repartition(17), col("g"), col("v"),
+      groups).collect().head
+    assert(r == r17)
+    // a listed-but-empty group contributes nothing and drops from k
+    val r2 = ExperimentOps.anovaF(df, col("g"), col("v"),
+      groups :+ "g_absent").collect().head
+    assert(r2.getAs[Long]("k") == k && r2.getAs[Long]("n") == n)
+    assert(r2.getAs[Double]("ss_within") == ssw)
+  }
+
+  test("cliffsDelta == the brute-force pair count; magnitude labels") {
+    val vals = (1 to 150).map(i => (i % 3 == 0, (i * 53L) % 97L))
+    val df = vals.toDF("a", "v")
+    val r = ExperimentOps.cliffsDelta(df, col("a"), col("v")).collect().head
+    val as = vals.filter(_._1).map(_._2)
+    val bs = vals.filterNot(_._1).map(_._2)
+    val wins = as.map(a => bs.count(a > _).toLong).sum
+    val losses = as.map(a => bs.count(a < _).toLong).sum
+    assert(r.getAs[Long]("n_a") == as.length.toLong)
+    assert(r.getAs[Long]("n_b") == bs.length.toLong)
+    assert(r.getAs[Long]("dom_diff") == wins - losses)
+    assert(r.getAs[Double]("delta") ==
+      (wins - losses).toDouble / (as.length.toLong * bs.length).toDouble)
+    // total dominance -> delta = 1, 'large'; identical -> 0, 'negligible'
+    val dom = (Seq.tabulate(5)(i => (true, 100L + i)) ++
+      Seq.tabulate(5)(i => (false, i.toLong))).toDF("a", "v")
+    val rd = ExperimentOps.cliffsDelta(dom, col("a"), col("v")).collect().head
+    assert(rd.getAs[Double]("delta") == 1.0 &&
+      rd.getAs[String]("magnitude") == "large")
+    val same = (1 to 10).map(i => (i % 2 == 0, 7L)).toDF("a", "v")
+    val rs = ExperimentOps.cliffsDelta(same, col("a"), col("v")).collect().head
+    assert(rs.getAs[Double]("delta") == 0.0 &&
+      rs.getAs[String]("magnitude") == "negligible")
+  }
 }

@@ -423,4 +423,32 @@ class ProfileOpsSpec extends SparkSpec {
       docs, col("src") === "sb", col("src") === "sa").collect().head
     assert(ab.getDouble(5) === ba.getDouble(5))
   }
+
+  test("brownForsythe == anovaF over scalar median deviations") {
+    val groups = Seq("g0", "g1")
+    // g1 has ~4x the spread of g0 around its median
+    val vals = (1 to 200).map { i =>
+      val g = s"g${i % 2}"
+      val base = (i * 37L) % 101L - 50L
+      (g, if (i % 2 == 1) base * 4L else base)
+    }
+    val df = vals.toDF("g", "v")
+    val r = ProfileOps.brownForsythe(df, col("g"), col("v"), groups)
+      .collect().head
+    // scalar lower median (smallest v with 2*cum >= n), then |v - med|
+    def lowerMedian(xs: Seq[Long]): Long = {
+      val sorted = xs.sorted
+      sorted((xs.length + 1) / 2 - 1)
+    }
+    val devs = groups.flatMap { g =>
+      val xs = vals.filter(_._1 == g).map(_._2)
+      val med = lowerMedian(xs)
+      xs.map(x => (g, math.abs(x - med)))
+    }
+    val expect = graft.ops.ExperimentOps.anovaF(
+      devs.toDF("g", "v"), col("g"), col("v"), groups).collect().head
+    assert(r == expect)
+    // the engineered spread gap must register as a large F
+    assert(r.getAs[Double]("f_stat") > 10.0)
+  }
 }
