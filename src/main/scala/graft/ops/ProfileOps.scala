@@ -614,6 +614,162 @@ object ProfileOps {
             lit(2.0) / lit(1048576.0)).as("js_bits"))
   }
 
+  /** Weight-of-evidence encoding + information value — the risk-modeling
+    * categorical readout ("how strongly does this category separate the
+    * label, and how much signal does the whole column carry"). Base-2
+    * WOE on the exact fixed-point grid: with +1 Laplace cells
+    * (`sp = pos+1`, `sn = neg+1`, `SP = P+k`, `SN = N+k`, k = category
+    * count — smoothed probabilities still sum to 1),
+    *
+    *   woe_fixed = (L(sp) − L(SP)) − (L(sn) − L(SN))
+    *
+    * L the 2²⁰ fixed-point [[graft.expr.Log2Fixed]] — exact int64 on
+    * both engines. The IV folds exactly too: the category term
+    * `(sp/SP − sn/SN)·woe` clears to the integer
+    * `(sp·SN − sn·SP)·woe_fixed` over the shared denominator `SP·SN`,
+    * so `iv_bits` closes as ONE fixed IEEE chain over exact-long sums.
+    * Value contract: `max(pos)·N` and the iv product must fit int64 —
+    * category×label totals below ~2·10⁹ (the [[tokenJsDivergence]]
+    * slice bound); ANSI mode raises on breach.
+    *
+    * Scale shape: ONE category-keyed map-side-combined aggregate, then
+    * margins/totals as windows over the CATEGORY-bounded frame (the
+    * [[chiSquareCells]] precedent — never the row domain).
+    *
+    * Output per category:
+    * `(category, n_pos, n_neg, woe_fixed, woe_bits, iv_bits)` — iv_bits
+    * (the column-level IV, base 2) repeated per row.
+    */
+  def woeIv(df: DataFrame, category: Column, label: Column): DataFrame = {
+    import graft.expr.MathExprs.log2Fixed
+    val wAll = Window.partitionBy()
+    val cat = df
+      .select(category.cast("string").as("category"),
+        label.cast("boolean").as("y"))
+      .filter(col("category").isNotNull && col("y").isNotNull)
+      .groupBy(col("category"))
+      .agg(sum(col("y").cast("long")).as("n_pos"),
+        sum((!col("y")).cast("long")).as("n_neg"))
+    val m = cat
+      .withColumn("k", count(lit(1)).over(wAll))
+      .withColumn("sp", col("n_pos") + 1L)
+      .withColumn("sn", col("n_neg") + 1L)
+      .withColumn("tp", sum(col("n_pos")).over(wAll) + col("k"))
+      .withColumn("tn", sum(col("n_neg")).over(wAll) + col("k"))
+      .withColumn("woe_fixed",
+        (log2Fixed(col("sp")) - log2Fixed(col("tp"))) -
+          (log2Fixed(col("sn")) - log2Fixed(col("tn"))))
+      .withColumn("iv_term",
+        (col("sp") * col("tn") - col("sn") * col("tp")) * col("woe_fixed"))
+    m.withColumn("iv_fixed", sum(col("iv_term")).over(wAll))
+      .select(col("category"), col("n_pos"), col("n_neg"), col("woe_fixed"),
+        (col("woe_fixed").cast("double") / lit(1048576.0)).as("woe_bits"),
+        (col("iv_fixed").cast("double") /
+          (col("tp") * col("tn")).cast("double") / lit(1048576.0))
+          .as("iv_bits"))
+  }
+
+  /** Mutual information between two categorical columns (base 2), with
+    * both marginal entropies and the normalized MI — the dependence
+    * readout [[chiSquareCells]]' per-cell terms can't give as ONE
+    * comparable scalar ("how much does source tell you about lang").
+    * Everything exact until the last divisions: with cell counts o,
+    * margins r/c, total n,
+    *
+    *   mi_fixed = Σ_cells o·(L(o·n) − L(r·c))
+    *   hx_fixed = Σ_cells o·(L(n) − L(r))   (= Σ_x r·(L(n)−L(r)))
+    *
+    * L the fixed-point [[graft.expr.Log2Fixed]] — int64 sums, order-
+    * proof; `mi_bits = mi_fixed/n/2²⁰` and `nmi = mi_bits/min(h_bits)`
+    * close as fixed IEEE chains. Value contract: `o·n < 2^63` (cell ×
+    * corpus products — the [[tokenJsDivergence]] bound).
+    *
+    * Scale shape: ONE (x,y)-keyed map-side-combined aggregate collapses
+    * the corpus to the cell frame; margins are windows over that
+    * bounded frame; the fold is a 1-row aggregate.
+    *
+    * Output: `(n, cells, mi_fixed, mi_bits, hx_bits, hy_bits, nmi)`.
+    */
+  def mutualInfo(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    import graft.expr.MathExprs.log2Fixed
+    val cells = df
+      .select(xCol.cast("string").as("x"), yCol.cast("string").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("o"))
+    val m = cells
+      .withColumn("r", sum(col("o")).over(Window.partitionBy(col("x"))))
+      .withColumn("c", sum(col("o")).over(Window.partitionBy(col("y"))))
+      .withColumn("n", sum(col("o")).over(Window.partitionBy()))
+    val agg = m.agg(
+      max(col("n")).as("n"), count(lit(1)).as("cells"),
+      sum(col("o") * (log2Fixed(col("o") * col("n")) -
+        log2Fixed(col("r") * col("c")))).as("mi_fixed"),
+      sum(col("o") * (log2Fixed(col("n")) - log2Fixed(col("r"))))
+        .as("hx_fixed"),
+      sum(col("o") * (log2Fixed(col("n")) - log2Fixed(col("c"))))
+        .as("hy_fixed"))
+    val miBits = col("mi_fixed").cast("double") / col("n").cast("double") /
+      lit(1048576.0)
+    val hxBits = col("hx_fixed").cast("double") / col("n").cast("double") /
+      lit(1048576.0)
+    val hyBits = col("hy_fixed").cast("double") / col("n").cast("double") /
+      lit(1048576.0)
+    agg.select(col("n"), col("cells"), col("mi_fixed"),
+      miBits.as("mi_bits"), hxBits.as("hx_bits"), hyBits.as("hy_bits"),
+      when(least(hxBits, hyBits) > 0.0, miBits / least(hxBits, hyBits))
+        .as("nmi"))
+  }
+
+  /** Cramér's V — the [0,1] effect-size scalar over the contingency
+    * table ("HOW dependent are these columns", where χ² only grows with
+    * n). Uses the identity `χ² = Σ o²·N/(r·c) − N`: the OBSERVED cells
+    * carry the whole sum, so the zero cells a groupBy can never emit
+    * are covered exactly (each contributes only its `e` to the −N
+    * term). The cross-cell fold closes deterministically on the exact
+    * ×10⁶ grid: each cell's term is ONE fixed IEEE chain over exact
+    * longs (engine-identical), `floor(term·10⁶)` is an exact multiply +
+    * floor, the micro longs sum order-free, and the −N·10⁶ correction
+    * is integer algebra. Truncation can land an independent table a few
+    * micro BELOW zero — clamped at 0 (χ² is non-negative by
+    * definition). V = √(χ²/(n·min(r−1,c−1))) is two more correctly-
+    * rounded ops. Truncation bias < cells·10⁻⁶ — a diagnostic-grade
+    * grid, documented in the column name.
+    *
+    * Scale shape: one (a,b)-keyed map-side-combined aggregate to the
+    * cell frame, margins as windows over that bounded frame (the
+    * [[chiSquareCells]] precedent), a 1-row closing fold with two
+    * distinct-counts over the cell frame.
+    *
+    * Output: `(n, r_cats, c_cats, chi2_micro, chi2, v)`.
+    */
+  def cramersV(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val cells = df.groupBy(aCol.as("a"), bCol.as("b"))
+      .agg(count(lit(1)).as("o"))
+    val m = cells
+      .withColumn("r", sum(col("o")).over(Window.partitionBy(col("a"))))
+      .withColumn("c", sum(col("o")).over(Window.partitionBy(col("b"))))
+      .withColumn("n", sum(col("o")).over(Window.partitionBy()))
+    val term = col("o").cast("double") * col("o").cast("double") *
+      col("n").cast("double") /
+      (col("r").cast("double") * col("c").cast("double"))
+    val f = m.select(col("a"), col("b"), col("o"), col("n"),
+      floor(term * lit(1000000.0)).cast("long").as("t_micro"))
+    val agg = f.agg(
+      sum(col("o")).as("n"),
+      countDistinct(col("a")).as("r_cats"),
+      countDistinct(col("b")).as("c_cats"),
+      sum(col("t_micro")).as("s_micro"))
+    val chi2Micro = greatest(col("s_micro") - col("n") * 1000000L, lit(0L))
+    val minDim = least(col("r_cats"), col("c_cats")) - 1L
+    agg.select(col("n"), col("r_cats"), col("c_cats"),
+      chi2Micro.as("chi2_micro"),
+      (chi2Micro.cast("double") / lit(1000000.0)).as("chi2"),
+      when(minDim > 0L && col("n") > 0L,
+        sqrt(chi2Micro.cast("double") / lit(1000000.0) /
+          (col("n") * minDim).cast("double"))).as("v"))
+  }
+
   /** Brown–Forsythe test (Levene with median centers) — "are the group
     * SPREADS equal?", the variance-homogeneity gate that decides whether
     * pooled-variance methods are even admissible on a segmented metric.

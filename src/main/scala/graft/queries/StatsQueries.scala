@@ -114,6 +114,29 @@ private[queries] object StatsQueries {
         .select(col("a").as("source"), col("b").as("lang"),
           col("o"), col("e"), col("chi_term"))),
 
+    // Cramér's V on order priority × status — the [0,1] dependence
+    // scalar q_chisq's per-cell terms can't give: per-cell doubles are
+    // engine-identical, the cross-cell fold rides the exact ×10⁶ micro
+    // grid (floor of an exact IEEE multiply), √ is correctly rounded.
+    "q_cramers_v" -> ((s, dir) =>
+      ProfileOps.cramersV(
+        t(s, dir, "orders"), col("o_orderpriority"), col("o_orderstatus"))),
+
+    // Mutual information source↔lang in bits, with marginal entropies
+    // and normalized MI — exact Log2Fixed sums over the cell frame,
+    // three fixed closing chains.
+    "q_mutual_info" -> ((s, dir) =>
+      ProfileOps.mutualInfo(
+        t(s, dir, "documents"), col("source"), col("lang"))),
+
+    // Weight-of-evidence + information value of source against the
+    // lang='en' label — the risk-scoring categorical encode: +1 Laplace
+    // cells, base-2 fixed-point WOE, IV folded as exact integers over
+    // the shared smoothed denominator.
+    "q_woe_iv" -> ((s, dir) =>
+      ProfileOps.woeIv(
+        t(s, dir, "documents"), col("source"), col("lang") === "en")),
+
     // Byte-concentration per source: exact rank-formulation Gini in
     // int64 with one closing division.
     "q_gini" -> ((s, dir) =>
@@ -883,6 +906,137 @@ private[queries] object StatsQueries {
         |  CAST((o*n - r*c) * (o*n - r*c) AS DOUBLE)
         |    / CAST(n * r * c AS DOUBLE) AS chi_term
         |FROM m""".stripMargin,
+
+    // Same observed-cell identity χ² = Σ o²·N/(r·c) − N (zero cells
+    // covered exactly), per-cell fixed IEEE chain floored onto the ×10⁶
+    // grid, exact long fold, the identical sqrt chain.
+    "q_cramers_v" ->
+      """WITH cv_cells AS (
+        |  SELECT o_orderpriority AS a, o_orderstatus AS b,
+        |    CAST(count(*) AS BIGINT) AS o
+        |  FROM orders GROUP BY 1, 2),
+        |cv_m AS (SELECT a, b, o,
+        |    CAST(sum(o) OVER (PARTITION BY a) AS BIGINT) AS r,
+        |    CAST(sum(o) OVER (PARTITION BY b) AS BIGINT) AS c,
+        |    CAST(sum(o) OVER () AS BIGINT) AS n
+        |  FROM cv_cells),
+        |cv_t AS (SELECT a, b, o, n,
+        |    CAST(floor((CAST(o AS DOUBLE) * CAST(o AS DOUBLE)
+        |        * CAST(n AS DOUBLE)
+        |        / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE)))
+        |      * 1000000.0) AS BIGINT) AS t_micro
+        |  FROM cv_m),
+        |cv_a AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT a) AS BIGINT) AS r_cats,
+        |    CAST(count(DISTINCT b) AS BIGINT) AS c_cats,
+        |    CAST(sum(t_micro) AS BIGINT) AS s_micro
+        |  FROM cv_t),
+        |cv_b AS (SELECT *,
+        |    greatest(s_micro - n * 1000000, CAST(0 AS BIGINT))
+        |      AS chi2_micro
+        |  FROM cv_a)
+        |SELECT n, r_cats, c_cats, CAST(chi2_micro AS BIGINT) AS chi2_micro,
+        |  CAST(chi2_micro AS DOUBLE) / 1000000.0 AS chi2,
+        |  CASE WHEN least(r_cats, c_cats) - 1 > 0 AND n > 0
+        |    THEN sqrt(CAST(chi2_micro AS DOUBLE) / 1000000.0
+        |      / CAST(n * (least(r_cats, c_cats) - 1) AS DOUBLE))
+        |  END AS v
+        |FROM cv_b""".stripMargin,
+
+    // Same cell frame and margins; every log through the unrolled
+    // fixed-point log2 CTEs, exact long term sums, the identical
+    // closing chains.
+    "q_mutual_info" ->
+      s"""WITH mi_cells AS (
+         |  SELECT source AS x, lang AS y, CAST(count(*) AS BIGINT) AS o
+         |  FROM documents
+         |  WHERE source IS NOT NULL AND lang IS NOT NULL
+         |  GROUP BY 1, 2),
+         |mi_m AS (SELECT x, y, o,
+         |    CAST(sum(o) OVER (PARTITION BY x) AS BIGINT) AS r,
+         |    CAST(sum(o) OVER (PARTITION BY y) AS BIGINT) AS c,
+         |    CAST(sum(o) OVER () AS BIGINT) AS n
+         |  FROM mi_cells),
+         |vals AS (SELECT DISTINCT v FROM (
+         |  SELECT o * n AS v FROM mi_m
+         |  UNION ALL SELECT r * c FROM mi_m
+         |  UNION ALL SELECT n FROM mi_m
+         |  UNION ALL SELECT r FROM mi_m
+         |  UNION ALL SELECT c FROM mi_m)),
+         |${log2FixedSql("vals")},
+         |mi_t AS (
+         |  SELECT m.o, m.n,
+         |    m.o * (lon.lg - lrc.lg) AS mi_term,
+         |    m.o * (lnn.lg - lr.lg) AS hx_term,
+         |    m.o * (lnn.lg - lc.lg) AS hy_term
+         |  FROM mi_m m
+         |  JOIN lg lon ON lon.v = m.o * m.n
+         |  JOIN lg lrc ON lrc.v = m.r * m.c
+         |  JOIN lg lnn ON lnn.v = m.n
+         |  JOIN lg lr ON lr.v = m.r
+         |  JOIN lg lc ON lc.v = m.c),
+         |mi_a AS (SELECT CAST(max(n) AS BIGINT) AS n,
+         |    CAST(count(*) AS BIGINT) AS cells,
+         |    CAST(sum(mi_term) AS BIGINT) AS mi_fixed,
+         |    CAST(sum(hx_term) AS BIGINT) AS hx_fixed,
+         |    CAST(sum(hy_term) AS BIGINT) AS hy_fixed
+         |  FROM mi_t),
+         |mi_b AS (SELECT *,
+         |    CAST(mi_fixed AS DOUBLE) / CAST(n AS DOUBLE) / 1048576.0
+         |      AS mi_bits,
+         |    CAST(hx_fixed AS DOUBLE) / CAST(n AS DOUBLE) / 1048576.0
+         |      AS hx_bits,
+         |    CAST(hy_fixed AS DOUBLE) / CAST(n AS DOUBLE) / 1048576.0
+         |      AS hy_bits
+         |  FROM mi_a)
+         |SELECT n, cells, mi_fixed, mi_bits, hx_bits, hy_bits,
+         |  CASE WHEN least(hx_bits, hy_bits) > 0.0
+         |    THEN mi_bits / least(hx_bits, hy_bits) END AS nmi
+         |FROM mi_b""".stripMargin,
+
+    // Same +1 Laplace cells and smoothed totals; WOE through the
+    // fixed-point log2 CTEs, the IV integer fold over the shared
+    // SP·SN denominator.
+    "q_woe_iv" ->
+      s"""WITH wv_cat AS (
+         |  SELECT source AS category,
+         |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_pos,
+         |    CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT)
+         |      AS n_neg
+         |  FROM documents
+         |  WHERE source IS NOT NULL AND lang IS NOT NULL
+         |  GROUP BY source),
+         |wv_m AS (
+         |  SELECT category, n_pos, n_neg,
+         |    n_pos + 1 AS sp, n_neg + 1 AS sn,
+         |    CAST(sum(n_pos) OVER () + count(*) OVER () AS BIGINT) AS tp,
+         |    CAST(sum(n_neg) OVER () + count(*) OVER () AS BIGINT) AS tn
+         |  FROM wv_cat),
+         |vals AS (SELECT DISTINCT v FROM (
+         |  SELECT sp AS v FROM wv_m
+         |  UNION ALL SELECT sn FROM wv_m
+         |  UNION ALL SELECT tp FROM wv_m
+         |  UNION ALL SELECT tn FROM wv_m)),
+         |${log2FixedSql("vals")},
+         |wv_w AS (
+         |  SELECT m.category, m.n_pos, m.n_neg, m.sp, m.sn, m.tp, m.tn,
+         |    (lsp.lg - ltp.lg) - (lsn.lg - ltn.lg) AS woe_fixed
+         |  FROM wv_m m
+         |  JOIN lg lsp ON lsp.v = m.sp
+         |  JOIN lg ltp ON ltp.v = m.tp
+         |  JOIN lg lsn ON lsn.v = m.sn
+         |  JOIN lg ltn ON ltn.v = m.tn),
+         |wv_t AS (SELECT *,
+         |    (sp * tn - sn * tp) * woe_fixed AS iv_term FROM wv_w),
+         |wv_f AS (SELECT *,
+         |    CAST(sum(iv_term) OVER () AS BIGINT) AS iv_fixed FROM wv_t)
+         |SELECT category, n_pos, n_neg,
+         |  CAST(woe_fixed AS BIGINT) AS woe_fixed,
+         |  CAST(woe_fixed AS DOUBLE) / 1048576.0 AS woe_bits,
+         |  CAST(iv_fixed AS DOUBLE) / CAST(tp * tn AS DOUBLE) / 1048576.0
+         |    AS iv_bits
+         |FROM wv_f""".stripMargin,
 
     // Same rank formulation; ties across equal values cannot move the
     // i·x sum, so the arbitrary tie order is harmless on both engines.

@@ -424,6 +424,99 @@ class ProfileOpsSpec extends SparkSpec {
     assert(ab.getDouble(5) === ba.getDouble(5))
   }
 
+  test("mutualInfo == the scalar replica; independent columns give ~0") {
+    import graft.ops.SelectionOps.{log2Fixed => lf}
+    val rows = (1 to 400).map(i => (s"x${i % 4}", s"y${(i * 7) % 5}"))
+    val df = rows.toDF("x", "y")
+    val r = ProfileOps.mutualInfo(df, col("x"), col("y")).collect().head
+    val cells = rows.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rm = rows.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val cm = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = rows.length.toLong
+    val mi = cells.map { case ((x, y), o) =>
+      o * (lf(o * n) - lf(rm(x) * cm(y))) }.sum
+    val hx = cells.map { case ((x, _), o) => o * (lf(n) - lf(rm(x))) }.sum
+    assert(r.getAs[Long]("n") == n)
+    assert(r.getAs[Long]("cells") == cells.size.toLong)
+    assert(r.getAs[Long]("mi_fixed") == mi)
+    assert(r.getAs[Double]("hx_bits") == hx.toDouble / n.toDouble / 1048576.0)
+    // x-mod-4 vs y-mod-5 over i=1..400 is an exact product design:
+    // every cell has o = n/(4*5), so MI is 0 up to fixed-point grid
+    assert(math.abs(r.getAs[Double]("mi_bits")) < 1e-4)
+    assert(r.getAs[Double]("nmi") < 1e-4)
+    // a fully dependent pair saturates NMI to ~1
+    val dep = (1 to 100).map(i => (s"x${i % 4}", s"y${i % 4}")).toDF("x", "y")
+    val rd = ProfileOps.mutualInfo(dep, col("x"), col("y")).collect().head
+    assert(rd.getAs[Double]("nmi") > 0.999)
+  }
+
+  test("cramersV: micro-grid fold matches scalar; perfect dependence -> 1") {
+    val rows = (1 to 300).map(i => (s"a${i % 3}", s"b${(i * 11) % 4}"))
+    val r = ProfileOps.cramersV(rows.toDF("a", "b"), col("a"), col("b"))
+      .collect().head
+    val cells = rows.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rm = rows.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val cm = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = rows.length.toLong
+    val sMicro = cells.toSeq.map { case ((a, b), o) =>
+      math.floor(o.toDouble * o.toDouble * n.toDouble /
+        (rm(a).toDouble * cm(b).toDouble) * 1000000.0).toLong
+    }.sum
+    val chi2micro = math.max(sMicro - n * 1000000L, 0L)
+    assert(r.getAs[Long]("n") == n)
+    assert(r.getAs[Long]("chi2_micro") == chi2micro)
+    val chi2 = chi2micro.toDouble / 1000000.0
+    assert(r.getAs[Double]("v") == math.sqrt(chi2 / (n * 2L).toDouble))
+    // perfect dependence: the zero cells must be accounted (the raw
+    // observed-cell sum alone would report sqrt(2/3) here, not 1)
+    val dep = (1 to 90).map(i => (s"a${i % 3}", s"b${i % 3}")).toDF("a", "b")
+    val rv = ProfileOps.cramersV(dep, col("a"), col("b")).collect().head
+      .getAs[Double]("v")
+    assert(rv > 0.999 && rv <= 1.0)
+    // independence: truncation may land a hair under 0 -> clamped, not NaN
+    val ind = (1 to 120).map(i => (s"a${i % 3}", s"b${i % 4}")).toDF("a", "b")
+    val ri = ProfileOps.cramersV(ind, col("a"), col("b")).collect().head
+    assert(ri.getAs[Long]("chi2_micro") == 0L)
+    assert(ri.getAs[Double]("v") == 0.0)
+  }
+
+  test("woeIv == the scalar replica; separating category carries the IV") {
+    import graft.ops.SelectionOps.{log2Fixed => lf}
+    // c0 heavily positive, c1 heavily negative, c2 balanced
+    val rows = (1 to 300).map { i =>
+      val c = s"c${i % 3}"
+      val y = (i % 3) match {
+        case 0 => i % 10 != 0
+        case 1 => i % 10 == 0
+        case _ => i % 2 == 0
+      }
+      (c, y)
+    }
+    val out = ProfileOps.woeIv(rows.toDF("c", "y"), col("c"), col("y"))
+      .collect().map(r => r.getAs[String]("category") -> r).toMap
+    val cats = rows.groupBy(_._1)
+    val k = cats.size.toLong
+    val pos = cats.view.mapValues(_.count(_._2).toLong).toMap
+    val neg = cats.view.mapValues(_.count(!_._2).toLong).toMap
+    val tp = pos.values.sum + k
+    val tn = neg.values.sum + k
+    val woe = cats.keys.map { c =>
+      c -> ((lf(pos(c) + 1) - lf(tp)) - (lf(neg(c) + 1) - lf(tn)))
+    }.toMap
+    val ivFixed = cats.keys.toSeq.map { c =>
+      ((pos(c) + 1) * tn - (neg(c) + 1) * tp) * woe(c) }.sum
+    cats.keys.foreach { c =>
+      assert(out(c).getAs[Long]("n_pos") == pos(c), s"n_pos $c")
+      assert(out(c).getAs[Long]("woe_fixed") == woe(c), s"woe $c")
+      assert(out(c).getAs[Double]("iv_bits") ==
+        ivFixed.toDouble / (tp * tn).toDouble / 1048576.0, s"iv $c")
+    }
+    // signs: c0 positive WOE, c1 negative, and the IV is clearly > 0
+    assert(out("c0").getAs[Long]("woe_fixed") > 0L)
+    assert(out("c1").getAs[Long]("woe_fixed") < 0L)
+    assert(out("c0").getAs[Double]("iv_bits") > 0.5)
+  }
+
   test("brownForsythe == anovaF over scalar median deviations") {
     val groups = Seq("g0", "g1")
     // g1 has ~4x the spread of g0 around its median
