@@ -610,4 +610,80 @@ object LakeOps {
     // first index of the max = smallest shard id on (impossible) ties
     (array_position(arr, array_max(arr)) - 1).cast("int")
   }
+
+  // ------------------------------------------- merge-on-read delete files
+
+  /** Merge-on-read POSITION deletes (the Iceberg v2 / Delta deletion-
+    * vector read path): a delete file lists `(file, pos)` tombstones; a
+    * read returns every data row whose position was not tombstoned —
+    * without rewriting a single data byte. The read is ONE left-anti
+    * equi-join on `(file, pos)`; deletes are deduped first (delete
+    * files accumulate duplicates across commits by design).
+    *
+    * Scale shape: tombstones are a small fraction of the data by
+    * construction (compaction folds them in before they grow), so the
+    * delete side broadcasts — the scan never shuffles. A pathological
+    * delete pile should compact, not drop the hint. Tombstones aimed at
+    * positions that don't exist are no-ops (anti-join semantics), which
+    * is what makes delete replay idempotent.
+    */
+  def applyPositionDeletes(
+      data: DataFrame, deletes: DataFrame,
+      fileCol: String = "file", posCol: String = "pos"): DataFrame =
+    data.join(
+      broadcast(deletes.select(col(fileCol), col(posCol)).distinct()),
+      Seq(fileCol, posCol), "left_anti")
+
+  /** Merge-on-read EQUALITY deletes (Iceberg v2 sequence semantics): an
+    * equality-delete row `(key, delete_seq)` deletes every data row
+    * with the same key whose data sequence number is STRICTLY LOWER
+    * (rows re-inserted at or after the delete survive it). Folding all
+    * deletes per key to `max(delete_seq)` preserves the semantics
+    * exactly — a row survives iff `data_seq >= max(delete_seq)` — so
+    * the read is ONE key-grain aggregate over the (small) delete side
+    * broadcast-joined onto the scan; data bytes never rewritten, data
+    * never shuffled.
+    */
+  def applyEqualityDeletes(
+      data: DataFrame, deletes: DataFrame, keyCols: Seq[String],
+      dataSeqCol: String, deleteSeqCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "equality deletes need at least one key column")
+    val folded = deletes
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(col(deleteSeqCol)).as("__max_del_seq"))
+    data.join(broadcast(folded), keyCols, "left")
+      .filter(col("__max_del_seq").isNull ||
+        col(dataSeqCol) >= col("__max_del_seq"))
+      .drop("__max_del_seq")
+  }
+
+  /** The file set live at `version` from an add/remove manifest ledger
+    * `(snapshot_id, op IN ('add','remove'), file)` — snapshot isolation
+    * / time travel's metadata half: a file is live iff its LATEST
+    * ledger entry at-or-before the version is an add. One file-grain
+    * `max_by(op, snapshot_id)` aggregate over the manifest — metadata-
+    * sized (file counts, never rows), so the whole resolution is a
+    * broadcast-sized frame at any corpus scale.
+    */
+  def liveFilesAt(manifest: DataFrame, version: Long): DataFrame =
+    manifest
+      .filter(col("snapshot_id") <= version)
+      .groupBy(col("file"))
+      .agg(max_by(col("op"), col("snapshot_id")).as("__last_op"))
+      .filter(col("__last_op") === "add")
+      .select(col("file"))
+
+  /** Time-travel read: the data rows belonging to the file set live at
+    * `version` ([[liveFilesAt]]) — ONE broadcast left-semi join of the
+    * scan against the metadata-sized live-file frame; partition/file
+    * pruning at planning time is the production analogue, the semi-join
+    * is its engine-checkable twin.
+    */
+  def snapshotRead(
+      data: DataFrame, manifest: DataFrame, version: Long,
+      fileCol: String = "file"): DataFrame =
+    data.join(
+      broadcast(liveFilesAt(manifest, version)
+        .withColumnRenamed("file", fileCol)),
+      Seq(fileCol), "left_semi")
 }

@@ -207,6 +207,79 @@ private[queries] object LakeQueries {
         keyCol = "o_orderkey", seqCol = "seq", opCol = "op")
     }),
 
+    // Merge-on-read POSITION deletes (deletion-vector read): orders laid
+    // out as a synthetic 8-file lake ((key%8, key DIV 8) is a bijection,
+    // so positions are deterministic), tombstones planted for key%5==0
+    // PLUS duplicated delete entries and a whole file of no-op
+    // tombstones aimed at a nonexistent file — the read must survive
+    // both. One broadcast anti-join; the oracle replays the logical
+    // deletion predicate over raw parquet, so green proves the
+    // (file,pos) round-trip is lossless.
+    "q_pos_deletes" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val data = o.select(
+        (col("o_orderkey") % 8).as("file"),
+        expr("o_orderkey DIV 8").as("pos"),
+        col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val dels = o.filter(col("o_orderkey") % 5 === 0).select(
+        (col("o_orderkey") % 8).as("file"),
+        expr("o_orderkey DIV 8").as("pos"))
+      val noops = s.range(100)
+        .select(lit(99L).as("file"), col("id").as("pos"))
+      LakeOps.applyPositionDeletes(
+        data, dels.unionAll(dels).unionAll(noops))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_sum"))
+    }),
+
+    // Merge-on-read EQUALITY deletes with Iceberg v2 sequence-number
+    // semantics: a delete (key, seq) kills rows with data_seq STRICTLY
+    // below it, so later re-inserts survive. Two delete generations per
+    // hot key (custkey%7 at seq 2, custkey%14 additionally at seq 3)
+    // fold to max(seq) per key — one broadcast join, data never
+    // rewritten. The oracle replays the survivor predicate.
+    "q_eq_deletes" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val data = o.select(
+        col("o_custkey"), col("o_orderstatus"),
+        (col("o_orderkey") % 4).as("data_seq"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val d7 = o.filter(col("o_custkey") % 7 === 0)
+        .select(col("o_custkey")).distinct()
+        .select(col("o_custkey"), lit(2L).as("del_seq"))
+      val d14 = o.filter(col("o_custkey") % 14 === 0)
+        .select(col("o_custkey")).distinct()
+        .select(col("o_custkey"), lit(3L).as("del_seq"))
+      LakeOps.applyEqualityDeletes(
+        data, d7.unionByName(d14), Seq("o_custkey"), "data_seq", "del_seq")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_sum"))
+    }),
+
+    // Snapshot time travel over an add/remove manifest ledger: documents
+    // laid out as a 6-file lake, five snapshots exercising add, remove,
+    // and RE-ADD of a removed file. Reads at v2 / v3 / v5 resolve the
+    // live file set from max_by(op, snapshot) — a metadata-sized frame —
+    // then semi-join the scan. The oracle replays each version's live
+    // set as a literal IN list.
+    "q_time_travel" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents").select(
+        (col("doc_id") % 6).as("file"), col("doc_id"), col("n_chars"))
+      val manifest = Seq(
+        (1L, "add", 0L), (1L, "add", 1L), (1L, "add", 2L),
+        (2L, "add", 3L), (2L, "add", 4L),
+        (3L, "remove", 1L),
+        (4L, "add", 5L), (4L, "remove", 3L),
+        (5L, "add", 1L)).toDF("snapshot_id", "op", "file")
+      Seq(2L, 3L, 5L).map { v =>
+        LakeOps.snapshotRead(d, manifest, v)
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars_sum"))
+          .select(lit(v).as("version"), col("n_docs"), col("chars_sum"))
+      }.reduce(_ unionByName _)
+    }),
+
     // The streaming CDC operator's batch form: the SAME planted
     // changelog, bootstrap snapshot replayed as seq=-inf 'U' changes
     // (the standard streaming bootstrap), folded by
@@ -695,6 +768,47 @@ private[queries] object LakeQueries {
          |  CAST(shard9 AS INT) AS shard9,
          |  CAST(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END AS INT) AS moved
          |FROM d JOIN a8 USING (doc_id) JOIN a9 USING (doc_id)""".stripMargin,
+
+    // The logical deletion predicate the (file,pos) tombstones encode —
+    // green proves the synthetic layout bijection + anti-join read
+    // dropped exactly the tombstoned positions (dupes and no-op
+    // tombstones included).
+    "q_pos_deletes" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents_sum
+        |FROM orders WHERE o_orderkey % 5 <> 0
+        |GROUP BY o_orderstatus""".stripMargin,
+
+    // The survivor predicate of sequence-numbered equality deletes:
+    // custkey%14 keys need data_seq >= 3, other custkey%7 keys >= 2,
+    // everyone else survives.
+    "q_eq_deletes" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents_sum
+        |FROM orders
+        |WHERE CASE WHEN o_custkey % 14 = 0 THEN (o_orderkey % 4) >= 3
+        |           WHEN o_custkey % 7 = 0 THEN (o_orderkey % 4) >= 2
+        |           ELSE TRUE END
+        |GROUP BY o_orderstatus""".stripMargin,
+
+    // Each version's live file set replayed as a literal IN list over
+    // the doc_id%6 layout: v2 = all five initial adds, v3 drops file 1,
+    // v5 re-adds 1 and has dropped 3 (add/remove/RE-ADD all exercised).
+    "q_time_travel" ->
+      """SELECT CAST(2 AS BIGINT) AS version,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_sum
+        |FROM documents WHERE doc_id % 6 IN (0, 1, 2, 3, 4)
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
+        |  CAST(sum(n_chars) AS BIGINT)
+        |FROM documents WHERE doc_id % 6 IN (0, 2, 3, 4)
+        |UNION ALL
+        |SELECT CAST(5 AS BIGINT), CAST(count(*) AS BIGINT),
+        |  CAST(sum(n_chars) AS BIGINT)
+        |FROM documents WHERE doc_id % 6 IN (0, 1, 2, 4, 5)""".stripMargin,
 
     "q_merge_upsert" ->
       """WITH base AS (

@@ -537,4 +537,52 @@ class LakeOpsSpec extends SparkSpec {
     assert(by8.size == 8 && by8.min > 4000 / 8 / 2)
     assert(by9.size == 9 && by9.min > 4000 / 9 / 2)
   }
+
+  test("applyPositionDeletes: tombstoned rows drop; dupes and no-ops are inert") {
+    val data = (0L until 40L).map(i => (i % 4, i / 4, s"p$i"))
+      .toDF("file", "pos", "payload")
+    val dels = Seq((0L, 0L), (0L, 0L), (1L, 2L), (7L, 99L), (0L, 1000L))
+      .toDF("file", "pos") // dup of (0,0); (7,99)/(0,1000) hit nothing
+    val out = LakeOps.applyPositionDeletes(data, dels)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!out.contains((0L, 0L)) && !out.contains((1L, 2L)))
+    assert(out.size == 38) // exactly the two real tombstones dropped
+    // the delete side must plan as a broadcast join, never a shuffle
+    val plan = LakeOps.applyPositionDeletes(data, dels)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      plan)
+  }
+
+  test("applyEqualityDeletes: strictly-lower seq dies, re-insert survives") {
+    // key k1: rows at seq 1 and 3; delete at seq 3 -> seq-1 row dies,
+    // the seq-3 re-insert SURVIVES (>= semantics). k2 untouched.
+    val data = Seq(("k1", 1L, "old"), ("k1", 3L, "reinserted"),
+      ("k2", 1L, "other")).toDF("k", "data_seq", "v")
+    val dels = Seq(("k1", 2L), ("k1", 3L)).toDF("k", "del_seq")
+    val out = LakeOps.applyEqualityDeletes(
+      data, dels, Seq("k"), "data_seq", "del_seq")
+      .collect().map(r => (r.getString(0), r.getString(2))).toSet
+    assert(out == Set(("k1", "reinserted"), ("k2", "other")))
+  }
+
+  test("liveFilesAt / snapshotRead: add, remove, re-add resolve per version") {
+    val manifest = Seq(
+      (1L, "add", "a"), (1L, "add", "b"),
+      (2L, "remove", "a"),
+      (3L, "add", "c"), (3L, "add", "a")).toDF("snapshot_id", "op", "file")
+    def live(v: Long) = LakeOps.liveFilesAt(manifest, v)
+      .collect().map(_.getString(0)).toSet
+    assert(live(1L) == Set("a", "b"))
+    assert(live(2L) == Set("b"))
+    assert(live(3L) == Set("a", "b", "c"))
+    val data = Seq(("a", 1), ("a", 2), ("b", 3), ("c", 4), ("z", 5))
+      .toDF("file", "x")
+    val at2 = LakeOps.snapshotRead(data, manifest, 2L)
+      .collect().map(_.getInt(1)).toSet
+    assert(at2 == Set(3)) // only file b is live; unknown file z never reads
+    val at3 = LakeOps.snapshotRead(data, manifest, 3L)
+      .collect().map(_.getInt(1)).toSet
+    assert(at3 == Set(1, 2, 3, 4))
+  }
 }
