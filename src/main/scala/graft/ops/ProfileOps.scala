@@ -770,6 +770,102 @@ object ProfileOps {
           (col("n") * minDim).cast("double"))).as("v"))
   }
 
+  /** Exact grouped TRIMMED mean — the robust location between the mean
+    * (breaks on one outlier) and the median (throws away magnitude):
+    * drop the lowest and highest `trimPpm`·10⁻⁶ of POSITIONS per group,
+    * average the rest. Positional trimming with deterministic ties:
+    * from the distinct-value frame's exclusive prefix counts, each
+    * value contributes `min(hi, pre+cnt) − max(lo, pre)` kept copies
+    * (lo = n·trimPpm DIV 10⁶ positions cut per tail, hi = n − lo) —
+    * pure integer interval intersection, so which "copies" of a tied
+    * value are kept can't depend on any engine's sort. Exact-long kept
+    * sums, ONE closing division.
+    *
+    * Scale shape: one (group, value)-keyed map-side-combined aggregate,
+    * cumulative counts on [[ExperimentOps.prefixByValueGrouped]] (the
+    * grouped two-phase bucketed scan — no SinglePartition window), a
+    * group-sized closing aggregate.
+    *
+    * Output per group: `(group, n, n_kept, kept_sum, t_mean)`.
+    */
+  def trimmedMeanByGroup(
+      df: DataFrame, group: Column, value: Column,
+      trimPpm: Long = 100000L): DataFrame = {
+    require(trimPpm >= 0 && trimPpm < 500000L,
+      s"trim fraction must be in [0, 0.5): $trimPpm ppm")
+    val byv = df
+      .select(group.as("g"), value.cast("long").as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull)
+      .groupBy(col("g"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = ExperimentOps.prefixByValueGrouped(byv, Seq("g"), Seq("cnt"))
+    val lo = expr(s"tot_cnt * $trimPpm DIV 1000000")
+    val hi = col("tot_cnt") - lo
+    val kept = greatest(
+      least(hi, col("pre_cnt") + col("cnt")) - greatest(lo, col("pre_cnt")),
+      lit(0L))
+    cum.select(col("g"), col("v"), col("tot_cnt"), kept.as("kept"))
+      .groupBy(col("g"))
+      .agg(max(col("tot_cnt")).as("n"),
+        sum(col("kept")).as("n_kept"),
+        sum(col("kept") * col("v")).as("kept_sum"))
+      .select(col("g").as("group"), col("n"), col("n_kept"), col("kept_sum"),
+        when(col("n_kept") > 0L,
+          col("kept_sum").cast("double") / col("n_kept").cast("double"))
+          .as("t_mean"))
+  }
+
+  /** Huber M-estimator of location per group — the robust mean that,
+    * unlike trimming, DOWNWEIGHTS outliers smoothly instead of
+    * discarding a fixed fraction: IRLS with weights
+    * `w = min(1, k/|x−μ|)`, μ₀ = the exact grouped lower median,
+    * `iters` fixed refits. Everything stays on the integer grid: the
+    * weight is the ×10⁶ micro value `min(10⁶, k·10⁶ DIV |x−μ|)`
+    * (nonnegative intdiv — engine-portable), the refit
+    * `μ' = Σ(w·x) DIV Σw` is a SIGNED toward-zero division (Spark DIV
+    * semantics; oracles must sign-split), so every iterate is an exact
+    * long in value units and the whole trajectory replays bit-for-bit.
+    * Value contract: `Σ|w·x| < 2^63` — 10⁶ × cents × group rows below
+    * ~9·10⁹ at the hottest group; ANSI raises on breach.
+    *
+    * Scale shape: the median rides the grouped two-phase scan; each
+    * iteration is ONE broadcast join of the group-sized μ frame onto
+    * the rows + ONE map-side-combined aggregate — `iters+1` corpus
+    * passes, no row shuffle beyond the group aggregates.
+    *
+    * Output per group: `(group, n, mu_median, mu_huber, w_sum_micro)`.
+    */
+  def huberMeanByGroup(
+      df: DataFrame, group: Column, value: Column, k: Long,
+      iters: Int = 2): DataFrame = {
+    require(k > 0, s"huber k must be positive: $k")
+    require(iters >= 1 && iters <= 8, s"iters out of range: $iters")
+    val rows = df
+      .select(group.as("g"), value.cast("long").as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull)
+    val med = weightedMedianByGroup(rows, col("g"), col("v"), lit(1L))
+      .select(col("group").as("g"), col("w_median").as("mu0"))
+    val n = rows.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val init = med
+    val last = (1 to iters).foldLeft(init.withColumnRenamed("mu0", "mu")) {
+      case (muF, _) =>
+        val j = rows.join(broadcast(muF), "g")
+        val dev = abs(col("v") - col("mu"))
+        val w = when(dev <= k, lit(1000000L))
+          .otherwise(expr(s"${k * 1000000L}L DIV abs(v - mu)"))
+        j.select(col("g"), col("v"), w.as("w"))
+          .groupBy(col("g"))
+          .agg(sum(col("w") * col("v")).as("wx"), sum(col("w")).as("ws"))
+          .select(col("g"),
+            expr("CASE WHEN wx >= 0 THEN wx DIV ws ELSE -((-wx) DIV ws) END")
+              .as("mu"),
+            col("ws"))
+    }
+    n.join(med, "g").join(last.select(col("g"), col("mu"), col("ws")), "g")
+      .select(col("g").as("group"), col("n"), col("mu0").as("mu_median"),
+        col("mu").as("mu_huber"), col("ws").as("w_sum_micro"))
+  }
+
   /** Brown–Forsythe test (Levene with median centers) — "are the group
     * SPREADS equal?", the variance-homogeneity gate that decides whether
     * pooled-variance methods are even admissible on a segmented metric.

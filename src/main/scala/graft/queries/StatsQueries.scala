@@ -563,6 +563,28 @@ private[queries] object StatsQueries {
         round(col("l_extendedprice") * 100).cast("long"),
         col("l_quantity").cast("long"))),
 
+    // 10%-per-tail trimmed mean of price cents per return flag — the
+    // robust location between mean and median: positional trimming via
+    // integer interval intersection on the grouped two-phase prefix
+    // scan, so tied values trim identically on any engine.
+    "q_trimmed_mean" -> ((s, dir) =>
+      ProfileOps.trimmedMeanByGroup(
+        t(s, dir, "lineitem"), col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long"), 100000L)
+        .select(col("group").as("l_returnflag"), col("n"), col("n_kept"),
+          col("kept_sum"), col("t_mean"))),
+
+    // Huber M-location of balance cents per segment (k = $1000, two
+    // IRLS refits from the exact grouped median): ×10⁶ micro weights by
+    // nonneg intdiv, signed toward-zero refit division — the entire
+    // iterate trajectory replays bit-for-bit in the oracle.
+    "q_huber_mean" -> ((s, dir) =>
+      ProfileOps.huberMeanByGroup(
+        t(s, dir, "customer"), col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("long"), k = 100000L, iters = 2)
+        .select(col("group").as("c_mktsegment"), col("n"), col("mu_median"),
+          col("mu_huber"), col("w_sum_micro"))),
+
     // Kaplan-Meier life table over right-censored signup→first-purchase
     // lifetimes (entry = first event day, event = first purchase day,
     // administrative censoring at study end, day 30). Exact-long life
@@ -993,6 +1015,81 @@ private[queries] object StatsQueries {
          |  CASE WHEN least(hx_bits, hy_bits) > 0.0
          |    THEN mi_bits / least(hx_bits, hy_bits) END AS nmi
          |FROM mi_b""".stripMargin,
+
+    // Same distinct-value frame, inclusive/exclusive cumulative counts
+    // as plain grouped windows, the identical integer interval
+    // intersection per value.
+    "q_trimmed_mean" ->
+      """WITH tm_byv AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |tm_cum AS (SELECT g, v, cnt,
+        |    CAST(coalesce(sum(cnt) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS pre,
+        |    CAST(sum(cnt) OVER (PARTITION BY g) AS BIGINT) AS n
+        |  FROM tm_byv),
+        |tm_k AS (SELECT g, v, n,
+        |    greatest(least(n - (n * 100000) // 1000000, pre + cnt)
+        |      - greatest((n * 100000) // 1000000, pre),
+        |      CAST(0 AS BIGINT)) AS kept
+        |  FROM tm_cum)
+        |SELECT g AS l_returnflag, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(sum(kept) AS BIGINT) AS n_kept,
+        |  CAST(sum(kept * v) AS BIGINT) AS kept_sum,
+        |  CASE WHEN sum(kept) > 0
+        |    THEN CAST(sum(kept * v) AS DOUBLE) / CAST(sum(kept) AS DOUBLE)
+        |  END AS t_mean
+        |FROM tm_k GROUP BY g""".stripMargin,
+
+    // The IRLS trajectory replayed literally: exact grouped lower
+    // median, two refits with the ×10⁶ intdiv weights and the
+    // SIGN-SPLIT toward-zero refit division.
+    "q_huber_mean" ->
+      """WITH hb_rows AS (
+        |  SELECT c_mktsegment AS g,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS v
+        |  FROM customer WHERE c_acctbal IS NOT NULL),
+        |hb_byv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM hb_rows GROUP BY 1, 2),
+        |hb_cum AS (SELECT g, v,
+        |    CAST(sum(cnt) OVER (PARTITION BY g ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+        |    CAST(sum(cnt) OVER (PARTITION BY g) AS BIGINT) AS tw
+        |  FROM hb_byv),
+        |hb_med AS (SELECT g, min(v) AS mu0
+        |  FROM hb_cum WHERE 2 * cw >= tw GROUP BY g),
+        |hb_n AS (SELECT g, CAST(count(*) AS BIGINT) AS n
+        |  FROM hb_rows GROUP BY g),
+        |hb_w1 AS (SELECT r.g, r.v,
+        |    CASE WHEN abs(r.v - m.mu0) <= 100000 THEN 1000000
+        |         ELSE 100000000000 // abs(r.v - m.mu0) END AS w
+        |  FROM hb_rows r JOIN hb_med m ON r.g = m.g),
+        |hb_i1 AS (SELECT g,
+        |    CAST(sum(w * v) AS BIGINT) AS wx, CAST(sum(w) AS BIGINT) AS ws
+        |  FROM hb_w1 GROUP BY g),
+        |hb_m1 AS (SELECT g,
+        |    CASE WHEN wx >= 0 THEN wx // ws ELSE -((-wx) // ws) END AS mu
+        |  FROM hb_i1),
+        |hb_w2 AS (SELECT r.g, r.v,
+        |    CASE WHEN abs(r.v - m.mu) <= 100000 THEN 1000000
+        |         ELSE 100000000000 // abs(r.v - m.mu) END AS w
+        |  FROM hb_rows r JOIN hb_m1 m ON r.g = m.g),
+        |hb_i2 AS (SELECT g,
+        |    CAST(sum(w * v) AS BIGINT) AS wx, CAST(sum(w) AS BIGINT) AS ws
+        |  FROM hb_w2 GROUP BY g),
+        |hb_m2 AS (SELECT g,
+        |    CAST(CASE WHEN wx >= 0 THEN wx // ws
+        |         ELSE -((-wx) // ws) END AS BIGINT) AS mu,
+        |    ws
+        |  FROM hb_i2)
+        |SELECT n.g AS c_mktsegment, n.n, med.mu0 AS mu_median,
+        |  m2.mu AS mu_huber, m2.ws AS w_sum_micro
+        |FROM hb_n n
+        |JOIN hb_med med ON n.g = med.g
+        |JOIN hb_m2 m2 ON n.g = m2.g""".stripMargin,
 
     // Same +1 Laplace cells and smoothed totals; WOE through the
     // fixed-point log2 CTEs, the IV integer fold over the shared

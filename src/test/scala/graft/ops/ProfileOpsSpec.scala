@@ -517,6 +517,63 @@ class ProfileOpsSpec extends SparkSpec {
     assert(out("c0").getAs[Double]("iv_bits") > 0.5)
   }
 
+  test("trimmedMeanByGroup == the sorted-slice replica; outlier-proof") {
+    // g0 clean; g1 = same values plus two wild outliers per tail
+    val clean = (1 to 100).map(i => ("g0", (i * 37L) % 211L))
+    val dirty = (1 to 100).map(i => ("g1", (i * 37L) % 211L)) ++
+      Seq(("g1", 100000L), ("g1", 99999L), ("g1", -100000L), ("g1", -99999L))
+    val df = (clean ++ dirty).toDF("g", "v")
+    val out = ProfileOps.trimmedMeanByGroup(df, col("g"), col("v"), 100000L)
+      .collect().map(r => r.getAs[String]("group") -> r).toMap
+    def replica(xs: Seq[Long]) = {
+      val n = xs.length.toLong
+      val lo = n * 100000L / 1000000L
+      val kept = xs.sorted.slice(lo.toInt, (n - lo).toInt)
+      (n, kept.length.toLong, kept.sum,
+        kept.sum.toDouble / kept.length.toDouble)
+    }
+    Seq("g0" -> clean, "g1" -> dirty).foreach { case (g, rows) =>
+      val (n, nk, ks, tm) = replica(rows.map(_._2))
+      assert(out(g).getAs[Long]("n") == n, s"n $g")
+      assert(out(g).getAs[Long]("n_kept") == nk, s"n_kept $g")
+      assert(out(g).getAs[Long]("kept_sum") == ks, s"kept_sum $g")
+      assert(out(g).getAs[Double]("t_mean") == tm, s"t_mean $g")
+    }
+    // 10% trim eats all four planted outliers: the two means agree
+    assert(math.abs(out("g0").getAs[Double]("t_mean") -
+      out("g1").getAs[Double]("t_mean")) < 3.0)
+  }
+
+  test("huberMeanByGroup == the scalar IRLS replay; outliers downweighted") {
+    val base = (1 to 80).map(i => ("g", 1000L + (i * 13L) % 101L))
+    val rows = base ++ Seq(("g", 1000000L), ("g", -1000000L), ("g", 900000L))
+    val df = rows.toDF("g", "v")
+    val k = 200L
+    val r = ProfileOps.huberMeanByGroup(df, col("g"), col("v"), k, iters = 2)
+      .collect().head
+    def lowerMedian(xs: Seq[Long]): Long = xs.sorted.apply((xs.length + 1) / 2 - 1)
+    def refit(xs: Seq[Long], mu: Long): (Long, Long) = {
+      val ws = xs.map { x =>
+        val dev = math.abs(x - mu)
+        if (dev <= k) 1000000L else (k * 1000000L) / dev
+      }
+      val wx = xs.zip(ws).map { case (x, w) => w * x }.sum
+      val sw = ws.sum
+      val m = if (wx >= 0) wx / sw else -((-wx) / sw)
+      (m, sw)
+    }
+    val xs = rows.map(_._2)
+    val mu0 = lowerMedian(xs)
+    val (mu1, _) = refit(xs, mu0)
+    val (mu2, sw2) = refit(xs, mu1)
+    assert(r.getAs[Long]("n") == xs.length.toLong)
+    assert(r.getAs[Long]("mu_median") == mu0)
+    assert(r.getAs[Long]("mu_huber") == mu2)
+    assert(r.getAs[Long]("w_sum_micro") == sw2)
+    // the three million-scale outliers barely move the Huber location
+    assert(math.abs(r.getAs[Long]("mu_huber") - mu0) < 60L)
+  }
+
   test("brownForsythe == anovaF over scalar median deviations") {
     val groups = Seq("g0", "g1")
     // g1 has ~4x the spread of g0 around its median
