@@ -38,15 +38,21 @@ object SearchOps {
   /** Top-k documents for `terms` by rational-idf BM25.
     * Output: (doc_id, score), score descending, doc_id ascending on ties.
     */
-  def bm25TopK(
+  /** Rational-idf BM25 score of `terms` for EVERY document — the
+    * scoring half of [[bm25TopK]], exposed for consumers that rerank or
+    * mix rather than cut (RM3, hybrid fusion). One corpus pass + a
+    * 1-row stats broadcast; the per-doc score is a fixed left-assoc
+    * chain over exact counts, so it is engine-identical.
+    * Output: (doc_id, score) for all docs (zero-match docs score 0).
+    */
+  def bm25Scores(
       docs: DataFrame,
       idCol: Column,
       textCol: Column,
       terms: Seq[String],
-      k: Int,
       k1: Double = 1.25,
       b: Double = 0.75): DataFrame = {
-    require(terms.nonEmpty, "bm25TopK needs at least one term")
+    require(terms.nonEmpty, "bm25 needs at least one term")
     val tfCols = terms.indices.map(i => s"__tf$i")
     val base = docs
       .select(idCol.as("doc_id"), TextOps.tokens(lower(textCol)).as("__toks"))
@@ -70,8 +76,77 @@ object SearchOps {
     }.reduce(_ + _) // fixed left-assoc order: same sum on every engine
     base.crossJoin(broadcast(stats))
       .select(col("doc_id"), score.as("score"))
+  }
+
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      terms: Seq[String],
+      k: Int,
+      k1: Double = 1.25,
+      b: Double = 0.75): DataFrame =
+    bm25Scores(docs, idCol, textCol, terms, k1, b)
       .filter(col("score") > 0)
       .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+
+  /** RM3-style pseudo-relevance-feedback query expansion, fully
+    * join-based (NO driver collect — the expansion terms stay a frame):
+    *
+    *   1. feedback docs = [[bm25TopK]] top `fbDocs` for the literal
+    *      query terms;
+    *   2. expansion terms = top `fbTerms` feedback-corpus tokens by
+    *      occurrence count (len ≥ 3, query terms excluded; ties break
+    *      on the token) — a feedback-bounded frame;
+    *   3. each term's RM3 weight is its exact ×10⁶ share of the
+    *      selected feedback mass (`tf·10⁶ DIV Σtf` — nonneg intdiv);
+    *   4. final score = floor(orig_bm25·10⁶) + Σ occurrences' weights —
+    *      BOTH exact longs (the bm25 double is a fixed engine-identical
+    *      chain, its floor exact; the expansion side never leaves the
+    *      integer grid, so the cross-term sum is order-proof).
+    *
+    * Scale shape: two corpus passes (scoring + the token explode); the
+    * feedback doc list, term list, and weights are all ≤fbDocs/fbTerms
+    * rows and BROADCAST onto the explode — no row shuffle beyond the
+    * per-doc aggregates. At 100 TB the explode rides the (amortized)
+    * postings table instead of re-tokenizing.
+    *
+    * Output: top `k` by (final_micro desc, doc_id):
+    * `(doc_id, orig_micro, exp_micro, final_micro)`.
+    */
+  def rm3Expand(
+      docs: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      terms: Seq[String],
+      fbDocs: Int = 10,
+      fbTerms: Int = 5,
+      k: Int = 20): DataFrame = {
+    require(fbDocs > 0 && fbTerms > 0 && k > 0, "rm3 sizes must be positive")
+    val fb = bm25TopK(docs, idCol, textCol, terms, fbDocs)
+      .select(col("doc_id"))
+    val toks = docs.select(idCol.as("doc_id"),
+      explode(TextOps.tokens(lower(textCol))).as("tk"))
+    val fbTf = toks.join(broadcast(fb), "doc_id")
+      .filter(length(col("tk")) >= 3 && !col("tk").isInCollection(terms))
+      .groupBy(col("tk")).agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("tk")).limit(fbTerms)
+    val wt = fbTf
+      .withColumn("tot", sum(col("tf")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col("tk"), expr("tf * 1000000 DIV tot").as("w_micro"))
+    val expScore = toks.join(broadcast(wt), "tk")
+      .groupBy(col("doc_id")).agg(sum(col("w_micro")).as("exp_micro"))
+    val orig = bm25Scores(docs, idCol, textCol, terms)
+      .select(col("doc_id"),
+        floor(col("score") * lit(1000000.0)).cast("long").as("orig_micro"))
+    orig.join(expScore, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("orig_micro"),
+        coalesce(col("exp_micro"), lit(0L)).as("exp_micro"))
+      .withColumn("final_micro", col("orig_micro") + col("exp_micro"))
+      .filter(col("final_micro") > 0L)
+      .orderBy(col("final_micro").desc, col("doc_id"))
       .limit(k)
   }
 

@@ -29,6 +29,51 @@ object TextOps {
 
   def charCount(text: Column): Column = length(text)
 
+  /** Syllable proxy: vowel-GROUP count over the lowercased text (each
+    * maximal `[aeiou]+` run ≈ one syllable nucleus — the standard cheap
+    * estimator). Counted portably as the length delta between
+    * collapsing runs to one char and deleting them — no dialect-
+    * divergent regex counting construct. Row-local, codegen'd.
+    */
+  def vowelGroups(text: Column): Column =
+    (length(regexp_replace(lower(text), "[aeiou]+", "#")) -
+      length(regexp_replace(lower(text), "[aeiou]+", ""))).cast("long")
+
+  /** Sentence-terminator runs (`[.!?]+` counted like [[vowelGroups]]) —
+    * "..." and "?!" end ONE sentence. Row-local, codegen'd.
+    */
+  def sentenceCount(text: Column): Column =
+    (length(regexp_replace(text, "[.!?]+", "#")) -
+      length(regexp_replace(text, "[.!?]+", ""))).cast("long")
+
+  /** Flesch reading ease + Flesch–Kincaid grade per document — the
+    * readability gate a curation pipeline uses alongside
+    * [[qualityScore]] (quality says "is it text", readability says "for
+    * whom"). Inputs are the three exact counts (words = whitespace
+    * tokens, sentences = terminator runs clamped to ≥1 so headless text
+    * is one sentence, syllables = [[vowelGroups]]); both scores close
+    * as fixed IEEE chains over the exact longs with the published
+    * literal coefficients, so they replay bit-for-bit. Zero-word docs
+    * yield NULL scores. Row-local end to end — at 100 TB this is its
+    * own scan, nothing else.
+    *
+    * Output: `(id, n_words, n_sentences, n_syllables, flesch, fk_grade)`.
+    */
+  def readability(docs: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val out = docs.select(idCol.as("id"),
+      tokenCount(textCol).cast("long").as("n_words"),
+      greatest(sentenceCount(textCol), lit(1L)).as("n_sentences"),
+      vowelGroups(textCol).as("n_syllables"))
+    val wps = col("n_words").cast("double") / col("n_sentences").cast("double")
+    val spw = col("n_syllables").cast("double") / col("n_words").cast("double")
+    out.select(col("id"), col("n_words"), col("n_sentences"),
+      col("n_syllables"),
+      when(col("n_words") > 0L,
+        lit(206.835) - lit(1.015) * wps - lit(84.6) * spw).as("flesch"),
+      when(col("n_words") > 0L,
+        lit(0.39) * wps + lit(11.8) * spw - lit(15.59)).as("fk_grade"))
+  }
+
   /** Canonical text normalization (the pre-dedup/pre-tokenize cleanup
     * pass): lowercase, strip every character outside [a-z0-9] and
     * whitespace, collapse whitespace runs to single spaces, trim. Pure
@@ -535,6 +580,12 @@ object TextOps {
     def tokens(c: String): String =
       s"list_filter(regexp_split_to_array($c, '\\s+'), t -> len(t) > 0)"
     def tokenCount(c: String): String = s"len(${tokens(c)})"
+    def vowelGroups(c: String): String =
+      s"length(regexp_replace(lower($c), '[aeiou]+', '#', 'g')) - " +
+        s"length(regexp_replace(lower($c), '[aeiou]+', '', 'g'))"
+    def sentenceCount(c: String): String =
+      s"length(regexp_replace($c, '[.!?]+', '#', 'g')) - " +
+        s"length(regexp_replace($c, '[.!?]+', '', 'g'))"
     def punctCount(c: String): String =
       s"length($c) - length(regexp_replace($c, '[^a-zA-Z0-9\\s]', '', 'g'))"
     def tokenEstimate(c: String): String =

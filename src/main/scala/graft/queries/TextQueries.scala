@@ -228,6 +228,25 @@ private[queries] object TextQueries {
         t(s, dir, "documents"), col("doc_id"), col("text"),
         Seq("vector", "customer", "stream"), k = 20)),
 
+    // RM3 pseudo-relevance feedback on the same query: expansion terms
+    // mined from the BM25 top-10 (a feedback-bounded FRAME, no driver
+    // collect), ×10⁶ RM3 weights by exact intdiv share, final ranking
+    // on the all-integer orig+expansion micro score.
+    "q_rm3_expand" -> ((s, dir) =>
+      SearchOps.rm3Expand(
+        t(s, dir, "documents"), col("doc_id"), col("text"),
+        Seq("vector", "customer", "stream"),
+        fbDocs = 10, fbTerms = 5, k = 20)),
+
+    // Flesch / Flesch-Kincaid readability per document from three exact
+    // counts (whitespace words, terminator-run sentences, vowel-group
+    // syllables) — row-local codegen'd scan, fixed literal chains.
+    "q_readability" -> ((s, dir) =>
+      TextOps.readability(
+        t(s, dir, "documents"), col("doc_id"), col("text"))
+        .select(col("id").as("doc_id"), col("n_words"), col("n_sentences"),
+          col("n_syllables"), col("flesch"), col("fk_grade"))),
+
     // BPE vocabulary induction, round one: adjacent character-pair counts
     // over corpus words (explode + groupBy; further rounds iterate on the
     // small distinct-word table — PrepOps.bpeTrain, spec-tested).
@@ -722,6 +741,87 @@ private[queries] object TextQueries {
          |  FROM d, s)
          |WHERE score > 0
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // The full BM25 chain for every doc (floored to the ×10⁶ grid),
+    // feedback top-10, the top-5 expansion terms and their intdiv
+    // weights, the occurrence-join expansion sum, the integer final
+    // ranking — stage for stage the engine's plan.
+    "q_rm3_expand" ->
+      s"""WITH rm_d AS (
+         |  SELECT doc_id,
+         |         CAST(len(toks) AS DOUBLE) AS dl,
+         |         CAST(len(list_filter(toks, t -> t = 'vector')) AS DOUBLE) AS tf0,
+         |         CAST(len(list_filter(toks, t -> t = 'customer')) AS DOUBLE) AS tf1,
+         |         CAST(len(list_filter(toks, t -> t = 'stream')) AS DOUBLE) AS tf2
+         |  FROM (SELECT doc_id, ${S.tokens("lower(text)")} AS toks FROM documents)),
+         |rm_s AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) AS sumdl,
+         |         CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+         |         CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+         |         CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+         |  FROM rm_d),
+         |rm_sc AS (
+         |  SELECT doc_id,
+         |         ((n - df0 + 0.5) / (df0 + 0.5)) * (tf0 * 2.25) / (tf0 + 1.25 * (0.25 + 0.75 * dl / (sumdl / n)))
+         |       + ((n - df1 + 0.5) / (df1 + 0.5)) * (tf1 * 2.25) / (tf1 + 1.25 * (0.25 + 0.75 * dl / (sumdl / n)))
+         |       + ((n - df2 + 0.5) / (df2 + 0.5)) * (tf2 * 2.25) / (tf2 + 1.25 * (0.25 + 0.75 * dl / (sumdl / n)))
+         |         AS score
+         |  FROM rm_d, rm_s),
+         |rm_orig AS (
+         |  SELECT doc_id, CAST(floor(score * 1000000.0) AS BIGINT)
+         |    AS orig_micro
+         |  FROM rm_sc),
+         |rm_fb AS (
+         |  SELECT doc_id FROM rm_sc WHERE score > 0
+         |  ORDER BY score DESC, doc_id LIMIT 10),
+         |rm_occ AS (
+         |  SELECT doc_id, unnest(${S.tokens("lower(text)")}) AS tk
+         |  FROM documents),
+         |rm_tf AS (
+         |  SELECT tk, CAST(count(*) AS BIGINT) AS tf
+         |  FROM rm_occ JOIN rm_fb USING (doc_id)
+         |  WHERE length(tk) >= 3
+         |    AND tk NOT IN ('vector', 'customer', 'stream')
+         |  GROUP BY tk ORDER BY tf DESC, tk LIMIT 5),
+         |rm_wt AS (
+         |  SELECT tk, tf * 1000000 // CAST(sum(tf) OVER () AS BIGINT)
+         |    AS w_micro
+         |  FROM rm_tf),
+         |rm_exp AS (
+         |  SELECT doc_id, CAST(sum(w_micro) AS BIGINT) AS exp_micro
+         |  FROM rm_occ JOIN rm_wt USING (tk)
+         |  GROUP BY doc_id)
+         |SELECT o.doc_id, o.orig_micro,
+         |  CAST(coalesce(e.exp_micro, 0) AS BIGINT) AS exp_micro,
+         |  CAST(o.orig_micro + coalesce(e.exp_micro, 0) AS BIGINT)
+         |    AS final_micro
+         |FROM rm_orig o LEFT JOIN rm_exp e ON o.doc_id = e.doc_id
+         |WHERE o.orig_micro + coalesce(e.exp_micro, 0) > 0
+         |ORDER BY final_micro DESC, o.doc_id LIMIT 20""".stripMargin,
+
+    // The three exact counts and the identical literal chains (dlit'd
+    // coefficients, left-assoc order).
+    "q_readability" -> {
+      val f1 = dlit(206.835); val f2 = dlit(1.015); val f3 = dlit(84.6)
+      val g1 = dlit(0.39); val g2 = dlit(11.8); val g3 = dlit(15.59)
+      s"""WITH rd AS (
+         |  SELECT doc_id,
+         |    CAST(${S.tokenCount("text")} AS BIGINT) AS n_words,
+         |    CAST(greatest(${S.sentenceCount("text")}, 1) AS BIGINT)
+         |      AS n_sentences,
+         |    CAST(${S.vowelGroups("text")} AS BIGINT) AS n_syllables
+         |  FROM documents),
+         |rr AS (SELECT *,
+         |    CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE) AS wps,
+         |    CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE) AS spw
+         |  FROM rd)
+         |SELECT doc_id, n_words, n_sentences, n_syllables,
+         |  CASE WHEN n_words > 0
+         |    THEN $f1 - $f2 * wps - $f3 * spw END AS flesch,
+         |  CASE WHEN n_words > 0
+         |    THEN $g1 * wps + $g2 * spw - $g3 END AS fk_grade
+         |FROM rr""".stripMargin
+    },
 
     "q_vocab_topk" ->
       s"""SELECT token, CAST(count(*) AS BIGINT) AS tf,

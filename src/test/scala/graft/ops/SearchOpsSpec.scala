@@ -82,4 +82,34 @@ class SearchOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(one == Set((1L, 3L), (3L, 3L), (4L, 3L), (5L, 4L)))
   }
+
+  test("rm3Expand: feedback terms mined, weighted, and reach new docs") {
+    // docs 1-3 match the query and all talk about 'coffee'; doc 10
+    // never mentions the query but is pure 'coffee' — RM3 must pull it
+    // into the final ranking through the expansion term.
+    val docs = Seq(
+      (1L, "query term coffee coffee beans"),
+      (2L, "query term coffee roast"),
+      (3L, "query coffee beans beans"),
+      (10L, "coffee coffee coffee beans beans"),
+      (11L, "nothing relevant at all here"),
+      (12L, "an unrelated document entirely")).toDF("doc_id", "text")
+    val out = SearchOps.rm3Expand(docs, col("doc_id"), col("text"),
+      Seq("query"), fbDocs = 3, fbTerms = 2, k = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("orig_micro"), r.getAs[Long]("exp_micro"))).toMap
+    // expansion terms are coffee (tf 4) and beans (tf 3) from docs 1-3;
+    // weights 4*1e6/7 and 3*1e6/7
+    val wCoffee = 4L * 1000000L / 7L
+    val wBeans = 3L * 1000000L / 7L
+    assert(out.contains(10L), s"expansion must reach doc 10: $out")
+    assert(out(10L)._1 == 0L) // no query term
+    assert(out(10L)._2 == 3L * wCoffee + 2L * wBeans)
+    assert(out(1L)._2 == 2L * wCoffee + 1L * wBeans)
+    // never-relevant docs stay out
+    assert(!out.contains(11L) && !out.contains(12L))
+    // 'term' (len 4, tf 2) lost the tf tie-ranking to beans (tf 3);
+    // the query term itself was excluded from expansion
+    assert(out(2L)._2 == 1L * wCoffee + 0L)
+  }
 }

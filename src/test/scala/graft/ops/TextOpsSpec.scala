@@ -275,4 +275,27 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(got("shared")._3.toDouble) <
       math.min(got("apple")._3, got("banana")._3).toDouble / 4)
   }
+
+  test("readability: counts and both scores match the hand fixture") {
+    val docs = Seq(
+      // 6 words, 2 sentences ('...' is one terminator run), syllables:
+      // the(1) cat(1) sat(1) down(1) here(2:e-e) now(1) = 7 vowel groups
+      (1L, "The cat sat down. Here now..."),
+      (2L, "xyz"), // no vowels, no terminator: 1 word, 1 sentence, 0 syl
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextOps.readability(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_words") == 6L)
+    assert(r1.getAs[Long]("n_sentences") == 2L)
+    assert(r1.getAs[Long]("n_syllables") == 7L)
+    val wps = 6.0 / 2.0; val spw = 7.0 / 6.0
+    assert(r1.getAs[Double]("flesch") == 206.835 - 1.015 * wps - 84.6 * spw)
+    assert(r1.getAs[Double]("fk_grade") == 0.39 * wps + 11.8 * spw - 15.59)
+    val r2 = out(2L)
+    assert(r2.getAs[Long]("n_sentences") == 1L) // clamped, not 0
+    assert(r2.getAs[Long]("n_syllables") == 0L)
+    // empty text: zero words -> NULL scores
+    assert(out(3L).isNullAt(out(3L).fieldIndex("flesch")))
+  }
 }
