@@ -637,6 +637,52 @@ object ExperimentOps {
           (lit(2L) * col("n_pos") * nNeg).cast("double")).as("auc"))
   }
 
+  // ------------------------------------------------ calibration (ECE)
+
+  /** Reliability bins + expected calibration error for a ×10⁶ integer
+    * score against a boolean label — the readout that catches what
+    * [[rocAuc]] can't: a model can rank perfectly and still lie about
+    * its confidence. Ten equal-width score bins; per bin the confidence
+    * (mean score) and accuracy (positive rate) close as exact intdivs,
+    * and the ECE folds WITHOUT any per-bin division: with
+    * `acc−conf = (n_pos·10⁶ − Σscore)/(n·10⁶)` and weight `n/N`, the
+    * weighted |gap| telescopes to
+    *
+    *   ECE = Σ_b |n_pos_b·10⁶ − Σscore_b| / N / 10⁶
+    *
+    * — an exact-long numerator summed order-free, ONE closing division
+    * chain. Scores are clamped to [0, 10⁶] first (a margin squash is
+    * the caller's contract).
+    *
+    * Scale shape: ONE bin-keyed map-side-combined aggregate (≤11 bins),
+    * the ECE attached by a window over that bounded frame.
+    *
+    * Output per bin: `(bin, n, n_pos, conf_micro, acc_micro, dev_abs,
+    * ece)` — `ece` repeated on every row.
+    */
+  def calibrationEce(
+      df: DataFrame, label: Column, scoreMicro: Column): DataFrame = {
+    val v = df.select(label.cast("boolean").as("y"),
+      greatest(lit(0L), least(lit(1000000L), scoreMicro.cast("long")))
+        .as("s"))
+      .filter(col("y").isNotNull && col("s").isNotNull)
+    val bins = v.groupBy(expr("s DIV 100000").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("y").cast("long")).as("n_pos"),
+        sum(col("s")).as("ssm"))
+    val wAll = Window.partitionBy()
+    bins
+      .withColumn("dev_abs", abs(col("n_pos") * 1000000L - col("ssm")))
+      .withColumn("n_tot", sum(col("n")).over(wAll))
+      .withColumn("dev_tot", sum(col("dev_abs")).over(wAll))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("ssm DIV n").as("conf_micro"),
+        expr("(n_pos * 1000000) DIV n").as("acc_micro"),
+        col("dev_abs"),
+        (col("dev_tot").cast("double") / col("n_tot").cast("double") /
+          lit(1000000.0)).as("ece"))
+  }
+
   // ----------------------------------------------------- one-way ANOVA F
 
   /** One-way ANOVA F over a LITERAL group list — the k-arm extension of

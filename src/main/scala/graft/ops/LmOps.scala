@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Character-n-gram language-model quality scoring — the CCNet-style
@@ -85,4 +86,55 @@ object LmOps {
         (length(col("__t")) - 1).cast("long").as("n_bigrams"),
         graft.expr.WeightExprs.charBigramWeightSum(col("__t"), model).as("lm_sum_ppm"))
       .withColumn("lm_avg_ppm", expr("lm_sum_ppm div n_bigrams"))
+
+  /** Interpolated Kneser-Ney WORD-bigram probabilities — the smoothing
+    * every n-gram LM actually ships (the char-bigram PPM above is a
+    * quality filter; this is the LM): absolute discount D = 3/4 held as
+    * an exact rational, continuation counts instead of raw unigrams for
+    * the backoff mass. Clearing denominators,
+    *
+    *   P_KN(w|v) = [max(4·c(vw) − 3, 0)·N₁₊(··) + 3·N₁₊(v·)·N₁₊(·w)]
+    *               / (4·c(v)·N₁₊(··))
+    *
+    * — exact-long numerator and denominator, ONE closing division, so
+    * the table replays bit-for-bit. Value contract:
+    * `4·c(v)·N₁₊(··) < 2^63` (context count × distinct-bigram count).
+    *
+    * Scale shape: one bigram explode + ONE (v,w)-keyed map-side-combined
+    * aggregate; c(v) / N₁₊(v·) / N₁₊(·w) are windows PARTITIONED by v
+    * or w over the distinct-bigram frame (never SinglePartition);
+    * N₁₊(··) is a 1-row broadcast; top-k closes as
+    * TakeOrderedAndProject. Output: the `k` highest-count bigrams,
+    * `(v, w, c_vw, c_v, n1p_v, n1p_w, n1pp, p_kn)` ordered by
+    * (c_vw desc, v, w).
+    */
+  def knBigramTable(docs: DataFrame, text: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val toks = TextOps.tokens(lower(text))
+    val pairs = docs
+      .select(toks.as("__toks"))
+      .select(posexplode(slice(col("__toks"), lit(1),
+        greatest(size(col("__toks")) - 1, lit(0)))).as(Seq("__i", "v")),
+        col("__toks"))
+      .select(col("v"),
+        element_at(col("__toks"), col("__i") + 2).as("w"))
+    val big = pairs.groupBy(col("v"), col("w"))
+      .agg(count(lit(1)).as("c_vw"))
+    val wV = Window.partitionBy(col("v"))
+    val wW = Window.partitionBy(col("w"))
+    val m = big
+      .withColumn("c_v", sum(col("c_vw")).over(wV))
+      .withColumn("n1p_v", count(lit(1)).over(wV))
+      .withColumn("n1p_w", count(lit(1)).over(wW))
+    val tot = big.agg(count(lit(1)).as("n1pp"))
+    val num = greatest(lit(4L) * col("c_vw") - 3L, lit(0L)) * col("n1pp") +
+      lit(3L) * col("n1p_v") * col("n1p_w")
+    val den = lit(4L) * col("c_v") * col("n1pp")
+    m.crossJoin(broadcast(tot))
+      .select(col("v"), col("w"), col("c_vw"), col("c_v"),
+        col("n1p_v"), col("n1p_w"), col("n1pp"),
+        (num.cast("double") / den.cast("double")).as("p_kn"))
+      .orderBy(col("c_vw").desc, col("v"), col("w"))
+      .limit(k)
+  }
 }

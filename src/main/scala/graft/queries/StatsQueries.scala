@@ -474,6 +474,17 @@ private[queries] object StatsQueries {
         col("lang") === "en",
         TextOps.classifierMargin(col("text"), qualityLexicon))),
 
+    // Reliability bins + expected calibration error of the same lexicon
+    // classifier (margin squashed onto the ×10⁶ grid) — ranking can be
+    // perfect (q_auc) while confidence lies; the ECE numerator
+    // telescopes to an exact-long sum, one closing division.
+    "q_calibration_ece" -> ((s, dir) =>
+      ExperimentOps.calibrationEce(
+        t(s, dir, "documents").filter(col("lang").isNotNull),
+        col("lang") === "en",
+        TextOps.classifierMargin(col("text"), qualityLexicon) * 100000L +
+          500000L)),
+
     // Welch's unequal-variance t on the same BUILDING/MACHINERY balance
     // fixture as q_mann_whitney — the parametric continuous-metric
     // complement: exact-long (n, Σx, Σx²) per arm, variance closed as
@@ -1815,6 +1826,41 @@ private[queries] object StatsQueries {
         |  CASE WHEN t2 IS NOT NULL THEN
         |    CAST(t2 >= CAST('3.8416' AS DOUBLE) AS INT) END AS significant
         |FROM z""".stripMargin,
+
+    // Same margin CTEs as q_auc, the identical clamp/bin/telescoped-ECE
+    // integer chain.
+    "q_calibration_ece" -> {
+      val vals = qualityLexicon.toSeq.sortBy(_._1)
+        .map { case (k, v2) => s"('$k', CAST($v2 AS BIGINT))" }.mkString(", ")
+      s"""WITH w(tok, wt) AS (VALUES $vals),
+         |tk AS (SELECT doc_id, unnest(${S.tokens("lower(text)")}) AS tok
+         |       FROM documents),
+         |mm AS (SELECT doc_id, CAST(COALESCE(sum(wt), 0) AS BIGINT)
+         |         AS margin
+         |       FROM tk LEFT JOIN w USING (tok) GROUP BY doc_id),
+         |ce_v AS (SELECT d.lang = 'en' AS y,
+         |    greatest(CAST(0 AS BIGINT), least(CAST(1000000 AS BIGINT),
+         |      COALESCE(mm.margin, 0) * 100000 + 500000)) AS s
+         |  FROM documents d LEFT JOIN mm USING (doc_id)
+         |  WHERE d.lang IS NOT NULL AND d.text IS NOT NULL),
+         |ce_b AS (SELECT s // 100000 AS bin, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |    CAST(sum(s) AS BIGINT) AS ssm
+         |  FROM ce_v GROUP BY 1),
+         |ce_f AS (SELECT *,
+         |    abs(n_pos * 1000000 - ssm) AS dev_abs,
+         |    CAST(sum(n) OVER () AS BIGINT) AS n_tot,
+         |    CAST(sum(abs(n_pos * 1000000 - ssm)) OVER () AS BIGINT)
+         |      AS dev_tot
+         |  FROM ce_b)
+         |SELECT CAST(bin AS BIGINT) AS bin, n, n_pos,
+         |  CAST(ssm // n AS BIGINT) AS conf_micro,
+         |  CAST((n_pos * 1000000) // n AS BIGINT) AS acc_micro,
+         |  CAST(dev_abs AS BIGINT) AS dev_abs,
+         |  CAST(dev_tot AS DOUBLE) / CAST(n_tot AS DOUBLE) / 1000000.0
+         |    AS ece
+         |FROM ce_f""".stripMargin
+    },
 
     // The engine's k-arm moment pivot replayed with the identical fixed
     // left-assoc SS chains (anovaFSql builds both sides from the same

@@ -238,6 +238,12 @@ private[queries] object TextQueries {
         Seq("vector", "customer", "stream"),
         fbDocs = 10, fbTerms = 5, k = 20)),
 
+    // Interpolated Kneser-Ney word-bigram table (D = 3/4 exact), top 50
+    // bigrams: continuation-count backoff cleared to one exact rational
+    // per bigram — the smoothing an n-gram LM ships, fully oracled.
+    "q_kneser_ney" -> ((s, dir) =>
+      LmOps.knBigramTable(t(s, dir, "documents"), col("text"), 50)),
+
     // Flesch / Flesch-Kincaid readability per document from three exact
     // counts (whitespace words, terminator-run sentences, vowel-group
     // syllables) — row-local codegen'd scan, fixed literal chains.
@@ -741,6 +747,29 @@ private[queries] object TextQueries {
          |  FROM d, s)
          |WHERE score > 0
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // Same bigram pairing (positional unnest), the same partitioned
+    // margins and 1-row N₁₊(··), the identical cleared rational.
+    "q_kneser_ney" ->
+      s"""WITH kn_t AS (
+         |  SELECT ${S.tokens("lower(text)")} AS w FROM documents),
+         |kn_p AS (
+         |  SELECT w[i] AS v, w[i + 1] AS w2
+         |  FROM kn_t, LATERAL unnest(range(1, len(w))) r(i)),
+         |kn_b AS (SELECT v, w2 AS w, CAST(count(*) AS BIGINT) AS c_vw
+         |  FROM kn_p GROUP BY 1, 2),
+         |kn_m AS (SELECT v, w, c_vw,
+         |    CAST(sum(c_vw) OVER (PARTITION BY v) AS BIGINT) AS c_v,
+         |    CAST(count(*) OVER (PARTITION BY v) AS BIGINT) AS n1p_v,
+         |    CAST(count(*) OVER (PARTITION BY w) AS BIGINT) AS n1p_w
+         |  FROM kn_b),
+         |kn_tot AS (SELECT CAST(count(*) AS BIGINT) AS n1pp FROM kn_b)
+         |SELECT v, w, c_vw, c_v, n1p_v, n1p_w, n1pp,
+         |  CAST(greatest(4 * c_vw - 3, 0) * n1pp + 3 * n1p_v * n1p_w
+         |      AS DOUBLE)
+         |    / CAST(4 * c_v * n1pp AS DOUBLE) AS p_kn
+         |FROM kn_m, kn_tot
+         |ORDER BY c_vw DESC, v, w LIMIT 50""".stripMargin,
 
     // The full BM25 chain for every doc (floored to the ×10⁶ grid),
     // feedback top-10, the top-5 expansion terms and their intdiv

@@ -355,6 +355,42 @@ class ExperimentOpsSpec extends SparkSpec {
     assert(allConv.isNullAt(5) && allConv.isNullAt(6))
   }
 
+  test("calibrationEce == the scalar replica; calibrated beats inverted") {
+    // scores on the micro grid; label rate within each bin tracks the
+    // score for the calibrated set, opposes it for the inverted one
+    val rows = (0 until 1000).map { i =>
+      val b = i % 10 // bin 0..9, 100 rows each
+      val s = b * 100000L + 50000L
+      ((i / 10) % 10 <= b, s) // positive rate (b+1)/10 tracks conf b/10+.05
+    }
+    val r = ExperimentOps.calibrationEce(rows.toDF("y", "s"), col("y"),
+      col("s")).collect()
+    // scalar replica
+    val byBin = rows.groupBy(_._2 / 100000L)
+    val devTot = byBin.values.map { xs =>
+      math.abs(xs.count(_._1).toLong * 1000000L - xs.map(_._2).sum) }.sum
+    val ece = devTot.toDouble / rows.length.toDouble / 1000000.0
+    assert(r.map(_.getAs[Double]("ece")).distinct.toSeq == Seq(ece))
+    val got = r.map(x => x.getAs[Long]("bin") -> x).toMap
+    byBin.foreach { case (b, xs) =>
+      assert(got(b).getAs[Long]("n") == xs.length.toLong, s"n bin $b")
+      assert(got(b).getAs[Long]("acc_micro") ==
+        xs.count(_._1).toLong * 1000000L / xs.length, s"acc bin $b")
+      assert(got(b).getAs[Long]("conf_micro") ==
+        xs.map(_._2).sum / xs.length, s"conf bin $b")
+    }
+    // an anti-calibrated labeling must score a much larger ECE
+    val inv = rows.map { case (y, s) => (!y, s) }
+    val eceInv = ExperimentOps.calibrationEce(inv.toDF("y", "s"), col("y"),
+      col("s")).collect().head.getAs[Double]("ece")
+    assert(eceInv > ece * 2)
+    // out-of-range scores clamp instead of minting bins
+    val cl = ExperimentOps.calibrationEce(
+      Seq((true, -50L), (false, 2000000L)).toDF("y", "s"),
+      col("y"), col("s")).collect().map(_.getAs[Long]("bin")).toSet
+    assert(cl == Set(0L, 10L))
+  }
+
   test("anovaF == the scalar replica; empty groups drop from k; invariant") {
     val groups = Seq("g0", "g1", "g2")
     val vals = (1 to 300).map(i => (s"g${i % 3}", (i * 37L) % 211L - 50L))

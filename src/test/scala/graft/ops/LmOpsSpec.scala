@@ -66,4 +66,37 @@ class LmOpsSpec extends SparkSpec {
     assert(got(0) == ((1L, 1L)))  // 2 + 2 - 3
     assert(got(1) == ((2L, 0L)))
   }
+
+  test("knBigramTable == the scalar Kneser-Ney replica") {
+    val docs = Seq(
+      (1L, "the cat sat"), (2L, "the cat ran"), (3L, "the dog sat"),
+      (4L, "a cat sat")).toDF("doc_id", "text")
+    val out = LmOps.knBigramTable(docs, col("text"), 100)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // scalar replica
+    val pairs = Seq(("the", "cat"), ("cat", "sat"), ("the", "cat"),
+      ("cat", "ran"), ("the", "dog"), ("dog", "sat"), ("a", "cat"),
+      ("cat", "sat"))
+    val cvw = pairs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cv = pairs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val n1pV = cvw.keys.toSeq.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val n1pW = cvw.keys.toSeq.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n1pp = cvw.size.toLong
+    assert(out.size == cvw.size)
+    cvw.foreach { case (p @ (v, w), c) =>
+      val r = out(p)
+      assert(r.getAs[Long]("c_vw") == c, s"c_vw $p")
+      assert(r.getAs[Long]("c_v") == cv(v), s"c_v $p")
+      assert(r.getAs[Long]("n1p_v") == n1pV(v), s"n1p_v $p")
+      assert(r.getAs[Long]("n1p_w") == n1pW(w), s"n1p_w $p")
+      val num = math.max(4 * c - 3, 0L) * n1pp + 3 * n1pV(v) * n1pW(w)
+      val den = 4 * cv(v) * n1pp
+      assert(r.getAs[Double]("p_kn") == num.toDouble / den.toDouble, s"p $p")
+    }
+    // probabilities over each context sum below 1 (mass reserved for
+    // unseen continuations) and above the pure-backoff floor
+    val theMass = out.collect { case ((v, _), r) if v == "the" =>
+      r.getAs[Double]("p_kn") }.sum
+    assert(theMass > 0.5 && theMass < 1.0, s"the-mass $theMass")
+  }
 }
