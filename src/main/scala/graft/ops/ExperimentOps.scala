@@ -660,16 +660,25 @@ object ExperimentOps {
     * Output per bin: `(bin, n, n_pos, conf_micro, acc_micro, dev_abs,
     * ece)` — `ece` repeated on every row.
     */
-  def calibrationEce(
+  /** Shared ×10⁶-score bin aggregate for the calibration family: clamp
+    * to [0, 10⁶], ten equal-width bins (plus the boundary bin 10), ONE
+    * map-side-combined aggregate → `(bin, n, n_pos, ssm)`.
+    */
+  private def calibrationBins(
       df: DataFrame, label: Column, scoreMicro: Column): DataFrame = {
     val v = df.select(label.cast("boolean").as("y"),
       greatest(lit(0L), least(lit(1000000L), scoreMicro.cast("long")))
         .as("s"))
       .filter(col("y").isNotNull && col("s").isNotNull)
-    val bins = v.groupBy(expr("s DIV 100000").as("bin"))
+    v.groupBy(expr("s DIV 100000").as("bin"))
       .agg(count(lit(1)).as("n"),
         sum(col("y").cast("long")).as("n_pos"),
         sum(col("s")).as("ssm"))
+  }
+
+  def calibrationEce(
+      df: DataFrame, label: Column, scoreMicro: Column): DataFrame = {
+    val bins = calibrationBins(df, label, scoreMicro)
     val wAll = Window.partitionBy()
     bins
       .withColumn("dev_abs", abs(col("n_pos") * 1000000L - col("ssm")))
@@ -681,6 +690,55 @@ object ExperimentOps {
         col("dev_abs"),
         (col("dev_tot").cast("double") / col("n_tot").cast("double") /
           lit(1000000.0)).as("ece"))
+  }
+
+  // --------------------------------------------- isotonic calibration
+
+  /** Isotonic (PAV) calibration over the reliability bins — the FIX for
+    * what [[calibrationEce]] measures: the monotone-nondecreasing map
+    * from score bin to calibrated probability that minimizes squared
+    * error. No iterative pooling and no driver step: PAV's minimax
+    * closed form `iso(i) = max_{j≤i} min_{k≥i} rate(j..k)` runs as two
+    * self-joins over the ≤11-row bin frame, and because `floor` (the
+    * ×10⁶ grid) COMMUTES with max and min, the integer
+    * `(Σpos·10⁶) DIV (Σn)` per segment yields exactly
+    * `floor(PAV·10⁶)` — the fit replays bit-for-bit with no float
+    * anywhere.
+    *
+    * Scale shape: one corpus aggregate (the shared bin pass), then
+    * everything runs on the BOUNDED bin frame (≤11² segments, ≤11³
+    * minimax terms) — broadcast crosses of a metadata-sized frame, the
+    * [[bhFdr]] bounded-frame contract.
+    *
+    * Output per bin: `(bin, n, n_pos, raw_micro, iso_micro)` with
+    * `iso_micro` monotone in `bin` by construction.
+    */
+  def isotonicCalibration(
+      df: DataFrame, label: Column, scoreMicro: Column): DataFrame = {
+    val bins = calibrationBins(df, label, scoreMicro)
+    val ord = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = bins.select(col("bin"), col("n"), col("n_pos"),
+      sum(col("n")).over(ord).as("cn"),
+      sum(col("n_pos")).over(ord).as("cp"))
+    val segs = pre.select(col("bin").as("j"),
+        (col("cn") - col("n")).as("pre_n"), (col("cp") - col("n_pos")).as("pre_p"))
+      .join(broadcast(pre.select(col("bin").as("k"),
+        col("cn").as("in_n"), col("cp").as("in_p"))),
+        col("j") <= col("k"))
+      .select(col("j"), col("k"),
+        expr("((in_p - pre_p) * 1000000) DIV (in_n - pre_n)").as("avg_micro"))
+    val mins = segs
+      .join(broadcast(bins.select(col("bin"))),
+        col("j") <= col("bin") && col("bin") <= col("k"))
+      .groupBy(col("bin"), col("j"))
+      .agg(min(col("avg_micro")).as("mn"))
+      .groupBy(col("bin"))
+      .agg(max(col("mn")).as("iso_micro"))
+    bins.join(mins, "bin")
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("(n_pos * 1000000) DIV n").as("raw_micro"),
+        col("iso_micro"))
   }
 
   // ----------------------------------------------------- one-way ANOVA F

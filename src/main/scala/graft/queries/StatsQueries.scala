@@ -485,6 +485,18 @@ private[queries] object StatsQueries {
         TextOps.classifierMargin(col("text"), qualityLexicon) * 100000L +
           500000L)),
 
+    // Isotonic (PAV) calibration of the same bins — the fix for what
+    // ECE measures, with NO iterative pooling: the minimax closed form
+    // runs as bounded bin-frame self-joins, and floor commutes with
+    // max/min so the ×10⁶ intdiv segment rates give exactly
+    // floor(PAV·10⁶) — fully oracled, float-free.
+    "q_isotonic_fit" -> ((s, dir) =>
+      ExperimentOps.isotonicCalibration(
+        t(s, dir, "documents").filter(col("lang").isNotNull),
+        col("lang") === "en",
+        TextOps.classifierMargin(col("text"), qualityLexicon) * 100000L +
+          500000L)),
+
     // Welch's unequal-variance t on the same BUILDING/MACHINERY balance
     // fixture as q_mann_whitney — the parametric continuous-metric
     // complement: exact-long (n, Σx, Σx²) per arm, variance closed as
@@ -1860,6 +1872,47 @@ private[queries] object StatsQueries {
          |  CAST(dev_tot AS DOUBLE) / CAST(n_tot AS DOUBLE) / 1000000.0
          |    AS ece
          |FROM ce_f""".stripMargin
+    },
+
+    // Same margin/bin CTEs, the prefix sums as a window over the
+    // ≤11-row frame, the identical minimax self-joins and intdiv
+    // segment rates.
+    "q_isotonic_fit" -> {
+      val vals = qualityLexicon.toSeq.sortBy(_._1)
+        .map { case (k, v2) => s"('$k', CAST($v2 AS BIGINT))" }.mkString(", ")
+      s"""WITH w(tok, wt) AS (VALUES $vals),
+         |tk AS (SELECT doc_id, unnest(${S.tokens("lower(text)")}) AS tok
+         |       FROM documents),
+         |mm AS (SELECT doc_id, CAST(COALESCE(sum(wt), 0) AS BIGINT)
+         |         AS margin
+         |       FROM tk LEFT JOIN w USING (tok) GROUP BY doc_id),
+         |ce_v AS (SELECT d.lang = 'en' AS y,
+         |    greatest(CAST(0 AS BIGINT), least(CAST(1000000 AS BIGINT),
+         |      COALESCE(mm.margin, 0) * 100000 + 500000)) AS s
+         |  FROM documents d LEFT JOIN mm USING (doc_id)
+         |  WHERE d.lang IS NOT NULL AND d.text IS NOT NULL),
+         |ib AS (SELECT s // 100000 AS bin, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+         |  FROM ce_v GROUP BY 1),
+         |ipre AS (SELECT bin, n, n_pos,
+         |    CAST(sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+         |      AS BIGINT) AS cn,
+         |    CAST(sum(n_pos) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+         |      AS BIGINT) AS cp
+         |  FROM ib),
+         |iseg AS (SELECT j.bin AS j, k.bin AS k,
+         |    ((k.cp - (j.cp - j.n_pos)) * 1000000)
+         |      // (k.cn - (j.cn - j.n)) AS avg_micro
+         |  FROM ipre j JOIN ipre k ON j.bin <= k.bin),
+         |imin AS (SELECT b.bin, s2.j, min(s2.avg_micro) AS mn
+         |  FROM iseg s2 JOIN ib b ON s2.j <= b.bin AND b.bin <= s2.k
+         |  GROUP BY 1, 2),
+         |imax AS (SELECT bin, CAST(max(mn) AS BIGINT) AS iso_micro
+         |  FROM imin GROUP BY bin)
+         |SELECT CAST(b.bin AS BIGINT) AS bin, b.n, b.n_pos,
+         |  CAST((b.n_pos * 1000000) // b.n AS BIGINT) AS raw_micro,
+         |  iso_micro
+         |FROM ib b JOIN imax USING (bin)""".stripMargin
     },
 
     // The engine's k-arm moment pivot replayed with the identical fixed

@@ -391,6 +391,55 @@ class ExperimentOpsSpec extends SparkSpec {
     assert(cl == Set(0L, 10L))
   }
 
+  test("isotonicCalibration == classic stack PAV; monotone; fixes inversions") {
+    // non-monotone raw rates: bins 0..5 with rates .9 .2 .4 .3 .8 .1
+    val spec = Seq((0, 10, 9), (1, 20, 4), (2, 10, 4), (3, 10, 3),
+      (4, 10, 8), (5, 30, 3))
+    val rows = spec.flatMap { case (b, n, p) =>
+      (0 until n).map(i => (i < p, b * 100000L + 1L)) }
+    val out = ExperimentOps.isotonicCalibration(rows.toDF("y", "s"),
+      col("y"), col("s")).collect()
+      .map(r => r.getAs[Long]("bin") ->
+        (r.getAs[Long]("raw_micro"), r.getAs[Long]("iso_micro")))
+      .sortBy(_._1)
+    // classic pool-adjacent-violators with exact rational comparisons
+    case class Pool(n: Long, p: Long)
+    val pools = spec.foldLeft(List.empty[Pool]) { case (st, (_, n, p)) =>
+      var cur = Pool(n.toLong, p.toLong) :: st
+      while (cur.tail.nonEmpty &&
+        cur.tail.head.p * cur.head.n >= cur.head.p * cur.tail.head.n) {
+        cur = Pool(cur.head.n + cur.tail.head.n, cur.head.p + cur.tail.head.p) ::
+          cur.tail.tail
+      }
+      cur
+    }.reverse
+    val pavFit = pools.flatMap(pl => List.fill(1)(pl))
+    // expand pools back over bins in order
+    val fitted = {
+      val per = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var i = 0
+      pools.foreach { pl =>
+        var left = pl.n
+        while (left > 0) {
+          per += pl.p * 1000000L / pl.n
+          left -= spec(i)._2.toLong
+          i += 1
+        }
+      }
+      per.toSeq
+    }
+    assert(pavFit.nonEmpty)
+    out.zipWithIndex.foreach { case ((b, (raw, iso)), idx) =>
+      assert(b == idx.toLong)
+      assert(raw == spec(idx)._3.toLong * 1000000L / spec(idx)._2, s"raw $b")
+      assert(iso == fitted(idx), s"iso bin $b: got $iso want ${fitted(idx)}")
+    }
+    // monotone non-decreasing by construction
+    assert(out.map(_._2._2).sliding(2).forall(w => w(0) <= w(1)))
+    // the pooled fit must differ from raw where raw inverts
+    assert(out.exists { case (_, (raw, iso)) => raw != iso })
+  }
+
   test("anovaF == the scalar replica; empty groups drop from k; invariant") {
     val groups = Seq("g0", "g1", "g2")
     val vals = (1 to 300).map(i => (s"g${i % 3}", (i * 37L) % 211L - 50L))
