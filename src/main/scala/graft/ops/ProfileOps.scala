@@ -297,6 +297,46 @@ object ProfileOps {
           sqrt(vx * vy)).as("r"))
   }
 
+  /** Spearman rank correlation (tie-aware, via midranks) — the monotone
+    * dependence readout [[corrByGroup]]'s Pearson can't give on skewed
+    * or outlier-ridden metrics. Exact core: CENTERED DOUBLED midranks
+    * `d = 2·pre + cnt − n` per distinct value (integers; they sum to 0
+    * exactly for any tie profile, so the three Pearson moments collapse
+    * to Σdxdy, Σdx², Σdy² with no mean subtraction), accumulated in
+    * DECIMAL(38,0) (Σd² ≤ n³ outgrows int64 past ~10⁶ rows; 128-bit
+    * sums are exact to 10³⁸ and both engines convert the same integer
+    * to the same double), one closing ρ = Σdxdy/√(Σdx²·Σdy²) chain.
+    *
+    * Scale shape: per axis ONE value-keyed aggregate + the
+    * [[ExperimentOps.prefixByValue]] two-phase bucketed scan (no
+    * SinglePartition window over either value domain), value-keyed
+    * joins back, one 1-row closing aggregate.
+    *
+    * Output: `(n, rho)`.
+    */
+  def spearman(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val v = df.select(xCol.cast("long").as("xv"), yCol.cast("long").as("yv"))
+      .filter(col("xv").isNotNull && col("yv").isNotNull)
+    def centered(c: String): DataFrame = {
+      val byv = v.select(col(c).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      ExperimentOps.prefixByValue(byv, Seq("cnt"))
+        .select(col("v").as(c),
+          (lit(2L) * col("pre_cnt") + col("cnt") - col("tot_cnt"))
+            .as(s"d_$c"))
+    }
+    val r = v.join(centered("xv"), "xv").join(centered("yv"), "yv")
+    val agg = r.agg(count(lit(1)).as("n"),
+      sum((col("d_xv") * col("d_yv")).cast("decimal(38,0)")).as("sxy"),
+      sum((col("d_xv") * col("d_xv")).cast("decimal(38,0)")).as("sxx"),
+      sum((col("d_yv") * col("d_yv")).cast("decimal(38,0)")).as("syy"))
+    agg.select(col("n"),
+      when(col("sxx") > 0 && col("syy") > 0,
+        col("sxy").cast("double") /
+          sqrt(col("sxx").cast("double") * col("syy").cast("double")))
+        .as("rho"))
+  }
+
   def skewReport(df: DataFrame, keyCol: Column, topK: Int = 5): DataFrame = {
     require(topK >= 1, "topK must be >= 1")
     val w = org.apache.spark.sql.expressions.Window

@@ -154,6 +154,14 @@ private[queries] object StatsQueries {
         col("l_quantity"), round(col("l_extendedprice")).cast("long"))
         .select(col("group").as("l_returnflag"), col("n"), col("r"))),
 
+    // Monotone quantity-revenue coupling: Spearman over the same pair
+    // as q_correlation — centered doubled midranks on the two-phase
+    // prefix scan, decimal-128 moment sums, one closing chain.
+    "q_spearman" -> ((s, dir) =>
+      ProfileOps.spearman(
+        t(s, dir, "lineitem"),
+        col("l_quantity"), round(col("l_extendedprice")).cast("long"))),
+
     // Distinct aggregation (exact).
     "q_count_distinct" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -1173,6 +1181,43 @@ private[queries] object StatsQueries {
         |      / CAST(count(*)*sum(n_chars) AS DOUBLE)
         |  ELSE NULL END AS gini
         |FROM rk GROUP BY source""".stripMargin,
+
+    // Same centered doubled midranks (naive cumulative window in the
+    // oracle, two-phase scan in the engine), HUGEINT moment sums, the
+    // identical closing chain.
+    "q_spearman" ->
+      """WITH sp_v AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS xv,
+        |    CAST(round(l_extendedprice) AS BIGINT) AS yv
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |sp_bx AS (SELECT xv AS v, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM sp_v GROUP BY 1),
+        |sp_dx AS (SELECT v AS xv,
+        |    CAST(2 * coalesce(sum(cnt) OVER (ORDER BY v
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + cnt - sum(cnt) OVER () AS BIGINT) AS d_xv
+        |  FROM sp_bx),
+        |sp_by AS (SELECT yv AS v, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM sp_v GROUP BY 1),
+        |sp_dy AS (SELECT v AS yv,
+        |    CAST(2 * coalesce(sum(cnt) OVER (ORDER BY v
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + cnt - sum(cnt) OVER () AS BIGINT) AS d_yv
+        |  FROM sp_by),
+        |sp_r AS (SELECT d_xv, d_yv
+        |  FROM sp_v JOIN sp_dx USING (xv) JOIN sp_dy USING (yv)),
+        |sp_a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(d_xv * d_yv AS HUGEINT)) AS sxy,
+        |    sum(CAST(d_xv * d_xv AS HUGEINT)) AS sxx,
+        |    sum(CAST(d_yv * d_yv AS HUGEINT)) AS syy
+        |  FROM sp_r)
+        |SELECT n,
+        |  CASE WHEN sxx > 0 AND syy > 0
+        |    THEN CAST(sxy AS DOUBLE)
+        |      / sqrt(CAST(sxx AS DOUBLE) * CAST(syy AS DOUBLE))
+        |  END AS rho
+        |FROM sp_a""".stripMargin,
 
     // Same five power sums, same double chain.
     "q_correlation" ->

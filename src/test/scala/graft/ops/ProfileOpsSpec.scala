@@ -574,6 +574,38 @@ class ProfileOpsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Long]("mu_huber") - mu0) < 60L)
   }
 
+  test("spearman == the scalar midrank replica; monotone data -> 1") {
+    val vals = (1 to 300).map(i => ((i * 37L) % 101L, (i * 53L) % 97L))
+    val r = ProfileOps.spearman(vals.toDF("x", "y"), col("x"), col("y"))
+      .collect().head
+    // scalar replica: centered doubled midranks
+    def centered(xs: Seq[Long]): Map[Long, Long] = {
+      val n = xs.length.toLong
+      val byV = xs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      byV.keys.map { v =>
+        val pre = byV.filter(_._1 < v).values.sum
+        v -> (2 * pre + byV(v) - n)
+      }.toMap
+    }
+    val dx = centered(vals.map(_._1)); val dy = centered(vals.map(_._2))
+    val prods = vals.map { case (x, y) => (dx(x), dy(y)) }
+    val sxy = prods.map { case (a, b) => BigInt(a) * b }.sum
+    val sxx = prods.map { case (a, _) => BigInt(a) * a }.sum
+    val syy = prods.map { case (_, b) => BigInt(b) * b }.sum
+    assert(r.getAs[Long]("n") == vals.length.toLong)
+    assert(r.getAs[Double]("rho") ==
+      sxy.toDouble / math.sqrt(sxx.toDouble * syy.toDouble))
+    // strictly increasing relation (with ties in neither axis) -> rho 1
+    val mono = (1 to 50).map(i => (i.toLong, i * 7L)).toDF("x", "y")
+    assert(ProfileOps.spearman(mono, col("x"), col("y"))
+      .collect().head.getAs[Double]("rho") == 1.0)
+    // monotone DECREASING -> -1, outlier-proof (Pearson would move)
+    val dec = (1 to 50).map(i =>
+      (i.toLong, if (i == 50) -1000000L else 1000L - i)).toDF("x", "y")
+    assert(ProfileOps.spearman(dec, col("x"), col("y"))
+      .collect().head.getAs[Double]("rho") == -1.0)
+  }
+
   test("brownForsythe == anovaF over scalar median deviations") {
     val groups = Seq("g0", "g1")
     // g1 has ~4x the spread of g0 around its median
