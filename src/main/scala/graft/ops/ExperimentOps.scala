@@ -664,7 +664,7 @@ object ExperimentOps {
     * to [0, 10⁶], ten equal-width bins (plus the boundary bin 10), ONE
     * map-side-combined aggregate → `(bin, n, n_pos, ssm)`.
     */
-  private def calibrationBins(
+  private[graft] def calibrationBins(
       df: DataFrame, label: Column, scoreMicro: Column): DataFrame = {
     val v = df.select(label.cast("boolean").as("y"),
       greatest(lit(0L), least(lit(1000000L), scoreMicro.cast("long")))
