@@ -884,4 +884,52 @@ object GraphOps {
       .select(col("node"),
         coalesce(col("component"), col("node")).as("component"))
   }
+
+  /** Degree assortativity (Newman's r) of an undirected edge list — the
+    * one-scalar answer to "do hubs link to hubs or to leaves?", which
+    * decides whether hub-capped candidate generation (the
+    * [[EstimatorOps]] wedge caps) biases a graph's tail or its core.
+    * Pearson correlation of endpoint degrees over the DIRECTED edge
+    * instances (both orientations — the standard convention, which also
+    * makes the two marginals identical). Exact core: degrees are one
+    * node-keyed aggregate, the five moments accumulate in DECIMAL(38,0)
+    * (Σ(du·dv) ≤ m·deg_max² outgrows int64 on hub-heavy graphs; 128-bit
+    * sums stay exact and both engines convert the same integer to the
+    * same double), and r closes as the [[ProfileOps.corrByGroup]] fixed
+    * IEEE chain.
+    *
+    * Scale shape: symmetrize (row-local union), one degree aggregate,
+    * two KEYED joins of the node-sized degree frame onto the edges, one
+    * 1-row closing fold. No window touches the edge set.
+    *
+    * Output: `(m_directed, n_nodes, r_assort)` — NULL r on degree-
+    * regular graphs (zero variance).
+    */
+  def degreeAssortativity(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("u"),
+      col(dstCol).cast("long").as("v"))
+    val dir = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    val deg = dir.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+    val pairs = dir
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+    val agg = pairs.agg(
+      count(lit(1)).as("m_directed"),
+      sum(col("du").cast("decimal(38,0)")).as("sx"),
+      sum(col("dv").cast("decimal(38,0)")).as("sy"),
+      sum((col("du") * col("dv")).cast("decimal(38,0)")).as("sxy"),
+      sum((col("du") * col("du")).cast("decimal(38,0)")).as("sxx"),
+      sum((col("dv") * col("dv")).cast("decimal(38,0)")).as("syy"))
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val m = d(col("m_directed"))
+    val vx = m * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+    val vy = m * d(col("syy")) - d(col("sy")) * d(col("sy"))
+    agg.crossJoin(broadcast(nNodes))
+      .select(col("m_directed"), col("n_nodes"),
+        when(vx > 0.0 && vy > 0.0,
+          (m * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+            sqrt(vx * vy)).as("r_assort"))
+  }
 }

@@ -86,6 +86,12 @@ private[queries] object GraphQueries {
     "q_triangles" -> ((s, dir) =>
       GraphOps.triangleCounts(partCooccurrenceEdges(s, dir), "u", "v")),
 
+    // Degree assortativity of the same co-purchase graph — do hub parts
+    // co-occur with hubs or with leaves? One degree aggregate, keyed
+    // joins, decimal-128 moments, the corrByGroup closing chain.
+    "q_assortativity" -> ((s, dir) =>
+      GraphOps.degreeAssortativity(partCooccurrenceEdges(s, dir), "u", "v")),
+
     // k-core of the customer-supplier interaction graph (disjoint
     // even/odd node encoding, as q_pagerank): the coreness filter that
     // drops weakly-attached nodes a raw degree cut keeps. rounds=8 is
@@ -205,6 +211,41 @@ private[queries] object GraphQueries {
         |nodes AS (SELECT unnest([a, b, c]) AS node FROM tri)
         |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
         |FROM nodes GROUP BY node""".stripMargin,
+
+    // Same edge build, both orientations, HUGEINT moments, the same
+    // closing chain.
+    "q_assortativity" ->
+      """WITH n AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM n a JOIN n b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |dir AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+        |  FROM dir GROUP BY 1),
+        |p AS (SELECT d1.deg AS du, d2.deg AS dv
+        |  FROM dir JOIN deg d1 ON dir.u = d1.node
+        |           JOIN deg d2 ON dir.v = d2.node),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS m_directed,
+        |    sum(CAST(du AS HUGEINT)) AS sx, sum(CAST(dv AS HUGEINT)) AS sy,
+        |    sum(CAST(du * dv AS HUGEINT)) AS sxy,
+        |    sum(CAST(du * du AS HUGEINT)) AS sxx,
+        |    sum(CAST(dv * dv AS HUGEINT)) AS syy
+        |  FROM p),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+        |SELECT m_directed, n_nodes,
+        |  CASE WHEN CAST(m_directed AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+        |        AND CAST(m_directed AS DOUBLE) * CAST(syy AS DOUBLE)
+        |           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0.0
+        |    THEN (CAST(m_directed AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / sqrt((CAST(m_directed AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        * (CAST(m_directed AS DOUBLE) * CAST(syy AS DOUBLE)
+        |           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |  END AS r_assort
+        |FROM a, nn""".stripMargin,
 
     "q_pagerank_dangling" -> pageRankOracle(iters = 3, dangling = true),
 

@@ -483,4 +483,33 @@ class GraphOpsSpec extends SparkSpec {
     // exact integer recurrence => bit-identical under any partitioning
     assert(run(edges.repartition(7), 3) == r3)
   }
+
+  test("degreeAssortativity: star -1, scalar replica, regular graph NULL") {
+    import spark.implicits._
+    def assort(es: Seq[(Long, Long)]): org.apache.spark.sql.Row =
+      GraphOps.degreeAssortativity(es.toDF("u", "v"), "u", "v")
+        .collect().head
+    // a star is maximally DISassortative: r = -1 exactly
+    val star = (2L to 9L).map(i => (1L, i))
+    val rs = assort(star)
+    assert(rs.getAs[Long]("m_directed") == 16L)
+    assert(rs.getAs[Long]("n_nodes") == 9L)
+    assert(rs.getAs[Double]("r_assort") == -1.0)
+    // a cycle is degree-regular: zero variance -> NULL
+    val cyc = (1L to 6L).map(i => (i, i % 6 + 1))
+    assert(assort(cyc).isNullAt(2))
+    // arbitrary graph == the scalar Pearson-over-directed-edges replica
+    val es = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (4L, 5L), (5L, 6L))
+    val r = assort(es)
+    val dirE = es ++ es.map(_.swap)
+    val deg = dirE.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val prods = dirE.map { case (a, b) => (deg(a), deg(b)) }
+    val m = prods.length.toDouble
+    val sx = prods.map(_._1).sum.toDouble
+    val sxy = prods.map(p => p._1 * p._2).sum.toDouble
+    val sxx = prods.map(p => p._1 * p._1).sum.toDouble
+    val expect = (m * sxy - sx * sx) / math.sqrt(
+      (m * sxx - sx * sx) * (m * sxx - sx * sx))
+    assert(r.getAs[Double]("r_assort") == expect)
+  }
 }
