@@ -98,6 +98,51 @@ object ModelOps {
         col("slope_micro"), col("intercept_micro"))
   }
 
+  /** Heaps'-law fit of vocabulary growth — `V(n) ≈ K·n^β`, the exponent
+    * that predicts how a tokenizer's type inventory (and OOV rate)
+    * scales with corpus size: regress log₂(cumulative types) on
+    * log₂(cumulative tokens) along the deterministic doc_id corpus
+    * order. The growth curve is sampled at POWER-OF-TWO document ranks
+    * (plus the final doc): ≤ log₂(docs)+1 checkpoints — log-spaced, the
+    * natural design for a log-log fit, and it caps the OLS moments
+    * inside int64 FOR ANY corpus size (the [[zipfFit]] `topRanks`
+    * discipline, made data-independent). Logs ride
+    * [[graft.expr.Log2Fixed]] `>> 12`; the fit is [[olsTrend]]'s exact
+    * sign-split intdiv algebra, so `beta_micro ≈ 10⁶·β` replays
+    * bit-for-bit.
+    *
+    * Scale shape: one corpus explode feeds BOTH per-doc token counts
+    * and token first-seen docs (token-keyed min — map-side combined);
+    * the cumulative scans ride [[ExperimentOps.prefixByValue]] over the
+    * doc frame (two-phase, no SinglePartition window); the checkpoint
+    * filter leaves a ≤64-row frame for the closing OLS.
+    *
+    * Output: `(n_checkpoints, beta_micro, intercept_micro)`.
+    */
+  def heapsFit(docs: DataFrame, idCol: Column, text: Column): DataFrame = {
+    val tok = docs.select(idCol.cast("long").as("d"),
+      explode(TextOps.tokens(lower(text))).as("tk"))
+    val perDocTokens = tok.groupBy(col("d")).agg(count(lit(1)).as("toks"))
+    val perDocNew = tok.groupBy(col("tk")).agg(min(col("d")).as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("newt"))
+    val perDoc = perDocTokens.join(perDocNew, Seq("d"), "left")
+      .select(col("d").as("v"), col("toks"),
+        coalesce(col("newt"), lit(0L)).as("newt"), lit(1L).as("one"))
+    val cum = ExperimentOps.prefixByValue(perDoc, Seq("toks", "newt", "one"))
+    val r = col("pre_one") + 1L
+    val pts = cum
+      .select(r.as("r"), (col("pre_toks") + col("toks")).as("ct"),
+        (col("pre_newt") + col("newt")).as("cv"), col("tot_one"))
+      .filter((col("r").bitwiseAND(col("r") - 1L) === 0L ||
+        col("r") === col("tot_one")) && col("ct") > 0L && col("cv") > 0L)
+      .select(lit("heaps").as("g"),
+        shiftright(MathExprs.log2Fixed(col("ct")), 12).as("x"),
+        shiftright(MathExprs.log2Fixed(col("cv")), 12).as("y"))
+    olsTrend(pts, col("g"), col("x"), col("y"))
+      .select(col("n_points").as("n_checkpoints"),
+        col("slope_micro").as("beta_micro"), col("intercept_micro"))
+  }
+
   // ----------------------------------------- Theil-Sen / Mann-Kendall
 
   /** Robust per-group trend over a BOUNDED series (calendar-bounded

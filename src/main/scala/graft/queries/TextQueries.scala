@@ -390,6 +390,13 @@ private[queries] object TextQueries {
     // distributed heap (never a vocabulary sort), log-log OLS in 2^-8
     // fixed point — composes zipfFit's heap + Log2Fixed + olsTrend.
     // slope_micro ≈ −10^6·s is the number a tokenizer designer reads.
+    // Heaps'-law vocabulary-growth exponent along the doc_id corpus
+    // order, sampled at power-of-two ranks (log-spaced checkpoints cap
+    // the OLS moments for ANY corpus size) — predicts type inventory /
+    // OOV scaling for a tokenizer budget.
+    "q_heaps_fit" -> ((s, dir) =>
+      ModelOps.heapsFit(t(s, dir, "documents"), col("doc_id"), col("text"))),
+
     "q_zipf_fit" -> ((s, dir) =>
       ModelOps.zipfFit(t(s, dir, "documents"), col("text"), topRanks = 128)),
 
@@ -930,6 +937,58 @@ private[queries] object TextQueries {
          |      FROM documents)
          |GROUP BY source""".stripMargin
     },
+
+    // Same corpus order, naive cumulative windows in the oracle,
+    // power-of-two checkpoint filter, log2FixedSql >> 12, the zipf
+    // sign-split OLS chain.
+    "q_heaps_fit" ->
+      s"""WITH hp_tok AS (
+         |  SELECT doc_id AS d, unnest(${S.tokens("lower(text)")}) AS tk
+         |  FROM documents),
+         |hp_toks AS (SELECT d, CAST(count(*) AS BIGINT) AS toks
+         |  FROM hp_tok GROUP BY d),
+         |hp_new AS (SELECT d, CAST(count(*) AS BIGINT) AS newt
+         |  FROM (SELECT tk, min(d) AS d FROM hp_tok GROUP BY tk)
+         |  GROUP BY d),
+         |hp_pd AS (SELECT t.d, t.toks, coalesce(n.newt, 0) AS newt
+         |  FROM hp_toks t LEFT JOIN hp_new n ON t.d = n.d),
+         |hp_cum AS (SELECT
+         |    CAST(sum(toks) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+         |      AS BIGINT) AS ct,
+         |    CAST(sum(newt) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+         |      AS BIGINT) AS cv,
+         |    CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS r,
+         |    CAST(count(*) OVER () AS BIGINT) AS tot
+         |  FROM hp_pd),
+         |hp_k AS (SELECT ct, cv FROM hp_cum
+         |  WHERE ((r & (r - 1)) = 0 OR r = tot) AND ct > 0 AND cv > 0),
+         |vals AS (SELECT DISTINCT v FROM (
+         |  SELECT ct AS v FROM hp_k UNION ALL SELECT cv FROM hp_k)),
+         |${log2FixedSql("vals")},
+         |pts AS (SELECT lx.lg >> 12 AS x, ly.lg >> 12 AS y
+         |  FROM hp_k JOIN lg lx ON lx.v = hp_k.ct
+         |            JOIN lg ly ON ly.v = hp_k.cv),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+         |        sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy
+         |      FROM pts),
+         |f2 AS (SELECT n, sx, sy,
+         |         (n * sxy - sx * sy) * 1000000 AS num,
+         |         n * sxx - sx * sx AS den
+         |       FROM m),
+         |sl AS (SELECT n, sx, sy, den,
+         |         CASE WHEN den > 0 THEN
+         |           CASE WHEN num >= 0 THEN num // den
+         |                ELSE -((-num) // den) END
+         |         END AS slope_micro
+         |       FROM f2)
+         |SELECT n AS n_checkpoints,
+         |  CAST(slope_micro AS BIGINT) AS beta_micro,
+         |  CAST(CASE WHEN den > 0 THEN
+         |    CASE WHEN sy * 1000000 - slope_micro * sx >= 0
+         |         THEN (sy * 1000000 - slope_micro * sx) // n
+         |         ELSE -((-(sy * 1000000 - slope_micro * sx)) // n) END
+         |  END AS BIGINT) AS intercept_micro
+         |FROM sl""".stripMargin,
 
     // Heap replay (ORDER BY f DESC, tk LIMIT 128), log2FixedSql over
     // ranks ∪ frequencies, the >> 12 truncation, then the q_ols_trend

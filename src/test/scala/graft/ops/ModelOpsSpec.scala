@@ -190,4 +190,26 @@ class ModelOpsSpec extends SparkSpec {
       .map(x => x._1 -> x._4).toMap
     assert(r("b") >= 1L && r("a") == ModelOps.BtScale)
   }
+
+  test("heapsFit: recovers a planted growth exponent; layout-invariant") {
+    import org.apache.spark.sql.functions.col
+    // plant V(n) ~ n^0.5 exactly: doc r contributes 2r-1 tokens of which
+    // ceil-sqrt growth introduces new types so cum tokens = r^2 and cum
+    // types = r  ->  beta = log(r)/log(r^2) = 0.5
+    val docs = (1 to 64).map { r =>
+      val newTok = s"t$r" // one new type per doc
+      val repeats = Seq.fill(2 * r - 2)("t1") // pad tokens with a known type
+      (r.toLong, (newTok +: repeats).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val out = ModelOps.heapsFit(df, col("doc_id"), col("text"))
+      .collect().head
+    // checkpoints: ranks 1,2,4,8,16,32,64 (64 is both pow2 and last)
+    assert(out.getAs[Long]("n_checkpoints") == 7L)
+    val beta = out.getAs[Long]("beta_micro")
+    assert(beta > 480000L && beta < 520000L, s"beta_micro $beta")
+    val out7 = ModelOps.heapsFit(df.repartition(7), col("doc_id"), col("text"))
+      .collect().head
+    assert(out == out7)
+  }
 }
