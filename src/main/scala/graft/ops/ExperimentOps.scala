@@ -795,8 +795,11 @@ object ExperimentOps {
     def wTerm(i: Int): Column = when(n(i) > 0L,
       q(i).cast("double") - (sS(i).cast("double") / n(i).cast("double")) *
         sS(i).cast("double")).otherwise(lit(0.0))
-    val grand = (sTot.cast("double") / nTot.cast("double")) *
-      sTot.cast("double")
+    // guarded like the per-group terms: ANSI double division raises on
+    // 0/0, and an empty frame must yield NULLs, not a crash
+    val grand = when(nTot > 0L,
+      (sTot.cast("double") / nTot.cast("double")) * sTot.cast("double"))
+      .otherwise(lit(0.0))
     val ssb = groups.indices.map(bTerm).reduce(_ + _) - grand
     val ssw = groups.indices.map(wTerm).reduce(_ + _)
     val df1 = k - 1L

@@ -743,7 +743,7 @@ private[queries] object StatsQueries {
        |  FROM $srcCte),
        |av_c AS (SELECT *, $kSum AS k, $nSum AS n, $sSum AS s FROM av_m),
        |av_e AS (SELECT *,
-       |    ($bChain) - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(s AS DOUBLE) AS ssb,
+       |    ($bChain) - CASE WHEN n > 0 THEN (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(s AS DOUBLE) ELSE 0.0 END AS ssb,
        |    ($wChain) AS ssw
        |  FROM av_c)
        |SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,

@@ -39,6 +39,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_rm3_expand" -> "the q_bm25_search 1-row stats attach, twice (orig scoring + feedback scoring); expansion terms/weights join KEYED on token",
     "q_kneser_ney" -> "1-row N1+(..) total attach to the distinct-bigram frame",
     "q_isotonic_fit" -> "PAV minimax self-joins over the <=11-row bin frame (bounded metadata cross by construction)",
+    "q_assortativity" -> "1-row node-count attach to the 1-row moments frame",
     "q_sim_pq_literal" -> "bounded probe set crossed with literal PQ codebooks",
     "q_tpch_q11" -> "1-row scalar threshold (sum x fraction) attach — canonical Q11 shape",
     "q_tpch_q22" -> "1-row scalar average attach; the anti join probes by key (pinned in QueryPlanSpec)",
