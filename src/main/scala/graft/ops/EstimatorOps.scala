@@ -365,4 +365,52 @@ object EstimatorOps {
             col("covered").cast("double") / col("n_test").cast("double")))
     } finally resid.unpersist(blocking = false)
   }
+
+  // ------------------------------------------------- capture-recapture
+
+  /** Chapman capture-recapture estimate of a hidden population size —
+    * "how many distinct users/entities exist, counting only what two
+    * independent observation windows saw?" (the ecology estimator,
+    * routinely abused for corpus questions: how many near-dup clusters
+    * exist given two detectors; how many active users given two
+    * sampling days). With `n1`/`n2` the units seen in each capture and
+    * `m` seen in both, the bias-corrected Chapman estimator
+    *
+    *   N̂ = (n1+1)·(n2+1) DIV (m+1) − 1
+    *
+    * is exact intdiv on exact longs. The observed union `n_seen` rides
+    * along, as does the estimator's implied undercount
+    * `unseen_hat = N̂ − n_seen` (floored at 0 — Chapman can land under
+    * the union when overlap is near-total).
+    *
+    * Scale shape: ONE unit-keyed aggregate collapses the event corpus to
+    * per-unit capture flags (map-side combined), one 1-row fold after —
+    * the [[graft.ops.ExperimentOps.abTest]] two-aggregate contract. No
+    * distinct-join, no corpus shuffle beyond the unit collapse.
+    *
+    * Output: `(n1, n2, m_both, n_seen, n_hat, unseen_hat)`.
+    */
+  def captureRecapture(
+      df: DataFrame, unit: Column, inCapture1: Column,
+      inCapture2: Column): DataFrame = {
+    val perUnit = df
+      .select(unit.as("u"), inCapture1.cast("boolean").as("c1"),
+        inCapture2.cast("boolean").as("c2"))
+      .filter(col("u").isNotNull)
+      .groupBy(col("u"))
+      .agg(max(coalesce(col("c1"), lit(false))).as("in1"),
+        max(coalesce(col("c2"), lit(false))).as("in2"))
+      .filter(col("in1") || col("in2"))
+    val m = perUnit.agg(
+      coalesce(sum(col("in1").cast("long")), lit(0L)).as("n1"),
+      coalesce(sum(col("in2").cast("long")), lit(0L)).as("n2"),
+      coalesce(sum((col("in1") && col("in2")).cast("long")), lit(0L))
+        .as("m_both"),
+      count(lit(1)).as("n_seen"))
+    val nHat = expr("(n1 + 1) * (n2 + 1) DIV (m_both + 1) - 1")
+    m.select(
+      col("n1"), col("n2"), col("m_both"), col("n_seen"),
+      nHat.as("n_hat"),
+      greatest(lit(0L), nHat - col("n_seen")).as("unseen_hat"))
+  }
 }

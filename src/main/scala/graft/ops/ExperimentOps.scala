@@ -844,4 +844,371 @@ object ExperimentOps {
           .when(absd < 0.474, "medium")
           .otherwise("large")).as("magnitude"))
   }
+
+  // ------------------------------------------------- Kruskal-Wallis H
+
+  /** χ²-critical values (α = 0.05) for the omnibus rank tests — shared
+    * literals, computed nowhere (the [[MwZ2Crit]] contract). df=2 is
+    * Cochran's Q over three treatments; df=4 is five experiment arms.
+    */
+  val Chi2Crit2Df: Double = 5.9915
+  val Chi2Crit4Df: Double = 9.4877
+
+  /** Kruskal-Wallis H — the k-group omnibus rank test ([[anovaF]]'s
+    * nonparametric sibling; [[mannWhitneyU]]'s k-arm extension): "do ANY
+    * of the arms' distributions differ?" without the normality the F
+    * test borrows. The group list is a query literal (arms are
+    * experiment config), so per-group counts pivot into fixed columns of
+    * the value-keyed frame — one map-side-combined aggregate, exactly
+    * the [[anovaF]] shape.
+    *
+    * Exact-integer core: doubled midranks (`2·midrank = 2·cumBelow + t
+    * + 1`, the [[mannWhitneyU]] identity) make every per-group doubled
+    * rank sum `R2_g` an exact long, as is the tie term `T = Σ(t³−t)`.
+    * With `R_g = R2_g/2`, `12·Σ R_g²/n_g = 3·Σ R2_g²/n_g`, so
+    *
+    *   H = (3·Σ_g R2_g²/n_g / (n·(n+1)) − 3·(n+1)) / (1 − T/(n³−n))
+    *
+    * closes as ONE fixed-order double chain over exact longs (the
+    * per-group terms fold left-associated in literal group order; both
+    * engines evaluate the identical tree). `significant` compares H to
+    * the caller's χ²_{k−1} literal and is NULL unless every listed group
+    * is non-empty (df would shift otherwise).
+    *
+    * Scale shape: one value-keyed count aggregate, cumulative ranks on
+    * the [[prefixByValue]] two-phase bucketed scan (no SinglePartition
+    * window touches the distinct-value frame), 1-row fold. Degenerate
+    * inputs (all values tied, or n = 0) yield NULL H.
+    *
+    * Output: `(k, n, t_ties, h, significant)`.
+    */
+  def kruskalWallis(
+      df: DataFrame, group: Column, value: Column,
+      groups: Seq[String], chi2Crit: Double): DataFrame = {
+    require(groups.size >= 2, "kruskalWallis needs at least two groups")
+    require(groups.distinct.size == groups.size, "duplicate group labels")
+    val v = df.select(group.cast("string").as("g"), value.cast("long").as("v"))
+      .filter(col("g").isInCollection(groups) && col("v").isNotNull)
+    val cntCols = groups.zipWithIndex.map { case (gl, i) =>
+      coalesce(sum(when(col("g") === lit(gl), 1L)), lit(0L)).as(s"c_$i")
+    }
+    val byv = v.groupBy("v").agg(count(lit(1)).as("cnt"), cntCols: _*)
+    val cum = prefixByValue(byv, Seq("cnt"))
+    val dblRank = lit(2L) * col("pre_cnt") + col("cnt") + 1L
+    val aggCols = groups.indices.flatMap { i =>
+      Seq(
+        coalesce(sum(col(s"c_$i")), lit(0L)).as(s"n_$i"),
+        coalesce(sum(col(s"c_$i") * dblRank), lit(0L)).as(s"r2_$i"))
+    } ++ Seq(
+      coalesce(sum(col("cnt")), lit(0L)).as("n"),
+      coalesce(sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")),
+        lit(0L)).as("t_ties"))
+    val m = cum.agg(aggCols.head, aggCols.tail: _*)
+    def n(i: Int) = col(s"n_$i")
+    def r2(i: Int) = col(s"r2_$i")
+    val k = groups.indices.map(i => (n(i) > 0L).cast("long")).reduce(_ + _)
+    def term(i: Int): Column = when(n(i) > 0L,
+      (r2(i).cast("double") * r2(i).cast("double")) / n(i).cast("double"))
+      .otherwise(lit(0.0))
+    val sumTerms = groups.indices.map(term).reduce(_ + _)
+    val nD = col("n").cast("double")
+    val hRaw = lit(3.0) * sumTerms / (nD * (nD + 1.0)) -
+      lit(3.0) * (nD + 1.0)
+    // n³−n = (n+1)·n·(n−1): the mannWhitneyU tie denominator, same longs
+    val tieDen = (col("n") + 1L) * col("n") * (col("n") - 1L)
+    val c = lit(1.0) - col("t_ties").cast("double") / tieDen.cast("double")
+    val h = when(col("n") > 0L && tieDen > col("t_ties"), hRaw / c)
+    m.select(
+      k.as("k"), col("n"), col("t_ties"), h.as("h"),
+      when(h.isNotNull && k === lit(groups.size.toLong),
+        (h >= chi2Crit).cast("int")).as("significant"))
+  }
+
+  // ------------------------------------------------- McNemar paired test
+
+  /** McNemar's test — "are two classifiers' error rates equal?" on
+    * PAIRED predictions (both models score the same rows, the standard
+    * model-upgrade gate; [[abTest]] would be wrong here because the
+    * samples are not independent). Only the discordant cells matter:
+    * `b = #(model1 right, model2 wrong)`, `c = #(model1 wrong, model2
+    * right)` — exact longs from ONE map-side-combined aggregate — and
+    * `χ² = (b−c)²/(b+c)` closes as a fixed double chain against the
+    * shared [[MwZ2Crit]] χ²₁ literal. No discordance (b+c = 0) yields
+    * NULL. Rows where either correctness bit is NULL are excluded
+    * (un-scoreable rows pair with nothing).
+    *
+    * Scale shape: one aggregate pass, 1-row output — the [[welchT]]
+    * contract.
+    *
+    * Output: `(n, b_only, c_only, chi2, significant)`.
+    */
+  def mcnemar(df: DataFrame, correct1: Column, correct2: Column): DataFrame = {
+    val v = df.select(
+      correct1.cast("boolean").as("r1"), correct2.cast("boolean").as("r2"))
+      .filter(col("r1").isNotNull && col("r2").isNotNull)
+    val m = v.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(when(col("r1") && !col("r2"), 1L)), lit(0L)).as("b_only"),
+      coalesce(sum(when(!col("r1") && col("r2"), 1L)), lit(0L)).as("c_only"))
+    val d = col("b_only") - col("c_only")
+    val s = col("b_only") + col("c_only")
+    val chi2 = when(s > 0L,
+      (d.cast("double") * d.cast("double")) / s.cast("double"))
+    m.select(
+      col("n"), col("b_only"), col("c_only"), chi2.as("chi2"),
+      when(chi2.isNotNull, (chi2 >= MwZ2Crit).cast("int")).as("significant"))
+  }
+
+  // ------------------------------------------------- Cochran's Q test
+
+  /** Cochran's Q — [[mcnemar]]'s k-treatment extension: k binary
+    * judgments on the same rows (k quality filters over one corpus; k
+    * model versions on one eval set), testing whether the pass rates
+    * differ anywhere. The treatments are literal (label, predicate)
+    * pairs, so the column totals `G_j` pivot into ONE aggregate next to
+    * the row-sum moments `ΣL_i` and `ΣL_i²` (`L_i` = per-row pass count
+    * — row-local, bounded by k). All exact longs;
+    *
+    *   Q = (k−1)·(k·ΣG_j² − (ΣL)²) / (k·ΣL − ΣL_i²)
+    *
+    * closes as a fixed double chain (per-group G² terms folded in
+    * literal order), compared to the caller's χ²_{k−1} literal. Rows
+    * where every treatment agrees contribute nothing; if all rows agree
+    * everywhere the denominator is 0 and Q is NULL.
+    *
+    * Scale shape: one aggregate pass, 1-row output.
+    *
+    * Output: `(n, n_<label>... , q_stat, significant)`.
+    */
+  def cochranQ(
+      df: DataFrame, treatments: Seq[(String, Column)],
+      chi2Crit: Double): DataFrame = {
+    require(treatments.size >= 2, "cochranQ needs at least two treatments")
+    require(treatments.map(_._1).distinct.size == treatments.size,
+      "duplicate treatment labels")
+    val k = treatments.size
+    val flags = treatments.zipWithIndex.map { case ((_, c), i) =>
+      c.cast("boolean").cast("long").as(s"f_$i")
+    }
+    val v = df.select(flags: _*).na.drop()
+    val rowSum = treatments.indices.map(i => col(s"f_$i")).reduce(_ + _)
+    val aggCols = treatments.zipWithIndex.map { case ((_, _), i) =>
+      coalesce(sum(col(s"f_$i")), lit(0L)).as(s"g_$i")
+    } ++ Seq(
+      count(lit(1)).as("n"),
+      coalesce(sum(rowSum), lit(0L)).as("sum_l"),
+      coalesce(sum(rowSum * rowSum), lit(0L)).as("sum_l2"))
+    val m = v.agg(aggCols.head, aggCols.tail: _*)
+    def g(i: Int) = col(s"g_$i")
+    val sumG2 = treatments.indices.map(i =>
+      g(i).cast("double") * g(i).cast("double")).reduce(_ + _)
+    val sumLD = col("sum_l").cast("double")
+    val num = lit((k - 1).toDouble) *
+      (lit(k.toDouble) * sumG2 - sumLD * sumLD)
+    val den = lit(k.toDouble) * sumLD - col("sum_l2").cast("double")
+    val q = when(den > 0.0, num / den)
+    m.select(
+      Seq(col("n")) ++
+        treatments.zipWithIndex.map { case ((gl, _), i) =>
+          g(i).as(s"n_$gl")
+        } ++ Seq(
+          q.as("q_stat"),
+          when(q.isNotNull, (q >= chi2Crit).cast("int")).as("significant")): _*)
+  }
+
+  // ------------------------------------------------- Wald-Wolfowitz runs
+
+  /** Wald–Wolfowitz runs test — "is this binary sequence random, or does
+    * it clump/alternate?" (residual-sign randomness behind a trend fit;
+    * status clumping in an ingest log). `R` = number of maximal
+    * same-flag runs in sequence order.
+    *
+    * Scale shape — the two-phase bucketed scan, with NO join at all:
+    * rows bucket by `seq DIV bucketWidth` (`pfx_b`, monotone in seq);
+    * within-bucket flag changes come from a `lag` window PARTITIONED BY
+    * the bucket; one per-bucket aggregate collapses to a bucket frame
+    * carrying (changes, first flag, last flag, counts); the only
+    * unpartitioned window (`lag` of the previous bucket's last flag)
+    * runs over THAT metadata-sized frame; a final 1-row fold adds the
+    * boundary changes. A corpus-sized sequence never sees a
+    * SinglePartition sort — the [[prefixByValue]] contract.
+    *
+    * Exact core: `R`, `n₁`, `n₀` are exact longs. With `A = 2·n₁·n₀`,
+    * `μ = 1 + A/n` and `σ² = A·(A−n)/(n²·(n−1))`, so
+    *
+    *   z² = (R·n − n − A)²·(n−1) / (n²·σ²·n²) = (R·n − n − A)²·(n−1) / (A·(A−n))
+    *
+    * — numerator longs, one fixed double chain, the shared [[MwZ2Crit]]
+    * cut. Degenerate sequences (either flag absent, or A = n) yield
+    * NULL z².
+    *
+    * Output: `(n, n1, n0, runs, z2, significant)`.
+    */
+  def runsTest(
+      df: DataFrame, seq: Column, flag: Column,
+      bucketWidth: Long = 4096L): DataFrame = {
+    require(bucketWidth > 0, s"bad bucketWidth: $bucketWidth")
+    val v = df.select(seq.cast("long").as("s"), flag.cast("boolean").as("f"))
+      .filter(col("s").isNotNull && col("f").isNotNull)
+      .withColumn("pfx_b", expr(s"s DIV $bucketWidth"))
+    val inBucket = Window.partitionBy(col("pfx_b")).orderBy(col("s"))
+    val lagged = v.withColumn("chg",
+      when(lag(col("f"), 1).over(inBucket).isNotNull &&
+        col("f") =!= lag(col("f"), 1).over(inBucket), 1L).otherwise(0L))
+    val bucketFrame = lagged.groupBy(col("pfx_b")).agg(
+      sum(col("chg")).as("chg"),
+      min_by(col("f"), col("s")).as("first_f"),
+      max_by(col("f"), col("s")).as("last_f"),
+      count(lit(1)).as("cnt"),
+      sum(col("f").cast("long")).as("cnt1"))
+    val byB = Window.orderBy(col("pfx_b"))
+    val withBoundary = bucketFrame.withColumn("bchg",
+      when(lag(col("last_f"), 1).over(byB).isNotNull &&
+        col("first_f") =!= lag(col("last_f"), 1).over(byB), 1L).otherwise(0L))
+    val m = withBoundary.agg(
+      coalesce(sum(col("cnt")), lit(0L)).as("n"),
+      coalesce(sum(col("cnt1")), lit(0L)).as("n1"),
+      coalesce(sum(col("chg")) + sum(col("bchg")), lit(-1L)).as("chgs"))
+    val n0 = col("n") - col("n1")
+    val runs = when(col("n") > 0L, col("chgs") + 1L).otherwise(lit(0L))
+    val a = lit(2L) * col("n1") * n0
+    val d = runs * col("n") - col("n") - a
+    val z2 = (d.cast("double") * d.cast("double")) *
+      (col("n") - 1L).cast("double") /
+      (a.cast("double") * (a - col("n")).cast("double"))
+    val ok = col("n1") > 0L && n0 > 0L && a > col("n")
+    m.select(
+      col("n"), col("n1"), n0.as("n0"), runs.as("runs"),
+      when(ok, z2).as("z2"),
+      when(ok, (z2 >= MwZ2Crit).cast("int")).as("significant"))
+  }
+
+  // ------------------------------------------------- lift / gains curve
+
+  /** Operating curve (gains/lift) of a scored binary classifier — the
+    * threshold-sweep readout behind [[rocAuc]]'s single number: at every
+    * distinct score `s`, the head selected by `score ≥ s` with its
+    * depth, precision, recall, and lift over the base rate. A curation
+    * pipeline reads this to pick the quality-score cutoff that keeps X%
+    * of the corpus at Y× base-rate purity.
+    *
+    * Exact-integer core: `n_ge = tot − preBelow(s) ` and `pos_ge`
+    * likewise are exact longs off ONE [[prefixByValue]] two-phase scan
+    * (both count columns ride the same scan); depth/precision/recall
+    * land on the ×10⁶ grid via intdiv — float-free. Lift alone closes
+    * as a fixed double chain `(pos_ge/n_ge)/(tot_pos/tot)` (its exact
+    * rational needs a 128-bit product; the two-division form is
+    * engine-exact at any n).
+    *
+    * Scale shape: one value-keyed aggregate + the bucketed prefix scan;
+    * output is distinct-score-sized (bounded for lexicon/quantized
+    * scores; still never a SinglePartition sort when it isn't).
+    *
+    * Output per distinct score: `(score, n_ge, pos_ge, depth_micro,
+    * precision_micro, recall_micro, lift)`.
+    */
+  def liftGains(df: DataFrame, label: Column, score: Column): DataFrame = {
+    val v = df.select(
+      label.cast("boolean").as("y"), score.cast("long").as("v"))
+      .filter(col("y").isNotNull && col("v").isNotNull)
+    val byv = v.groupBy("v").agg(
+      count(lit(1)).as("cnt"),
+      coalesce(sum(col("y").cast("long")), lit(0L)).as("pos"))
+    val cum = prefixByValue(byv, Seq("cnt", "pos"))
+    val nGe = col("tot_cnt") - col("pre_cnt")
+    val posGe = col("tot_pos") - col("pre_pos")
+    val lift = when(col("tot_pos") > 0L && nGe > 0L,
+      (posGe.cast("double") / nGe.cast("double")) /
+        (col("tot_pos").cast("double") / col("tot_cnt").cast("double")))
+    cum.select(
+      col("v").as("score"), nGe.as("n_ge"), posGe.as("pos_ge"),
+      expr("(1000000 * (tot_cnt - pre_cnt)) DIV tot_cnt").as("depth_micro"),
+      expr("(1000000 * (tot_pos - pre_pos)) DIV (tot_cnt - pre_cnt)")
+        .as("precision_micro"),
+      when(col("tot_pos") > 0L,
+        expr("(1000000 * (tot_pos - pre_pos)) DIV tot_pos"))
+        .as("recall_micro"),
+      lift.as("lift"))
+  }
+
+  // ------------------------------------------------- Kendall's tau-b
+
+  /** Kendall's τ-b between a corpus-scale value and a LITERAL ordinal
+    * scale (priority levels, star ratings, quality tiers) — the
+    * concordance complement to [[graft.ops.ProfileOps.spearman]] when
+    * one axis is a small ordered label set. The ordinal levels pivot
+    * into fixed columns (the [[kruskalWallis]] shape), so concordant /
+    * discordant pair counts need NO pair join at all: off one
+    * [[prefixByValue]] scan carrying the k per-level count columns,
+    * each cell `(v, level j)` knows how many observations have strictly
+    * smaller value and lower level (`Σ_{j'<j} pre_{j'}` — row-local
+    * fold over k literal columns), giving exact-long
+    *
+    *   P = Σ_cells c_j(v)·Σ_{j'<j} pre_{j'}(v),  Q = Σ_cells c_j(v)·Σ_{j'>j} pre_{j'}(v)
+    *
+    * counting each observation pair exactly once (from its larger-value
+    * member). Doubled tie terms stay long-exact; τ-b closes as ONE fixed
+    * double chain
+    *
+    *   τ_b = 2·(P−Q) / sqrt((n·(n−1) − tx2)·(n·(n−1) − ty2))
+    *
+    * (`tx2 = Σ_v t(t−1)`, `ty2 = Σ_j T_j(T_j−1)` — doubled tie counts),
+    * and Goodman–Kruskal γ = (P−Q)/(P+Q) lands exactly on the ×10⁶ grid
+    * via intdiv. Pair-count contract: `n·(n−1) < 2^63` (n < 3·10⁹ —
+    * beyond corpus row counts; ANSI raises loudly on breach).
+    *
+    * Scale shape: one value-keyed aggregate + the two-phase bucketed
+    * scan + a 1-row fold — the value domain is unbounded (more buckets,
+    * never a one-task sort); only the LEVEL set must be literal.
+    *
+    * Output: `(n, p_conc, q_disc, tx2, ty2, tau_b, gamma_micro)`.
+    */
+  def kendallTauB(
+      df: DataFrame, value: Column, level: Column,
+      levels: Seq[String]): DataFrame = {
+    require(levels.size >= 2, "kendallTauB needs at least two levels")
+    require(levels.distinct.size == levels.size, "duplicate levels")
+    val v = df.select(value.cast("long").as("v"), level.cast("string").as("g"))
+      .filter(col("v").isNotNull && col("g").isInCollection(levels))
+    val cntCols = levels.zipWithIndex.map { case (gl, i) =>
+      coalesce(sum(when(col("g") === lit(gl), 1L)), lit(0L)).as(s"c_$i")
+    }
+    val byv = v.groupBy("v").agg(count(lit(1)).as("cnt"), cntCols: _*)
+    val cum = prefixByValue(byv, ("cnt" +: levels.indices.map(i => s"c_$i")))
+    def below(j: Int): Column =
+      if (j == 0) lit(0L)
+      else (0 until j).map(i => col(s"pre_c_$i")).reduce(_ + _)
+    def above(j: Int): Column =
+      if (j == levels.size - 1) lit(0L)
+      else (j + 1 until levels.size).map(i => col(s"pre_c_$i")).reduce(_ + _)
+    val pRow = levels.indices.map(j => col(s"c_$j") * below(j)).reduce(_ + _)
+    val qRow = levels.indices.map(j => col(s"c_$j") * above(j)).reduce(_ + _)
+    val aggCols = Seq(
+      coalesce(sum(col("cnt")), lit(0L)).as("n"),
+      coalesce(sum(pRow), lit(0L)).as("p_conc"),
+      coalesce(sum(qRow), lit(0L)).as("q_disc"),
+      coalesce(sum(col("cnt") * (col("cnt") - 1L)), lit(0L)).as("tx2")) ++
+      levels.indices.map(i => max(col(s"tot_c_$i")).as(s"ty_$i"))
+    val m = cum.agg(aggCols.head, aggCols.tail: _*)
+    val ty2 = levels.indices.map(i =>
+      coalesce(col(s"ty_$i") * (col(s"ty_$i") - 1L), lit(0L))).reduce(_ + _)
+    val pairs2 = col("n") * (col("n") - 1L)
+    val dx = pairs2 - col("tx2")
+    val dy = pairs2 - ty2
+    val pq = col("p_conc") - col("q_disc")
+    val tau = when(dx > 0L && dy > 0L,
+      lit(2.0) * pq.cast("double") /
+        sqrt(dx.cast("double") * dy.cast("double")))
+    m.select(
+      col("n"), col("p_conc"), col("q_disc"), col("tx2"), ty2.as("ty2"),
+      tau.as("tau_b"),
+      when(col("p_conc") + col("q_disc") > 0L,
+        // sign split keeps the intdiv numerator nonnegative, where
+        // floor and truncation agree — division-direction-proof
+        expr("""CASE WHEN p_conc >= q_disc
+               THEN (1000000 * (p_conc - q_disc)) DIV (p_conc + q_disc)
+               ELSE -((1000000 * (q_disc - p_conc)) DIV (p_conc + q_disc))
+               END"""))
+        .as("gamma_micro"))
+  }
 }

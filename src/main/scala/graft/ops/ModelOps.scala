@@ -376,4 +376,87 @@ object ModelOps {
       .select(col("p").as("player"), col("games"), col("wins"),
         col("pi").as("rating_fx"))
   }
+
+  // ------------------------------------------- autocorrelation function
+
+  /** Sample autocorrelation of a daily metric series at lags 1..maxLag,
+    * plus the Durbin-Watson statistic — the "is yesterday predictive of
+    * today / are the residuals serially dependent?" readout behind every
+    * telemetry trend fit ([[olsTrend]] assumes independent errors; this
+    * measures how wrong that is). The series is the grouped daily sum of
+    * a cents metric, ordered by day; observed days are treated as
+    * consecutive (a business series skips quiet days).
+    *
+    * Exact core: with all of `n, S=Σx, Σx², Σx·x₊ₗ, H_l, T_l` (head/tail
+    * sums of each lag-pair window) accumulated as DECIMAL(38,0) exact
+    * integers (the [[graft.ops.ProfileOps.spearman]] 128-bit-moment
+    * discipline), the mean-centered sums multiply out float-free:
+    *
+    *   n²·num_l = n²·Σx·x₊ₗ − n·S·(H_l+T_l) + (n−l)·S²
+    *   n²·den   = n²·Σx²    − n·S²
+    *
+    * so acf_l = num_l/den and DW = Σ(Δx)²/den close as single divisions
+    * of exact 128-bit integers cast to double — engine-identical.
+    * Value contract: `n²·Σx² < 10^38` (daily totals to ~10^12 cents on a
+    * 30-year calendar) — decimal overflow raises, never wraps.
+    *
+    * Scale shape: the corpus collapses through ONE map-side-combined
+    * day-keyed aggregate; every window after that runs on the
+    * CALENDAR-BOUNDED daily frame (the [[ExperimentOps.bhFdr]]
+    * metadata-frame contract — thousands of rows, not corpus rows), and
+    * the lag columns share one window spec. Output is maxLag rows.
+    *
+    * Output per lag: `(lag, n_pairs, acf, dw)` — dw only on the lag-1
+    * row (it is a lag-1 statistic).
+    */
+  def acfSeries(
+      df: DataFrame, day: Column, cents: Column, maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 64, s"bad maxLag: $maxLag")
+    val daily = df
+      .select(day.cast("date").as("dt"), cents.cast("long").as("c"))
+      .filter(col("dt").isNotNull && col("c").isNotNull)
+      .groupBy(unix_date(col("dt")).cast("long").as("d"))
+      .agg(sum(col("c")).as("x"))
+    val w = Window.orderBy(col("d"))
+    val dec = "decimal(38,0)"
+    val lagged = daily.select(
+      col("x") +: (1 to maxLag).map(l =>
+        lag(col("x"), l).over(w).as(s"x_$l")): _*)
+    val perLag = (1 to maxLag).flatMap { l =>
+      val xl = col(s"x_$l")
+      Seq(
+        count(xl).as(s"np_$l"),
+        coalesce(sum((col("x").cast(dec)) * xl.cast(dec)), lit(0L).cast(dec))
+          .as(s"cross_$l"),
+        coalesce(sum(when(xl.isNotNull, col("x")).cast(dec)),
+          lit(0L).cast(dec)).as(s"t_$l"),
+        coalesce(sum(xl.cast(dec)), lit(0L).cast(dec)).as(s"h_$l"))
+    }
+    val aggCols = Seq(
+      count(lit(1)).as("n"),
+      coalesce(sum(col("x").cast(dec)), lit(0L).cast(dec)).as("s"),
+      coalesce(sum(col("x").cast(dec) * col("x").cast(dec)),
+        lit(0L).cast(dec)).as("sxx"),
+      coalesce(sum((col("x") - col("x_1")).cast(dec) *
+        (col("x") - col("x_1")).cast(dec)), lit(0L).cast(dec))
+        .as("sd2")) ++ perLag
+    val m = lagged.agg(aggCols.head, aggCols.tail: _*)
+    val nDec = col("n").cast(dec)
+    val den = nDec * nDec * col("sxx") - nDec * col("s") * col("s")
+    val dw = when(den > 0, (nDec * nDec * col("sd2")).cast("double") /
+      den.cast("double"))
+    val rows = (1 to maxLag).map { l =>
+      val num = nDec * nDec * col(s"cross_$l") -
+        nDec * col("s") * (col(s"h_$l") + col(s"t_$l")) +
+        (nDec - l) * col("s") * col("s")
+      struct(
+        lit(l).as("lag"), col(s"np_$l").as("n_pairs"),
+        when(den > 0 && col(s"np_$l") > 0L,
+          num.cast("double") / den.cast("double")).as("acf"),
+        (if (l == 1) dw else lit(null).cast("double")).as("dw"))
+    }
+    m.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.lag").as("lag"), col("r.n_pairs").as("n_pairs"),
+        col("r.acf").as("acf"), col("r.dw").as("dw"))
+  }
 }

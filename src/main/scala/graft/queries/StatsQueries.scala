@@ -683,6 +683,96 @@ private[queries] object StatsQueries {
         .select(col("tr"), col("pp.po").as("po"), col("pp.y").as("y"))
       SurvivalOps.did(cells, col("tr"), col("po"), col("y"))
     }),
+
+    // Kruskal-Wallis H across ALL FIVE market segments — q_anova_f's
+    // nonparametric omnibus sibling: doubled midranks on the two-phase
+    // prefix scan keep every per-segment rank sum an exact long; H and
+    // its tie correction close as one fixed double chain against the
+    // shared χ²₄ literal.
+    "q_kruskal_wallis" -> ((s, dir) =>
+      ExperimentOps.kruskalWallis(
+        t(s, dir, "customer"), col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("long"), MktSegments,
+        ExperimentOps.Chi2Crit4Df)),
+
+    // Kendall τ-b between order value and the LITERAL priority ladder —
+    // concordance with NO pair join: the five level counts ride one
+    // two-phase prefix scan, so P/Q are exact longs off row-local level
+    // folds; τ-b one fixed chain, Goodman-Kruskal γ exact ×10⁶ intdiv.
+    "q_kendall_tau" -> ((s, dir) =>
+      ExperimentOps.kendallTauB(
+        t(s, dir, "orders"),
+        round(col("o_totalprice") * 100).cast("long"),
+        col("o_orderpriority"), PriorityLadder)),
+
+    // McNemar paired-model gate: lexicon-margin classifier vs the naive
+    // "mentions data" rule, both judged on lang='en' over the SAME docs
+    // — only the discordant cells matter; exact longs, χ²₁ chain.
+    "q_mcnemar" -> ((s, dir) => {
+      val truth = col("lang") === "en"
+      ExperimentOps.mcnemar(
+        t(s, dir, "documents")
+          .filter(col("lang").isNotNull && col("text").isNotNull),
+        (TextOps.classifierMargin(col("text"), qualityLexicon) > 0L) ===
+          truth,
+        array_contains(TextOps.tokens(lower(col("text"))), "data") === truth)
+    }),
+
+    // Cochran's Q over three corpus quality filters (length, lexicon
+    // margin, stopword presence) judged on the same docs — the k=3
+    // extension of q_mcnemar: do the filters' pass rates differ
+    // anywhere? Row sums are row-local; one aggregate pass.
+    "q_cochran_q" -> ((s, dir) =>
+      ExperimentOps.cochranQ(
+        t(s, dir, "documents")
+          .filter(col("text").isNotNull && col("n_chars").isNotNull),
+        Seq(
+          "len" -> (col("n_chars") >= 120L),
+          "lex" -> (TextOps.classifierMargin(col("text"),
+            qualityLexicon) > 0L),
+          "stop" -> array_contains(TextOps.tokens(lower(col("text"))),
+            "the")),
+        ExperimentOps.Chi2Crit2Df)),
+
+    // Wald-Wolfowitz runs test: does open-vs-closed status clump along
+    // the orderkey ingest sequence? Two-phase bucketed scan with NO
+    // join — within-bucket lag changes, boundary changes off the
+    // metadata-sized bucket frame, one fixed z² chain.
+    "q_runs_test" -> ((s, dir) =>
+      ExperimentOps.runsTest(
+        t(s, dir, "orders"), col("o_orderkey"),
+        col("o_orderstatus") === "O")),
+
+    // Gains/lift operating curve of the lexicon classifier against
+    // lang='en' (q_auc's threshold sweep): depth/precision/recall exact
+    // on the ×10⁶ grid off ONE two-phase prefix scan; lift the only
+    // float, a fixed two-division chain.
+    "q_lift_gains" -> ((s, dir) =>
+      ExperimentOps.liftGains(
+        t(s, dir, "documents").filter(col("lang").isNotNull),
+        col("lang") === "en",
+        TextOps.classifierMargin(col("text"), qualityLexicon))),
+
+    // Autocorrelation of the daily order-revenue series at lags 1..7
+    // plus Durbin-Watson — serial-dependence readout behind q_ols_trend:
+    // decimal-128 moments make every centered sum exact; one division
+    // per lag. Corpus collapses through one day-keyed aggregate; all
+    // windows run on the calendar-bounded daily frame.
+    "q_acf" -> ((s, dir) =>
+      ModelOps.acfSeries(
+        t(s, dir, "orders"), col("o_orderdate"),
+        round(col("o_totalprice") * 100).cast("long"), maxLag = 7)),
+
+    // Chapman capture-recapture estimate of the active-user population
+    // from two observation windows (first vs second half-month) against
+    // the observed union — exact intdiv, one user-keyed aggregate.
+    "q_capture_recapture" -> ((s, dir) => {
+      val day = datediff(to_date(col("ts")),
+        lit("2024-01-01").cast("date")).cast("long")
+      EstimatorOps.captureRecapture(
+        RefQueries.events(s, dir), col("user_id"),
+        day < 15L, day >= 15L)
+    }),
   )
 
   /** Shared survival fixture: one row per user with `entry` (first event
@@ -715,6 +805,29 @@ private[queries] object StatsQueries {
     */
   private val MktSegments: Seq[String] =
     Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+  /** The TPC-H priority ladder as an ORDERED literal ordinal scale
+    * (lowest first) — the level axis for Kendall τ-b (level order is
+    * semantics, not data).
+    */
+  private val PriorityLadder: Seq[String] = Seq(
+    "5-LOW", "4-NOT SPECIFIED", "3-MEDIUM", "2-HIGH", "1-URGENT")
+
+  /** The q_auc lexicon-margin CTE prefix (`w`/`tk`/`mm`): per-doc margin
+    * of the frozen quality lexicon, docs with no lexicon hits coalesced
+    * to 0 downstream — shared by the paired-classifier oracles so the
+    * margin definition cannot drift between them.
+    */
+  private lazy val lexMarginCtes: String = {
+    val vals = qualityLexicon.toSeq.sortBy(_._1)
+      .map { case (k, v2) => s"('$k', CAST($v2 AS BIGINT))" }.mkString(", ")
+    s"""w(tok, wt) AS (VALUES $vals),
+       |tk AS (SELECT doc_id, unnest(${S.tokens("lower(text)")}) AS tok
+       |       FROM documents),
+       |mm AS (SELECT doc_id, CAST(COALESCE(sum(wt), 0) AS BIGINT)
+       |         AS margin
+       |       FROM tk LEFT JOIN w USING (tok) GROUP BY doc_id)""".stripMargin
+  }
 
   /** DuckDB replay of [[graft.ops.ExperimentOps.anovaF]] over a source
     * CTE named `srcCte` emitting `(g, v)`: per-group moment pivot, then
@@ -2313,6 +2426,332 @@ private[queries] object StatsQueries {
         |  n_c_pre, s_c_pre, n_c_post, s_c_post,
         |  m_t_pre, m_t_post, m_c_pre, m_c_post,
         |  (m_t_post - m_t_pre) - (m_c_post - m_c_pre) AS did
+        |FROM m""".stripMargin,
+
+    // Doubled-midrank replay per segment (the q_mann_whitney identity,
+    // k-ary), exact tie term, the identical fixed-order H chain, the
+    // shared χ²₄ literal.
+    "q_kruskal_wallis" -> {
+      val is = MktSegments.indices
+      val crit = dlit(ExperimentOps.Chi2Crit4Df)
+      val ccols = MktSegments.zipWithIndex.map { case (gl, i) =>
+        s"CAST(count(*) FILTER (WHERE g = '$gl') AS BIGINT) AS c_$i"
+      }.mkString(",\n    ")
+      val aggs = is.map(i =>
+        s"""CAST(coalesce(sum(c_$i), 0) AS BIGINT) AS n_$i,
+           |    CAST(coalesce(sum(c_$i * (2 * cum + cnt + 1)), 0) AS BIGINT)
+           |      AS r2_$i""".stripMargin).mkString(",\n    ")
+      val terms = is.map(i =>
+        s"""CASE WHEN n_$i > 0 THEN (CAST(r2_$i AS DOUBLE) *
+           | CAST(r2_$i AS DOUBLE)) / CAST(n_$i AS DOUBLE)
+           | ELSE CAST(0 AS DOUBLE) END""".stripMargin.replace("\n", ""))
+        .mkString(" + ")
+      val kExpr = is.map(i => s"CASE WHEN n_$i > 0 THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH v AS (SELECT c_mktsegment AS g,
+         |    CAST(round(c_acctbal * 100) AS BIGINT) AS v
+         |  FROM customer
+         |  WHERE c_mktsegment IN (${MktSegments.map(g => s"'$g'")
+          .mkString(", ")})
+         |    AND c_acctbal IS NOT NULL),
+         |byv AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt,
+         |    $ccols
+         |  FROM v GROUP BY v),
+         |cum AS (SELECT *,
+         |    CAST(coalesce(sum(cnt) OVER (ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cum
+         |  FROM byv),
+         |ag AS (SELECT
+         |    $aggs,
+         |    CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n,
+         |    CAST(coalesce(sum(cnt * cnt * cnt - cnt), 0) AS BIGINT)
+         |      AS t_ties
+         |  FROM cum),
+         |f AS (SELECT *, (n + 1) * n * (n - 1) AS tieden,
+         |    CAST($kExpr AS BIGINT) AS k FROM ag),
+         |hh AS (SELECT *,
+         |    CASE WHEN n > 0 AND tieden > t_ties THEN
+         |      (${dlit(3.0)} * ($terms)
+         |         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + ${dlit(1.0)}))
+         |       - ${dlit(3.0)} * (CAST(n AS DOUBLE) + ${dlit(1.0)}))
+         |      / (${dlit(1.0)} - CAST(t_ties AS DOUBLE)
+         |                        / CAST(tieden AS DOUBLE))
+         |    END AS h
+         |  FROM f)
+         |SELECT k, n, t_ties, h,
+         |  CASE WHEN h IS NOT NULL AND k = ${MktSegments.size}
+         |       THEN CAST(h >= $crit AS INT) END AS significant
+         |FROM hh""".stripMargin
+    },
+
+    // Cell-based concordance replay: per-level cumulative windows over
+    // the distinct-value frame, row-local below/above folds, exact
+    // doubled tie terms, the identical τ-b chain and the sign-split
+    // division-direction-proof γ intdiv.
+    "q_kendall_tau" -> {
+      val is = PriorityLadder.indices
+      val ccols = PriorityLadder.zipWithIndex.map { case (gl, i) =>
+        s"CAST(count(*) FILTER (WHERE g = '$gl') AS BIGINT) AS c_$i"
+      }.mkString(",\n    ")
+      val pres = is.map(i =>
+        s"""CAST(coalesce(sum(c_$i) OVER (ORDER BY v
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS BIGINT) AS p_$i""".stripMargin).mkString(",\n    ")
+      def below(j: Int) =
+        if (j == 0) "0" else (0 until j).map(i => s"p_$i").mkString(" + ")
+      def above(j: Int) =
+        if (j == is.last) "0"
+        else (j + 1 to is.last).map(i => s"p_$i").mkString(" + ")
+      val pRow = is.map(j => s"c_$j * (${below(j)})").mkString(" + ")
+      val qRow = is.map(j => s"c_$j * (${above(j)})").mkString(" + ")
+      val tots = is.map(i =>
+        s"CAST(coalesce(sum(c_$i), 0) AS BIGINT) AS t_$i").mkString(",\n    ")
+      val ty2 = is.map(i => s"(t_$i * (t_$i - 1))").mkString(" + ")
+      s"""WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+         |    o_orderpriority AS g
+         |  FROM orders WHERE o_totalprice IS NOT NULL
+         |    AND o_orderpriority IN (${PriorityLadder.map(g => s"'$g'")
+          .mkString(", ")})),
+         |byv AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt,
+         |    $ccols
+         |  FROM v GROUP BY v),
+         |cum AS (SELECT *,
+         |    $pres
+         |  FROM byv),
+         |ag AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n,
+         |    CAST(coalesce(sum($pRow), 0) AS BIGINT) AS p_conc,
+         |    CAST(coalesce(sum($qRow), 0) AS BIGINT) AS q_disc,
+         |    CAST(coalesce(sum(cnt * (cnt - 1)), 0) AS BIGINT) AS tx2,
+         |    $tots
+         |  FROM cum),
+         |fin AS (SELECT *, n * (n - 1) AS pairs2,
+         |    CAST($ty2 AS BIGINT) AS ty2 FROM ag)
+         |SELECT n, p_conc, q_disc, tx2, ty2,
+         |  CASE WHEN pairs2 - tx2 > 0 AND pairs2 - ty2 > 0 THEN
+         |    ${dlit(2.0)} * CAST(p_conc - q_disc AS DOUBLE)
+         |      / sqrt(CAST(pairs2 - tx2 AS DOUBLE)
+         |             * CAST(pairs2 - ty2 AS DOUBLE))
+         |  END AS tau_b,
+         |  CASE WHEN p_conc + q_disc > 0 THEN
+         |    CASE WHEN p_conc >= q_disc
+         |      THEN CAST((1000000 * (p_conc - q_disc))
+         |                // (p_conc + q_disc) AS BIGINT)
+         |      ELSE -CAST((1000000 * (q_disc - p_conc))
+         |                 // (p_conc + q_disc) AS BIGINT) END
+         |  END AS gamma_micro
+         |FROM fin""".stripMargin
+    },
+
+    // Discordant-cell counts over the joined margin/rule predictions,
+    // the identical (b−c)²/(b+c) chain, the shared χ²₁ literal.
+    "q_mcnemar" ->
+      s"""WITH $lexMarginCtes,
+         |v AS (SELECT
+         |    (COALESCE(mm.margin, 0) > 0) = (d.lang = 'en') AS r1,
+         |    list_contains(${S.tokens("lower(d.text)")}, 'data')
+         |      = (d.lang = 'en') AS r2
+         |  FROM documents d LEFT JOIN mm USING (doc_id)
+         |  WHERE d.lang IS NOT NULL AND d.text IS NOT NULL),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(coalesce(sum(CASE WHEN r1 AND NOT r2 THEN 1 END), 0)
+         |      AS BIGINT) AS b_only,
+         |    CAST(coalesce(sum(CASE WHEN NOT r1 AND r2 THEN 1 END), 0)
+         |      AS BIGINT) AS c_only
+         |  FROM v),
+         |c2 AS (SELECT *,
+         |    CASE WHEN b_only + c_only > 0 THEN
+         |      (CAST(b_only - c_only AS DOUBLE)
+         |       * CAST(b_only - c_only AS DOUBLE))
+         |      / CAST(b_only + c_only AS DOUBLE) END AS chi2
+         |  FROM m)
+         |SELECT n, b_only, c_only, chi2,
+         |  CASE WHEN chi2 IS NOT NULL
+         |       THEN CAST(chi2 >= ${dlit(ExperimentOps.MwZ2Crit)} AS INT)
+         |  END AS significant
+         |FROM c2""".stripMargin,
+
+    // Row-local pass-count moments, pivoted column totals, the
+    // identical fixed Q chain, the shared χ²₂ literal.
+    "q_cochran_q" ->
+      s"""WITH $lexMarginCtes,
+         |v AS (SELECT
+         |    CASE WHEN d.n_chars >= 120 THEN 1 ELSE 0 END AS f0,
+         |    CASE WHEN COALESCE(mm.margin, 0) > 0 THEN 1 ELSE 0 END AS f1,
+         |    CASE WHEN list_contains(${S.tokens("lower(d.text)")}, 'the')
+         |      THEN 1 ELSE 0 END AS f2
+         |  FROM documents d LEFT JOIN mm USING (doc_id)
+         |  WHERE d.text IS NOT NULL AND d.n_chars IS NOT NULL),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(coalesce(sum(f0), 0) AS BIGINT) AS g_0,
+         |    CAST(coalesce(sum(f1), 0) AS BIGINT) AS g_1,
+         |    CAST(coalesce(sum(f2), 0) AS BIGINT) AS g_2,
+         |    CAST(coalesce(sum(f0 + f1 + f2), 0) AS BIGINT) AS sum_l,
+         |    CAST(coalesce(sum((f0 + f1 + f2) * (f0 + f1 + f2)), 0)
+         |      AS BIGINT) AS sum_l2
+         |  FROM v),
+         |qq AS (SELECT *,
+         |    CASE WHEN ${dlit(3.0)} * CAST(sum_l AS DOUBLE)
+         |              - CAST(sum_l2 AS DOUBLE) > ${dlit(0.0)} THEN
+         |      ${dlit(2.0)} * (${dlit(3.0)} *
+         |          (CAST(g_0 AS DOUBLE) * CAST(g_0 AS DOUBLE)
+         |           + CAST(g_1 AS DOUBLE) * CAST(g_1 AS DOUBLE)
+         |           + CAST(g_2 AS DOUBLE) * CAST(g_2 AS DOUBLE))
+         |        - CAST(sum_l AS DOUBLE) * CAST(sum_l AS DOUBLE))
+         |      / (${dlit(3.0)} * CAST(sum_l AS DOUBLE)
+         |         - CAST(sum_l2 AS DOUBLE)) END AS q_stat
+         |  FROM m)
+         |SELECT n, g_0 AS n_len, g_1 AS n_lex, g_2 AS n_stop, q_stat,
+         |  CASE WHEN q_stat IS NOT NULL
+         |       THEN CAST(q_stat >= ${dlit(ExperimentOps.Chi2Crit2Df)}
+         |                 AS INT) END AS significant
+         |FROM qq""".stripMargin,
+
+    // Naive single-window replay of the two-phase runs count, then the
+    // identical z² chain against the shared 1.96² literal.
+    "q_runs_test" ->
+      s"""WITH v AS (SELECT o_orderkey AS s, o_orderstatus = 'O' AS f
+         |  FROM orders
+         |  WHERE o_orderkey IS NOT NULL AND o_orderstatus IS NOT NULL),
+         |l AS (SELECT f,
+         |    CASE WHEN lag(f) OVER (ORDER BY s) IS NOT NULL
+         |          AND f <> lag(f) OVER (ORDER BY s)
+         |         THEN 1 ELSE 0 END AS chg
+         |  FROM v),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(coalesce(sum(CASE WHEN f THEN 1 END), 0) AS BIGINT) AS n1,
+         |    CAST(coalesce(sum(chg), -1) AS BIGINT) AS chgs
+         |  FROM l),
+         |f2 AS (SELECT n, n1, n - n1 AS n0,
+         |    CASE WHEN n > 0 THEN chgs + 1 ELSE 0 END AS runs FROM m),
+         |f3 AS (SELECT *, 2 * n1 * n0 AS a,
+         |    runs * n - n - 2 * n1 * n0 AS d FROM f2),
+         |f4 AS (SELECT *,
+         |    CASE WHEN n1 > 0 AND n0 > 0 AND a > n THEN
+         |      (CAST(d AS DOUBLE) * CAST(d AS DOUBLE))
+         |        * CAST(n - 1 AS DOUBLE)
+         |      / (CAST(a AS DOUBLE) * CAST(a - n AS DOUBLE)) END AS z2
+         |  FROM f3)
+         |SELECT n, n1, CAST(n0 AS BIGINT) AS n0, CAST(runs AS BIGINT) AS runs,
+         |  z2,
+         |  CASE WHEN z2 IS NOT NULL
+         |       THEN CAST(z2 >= ${dlit(ExperimentOps.MwZ2Crit)} AS INT)
+         |  END AS significant
+         |FROM f4""".stripMargin,
+
+    // The q_auc margin frame swept over every distinct score: exact
+    // ×10⁶ intdiv depth/precision/recall, lift as the identical fixed
+    // two-division chain.
+    "q_lift_gains" ->
+      s"""WITH $lexMarginCtes,
+         |v AS (SELECT d.lang = 'en' AS y, COALESCE(mm.margin, 0) AS v
+         |  FROM documents d LEFT JOIN mm USING (doc_id)
+         |  WHERE d.lang IS NOT NULL AND d.text IS NOT NULL),
+         |byv AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt,
+         |    CAST(coalesce(sum(CASE WHEN y THEN 1 END), 0) AS BIGINT) AS pos
+         |  FROM v GROUP BY v),
+         |cum AS (SELECT v, cnt, pos,
+         |    CAST(coalesce(sum(cnt) OVER (ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS pre_cnt,
+         |    CAST(coalesce(sum(pos) OVER (ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS pre_pos,
+         |    CAST(sum(cnt) OVER () AS BIGINT) AS tot_cnt,
+         |    CAST(sum(pos) OVER () AS BIGINT) AS tot_pos
+         |  FROM byv)
+         |SELECT v AS score,
+         |  CAST(tot_cnt - pre_cnt AS BIGINT) AS n_ge,
+         |  CAST(tot_pos - pre_pos AS BIGINT) AS pos_ge,
+         |  CAST((1000000 * (tot_cnt - pre_cnt)) // tot_cnt AS BIGINT)
+         |    AS depth_micro,
+         |  CAST((1000000 * (tot_pos - pre_pos)) // (tot_cnt - pre_cnt)
+         |    AS BIGINT) AS precision_micro,
+         |  CASE WHEN tot_pos > 0 THEN
+         |    CAST((1000000 * (tot_pos - pre_pos)) // tot_pos AS BIGINT)
+         |  END AS recall_micro,
+         |  CASE WHEN tot_pos > 0 AND tot_cnt - pre_cnt > 0 THEN
+         |    (CAST(tot_pos - pre_pos AS DOUBLE)
+         |     / CAST(tot_cnt - pre_cnt AS DOUBLE))
+         |    / (CAST(tot_pos AS DOUBLE) / CAST(tot_cnt AS DOUBLE))
+         |  END AS lift
+         |FROM cum""".stripMargin,
+
+    // The daily series replayed with HUGEINT moments (exact 128-bit,
+    // the decimal-128 twin), identical n²-scaled centered sums, one
+    // division per lag.
+    "q_acf" -> {
+      val lags = 1 to 7
+      val lagCols = lags.map(l => s"lag(x, $l) OVER w AS x_$l")
+        .mkString(",\n    ")
+      val perLag = lags.map(l =>
+        s"""CAST(count(x_$l) AS BIGINT) AS np_$l,
+           |    coalesce(sum(CAST(x AS HUGEINT) * CAST(x_$l AS HUGEINT)), 0)
+           |      AS cross_$l,
+           |    coalesce(sum(CASE WHEN x_$l IS NOT NULL
+           |      THEN CAST(x AS HUGEINT) END), 0) AS t_$l,
+           |    coalesce(sum(CAST(x_$l AS HUGEINT)), 0) AS h_$l""".stripMargin)
+        .mkString(",\n    ")
+      val rows = lags.map { l =>
+        val num = s"nh * nh * cross_$l - nh * s * (h_$l + t_$l)" +
+          s" + (nh - $l) * s * s"
+        val dw =
+          if (l == 1)
+            """CASE WHEN den > 0 THEN CAST(nh * nh * sd2 AS DOUBLE)
+              |      / CAST(den AS DOUBLE) END""".stripMargin
+          else "CAST(NULL AS DOUBLE)"
+        s"""SELECT CAST($l AS INT) AS lag, np_$l AS n_pairs,
+           |  CASE WHEN den > 0 AND np_$l > 0 THEN CAST($num AS DOUBLE)
+           |    / CAST(den AS DOUBLE) END AS acf,
+           |  $dw AS dw
+           |FROM f2""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS dt,
+         |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+         |      AS BIGINT) AS x
+         |  FROM orders
+         |  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+         |  GROUP BY 1),
+         |lg AS (SELECT x,
+         |    $lagCols
+         |  FROM daily WINDOW w AS (ORDER BY dt)),
+         |ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    coalesce(sum(CAST(x AS HUGEINT)), 0) AS s,
+         |    coalesce(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)), 0)
+         |      AS sxx,
+         |    coalesce(sum(CAST(x - x_1 AS HUGEINT)
+         |      * CAST(x - x_1 AS HUGEINT)), 0) AS sd2,
+         |    $perLag
+         |  FROM lg),
+         |f AS (SELECT *, CAST(n AS HUGEINT) AS nh FROM ag),
+         |f2 AS (SELECT *, nh * nh * sxx - nh * s * s AS den FROM f)
+         |$rows""".stripMargin
+    },
+
+    // Per-user capture flags via bool_or, the exact Chapman intdiv.
+    "q_capture_recapture" ->
+      """WITH pu AS (SELECT user_id,
+        |    bool_or(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |      < 15) AS in1,
+        |    bool_or(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |      >= 15) AS in2
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+        |pf AS (SELECT user_id, coalesce(in1, false) AS in1,
+        |    coalesce(in2, false) AS in2 FROM pu),
+        |fl AS (SELECT * FROM pf WHERE in1 OR in2),
+        |m AS (SELECT
+        |    CAST(coalesce(sum(CASE WHEN in1 THEN 1 END), 0) AS BIGINT)
+        |      AS n1,
+        |    CAST(coalesce(sum(CASE WHEN in2 THEN 1 END), 0) AS BIGINT)
+        |      AS n2,
+        |    CAST(coalesce(sum(CASE WHEN in1 AND in2 THEN 1 END), 0)
+        |      AS BIGINT) AS m_both,
+        |    CAST(count(*) AS BIGINT) AS n_seen
+        |  FROM fl)
+        |SELECT n1, n2, m_both, n_seen,
+        |  CAST((n1 + 1) * (n2 + 1) // (m_both + 1) - 1 AS BIGINT) AS n_hat,
+        |  CAST(greatest(0, (n1 + 1) * (n2 + 1) // (m_both + 1) - 1 - n_seen)
+        |    AS BIGINT) AS unseen_hat
         |FROM m""".stripMargin,
   )
 }

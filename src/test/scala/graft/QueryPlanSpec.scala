@@ -556,7 +556,13 @@ class QueryPlanSpec extends SparkSpec {
     // rank sums ride the lateDataReport two-phase scan: the ONLY
     // unpartitioned windows run over the bucket-collapsed frame (ordered
     // by pfx_b), and the within-bucket phase is partitioned by pfx_b.
-    for (q <- Seq("q_mann_whitney", "q_ks_test", "q_auc")) {
+    // round-9 additions ride the same scan: Kruskal-Wallis and Kendall
+    // τ-b (k pivoted count columns on one prefixByValue), the gains
+    // sweep, and the runs test (whose only unpartitioned window is the
+    // bucket-frame boundary lag — metadata-sized by construction)
+    for (q <- Seq("q_mann_whitney", "q_ks_test", "q_auc",
+      "q_kruskal_wallis", "q_kendall_tau", "q_lift_gains",
+      "q_runs_test")) {
       val plan = finalPlan(q)
       val windows = plan.linesIterator.filter(_.contains("Window ")).toList
       assert(windows.nonEmpty, s"$q: expected bucket-frame windows:\n$plan")

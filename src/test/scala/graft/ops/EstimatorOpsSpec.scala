@@ -229,4 +229,39 @@ class EstimatorOpsSpec extends SparkSpec {
       $"g", $"y", $"cal").collect().head
     assert(row.getAs[Long]("n_cal") == 0L && row.getAs[Long]("n_test") == 0L)
   }
+
+  test("captureRecapture: hand Chapman estimate over multi-event units") {
+    // 6 units: 1,2,3,4 in capture 1; 3,4,5 in capture 2; 6 unseen-flagged
+    val events = Seq(
+      (1L, true, false), (1L, true, false), (2L, true, false),
+      (3L, true, false), (3L, false, true), (4L, true, true),
+      (5L, false, true), (5L, false, true), (6L, false, false))
+    val out = EstimatorOps.captureRecapture(
+      events.toDF("u", "c1", "c2"), $"u", $"c1", $"c2").collect().head
+    assert(out.getAs[Long]("n1") == 4L && out.getAs[Long]("n2") == 3L)
+    assert(out.getAs[Long]("m_both") == 2L)
+    assert(out.getAs[Long]("n_seen") == 5L, "never-captured unit excluded")
+    assert(out.getAs[Long]("n_hat") == 5L * 4L / 3L - 1L) // Chapman = 5
+    assert(out.getAs[Long]("unseen_hat") == 0L,
+      "estimate below the union floors at zero")
+  }
+
+  test("captureRecapture: null flags coalesce to uncaptured; empty frame " +
+    "yields the zero row") {
+    val events = Seq(
+      (1L, Some(true), None), (2L, None, Some(true)), (3L, None, None))
+    val out = EstimatorOps.captureRecapture(
+      events.toDF("u", "c1", "c2"), $"u", $"c1", $"c2").collect().head
+    assert(out.getAs[Long]("n1") == 1L && out.getAs[Long]("n2") == 1L &&
+      out.getAs[Long]("m_both") == 0L && out.getAs[Long]("n_seen") == 2L)
+    // (1+1)*(1+1) DIV 1 - 1 = 3: one unseen implied
+    assert(out.getAs[Long]("n_hat") == 3L &&
+      out.getAs[Long]("unseen_hat") == 1L)
+
+    val empty = EstimatorOps.captureRecapture(
+      Seq.empty[(Long, Boolean, Boolean)].toDF("u", "c1", "c2"),
+      $"u", $"c1", $"c2").collect().head
+    assert(empty.getAs[Long]("n_seen") == 0L &&
+      empty.getAs[Long]("n_hat") == 0L)
+  }
 }

@@ -501,4 +501,220 @@ class ExperimentOpsSpec extends SparkSpec {
     assert(rs.getAs[Double]("delta") == 0.0 &&
       rs.getAs[String]("magnitude") == "negligible")
   }
+
+  /** Scalar Kruskal-Wallis replica: doubled midranks, the identical
+    * fixed-order double chain.
+    */
+  private def kwScalar(
+      data: Seq[(String, Long)], groups: Seq[String]): Option[Double] = {
+    val n = data.size.toLong
+    if (n == 0) return None
+    val byV = data.groupBy(_._2)
+    val sorted = byV.keys.toSeq.sorted
+    val cumBelow = sorted.scanLeft(0L)((acc, v) => acc + byV(v).size).init
+    val dblRank = sorted.zip(cumBelow).map { case (v, c) =>
+      v -> (2L * c + byV(v).size + 1L)
+    }.toMap
+    val r2 = groups.map(g => data.filter(d => d._1 == g && true)
+      .map(d => dblRank(d._2)).sum)
+    val ng = groups.map(g => data.count(_._1 == g).toLong)
+    val tt = byV.values.map { rows =>
+      val t = rows.size.toLong; t * t * t - t
+    }.sum
+    val tieDen = (n + 1) * n * (n - 1)
+    if (tieDen <= tt) return None
+    val sumTerms = groups.indices.map { i =>
+      if (ng(i) > 0) r2(i).toDouble * r2(i).toDouble / ng(i).toDouble
+      else 0.0
+    }.reduce(_ + _)
+    val nD = n.toDouble
+    val hRaw = 3.0 * sumTerms / (nD * (nD + 1.0)) - 3.0 * (nD + 1.0)
+    Some(hRaw / (1.0 - tt.toDouble / tieDen.toDouble))
+  }
+
+  test("kruskalWallis == the scalar replica; separated groups reject") {
+    val gs = Seq("a", "b", "c")
+    // ties across and within groups; c clearly shifted
+    val data = Seq(
+      "a" -> 10L, "a" -> 12L, "a" -> 12L, "a" -> 15L, "a" -> 18L,
+      "b" -> 11L, "b" -> 12L, "b" -> 14L, "b" -> 15L, "b" -> 15L,
+      "c" -> 40L, "c" -> 41L, "c" -> 41L, "c" -> 45L, "c" -> 50L)
+    val out = ExperimentOps.kruskalWallis(
+      data.toDF("g", "v"), col("g"), col("v"), gs,
+      ExperimentOps.Chi2Crit2Df).collect().head
+    assert(out.getAs[Long]("k") == 3L && out.getAs[Long]("n") == 15L)
+    assert(out.getAs[Double]("h") == kwScalar(data, gs).get,
+      "H must be the exact IEEE chain")
+    assert(out.getAs[Int]("significant") == 1, "planted shift must reject")
+  }
+
+  test("kruskalWallis: all-tied NULL; empty listed group drops k and " +
+    "guards significance; layout-invariant") {
+    val tied = Seq("a" -> 5L, "b" -> 5L, "a" -> 5L, "b" -> 5L).toDF("g", "v")
+    val rt = ExperimentOps.kruskalWallis(
+      tied, col("g"), col("v"), Seq("a", "b"),
+      ExperimentOps.Chi2Crit2Df).collect().head
+    assert(rt.isNullAt(rt.fieldIndex("h")), "all values tied: NULL H")
+
+    val data = Seq("a" -> 1L, "a" -> 3L, "b" -> 2L, "b" -> 9L)
+    val re = ExperimentOps.kruskalWallis(
+      data.toDF("g", "v"), col("g"), col("v"), Seq("a", "b", "zzz"),
+      ExperimentOps.Chi2Crit2Df).collect().head
+    assert(re.getAs[Long]("k") == 2L)
+    assert(!re.isNullAt(re.fieldIndex("h")), "H over the populated groups")
+    assert(re.isNullAt(re.fieldIndex("significant")),
+      "df shifted: the literal critical value no longer applies")
+
+    val big = (0 until 400).map(i => (s"g${i % 3}", (i * 7 % 23).toLong))
+    val one = ExperimentOps.kruskalWallis(
+      spark.createDataFrame(big).toDF("g", "v").repartition(1),
+      col("g"), col("v"), Seq("g0", "g1", "g2"),
+      ExperimentOps.Chi2Crit2Df).collect().head
+    val eight = ExperimentOps.kruskalWallis(
+      spark.createDataFrame(big).toDF("g", "v").repartition(8),
+      col("g"), col("v"), Seq("g0", "g1", "g2"),
+      ExperimentOps.Chi2Crit2Df).collect().head
+    assert(one == eight, "layout must not change any output bit")
+  }
+
+  test("kendallTauB == the brute-force pair count") {
+    val levels = Seq("lo", "mid", "hi")
+    val rnk = levels.zipWithIndex.toMap
+    val data = Seq(
+      ("lo", 5L), ("lo", 9L), ("lo", 9L), ("mid", 9L), ("mid", 12L),
+      ("mid", 3L), ("hi", 14L), ("hi", 12L), ("hi", 2L), ("hi", 14L))
+    val out = ExperimentOps.kendallTauB(
+      data.toDF("g", "v"), col("v"), col("g"), levels).collect().head
+    // brute force over unordered pairs
+    var (p, q, tx2, ty2) = (0L, 0L, 0L, 0L)
+    for (i <- data.indices; j <- data.indices if i < j) {
+      val dv = data(i)._2.compare(data(j)._2)
+      val dg = rnk(data(i)._1).compare(rnk(data(j)._1))
+      if (dv == 0) tx2 += 2
+      if (dg == 0) ty2 += 2
+      if (dv * dg > 0) p += 1
+      if (dv * dg < 0) q += 1
+    }
+    assert(out.getAs[Long]("n") == data.size.toLong)
+    assert(out.getAs[Long]("p_conc") == p, "concordant pairs")
+    assert(out.getAs[Long]("q_disc") == q, "discordant pairs")
+    assert(out.getAs[Long]("tx2") == tx2 && out.getAs[Long]("ty2") == ty2)
+    val n = data.size.toLong
+    val pairs2 = n * (n - 1)
+    val tau = 2.0 * (p - q).toDouble /
+      math.sqrt((pairs2 - tx2).toDouble * (pairs2 - ty2).toDouble)
+    assert(out.getAs[Double]("tau_b") == tau, "exact IEEE chain")
+    val gm = if (p >= q) 1000000L * (p - q) / (p + q)
+    else -(1000000L * (q - p) / (p + q))
+    assert(out.getAs[Long]("gamma_micro") == gm)
+  }
+
+  test("kendallTauB: perfect concordance tau 1; gamma sign split exact " +
+    "on a discordance-heavy fixture") {
+    val levels = Seq("l0", "l1", "l2")
+    val perf = Seq(("l0", 1L), ("l1", 2L), ("l2", 3L)).toDF("g", "v")
+    val rp = ExperimentOps.kendallTauB(
+      perf, col("v"), col("g"), levels).collect().head
+    assert(rp.getAs[Double]("tau_b") == 1.0)
+    assert(rp.getAs[Long]("gamma_micro") == 1000000L)
+    // 2 discordant, 1 concordant: gamma = -1/3 -> truncation toward zero
+    val disc = Seq(("l0", 3L), ("l1", 2L), ("l2", 1L), ("l2", 4L))
+      .toDF("g", "v")
+    val rd = ExperimentOps.kendallTauB(
+      disc, col("v"), col("g"), levels).collect().head
+    val (p, q) = (rd.getAs[Long]("p_conc"), rd.getAs[Long]("q_disc"))
+    assert(q > p, "fixture must be discordance-heavy")
+    assert(rd.getAs[Long]("gamma_micro") ==
+      -(1000000L * (q - p) / (p + q)),
+      "negative gamma must truncate toward zero via the sign split")
+  }
+
+  test("mcnemar: hand-counted discordant cells; agreement gives NULL") {
+    // rows: (model1 correct, model2 correct)
+    val data = Seq(
+      (true, true), (true, true), (true, false), (true, false),
+      (true, false), (false, true), (false, false))
+    val out = ExperimentOps.mcnemar(
+      data.toDF("r1", "r2"), col("r1"), col("r2")).collect().head
+    assert(out.getAs[Long]("n") == 7L)
+    assert(out.getAs[Long]("b_only") == 3L && out.getAs[Long]("c_only") == 1L)
+    assert(out.getAs[Double]("chi2") == (2.0 * 2.0) / 4.0)
+    assert(out.getAs[Int]("significant") == 0)
+
+    val agree = Seq((true, true), (false, false)).toDF("r1", "r2")
+    val ra = ExperimentOps.mcnemar(agree, col("r1"), col("r2")).collect().head
+    assert(ra.isNullAt(ra.fieldIndex("chi2")), "no discordance: NULL")
+  }
+
+  test("cochranQ == the scalar replica; constant treatments give NULL") {
+    val data = Seq( // (t0, t1, t2) judgments per row
+      (1L, 1L, 0L), (1L, 0L, 0L), (1L, 1L, 1L), (0L, 0L, 0L),
+      (1L, 0L, 0L), (1L, 1L, 0L), (0L, 1L, 0L), (1L, 0L, 1L))
+    val out = ExperimentOps.cochranQ(
+      data.toDF("t0", "t1", "t2"),
+      Seq("a" -> col("t0"), "b" -> col("t1"), "c" -> col("t2")),
+      ExperimentOps.Chi2Crit2Df).collect().head
+    val g = Seq(data.map(_._1).sum, data.map(_._2).sum, data.map(_._3).sum)
+    val ls = data.map(r => r._1 + r._2 + r._3)
+    assert(out.getAs[Long]("n_a") == g(0) && out.getAs[Long]("n_b") == g(1) &&
+      out.getAs[Long]("n_c") == g(2))
+    val sumG2 = g.map(x => x.toDouble * x.toDouble).reduce(_ + _)
+    val (sl, sl2) = (ls.sum.toDouble, ls.map(l => l * l).sum.toDouble)
+    val qs = 2.0 * (3.0 * sumG2 - sl * sl) / (3.0 * sl - sl2)
+    assert(out.getAs[Double]("q_stat") == qs, "exact IEEE chain")
+
+    val const = Seq((1L, 1L, 1L), (1L, 1L, 1L)).toDF("t0", "t1", "t2")
+    val rc = ExperimentOps.cochranQ(const,
+      Seq("a" -> col("t0"), "b" -> col("t1"), "c" -> col("t2")),
+      ExperimentOps.Chi2Crit2Df).collect().head
+    assert(rc.isNullAt(rc.fieldIndex("q_stat")),
+      "all rows pass everything: zero denominator, NULL Q")
+  }
+
+  test("runsTest: hand-counted runs; bucket width never changes a bit " +
+    "(the two-phase boundary correction)") {
+    // F F T T T F T F -> 5 runs, boundaries at 2,5,6,7
+    val flags = Seq(false, false, true, true, true, false, true, false)
+    val df = flags.zipWithIndex.map { case (f, i) => (i.toLong, f) }
+      .toDF("s", "f")
+    for (w <- Seq(1L, 2L, 3L, 4096L)) {
+      val out = ExperimentOps.runsTest(df, col("s"), col("f"), w)
+        .collect().head
+      assert(out.getAs[Long]("runs") == 5L, s"width $w")
+      assert(out.getAs[Long]("n1") == 4L && out.getAs[Long]("n0") == 4L)
+      val (n, n1, n0, r) = (8L, 4L, 4L, 5L)
+      val a = 2L * n1 * n0
+      val d = r * n - n - a
+      val z2 = (d.toDouble * d.toDouble) * (n - 1).toDouble /
+        (a.toDouble * (a - n).toDouble)
+      assert(out.getAs[Double]("z2") == z2, s"exact chain, width $w")
+    }
+    // single-flag sequence: no variance, NULL z2
+    val mono = (0L until 6L).map(i => (i, true)).toDF("s", "f")
+    val rm = ExperimentOps.runsTest(mono, col("s"), col("f")).collect().head
+    assert(rm.getAs[Long]("runs") == 1L)
+    assert(rm.isNullAt(rm.fieldIndex("z2")))
+  }
+
+  test("liftGains == the brute-force threshold sweep") {
+    val data = Seq( // (label, score)
+      (true, 9L), (false, 9L), (true, 7L), (true, 7L), (false, 5L),
+      (false, 5L), (false, 5L), (true, 3L), (false, 3L), (false, 1L))
+    val out = ExperimentOps.liftGains(
+      data.toDF("y", "v"), col("y"), col("v"))
+      .collect().map(r => r.getAs[Long]("score") -> r).toMap
+    val (totP, tot) = (data.count(_._1).toLong, data.size.toLong)
+    data.map(_._2).distinct.foreach { thr =>
+      val sel = data.filter(_._2 >= thr)
+      val (nGe, posGe) = (sel.size.toLong, sel.count(_._1).toLong)
+      val r = out(thr)
+      assert(r.getAs[Long]("n_ge") == nGe && r.getAs[Long]("pos_ge") == posGe)
+      assert(r.getAs[Long]("depth_micro") == 1000000L * nGe / tot)
+      assert(r.getAs[Long]("precision_micro") == 1000000L * posGe / nGe)
+      assert(r.getAs[Long]("recall_micro") == 1000000L * posGe / totP)
+      assert(r.getAs[Double]("lift") ==
+        (posGe.toDouble / nGe.toDouble) / (totP.toDouble / tot.toDouble))
+    }
+    assert(out.size == data.map(_._2).distinct.size)
+  }
 }

@@ -212,4 +212,62 @@ class ModelOpsSpec extends SparkSpec {
       .collect().head
     assert(out == out7)
   }
+
+  test("acfSeries == the BigInt scalar replica; dw on lag 1 only") {
+    // one value per day, two raw rows on day 3 to prove the day collapse
+    val xs = Seq(100L, 140L, 90L, 260L, 130L, 170L, 60L, 220L)
+    val rows = xs.zipWithIndex.flatMap { case (x, i) =>
+      val d = f"2024-02-${i + 1}%02d"
+      if (i == 3) Seq((d, x - 60L), (d, 60L)) else Seq((d, x))
+    }
+    val out = ModelOps.acfSeries(
+      rows.toDF("dt", "c"), col("dt"), col("c"), maxLag = 3)
+      .collect().map(r => r.getAs[Int]("lag") -> r).toMap
+    assert(out.size == 3)
+    val n = BigInt(xs.size)
+    val s = BigInt(xs.sum)
+    val sxx = xs.map(x => BigInt(x) * BigInt(x)).sum
+    val den = n * n * sxx - n * s * s
+    for (l <- 1 to 3) {
+      val pairs = (l until xs.size).map(t => (xs(t), xs(t - l)))
+      val cross = pairs.map { case (a, b) => BigInt(a) * BigInt(b) }.sum
+      val tl = BigInt(pairs.map(_._1).sum)
+      val hl = BigInt(pairs.map(_._2).sum)
+      val num = n * n * cross - n * s * (hl + tl) + (n - l) * s * s
+      val r = out(l)
+      assert(r.getAs[Long]("n_pairs") == (xs.size - l).toLong)
+      assert(r.getAs[Double]("acf") == num.toDouble / den.toDouble,
+        s"lag $l acf must be the exact integer-ratio double")
+      if (l == 1) {
+        val sd2 = (1 until xs.size)
+          .map(t => BigInt(xs(t) - xs(t - 1)).pow(2)).sum
+        assert(r.getAs[Double]("dw") == (n * n * sd2).toDouble / den.toDouble)
+      } else assert(r.isNullAt(r.fieldIndex("dw")), s"dw only on lag 1")
+    }
+    // layout invariance through the day-keyed collapse
+    val p8 = ModelOps.acfSeries(
+      rows.toDF("dt", "c").repartition(8), col("dt"), col("c"), 3)
+      .collect().map(r => r.getAs[Int]("lag") -> r).toMap
+    (1 to 3).foreach(l => assert(out(l) == p8(l)))
+  }
+
+  test("acfSeries: lags past the series end are NULL; constant series " +
+    "has zero variance and yields NULL acf") {
+    val short = Seq(("2024-03-01", 5L), ("2024-03-02", 9L),
+      ("2024-03-03", 7L))
+    val out = ModelOps.acfSeries(
+      short.toDF("dt", "c"), col("dt"), col("c"), maxLag = 5)
+      .collect().map(r => r.getAs[Int]("lag") -> r).toMap
+    assert(out(1).getAs[Long]("n_pairs") == 2L)
+    assert(out(3).getAs[Long]("n_pairs") == 0L &&
+      out(3).isNullAt(out(3).fieldIndex("acf")))
+    assert(out(5).isNullAt(out(5).fieldIndex("acf")))
+
+    val const = (1 to 6).map(i => (f"2024-03-$i%02d", 42L))
+    val rc = ModelOps.acfSeries(
+      const.toDF("dt", "c"), col("dt"), col("c"), maxLag = 2)
+      .collect()
+    rc.foreach(r => assert(r.isNullAt(r.fieldIndex("acf")),
+      "zero-variance series: NULL acf, no division error"))
+  }
 }
