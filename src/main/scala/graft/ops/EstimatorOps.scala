@@ -413,4 +413,75 @@ object EstimatorOps {
       nHat.as("n_hat"),
       greatest(lit(0L), nHat - col("n_seen")).as("unseen_hat"))
   }
+
+  // --------------------------------------------- clustering-vs-truth eval
+
+  /** Pairwise evaluation of a predicted clustering against a reference
+    * clustering — the metric that grades a near-dup detector against
+    * ground truth at corpus scale, where per-item label matching is
+    * meaningless (cluster IDs are arbitrary) but PAIR agreement is not:
+    * precision/recall/F1 over same-cluster pairs, plus the
+    * chance-corrected Adjusted Rand Index.
+    *
+    * Everything reduces to three pair-sum moments off ONE contingency
+    * aggregate: with `nij` the (pred, truth) cell counts, the DOUBLED
+    * pair sums `sij2 = Σ nij·(nij−1)`, `sa2 = Σ ai·(ai−1)` and
+    * `sb2 = Σ bj·(bj−1)` are exact longs — and the marginals attach to
+    * the cell frame as PARTITIONED windows (`ai` over pred, `bj` over
+    * truth), so `sa2 = Σ_cells nij·(ai−1)` needs no second shuffle and
+    * no 1-row cross join. Precision/recall/F1 land exactly on the ×10⁶
+    * grid (`f1 = 2·sij2/(sa2+sb2)` — the doubled sums cancel); ARI
+    * closes as ONE fixed double chain over DECIMAL(38,0) products
+    * (`sa2·sb2 ≤ n⁴` outgrows int64 past ~55k rows):
+    *
+    *   ARI = 2·(C2d·sij2 − sa2·sb2) / (C2d·(sa2+sb2) − 2·sa2·sb2),
+    *   C2d = n·(n−1)
+    *
+    * Scale shape: one corpus-grain groupBy(pred, truth), then windows
+    * and folds on the CELL frame (bounded by cluster-pair count). The
+    * ARI denominator is 0 only when both clusterings are trivial
+    * (all-singletons or one-cluster) — NULL then. Value contract for
+    * the ×10⁶ grid: `10⁶·Σ size² < 2^63` (doubled pair mass to ~9×10¹²
+    * — holds whenever cluster sizes are bounded, the near-dup regime;
+    * ANSI mode raises loudly on breach, and the decimal ARI itself has
+    * no such bound).
+    *
+    * Output: `(n, pairs_both, pairs_pred, pairs_true, precision_micro,
+    * recall_micro, f1_micro, ari)`.
+    */
+  def clusteringPairEval(
+      assign: DataFrame, pred: Column, truth: Column): DataFrame = {
+    val a = assign.select(pred.as("p"), truth.as("t"))
+      .filter(col("p").isNotNull && col("t").isNotNull)
+    val cell = a.groupBy(col("p"), col("t")).agg(count(lit(1)).as("nij"))
+    val wp = Window.partitionBy(col("p"))
+    val wt = Window.partitionBy(col("t"))
+    val cw = cell
+      .withColumn("ai", sum(col("nij")).over(wp))
+      .withColumn("bj", sum(col("nij")).over(wt))
+    val m = cw.agg(
+      coalesce(sum(col("nij")), lit(0L)).as("n"),
+      coalesce(sum(col("nij") * (col("nij") - 1L)), lit(0L)).as("sij2"),
+      coalesce(sum(col("nij") * (col("ai") - 1L)), lit(0L)).as("sa2"),
+      coalesce(sum(col("nij") * (col("bj") - 1L)), lit(0L)).as("sb2"))
+    val dec = "decimal(38,0)"
+    val c2d = (col("n") * (col("n") - 1L)).cast(dec)
+    val ariNum = c2d * col("sij2").cast(dec) -
+      col("sa2").cast(dec) * col("sb2").cast(dec)
+    val ariDen = c2d * (col("sa2") + col("sb2")).cast(dec) -
+      lit(2L).cast(dec) * col("sa2").cast(dec) * col("sb2").cast(dec)
+    m.select(
+      col("n"),
+      expr("sij2 DIV 2").as("pairs_both"),
+      expr("sa2 DIV 2").as("pairs_pred"),
+      expr("sb2 DIV 2").as("pairs_true"),
+      when(col("sa2") > 0L, expr("(1000000 * sij2) DIV sa2"))
+        .as("precision_micro"),
+      when(col("sb2") > 0L, expr("(1000000 * sij2) DIV sb2"))
+        .as("recall_micro"),
+      when(col("sa2") + col("sb2") > 0L,
+        expr("(2000000 * sij2) DIV (sa2 + sb2)")).as("f1_micro"),
+      when(ariDen > 0,
+        lit(2.0) * ariNum.cast("double") / ariDen.cast("double")).as("ari"))
+  }
 }

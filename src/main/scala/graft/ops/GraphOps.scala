@@ -932,4 +932,37 @@ object GraphOps {
           (m * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
             sqrt(vx * vy)).as("r_assort"))
   }
+
+  /** Local clustering coefficient per node — how close each node's
+    * neighborhood is to a clique: `lcc = 2·triangles(v) / (d·(d−1))`,
+    * the standard community-tightness readout next to the raw
+    * [[triangleCounts]] (a hub with many triangles can still be loosely
+    * clustered; a degree-3 node with 3 triangles is a clique corner).
+    * Exactly [[triangleCounts]]' degree-oriented machinery plus one
+    * degree aggregate and a keyed left join; the coefficient lands
+    * exactly on the ×10⁶ grid via intdiv (numerator `2·10⁶·tri`, both
+    * exact longs — float-free). Nodes of degree < 2 are excluded (the
+    * coefficient is undefined on them).
+    *
+    * `edges` contract matches [[triangleCounts]]: distinct undirected
+    * pairs, `srcCol < dstCol`, no self-loops.
+    *
+    * Output: `(node, degree, n_triangles, lcc_micro)`.
+    */
+  def clusteringCoeff(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges
+      .select(col(srcCol).cast("long").as("u"),
+        col(dstCol).cast("long").as("v"))
+      .cutLineage()
+    val deg = e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val tri = triangleCounts(e, "u", "v")
+    deg.filter(col("degree") >= 2L)
+      .join(tri, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        expr("""(2000000 * coalesce(n_triangles, 0))
+               DIV (degree * (degree - 1))""").as("lcc_micro"))
+  }
 }

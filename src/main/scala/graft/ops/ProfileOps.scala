@@ -934,4 +934,49 @@ object ProfileOps {
       .select(col("g"), abs(col("v") - col("med")).as("d"))
     ExperimentOps.anovaF(dev, col("g"), col("d"), groups)
   }
+
+  // ------------------------------------------- functional-dependency scan
+
+  /** Functional-dependency / candidate-key profiling over a LITERAL list
+    * of column pairs — "does A determine B in this data?", the schema-
+    * inference readout behind key discovery, join-safety checks, and
+    * denormalization audits. For each declared `lhs → rhs`: the number
+    * of distinct lhs values, how many of them map to more than one rhs
+    * (the violating values), the worst fan-out, the row mass sitting
+    * under violations, and the verdict.
+    *
+    * Scale shape: ONE pass — each row explodes into its k pair legs
+    * (k literal, values stringified row-locally for a uniform schema),
+    * ONE map-side-combined groupBy((pair, lhs-value)) collapses the
+    * corpus to value grain with an exact distinct-rhs count, and a
+    * second pair-grain aggregate folds the k summary rows. No per-pair
+    * rescan, no corpus self-join. NULL lhs values are excluded (an FD
+    * is a statement about present keys); NULL rhs values don't count as
+    * a determination (count-distinct ignores them on both engines).
+    *
+    * Output per pair: `(lhs, rhs, n_lhs_values, n_violating,
+    * max_rhs_per_lhs, rows_in_violation, holds)`.
+    */
+  def fdProfile(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "fdProfile needs at least one pair")
+    require(pairs.distinct.size == pairs.size, "duplicate FD pairs")
+    val legs = pairs.map { case (l, r) =>
+      struct(lit(l).as("lhs"), lit(r).as("rhs"),
+        col(l).cast("string").as("lv"), col(r).cast("string").as("rv"))
+    }
+    val x = df.select(explode(array(legs: _*)).as("e"))
+      .select(col("e.lhs").as("lhs"), col("e.rhs").as("rhs"),
+        col("e.lv").as("lv"), col("e.rv").as("rv"))
+      .filter(col("lv").isNotNull)
+    val byValue = x.groupBy(col("lhs"), col("rhs"), col("lv")).agg(
+      countDistinct(col("rv")).as("nd"), count(lit(1)).as("cnt"))
+    byValue.groupBy(col("lhs"), col("rhs")).agg(
+      count(lit(1)).as("n_lhs_values"),
+      coalesce(sum((col("nd") > 1L).cast("long")), lit(0L))
+        .as("n_violating"),
+      max(col("nd")).as("max_rhs_per_lhs"),
+      coalesce(sum(when(col("nd") > 1L, col("cnt")).otherwise(0L)),
+        lit(0L)).as("rows_in_violation"))
+      .withColumn("holds", (col("n_violating") === 0L).cast("int"))
+  }
 }

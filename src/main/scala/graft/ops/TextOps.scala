@@ -575,6 +575,86 @@ object TextOps {
           .otherwise(lit("b")).as("enriched_in"))
   }
 
+  /** Character class scored as "code-like" by [[codeSignals]] — braces,
+    * brackets, punctuation-operators, and quotes: dense in source code
+    * and serialized JSON, near-absent in prose. One literal shared with
+    * the oracle.
+    */
+  val CodeSymbolClass: String = "[{}()\\[\\];=<>:\"]"
+
+  /** score ≥ this ×10⁶ density ⇒ classified code. */
+  val CodeThresholdMicro: Long = 150000L
+
+  /** Code-vs-prose signal per row — the corpus-separation step every
+    * LLM data pipeline runs before mixing (code wants different
+    * tokenization, dedup, and sampling weights than prose). Pure
+    * row-local counting: `n_sym` (chars in [[CodeSymbolClass]]) and
+    * `n_digit` counted by the length-after-removal identity, the
+    * weighted density `score = 10⁶·(3·n_sym + n_digit) DIV n_char`
+    * exact intdiv (symbols weigh 3: a single `{};` line outvotes a
+    * digit-y prose sentence), and the verdict against
+    * [[CodeThresholdMicro]]. Zero joins, zero shuffles — a 100 TB
+    * classification is a pure map. Empty/NULL texts are dropped (they
+    * classify as nothing).
+    *
+    * Output: `(id, kind, n_char, n_sym, n_digit, score_micro, is_code)`.
+    */
+  def codeSignals(
+      df: DataFrame, id: Column, kind: Column, text: Column): DataFrame = {
+    val base = df.select(id.as("id"), kind.as("kind"), text.as("tx"))
+      .filter(col("tx").isNotNull && length(col("tx")) > 0)
+    base.select(col("id"), col("kind"),
+      length(col("tx")).cast("long").as("n_char"),
+      (length(col("tx")) -
+        length(regexp_replace(col("tx"), CodeSymbolClass, "")))
+        .cast("long").as("n_sym"),
+      (length(col("tx")) -
+        length(regexp_replace(col("tx"), "[0-9]", "")))
+        .cast("long").as("n_digit"))
+      .withColumn("score_micro",
+        expr("(1000000 * (3 * n_sym + n_digit)) DIV n_char"))
+      .withColumn("is_code",
+        (col("score_micro") >= CodeThresholdMicro).cast("int"))
+  }
+
+  /** Lexical-diversity profile per group — the vocabulary-richness
+    * readout next to [[graft.ops.ModelOps.heapsFit]]'s growth curve:
+    * type-token ratio (×10⁶ intdiv, exact), Simpson's repeat
+    * probability `D = Σc·(c−1)/(N·(N−1))` (the chance two random tokens
+    * are the same type), and Yule's K `= 10⁴·(Σc² − N)/N²` (D's
+    * length-robust classic twin). The two N²-scale readouts close as
+    * fixed double chains over exact-long moments (their ×10⁶ integer
+    * forms would overflow int64 at corpus N); TTR stays pure intdiv.
+    *
+    * Scale shape: one (group, token) count aggregate, one group-grain
+    * fold — both map-side combined; output is group-bounded.
+    *
+    * Output: `(source, n_tokens, n_types, ttr_micro, simpson, yule_k)`.
+    */
+  def lexicalDiversity(
+      docs: DataFrame, group: Column, text: Column): DataFrame = {
+    val tok = docs
+      .select(group.cast("string").as("g"),
+        explode(tokens(lower(text))).as("w"))
+      .filter(col("g").isNotNull)
+    val types = tok.groupBy(col("g"), col("w")).agg(count(lit(1)).as("c"))
+    val m = types.groupBy(col("g")).agg(
+      coalesce(sum(col("c")), lit(0L)).as("n_tokens"),
+      count(lit(1)).as("n_types"),
+      coalesce(sum(col("c") * (col("c") - 1L)), lit(0L)).as("rep2"),
+      coalesce(sum(col("c") * col("c")), lit(0L)).as("s2"))
+    m.select(col("g").as("source"), col("n_tokens"), col("n_types"),
+      when(col("n_tokens") > 0L,
+        expr("(1000000 * n_types) DIV n_tokens")).as("ttr_micro"),
+      when(col("n_tokens") > 1L, col("rep2").cast("double") /
+        (col("n_tokens").cast("double") *
+          (col("n_tokens") - 1L).cast("double"))).as("simpson"),
+      when(col("n_tokens") > 0L,
+        lit(10000.0) * (col("s2") - col("n_tokens")).cast("double") /
+          (col("n_tokens").cast("double") * col("n_tokens").cast("double")))
+        .as("yule_k"))
+  }
+
   object Sql {
     /** DuckDB equivalents (same semantics, same evaluation order). */
     def tokens(c: String): String =

@@ -484,6 +484,26 @@ private[queries] object DedupQueries {
       graft.ops.LinkageOps.fsLink(prep(base), prep(dirty), "id", "id",
         blockCols = Seq("nation", "blk"), compareCols = Seq("seg", "bal"))
     }),
+
+    // Pairwise precision/recall/F1 + Adjusted Rand Index of the SimHash
+    // pigeonhole near-dup clustering against the exact 3-gram Jaccard
+    // components — the approximate-detector-vs-reference grade where
+    // cluster IDs are arbitrary but pair agreement is not. One
+    // contingency aggregate; marginals as partitioned windows on the
+    // cell frame; ARI in decimal-128.
+    "q_cluster_eval" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val simPairs = DedupOps.simhashNearDupPairs(
+        DedupOps.portableSimhash(docs, "doc_id", "text"),
+        bits = 60, maxHamming = 5)
+      val pred = GraphOps.componentsOf(docs, "doc_id", simPairs,
+        "id_a", "id_b")
+        .select(col("node").as("doc_id"), col("component").as("p"))
+      val truth = dedupWeightsFrame(s, dir)
+        .select(col("doc_id"), col("component").as("tg"))
+      EstimatorOps.clusteringPairEval(
+        pred.join(truth, "doc_id"), col("p"), col("tg"))
+    }),
   )
 
   private val oracleSql0: Map[String, String] = Map(
@@ -1057,6 +1077,63 @@ private[queries] object DedupQueries {
          |    + CASE WHEN bal_a IS NOT DISTINCT FROM bal_b
          |         THEN wa_bal ELSE wd_bal END AS BIGINT) AS weight_fx
          |FROM al JOIN bl USING (nation, blk) CROSS JOIN w""".stripMargin,
+
+    // The dedupWeights (Jaccard truth) CTEs next to the naive-Hamming
+    // SimHash pairs closed into min-label components (prediction);
+    // marginals as partitioned windows on the cell frame, HUGEINT ARI
+    // moments, the identical fixed closing chain.
+    "q_cluster_eval" ->
+      s"""WITH RECURSIVE $dedupWeightsCtes,
+         |$simhashSigCtes,
+         |ndp AS (SELECT a.doc_id AS u, b.doc_id AS v
+         |        FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+         |        WHERE bit_count(xor(a.simhash, b.simhash)) <= 5),
+         |edges2 AS (SELECT u, v FROM ndp UNION SELECT v, u FROM ndp),
+         |reach2(n, r) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges2) t2
+         |  UNION
+         |  SELECT e.v, reach2.r FROM reach2 JOIN edges2 e ON e.u = reach2.n),
+         |comp2 AS (SELECT n, min(r) AS component FROM reach2 GROUP BY n),
+         |asg2 AS (SELECT d.doc_id,
+         |    CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS component
+         |  FROM documents d LEFT JOIN comp2 c ON d.doc_id = c.n),
+         |pa AS (SELECT asg2.component AS p, asg.component AS t
+         |       FROM asg2 JOIN asg USING (doc_id)),
+         |cell AS (SELECT p, t, CAST(count(*) AS BIGINT) AS nij
+         |         FROM pa GROUP BY p, t),
+         |cw AS (SELECT nij,
+         |    CAST(sum(nij) OVER (PARTITION BY p) AS BIGINT) AS ai,
+         |    CAST(sum(nij) OVER (PARTITION BY t) AS BIGINT) AS bj
+         |  FROM cell),
+         |m AS (SELECT
+         |    CAST(coalesce(sum(nij), 0) AS BIGINT) AS n,
+         |    CAST(coalesce(sum(nij * (nij - 1)), 0) AS BIGINT) AS sij2,
+         |    CAST(coalesce(sum(nij * (ai - 1)), 0) AS BIGINT) AS sa2,
+         |    CAST(coalesce(sum(nij * (bj - 1)), 0) AS BIGINT) AS sb2
+         |  FROM cw),
+         |ff AS (SELECT *,
+         |    CAST(n AS HUGEINT) * CAST(n - 1 AS HUGEINT) AS c2d FROM m),
+         |gg AS (SELECT *,
+         |    c2d * CAST(sij2 AS HUGEINT)
+         |      - CAST(sa2 AS HUGEINT) * CAST(sb2 AS HUGEINT) AS arinum,
+         |    c2d * CAST(sa2 + sb2 AS HUGEINT)
+         |      - 2 * CAST(sa2 AS HUGEINT) * CAST(sb2 AS HUGEINT) AS ariden
+         |  FROM ff)
+         |SELECT n, CAST(sij2 // 2 AS BIGINT) AS pairs_both,
+         |  CAST(sa2 // 2 AS BIGINT) AS pairs_pred,
+         |  CAST(sb2 // 2 AS BIGINT) AS pairs_true,
+         |  CASE WHEN sa2 > 0
+         |    THEN CAST((1000000 * sij2) // sa2 AS BIGINT) END
+         |    AS precision_micro,
+         |  CASE WHEN sb2 > 0
+         |    THEN CAST((1000000 * sij2) // sb2 AS BIGINT) END
+         |    AS recall_micro,
+         |  CASE WHEN sa2 + sb2 > 0
+         |    THEN CAST((2000000 * sij2) // (sa2 + sb2) AS BIGINT) END
+         |    AS f1_micro,
+         |  CASE WHEN ariden > 0 THEN ${dlit(2.0)} * CAST(arinum AS DOUBLE)
+         |    / CAST(ariden AS DOUBLE) END AS ari
+         |FROM gg""".stripMargin,
   )
 
   // The artifact-riding variants compute bit-identical results to their

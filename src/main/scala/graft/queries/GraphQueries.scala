@@ -189,6 +189,13 @@ private[queries] object GraphQueries {
     "q_link_predict" -> ((s, dir) =>
       EstimatorOps.adamicAdarTopK(custSuppPairs(s, dir),
         "cust", "supp", maxCenterDegree = 64L, k = 20)),
+
+    // Local clustering coefficient over the same co-purchase graph as
+    // q_triangles — neighborhood tightness per part, exact on the ×10⁶
+    // grid; the same degree-oriented closure join plus one degree
+    // aggregate (a hub with many triangles can still be loosely knit).
+    "q_clustering_coeff" -> ((s, dir) =>
+      GraphOps.clusteringCoeff(partCooccurrenceEdges(s, dir), "u", "v")),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -351,5 +358,29 @@ private[queries] object GraphQueries {
          |  CAST(sum(wm) AS BIGINT) AS aa_micro
          |FROM wg GROUP BY node_a, node_b
          |ORDER BY aa_micro DESC, node_a, node_b LIMIT 20""".stripMargin,
+
+    // The q_triangles enumeration plus the both-orientation degree
+    // count; lcc exact ×10⁶ intdiv on nonnegative operands.
+    "q_clustering_coeff" ->
+      """WITH n AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM n a JOIN n b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |       JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |tn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        |  FROM (SELECT unnest([a, b, c]) AS node FROM tri) GROUP BY node),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree
+        |  FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        |  GROUP BY node)
+        |SELECT d.node, d.degree,
+        |  CAST(coalesce(tn.n_triangles, 0) AS BIGINT) AS n_triangles,
+        |  CAST((2000000 * coalesce(tn.n_triangles, 0))
+        |       // (d.degree * (d.degree - 1)) AS BIGINT) AS lcc_micro
+        |FROM deg d LEFT JOIN tn ON tn.node = d.node
+        |WHERE d.degree >= 2""".stripMargin,
   )
 }

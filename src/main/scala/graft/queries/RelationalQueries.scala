@@ -699,6 +699,18 @@ private[queries] object RelationalQueries {
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
           sum(round(col("l_quantity")).cast("long")).as("sum_qty"))),
+
+    // Functional-dependency / candidate-key profiling over a literal
+    // pair list on orders: orderkey→custkey must hold (key), the other
+    // two are expected violations with quantified fan-out — ONE
+    // exploded pass, value-grain exact distinct counts, no per-pair
+    // rescan.
+    "q_fd_profile" -> ((s, dir) =>
+      ProfileOps.fdProfile(
+        t(s, dir, "orders"), Seq(
+          "o_orderkey" -> "o_custkey",
+          "o_custkey" -> "o_orderstatus",
+          "o_orderstatus" -> "o_orderpriority"))),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1123,5 +1135,31 @@ private[queries] object RelationalQueries {
       """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    // Per-pair replay: stringified value grain, exact distinct-rhs
+    // counts, the same violation folds.
+    "q_fd_profile" -> {
+      val pairs = Seq(
+        "o_orderkey" -> "o_custkey",
+        "o_custkey" -> "o_orderstatus",
+        "o_orderstatus" -> "o_orderpriority")
+      pairs.map { case (l, r) =>
+        s"""SELECT '$l' AS lhs, '$r' AS rhs,
+           |  CAST(count(*) AS BIGINT) AS n_lhs_values,
+           |  CAST(coalesce(sum(CASE WHEN nd > 1 THEN 1 END), 0) AS BIGINT)
+           |    AS n_violating,
+           |  CAST(max(nd) AS BIGINT) AS max_rhs_per_lhs,
+           |  CAST(coalesce(sum(CASE WHEN nd > 1 THEN cnt ELSE 0 END), 0)
+           |    AS BIGINT) AS rows_in_violation,
+           |  CAST(coalesce(sum(CASE WHEN nd > 1 THEN 1 END), 0) = 0 AS INT)
+           |    AS holds
+           |FROM (
+           |  SELECT CAST(count(DISTINCT CAST($r AS VARCHAR)) AS BIGINT)
+           |      AS nd,
+           |    CAST(count(*) AS BIGINT) AS cnt
+           |  FROM orders WHERE $l IS NOT NULL
+           |  GROUP BY CAST($l AS VARCHAR))""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    },
   )
 }

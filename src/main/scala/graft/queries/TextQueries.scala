@@ -447,6 +447,35 @@ private[queries] object TextQueries {
       TextOps.keynessLlr(
         t(s, dir, "documents"),
         col("lang") === "en", col("lang") =!= "en", minCount = 5L)),
+
+    // Lexical-diversity profile per source: TTR exact ×10⁶, Simpson's
+    // repeat probability and Yule's K as fixed chains over exact-long
+    // type-frequency moments — the vocabulary-richness row a mixture
+    // planner reads next to q_heaps_fit's growth curve.
+    "q_lexical_diversity" -> ((s, dir) =>
+      TextOps.lexicalDiversity(
+        t(s, dir, "documents"), col("source"), col("text"))),
+
+    // Code-vs-prose separation over a mixed corpus (document text vs
+    // event JSON payloads): pure row-local symbol/digit density on the
+    // ×10⁶ grid, rolled up per kind — the q_corpus_clean-style routing
+    // decision every mixed-source ingest makes before tokenization.
+    "q_code_detect" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(
+        col("doc_id").as("id"), lit("prose").as("kind"),
+        col("text").as("tx"))
+      val props = RefQueries.events(s, dir).select(
+        col("event_id").as("id"), lit("json").as("kind"),
+        col("props").as("tx"))
+      TextOps.codeSignals(docs.unionByName(props),
+        col("id"), col("kind"), col("tx"))
+        .groupBy(col("kind")).agg(
+          count(lit(1)).as("n"),
+          coalesce(sum(col("is_code").cast("long")), lit(0L)).as("n_code"),
+          coalesce(sum(col("score_micro")), lit(0L)).as("sum_score_micro"),
+          max(col("score_micro")).as("max_score_micro"))
+        .withColumn("code_rate_micro", expr("(1000000 * n_code) DIV n"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1161,5 +1190,57 @@ private[queries] object TextQueries {
          |LEFT JOIN lg lea ON lea.v = (tok.a + tok.b) * tt.na
          |LEFT JOIN lg lb ON lb.v = tok.b * (tt.na + tt.nb)
          |LEFT JOIN lg leb ON leb.v = (tok.a + tok.b) * tt.nb""".stripMargin,
+
+    // Type-frequency moments per source, the identical TTR intdiv and
+    // Simpson / Yule's K fixed chains.
+    "q_lexical_diversity" ->
+      s"""WITH tok AS (SELECT source AS g,
+         |    unnest(${S.tokens("lower(text)")}) AS w
+         |  FROM documents WHERE source IS NOT NULL),
+         |ty AS (SELECT g, w, CAST(count(*) AS BIGINT) AS c
+         |       FROM tok GROUP BY g, w),
+         |m AS (SELECT g, CAST(coalesce(sum(c), 0) AS BIGINT) AS n_tokens,
+         |    CAST(count(*) AS BIGINT) AS n_types,
+         |    CAST(coalesce(sum(c * (c - 1)), 0) AS BIGINT) AS rep2,
+         |    CAST(coalesce(sum(c * c), 0) AS BIGINT) AS s2
+         |  FROM ty GROUP BY g)
+         |SELECT g AS source, n_tokens, n_types,
+         |  CASE WHEN n_tokens > 0
+         |    THEN CAST((1000000 * n_types) // n_tokens AS BIGINT) END
+         |    AS ttr_micro,
+         |  CASE WHEN n_tokens > 1 THEN CAST(rep2 AS DOUBLE)
+         |    / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens - 1 AS DOUBLE))
+         |  END AS simpson,
+         |  CASE WHEN n_tokens > 0
+         |    THEN ${dlit(10000.0)} * CAST(s2 - n_tokens AS DOUBLE)
+         |      / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+         |  END AS yule_k
+         |FROM m""".stripMargin,
+
+    // Same symbol/digit length-after-removal identity (g-flagged
+    // replace), the identical intdiv score and per-kind rollup.
+    "q_code_detect" ->
+      s"""WITH u AS (
+         |  SELECT text AS tx, 'prose' AS kind FROM documents
+         |  UNION ALL SELECT props, 'json' FROM events),
+         |sig AS (SELECT kind,
+         |    CAST(length(tx) AS BIGINT) AS n_char,
+         |    CAST(length(tx) - length(regexp_replace(tx,
+         |      '[{}()\\[\\];=<>:"]', '', 'g')) AS BIGINT) AS n_sym,
+         |    CAST(length(tx) - length(regexp_replace(tx,
+         |      '[0-9]', '', 'g')) AS BIGINT) AS n_digit
+         |  FROM u WHERE tx IS NOT NULL AND length(tx) > 0),
+         |sc AS (SELECT kind,
+         |    (1000000 * (3 * n_sym + n_digit)) // n_char AS score
+         |  FROM sig)
+         |SELECT kind, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(coalesce(sum(CASE WHEN score >= ${
+            TextOps.CodeThresholdMicro} THEN 1 END), 0) AS BIGINT) AS n_code,
+         |  CAST(coalesce(sum(score), 0) AS BIGINT) AS sum_score_micro,
+         |  CAST(max(score) AS BIGINT) AS max_score_micro,
+         |  CAST((1000000 * coalesce(sum(CASE WHEN score >= ${
+            TextOps.CodeThresholdMicro} THEN 1 END), 0)) // count(*)
+         |    AS BIGINT) AS code_rate_micro
+         |FROM sc GROUP BY kind""".stripMargin,
   )
 }

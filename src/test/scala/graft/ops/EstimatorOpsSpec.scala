@@ -264,4 +264,66 @@ class EstimatorOpsSpec extends SparkSpec {
     assert(empty.getAs[Long]("n_seen") == 0L &&
       empty.getAs[Long]("n_hat") == 0L)
   }
+
+  /** Brute-force pair-agreement replica over (pred, truth) labels. */
+  private def pairEvalScalar(rows: Seq[(Long, Long)])
+  : (Long, Long, Long, Long) = {
+    var (both, pred, truth) = (0L, 0L, 0L)
+    for (i <- rows.indices; j <- rows.indices if i < j) {
+      val sp = rows(i)._1 == rows(j)._1
+      val st = rows(i)._2 == rows(j)._2
+      if (sp) pred += 1
+      if (st) truth += 1
+      if (sp && st) both += 1
+    }
+    (rows.size.toLong, both, pred, truth)
+  }
+
+  test("clusteringPairEval == the brute-force pair counts; identical " +
+    "clusterings score ARI 1") {
+    val rows = Seq( // (pred, truth): pred splits truth cluster 10
+      (1L, 10L), (1L, 10L), (1L, 10L), (2L, 10L), (2L, 10L),
+      (3L, 20L), (3L, 20L), (4L, 30L), (5L, 30L), (3L, 20L))
+    val out = EstimatorOps.clusteringPairEval(
+      rows.toDF("p", "t"), $"p", $"t").collect().head
+    val (n, both, pred, truth) = pairEvalScalar(rows)
+    assert(out.getAs[Long]("n") == n)
+    assert(out.getAs[Long]("pairs_both") == both &&
+      out.getAs[Long]("pairs_pred") == pred &&
+      out.getAs[Long]("pairs_true") == truth)
+    assert(out.getAs[Long]("precision_micro") == 1000000L * both / pred)
+    assert(out.getAs[Long]("recall_micro") == 1000000L * both / truth)
+    assert(out.getAs[Long]("f1_micro") == 2000000L * both / (pred + truth))
+    // ARI via the doubled-sum closed form
+    val (s2, sa2, sb2) = (2 * both, 2 * pred, 2 * truth)
+    val c2d = n * (n - 1)
+    val ari = 2.0 * (BigInt(c2d) * s2 - BigInt(sa2) * sb2).toDouble /
+      (BigInt(c2d) * (sa2 + sb2) - 2 * BigInt(sa2) * sb2).toDouble
+    assert(out.getAs[Double]("ari") == ari)
+
+    val same = rows.map { case (_, t) => (t, t) }
+    val ri = EstimatorOps.clusteringPairEval(
+      same.toDF("p", "t"), $"p", $"t").collect().head
+    assert(ri.getAs[Double]("ari") == 1.0 &&
+      ri.getAs[Long]("f1_micro") == 1000000L)
+  }
+
+  test("clusteringPairEval: trivial clusterings yield NULL ARI; " +
+    "layout-invariant") {
+    // all singletons on both sides: sa2 = sb2 = 0
+    val singles = (1L to 6L).map(i => (i, i + 100L))
+    val rs = EstimatorOps.clusteringPairEval(
+      singles.toDF("p", "t"), $"p", $"t").collect().head
+    assert(rs.isNullAt(rs.fieldIndex("ari")) &&
+      rs.isNullAt(rs.fieldIndex("precision_micro")))
+
+    val rows = (0L until 60L).map(i => (i % 7, i % 5))
+    val one = EstimatorOps.clusteringPairEval(
+      spark.createDataFrame(rows).toDF("p", "t").repartition(1),
+      $"p", $"t").collect().head
+    val eight = EstimatorOps.clusteringPairEval(
+      spark.createDataFrame(rows).toDF("p", "t").repartition(8),
+      $"p", $"t").collect().head
+    assert(one == eight)
+  }
 }

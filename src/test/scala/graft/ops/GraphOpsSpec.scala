@@ -512,4 +512,26 @@ class GraphOpsSpec extends SparkSpec {
       (m * sxx - sx * sx) * (m * sxx - sx * sx))
     assert(r.getAs[Double]("r_assort") == expect)
   }
+
+  test("clusteringCoeff: clique corners score 10^6, bridge scores the " +
+    "hand value, degree-1 leaves excluded") {
+    // triangle {1,2,3} + K4 {4,5,6,7}, bridged 3-4; leaf 8 off node 1
+    val k4 = for {
+      a <- Seq(4L, 5L, 6L, 7L); b <- Seq(4L, 5L, 6L, 7L) if a < b
+    } yield (a, b)
+    val es = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (1L, 8L)) ++ k4
+    val out = GraphOps.clusteringCoeff(es.toDF("u", "v"), "u", "v")
+      .collect().map(r => r.getAs[Long]("node") -> r).toMap
+    assert(!out.contains(8L), "degree-1 node has no defined coefficient")
+    assert(out(2L).getAs[Long]("lcc_micro") == 1000000L, "clique corner")
+    assert(out(5L).getAs[Long]("lcc_micro") == 1000000L, "K4 corner")
+    // node 3: degree 3 (1,2,4), triangles 1 -> 2*1e6*1/(3*2)
+    assert(out(3L).getAs[Long]("degree") == 3L &&
+      out(3L).getAs[Long]("n_triangles") == 1L &&
+      out(3L).getAs[Long]("lcc_micro") == 2000000L / 6L)
+    // node 4: degree 4 (3,5,6,7), triangles 3 (inside K4) -> 6e6/12
+    assert(out(4L).getAs[Long]("lcc_micro") == 6000000L / 12L)
+    // node 1: degree 3 (2,3,8), triangles 1, same 1/3
+    assert(out(1L).getAs[Long]("lcc_micro") == 333333L)
+  }
 }

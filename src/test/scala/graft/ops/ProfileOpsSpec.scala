@@ -633,4 +633,32 @@ class ProfileOpsSpec extends SparkSpec {
     // the engineered spread gap must register as a large F
     assert(r.getAs[Double]("f_stat") > 10.0)
   }
+
+  test("fdProfile: a holding key, a quantified violation, and NULL " +
+    "handling on both sides") {
+    val rows = Seq( // (k unique, a -> b violated on a=1, c with nulls)
+      (Some(10L), Some(1L), Some("x")), (Some(11L), Some(1L), Some("y")),
+      (Some(12L), Some(2L), Some("z")), (Some(13L), Some(2L), Some("z")),
+      (None, Some(3L), Some("w")), // NULL lhs row excluded for k->a
+      (Some(14L), Some(3L), None)) // NULL rhs: no determination counted
+    val df = rows.toDF("k", "a", "b")
+    val out = ProfileOps.fdProfile(df,
+      Seq("k" -> "a", "a" -> "b", "b" -> "k"))
+      .collect().map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs")) -> r)
+      .toMap
+    val ka = out(("k", "a"))
+    assert(ka.getAs[Long]("n_lhs_values") == 5L, "NULL k excluded")
+    assert(ka.getAs[Int]("holds") == 1 && ka.getAs[Long]("n_violating") == 0L)
+    val ab = out(("a", "b"))
+    // a=1 -> {x,y} violates; a=2 -> {z} fine; a=3 -> {w, NULL} = {w} fine
+    assert(ab.getAs[Long]("n_lhs_values") == 3L)
+    assert(ab.getAs[Long]("n_violating") == 1L &&
+      ab.getAs[Long]("max_rhs_per_lhs") == 2L &&
+      ab.getAs[Long]("rows_in_violation") == 2L &&
+      ab.getAs[Int]("holds") == 0)
+    val bk = out(("b", "k"))
+    // b=z -> {12,13} violates; NULL b rows excluded from lhs grain
+    assert(bk.getAs[Long]("n_lhs_values") == 4L &&
+      bk.getAs[Long]("n_violating") == 1L && bk.getAs[Int]("holds") == 0)
+  }
 }

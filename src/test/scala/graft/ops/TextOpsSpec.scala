@@ -298,4 +298,52 @@ class TextOpsSpec extends SparkSpec {
     // empty text: zero words -> NULL scores
     assert(out(3L).isNullAt(out(3L).fieldIndex("flesch")))
   }
+
+  test("codeSignals: hand-counted symbol/digit densities separate JSON " +
+    "from prose; empty and NULL texts dropped") {
+    val rows = Seq(
+      (1L, "a", Some("""{"k":"v","n":12}""")),
+      (2L, "b", Some("plain prose with 1 digit")),
+      (3L, "b", Some("")),
+      (4L, "b", None))
+    val out = TextOps.codeSignals(
+      rows.toDF("id", "kind", "tx"), col("id"), col("kind"), col("tx"))
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(out.keySet == Set(1L, 2L), "empty/NULL rows dropped")
+    val j = out(1L)
+    // {"k":"v","n":12} -> 16 chars; syms: { } : : " x6 , = 10; digits 2
+    assert(j.getAs[Long]("n_char") == 16L)
+    assert(j.getAs[Long]("n_sym") == 10L && j.getAs[Long]("n_digit") == 2L)
+    assert(j.getAs[Long]("score_micro") == 1000000L * 32L / 16L)
+    assert(j.getAs[Int]("is_code") == 1)
+    val p = out(2L)
+    assert(p.getAs[Long]("n_sym") == 0L && p.getAs[Long]("n_digit") == 1L)
+    assert(p.getAs[Int]("is_code") == 0)
+  }
+
+  test("lexicalDiversity == the scalar type-frequency replica") {
+    val docs = Seq(
+      ("s1", "the cat and the dog and the bird"),
+      ("s1", "the cat"),
+      ("s2", "every token here is unique"))
+    val out = TextOps.lexicalDiversity(
+      docs.toDF("src", "text"), col("src"), col("text"))
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    // s1 tokens: the x4, cat x2, and x2, dog, bird -> N=10, V=5
+    val s1 = out("s1")
+    assert(s1.getAs[Long]("n_tokens") == 10L &&
+      s1.getAs[Long]("n_types") == 5L)
+    assert(s1.getAs[Long]("ttr_micro") == 500000L)
+    val rep2 = 4L * 3 + 2 * 1 + 2 * 1 // sum c(c-1)
+    assert(s1.getAs[Double]("simpson") ==
+      rep2.toDouble / (10.0 * 9.0))
+    val s2sum = 16L + 4 + 4 + 1 + 1 // sum c^2
+    assert(s1.getAs[Double]("yule_k") ==
+      10000.0 * (s2sum - 10L).toDouble / (10.0 * 10.0))
+    // all-unique source: simpson 0, yule 0, TTR 1
+    val s2 = out("s2")
+    assert(s2.getAs[Long]("ttr_micro") == 1000000L)
+    assert(s2.getAs[Double]("simpson") == 0.0 &&
+      s2.getAs[Double]("yule_k") == 0.0)
+  }
 }
