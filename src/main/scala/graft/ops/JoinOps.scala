@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -300,29 +300,94 @@ object JoinOps {
     * length buckets instead.
     */
   def fuzzySelfPairs(df: DataFrame, idCol: String, strCol: String): DataFrame = {
-    val s = col("__s")
     val base = df.select(col(idCol).cast("long").as("__id"), col(strCol).as("__s"))
-    // itself + every single-deletion variant, hashed; distinct (id, key):
-    // duplicate chars yield identical variants
-    val keyed = base.select(col("__id"),
-      explode(array_union(
-        array(xxhash64(s)),
-        when(length(s) > 0,
-          transform(sequence(lit(1), length(s)),
-            i => xxhash64(concat(
-              s.substr(lit(1), i - 1),
-              s.substr(i + 1, length(s) - i)))))
-          .otherwise(array().cast("array<bigint>")))).as("__vh"))
-      .distinct()
-    val cand = keyed.as("a").join(keyed.as("b"),
-        col("a.__vh") === col("b.__vh") && col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("id1"), col("b.__id").as("id2"))
-      .distinct()
+    val cand = fuzzyCandidatePairs(df, idCol, strCol)
     cand
       .join(base.select(col("__id").as("id1"), col("__s").as("__s1")), "id1")
       .join(base.select(col("__id").as("id2"), col("__s").as("__s2")), "id2")
       .withColumn("dist", levenshtein(col("__s1"), col("__s2")))
       .filter(col("dist") <= 1)
       .select(col("id1"), col("id2"), col("dist"))
+  }
+
+  /** The candidate stage of [[fuzzySelfPairs]] alone — every id pair
+    * sharing a deletion-variant key under `hashFn` (default: xxhash64,
+    * the production throughput family; pass
+    * [[graft.ops.DedupOps.portableShingleHash]] for the ANSI-replayable
+    * family, the q_dedup_minhash_portable discipline). Collisions only
+    * ADD candidates; the verify in [[fuzzySelfPairs]] drops them.
+    */
+  def fuzzyCandidatePairs(
+      df: DataFrame, idCol: String, strCol: String,
+      hashFn: Column => Column = c => xxhash64(c)): DataFrame = {
+    val s = col("__s")
+    val base = df.select(col(idCol).cast("long").as("__id"), col(strCol).as("__s"))
+    // itself + every single-deletion variant, hashed; distinct (id, key):
+    // duplicate chars yield identical variants
+    val keyed = base.select(col("__id"),
+      explode(array_union(
+        array(hashFn(s)),
+        when(length(s) > 0,
+          transform(sequence(lit(1), length(s)),
+            i => hashFn(concat(
+              s.substr(lit(1), i - 1),
+              s.substr(i + 1, length(s) - i)))))
+          .otherwise(array().cast("array<bigint>")))).as("__vh"))
+      .distinct()
+    keyed.as("a").join(keyed.as("b"),
+        col("a.__vh") === col("b.__vh") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id1"), col("b.__id").as("id2"))
+      .distinct()
+  }
+
+  /** Blocking-scheme quality report — the three numbers every record-
+    * linkage deployment reads before trusting a candidate generator:
+    * reduction ratio (how much of the n²/2 comparison space the
+    * blocking avoided), pairs completeness (recall of the true matches
+    * inside the candidate set — blocking's ONLY irrecoverable error),
+    * and pairs quality (candidate precision, what the verify stage will
+    * pay per true match). Computed for the [[fuzzyCandidatePairs]]
+    * deletion-neighborhood scheme against a caller-supplied truth pair
+    * set (`truePairs`: `id1 < id2`, the candidate orientation).
+    *
+    * All three land exactly on the ×10⁶ grid — counts are exact longs
+    * off one left join + fold, and every intdiv numerator is
+    * nonnegative (direction-proof). `total_pairs = n·(n−1) DIV 2`
+    * (contract `n < 3·10⁹`). Degenerate inputs (no rows, no truth, no
+    * candidates) yield NULLs, not division errors.
+    *
+    * Scale shape: the candidate generator is the variant-key equi-join
+    * (never all-pairs); the metrics add one candidate-keyed left join
+    * and three 1-row frames crossed at the end (the q_erasure audit
+    * shape).
+    *
+    * Output: `(n_rows, total_pairs, n_cand, n_true, n_matched,
+    * rr_micro, pc_micro, pq_micro)`.
+    */
+  def blockingEval(
+      df: DataFrame, idCol: String, strCol: String,
+      truePairs: DataFrame,
+      hashFn: Column => Column = c => xxhash64(c)): DataFrame = {
+    val nRow = df.agg(count(col(idCol)).as("n_rows"))
+    val tp = truePairs.select(
+      col("id1").cast("long").as("id1"), col("id2").cast("long").as("id2"),
+      lit(1L).as("__tp"))
+    val candM = fuzzyCandidatePairs(df, idCol, strCol, hashFn)
+      .join(tp, Seq("id1", "id2"), "left")
+      .agg(count(lit(1)).as("n_cand"),
+        coalesce(sum(col("__tp")), lit(0L)).as("n_matched"))
+    val nTrue = tp.agg(count(lit(1)).as("n_true"))
+    candM.crossJoin(nTrue).crossJoin(nRow)
+      .select(
+        col("n_rows"),
+        expr("n_rows * (n_rows - 1) DIV 2").as("total_pairs"),
+        col("n_cand"), col("n_true"), col("n_matched"),
+        when(col("n_rows") > 1L, lit(1000000L) -
+          expr("(1000000 * n_cand) DIV (n_rows * (n_rows - 1) DIV 2)"))
+          .as("rr_micro"),
+        when(col("n_true") > 0L,
+          expr("(1000000 * n_matched) DIV n_true")).as("pc_micro"),
+        when(col("n_cand") > 0L,
+          expr("(1000000 * n_matched) DIV n_cand")).as("pq_micro"))
   }
 }

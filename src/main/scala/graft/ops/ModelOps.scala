@@ -459,4 +459,42 @@ object ModelOps {
       .select(col("r.lag").as("lag"), col("r.n_pairs").as("n_pairs"),
         col("r.acf").as("acf"), col("r.dw").as("dw"))
   }
+
+  // ------------------------------------------- day-of-week seasonality
+
+  /** Day-of-week seasonal index of a daily cents metric — the weekly
+    * shape behind [[acfSeries]]' lag-7 spike: `idx_d = mean(day-of-week
+    * d) / grand daily mean`, exact on the ×10⁶ grid (DECIMAL(38,0)
+    * numerator `10⁶·S_d·n`, int64 denominator `n_d·S`, one intdiv — all
+    * operands nonnegative, direction-proof). Day-of-week is pure
+    * integer calendar math — `(epoch_day + 4) mod 7`, 0 = Sunday — so
+    * both engines bucket identically with no locale/calendar surface.
+    *
+    * Scale shape: the corpus collapses through ONE day-keyed aggregate
+    * (map-side combined); the dow rollup and the 1-row totals attach
+    * run on the 7-row frame.
+    *
+    * Output: `(dow, n_days, cents, idx_micro)` — dow 0..6, 0 = Sunday.
+    */
+  def seasonalIndex(df: DataFrame, day: Column, cents: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val daily = df
+      .select(day.cast("date").as("dt"), cents.cast("long").as("c"))
+      .filter(col("dt").isNotNull && col("c").isNotNull)
+      .groupBy(unix_date(col("dt")).cast("long").as("d"))
+      .agg(sum(col("c")).as("x"))
+    val byDow = daily
+      .withColumn("dow", pmod(col("d") + 4L, lit(7L)))
+      .groupBy(col("dow")).agg(
+        count(lit(1)).as("n_days"), sum(col("x")).as("cents"))
+    val wAll = Window.partitionBy()
+    byDow
+      .withColumn("n", sum(col("n_days")).over(wAll))
+      .withColumn("s", sum(col("cents")).over(wAll))
+      .select(col("dow"), col("n_days"), col("cents"),
+        when(col("s") > 0L, expr(
+          s"""CAST((CAST(1000000 AS $dec) * CAST(cents AS $dec)
+             | * CAST(n AS $dec)) DIV (n_days * s) AS BIGINT)"""
+            .stripMargin)).as("idx_micro"))
+  }
 }

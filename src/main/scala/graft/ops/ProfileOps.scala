@@ -207,6 +207,50 @@ object ProfileOps {
           .as("gini"))
   }
 
+  /** Theil T inequality index of a positive measure within each group —
+    * [[giniByGroup]]'s information-theoretic twin on the identical
+    * frame: `T = Σ (x_i/X)·ln(x_i·n/X)` (0 = perfectly even,
+    * ln n = one row holds everything), the decomposable index a mixture
+    * planner prefers when it wants between/within additivity. Reported
+    * in fixed-point log2 units (×2^20) with NO libm: the per-row term
+    * `x·(lg(x·n) − lg(X))` runs on the codegen'd
+    * [[graft.expr.MathExprs.log2Fixed]], terms accumulate in
+    * DECIMAL(38,0) (x·lg products outgrow int64 at corpus scale), and
+    * the single closing division is a sign-split intdiv by X
+    * (division-direction-proof; fixed-point flooring can push a
+    * near-zero sum marginally negative). Nats = theil_log2fx · ln 2 /
+    * 2^20, left to the consumer (the bucketDrift no-libm discipline).
+    *
+    * Rows with x ≤ 0 are excluded (x·ln x → 0 mass; zero rows carry
+    * nothing). Value contract: `n·max(x) < 2^63` (the welchT bound) for
+    * the lg argument.
+    *
+    * Scale shape: one partitioned totals window over the measure frame,
+    * row-local lg terms, one group fold — single Exchange on the group
+    * key.
+    *
+    * Output: `(group, n, total, theil_log2fx)`.
+    */
+  def theilByGroup(
+      df: DataFrame, groupCol: Column, xCol: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    val dec = "decimal(38,0)"
+    val base = df.select(groupCol.as("g"), xCol.cast("long").as("x"))
+      .filter(col("g").isNotNull && col("x") > 0L)
+      .withColumn("nn", count(lit(1)).over(w))
+      .withColumn("tot", sum(col("x")).over(w))
+    val term = col("x").cast(dec) *
+      (graft.expr.MathExprs.log2Fixed(col("x") * col("nn")) -
+        graft.expr.MathExprs.log2Fixed(col("tot"))).cast(dec)
+    base.groupBy(col("g").as("group")).agg(
+      max(col("nn")).as("n"), max(col("tot")).as("total"),
+      coalesce(sum(term), lit(0L).cast(dec)).as("num"))
+      .select(col("group"), col("n"), col("total"),
+        expr("""CASE WHEN num >= 0 THEN CAST(num DIV total AS BIGINT)
+               ELSE -CAST((-num) DIV total AS BIGINT) END""")
+          .as("theil_log2fx"))
+  }
+
   /** Distribution drift of a numeric measure between a BASELINE slice
     * and the current slice, over FROZEN literal bucket boundaries (the
     * continuous-variable counterpart of [[chiSquareCells]]; the PSI /

@@ -423,6 +423,33 @@ private[queries] object DedupQueries {
         t(s, dir, "customer").select(col("c_custkey"), col("c_name")),
         "c_custkey", "c_name")),
 
+    // Blocking-quality report (reduction ratio / pairs completeness /
+    // pairs quality) of the deletion-neighborhood candidate generator
+    // against PLANTED truth: every even customer gets a one-char-deleted
+    // dirty observation (the q_entity_golden feed), truth = those
+    // (base, dirty) pairs. Candidates run the portable md5 variant-hash
+    // family so the UNVERIFIED candidate count itself is
+    // collision-faithfully replayable (the q_dedup_minhash_portable
+    // discipline).
+    "q_blocking_eval" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("ck"),
+        concat(col("c_name"), lit(" "),
+          format_string("%08x",
+            col("c_custkey").cast("long") * 2654435761L % 4294967296L))
+          .as("nm"))
+      val p = (col("ck") % 10 + 10).cast("int")
+      val obs = c.select((col("ck") * 2).as("rid"), col("nm").as("obs"))
+        .unionByName(c.filter(col("ck") % 2 === 0).select(
+          (col("ck") * 2 + 1).as("rid"),
+          concat(col("nm").substr(lit(1), p - 1),
+            col("nm").substr(p + 1, length(col("nm")))).as("obs")))
+      val truth = c.filter(col("ck") % 2 === 0).select(
+        (col("ck") * 2).as("id1"), (col("ck") * 2 + 1).as("id2"))
+      JoinOps.blockingEval(obs, "rid", "obs", truth,
+        DedupOps.portableShingleHash)
+    }),
+
     // Entity resolution end-to-end (EntityOps.goldenRecords): each
     // customer becomes 1-2 dirty "feed observations" (evens get a copy
     // with one deterministically-deleted character), the blocked matcher
@@ -1077,6 +1104,52 @@ private[queries] object DedupQueries {
          |    + CASE WHEN bal_a IS NOT DISTINCT FROM bal_b
          |         THEN wa_bal ELSE wd_bal END AS BIGINT) AS weight_fx
          |FROM al JOIN bl USING (nation, blk) CROSS JOIN w""".stripMargin,
+
+    // The planted base+dirty feed, every self+deletion variant under
+    // the portable md5 hash (collision-faithful), the same candidate
+    // equi-join, exact ×10⁶ metric intdivs.
+    "q_blocking_eval" ->
+      s"""WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS ck,
+         |    c_name || ' '
+         |      || printf('%08x', (c_custkey * 2654435761) % 4294967296)
+         |      AS nm
+         |  FROM customer),
+         |obs AS (
+         |  SELECT ck * 2 AS rid, nm AS s FROM c
+         |  UNION ALL
+         |  SELECT ck * 2 + 1,
+         |    substring(nm, 1, CAST(ck % 10 + 10 AS INT) - 1)
+         |      || substring(nm, CAST(ck % 10 + 10 AS INT) + 1, length(nm))
+         |  FROM c WHERE ck % 2 = 0),
+         |vh AS (SELECT DISTINCT rid,
+         |    CAST(('0x' || substring(md5(v), 1, 15)) AS BIGINT)
+         |      % ${DedupOps.PortableHashPrime} AS h
+         |  FROM (SELECT rid, unnest(list_prepend(s,
+         |      list_transform(range(1, length(s) + 1),
+         |        i -> substring(s, 1, i - 1)
+         |          || substring(s, i + 1, length(s))))) AS v
+         |    FROM obs) q),
+         |cand AS (SELECT DISTINCT a.rid AS id1, b.rid AS id2
+         |  FROM vh a JOIN vh b ON a.h = b.h AND a.rid < b.rid),
+         |tp AS (SELECT ck * 2 AS id1, ck * 2 + 1 AS id2 FROM c
+         |       WHERE ck % 2 = 0),
+         |cm AS (SELECT CAST(count(*) AS BIGINT) AS n_cand,
+         |    CAST(coalesce(sum(CASE WHEN tp.id1 IS NOT NULL THEN 1 END), 0)
+         |      AS BIGINT) AS n_matched
+         |  FROM cand LEFT JOIN tp
+         |    ON cand.id1 = tp.id1 AND cand.id2 = tp.id2),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM tp),
+         |nr AS (SELECT CAST(count(rid) AS BIGINT) AS n_rows FROM obs)
+         |SELECT n_rows,
+         |  CAST(n_rows * (n_rows - 1) // 2 AS BIGINT) AS total_pairs,
+         |  n_cand, n_true, n_matched,
+         |  CASE WHEN n_rows > 1 THEN CAST(1000000 - (1000000 * n_cand)
+         |    // (n_rows * (n_rows - 1) // 2) AS BIGINT) END AS rr_micro,
+         |  CASE WHEN n_true > 0 THEN
+         |    CAST((1000000 * n_matched) // n_true AS BIGINT) END AS pc_micro,
+         |  CASE WHEN n_cand > 0 THEN
+         |    CAST((1000000 * n_matched) // n_cand AS BIGINT) END AS pq_micro
+         |FROM cm CROSS JOIN nt CROSS JOIN nr""".stripMargin,
 
     // The dedupWeights (Jaccard truth) CTEs next to the naive-Hamming
     // SimHash pairs closed into min-label components (prediction);

@@ -560,6 +560,30 @@ private[queries] object LakeQueries {
           (sum(col("cents")).cast("double") / 100).as("total_spend"))
     }),
 
+    // Incremental JOIN-view maintenance (the ΔR⋈S delta rule next to
+    // q_incr_agg's monoid merge): the per-nation revenue view over
+    // orders⋈customer is maintained under an order-batch insert by
+    // joining ONLY the delta batch against the unchanged broadcast
+    // dimension and merging partials — the base fact is never rescanned
+    // at maintenance time. The oracle recomputes the view from the full
+    // join: hash equality is the delta-rule proof.
+    "q_incr_join_view" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select(
+        col("c_custkey"), col("c_nationkey"))
+      def viewPartials(o: DataFrame) = o
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val o = t(s, dir, "orders")
+      val base = viewPartials(o.filter(col("o_orderkey") % 10 < 8))
+      val delta = viewPartials(o.filter(col("o_orderkey") % 10 >= 8))
+      base.unionByName(delta)
+        .groupBy(col("c_nationkey"))
+        .agg(sum(col("n_orders")).as("n_orders"),
+          sum(col("cents")).as("cents"))
+    }),
+
     // Small-file compaction plan (lakehouse OPTIMIZE): bin-pack a file
     // listing into ~30 KB merge groups per source. The listing here is
     // DERIVED from the corpus (16 content-keyed shards per source with
@@ -579,6 +603,14 @@ private[queries] object LakeQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    // Full-join recompute — hash equality proves the delta merge.
+    "q_incr_join_view" ->
+      """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey""".stripMargin,
 
     "q_lake_layout" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_rows,

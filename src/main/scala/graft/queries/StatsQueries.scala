@@ -763,6 +763,25 @@ private[queries] object StatsQueries {
         t(s, dir, "orders"), col("o_orderdate"),
         round(col("o_totalprice") * 100).cast("long"), maxLag = 7)),
 
+    // Theil T inequality of byte mass per source on the identical
+    // q_gini frame — the decomposable information-theoretic twin:
+    // fixed-point log2 terms (no libm), decimal-128 accumulation, one
+    // sign-split intdiv per group.
+    "q_theil" -> ((s, dir) =>
+      ProfileOps.theilByGroup(
+        t(s, dir, "documents"), col("source"), col("n_chars"))
+        .select(col("group").as("source"), col("n"), col("total"),
+          col("theil_log2fx"))),
+
+    // Day-of-week seasonal index of daily order revenue — the weekly
+    // shape behind q_acf's lag-7 reading: portable integer calendar
+    // math ((epoch_day+4) mod 7), exact ×10⁶ decimal intdiv, the
+    // 7-row dow frame after one day-keyed collapse.
+    "q_seasonal_index" -> ((s, dir) =>
+      ModelOps.seasonalIndex(
+        t(s, dir, "orders"), col("o_orderdate"),
+        round(col("o_totalprice") * 100).cast("long"))),
+
     // Chapman capture-recapture estimate of the active-user population
     // from two observation windows (first vs second half-month) against
     // the observed union — exact intdiv, one user-keyed aggregate.
@@ -2727,6 +2746,51 @@ private[queries] object StatsQueries {
          |f2 AS (SELECT *, nh * nh * sxx - nh * s * s AS den FROM f)
          |$rows""".stripMargin
     },
+
+    // Per-group totals, the identical log2Fixed term replay (unrolled
+    // mantissa rounds), HUGEINT accumulation, the sign-split intdiv.
+    "q_theil" ->
+      s"""WITH b AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS x
+         |  FROM documents WHERE source IS NOT NULL AND n_chars > 0),
+         |gt AS (SELECT g, CAST(count(*) AS BIGINT) AS nn,
+         |    CAST(sum(x) AS BIGINT) AS tot FROM b GROUP BY g),
+         |j AS (SELECT b.g, b.x, gt.nn, gt.tot FROM b JOIN gt USING (g)),
+         |vals AS (SELECT DISTINCT x * nn AS v FROM j
+         |         UNION SELECT DISTINCT tot FROM gt),
+         |${log2FixedSql("vals")},
+         |tm AS (SELECT j.g, j.nn, j.tot,
+         |    CAST(j.x AS HUGEINT) * (l1.lg - l2.lg) AS term
+         |  FROM j JOIN lg l1 ON l1.v = j.x * j.nn
+         |         JOIN lg l2 ON l2.v = j.tot),
+         |m AS (SELECT g, CAST(max(nn) AS BIGINT) AS n,
+         |    CAST(max(tot) AS BIGINT) AS total,
+         |    coalesce(sum(term), 0) AS num
+         |  FROM tm GROUP BY g)
+         |SELECT g AS source, n, total,
+         |  CASE WHEN num >= 0 THEN CAST(num // total AS BIGINT)
+         |       ELSE -CAST((-num) // total AS BIGINT) END AS theil_log2fx
+         |FROM m""".stripMargin,
+
+    // Portable (epoch_day+4) mod 7 bucketing, HUGEINT ×10⁶ intdiv.
+    "q_seasonal_index" ->
+      """WITH daily AS (SELECT
+        |    CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS d,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS x
+        |  FROM orders
+        |  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+        |  GROUP BY 1),
+        |bd AS (SELECT (d + 4) % 7 AS dow, CAST(count(*) AS BIGINT)
+        |    AS n_days, CAST(sum(x) AS BIGINT) AS cents
+        |  FROM daily GROUP BY 1),
+        |tt AS (SELECT bd.*, CAST(sum(n_days) OVER () AS BIGINT) AS n,
+        |    CAST(sum(cents) OVER () AS BIGINT) AS s FROM bd)
+        |SELECT CAST(dow AS BIGINT) AS dow, n_days, cents,
+        |  CASE WHEN s > 0 THEN
+        |    CAST((CAST(1000000 AS HUGEINT) * CAST(cents AS HUGEINT)
+        |      * CAST(n AS HUGEINT)) // (n_days * s) AS BIGINT)
+        |  END AS idx_micro
+        |FROM tt""".stripMargin,
 
     // Per-user capture flags via bool_or, the exact Chapman intdiv.
     "q_capture_recapture" ->

@@ -261,4 +261,43 @@ class JoinOpsSpec extends SparkSpec {
     // a shared-deletion-variant candidate the verify must reject
     assert(!got.exists(p => p._1 == 12L && p._2 == 13L))
   }
+
+  test("blockingEval: hand-counted metrics on a planted feed; complete " +
+    "blocking reports pc 10^6; degenerate inputs yield NULLs") {
+    // 4 base strings far apart + 2 dirty single-deletion copies
+    val rows = Seq(
+      (1L, "alpha-record-one"), (2L, "beta-record-two"),
+      (3L, "gamma-record-three"), (4L, "delta-record-four"),
+      (11L, "alpha-recordone"), // deletion of '-' from id 1
+      (12L, "beta-recor-two")) // deletion of 'd' from id 2
+    val truth = Seq((1L, 11L), (2L, 12L)).toDF("id1", "id2")
+    val out = JoinOps.blockingEval(
+      rows.toDF("id", "s"), "id", "s", truth).collect().head
+    assert(out.getAs[Long]("n_rows") == 6L &&
+      out.getAs[Long]("total_pairs") == 15L)
+    // candidates: exactly the two true pairs (others share no variant)
+    val cand = JoinOps.fuzzyCandidatePairs(rows.toDF("id", "s"), "id", "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand == Set((1L, 11L), (2L, 12L)))
+    assert(out.getAs[Long]("n_cand") == 2L &&
+      out.getAs[Long]("n_true") == 2L &&
+      out.getAs[Long]("n_matched") == 2L)
+    assert(out.getAs[Long]("pc_micro") == 1000000L, "blocking is complete")
+    assert(out.getAs[Long]("pq_micro") == 1000000L)
+    assert(out.getAs[Long]("rr_micro") == 1000000L - 1000000L * 2 / 15)
+
+    // portable family produces the same pair set (collision-free here)
+    val candP = JoinOps.fuzzyCandidatePairs(rows.toDF("id", "s"), "id", "s",
+      graft.ops.DedupOps.portableShingleHash).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(candP == cand)
+
+    val none = JoinOps.blockingEval(
+      Seq.empty[(Long, String)].toDF("id", "s"), "id", "s",
+      Seq.empty[(Long, Long)].toDF("id1", "id2")).collect().head
+    assert(none.getAs[Long]("n_cand") == 0L)
+    assert(none.isNullAt(none.fieldIndex("pc_micro")) &&
+      none.isNullAt(none.fieldIndex("pq_micro")) &&
+      none.isNullAt(none.fieldIndex("rr_micro")))
+  }
 }

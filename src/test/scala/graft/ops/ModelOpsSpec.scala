@@ -270,4 +270,38 @@ class ModelOpsSpec extends SparkSpec {
     rc.foreach(r => assert(r.isNullAt(r.fieldIndex("acf")),
       "zero-variance series: NULL acf, no division error"))
   }
+
+  test("seasonalIndex == the scalar epoch-day replica; flat series " +
+    "indexes exactly 10^6 everywhere") {
+    import java.time.LocalDate
+    // 3 weeks, value = 100 + 50 on Sundays ((epochday+4) % 7 == 0)
+    val days = (0 until 21).map(i => LocalDate.of(2024, 2, 1).plusDays(i))
+    def dowOf(d: LocalDate): Long = (d.toEpochDay + 4) % 7
+    val rows = days.map(d =>
+      (d.toString, if (dowOf(d) == 0L) 150L else 100L))
+    val out = ModelOps.seasonalIndex(
+      rows.toDF("dt", "c"), col("dt"), col("c"))
+      .collect().map(r => r.getAs[Long]("dow") -> r).toMap
+    assert(out.size == 7)
+    val total = rows.map(_._2).sum
+    val n = 21L
+    for (dow <- 0L to 6L) {
+      val mine = days.filter(dowOf(_) == dow)
+      val cents = rows.zip(days).filter(p => dowOf(p._2) == dow)
+        .map(_._1._2).sum
+      val r = out(dow)
+      assert(r.getAs[Long]("n_days") == mine.size.toLong)
+      assert(r.getAs[Long]("cents") == cents)
+      assert(r.getAs[Long]("idx_micro") ==
+        (BigInt(1000000) * cents * n / (mine.size * total)).toLong)
+    }
+    assert(out(0L).getAs[Long]("idx_micro") > 1000000L, "Sunday lifts")
+
+    val flat = (0 until 14).map(i =>
+      (LocalDate.of(2024, 5, 6).plusDays(i).toString, 77L))
+    ModelOps.seasonalIndex(flat.toDF("dt", "c"), col("dt"), col("c"))
+      .collect().foreach(r =>
+        assert(r.getAs[Long]("idx_micro") == 1000000L,
+          "equal daily mass: exact unit index"))
+  }
 }

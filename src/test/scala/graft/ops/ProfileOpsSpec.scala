@@ -661,4 +661,30 @@ class ProfileOpsSpec extends SparkSpec {
     assert(bk.getAs[Long]("n_lhs_values") == 4L &&
       bk.getAs[Long]("n_violating") == 1L && bk.getAs[Int]("holds") == 0)
   }
+
+  test("theilByGroup == the scalar log2Fixed replica; equal masses give " +
+    "exactly 0; concentration orders above spread") {
+    def scalar(xs: Seq[Long]): Long = {
+      val n = xs.size.toLong
+      val tot = xs.sum
+      val num = xs.map(x => BigInt(x) *
+        (SelectionOps.log2Fixed(x * n) - SelectionOps.log2Fixed(tot))).sum
+      if (num >= 0) (num / tot).toLong else -((-num) / tot).toLong
+    }
+    val even = Seq.fill(8)(25L)
+    val skew = Seq(160L, 5L, 5L, 5L, 5L, 5L, 5L, 10L)
+    val rows = even.map(("even", _)) ++ skew.map(("skew", _)) ++
+      Seq(("zero", 0L), ("zero", 7L)) // zero-mass row excluded
+    val out = ProfileOps.theilByGroup(
+      rows.toDF("g", "x"), col("g"), col("x"))
+      .collect().map(r => r.getAs[String]("group") -> r).toMap
+    assert(out("even").getAs[Long]("theil_log2fx") == 0L)
+    assert(out("even").getAs[Long]("theil_log2fx") == scalar(even))
+    assert(out("skew").getAs[Long]("theil_log2fx") == scalar(skew))
+    assert(out("skew").getAs[Long]("theil_log2fx") >
+      out("even").getAs[Long]("theil_log2fx"))
+    assert(out("zero").getAs[Long]("n") == 1L, "x <= 0 rows excluded")
+    assert(out("zero").getAs[Long]("theil_log2fx") == 0L,
+      "single surviving row: x*n == total, lg terms cancel exactly")
+  }
 }
