@@ -853,6 +853,7 @@ object ExperimentOps {
     */
   val Chi2Crit2Df: Double = 5.9915
   val Chi2Crit4Df: Double = 9.4877
+  val Chi2Crit8Df: Double = 15.5073
 
   /** Kruskal-Wallis H — the k-group omnibus rank test ([[anovaF]]'s
     * nonparametric sibling; [[mannWhitneyU]]'s k-arm extension): "do ANY

@@ -387,39 +387,105 @@ object GraphOps {
     val e = edges
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .cutLineage()
+    // one row per triangle (s, t, w), then per-node attribution
+    triangleRows(e)
+      .select(explode(array(col("s"), col("t"), col("w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** One row per triangle of a canonical (u < v, distinct) edge list —
+    * the [[triangleCounts]] degree-oriented enumeration factored out so
+    * per-EDGE consumers ([[kTrussEdges]]) share it. Columns `(s, t, w)`
+    * name the triangle's vertices (s→t the oriented apex edge, w the
+    * closing out-neighbor); each triangle appears exactly once.
+    *
+    * Adjacency-intersection instead of wedge materialization: a wedge
+    * join would shuffle Σ C(outdeg, 2) rows; joining each oriented edge
+    * to the two out-neighbor lists it closes against moves only
+    * edge-count rows, and the per-edge intersection is row-local.
+    * Out-lists are O(sqrt(m))-bounded by the degree orientation, so
+    * neither the lists nor the intersections blow up on hubs. The
+    * oriented frame feeds the closure join AND both adjacency legs —
+    * cut so the degree joins run once; shuffle_hash hints because
+    * sorting the edge-sized stream twice buys nothing.
+    */
+  private def triangleRows(e: DataFrame): DataFrame = {
     val deg = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
     val withDeg = e
       .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
       .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
-    val fwd = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
-    // Oriented edges feed the closure join AND both adjacency legs; cut
-    // here too so the degree joins run once, not three times.
+    val fwd = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
     val oriented = withDeg.select(
       when(fwd, col("u")).otherwise(col("v")).as("s"),
       when(fwd, col("v")).otherwise(col("u")).as("t"))
       .cutLineage()
-    // Adjacency-intersection instead of wedge materialization: a wedge
-    // join would shuffle Σ C(outdeg, 2) rows (tens of millions even on a
-    // mid-sized graph); joining each oriented edge to the two out-
-    // neighbor lists it closes against moves only edge-count rows, and
-    // the per-edge intersection is a row-local array op. Out-lists are
-    // O(sqrt(m))-bounded by the orientation, so neither the lists nor
-    // the intersections blow up on hubs.
     val adj = oriented.groupBy(col("s"))
       .agg(sort_array(collect_list(col("t"))).as("nb"))
-    // shuffle_hash: the build side (adjacency lists, |V| rows) hashes
-    // per-partition; sorting the edge-sized stream twice buys nothing
-    val closed = oriented
-      .join(adj.select(col("s"), col("nb").as("nb_s")).hint("shuffle_hash"), "s")
-      .join(adj.select(col("s").as("t"), col("nb").as("nb_t")).hint("shuffle_hash"), "t")
+    oriented
+      .join(adj.select(col("s"), col("nb").as("nb_s"))
+        .hint("shuffle_hash"), "s")
+      .join(adj.select(col("s").as("t"), col("nb").as("nb_t"))
+        .hint("shuffle_hash"), "t")
       .select(col("s"), col("t"),
         array_intersect(col("nb_s"), col("nb_t")).as("ws"))
       .filter(size(col("ws")) > 0)
-    // one row per triangle (s, t, w), then per-node attribution
-    closed.select(col("s"), col("t"), explode(col("ws")).as("w"))
-      .select(explode(array(col("s"), col("t"), col("w"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+      .select(col("s"), col("t"), explode(col("ws")).as("w"))
+  }
+
+  /** k-truss edge peeling (Cohen 2008) — the cohesive-subgraph filter a
+    * tier above [[kCoreNodes]]: keep only edges embedded in at least
+    * `k−2` triangles AMONG SURVIVING EDGES, iterated synchronously for
+    * `rounds` rounds (early exit at the fixpoint; a fixed `rounds` past
+    * it keeps the unrolled oracle equivalent). Per round: the
+    * [[triangleRows]] degree-oriented enumeration (hub-degree-proof —
+    * never a shared-neighbor self-join), three row-local canonical edge
+    * emissions per triangle, one edge-keyed support count, one keyed
+    * semi-prune. Per-round lineage cuts keep the plan O(1) (the
+    * [[kCoreNodes]] discipline).
+    *
+    * Output: surviving edges with their final support —
+    * `(u, v, support)`, support ≥ k−2 by construction (recomputed on
+    * the surviving subgraph).
+    */
+  def kTrussEdges(
+      pairs: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    require(k >= 3, s"k-truss needs k >= 3, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    def supports(edges: DataFrame): DataFrame =
+      triangleRows(edges)
+        .select(explode(array(
+          struct(least(col("s"), col("t")).as("u"),
+            greatest(col("s"), col("t")).as("v")),
+          struct(least(col("s"), col("w")).as("u"),
+            greatest(col("s"), col("w")).as("v")),
+          struct(least(col("t"), col("w")).as("u"),
+            greatest(col("t"), col("w")).as("v")))).as("ed"))
+        .select(col("ed.u").as("u"), col("ed.v").as("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("support"))
+    val canon = pairs.select(
+      least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("u"),
+      greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    var e = canon.cutLineage()
+    var nEdges = e.count()
+    var r = 0
+    var fixed = false
+    while (r < rounds && !fixed) {
+      val keep = supports(e).filter(col("support") >= (k - 2).toLong)
+        .select(col("u"), col("v"))
+      val pruned = e.join(keep, Seq("u", "v"), "left_semi").cutLineage()
+      val n = pruned.count()
+      fixed = n == nEdges
+      e = pruned
+      nEdges = n
+      r += 1
+    }
+    e.join(supports(e), Seq("u", "v"), "left")
+      .select(col("u"), col("v"),
+        coalesce(col("support"), lit(0L)).as("support"))
   }
 
   /** Bounded-hop BFS (multi-source shortest hop counts) — Pregel-style

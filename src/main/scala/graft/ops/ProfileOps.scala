@@ -207,6 +207,72 @@ object ProfileOps {
           .as("gini"))
   }
 
+  /** Shared ln 2 literal for converting fixed-point log2 readouts to
+    * nats — computed nowhere (the [[ExperimentOps.MwZ2Crit]] contract).
+    */
+  val Ln2: Double = 0.6931471805599453
+
+  /** G-test of independence (likelihood-ratio χ²) over a contingency
+    * table with LITERAL axes — [[chiSquareCells]]' omnibus companion,
+    * preferred at low expected counts where Pearson's (O−E)²/E terms
+    * explode: `G = 2·Σ O·ln(O·N/(R·C))`. Float-free core: each cell
+    * term `O·(lg(O·N) − lg(R·C))` runs on the codegen'd fixed-point
+    * log2 (the [[theilByGroup]] / keyness machinery), accumulates in
+    * DECIMAL(38,0), and `g_log2fx = 2·Σterms` is an exact integer. The
+    * nats readout multiplies by the shared [[Ln2]] literal over 2^20 —
+    * ONE fixed double chain — and compares to the caller's χ²_df
+    * literal. With both level lists literal, df = (|A|−1)·(|B|−1) is a
+    * plan constant; `significant` is NULL unless every listed level is
+    * populated on both axes (df would shift otherwise, the
+    * kruskalWallis guard). Empty cells contribute exactly 0 (the
+    * O·ln O → 0 limit).
+    *
+    * Scale shape: ONE map-side-combined cell count over the corpus;
+    * marginals as partitioned windows on the (|A|·|B|)-bounded cell
+    * frame; a 1-row fold. Value contract: `n·max(O) < 2^63` for the lg
+    * arguments.
+    *
+    * Output: `(n, df, g_log2fx, g_nats, significant)`.
+    */
+  def gTest(
+      df: DataFrame, aCol: Column, bCol: Column,
+      aLevels: Seq[String], bLevels: Seq[String],
+      chi2Crit: Double): DataFrame = {
+    require(aLevels.size >= 2 && bLevels.size >= 2, "gTest needs 2x2+")
+    require(aLevels.distinct.size == aLevels.size &&
+      bLevels.distinct.size == bLevels.size, "duplicate levels")
+    val dec = "decimal(38,0)"
+    val cells = df
+      .select(aCol.cast("string").as("a"), bCol.cast("string").as("b"))
+      .filter(col("a").isInCollection(aLevels) &&
+        col("b").isInCollection(bLevels))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("o"))
+    val wA = org.apache.spark.sql.expressions.Window.partitionBy(col("a"))
+    val wB = org.apache.spark.sql.expressions.Window.partitionBy(col("b"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val marg = cells
+      .withColumn("r", sum(col("o")).over(wA))
+      .withColumn("c", sum(col("o")).over(wB))
+      .withColumn("nn", sum(col("o")).over(wAll))
+    val term = col("o").cast(dec) *
+      (graft.expr.MathExprs.log2Fixed(col("o") * col("nn")) -
+        graft.expr.MathExprs.log2Fixed(col("r") * col("c"))).cast(dec)
+    val m = marg.agg(
+      coalesce(max(col("nn")), lit(0L)).as("n"),
+      countDistinct(col("a")).as("ka"),
+      countDistinct(col("b")).as("kb"),
+      coalesce(sum(term), lit(0L).cast(dec)).as("num"))
+    val g2fx = (lit(2L).cast(dec) * col("num")).cast("long")
+    val gNats = g2fx.cast("double") * Ln2 / 1048576.0
+    val allLevels = col("ka") === aLevels.size.toLong &&
+      col("kb") === bLevels.size.toLong
+    m.select(
+      col("n"),
+      lit(((aLevels.size - 1) * (bLevels.size - 1)).toLong).as("df"),
+      g2fx.as("g_log2fx"), gNats.as("g_nats"),
+      when(allLevels, (gNats >= chi2Crit).cast("int")).as("significant"))
+  }
+
   /** Theil T inequality index of a positive measure within each group —
     * [[giniByGroup]]'s information-theoretic twin on the identical
     * frame: `T = Σ (x_i/X)·ln(x_i·n/X)` (0 = perfectly even,

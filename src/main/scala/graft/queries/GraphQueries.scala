@@ -196,6 +196,20 @@ private[queries] object GraphQueries {
     // aggregate (a hub with many triangles can still be loosely knit).
     "q_clustering_coeff" -> ((s, dir) =>
       GraphOps.clusteringCoeff(partCooccurrenceEdges(s, dir), "u", "v")),
+
+    // 3-truss of the REPEAT co-purchase backbone (pairs bought together
+    // in >= 2 orders — thresholding is the density control that keeps
+    // the truss frame edge-bounded at any corpus scale): the
+    // edge-cohesion filter above q_kcore — every surviving edge sits in
+    // a triangle among survivors, 3 synchronous peel rounds (past
+    // fixpoint). Each round reruns the degree-oriented triangle
+    // enumeration; the oracle unrolls the identical rounds.
+    "q_ktruss" -> ((s, dir) =>
+      GraphOps.kTrussEdges(
+        GraphOps.cooccurrencePairs(
+          t(s, dir, "lineitem"), "l_orderkey", "l_partkey", minCount = 2L)
+          .select(col("item_a").as("u"), col("item_b").as("v")),
+        "u", "v", k = 3, rounds = 3)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -382,5 +396,41 @@ private[queries] object GraphQueries {
         |       // (d.degree * (d.degree - 1)) AS BIGINT) AS lcc_micro
         |FROM deg d LEFT JOIN tn ON tn.node = d.node
         |WHERE d.degree >= 2""".stripMargin,
+
+    // The same id-ordered triangle enumeration as the q_triangles
+    // oracle, unrolled per peel round (MATERIALIZED against exponential
+    // CTE inlining — the kCoreSql discipline), final support recomputed
+    // on the surviving subgraph.
+    "q_ktruss" -> {
+      val (k, rounds) = (3, 3)
+      val peels = (0 until rounds).map { i =>
+        s"""t$i AS MATERIALIZED (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+           |  FROM e$i e1 JOIN e$i e2 ON e2.u = e1.v
+           |  JOIN e$i e3 ON e3.u = e1.u AND e3.v = e2.v),
+           |sp$i AS MATERIALIZED (SELECT u, v,
+           |    CAST(count(*) AS BIGINT) AS sup
+           |  FROM (SELECT a AS u, b AS v FROM t$i
+           |        UNION ALL SELECT a, c FROM t$i
+           |        UNION ALL SELECT b, c FROM t$i) GROUP BY u, v),
+           |e${i + 1} AS MATERIALIZED (SELECT e.u, e.v FROM e$i e
+           |  JOIN sp$i s ON s.u = e.u AND s.v = e.v
+           |  WHERE s.sup >= ${k - 2})""".stripMargin
+      }.mkString(",\n")
+      s"""WITH n0 AS (SELECT DISTINCT l_orderkey AS bk,
+         |    CAST(l_partkey AS BIGINT) AS pk FROM lineitem),
+         |e0 AS MATERIALIZED (SELECT a.pk AS u, b.pk AS v
+         |  FROM n0 a JOIN n0 b ON a.bk = b.bk AND a.pk < b.pk
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |$peels,
+         |tf AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         |  FROM e$rounds e1 JOIN e$rounds e2 ON e2.u = e1.v
+         |  JOIN e$rounds e3 ON e3.u = e1.u AND e3.v = e2.v),
+         |sf AS (SELECT u, v, CAST(count(*) AS BIGINT) AS sup FROM (
+         |    SELECT a AS u, b AS v FROM tf UNION ALL SELECT a, c FROM tf
+         |    UNION ALL SELECT b, c FROM tf) GROUP BY u, v)
+         |SELECT e.u, e.v, CAST(coalesce(s.sup, 0) AS BIGINT) AS support
+         |FROM e$rounds e LEFT JOIN sf s ON s.u = e.u AND s.v = e.v"""
+        .stripMargin
+    },
   )
 }

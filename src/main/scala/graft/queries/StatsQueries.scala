@@ -763,6 +763,16 @@ private[queries] object StatsQueries {
         t(s, dir, "orders"), col("o_orderdate"),
         round(col("o_totalprice") * 100).cast("long"), maxLag = 7)),
 
+    // G-test of independence on priority × status (the q_cramers_v
+    // contingency) — the likelihood-ratio omnibus that stays calibrated
+    // at low expected counts: fixed-point log2 cell terms (no libm),
+    // decimal-128 accumulation, the shared ln2 literal for the nats
+    // readout against χ²₈.
+    "q_gtest" -> ((s, dir) =>
+      ProfileOps.gTest(
+        t(s, dir, "orders"), col("o_orderpriority"), col("o_orderstatus"),
+        PriorityLadder, OrderStatuses, ExperimentOps.Chi2Crit8Df)),
+
     // Theil T inequality of byte mass per source on the identical
     // q_gini frame — the decomposable information-theoretic twin:
     // fixed-point log2 terms (no libm), decimal-128 accumulation, one
@@ -831,6 +841,10 @@ private[queries] object StatsQueries {
     */
   private val PriorityLadder: Seq[String] = Seq(
     "5-LOW", "4-NOT SPECIFIED", "3-MEDIUM", "2-HIGH", "1-URGENT")
+
+  /** The three TPC-H order statuses — the literal second axis for the
+    * contingency omnibus tests. */
+  private val OrderStatuses: Seq[String] = Seq("F", "O", "P")
 
   /** The q_auc lexicon-margin CTE prefix (`w`/`tk`/`mm`): per-doc margin
     * of the frozen quality lexicon, docs with no lexicon hits coalesced
@@ -2745,6 +2759,44 @@ private[queries] object StatsQueries {
          |f AS (SELECT *, CAST(n AS HUGEINT) AS nh FROM ag),
          |f2 AS (SELECT *, nh * nh * sxx - nh * s * s AS den FROM f)
          |$rows""".stripMargin
+    },
+
+    // Cell counts, window marginals, the identical log2Fixed term
+    // replay, HUGEINT accumulation, the shared ln2 nats chain.
+    "q_gtest" -> {
+      val ladder = PriorityLadder.map(g => s"'$g'").mkString(", ")
+      val statuses = OrderStatuses.map(g => s"'$g'").mkString(", ")
+      val gnats = s"CAST(g_log2fx AS DOUBLE) * ${dlit(ProfileOps.Ln2)}" +
+        s" / ${dlit(1048576.0)}"
+      s"""WITH cells AS (SELECT o_orderpriority AS a, o_orderstatus AS b,
+         |    CAST(count(*) AS BIGINT) AS o
+         |  FROM orders WHERE o_orderpriority IN ($ladder)
+         |    AND o_orderstatus IN ($statuses)
+         |  GROUP BY 1, 2),
+         |mg AS (SELECT *,
+         |    CAST(sum(o) OVER (PARTITION BY a) AS BIGINT) AS r,
+         |    CAST(sum(o) OVER (PARTITION BY b) AS BIGINT) AS c,
+         |    CAST(sum(o) OVER () AS BIGINT) AS nn FROM cells),
+         |vals AS (SELECT DISTINCT o * nn AS v FROM mg
+         |         UNION SELECT DISTINCT r * c FROM mg),
+         |${log2FixedSql("vals")},
+         |tm AS (SELECT mg.a, mg.b, mg.nn,
+         |    CAST(mg.o AS HUGEINT) * (l1.lg - l2.lg) AS term
+         |  FROM mg JOIN lg l1 ON l1.v = mg.o * mg.nn
+         |          JOIN lg l2 ON l2.v = mg.r * mg.c),
+         |m AS (SELECT CAST(coalesce(max(nn), 0) AS BIGINT) AS n,
+         |    CAST(count(DISTINCT a) AS BIGINT) AS ka,
+         |    CAST(count(DISTINCT b) AS BIGINT) AS kb,
+         |    coalesce(sum(term), 0) AS num FROM tm),
+         |ff AS (SELECT n, ka, kb,
+         |    CAST(2 * num AS BIGINT) AS g_log2fx FROM m)
+         |SELECT n, CAST(8 AS BIGINT) AS df, g_log2fx,
+         |  $gnats AS g_nats,
+         |  CASE WHEN ka = ${PriorityLadder.size} AND kb = ${
+           OrderStatuses.size}
+         |    THEN CAST($gnats >= ${dlit(ExperimentOps.Chi2Crit8Df)}
+         |              AS INT) END AS significant
+         |FROM ff""".stripMargin
     },
 
     // Per-group totals, the identical log2Fixed term replay (unrolled

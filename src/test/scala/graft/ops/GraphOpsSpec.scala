@@ -534,4 +534,29 @@ class GraphOpsSpec extends SparkSpec {
     // node 1: degree 3 (2,3,8), triangles 1, same 1/3
     assert(out(1L).getAs[Long]("lcc_micro") == 333333L)
   }
+
+  test("kTrussEdges: K5 survives 5-truss peeling, pendant triangles fall " +
+    "to 4-truss, chains fall to 3-truss; extra rounds past fixpoint " +
+    "change nothing") {
+    // K5 {1..5} + triangle {5,6,7} hanging off node 5 + path 7-8-9
+    val k5 = for {
+      a <- 1L to 5L; b <- 1L to 5L if a < b
+    } yield (a, b)
+    val es = k5 ++ Seq((5L, 6L), (5L, 7L), (6L, 7L), (7L, 8L), (8L, 9L))
+    val df = es.toDF("u", "v")
+    def edgesOf(k: Int, rounds: Int): Set[(Long, Long)] =
+      GraphOps.kTrussEdges(df, "u", "v", k, rounds).collect()
+        .map(r => (r.getAs[Long]("u"), r.getAs[Long]("v"))).toSet
+    // 3-truss: every edge in a triangle (path edges drop)
+    assert(edgesOf(3, 2) == (k5 ++ Seq((5L, 6L), (5L, 7L), (6L, 7L))).toSet)
+    // 5-truss: only K5 (each K5 edge sits in 3 triangles inside K5)
+    assert(edgesOf(5, 3) == k5.toSet)
+    // support column: inside the surviving K5 every edge has support 3
+    val sup = GraphOps.kTrussEdges(df, "u", "v", 5, 3).collect()
+    sup.foreach(r => assert(r.getAs[Long]("support") == 3L))
+    // 6-truss of K5 is empty (needs support 4)
+    assert(edgesOf(6, 3).isEmpty)
+    // rounds past fixpoint are a no-op
+    assert(edgesOf(4, 2) == edgesOf(4, 6))
+  }
 }

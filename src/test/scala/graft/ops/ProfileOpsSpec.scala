@@ -687,4 +687,43 @@ class ProfileOpsSpec extends SparkSpec {
     assert(out("zero").getAs[Long]("theil_log2fx") == 0L,
       "single surviving row: x*n == total, lg terms cancel exactly")
   }
+
+  test("gTest == the scalar log2Fixed replica; planted association " +
+    "rejects, exact independence scores G = 0") {
+    val (as, bs) = (Seq("a1", "a2"), Seq("b1", "b2"))
+    // planted: a1 mostly b1, a2 mostly b2
+    val rows = Seq.fill(40)(("a1", "b1")) ++ Seq.fill(10)(("a1", "b2")) ++
+      Seq.fill(10)(("a2", "b1")) ++ Seq.fill(40)(("a2", "b2"))
+    val out = ProfileOps.gTest(rows.toDF("a", "b"), col("a"), col("b"),
+      as, bs, ExperimentOps.MwZ2Crit).collect().head
+    // scalar replica over the observed cells
+    val cells = rows.groupBy(identity).view.mapValues(_.size.toLong)
+    val n = rows.size.toLong
+    def rTot(a: String) = rows.count(_._1 == a).toLong
+    def cTot(b: String) = rows.count(_._2 == b).toLong
+    val num = cells.map { case ((a, b), o) =>
+      BigInt(o) * (SelectionOps.log2Fixed(o * n) -
+        SelectionOps.log2Fixed(rTot(a) * cTot(b)))
+    }.sum
+    val g2fx = (2 * num).toLong
+    assert(out.getAs[Long]("n") == n && out.getAs[Long]("df") == 1L)
+    assert(out.getAs[Long]("g_log2fx") == g2fx)
+    assert(out.getAs[Double]("g_nats") ==
+      g2fx.toDouble * ProfileOps.Ln2 / 1048576.0)
+    assert(out.getAs[Int]("significant") == 1, "planted dependence rejects")
+
+    // exact independence: every cell O = R*C/N exactly -> G = 0
+    val ind = (for { a <- 0 until 2; b <- 0 until 3; _ <- 0 until (a + 1) * (b + 1) }
+      yield (s"a$a", s"b$b"))
+    val ri = ProfileOps.gTest(ind.toDF("a", "b"), col("a"), col("b"),
+      Seq("a0", "a1"), Seq("b0", "b1", "b2"),
+      ExperimentOps.Chi2Crit2Df).collect().head
+    assert(ri.getAs[Long]("g_log2fx") == 0L, "product table: exact zero")
+    assert(ri.getAs[Int]("significant") == 0)
+
+    // a listed-but-empty level guards significance (df would shift)
+    val rg = ProfileOps.gTest(rows.toDF("a", "b"), col("a"), col("b"),
+      Seq("a1", "a2", "aZZ"), bs, ExperimentOps.Chi2Crit2Df).collect().head
+    assert(rg.isNullAt(rg.fieldIndex("significant")))
+  }
 }
