@@ -460,6 +460,75 @@ object ModelOps {
         col("r.acf").as("acf"), col("r.dw").as("dw"))
   }
 
+  // ------------------------------------------- single changepoint scan
+
+  /** Optimal single changepoint of a daily cents series (binary
+    * segmentation, first split) — "did the level shift, and when?":
+    * the split maximizing the between-segment sum-of-squares gain
+    * `S₁²/n₁ + S₂²/n₂` (the pooled `S²/n` term is split-invariant and
+    * reported alongside). The complement to [[graft.ops.ExperimentOps]]'
+    * CUSUM monitor: CUSUM flags drift online; this localizes the break
+    * exactly, offline.
+    *
+    * Engine-exact argmax with NO floats anywhere: every candidate's
+    * score lands on a FIXED S-normalized ×2^20 grid —
+    * `score_fx = (A·2^20) DIV (D·S)` with `A = S₁²·n₂ + S₂²·n₁` in
+    * DECIMAL(38,0) and `D = n₁·n₂` — S is split-invariant, so the
+    * (score desc, day asc) ranking is integer-deterministic on any
+    * engine (a double score would make the argmax an ulp lottery), and
+    * the normalized readout (units: cents·2^20) fits int64 for daily
+    * totals to ~10^12 cents. Value contract: the metric is NONNEGATIVE
+    * with S > 0 (an all-zero or refund-dominated series has no defined
+    * split; such inputs yield an empty frame, never a sign-dependent
+    * division).
+    *
+    * Scale shape: one day-keyed corpus collapse, then every window runs
+    * on the CALENDAR-BOUNDED daily frame (the [[acfSeries]] contract).
+    *
+    * Output (1 row): `(n_days, split_d, n_left, n_right, sum_left,
+    * sum_right, score_fx, base_fx)` — `split_d` = last epoch-day of the
+    * LEFT segment; gain = score_fx − base_fx (≥ 0 up to the shared
+    * flooring; base_fx = (S·2^20) DIV n is the no-split score on the
+    * same grid).
+    */
+  def changepointScan(
+      df: DataFrame, day: Column, cents: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val daily = df
+      .select(day.cast("date").as("dt"), cents.cast("long").as("c"))
+      .filter(col("dt").isNotNull && col("c").isNotNull)
+      .groupBy(unix_date(col("dt")).cast("long").as("d"))
+      .agg(sum(col("c")).as("x"))
+    val byD = Window.orderBy(col("d"))
+    val wAll = Window.partitionBy()
+    val scanned = daily
+      .withColumn("i", row_number().over(byD).cast("long"))
+      .withColumn("s1", sum(col("x")).over(
+        byD.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("s", sum(col("x")).over(wAll))
+      .filter(col("i") < col("n") && col("s") > 0L)
+    val cand = scanned.select(
+      col("d"), col("i"), col("n"), col("s"), col("s1"),
+      expr(s"""CAST(((CAST(s1 AS $dec) * CAST(s1 AS $dec)
+              |  * CAST(n - i AS $dec)
+              |  + CAST(s - s1 AS $dec) * CAST(s - s1 AS $dec)
+              |  * CAST(i AS $dec)) * 1048576)
+              | DIV (CAST(i AS $dec) * CAST(n - i AS $dec)
+              |      * CAST(s AS $dec)) AS BIGINT)""".stripMargin)
+        .as("score_fx"))
+    val byScore = Window.orderBy(col("score_fx").desc, col("d"))
+    cand.withColumn("rk", row_number().over(byScore))
+      .filter(col("rk") === 1)
+      .select(
+        col("n").as("n_days"), col("d").as("split_d"),
+        col("i").as("n_left"), (col("n") - col("i")).as("n_right"),
+        col("s1").as("sum_left"), (col("s") - col("s1")).as("sum_right"),
+        col("score_fx"),
+        expr(s"CAST((CAST(s AS $dec) * 1048576) DIV n AS BIGINT)")
+          .as("base_fx"))
+  }
+
   // ------------------------------------------- day-of-week seasonality
 
   /** Day-of-week seasonal index of a daily cents metric — the weekly

@@ -317,6 +317,51 @@ object ProfileOps {
           .as("theil_log2fx"))
   }
 
+  /** Lorenz curve at deciles per group — the CURVE behind
+    * [[giniByGroup]]'s scalar: for each decile k, the exact share of
+    * the group's total mass held by the bottom k/10 of its rows
+    * ("the bottom 70% of src3's documents hold 31% of its bytes").
+    * Same exact-rank machinery as the Gini: rows rank ascending by
+    * (value, row-id tiebreak) under a GROUP-PARTITIONED window,
+    * cumulative mass rides the same window, the decile boundary row is
+    * rank `(k·n) DIV 10`, and shares land exactly on the ×10⁶ grid.
+    * Deciles whose boundary rank is 0 (n < 10) report share 0.
+    *
+    * Scale shape: one group-keyed window sort + one keyed join of the
+    * 10-per-group boundary frame back onto the ranked rows — single
+    * Exchange each, groups parallelize.
+    *
+    * Output: `(group, decile, boundary_rank, share_micro)` — 10 rows
+    * per group with any mass.
+    */
+  def lorenzDeciles(
+      df: DataFrame, groupCol: Column, xCol: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("x"), col("rk"))
+    val ranked = df
+      .select(groupCol.as("g"), xCol.cast("long").as("x"),
+        monotonically_increasing_id().as("rk"))
+      .filter(col("g").isNotNull && col("x").isNotNull)
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("x")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+    val totals = ranked.groupBy(col("g")).agg(
+      count(lit(1)).as("n"), sum(col("x")).as("total"))
+    val bounds = totals
+      .select(col("g"), col("n"), col("total"),
+        explode(sequence(lit(1), lit(10))).as("decile"))
+      .withColumn("boundary_rank", expr("(decile * n) DIV 10"))
+    bounds
+      .join(ranked.select(col("g"), col("r").as("boundary_rank"),
+        col("cum")), Seq("g", "boundary_rank"), "left")
+      .select(col("g").as("group"), col("decile").cast("long").as("decile"),
+        col("boundary_rank"),
+        when(col("total") > 0L,
+          coalesce(expr("(1000000 * cum) DIV total"), lit(0L)))
+          .as("share_micro"))
+  }
+
   /** Distribution drift of a numeric measure between a BASELINE slice
     * and the current slice, over FROZEN literal bucket boundaries (the
     * continuous-variable counterpart of [[chiSquareCells]]; the PSI /

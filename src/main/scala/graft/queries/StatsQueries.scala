@@ -763,6 +763,25 @@ private[queries] object StatsQueries {
         t(s, dir, "orders"), col("o_orderdate"),
         round(col("o_totalprice") * 100).cast("long"), maxLag = 7)),
 
+    // Optimal single changepoint of the daily-revenue series (binary
+    // segmentation, first split) — localizes the level shift
+    // q_cusum_shift only flags: every candidate split scored on a fixed
+    // S-normalized ×2^20 integer grid (decimal-128 numerators), so the
+    // argmax is engine-deterministic — no double score, no ulp lottery.
+    "q_changepoint" -> ((s, dir) =>
+      ModelOps.changepointScan(
+        t(s, dir, "orders"), col("o_orderdate"),
+        round(col("o_totalprice") * 100).cast("long"))),
+
+    // Lorenz curve at deciles per source — the curve behind q_gini's
+    // scalar, on the identical frame: bottom-k/10 byte shares, exact
+    // ×10⁶ intdiv off the same grouped rank window.
+    "q_lorenz" -> ((s, dir) =>
+      ProfileOps.lorenzDeciles(
+        t(s, dir, "documents"), col("source"), col("n_chars"))
+        .select(col("group").as("source"), col("decile"),
+          col("boundary_rank"), col("share_micro"))),
+
     // G-test of independence on priority × status (the q_cramers_v
     // contingency) — the likelihood-ratio omnibus that stays calibrated
     // at low expected counts: fixed-point log2 cell terms (no libm),
@@ -2760,6 +2779,62 @@ private[queries] object StatsQueries {
          |f2 AS (SELECT *, nh * nh * sxx - nh * s * s AS den FROM f)
          |$rows""".stripMargin
     },
+
+    // The same fixed-grid candidate scoring in HUGEINT, the identical
+    // (score desc, day asc) argmax.
+    "q_changepoint" ->
+      """WITH daily AS (SELECT
+        |    CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS d,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS x
+        |  FROM orders
+        |  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+        |  GROUP BY 1),
+        |sc AS (SELECT d, row_number() OVER (ORDER BY d) AS i,
+        |    sum(x) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s1,
+        |    count(*) OVER () AS n, sum(x) OVER () AS s
+        |  FROM daily),
+        |f AS (SELECT *,
+        |    CAST(((CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT)
+        |        * CAST(n - i AS HUGEINT)
+        |      + CAST(s - s1 AS HUGEINT) * CAST(s - s1 AS HUGEINT)
+        |        * CAST(i AS HUGEINT)) * 1048576)
+        |      // (CAST(i AS HUGEINT) * CAST(n - i AS HUGEINT)
+        |         * CAST(s AS HUGEINT)) AS BIGINT) AS score_fx
+        |  FROM sc WHERE i < n AND s > 0),
+        |r AS (SELECT * FROM f ORDER BY score_fx DESC, d LIMIT 1)
+        |SELECT CAST(n AS BIGINT) AS n_days, CAST(d AS BIGINT) AS split_d,
+        |  CAST(i AS BIGINT) AS n_left, CAST(n - i AS BIGINT) AS n_right,
+        |  CAST(s1 AS BIGINT) AS sum_left,
+        |  CAST(s - s1 AS BIGINT) AS sum_right, score_fx,
+        |  CAST((CAST(s AS HUGEINT) * 1048576) // n AS BIGINT) AS base_fx
+        |FROM r""".stripMargin,
+
+    // Same grouped rank window and boundary-rank join; shares exact
+    // ×10⁶ intdiv (cum at a rank is tie-order-invariant: any order of
+    // equal values sums identically).
+    "q_lorenz" ->
+      """WITH b AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS x
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+        |rkd AS (SELECT g, x,
+        |    row_number() OVER (PARTITION BY g ORDER BY x) AS r,
+        |    sum(x) OVER (PARTITION BY g ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM b),
+        |tot AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS total FROM b GROUP BY g),
+        |bd AS (SELECT g, n, total, k AS decile, (k * n) // 10
+        |    AS boundary_rank
+        |  FROM tot CROSS JOIN (SELECT unnest(range(1, 11)) AS k))
+        |SELECT bd.g AS source, CAST(bd.decile AS BIGINT) AS decile,
+        |  CAST(bd.boundary_rank AS BIGINT) AS boundary_rank,
+        |  CASE WHEN bd.total > 0 THEN
+        |    CAST(coalesce((1000000 * r2.cum) // bd.total, 0) AS BIGINT)
+        |  END AS share_micro
+        |FROM bd LEFT JOIN rkd r2
+        |  ON r2.g = bd.g AND r2.r = bd.boundary_rank""".stripMargin,
 
     // Cell counts, window marginals, the identical log2Fixed term
     // replay, HUGEINT accumulation, the shared ln2 nats chain.

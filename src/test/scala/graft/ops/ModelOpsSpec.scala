@@ -271,6 +271,42 @@ class ModelOpsSpec extends SparkSpec {
       "zero-variance series: NULL acf, no division error"))
   }
 
+  test("changepointScan finds a planted level shift exactly; == the " +
+    "BigInt argmax replica; degenerate series yields no row") {
+    import java.time.LocalDate
+    val d0 = LocalDate.of(2024, 4, 1)
+    // 100s for 9 days, 300s for 11 days: optimal split after day 9
+    val xs = Seq.fill(9)(100L) ++ Seq.fill(11)(300L)
+    val rows = xs.zipWithIndex.map { case (x, i) =>
+      (d0.plusDays(i).toString, x)
+    }
+    val out = ModelOps.changepointScan(
+      rows.toDF("dt", "c"), col("dt"), col("c")).collect().head
+    assert(out.getAs[Long]("n_left") == 9L &&
+      out.getAs[Long]("n_right") == 11L)
+    assert(out.getAs[Long]("split_d") == d0.plusDays(8).toEpochDay)
+    assert(out.getAs[Long]("sum_left") == 900L &&
+      out.getAs[Long]("sum_right") == 3300L)
+    // replica of the fixed-grid score at the winning split
+    val (n, s) = (20L, xs.sum)
+    def score(i: Int): BigInt = {
+      val s1 = BigInt(xs.take(i).sum)
+      val s2 = BigInt(s) - s1
+      (s1 * s1 * (n - i) + s2 * s2 * i) * 1048576 /
+        (BigInt(i) * (n - i) * s)
+    }
+    val best = (1 until 20).maxBy(score)
+    assert(best == 9 && out.getAs[Long]("score_fx") == score(9).toLong)
+    assert(out.getAs[Long]("base_fx") == BigInt(s) * 1048576 / n)
+    assert(out.getAs[Long]("score_fx") > out.getAs[Long]("base_fx"),
+      "a real shift must beat the no-split score")
+
+    // all-zero series: no defined split, empty frame (not a crash)
+    val zero = (0 until 5).map(i => (d0.plusDays(i).toString, 0L))
+    assert(ModelOps.changepointScan(
+      zero.toDF("dt", "c"), col("dt"), col("c")).collect().isEmpty)
+  }
+
   test("seasonalIndex == the scalar epoch-day replica; flat series " +
     "indexes exactly 10^6 everywhere") {
     import java.time.LocalDate

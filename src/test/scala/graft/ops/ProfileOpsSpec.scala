@@ -726,4 +726,26 @@ class ProfileOpsSpec extends SparkSpec {
       Seq("a1", "a2", "aZZ"), bs, ExperimentOps.Chi2Crit2Df).collect().head
     assert(rg.isNullAt(rg.fieldIndex("significant")))
   }
+
+  test("lorenzDeciles == the scalar bottom-share replica; uniform mass " +
+    "gives the diagonal; total concentration gives the hockey stick") {
+    val uni = (1 to 20).map(i => ("u", 5L))
+    val conc = (1 to 19).map(_ => ("c", 0L)) :+ ("c", 1000L)
+    val skew = (1 to 10).map(i => ("s", i.toLong)) // 1..10
+    val out = ProfileOps.lorenzDeciles(
+      (uni ++ conc ++ skew).toDF("g", "x"), col("g"), col("x"))
+      .collect()
+      .map(r => (r.getAs[String]("group"), r.getAs[Long]("decile")) -> r)
+      .toMap
+    for (k <- 1L to 10L) {
+      assert(out(("u", k)).getAs[Long]("share_micro") == k * 100000L,
+        s"uniform decile $k sits on the diagonal")
+      assert(out(("c", k)).getAs[Long]("share_micro") ==
+        (if (k == 10L) 1000000L else 0L), "one row holds everything")
+      // skew group: bottom k rows hold k(k+1)/2 of 55
+      assert(out(("s", k)).getAs[Long]("share_micro") ==
+        1000000L * (k * (k + 1) / 2) / 55L)
+    }
+    assert(out(("s", 10L)).getAs[Long]("boundary_rank") == 10L)
+  }
 }
