@@ -146,6 +146,41 @@ class StatSkewSpec extends SparkSpec {
     assert(ks.getAs[Long]("d_num") == dnum)
   }
 
+  test("round-9 session-4 prefix-scan riders (Kruskal-Wallis, gains " +
+    "sweep) on an ALL-DISTINCT domain: spread, and exact vs the replica") {
+    // same killer shape: 200k distinct values; groups cycle 0/1/2
+    val df = spark.range(N).select(
+      concat(lit("g"), (col("id") % 3).cast("string")).as("g"),
+      col("id").as("v"))
+    val gs = Seq("g0", "g1", "g2")
+    val (kw, s1) = withTaskSpread {
+      ExperimentOps.kruskalWallis(df, col("g"), col("v"), gs,
+        ExperimentOps.Chi2Crit2Df).collect().head
+    }
+    assertNoStraggler(s1)
+    assert(kw.getAs[Long]("n") == N && kw.getAs[Long]("t_ties") == 0L)
+    // all-distinct: doubled rank of value v is 2v+2; groups by id mod 3
+    val r2 = (0 until 3).map(g =>
+      (g.toLong until N by 3).map(v => 2 * v + 2).sum)
+    val ng = (0 until 3).map(g => (N - g + 2) / 3)
+    val sumTerms = (0 until 3).map(i =>
+      r2(i).toDouble * r2(i).toDouble / ng(i).toDouble).reduce(_ + _)
+    val nD = N.toDouble
+    val hRaw = 3.0 * sumTerms / (nD * (nD + 1.0)) - 3.0 * (nD + 1.0)
+    assert(kw.getAs[Double]("h") == hRaw / 1.0,
+      "tie-free: correction divides by exactly 1.0")
+
+    val (lift, s2) = withTaskSpread {
+      ExperimentOps.liftGains(df, col("g") === "g0", col("v"))
+        .orderBy(col("score")).collect()
+    }
+    assertNoStraggler(s2)
+    assert(lift.length == N.toInt, "one row per distinct score")
+    val bottom = lift.head // threshold at the smallest score: whole corpus
+    assert(bottom.getAs[Long]("n_ge") == N &&
+      bottom.getAs[Long]("depth_micro") == 1000000L)
+  }
+
   // ------------------------------------------------- grouped sketches
 
   test("grouped HLL with one hot source: per-group registers match the " +
