@@ -1023,7 +1023,12 @@ object GraphOps {
       .cutLineage()
     val deg = e.select(col("u").as("node")).union(e.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
-    val tri = triangleCounts(e, "u", "v")
+    // straight to the shared enumeration — routing through
+    // triangleCounts would checkpoint the (already-cut) edge frame a
+    // second time (measured 5.9 s -> 4.2 s warm at sf0.1)
+    val tri = triangleRows(e)
+      .select(explode(array(col("s"), col("t"), col("w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
     deg.filter(col("degree") >= 2L)
       .join(tri, Seq("node"), "left")
       .select(col("node"), col("degree"),
