@@ -460,6 +460,56 @@ object ModelOps {
         col("r.acf").as("acf"), col("r.dw").as("dw"))
   }
 
+  // ------------------------------------------------- Hill tail index
+
+  /** Hill estimator of a heavy-tail exponent — "how fat is the tail of
+    * this metric?": `α = k / Σᵢ ln(x₍ᵢ₎/x₍ₖ₊₁₎)` over the k largest
+    * order statistics ([[zipfFit]]'s rank-frequency twin for a VALUE
+    * distribution — spend, file sizes, degree). α ≈ 1 is Zipf-like,
+    * α > 2 has finite variance; a revenue or quota planner reads this
+    * before trusting any mean.
+    *
+    * Float-free core: the top k+1 VALUES arrive via a per-task heap
+    * (`orderBy.limit` → TakeOrderedAndProject, the
+    * [[graft.ops.TextOps.vocabCoverage]] discipline — never a corpus
+    * sort), the log sum `T = Σ lg(x₍ᵢ₎) − k·lg(x₍ₖ₊₁₎)` is exact in
+    * fixed-point log2 (tie order at the boundary cannot change it: the
+    * top-k value MULTISET is unique), `h_log2fx = T DIV k` is exact
+    * intdiv, and α closes as ONE fixed double chain with the shared
+    * [[graft.ops.ProfileOps.Ln2]] literal: `α = k·2^20 / (T·ln2)`.
+    * Nonpositive values are excluded (no defined log); fewer than k+1
+    * survivors yield NULLs.
+    *
+    * Scale shape: one filter + one heap-bounded TakeOrdered; every
+    * window after runs on the (k+1)-row survivor frame.
+    *
+    * Output (1 row): `(n_top, k, x_threshold, h_log2fx, alpha)`.
+    */
+  def hillTailIndex(df: DataFrame, value: Column, k: Int): DataFrame = {
+    require(k >= 2 && k <= 4096, s"bad k: $k")
+    val v = df.select(value.cast("long").as("x")).filter(col("x") > 0L)
+    val top = v.orderBy(col("x").desc).limit(k + 1)
+    val w = Window.orderBy(col("x").desc)
+    val ranked = top
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("lg", graft.expr.MathExprs.log2Fixed(col("x")))
+    val m = ranked.agg(
+      count(lit(1)).as("n_top"),
+      coalesce(sum(when(col("r") <= k.toLong, col("lg"))), lit(0L))
+        .as("sum_lg"),
+      coalesce(max(when(col("r") === (k + 1).toLong, col("lg"))), lit(0L))
+        .as("lg_thr"),
+      coalesce(max(when(col("r") === (k + 1).toLong, col("x"))), lit(0L))
+        .as("x_thr"))
+    val t = col("sum_lg") - lit(k.toLong) * col("lg_thr")
+    val ok = col("n_top") === (k + 1).toLong && t > 0L
+    m.select(
+      col("n_top"), lit(k.toLong).as("k"), col("x_thr").as("x_threshold"),
+      when(ok, expr(s"(sum_lg - $k * lg_thr) DIV $k")).as("h_log2fx"),
+      when(ok, lit((k.toLong * 1048576L).toDouble) /
+        (t.cast("double") * ProfileOps.Ln2)).as("alpha"))
+  }
+
   // ------------------------------------------- single changepoint scan
 
   /** Optimal single changepoint of a daily cents series (binary

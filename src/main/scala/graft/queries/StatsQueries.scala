@@ -763,6 +763,15 @@ private[queries] object StatsQueries {
         t(s, dir, "orders"), col("o_orderdate"),
         round(col("o_totalprice") * 100).cast("long"), maxLag = 7)),
 
+    // Hill tail-exponent of the order-value distribution over the top
+    // 64 order statistics — q_zipf_fit's value-distribution twin: heap-
+    // bounded top-(k+1), exact fixed-point log sum (boundary-tie-proof),
+    // one shared-ln2 closing chain.
+    "q_tail_index" -> ((s, dir) =>
+      ModelOps.hillTailIndex(
+        t(s, dir, "orders"),
+        round(col("o_totalprice") * 100).cast("long"), k = 64)),
+
     // Optimal single changepoint of the daily-revenue series (binary
     // segmentation, first split) — localizes the level shift
     // q_cusum_shift only flags: every candidate split scored on a fixed
@@ -2779,6 +2788,37 @@ private[queries] object StatsQueries {
          |f2 AS (SELECT *, nh * nh * sxx - nh * s * s AS den FROM f)
          |$rows""".stripMargin
     },
+
+    // Heap replay (ORDER BY DESC LIMIT k+1), the lg table over the
+    // survivor values, the identical intdiv and ln2 chain.
+    "q_tail_index" ->
+      s"""WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS x
+         |  FROM orders WHERE o_totalprice IS NOT NULL
+         |    AND round(o_totalprice * 100) > 0),
+         |tp AS (SELECT x FROM v ORDER BY x DESC LIMIT 65),
+         |rk AS (SELECT x, row_number() OVER (ORDER BY x DESC) AS r
+         |       FROM tp),
+         |vals AS (SELECT DISTINCT x AS v FROM rk),
+         |${log2FixedSql("vals")},
+         |j AS (SELECT rk.r, rk.x, lg.lg FROM rk JOIN lg ON lg.v = rk.x),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n_top,
+         |    CAST(coalesce(sum(CASE WHEN r <= 64 THEN lg END), 0)
+         |      AS BIGINT) AS sum_lg,
+         |    CAST(coalesce(max(CASE WHEN r = 65 THEN lg END), 0)
+         |      AS BIGINT) AS lg_thr,
+         |    CAST(coalesce(max(CASE WHEN r = 65 THEN x END), 0)
+         |      AS BIGINT) AS x_thr
+         |  FROM j)
+         |SELECT n_top, CAST(64 AS BIGINT) AS k, x_thr AS x_threshold,
+         |  CASE WHEN n_top = 65 AND sum_lg - 64 * lg_thr > 0
+         |    THEN CAST((sum_lg - 64 * lg_thr) // 64 AS BIGINT)
+         |  END AS h_log2fx,
+         |  CASE WHEN n_top = 65 AND sum_lg - 64 * lg_thr > 0
+         |    THEN CAST(67108864 AS DOUBLE)
+         |      / (CAST(sum_lg - 64 * lg_thr AS DOUBLE)
+         |         * ${dlit(ProfileOps.Ln2)})
+         |  END AS alpha
+         |FROM m""".stripMargin,
 
     // The same fixed-grid candidate scoring in HUGEINT, the identical
     // (score desc, day asc) argmax.

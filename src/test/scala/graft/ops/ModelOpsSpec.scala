@@ -307,6 +307,39 @@ class ModelOpsSpec extends SparkSpec {
       zero.toDF("dt", "c"), col("dt"), col("c")).collect().isEmpty)
   }
 
+  test("hillTailIndex == the scalar log2Fixed replica on a planted " +
+    "power tail; short frames yield NULLs; boundary ties are harmless") {
+    val k = 8
+    // tail values 2^20 / rank (integer) + bulk noise below the threshold
+    val tail = (1 to k + 1).map(r => (1L << 20) / r)
+    val bulk = (1 to 100).map(i => 50L + i % 7)
+    val xs = tail ++ bulk
+    val out = ModelOps.hillTailIndex(
+      xs.toDF("x"), col("x"), k).collect().head
+    assert(out.getAs[Long]("n_top") == (k + 1).toLong)
+    assert(out.getAs[Long]("x_threshold") == tail.last)
+    val t = tail.take(k).map(SelectionOps.log2Fixed).sum -
+      k * SelectionOps.log2Fixed(tail.last)
+    assert(out.getAs[Long]("h_log2fx") == t / k)
+    assert(out.getAs[Double]("alpha") ==
+      (k.toLong * 1048576L).toDouble / (t.toDouble * ProfileOps.Ln2))
+    // 1/x tail: alpha should read near 1
+    val a = out.getAs[Double]("alpha")
+    assert(a > 0.7 && a < 1.4, s"planted 1/rank tail, got alpha $a")
+
+    // a tie straddling the k-boundary cannot change the estimate
+    val tied = xs ++ Seq(tail(k - 1)) // duplicate the rank-k value
+    val rt = ModelOps.hillTailIndex(tied.toDF("x"), col("x"), k)
+      .collect().head
+    assert(rt.getAs[Long]("x_threshold") == tail(k - 1))
+
+    val short = (1 to k).map(_.toLong) // only k rows: no threshold
+    val rs = ModelOps.hillTailIndex(short.toDF("x"), col("x"), k)
+      .collect().head
+    assert(rs.isNullAt(rs.fieldIndex("alpha")) &&
+      rs.isNullAt(rs.fieldIndex("h_log2fx")))
+  }
+
   test("seasonalIndex == the scalar epoch-day replica; flat series " +
     "indexes exactly 10^6 everywhere") {
     import java.time.LocalDate
