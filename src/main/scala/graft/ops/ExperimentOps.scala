@@ -1017,6 +1017,71 @@ object ExperimentOps {
           when(q.isNotNull, (q >= chi2Crit).cast("int")).as("significant")): _*)
   }
 
+  // ------------------------------------------------- Simpson's paradox
+
+  /** Simpson's-paradox probe — does the pooled arm effect contradict
+    * the within-stratum effects? The confounding trap every experiment
+    * readout should be screened for before shipping a pooled number
+    * (strata with unequal arm mix can reverse the aggregate). Per
+    * stratum and pooled, the conversion-rate difference's DIRECTION is
+    * decided by exact cross-multiplication (`c_a·n_b` vs `c_b·n_a` —
+    * never a float rate): +1 / −1 / 0, NULL where an arm is empty.
+    * `paradox = 1` when the pooled direction is nonzero and EVERY
+    * directed stratum points the other way (at least one does) — the
+    * strict textbook reversal.
+    *
+    * Scale shape: ONE map-side-combined stratum aggregate over the
+    * corpus; the pooled fold and direction census run on the
+    * strata-bounded frame ([[stratifiedEffect]]'s contract).
+    *
+    * Output (1 row): `(n_strata, pooled_dir, n_with, n_against,
+    * n_zero, n_undef, paradox)` — counts of strata whose direction
+    * matches / opposes the pooled sign (for pooled_dir 0 or NULL both
+    * census columns are NULL and paradox is 0).
+    */
+  def simpsonParadox(
+      df: DataFrame, stratum: Column, isA: Column,
+      converted: Column): DataFrame = {
+    val base = df.select(
+      stratum.cast("string").as("s"), isA.cast("boolean").as("a"),
+      converted.cast("boolean").cast("long").as("y"))
+      .filter(col("s").isNotNull && col("a").isNotNull &&
+        col("y").isNotNull)
+    val per = base.groupBy(col("s")).agg(
+      coalesce(sum(when(col("a"), 1L)), lit(0L)).as("n_a"),
+      coalesce(sum(when(col("a"), col("y"))), lit(0L)).as("c_a"),
+      coalesce(sum(when(!col("a"), 1L)), lit(0L)).as("n_b"),
+      coalesce(sum(when(!col("a"), col("y"))), lit(0L)).as("c_b"))
+    def dirOf(ca: Column, na: Column, cb: Column, nb: Column): Column =
+      when(na > 0L && nb > 0L,
+        when(ca * nb > cb * na, 1L)
+          .when(ca * nb < cb * na, -1L).otherwise(0L))
+    val withDir = per.withColumn("dir",
+      dirOf(col("c_a"), col("n_a"), col("c_b"), col("n_b")))
+    val m = withDir.agg(
+      count(lit(1)).as("n_strata"),
+      coalesce(sum(col("n_a")), lit(0L)).as("t_na"),
+      coalesce(sum(col("c_a")), lit(0L)).as("t_ca"),
+      coalesce(sum(col("n_b")), lit(0L)).as("t_nb"),
+      coalesce(sum(col("c_b")), lit(0L)).as("t_cb"),
+      coalesce(sum((col("dir") === 1L).cast("long")), lit(0L)).as("n_pos"),
+      coalesce(sum((col("dir") === -1L).cast("long")), lit(0L)).as("n_neg"),
+      coalesce(sum((col("dir") === 0L).cast("long")), lit(0L)).as("n_zero"),
+      coalesce(sum(col("dir").isNull.cast("long")), lit(0L)).as("n_undef"))
+    val pooled = dirOf(col("t_ca"), col("t_na"), col("t_cb"), col("t_nb"))
+    val nWith = when(pooled === 1L, col("n_pos"))
+      .when(pooled === -1L, col("n_neg"))
+    val nAgainst = when(pooled === 1L, col("n_neg"))
+      .when(pooled === -1L, col("n_pos"))
+    m.select(
+      col("n_strata"), pooled.as("pooled_dir"),
+      nWith.as("n_with"), nAgainst.as("n_against"),
+      col("n_zero"), col("n_undef"),
+      coalesce((pooled.isNotNull && pooled =!= 0L &&
+        nWith === 0L && nAgainst > 0L).cast("int"), lit(0))
+        .as("paradox"))
+  }
+
   // ------------------------------------------------- Wald-Wolfowitz runs
 
   /** Wald–Wolfowitz runs test — "is this binary sequence random, or does

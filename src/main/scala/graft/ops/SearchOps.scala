@@ -178,4 +178,50 @@ object SearchOps {
     legs.reduce(_.join(_, Seq("doc_id", "anchor")))
       .select(col("doc_id"), col("anchor").cast("long").as("pos"))
   }
+
+  /** Per-depth contribution suffix sums for [[rboMin]] — the ×10⁶
+    * pre-rounded literal table (the q_ndcg gain-table discipline:
+    * computed ONCE here, shared verbatim by plan and oracle so both
+    * engines sum the identical integers). `suffix(d) = Σ_{e=d..k}
+    * (1−p)·p^{e−1}/e` — an item present in both rankings with worse
+    * position d contributes exactly this to RBO_min.
+    */
+  def rboSuffixMicro(k: Int, p: Double): Seq[Long] =
+    (1 to k).map(d => math.round(1e6 *
+      (d to k).map(e => (1 - p) * math.pow(p, e - 1) / e).sum))
+
+  /** Rank-biased overlap, lower bound (Webber et al. TOIS 2010) between
+    * two top-k rankings — "how much do these two rankers agree?",
+    * top-weighted and defined WITHOUT relevance labels (the ranker-drift
+    * readout next to the labeled MRR/MAP/nDCG family; swap a scorer and
+    * read one number). RBO_min telescopes per shared item: an item at
+    * positions (pa, pb) contributes the [[rboSuffixMicro]] literal at
+    * depth `max(pa, pb)`, so the whole metric is ONE keyed join of two
+    * k-row frames plus an exact integer sum — no per-depth set
+    * intersection materializes.
+    *
+    * Inputs are k-row frames with columns `(id, pos)`, pos 1-based
+    * dense (the caller's heap-bounded ranking — the
+    * [[graft.ops.TextOps.vocabCoverage]] discipline keeps building them
+    * sort-free).
+    *
+    * Output (1 row): `(k, n_common, rbo_min_micro)`.
+    */
+  def rboMin(rankA: DataFrame, rankB: DataFrame, k: Int,
+      p: Double = 0.9): DataFrame = {
+    require(k >= 1 && k <= 1024, s"bad k: $k")
+    require(p > 0 && p < 1, s"bad p: $p")
+    val suffix = rboSuffixMicro(k, p)
+    val a = rankA.select(col("id"), col("pos").cast("long").as("pa"))
+    val b = rankB.select(col("id"), col("pos").cast("long").as("pb"))
+    val weights = array(suffix.map(lit): _*)
+    a.join(b, "id")
+      .select(element_at(weights,
+        greatest(col("pa"), col("pb")).cast("int")).as("w"))
+      .agg(
+        count(lit(1)).as("n_common"),
+        coalesce(sum(col("w")), lit(0L)).as("rbo_min_micro"))
+      .select(lit(k.toLong).as("k"), col("n_common"),
+        col("rbo_min_micro"))
+  }
 }

@@ -763,6 +763,16 @@ private[queries] object StatsQueries {
         t(s, dir, "orders"), col("o_orderdate"),
         round(col("o_totalprice") * 100).cast("long"), maxLag = 7)),
 
+    // Simpson's-paradox screen on the hash-split experiment stratified
+    // by market segment: every direction decided by exact
+    // cross-multiplication (never a float rate); the strict textbook
+    // reversal flag plus the stratum direction census.
+    "q_simpson_paradox" -> ((s, dir) =>
+      ExperimentOps.simpsonParadox(
+        t(s, dir, "customer"), col("c_mktsegment"),
+        ExperimentOps.armOf(col("c_custkey"), 2) === 0,
+        col("c_acctbal") >= 0.0)),
+
     // Hill tail-exponent of the order-value distribution over the top
     // 64 order statistics — q_zipf_fit's value-distribution twin: heap-
     // bounded top-(k+1), exact fixed-point log sum (boundary-tie-proof),
@@ -2788,6 +2798,60 @@ private[queries] object StatsQueries {
          |f2 AS (SELECT *, nh * nh * sxx - nh * s * s AS den FROM f)
          |$rows""".stripMargin
     },
+
+    // The affine arm replay, exact cross-multiplied directions per
+    // stratum and pooled, the same census and strict-reversal flag.
+    "q_simpson_paradox" ->
+      """WITH b AS (SELECT c_mktsegment AS s,
+        |    ((((c_custkey % 999999937) * 2654435761 + 104729)
+        |      % 999999937) % 2) = 0 AS a,
+        |    CASE WHEN c_acctbal >= 0.0 THEN 1 ELSE 0 END AS y
+        |  FROM customer
+        |  WHERE c_mktsegment IS NOT NULL AND c_acctbal IS NOT NULL
+        |    AND c_custkey IS NOT NULL),
+        |per AS (SELECT s,
+        |    CAST(coalesce(sum(CASE WHEN a THEN 1 END), 0) AS BIGINT)
+        |      AS n_a,
+        |    CAST(coalesce(sum(CASE WHEN a THEN y END), 0) AS BIGINT)
+        |      AS c_a,
+        |    CAST(coalesce(sum(CASE WHEN NOT a THEN 1 END), 0) AS BIGINT)
+        |      AS n_b,
+        |    CAST(coalesce(sum(CASE WHEN NOT a THEN y END), 0) AS BIGINT)
+        |      AS c_b
+        |  FROM b GROUP BY s),
+        |wd AS (SELECT *, CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |      CASE WHEN c_a * n_b > c_b * n_a THEN 1
+        |           WHEN c_a * n_b < c_b * n_a THEN -1 ELSE 0 END
+        |    END AS dir FROM per),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n_strata,
+        |    CAST(coalesce(sum(n_a), 0) AS BIGINT) AS t_na,
+        |    CAST(coalesce(sum(c_a), 0) AS BIGINT) AS t_ca,
+        |    CAST(coalesce(sum(n_b), 0) AS BIGINT) AS t_nb,
+        |    CAST(coalesce(sum(c_b), 0) AS BIGINT) AS t_cb,
+        |    CAST(coalesce(sum(CASE WHEN dir = 1 THEN 1 END), 0)
+        |      AS BIGINT) AS n_pos,
+        |    CAST(coalesce(sum(CASE WHEN dir = -1 THEN 1 END), 0)
+        |      AS BIGINT) AS n_neg,
+        |    CAST(coalesce(sum(CASE WHEN dir = 0 THEN 1 END), 0)
+        |      AS BIGINT) AS n_zero,
+        |    CAST(coalesce(sum(CASE WHEN dir IS NULL THEN 1 END), 0)
+        |      AS BIGINT) AS n_undef
+        |  FROM wd),
+        |f AS (SELECT *, CASE WHEN t_na > 0 AND t_nb > 0 THEN
+        |      CASE WHEN t_ca * t_nb > t_cb * t_na THEN 1
+        |           WHEN t_ca * t_nb < t_cb * t_na THEN -1 ELSE 0 END
+        |    END AS pooled FROM m),
+        |g AS (SELECT *,
+        |    CASE WHEN pooled = 1 THEN n_pos
+        |         WHEN pooled = -1 THEN n_neg END AS n_with,
+        |    CASE WHEN pooled = 1 THEN n_neg
+        |         WHEN pooled = -1 THEN n_pos END AS n_against
+        |  FROM f)
+        |SELECT n_strata, CAST(pooled AS BIGINT) AS pooled_dir,
+        |  n_with, n_against, n_zero, n_undef,
+        |  CAST(coalesce(pooled IS NOT NULL AND pooled <> 0
+        |    AND n_with = 0 AND n_against > 0, false) AS INT) AS paradox
+        |FROM g""".stripMargin,
 
     // Heap replay (ORDER BY DESC LIMIT k+1), the lg table over the
     // survivor values, the identical intdiv and ln2 chain.

@@ -228,6 +228,30 @@ private[queries] object TextQueries {
         t(s, dir, "documents"), col("doc_id"), col("text"),
         Seq("vector", "customer", "stream"), k = 20)),
 
+    // Rank-biased overlap (lower bound) between the BM25 top-20 and a
+    // raw-tf top-20 of the same corpus — ranker agreement WITHOUT
+    // relevance labels, the drift readout a search team reads when a
+    // scorer changes: per-shared-item suffix-weight literals, one keyed
+    // join of two heap-bounded k-row frames, exact ×10⁶ integer sum.
+    "q_rbo" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val terms = Seq("vector", "customer", "stream")
+      val wA = Window.orderBy(col("score").desc, col("doc_id"))
+      val a = SearchOps
+        .bm25TopK(docs, col("doc_id"), col("text"), terms, k = 20)
+        .select(col("doc_id").as("id"),
+          row_number().over(wA).cast("long").as("pos"))
+      val tf = docs.select(col("doc_id"),
+        size(filter(TextOps.tokens(lower(col("text"))),
+          x => x === "stream")).cast("long").as("tf"))
+        .filter(col("tf") > 0L)
+        .orderBy(col("tf").desc, col("doc_id")).limit(20)
+      val wB = Window.orderBy(col("tf").desc, col("doc_id"))
+      val b = tf.select(col("doc_id").as("id"),
+        row_number().over(wB).cast("long").as("pos"))
+      SearchOps.rboMin(a, b, k = 20, p = 0.9)
+    }),
+
     // RM3 pseudo-relevance feedback on the same query: expansion terms
     // mined from the BM25 top-10 (a feedback-bounded FRAME, no driver
     // collect), ×10⁶ RM3 weights by exact intdiv share, final ranking
@@ -783,6 +807,55 @@ private[queries] object TextQueries {
          |  FROM d, s)
          |WHERE score > 0
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // The q_bm25_search ranking CTEs, the tf ranking, the shared
+    // suffix-weight VALUES table, one keyed join + integer sum.
+    "q_rbo" -> {
+      val wts = SearchOps.rboSuffixMicro(20, 0.9).zipWithIndex
+        .map { case (w, i) => s"(${i + 1}, CAST($w AS BIGINT))" }
+        .mkString(", ")
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |         CAST(len(toks) AS DOUBLE) AS dl,
+         |         CAST(len(list_filter(toks, t -> t = 'vector')) AS DOUBLE) AS tf0,
+         |         CAST(len(list_filter(toks, t -> t = 'customer')) AS DOUBLE) AS tf1,
+         |         CAST(len(list_filter(toks, t -> t = 'stream')) AS DOUBLE) AS tf2
+         |  FROM (SELECT doc_id, ${S.tokens("lower(text)")} AS toks FROM documents)),
+         |st AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) AS sumdl,
+         |         CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+         |         CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+         |         CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+         |  FROM d),
+         |ta AS (SELECT doc_id, score FROM (
+         |  SELECT doc_id,
+         |         ((n - df0 + 0.5) / (df0 + 0.5)) * (tf0 * 2.25) / (tf0 + 1.25 * (0.25 + 0.75 * dl / (sumdl / n)))
+         |       + ((n - df1 + 0.5) / (df1 + 0.5)) * (tf1 * 2.25) / (tf1 + 1.25 * (0.25 + 0.75 * dl / (sumdl / n)))
+         |       + ((n - df2 + 0.5) / (df2 + 0.5)) * (tf2 * 2.25) / (tf2 + 1.25 * (0.25 + 0.75 * dl / (sumdl / n)))
+         |         AS score
+         |  FROM d, st)
+         |  WHERE score > 0
+         |  ORDER BY score DESC, doc_id LIMIT 20),
+         |ra AS (SELECT doc_id,
+         |    row_number() OVER (ORDER BY score DESC, doc_id) AS pa
+         |  FROM ta),
+         |tb0 AS (SELECT doc_id,
+         |    CAST(len(list_filter(${S.tokens("lower(text)")},
+         |      t -> t = 'stream')) AS BIGINT) AS tf
+         |  FROM documents),
+         |tb AS (SELECT doc_id, tf FROM tb0 WHERE tf > 0
+         |       ORDER BY tf DESC, doc_id LIMIT 20),
+         |rb AS (SELECT doc_id,
+         |    row_number() OVER (ORDER BY tf DESC, doc_id) AS pb
+         |  FROM tb),
+         |w(m, wt) AS (VALUES $wts),
+         |j AS (SELECT greatest(ra.pa, rb.pb) AS m
+         |      FROM ra JOIN rb USING (doc_id))
+         |SELECT CAST(20 AS BIGINT) AS k,
+         |  CAST(count(*) AS BIGINT) AS n_common,
+         |  CAST(coalesce(sum(w.wt), 0) AS BIGINT) AS rbo_min_micro
+         |FROM j JOIN w ON w.m = j.m""".stripMargin
+    },
 
     // Same bigram pairing (positional unnest), the same partitioned
     // margins and 1-row N₁₊(··), the identical cleared rational.

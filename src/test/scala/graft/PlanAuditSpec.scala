@@ -62,7 +62,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_fs_link" -> "1-row m/u-weight attach to the blocked pair stream; the candidate generator is the blocking equi-join",
     "q_burstiness" -> "1-row doc-count attach to the k-row top frame (q_vocab_coverage shape)",
     "q_keyness" -> "1-row token-totals attach to the vocabulary-sized count frame (the q_source_kl shape)",
-    "q_blocking_eval" -> "three 1-row eval frames (candidate/matched, truth count, row count) cross at the end — the q_erasure audit shape; the candidate generator itself is the variant-key equi-join")
+    "q_blocking_eval" -> "three 1-row eval frames (candidate/matched, truth count, row count) cross at the end — the q_erasure audit shape; the candidate generator itself is the variant-key equi-join",
+    "q_rbo" -> "the q_bm25_search 1-row corpus-stats attach (N, avgdl) inside ranking A; the RBO fold itself is a keyed join of two k-row frames")
 
   test("no unlisted query plans a CartesianProduct or BroadcastNestedLoopJoin") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

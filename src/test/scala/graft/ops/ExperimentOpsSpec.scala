@@ -696,6 +696,43 @@ class ExperimentOpsSpec extends SparkSpec {
     assert(rm.isNullAt(rm.fieldIndex("z2")))
   }
 
+  test("simpsonParadox: the classic engineered reversal flags; uniform " +
+    "mix does not; empty arms census as undefined") {
+    // textbook: A beats B inside BOTH strata, but B concentrates in the
+    // easy stratum and wins pooled.
+    // s1: A 9/10, B 80/100 -> A better. s2: A 30/100, B 2/10 -> A better.
+    // pooled: A 39/110 (0.35) vs B 82/110 (0.75) -> B better. paradox.
+    def rows(s: String, a: Boolean, conv: Int, n: Int) =
+      Seq.fill(n)((s, a, true)).take(conv) ++
+        Seq.fill(n - conv)((s, a, false))
+    val data = rows("s1", true, 9, 10) ++ rows("s1", false, 80, 100) ++
+      rows("s2", true, 30, 100) ++ rows("s2", false, 2, 10)
+    val out = ExperimentOps.simpsonParadox(
+      data.toDF("s", "a", "y"), col("s"), col("a"), col("y"))
+      .collect().head
+    assert(out.getAs[Long]("n_strata") == 2L)
+    assert(out.getAs[Long]("pooled_dir") == -1L, "B wins pooled")
+    assert(out.getAs[Long]("n_with") == 0L &&
+      out.getAs[Long]("n_against") == 2L)
+    assert(out.getAs[Int]("paradox") == 1)
+
+    // balanced mix: pooled agrees with the strata, no flag
+    val ok = rows("s1", true, 9, 10) ++ rows("s1", false, 5, 10) ++
+      rows("s2", true, 6, 10) ++ rows("s2", false, 2, 10)
+    val ro = ExperimentOps.simpsonParadox(
+      ok.toDF("s", "a", "y"), col("s"), col("a"), col("y")).collect().head
+    assert(ro.getAs[Long]("pooled_dir") == 1L &&
+      ro.getAs[Int]("paradox") == 0 && ro.getAs[Long]("n_with") == 2L)
+
+    // a stratum with one empty arm is censored, not a direction
+    val mixed = ok ++ rows("s3", true, 3, 5)
+    val rm = ExperimentOps.simpsonParadox(
+      mixed.toDF("s", "a", "y"), col("s"), col("a"), col("y"))
+      .collect().head
+    assert(rm.getAs[Long]("n_undef") == 1L &&
+      rm.getAs[Long]("n_strata") == 3L)
+  }
+
   test("liftGains == the brute-force threshold sweep") {
     val data = Seq( // (label, score)
       (true, 9L), (false, 9L), (true, 7L), (true, 7L), (false, 5L),

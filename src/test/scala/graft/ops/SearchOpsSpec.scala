@@ -112,4 +112,33 @@ class SearchOpsSpec extends SparkSpec {
     // the query term itself was excluded from expansion
     assert(out(2L)._2 == 1L * wCoffee + 0L)
   }
+
+  test("rboMin: identical rankings sum the full literal table, disjoint " +
+    "score 0, and a hand case matches the per-item suffix lookup") {
+    import spark.implicits._
+    val k = 5
+    val suffix = SearchOps.rboSuffixMicro(k, 0.9)
+    // suffix sums must be decreasing and start at ~RBO_min of a
+    // perfect-overlap depth-1 item
+    assert(suffix == suffix.sorted.reverse && suffix.last > 0L)
+    val ids = (1L to k.toLong)
+    val rank = ids.map(i => (i, i)).toDF("id", "pos")
+    val same = SearchOps.rboMin(rank, rank, k).collect().head
+    assert(same.getAs[Long]("n_common") == k.toLong)
+    assert(same.getAs[Long]("rbo_min_micro") == suffix.sum,
+      "identical rankings: every item contributes its own-depth suffix")
+
+    val other = ids.map(i => (i + 100L, i)).toDF("id", "pos")
+    val disj = SearchOps.rboMin(rank, other, k).collect().head
+    assert(disj.getAs[Long]("n_common") == 0L &&
+      disj.getAs[Long]("rbo_min_micro") == 0L)
+
+    // hand case: B reverses A; item at (pa, pb) contributes
+    // suffix(max(pa,pb)) = suffix(max depth)
+    val rev = ids.map(i => (i, k.toLong + 1 - i)).toDF("id", "pos")
+    val rr = SearchOps.rboMin(rank, rev, k).collect().head
+    val expect = (1 to k).map(pa => suffix(math.max(pa, k + 1 - pa) - 1)).sum
+    assert(rr.getAs[Long]("rbo_min_micro") == expect)
+    assert(rr.getAs[Long]("rbo_min_micro") < same.getAs[Long]("rbo_min_micro"))
+  }
 }
