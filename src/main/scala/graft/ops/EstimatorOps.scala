@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.expr.{BloomExprs, Log2Fixed, MathExprs}
+import graft.ops.Lineage.LineageOps
 
 /** Estimation & evaluation primitives a curation pipeline runs next to
   * its aggregates: a DETERMINISTIC HyperLogLog (register-exact, so the
@@ -196,8 +197,16 @@ object EstimatorOps {
   def adamicAdarTopK(
       edges: DataFrame, centerCol: String, leafCol: String,
       maxCenterDegree: Long, k: Int): DataFrame = {
+    // the distinct frame feeds BOTH legs (degree weights + the adjacency
+    // join); left as a plain plan the optimizer compiled the 2-Exchange
+    // distinct subtree TWICE (exchange reuse does not fire across the
+    // aggregate/join boundary here — q_link_predict's executed plan
+    // carried two identical corpus-sized distinct stages). Materialize it
+    // once; both legs then read the checkpoint, and AQE sees exact stats
+    // for the weight join.
     val e = edges
       .select(col(centerCol).as("ctr"), col(leafCol).as("leaf")).distinct()
+      .cutLineage()
     val centerW = e.groupBy("ctr").agg(count(lit(1)).as("deg"))
       .filter(col("deg") >= 2L && col("deg") <= maxCenterDegree)
       .withColumn("lg", MathExprs.log2Fixed(col("deg")))

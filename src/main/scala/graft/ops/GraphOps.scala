@@ -257,8 +257,17 @@ object GraphOps {
       // contributions + the dangling scalar); without a cache the second
       // consumer re-computes the whole lineage — exponential in iters
       if (redistributeDangling) ranks = ranks.cache()
+      // shuffle_hash on the node-sized rank side: the rank table inherits
+      // hash(node) partitioning from the cached `nodes` frame, so the join
+      // needs no exchange — but that also means NO shuffle stage exists
+      // for AQE to size, and the planner's default-size estimate keeps the
+      // join sort-merge: both sides (including the edge-sized cached
+      // stream) get re-SORTED every iteration. Hashing the rank side
+      // builds a node-sized table per partition instead (guide §3.1 —
+      // scale-safe where a broadcast of the rank table is not; see the
+      // rejected-broadcast note above).
       val sums = edgesDeg
-        .join(ranks, edgesDeg("src") === ranks("node"))
+        .join(ranks.hint("shuffle_hash"), edgesDeg("src") === ranks("node"))
         .select(col("dst"), expr("rank div outdeg").as("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("s"))
@@ -591,8 +600,13 @@ object GraphOps {
     var ranks = nodes.select(col("node"),
       when(isSeed, lit(init)).otherwise(lit(0L)).as("rank"))
     for (i <- 1 to iters) {
+      // shuffle_hash for the same reason as [[pageRank]]: the rank side
+      // carries compatible hash(node) partitioning, so no shuffle stage
+      // exists for AQE to observe and the join would otherwise stay
+      // sort-merge — re-sorting the cached edge stream every iteration
+      // (q_ppr's executed plan showed 6 SortMergeJoins / 9 Sorts).
       val sums = edgesDeg
-        .join(ranks, edgesDeg("src") === ranks("node"))
+        .join(ranks.hint("shuffle_hash"), edgesDeg("src") === ranks("node"))
         .select(col("dst"), expr("rank div outdeg").as("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("s"))
@@ -1030,7 +1044,11 @@ object GraphOps {
       .select(explode(array(col("s"), col("t"), col("w"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
     deg.filter(col("degree") >= 2L)
-      .join(tri, Seq("node"), "left")
+      // both sides are node-sized aggregates already hash(node)-
+      // partitioned; without the hint the planner keeps the left join
+      // sort-merge off the conservative pre-aggregation stage estimates
+      // and pays two node-frame sorts for nothing
+      .join(tri.hint("shuffle_hash"), Seq("node"), "left")
       .select(col("node"), col("degree"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
         expr("""(2000000 * coalesce(n_triangles, 0))
