@@ -349,6 +349,12 @@ object GraphOps {
     var hub = nodes.select(col("node"), lit(1L).as("v"))
     var auth: DataFrame = null
     for (i <- 1 to iters) {
+      // (A shuffle_hash hint here — the pageRank fix — was measured and
+      // REJECTED: rounds 2+ join CUT score frames, which already re-plan
+      // per round with real stats and broadcast under AQE; forcing SHJ
+      // replaced those broadcasts and read 5.66 s vs 5.05 s un-hinted in
+      // the same warm window. Only round 1 pays the sort-merge trap, and
+      // one edge sort is cheaper than de-optimizing every later round.)
       auth = normalized(
         eBySrc.join(hub, eBySrc("src") === hub("node"))
           .groupBy(col("dst").as("node")).agg(sum(col("v")).as("v")))

@@ -103,14 +103,21 @@ object ProfileOps {
     val base = df.select(groupCol.as("group"), centsCol.as("__c"))
     val meds = base.groupBy(col("group"))
       .agg(percentile(col("__c"), lit(0.5)).as("med"))
-    val dev = base.join(meds, "group")
+    // broadcast the GROUP-sized frames explicitly: the static estimate for
+    // a percentile aggregate is unknown-large while a small fact scan
+    // estimates under the broadcast threshold, so the planner broadcast
+    // the CORPUS side instead (q_mad_outliers' plan shipped the 20 MiB
+    // event projection and streamed the 5-row median frame past it) —
+    // and at corpus scale that mis-pick degrades to shuffling the fact
+    // by group. The hint keeps the fact side a pure map at any scale.
+    val dev = base.join(broadcast(meds), "group")
       .withColumn("__dev", abs(col("__c").cast("double") - col("med")))
     val mads = dev.groupBy(col("group"))
       .agg(percentile(col("__dev"), lit(0.5)).as("mad"))
     // threshold as an exact integer ratio: dev·10000 > numer·mad is one
     // correctly-rounded multiply per side — engine-portable, no 1.4826
     // rounding drift
-    dev.join(mads, "group")
+    dev.join(broadcast(mads), "group")
       .groupBy(col("group"))
       .agg(
         count(lit(1)).as("n"),
