@@ -79,9 +79,24 @@ object IndexOps {
       textCol: String = "text"): Unit = {
     val spark = docs.sparkSession
     if (coveredSegments(spark, indexDir, "postings").contains(segment)) return
-    SearchOps.positionalPostings(docs, idCol, textCol)
+    // repartition on the bucket key before partitionBy (the
+    // [[ComponentStore]] write discipline, guide §6): without it every
+    // input task writes a file into every bucket dir it touches — file
+    // count M*64 follows the INPUT partitioning instead of the layout
+    // (and a near-single-partition input serializes the encode on one
+    // task). One file per bucket per segment; spark.graft.store.writeSalt
+    // (default 1) splits each bucket's write into salt tasks for
+    // corpus-scale segments, invisible to readers and bucket pruning.
+    val salt = spark.conf.getOption("spark.graft.store.writeSalt")
+      .map(_.trim.toInt).getOrElse(1)
+    require(salt >= 1, s"spark.graft.store.writeSalt must be >= 1, got $salt")
+    val keyed = SearchOps.positionalPostings(docs, idCol, textCol)
       .withColumn("tb", postingsBucket(col("token")))
-      .write.partitionBy("tb").mode("append").parquet(s"$indexDir/postings")
+    val laid =
+      if (salt == 1) keyed.repartition(col("tb"))
+      else keyed.repartition(col("tb"),
+        pmod(xxhash64(col("doc_id")), lit(salt.toLong)))
+    laid.write.partitionBy("tb").mode("append").parquet(s"$indexDir/postings")
     recordSegment(spark, indexDir, "postings", segment)
   }
 
