@@ -162,6 +162,19 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""sf":"$sfDir","steal_s":${fmt(stealRunS, "%.1f")},"stolen":$stolen}"""
     println(line)
+    // The harness keeps only a ~2000-char tail of stdout; at 355 queries the
+    // full line above is ~8 KB, so two rounds running it was truncated before
+    // parsing (BENCH_r08/r09 `parsed: null`). Emit a compact (<2000-byte)
+    // summary as the FINAL stdout line — totals + steal + count + pointer to
+    // the per-query map, which lives whole in `queries_file` and
+    // bench_history.jsonl. The full line keeps printing first (old behavior,
+    // old numbers); only the last-line framing changed.
+    val nStolen = results.count { case (_, (v, st)) => v >= 0 && st > StolenRepThresholdS }
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""sf":"$sfDir","steal_s":${fmt(stealRunS, "%.1f")},""" +
+      s""""n_queries":${results.size},"n_stolen":$nStolen,""" +
+      s""""queries_file":"${sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")}"}"""
+    println(summary)
     // stdout is log-scraped (sbt [info] prefixes, Spark log interleaving) —
     // also land the JSON line in a file so the harness can parse it reliably
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

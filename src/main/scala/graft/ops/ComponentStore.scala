@@ -112,7 +112,19 @@ object ComponentStore {
         GraphOps.componentsOf(ids, "doc_id", edges, "u", "v")
           .select(col("node").as("doc_id"), col("component"))
       } else {
+        // Bucket-prune the base postings scan by the DELTA's buckets: the
+        // cross-segment join matches on sh (and sb = pmod(sh, 64) is a
+        // function of sh), so base buckets the delta never touches cannot
+        // produce a pair — filter them out of the scan (guide §6: the
+        // predicate lands in PartitionFilters, unprobed bucket dirs are
+        // never listed or read). The bucket list is ≤ 64 small ints off the
+        // cached delta index; a corpus-scale base with a narrow delta (a
+        // streaming micro-batch) reads only the delta's buckets.
+        val deltaBuckets = newIdx
+          .select(pmod(col("sh"), lit(64L)).as("sb")).distinct()
+          .collect().map(_.getLong(0).toInt) // bounded: <= 64 rows
         val baseIdx = readShingles(spark, storeDir)
+          .filter(col("sb").isin(deltaBuckets: _*))
         val baseSizes = readSizes(spark, storeDir)
         val baseAsg = spark.read.parquet(asgPath)
         val edges = jaccardEdges(newIdx, newSizes, newIdx, newSizes,
@@ -159,13 +171,13 @@ object ComponentStore {
     // cost at sf0.1). Bucket-only repartition caps the write at 64 tasks
     // at ANY corpus size; spark.graft.store.writeSalt (default 1 = one
     // file per bucket per segment, the local/bench layout) adds a
-    // doc-hash secondary key so a corpus-scale segment writes salt files
-    // per bucket from 64*salt tasks. Readers never see the salt (it is a
-    // partitioning key, not a column) and sb stays the only partition
-    // dir, so bucket pruning is untouched.
-    val salt = spark.conf.getOption("spark.graft.store.writeSalt")
-      .map(_.trim.toInt).getOrElse(1)
-    require(salt >= 1, s"spark.graft.store.writeSalt must be >= 1, got $salt")
+    // doc-hash secondary key so a corpus-scale segment writes <= salt
+    // files per bucket from up to 64*salt tasks (bounded by
+    // spark.sql.shuffle.partitions, and hash collisions can co-locate
+    // distinct (bucket, salt) pairs on one task). Readers never see the
+    // salt (it is a partitioning key, not a column) and sb stays the only
+    // partition dir, so bucket pruning is untouched.
+    val salt = IndexOps.writeSalt(spark)
     val keyed = newIdx.withColumn("sb", pmod(col("sh"), lit(64L)))
     val laid =
       if (salt == 1) keyed.repartition(col("sb"))

@@ -105,8 +105,23 @@ object DedupOps {
       idCol: String,
       textCol: String,
       k: Int,
+      maxShingleDf: Option[Int] = None): DataFrame =
+    shingleIndexHashedTokens(docs, idCol, TextOps.tokens(col(textCol)), k,
+      maxShingleDf)
+
+  /** [[shingleIndexHashed]] over an already-tokenized column (`toks` an
+    * `array<string>`): a composite query that feeds SEVERAL consumers from
+    * one corpus tokenization (guide §2.4 — share the common subtree) passes
+    * the materialized token projection here instead of re-running the scan
+    * + regex split per consumer. Identical hashes and pair semantics —
+    * `shingleIndexHashed` itself is this with `toks = TextOps.tokens(text)`.
+    */
+  def shingleIndexHashedTokens(
+      docs: DataFrame,
+      idCol: String,
+      toks: Column,
+      k: Int,
       maxShingleDf: Option[Int] = None): DataFrame = {
-    val toks = TextOps.tokens(col(textCol))
     val hashed =
       if (k == 1)
         docs.select(col(idCol).as("doc_id"), explode(toks).as("t"))
@@ -198,14 +213,38 @@ object DedupOps {
       k: Int,
       threshold: Double,
       maxShingleDf: Option[Int] = None,
-      cacheIndex: Boolean = true): DataFrame = {
+      cacheIndex: Boolean = true): DataFrame =
     // join/shuffle on the 64-bit shingle hash, never the string: same pair
     // semantics (collision odds ~ |index|^2 / 2^64), no string
-    // materialization, 8-byte shuffle keys. The index is consumed three
+    // materialization, 8-byte shuffle keys.
+    jaccardPairsFromIndex(
+      shingleIndexHashed(docs, idCol, textCol, k, maxShingleDf),
+      threshold, cacheIndex)
+
+  /** [[ngramJaccardPairs]] over an already-tokenized column (see
+    * [[shingleIndexHashedTokens]]) — same pairs, one corpus tokenization
+    * shared across a composite query's consumers.
+    */
+  def ngramJaccardPairsTokens(
+      docs: DataFrame,
+      idCol: String,
+      toks: Column,
+      k: Int,
+      threshold: Double,
+      maxShingleDf: Option[Int] = None,
+      cacheIndex: Boolean = true): DataFrame =
+    jaccardPairsFromIndex(
+      shingleIndexHashedTokens(docs, idCol, toks, k, maxShingleDf),
+      threshold, cacheIndex)
+
+  private def jaccardPairsFromIndex(
+      idx0: DataFrame,
+      threshold: Double,
+      cacheIndex: Boolean): DataFrame = {
+    // The index is consumed three
     // times (sizes + both join sides) so it is cached by default; pass
     // cacheIndex=false in long-lived sessions that manage storage memory
     // themselves (cached blocks persist until the session drops them).
-    val idx0 = shingleIndexHashed(docs, idCol, textCol, k, maxShingleDf)
     val idx = if (cacheIndex) idx0.cache() else idx0
     val sizes = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = idx.as("a")
@@ -820,7 +859,7 @@ object DedupOps {
     * near-dup detection is then Hamming distance on the long.
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    simhashOver(docs, idCol, textCol, xxhash64(_), bits = 64)
+    simhashOver(docs, idCol, TextOps.tokens(col(textCol)), xxhash64(_), bits = 64)
 
   /** [[simhash]] over the portable 60-bit md5 token hash (see
     * [[portableShingleHash]] — here WITHOUT the mod-p reduction, since no
@@ -829,17 +868,25 @@ object DedupOps {
     * signature.
     */
   def portableSimhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    simhashOver(docs, idCol, textCol,
+    simhashOver(docs, idCol, TextOps.tokens(col(textCol)),
+      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"), bits = 60)
+
+  /** [[portableSimhash]] over an already-tokenized column (see
+    * [[shingleIndexHashedTokens]]) — same signatures, one corpus
+    * tokenization shared across a composite query's consumers.
+    */
+  def portableSimhashTokens(docs: DataFrame, idCol: String, toks: Column): DataFrame =
+    simhashOver(docs, idCol, toks,
       t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"), bits = 60)
 
   private def simhashOver(
       docs: DataFrame,
       idCol: String,
-      textCol: String,
+      toks: Column,
       hashOf: Column => Column,
       bits: Int): DataFrame = {
     val tok = docs.select(col(idCol).as("doc_id"),
-      explode(TextOps.tokens(col(textCol))).as("t"))
+      explode(toks).as("t"))
       .withColumn("h", hashOf(col("t")))
     val sums = (0 until bits).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))

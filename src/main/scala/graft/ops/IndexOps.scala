@@ -52,8 +52,57 @@ object IndexOps {
   private def exists(path: String): Boolean =
     java.nio.file.Files.exists(java.nio.file.Paths.get(path))
 
-  /** Segments already folded into `kind`'s index (empty ledger = none). */
-  def coveredSegments(spark: SparkSession, indexDir: String, kind: String): Set[String] =
+  /** The `spark.graft.store.writeSalt` secondary write-parallelism key
+    * shared by [[refreshPostings]] and [[ComponentStore.refresh]]: salt>1
+    * splits each bucket's write into up to `salt` tasks/files for
+    * corpus-scale segments (default 1 = one file per bucket per segment,
+    * the local/bench layout). Malformed values fail naming the conf key.
+    */
+  private[ops] def writeSalt(spark: SparkSession): Int = {
+    val key = "spark.graft.store.writeSalt"
+    val salt = spark.conf.getOption(key).map { v =>
+      try v.trim.toInt
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(s"$key must be an integer, got '$v'") }
+    }.getOrElse(1)
+    require(salt >= 1, s"$key must be >= 1, got $salt")
+    salt
+  }
+
+  private def ledgerDir(indexDir: String, kind: String): java.nio.file.Path =
+    java.nio.file.Paths.get(
+      s"$indexDir/segments/.ledger", // dot-dir: invisible to the parquet reader
+      java.net.URLEncoder.encode(kind, "UTF-8"))
+
+  /** Segments already folded into `kind`'s index (empty ledger = none).
+    *
+    * Every refresh probes this BEFORE folding, and an idempotent replay is
+    * nothing but this probe — so it must not cost a Spark job (scan task +
+    * footer reads just to re-learn "segment already covered").
+    * [[recordSegment]] drops a zero-byte marker per (kind, segment) under
+    * `segments/.ledger/<kind>/`; listing that directory is pure filesystem
+    * metadata. Stores whose `kind` ledger predates the marker scheme fall
+    * back to the parquet read (recordSegment backfills the markers the
+    * first time it extends such a store, so the fallback pays at most
+    * once per store).
+    */
+  def coveredSegments(spark: SparkSession, indexDir: String, kind: String): Set[String] = {
+    val ledger = ledgerDir(indexDir, kind)
+    if (java.nio.file.Files.isDirectory(ledger)) {
+      val s = java.nio.file.Files.list(ledger)
+      try {
+        val it = s.iterator()
+        val out = Set.newBuilder[String]
+        while (it.hasNext)
+          out += java.net.URLDecoder.decode(it.next().getFileName.toString, "UTF-8")
+        out.result()
+      } finally s.close()
+    }
+    else coveredSegmentsParquet(spark, indexDir, kind)
+  }
+
+  private def coveredSegmentsParquet(
+      spark: SparkSession, indexDir: String, kind: String): Set[String] =
     if (!exists(s"$indexDir/segments")) Set.empty
     else spark.read.parquet(s"$indexDir/segments")
       .filter(col("kind") === kind)
@@ -61,6 +110,24 @@ object IndexOps {
 
   private[ops] def recordSegment(
       spark: SparkSession, indexDir: String, kind: String, segment: String): Unit = {
+    val ledger = ledgerDir(indexDir, kind)
+    if (!java.nio.file.Files.isDirectory(ledger)) {
+      // first marker for this kind: migrate any pre-marker parquet rows so
+      // the marker dir is authoritative from here on
+      val legacy = coveredSegmentsParquet(spark, indexDir, kind)
+      java.nio.file.Files.createDirectories(ledger)
+      legacy.foreach { sg =>
+        try java.nio.file.Files.createFile(
+          ledger.resolve(java.net.URLEncoder.encode(sg, "UTF-8")))
+        catch { case _: java.nio.file.FileAlreadyExistsException => }
+      }
+    }
+    // marker before the parquet append: the marker is what probes read, and
+    // writing it immediately after the data writes keeps the torn window
+    // (data committed, ledger not) no wider than before
+    try java.nio.file.Files.createFile(
+      ledger.resolve(java.net.URLEncoder.encode(segment, "UTF-8")))
+    catch { case _: java.nio.file.FileAlreadyExistsException => }
     import spark.implicits._
     Seq((kind, segment)).toDF("kind", "segment")
       .coalesce(1).write.mode("append").parquet(s"$indexDir/segments")
@@ -85,11 +152,9 @@ object IndexOps {
     // count M*64 follows the INPUT partitioning instead of the layout
     // (and a near-single-partition input serializes the encode on one
     // task). One file per bucket per segment; spark.graft.store.writeSalt
-    // (default 1) splits each bucket's write into salt tasks for
+    // (default 1) splits each bucket's write across up to salt tasks for
     // corpus-scale segments, invisible to readers and bucket pruning.
-    val salt = spark.conf.getOption("spark.graft.store.writeSalt")
-      .map(_.trim.toInt).getOrElse(1)
-    require(salt >= 1, s"spark.graft.store.writeSalt must be >= 1, got $salt")
+    val salt = writeSalt(spark)
     val keyed = SearchOps.positionalPostings(docs, idCol, textCol)
       .withColumn("tb", postingsBucket(col("token")))
     val laid =

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.{AssocOps, AudioOps, ComponentStore, ContaminationOps, DedupOps, EstimatorOps, ExperimentOps, GraphOps, IndexOps, IvfOps, JoinOps, LakeOps, LatticeKmeans, LmOps, ModelOps, MultimodalOps, PcaOps, PqOps, PrepOps, PrivacyOps, ProfileOps, SamplingOps, SearchOps, SimilarityOps, SketchOps, TextOps}
+import graft.ops.Lineage.LineageOps
 import graft.streaming.{EventOps, IngestDedupStream}
 
 import QueryShared._
@@ -519,15 +520,28 @@ private[queries] object DedupQueries {
     // contingency aggregate; marginals as partitioned windows on the
     // cell frame; ARI in decimal-128.
     "q_cluster_eval" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      // Both clusterings start from the same corpus tokenization (SimHash
+      // explodes tokens; the Jaccard reference shingles the SAME token
+      // arrays), so tokenize ONCE and cut lineage (guide §2.4 — share the
+      // common subtree): one documents scan + one regex split feed both
+      // legs instead of two of each. The truth leg reads the component
+      // labels directly (the q_dedup_weights cluster-size join adds no
+      // information to (doc_id, component) — every comp row matches its
+      // size row exactly once — so it is dead work here).
+      val toked = t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
+        .cutLineage()
       val simPairs = DedupOps.simhashNearDupPairs(
-        DedupOps.portableSimhash(docs, "doc_id", "text"),
+        DedupOps.portableSimhashTokens(toked, "doc_id", col("__toks")),
         bits = 60, maxHamming = 5)
-      val pred = GraphOps.componentsOf(docs, "doc_id", simPairs,
+      val pred = GraphOps.componentsOf(toked, "doc_id", simPairs,
         "id_a", "id_b")
         .select(col("node").as("doc_id"), col("component").as("p"))
-      val truth = dedupWeightsFrame(s, dir)
-        .select(col("doc_id"), col("component").as("tg"))
+      val jacPairs = DedupOps.ngramJaccardPairsTokens(
+        toked, "doc_id", col("__toks"), k = 3, threshold = 0.2)
+      val truth = GraphOps.componentsOf(toked, "doc_id", jacPairs,
+        "id_a", "id_b")
+        .select(col("node").as("doc_id"), col("component").as("tg"))
       EstimatorOps.clusteringPairEval(
         pred.join(truth, "doc_id"), col("p"), col("tg"))
     }),

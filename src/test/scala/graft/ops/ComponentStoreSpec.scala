@@ -160,6 +160,13 @@ class ComponentStoreSpec extends SparkSpec {
     spark.conf.set("spark.graft.store.writeSalt", "4")
     try {
       ComponentStore.refresh(even, salted, "base")
+      // POSITIVE split assertion (the <= cap alone would pass even if the
+      // salt key were silently dropped): the same segment under salt=4
+      // must write MORE part files than the plain one-file-per-bucket
+      // layout — i.e. some bucket's write really did split across tasks.
+      assert(parquetFiles(s"$salted/shingles").length >
+        parquetFiles(s"$plain/shingles").length,
+        "salt=4 must split at least one bucket's write into multiple files")
       // the delta probes the SALTED base shingles — the merge must land on
       // the same from-scratch assignment as ever
       ComponentStore.refresh(odd, salted, "delta")

@@ -59,6 +59,30 @@ class IndexOpsSpec extends SparkSpec {
     assert(IndexOps.coveredSegments(spark, idx, "postings") == Set("base"))
   }
 
+  test("coveredSegments: marker fast path, legacy parquet fallback, and " +
+    "backfill migration on first extend") {
+    val idx = tmp("idxledger_")
+    import spark.implicits._
+    // legacy store: parquet ledger rows only (pre-marker scheme)
+    Seq(("postings", "old1"), ("postings", "old2"), ("bloom", "oldb"))
+      .toDF("kind", "segment")
+      .coalesce(1).write.mode("append").parquet(s"$idx/segments")
+    assert(IndexOps.coveredSegments(spark, idx, "postings") ==
+      Set("old1", "old2"))
+    // extending the legacy store backfills markers for that kind, so the
+    // marker dir is authoritative from then on (and probes stop costing a
+    // Spark job); odd segment names survive the filename encoding
+    IndexOps.recordSegment(spark, idx, "postings", "we ird/seg")
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(s"$idx/segments/.ledger/postings")))
+    assert(IndexOps.coveredSegments(spark, idx, "postings") ==
+      Set("old1", "old2", "we ird/seg"))
+    // other kinds keep their parquet fallback untouched
+    assert(IndexOps.coveredSegments(spark, idx, "bloom") == Set("oldb"))
+    // the dot-dir is invisible to the parquet ledger reader
+    assert(spark.read.parquet(s"$idx/segments").count() == 4)
+  }
+
   test("bloom refresh merge equals from-scratch build (OR-monoid)") {
     val idx = tmp("idxb_")
     val part = col("lang")
@@ -109,6 +133,13 @@ class IndexOpsSpec extends SparkSpec {
       .groupBy(_.getParent).values.map(_.length)
     assert(perBucket.nonEmpty && perBucket.forall(_ <= 4),
       "a bucket dir holds at most salt files per segment")
+    // POSITIVE split assertion (the <= cap alone would pass even if the
+    // salt key were silently dropped): under salt=4 the same segment must
+    // write MORE part files than the plain one-file-per-bucket layout
+    val plainFiles = filesWithSize(s"$plain/postings").toSeq
+      .map(_._1).count(_.toString.endsWith(".parquet"))
+    assert(perBucket.sum > plainFiles,
+      "salt=4 must split at least one bucket's write into multiple files")
   }
 
   test("phraseSearch through the lake equals search over raw postings") {
